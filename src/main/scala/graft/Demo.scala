@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.spark.{WoeBinning, WoeFitOptions}
+
+/** End-to-end usage demo of the public API — what a reference user's
+  * `batch_woe_binning` + `apply_bins` session becomes on Spark.
+  * Run: `sbt "runMain graft.Demo [sfDir]"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // derive the FIXTURES.md §2 deterministic target over lineitem
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val k = col("l_orderkey") * lit(7919L) + col("l_linenumber").cast("long")
+    val u = pmod(k * lit(1103515245L) + lit(12345L), lit(2147483648L))
+      .cast(DoubleType) / lit(2147483648.0)
+    val p = lit(1.0) / (lit(1.0) + exp(-(col("l_extendedprice") - lit(38000.0)) / lit(15000.0)))
+    val df = li.select(
+      when(u < p, 1L).otherwise(0L).as("target"),
+      col("l_extendedprice").cast(DoubleType).as("extendedprice"),
+      col("l_quantity").cast(DoubleType).as("quantity"),
+      col("l_discount").cast(DoubleType).as("discount"))
+
+    val model = WoeBinning.fit(df, "target",
+      Seq("extendedprice", "quantity", "discount"),
+      WoeFitOptions(nThreshold = Some(300)))
+    println("== stacked bins table ==")
+    model.binsDf(spark).show(40, truncate = false)
+
+    println("== transform (WoE-encoded output) ==")
+    val out = model.transform(df)
+    out.show(5, truncate = false)
+    println("== transform plan ==")
+    out.explain("formatted")
+
+    println("== model round-trip ==")
+    val path = "/tmp/graft-demo-model"
+    model.save(spark, path)
+    val loaded = graft.spark.WoeBinningModel.load(spark, path)
+    println(s"reloaded variables: ${loaded.fitted.map(_._1).mkString(", ")}")
+    spark.stop()
+  }
+}

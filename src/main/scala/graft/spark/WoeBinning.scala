@@ -1,0 +1,299 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.parallel.CollectionConverters._
+
+/** Fit options — names follow the reference API (binning.py:78-104).
+  *
+  * @param nThreshold    minimum bin size; default ceil(N/20) like
+  *                      `batch_woe_binning` (binning.py:84-87)
+  * @param maxDistinct   scale knob with NO reference equivalent: when
+  *                      set, values are first reduced to at most this
+  *                      many quantile buckets (approx_percentile) before
+  *                      the groupBy, bounding the collected stats at
+  *                      100 TB scale.  OFF (= exact parity) by default.
+  */
+final case class WoeFitOptions(
+    nThreshold: Option[Double] = None,
+    nOccurrences: Double = 1.0,
+    pThreshold: Double = 0.1,
+    sepValue: Option[Double] = None,
+    mergeThreshold: Option[Double] = None,
+    sortOverload: Option[Boolean] = None,
+    maxDistinct: Option[Int] = None)
+
+/** Spark-side fit: ONE distributed pass computes exact integer
+  * sufficient statistics `(variable, value) → (count, target_sum)` for
+  * all features (unpivot → groupBy, map-side partial aggregation, a
+  * single shuffle), then the iterative MOB kernels (graft.core.Kernels)
+  * run driver-side over the collected per-variable stats — bounded by
+  * distinct-value count, not row count.
+  *
+  * This replaces the reference's per-column process fan-out that
+  * pickles the full column to each worker (binning.py:82,89-99) and its
+  * O(rows) pandas group/sort per column (binning.py:111-131).
+  */
+object WoeBinning {
+
+  /** Collected exact stats for every variable in one job. */
+  def sufficientStats(
+      df: DataFrame,
+      targetCol: String,
+      inputCols: Seq[String],
+      maxDistinct: Option[Int] = None): Map[String, Kernels.VarStats] = {
+    val base = maxDistinct.map(m => preBin(df, inputCols, m)).getOrElse(df)
+    val stackExpr = s"stack(${inputCols.length}, " +
+      inputCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+      ") as (variable, value)"
+    val melted = base.selectExpr(stackExpr, s"cast(`$targetCol` as bigint) as t")
+    // NaN and NULL are both "missing" (pandas dropna semantics)
+    val grouped = melted
+      .withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
+      .groupBy("variable", "value")
+      .agg(count(lit(1)).as("cnt"), sum("t").as("tsum"))
+      .collect()
+    grouped.groupBy(_.getString(0)).map { case (variable, rows) =>
+      val (nanRows, valRows) = rows.partition(_.isNullAt(1))
+      val groups = valRows
+        .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+        .toVector
+      val nanCount = nanRows.map(_.getLong(2)).sum
+      val nanTsum = nanRows.map(_.getLong(3)).sum
+      val totalRows = nanCount + groups.iterator.map(_._2).sum
+      val totalTsum = nanTsum + groups.iterator.map(_._3).sum
+      variable -> Kernels.VarStats(variable, groups, nanCount, nanTsum, totalRows, totalTsum)
+    }
+  }
+
+  /** Quantile pre-binning for the distinct-value-explosion scale path:
+    * snap each value to the lower edge of its approx-quantile bucket.
+    * Semantics divergence knob — documented, off for parity tests.
+    */
+  def preBin(df: DataFrame, inputCols: Seq[String], maxDistinct: Int): DataFrame = {
+    val probs = (0 to maxDistinct).map(_.toDouble / maxDistinct).toArray
+    val quantiles = df.stat.approxQuantile(inputCols.toArray, probs, 1e-4)
+    inputCols.zip(quantiles).foldLeft(df) { case (acc, (c, qs)) =>
+      val edges = qs.distinct.sorted
+      if (edges.length <= 2) acc
+      else {
+        // m edges → m-2 interior splits → m-1 buckets, representative =
+        // the bucket's lower quantile edge
+        val splits = Double.NegativeInfinity +: edges.drop(1).dropRight(1) :+ Double.PositiveInfinity
+        val reps = edges.dropRight(1)
+        val bucketizer = new org.apache.spark.ml.feature.Bucketizer()
+          .setInputCol(c).setOutputCol(s"__${c}_bucket")
+          .setSplits(splits.toArray).setHandleInvalid("keep")
+        val repCol = element_at(
+          lit(reps.toArray), (col(s"__${c}_bucket") + 1).cast(IntegerType))
+        bucketizer.transform(acc)
+          .withColumn(c, when(col(c).isNull || isnan(col(c)), col(c)).otherwise(repCol))
+          .drop(s"__${c}_bucket")
+      }
+    }
+  }
+
+  /** Fit all input columns; kernels run in a parallel collection on the
+    * collected stats (one task per variable, like the reference's
+    * joblib fan-out but without re-scanning data per column).
+    */
+  def fit(
+      df: DataFrame,
+      targetCol: String,
+      inputCols: Seq[String],
+      opts: WoeFitOptions = WoeFitOptions()): WoeBinningModel = {
+    val stats = sufficientStats(df, targetCol, inputCols, opts.maxDistinct)
+    val n = stats.valuesIterator.map(_.totalRows).maxOption.getOrElse(0L)
+    val nThr = opts.nThreshold.getOrElse(math.ceil(n.toDouble / 20.0))
+    val cfg = WoeConfig(nThr, opts.nOccurrences, opts.pThreshold,
+      opts.sortOverload, opts.mergeThreshold)
+    val fitted: Seq[(String, Vector[WoeBin])] =
+      inputCols.par.map { c =>
+        val bins =
+          if (c == targetCol) Kernels.degenerateBins(c) // binning.py:106-109
+          else {
+            val s = stats(c)
+            opts.sepValue match {
+              case None => Kernels.fitVariable(s, cfg)
+              case Some(sep) => fitSentinel(s, sep, cfg)
+            }
+          }
+        c -> bins
+      }.seq.toVector
+    new WoeBinningModel(fitted)
+  }
+
+  /** Sentinel fit (`woe_binning_sep`, binning.py:32-75) WITHOUT extra
+    * scans: the sep-subset and complement sufficient stats are split
+    * out of the already-collected grouped stats.
+    */
+  private def fitSentinel(
+      s: Kernels.VarStats,
+      sep: Double,
+      cfg: WoeConfig): Vector[WoeBin] = {
+    val (sepGroups, rest) = s.groups.partition(_._1 == sep)
+    val sepStats = Kernels.VarStats(s.variable, sepGroups, 0L, 0L,
+      sepGroups.iterator.map(_._2).sum, sepGroups.iterator.map(_._3).sum)
+    // pandas `!=` keeps NaN rows in the complement (binning.py:43)
+    val compStats = Kernels.VarStats(s.variable, rest, s.nanCount, s.nanTsum,
+      s.nanCount + rest.iterator.map(_._2).sum,
+      s.nanTsum + rest.iterator.map(_._3).sum)
+    val a = Kernels.fitVariable(sepStats, cfg)
+    val b = Kernels.fitVariable(compStats, cfg)
+    Kernels.stitchSentinel(a, b, sep, s.totalTsum.toDouble, s.totalRows.toDouble)
+  }
+
+  /** Reference 11-column schema (binning.py:107-108). */
+  val binsSchema: StructType = StructType(Seq(
+    StructField("variable", StringType, nullable = false),
+    StructField("interval_start_include", DoubleType, nullable = false),
+    StructField("interval_end_exclude", DoubleType, nullable = false),
+    StructField("size", DoubleType, nullable = false),
+    StructField("mean", DoubleType, nullable = false),
+    StructField("bads", DoubleType, nullable = false),
+    StructField("goods", DoubleType, nullable = false),
+    StructField("dist_good", DoubleType, nullable = false),
+    StructField("dist_bad", DoubleType, nullable = false),
+    StructField("woe", DoubleType, nullable = false),
+    StructField("iv_components", DoubleType, nullable = false)))
+}
+
+/** The fitted model: the stacked bins table (variable-keyed, like
+  * `apply_bins(is_df=True)` consumes, binning.py:271-277) plus the
+  * expression-compiled transform.
+  */
+final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
+
+  def bins(variable: String): Vector[WoeBin] =
+    fitted.collectFirst { case (v, b) if v == variable => b }.get
+
+  /** Stacked bins DataFrame in the reference's 11-column schema. */
+  def binsDf(spark: SparkSession): DataFrame = {
+    val rows = fitted.flatMap { case (_, bs) =>
+      bs.map(b => Row(b.variable, b.intervalStartInclude, b.intervalEndExclude,
+        b.size, b.mean, b.bads, b.goods, b.distGood, b.distBad, b.woe,
+        b.ivComponents))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), WoeBinning.binsSchema)
+  }
+
+  private def isCompleteRow(b: WoeBin): Boolean =
+    !(b.intervalStartInclude.isNaN || b.intervalEndExclude.isNaN ||
+      b.size.isNaN || b.mean.isNaN || b.bads.isNaN || b.goods.isNaN ||
+      b.distGood.isNaN || b.distBad.isNaN || b.woe.isNaN || b.ivComponents.isNaN)
+
+  /** `apply_bins` (binning.py:268-304): per surviving variable compile
+    * the learned bins into a single codegen-friendly `when`-chain over
+    * `coalesce(value, median)` — no join, no shuffle, no UDF; one
+    * `select` evaluates every variable in one pass over the data.
+    *
+    * Quirks preserved: data-NaN is imputed with the column median of
+    * the APPLY dataset, not the learned NaN bin (binning.py:297,302);
+    * variables are deduped by exact total-IV equality when
+    * remove100Corr (binning.py:294-299); output holds ONLY the
+    * `<col>_bin` columns unless passthrough is set.
+    */
+  def transform(
+      df: DataFrame,
+      ivThreshold: Double = 0.02,
+      binThreshold: Int = 2,
+      remove100Corr: Boolean = true,
+      passthrough: Boolean = false): DataFrame = {
+    // single job: exact medians for all candidate columns at once
+    val candidates = fitted.collect {
+      case (v, bs) if selectable(bs, ivThreshold, binThreshold) => v
+    }
+    val medians: Map[String, Double] =
+      if (candidates.isEmpty) Map.empty
+      else {
+        val aggs = candidates.map(c =>
+          median(when(isnan(col(c).cast(DoubleType)), lit(null))
+            .otherwise(col(c).cast(DoubleType))).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        candidates.zipWithIndex.map { case (c, i) =>
+          c -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+        }.toMap
+      }
+    var seenIvs = List.empty[Double] // exact-equality dedup (binning.py:294-299)
+    val outCols = fitted.flatMap { case (variable, bs) =>
+      if (!selectable(bs, ivThreshold, binThreshold)) None
+      else {
+        val ivTotal = bs.filter(isCompleteRow).map(_.ivComponents).sum
+        if (remove100Corr && seenIvs.contains(ivTotal)) None
+        else {
+          seenIvs = ivTotal :: seenIvs
+          Some(applyExpr(variable, bs, medians(variable))
+            .as(variable + "_bin"))
+        }
+      }
+    }
+    if (passthrough) df.select(col("*") +: outCols: _*)
+    else df.select(outCols: _*)
+  }
+
+  private def selectable(bs: Vector[WoeBin], ivThreshold: Double, binThreshold: Int): Boolean = {
+    val ivTotal = bs.filter(isCompleteRow).map(_.ivComponents).sum
+    // `iv_total == np.inf` — only +inf is excluded (binning.py:279)
+    !(ivTotal < ivThreshold || bs.length < binThreshold ||
+      ivTotal == Double.PositiveInfinity)
+  }
+
+  /** pd.cut-equivalent expression for one variable (binning.py:283-303). */
+  private def applyExpr(variable: String, bs: Vector[WoeBin], med: Double): Column = {
+    val complete = bs.filter(isCompleteRow)
+    var cuts = complete.map(_.intervalStartInclude) :+ complete.last.intervalEndExclude
+    var labels = complete.map(_.woe)
+    val rightClosed = cuts.head > cuts.last
+    if (rightClosed) { cuts = cuts.reverse; labels = labels.reverse }
+    // NaN → null → median; then bucket via the interval chain
+    val raw = col(variable).cast(DoubleType)
+    val base = coalesce(when(isnan(raw), lit(null)).otherwise(raw), lit(med))
+    val chain = labels.indices.dropRight(1).foldLeft(Option.empty[Column]) {
+      case (acc, k) =>
+        val cond =
+          if (rightClosed) base <= lit(cuts(k + 1))
+          else base < lit(cuts(k + 1))
+        Some(acc.fold(when(cond, lit(labels(k))))(_.when(cond, lit(labels(k)))))
+    }
+    val binned = chain.fold(lit(labels.last))(_.otherwise(lit(labels.last)))
+    // all-null apply column: pandas keeps NaN (median of empty = NaN)
+    when(base.isNull, lit(Double.NaN)).otherwise(binned)
+  }
+
+  /** Persist as the stacked bins table (the reference user pickles the
+    * dict; we round-trip through parquet).
+    */
+  def save(spark: SparkSession, path: String): Unit = {
+    val ordered = fitted.zipWithIndex.flatMap { case ((v, bs), vi) =>
+      bs.zipWithIndex.map { case (b, bi) => (vi, bi, b) }
+    }
+    import spark.implicits._
+    ordered.map { case (vi, bi, b) =>
+      (vi, bi, b.variable, b.intervalStartInclude, b.intervalEndExclude, b.size,
+        b.mean, b.bads, b.goods, b.distGood, b.distBad, b.woe, b.ivComponents)
+    }.toDF("var_ordinal", "bin_ordinal", "variable", "interval_start_include",
+      "interval_end_exclude", "size", "mean", "bads", "goods", "dist_good",
+      "dist_bad", "woe", "iv_components")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+}
+
+object WoeBinningModel {
+  def load(spark: SparkSession, path: String): WoeBinningModel = {
+    val rows = spark.read.parquet(path)
+      .orderBy("var_ordinal", "bin_ordinal").collect()
+    val fitted = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      val bins = rs.sortBy(_.getInt(1)).map { r =>
+        WoeBin(r.getString(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8), r.getDouble(9),
+          r.getDouble(10), r.getDouble(11), r.getDouble(12))
+      }.toVector
+      bins.head.variable -> bins
+    }
+    new WoeBinningModel(fitted)
+  }
+}
