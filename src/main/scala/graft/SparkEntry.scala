@@ -1,13 +1,287 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.spark.{WoeBinning, WoeFitOptions}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible stage of the engine is exposed as a query
+  * whose oracle SQL is the SAME text executed by Spark (over temp
+  * views) and by DuckDB — identical expression trees keep float
+  * results hash-comparable.  The iterative kernels (fit) are exposed
+  * as rows-only queries; their correctness gate is the golden-parity
+  * test suite against captured reference outputs.
+  */
 object SparkEntry {
+
+  /** Register the named tables as temp views (both engines address
+    * them by bare name).  `events` carries nanosecond timestamps →
+    * needs the nanos-as-long legacy read.
+    */
+  private[graft] def registerViews(
+      spark: SparkSession, dir: String, names: Seq[String]): Unit =
+    names.foreach { t =>
+      if (t == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+
+  /** FIXTURES.md §2 deterministic LCG target, shared SQL dialect.
+    * Floor-mod is spelled out so Spark and DuckDB agree for any sign.
+    */
+  private val baseCte: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+      |         CAST(l_quantity AS DOUBLE) AS quantity,
+      |         CAST(l_discount AS DOUBLE) AS discount,
+      |         CASE WHEN CAST((((l_orderkey * 7919 + l_linenumber) * 1103515245 + 12345) % 2147483648
+      |                          + 2147483648) % 2147483648 AS DOUBLE) / 2147483648.0
+      |                   < 1.0 / (1.0 + exp(-((CAST(l_extendedprice AS DOUBLE) - 38000.0) / 15000.0)))
+      |              THEN 1 ELSE 0 END AS target
+      |  FROM lineitem
+      |)""".stripMargin
+
+  /** Golden 12-bin model for extendedprice (sf0.001, n=300) as literal
+    * edges/woes — used by the fixed-edge finalize/apply/range-join
+    * oracle queries.  Values from src/test/resources/golden.
+    */
+  private val goldenEdges = Seq( // ascending interior edges
+    12334.57, 23566.42, 28414.81, 34040.30, 40169.51, 50274.58,
+    62136.06, 69337.30, 76977.81, 85149.16, 94254.19)
+  private val goldenWoes = Seq( // ascending bins: (lo, hi] labels
+    -2.6937760890299325, -1.73639352518162, -1.3319545844287677,
+    -1.2379256347804912, -0.7093375546746603, -0.008161100972375676,
+    0.7526469993815899, 1.1459833960431394, 1.8917014636124228,
+    2.434965574688032, 2.8771182434547597, 3.8805195537471264)
+
+  /** Double literal in scientific notation: DuckDB parses plain
+    * 17-digit decimals as DECIMAL(17,16) and its decimal→double
+    * conversion is not correctly rounded, while an exponent suffix
+    * makes both engines take the correctly-rounded strtod path —
+    * keeping literals bit-identical across Spark and DuckDB.
+    */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
+  }
+
+  /** CASE expression assigning each extendedprice to its golden bin id
+    * (ascending ids, right-closed intervals like the reference's
+    * descending orientation reconstructed by apply).
+    */
+  private def bucketCase(valueExpr: String): String = {
+    val whens = goldenEdges.zipWithIndex
+      .map { case (e, i) => s"WHEN $valueExpr <= ${dlit(e)} THEN $i" }
+      .mkString(" ")
+    s"CASE $whens ELSE ${goldenEdges.length} END"
+  }
+
+  private def woeCase(valueExpr: String): String = {
+    val whens = goldenEdges.zip(goldenWoes.dropRight(1))
+      .map { case (e, w) => s"WHEN $valueExpr <= ${dlit(e)} THEN ${dlit(w)}" }
+      .mkString(" ")
+    s"CASE $whens ELSE ${dlit(goldenWoes.last)} END"
+  }
+
+  /** Shared-dialect oracle SQL, one entry per SQL-expressible query. */
+  val sqlQueries: Map[String, String] = Map(
+    // target derivation: all-integer output
+    "q_target_derive" ->
+      s"""$baseCte
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(target) AS BIGINT) AS bads
+         |FROM base""".stripMargin,
+
+    // the workhorse: per-distinct-value sufficient stats (binning.py:121-129)
+    "q_sufficient_stats" ->
+      s"""$baseCte
+         |SELECT extendedprice AS value,
+         |       CAST(count(*) AS BIGINT) AS size,
+         |       CAST(sum(target) AS BIGINT) AS bads,
+         |       CAST(sum(target) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+         |       CASE WHEN count(*) > 1
+         |            THEN sqrt((CAST(sum(target) AS DOUBLE) * power(1.0 - CAST(sum(target) AS DOUBLE) / count(*), 2)
+         |                       + (count(*) - CAST(sum(target) AS DOUBLE)) * power(CAST(sum(target) AS DOUBLE) / count(*), 2))
+         |                      / (count(*) - 1.0))
+         |            ELSE 0.0 END AS std
+         |FROM base GROUP BY extendedprice ORDER BY value""".stripMargin,
+
+    // orientation detection (binning.py:114-119) with a deterministic
+    // tiebreak so both engines agree on quartile membership
+    "q_orientation" ->
+      s"""$baseCte, m AS (
+         |  SELECT 'extendedprice' AS variable, extendedprice AS value, target, l_orderkey, l_linenumber FROM base
+         |  UNION ALL
+         |  SELECT 'quantity' AS variable, quantity AS value, target, l_orderkey, l_linenumber FROM base
+         |  UNION ALL
+         |  SELECT 'discount' AS variable, discount AS value, target, l_orderkey, l_linenumber FROM base
+         |), r AS (
+         |  SELECT variable, target,
+         |         row_number() OVER (PARTITION BY variable ORDER BY value, l_orderkey, l_linenumber) - 1 AS rn,
+         |         count(*) OVER (PARTITION BY variable) AS n
+         |  FROM m)
+         |SELECT variable,
+         |       CAST(sum(CASE WHEN rn < floor(n / 4.0) THEN target ELSE 0 END) AS BIGINT) AS bottom_bads,
+         |       CAST(sum(CASE WHEN rn >= floor(n * 3.0 / 4.0) THEN target ELSE 0 END) AS BIGINT) AS top_bads,
+         |       CASE WHEN sum(CASE WHEN rn < floor(n / 4.0) THEN target ELSE 0 END)
+         |                 > sum(CASE WHEN rn >= floor(n * 3.0 / 4.0) THEN target ELSE 0 END)
+         |            THEN 1 ELSE 0 END AS order_asc
+         |FROM r GROUP BY variable ORDER BY variable""".stripMargin,
+
+    // NaN-bin stats (binning.py:233-238) over a derived nullable column
+    "q_nan_bin_stats" ->
+      s"""$baseCte
+         |SELECT CAST(count(*) AS BIGINT) AS nan_size,
+         |       CAST(sum(target) AS BIGINT) AS nan_bads,
+         |       CAST(sum(target) AS DOUBLE) / count(*) AS nan_mean
+         |FROM base WHERE discount = 0.0""".stripMargin,
+
+    // WoE/IV finalization from fixed golden edges (binning.py:240-251)
+    "q_woe_finalize_fixed_edges" ->
+      s"""$baseCte, bucketed AS (
+         |  SELECT ${bucketCase("extendedprice")} AS bin_id, target FROM base
+         |), agg AS (
+         |  SELECT bin_id,
+         |         CAST(count(*) AS DOUBLE) AS size,
+         |         CAST(sum(target) AS DOUBLE) AS bads,
+         |         CAST(count(*) AS DOUBLE) - CAST(sum(target) AS DOUBLE) AS goods
+         |  FROM bucketed GROUP BY bin_id
+         |), tot AS (
+         |  SELECT sum(goods) AS tg, sum(bads) AS tb FROM agg
+         |)
+         |SELECT a.bin_id, a.size, a.bads, a.goods,
+         |       a.bads / a.size AS mean,
+         |       a.goods / t.tg AS dist_good,
+         |       a.bads / t.tb AS dist_bad,
+         |       ln((a.bads / t.tb) / (a.goods / t.tg)) AS woe,
+         |       (a.bads / t.tb - a.goods / t.tg) * ln((a.bads / t.tb) / (a.goods / t.tg)) AS iv_components
+         |FROM agg a CROSS JOIN tot t ORDER BY bin_id""".stripMargin,
+
+    // apply-as-CASE-WHEN with median imputation (binning.py:296-303)
+    "q_apply_fixed_bins" ->
+      s"""$baseCte, med AS (
+         |  SELECT median(extendedprice) AS m FROM base
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         |       ${woeCase("coalesce(base.extendedprice, med.m)")} AS extendedprice_bin
+         |FROM base CROSS JOIN med
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // exact interpolated median (binning.py:297,302)
+    "q_median_impute" ->
+      s"""$baseCte
+         |SELECT median(extendedprice) AS med_price,
+         |       median(quantity) AS med_qty,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM base""".stripMargin,
+
+    // sentinel split totals (binning.py:35-44): sep subset vs complement
+    "q_sep_split_stats" ->
+      s"""$baseCte
+         |SELECT CASE WHEN quantity = 1.0 THEN 1 ELSE 0 END AS is_sep,
+         |       CAST(count(*) AS BIGINT) AS size,
+         |       CAST(sum(target) AS BIGINT) AS bads
+         |FROM base GROUP BY CASE WHEN quantity = 1.0 THEN 1 ELSE 0 END
+         |ORDER BY is_sep""".stripMargin,
+
+    // the implicit range join of apply (SURVEY §2.4) made explicit:
+    // data × bins interval-containment join
+    "q_bins_range_join" ->
+      s"""$baseCte, bins AS (
+         |  SELECT 0 AS bin_id, CAST('-inf' AS DOUBLE) AS lo, 12334.57 AS hi
+         |  UNION ALL SELECT 1, 12334.57, 23566.42
+         |  UNION ALL SELECT 2, 23566.42, 28414.81
+         |  UNION ALL SELECT 3, 28414.81, 34040.3
+         |  UNION ALL SELECT 4, 34040.3, 40169.51
+         |  UNION ALL SELECT 5, 40169.51, 50274.58
+         |  UNION ALL SELECT 6, 50274.58, 62136.06
+         |  UNION ALL SELECT 7, 62136.06, 69337.3
+         |  UNION ALL SELECT 8, 69337.3, 76977.81
+         |  UNION ALL SELECT 9, 76977.81, 85149.16
+         |  UNION ALL SELECT 10, 85149.16, 94254.19
+         |  UNION ALL SELECT 11, 94254.19, CAST('inf' AS DOUBLE)
+         |)
+         |SELECT b.bin_id, CAST(count(*) AS BIGINT) AS size,
+         |       CAST(sum(base.target) AS BIGINT) AS bads
+         |FROM base JOIN bins b
+         |  ON base.extendedprice > b.lo AND base.extendedprice <= b.hi
+         |GROUP BY b.bin_id ORDER BY b.bin_id""".stripMargin)
+
+  /** Builds the target frame via the DataFrame API (the non-SQL path
+    * the library itself uses).
+    */
+  def lcgFrame(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val k = col("l_orderkey") * lit(7919L) + col("l_linenumber").cast("long")
+    val u = pmod(k * lit(1103515245L) + lit(12345L), lit(2147483648L))
+      .cast(DoubleType) / lit(2147483648.0)
+    val p = lit(1.0) /
+      (lit(1.0) + exp(-(col("l_extendedprice") - lit(38000.0)) / lit(15000.0)))
+    li.select(
+      when(u < p, 1L).otherwise(0L).as("target"),
+      col("l_extendedprice").cast(DoubleType).as("extendedprice"),
+      col("l_quantity").cast(DoubleType).as("quantity"),
+      col("l_discount").cast(DoubleType).as("discount"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val df = lcgFrame(spark, "/root/testdata/sf0.001")
+    val model = WoeBinning.fit(df, "target",
+      Seq("extendedprice", "quantity", "discount"),
+      WoeFitOptions(nThreshold = Some(300)))
+    model.binsDf(spark)
+  }
+
+  private def sqlQuery(name: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      registerViews(spark, dir, Seq("lineitem"))
+      spark.sql(sqlQueries(name))
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqlQueries.keys.map(k => k -> sqlQuery(k)).toMap ++ Map[String, (SparkSession, String) => DataFrame](
+      // iterative fit surface — rows-only checks (no SQL equivalent);
+      // correctness pinned by GoldenParitySpec golden fixtures
+      "q_fit_bins" -> { (s, dir) =>
+        val df = lcgFrame(s, dir)
+        WoeBinning.fit(df, "target", Seq("extendedprice", "quantity", "discount"),
+          WoeFitOptions(nThreshold = Some(300))).binsDf(s)
+      },
+      "q_fit_default_threshold" -> { (s, dir) =>
+        val df = lcgFrame(s, dir)
+        WoeBinning.fit(df, "target", Seq("extendedprice")).binsDf(s) // ceil(N/20)
+      },
+      "q_fit_sentinel" -> { (s, dir) =>
+        val df = lcgFrame(s, dir)
+        WoeBinning.fit(df, "target", Seq("quantity"),
+          WoeFitOptions(nThreshold = Some(60), sepValue = Some(1.0))).binsDf(s)
+      },
+      "q_fit_merge_threshold" -> { (s, dir) =>
+        val df = lcgFrame(s, dir)
+        WoeBinning.fit(df, "target", Seq("extendedprice"),
+          WoeFitOptions(nThreshold = Some(300), mergeThreshold = Some(0.2))).binsDf(s)
+      },
+      "q_fit_prebinned" -> { (s, dir) => // the 100 TB scale knob
+        val df = lcgFrame(s, dir)
+        WoeBinning.fit(df, "target", Seq("extendedprice"),
+          WoeFitOptions(nThreshold = Some(300), maxDistinct = Some(1000))).binsDf(s)
+      },
+      "q_apply_bins" -> { (s, dir) =>
+        val df = lcgFrame(s, dir)
+        val m = WoeBinning.fit(df, "target",
+          Seq("extendedprice", "quantity", "discount"),
+          WoeFitOptions(nThreshold = Some(300)))
+        m.transform(df)
+      })
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the iterative fit queries →
+    * driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = sqlQueries
 }
