@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.spark.{WoeBinning, WoeFitOptions}
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, StreamingOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -210,6 +211,87 @@ object SparkEntry {
          |  ON base.extendedprice > b.lo AND base.extendedprice <= b.hi
          |GROUP BY b.bin_id ORDER BY b.bin_id""".stripMargin)
 
+  /** DuckDB-dialect oracles for the training-data ops whose Spark side
+    * is DataFrame-API (list_* function names differ from Spark but the
+    * semantics — and for integer outputs the hashes — are identical).
+    */
+  val duckdbOnlySql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+        |       CAST(length(text) - (len(list_filter(string_split(text, ' '), x -> x <> '')) - 1) AS DOUBLE)
+        |         / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_word_len,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |                x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS BIGINT) AS stop_hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS en_hits,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de_hits,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr_hits,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es','un','una','en'))) AS es_hits
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN en_hits > 0 AND en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |            WHEN de_hits > 0 AND de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |            WHEN fr_hits > 0 AND fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |            WHEN es_hits > 0 AND es_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'es'
+        |            ELSE 'und' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_dedup_token_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM t a JOIN t b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_cosine_dups" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_events_window" ->
+      """SELECT epoch_us(ts) // 300000000 AS bucket5m, event_type,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |f AS (SELECT user_id, tus,
+        |        CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL THEN 1
+        |             WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000 THEN 1
+        |             ELSE 0 END AS new_session,
+        |        event_id
+        |      FROM e),
+        |s AS (SELECT user_id, tus,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST((max(tus) - min(tus)) // 1000 AS BIGINT) AS duration_ms
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+
+  /** Shared-dialect oracles over documents (same text, both engines). */
+  val sharedDocSql: Map[String, String] = Map(
+    "q_doc_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY content_hash""".stripMargin)
+
   /** Builds the target frame via the DataFrame API (the non-SQL path
     * the library itself uses).
     */
@@ -277,11 +359,98 @@ object SparkEntry {
           Seq("extendedprice", "quantity", "discount"),
           WoeFitOptions(nThreshold = Some(300)))
         m.transform(df)
+      },
+
+      // ---- training-data pipeline ops (documents / embeddings / events)
+      "q_text_stats" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val t = col("text")
+        val nWords = TextOps.tokenCount(t)
+        docs.select(col("doc_id"),
+            length(t).cast("bigint").as("n_chars"),
+            nWords.cast("bigint").as("n_words"),
+            ((length(t) - (nWords - lit(1))).cast("double") / nWords).as("avg_word_len"),
+            TextOps.stopwordHits(TextOps.tokens(t),
+              TextOps.langFunctionWords.toMap.apply("en")).cast("bigint").as("stop_hits"))
+          .orderBy("doc_id")
+      },
+      "q_lang_id" -> { (s, dir) =>
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
+          .orderBy("doc_id")
+      },
+      "q_doc_fingerprint" -> { (s, dir) =>
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      "q_quality_score" -> { (s, dir) => // rows-only: regex metrics + score
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        TextOps.qualityMetrics(docs, "text")
+          .select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
+            "alpha_ratio", "quality_score")
+          .orderBy("doc_id")
+      },
+      "q_dedup_exact" -> { (s, dir) =>
+        DedupOps.exactDupGroups(
+            s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+          .select(col("content_hash"), col("cnt"),
+            col("keep_id").cast("bigint").as("keep_id"))
+          .orderBy("content_hash")
+      },
+      "q_dedup_token_jaccard" -> { (s, dir) =>
+        DedupOps.tokenJaccardPairs(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "text", "doc_id", "n_chars", 0.7)
+          .select("id_a", "id_b").orderBy("id_a", "id_b")
+      },
+      "q_dedup_minhash" -> { (s, dir) => // rows-only (xxhash64 signatures)
+        DedupOps.minhashPairs(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "text", "doc_id", jaccardThreshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      "q_dedup_simhash" -> { (s, dir) => // rows-only
+        DedupOps.simhashPairs(
+            s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+            maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      "q_embed_cosine_dups" -> { (s, dir) =>
+        SimilarityOps.blockedCosinePairs(
+            s.read.parquet(s"$dir/embeddings.parquet"),
+            "vec_id", "embedding", "label", 0.4)
+          .select("id_a", "id_b").orderBy("id_a", "id_b")
+      },
+      "q_ann_topk" -> { (s, dir) => // rows-only (float ranking)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        SimilarityOps.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+      },
+      "q_ann_topk_lsh" -> { (s, dir) => // rows-only: the scale path
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        SimilarityOps.lshTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          bits = 8, dim = 64, k = 10)
+      },
+      "q_multimodal_features" -> { (s, dir) => // rows-only (stubbed decode)
+        MultimodalOps.pipeline(s, dir)
+      },
+      "q_events_window" -> { (s, dir) =>
+        StreamingOps.windowedCounts(StreamingOps.readEventsBatch(s, dir))
+          .orderBy("bucket5m", "event_type")
+      },
+      "q_events_sessionize" -> { (s, dir) =>
+        StreamingOps.sessionize(StreamingOps.readEventsBatch(s, dir))
+          .orderBy("user_id", "session_id")
       })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the iterative fit queries →
-    * driver records a weaker rows-only check.
+    * the same parquet tables. Omitted for the iterative-fit and
+    * hash-signature queries → driver records a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] = sqlQueries
+  def oracleSql: Map[String, String] =
+    sqlQueries ++ sharedDocSql ++ duckdbOnlySql
 }

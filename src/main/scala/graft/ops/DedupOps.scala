@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, Spark-first:
+  *
+  *  - exact (hash groupBy)
+  *  - MinHash + LSH banding (shingle → signature → band → bucket join)
+  *  - SimHash (near-dup via fingerprint chunk collision + hamming)
+  *  - n-gram Jaccard verification
+  *  - embedding-cosine near-dup with hyperplane-LSH blocking
+  *
+  * Signatures/fingerprints are computed as pure per-row array
+  * expressions (no explode, no UDF) so the only shuffles are the final
+  * bucket joins — which group a handful of candidate rows per key.
+  * Skew note: a degenerate corpus (one shingle everywhere) would skew
+  * a band bucket; the bucket join keys include the band index and AQE
+  * skew-join handles stragglers at scale.
+  */
+object DedupOps {
+
+  private val P: Long = 2147483647L // 2^31-1, Mersenne prime
+
+  /** Deterministic (a,b) parameters for the minhash family. */
+  private def hashParams(n: Int): Seq[(Long, Long)] = {
+    var state = 42L
+    def next(): Long = { // LCG (Numerical Recipes constants), exact i64 wrap
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 33) % (P - 1)
+    }
+    Seq.fill(n)((next() + 1, next()))
+  }
+
+  /** Word k-shingles of a document as a distinct array. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(c)
+    val nS = greatest(size(toks) - lit(k - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nS),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** MinHash signature from a MATERIALIZED base-hash column:
+    * h_i(s) = (a_i * base + b_i) mod P, minimum over shingles.
+    *
+    * The base hashes must be their own projection column — inlining
+    * them would recompute the whole shingle+hash chain once per hash
+    * function per row (numHashes× slower; same re-inlining trap as
+    * TextOps.winnowFingerprints documents).
+    */
+  def minhashSignatureFromBase(base: Column, numHashes: Int): Column =
+    array(hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+
+  /** Adds shingle + signature columns (two materialized stages). */
+  def withMinhashSignature(
+      df: DataFrame, textCol: String, shCol: String, sigCol: String,
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
+    df.withColumn(shCol, shingles(col(textCol), shingleSize))
+      .withColumn(sigCol + "__base",
+        transform(col(shCol), s => pmod(xxhash64(s), lit(P))))
+      .withColumn(sigCol, minhashSignatureFromBase(col(sigCol + "__base"), numHashes))
+      .drop(sigCol + "__base")
+
+  /** Exact-duplicate groups: content-hash groupBy keeping the minimum
+    * id as the canonical row.  One shuffle on the 128-bit hash.
+    */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"),
+        collect_list(col(idCol)).as("ids"))
+      .filter(col("cnt") > 1)
+
+  /** MinHash-LSH near-duplicate candidate pairs, verified with exact
+    * shingle-set Jaccard.
+    *
+    * Plan shape: per-row signature (codegen'd) → explode only the BAND
+    * hashes (bands × rows, small) → self-join per (band, bandHash)
+    * bucket → distinct candidate pairs → exact Jaccard verify on the
+    * pair (array intersection over the two shingle sets).
+    */
+  def minhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    // persisted because three downstream passes (signature explode +
+    // the two candidate verify joins) would otherwise each re-derive
+    // every shingle array — the same pattern MLlib's LSH uses; spills
+    // to disk at scale, LRU-evicted afterwards
+    val shingled = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature via explode + hash-agg (codegen'd; see simhashByExplode)
+    // — 32 interpreted array-transform minima per row would dominate
+    val exploded = shingled.select(col("id"),
+      explode(transform(col("sh"), s => pmod(xxhash64(s), lit(P)))).as("h"))
+    val minCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // band bucketing on the SMALL signature rows only (no shingle
+    // arrays through this shuffle); candidate pairs are rare, so the
+    // exact-Jaccard verify re-derives shingles just for them via two
+    // broadcast joins of the candidate ids
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows))))
+      ).as(Seq("band", "band_hash")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(broadcast(cand).select(col("id_a")).distinct()
+        .join(shingled, col("id_a") === col("id")).select(col("id_a").as("ja"), col("sh").as("sh_a")),
+        col("id_a") === col("ja"))
+      .join(broadcast(cand).select(col("id_b")).distinct()
+        .join(shingled, col("id_b") === col("id")).select(col("id_b").as("jb"), col("sh").as("sh_b")),
+        col("id_b") === col("jb"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** 64-bit SimHash from a MATERIALIZED token-hash array column —
+    * per-bit majority vote as 64 aggregate expressions (one
+    * projection, no shuffle).  See withMinhashSignature for why the
+    * hash array must not be inlined.
+    */
+  def simhash64FromHashes(hs: Column): Column = {
+    val bitCols = (0 until 64).map { b =>
+      val votes = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Adds a simhash column via a materialized token-hash stage. */
+  def withSimhash(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol + "__th",
+        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)))
+      .withColumn(outCol, simhash64FromHashes(col(outCol + "__th")))
+      .drop(outCol + "__th")
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
+    * hamming distance ≤ 3 of 64 bits collides on ≥ 1 of 4 chunks),
+    * verify with bit_count(xor) ≤ maxHamming.
+    */
+  /** (id, simhash) via explode + hash aggregate: higher-order
+    * `aggregate` lambdas are interpreted in Spark, so 64 of them per
+    * row dominate at scale — the explode/groupBy form keeps the 64
+    * per-bit sums inside whole-stage codegen with map-side partial
+    * aggregation (shuffle = one 65-column row per doc).
+    */
+  def simhashByExplode(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(transform(TextOps.tokens(col(textCol)), t => xxhash64(t))).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$b")
+    }
+    hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSim = simhashByExplode(df, textCol, idCol)
+    val chunked = withSim.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val l = chunked.as("l")
+    val r = chunked.as("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") &&
+        col("l.chunk_val") === col("r.chunk_val") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact token-set Jaccard over blocked candidate pairs (the cheap
+    * length-blocked flavor used as a verification / standalone dedup).
+    */
+  def tokenJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+    val l = t.as("l")
+    val r = t.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        (size(array_intersect(col("l.toks"), col("r.toks"))).cast("double") /
+          size(array_union(col("l.toks"), col("r.toks")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

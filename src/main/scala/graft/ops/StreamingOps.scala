@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the `events` table (reserved by
+  * the driver testdata for stream extensions; the reference itself has
+  * no streaming surface — SURVEY.md §2.10).
+  *
+  * The events parquet carries nanosecond timestamps → read with
+  * nanosAsLong and convert explicitly.  Each op exists in a streaming
+  * form (readStream + watermark) and a batch form with identical
+  * semantics — the batch form is what the DuckDB oracle checks.
+  */
+object StreamingOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns since epoch (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time",
+      timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+
+  def readEventsBatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withEventTime(spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet"))
+  }
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source insists on a directory; the testdata ships
+    // one parquet FILE per table → stage a symlink dir (idempotent)
+    val staged = java.nio.file.Paths.get(
+      "/tmp/graft-stream", java.lang.Integer.toHexString(dir.hashCode), "events")
+    java.nio.file.Files.createDirectories(staged)
+    val link = staged.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    withEventTime(
+      spark.readStream.schema(eventsSchema).parquet(staged.toString))
+  }
+
+  /** 5-minute tumbling window counts per event type.  Works on both
+    * the batch and streaming frames (same expression).  Integer DIV on
+    * MICROSECONDS: double division would lose precision (ts > 2^53),
+    * and DuckDB's TIMESTAMP is µs — µs is the cross-engine unit.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        expr("(ts DIV 1000) DIV 300000000").as("bucket5m"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000).cast(LongType)).as("value_millis"))
+
+  /** Streaming flavor with watermark + event-time window (the idiom a
+    * live source needs); memory-sink runner for tests/demo.
+    */
+  def runWindowedStream(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventsStream(spark, dir)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000).cast(LongType)).as("value_millis"))
+    val name = s"events_window_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    val out = spark.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("value_millis"))
+      .orderBy("window_start", "event_type")
+      .cache()
+    out.count() // materialize before stopping the query
+    q.stop()
+    out
+  }
+
+  /** Sessionization: per-user sessions split on ≥ 30 min inactivity
+    * gaps — the classic gaps-and-islands form (lag + cumulative sum),
+    * expressible identically in the batch oracle.  The streaming
+    * equivalent (flatMapGroupsWithState) keys by user with a session
+    * timeout; batch form keeps semantics oracle-checkable.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    // µs granularity end-to-end (see windowedCounts precision note)
+    val e = events.withColumn("tus", expr("ts DIV 1000"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val flagged = e.withColumn("new_session",
+      when(lag("tus", 1).over(w).isNull, 1)
+        .when(col("tus") - lag("tus", 1).over(w) > gapUs, 1)
+        .otherwise(0))
+    flagged
+      .withColumn("session_id",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("(max(tus) - min(tus)) DIV 1000").as("duration_ms"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language-ID heuristics, quality
+  * scoring, and document fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (higher-order array functions, no UDFs), so each operator is a pure
+  * per-row projection: no shuffle, fully pushdown/pruning-friendly,
+  * and embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count estimate: word / number / punctuation runs
+    * via regex (the usual pre-tokenizer shape), no model table needed.
+    */
+  def bpeTokenEstimate(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Function-word tables for the language-ID heuristic. */
+  val langFunctionWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en"))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words.map(lit(_)))))
+
+  /** n-gram-flavored language ID: argmax of per-language function-word
+    * hit counts, with a CJK codepoint-ratio check first; "und"
+    * (undetermined) when no signal.  Deterministic tie-break = table
+    * order.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val cjk = size(regexp_extract_all(c, lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val scores = langFunctionWords.map { case (l, ws) => l -> stopwordHits(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s > lit(0) && s === best, lit(l)).otherwise(acc)
+    }
+    when(cjk * lit(2) > length(c), lit("zh")).otherwise(pick)
+  }
+
+  /** Per-document quality metrics + a composite score in [0,1].
+    * All-rational arithmetic (no exp/log) keeps it cheap and
+    * cross-engine reproducible.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val nChars = length(c)
+    val nWords = size(toks)
+    val alpha = size(regexp_extract_all(c, lit("[a-zA-Z]"), lit(0)))
+    val punct = size(regexp_extract_all(c, lit("[\\.,;:!\\?'\"]"), lit(0)))
+    val stop = stopwordHits(toks, langFunctionWords.toMap.apply("en"))
+    val avgWordLen = when(nWords > 0,
+      (nChars - (nWords - lit(1))).cast("double") / nWords).otherwise(lit(0.0))
+    val stopRatio = when(nWords > 0, stop.cast("double") / nWords).otherwise(lit(0.0))
+    val alphaRatio = when(nChars > 0, alpha.cast("double") / nChars).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, punct.cast("double") / nChars).otherwise(lit(0.0))
+    // heuristic gates in the C4/Gopher style: enough words, sane word
+    // length, some function words, mostly-alphabetic
+    val lenOk = when(nWords.between(5, 100000), lit(1.0)).otherwise(lit(0.0))
+    val wordLenOk = when(avgWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopRatio > 0.01, lit(1.0)).otherwise(lit(0.0))
+    val alphaOk = when(alphaRatio > 0.6, lit(1.0)).otherwise(lit(0.0))
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("avg_word_len", avgWordLen)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("punct_ratio", punctRatio)
+      .withColumn("quality_score",
+        (lenOk + wordLenOk + stopOk + alphaOk) / lit(4.0))
+  }
+
+  /** Stable whole-document fingerprint (hex md5 — cross-engine). */
+  def fingerprintMd5(c: Column): Column = md5(c)
+
+  /** 64-bit fingerprint for joins/bucketing. */
+  def fingerprint64(c: Column): Column = xxhash64(c)
+
+  /** Rolling k-gram hashes of a string — step 1 of winnowing.
+    * sequence(a,b) with a>b runs DESCENDING in Spark — clamp to 1 so
+    * short documents yield a single (short-gram) fingerprint.
+    */
+  def kgramHashes(c: Column, k: Int = 8): Column =
+    transform(
+      sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),
+      i => xxhash64(c.substr(i, lit(k))))
+
+  /** Winnowing-style rolling fingerprint: hash every character k-gram,
+    * then keep the minimum hash of each sliding window of w k-grams
+    * (distinct) — the classic local document fingerprint (Schleimer et
+    * al., SIGMOD'03) as pure array expressions.
+    *
+    * Two-stage projection on purpose: nesting the k-gram transform
+    * inside the window transform would re-inline (recompute) the whole
+    * gram array per window — O(n²) per row.  Materializing the grams
+    * as their own column keeps it O(n·w).
+    */
+  def winnowFingerprints(
+      df: DataFrame, textCol: String, outCol: String,
+      k: Int = 8, w: Int = 16): DataFrame = {
+    val gcol = outCol + "__grams"
+    df.withColumn(gcol, kgramHashes(col(textCol), k))
+      .withColumn(outCol,
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col(gcol)) - lit(w - 1), lit(1))),
+          i => array_min(slice(col(gcol), i, lit(w))))))
+      .drop(gcol)
+  }
+}

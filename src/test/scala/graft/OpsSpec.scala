@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Behavior tests for the training-data pipeline operators (the
+  * SQL-oracled ones are additionally cross-checked against DuckDB by
+  * the driver; these cover the hash-signature/stub ops and the
+  * streaming/batch equivalence).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf01 = "/root/testdata/sf0.1"
+  private val sf001 = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds exactly the near-dup pairs token-jaccard confirms") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val pairs = DedupOps.minhashPairs(docs, "text", "doc_id",
+      jaccardThreshold = 0.9).collect()
+    // sf0.1 has 8 exact-duplicate text pairs — all must surface with j=1.0
+    val exact = DedupOps.exactDupGroups(docs, "text", "doc_id").collect()
+    assert(exact.length == 8)
+    val exactPairs = exact.map { r =>
+      val ids = r.getSeq[Long](3).sorted
+      (ids(0), ids(1))
+    }.toSet
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(found),
+      s"missing exact pairs: ${exactPairs.diff(found)}")
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.9))
+  }
+
+  test("simhash pairs include the exact duplicates at hamming 0") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val pairs = DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = DedupOps.exactDupGroups(docs, "text", "doc_id").collect()
+      .map { r => val ids = r.getSeq[Long](3).sorted; (ids(0), ids(1)) }.toSet
+    val zeroHam = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(exact.subsetOf(zeroHam))
+  }
+
+  test("brute-force ANN topk: self is rank 1 with cosine ~1") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val topk = SimilarityOps.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3).collect()
+    assert(topk.length == 15)
+    val rank1 = topk.filter(_.getInt(3) == 1)
+    rank1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "rank-1 neighbor must be self")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH topk recall vs brute force (self always found via own bucket)") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val lsh = SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3).collect()
+    val self = lsh.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.length == 5, "each query must find itself in its own bucket")
+  }
+
+  test("multimodal stub pipeline: deterministic, batch-shaped, per-kind aggregate") {
+    val out1 = MultimodalOps.pipeline(spark, sf001).collect()
+    val out2 = MultimodalOps.pipeline(spark, sf001).collect()
+    assert(out1.toSeq == out2.toSeq, "stub decode must be deterministic")
+    assert(out1.map(_.getString(0)).toSeq == out1.map(_.getString(0)).toSeq.sorted)
+    assert(out1.map(_.getLong(1)).sum == 500L) // all docs decoded exactly once
+    // total_bytes equals the ascii byte length = n_chars sum
+    val expBytes = spark.read.parquet(s"$sf001/documents.parquet")
+      .agg(sum("n_chars")).head().getLong(0)
+    assert(out1.map(_.getLong(2)).sum == expBytes)
+  }
+
+  test("streaming windowed counts == batch windowed counts") {
+    val batch = StreamingOps.windowedCounts(
+      StreamingOps.readEventsBatch(spark, sf001))
+      .orderBy("bucket5m", "event_type").collect()
+    val streamed = StreamingOps.runWindowedStream(spark, sf001)
+      .orderBy("window_start", "event_type").collect()
+    assert(batch.length == streamed.length,
+      s"windows: batch ${batch.length} vs stream ${streamed.length}")
+    batch.zip(streamed).foreach { case (b, s) =>
+      assert(b.getString(1) == s.getString(1))
+      assert(b.getLong(2) == s.getLong(2), s"cnt mismatch at ${b.getLong(0)}")
+      assert(b.getLong(3) == s.getLong(3))
+    }
+  }
+
+  test("winnowing fingerprints: deterministic and shared for identical docs") {
+    val docs = TextOps.winnowFingerprints(
+        spark.read.parquet(s"$sf01/documents.parquet"), "text", "fps")
+      .select(col("doc_id"), col("text"), col("fps"))
+    val dups = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.fps").as("fa"), col("b.fps").as("fb")).collect()
+    assert(dups.length == 8)
+    dups.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("quality metrics are in-range and deterministic") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val m = TextOps.qualityMetrics(docs, "text")
+      .select("doc_id", "quality_score", "stopword_ratio", "alpha_ratio").collect()
+    assert(m.length == 500)
+    m.foreach { r =>
+      val q = r.getDouble(1)
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+}
