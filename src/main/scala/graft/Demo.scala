@@ -49,6 +49,19 @@ object Demo {
     model.save(spark, path)
     val loaded = graft.spark.WoeBinningModel.load(spark, path)
     println(s"reloaded variables: ${loaded.fitted.map(_._1).mkString(", ")}")
+
+    println("== MLlib pipeline form ==")
+    val est = new graft.spark.WoeBinningEstimator()
+      .setTargetCol("target")
+      .setInputCols(Array("extendedprice", "quantity", "discount"))
+      .setNThreshold(300)
+    val pipeModel = new org.apache.spark.ml.Pipeline().setStages(Array(est)).fit(df)
+    pipeModel.transform(df).show(3, truncate = false)
+
+    println("== reference-API façade ==")
+    val binsDf = graft.api.WoeMonotonicBinning.batchWoeBinning(df, "target")
+    println(s"batchWoeBinning → ${binsDf.count()} bins; applyBins → " +
+      graft.api.WoeMonotonicBinning.applyBins(df, binsDf).columns.mkString(", "))
     spark.stop()
   }
 }

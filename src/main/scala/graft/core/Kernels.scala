@@ -246,27 +246,46 @@ object Kernels {
       b.size.isNaN || b.mean.isNaN || b.bads.isNaN || b.goods.isNaN ||
       b.distGood.isNaN || b.distBad.isNaN || b.woe.isNaN || b.ivComponents.isNaN)
 
-  /** merge_bins (binning.py:14-29) for an adjacent pair [i, i+1]:
-    * sums sizes/bads/goods, recomputes dists against the PRE-merge
-    * whole-table totals (which equal the post-merge totals since the
-    * merge preserves sums), splices the merged row at position i.
+  /** merge_bins (binning.py:14-29), general index-list form.
+    *
+    * Reference semantics preserved exactly: the merged stats sum over
+    * the SLICE from min(indices) to max(indices) INCLUSIVE
+    * (`df[i0:i1+1]`, :18) while only the LISTED indices are dropped
+    * (:27) — for a non-contiguous index list the in-between rows both
+    * survive and are double-counted into the merged row (quirk).
+    * Dists are computed against the pre-merge whole-table totals
+    * (:23-24).
     */
-  def mergeBinsPair(bins: Vector[WoeBin], i: Int): Vector[WoeBin] = {
+  def mergeBins(bins: Vector[WoeBin], indices: Seq[Int]): Vector[WoeBin] = {
+    val sorted = indices.sorted
+    val lo = sorted.head
+    val hi = sorted.last
     val totGoods = bins.iterator.map(_.goods).sum
     val totBads = bins.iterator.map(_.bads).sum
-    val a = bins(i); val b = bins(i + 1)
-    val size = a.size + b.size
-    val bads = a.bads + b.bads
-    val goods = a.goods + b.goods
+    val span = bins.slice(lo, hi + 1)
+    val size = span.iterator.map(_.size).sum
+    val bads = span.iterator.map(_.bads).sum
+    val goods = span.iterator.map(_.goods).sum
     val mean = bads / size
     val dg = goods / totGoods
     val db = bads / totBads
     val woe = math.log(db / dg)
-    val iv = (db - dg) * woe
-    val merged = WoeBin(bins(0).variable, a.intervalStartInclude,
-      b.intervalEndExclude, size, mean, bads, goods, dg, db, woe, iv)
-    (bins.take(i) :+ merged) ++ bins.drop(i + 2)
+    val merged = WoeBin(bins(0).variable, bins(lo).intervalStartInclude,
+      bins(hi).intervalEndExclude, size, mean, bads, goods, dg, db, woe,
+      (db - dg) * woe)
+    val dropSet = sorted.toSet
+    // drop listed labels, re-add merged at label lo, sort by label (:27-29)
+    bins.zipWithIndex
+      .filterNot { case (_, i) => dropSet.contains(i) }
+      .map { case (b, i) => (i, b) }
+      .:+((lo, merged))
+      .sortBy(_._1)
+      .map(_._2)
   }
+
+  /** Adjacent-pair form used by the merge_threshold loop. */
+  def mergeBinsPair(bins: Vector[WoeBin], i: Int): Vector[WoeBin] =
+    mergeBins(bins, Seq(i, i + 1))
 
   /** merge_threshold post-merge (binning.py:253-263): repeatedly merge
     * the first adjacent non-NaN pair whose relative |woe| gap is within

@@ -1,0 +1,152 @@
+package graft.spark
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types._
+
+/** MLlib pipeline wrapper around the core fit — the Spark-idiomatic
+  * Estimator/Model shape the reference's fit/transform pattern maps to
+  * (SURVEY.md §0 item 3).  Composes with `org.apache.spark.ml.Pipeline`
+  * and persists via the usual `.write.save(path)`.
+  */
+class WoeBinningEstimator(override val uid: String)
+    extends Estimator[WoeBinningTransformer] with WoeBinningParams
+    with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("woeBinning"))
+
+  def setTargetCol(v: String): this.type = set(targetCol, v)
+  def setInputCols(v: Array[String]): this.type = set(inputCols, v)
+  def setNThreshold(v: Double): this.type = set(nThreshold, v)
+  def setNOccurrences(v: Double): this.type = set(nOccurrences, v)
+  def setPThreshold(v: Double): this.type = set(pThreshold, v)
+  def setSepValue(v: Double): this.type = set(sepValue, v)
+  def setMergeThreshold(v: Double): this.type = set(mergeThreshold, v)
+  def setMaxDistinct(v: Int): this.type = set(maxDistinct, v)
+  def setIvThreshold(v: Double): this.type = set(ivThreshold, v)
+  def setBinThreshold(v: Int): this.type = set(binThreshold, v)
+  def setRemove100Corr(v: Boolean): this.type = set(remove100Corr, v)
+  def setPassthrough(v: Boolean): this.type = set(passthrough, v)
+
+  override def fit(ds: Dataset[_]): WoeBinningTransformer = {
+    val opts = WoeFitOptions(
+      nThreshold = if (isDefined(nThreshold)) Some($(nThreshold)) else None,
+      nOccurrences = $(nOccurrences),
+      pThreshold = $(pThreshold),
+      sepValue = if (isDefined(sepValue)) Some($(sepValue)) else None,
+      mergeThreshold = if (isDefined(mergeThreshold)) Some($(mergeThreshold)) else None,
+      maxDistinct = if (isDefined(maxDistinct)) Some($(maxDistinct)) else None)
+    val core = WoeBinning.fit(ds.toDF(), $(targetCol), $(inputCols).toSeq, opts)
+    copyValues(new WoeBinningTransformer(uid, core).setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    WoeBinningParams.outputSchema(schema, $(inputCols), $(passthrough))
+
+  override def copy(extra: ParamMap): WoeBinningEstimator = defaultCopy(extra)
+}
+
+object WoeBinningEstimator extends DefaultParamsReadable[WoeBinningEstimator]
+
+/** Shared params (fit + transform filters, binning.py:103-104,268). */
+trait WoeBinningParams extends Params {
+  final val targetCol = new Param[String](this, "targetCol", "binary 0/1 target column")
+  final val inputCols = new StringArrayParam(this, "inputCols", "numeric feature columns")
+  final val nThreshold = new DoubleParam(this, "nThreshold",
+    "minimum bin size (default ceil(N/20))")
+  final val nOccurrences = new DoubleParam(this, "nOccurrences", "minimum bads per bin")
+  final val pThreshold = new DoubleParam(this, "pThreshold", "one-sided z-test cut")
+  final val sepValue = new DoubleParam(this, "sepValue", "sentinel split value")
+  final val mergeThreshold = new DoubleParam(this, "mergeThreshold",
+    "relative |woe| gap for the post-merge")
+  final val maxDistinct = new IntParam(this, "maxDistinct",
+    "quantile pre-binning cap (scale knob, diverges from reference)")
+  final val ivThreshold = new DoubleParam(this, "ivThreshold", "min total IV to keep a variable")
+  final val binThreshold = new IntParam(this, "binThreshold", "min bins to keep a variable")
+  final val remove100Corr = new BooleanParam(this, "remove100Corr",
+    "drop variables whose total IV exactly repeats")
+  final val passthrough = new BooleanParam(this, "passthrough",
+    "keep input columns alongside the *_bin outputs")
+
+  setDefault(targetCol -> "target", nOccurrences -> 1.0, pThreshold -> 0.1,
+    ivThreshold -> 0.02, binThreshold -> 2, remove100Corr -> true,
+    passthrough -> false)
+}
+
+object WoeBinningParams {
+  def outputSchema(schema: StructType, inputCols: Array[String], passthrough: Boolean): StructType = {
+    // the surviving-variable set is data-dependent (IV filters); the
+    // static schema lists a *_bin field per input, nullable
+    val bins = inputCols.map(c => StructField(c + "_bin", DoubleType, nullable = true))
+    if (passthrough) StructType(schema.fields ++ bins) else StructType(bins)
+  }
+}
+
+/** The fitted MLlib Model: delegates to the driver-side bins +
+  * expression-compiled transform of [[WoeBinningModel]].
+  */
+class WoeBinningTransformer(
+    override val uid: String,
+    val core: WoeBinningModel)
+    extends Model[WoeBinningTransformer] with WoeBinningParams with MLWritable {
+
+  def setIvThreshold(v: Double): this.type = set(ivThreshold, v)
+  def setBinThreshold(v: Int): this.type = set(binThreshold, v)
+  def setRemove100Corr(v: Boolean): this.type = set(remove100Corr, v)
+  def setPassthrough(v: Boolean): this.type = set(passthrough, v)
+
+  /** The stacked 11-column bins table. */
+  def binsDf(spark: SparkSession): DataFrame = core.binsDf(spark)
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    core.transform(ds.toDF(), $(ivThreshold), $(binThreshold),
+      $(remove100Corr), $(passthrough))
+
+  override def transformSchema(schema: StructType): StructType =
+    WoeBinningParams.outputSchema(schema,
+      core.fitted.map(_._1).toArray, $(passthrough))
+
+  override def copy(extra: ParamMap): WoeBinningTransformer =
+    copyValues(new WoeBinningTransformer(uid, core), extra).setParent(parent)
+
+  override def write: MLWriter = new WoeBinningTransformer.Writer(this)
+}
+
+object WoeBinningTransformer extends MLReadable[WoeBinningTransformer] {
+
+  // DefaultParamsWriter/Reader are private[ml]; a minimal hand-rolled
+  // metadata file carries uid + the transform-time params
+  private[spark] class Writer(instance: WoeBinningTransformer) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      import org.apache.spark.sql.functions.lit
+      instance.core.save(sparkSession, new Path(path, "bins").toString)
+      sparkSession.range(1).select(
+          lit(instance.uid).as("uid"),
+          lit(instance.getOrDefault(instance.ivThreshold)).as("ivThreshold"),
+          lit(instance.getOrDefault(instance.binThreshold)).as("binThreshold"),
+          lit(instance.getOrDefault(instance.remove100Corr)).as("remove100Corr"),
+          lit(instance.getOrDefault(instance.passthrough)).as("passthrough"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(path, "metadata").toString)
+    }
+  }
+
+  private class Reader extends MLReader[WoeBinningTransformer] {
+    override def load(path: String): WoeBinningTransformer = {
+      val core = WoeBinningModel.load(sparkSession, new Path(path, "bins").toString)
+      val meta = sparkSession.read
+        .parquet(new Path(path, "metadata").toString).head()
+      val m = new WoeBinningTransformer(meta.getAs[String]("uid"), core)
+      m.set(m.ivThreshold, meta.getAs[Double]("ivThreshold"))
+        .set(m.binThreshold, meta.getAs[Int]("binThreshold"))
+        .set(m.remove100Corr, meta.getAs[Boolean]("remove100Corr"))
+        .set(m.passthrough, meta.getAs[Boolean]("passthrough"))
+      m
+    }
+  }
+
+  override def read: MLReader[WoeBinningTransformer] = new Reader
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.WoeMonotonicBinning
+import graft.spark.{WoeBinning, WoeBinningEstimator, WoeBinningTransformer, WoeFitOptions}
+
+/** Reference-API façade + MLlib pipeline wrapper tests. */
+class ApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val sf0001 = TestSpark.lcgFrame("/root/testdata/sf0.001").cache()
+
+  private def assertBinsDfMatches(got: org.apache.spark.sql.DataFrame, fixture: String): Unit = {
+    val exp = Golden.load(fixture)
+    val rows = got.collect()
+    assert(rows.length == exp.rows.length, s"$fixture rows ${rows.length} vs ${exp.rows.length}")
+    rows.zip(exp.rows).zipWithIndex.foreach { case ((r, e), i) =>
+      assert(r.getString(0) == e(0).toString)
+      (1 to 10).foreach { j =>
+        val g = if (r.isNullAt(j)) Double.NaN else r.getDouble(j)
+        val x = e(j) match {
+          case d: Double => d
+          case null => Double.NaN
+          case o => o.toString.toDouble
+        }
+        assert(Golden.approxEq(g, x), s"$fixture row $i col $j: $g vs $x")
+      }
+    }
+  }
+
+  test("woeBinning façade: sort_overload=True collapses descending data (quirk #3)") {
+    val out = WoeMonotonicBinning.woeBinning(
+      sf0001.select("target", "extendedprice"), "target",
+      nThreshold = 300, sortOverload = Some(true))
+    assertBinsDfMatches(out, "sf0.001_extendedprice_n300_overloadT.json")
+  }
+
+  test("woeBinning façade: sort_overload=Some(false) is a no-op (falsy quirk)") {
+    val auto = WoeMonotonicBinning.woeBinning(
+      sf0001.select("target", "extendedprice"), "target", nThreshold = 300)
+    val falsy = WoeMonotonicBinning.woeBinning(
+      sf0001.select("target", "extendedprice"), "target", nThreshold = 300,
+      sortOverload = Some(false))
+    assert(auto.collect().toSeq == falsy.collect().toSeq)
+  }
+
+  test("mergeBins façade: span-sum / listed-drop quirk on [2,4]") {
+    val base = WoeMonotonicBinning.woeBinning(
+      sf0001.select("target", "extendedprice"), "target", nThreshold = 300)
+    val merged = WoeMonotonicBinning.mergeBins(base, Seq(2, 4))
+    assertBinsDfMatches(merged, "sf0.001_extendedprice_n300_mergebins24.json")
+  }
+
+  test("applyBins(is_df) over the stacked frame == model.transform") {
+    val model = WoeBinning.fit(sf0001, "target",
+      Seq("extendedprice", "quantity", "discount"),
+      WoeFitOptions(nThreshold = Some(300)))
+    val viaDf = WoeMonotonicBinning.applyBins(sf0001, model.binsDf(spark))
+    val direct = model.transform(sf0001)
+    assert(viaDf.columns.toSeq == direct.columns.toSeq)
+    val a = viaDf.agg(sum(col("extendedprice_bin"))).head().getDouble(0)
+    val b = direct.agg(sum(col("extendedprice_bin"))).head().getDouble(0)
+    assert(a == b)
+  }
+
+  test("batchWoeBinning defaults to ceil(N/20) like the reference") {
+    val viaDefault = WoeMonotonicBinning.batchWoeBinning(
+      sf0001.select("target", "extendedprice"), "target")
+    val explicit = WoeMonotonicBinning.woeBinning(
+      sf0001.select("target", "extendedprice"), "target", nThreshold = 300)
+    assert(viaDefault.collect().toSeq == explicit.collect().toSeq) // ceil(6000/20)=300
+  }
+
+  test("MLlib estimator/transformer: pipeline fit, transform, persistence") {
+    val est = new WoeBinningEstimator()
+      .setTargetCol("target")
+      .setInputCols(Array("extendedprice", "quantity", "discount"))
+      .setNThreshold(300)
+    val model = est.fit(sf0001)
+    val out = model.transform(sf0001)
+    assert(out.columns.toSeq == Seq("extendedprice_bin"))
+    assert(out.count() == 6000)
+    // pipeline composition
+    val pipe = new org.apache.spark.ml.Pipeline().setStages(Array(est))
+    val pm = pipe.fit(sf0001)
+    assert(pm.transform(sf0001).columns.toSeq == Seq("extendedprice_bin"))
+    // persistence round-trip
+    val path = "/tmp/graft-mllib-model"
+    model.write.overwrite().save(path)
+    val loaded = WoeBinningTransformer.load(path)
+    assert(loaded.core.fitted.map(_._1) == model.core.fitted.map(_._1))
+    val s1 = model.transform(sf0001).agg(sum("extendedprice_bin")).head().getDouble(0)
+    val s2 = loaded.transform(sf0001).agg(sum("extendedprice_bin")).head().getDouble(0)
+    assert(s1 == s2)
+  }
+
+  test("MLlib transformer passthrough keeps input columns") {
+    val model = new WoeBinningEstimator()
+      .setTargetCol("target")
+      .setInputCols(Array("extendedprice"))
+      .setNThreshold(300)
+      .fit(sf0001)
+    val out = model.setPassthrough(true).transform(sf0001)
+    assert(out.columns.toSeq ==
+      Seq("target", "extendedprice", "quantity", "discount", "extendedprice_bin"))
+  }
+}

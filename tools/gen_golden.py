@@ -100,6 +100,17 @@ def main():
             bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
                                n_threshold=60)
             dump(bins, f"{outdir}/{sf}_extendedprice_n60.json")
+            # sort_overload=True on a descending-detected column — pins
+            # the inconsistent-outer-edge quirk (SURVEY §2.13 #3)
+            bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
+                               n_threshold=300, sort_overload=True)
+            dump(bins, f"{outdir}/{sf}_extendedprice_n300_overloadT.json")
+            # merge_bins on a span of 3 bins (indices 2..4)
+            from woe_monotonic_binning.binning import merge_bins
+            base = woe_binning("target", df[["target", "extendedprice"]].copy(),
+                               n_threshold=300)
+            dump(merge_bins(base.copy(), [2, 4]),
+                 f"{outdir}/{sf}_extendedprice_n300_mergebins24.json")
             # apply_bins golden: batch fit 3 cols then apply to same frame
             d = {}
             for col in ["extendedprice", "quantity", "discount"]:
