@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints the physical plans of the engine's load-bearing queries —
+  * the review loop for shuffle/pushdown/broadcast hygiene.
+  * Run: `sbt "runMain graft.Plans [sfDir]"`.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def show(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n=============== $name ===============")
+      df.explain("formatted")
+    }
+
+    val df = SparkEntry.lcgFrame(spark, sfDir)
+    show("stats pass (melt+groupBy)") {
+      val cols = Seq("extendedprice", "quantity", "discount")
+      val stackExpr = s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+        ") as (variable, value)"
+      df.selectExpr(stackExpr, "cast(`target` as bigint) as t")
+        .withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
+        .groupBy("variable", "value")
+        .agg(count(lit(1)).as("cnt"), sum("t").as("tsum"))
+    }
+    show("transform (apply)") {
+      val m = graft.spark.WoeBinning.fit(df, "target", Seq("extendedprice"),
+        graft.spark.WoeFitOptions(nThreshold = Some(300)))
+      m.transform(df)
+    }
+    show("minhash pairs") {
+      graft.ops.DedupOps.minhashPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
+    }
+    show("ann topk (broadcast queries)") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.ops.SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+    }
+    show("events windowed counts") {
+      graft.ops.StreamingOps.windowedCounts(
+        graft.ops.StreamingOps.readEventsBatch(spark, sfDir))
+    }
+    spark.stop()
+  }
+}

@@ -114,6 +114,8 @@ object DedupOps {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows))))
       ).as(Seq("band", "band_hash")))
+    // single reference to `cand` — referencing it more than once would
+    // recompute the whole signature/band subtree per reference
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -121,12 +123,8 @@ object DedupOps {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
-      .join(broadcast(cand).select(col("id_a")).distinct()
-        .join(shingled, col("id_a") === col("id")).select(col("id_a").as("ja"), col("sh").as("sh_a")),
-        col("id_a") === col("ja"))
-      .join(broadcast(cand).select(col("id_b")).distinct()
-        .join(shingled, col("id_b") === col("id")).select(col("id_b").as("jb"), col("sh").as("sh_b")),
-        col("id_b") === col("jb"))
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))

@@ -116,6 +116,8 @@ object WoeBinning {
           if (c == targetCol) Kernels.degenerateBins(c) // binning.py:106-109
           else {
             val s = stats(c)
+            require(s.groups.nonEmpty || s.nanCount > 0,
+              s"woe_binning: column '$c' has no rows")
             opts.sepValue match {
               case None => Kernels.fitVariable(s, cfg)
               case Some(sep) => fitSentinel(s, sep, cfg)
@@ -135,6 +137,11 @@ object WoeBinning {
       sep: Double,
       cfg: WoeConfig): Vector[WoeBin] = {
     val (sepGroups, rest) = s.groups.partition(_._1 == sep)
+    // the reference crashes opaquely on these (binning.py:37, 49); fail fast
+    require(sepGroups.nonEmpty,
+      s"woe_binning_sep: no rows of '${s.variable}' equal sep_value=$sep")
+    require(rest.nonEmpty || s.nanCount > 0,
+      s"woe_binning_sep: every row of '${s.variable}' equals sep_value=$sep — nothing to bin")
     val sepStats = Kernels.VarStats(s.variable, sepGroups, 0L, 0L,
       sepGroups.iterator.map(_._2).sum, sepGroups.iterator.map(_._3).sum)
     // pandas `!=` keeps NaN rows in the complement (binning.py:43)
