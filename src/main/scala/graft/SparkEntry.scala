@@ -445,7 +445,42 @@ object SparkEntry {
       "q_events_sessionize" -> { (s, dir) =>
         StreamingOps.sessionize(StreamingOps.readEventsBatch(s, dir))
           .orderBy("user_id", "session_id")
+      },
+      "q_fit_streaming" -> { (s, dir) => // rows-only: incremental fit
+        // == batch fit after one pass (StreamingWoeSpec pins equality)
+        val staged = java.nio.file.Paths.get(
+          "/tmp/graft-stream", Integer.toHexString(dir.hashCode), "lineitem")
+        java.nio.file.Files.createDirectories(staged)
+        val link = staged.resolve("lineitem.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(dir, "lineitem.parquet"))
+        val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+        val stream = s.readStream.schema(schema).parquet(staged.toString)
+          .select(lcgColumns: _*)
+        @volatile var last: Option[graft.spark.WoeBinningModel] = None
+        val q = graft.ops.StreamingWoe.fitStream(stream, "target",
+          Seq("extendedprice"), graft.core.WoeConfig(nThreshold = 300)) {
+          (_, m) => last = Some(m)
+        }
+        q.processAllAvailable()
+        q.stop()
+        last.get.binsDf(s)
       })
+
+  /** The lcgFrame projection as reusable columns (streaming + batch). */
+  private def lcgColumns: Seq[org.apache.spark.sql.Column] = {
+    val k = col("l_orderkey") * lit(7919L) + col("l_linenumber").cast("long")
+    val u = pmod(k * lit(1103515245L) + lit(12345L), lit(2147483648L))
+      .cast(DoubleType) / lit(2147483648.0)
+    val p = lit(1.0) /
+      (lit(1.0) + exp(-(col("l_extendedprice") - lit(38000.0)) / lit(15000.0)))
+    Seq(
+      when(u < p, 1L).otherwise(0L).as("target"),
+      col("l_extendedprice").cast(DoubleType).as("extendedprice"),
+      col("l_quantity").cast(DoubleType).as("quantity"),
+      col("l_discount").cast(DoubleType).as("discount"))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the iterative-fit and

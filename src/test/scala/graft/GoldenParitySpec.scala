@@ -112,6 +112,21 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(sums.getLong(1).toDouble == cntRow(1).asInstanceOf[Double])
   }
 
+  test("golden: n_occurences=50 (min-bads penalty path)") {
+    val m = WoeBinning.fit(sf0001, "target", Seq("extendedprice"),
+      WoeFitOptions(nThreshold = Some(300), nOccurrences = 50))
+    assertMatches(m.bins("extendedprice"), "sf0.001_extendedprice_n300_occ50.json")
+  }
+
+  test("golden: p_threshold=0.01 (strict) and 0.5 (lax) at n=60") {
+    val strict = WoeBinning.fit(sf0001, "target", Seq("extendedprice"),
+      WoeFitOptions(nThreshold = Some(60), pThreshold = 0.01))
+    assertMatches(strict.bins("extendedprice"), "sf0.001_extendedprice_n60_p001.json")
+    val lax = WoeBinning.fit(sf0001, "target", Seq("extendedprice"),
+      WoeFitOptions(nThreshold = Some(60), pThreshold = 0.5))
+    assertMatches(lax.bins("extendedprice"), "sf0.001_extendedprice_n60_p05.json")
+  }
+
   test("golden: sf0.01 extendedprice n=3000 (15 bins)") {
     val df = TestSpark.lcgFrame("/root/testdata/sf0.01")
     val m = WoeBinning.fit(df, "target", Seq("extendedprice", "quantity", "discount"),

@@ -100,6 +100,16 @@ def main():
             bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
                                n_threshold=60)
             dump(bins, f"{outdir}/{sf}_extendedprice_n60.json")
+            # non-default n_occurences / p_threshold paths
+            bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
+                               n_threshold=300, n_occurences=50)
+            dump(bins, f"{outdir}/{sf}_extendedprice_n300_occ50.json")
+            bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
+                               n_threshold=60, p_threshold=0.01)
+            dump(bins, f"{outdir}/{sf}_extendedprice_n60_p001.json")
+            bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
+                               n_threshold=60, p_threshold=0.5)
+            dump(bins, f"{outdir}/{sf}_extendedprice_n60_p05.json")
             # sort_overload=True on a descending-detected column — pins
             # the inconsistent-outer-edge quirk (SURVEY §2.13 #3)
             bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
