@@ -21,16 +21,7 @@ object Demo {
     spark.sparkContext.setLogLevel("WARN")
 
     // derive the FIXTURES.md §2 deterministic target over lineitem
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val k = col("l_orderkey") * lit(7919L) + col("l_linenumber").cast("long")
-    val u = pmod(k * lit(1103515245L) + lit(12345L), lit(2147483648L))
-      .cast(DoubleType) / lit(2147483648.0)
-    val p = lit(1.0) / (lit(1.0) + exp(-(col("l_extendedprice") - lit(38000.0)) / lit(15000.0)))
-    val df = li.select(
-      when(u < p, 1L).otherwise(0L).as("target"),
-      col("l_extendedprice").cast(DoubleType).as("extendedprice"),
-      col("l_quantity").cast(DoubleType).as("quantity"),
-      col("l_discount").cast(DoubleType).as("discount"))
+    val df = SparkEntry.lcgFrame(spark, sfDir)
 
     val model = WoeBinning.fit(df, "target",
       Seq("extendedprice", "quantity", "discount"),

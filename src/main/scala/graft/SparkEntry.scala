@@ -292,22 +292,28 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY content_hash""".stripMargin)
 
-  /** Builds the target frame via the DataFrame API (the non-SQL path
-    * the library itself uses).
+  /** The FIXTURES.md §2 target-derivation projection, single-sourced
+    * for the batch frame, the streaming fit, and external callers
+    * (Demo, specs).
     */
-  def lcgFrame(spark: SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+  private[graft] def lcgColumns: Seq[org.apache.spark.sql.Column] = {
     val k = col("l_orderkey") * lit(7919L) + col("l_linenumber").cast("long")
     val u = pmod(k * lit(1103515245L) + lit(12345L), lit(2147483648L))
       .cast(DoubleType) / lit(2147483648.0)
     val p = lit(1.0) /
       (lit(1.0) + exp(-(col("l_extendedprice") - lit(38000.0)) / lit(15000.0)))
-    li.select(
+    Seq(
       when(u < p, 1L).otherwise(0L).as("target"),
       col("l_extendedprice").cast(DoubleType).as("extendedprice"),
       col("l_quantity").cast(DoubleType).as("quantity"),
       col("l_discount").cast(DoubleType).as("discount"))
   }
+
+  /** Builds the target frame via the DataFrame API (the non-SQL path
+    * the library itself uses).
+    */
+  def lcgFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet").select(lcgColumns: _*)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -448,38 +454,36 @@ object SparkEntry {
       },
       "q_fit_streaming" -> { (s, dir) => // rows-only: incremental fit
         // == batch fit after one pass (StreamingWoeSpec pins equality)
-        val staged = java.nio.file.Paths.get(
-          "/tmp/graft-stream", Integer.toHexString(dir.hashCode), "lineitem")
-        java.nio.file.Files.createDirectories(staged)
-        val link = staged.resolve("lineitem.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(
-            link, java.nio.file.Paths.get(dir, "lineitem.parquet"))
+        val staged = stageAsDir(dir, "lineitem")
         val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
-        val stream = s.readStream.schema(schema).parquet(staged.toString)
+        val stream = s.readStream.schema(schema).parquet(staged)
           .select(lcgColumns: _*)
         @volatile var last: Option[graft.spark.WoeBinningModel] = None
         val q = graft.ops.StreamingWoe.fitStream(stream, "target",
           Seq("extendedprice"), graft.core.WoeConfig(nThreshold = 300)) {
           (_, m) => last = Some(m)
         }
-        q.processAllAvailable()
-        q.stop()
-        last.get.binsDf(s)
+        try q.processAllAvailable()
+        finally q.stop()
+        last.getOrElse(sys.error(s"q_fit_streaming: no micro-batch fired for $dir"))
+          .binsDf(s)
       })
 
-  /** The lcgFrame projection as reusable columns (streaming + batch). */
-  private def lcgColumns: Seq[org.apache.spark.sql.Column] = {
-    val k = col("l_orderkey") * lit(7919L) + col("l_linenumber").cast("long")
-    val u = pmod(k * lit(1103515245L) + lit(12345L), lit(2147483648L))
-      .cast(DoubleType) / lit(2147483648.0)
-    val p = lit(1.0) /
-      (lit(1.0) + exp(-(col("l_extendedprice") - lit(38000.0)) / lit(15000.0)))
-    Seq(
-      when(u < p, 1L).otherwise(0L).as("target"),
-      col("l_extendedprice").cast(DoubleType).as("extendedprice"),
-      col("l_quantity").cast(DoubleType).as("quantity"),
-      col("l_discount").cast(DoubleType).as("discount"))
+  /** Stage a single-file table behind a directory symlink (file-stream
+    * sources require a directory).  Keyed by the sanitized path — NOT
+    * a hash, which could collide across dataset dirs.  The symlink is
+    * re-created each call so a dangling link (e.g. from a deleted
+    * dataset) cannot poison later runs.
+    */
+  private[graft] def stageAsDir(dir: String, table: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, table)
+    java.nio.file.Files.createDirectories(staged)
+    val link = staged.resolve(s"$table.parquet")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(dir, s"$table.parquet"))
+    staged.toString
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

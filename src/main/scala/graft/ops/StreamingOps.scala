@@ -35,16 +35,9 @@ object StreamingOps {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source insists on a directory; the testdata ships
-    // one parquet FILE per table → stage a symlink dir (idempotent)
-    val staged = java.nio.file.Paths.get(
-      "/tmp/graft-stream", java.lang.Integer.toHexString(dir.hashCode), "events")
-    java.nio.file.Files.createDirectories(staged)
-    val link = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir, "events.parquet"))
-    withEventTime(
-      spark.readStream.schema(eventsSchema).parquet(staged.toString))
+    // one parquet FILE per table → stage a symlink dir
+    withEventTime(spark.readStream.schema(eventsSchema)
+      .parquet(graft.SparkEntry.stageAsDir(dir, "events")))
   }
 
   /** 5-minute tumbling window counts per event type.  Works on both

@@ -1,10 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
-import graft.core.{Kernels, WoeConfig}
-import graft.spark.WoeBinningModel
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core.WoeConfig
+import graft.spark.{WoeBinning, WoeBinningModel}
 import scala.collection.parallel.CollectionConverters._
 
 /** Incremental WoE binning over a stream — a capability the
@@ -16,57 +15,51 @@ import scala.collection.parallel.CollectionConverters._
   * (complete-mode groupBy); the driver-side MOB kernels re-fit from
   * the updated stats on every trigger and hand the refreshed model to
   * the caller.
+  *
+  * The melt/aggregation and rows→stats conversion are the SAME code as
+  * the batch fit (WoeBinning.statsAggregation / statsFromRows /
+  * fitOne), so streaming == batch equality holds by construction.
+  *
+  * Scale note: state is O(distinct (variable, value)) and each trigger
+  * collects it, like the batch path.  For unbounded-cardinality
+  * features, pre-bucket the stream (e.g. `round(value, p)` or a
+  * Bucketizer on fixed edges) before calling — the batch `maxDistinct`
+  * knob needs a full-data quantile pass that a stream cannot do.
   */
 object StreamingWoe {
 
   /** Start an incremental fit on a STREAMING frame carrying the target
     * and feature columns.  `onModel` fires after each micro-batch with
     * the model fitted to all data seen so far.
+    *
+    * @param checkpointLocation pass for a restart-recoverable fit
+    *                           (complete-mode state replays from it)
+    * @param trigger            micro-batch cadence (default: as fast
+    *                           as data arrives)
     */
   def fitStream(
       stream: DataFrame,
       targetCol: String,
       inputCols: Seq[String],
-      cfg: WoeConfig)(onModel: (Long, WoeBinningModel) => Unit): StreamingQuery = {
-    val stackExpr = s"stack(${inputCols.length}, " +
-      inputCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
-      ") as (variable, value)"
-    val stats = stream
-      .selectExpr(stackExpr, s"cast(`$targetCol` as bigint) as t")
-      .withColumn("value",
-        when(isnan(col("value")), lit(null)).otherwise(col("value")))
-      .groupBy("variable", "value")
-      .agg(count(lit(1)).as("cnt"), sum("t").as("tsum"))
-    stats.writeStream
-      .outputMode("complete")
+      cfg: WoeConfig,
+      sepValue: Option[Double] = None,
+      checkpointLocation: Option[String] = None,
+      trigger: Option[Trigger] = None)(
+      onModel: (Long, WoeBinningModel) => Unit): StreamingQuery = {
+    val stats = WoeBinning.statsAggregation(stream, targetCol, inputCols)
+    var writer = stats.writeStream.outputMode("complete")
+    checkpointLocation.foreach(p => writer = writer.option("checkpointLocation", p))
+    trigger.foreach(t => writer = writer.trigger(t))
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val model = fitFromStatsRows(batch.collect(), inputCols, cfg)
-        onModel(batchId, model)
+        val byVar = WoeBinning.statsFromRows(batch.collect())
+        if (byVar.nonEmpty) { // no data yet → no model to emit
+          val fitted = inputCols.par
+            .map(c => c -> WoeBinning.fitOne(c, targetCol, byVar, cfg, sepValue))
+            .seq.toVector
+          onModel(batchId, new WoeBinningModel(fitted))
+        }
       }
       .start()
-  }
-
-  /** Kernel re-fit from collected running stats (same shape as the
-    * batch path in WoeBinning.sufficientStats).
-    */
-  private def fitFromStatsRows(
-      rows: Array[org.apache.spark.sql.Row],
-      inputCols: Seq[String],
-      cfg: WoeConfig): WoeBinningModel = {
-    val byVar = rows.groupBy(_.getString(0))
-    val fitted = inputCols.par.map { c =>
-      val vr = byVar.getOrElse(c, Array.empty)
-      val (nanRows, valRows) = vr.partition(_.isNullAt(1))
-      val groups = valRows
-        .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
-        .sortBy(_._1).toVector
-      val nanCount = nanRows.map(_.getLong(2)).sum
-      val nanTsum = nanRows.map(_.getLong(3)).sum
-      val s = Kernels.VarStats(c, groups, nanCount, nanTsum,
-        nanCount + groups.iterator.map(_._2).sum,
-        nanTsum + groups.iterator.map(_._3).sum)
-      c -> Kernels.fitVariable(s, cfg)
-    }.seq.toVector
-    new WoeBinningModel(fitted)
   }
 }

@@ -38,25 +38,36 @@ final case class WoeFitOptions(
   */
 object WoeBinning {
 
-  /** Collected exact stats for every variable in one job. */
-  def sufficientStats(
-      df: DataFrame,
-      targetCol: String,
-      inputCols: Seq[String],
-      maxDistinct: Option[Int] = None): Map[String, Kernels.VarStats] = {
-    val base = maxDistinct.map(m => preBin(df, inputCols, m)).getOrElse(df)
+  /** The melt + exact-integer stats aggregation, shared by the batch
+    * fit and the streaming incremental fit (StreamingWoe).
+    */
+  def statsAggregation(df: DataFrame, targetCol: String, inputCols: Seq[String]): DataFrame = {
     val stackExpr = s"stack(${inputCols.length}, " +
       inputCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
       ") as (variable, value)"
-    val melted = base.selectExpr(stackExpr, s"cast(`$targetCol` as bigint) as t")
     // NaN and NULL are both "missing" (pandas dropna semantics)
-    val grouped = melted
+    df.selectExpr(stackExpr, s"cast(`$targetCol` as bigint) as t")
       .withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
       .groupBy("variable", "value")
-      .agg(count(lit(1)).as("cnt"), sum("t").as("tsum"))
-      .collect()
-    grouped.groupBy(_.getString(0)).map { case (variable, rows) =>
-      val (nanRows, valRows) = rows.partition(_.isNullAt(1))
+      .agg(count(lit(1)).as("cnt"), sum("t").as("tsum"),
+        count(col("t")).as("tcnt")) // non-null targets, for the null guard
+  }
+
+  /** Collected stats rows → per-variable exact sufficient statistics
+    * (shared with the streaming path).  Fails fast on null target
+    * values — a group whose targets are all null has a NULL sum, and
+    * the reference's 0/1-target contract never allows that.
+    */
+  def statsFromRows(rows: Array[Row]): Map[String, Kernels.VarStats] =
+    rows.groupBy(_.getString(0)).map { case (variable, vr) =>
+      // a null target would silently vanish from sum(); the reference's
+      // 0/1 contract never allows that — fail fast with the location
+      vr.find(r => r.isNullAt(3) || r.getLong(4) != r.getLong(2)).foreach { r =>
+        throw new IllegalArgumentException(
+          s"woe_binning: target contains nulls (variable '$variable', " +
+            s"value ${if (r.isNullAt(1)) "null" else r.getDouble(1)})")
+      }
+      val (nanRows, valRows) = vr.partition(_.isNullAt(1))
       val groups = valRows
         .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
         .sortBy(_._1)
@@ -67,7 +78,38 @@ object WoeBinning {
       val totalTsum = nanTsum + groups.iterator.map(_._3).sum
       variable -> Kernels.VarStats(variable, groups, nanCount, nanTsum, totalRows, totalTsum)
     }
+
+  /** Collected exact stats for every variable in one job. */
+  def sufficientStats(
+      df: DataFrame,
+      targetCol: String,
+      inputCols: Seq[String],
+      maxDistinct: Option[Int] = None): Map[String, Kernels.VarStats] = {
+    val base = maxDistinct.map(m => preBin(df, inputCols, m)).getOrElse(df)
+    statsFromRows(statsAggregation(base, targetCol, inputCols).collect())
   }
+
+  /** One variable's bins from its collected stats — the per-variable
+    * kernel dispatch shared by the batch and streaming fits (guards
+    * and sentinel handling included).
+    */
+  def fitOne(
+      variable: String,
+      targetCol: String,
+      stats: Map[String, Kernels.VarStats],
+      cfg: WoeConfig,
+      sepValue: Option[Double]): Vector[WoeBin] =
+    if (variable == targetCol) Kernels.degenerateBins(variable) // binning.py:106-109
+    else {
+      val s = stats.getOrElse(variable,
+        Kernels.VarStats(variable, Vector.empty, 0, 0, 0, 0))
+      require(s.groups.nonEmpty || s.nanCount > 0,
+        s"woe_binning: column '$variable' has no rows")
+      sepValue match {
+        case None => Kernels.fitVariable(s, cfg)
+        case Some(sep) => fitSentinel(s, sep, cfg)
+      }
+    }
 
   /** Quantile pre-binning for the distinct-value-explosion scale path:
     * snap each value to the lower edge of its approx-quantile bucket.
@@ -111,20 +153,9 @@ object WoeBinning {
     val cfg = WoeConfig(nThr, opts.nOccurrences, opts.pThreshold,
       opts.sortOverload, opts.mergeThreshold)
     val fitted: Seq[(String, Vector[WoeBin])] =
-      inputCols.par.map { c =>
-        val bins =
-          if (c == targetCol) Kernels.degenerateBins(c) // binning.py:106-109
-          else {
-            val s = stats(c)
-            require(s.groups.nonEmpty || s.nanCount > 0,
-              s"woe_binning: column '$c' has no rows")
-            opts.sepValue match {
-              case None => Kernels.fitVariable(s, cfg)
-              case Some(sep) => fitSentinel(s, sep, cfg)
-            }
-          }
-        c -> bins
-      }.seq.toVector
+      inputCols.par
+        .map(c => c -> fitOne(c, targetCol, stats, cfg, opts.sepValue))
+        .seq.toVector
     new WoeBinningModel(fitted)
   }
 

@@ -49,6 +49,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(bins(0).size == 6000.0)
   }
 
+  test("null target values fail fast with a clear message") {
+    val df = sf0001.withColumn("target",
+      when(col("quantity") === 1.0, lit(null)).otherwise(col("target")))
+    val e = intercept[IllegalArgumentException] {
+      WoeBinning.fit(df, "target", Seq("extendedprice"),
+        WoeFitOptions(nThreshold = Some(300)))
+    }
+    assert(e.getMessage.contains("target contains nulls"))
+  }
+
   test("sentinel with absent sep_value fails fast with a clear message") {
     val e = intercept[IllegalArgumentException] {
       WoeBinning.fit(sf0001, "target", Seq("quantity"),

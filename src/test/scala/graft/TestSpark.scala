@@ -18,18 +18,8 @@ object TestSpark {
     s
   }
 
-  /** The deterministic LCG target of FIXTURES.md §2 over lineitem. */
-  def lcgFrame(sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val k = col("l_orderkey") * lit(7919L) + col("l_linenumber").cast("long")
-    val x = k * lit(1103515245L) + lit(12345L)
-    val u = pmod(x, lit(2147483648L)).cast(DoubleType) / lit(2147483648.0)
-    val z = (col("l_extendedprice") - lit(38000.0)) / lit(15000.0)
-    val p = lit(1.0) / (lit(1.0) + exp(-z))
-    li.select(
-      when(u < p, 1L).otherwise(0L).as("target"),
-      col("l_extendedprice").cast(DoubleType).as("extendedprice"),
-      col("l_quantity").cast(DoubleType).as("quantity"),
-      col("l_discount").cast(DoubleType).as("discount"))
-  }
+  /** The deterministic LCG target of FIXTURES.md §2 over lineitem
+    * (single-sourced in SparkEntry).
+    */
+  def lcgFrame(sfDir: String): DataFrame = SparkEntry.lcgFrame(spark, sfDir)
 }
