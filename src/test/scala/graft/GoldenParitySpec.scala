@@ -112,6 +112,41 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(sums.getLong(1).toDouble == cntRow(1).asInstanceOf[Double])
   }
 
+  private def assertApplyAgg(
+      applied: org.apache.spark.sql.DataFrame, fixture: String): Unit = {
+    val exp = Golden.load(fixture)
+    val expCols = exp.columns.drop(1)
+    assert(applied.columns.toSeq == expCols,
+      s"$fixture columns: ${applied.columns.toSeq} vs $expCols")
+    val statIdx = exp.rows.map(r => r(0).toString).zipWithIndex.toMap
+    expCols.zipWithIndex.foreach { case (c, j) =>
+      val row = applied.agg(
+        sum(col(c)), avg(col(c)), count(col(c))).head()
+      def e(stat: String): Double =
+        exp.rows(statIdx(stat))(j + 1).asInstanceOf[Double]
+      assert(Golden.approxEq(row.getDouble(0), e("sum")), s"$fixture $c sum")
+      assert(Golden.approxEq(row.getDouble(1), e("mean")), s"$fixture $c mean")
+      assert(row.getLong(2).toDouble == e("count"), s"$fixture $c count")
+    }
+  }
+
+  test("golden: apply with iv_threshold=0 (ascending branch + bin_threshold filter)") {
+    val m = WoeBinning.fit(sf0001, "target",
+      Seq("extendedprice", "quantity", "discount"),
+      WoeFitOptions(nThreshold = Some(300)))
+    // quantity (1 bin) still dropped by bin_threshold=2; discount's
+    // ascending/left-closed orientation flows through apply
+    assertApplyAgg(m.transform(sf0001, ivThreshold = 0.0),
+      "sf0.001_apply_iv0_agg.json")
+  }
+
+  test("golden: sentinel bins through apply (sep splice edges)") {
+    val m = WoeBinning.fit(sf0001, "target", Seq("quantity"),
+      WoeFitOptions(nThreshold = Some(60), sepValue = Some(1.0)))
+    assertApplyAgg(m.transform(sf0001, ivThreshold = 0.0),
+      "sf0.001_apply_sep_agg.json")
+  }
+
   test("golden: n_occurences=50 (min-bads penalty path)") {
     val m = WoeBinning.fit(sf0001, "target", Seq("extendedprice"),
       WoeFitOptions(nThreshold = Some(300), nOccurrences = 50))

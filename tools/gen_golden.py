@@ -130,6 +130,19 @@ def main():
             dump(applied.head(200), f"{outdir}/{sf}_apply_head200.json")
             agg = applied.agg(["sum", "mean", "count"]).reset_index(names="stat")
             dump(agg, f"{outdir}/{sf}_apply_agg.json")
+            # iv_threshold=0 keeps the ascending (discount) and
+            # degenerate-descending (quantity) variables → pins the
+            # ascending/left-closed apply branch and remove_100_corr
+            applied0 = apply_bins(df, d, iv_threshold=0.0)
+            agg0 = applied0.agg(["sum", "mean", "count"]).reset_index(names="stat")
+            dump(agg0, f"{outdir}/{sf}_apply_iv0_agg.json")
+            # sentinel bins through apply (sep splice edges)
+            dsep = {"quantity": woe_binning_sep("target", "quantity",
+                                               df[["target", "quantity"]].copy(),
+                                               sep_value=1.0, n_threshold=60)}
+            asep = apply_bins(df, dsep, iv_threshold=0.0)
+            aggs = asep.agg(["sum", "mean", "count"]).reset_index(names="stat")
+            dump(aggs, f"{outdir}/{sf}_apply_sep_agg.json")
 
 
 if __name__ == "__main__":
