@@ -241,7 +241,11 @@ object Kernels {
     }
   }
 
-  private def isCompleteRow(b: WoeBin): Boolean =
+  /** pandas `dropna()` row semantics over the 11-column bins table:
+    * a row survives iff NO field is NaN (shared by the fit-side
+    * merge_threshold loop and the apply-side filters).
+    */
+  def isCompleteRow(b: WoeBin): Boolean =
     !(b.intervalStartInclude.isNaN || b.intervalEndExclude.isNaN ||
       b.size.isNaN || b.mean.isNaN || b.bads.isNaN || b.goods.isNaN ||
       b.distGood.isNaN || b.distBad.isNaN || b.woe.isNaN || b.ivComponents.isNaN)

@@ -41,16 +41,27 @@ object WoeBinning {
   /** The melt + exact-integer stats aggregation, shared by the batch
     * fit and the streaming incremental fit (StreamingWoe).
     */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "\\'") + "'"
+  private def sqlId(s: String): String = "`" + s.replace("`", "``") + "`"
+
   def statsAggregation(df: DataFrame, targetCol: String, inputCols: Seq[String]): DataFrame = {
+    require(inputCols.nonEmpty, "woe_binning: no feature columns to fit")
     val stackExpr = s"stack(${inputCols.length}, " +
-      inputCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+      inputCols.map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double)").mkString(", ") +
       ") as (variable, value)"
     // NaN and NULL are both "missing" (pandas dropna semantics)
-    df.selectExpr(stackExpr, s"cast(`$targetCol` as bigint) as t")
+    df.selectExpr(stackExpr,
+        s"cast(${sqlId(targetCol)} as double) as traw")
       .withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
       .groupBy("variable", "value")
-      .agg(count(lit(1)).as("cnt"), sum("t").as("tsum"),
-        count(col("t")).as("tcnt")) // non-null targets, for the null guard
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("traw").cast("bigint")).as("tsum"),
+        count(col("traw")).as("tcnt"), // non-null targets → null guard
+        // 0/1-domain guard: a fractional or NaN target would silently
+        // truncate under the integer-stats design
+        sum(when(col("traw") =!= 0.0 && col("traw") =!= 1.0, 1L)
+          .otherwise(0L)).as("tbad"))
   }
 
   /** Collected stats rows → per-variable exact sufficient statistics
@@ -60,12 +71,18 @@ object WoeBinning {
     */
   def statsFromRows(rows: Array[Row]): Map[String, Kernels.VarStats] =
     rows.groupBy(_.getString(0)).map { case (variable, vr) =>
-      // a null target would silently vanish from sum(); the reference's
-      // 0/1 contract never allows that — fail fast with the location
+      // a null target would silently vanish from sum(), and a
+      // fractional/NaN target would truncate under the integer-stats
+      // design; the reference's 0/1 contract allows neither — fail fast
+      def where(r: Row) =
+        s"(variable '$variable', value ${if (r.isNullAt(1)) "null" else r.getDouble(1)})"
       vr.find(r => r.isNullAt(3) || r.getLong(4) != r.getLong(2)).foreach { r =>
         throw new IllegalArgumentException(
-          s"woe_binning: target contains nulls (variable '$variable', " +
-            s"value ${if (r.isNullAt(1)) "null" else r.getDouble(1)})")
+          s"woe_binning: target contains nulls ${where(r)}")
+      }
+      vr.find(_.getLong(5) > 0).foreach { r =>
+        throw new IllegalArgumentException(
+          s"woe_binning: target must be 0/1 ${where(r)}")
       }
       val (nanRows, valRows) = vr.partition(_.isNullAt(1))
       val groups = valRows
@@ -168,11 +185,14 @@ object WoeBinning {
       sep: Double,
       cfg: WoeConfig): Vector[WoeBin] = {
     val (sepGroups, rest) = s.groups.partition(_._1 == sep)
-    // the reference crashes opaquely on these (binning.py:37, 49); fail fast
+    // the reference crashes opaquely on these (binning.py:37, 49); fail
+    // fast — the complement needs at least one NON-null value (a
+    // complement of only-null rows yields a lone NaN bin, which the
+    // stitch strips before indexing b(0))
     require(sepGroups.nonEmpty,
       s"woe_binning_sep: no rows of '${s.variable}' equal sep_value=$sep")
-    require(rest.nonEmpty || s.nanCount > 0,
-      s"woe_binning_sep: every row of '${s.variable}' equals sep_value=$sep — nothing to bin")
+    require(rest.nonEmpty,
+      s"woe_binning_sep: no non-null rows of '${s.variable}' differ from sep_value=$sep — nothing to bin")
     val sepStats = Kernels.VarStats(s.variable, sepGroups, 0L, 0L,
       sepGroups.iterator.map(_._2).sum, sepGroups.iterator.map(_._3).sum)
     // pandas `!=` keeps NaN rows in the complement (binning.py:43)
@@ -219,10 +239,7 @@ final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
       spark.sparkContext.parallelize(rows, 1), WoeBinning.binsSchema)
   }
 
-  private def isCompleteRow(b: WoeBin): Boolean =
-    !(b.intervalStartInclude.isNaN || b.intervalEndExclude.isNaN ||
-      b.size.isNaN || b.mean.isNaN || b.bads.isNaN || b.goods.isNaN ||
-      b.distGood.isNaN || b.distBad.isNaN || b.woe.isNaN || b.ivComponents.isNaN)
+  private def isCompleteRow(b: WoeBin): Boolean = Kernels.isCompleteRow(b)
 
   /** `apply_bins` (binning.py:268-304): per surviving variable compile
     * the learned bins into a single codegen-friendly `when`-chain over
@@ -241,43 +258,42 @@ final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
       binThreshold: Int = 2,
       remove100Corr: Boolean = true,
       passthrough: Boolean = false): DataFrame = {
-    // single job: exact medians for all candidate columns at once
-    val candidates = fitted.collect {
-      case (v, bs) if selectable(bs, ivThreshold, binThreshold) => v
+    // per-variable filters computed once: IV over complete rows,
+    // bin-count incl. NaN row, +inf-only exclusion (binning.py:278-280)
+    val withIv = fitted.map { case (v, bs) =>
+      val ivTotal = bs.filter(isCompleteRow).map(_.ivComponents).sum
+      val ok = !(ivTotal < ivThreshold || bs.length < binThreshold ||
+        ivTotal == Double.PositiveInfinity)
+      (v, bs, ivTotal, ok)
     }
-    val medians: Map[String, Double] =
-      if (candidates.isEmpty) Map.empty
+    // IV-equality dedup (binning.py:294-299), first occurrence wins
+    var seenIvs = List.empty[Double]
+    val selected = withIv.flatMap { case (v, bs, ivTotal, ok) =>
+      if (!ok) None
+      else if (remove100Corr && seenIvs.contains(ivTotal)) None
       else {
-        val aggs = candidates.map(c =>
+        seenIvs = ivTotal :: seenIvs
+        Some((v, bs))
+      }
+    }
+    // single job: exact medians for all selected columns at once
+    val medians: Map[String, Double] =
+      if (selected.isEmpty) Map.empty
+      else {
+        val aggs = selected.map { case (c, _) =>
           median(when(isnan(col(c).cast(DoubleType)), lit(null))
-            .otherwise(col(c).cast(DoubleType))).as(c))
+            .otherwise(col(c).cast(DoubleType))).as(c)
+        }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
-        candidates.zipWithIndex.map { case (c, i) =>
+        selected.zipWithIndex.map { case ((c, _), i) =>
           c -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
         }.toMap
       }
-    var seenIvs = List.empty[Double] // exact-equality dedup (binning.py:294-299)
-    val outCols = fitted.flatMap { case (variable, bs) =>
-      if (!selectable(bs, ivThreshold, binThreshold)) None
-      else {
-        val ivTotal = bs.filter(isCompleteRow).map(_.ivComponents).sum
-        if (remove100Corr && seenIvs.contains(ivTotal)) None
-        else {
-          seenIvs = ivTotal :: seenIvs
-          Some(applyExpr(variable, bs, medians(variable))
-            .as(variable + "_bin"))
-        }
-      }
+    val outCols = selected.map { case (variable, bs) =>
+      applyExpr(variable, bs, medians(variable)).as(variable + "_bin")
     }
     if (passthrough) df.select(col("*") +: outCols: _*)
     else df.select(outCols: _*)
-  }
-
-  private def selectable(bs: Vector[WoeBin], ivThreshold: Double, binThreshold: Int): Boolean = {
-    val ivTotal = bs.filter(isCompleteRow).map(_.ivComponents).sum
-    // `iv_total == np.inf` — only +inf is excluded (binning.py:279)
-    !(ivTotal < ivThreshold || bs.length < binThreshold ||
-      ivTotal == Double.PositiveInfinity)
   }
 
   /** pd.cut-equivalent expression for one variable (binning.py:283-303). */
@@ -298,8 +314,11 @@ final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
         Some(acc.fold(when(cond, lit(labels(k))))(_.when(cond, lit(labels(k)))))
     }
     val binned = chain.fold(lit(labels.last))(_.otherwise(lit(labels.last)))
-    // all-null apply column: pandas keeps NaN (median of empty = NaN)
-    when(base.isNull, lit(Double.NaN)).otherwise(binned)
+    // all-null/all-NaN apply column: median is NaN → base is NaN (never
+    // null — coalesce always lands on lit(med)); Spark's NaN-is-greatest
+    // ordering would otherwise fall through every cut to the LAST bin,
+    // where pandas' cut yields NaN (binning.py:297)
+    when(base.isNull || isnan(base), lit(Double.NaN)).otherwise(binned)
   }
 
   /** Persist as the stacked bins table (the reference user pickles the

@@ -59,6 +59,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("target contains nulls"))
   }
 
+  test("non-0/1 target fails fast (integer-stats design would truncate)") {
+    val df = sf0001.withColumn("target",
+      when(col("quantity") === 1.0, lit(0.5)).otherwise(col("target").cast("double")))
+    val e = intercept[IllegalArgumentException] {
+      WoeBinning.fit(df, "target", Seq("extendedprice"),
+        WoeFitOptions(nThreshold = Some(300)))
+    }
+    assert(e.getMessage.contains("must be 0/1"))
+  }
+
+  test("transform of an all-null apply column yields NaN, not the last bin") {
+    val m = WoeBinning.fit(sf0001, "target", Seq("extendedprice"),
+      WoeFitOptions(nThreshold = Some(300)))
+    val applyDf = sf0001.withColumn("extendedprice", lit(null).cast("double"))
+    val out = m.transform(applyDf)
+    val r = out.agg(
+      count(lit(1)), count(when(isnan(col("extendedprice_bin")), 1))).head()
+    assert(r.getLong(0) == 6000L && r.getLong(1) == 6000L,
+      "every imputed-with-NaN row must map to NaN like pd.cut")
+  }
+
   test("sentinel with absent sep_value fails fast with a clear message") {
     val e = intercept[IllegalArgumentException] {
       WoeBinning.fit(sf0001, "target", Seq("quantity"),
