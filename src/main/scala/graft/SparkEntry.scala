@@ -38,8 +38,8 @@ object SparkEntry {
       |         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
       |         CAST(l_quantity AS DOUBLE) AS quantity,
       |         CAST(l_discount AS DOUBLE) AS discount,
-      |         CASE WHEN CAST((((l_orderkey * 7919 + l_linenumber) * 1103515245 + 12345) % 2147483648
-      |                          + 2147483648) % 2147483648 AS DOUBLE) / 2147483648.0
+      |         CASE WHEN CAST(((((l_orderkey * 7919 + l_linenumber) % 2147483648 + 2147483648) % 2147483648
+      |                           * 1103515245 + 12345) % 2147483648 + 2147483648) % 2147483648 AS DOUBLE) / 2147483648.0
       |                   < 1.0 / (1.0 + exp(-((CAST(l_extendedprice AS DOUBLE) - 38000.0) / 15000.0)))
       |              THEN 1 ELSE 0 END AS target
       |  FROM lineitem
@@ -216,25 +216,35 @@ object SparkEntry {
     * semantics — and for integer outputs the hashes — are identical).
     */
   val duckdbOnlySql: Map[String, String] = Map(
+    // tokenization = \s+ regex with empties dropped, matching
+    // TextOps.tokens exactly (a plain ' ' split would diverge on
+    // tabs/newlines); empty docs guard the word-length division
     "q_text_stats" ->
-      """SELECT doc_id,
-        |       CAST(length(text) AS BIGINT) AS n_chars,
-        |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
-        |       CAST(length(text) - (len(list_filter(string_split(text, ' '), x -> x <> '')) - 1) AS DOUBLE)
-        |         / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_word_len,
-        |       CAST(len(list_filter(string_split(text, ' '),
-        |                x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS BIGINT) AS stop_hits
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(n_words AS BIGINT) AS n_words,
+        |       CASE WHEN n_words > 0
+        |            THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+        |            ELSE NULL END AS avg_word_len,
+        |       CAST(stop_hits AS BIGINT) AS stop_hits
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS en_hits,
-        |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de_hits,
-        |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr_hits,
-        |    len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es','un','una','en'))) AS es_hits
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        |    len(list_filter(string_split_regex(text,'\s+'), x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS en_hits,
+        |    len(list_filter(string_split_regex(text,'\s+'), x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS de_hits,
+        |    len(list_filter(string_split_regex(text,'\s+'), x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr_hits,
+        |    len(list_filter(string_split_regex(text,'\s+'), x -> x IN ('el','los','las','y','es','un','una','en'))) AS es_hits
         |  FROM documents)
         |SELECT doc_id,
-        |       CASE WHEN en_hits > 0 AND en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |       CASE WHEN cjk * 2 > n_chars THEN 'zh'
+        |            WHEN en_hits > 0 AND en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
         |            WHEN de_hits > 0 AND de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
         |            WHEN fr_hits > 0 AND fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
         |            WHEN es_hits > 0 AND es_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'es'
@@ -243,11 +253,12 @@ object SparkEntry {
     "q_dedup_token_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars,
-        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |         list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS toks
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM t a JOIN t b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_cosine_dups" ->
@@ -257,7 +268,8 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)
+        |WHERE list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+        |  AND list_dot_product(a.v, b.v)
         |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q_events_window" ->
@@ -298,7 +310,12 @@ object SparkEntry {
     */
   private[graft] def lcgColumns: Seq[org.apache.spark.sql.Column] = {
     val k = col("l_orderkey") * lit(7919L) + col("l_linenumber").cast("long")
-    val u = pmod(k * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    // reduce k mod 2^31 BEFORE the multiply: k*1103515245 overflows
+    // Long for orderkeys ≥ ~1.06M and Spark 4's default ANSI mode
+    // throws on overflow; (k mod m)*a + b ≡ k*a + b (mod m), and the
+    // reduced product peaks at 2^31·1.1e9 ≈ 2.4e18 < Long.Max
+    val kr = pmod(k, lit(2147483648L))
+    val u = pmod(kr * lit(1103515245L) + lit(12345L), lit(2147483648L))
       .cast(DoubleType) / lit(2147483648.0)
     val p = lit(1.0) /
       (lit(1.0) + exp(-(col("l_extendedprice") - lit(38000.0)) / lit(15000.0)))
@@ -375,7 +392,10 @@ object SparkEntry {
         docs.select(col("doc_id"),
             length(t).cast("bigint").as("n_chars"),
             nWords.cast("bigint").as("n_words"),
-            ((length(t) - (nWords - lit(1))).cast("double") / nWords).as("avg_word_len"),
+            // empty docs → NULL (and ANSI-safe), matching the oracle
+            when(nWords > 0,
+              (length(t) - (nWords - lit(1))).cast("double") / nWords)
+              .as("avg_word_len"),
             TextOps.stopwordHits(TextOps.tokens(t),
               TextOps.langFunctionWords.toMap.apply("en")).cast("bigint").as("stop_hits"))
           .orderBy("doc_id")
@@ -469,22 +489,28 @@ object SparkEntry {
           .binsDf(s)
       })
 
+  private val stageLock = new Object
+
   /** Stage a single-file table behind a directory symlink (file-stream
-    * sources require a directory).  Keyed by the sanitized path — NOT
-    * a hash, which could collide across dataset dirs.  The symlink is
-    * re-created each call so a dangling link (e.g. from a deleted
-    * dataset) cannot poison later runs.
+    * sources require a directory).  Keyed by sanitized path PLUS an
+    * md5 suffix (sanitization alone can collide: "sf-1" vs "sf_1");
+    * the symlink is re-created under a lock so a dangling link cannot
+    * poison later runs and concurrent suites cannot interleave the
+    * delete/create pair.
     */
-  private[graft] def stageAsDir(dir: String, table: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, table)
-    java.nio.file.Files.createDirectories(staged)
-    val link = staged.resolve(s"$table.parquet")
-    java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(
-      link, java.nio.file.Paths.get(dir, s"$table.parquet"))
-    staged.toString
-  }
+  private[graft] def stageAsDir(dir: String, table: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
+      val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, table)
+      java.nio.file.Files.createDirectories(staged)
+      val link = staged.resolve(s"$table.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir, s"$table.parquet"))
+      staged.toString
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the iterative-fit and

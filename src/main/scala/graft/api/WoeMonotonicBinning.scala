@@ -88,7 +88,10 @@ object WoeMonotonicBinning {
       mergeThreshold: Option[Double] = None): WoeBinningModel =
     WoeBinning.fit(df, target, df.columns.filter(_ != target).toSeq,
       WoeFitOptions(nThreshold = nThreshold, nOccurrences = nOccurrences,
-        pThreshold = pThreshold, sepValue = sepValue,
+        pThreshold = pThreshold,
+        // `if sep_value:` quirk (binning.py:88) — sep_value=0 is falsy
+        // in Python, so the reference's batch path silently ignores it
+        sepValue = sepValue.filter(_ != 0.0),
         mergeThreshold = mergeThreshold))
 
   /** `apply_bins(dataset, dict_woe, ...)` (binning.py:268) with the
@@ -109,6 +112,13 @@ object WoeMonotonicBinning {
   /** Rebuild a driver-side model from a stacked bins DataFrame (the
     * reference's `is_df=True` path, binning.py:271-277): variables
     * keyed by first occurrence, rows kept in frame order.
+    *
+    * ROW ORDER CONTRACT (same as the reference's pandas frame): each
+    * variable's rows must appear in bin order — true for any binsDf
+    * produced by this engine and for single-file parquet round-trips.
+    * A shuffled/unioned frame loses that order silently (pandas has
+    * the identical failure mode); use WoeBinningModel.save/load, which
+    * persists explicit ordinals, for durable storage.
     */
   def modelFromBinsDf(binsDf: DataFrame): WoeBinningModel = {
     val rows = binsDf.select("variable", "interval_start_include",

@@ -65,12 +65,22 @@ object DedupOps {
 
   /** Exact-duplicate groups: content-hash groupBy keeping the minimum
     * id as the canonical row.  One shuffle on the 128-bit hash.
+    * No collect_list of member ids — a boilerplate document duplicated
+    * billions of times would put unbounded state in one aggregate row;
+    * recover members by joining the hash back when needed
+    * (`exactDupMembers`).
     */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
-      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"),
-        collect_list(col(idCol)).as("ids"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
       .filter(col("cnt") > 1)
+
+  /** (content_hash, id) membership rows for the duplicate groups —
+    * the bounded-row form of the member listing.
+    */
+  def exactDupMembers(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol).as("id"))
+      .join(exactDupGroups(df, textCol, idCol).select("content_hash"), "content_hash")
 
   /** MinHash-LSH near-duplicate candidate pairs, verified with exact
     * shingle-set Jaccard.
@@ -212,6 +222,8 @@ object DedupOps {
     val l = t.as("l")
     val r = t.as("r")
     l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      // token-less pairs have union 0 → skip (ANSI divide-by-zero)
+      .filter(size(array_union(col("l.toks"), col("r.toks"))) > 0)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         (size(array_intersect(col("l.toks"), col("r.toks"))).cast("double") /
           size(array_union(col("l.toks"), col("r.toks")))).as("jaccard"))

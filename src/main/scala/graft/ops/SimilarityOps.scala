@@ -33,12 +33,17 @@ object SimilarityOps {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10): DataFrame = {
     // norms precomputed per side — computing cosine(cv,qv) directly
-    // would inline THREE dot products per candidate pair
+    // would inline THREE dot products per candidate pair.  Zero-norm
+    // vectors (padding rows, failed encodes) have no direction and are
+    // dropped — under Spark 4's default ANSI mode the division would
+    // otherwise kill the whole job
     val joined = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"),
         norm(col(corpusVec)).as("cn"))
+      .filter(col("cn") > 0)
       .crossJoin(broadcast(
         queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
-          norm(col(queryVec)).as("qn"))))
+          norm(col(queryVec)).as("qn"))
+          .filter(col("qn") > 0)))
       .select(col("query_id"), col("corpus_id"),
         (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
@@ -77,8 +82,9 @@ object SimilarityOps {
       bits: Int = 8, dim: Int = 64,
       threshold: Double = 0.9): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"),
-      lshBucket(col(vecCol), bits, dim).as("bucket"))
+        norm(col(vecCol)).as("nrm"),
+        lshBucket(col(vecCol), bits, dim).as("bucket"))
+      .filter(col("nrm") > 0) // zero-norm: no direction; ANSI-safe
     val l = b.as("l")
     val r = b.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
@@ -94,7 +100,8 @@ object SimilarityOps {
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"),
-      norm(col(vecCol)).as("nrm"))
+        norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm: no direction; ANSI-safe
     val l = b.as("l")
     val r = b.as("r")
     l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
@@ -114,12 +121,14 @@ object SimilarityOps {
       queries: DataFrame, queryId: String, queryVec: String,
       bits: Int = 8, dim: Int = 64, k: Int = 10): DataFrame = {
     val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"),
-      norm(col(corpusVec)).as("cn"),
-      lshBucket(col(corpusVec), bits, dim).as("bucket"))
+        norm(col(corpusVec)).as("cn"),
+        lshBucket(col(corpusVec), bits, dim).as("bucket"))
+      .filter(col("cn") > 0) // zero-norm: no direction; ANSI-safe
     // multi-probe: own bucket + all 1-bit flips
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
         norm(col(queryVec)).as("qn"),
         lshBucket(col(queryVec), bits, dim).as("qbucket"))
+      .filter(col("qn") > 0)
       .select(col("query_id"), col("qv"), col("qn"),
         explode(array((0 to bits).map { i =>
           if (i == 0) col("qbucket")

@@ -24,8 +24,9 @@ object StreamingOps {
     StructField("props", StringType)))
 
   private def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time",
-      timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+    // integer DIV: double division of ns values (> 2^53) is off by
+    // 1µs on ~13% of timestamps, shifting window-boundary events
+    df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
   def readEventsBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -19,24 +19,27 @@ class OpsSpec extends AnyFunSuite {
     val pairs = DedupOps.minhashPairs(docs, "text", "doc_id",
       jaccardThreshold = 0.9).collect()
     // sf0.1 has 8 exact-duplicate text pairs — all must surface with j=1.0
-    val exact = DedupOps.exactDupGroups(docs, "text", "doc_id").collect()
-    assert(exact.length == 8)
-    val exactPairs = exact.map { r =>
-      val ids = r.getSeq[Long](3).sorted
-      (ids(0), ids(1))
-    }.toSet
+    assert(DedupOps.exactDupGroups(docs, "text", "doc_id").count() == 8)
+    val exactPairs = dupPairs(docs)
     val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactPairs.subsetOf(found),
       s"missing exact pairs: ${exactPairs.diff(found)}")
     pairs.foreach(r => assert(r.getDouble(2) >= 0.9))
   }
 
+  /** The exact-duplicate id pairs via the bounded membership form. */
+  private def dupPairs(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    DedupOps.exactDupMembers(docs, "text", "doc_id").collect()
+      .groupBy(_.getString(0)).values.map { rs =>
+        val ids = rs.map(_.getLong(1)).sorted
+        (ids(0), ids(1))
+      }.toSet
+
   test("simhash pairs include the exact duplicates at hamming 0") {
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
     val pairs = DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    val exact = DedupOps.exactDupGroups(docs, "text", "doc_id").collect()
-      .map { r => val ids = r.getSeq[Long](3).sorted; (ids(0), ids(1)) }.toSet
+    val exact = dupPairs(docs)
     val zeroHam = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
     assert(exact.subsetOf(zeroHam))
   }
