@@ -117,33 +117,44 @@ class WoeBinningTransformer(
 
 object WoeBinningTransformer extends MLReadable[WoeBinningTransformer] {
 
-  // DefaultParamsWriter/Reader are private[ml]; a minimal hand-rolled
-  // metadata file carries uid + the transform-time params
+  // DefaultParamsWriter/Reader are private[ml]; the Writer emits the
+  // SAME on-disk shape they use — a single-line JSON text file at
+  // <path>/metadata with class/uid/paramMap — so PipelineModel.load
+  // (which reflects on the "class" field and dispatches to this
+  // companion's read) works alongside direct load.
   private[spark] class Writer(instance: WoeBinningTransformer) extends MLWriter {
     override protected def saveImpl(path: String): Unit = {
-      import org.apache.spark.sql.functions.lit
       instance.core.save(sparkSession, new Path(path, "bins").toString)
-      sparkSession.range(1).select(
-          lit(instance.uid).as("uid"),
-          lit(instance.getOrDefault(instance.ivThreshold)).as("ivThreshold"),
-          lit(instance.getOrDefault(instance.binThreshold)).as("binThreshold"),
-          lit(instance.getOrDefault(instance.remove100Corr)).as("remove100Corr"),
-          lit(instance.getOrDefault(instance.passthrough)).as("passthrough"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new Path(path, "metadata").toString)
+      val json =
+        s"""{"class":"${classOf[WoeBinningTransformer].getName}",""" +
+          s""""timestamp":${System.currentTimeMillis()},""" +
+          s""""sparkVersion":"${sparkSession.version}",""" +
+          s""""uid":"${instance.uid}",""" +
+          s""""paramMap":{"ivThreshold":${instance.getOrDefault(instance.ivThreshold)},""" +
+          s""""binThreshold":${instance.getOrDefault(instance.binThreshold)},""" +
+          s""""remove100Corr":${instance.getOrDefault(instance.remove100Corr)},""" +
+          s""""passthrough":${instance.getOrDefault(instance.passthrough)}},""" +
+          s""""defaultParamMap":{}}"""
+      sparkSession.sparkContext.parallelize(Seq(json), 1)
+        .saveAsTextFile(new Path(path, "metadata").toString)
     }
   }
 
   private class Reader extends MLReader[WoeBinningTransformer] {
     override def load(path: String): WoeBinningTransformer = {
       val core = WoeBinningModel.load(sparkSession, new Path(path, "bins").toString)
-      val meta = sparkSession.read
-        .parquet(new Path(path, "metadata").toString).head()
-      val m = new WoeBinningTransformer(meta.getAs[String]("uid"), core)
-      m.set(m.ivThreshold, meta.getAs[Double]("ivThreshold"))
-        .set(m.binThreshold, meta.getAs[Int]("binThreshold"))
-        .set(m.remove100Corr, meta.getAs[Boolean]("remove100Corr"))
-        .set(m.passthrough, meta.getAs[Boolean]("passthrough"))
+      val json = sparkSession.sparkContext
+        .textFile(new Path(path, "metadata").toString, 1).first()
+      def field(name: String): String = {
+        val m = (s""""$name":("[^"]*"|[^,}]*)""").r.findFirstMatchIn(json)
+        m.map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+          .getOrElse(sys.error(s"WoeBinningTransformer.load: missing $name in metadata"))
+      }
+      val m = new WoeBinningTransformer(field("uid"), core)
+      m.set(m.ivThreshold, field("ivThreshold").toDouble)
+        .set(m.binThreshold, field("binThreshold").toInt)
+        .set(m.remove100Corr, field("remove100Corr").toBoolean)
+        .set(m.passthrough, field("passthrough").toBoolean)
       m
     }
   }

@@ -94,6 +94,20 @@ class ApiSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("fitted PipelineModel save/load round-trips (standard stage metadata)") {
+    val est = new WoeBinningEstimator()
+      .setTargetCol("target")
+      .setInputCols(Array("extendedprice"))
+      .setNThreshold(300)
+    val pm = new org.apache.spark.ml.Pipeline().setStages(Array(est)).fit(sf0001)
+    val path = "/tmp/graft-pipeline-model"
+    pm.write.overwrite().save(path)
+    val loaded = org.apache.spark.ml.PipelineModel.load(path)
+    val s1 = pm.transform(sf0001).agg(sum("extendedprice_bin")).head().getDouble(0)
+    val s2 = loaded.transform(sf0001).agg(sum("extendedprice_bin")).head().getDouble(0)
+    assert(s1 == s2)
+  }
+
   test("MLlib transformer passthrough keeps input columns") {
     val model = new WoeBinningEstimator()
       .setTargetCol("target")
