@@ -90,6 +90,13 @@ class GoldenParitySpec extends AnyFunSuite {
     assertMatches(m.bins("quantity"), "sf0.001_quantity_sep1_n60.json")
   }
 
+  test("golden: sentinel + merge_threshold threaded into both subset fits") {
+    val m = WoeBinning.fit(sf0001, "target", Seq("quantity"),
+      WoeFitOptions(nThreshold = Some(60), sepValue = Some(1.0),
+        mergeThreshold = Some(0.5)))
+    assertMatches(m.bins("quantity"), "sf0.001_quantity_sep1_n60_mt05.json")
+  }
+
   test("golden: apply_bins aggregate parity (3-col batch, n=300)") {
     val m = WoeBinning.fit(sf0001, "target",
       Seq("extendedprice", "quantity", "discount"),

@@ -96,6 +96,13 @@ def main():
             bins = woe_binning_sep("target", "quantity", dfs, sep_value=1.0,
                                    n_threshold=60)
             dump(bins, f"{outdir}/{sf}_quantity_sep1_n60.json")
+            # sentinel + merge_threshold combined (threaded into both
+            # subset fits, binning.py:36,44)
+            bins = woe_binning_sep("target", "quantity",
+                                   df[["target", "quantity"]].copy(),
+                                   sep_value=1.0, n_threshold=60,
+                                   merge_threshold=0.5)
+            dump(bins, f"{outdir}/{sf}_quantity_sep1_n60_mt05.json")
             # smaller threshold → more bins (orientation + deeper merge paths)
             bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
                                n_threshold=60)
