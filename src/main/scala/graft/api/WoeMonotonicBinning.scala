@@ -117,8 +117,12 @@ object WoeMonotonicBinning {
     * variable's rows must appear in bin order — true for any binsDf
     * produced by this engine and for single-file parquet round-trips.
     * A shuffled/unioned frame loses that order silently (pandas has
-    * the identical failure mode); use WoeBinningModel.save/load, which
-    * persists explicit ordinals, for durable storage.
+    * the identical failure mode) — Spark frames lose order far more
+    * easily (repartition, union, multi-file parquet), so disorder is
+    * DETECTED here: a valid fit's complete rows always carry strictly
+    * monotone interval starts (both orientations, sentinel stitch and
+    * merge_bins included), and a violation fails fast with a pointer
+    * to WoeBinningModel.save/load, which persists explicit ordinals.
     */
   def modelFromBinsDf(binsDf: DataFrame): WoeBinningModel = {
     val rows = binsDf.select("variable", "interval_start_include",
@@ -134,6 +138,22 @@ object WoeMonotonicBinning {
         case Some(v) => Some(v :+ b)
         case None => Some(Vector(b))
       }
+    }
+    order.foreach { case (v, bs) =>
+      val complete = bs.filter(Kernels.isCompleteRow)
+      // the cut sequence apply consumes: starts plus the outermost end —
+      // including the end also catches a fully REVERSED frame, whose
+      // starts alone read as valid opposite-orientation bins
+      val cuts = complete.map(_.intervalStartInclude) ++
+        complete.lastOption.map(_.intervalEndExclude)
+      val monotone = complete.length < 2 ||
+        cuts.iterator.sliding(2).forall(p => p.head < p(1)) ||
+        cuts.iterator.sliding(2).forall(p => p.head > p(1))
+      require(monotone,
+        s"apply_bins(is_df): bins of variable '$v' are not in bin order — " +
+          "the stacked frame's row order was lost (repartition/union/" +
+          "multi-file parquet read). Use WoeBinningModel.save/load, " +
+          "which persists explicit bin ordinals.")
     }
     new WoeBinningModel(order.toSeq)
   }

@@ -346,27 +346,50 @@ object Kernels {
     val n = s.totalRows
     val q1 = n / 4 // int(size/4)
     val q3 = (3L * n) / 4 // int(size*3/4)
-    def takeFirst(k: Long): Double = {
+    // second slot: how far the fractional estimate can deviate from the
+    // sum of ANY specific r rows pandas' unstable sort might have placed
+    // in the quartile — nonzero only when the boundary group has
+    // heterogeneous targets (0 < tsum < cnt)
+    def takeFirst(k: Long): (Double, Double) = {
       var sum = 0.0
+      var dev = 0.0
       var taken = 0L
+      def partial(cnt: Long, tsum: Long): Unit = {
+        val r = (k - taken).toDouble
+        val est = tsum.toDouble / cnt.toDouble * r
+        sum += est
+        val lo = math.max(0.0, tsum.toDouble - (cnt.toDouble - r))
+        val hi = math.min(tsum.toDouble, r)
+        dev = math.max(est - lo, hi - est)
+        taken = k
+      }
       val it = s.groups.iterator
       var doneG = false
       while (!doneG && it.hasNext) {
         val (_, cnt, tsum) = it.next()
         if (taken + cnt <= k) { sum += tsum.toDouble; taken += cnt }
-        else {
-          sum += tsum.toDouble / cnt.toDouble * (k - taken).toDouble
-          taken = k
-          doneG = true
-        }
+        else { partial(cnt, tsum); doneG = true }
         if (taken == k) doneG = true
       }
       if (taken < k && s.nanCount > 0) // boundary reaches into NaN rows (sorted last)
-        sum += s.nanTsum.toDouble / s.nanCount.toDouble * (k - taken).toDouble
-      sum
+        partial(s.nanCount, s.nanTsum)
+      (sum, dev)
     }
-    val bottom = takeFirst(q1)
-    val top = s.totalTsum.toDouble - takeFirst(q3)
+    val (bottom, devBottom) = takeFirst(q1)
+    val (topTaken, devTop) = takeFirst(q3)
+    val top = s.totalTsum.toDouble - topTaken
+    // ADVICE r01: when a straddling group is heterogeneous and the two
+    // quartile sums are close enough that a different row selection
+    // could flip the comparison, surface it — the reference itself is
+    // nondeterministic here (unstable sort), so a mismatch against one
+    // given pandas run is possible
+    val slack = devBottom + devTop
+    if (slack > 0.0 && math.abs(bottom - top) <= slack)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"detectOrder(${s.variable}): quartile boundary splits a mixed-" +
+          s"target value group and |bottom-top|=${math.abs(bottom - top)} " +
+          s"<= attainable deviation $slack — orientation may differ from " +
+          "a specific pandas run (reference is nondeterministic here)")
     bottom > top
   }
 

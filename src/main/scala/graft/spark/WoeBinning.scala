@@ -56,11 +56,16 @@ object WoeBinning {
       .groupBy("variable", "value")
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("traw").cast("bigint")).as("tsum"),
+        // NaN → null before the bigint cast: under ANSI mode (Spark 4
+        // default) cast(NaN as bigint) throws a raw ArithmeticException
+        // at the executor, pre-empting the friendly 0/1-domain error
+        sum(when(isnan(col("traw")), lit(null))
+          .otherwise(col("traw")).cast("bigint")).as("tsum"),
         count(col("traw")).as("tcnt"), // non-null targets → null guard
         // 0/1-domain guard: a fractional or NaN target would silently
         // truncate under the integer-stats design
-        sum(when(col("traw") =!= 0.0 && col("traw") =!= 1.0, 1L)
+        sum(when(isnan(col("traw")) ||
+            (col("traw") =!= 0.0 && col("traw") =!= 1.0), 1L)
           .otherwise(0L)).as("tbad"))
   }
 
@@ -76,13 +81,15 @@ object WoeBinning {
       // design; the reference's 0/1 contract allows neither — fail fast
       def where(r: Row) =
         s"(variable '$variable', value ${if (r.isNullAt(1)) "null" else r.getDouble(1)})"
-      vr.find(r => r.isNullAt(3) || r.getLong(4) != r.getLong(2)).foreach { r =>
-        throw new IllegalArgumentException(
-          s"woe_binning: target contains nulls ${where(r)}")
-      }
+      // domain check FIRST: an all-NaN group also has a null tsum (the
+      // NaN→null cast guard), and "must be 0/1" is the accurate error
       vr.find(_.getLong(5) > 0).foreach { r =>
         throw new IllegalArgumentException(
           s"woe_binning: target must be 0/1 ${where(r)}")
+      }
+      vr.find(r => r.isNullAt(3) || r.getLong(4) != r.getLong(2)).foreach { r =>
+        throw new IllegalArgumentException(
+          s"woe_binning: target contains nulls ${where(r)}")
       }
       val (nanRows, valRows) = vr.partition(_.isNullAt(1))
       val groups = valRows
@@ -251,13 +258,20 @@ final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
     * variables are deduped by exact total-IV equality when
     * remove100Corr (binning.py:294-299); output holds ONLY the
     * `<col>_bin` columns unless passthrough is set.
+    *
+    * The surviving-variable set is DATA-DEPENDENT (IV / bin-count /
+    * dedup filters) — like the reference, the default output may have
+    * fewer columns than fitted variables.  `exactSchema = true` keeps
+    * one `<col>_bin` column per fitted variable, emitting NULL for the
+    * filtered ones, so the output schema is static.
     */
   def transform(
       df: DataFrame,
       ivThreshold: Double = 0.02,
       binThreshold: Int = 2,
       remove100Corr: Boolean = true,
-      passthrough: Boolean = false): DataFrame = {
+      passthrough: Boolean = false,
+      exactSchema: Boolean = false): DataFrame = {
     // per-variable filters computed once: IV over complete rows,
     // bin-count incl. NaN row, +inf-only exclusion (binning.py:278-280)
     val withIv = fitted.map { case (v, bs) =>
@@ -268,14 +282,16 @@ final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
     }
     // IV-equality dedup (binning.py:294-299), first occurrence wins
     var seenIvs = List.empty[Double]
-    val selected = withIv.flatMap { case (v, bs, ivTotal, ok) =>
-      if (!ok) None
-      else if (remove100Corr && seenIvs.contains(ivTotal)) None
-      else {
-        seenIvs = ivTotal :: seenIvs
-        Some((v, bs))
+    val kept: Seq[(String, Option[Vector[WoeBin]])] =
+      withIv.map { case (v, bs, ivTotal, ok) =>
+        if (!ok) (v, None)
+        else if (remove100Corr && seenIvs.contains(ivTotal)) (v, None)
+        else {
+          seenIvs = ivTotal :: seenIvs
+          (v, Some(bs))
+        }
       }
-    }
+    val selected = kept.collect { case (v, Some(bs)) => (v, bs) }
     // single job: exact medians for all selected columns at once
     val medians: Map[String, Double] =
       if (selected.isEmpty) Map.empty
@@ -289,9 +305,14 @@ final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
           c -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
         }.toMap
       }
-    val outCols = selected.map { case (variable, bs) =>
-      applyExpr(variable, bs, medians(variable)).as(variable + "_bin")
-    }
+    val outCols =
+      if (exactSchema) kept.map {
+        case (v, Some(bs)) => applyExpr(v, bs, medians(v)).as(v + "_bin")
+        case (v, None) => lit(null).cast(DoubleType).as(v + "_bin")
+      }
+      else selected.map { case (variable, bs) =>
+        applyExpr(variable, bs, medians(variable)).as(variable + "_bin")
+      }
     if (passthrough) df.select(col("*") +: outCols: _*)
     else df.select(outCols: _*)
   }

@@ -11,6 +11,14 @@ import org.apache.spark.sql.types._
   * Estimator/Model shape the reference's fit/transform pattern maps to
   * (SURVEY.md §0 item 3).  Composes with `org.apache.spark.ml.Pipeline`
   * and persists via the usual `.write.save(path)`.
+  *
+  * SCHEMA CONTRACT: like the reference's `apply_bins` (binning.py:
+  * 278-299), the default transform output is DATA-DEPENDENT — variables
+  * failing the IV / bin-count / dedup filters are dropped, so the
+  * actual columns can be a subset of what `transformSchema` declares
+  * (one `<col>_bin` per input).  Set `exactSchema = true` to emit a
+  * NULL-valued `<col>_bin` for every filtered variable instead, making
+  * the declared schema exact for downstream pipeline stages.
   */
 class WoeBinningEstimator(override val uid: String)
     extends Estimator[WoeBinningTransformer] with WoeBinningParams
@@ -30,6 +38,7 @@ class WoeBinningEstimator(override val uid: String)
   def setBinThreshold(v: Int): this.type = set(binThreshold, v)
   def setRemove100Corr(v: Boolean): this.type = set(remove100Corr, v)
   def setPassthrough(v: Boolean): this.type = set(passthrough, v)
+  def setExactSchema(v: Boolean): this.type = set(exactSchema, v)
 
   override def fit(ds: Dataset[_]): WoeBinningTransformer = {
     val opts = WoeFitOptions(
@@ -70,10 +79,13 @@ trait WoeBinningParams extends Params {
     "drop variables whose total IV exactly repeats")
   final val passthrough = new BooleanParam(this, "passthrough",
     "keep input columns alongside the *_bin outputs")
+  final val exactSchema = new BooleanParam(this, "exactSchema",
+    "emit NULL *_bin columns for IV/bin-count/dedup-filtered variables " +
+      "so the output always matches the declared schema")
 
   setDefault(targetCol -> "target", nOccurrences -> 1.0, pThreshold -> 0.1,
     ivThreshold -> 0.02, binThreshold -> 2, remove100Corr -> true,
-    passthrough -> false)
+    passthrough -> false, exactSchema -> false)
 }
 
 object WoeBinningParams {
@@ -97,13 +109,14 @@ class WoeBinningTransformer(
   def setBinThreshold(v: Int): this.type = set(binThreshold, v)
   def setRemove100Corr(v: Boolean): this.type = set(remove100Corr, v)
   def setPassthrough(v: Boolean): this.type = set(passthrough, v)
+  def setExactSchema(v: Boolean): this.type = set(exactSchema, v)
 
   /** The stacked 11-column bins table. */
   def binsDf(spark: SparkSession): DataFrame = core.binsDf(spark)
 
   override def transform(ds: Dataset[_]): DataFrame =
     core.transform(ds.toDF(), $(ivThreshold), $(binThreshold),
-      $(remove100Corr), $(passthrough))
+      $(remove100Corr), $(passthrough), $(exactSchema))
 
   override def transformSchema(schema: StructType): StructType =
     WoeBinningParams.outputSchema(schema,
@@ -133,7 +146,8 @@ object WoeBinningTransformer extends MLReadable[WoeBinningTransformer] {
           s""""paramMap":{"ivThreshold":${instance.getOrDefault(instance.ivThreshold)},""" +
           s""""binThreshold":${instance.getOrDefault(instance.binThreshold)},""" +
           s""""remove100Corr":${instance.getOrDefault(instance.remove100Corr)},""" +
-          s""""passthrough":${instance.getOrDefault(instance.passthrough)}},""" +
+          s""""passthrough":${instance.getOrDefault(instance.passthrough)},""" +
+          s""""exactSchema":${instance.getOrDefault(instance.exactSchema)}},""" +
           s""""defaultParamMap":{}}"""
       sparkSession.sparkContext.parallelize(Seq(json), 1)
         .saveAsTextFile(new Path(path, "metadata").toString)
@@ -155,6 +169,9 @@ object WoeBinningTransformer extends MLReadable[WoeBinningTransformer] {
         .set(m.binThreshold, field("binThreshold").toInt)
         .set(m.remove100Corr, field("remove100Corr").toBoolean)
         .set(m.passthrough, field("passthrough").toBoolean)
+      // absent in pre-exactSchema saves → keep the false default
+      val exact = (""""exactSchema":(true|false)""").r.findFirstMatchIn(json)
+      exact.foreach(g => m.set(m.exactSchema, g.group(1).toBoolean))
       m
     }
   }

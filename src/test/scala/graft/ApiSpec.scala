@@ -108,6 +108,56 @@ class ApiSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("applyBins(is_df) detects a bins frame whose row order was lost") {
+    val model = WoeBinning.fit(sf0001, "target", Seq("extendedprice"),
+      WoeFitOptions(nThreshold = Some(300)))
+    // |woe| interleaves the ends of the U-shaped woe profile → the
+    // start sequence is no longer monotone in either direction
+    val shuffled = model.binsDf(spark).orderBy(abs(col("woe")))
+    val e = intercept[IllegalArgumentException] {
+      WoeMonotonicBinning.applyBins(sf0001, shuffled)
+    }
+    assert(e.getMessage.contains("not in bin order"))
+    // a fully reversed frame has monotone starts but a wrong-way
+    // outermost end — must also be rejected
+    val reversed = model.binsDf(spark).orderBy(col("interval_start_include"))
+    val e2 = intercept[IllegalArgumentException] {
+      WoeMonotonicBinning.applyBins(sf0001, reversed)
+    }
+    assert(e2.getMessage.contains("not in bin order"))
+    // the engine's own frame and a parquet round-trip still pass
+    val path = "/tmp/graft-binsdf-roundtrip"
+    model.binsDf(spark).coalesce(1).write.mode("overwrite").parquet(path)
+    assert(WoeMonotonicBinning.applyBins(sf0001, spark.read.parquet(path))
+      .columns.toSeq == Seq("extendedprice_bin"))
+  }
+
+  test("exactSchema emits NULL *_bin columns for filtered variables") {
+    val model = new WoeBinningEstimator()
+      .setTargetCol("target")
+      .setInputCols(Array("extendedprice", "quantity", "discount"))
+      .setNThreshold(300)
+      .fit(sf0001)
+    // default: data-dependent columns (quantity/discount filtered)
+    assert(model.transform(sf0001).columns.toSeq == Seq("extendedprice_bin"))
+    // exactSchema: transform output == declared transformSchema
+    val exact = model.setExactSchema(true)
+    val out = exact.transform(sf0001)
+    assert(out.schema.fieldNames.toSeq ==
+      exact.transformSchema(sf0001.schema).fieldNames.toSeq)
+    assert(out.columns.toSeq ==
+      Seq("extendedprice_bin", "quantity_bin", "discount_bin"))
+    val r = out.agg(
+      count(col("quantity_bin")), count(col("discount_bin")),
+      count(col("extendedprice_bin"))).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L, "filtered vars must be all-NULL")
+    assert(r.getLong(2) == 6000L)
+    // the flag persists through save/load
+    val path = "/tmp/graft-mllib-exactschema"
+    exact.write.overwrite().save(path)
+    assert(WoeBinningTransformer.load(path).transform(sf0001).columns.length == 3)
+  }
+
   test("MLlib transformer passthrough keeps input columns") {
     val model = new WoeBinningEstimator()
       .setTargetCol("target")

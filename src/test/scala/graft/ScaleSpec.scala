@@ -59,6 +59,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("target contains nulls"))
   }
 
+  test("NaN target fails fast with the 0/1 message, not a raw ANSI cast error") {
+    // ADVICE r01: cast(NaN as bigint) throws ArithmeticException under
+    // Spark 4 ANSI mode before the friendly guard unless the cast is
+    // NaN-guarded
+    val df = sf0001.withColumn("target",
+      when(col("quantity") === 1.0, lit(Double.NaN)).otherwise(col("target").cast("double")))
+    val e = intercept[IllegalArgumentException] {
+      WoeBinning.fit(df, "target", Seq("extendedprice"),
+        WoeFitOptions(nThreshold = Some(300)))
+    }
+    assert(e.getMessage.contains("must be 0/1"))
+  }
+
   test("non-0/1 target fails fast (integer-stats design would truncate)") {
     val df = sf0001.withColumn("target",
       when(col("quantity") === 1.0, lit(0.5)).otherwise(col("target").cast("double")))
