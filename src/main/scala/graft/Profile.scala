@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only stage profiler: times labeled sub-stages of the slowest
+  * bench queries so optimization is measurement-driven.  Not part of
+  * the driver contract.
+  *
+  * Usage: sbt "runMain graft.Profile [sfDir]"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    // ---- fit phases
+    val df = SparkEntry.lcgFrame(spark, sfDir).cache()
+    time("lcgFrame count (cache)")(df.count())
+    val stats = time("sufficientStats collect") {
+      graft.spark.WoeBinning.sufficientStats(df, "target", Seq("extendedprice"))
+    }
+    val s = stats("extendedprice")
+    println(s"[profile] distinct groups: ${s.groups.length}")
+    val cfgDefault = graft.core.WoeConfig(nThreshold = math.ceil(s.totalRows / 20.0))
+    val cfg300 = graft.core.WoeConfig(nThreshold = 300)
+    Seq(("kernels nThr=default(N/20)", cfgDefault), ("kernels nThr=300", cfg300))
+      .foreach { case (label, cfg) =>
+        time(label) {
+          val asc = graft.core.Kernels.detectOrder(s)
+          val gs = s.groups.map { case (v, cnt, t) =>
+            graft.core.GroupStat(v, cnt.toDouble, t.toDouble / cnt,
+              graft.core.Kernels.binaryStd(cnt, t))
+          }
+          val sorted = if (asc) gs else gs.reverse
+          val pooled = time(s"  monotonePool")(graft.core.Kernels.monotonePool(sorted))
+          println(s"[profile]   pooled groups: ${pooled.length}")
+          time(s"  significanceMerge") {
+            graft.core.Kernels.significanceMerge(pooled, cfg.nThreshold,
+              cfg.nOccurrences, cfg.pThreshold)
+          }.length
+        }
+      }
+
+    // ---- minhash stages
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+    time("documents count (cache)")(docs.count())
+    time("q_dedup_minhash full") {
+      graft.ops.DedupOps.minhashPairs(docs, "text", "doc_id", jaccardThreshold = 0.5).count()
+    }
+    time("q_dedup_minhash full 2nd") {
+      graft.ops.DedupOps.minhashPairs(docs, "text", "doc_id", jaccardThreshold = 0.5).count()
+    }
+    // minhash sub-stages
+    locally {
+      val P = 2147483647L
+      val shingled = docs.select(col("doc_id").as("id"),
+          graft.ops.DedupOps.shingles(col("text"), 3).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("  shingled materialize")(shingled.count())
+      println(s"[profile]   total shingles: " +
+        shingled.agg(sum(size(col("sh")))).head().getLong(0))
+      val exploded = shingled.select(col("id"),
+        explode(transform(col("sh"), s => pmod(xxhash64(s), lit(P)))).as("h"))
+      time("  explode count")(exploded.count())
+      val sigs = {
+        val minCols = graft.ops.DedupOps.hashParams(32).zipWithIndex.map {
+          case ((a, b), i) => min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+        }
+        exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+          .select(col("id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
+      }
+      time("  sigs compute")(sigs.count())
+      val sigsP = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigsP.count()
+      val banded = sigsP.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          b => xxhash64(slice(col("sig"), b * lit(4) + lit(1), lit(4)))))
+          .as(Seq("band", "band_hash")))
+      val cand = banded.as("l").join(banded.as("r"),
+          col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      time("  band join (sigs persisted)")(cand.count())
+      val verified = cand
+        .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      time("  verify join")(verified.count())
+      shingled.unpersist(); sigsP.unpersist()
+    }
+    time("q_dedup_simhash full") {
+      graft.ops.DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 3).count()
+    }
+
+    // ---- apply phases
+    val m = time("fit 3 cols nThr=300") {
+      graft.spark.WoeBinning.fit(df, "target",
+        Seq("extendedprice", "quantity", "discount"),
+        graft.spark.WoeFitOptions(nThreshold = Some(300)))
+    }
+    time("transform count")(m.transform(df).count())
+
+    // ---- streaming fit
+    time("q_fit_streaming full") {
+      SparkEntry.queries("q_fit_streaming")(spark, sfDir).count()
+    }
+    spark.stop()
+  }
+}

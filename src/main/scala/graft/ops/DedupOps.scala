@@ -23,7 +23,7 @@ object DedupOps {
   private val P: Long = 2147483647L // 2^31-1, Mersenne prime
 
   /** Deterministic (a,b) parameters for the minhash family. */
-  private def hashParams(n: Int): Seq[(Long, Long)] = {
+  private[graft] def hashParams(n: Int): Seq[(Long, Long)] = {
     var state = 42L
     def next(): Long = { // LCG (Numerical Recipes constants), exact i64 wrap
       state = state * 6364136223846793005L + 1442695040888963407L
@@ -113,9 +113,13 @@ object DedupOps {
     val minCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
     }
+    // persisted: the band self-join references this subtree twice (l/r)
+    // and would recompute the explode+32-min aggregation per side; the
+    // signature table is tiny (one 32-long row per doc)
     val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band bucketing on the SMALL signature rows only (no shingle
     // arrays through this shuffle); candidate pairs are rare, so the
     // exact-Jaccard verify re-derives shingles just for them via two
