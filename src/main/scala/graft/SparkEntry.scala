@@ -272,6 +272,54 @@ object SparkEntry {
         |  AND list_dot_product(a.v, b.v)
         |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // quality gates are all-rational arithmetic (no exp/log), so the
+    // division trees match Spark's bit-for-bit
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS stop_hits,
+        |         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, n_words,
+        |         CASE WHEN n_words > 0
+        |              THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+        |              ELSE 0.0 END AS avg_word_len,
+        |         CASE WHEN n_words > 0
+        |              THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio,
+        |         CASE WHEN n_chars > 0
+        |              THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio
+        |  FROM t)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |       avg_word_len, stopword_ratio, alpha_ratio,
+        |       (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+        |        + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+        |        + CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.0 END
+        |        + CASE WHEN alpha_ratio > 0.6 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // brute-force cosine top-k: same dot/norm/divide tree as
+    // q_embed_cosine_dups (bit-parity proven there); rank ties broken
+    // by corpus_id so both engines rank identically
+    "q_ann_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+        |), s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |         list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cosine
+        |  FROM c CROSS JOIN (SELECT * FROM c WHERE vec_id < 8) q
+        |), r AS (
+        |  SELECT query_id, corpus_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, cosine, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_events_window" ->
       """SELECT epoch_us(ts) // 300000000 AS bucket5m, event_type,
         |       CAST(count(*) AS BIGINT) AS cnt,
@@ -410,11 +458,12 @@ object SparkEntry {
           .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
           .orderBy("doc_id")
       },
-      "q_quality_score" -> { (s, dir) => // rows-only: regex metrics + score
+      "q_quality_score" -> { (s, dir) =>
         val docs = s.read.parquet(s"$dir/documents.parquet")
         TextOps.qualityMetrics(docs, "text")
-          .select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
-            "alpha_ratio", "quality_score")
+          .select(col("doc_id"), col("n_words").cast("bigint").as("n_words"),
+            col("avg_word_len"), col("stopword_ratio"),
+            col("alpha_ratio"), col("quality_score"))
           .orderBy("doc_id")
       },
       "q_dedup_exact" -> { (s, dir) =>
@@ -448,11 +497,13 @@ object SparkEntry {
             "vec_id", "embedding", "label", 0.4)
           .select("id_a", "id_b").orderBy("id_a", "id_b")
       },
-      "q_ann_topk" -> { (s, dir) => // rows-only (float ranking)
+      "q_ann_topk" -> { (s, dir) =>
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         SimilarityOps.bruteForceTopK(
-          emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
       },
       "q_ann_topk_lsh" -> { (s, dir) => // rows-only: the scale path
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
