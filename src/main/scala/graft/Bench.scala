@@ -18,7 +18,10 @@ object Bench {
     // cluster job amortizes to nothing, and the plan shapes are
     // identical across SFs so the codegen cache hits.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (warmDir != sfDir) {
+    // canonical-path compare: a trailing slash or symlink alias of the
+    // benchmark SF must still skip the warmup (ADVICE r02)
+    def canon(p: String) = new java.io.File(p).getCanonicalPath
+    if (canon(warmDir) != canon(sfDir)) {
       SparkEntry.queries.foreach { case (name, fn) =>
         try { fn(spark, warmDir).count() }
         catch { case e: Throwable =>
@@ -29,19 +32,37 @@ object Bench {
       // inputs cold — only code/JIT warm-up carries over
       spark.catalog.clearCache()
     }
+    // Median of RUNS timed passes per query: single-pass numbers at
+    // local[32] carry GC / run-order noise that made per-query deltas
+    // unactionable across rounds (VERDICT r02).  Dedup persists are
+    // released between passes so no run reads a predecessor's cache.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Vector[Double])] = SparkEntry.queries.toSeq.map {
+      case (name, fn) =>
+        val times = (1 to runs).toVector.map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.DedupOps.unpersistAll()
+          dt
+        }
+        name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def median(ts: Vector[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val qs = results.map { case (k, ts) =>
+      val all = ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+      s""""$k":{"median":${median(ts)},"runs":${ts.length},"all":$all}"""
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => median(ts) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

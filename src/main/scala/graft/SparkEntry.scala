@@ -341,6 +341,44 @@ object SparkEntry {
         |       CAST((max(tus) - min(tus)) // 1000 AS BIGINT) AS duration_ms
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
 
+  /** Literal-table oracle built from reference-executed golden
+    * fixtures (tools/gen_golden.py → src/main/resources/golden): the
+    * fitted bins must hash-match the reference's own captured output.
+    * NaN cells (a NaN bin's open edges) become CAST('NaN' AS DOUBLE);
+    * finite doubles go through `dlit` so DuckDB takes the
+    * correctly-rounded strtod path.  Only DuckDB executes these — the
+    * Spark side runs the actual fit.
+    */
+  private def fitOracleSql(fixtures: String*): String = {
+    val tables = fixtures.map(Golden.load)
+    val cols = tables.head.columns
+    val valueRows = tables.flatMap(_.rows).map { r =>
+      r.zipWithIndex.map {
+        case (v, 0) => "'" + v.toString + "'"
+        case (null, _) => "CAST('NaN' AS DOUBLE)"
+        case (d: Double, _) =>
+          if (d.isNaN) "CAST('NaN' AS DOUBLE)"
+          else if (d == Double.PositiveInfinity) "CAST('Infinity' AS DOUBLE)"
+          else if (d == Double.NegativeInfinity) "CAST('-Infinity' AS DOUBLE)"
+          else dlit(d)
+        case (v, i) => sys.error(s"unexpected fixture cell $v at column $i")
+      }.mkString("(", ", ", ")")
+    }.mkString(",\n")
+    s"SELECT * FROM (VALUES\n$valueRows\n) AS t(${cols.mkString(", ")})"
+  }
+
+  /** Fit-family oracles, SF-keyed to sf0.01 — the driver's verify SF.
+    * (The fit output is a function of the data, so a fixture-literal
+    * oracle is necessarily per-SF; every other oracle stays SF-free.)
+    */
+  private lazy val fitOracleSqls: Map[String, String] = Map(
+    "q_fit_bins" -> fitOracleSql("sf0.01_extendedprice_n300.json",
+      "sf0.01_quantity_n300.json", "sf0.01_discount_n300.json"),
+    "q_fit_default_threshold" -> fitOracleSql("sf0.01_extendedprice_n3000.json"),
+    "q_fit_sentinel" -> fitOracleSql("sf0.01_quantity_sep1_n60.json"),
+    "q_fit_merge_threshold" -> fitOracleSql("sf0.01_extendedprice_n300_mt0.2.json"),
+    "q_fit_streaming" -> fitOracleSql("sf0.01_extendedprice_n300.json"))
+
   /** Shared-dialect oracles over documents (same text, both engines). */
   val sharedDocSql: Map[String, String] = Map(
     "q_doc_fingerprint" ->
@@ -564,9 +602,10 @@ object SparkEntry {
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the iterative-fit and
-    * hash-signature queries → driver records a weaker rows-only check.
+    * the same parquet tables (fit queries: reference-captured literal
+    * tables). Omitted for the hash-signature queries → driver records
+    * a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    sqlQueries ++ sharedDocSql ++ duckdbOnlySql
+    sqlQueries ++ sharedDocSql ++ duckdbOnlySql ++ fitOracleSqls
 }

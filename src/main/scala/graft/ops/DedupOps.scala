@@ -22,6 +22,31 @@ object DedupOps {
 
   private val P: Long = 2147483647L // 2^31-1, Mersenne prime
 
+  /** Plans persisted by dedup passes (minhashPairs keeps its shingle and
+    * signature tables alive for the band + verify joins).  The returned
+    * DataFrames are lazy, so the operators themselves can never know
+    * when the caller's terminal action has run — long-lived sessions
+    * issuing repeated dedup passes should call [[unpersistAll]] after
+    * consuming each result (otherwise the MEMORY_AND_DISK blocks wait
+    * for LRU eviction).
+    */
+  private val persistedPlans =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def registerPersist(df: DataFrame): DataFrame = {
+    persistedPlans.add(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    df
+  }
+
+  /** Release every cached plan a dedup pass left behind (blocking=false:
+    * eviction proceeds asynchronously).  Safe to call between passes —
+    * an in-flight plan would just recompute.
+    */
+  def unpersistAll(): Unit = {
+    var df = persistedPlans.poll()
+    while (df != null) { df.unpersist(blocking = false); df = persistedPlans.poll() }
+  }
+
   /** Deterministic (a,b) parameters for the minhash family. */
   private[graft] def hashParams(n: Int): Seq[(Long, Long)] = {
     var state = 42L
@@ -102,10 +127,9 @@ object DedupOps {
     // persisted because three downstream passes (signature explode +
     // the two candidate verify joins) would otherwise each re-derive
     // every shingle array — the same pattern MLlib's LSH uses; spills
-    // to disk at scale, LRU-evicted afterwards
-    val shingled = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // to disk at scale, released via DedupOps.unpersistAll()
+    val shingled = registerPersist(df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh")))
     // signature via explode + hash-agg (codegen'd; see simhashByExplode)
     // — 32 interpreted array-transform minima per row would dominate
     val exploded = shingled.select(col("id"),
@@ -116,10 +140,10 @@ object DedupOps {
     // persisted: the band self-join references this subtree twice (l/r)
     // and would recompute the explode+32-min aggregation per side; the
     // signature table is tiny (one 32-long row per doc)
-    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = registerPersist(
+      exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+        .select(col("id"),
+          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")))
     // band bucketing on the SMALL signature rows only (no shingle
     // arrays through this shuffle); candidate pairs are rare, so the
     // exact-Jaccard verify re-derives shingles just for them via two

@@ -22,34 +22,116 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact brute-force top-k: broadcast the (small) query set against
-    * the corpus, rank per query.  At 100 TB the corpus side stays
-    * partitioned; only queries are broadcast — no corpus shuffle
-    * before the per-query top-k (rank runs on the shuffled slice of
-    * query×k candidates via takeOrdered-style window).
+  /** Sequential Σ aᵢ·bᵢ over already-double arrays — the driver/executor
+    * Scala twin of `dot` (same left-fold order, so results are
+    * bit-identical to the SQL expression and to DuckDB's
+    * list_dot_product).
+    */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Total order on id values of the common Spark key types, matching
+    * the `corpus_id` ASC tie-break of the rank window.
+    */
+  private def cmpId(x: Any, y: Any): Int = (x, y) match {
+    case (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compare(a, b)
+    case (a: java.lang.Integer, b: java.lang.Integer) => Integer.compare(a, b)
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: java.lang.Number, b: java.lang.Number) =>
+      java.lang.Double.compare(a.doubleValue, b.doubleValue)
+    case _ => x.toString.compareTo(y.toString)
+  }
+
+  /** Exact brute-force top-k: the query set is collected + broadcast
+    * (same small-side assumption the broadcast join made), and each
+    * corpus partition reduces itself to ≤ k candidates per query with a
+    * bounded heap (the `takeOrdered` pattern) BEFORE anything shuffles.
+    * The global rank window then sees only partitions × queries × k
+    * rows — at a 100 TB corpus the full candidate set never moves,
+    * unlike a bare `row_number().over(partitionBy(query_id))`, which
+    * funnels the whole corpus through one reducer per query.
+    *
+    * Cosines are bit-identical to the previous expression form: the
+    * per-element double casts, the sequential dot-product fold, and the
+    * `dot/(cn*qn)` division are evaluated in the same IEEE order.
     */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10): DataFrame = {
-    // norms precomputed per side — computing cosine(cv,qv) directly
-    // would inline THREE dot products per candidate pair.  Zero-norm
-    // vectors (padding rows, failed encodes) have no direction and are
-    // dropped — under Spark 4's default ANSI mode the division would
-    // otherwise kill the whole job
-    val joined = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"),
-        norm(col(corpusVec)).as("cn"))
-      .filter(col("cn") > 0)
-      .crossJoin(broadcast(
-        queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
-          norm(col(queryVec)).as("qn"))
-          .filter(col("qn") > 0)))
-      .select(col("query_id"), col("corpus_id"),
-        (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = corpus.sparkSession
+    // zero-norm vectors (padding rows, failed encodes) have no
+    // direction and are dropped — under Spark 4's default ANSI mode the
+    // division would otherwise kill the whole job
+    val qData: Array[(Any, Array[Double], Double)] = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .filter(col("qv").isNotNull)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).iterator
+          .map(x => if (x == null) Double.NaN else x.asInstanceOf[Number].doubleValue)
+          .toArray
+        (r.get(0), v, math.sqrt(dotSeq(v, v)))
+      }
+      .filter(q => q._3 > 0) // also drops NaN norms (null elements)
+    val qb = spark.sparkContext.broadcast(qData)
+    val outSchema = StructType(Seq(
+      StructField("query_id", queries.schema(queryId).dataType),
+      StructField("corpus_id", corpus.schema(corpusId).dataType),
+      StructField("cosine", DoubleType)))
+    val kk = k
+    val cand = corpus
+      .select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+      .filter(col("cv").isNotNull)
+      .mapPartitions { it =>
+        val qs = qb.value
+        // max-heap whose head is the WORST kept candidate
+        val worstFirst = new Ordering[(Double, Any)] {
+          def compare(a: (Double, Any), b: (Double, Any)): Int = {
+            val c = java.lang.Double.compare(b._1, a._1) // lower cosine = worse
+            if (c != 0) c else cmpId(a._2, b._2) // larger id = worse
+          }
+        }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Any)](worstFirst))
+        it.foreach { r =>
+          val cid = r.get(0)
+          val cv = r.getSeq[Any](1).iterator
+            .map(x => if (x == null) Double.NaN else x.asInstanceOf[Number].doubleValue)
+            .toArray
+          val cn = math.sqrt(dotSeq(cv, cv))
+          if (cn > 0) {
+            var qi = 0
+            while (qi < qs.length) {
+              val (_, qv, qn) = qs(qi)
+              val cos = dotSeq(cv, qv) / (cn * qn)
+              val h = heaps(qi)
+              if (h.size < kk) h.enqueue((cos, cid))
+              else {
+                val (wc, wid) = h.head
+                if (cos > wc || (cos == wc && cmpId(cid, wid) < 0)) {
+                  h.dequeue(); h.enqueue((cos, cid))
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, cid) => Row(qs(qi)._1, cid, cos) }
+        }
+      }(Encoders.row(outSchema))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
-    joined.withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }

@@ -56,11 +56,12 @@ object WoeBinning {
       .groupBy("variable", "value")
       .agg(
         count(lit(1)).as("cnt"),
-        // NaN → null before the bigint cast: under ANSI mode (Spark 4
-        // default) cast(NaN as bigint) throws a raw ArithmeticException
-        // at the executor, pre-empting the friendly 0/1-domain error
-        sum(when(isnan(col("traw")), lit(null))
-          .otherwise(col("traw")).cast("bigint")).as("tsum"),
+        // only in-domain values reach the bigint cast: under ANSI mode
+        // (Spark 4 default) cast(NaN/±Infinity as bigint) throws a raw
+        // ArithmeticException at the executor, pre-empting the friendly
+        // 0/1-domain error (tbad below flags everything out-of-domain)
+        sum(when(col("traw") === 0.0 || col("traw") === 1.0, col("traw"))
+          .otherwise(lit(null)).cast("bigint")).as("tsum"),
         count(col("traw")).as("tcnt"), // non-null targets → null guard
         // 0/1-domain guard: a fractional or NaN target would silently
         // truncate under the integer-stats design

@@ -72,6 +72,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be 0/1"))
   }
 
+  test("Infinity target fails fast with the 0/1 message, not a raw ANSI cast error") {
+    // ADVICE r02: isnan(Infinity) is false, so a NaN-only guard still
+    // lets cast(Infinity as bigint) throw under ANSI mode; only
+    // in-domain values may reach the cast
+    val df = sf0001.withColumn("target",
+      when(col("quantity") === 1.0, lit(Double.PositiveInfinity))
+        .otherwise(col("target").cast("double")))
+    val e = intercept[IllegalArgumentException] {
+      WoeBinning.fit(df, "target", Seq("extendedprice"),
+        WoeFitOptions(nThreshold = Some(300)))
+    }
+    assert(e.getMessage.contains("must be 0/1"))
+  }
+
   test("non-0/1 target fails fast (integer-stats design would truncate)") {
     val df = sf0001.withColumn("target",
       when(col("quantity") === 1.0, lit(0.5)).otherwise(col("target").cast("double")))

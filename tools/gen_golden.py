@@ -65,7 +65,9 @@ def dump(df, path):
 
 
 def main():
-    outdir = "/root/repo/src/test/resources/golden"
+    # main (not test) resources: SparkEntry builds the q_fit_* oracle
+    # literal tables from these fixtures at runtime
+    outdir = "/root/repo/src/main/resources/golden"
     os.makedirs(outdir, exist_ok=True)
     for sf, nthr in [("sf0.001", 300), ("sf0.01", 3000)]:
         li = pd.read_parquet(f"/root/testdata/{sf}/lineitem.parquet")
@@ -79,6 +81,19 @@ def main():
         for col in ["extendedprice", "quantity", "discount"]:
             bins = woe_binning("target", df[["target", col]].copy(), n_threshold=nthr)
             dump(bins, f"{outdir}/{sf}_{col}_n{nthr}.json")
+        if sf == "sf0.01":
+            # fixtures for the q_fit_* oracle literal tables (the driver
+            # verifies at sf0.01): same parameter combos as SparkEntry
+            for col in ["extendedprice", "quantity", "discount"]:
+                bins = woe_binning("target", df[["target", col]].copy(),
+                                   n_threshold=300)
+                dump(bins, f"{outdir}/{sf}_{col}_n300.json")
+            bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
+                               n_threshold=300, merge_threshold=0.2)
+            dump(bins, f"{outdir}/{sf}_extendedprice_n300_mt0.2.json")
+            bins = woe_binning_sep("target", "quantity", df[["target", "quantity"]].copy(),
+                                   sep_value=1.0, n_threshold=60)
+            dump(bins, f"{outdir}/{sf}_quantity_sep1_n60.json")
         if sf == "sf0.001":
             # merge_threshold variant on extendedprice
             bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
