@@ -224,14 +224,16 @@ object SparkEntry {
         |  SELECT doc_id, length(text) AS n_chars,
         |         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
         |         len(list_filter(string_split_regex(text, '\s+'),
-        |             x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS stop_hits
+        |             x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS stop_hits,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
         |  FROM documents)
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |       CAST(n_words AS BIGINT) AS n_words,
         |       CASE WHEN n_words > 0
         |            THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
         |            ELSE NULL END AS avg_word_len,
-        |       CAST(stop_hits AS BIGINT) AS stop_hits
+        |       CAST(stop_hits AS BIGINT) AS stop_hits,
+        |       CAST(bpe_tokens AS BIGINT) AS bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (
@@ -250,13 +252,18 @@ object SparkEntry {
         |            WHEN es_hits > 0 AND es_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'es'
         |            ELSE 'und' END AS lang_guess
         |FROM s ORDER BY doc_id""".stripMargin,
+    // hot-block guard mirrored from DedupOps.tokenJaccardPairs: blocks
+    // with population > 10000 never enter the self-join
     "q_dedup_token_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars,
         |         list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS toks
-        |  FROM documents)
+        |  FROM documents),
+        |cold AS (
+        |  SELECT * FROM t WHERE n_chars IN (
+        |    SELECT n_chars FROM t GROUP BY n_chars HAVING count(*) <= 10000))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM t a JOIN t b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |FROM cold a JOIN cold b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         |WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.7
@@ -367,6 +374,32 @@ object SparkEntry {
     s"SELECT * FROM (VALUES\n$valueRows\n) AS t(${cols.mkString(", ")})"
   }
 
+  /** Sign-LSH bucket as DuckDB SQL: one CASE per hyperplane, using the
+    * SAME deterministic-LCG hyperplane literals SimilarityOps ships, so
+    * both engines compute bit-identical bucket ids (the dot products
+    * are the same sequential fold; a sign can only differ if the bits
+    * differ).
+    */
+  private def lshPairsOracleSql(bits: Int, dim: Int, threshold: Double): String = {
+    val bucketExpr = graft.ops.SimilarityOps.hyperplanes(bits, dim).zipWithIndex
+      .map { case (h, i) =>
+        val arr = h.map(dlit).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n       + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |         $bucketExpr AS bucket
+       |  FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+       |)
+       |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= ${dlit(threshold)}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Fit-family oracles, SF-keyed to sf0.01 — the driver's verify SF.
     * (The fit output is a function of the data, so a fixture-literal
     * oracle is necessarily per-SF; every other oracle stays SF-free.)
@@ -377,7 +410,23 @@ object SparkEntry {
     "q_fit_default_threshold" -> fitOracleSql("sf0.01_extendedprice_n3000.json"),
     "q_fit_sentinel" -> fitOracleSql("sf0.01_quantity_sep1_n60.json"),
     "q_fit_merge_threshold" -> fitOracleSql("sf0.01_extendedprice_n300_mt0.2.json"),
-    "q_fit_streaming" -> fitOracleSql("sf0.01_extendedprice_n300.json"))
+    "q_fit_streaming" -> fitOracleSql("sf0.01_extendedprice_n300.json"),
+    "q_dedup_embed_lsh" -> lshPairsOracleSql(bits = 4, dim = 64, threshold = 0.4),
+    // honest multimodal features only: items, payload bytes, and one
+    // byte-histogram bucket (bucket 6 = bytes 0x60-0x6f), recomputed
+    // byte-for-byte in DuckDB via the hex dump of the UTF-8 payload —
+    // the fabricated decode dims stay out of the oracle surface
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT 'text/' || lang AS kind,
+        |         octet_length(encode(text)) AS n_bytes,
+        |         len(list_filter(regexp_extract_all(hex(encode(text)), '..'),
+        |             p -> p[1] = '6')) AS hist6
+        |  FROM documents)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(hist6) AS BIGINT) AS hist_bucket6_total
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
 
   /** Shared-dialect oracles over documents (same text, both engines). */
   val sharedDocSql: Map[String, String] = Map(
@@ -483,7 +532,8 @@ object SparkEntry {
               (length(t) - (nWords - lit(1))).cast("double") / nWords)
               .as("avg_word_len"),
             TextOps.stopwordHits(TextOps.tokens(t),
-              TextOps.langFunctionWords.toMap.apply("en")).cast("bigint").as("stop_hits"))
+              TextOps.langFunctionWords.toMap.apply("en")).cast("bigint").as("stop_hits"),
+            TextOps.bpeTokenEstimate(t).cast("bigint").as("bpe_tokens"))
           .orderBy("doc_id")
       },
       "q_lang_id" -> { (s, dir) =>
@@ -550,8 +600,17 @@ object SparkEntry {
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           bits = 8, dim = 64, k = 10)
       },
-      "q_multimodal_features" -> { (s, dir) => // rows-only (stubbed decode)
+      "q_multimodal_features" -> { (s, dir) =>
+        // the honest subset of the stub pipeline (real payload
+        // measurements); the fabricated decode dims stay spec-only
         MultimodalOps.pipeline(s, dir)
+          .select("kind", "n_items", "total_bytes", "hist_bucket6_total")
+      },
+      "q_dedup_embed_lsh" -> { (s, dir) =>
+        SimilarityOps.lshCosinePairs(
+            s.read.parquet(s"$dir/embeddings.parquet"),
+            "vec_id", "embedding", bits = 4, dim = 64, threshold = 0.4)
+          .select("id_a", "id_b").orderBy("id_a", "id_b")
       },
       "q_events_window" -> { (s, dir) =>
         StreamingOps.windowedCounts(StreamingOps.readEventsBatch(s, dir))

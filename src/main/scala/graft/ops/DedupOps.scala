@@ -214,18 +214,34 @@ object DedupOps {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** @param maxBucket hot-bucket guard (the MinHashLSH convention): a
+    *   chunk bucket holding more than this many docs is dropped from
+    *   the candidate join — a boilerplate-heavy corpus otherwise
+    *   drives the chunk-collision self-join toward O(n²/65536) pairs
+    *   (Manku et al.'s remedy is more tables / wider keys; dropping
+    *   hot buckets bounds the pair count and the near-dup mass inside
+    *   a dropped bucket is exactly what the minhash path catches).
+    *   Use [[simhashHotBuckets]] to see what a cap would drop.
+    */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     val withSim = simhashByExplode(df, textCol, idCol)
-    val chunked = withSim.select(col("id"), col("simhash"),
+    // persisted: the hot-bucket agg + the two self-join sides would
+    // each re-run the explode + 65-column aggregation otherwise
+    val chunked = registerPersist(withSim.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk", "chunk_val")))
-    val l = chunked.as("l")
-    val r = chunked.as("r")
+        .as(Seq("chunk", "chunk_val"))))
+    val hot = chunked.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("pop")).filter(col("pop") > maxBucket)
+      .select("chunk", "chunk_val")
+    val cold = chunked.join(broadcast(hot), Seq("chunk", "chunk_val"), "left_anti")
+    val l = cold.as("l")
+    val r = cold.as("r")
     l.join(r,
         col("l.chunk") === col("r.chunk") &&
         col("l.chunk_val") === col("r.chunk_val") &&
@@ -236,19 +252,43 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The chunk buckets a `maxBucket` cap would drop, with populations —
+    * the observability companion of [[simhashPairs]]'s guard.
+    */
+  def simhashHotBuckets(
+      df: DataFrame, textCol: String, idCol: String, maxBucket: Int): DataFrame =
+    simhashByExplode(df, textCol, idCol)
+      .select(col("id"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk", "chunk_val")))
+      .groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("pop")).filter(col("pop") > maxBucket)
+
   /** Exact token-set Jaccard over blocked candidate pairs (the cheap
     * length-blocked flavor used as a verification / standalone dedup).
+    *
+    * @param maxBlock hot-block guard: common blocking-key values (e.g.
+    *   popular document lengths) otherwise form O(block²) self-joins;
+    *   blocks above this population are excluded from the join
+    *   entirely.  Dropped near-dup mass is what the minhash path is
+    *   for — this flavor trades recall for an exact, oracle-checkable
+    *   candidate rule.
     */
   def tokenJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       blockCol: String,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9,
+      maxBlock: Int = 10000): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(TextOps.tokens(col(textCol))).as("toks"))
-    val l = t.as("l")
-    val r = t.as("r")
+    val hot = t.groupBy("blk").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > maxBlock).select("blk")
+    val cold = t.join(broadcast(hot), Seq("blk"), "left_anti")
+    val l = cold.as("l")
+    val r = cold.as("r")
     l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
       // token-less pairs have union 0 → skip (ANSI divide-by-zero)
       .filter(size(array_union(col("l.toks"), col("r.toks"))) > 0)

@@ -139,7 +139,7 @@ object SimilarityOps {
   /** Deterministic pseudo-random hyperplanes (LCG; values in
     * [-1, 1)), shipped as literals — no RNG at execution time.
     */
-  private def hyperplanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
     var state = 20240613L
     def next(): Double = {
       state = state * 6364136223846793005L + 1442695040888963407L

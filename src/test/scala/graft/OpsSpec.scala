@@ -65,6 +65,70 @@ class OpsSpec extends AnyFunSuite {
     assert(self.length == 5, "each query must find itself in its own bucket")
   }
 
+  test("LSH cosine pairs find every exact-duplicate vector pair") {
+    import spark.implicits._
+    // duplicate the corpus under shifted ids: every vector then has an
+    // exact twin (identical vector → identical bucket → cosine 1.0)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val doubled = emb.union(emb.withColumn("vec_id", col("vec_id") + lit(100000L)))
+    val pairs = SimilarityOps.lshCosinePairs(
+        doubled, "vec_id", "embedding", bits = 8, dim = 64, threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+    val expected = (0L until n).map(i => (i, i + 100000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing twin pairs: ${expected.diff(pairs).take(5)}")
+  }
+
+  test("LSH cosine pairs are a subset of the unblocked threshold pairs") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .withColumn("one", lit(1))
+    val lsh = SimilarityOps.lshCosinePairs(
+        emb, "vec_id", "embedding", bits = 4, dim = 64, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = SimilarityOps.blockedCosinePairs(emb, "vec_id", "embedding", "one", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(all), "bucketing must never ADD pairs")
+  }
+
+  test("token-jaccard hot-block guard drops oversized blocks (skewed corpus)") {
+    import spark.implicits._
+    // 400 same-length docs (one hot block) + 4 in a small block
+    val hotDocs = (0 until 400).map(i => (i.toLong, f"aaa bbb ccc d$i%03d", 15))
+    val coldDocs = (1000 until 1004).map(i => (i.toLong, s"xx yy zz $i", 11))
+    val df = (hotDocs ++ coldDocs).toDF("doc_id", "text", "n_chars")
+    val capped = DedupOps.tokenJaccardPairs(df, "text", "doc_id", "n_chars",
+      threshold = 0.5, maxBlock = 100).count()
+    assert(capped == 6, // only the 4-doc cold block self-joins: C(4,2)
+      s"hot block must be excluded, got $capped pairs")
+    val uncapped = DedupOps.tokenJaccardPairs(df, "text", "doc_id", "n_chars",
+      threshold = 0.5, maxBlock = 1000).count()
+    assert(uncapped > 6, "generous cap must keep the hot block")
+  }
+
+  test("simhash hot-bucket guard bounds an identical-prefix corpus") {
+    import spark.implicits._
+    val prefix = (0 until 64).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 1000).map(i => (i.toLong, s"$prefix unique$i")).toDF("doc_id", "text")
+    // every doc shares every chunk with ~every other → all 4 chunk
+    // buckets are hot; the guard must drop them rather than join 10⁶ pairs
+    val guarded = DedupOps.simhashPairs(docs, "text", "doc_id",
+      maxHamming = 3, maxBucket = 50)
+    assert(guarded.count() == 0, "hot buckets must be dropped")
+    val hot = DedupOps.simhashHotBuckets(docs, "text", "doc_id", 50).collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(2) > 50))
+    DedupOps.unpersistAll()
+  }
+
+  test("bpe token estimate counts word/number/punctuation runs") {
+    import spark.implicits._
+    val df = Seq(("ab12 cd, e-f!", 1L)).toDF("text", "id")
+    val n = df.select(TextOps.bpeTokenEstimate(col("text"))).head().getInt(0)
+    // runs: ab, 12, cd, ',', e, '-', f, '!'
+    assert(n == 8, s"expected 8 runs, got $n")
+  }
+
   test("multimodal stub pipeline: deterministic, batch-shaped, per-kind aggregate") {
     val out1 = MultimodalOps.pipeline(spark, sf001).collect()
     val out2 = MultimodalOps.pipeline(spark, sf001).collect()
