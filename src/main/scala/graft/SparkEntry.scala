@@ -400,6 +400,77 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** apply_bins as a DuckDB CASE compiled from the SAME golden fixture
+    * the fit oracle uses, mirroring `WoeBinning.applyExpr`'s cut/label
+    * reconstruction step-for-step (complete rows only, orientation
+    * reverse, right-closed `<=` vs left-closed `<`).  The cut values
+    * are data values (no arithmetic), so boundary bucketing is exact
+    * in both engines; only the woe labels carry last-bit float noise.
+    * The median-impute branch is statically dead here — the lineitem
+    * columns are non-null/non-NaN at every SF.
+    */
+  private def applyWoeCase(fixture: String, valueExpr: String): String = {
+    val t = Golden.load(fixture)
+    val ci = t.columns.zipWithIndex.toMap
+    def d(r: Vector[Any], c: String): Double = r(ci(c)) match {
+      case x: Double => x
+      case null => Double.NaN
+      case x => sys.error(s"unexpected fixture cell $x in $c")
+    }
+    val complete = t.rows.filter { r =>
+      t.columns.filterNot(_ == "variable").forall(c => !d(r, c).isNaN)
+    }
+    var cuts = complete.map(d(_, "interval_start_include")) :+
+      d(complete.last, "interval_end_exclude")
+    var labels = complete.map(d(_, "woe"))
+    val rightClosed = cuts.head > cuts.last
+    if (rightClosed) { cuts = cuts.reverse; labels = labels.reverse }
+    val op = if (rightClosed) "<=" else "<"
+    val whens = labels.indices.dropRight(1)
+      .map(k => s"WHEN $valueExpr $op ${dlit(cuts(k + 1))} THEN ${dlit(labels(k))}")
+      .mkString("\n         ")
+    s"CASE $whens\n         ELSE ${dlit(labels.last)} END"
+  }
+
+  /** `lshTopK` as DuckDB SQL: same hyperplane-literal buckets as
+    * [[lshPairsOracleSql]], the multi-probe list (own bucket + every
+    * 1-bit flip) via unnest, and the identical
+    * (cosine DESC, corpus_id ASC) rank window.  Each corpus vector has
+    * exactly one bucket and the probe list per query is distinct, so
+    * the probe join cannot duplicate a candidate.
+    */
+  private def lshTopKOracleSql(bits: Int, dim: Int, k: Int): String = {
+    val bucketExpr = graft.ops.SimilarityOps.hyperplanes(bits, dim).zipWithIndex
+      .map { case (h, i) =>
+        val arr = h.map(dlit).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n       + ")
+    val probes = ("bucket" +: (0 until bits).map(i => s"xor(bucket, ${1L << i})"))
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |         $bucketExpr AS bucket
+       |  FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+       |         unnest([$probes]) AS bucket
+       |  FROM b WHERE vec_id < 8
+       |), s AS (
+       |  SELECT q.query_id, c.vec_id AS corpus_id,
+       |         list_dot_product(c.v, q.qv) / (c.nrm * q.qn) AS cosine
+       |  FROM b c JOIN q ON c.bucket = q.bucket
+       |), r AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, corpus_id, cosine, rank FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Fit-family oracles, SF-keyed to sf0.01 — the driver's verify SF.
     * (The fit output is a function of the data, so a fixture-literal
     * oracle is necessarily per-SF; every other oracle stays SF-free.)
@@ -411,7 +482,25 @@ object SparkEntry {
     "q_fit_sentinel" -> fitOracleSql("sf0.01_quantity_sep1_n60.json"),
     "q_fit_merge_threshold" -> fitOracleSql("sf0.01_extendedprice_n300_mt0.2.json"),
     "q_fit_streaming" -> fitOracleSql("sf0.01_extendedprice_n300.json"),
+    // REGRESSION PIN, not reference parity: maxDistinct pre-binning is
+    // a beyond-reference approximation (the reference has no such
+    // knob), so this fixture is the engine's own output, captured once
+    // after verifying bit-identical results across separate JVM runs
+    // (approxQuantile is deterministic for a fixed file layout).  The
+    // oracle pins that determinism + any future kernel regression.
+    "q_fit_prebinned" -> fitOracleSql("sf0.01_extendedprice_n300_prebin1000.json"),
+    // full-data apply: every row of the 60k-row verify SF bucketed by
+    // the fixture-compiled CASE.  Only extendedprice survives the
+    // transform's default IV threshold (quantity/discount IV ≈ 0
+    // against the extendedprice-driven LCG target), so one bin column.
+    "q_apply_bins" ->
+      s"""$baseCte
+         |SELECT CAST(target AS BIGINT) AS target,
+         |       extendedprice, quantity, discount,
+         |       ${applyWoeCase("sf0.01_extendedprice_n300.json", "extendedprice")} AS extendedprice_bin
+         |FROM base""".stripMargin,
     "q_dedup_embed_lsh" -> lshPairsOracleSql(bits = 4, dim = 64, threshold = 0.4),
+    "q_ann_topk_lsh" -> lshTopKOracleSql(bits = 8, dim = 64, k = 10),
     // honest multimodal features only: items, payload bytes, and one
     // byte-histogram bucket (bucket 6 = bytes 0x60-0x6f), recomputed
     // byte-for-byte in DuckDB via the hex dump of the UTF-8 payload —
@@ -516,7 +605,11 @@ object SparkEntry {
         val m = WoeBinning.fit(df, "target",
           Seq("extendedprice", "quantity", "discount"),
           WoeFitOptions(nThreshold = Some(300)))
-        m.transform(df)
+        // passthrough so the oracle checks the carried base columns
+        // too; only extendedprice survives the default IV threshold
+        // (the LCG target is a function of extendedprice alone, so
+        // quantity/discount fit to near-zero total IV)
+        m.transform(df, passthrough = true)
       },
 
       // ---- training-data pipeline ops (documents / embeddings / events)
@@ -593,12 +686,14 @@ object SparkEntry {
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },
-      "q_ann_topk_lsh" -> { (s, dir) => // rows-only: the scale path
+      "q_ann_topk_lsh" -> { (s, dir) => // the scale path
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         SimilarityOps.lshTopK(
-          emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-          bits = 8, dim = 64, k = 10)
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            bits = 8, dim = 64, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
       },
       "q_multimodal_features" -> { (s, dir) =>
         // the honest subset of the stub pipeline (real payload
