@@ -471,6 +471,103 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The `portableHash` minhash pipeline recomputed end-to-end in
+    * DuckDB: word 3-shingles, md5-derived 60-bit base hashes mod P,
+    * the 32 (a·h+b) mod P signature minima from the SAME LCG (a,b)
+    * literals DedupOps ships, comma-joined band keys, the band
+    * self-join, and the exact-Jaccard verify.  Every intermediate is
+    * integer arithmetic, so both engines agree bit-for-bit; only the
+    * final jaccard ratio is float (an exact division of two small
+    * ints, identical in both).
+    */
+  private def minhashPortableOracleSql(
+      numHashes: Int, bands: Int, threshold: Double): String = {
+    val rows = numHashes / bands
+    val bigP = 2147483647L
+    val sigExprs = graft.ops.DedupOps.hashParams(numHashes).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $bigP))"
+    }.mkString(",\n           ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), shing AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(toks) - 2, 1) + 1),
+       |           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |  FROM t
+       |), hashed AS (
+       |  SELECT doc_id, sh,
+       |         list_transform(sh, s ->
+       |           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $bigP) AS hs
+       |  FROM shing
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         [$sigExprs] AS sig
+       |  FROM hashed
+       |), banded AS (
+       |  SELECT doc_id, u.b,
+       |         array_to_string(sig[u.b*$rows+1 : u.b*$rows+$rows], ',') AS band_key
+       |  FROM sigs, (SELECT unnest(range($bands)) AS b) u
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM banded a JOIN banded c
+       |    ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+       |)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT cand.id_a, cand.id_b,
+       |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+       |  FROM cand JOIN shing x ON x.doc_id = cand.id_a
+       |            JOIN shing y ON y.doc_id = cand.id_b) v
+       |WHERE jaccard >= ${dlit(threshold)}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The `portableHash` simhash pipeline in DuckDB: per-token-occurrence
+    * md5-derived 60-bit hashes, the 60 per-bit ±1 majority votes,
+    * 4×15-bit chunk blocking with the same hot-bucket cap, distinct
+    * pairs, bit_count(xor) ≤ maxHamming.  All-integer — exact.
+    * Docs with zero tokens vanish in both engines (Spark's explode
+    * emits no row; the len(toks) > 0 filter mirrors it).
+    */
+  private def simhashPortableOracleSql(maxHamming: Int, maxBucket: Int): String = {
+    val bitVotes = (0 until 60).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n       + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |         list_transform(toks, t ->
+       |           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+       |  FROM t WHERE len(toks) > 0
+       |), s AS (
+       |  SELECT doc_id,
+       |       $bitVotes AS simhash
+       |  FROM h
+       |), chunked AS (
+       |  SELECT doc_id, simhash, u.c,
+       |         (simhash >> (u.c * 15)) & 32767 AS chunk_val
+       |  FROM s, (SELECT unnest(range(4)) AS c) u
+       |), cold AS (
+       |  SELECT ch.* FROM chunked ch
+       |  JOIN (SELECT c, chunk_val FROM chunked GROUP BY c, chunk_val
+       |        HAVING count(*) <= $maxBucket) ok
+       |    ON ch.c = ok.c AND ch.chunk_val = ok.chunk_val
+       |)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM cold a JOIN cold b
+       |    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id) p
+       |WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Fit-family oracles, SF-keyed to sf0.01 — the driver's verify SF.
     * (The fit output is a function of the data, so a fixture-literal
     * oracle is necessarily per-SF; every other oracle stays SF-free.)
@@ -501,6 +598,10 @@ object SparkEntry {
          |FROM base""".stripMargin,
     "q_dedup_embed_lsh" -> lshPairsOracleSql(bits = 4, dim = 64, threshold = 0.4),
     "q_ann_topk_lsh" -> lshTopKOracleSql(bits = 8, dim = 64, k = 10),
+    "q_dedup_minhash_md5" ->
+      minhashPortableOracleSql(numHashes = 32, bands = 8, threshold = 0.5),
+    "q_dedup_simhash_md5" ->
+      simhashPortableOracleSql(maxHamming = 3, maxBucket = 10000),
     // honest multimodal features only: items, payload bytes, and one
     // byte-histogram bucket (bucket 6 = bytes 0x60-0x6f), recomputed
     // byte-for-byte in DuckDB via the hex dump of the UTF-8 payload —
@@ -670,6 +771,22 @@ object SparkEntry {
         DedupOps.simhashPairs(
             s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
             maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      // the same banding/verify pipelines with the portable md5 hash —
+      // hash-checked end-to-end by DuckDB oracles (the xxhash64
+      // flavors above stay the bench/scale path)
+      "q_dedup_minhash_md5" -> { (s, dir) =>
+        DedupOps.minhashPairs(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "text", "doc_id", jaccardThreshold = 0.5, portableHash = true)
+          .orderBy("id_a", "id_b")
+      },
+      "q_dedup_simhash_md5" -> { (s, dir) =>
+        DedupOps.simhashPairs(
+            s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+            maxHamming = 3, portableHash = true)
+          .withColumn("hamming", col("hamming").cast("bigint"))
           .orderBy("id_a", "id_b")
       },
       "q_embed_cosine_dups" -> { (s, dir) =>

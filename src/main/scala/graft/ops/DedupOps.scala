@@ -57,6 +57,16 @@ object DedupOps {
     Seq.fill(n)((next() + 1, next()))
   }
 
+  /** 60-bit integer hash from the first 15 hex chars of md5 —
+    * reproducible in any engine with md5 + hex parsing (DuckDB:
+    * `('0x' || substr(md5(s),1,15))::BIGINT`), unlike Spark's
+    * xxhash64.  The oracle-checkable `portableHash` dedup flavors use
+    * this; the default xxhash64 stays the fast path (no hex-string
+    * round-trip per shingle).
+    */
+  private[graft] def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Word k-shingles of a document as a distinct array. */
   def shingles(c: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(c)
@@ -122,8 +132,22 @@ object DedupOps {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleSize: Int = 3,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8,
+      portableHash: Boolean = false): DataFrame = {
     val rows = numHashes / bands
+    // portableHash: md5-derived base hashes + comma-joined band keys so
+    // an external engine can recompute the identical pipeline (the
+    // oracle flavor); default: xxhash64 base + 8-byte band keys (the
+    // scale flavor — band keys shuffle as longs, not strings)
+    val baseHash: Column => Column =
+      if (portableHash) s => pmod(md5Hash60(s), lit(P))
+      else s => pmod(xxhash64(s), lit(P))
+    val bandKey: Column => Column =
+      if (portableHash)
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
+            _.cast("string")))
+      else b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))
     // persisted because three downstream passes (signature explode +
     // the two candidate verify joins) would otherwise each re-derive
     // every shingle array — the same pattern MLlib's LSH uses; spills
@@ -133,7 +157,7 @@ object DedupOps {
     // signature via explode + hash-agg (codegen'd; see simhashByExplode)
     // — 32 interpreted array-transform minima per row would dominate
     val exploded = shingled.select(col("id"),
-      explode(transform(col("sh"), s => pmod(xxhash64(s), lit(P)))).as("h"))
+      explode(transform(col("sh"), baseHash)).as("h"))
     val minCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
     }
@@ -149,9 +173,8 @@ object DedupOps {
     // exact-Jaccard verify re-derives shingles just for them via two
     // broadcast joins of the candidate ids
     val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows))))
-      ).as(Seq("band", "band_hash")))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey))
+        .as(Seq("band", "band_hash")))
     // single reference to `cand` — referencing it more than once would
     // recompute the whole signature/band subtree per reference
     val cand = banded.as("l").join(banded.as("r"),
@@ -200,16 +223,21 @@ object DedupOps {
     * per-bit sums inside whole-stage codegen with map-side partial
     * aggregation (shuffle = one 65-column row per doc).
     */
-  def simhashByExplode(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashByExplode(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashByExplodeImpl(df, textCol, idCol, 64, t => xxhash64(t))
+
+  private def simhashByExplodeImpl(
+      df: DataFrame, textCol: String, idCol: String,
+      nBits: Int, tokHash: Column => Column): DataFrame = {
     val hashed = df
       .select(col(idCol).as("id"),
-        explode(transform(TextOps.tokens(col(textCol)), t => xxhash64(t))).as("h"))
-    val bitSums = (0 until 64).map { b =>
+        explode(transform(TextOps.tokens(col(textCol)), tokHash)).as("h"))
+    val bitSums = (0 until nBits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$b")
     }
     hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b =>
+        (0 until nBits).map(b =>
           when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
@@ -228,13 +256,21 @@ object DedupOps {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    val withSim = simhashByExplode(df, textCol, idCol)
+      maxBucket: Int = 10000,
+      portableHash: Boolean = false): DataFrame = {
+    // portable flavor: 60-bit md5-derived token hashes (15 hex chars)
+    // in 4 chunks of 15 bits, recomputable by the DuckDB oracle;
+    // default: full 64-bit xxhash64 in 4×16-bit chunks
+    val (withSim, chunkBits) =
+      if (portableHash)
+        (simhashByExplodeImpl(df, textCol, idCol, 60, md5Hash60), 15)
+      else (simhashByExplode(df, textCol, idCol), 16)
+    val chunkMask = (1L << chunkBits) - 1
     // persisted: the hot-bucket agg + the two self-join sides would
     // each re-run the explode + 65-column aggregation otherwise
     val chunked = registerPersist(withSim.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        shiftrightunsigned(col("simhash"), i * chunkBits).bitwiseAND(lit(chunkMask))): _*))
         .as(Seq("chunk", "chunk_val"))))
     val hot = chunked.groupBy("chunk", "chunk_val")
       .agg(count(lit(1)).as("pop")).filter(col("pop") > maxBucket)

@@ -35,6 +35,25 @@ class OpsSpec extends AnyFunSuite {
         (ids(0), ids(1))
       }.toSet
 
+  test("portable-hash minhash finds the exact-duplicate pairs too") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val found = DedupOps.minhashPairs(docs, "text", "doc_id",
+        jaccardThreshold = 0.9, portableHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs(docs).subsetOf(found),
+      "md5-hash banding must still surface every identical-text pair")
+  }
+
+  test("portable-hash simhash: exact duplicates collide at hamming 0") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val zeroHam = DedupOps.simhashPairs(docs, "text", "doc_id",
+        maxHamming = 3, portableHash = true)
+      .collect().filter(_.getInt(2) == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs(docs).subsetOf(zeroHam))
+    DedupOps.unpersistAll()
+  }
+
   test("simhash pairs include the exact duplicates at hamming 0") {
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
     val pairs = DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
