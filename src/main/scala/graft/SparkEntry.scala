@@ -812,6 +812,15 @@ object SparkEntry {
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },
+      "q_ann_topk_ivf" -> { (s, dir) => // rows-only: kmeans centroids
+        // are float-sum dependent, so the oracle is the OpsSpec
+        // self-recall + exact-cosine invariants, not a DuckDB replay
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        SimilarityOps.ivfTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          nCells = 16, nProbe = 4, k = 10)
+      },
       "q_multimodal_features" -> { (s, dir) =>
         // the honest subset of the stub pipeline (real payload
         // measurements); the fabricated decode dims stay spec-only

@@ -84,6 +84,30 @@ class OpsSpec extends AnyFunSuite {
     assert(self.length == 5, "each query must find itself in its own bucket")
   }
 
+  test("IVF topk: self at rank 1, cosines exact, recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      nCells = 8, nProbe = 2, k = 5).collect()
+    // self lives in its own nearest cell, which nProbe >= 1 probes
+    val rank1 = ivf.filter(_.getInt(3) == 1)
+    assert(rank1.length == 5)
+    rank1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "rank-1 must be self")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+    // every reported cosine must equal the brute-force cosine for the
+    // same pair (IVF restricts candidates, it must not perturb scores)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = emb.count().toInt)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) == r.getDouble(2),
+        s"IVF cosine for $key diverges from brute force")
+    }
+  }
+
   test("LSH cosine pairs find every exact-duplicate vector pair") {
     import spark.implicits._
     // duplicate the corpus under shifted ids: every vector then has an
