@@ -81,6 +81,42 @@ object StreamingOps {
     out
   }
 
+  /** Exact streaming dedup (idempotent ingestion): at-most-once per
+    * key, with state BOUNDED by the watermark horizon —
+    * `dropDuplicatesWithinWatermark` evicts seen-keys older than the
+    * watermark, which is what makes exact dedup viable on an unbounded
+    * stream (a plain `dropDuplicates` would grow state forever).
+    * Batch equivalent: `df.dropDuplicates(keys)`.
+    */
+  def streamingDedup(
+      events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Memory-sink runner: streams `dir` (a directory whose files may
+    * repeat rows, e.g. a doubled staging of the events file) through
+    * [[streamingDedup]] and returns the deduplicated frame.
+    */
+  def runDedupStream(
+      spark: SparkSession, stagedDir: String,
+      keys: Seq[String] = Seq("event_id")): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = withEventTime(
+      spark.readStream.schema(eventsSchema).parquet(stagedDir))
+    val name = s"events_dedup_${System.nanoTime()}"
+    val q = streamingDedup(src, keys).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    val out = spark.table(name).cache()
+    out.count() // materialize before stopping the query
+    q.stop()
+    out
+  }
+
   /** Sessionization: per-user sessions split on ≥ 30 min inactivity
     * gaps — the classic gaps-and-islands form (lag + cumulative sum),
     * expressible identically in the batch oracle.  The streaming

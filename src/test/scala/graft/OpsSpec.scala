@@ -199,6 +199,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup collapses a doubled input to the batch distinct set") {
+    // stage a directory holding TWO links to the same events file —
+    // every event_id arrives exactly twice on the stream
+    val staged = java.nio.file.Paths.get("/tmp/graft-stream", "dedup-test")
+    java.nio.file.Files.createDirectories(staged)
+    Seq("a.parquet", "b.parquet").foreach { n =>
+      val link = staged.resolve(n)
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(sf001, "events.parquet"))
+    }
+    val deduped = StreamingOps.runDedupStream(spark, staged.toString)
+    val batch = StreamingOps.readEventsBatch(spark, sf001)
+    assert(batch.count() * 2 ==
+      spark.read.schema(StreamingOps.eventsSchema)
+        .parquet(staged.toString).count(),
+      "staging must double the input")
+    assert(deduped.count() == batch.dropDuplicates("event_id").count(),
+      "stream dedup must equal the batch distinct count")
+  }
+
   test("winnowing fingerprints: deterministic and shared for identical docs") {
     val docs = TextOps.winnowFingerprints(
         spark.read.parquet(s"$sf01/documents.parquet"), "text", "fps")
