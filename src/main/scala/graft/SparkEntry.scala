@@ -600,6 +600,49 @@ object SparkEntry {
     "q_ann_topk_lsh" -> lshTopKOracleSql(bits = 8, dim = 64, k = 10),
     "q_dedup_minhash_md5" ->
       minhashPortableOracleSql(numHashes = 32, bands = 8, threshold = 0.5),
+    // winnowing replay: same char 8-grams, md5-60bit gram hashes,
+    // window-of-16 minima, distinct; summaries are all order-free
+    "q_doc_winnow_md5" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |           i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)) AS grams
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(grams) - 15, 1) + 1),
+        |           i -> list_min(grams[i:i+15]))) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |       list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+        |       list_reduce(fps, (a, b) -> xor(a, b)) AS fp_xor
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // int8 quantization replay: scale is an exact max (order-free), the
+    // quantized values are floor(x/scale + 0.5) in both engines, and
+    // the fidelity cosine uses the same sequential dot fold
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id, v, scale,
+        |         CASE WHEN scale > 0
+        |              THEN list_transform(v, x -> floor(x / scale + 0.5))
+        |              ELSE list_transform(v, x -> 0.0) END AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_abs_sum,
+        |       CASE WHEN scale > 0
+        |            THEN list_dot_product(qv, v)
+        |               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+        |            END AS q_cosine
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_dedup_simhash_md5" ->
       simhashPortableOracleSql(maxHamming = 3, maxBucket = 10000),
     // honest multimodal features only: items, payload bytes, and one
@@ -811,6 +854,37 @@ object SparkEntry {
             bits = 8, dim = 64, k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_doc_winnow_md5" -> { (s, dir) =>
+        // winnowing fingerprints (portable gram hash), summarized
+        // order-free (min/max/xor/count) so list_distinct ordering
+        // differences between engines cannot matter
+        TextOps.winnowFingerprints(
+            s.read.parquet(s"$dir/documents.parquet"), "text", "fps",
+            k = 8, w = 16, portableHash = true)
+          .select(col("doc_id"),
+            size(col("fps")).cast("bigint").as("n_fp"),
+            array_min(col("fps")).as("fp_min"),
+            array_max(col("fps")).as("fp_max"),
+            aggregate(col("fps"), lit(0L), (a, b) => a.bitwiseXOR(b)).as("fp_xor"))
+          .orderBy("doc_id")
+      },
+      "q_embed_quantize" -> { (s, dir) =>
+        val q = SimilarityOps.quantizeInt8(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+        // scalar summaries instead of the array columns (the driver's
+        // hash compare is row/scalar-shaped): exact integer sums of
+        // the quantized values + the quantization-fidelity cosine
+        q.select(col("id").as("vec_id"), col("scale"),
+            aggregate(col("qv"), lit(0.0), (a, x) => a + x)
+              .cast("bigint").as("q_sum"),
+            aggregate(col("qv"), lit(0.0), (a, x) => a + abs(x))
+              .cast("bigint").as("q_abs_sum"),
+            when(col("scale") > 0,
+              SimilarityOps.dot(col("qv"), col("v")) /
+                (SimilarityOps.norm(col("qv")) * SimilarityOps.norm(col("v"))))
+              .as("q_cosine"))
+          .orderBy("vec_id")
       },
       "q_ann_topk_ivf" -> { (s, dir) => // rows-only: kmeans centroids
         // are float-sum dependent, so the oracle is the OpsSpec

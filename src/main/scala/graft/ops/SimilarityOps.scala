@@ -192,6 +192,29 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4×–8×
+    * storage lever for a 100 TB ANN corpus.  Per-vector
+    * `scale = max|vᵢ|/127`, `qᵢ = floor(vᵢ/scale + 0.5)` (explicit
+    * half-up: `round()`'s tie mode differs across engines, `floor(x
+    * + 0.5)` doesn't).  `scale` is an exact max (no accumulation), so
+    * any engine reproduces the quantized values bit-for-bit.
+    * Zero-norm vectors quantize to all-zeros with scale 0 (the
+    * division is guarded — ANSI mode).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = aggregate(v, lit(0.0), (m, x) => greatest(m, abs(x))) / lit(127.0)
+    df.select(col(idCol).as("id"), v.as("v"), scale.as("scale"))
+      .withColumn("qv",
+        when(col("scale") > 0,
+          transform(col("v"), x => floor(x / col("scale") + lit(0.5))))
+        .otherwise(transform(col("v"), _ => lit(0.0))))
+  }
+
+  /** Reconstruct (dequantize) — `qᵢ · scale` per element. */
+  def dequantizeInt8(qv: Column, scale: Column): Column =
+    transform(qv, x => x * scale)
+
   /** IVF (inverted-file) top-k: a KMeans coarse quantizer learned on a
     * corpus sample assigns every corpus vector to one of `nCells`
     * cells (one `model.transform` projection); each query probes its

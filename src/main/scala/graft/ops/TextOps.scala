@@ -97,9 +97,15 @@ object TextOps {
     * short documents yield a single (short-gram) fingerprint.
     */
   def kgramHashes(c: Column, k: Int = 8): Column =
+    kgramHashesWith(c, k, s => xxhash64(s))
+
+  /** As [[kgramHashes]] with a caller-chosen gram hash (the portable
+    * flavor passes `DedupOps.md5Hash60` so DuckDB can replay it).
+    */
+  def kgramHashesWith(c: Column, k: Int, gramHash: Column => Column): Column =
     transform(
       sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),
-      i => xxhash64(c.substr(i, lit(k))))
+      i => gramHash(c.substr(i, lit(k))))
 
   /** Winnowing-style rolling fingerprint: hash every character k-gram,
     * then keep the minimum hash of each sliding window of w k-grams
@@ -113,9 +119,11 @@ object TextOps {
     */
   def winnowFingerprints(
       df: DataFrame, textCol: String, outCol: String,
-      k: Int = 8, w: Int = 16): DataFrame = {
+      k: Int = 8, w: Int = 16, portableHash: Boolean = false): DataFrame = {
     val gcol = outCol + "__grams"
-    df.withColumn(gcol, kgramHashes(col(textCol), k))
+    val gramHash: Column => Column =
+      if (portableHash) DedupOps.md5Hash60 else s => xxhash64(s)
+    df.withColumn(gcol, kgramHashesWith(col(textCol), k, gramHash))
       .withColumn(outCol,
         array_distinct(transform(
           sequence(lit(1), greatest(size(col(gcol)) - lit(w - 1), lit(1))),

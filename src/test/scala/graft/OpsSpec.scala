@@ -108,6 +108,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: values in [-127,127], cosine fidelity > 0.99") {
+    val q = SimilarityOps.quantizeInt8(
+      spark.read.parquet(s"$sf001/embeddings.parquet"), "vec_id", "embedding")
+    val checked = q.select(col("id"),
+        aggregate(col("qv"), lit(0.0), (m, x) => greatest(m, abs(x))).as("qmax"),
+        (SimilarityOps.dot(col("qv"), col("v")) /
+          (SimilarityOps.norm(col("qv")) * SimilarityOps.norm(col("v"))))
+          .as("fid"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(r.getDouble(1) <= 127.0, s"quantized magnitude out of range: $r")
+      assert(r.getDouble(2) > 0.99, s"fidelity too low: $r")
+    }
+    // round-trip: dequantized values within scale/2 of the original
+    val err = q.select(aggregate(
+        zip_with(SimilarityOps.dequantizeInt8(col("qv"), col("scale")), col("v"),
+          (a, b) => abs(a - b)),
+        lit(0.0), (m, x) => greatest(m, x)).as("maxerr"), col("scale"))
+      .collect()
+    err.foreach(r => assert(r.getDouble(0) <= r.getDouble(1) / 2 + 1e-12))
+  }
+
   test("LSH cosine pairs find every exact-duplicate vector pair") {
     import spark.implicits._
     // duplicate the corpus under shifted ids: every vector then has an
