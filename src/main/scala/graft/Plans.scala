@@ -52,6 +52,20 @@ object Plans {
       graft.ops.StreamingOps.windowedCounts(
         graft.ops.StreamingOps.readEventsBatch(spark, sfDir))
     }
+    show("ivf topk (kmeans cells + broadcast probe join)") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.ops.SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        nCells = 4, nProbe = 2, k = 5)
+    }
+    show("simhash pairs (hot-bucket guard: broadcast anti-join)") {
+      graft.ops.DedupOps.simhashPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
+    }
+    show("int8 quantization (pure projection)") {
+      graft.ops.SimilarityOps.quantizeInt8(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")
+    }
     spark.stop()
   }
 }
