@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.spark.{WoeBinning, WoeFitOptions}
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, StreamingOps, TextOps}
+import graft.ops.{AsofOps, DedupOps, MultimodalOps, SimilarityOps, StreamingOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -346,7 +346,26 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST((max(tus) - min(tus)) // 1000 AS BIGINT) AS duration_ms
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // as-of join replay: IDENTICAL union-tag + carry-forward window
+    // formulation (AsofOps.asofJoin), right-before-left at equal time
+    "q_events_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |         event_type = 'purchase' AS is_left
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |c AS (
+        |  SELECT user_id, tus, event_id, is_left,
+        |    last_value(CASE WHEN NOT is_left THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, is_left, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS view_id,
+        |    last_value(CASE WHEN NOT is_left THEN tus END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, is_left, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS view_tus
+        |  FROM e)
+        |SELECT user_id, event_id AS purchase_id, view_id,
+        |       CAST(tus - view_tus AS BIGINT) AS gap_us
+        |FROM c WHERE is_left ORDER BY user_id, purchase_id""".stripMargin)
 
   /** Literal-table oracle built from reference-executed golden
     * fixtures (tools/gen_golden.py → src/main/resources/golden): the
@@ -910,6 +929,19 @@ object SparkEntry {
       "q_events_window" -> { (s, dir) =>
         StreamingOps.windowedCounts(StreamingOps.readEventsBatch(s, dir))
           .orderBy("bucket5m", "event_type")
+      },
+      "q_events_asof" -> { (s, dir) =>
+        // purchase ← most recent prior (or equal-time) view per user:
+        // the classic attribution as-of, µs integer time end-to-end
+        val ev = StreamingOps.readEventsBatch(s, dir)
+          .withColumn("tus", expr("ts DIV 1000"))
+        AsofOps.asofJoin(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"),
+            Seq("user_id"), "tus", "event_id")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("matched_id").as("view_id"), col("gap").as("gap_us"))
+          .orderBy("user_id", "purchase_id")
       },
       "q_events_sessionize" -> { (s, dir) =>
         StreamingOps.sessionize(StreamingOps.readEventsBatch(s, dir))

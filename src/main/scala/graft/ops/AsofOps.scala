@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the most recent
+  * right row with `right.time <= left.time` within the same key.
+  *
+  * Built the scalable way: union-tag the two sides, ONE shuffle on the
+  * key, an in-partition sort, and a carry-forward window
+  * (`last(..., ignoreNulls)` over unbounded-preceding rows).  No range
+  * join, so there is no candidate-pair explosion to prune — cost is
+  * sort + linear scan per key group, the same plan a 1000-executor
+  * cluster wants (the alternative `left.time BETWEEN ...` range join
+  * is quadratic in events-per-key).
+  *
+  * Tie rule (deterministic in any engine): at equal time the RIGHT row
+  * sorts first, so an equal-timestamp right row IS visible to the left
+  * row; among equal-time rows of one side the id breaks ties.
+  */
+object AsofOps {
+
+  /** @param left  rows to annotate (must contain key, time, id columns)
+    * @param right rows to look up (same three columns)
+    * @return left (key, id, time) + matched right id/time (null when no
+    *         right row precedes) + the gap `time - right_time`
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], timeCol: String, idCol: String): DataFrame = {
+    def side(df: DataFrame, isLeft: Boolean): DataFrame =
+      df.select(
+        keyCols.map(col) :+
+          col(timeCol).cast("long").as("__t") :+
+          col(idCol).as("__id") :+
+          lit(isLeft).as("__is_left"): _*)
+    val unioned = side(left, isLeft = true).unionByName(side(right, isLeft = false))
+    // right-before-left at equal time: false < true
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__is_left").asc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rightId = when(!col("__is_left"), col("__id"))
+    val rightT = when(!col("__is_left"), col("__t"))
+    unioned
+      .withColumn("__right_id", last(rightId, ignoreNulls = true).over(w))
+      .withColumn("__right_t", last(rightT, ignoreNulls = true).over(w))
+      .filter(col("__is_left"))
+      .select(
+        keyCols.map(col) :+
+          col("__id").as(idCol) :+
+          col("__t").as(timeCol) :+
+          col("__right_id").as("matched_id") :+
+          col("__right_t").as("matched_time") :+
+          (col("__t") - col("__right_t")).as("gap"): _*)
+  }
+}

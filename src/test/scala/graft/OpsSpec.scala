@@ -222,6 +222,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: latest prior match, equal-time visible, no-match null") {
+    import spark.implicits._
+    // user 1: views at t=10 (id 1) and t=30 (id 3); purchases at t=20
+    // (id 2, matches view 1), t=30 (id 4, equal-time view 3 visible),
+    // t=5 (id 5, nothing prior). user 2: purchase with no views at all.
+    val views = Seq((1L, 10L, 1L), (1L, 30L, 3L)).toDF("user_id", "tus", "event_id")
+    val buys = Seq((1L, 20L, 2L), (1L, 30L, 4L), (1L, 5L, 5L), (2L, 7L, 6L))
+      .toDF("user_id", "tus", "event_id")
+    // columns: user_id, event_id, tus, matched_id, matched_time, gap
+    val out = AsofOps.asofJoin(buys, views, Seq("user_id"), "tus", "event_id")
+      .collect().map(r => r.getLong(1) -> (
+        (if (r.isNullAt(3)) -1L else r.getLong(3)),
+        (if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out(2L) == (1L, 10L))  // id 2 → view 1, gap 10
+    assert(out(4L) == (3L, 0L))   // equal-time view is visible
+    assert(out(5L) == (-1L, -1L)) // nothing prior
+    assert(out(6L) == (-1L, -1L)) // user with no views
+  }
+
   test("streaming dedup collapses a doubled input to the batch distinct set") {
     // stage a directory holding TWO links to the same events file —
     // every event_id arrives exactly twice on the stream
