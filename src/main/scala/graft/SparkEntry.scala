@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.spark.{WoeBinning, WoeFitOptions}
-import graft.ops.{AsofOps, DedupOps, MultimodalOps, SimilarityOps, StreamingOps, TextOps}
+import graft.ops.{AsofOps, ClusterOps, DedupOps, MultimodalOps, SampleOps, SimilarityOps, StreamingOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -365,7 +365,104 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, event_id AS purchase_id, view_id,
         |       CAST(tus - view_tus AS BIGINT) AS gap_us
-        |FROM c WHERE is_left ORDER BY user_id, purchase_id""".stripMargin)
+        |FROM c WHERE is_left ORDER BY user_id, purchase_id""".stripMargin,
+    // word-bigram repetition (TextOps.repetitionStats): duplicate-gram
+    // fraction + duplicate-char fraction via the same sort-and-charge-
+    // predecessor formulation; all-ASCII grams so list_sort and
+    // array_sort agree byte-for-byte
+    "q_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |           i -> array_to_string(toks[i:i+1], ' ')) AS grams
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, grams, list_sort(grams) AS sg,
+        |         coalesce(list_sum(list_transform(grams, x -> length(x))), 0) AS total_chars
+        |  FROM g
+        |), d AS (
+        |  SELECT doc_id, grams, total_chars,
+        |         coalesce(list_sum(list_transform(range(2, len(sg) + 1),
+        |           i -> CASE WHEN sg[i] = sg[i-1] THEN length(sg[i]) ELSE 0 END)), 0) AS dup_chars
+        |  FROM s)
+        |SELECT doc_id,
+        |       CAST(len(grams) AS BIGINT) AS n_grams,
+        |       CAST(len(list_distinct(grams)) AS BIGINT) AS uniq_grams,
+        |       CASE WHEN len(grams) > 0
+        |            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |            END AS dup_gram_frac,
+        |       CASE WHEN total_chars > 0
+        |            THEN CAST(dup_chars AS DOUBLE) / total_chars
+        |            END AS dup_char_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // deterministic split replay: same md5-60bit("id:salt") % 10000
+    // bucket and the same cumulative thresholds (8000/9000)
+    "q_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r3'), 1, 15)) AS BIGINT)
+        |           % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |       CASE WHEN bucket < 8000 THEN 'train'
+        |            WHEN bucket < 9000 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> (clusterCtes +
+      """
+        |SELECT CAST(id AS BIGINT) AS doc_id,
+        |       CAST(cluster_id AS BIGINT) AS cluster_id
+        |FROM comp ORDER BY doc_id""".stripMargin),
+    "q_dedup_purge" -> (clusterCtes +
+      """
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin))
+
+  /** Connected components replayed in DuckDB: the SAME pair sources as
+    * the Spark side (exact-dup star pairs + the hot-block-guarded
+    * token-jaccard pairs of q_dedup_token_jaccard), then min-label
+    * reachability as a recursive CTE (UNION dedups rows, so the
+    * fixpoint is the transitive closure — Σ component² rows, fine at
+    * oracle scale; the Spark side's star contraction is the form that
+    * scales).  `comp` maps every non-isolated doc to its component
+    * minimum.
+    */
+  private lazy val clusterCtes: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, n_chars, md5(text) AS h,
+      |         list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS toks
+      |  FROM documents
+      |), grp AS (
+      |  SELECT h, min(doc_id) AS keep_id, count(*) AS cnt FROM t GROUP BY h
+      |), exact_pairs AS (
+      |  SELECT grp.keep_id AS id_a, t.doc_id AS id_b
+      |  FROM t JOIN grp USING (h) WHERE grp.cnt > 1 AND t.doc_id <> grp.keep_id
+      |), cold AS (
+      |  SELECT * FROM t WHERE n_chars IN (
+      |    SELECT n_chars FROM t GROUP BY n_chars HAVING count(*) <= 10000)
+      |), tj_pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM cold a JOIN cold b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+      |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.7
+      |), und AS (
+      |  SELECT id_a AS u, id_b AS v FROM exact_pairs
+      |  UNION SELECT id_b, id_a FROM exact_pairs
+      |  UNION SELECT id_a, id_b FROM tj_pairs
+      |  UNION SELECT id_b, id_a FROM tj_pairs
+      |), reach AS (
+      |  SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM und)
+      |  UNION
+      |  SELECT e.v AS id, r.lbl FROM reach r JOIN und e ON e.u = r.id
+      |), comp AS (
+      |  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+      |)""".stripMargin
 
   /** Literal-table oracle built from reference-executed golden
     * fixtures (tools/gen_golden.py → src/main/resources/golden): the
@@ -810,6 +907,33 @@ object SparkEntry {
             col("alpha_ratio"), col("quality_score"))
           .orderBy("doc_id")
       },
+      "q_repetition_stats" -> { (s, dir) =>
+        TextOps.repetitionStats(
+            s.read.parquet(s"$dir/documents.parquet"), "text", 2)
+          .select(col("doc_id"), col("n_grams"), col("uniq_grams"),
+            col("dup_gram_frac"), col("dup_char_frac"))
+          .orderBy("doc_id")
+      },
+      "q_hash_split" -> { (s, dir) =>
+        SampleOps.hashSplit(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "r3")
+          .select(col("doc_id"), col("bucket"), col("split"))
+          .orderBy("doc_id")
+      },
+      "q_dedup_clusters" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        ClusterOps.connectedComponents(dedupPairs(docs), "id_a", "id_b")
+          .select(col("id").cast("bigint").as("doc_id"),
+            col("cluster_id").cast("bigint").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      "q_dedup_purge" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val cc = ClusterOps.connectedComponents(dedupPairs(docs), "id_a", "id_b")
+        ClusterOps.dedupedCorpus(docs, "doc_id", cc)
+          .select(col("doc_id").cast("bigint").as("doc_id"))
+          .orderBy("doc_id")
+      },
       "q_dedup_exact" -> { (s, dir) =>
         DedupOps.exactDupGroups(
             s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
@@ -963,6 +1087,24 @@ object SparkEntry {
         last.getOrElse(sys.error(s"q_fit_streaming: no micro-batch fired for $dir"))
           .binsDf(s)
       })
+
+  /** Pair source for the clustering queries: exact-dup star pairs
+    * (canonical → member, linear in group size — NOT all-pairs, so a
+    * billion-copy boilerplate group contributes a billion edges, not
+    * 10^18) unioned with the hot-block-guarded token-jaccard near-dup
+    * pairs.  Both flavors are DuckDB-replayable, so the clustering
+    * result hash-checks end-to-end.
+    */
+  private def dedupPairs(docs: DataFrame): DataFrame = {
+    val exact = DedupOps.exactDupMembers(docs, "text", "doc_id")
+      .join(DedupOps.exactDupGroups(docs, "text", "doc_id")
+        .select("content_hash", "keep_id"), "content_hash")
+      .where(col("id") =!= col("keep_id"))
+      .select(col("keep_id").as("id_a"), col("id").as("id_b"))
+    val near = DedupOps.tokenJaccardPairs(docs, "text", "doc_id", "n_chars", 0.7)
+      .select("id_a", "id_b")
+    exact.union(near)
+  }
 
   private val stageLock = new Object
 

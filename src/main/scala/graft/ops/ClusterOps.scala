@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-dup graph clustering for dedup pipelines: candidate PAIRS
+  * (from any DedupOps/SimilarityOps flavor) → connected components →
+  * one canonical document per component.
+  *
+  * Components use the alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14): converges in O(log n) rounds on ANY graph shape — a
+  * million-doc boilerplate chain collapses in ~20 rounds where naive
+  * min-label propagation needs a million.  Each round is two shuffles
+  * over the EDGE set only (a groupBy for neighborhood minima and a
+  * join to rewrite edges); neighborhoods are never materialized as
+  * arrays (no collect_list — a cluster with millions of members stays
+  * distributed).
+  *
+  * Every round is `localCheckpoint`ed: an iterative DataFrame loop
+  * otherwise compounds plan depth and re-executes all prior rounds at
+  * each action.  On a real cluster prefer reliable checkpointing
+  * (`spark.sparkContext.setCheckpointDir` + `.checkpoint()`) so a lost
+  * executor doesn't force a full recompute; local mode has no executor
+  * loss, so the cheap variant is used here.
+  */
+object ClusterOps {
+
+  /** large-star: connect every neighbor v > u to min(N(u) ∪ {u}).
+    * Output edges are directed big → small.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = und.groupBy("u").agg(min("v").as("mn"))
+    und.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+      .distinct()
+  }
+
+  /** small-star: for each node u of big→small edges, reconnect u and
+    * all its (smaller) neighbors to the neighborhood minimum.
+    * Preserves the big → small direction.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("mn"))
+    e.join(mins, "u")
+      .select(col("v").as("u"), col("mn").as("v"))
+      .union(mins.select(col("u"), col("mn").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components of the pair graph: one row per non-isolated
+    * node, `(id, cluster_id)` with `cluster_id` = the component's
+    * minimum id (so the cluster id doubles as the canonical member).
+    * Ids may be any orderable Spark type.  Isolated docs (no pairs)
+    * don't appear — they are their own cluster by definition.
+    *
+    * Convergence is checked exactly (count + one-sided except on the
+    * checkpointed edge set — both cheap post-checkpoint); `maxIter`
+    * bounds the driver loop regardless.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var cnt = e.count()
+    var converged = cnt == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val e2 = smallStar(largeStar(e)).localCheckpoint()
+      val cnt2 = e2.count()
+      converged = cnt2 == cnt && e2.except(e).isEmpty
+      e = e2
+      cnt = cnt2
+      iter += 1
+    }
+    // at the fixpoint every edge is (member, component-min); the min
+    // itself only appears on the right, so union it in as its own row
+    e.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
+  }
+
+  /** Members to DROP — every clustered doc except its canonical
+    * (minimum-id) representative.
+    */
+  def dropList(components: DataFrame): DataFrame =
+    components.where(col("id") =!= col("cluster_id")).select("id")
+
+  /** The deduplicated corpus: `df` minus non-canonical cluster members.
+    * Anti-join on the drop list — at 100 TB the drop list is ~the dup
+    * mass (potentially large), so this is a shuffle join by default;
+    * AQE converts it to broadcast when the list turns out small.
+    */
+  def dedupedCorpus(df: DataFrame, idCol: String, components: DataFrame): DataFrame =
+    df.join(dropList(components).withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+}

@@ -68,12 +68,8 @@ object DedupOps {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Word k-shingles of a document as a distinct array. */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val toks = TextOps.tokens(c)
-    val nS = greatest(size(toks) - lit(k - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), nS),
-      i => concat_ws(" ", slice(toks, i, lit(k)))))
-  }
+  def shingles(c: Column, k: Int = 3): Column =
+    array_distinct(TextOps.wordNgrams(c, k))
 
   /** MinHash signature from a MATERIALIZED base-hash column:
     * h_i(s) = (a_i * base + b_i) mod P, minimum over shingles.

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training pipelines.
+  *
+  * The assignment is a pure function of (id, salt): stable across
+  * runs, engines, repartitions, and incremental re-ingestion — the
+  * property `rand()`-based sampling lacks (a re-run reshuffles every
+  * row's fate, silently leaking val docs into train).  Pure per-row
+  * projection: no shuffle, no state, embarrassingly parallel.
+  */
+object SampleOps {
+
+  val DefaultBuckets = 10000
+
+  /** Portable bucket in [0, buckets): md5-derived 60-bit hash of
+    * "id:salt", mod buckets — the same arithmetic any engine (or the
+    * DuckDB oracle) reproduces exactly.  The salt decorrelates splits
+    * drawn for different purposes from the same ids.
+    */
+  def hashBucket(id: Column, salt: String, buckets: Int = DefaultBuckets): Column =
+    pmod(DedupOps.md5Hash60(concat(id.cast("string"), lit(":" + salt))),
+      lit(buckets.toLong))
+
+  /** Adds `bucket` and `split` columns assigning each row to a named
+    * split by cumulative weight over the hash bucket.  Weights must
+    * sum to 1.
+    */
+  def hashSplit(
+      df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"hashSplit: weights must sum to 1, got ${splits.map(_._2).sum}")
+    val b = hashBucket(col(idCol), salt)
+    // cumulative integer thresholds; the last split absorbs rounding
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * DefaultBuckets))
+    val assign = splits.map(_._1).zip(thresholds).init
+      .foldRight(lit(splits.last._1): Column) {
+        case ((name, th), acc) => when(b < th, lit(name)).otherwise(acc)
+      }
+    df.withColumn("bucket", b).withColumn("split", assign)
+  }
+
+  /** Deterministic `fraction`-sample: keeps rows whose bucket falls
+    * below the cutoff.  Unlike `df.sample`, membership is a function
+    * of the id alone — adding rows later never flips earlier rows.
+    */
+  def deterministicSample(
+      df: DataFrame, idCol: String, fraction: Double, salt: String): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
+    df.where(hashBucket(col(idCol), salt) <
+      lit(math.round(fraction * DefaultBuckets)))
+  }
+}

@@ -26,6 +26,57 @@ object TextOps {
   def bpeTokenEstimate(c: Column): Column =
     size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Overlapping word n-grams, space-joined (NOT distinct — see
+    * [[DedupOps.shingles]] for the set flavor).  A token-less document
+    * yields a single empty-string gram (the sequence clamp), which
+    * both engines agree on.
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    transform(sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Gopher-style repetition metrics over word `n`-grams (the unit is
+    * n-grams rather than lines because the line rule degenerates on
+    * single-line corpora; same computation either way):
+    *
+    *  - `dup_gram_frac`  — fraction of grams that are repeat
+    *    occurrences (1 − distinct/total)
+    *  - `dup_char_frac`  — fraction of gram CHARACTERS inside repeat
+    *    occurrences (the "fraction of characters in duplicate lines"
+    *    rule), computed by sorting the gram array and charging every
+    *    gram equal to its predecessor — O(g log g) per row, pure
+    *    array expressions, no explode/shuffle.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    // materialized stages: inlining `grams` into each metric would
+    // recompute the token + n-gram chain per reference (the same
+    // re-inlining trap winnowFingerprints documents)
+    val withG = df.withColumn("__grams", wordNgrams(col(textCol), n))
+      .withColumn("__sg", array_sort(col("__grams")))
+    val g = col("__grams")
+    val sg = col("__sg")
+    val nGrams = size(g)
+    val uniq = size(array_distinct(g))
+    val totalChars = aggregate(
+      transform(g, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+    val dupChars = when(size(sg) < 2, lit(0L)).otherwise(
+      aggregate(
+        zip_with(
+          slice(sg, lit(2), size(sg) - 1), slice(sg, lit(1), size(sg) - 1),
+          (cur, pre) => when(cur === pre, length(cur).cast("long")).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x))
+    withG
+      .withColumn("n_grams", nGrams.cast("long"))
+      .withColumn("uniq_grams", uniq.cast("long"))
+      .withColumn("dup_gram_frac",
+        when(nGrams > 0, (nGrams - uniq).cast("double") / nGrams))
+      .withColumn("dup_char_frac",
+        when(totalChars > 0, dupChars.cast("double") / totalChars))
+      .drop("__grams", "__sg")
+  }
+
   /** Function-word tables for the language-ID heuristic. */
   val langFunctionWords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it", "that"),

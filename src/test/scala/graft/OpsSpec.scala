@@ -285,4 +285,82 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("connected components: chain + separate pair + isolated node") {
+    import spark.implicits._
+    // 1-2-3-4 chained through distinct pairs, {10,11} separate; 99 is
+    // never paired so it must not appear
+    val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val cc = ClusterOps.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges within the log-round budget") {
+    import spark.implicits._
+    // a 200-node path is the adversarial case for naive propagation
+    // (diameter 199); star contraction must still finish in ≤ 25 rounds
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = ClusterOps.connectedComponents(pairs, "id_a", "id_b").collect()
+    assert(cc.length == 200)
+    cc.foreach(r => assert(r.getLong(1) == 0L, s"node ${r.getLong(0)}"))
+  }
+
+  test("deduped corpus keeps one canonical doc per cluster") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "aaa"), (4L, "bbb"),
+      (5L, "unique")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val cc = ClusterOps.connectedComponents(pairs, "id_a", "id_b")
+    val kept = ClusterOps.dedupedCorpus(docs, "doc_id", cc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("hash split: deterministic, near-nominal weights, salt-sensitive") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val a = SampleOps.hashSplit(docs, "doc_id", "s1")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.keySet == Set("train", "val", "test"))
+    val n = a.values.sum.toDouble
+    assert(math.abs(a("train") / n - 0.8) < 0.05, s"train frac off: $a")
+    // identical rerun → identical assignment (the rand() failure mode)
+    val a2 = SampleOps.hashSplit(docs, "doc_id", "s1")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == a2)
+    // a different salt draws a different (but still complete) split
+    val b = SampleOps.hashSplit(docs, "doc_id", "s2")
+    assert(SampleOps.hashSplit(docs, "doc_id", "s1").withColumnRenamed("split", "s")
+      .join(b.select(col("doc_id"), col("split").as("s2")), "doc_id")
+      .where(col("s") =!= col("s2")).count() > 0)
+  }
+
+  test("deterministic sample: stable membership, ~fraction size") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val s1 = SampleOps.deterministicSample(docs, "doc_id", 0.3, "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = SampleOps.deterministicSample(docs, "doc_id", 0.3, "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size / 5000.0 - 0.3) < 0.05)
+  }
+
+  test("repetition stats: exact fractions on a crafted doc") {
+    import spark.implicits._
+    // "a b a b a b" bigrams: [a b, b a, a b, b a, a b] → 5 grams,
+    // 2 distinct; sorted charge-predecessor marks 3 repeats of 3 chars
+    // over 15 total chars
+    val df = Seq((1L, "a b a b a b"), (2L, "all words differ here now"))
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionStats(df, "text", 2)
+      .select("doc_id", "n_grams", "uniq_grams", "dup_gram_frac", "dup_char_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((5L, 2L, 0.6, 0.6)))
+    assert(m(2L)._3 == 0.0 && m(2L)._4 == 0.0)
+  }
 }
