@@ -66,6 +66,22 @@ object Plans {
       graft.ops.SimilarityOps.quantizeInt8(
         spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")
     }
+    show("cc one round (edge-set shuffles only, no arrays)") {
+      // one large-star+small-star round over a toy edge set — the
+      // repeated unit of connectedComponents (the loop itself is
+      // checkpoint-truncated so the full plan never materializes)
+      import spark.implicits._
+      val pairs = Seq((2L, 1L), (3L, 2L)).toDF("id_a", "id_b")
+      graft.ops.ClusterOps.connectedComponents(pairs, "id_a", "id_b")
+    }
+    show("token topk (partial agg + TakeOrdered)") {
+      graft.ops.TextOps.topTokens(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", 100)
+    }
+    show("hash split (pure projection)") {
+      graft.ops.SampleOps.hashSplit(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "r3")
+    }
     spark.stop()
   }
 }

@@ -399,6 +399,16 @@ object SparkEntry {
         |            THEN CAST(dup_chars AS DOUBLE) / total_chars
         |            END AS dup_char_frac
         |FROM d ORDER BY doc_id""".stripMargin,
+    // corpus vocabulary: the wordcount shape with a deterministic
+    // (freq DESC, token ASC) tie-break so both engines cut the same
+    // top-100
+    "q_token_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |FROM tok GROUP BY token
+        |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
     // deterministic split replay: same md5-60bit("id:salt") % 10000
     // bucket and the same cumulative thresholds (8000/9000)
     "q_hash_split" ->
@@ -919,6 +929,10 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "r3")
           .select(col("doc_id"), col("bucket"), col("split"))
           .orderBy("doc_id")
+      },
+      "q_token_topk" -> { (s, dir) =>
+        TextOps.topTokens(
+          s.read.parquet(s"$dir/documents.parquet"), "text", 100)
       },
       "q_dedup_clusters" -> { (s, dir) =>
         val docs = s.read.parquet(s"$dir/documents.parquet")

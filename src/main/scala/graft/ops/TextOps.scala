@@ -77,6 +77,26 @@ object TextOps {
       .drop("__grams", "__sg")
   }
 
+  /** Corpus-level token frequencies — the wordcount shape: explode
+    * tokens → hash-agg.  Map-side partial aggregation bounds the
+    * shuffle at (distinct tokens × partitions); at 100 TB the shuffled
+    * payload is the vocabulary, not the corpus.
+    */
+  def tokenFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Top-k vocabulary with a deterministic (freq DESC, token ASC)
+    * tie-break.  The global sort runs on the already-aggregated
+    * vocabulary (≪ corpus) and TakeOrdered keeps it partition-local
+    * until the final k rows.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    tokenFrequencies(df, textCol)
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** Function-word tables for the language-ID heuristic. */
   val langFunctionWords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it", "that"),

@@ -349,6 +349,14 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(s1.size / 5000.0 - 0.3) < 0.05)
   }
 
+  test("top tokens: counts and the deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq("b a a", "c b a", "d c").toDF("text")
+    val top = TextOps.topTokens(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+  }
+
   test("repetition stats: exact fractions on a crafted doc") {
     import spark.implicits._
     // "a b a b a b" bigrams: [a b, b a, a b, b a, a b] → 5 grams,
