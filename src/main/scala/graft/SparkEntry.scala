@@ -409,6 +409,19 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM tok GROUP BY token
         |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    // PII scrub replay: the documents carry no PII, so both engines
+    // synthesize the same deterministic PII suffix per doc and must
+    // scrub it identically.  DuckDB needs the 'g' flag (its
+    // regexp_replace is first-match by default; Spark's is global).
+    "q_pii_redact" -> {
+      val synth = "text || ' contact user' || doc_id || '@example.com at 10.0.0.'" +
+        " || (doc_id % 256) || ' ssn 123-45-6789 tel 415-555-0199'"
+      val redacted = TextOps.piiPatterns.foldLeft(synth) {
+        case (acc, (pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      s"""SELECT doc_id, $redacted AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // deterministic split replay: same md5-60bit("id:salt") % 10000
     // bucket and the same cumulative thresholds (8000/9000)
     "q_hash_split" ->
@@ -933,6 +946,16 @@ object SparkEntry {
       "q_token_topk" -> { (s, dir) =>
         TextOps.topTokens(
           s.read.parquet(s"$dir/documents.parquet"), "text", 100)
+      },
+      "q_pii_redact" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(" ssn 123-45-6789 tel 415-555-0199"))
+        docs.select(col("doc_id"), TextOps.redactPii(pii).as("clean"))
+          .orderBy("doc_id")
       },
       "q_dedup_clusters" -> { (s, dir) =>
         val docs = s.read.parquet(s"$dir/documents.parquet")

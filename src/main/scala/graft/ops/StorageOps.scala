@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Storage-layout helpers — the write-side levers that delete shuffles
+  * from every LATER job, which is where a 100 TB pipeline actually
+  * spends its time.
+  *
+  * The pattern: bucket the corpus ONCE by its join/group key (doc id,
+  * content hash, user id); every subsequent equi-join, groupBy, or
+  * dedup membership pass on that key reads the co-located layout and
+  * skips its Exchange entirely (verified by `StorageSpec`: a
+  * bucket-key self-join of a bucketed table plans zero shuffles).
+  * Amortized over the tens of passes a training-data pipeline makes,
+  * the one-time bucketed write is the single biggest shuffle saver
+  * available.
+  */
+object StorageOps {
+
+  /** Write `df` as a bucketed, per-bucket-sorted managed parquet
+    * table.  `numBuckets` should be sized so one bucket ≈ one
+    * executor-task's worth of data at the target scale (100 TB / 10k
+    * buckets ≈ 10 GB per bucket before row-group splitting).
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Write partitioned by a low-cardinality column (date, lang,
+    * source) so per-partition predicates prune files at planning time
+    * — the coarse companion of bucketing's fine-grained co-location.
+    */
+  def writePartitioned(
+      df: DataFrame, table: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .partitionBy(partitionCol)
+      .saveAsTable(table)
+}

@@ -157,6 +157,27 @@ object TextOps {
         (lenOk + wordLenOk + stopOk + alphaOk) / lit(4.0))
   }
 
+  /** PII scrubbing patterns, applied in order (specific → general so
+    * an IP or SSN is not half-eaten by the phone rule first).  Every
+    * pattern sticks to the regex subset Java and RE2 interpret
+    * identically (classes, bounded repeats, `\b`), so external engines
+    * replay the redaction byte-for-byte.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** Redact emails / IPv4s / SSNs / phone numbers — chained
+    * `regexp_replace`, pure per-row projection (the usual pre-training
+    * scrub pass).
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Stable whole-document fingerprint (hex md5 — cross-engine). */
   def fingerprintMd5(c: Column): Column = md5(c)
 

@@ -357,6 +357,21 @@ class OpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
   }
 
+  test("pii redaction scrubs emails/ips/ssns/phones, leaves prose alone") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.b+c@ex-ample.co.uk now",
+      "host 192.168.0.1 port",
+      "ssn 123-45-6789 phone 415-555-0199",
+      "version 1.2 costs 3.50 no pii here").toDF("text")
+    val out = df.select(TextOps.redactPii(col("text")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "host <IP> port")
+    assert(out(2) == "ssn <SSN> phone <PHONE>")
+    assert(out(3) == "version 1.2 costs 3.50 no pii here")
+  }
+
   test("repetition stats: exact fractions on a crafted doc") {
     import spark.implicits._
     // "a b a b a b" bigrams: [a b, b a, a b, b a, a b] → 5 grams,
