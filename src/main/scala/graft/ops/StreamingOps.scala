@@ -117,11 +117,84 @@ object StreamingOps {
     out
   }
 
+  /** Event carried into the custom-state sessionizer (event_time is
+    * the watermark column; tus the exact µs arithmetic twin).
+    */
+  case class SessEvent(
+      user_id: Long, tus: Long, event_id: Long,
+      event_time: java.sql.Timestamp)
+
+  /** Open-session state per user: running session counter + bounds. */
+  case class SessState(seq: Long, startUs: Long, lastUs: Long, n: Long)
+
+  case class SessionRow(
+      user_id: Long, session_id: Long, n_events: Long, duration_ms: Long)
+
+  /** Streaming sessionization with CUSTOM state
+    * (`flatMapGroupsWithState` + event-time timeout): per-user open
+    * session lives in the state store; a session is emitted when the
+    * inactivity gap closes it in-stream, or when the watermark passes
+    * `last + gap` (timeout) — so state is one row per ACTIVE user,
+    * bounded by the watermark horizon, never by history.  Emits the
+    * same (user_id, session_id, n_events, duration_ms) rows as the
+    * batch [[sessionize]] (StreamingOpsSpec pins equality); the
+    * still-open session per user flushes on timeout once the watermark
+    * moves past it.
+    *
+    * Requires per-user event-time order across triggers (guaranteed
+    * when the source is replayed in order or late data stays within
+    * the watermark and lands in the same trigger — the usual
+    * sessionizer contract).
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val src = events
+      .withWatermark("event_time", s"$gapMinutes minutes")
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("ts DIV 1000").as("tus"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_time"))
+      .as[SessEvent]
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator(SessionRow(uid, s.seq, s.n, (s.lastUs - s.startUs) / 1000L))
+          } else {
+            // batch-internal order restored here; cross-trigger order
+            // is the documented source contract
+            val evs = it.toVector.sortBy(e => (e.tus, e.event_id))
+            val out = Vector.newBuilder[SessionRow]
+            var st = state.getOption.getOrElse(SessState(0L, -1L, -1L, 0L))
+            evs.foreach { e =>
+              if (st.startUs < 0)
+                st = SessState(st.seq + 1, e.tus, e.tus, 1L)
+              else if (e.tus - st.lastUs > gapUs) {
+                out += SessionRow(uid, st.seq, st.n,
+                  (st.lastUs - st.startUs) / 1000L)
+                st = SessState(st.seq + 1, e.tus, e.tus, 1L)
+              } else st = st.copy(lastUs = e.tus, n = st.n + 1)
+            }
+            state.update(st)
+            // µs → ms; +1 so the timeout fires strictly after the gap
+            state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000L + 1L)
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
   /** Sessionization: per-user sessions split on ≥ 30 min inactivity
     * gaps — the classic gaps-and-islands form (lag + cumulative sum),
-    * expressible identically in the batch oracle.  The streaming
-    * equivalent (flatMapGroupsWithState) keys by user with a session
-    * timeout; batch form keeps semantics oracle-checkable.
+    * expressible identically in the batch oracle.  [[sessionizeStream]]
+    * is the custom-state streaming equivalent; this batch form keeps
+    * the semantics oracle-checkable.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window

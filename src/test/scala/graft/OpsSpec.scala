@@ -357,6 +357,45 @@ class OpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
   }
 
+  test("custom-state streaming sessionization == batch sessionize") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real events, globally time-ordered, replayed in 3 triggers
+    val ev = StreamingOps.readEventsBatch(spark, sf001)
+      .select(col("event_id").cast("long"), col("ts").cast("long"),
+        col("user_id").cast("long"))
+      .orderBy(expr("ts DIV 1000"), col("event_id"))
+      .limit(3000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxTs = ev.map(_._2).max
+    val stream = MemoryStream[(Long, Long, Long)]
+    val src = stream.toDF().toDF("event_id", "ts", "user_id")
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val name = s"sess_stream_${System.nanoTime()}"
+    val q = StreamingOps.sessionizeStream(src).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    ev.grouped(1000).foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    // two far-future sentinels: the first advances the watermark past
+    // every open session's last+gap, the second forces the no-data
+    // trigger that fires the event-time timeouts
+    stream.addData(Seq((999999L, maxTs + 360000L * 1000000000L, 999999L)))
+    q.processAllAvailable()
+    stream.addData(Seq((999998L, maxTs + 360001L * 1000000000L, 999999L)))
+    q.processAllAvailable()
+    val got = spark.table(name).where(col("user_id") =!= 999999L)
+      .select("user_id", "session_id", "n_events", "duration_ms")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    val batch = StreamingOps.sessionize(
+        ev.toSeq.toDF("event_id", "ts", "user_id"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch,
+      s"missing: ${(batch -- got).take(5)}; extra: ${(got -- batch).take(5)}")
+  }
+
   test("pii redaction scrubs emails/ips/ssns/phones, leaves prose alone") {
     import spark.implicits._
     val df = Seq(
