@@ -422,6 +422,32 @@ object SparkEntry {
       s"""SELECT doc_id, $redacted AS clean
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // decontamination replay: docs 0-19 act as the "benchmark", the
+    // rest as corpus; word 3-gram md5-60bit hashes on both sides, per
+    // doc DISTINCT-gram overlap counts, flag at >= 10 shared grams
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(toks) - 2, 1) + 1),
+        |           i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15)) AS BIGINT))) AS ghs
+        |  FROM t
+        |), bench AS (
+        |  SELECT DISTINCT unnest(ghs) AS gh FROM g WHERE doc_id < 20
+        |), corp AS (
+        |  SELECT doc_id, unnest(ghs) AS gh FROM g WHERE doc_id >= 20
+        |), ov AS (
+        |  SELECT doc_id, count(*) AS n_overlap
+        |  FROM corp JOIN bench USING (gh) GROUP BY doc_id
+        |)
+        |SELECT g.doc_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |       coalesce(ov.n_overlap, 0) >= 10 AS contaminated
+        |FROM g LEFT JOIN ov ON g.doc_id = ov.doc_id
+        |WHERE g.doc_id >= 20 ORDER BY g.doc_id""".stripMargin,
     // deterministic split replay: same md5-60bit("id:salt") % 10000
     // bucket and the same cumulative thresholds (8000/9000)
     "q_hash_split" ->
@@ -946,6 +972,16 @@ object SparkEntry {
       "q_token_topk" -> { (s, dir) =>
         TextOps.topTokens(
           s.read.parquet(s"$dir/documents.parquet"), "text", 100)
+      },
+      "q_decontaminate" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        TextOps.contaminationScores(
+            docs.filter(col("doc_id") >= 20), "doc_id", "text",
+            docs.filter(col("doc_id") < 20), "text",
+            n = 3, portableHash = true)
+          .select(col("id").cast("bigint").as("doc_id"), col("n_overlap"),
+            (col("n_overlap") >= 10).as("contaminated"))
+          .orderBy("doc_id")
       },
       "q_pii_redact" -> { (s, dir) =>
         val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -157,6 +157,38 @@ object TextOps {
         (lenOk + wordLenOk + stopOk + alphaOk) / lit(4.0))
   }
 
+  /** Benchmark-decontamination scores: for every corpus doc, the
+    * number of DISTINCT word n-grams it shares with any benchmark doc
+    * (the standard eval-leakage check before training).  The benchmark
+    * gram set is the small side by contract and is broadcast, so
+    * corpus grams stream past it map-side — the only shuffle is the
+    * per-doc overlap count (and grams travel as 8-byte hashes, not
+    * strings).  Docs with zero overlap still appear (left join,
+    * coalesce 0) so the output is a total score column.
+    *
+    * `portableHash` swaps xxhash64 for the md5-60bit gram hash so the
+    * DuckDB oracle replays the identical pipeline (same convention as
+    * DedupOps.minhashPairs).
+    */
+  def contaminationScores(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchText: String,
+      n: Int = 3, portableHash: Boolean = false): DataFrame = {
+    val gramHash: Column => Column =
+      if (portableHash) DedupOps.md5Hash60 else c => xxhash64(c)
+    val bench = benchmark
+      .select(explode(array_distinct(wordNgrams(col(benchText), n))).as("g"))
+      .select(gramHash(col("g")).as("gh")).distinct()
+    val corpusGrams = corpus.select(col(corpusId).as("id"),
+        explode(array_distinct(wordNgrams(col(corpusText), n))).as("g"))
+      .select(col("id"), gramHash(col("g")).as("gh"))
+    val overlaps = corpusGrams.join(broadcast(bench), "gh")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(corpusId).as("id"))
+      .join(overlaps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
   /** PII scrubbing patterns, applied in order (specific → general so
     * an IP or SSN is not half-eaten by the phone rule first).  Every
     * pattern sticks to the regex subset Java and RE2 interpret

@@ -396,6 +396,22 @@ class OpsSpec extends AnyFunSuite {
       s"missing: ${(batch -- got).take(5)}; extra: ${(got -- batch).take(5)}")
   }
 
+  test("contamination scores: copied text maxes, disjoint text zeroes") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim copy
+      (2L, "prefix words then alpha beta gamma inside"), // partial
+      (3L, "totally unrelated content with no shared trigrams at all"))
+      .toDF("doc_id", "text")
+    val m = TextOps.contaminationScores(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 4L) // 6 tokens → 4 distinct trigrams, all shared
+    assert(m(2L) == 1L) // only "alpha beta gamma"
+    assert(m(3L) == 0L)
+  }
+
   test("pii redaction scrubs emails/ips/ssns/phones, leaves prose alone") {
     import spark.implicits._
     val df = Seq(
