@@ -445,7 +445,7 @@ object SparkEntry {
         |  FROM corp JOIN bench USING (gh) GROUP BY doc_id
         |)
         |SELECT g.doc_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-        |       coalesce(ov.n_overlap, 0) >= 10 AS contaminated
+        |       CAST(coalesce(ov.n_overlap, 0) >= 10 AS BIGINT) AS contaminated
         |FROM g LEFT JOIN ov ON g.doc_id = ov.doc_id
         |WHERE g.doc_id >= 20 ORDER BY g.doc_id""".stripMargin,
     // deterministic split replay: same md5-60bit("id:salt") % 10000
@@ -980,7 +980,9 @@ object SparkEntry {
             docs.filter(col("doc_id") < 20), "text",
             n = 3, portableHash = true)
           .select(col("id").cast("bigint").as("doc_id"), col("n_overlap"),
-            (col("n_overlap") >= 10).as("contaminated"))
+            // bigint 0/1, not boolean: every driver-hashed column so
+            // far is numeric/string — stay in the proven type envelope
+            (col("n_overlap") >= 10).cast("bigint").as("contaminated"))
           .orderBy("doc_id")
       },
       "q_pii_redact" -> { (s, dir) =>
