@@ -60,11 +60,12 @@ object ClusterOps {
     *
     * Convergence is checked exactly (count + one-sided except on the
     * checkpointed edge set — both cheap post-checkpoint); `maxIter`
-    * bounds the driver loop regardless.
+    * bounds the driver loop, and exhausting it THROWS — a truncated
+    * contraction is not a component mapping.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
@@ -80,6 +81,14 @@ object ClusterOps {
       cnt = cnt2
       iter += 1
     }
+    if (!converged)
+      // a truncated contraction is NOT components: edges may still
+      // point at intermediate nodes, so downstream keep/drop decisions
+      // would silently under-merge.  50 rounds covers any graph the
+      // O(log n) bound admits; hitting this means something is wrong.
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds " +
+          s"($cnt edges remain) — raise maxIter")
     // at the fixpoint every edge is (member, component-min); the min
     // itself only appears on the right, so union it in as its own row
     e.select(col("u").as("id"), col("v").as("cluster_id"))

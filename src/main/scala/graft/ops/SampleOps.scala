@@ -24,6 +24,16 @@ object SampleOps {
     pmod(DedupOps.md5Hash60(concat(id.cast("string"), lit(":" + salt))),
       lit(buckets.toLong))
 
+  /** [[hashBucket]] that FAILS on a null id instead of propagating
+    * null — a null bucket would silently fall through every split
+    * threshold into the last split (or silently vanish from a
+    * sample), which is exactly the kind of quiet skew a deterministic
+    * splitter exists to prevent.
+    */
+  private def checkedBucket(id: Column, salt: String): Column =
+    coalesce(hashBucket(id, salt),
+      raise_error(lit("hashSplit/deterministicSample: null id")).cast("long"))
+
   /** Adds `bucket` and `split` columns assigning each row to a named
     * split by cumulative weight over the hash bucket.  Weights must
     * sum to 1.
@@ -34,7 +44,7 @@ object SampleOps {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"hashSplit: weights must sum to 1, got ${splits.map(_._2).sum}")
-    val b = hashBucket(col(idCol), salt)
+    val b = checkedBucket(col(idCol), salt)
     // cumulative integer thresholds; the last split absorbs rounding
     val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.round(c * DefaultBuckets))
@@ -52,7 +62,7 @@ object SampleOps {
   def deterministicSample(
       df: DataFrame, idCol: String, fraction: Double, salt: String): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
-    df.where(hashBucket(col(idCol), salt) <
+    df.where(checkedBucket(col(idCol), salt) <
       lit(math.round(fraction * DefaultBuckets)))
   }
 }

@@ -28,6 +28,12 @@ object StreamingOps {
     // 1µs on ~13% of timestamps, shifting window-boundary events
     df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
+  // NOTE: nanosAsLong is a session-wide SQL conf (no reader-level
+  // equivalent) and must stay set while the scan EXECUTES, so the
+  // readers below intentionally leave it on: any later read of a
+  // parquet TIMESTAMP(NANOS) column in the same session also sees
+  // longs.  Isolate sessions (spark.newSession()) if that matters.
+
   def readEventsBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     withEventTime(spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet"))
@@ -55,6 +61,31 @@ object StreamingOps {
         count(lit(1)).as("cnt"),
         sum(floor(col("value") * 1000).cast(LongType)).as("value_millis"))
 
+  /** One-shot memory-sink runner shared by the stream test/demo
+    * surfaces: runs the frame to completion, materializes the result
+    * into a cached DataFrame, and — even on failure — stops the query
+    * and drops the sink's temp view (the per-call nanoTime names would
+    * otherwise accumulate in the catalog for the session's lifetime).
+    * The returned frame stays cached; callers owning long sessions
+    * should unpersist it when done.
+    */
+  private def runToMemory(
+      df: DataFrame, prefix: String, outputMode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"${prefix}_${System.nanoTime()}"
+    val q = df.writeStream.outputMode(outputMode).format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table(name).cache()
+      out.count() // materialize before the query stops / view drops
+      out
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Streaming flavor with watermark + event-time window (the idiom a
     * live source needs); memory-sink runner for tests/demo.
     */
@@ -64,21 +95,10 @@ object StreamingOps {
       .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(floor(col("value") * 1000).cast(LongType)).as("value_millis"))
-    val name = s"events_window_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    val out = spark.table(name)
+    runToMemory(agg, "events_window", "complete")
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("value_millis"))
       .orderBy("window_start", "event_type")
-      .cache()
-    out.count() // materialize before stopping the query
-    q.stop()
-    out
   }
 
   /** Exact streaming dedup (idempotent ingestion): at-most-once per
@@ -104,17 +124,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = withEventTime(
       spark.readStream.schema(eventsSchema).parquet(stagedDir))
-    val name = s"events_dedup_${System.nanoTime()}"
-    val q = streamingDedup(src, keys).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    val out = spark.table(name).cache()
-    out.count() // materialize before stopping the query
-    q.stop()
-    out
+    runToMemory(streamingDedup(src, keys), "events_dedup", "append")
   }
 
   /** Event carried into the custom-state sessionizer (event_time is
@@ -163,10 +173,20 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid, it, state) =>
           if (state.hasTimedOut) {
-            // watermark passed last + gap: the open session is final
+            // watermark passed last + gap: the open session is final.
+            // A TOMBSTONE (startUs = -1) keeps the per-user session
+            // counter so a user who returns after a timeout continues
+            // numbering — removing state here would re-emit
+            // session_id 1 and break batch parity.  The state row
+            // shrinks to the counter; callers needing strictly
+            // active-user-bounded state can trade renumbering for
+            // state.remove().  No new timeout is set, so tombstones
+            // never re-fire.
             val s = state.get
-            state.remove()
-            Iterator(SessionRow(uid, s.seq, s.n, (s.lastUs - s.startUs) / 1000L))
+            state.update(SessState(s.seq, -1L, -1L, 0L))
+            if (s.startUs < 0) Iterator.empty // defensive: tombstone timeout
+            else Iterator(
+              SessionRow(uid, s.seq, s.n, (s.lastUs - s.startUs) / 1000L))
           } else {
             // batch-internal order restored here; cross-trigger order
             // is the documented source contract

@@ -396,6 +396,56 @@ class OpsSpec extends AnyFunSuite {
       s"missing: ${(batch -- got).take(5)}; extra: ${(got -- batch).take(5)}")
   }
 
+  test("streaming sessionization: session numbering survives a mid-stream timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hour = 3600L * 1000000000L // ns
+    val t0 = 1700000000L * 1000000000L
+    val stream = MemoryStream[(Long, Long, Long)]
+    val src = stream.toDF().toDF("event_id", "ts", "user_id")
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val name = s"sess_resume_${System.nanoTime()}"
+    val q = StreamingOps.sessionizeStream(src).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      // user 1's first session, closed mid-stream by user 2 advancing
+      // the watermark far past t0+gap (timeout path, user 1 has no data)
+      stream.addData(Seq((1L, t0, 1L), (2L, t0 + hour / 6, 1L)))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, t0 + 10 * hour, 2L)))
+      q.processAllAvailable()
+      stream.addData(Seq((4L, t0 + 10 * hour + 1, 2L))) // no-data trigger for user 1
+      q.processAllAvailable()
+      // user 1 RETURNS: must open session 2, not a duplicate session 1
+      stream.addData(Seq((5L, t0 + 20 * hour, 1L)))
+      q.processAllAvailable()
+      stream.addData(Seq((6L, t0 + 40 * hour, 3L))) // flush user 1's session 2
+      q.processAllAvailable()
+      stream.addData(Seq((7L, t0 + 40 * hour + 1, 3L)))
+      q.processAllAvailable()
+      val u1 = spark.table(name).where(col("user_id") === 1L)
+        .select("session_id", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(u1 == Set((1L, 2L), (2L, 1L)),
+        s"expected sessions 1 (2 events) and 2 (1 event), got $u1")
+    } finally q.stop()
+  }
+
+  test("hash split and deterministic sample fail fast on null ids") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val ex = intercept[Exception] {
+      SampleOps.hashSplit(df, "doc_id", "s").count()
+    }
+    assert(ex.getMessage != null)
+    intercept[Exception] {
+      SampleOps.deterministicSample(df, "doc_id", 0.5, "s").count()
+    }
+    // non-null frames are unaffected
+    assert(SampleOps.hashSplit(df.na.drop(), "doc_id", "s").count() == 2)
+  }
+
   test("contamination scores: copied text maxes, disjoint text zeroes") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
