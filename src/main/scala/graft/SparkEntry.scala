@@ -461,6 +461,19 @@ object SparkEntry {
         |            WHEN bucket < 9000 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // stratified rebalance replay: same md5 bucket, per-lang cutoffs
+    // (en halved, zh quartered, everything else kept)
+    "q_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15)) AS BIGINT)
+        |           % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 5000
+        |                    WHEN lang = 'zh' THEN 2500
+        |                    ELSE 10000 END
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" -> (clusterCtes +
       """
         |SELECT CAST(id AS BIGINT) AS doc_id,
@@ -972,6 +985,12 @@ object SparkEntry {
       "q_token_topk" -> { (s, dir) =>
         TextOps.topTokens(
           s.read.parquet(s"$dir/documents.parquet"), "text", 100)
+      },
+      "q_stratified_sample" -> { (s, dir) =>
+        SampleOps.stratifiedSample(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang",
+            Map("en" -> 0.5, "zh" -> 0.25), "strat")
+          .select(col("doc_id"), col("lang")).orderBy("doc_id")
       },
       "q_decontaminate" -> { (s, dir) =>
         val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -65,4 +65,26 @@ object SampleOps {
     df.where(checkedBucket(col(idCol), salt) <
       lit(math.round(fraction * DefaultBuckets)))
   }
+
+  /** Per-stratum deterministic sampling — corpus rebalancing (the
+    * downsample-the-dominant-language step) with the same stability
+    * contract as [[deterministicSample]].  Strata not named in
+    * `fractions` keep `defaultFraction` (1.0 = pass through).  Still a
+    * pure projection + filter: the per-stratum cutoff is a `when`
+    * chain, so no shuffle and no stratum-size pre-pass.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], salt: String,
+      defaultFraction: Double = 1.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"bad fraction $f"))
+    val cutoff = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * DefaultBuckets)): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum,
+          lit(math.round(f * DefaultBuckets))).otherwise(acc)
+    }
+    df.where(checkedBucket(col(idCol), salt) < cutoff)
+  }
 }

@@ -432,6 +432,24 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stratified sample: per-stratum fractions, default pass-through, stable") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val sampled = SampleOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.25), "x")
+    val kept = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("de") == full("de"), "unnamed strata must pass through")
+    assert(math.abs(kept("en").toDouble / full("en") - 0.5) < 0.07, s"$kept / $full")
+    assert(math.abs(kept("zh").toDouble / full("zh") - 0.25) < 0.07, s"$kept / $full")
+    // stability: same call → identical membership
+    assert(sampled.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      SampleOps.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.25), "x")
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("hash split and deterministic sample fail fast on null ids") {
     import spark.implicits._
     val df = Seq(Some(1L), Some(2L), None).toDF("doc_id")
