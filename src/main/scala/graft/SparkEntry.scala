@@ -461,6 +461,21 @@ object SparkEntry {
         |            WHEN bucket < 9000 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // shard-packing replay: the distributed two-pass prefix scan must
+    // equal DuckDB's single global running sum exactly (all-integer)
+    "q_doc_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok,
+        |         coalesce(sum(tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens,
+        |       CAST(before // 4096 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     // stratified rebalance replay: same md5 bucket, per-lang cutoffs
     // (en halved, zh quartered, everything else kept)
     "q_stratified_sample" ->
@@ -985,6 +1000,13 @@ object SparkEntry {
       "q_token_topk" -> { (s, dir) =>
         TextOps.topTokens(
           s.read.parquet(s"$dir/documents.parquet"), "text", 100)
+      },
+      "q_doc_pack" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            TextOps.bpeTokenEstimate(col("text")).as("tok"))
+        graft.ops.PackingOps.packByTokenBudget(docs, "doc_id", "tok", 4096L)
+          .orderBy("doc_id")
       },
       "q_stratified_sample" -> { (s, dir) =>
         SampleOps.stratifiedSample(

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shard-packing planner: assign documents to fixed-token-budget
+  * training shards in a deterministic global order (the planning step
+  * of sequence packing — each doc's shard is where its running token
+  * total starts).
+  *
+  * The global running sum is the textbook two-pass distributed scan,
+  * NOT a single global window (which would funnel the corpus through
+  * one reducer): range-partition by the order key, per-partition
+  * partial sums (one tiny row per partition) prefix-summed on the
+  * driver, broadcast back as offsets, and the intra-partition cumsum
+  * runs in a window PARTITIONED by the partition id — fully parallel.
+  *
+  * The ranged frame is checkpointed before the two passes: range
+  * boundaries come from sampling, so two independent executions of
+  * the same plan may split partitions differently — the offset pass
+  * and the final pass MUST read one pinned partitioning.  (On a real
+  * cluster use reliable `checkpoint`; see ClusterOps for the same
+  * local/reliable note.)
+  */
+object PackingOps {
+
+  def packByTokenBudget(
+      df: DataFrame, idCol: String, tokenCol: String, budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .select(col(idCol).as("id"), col(tokenCol).cast("long").as("tok"))
+      .repartitionByRange(parts, col("id"))
+      .sortWithinPartitions("id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: one row per partition → driver prefix sum (O(partitions))
+    val partials = ranged.groupBy("pid").agg(sum("tok").as("psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partials.map(_._1)
+      .zip(partials.map(_._2).scanLeft(0L)(_ + _).init)
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "offset")
+    // pass 2: parallel per-partition cumsum + broadcast offset join
+    val w = Window.partitionBy("pid").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offDf), "pid")
+      .withColumn("before", coalesce(sum("tok").over(w), lit(0L)) + col("offset"))
+      .select(col("id").as(idCol), col("tok").as("n_tokens"),
+        expr(s"before DIV ${budget}L").as("shard_id"))
+  }
+}

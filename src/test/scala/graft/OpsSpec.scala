@@ -432,6 +432,28 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("shard packing: two-pass scan equals a single-machine running sum") {
+    import spark.implicits._
+    val n = 5000
+    val docs = (0 until n).map(i => (i.toLong, (i % 97 + 1).toLong))
+      .toDF("doc_id", "tok")
+    val packed = PackingOps.packByTokenBudget(docs, "doc_id", "tok", 1000L,
+        numPartitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var running = 0L
+    packed.foreach { case (id, tok, shard) =>
+      assert(shard == running / 1000L, s"doc $id: shard $shard, before=$running")
+      assert(tok == id % 97 + 1)
+      running += tok
+    }
+    // shards fill in order: ids within a shard are contiguous
+    val byShard = packed.groupBy(_._3).view.mapValues(_.map(_._1)).toMap
+    byShard.foreach { case (_, ids) =>
+      assert(ids.max - ids.min + 1 == ids.length)
+    }
+  }
+
   test("stratified sample: per-stratum fractions, default pass-through, stable") {
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
     val sampled = SampleOps.stratifiedSample(docs, "doc_id", "lang",
