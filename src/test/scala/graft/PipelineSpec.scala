@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Integration: the composed training-data pipeline (PipelineDemo.run)
+  * — each stage is oracle-checked individually; this pins that they
+  * COMPOSE (counts shrink monotonically where they must, the output is
+  * deterministic, and the packing covers exactly the surviving docs).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf001 = "/root/testdata/sf0.001"
+
+  test("composed pipeline: monotone stage counts, deterministic output") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val bench = docs.filter(col("doc_id") < 20)
+    val (out, stages) = PipelineDemo.run(spark, corpus, bench)
+    val counts = stages.map(_._2)
+    assert(stages.head._1 == "input" && counts.head == corpus.count())
+    // every filtering stage can only shrink the corpus
+    counts.sliding(2).foreach { case Seq(a, b) => assert(b <= a, stages) }
+    assert(counts.last > 0, "pipeline must not empty the corpus")
+    val rows = out.select("doc_id", "split", "shard_id", "n_tokens")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == counts.last)
+    assert(rows.map(_._1).distinct.length == rows.length, "doc_id unique")
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic: a second full run yields the identical plan
+    val (out2, stages2) = PipelineDemo.run(spark, corpus, bench)
+    assert(stages2 == stages)
+    val rows2 = out2.select("doc_id", "split", "shard_id", "n_tokens")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows2.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+}
