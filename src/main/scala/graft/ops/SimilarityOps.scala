@@ -13,8 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Σ aᵢ·bᵢ with double accumulation (elements cast up from float). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ with double accumulation (elements cast up from float).
+    * Backed by the codegen'd [[graft.functions.DotProduct]] Catalyst
+    * expression — the higher-order `aggregate(zip_with(...))` twin
+    * ([[dotHof]]) is interpreted per element and measurably slower on
+    * the pair-heavy LSH/IVF paths; both produce bit-identical results
+    * (same IEEE operation order; parity pinned in OpsSpec).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The original higher-order-function formulation, kept as the
+    * parity reference for the custom expression.
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

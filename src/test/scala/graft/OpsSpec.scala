@@ -108,6 +108,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen DotProduct == interpreted aggregate/zip_with, incl null semantics") {
+    import spark.implicits._
+    // real float embeddings: bit-identical sums in the same fold order
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(200)
+    val diff = emb.select(
+        SimilarityOps.dot(col("embedding"), col("embedding")).as("fast"),
+        SimilarityOps.dotHof(col("embedding"), col("embedding")).as("slow"))
+      .where(col("fast") =!= col("slow") ||
+        col("fast").isNull =!= col("slow").isNull)
+      .count()
+    assert(diff == 0, "custom expression diverged from the HOF form")
+    // null/length edge cases must match the zip_with/aggregate contract
+    val edge = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)), // 11.0
+      (Seq(1.0), Seq(1.0, 2.0)), // length mismatch → null
+      (Seq(1.0, 2.0), Seq(1.0, 2.0))) // control
+      .toDF("a", "b")
+      .union(Seq((null.asInstanceOf[Seq[Double]], Seq(1.0))).toDF("a", "b"))
+    val rows = edge.select(
+        SimilarityOps.dot(col("a"), col("b")).as("fast"),
+        SimilarityOps.dotHof(col("a"), col("b")).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"$r")
+    }
+    assert(rows.count(_.isNullAt(0)) == 2) // mismatch + null array
+  }
+
   test("int8 quantization: values in [-127,127], cosine fidelity > 0.99") {
     val q = SimilarityOps.quantizeInt8(
       spark.read.parquet(s"$sf001/embeddings.parquet"), "vec_id", "embedding")
