@@ -151,9 +151,12 @@ object DedupOps {
     val shingled = registerPersist(df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh")))
     // signature via explode + hash-agg (codegen'd; see simhashByExplode)
-    // — 32 interpreted array-transform minima per row would dominate
-    val exploded = shingled.select(col("id"),
-      explode(transform(col("sh"), baseHash)).as("h"))
+    // — 32 interpreted array-transform minima per row would dominate.
+    // Hash AFTER the explode: a hash inside a transform lambda runs
+    // interpreted per element, the same scalar hash over the exploded
+    // column is a codegen'd projection
+    val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), baseHash(col("s")).as("h"))
     val minCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
     }
@@ -225,9 +228,12 @@ object DedupOps {
   private def simhashByExplodeImpl(
       df: DataFrame, textCol: String, idCol: String,
       nBits: Int, tokHash: Column => Column): DataFrame = {
+    // hash after the explode — codegen'd scalar projection, not an
+    // interpreted per-element lambda (see minhashPairs)
     val hashed = df
       .select(col(idCol).as("id"),
-        explode(transform(TextOps.tokens(col(textCol)), tokHash)).as("h"))
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("id"), tokHash(col("t")).as("h"))
     val bitSums = (0 until nBits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$b")
     }
