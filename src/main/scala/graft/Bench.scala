@@ -37,10 +37,21 @@ object Bench {
     // unactionable across rounds (VERDICT r02).  Dedup persists are
     // released between passes so no run reads a predecessor's cache.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // per-run GC attribution: a query median that is slow ONLY on a
+    // loaded host (driver-run outliers, VERDICT r03) shows up as wall
+    // time >> cpu-proportional GC — gcMs pins whether the JVM itself
+    // was collecting or the host was contended
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
     var failed = List.empty[String]
-    val results: Seq[(String, Vector[Double])] = SparkEntry.queries.toSeq.map {
+    val results: Seq[(String, Vector[(Double, Long)])] = SparkEntry.queries.toSeq.map {
       case (name, fn) =>
         val times = (1 to runs).toVector.map { _ =>
+          val g0 = gcMs()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case e: Throwable =>
@@ -49,7 +60,7 @@ object Bench {
           }
           val dt = (System.nanoTime() - t0) / 1e9
           graft.ops.DedupOps.unpersistAll()
-          dt
+          (dt, gcMs() - g0)
         }
         name -> times
     }
@@ -59,12 +70,20 @@ object Bench {
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     val qs = results.map { case (k, ts) =>
-      val all = ts.map(t => f"$t%.4f").mkString("[", ",", "]")
-      s""""$k":{"median":${median(ts)},"runs":${ts.length},"all":$all}"""
+      val all = ts.map(t => f"${t._1}%.4f").mkString("[", ",", "]")
+      val gc = ts.map(_._2).mkString("[", ",", "]")
+      s""""$k":{"median":${median(ts.map(_._1))},"runs":${ts.length},"all":$all,"gc_ms":$gc}"""
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, ts) => median(ts) }.sum
+    val total = results.map { case (_, ts) => median(ts.map(_._1)) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // durable copy: the driver captures the log TAIL, and r03's run
+    // truncated the stdout line (BENCH_r03.json parsed: null) — the
+    // file survives any log clipping
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_out.json"), json + "\n")
     spark.stop()
   }
 }

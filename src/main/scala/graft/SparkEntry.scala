@@ -664,6 +664,64 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The deterministic-centroid IVF fixture for the verify SF
+    * (tools: `sbt "runMain graft.GenIvfCentroids"`).  Not a second
+    * source of truth — the centroid derivation is bit-deterministic
+    * and OpsSpec pins runtime == fixture; the fixture exists so the
+    * oracle SQL can embed the literals without a SparkSession.
+    */
+  private lazy val ivfCentroidsSf001: Array[Array[Double]] = {
+    val t = Golden.load("sf0.01_ivf_centroids.json")
+    t.rows.sortBy(_.head.asInstanceOf[Double])
+      .map(_.drop(1).map(_.asInstanceOf[Double]).toArray).toArray
+  }
+
+  /** `ivfTopKWithCentroids` as DuckDB SQL: the same centroid literals
+    * (`dlit`-printed, so both engines strtod the same bits), the same
+    * `||c||² − 2·v·c` scores (the `||c||²` term is the same
+    * driver-computed literal), nearest-cell assignment via a sorted
+    * struct list (struct comparison is field-lexicographic in BOTH
+    * engines: score, then cell — identical tie-break), the nProbe
+    * probe list via unnest, and the identical
+    * (cosine DESC, corpus_id ASC) rank window.
+    */
+  private def ivfTopKOracleSql(
+      centroids: Array[Array[Double]], nProbe: Int, k: Int): String = {
+    def structList(vecExpr: String): String =
+      centroids.zipWithIndex.map { case (cent, i) =>
+        val arr = cent.map(dlit).mkString("[", ", ", "]")
+        val c2 = dlit(graft.ops.SimilarityOps.sumSquares(cent))
+        s"{'score': $c2 - 2.0E0 * list_dot_product($vecExpr, $arr), 'cell': $i}"
+      }.mkString(",\n            ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+       |), a AS (
+       |  SELECT vec_id, v, nrm,
+       |         (list_sort([${structList("v")}]))[1].cell AS cell
+       |  FROM b
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+       |         unnest(list_transform(
+       |           (list_sort([${structList("v")}]))[1:$nProbe],
+       |           s -> s.cell)) AS cell
+       |  FROM b WHERE vec_id < 8
+       |), s AS (
+       |  SELECT q.query_id, a.vec_id AS corpus_id,
+       |         list_dot_product(a.v, q.qv) / (a.nrm * q.qn) AS cosine
+       |  FROM a JOIN q USING (cell)
+       |), r AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, corpus_id, cosine, rank FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The `portableHash` minhash pipeline recomputed end-to-end in
     * DuckDB: word 3-shingles, md5-derived 60-bit base hashes mod P,
     * the 32 (a·h+b) mod P signature minima from the SAME LCG (a,b)
@@ -779,6 +837,9 @@ object SparkEntry {
     // (approxQuantile is deterministic for a fixed file layout).  The
     // oracle pins that determinism + any future kernel regression.
     "q_fit_prebinned" -> fitOracleSql("sf0.01_extendedprice_n300_prebin1000.json"),
+    // single-column exact fit == the extendedprice fixture of q_fit_bins
+    // (variables fit independently, so the 1-col and 3-col fits agree)
+    "q_fit_exact" -> fitOracleSql("sf0.01_extendedprice_n300.json"),
     // full-data apply: every row of the 60k-row verify SF bucketed by
     // the fixture-compiled CASE.  Only extendedprice survives the
     // transform's default IV threshold (quantity/discount IV ≈ 0
@@ -791,6 +852,7 @@ object SparkEntry {
          |FROM base""".stripMargin,
     "q_dedup_embed_lsh" -> lshPairsOracleSql(bits = 4, dim = 64, threshold = 0.4),
     "q_ann_topk_lsh" -> lshTopKOracleSql(bits = 8, dim = 64, k = 10),
+    "q_ann_topk_ivf" -> ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10),
     "q_dedup_minhash_md5" ->
       minhashPortableOracleSql(numHashes = 32, bands = 8, threshold = 0.5),
     // winnowing replay: same char 8-grams, md5-60bit gram hashes,
@@ -856,6 +918,13 @@ object SparkEntry {
 
   /** Shared-dialect oracles over documents (same text, both engines). */
   val sharedDocSql: Map[String, String] = Map(
+    // DuckDB replays the bucketed self-join un-bucketed — identical
+    // rows, no Exchange claim (that lives in StorageSpec's plan test)
+    "q_bucketed_join" ->
+      """SELECT a.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(a.n_chars + b.n_chars) AS BIGINT) AS sum_chars2
+        |FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+        |GROUP BY a.lang ORDER BY lang""".stripMargin,
     "q_doc_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "q_dedup_exact" ->
@@ -936,6 +1005,15 @@ object SparkEntry {
         val df = lcgFrame(s, dir)
         WoeBinning.fit(df, "target", Seq("extendedprice"),
           WoeFitOptions(nThreshold = Some(300), maxDistinct = Some(1000))).binsDf(s)
+      },
+      "q_fit_exact" -> { (s, dir) =>
+        // the EXACT twin of q_fit_prebinned (same column, same
+        // nThreshold, no maxDistinct cap) so the scale knob's
+        // cost/fidelity trade-off is a tracked pair of bench medians,
+        // not a one-off Stress run
+        val df = lcgFrame(s, dir)
+        WoeBinning.fit(df, "target", Seq("extendedprice"),
+          WoeFitOptions(nThreshold = Some(300))).binsDf(s)
       },
       "q_apply_bins" -> { (s, dir) =>
         val df = lcgFrame(s, dir)
@@ -1145,14 +1223,40 @@ object SparkEntry {
               .as("q_cosine"))
           .orderBy("vec_id")
       },
-      "q_ann_topk_ivf" -> { (s, dir) => // rows-only: kmeans centroids
-        // are float-sum dependent, so the oracle is the OpsSpec
-        // self-recall + exact-cosine invariants, not a DuckDB replay
+      "q_ann_topk_ivf" -> { (s, dir) =>
+        // deterministic IVF: centroids from a sorted driver-side
+        // sample + sequential Lloyd (bit-identical every run), shipped
+        // as literals into the plan — the hyperplanes pattern, but
+        // LEARNED — so assignment + probe + rank replays end-to-end in
+        // DuckDB (fixture-captured centroid literals, SF-keyed like
+        // the fit oracles).  The MLlib-KMeans flavor (ivfTopK) remains
+        // the API for callers who want sampled training at scale.
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        SimilarityOps.ivfTopK(
-          emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-          nCells = 16, nProbe = 4, k = 10)
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        SimilarityOps.ivfTopKWithCentroids(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, nProbe = 4, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      "q_bucketed_join" -> { (s, dir) =>
+        // the storage-layout lever under the driver's hash gate: one
+        // bucketed write (StorageOps), then a bucket-key self-join
+        // whose plan has ZERO Exchange before the join (StorageSpec
+        // pins the plan property); the output is deterministic integer
+        // aggregates so DuckDB replays the same join un-bucketed
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        graft.ops.StorageOps.writeBucketedReplacing(
+          docs, "graft_docs_bucketed_q", "doc_id", 8)
+        val t = s.table("graft_docs_bucketed_q")
+        t.as("a").join(t.as("b"), col("a.doc_id") === col("b.doc_id"))
+          .groupBy(col("a.lang"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("a.n_chars") + col("b.n_chars")).cast("bigint").as("sum_chars2"))
+          .orderBy("lang")
       },
       "q_multimodal_features" -> { (s, dir) =>
         // the honest subset of the stub pipeline (real payload

@@ -58,27 +58,41 @@ object ClusterOps {
     * Ids may be any orderable Spark type.  Isolated docs (no pairs)
     * don't appear — they are their own cluster by definition.
     *
-    * Convergence is checked exactly (count + one-sided except on the
-    * checkpointed edge set — both cheap post-checkpoint); `maxIter`
-    * bounds the driver loop, and exhausting it THROWS — a truncated
-    * contraction is not a component mapping.
+    * ONE distributed action per round: the lazy `localCheckpoint` is
+    * materialized by the same aggregate that returns the convergence
+    * signature — edge count + an order-free `bit_xor` over the
+    * per-edge hashes.  Two distinct edge sets of equal size collide on
+    * the 64-bit xor with probability ~2⁻⁶⁴ (vs the r3 count +
+    * `except().isEmpty`, which cost two extra jobs per round);
+    * `maxIter` bounds the driver loop, and exhausting it THROWS — a
+    * truncated contraction is not a component mapping.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
+    // (count, xor-of-hashes) in the single job that also materializes
+    // the checkpoint blocks; xor (unlike sum) cannot overflow under
+    // ANSI mode and is insensitive to row order
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
-    var cnt = e.count()
+      .localCheckpoint(eager = false)
+    var (cnt, hs) = sig(e)
     var converged = cnt == 0
     var iter = 0
     while (!converged && iter < maxIter) {
-      val e2 = smallStar(largeStar(e)).localCheckpoint()
-      val cnt2 = e2.count()
-      converged = cnt2 == cnt && e2.except(e).isEmpty
+      val e2 = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val (cnt2, hs2) = sig(e2)
+      converged = cnt2 == cnt && hs2 == hs
       e = e2
       cnt = cnt2
+      hs = hs2
       iter += 1
     }
     if (!converged)

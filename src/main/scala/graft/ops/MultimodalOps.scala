@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * frame-sample stages running as batched partition-local transforms —
   * the Scala analog of `mapInPandas` batch UDFs.
   *
-  * The actual media codecs are NOT in this container, so the decode
-  * step is a clearly-marked deterministic STUB (`fakeDecode`): it
-  * fabricates plausible dimensions/samples from a content hash.  The
-  * Spark-side plumbing — schema, encoders, batching shape,
-  * partition-preserving execution — is real and tested; swapping the
-  * stub for javacv/ffmpeg is a one-function change.
+  * Decode is REAL for the two container formats whose layout is fully
+  * specified by fixed-offset headers and needs no codec library: BMP
+  * (uncompressed `BITMAPINFOHEADER` images → true width/height,
+  * pixel-level stats) and WAV (RIFF/WAVE PCM audio → true
+  * samples-per-channel/channel count, sample-level stats).  Compressed
+  * formats (JPEG/PNG/MP4...) have no pure-JVM decoder in this
+  * container, so they fall back to the clearly-marked deterministic
+  * STUB (`fakeDecode`), which fabricates plausible dimensions from a
+  * content hash; swapping the stub for javacv/ffmpeg is a one-function
+  * change — the schema, encoders, batching shape, and
+  * partition-preserving execution are the same for real and stub.
   */
 object MultimodalOps {
 
@@ -59,6 +64,106 @@ object MultimodalOps {
       if (n == 0) 0.0 else sum.toDouble / n, hist, frames)
   }
 
+  /** Byte-level stats over a region: (histogram-16, byte sum). */
+  private def byteStats(bytes: Array[Byte], from: Int, until: Int): (Array[Long], Long) = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var i = math.max(0, from)
+    val end = math.min(bytes.length, until)
+    while (i < end) {
+      val b = bytes(i) & 0xff
+      hist(b / 16) += 1
+      sum += b
+      i += 1
+    }
+    (hist, sum)
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def i32(b: Array[Byte], off: Int): Int = u32(b, off).toInt
+
+  /** REAL decode of an uncompressed BMP (`BITMAPINFOHEADER`, BI_RGB):
+    * true width/height from the fixed-offset header, byte stats over
+    * the PIXEL region only.  Strict validation (magic, DIB size 40,
+    * compression 0, sane dims, pixel offset in range) so arbitrary
+    * binary/text payloads can never false-positive into an "image".
+    */
+  private[graft] def decodeBmp(r: MediaRecord): Option[MediaFeatures] = {
+    val b = r.content
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    if (u32(b, 14) != 40L) return None // BITMAPINFOHEADER only
+    if (u32(b, 30) != 0L) return None // BI_RGB (uncompressed)
+    val width = i32(b, 18)
+    val heightRaw = i32(b, 22) // negative = top-down row order
+    val height = math.abs(heightRaw)
+    val bpp = u16(b, 28)
+    val pixelOff = u32(b, 10)
+    if (width <= 0 || width > 65536 || height <= 0 || height > 65536) return None
+    if (bpp != 8 && bpp != 24 && bpp != 32) return None
+    if (pixelOff < 54 || pixelOff >= b.length) return None
+    // rows are padded to 4-byte boundaries
+    val rowBytes = ((width * bpp / 8) + 3) / 4 * 4
+    if (pixelOff + rowBytes.toLong * height > b.length) return None
+    val (hist, sum) = byteStats(b, pixelOff.toInt, (pixelOff + rowBytes.toLong * height).toInt)
+    val n = rowBytes.toLong * height
+    Some(MediaFeatures(r.id, r.kind, b.length, width, height,
+      if (n == 0) 0.0 else sum.toDouble / n, hist, Array.empty[Int]))
+  }
+
+  /** REAL decode of a RIFF/WAVE PCM file: walks the chunk list for
+    * `fmt ` + `data`, yielding true samples-per-channel (width) and
+    * channel count (height), byte stats over the SAMPLE region, and 8
+    * evenly-spaced frame offsets into the data chunk (the audio analog
+    * of frame sampling).
+    */
+  private[graft] def decodeWav(r: MediaRecord): Option[MediaFeatures] = {
+    val b = r.content
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var channels = 0
+    var blockAlign = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = u32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        if (u16(b, off + 8) != 1) return None // PCM only
+        channels = u16(b, off + 10)
+        blockAlign = u16(b, off + 20)
+        if (channels <= 0 || channels > 64 || blockAlign <= 0) return None
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = size.toInt
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    if (channels == 0 || dataOff < 0) return None
+    val (hist, sum) = byteStats(b, dataOff, dataOff + dataLen)
+    val frames =
+      if (dataLen == 0) Array.empty[Int]
+      else (0 until math.min(8, dataLen)).map(j => j * math.max(1, dataLen / 8)).toArray
+    Some(MediaFeatures(r.id, r.kind, b.length,
+      dataLen / blockAlign, channels,
+      if (dataLen == 0) 0.0 else sum.toDouble / dataLen, hist, frames))
+  }
+
+  /** Real decoders first (cheap header probes), stub for everything
+    * else; a malformed container that passes the magic probe but fails
+    * validation also falls back rather than erroring — decode failure
+    * must not kill a 100 TB pass.
+    */
+  private[graft] def decode(r: MediaRecord): MediaFeatures =
+    decodeBmp(r).orElse(decodeWav(r)).getOrElse(fakeDecode(r))
+
   /** Batched decode over partitions: items are processed in
     * `batchSize` groups (the shape a vectorized codec / accelerator
     * wants), partition-preserving (no shuffle).
@@ -70,7 +175,7 @@ object MultimodalOps {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real codec would decode the whole batch in one native call
-        batch.map(fakeDecode)
+        batch.map(decode)
       }
     }
   }

@@ -288,16 +288,178 @@ object SimilarityOps {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Σ aᵢ² — sequential, shared with the oracle-SQL builder so the
+    * `||c||²` literals in both engines come from the same fold.
+    */
+  private[graft] def sumSquares(a: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    s
+  }
+
+  /** Deterministic sequential Lloyd over a driver-side sample: fixed
+    * iteration count, first-`nCells` init, ties to the lower cell,
+    * means accumulated in sample order — the same bits on every run,
+    * so the learned centroids can ship as LITERALS into both the
+    * Spark plan and a DuckDB oracle (the [[hyperplanes]] pattern, but
+    * learned from data).  Cells that lose all members keep their
+    * previous centroid.
+    */
+  private[graft] def lloydCentroids(
+      samples: Array[Array[Double]], nCells: Int, iters: Int): Array[Array[Double]] = {
+    require(samples.length >= nCells,
+      s"lloydCentroids: need >= $nCells samples, got ${samples.length}")
+    val dim = samples.head.length
+    var cents = Array.tabulate(nCells)(i => samples(i).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      samples.foreach { s =>
+        var best = 0
+        var bestD = d2(s, cents(0))
+        var c = 1
+        while (c < nCells) {
+          val dd = d2(s, cents(c))
+          if (dd < bestD) { best = c; bestD = dd }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += s(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { m(j) = sums(c)(j) / counts(c); j += 1 }
+          m
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF coarse-quantizer centroids from a DETERMINISTIC corpus
+    * sample: the `sampleN` smallest ids (total order on the unique id
+    * column — a bounded takeOrdered, not a scan-order-dependent RNG
+    * sample) + sequential Lloyd.  Unlike MLlib KMeans, whose centroids
+    * depend on partition-parallel float summation order, this is
+    * bit-reproducible across runs, partition layouts, and engines —
+    * which is what lets the IVF query be oracle-checked end-to-end.
+    * At 100 TB the sample collect is O(sampleN), not O(corpus).
+    */
+  def deterministicCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, sampleN: Int = 256, iters: Int = 10): Array[Array[Double]] = {
+    val rows = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && col("nrm") > 0)
+      .orderBy("id")
+      .limit(sampleN)
+      .collect()
+    val samples = rows.map(_.getSeq[Any](1).iterator
+      .map(_.asInstanceOf[Number].doubleValue).toArray)
+    lloydCentroids(samples, nCells, iters)
+  }
+
+  /** IVF top-k with caller-supplied centroid LITERALS: corpus vectors
+    * are assigned to their nearest cell by a pure sorted-struct
+    * expression (`||c||² − 2·v·c` ranks like squared L2; the `||v||²`
+    * term is constant per vector), each query probes its `nProbe`
+    * nearest cells, and only those candidates are ranked by exact
+    * cosine.  The whole plan is codegen'd expressions + one broadcast
+    * probe join — no UDF, no driver loop — and, with
+    * [[deterministicCentroids]], replayable bit-for-bit in DuckDB.
+    *
+    * At 100 TB: the corpus shuffles zero times (assignment is a
+    * projection; the probe join broadcasts the small query side), and
+    * `nCells` ~ √n keeps candidate sets per probe bounded.
+    */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[Array[Double]], nProbe: Int = 4, k: Int = 10): DataFrame = {
+    def cellScores(vec: Column) = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(
+        (lit(sumSquares(cent)) - lit(2.0) * dot(vec, lit(cent))).as("score"),
+        lit(i).as("cell"))
+    }
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+        col(corpusVec).as("cv"), norm(col(corpusVec)).as("cn"))
+      .filter(col("cn") > 0)
+    val assigned = c.withColumn("cell",
+      element_at(sort_array(array(cellScores(col("cv")): _*)), 1).getField("cell"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+        norm(col(queryVec)).as("qn"))
+      .filter(col("qn") > 0)
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(transform(slice(sort_array(array(cellScores(col("qv")): _*)), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val cand = assigned.join(broadcast(q), "cell")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** `bits` for a target expected bucket population: 2^bits sign-LSH
+    * buckets hold ~n/2^bits vectors each, so bits ≈
+    * log₂(n/targetBucket).  A FIXED bits is a recall/cost knob that
+    * silently degrades as the corpus grows — at 10⁹ vectors, bits=8
+    * makes every probe scan ~n/256 candidates × (bits+1) probes ≈ 3.5%
+    * of the corpus per query.  Capped at `maxBits` (probe count grows
+    * with bits; 2^24 buckets is past any realistic executor count).
+    */
+  def autoBits(corpusCount: Long, targetBucket: Long = 1024L, maxBits: Int = 24): Int = {
+    require(targetBucket > 0, s"targetBucket must be positive: $targetBucket")
+    var bits = 1
+    while (bits < maxBits && (corpusCount >> bits) > targetBucket) bits += 1
+    bits
+  }
+
   /** IVF-flavored top-k: assign corpus vectors to the nearest of
     * `nCells` LSH-bucket centroids is overkill without kmeans; the
     * pragmatic scale path re-uses sign-LSH — probe the query's bucket
     * plus single-bit-flip neighbors (multi-probe) and rank only those
     * candidates.
+    *
+    * `bits <= 0` (the default) auto-sizes from a corpus count
+    * ([[autoBits]]; one extra count job — cheap against the scan the
+    * probe join does anyway) so bucket population tracks
+    * `targetBucket` at any scale.  An explicit `bits` is honored
+    * as-is with NO count job (a 100 TB corpus should not pay a full
+    * scan for a log line) — top-k recall is bits-dependent, so
+    * silently re-sizing an explicit value would change results;
+    * callers pinning `bits` own the sizing, and [[autoBits]] is the
+    * one-liner to derive it from a known corpus size.
     */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      bits: Int = 8, dim: Int = 64, k: Int = 10): DataFrame = {
+      bits: Int = 0, dim: Int = 64, k: Int = 10,
+      targetBucket: Long = 1024L): DataFrame = {
+    val b = if (bits <= 0) autoBits(corpus.count(), targetBucket) else bits
+    lshTopKImpl(corpus, corpusId, corpusVec, queries, queryId, queryVec, b, dim, k)
+  }
+
+  private def lshTopKImpl(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      bits: Int, dim: Int, k: Int): DataFrame = {
     val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"),
         norm(col(corpusVec)).as("cn"),
         lshBucket(col(corpusVec), bits, dim).as("bucket"))

@@ -30,6 +30,24 @@ object StorageOps {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Overwrite-safe [[writeBucketed]]: drops a stale catalog entry AND
+    * its orphaned warehouse directory first.  A managed table's
+    * LOCATION outlives the (session-scoped) in-memory catalog, so a
+    * fresh session re-creating the same table name would otherwise
+    * fail with LOCATION_ALREADY_EXISTS even in Overwrite mode.
+    */
+  def writeBucketedReplacing(
+      df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // managed-table dirs are the lowercased identifier under the warehouse
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    writeBucketed(df, table, bucketCol, numBuckets)
+  }
+
   /** Write partitioned by a low-cardinality column (date, lang,
     * source) so per-partition predicates prune files at planning time
     * — the coarse companion of bucketing's fine-grained co-location.

@@ -151,10 +151,17 @@ object StreamingOps {
     * still-open session per user flushes on timeout once the watermark
     * moves past it.
     *
-    * Requires per-user event-time order across triggers (guaranteed
-    * when the source is replayed in order or late data stays within
-    * the watermark and lands in the same trigger — the usual
-    * sessionizer contract).
+    * Cross-trigger order contract: a later trigger's events are
+    * normally newer than the open session's `lastUs`.  A LATE event
+    * (older than `lastUs`, admitted by the watermark) that falls
+    * within the gap of the open session is ABSORBED correctly — the
+    * session keeps `startUs = min`, `lastUs = max`, so duration and
+    * count match what the batch sort would produce (OpsSpec pins
+    * this).  A late event older than `lastUs − gap` cannot re-open or
+    * renumber already-emitted sessions (their state is gone) — it
+    * extends the open session's start; reordering OLDER than the gap
+    * horizon needs an upstream sort, the standard streaming
+    * sessionizer contract.
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -200,7 +207,16 @@ object StreamingOps {
                 out += SessionRow(uid, st.seq, st.n,
                   (st.lastUs - st.startUs) / 1000L)
                 st = SessState(st.seq + 1, e.tus, e.tus, 1L)
-              } else st = st.copy(lastUs = e.tus, n = st.n + 1)
+              } else
+                // min/max bounds (not plain assignment): a LATE event
+                // from a later trigger — older than lastUs but within
+                // the gap — must widen the session, not regress its
+                // end (a regressed lastUs would shrink duration AND
+                // re-arm the timeout too early)
+                st = st.copy(
+                  startUs = math.min(st.startUs, e.tus),
+                  lastUs = math.max(st.lastUs, e.tus),
+                  n = st.n + 1)
             }
             state.update(st)
             // µs → ms; +1 so the timeout fires strictly after the gap

@@ -108,6 +108,72 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("autoBits tracks corpus scale; fixed bits=8 would blow the bucket budget") {
+    // at a billion vectors, bits=8 means ~n/256 ≈ 4M candidates per
+    // probe bucket — autoBits sizes to the target instead
+    assert(SimilarityOps.autoBits(1L << 30, targetBucket = 1024) == 20)
+    assert((1L << 30) >> 8 >= 4L * 1024 * 1024, "bits=8 leaves 4M+ per bucket")
+    // small corpora collapse to few bits (more recall, buckets still small)
+    assert(SimilarityOps.autoBits(500, targetBucket = 1024) == 1)
+    assert(SimilarityOps.autoBits(0, targetBucket = 1024) == 1)
+    // monotone non-decreasing in n
+    val bs = Seq(1L << 10, 1L << 15, 1L << 20, 1L << 30, 1L << 40)
+      .map(SimilarityOps.autoBits(_, 1024))
+    assert(bs == bs.sorted)
+    // capped: probe count (bits+1) and bucket count stay bounded
+    assert(SimilarityOps.autoBits(Long.MaxValue, 1) == 24)
+    // end-to-end on the auto path (bits <= 0): every query still finds
+    // itself via its own bucket
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val auto = SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      bits = 0, k = 3, targetBucket = 64).collect()
+    assert(auto.filter(r => r.getLong(0) == r.getLong(1)).length == 5)
+  }
+
+  test("deterministic IVF: centroids reproduce the fixture bit-for-bit, topk matches brute cosines") {
+    val sf01emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = SimilarityOps.deterministicCentroids(
+      sf01emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    // the oracle's literal centroids ARE this computation (captured by
+    // GenIvfCentroids); any drift would silently invalidate the oracle
+    val fixture = Golden.load("sf0.01_ivf_centroids.json")
+    assert(fixture.rows.length == 16)
+    fixture.rows.sortBy(_.head.asInstanceOf[Double]).zip(cents).foreach {
+      case (row, cent) =>
+        row.drop(1).map(_.asInstanceOf[Double]).zip(cent).foreach {
+          case (a, b) => assert(a == b, s"centroid drift: $a vs $b")
+        }
+    }
+    // rerun determinism (same JVM, fresh plan)
+    val cents2 = SimilarityOps.deterministicCentroids(
+      sf01emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    assert(cents.flatten.toSeq == cents2.flatten.toSeq)
+    // self at rank 1; every reported cosine equals the brute-force
+    // cosine for the same pair (candidate restriction must not perturb
+    // scores)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val c001 = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 8, sampleN = 128, iters = 10)
+    val ivf = SimilarityOps.ivfTopKWithCentroids(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      c001, nProbe = 2, k = 5).collect()
+    val rank1 = ivf.filter(_.getInt(3) == 1)
+    assert(rank1.length == 5)
+    rank1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "rank-1 must be self")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = emb.count().toInt)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) == r.getDouble(2),
+        s"IVF cosine for $key diverges from brute force")
+    }
+  }
+
   test("codegen DotProduct == interpreted aggregate/zip_with, incl null semantics") {
     import spark.implicits._
     // real float embeddings: bit-identical sums in the same fold order
@@ -459,6 +525,86 @@ class OpsSpec extends AnyFunSuite {
       assert(u1 == Set((1L, 2L), (2L, 1L)),
         s"expected sessions 1 (2 events) and 2 (1 event), got $u1")
     } finally q.stop()
+  }
+
+  test("streaming sessionization absorbs a late within-gap event (no lastUs regression)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minNs = 60L * 1000000000L
+    val t0 = 1700000000L * 1000000000L
+    val stream = MemoryStream[(Long, Long, Long)]
+    val src = stream.toDF().toDF("event_id", "ts", "user_id")
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val name = s"sess_late_${System.nanoTime()}"
+    val q = StreamingOps.sessionizeStream(src).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      stream.addData(Seq((1L, t0, 1L), (2L, t0 + 10 * minNs, 1L)))
+      q.processAllAvailable()
+      // LATE: older than the open session's lastUs, within both the
+      // 30-min gap and the 30-min watermark — batch order would place
+      // it inside the same session
+      stream.addData(Seq((3L, t0 + 5 * minNs, 1L)))
+      q.processAllAvailable()
+      stream.addData(Seq((8L, t0 + 600 * minNs, 9L))) // advance watermark
+      q.processAllAvailable()
+      stream.addData(Seq((9L, t0 + 601 * minNs, 9L))) // no-data timeout trigger
+      q.processAllAvailable()
+      val u1 = spark.table(name).where(col("user_id") === 1L)
+        .select("session_id", "n_events", "duration_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // one session of 3 events whose duration spans first..last event
+      // (a regressed lastUs would report 5 minutes, not 10)
+      assert(u1 == Set((1L, 3L, 600000L)), s"got $u1")
+    } finally q.stop()
+  }
+
+  test("multimodal decode: real BMP and WAV headers, stub for everything else") {
+    // 4x2 24-bit uncompressed BMP: 54-byte headers + 12-byte rows
+    def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def u32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val pixels = Array.tabulate(24)(i => (i * 10).toByte)
+    val bmp = Array[Byte]('B', 'M') ++ u32(54 + 24) ++ u32(0) ++ u32(54) ++
+      u32(40) ++ u32(4) ++ u32(2) ++ u16(1) ++ u16(24) ++ u32(0) ++ u32(24) ++
+      u32(2835) ++ u32(2835) ++ u32(0) ++ u32(0) ++ pixels
+    val bf = MultimodalOps.decodeBmp(
+      MultimodalOps.MediaRecord(1L, "image/bmp", bmp)).get
+    assert(bf.width == 4 && bf.height == 2, s"${bf.width}x${bf.height}")
+    assert(bf.nBytes == bmp.length)
+    assert(bf.byteHistogram.sum == 24, "stats must cover the pixel region only")
+
+    // 16-bit stereo PCM WAV with 16 data bytes = 4 samples/channel
+    val data = Array.tabulate(16)(i => (i * 3).toByte)
+    val wav = "RIFF".getBytes ++ u32(36 + 16) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ u32(16) ++ u16(1) ++ u16(2) ++ u32(8000) ++
+      u32(32000) ++ u16(4) ++ u16(16) ++
+      "data".getBytes ++ u32(16) ++ data
+    val wf = MultimodalOps.decodeWav(
+      MultimodalOps.MediaRecord(2L, "audio/wav", wav)).get
+    assert(wf.width == 4 && wf.height == 2, "4 samples/channel, 2 channels")
+    assert(wf.byteHistogram.sum == 16)
+    assert(wf.frameOffsets.length == 8)
+
+    // text payloads never false-positive into media; truncated headers
+    // fall back to the stub rather than erroring
+    val txt = MultimodalOps.MediaRecord(3L, "text/en", "BMW RIFFs along".getBytes)
+    assert(MultimodalOps.decodeBmp(txt).isEmpty && MultimodalOps.decodeWav(txt).isEmpty)
+    assert(MultimodalOps.decode(txt).nBytes == txt.content.length)
+    val trunc = MultimodalOps.MediaRecord(4L, "image/bmp", bmp.take(30))
+    assert(MultimodalOps.decodeBmp(trunc).isEmpty)
+    assert(MultimodalOps.decode(trunc).nBytes == 30)
+
+    // end-to-end through the batched partition-local decode stage
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MultimodalOps.MediaRecord(1L, "image/bmp", bmp),
+      MultimodalOps.MediaRecord(2L, "audio/wav", wav),
+      MultimodalOps.MediaRecord(3L, "text/en", "plain text".getBytes)))
+    val feats = MultimodalOps.decodeFeatures(ds).collect().sortBy(_.id)
+    assert(feats(0).width == 4 && feats(0).height == 2)
+    assert(feats(1).width == 4 && feats(1).height == 2)
+    assert(feats(2).nBytes == 10)
   }
 
   test("shard packing: two-pass scan equals a single-machine running sum") {
