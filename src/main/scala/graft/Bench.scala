@@ -69,21 +69,30 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val qs = results.map { case (k, ts) =>
+    // The driver captures only the last ~2000 chars of the log, so the
+    // stdout line must stay compact: medians only, 4 decimals (r03 AND
+    // r04 both truncated a verbose line to parsed:null).  Per-run times
+    // + GC attribution go to the durable file only.
+    val qsCompact = results.map { case (k, ts) =>
+      f""""$k":${median(ts.map(_._1))}%.4f"""
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, ts) =>
       val all = ts.map(t => f"${t._1}%.4f").mkString("[", ",", "]")
       val gc = ts.map(_._2).mkString("[", ",", "]")
       s""""$k":{"median":${median(ts.map(_._1))},"runs":${ts.length},"all":$all,"gc_ms":$gc}"""
     }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts.map(_._1)) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(json)
-    // durable copy: the driver captures the log TAIL, and r03's run
-    // truncated the stdout line (BENCH_r03.json parsed: null) — the
-    // file survives any log clipping
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_out.json"), json + "\n")
+    def wrap(qs: String) =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // durable full-detail copy first, so a crash printing can't lose it;
+    // path is env-overridable and cwd-relative by default, and a failed
+    // write must not fail the bench (ADVICE r04)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), wrap(qsFull) + "\n"))
+      .failed.foreach(e => System.err.println(s"[bench] durable write: $e"))
+    println(wrap(qsCompact))
     spark.stop()
   }
 }

@@ -70,29 +70,38 @@ object ClusterOps {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
-    // (count, xor-of-hashes) in the single job that also materializes
-    // the checkpoint blocks; xor (unlike sum) cannot overflow under
-    // ANSI mode and is insensitive to row order
-    def sig(df: DataFrame): (Long, Long) = {
+    // (count, xor-of-hashes ×2) in the single job that also
+    // materializes the checkpoint blocks; xor (unlike sum) cannot
+    // overflow under ANSI mode and is insensitive to row order.  TWO
+    // independent 64-bit statistics (hash of (u,v) and of (v,u)) so an
+    // accidental or adversarially-constructed collision on one stream
+    // still has to collide the other — declaring a truncated
+    // contraction "converged" needs a simultaneous 128-bit collision
+    // (ADVICE r04).
+    def sig(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(
         count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        expr("bit_xor(xxhash64(u, v))"),
+        expr("bit_xor(xxhash64(v, u))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
-    var (cnt, hs) = sig(e)
+    var (cnt, hs, hs2x) = sig(e)
     var converged = cnt == 0
     var iter = 0
     while (!converged && iter < maxIter) {
       val e2 = smallStar(largeStar(e)).localCheckpoint(eager = false)
-      val (cnt2, hs2) = sig(e2)
-      converged = cnt2 == cnt && hs2 == hs
+      val (cnt2, h2, h2x) = sig(e2)
+      converged = cnt2 == cnt && h2 == hs && h2x == hs2x
       e = e2
       cnt = cnt2
-      hs = hs2
+      hs = h2
+      hs2x = h2x
       iter += 1
     }
     if (!converged)

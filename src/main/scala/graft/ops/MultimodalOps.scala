@@ -148,9 +148,11 @@ object MultimodalOps {
     }
     if (channels == 0 || dataOff < 0) return None
     val (hist, sum) = byteStats(b, dataOff, dataOff + dataLen)
+    // offsets are PAYLOAD-relative (dataOff added) so the field means
+    // the same thing on the real and stub decode paths (ADVICE r04)
     val frames =
       if (dataLen == 0) Array.empty[Int]
-      else (0 until math.min(8, dataLen)).map(j => j * math.max(1, dataLen / 8)).toArray
+      else (0 until math.min(8, dataLen)).map(j => dataOff + j * math.max(1, dataLen / 8)).toArray
     Some(MediaFeatures(r.id, r.kind, b.length,
       dataLen / blockAlign, channels,
       if (dataLen == 0) 0.0 else sum.toDouble / dataLen, hist, frames))
@@ -160,9 +162,22 @@ object MultimodalOps {
     * else; a malformed container that passes the magic probe but fails
     * validation also falls back rather than erroring — decode failure
     * must not kill a 100 TB pass.
+    *
+    * Dispatch is gated on the declared `kind` prefix AND the magic
+    * probe (ADVICE r04): a text payload that happens to pass BMP/WAV
+    * framing validation must not silently get region-limited stats.
+    * Unknown/absent kinds still probe both formats, so callers without
+    * typed metadata keep real decode.
     */
-  private[graft] def decode(r: MediaRecord): MediaFeatures =
-    decodeBmp(r).orElse(decodeWav(r)).getOrElse(fakeDecode(r))
+  private[graft] def decode(r: MediaRecord): MediaFeatures = {
+    val k = if (r.kind == null) "" else r.kind
+    val untyped = !k.contains("/") // no MIME-ish metadata: probe freely
+    val tryBmp = untyped || k.startsWith("image/")
+    val tryWav = untyped || k.startsWith("audio/") || k.startsWith("video/")
+    (if (tryBmp) decodeBmp(r) else None)
+      .orElse(if (tryWav) decodeWav(r) else None)
+      .getOrElse(fakeDecode(r))
+  }
 
   /** Batched decode over partitions: items are processed in
     * `batchSize` groups (the shape a vectorized codec / accelerator

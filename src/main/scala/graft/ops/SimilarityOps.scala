@@ -446,6 +446,12 @@ object SimilarityOps {
     * silently re-sizing an explicit value would change results;
     * callers pinning `bits` own the sizing, and [[autoBits]] is the
     * one-liner to derive it from a known corpus size.
+    *
+    * @note BEHAVIORAL CHANGE vs pre-r4 releases: the default was a
+    *       fixed `bits = 8`; it is now `bits = 0` (auto).  Callers who
+    *       relied on the old default get auto-sized recall plus one
+    *       corpus `count()` job per call — pass `bits = 8` explicitly
+    *       to restore the old behavior exactly.
     */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,

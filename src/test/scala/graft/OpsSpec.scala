@@ -585,6 +585,21 @@ class OpsSpec extends AnyFunSuite {
     assert(wf.width == 4 && wf.height == 2, "4 samples/channel, 2 channels")
     assert(wf.byteHistogram.sum == 16)
     assert(wf.frameOffsets.length == 8)
+    // offsets are payload-relative: first sampled frame sits at the
+    // data-chunk start (44 for a canonical header), not at 0
+    assert(wf.frameOffsets(0) == 44, s"${wf.frameOffsets(0)}")
+
+    // kind gate: a payload that IS a valid BMP but is DECLARED text
+    // must take the stub path (full-payload stats), not the
+    // region-limited image path (ADVICE r04)
+    val misdeclared = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(5L, "text/en", bmp))
+    assert(misdeclared.byteHistogram.sum == bmp.length,
+      "declared-text payload must get full-payload stub stats")
+    // untyped kinds (no MIME slash) still probe both real decoders
+    val untyped = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(6L, "blob", bmp))
+    assert(untyped.width == 4 && untyped.height == 2)
 
     // text payloads never false-positive into media; truncated headers
     // fall back to the stub rather than erroring
