@@ -916,6 +916,18 @@ object SparkEntry {
         |       CAST(sum(hist6) AS BIGINT) AS hist_bucket6_total
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
 
+  /** q_doc_chunk / q_bm25 parameters, single-sourced for the Spark
+    * query and its oracle (terms picked from the synthetic vocabulary;
+    * mid-frequency so tf, df and dl all vary).  Declared BEFORE
+    * sharedDocSql: object vals initialize in order, and the oracle SQL
+    * interpolates these.
+    */
+  private val chunkWindow = 32
+  private val chunkStride = 16
+  private val bm25Terms = Seq("join", "scan", "window")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
   /** Shared-dialect oracles over documents (same text, both engines). */
   val sharedDocSql: Map[String, String] = Map(
     // DuckDB replays the bucketed self-join un-bucketed — identical
@@ -932,7 +944,56 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(min(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
-        |ORDER BY content_hash""".stripMargin)
+        |ORDER BY content_hash""".stripMargin,
+    // token-window chunking replay: same whitespace tokens, same
+    // full-windows-plus-short-doc-clamp start rule, same md5 of the
+    // space-rejoined window
+    "q_doc_chunk" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, greatest(len(toks) - ${chunkWindow - 1}, 1),
+        |                                $chunkStride)) AS start_token
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, start_token,
+        |         toks[start_token : start_token + ${chunkWindow - 1}] AS chunk
+        |  FROM s)
+        |SELECT doc_id,
+        |       CAST((start_token - 1) // $chunkStride + 1 AS BIGINT) AS chunk_idx,
+        |       CAST(start_token AS BIGINT) AS start_token,
+        |       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // BM25 replay: every input to the float math is an exact integer
+    // (tf, df, dl, N, Σdl), constants ship as round-trip double
+    // literals, and the expression tree mirrors bm25Scores' grouping
+    // exactly — per-(doc,term) rows so no float-sum ordering exists
+    "q_bm25" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |  WHERE term IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+        |       ln(1E0 + (st.n_docs - dfq.df_docs + 5E-1) / (dfq.df_docs + 5E-1))
+        |       * ((tf.tf * ${dlit(bm25K1 + 1.0)})
+        |          / (tf.tf + ${dlit(bm25K1)}
+        |             * (${dlit(1.0 - bm25B)} + (${dlit(bm25B)} * tf.dl)
+        |                / (CAST(st.total_tokens AS DOUBLE) / st.n_docs)))) AS bm25
+        |FROM tf JOIN dfq USING (term) CROSS JOIN st
+        |ORDER BY doc_id, term""".stripMargin)
 
   /** The FIXTURES.md §2 target-derivation projection, single-sourced
     * for the batch frame, the streaming fit, and external callers
@@ -1078,6 +1139,18 @@ object SparkEntry {
       "q_token_topk" -> { (s, dir) =>
         TextOps.topTokens(
           s.read.parquet(s"$dir/documents.parquet"), "text", 100)
+      },
+      "q_doc_chunk" -> { (s, dir) =>
+        TextOps.chunkByTokens(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            window = chunkWindow, stride = chunkStride)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      "q_bm25" -> { (s, dir) =>
+        TextOps.bm25Scores(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            bm25Terms, k1 = bm25K1, b = bm25B)
+          .orderBy("doc_id", "term")
       },
       "q_doc_pack" -> { (s, dir) =>
         val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -210,6 +210,81 @@ object TextOps {
       regexp_replace(acc, pat, repl)
     }
 
+  /** Fixed-token-window document chunking with overlap — the standard
+    * pre-training segmentation pass (context-length windows, stride <
+    * window for overlap).  One output row per chunk:
+    * `(doc_id, chunk_idx, start_token, chunk_tokens, chunk_hash)`,
+    * where `chunk_hash` is the md5 of the space-rejoined token window
+    * (chunk TEXT stays out of the row — at 100 TB the chunk table is
+    * an index, and the text re-materializes from (doc, start, len)).
+    *
+    * Windowing rule: starts run `1, 1+stride, …` up to the last FULL
+    * window; a document shorter than `window` yields exactly one
+    * (short) chunk at start 1, and an empty document one empty chunk —
+    * the same `greatest(…, 1)` clamp every sequence-based op here uses.
+    *
+    * Pure per-row projection + explode: no shuffle, no UDF; the
+    * explode fan-out is ~nTokens/stride rows per doc, each a handful
+    * of scalars.
+    */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window=$window stride=$stride must be positive")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(
+          lit(1),
+          greatest(size(col("__toks")) - lit(window - 1), lit(1)),
+          lit(stride))).as("start_token"))
+      .withColumn("__chunk", slice(col("__toks"), col("start_token"), lit(window)))
+      .select(
+        col("doc_id"),
+        // starts are 1 + k*stride, so the division is exact
+        (((col("start_token") - lit(1)) / lit(stride)) + lit(1))
+          .cast("long").as("chunk_idx"),
+        col("start_token").cast("long").as("start_token"),
+        size(col("__chunk")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
+
+  /** BM25 relevance scores for a small set of query terms over the
+    * corpus — one row per (document, matched term) with the exact
+    * Robertson/Sparck-Jones idf flavor `ln(1 + (N-df+0.5)/(df+0.5))`.
+    * Per-(doc,term) rows on purpose: summing float scores across terms
+    * would make the result depend on aggregation order; the per-term
+    * score is a deterministic scalar of exact integers (tf, df, dl, N,
+    * Σdl), so it cross-engine-replays bit-near.
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE the
+    * (doc,term) aggregation, so the shuffle carries only matching
+    * occurrences (≪ corpus); `N`/`Σdl` is a 2-long global aggregate
+    * and the per-term document frequencies are a ≤|terms|-row frame —
+    * both broadcast.
+    */
+  def bm25Scores(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val docs = corpus.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .where(col("term").isInCollection(queryTerms.map(lit(_))))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val joined = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_docs") + lit(0.5)) / (col("df_docs") + lit(0.5)))
+    val tfPart = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    joined.select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+      (idf * tfPart).as("bm25"))
+  }
+
   /** Stable whole-document fingerprint (hex md5 — cross-engine). */
   def fingerprintMd5(c: Column): Column = md5(c)
 

@@ -622,6 +622,58 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(2).nBytes == 10)
   }
 
+  test("chunkByTokens: full windows, overlap, short/empty-doc clamp") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")), // 80 tokens
+      (2L, "alpha beta gamma"),                       // shorter than window
+      (3L, "   ")                                     // no tokens at all
+    ).toDF("doc_id", "text")
+    val chunks = TextOps.chunkByTokens(docs, "doc_id", "text", window = 32, stride = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(c => (c._1, c._2))
+    // doc 1: starts 1,17,33,49 (last full window 49..80); NOT 65 (would be short)
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(1L, 17L, 33L, 49L), d1.mkString(","))
+    assert(d1.forall(_._4 == 32L))
+    assert(d1.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
+    // consecutive chunks overlap by window - stride = 16 tokens
+    val c1 = (1 to 32).map(i => s"t$i").mkString(" ")
+    assert(d1(0)._5 == org.apache.commons.codec.digest.DigestUtils.md5Hex(c1))
+    // doc 2: one short chunk of its 3 tokens
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._3 == 1L && d2(0)._4 == 3L)
+    // doc 3: the clamp yields one empty chunk (hash of "")
+    val d3 = chunks.filter(_._1 == 3L)
+    assert(d3.length == 1 && d3(0)._4 == 0L)
+    assert(d3(0)._5 == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("bm25Scores: exact formula on a hand-checked corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join join scan"),  // dl=4, tf(join)=2, tf(scan)=1
+      (2L, "scan scan scan"),        // dl=3, tf(scan)=3
+      (3L, "merge sort window")      // dl=3, no query terms except window
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Scores(docs, "doc_id", "text", Seq("join", "scan"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set((1L, "join"), (1L, "scan"), (2L, "scan")))
+    val n = 3.0
+    val avgdl = 10.0 / 3.0
+    def score(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }
+    val (tfj, dfj, sj) = out((1L, "join"))
+    assert(tfj == 2L && dfj == 1L)
+    assert(math.abs(sj - score(2, 1, 4)) < 1e-12, s"$sj vs ${score(2, 1, 4)}")
+    val (tfs2, dfs2, ss2) = out((2L, "scan"))
+    assert(tfs2 == 3L && dfs2 == 2L)
+    assert(math.abs(ss2 - score(3, 2, 3)) < 1e-12)
+  }
+
   test("shard packing: two-pass scan equals a single-machine running sum") {
     import spark.implicits._
     val n = 5000
