@@ -82,6 +82,15 @@ object Plans {
       graft.ops.SampleOps.hashSplit(
         spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "r3")
     }
+    show("doc chunking (projection + explode, no shuffle)") {
+      graft.ops.TextOps.chunkByTokens(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 32, 16)
+    }
+    show("bm25 (term-filter before agg, broadcast stats + df)") {
+      graft.ops.TextOps.bm25Scores(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+        Seq("join", "scan", "window"))
+    }
     spark.stop()
   }
 }

@@ -945,6 +945,24 @@ object SparkEntry {
         |       CAST(min(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY content_hash""".stripMargin,
+    // REAL BMP decode replay: the synthesized pixel region is the
+    // first 192 UTF-8 bytes of the text zero-padded, so width/height/
+    // n_bytes are header constants and mean/histogram are byte math
+    // over the same text both engines see (hex() is uppercase, but
+    // the bucket-6 prefix '6' is a digit)
+    "q_multimodal_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(substr(hex(encode(text)), 1, 384), '..') AS pairs
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(16 AS BIGINT) AS width,
+        |       CAST(4 AS BIGINT) AS height,
+        |       CAST(246 AS BIGINT) AS n_bytes,
+        |       CAST(COALESCE(list_sum(list_transform(pairs,
+        |            p -> CAST(('0x' || p) AS INT))), 0) AS DOUBLE) / 192E0 AS mean_byte,
+        |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
+        |FROM px ORDER BY doc_id""".stripMargin,
     // token-window chunking replay: same whitespace tokens, same
     // full-windows-plus-short-doc-clamp start rule, same md5 of the
     // space-rejoined window
@@ -1336,6 +1354,24 @@ object SparkEntry {
         // measurements); the fabricated decode dims stay spec-only
         MultimodalOps.pipeline(s, dir)
           .select("kind", "n_items", "total_bytes", "hist_bucket6_total")
+      },
+      "q_multimodal_decode" -> { (s, dir) =>
+        // REAL codec path under the hash gate: synthesize a valid
+        // 24-bit BMP per doc (header literal + first 192 text bytes as
+        // pixels), decode through the batched partition-local decoder,
+        // and emit the TRUE width/height/mean/histogram — every output
+        // byte is a pure function of the text, so DuckDB replays it
+        val media = MultimodalOps.synthesizeBmp(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          width = 16, height = 4)
+        MultimodalOps.decodeFeatures(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("nBytes").cast("long").as("n_bytes"),
+            col("meanByte").as("mean_byte"),
+            element_at(col("byteHistogram"), 7).as("hist_bucket6"))
+          .orderBy("doc_id")
       },
       "q_dedup_embed_lsh" -> { (s, dir) =>
         SimilarityOps.lshCosinePairs(

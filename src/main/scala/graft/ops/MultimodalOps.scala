@@ -207,6 +207,42 @@ object MultimodalOps {
     }
   }
 
+  /** Canonical 54-byte BMP header (`BITMAPINFOHEADER`, BI_RGB 24-bit)
+    * for the synthesizer below — little-endian fixed offsets, the
+    * exact layout [[decodeBmp]] validates.
+    */
+  private def bmpHeader(width: Int, height: Int): Array[Byte] = {
+    def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def u32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val imgSize = rowBytes * height
+    Array[Byte]('B', 'M') ++ u32(54 + imgSize) ++ u32(0) ++ u32(54) ++
+      u32(40) ++ u32(width) ++ u32(height) ++ u16(1) ++ u16(24) ++ u32(0) ++
+      u32(imgSize) ++ u32(2835) ++ u32(2835) ++ u32(0) ++ u32(0)
+  }
+
+  /** Synthesizes a REAL uncompressed 24-bit BMP per row: the constant
+    * header literal plus the first `rowBytes(width) * height` UTF-8
+    * bytes of `textCol` (zero-padded) as the pixel region — a valid
+    * image whose every byte is a pure function of the source row, so a
+    * SQL engine with byte access to the same text can replay the
+    * decoder's width/height/mean/histogram EXACTLY.  Pure binary
+    * concat/substring projection, no UDF.
+    */
+  def synthesizeBmp(
+      df: DataFrame, idCol: String, textCol: String,
+      width: Int, height: Int): Dataset[MediaRecord] = {
+    val imgSize = ((width * 3 + 3) / 4 * 4) * height
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        lit("image/bmp").as("kind"),
+        concat(lit(bmpHeader(width, height)),
+          substring(
+            concat(col(textCol).cast("binary"), lit(new Array[Byte](imgSize))),
+            1, imgSize)).as("content"))
+      .as[MediaRecord]
+  }
+
   /** Lift the documents table into media records (text bytes as the
     * opaque payload) — the test/demo source for the pipeline.
     */

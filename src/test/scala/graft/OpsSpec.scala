@@ -622,6 +622,34 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(2).nBytes == 10)
   }
 
+  test("synthesizeBmp round-trips through the REAL decoder") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello bmp world"),          // short: zero-padded pixels
+      (2L, "x" * 500),                  // long: truncated to 192 bytes
+      (3L, "")                          // empty: all-zero pixels
+    ).toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeBmp(docs, "doc_id", "text", 16, 4)
+      .collect().sortBy(_.id)
+    // every payload is a VALID BMP the strict validator accepts
+    media.foreach { r =>
+      val f = MultimodalOps.decodeBmp(r).get
+      assert(f.width == 16 && f.height == 4 && f.nBytes == 246)
+    }
+    // mean over the pixel region: doc 1 = sum of its 15 UTF-8 bytes
+    // (padding contributes 0) / 192
+    val f1 = MultimodalOps.decode(media(0))
+    val expected = "hello bmp world".getBytes("UTF-8").map(_ & 0xff).sum / 192.0
+    assert(math.abs(f1.meanByte - expected) < 1e-12, s"${f1.meanByte} vs $expected")
+    // doc 2: exactly 192 'x' (0x78) bytes -> mean 0x78, histogram
+    // bucket 7 (0x70-0x7f) holds all 192
+    val f2 = MultimodalOps.decode(media(1))
+    assert(f2.meanByte == 0x78.toDouble && f2.byteHistogram(7) == 192L)
+    // doc 3: all-zero pixels -> mean 0, bucket 0 holds all 192
+    val f3 = MultimodalOps.decode(media(2))
+    assert(f3.meanByte == 0.0 && f3.byteHistogram(0) == 192L)
+  }
+
   test("chunkByTokens: full windows, overlap, short/empty-doc clamp") {
     import spark.implicits._
     val docs = Seq(
