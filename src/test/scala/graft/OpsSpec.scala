@@ -622,6 +622,21 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(2).nBytes == 10)
   }
 
+  test("GraftExtensions: graft_dot is a SQL function via spark.sql.extensions") {
+    // TestSpark wires spark.sql.extensions=graft.GraftExtensions — the
+    // same config a pure-SQL deployment would set
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+    // null semantics match the HOF form: length mismatch -> NULL
+    assert(spark.sql(
+      "SELECT graft_dot(array(1.0D), array(1.0D, 2.0D)) AS d").head().isNullAt(0))
+    // registered with catalog metadata (DESCRIBE resolves)
+    val desc = spark.sql("DESCRIBE FUNCTION graft_dot")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("graft_dot"), desc)
+  }
+
   test("synthesizeBmp round-trips through the REAL decoder") {
     import spark.implicits._
     val docs = Seq(
