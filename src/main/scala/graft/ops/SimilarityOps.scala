@@ -416,6 +416,38 @@ object SimilarityOps {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Mean-pooled per-group centroids in the EXACT-INTEGER domain: each
+    * element quantizes to `round(v * scale)` (scale a power of two, so
+    * the scaling itself is exact double math), the per-(group, dim)
+    * sums are exact BIGINTs, and the centroid is one deterministic
+    * division — no float-summation order anywhere, so the result is
+    * identical on any partitioning and replayable by any engine.
+    * (A float `avg` over array elements would be partition-order
+    * dependent — unusable as a hash-gated surface and irreproducible
+    * across runs at scale.)
+    *
+    * Scale shape: posexplode → groups×dims keyed aggregate with
+    * map-side partial aggregation — the shuffle carries
+    * |groups|·dim rows per map partition, not the corpus.  The usual
+    * consumers (IVF coarse quantizers, per-language balance stats)
+    * have |groups| ≪ corpus.
+    */
+  def groupCentroids(
+      df: DataFrame, groupCol: String, vecCol: String,
+      scale: Int = 64): DataFrame = {
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"scale must be a positive power of two for exact quantization: $scale")
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("grp"), col("dim"),
+        round(col("v").cast("double") * lit(scale)).cast("long").as("q"))
+      .groupBy("grp", "dim")
+      .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
+      .select(col("grp"), col("dim").cast("long").as("dim"),
+        col("sum_q"), col("n"),
+        (col("sum_q").cast("double") / (col("n") * lit(scale))).as("centroid"))
+  }
+
   /** `bits` for a target expected bucket population: 2^bits sign-LSH
     * buckets hold ~n/2^bits vectors each, so bits ≈
     * log₂(n/targetBucket).  A FIXED bits is a recall/cost knob that
