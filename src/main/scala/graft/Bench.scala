@@ -21,12 +21,17 @@ object Bench {
     // canonical-path compare: a trailing slash or symlink alias of the
     // benchmark SF must still skip the warmup (ADVICE r02)
     def canon(p: String) = new java.io.File(p).getCanonicalPath
+    // dev knob: comma-separated query-name filter for targeted profiling
+    // (unset = the full suite; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     if (canon(warmDir) != canon(sfDir)) {
       SparkEntry.queries.foreach { case (name, fn) =>
-        try { fn(spark, warmDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $name: ${e.getMessage}")
-        }
+        if (only.forall(_.contains(name)))
+          try { fn(spark, warmDir).count() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name: ${e.getMessage}")
+          }
       }
       // drop the small-SF cached data so every timed query reads its
       // inputs cold — only code/JIT warm-up carries over
@@ -48,7 +53,9 @@ object Bench {
       t
     }
     var failed = List.empty[String]
-    val results: Seq[(String, Vector[(Double, Long)])] = SparkEntry.queries.toSeq.map {
+    val results: Seq[(String, Vector[(Double, Long)])] = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map {
       case (name, fn) =>
         val times = (1 to runs).toVector.map { _ =>
           val g0 = gcMs()
@@ -89,9 +96,13 @@ object Bench {
     // path is env-overridable and cwd-relative by default, and a failed
     // write must not fail the bench (ADVICE r04)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
-    scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), wrap(qsFull) + "\n"))
-      .failed.foreach(e => System.err.println(s"[bench] durable write: $e"))
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(outPath).toAbsolutePath
+      java.nio.file.Files.writeString(p, wrap(qsFull) + "\n")
+      // log the RESOLVED path: the default is cwd-relative, so a bench
+      // launched elsewhere must say where the durable copy went (ADVICE r05)
+      System.err.println(s"[bench] durable copy: $p")
+    }.failed.foreach(e => System.err.println(s"[bench] durable write: $e"))
     println(wrap(qsCompact))
     spark.stop()
   }

@@ -36,8 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "with double accumulation; NULL on null/length-mismatched input",
         ""),
       (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"graft_dot(a, b) takes exactly 2 arguments, got ${children.length}")
+        // a wrong arity must surface as a normal analyzer error, not a
+        // bare IllegalArgumentException stack trace (ADVICE r05)
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_dot`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
         DotProduct(children.head, children(1))
       }))
   }

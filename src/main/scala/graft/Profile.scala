@@ -118,6 +118,22 @@ object Profile {
         graft.spark.WoeFitOptions(nThreshold = Some(300)))
     }
     time("transform count")(m.transform(df).count())
+    // transform sub-stages: the exact-median aggregate vs the when-chain
+    time("  medians job (3 cols)") {
+      df.agg(median(col("extendedprice")).as("m1"),
+        median(col("quantity")).as("m2"),
+        median(col("discount")).as("m3")).head()
+    }
+    time("  transform count 2nd (medians warm? no — recomputed)") {
+      m.transform(df).count()
+    }
+    // stats sub-stages: the groupBy agg alone vs the driver collect
+    locally {
+      val agg = graft.spark.WoeBinning.statsAggregation(df, "target", Seq("extendedprice"))
+      time("  statsAgg count only")(agg.count())
+      val rows = time("  statsAgg collect")(agg.collect())
+      time("  statsFromRows driver")(graft.spark.WoeBinning.statsFromRows(rows))
+    }
 
     // ---- streaming fit
     time("q_fit_streaming full") {

@@ -166,14 +166,25 @@ object MultimodalOps {
     * Dispatch is gated on the declared `kind` prefix AND the magic
     * probe (ADVICE r04): a text payload that happens to pass BMP/WAV
     * framing validation must not silently get region-limited stats.
-    * Unknown/absent kinds still probe both formats, so callers without
-    * typed metadata keep real decode.
+    * Only the media top-level types (`image/ audio/ video/`) narrow the
+    * probe and only `text/` suppresses it; absent kinds AND generic
+    * MIME kinds (`application/octet-stream`, vendor types, ...) probe
+    * both formats (ADVICE r05), so callers without *meaningful* typed
+    * metadata keep real decode.  A null content payload degrades to
+    * empty-payload stub stats — decode failure must not kill a 100 TB
+    * pass (ADVICE r05).
     */
-  private[graft] def decode(r: MediaRecord): MediaFeatures = {
+  private[graft] def decode(rec: MediaRecord): MediaFeatures = {
+    val r = if (rec.content == null) rec.copy(content = Array.empty[Byte]) else rec
     val k = if (r.kind == null) "" else r.kind
-    val untyped = !k.contains("/") // no MIME-ish metadata: probe freely
-    val tryBmp = untyped || k.startsWith("image/")
-    val tryWav = untyped || k.startsWith("audio/") || k.startsWith("video/")
+    val top = k.takeWhile(_ != '/')
+    // typed = a top-level MIME type whose media semantics we understand;
+    // anything else ("", bare tags, application/*, vendor trees) is untyped
+    val typed = k.contains("/") &&
+      (top == "image" || top == "audio" || top == "video" || top == "text")
+    val untyped = !typed
+    val tryBmp = untyped || top == "image"
+    val tryWav = untyped || top == "audio" || top == "video"
     (if (tryBmp) decodeBmp(r) else None)
       .orElse(if (tryWav) decodeWav(r) else None)
       .getOrElse(fakeDecode(r))
@@ -234,11 +245,14 @@ object MultimodalOps {
       width: Int, height: Int): Dataset[MediaRecord] = {
     val imgSize = ((width * 3 + 3) / 4 * 4) * height
     import df.sparkSession.implicits._
+    // coalesce: a NULL text row must yield an all-padding (still valid)
+    // image, not a NULL content that would poison the concat (ADVICE r05)
     df.select(col(idCol).cast("long").as("id"),
         lit("image/bmp").as("kind"),
         concat(lit(bmpHeader(width, height)),
           substring(
-            concat(col(textCol).cast("binary"), lit(new Array[Byte](imgSize))),
+            concat(coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])),
+              lit(new Array[Byte](imgSize))),
             1, imgSize)).as("content"))
       .as[MediaRecord]
   }

@@ -82,26 +82,41 @@ object WoeBinning {
       // design; the reference's 0/1 contract allows neither — fail fast
       def where(r: Row) =
         s"(variable '$variable', value ${if (r.isNullAt(1)) "null" else r.getDouble(1)})"
-      // domain check FIRST: an all-NaN group also has a null tsum (the
-      // NaN→null cast guard), and "must be 0/1" is the accurate error
-      vr.find(_.getLong(5) > 0).foreach { r =>
-        throw new IllegalArgumentException(
-          s"woe_binning: target must be 0/1 ${where(r)}")
+      // single driver pass: domain/null guards, NaN split, tuple build
+      // and a sortedness check all fused — the collect is presorted when
+      // sufficientStats' Spark-side orderBy ran, so the O(n log n)
+      // driver sort only fires for ad-hoc callers with unsorted rows
+      val groupsB = Vector.newBuilder[(Double, Long, Long)]
+      groupsB.sizeHint(vr.length)
+      var nanCount = 0L; var nanTsum = 0L
+      var valCnt = 0L; var valTsum = 0L
+      var presorted = true; var prev = Double.NegativeInfinity
+      var i = 0
+      while (i < vr.length) {
+        val r = vr(i)
+        // domain check FIRST: an all-NaN group also has a null tsum (the
+        // NaN→null cast guard), and "must be 0/1" is the accurate error
+        if (r.getLong(5) > 0)
+          throw new IllegalArgumentException(
+            s"woe_binning: target must be 0/1 ${where(r)}")
+        if (r.isNullAt(3) || r.getLong(4) != r.getLong(2))
+          throw new IllegalArgumentException(
+            s"woe_binning: target contains nulls ${where(r)}")
+        if (r.isNullAt(1)) {
+          nanCount += r.getLong(2); nanTsum += r.getLong(3)
+        } else {
+          val v = r.getDouble(1)
+          if (v < prev) presorted = false
+          prev = v
+          groupsB += ((v, r.getLong(2), r.getLong(3)))
+          valCnt += r.getLong(2); valTsum += r.getLong(3)
+        }
+        i += 1
       }
-      vr.find(r => r.isNullAt(3) || r.getLong(4) != r.getLong(2)).foreach { r =>
-        throw new IllegalArgumentException(
-          s"woe_binning: target contains nulls ${where(r)}")
-      }
-      val (nanRows, valRows) = vr.partition(_.isNullAt(1))
-      val groups = valRows
-        .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
-        .sortBy(_._1)
-        .toVector
-      val nanCount = nanRows.map(_.getLong(2)).sum
-      val nanTsum = nanRows.map(_.getLong(3)).sum
-      val totalRows = nanCount + groups.iterator.map(_._2).sum
-      val totalTsum = nanTsum + groups.iterator.map(_._3).sum
-      variable -> Kernels.VarStats(variable, groups, nanCount, nanTsum, totalRows, totalTsum)
+      val built = groupsB.result()
+      val groups = if (presorted) built else built.sortBy(_._1)
+      variable -> Kernels.VarStats(variable, groups, nanCount, nanTsum,
+        nanCount + valCnt, nanTsum + valTsum)
     }
 
   /** Collected exact stats for every variable in one job. */
@@ -111,7 +126,11 @@ object WoeBinning {
       inputCols: Seq[String],
       maxDistinct: Option[Int] = None): Map[String, Kernels.VarStats] = {
     val base = maxDistinct.map(m => preBin(df, inputCols, m)).getOrElse(df)
-    statsFromRows(statsAggregation(base, targetCol, inputCols).collect())
+    // Spark-side sort: the kernels need per-variable value-sorted groups
+    // anyway, and a distributed range-partitioned sort beats re-sorting
+    // the collected O(distinct) rows on one driver thread
+    statsFromRows(
+      statsAggregation(base, targetCol, inputCols).orderBy("variable", "value").collect())
   }
 
   /** One variable's bins from its collected stats — the per-variable
@@ -212,6 +231,31 @@ object WoeBinning {
     Kernels.stitchSentinel(a, b, sep, s.totalTsum.toDouble, s.totalRows.toDouble)
   }
 
+  /** Exact interpolated medians (pandas `Series.median`,
+    * binning.py:297/302) for several columns in ONE distributed job:
+    * melt → per-value counts → Spark-side sort → driver interpolation
+    * over the grouped counts.  A column with no non-missing values maps
+    * to NaN.
+    */
+  def exactMedians(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double)").mkString(", ") +
+      ") as (variable, value)"
+    val grouped = df.selectExpr(stackExpr)
+      .where(col("value").isNotNull && !isnan(col("value")))
+      .groupBy("variable", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("variable", "value")
+      .collect()
+    val byVar = grouped.groupBy(_.getString(0))
+    cols.map { c =>
+      c -> byVar.get(c).fold(Double.NaN) { rows =>
+        Kernels.exactMedian(
+          rows.iterator.map(r => (r.getDouble(1), r.getLong(2), 0L)).toVector)
+      }
+    }.toMap
+  }
+
   /** Reference 11-column schema (binning.py:107-108). */
   val binsSchema: StructType = StructType(Seq(
     StructField("variable", StringType, nullable = false),
@@ -293,19 +337,15 @@ final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
         }
       }
     val selected = kept.collect { case (v, Some(bs)) => (v, bs) }
-    // single job: exact medians for all selected columns at once
+    // single job: exact interpolated medians for all selected columns at
+    // once, from per-value grouped counts (O(distinct) driver rows, like
+    // the fit's sufficient stats) — NOT Spark's `median`/`percentile`
+    // aggregate, whose final merge buffers every raw value of the group
+    // in one task: on a 100 TB apply pass that single buffer is the job
+    // killer, while grouped counts stay bounded by distinct values
     val medians: Map[String, Double] =
       if (selected.isEmpty) Map.empty
-      else {
-        val aggs = selected.map { case (c, _) =>
-          median(when(isnan(col(c).cast(DoubleType)), lit(null))
-            .otherwise(col(c).cast(DoubleType))).as(c)
-        }
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        selected.zipWithIndex.map { case ((c, _), i) =>
-          c -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
-        }.toMap
-      }
+      else WoeBinning.exactMedians(df, selected.map(_._1))
     val outCols =
       if (exactSchema) kept.map {
         case (v, Some(bs)) => applyExpr(v, bs, medians(v)).as(v + "_bin")
