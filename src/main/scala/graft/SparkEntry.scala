@@ -448,6 +448,79 @@ object SparkEntry {
         |       CAST(coalesce(ov.n_overlap, 0) >= 10 AS BIGINT) AS contaminated
         |FROM g LEFT JOIN ov ON g.doc_id = ov.doc_id
         |WHERE g.doc_id >= 20 ORDER BY g.doc_id""".stripMargin,
+    // bloom decontamination replay: the bit SET equals the position
+    // set, so membership = "all k double-hash positions appear among
+    // the benchmark's positions" — Kirsch–Mitzenmacher pos_j =
+    // (h1 + j·h2) mod 2^17 with h1/h2 the two md5-60bit slices both
+    // engines compute identically (false positives replay exactly too)
+    "q_bloom_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(toks) - 2, 1) + 1),
+        |           i -> array_to_string(toks[i:i+2], ' '))) AS grams
+        |  FROM t
+        |), js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |bg AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id < 20),
+        |bpos AS (
+        |  SELECT DISTINCT (CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+        |       + j * CAST(('0x' || substr(md5(g), 17, 15)) AS BIGINT)) % 131072 AS pos
+        |  FROM bg CROSS JOIN js
+        |), cg AS (
+        |  SELECT doc_id, unnest(grams) AS g FROM g WHERE doc_id >= 20
+        |), cpos AS (
+        |  SELECT doc_id, g, j,
+        |         (CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+        |       + j * CAST(('0x' || substr(md5(g), 17, 15)) AS BIGINT)) % 131072 AS pos
+        |  FROM cg CROSS JOIN js
+        |), hits AS (
+        |  SELECT doc_id, g
+        |  FROM cpos JOIN bpos USING (pos)
+        |  GROUP BY doc_id, g
+        |  HAVING count(DISTINCT j) = 4
+        |), ov AS (
+        |  SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY doc_id
+        |)
+        |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(ov.n_flagged, 0) AS BIGINT) AS n_flagged,
+        |       CAST(coalesce(ov.n_flagged, 0) >= 10 AS BIGINT) AS contaminated
+        |FROM g LEFT JOIN ov ON g.doc_id = ov.doc_id
+        |WHERE g.doc_id >= 20 ORDER BY g.doc_id""".stripMargin,
+    // intra-doc paragraph dedup replay: 8-token windows as synthetic
+    // paragraphs (+ the first two re-appended as the injected dup),
+    // first-occurrence order preserved via min(ordinal) + ordered
+    // string_agg — the exact semantics of Spark's array_distinct
+    "q_paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, list_transform(
+        |      range(0, greatest(CAST(ceil(len(toks) / 8.0) AS INT), 1)),
+        |      i -> array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')) AS paras
+        |  FROM t
+        |), w AS (
+        |  SELECT doc_id, list_concat(paras, paras[1:2]) AS ps FROM p
+        |), u AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |      i -> {'ord': i, 'para': ps[CAST(i AS INT)]})) AS s
+        |  FROM w
+        |), f AS (
+        |  SELECT doc_id, s.para AS para, min(s.ord) AS ord FROM u GROUP BY doc_id, s.para
+        |), c AS (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY ord) AS cleaned
+        |  FROM f GROUP BY doc_id
+        |)
+        |SELECT w.doc_id, CAST(len(ps) AS BIGINT) AS n_paras,
+        |       CAST(len(list_distinct(ps)) AS BIGINT) AS n_unique,
+        |       md5(c.cleaned) AS clean_hash,
+        |       CAST(length(c.cleaned) AS BIGINT) AS clean_len
+        |FROM w JOIN c ON w.doc_id = c.doc_id ORDER BY w.doc_id""".stripMargin,
     // deterministic split replay: same md5-60bit("id:salt") % 10000
     // bucket and the same cumulative thresholds (8000/9000)
     "q_hash_split" ->
@@ -685,14 +758,53 @@ object SparkEntry {
     * probe list via unnest, and the identical
     * (cosine DESC, corpus_id ASC) rank window.
     */
+  /** The `||c||² − 2·v·c` nearest-cell struct list as DuckDB SQL —
+    * shared by every oracle that replays a centroid-literal
+    * assignment (IVF top-k, semantic dedup).
+    */
+  private def centroidStructList(
+      centroids: Array[Array[Double]], vecExpr: String): String =
+    centroids.zipWithIndex.map { case (cent, i) =>
+      val arr = cent.map(dlit).mkString("[", ", ", "]")
+      val c2 = dlit(graft.ops.SimilarityOps.sumSquares(cent))
+      s"{'score': $c2 - 2.0E0 * list_dot_product($vecExpr, $arr), 'cell': $i}"
+    }.mkString(",\n            ")
+
+  /** `SimilarityOps.semanticDupDrops` as DuckDB SQL: centroid-literal
+    * nearest-cell assignment (the IVF oracle's struct sort), hot-cell
+    * exclusion, the within-cell `lower id × cosine ≥ t` pair rule, and
+    * the per-dropped-vector (count, max) rollup.
+    */
+  private def semanticDedupOracleSql(
+      centroids: Array[Array[Double]], cosThreshold: Double, maxCell: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e WHERE v IS NOT NULL AND sqrt(list_dot_product(v, v)) > 0
+       |), a AS (
+       |  SELECT vec_id, v, nrm,
+       |         (list_sort([${centroidStructList(centroids, "v")}]))[1].cell AS cell
+       |  FROM b
+       |), h AS (
+       |  SELECT cell FROM a GROUP BY cell HAVING count(*) > $maxCell
+       |), c AS (
+       |  SELECT * FROM a WHERE cell NOT IN (SELECT cell FROM h)
+       |), p AS (
+       |  SELECT l.cell AS cell, r.vec_id AS dup_id,
+       |         list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cosine
+       |  FROM c l JOIN c r ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |)
+       |SELECT dup_id AS vec_id, CAST(cell AS BIGINT) AS cell,
+       |       CAST(count(*) AS BIGINT) AS n_near, max(cosine) AS max_cosine
+       |FROM p WHERE cosine >= ${dlit(cosThreshold)}
+       |GROUP BY dup_id, cell ORDER BY vec_id""".stripMargin
+
   private def ivfTopKOracleSql(
       centroids: Array[Array[Double]], nProbe: Int, k: Int): String = {
     def structList(vecExpr: String): String =
-      centroids.zipWithIndex.map { case (cent, i) =>
-        val arr = cent.map(dlit).mkString("[", ", ", "]")
-        val c2 = dlit(graft.ops.SimilarityOps.sumSquares(cent))
-        s"{'score': $c2 - 2.0E0 * list_dot_product($vecExpr, $arr), 'cell': $i}"
-      }.mkString(",\n            ")
+      centroidStructList(centroids, vecExpr)
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
@@ -853,6 +965,12 @@ object SparkEntry {
     "q_dedup_embed_lsh" -> lshPairsOracleSql(bits = 4, dim = 64, threshold = 0.4),
     "q_ann_topk_lsh" -> lshTopKOracleSql(bits = 8, dim = 64, k = 10),
     "q_ann_topk_ivf" -> ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10),
+    // SemDeDup replay: the SAME centroid literals + nearest-cell
+    // struct sort as the IVF oracle, then the within-cell lower-id
+    // neighbor rule (count/max are order-free aggregates; the cosine
+    // is the same sequential dot fold both engines share)
+    "q_semantic_dedup" ->
+      semanticDedupOracleSql(ivfCentroidsSf001, cosThreshold = 0.3, maxCell = 100000),
     "q_dedup_minhash_md5" ->
       minhashPortableOracleSql(numHashes = 32, bands = 8, threshold = 0.5),
     // winnowing replay: same char 8-grams, md5-60bit gram hashes,
@@ -1153,6 +1271,53 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "r3")
           .select(col("doc_id"), col("bucket"), col("split"))
           .orderBy("doc_id")
+      },
+      "q_bloom_decontaminate" -> { (s, dir) =>
+        // the bloom flavor of q_decontaminate: same benchmark
+        // convention (doc_id < 20), but membership runs against an
+        // O(m)-bit broadcast filter instead of the exact gram-hash set
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val positions = TextOps.bloomBuild(
+          docs.filter(col("doc_id") < 20), "text", n = 3)
+        TextOps.bloomContamination(
+            docs.filter(col("doc_id") >= 20), "doc_id", "text", positions, n = 3)
+          .select(col("id").cast("bigint").as("doc_id"),
+            col("n_grams"), col("n_flagged"),
+            (col("n_flagged") >= 10).cast("bigint").as("contaminated"))
+          .orderBy("doc_id")
+      },
+      "q_paragraph_dedup" -> { (s, dir) =>
+        // synthetic paragraph structure (8-token windows + the first
+        // two re-appended as injected duplicates — the PII-query
+        // convention: synthesize what the operator exists to scrub),
+        // then the order-preserving intra-doc dedup
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val toks = TextOps.tokens(col("text"))
+        val paras = transform(
+          sequence(lit(0),
+            greatest(ceil(size(toks) / lit(8.0)).cast("int"), lit(1)) - lit(1)),
+          i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " "))
+        val withDup = concat(paras, slice(paras, 1, 2))
+        val cleaned = TextOps.dedupParagraphs(array_join(withDup, "\n"), "\n")
+        docs.select(col("doc_id"),
+            size(withDup).cast("bigint").as("n_paras"),
+            size(array_distinct(withDup)).cast("bigint").as("n_unique"),
+            md5(cleaned).as("clean_hash"),
+            length(cleaned).cast("bigint").as("clean_len"))
+          .orderBy("doc_id")
+      },
+      "q_semantic_dedup" -> { (s, dir) =>
+        // SemDeDup over the embeddings: deterministic literal
+        // centroids (the IVF pattern) so the cluster-blocked
+        // drop rule replays end-to-end in DuckDB
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        SimilarityOps.semanticDupDrops(
+            emb, "vec_id", "embedding", cents, cosThreshold = 0.3)
+          .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+            col("n_near"), col("max_cosine"))
+          .orderBy("vec_id")
       },
       "q_token_topk" -> { (s, dir) =>
         TextOps.topTokens(

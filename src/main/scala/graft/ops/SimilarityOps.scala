@@ -207,6 +207,53 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered by nearest-centroid
+    * assignment and a vector is a DUPLICATE when some LOWER-id member
+    * of its cluster sits at cosine ≥ `cosThreshold` (keep-first-id —
+    * the deterministic stand-in for SemDeDup's keep-one-per-group).
+    * Returns one row per dropped vector:
+    * `(vec_id, cell, n_near, max_cosine)`.
+    *
+    * Scale shape: assignment is a pure projection against centroid
+    * LITERALS ([[deterministicCentroids]] — so the whole pass is
+    * engine-replayable); the quadratic cosine check is confined to
+    * cells (n²/nCells at uniform fill, `nCells ~ √n`), the self-join
+    * shuffles on the cell id only, and `maxCell` drops degenerate
+    * cells outright (the simhash `maxBucket` convention — a cell that
+    * big means the clustering, not the join, needs fixing).  The
+    * assigned table is persisted: three references (hot-cell agg +
+    * both join sides) would otherwise recompute the 16-dot assignment
+    * projection per reference.
+    */
+  def semanticDupDrops(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], cosThreshold: Double,
+      maxCell: Int = 100000): DataFrame = {
+    val cellScores = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(
+        (lit(sumSquares(cent)) - lit(2.0) * dot(col("v"), lit(cent))).as("score"),
+        lit(i).as("cell"))
+    }
+    val assigned = DedupOps.registerPersist(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("nrm"))
+        .filter(col("v").isNotNull && col("nrm") > 0)
+        .withColumn("cell",
+          element_at(sort_array(array(cellScores: _*)), 1).getField("cell")))
+    val hot = assigned.groupBy("cell").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > maxCell).select("cell")
+    val cold = assigned.join(broadcast(hot), Seq("cell"), "left_anti")
+    val l = cold.as("l")
+    val r = cold.as("r")
+    l.join(r, col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.cell").as("cell"), col("r.id").as("dup_id"),
+        (dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm"))).as("cosine"))
+      .filter(col("cosine") >= cosThreshold)
+      .groupBy(col("dup_id").as("vec_id"), col("cell"))
+      .agg(count(lit(1)).as("n_near"), max(col("cosine")).as("max_cosine"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4×–8×
     * storage lever for a 100 TB ANN corpus.  Per-vector
     * `scale = max|vᵢ|/127`, `qᵢ = floor(vᵢ/scale + 0.5)` (explicit

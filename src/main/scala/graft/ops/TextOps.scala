@@ -189,6 +189,83 @@ object TextOps {
       .select(col("id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
+  /** The k bloom bit positions of one n-gram via Kirsch–Mitzenmacher
+    * double hashing `pos_j = (h1 + j·h2) mod m`, with h1/h2 two
+    * disjoint 60-bit slices of the gram's md5 — fully portable (any
+    * engine with md5 + hex parsing replays the identical positions).
+    * h1, h2 < 2⁶⁰ and j ≤ 7 keeps `h1 + j·h2 < 2⁶³` (no overflow).
+    */
+  private def bloomPositions(g: Column, mBits: Int, j: Int): Column = {
+    val h1 = DedupOps.md5Hash60(g)
+    val h2 = conv(substring(md5(g), 17, 15), 16, 10).cast("long")
+    pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong))
+  }
+
+  /** Build side of the bloom-filter decontamination pass: the SET of
+    * bit positions lit by the benchmark's distinct word n-grams,
+    * collected to the driver (≤ min(k·|grams|, m) longs — the
+    * benchmark side is small by the decontamination contract).
+    */
+  def bloomBuild(
+      benchmark: DataFrame, benchText: String,
+      n: Int = 3, mBits: Int = 1 << 17, k: Int = 4): Array[Long] = {
+    require(k <= 7, s"bloomBuild: k=$k would overflow the position arithmetic")
+    require(mBits % 64 == 0, s"bloomBuild: mBits=$mBits must pack into longs")
+    benchmark
+      .select(explode(array_distinct(wordNgrams(col(benchText), n))).as("g"))
+      .select(explode(array((0 until k).map(j =>
+        bloomPositions(col("g"), mBits, j)): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+  }
+
+  /** Membership pass: per-doc count of distinct n-grams whose k bloom
+    * positions are ALL set.  The filter ships as a PACKED `mBits/64`-
+    * long array literal (16 KiB at m = 2¹⁷) — O(m) broadcast state
+    * independent of benchmark size, which is the point of the bloom
+    * flavor over the exact hash-set join ([[contaminationScores]]):
+    * at a 10⁹-gram benchmark the exact set no longer broadcasts, the
+    * bloom still does, at the standard (1−e^(−k·n/m))^k
+    * false-positive cost.  The per-gram test is k codegen'd
+    * bit-probes — no UDF, no lambda.
+    */
+  def bloomContamination(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      positions: Array[Long],
+      n: Int = 3, mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
+    val words = new Array[Long](mBits / 64)
+    positions.foreach { p => words((p / 64).toInt) |= 1L << (p % 64).toInt }
+    val wordsLit = lit(words)
+    def bitSet(pos: Column): Column =
+      call_function("shiftrightunsigned",
+        element_at(wordsLit, (pos / lit(64L)).cast("int") + lit(1)),
+        (pos % lit(64L)).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    val hit = (0 until k)
+      .map(j => bitSet(bloomPositions(col("g"), mBits, j)))
+      .reduce(_ && _)
+    val grams = corpus.select(col(corpusId).as("id"),
+      explode(array_distinct(wordNgrams(col(corpusText), n))).as("g"))
+    val flagged = grams
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_flagged"))
+    corpus.select(col(corpusId).as("id"))
+      .join(flagged, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+  }
+
+  /** Order-preserving removal of exact duplicate paragraphs within a
+    * document (the Gopher-style intra-document repetition scrub, Rae
+    * et al. 2021 — distinct from the cross-document dedup family):
+    * Spark's `array_distinct` keeps FIRST occurrences in encounter
+    * order, so the whole operator is one codegen'd projection — no
+    * shuffle, no UDF, trivially 100 TB-safe.
+    */
+  def dedupParagraphs(t: Column, sep: String = "\n"): Column =
+    array_join(
+      array_distinct(split(t, java.util.regex.Pattern.quote(sep))), sep)
+
   /** PII scrubbing patterns, applied in order (specific → general so
     * an IP or SSN is not half-eaten by the phone rule first).  Every
     * pattern sticks to the regex subset Java and RE2 interpret

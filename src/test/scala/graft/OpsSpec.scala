@@ -802,6 +802,62 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3) == "version 1.2 costs 3.50 no pii here")
   }
 
+  test("semantic dedup drops the higher id of a near-identical pair, keeps singletons") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes + one lone vector; ids
+    // chosen so the keep-first-id rule is observable
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, vec(1, 0, 0, 0)), (5L, vec(0.999, 0.01, 0, 0)), // near-dups
+      (2L, vec(0, 1, 0, 0)), (7L, vec(0, 0.998, 0.02, 0)), // near-dups
+      (3L, vec(0.7, 0.7, 0, 0))) // between clusters, not a dup at 0.99
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0))
+    val drops = SimilarityOps.semanticDupDrops(
+        emb, "vec_id", "embedding", cents, cosThreshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(drops.keySet == Set(5L, 7L)) // higher ids dropped, 1/2/3 kept
+    assert(drops(5L)._1 == 1L && drops(5L)._2 > 0.99)
+    // maxCell guard: cap 1 excludes every cell from the pair join
+    assert(SimilarityOps.semanticDupDrops(
+      emb, "vec_id", "embedding", cents, 0.99, maxCell = 1).count() == 0)
+    DedupOps.unpersistAll()
+  }
+
+  test("bloom decontamination: no false negatives vs the exact gram join") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "prefix words then alpha beta gamma inside"),
+      (3L, "totally unrelated content with no shared trigrams at all"))
+      .toDF("doc_id", "text")
+    val positions = TextOps.bloomBuild(bench, "text", n = 3)
+    // 4 distinct benchmark grams × k=4 → ≤ 16 positions of 2^17 set
+    assert(positions.length <= 16 && positions.forall(p => p >= 0 && p < (1 << 17)))
+    val bloom = TextOps.bloomContamination(corpus, "doc_id", "text", positions, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = TextOps.contaminationScores(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a bloom filter can over-count (false positives), never under-count
+    exact.foreach { case (id, n) => assert(bloom(id)._2 >= n) }
+    // at 16/131072 bits set, a false positive needs a 4-probe collision
+    // (~1e-15): the counts are exact here in practice
+    assert(bloom(1L)._2 == 4L && bloom(2L)._2 == 1L && bloom(3L)._2 == 0L)
+    assert(bloom(2L)._1 == 5L) // 7 tokens → 5 distinct trigrams
+  }
+
+  test("paragraph dedup preserves first-occurrence order") {
+    import spark.implicits._
+    val df = Seq("a\nb\na\nc\nb", "x", "").toDF("t")
+    val out = df.select(TextOps.dedupParagraphs(col("t")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "a\nb\nc")
+    assert(out(1) == "x")
+    assert(out(2) == "")
+  }
+
   test("repetition stats: exact fractions on a crafted doc") {
     import spark.implicits._
     // "a b a b a b" bigrams: [a b, b a, a b, b a, a b] → 5 grams,
