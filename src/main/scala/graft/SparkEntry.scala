@@ -216,6 +216,88 @@ object SparkEntry {
     * semantics — and for integer outputs the hashes — are identical).
     */
   val duckdbOnlySql: Map[String, String] = Map(
+    // corpus unigram LM replay (TextOps.unigramLogProbs): same \s+
+    // tokens, vocab + per-doc tf as integer aggregations, one ln of a
+    // ratio of exact integers per output row (the q_bm25 determinism
+    // convention — no float sums exist)
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+        |n AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM v),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, token)
+        |SELECT tf.doc_id, tf.token, tf.tf, v.freq,
+        |       -ln(CAST(v.freq AS DOUBLE) / n.n_total) AS logprob
+        |FROM tf JOIN v USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+    // integer-exact rarity profile (TextOps.tokenRarityStats): all
+    // sums are integer, the single division happens once per doc
+    "q_token_rarity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, token)
+        |SELECT tf.doc_id,
+        |       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(min(v.freq) AS BIGINT) AS min_freq,
+        |       CAST(sum(tf.tf * v.freq) AS BIGINT) AS sum_freq,
+        |       CAST(sum(tf.tf * v.freq) AS DOUBLE) / sum(tf.tf) AS avg_token_freq
+        |FROM tf JOIN v USING (token)
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    // duplicate-window replay (DedupOps.duplicateWindowStats, k=8):
+    // overlapping 8-token windows as md5-60bit hashes, per-hash
+    // distinct-doc counts, per-doc share of windows seen in ≥2 docs
+    "q_window_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+        |           i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT))) AS wh
+        |  FROM t),
+        |d AS (SELECT wh, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |      FROM g GROUP BY wh)
+        |SELECT g.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |       CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM g JOIN d USING (wh)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // salted-join replay: salting only re-routes rows, so the oracle
+    // is the PLAIN join + aggregation (result-set equality is the
+    // whole point of the skew-mitigation rewrite)
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS type_count
+        |  FROM events GROUP BY event_type)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(type_count) AS BIGINT) AS sum_tc
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // one-pass profile replay (ProfileOps.profile): per-column UNION
+    // branches — DuckDB re-scans per branch where Spark uses a single
+    // Expand pass, but the rows are identical
+    "q_profile_stats" -> Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_val,
+         |       CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // tokenization = \s+ regex with empties dropped, matching
     // TextOps.tokens exactly (a plain ' ' split would diverge on
     // tabs/newlines); empty docs guard the word-length division
@@ -1543,6 +1625,44 @@ object SparkEntry {
             s.read.parquet(s"$dir/embeddings.parquet"),
             "vec_id", "embedding", bits = 4, dim = 64, threshold = 0.4)
           .select("id_a", "id_b").orderBy("id_a", "id_b")
+      },
+      "q_lm_score" -> { (s, dir) =>
+        TextOps.unigramLogProbs(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .orderBy("doc_id", "token")
+      },
+      "q_token_rarity" -> { (s, dir) =>
+        TextOps.tokenRarityStats(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      "q_window_dedup" -> { (s, dir) =>
+        DedupOps.duplicateWindowStats(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            k = 8, portableHash = true)
+          .select(col("id").cast("bigint").as("doc_id"),
+            col("n_windows"), col("n_dup_windows"), col("dup_frac"))
+          .orderBy("doc_id")
+      },
+      "q_salted_join" -> { (s, dir) =>
+        // events fact × per-type dim through the skew-safe salted
+        // join; the aggregation collapses the salt so the result is
+        // bit-identical to the plain join the oracle runs
+        val ev = StreamingOps.readEventsBatch(s, dir)
+          .select("event_id", "user_id", "event_type")
+        val dim = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("type_count"))
+        graft.ops.JoinOps.saltedJoin(ev, dim, "event_type", salt = 8)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum("type_count").as("sum_tc"))
+          .orderBy("user_id")
+      },
+      "q_profile_stats" -> { (s, dir) =>
+        graft.ops.ProfileOps.profile(
+            s.read.parquet(s"$dir/documents.parquet"),
+            Seq("doc_id", "lang", "source", "n_chars"))
+          .orderBy("col_name")
       },
       "q_events_window" -> { (s, dir) =>
         StreamingOps.windowedCounts(StreamingOps.readEventsBatch(s, dir))

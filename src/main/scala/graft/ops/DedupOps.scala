@@ -113,6 +113,50 @@ object DedupOps {
     df.select(md5(col(textCol)).as("content_hash"), col(idCol).as("id"))
       .join(exactDupGroups(df, textCol, idCol).select("content_hash"), "content_hash")
 
+  /** Substring-level duplication profile (the window-granularity form
+    * of Lee et al. 2022's "Deduplicating Training Data Makes Language
+    * Models Better" exact-substring dedup): hash every OVERLAPPING
+    * k-token window of every document, count how many documents each
+    * window hash occurs in, and report per document how many of its
+    * windows also appear in some OTHER document.  `dup_frac` near 1
+    * marks documents that are mostly stitched from text duplicated
+    * elsewhere in the corpus even when no whole-document or
+    * shingle-set test fires (templated spam, mirrored fragments).
+    *
+    * Scale shape: windows travel as 8-byte hashes from the first
+    * projection on (the suffix-array formulation needs a global sort
+    * over all corpus positions; this one needs only hash-keyed
+    * aggregation).  The per-hash document count and the join back to
+    * window occurrences are BOTH keyed on the window hash, so the
+    * second step lands on co-partitioned sides — one logical shuffle
+    * of (id, hash) pairs plus the final per-doc aggregation.  A
+    * within-doc repeat alone (nd = 1) is intra-doc repetition, which
+    * [[TextOps.repetitionStats]] already measures — it does not count
+    * as corpus duplication here.
+    *
+    * `portableHash` swaps xxhash64 for the md5-60bit hash so DuckDB
+    * replays the identical pipeline.
+    */
+  def duplicateWindowStats(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, portableHash: Boolean = false): DataFrame = {
+    val gramHash: Column => Column =
+      if (portableHash) md5Hash60 else c => xxhash64(c)
+    val occ = registerPersist(
+      df.select(col(idCol).as("id"),
+          explode(TextOps.wordNgrams(col(textCol), k)).as("g"))
+        .select(col("id"), gramHash(col("g")).as("wh")))
+    val docsPerHash = occ.groupBy("wh")
+      .agg(count_distinct(col("id")).as("nd"))
+    occ.join(docsPerHash, "wh")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs, verified with exact
     * shingle-set Jaccard.
     *

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-shape utilities for skewed keys at scale.
+  *
+  * Spark's own answers to join skew are broadcast (small side) and
+  * AQE's runtime skew-join splitting; `saltedJoin` is the third,
+  * PLAN-TIME lever for the case AQE cannot fix: a replicate-capable
+  * small-but-not-broadcastable side against a big side whose hottest
+  * key exceeds a single task even after AQE splits — salting spreads
+  * ONE key's rows over `salt` reducers deterministically, trading a
+  * `salt`× replication of the right side for a `salt`× fan-out of the
+  * hot partition.
+  */
+object JoinOps {
+
+  /** Skew-safe inner equi-join on `key`: the (big) left side gets a
+    * per-row salt in `[0, salt)`, the (small) right side is replicated
+    * once per salt value, and the join runs on `(key, salt)` — so the
+    * rows of even a single degenerate key spread across `salt`
+    * reducers.  The result set is EXACTLY the plain `big ⋈ small`
+    * join (salting only re-routes rows), which is what the oracle
+    * checks.
+    *
+    * The salt must NOT be a function of the join key (that would send
+    * a hot key's rows to one reducer again); a function of the row's
+    * position is used so the operator stays deterministic-in-result
+    * for any input partitioning.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt > 0, s"saltedJoin: salt=$salt must be positive")
+    require(small.columns.contains(key) && big.columns.contains(key),
+      s"saltedJoin: both sides need column '$key'")
+    val saltCol = "__graft_salt"
+    val bigS = big.withColumn(saltCol,
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val smallS = small.withColumn(saltCol,
+      explode(array((0 until salt).map(lit(_)): _*)))
+    bigS.join(smallS, big.columns.intersect(Seq(key)).toSeq :+ saltCol)
+      .drop(saltCol)
+  }
+}

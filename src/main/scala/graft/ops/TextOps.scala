@@ -362,6 +362,58 @@ object TextOps {
       (idf * tfPart).as("bm25"))
   }
 
+  /** Per-(document, token) unigram language-model scores: tf within
+    * the document, corpus frequency, and the token's negative log
+    * probability `-ln(freq / N)` under the corpus unigram model — the
+    * classic CCNet-style fluency/rarity signal computed from the
+    * corpus itself (no external model table).
+    *
+    * Per-(doc, token) rows on purpose (the bm25Scores convention):
+    * summing the float log-probs per document would make the result
+    * depend on aggregation order; each output row is one `ln` of a
+    * ratio of exact integers, so it cross-engine-replays bit-near.
+    * Callers who need a per-doc total fold the rows in a fixed order
+    * (or use [[tokenRarityStats]], which stays integer-exact).
+    *
+    * Scale shape: vocab and per-doc tfs are both token-keyed hash
+    * aggregations, so the vocab join lands on co-partitioned sides —
+    * no broadcast of the (possibly 10⁸-row) vocabulary, and the
+    * 2-long global total is the only driver-size frame.
+    */
+  def unigramLogProbs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val vocab = tokenFrequencies(df, textCol) // (token, freq)
+    val total = vocab.agg(sum("freq").as("n_total"))
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    tf.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("token"), col("tf"), col("freq"),
+        (-log(col("freq").cast("double") / col("n_total"))).as("logprob"))
+  }
+
+  /** Integer-exact per-document rarity profile under the corpus
+    * unigram model: token count, distinct-token count, the corpus
+    * frequency of the document's RAREST token, and the mean corpus
+    * frequency of its token occurrences (`Σ tf·freq / n_tokens` — all
+    * integer sums, one final division, so the doubles are exact and
+    * order-independent).  Low `avg_token_freq` / `min_freq` marks
+    * documents full of corpus-rare tokens (typos, boilerplate IDs,
+    * non-language content) — the integer-safe complement of
+    * [[unigramLogProbs]].
+    */
+  def tokenRarityStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramLogProbs(df, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        min("freq").as("min_freq"),
+        sum(col("tf") * col("freq")).as("sum_freq"))
+      .withColumn("avg_token_freq",
+        col("sum_freq").cast("double") / col("n_tokens"))
+
   /** Stable whole-document fingerprint (hex md5 — cross-engine). */
   def fingerprintMd5(c: Column): Column = md5(c)
 

@@ -858,6 +858,84 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2) == "")
   }
 
+  test("duplicate-window stats: cross-doc windows count, within-doc repeats don't") {
+    import spark.implicits._
+    val docs = Seq(
+      // A: 10 tokens → 3 windows; shares [a..h] with B
+      (1L, "a b c d e f g h i j"),
+      // B: exactly 8 tokens → 1 window, duplicated in A
+      (2L, "a b c d e f g h"),
+      // C: unrelated → 2 windows, none duplicated
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+      // D: repeats ITS OWN window (nd stays 1 → not corpus duplication)
+      (4L, "p q r s t u v w p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val m = DedupOps.duplicateWindowStats(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == ((3L, 1L)))
+    assert(m(2L) == ((1L, 1L)))
+    assert(m(3L) == ((2L, 0L)))
+    assert(m(4L) == ((9L, 0L)))
+    DedupOps.unpersistAll()
+  }
+
+  test("unigram LM: per-(doc,token) tf/freq/logprob on a counted corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val rows = TextOps.unigramLogProbs(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.size == 4) // (1,a) (1,b) (2,b) (2,c)
+    assert(rows((1L, "a")) == ((2L, 2L, -math.log(2.0 / 5.0))))
+    assert(rows((1L, "b")) == ((1L, 2L, -math.log(2.0 / 5.0))))
+    assert(rows((2L, "c")) == ((1L, 1L, -math.log(1.0 / 5.0))))
+  }
+
+  test("token rarity stats: integer-exact per-doc aggregates") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val m = TextOps.tokenRarityStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // doc 1: tf·freq = a:2·2 + b:1·2 = 6 over 3 tokens
+    assert(m(1L) == ((3L, 2L, 2L, 6L, 2.0)))
+    // doc 2: b:1·2 + c:1·1 = 3 over 2 tokens
+    assert(m(2L) == ((2L, 2L, 1L, 3L, 1.5)))
+  }
+
+  test("salted join equals the plain join on a degenerate hot key") {
+    import spark.implicits._
+    val big = ((1 to 100).map(i => (i.toLong, "hot")) ++
+      Seq((101L, "cold1"), (102L, "cold2"))).toDF("row_id", "k")
+    val dim = Seq(("hot", 1L), ("cold1", 2L), ("cold3", 3L)).toDF("k", "v")
+    val salted = JoinOps.saltedJoin(big, dim, "k", salt = 7)
+      .select("row_id", "k", "v").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val plain = big.join(dim, "k")
+      .select("row_id", "k", "v").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(salted.length == 101) // 100 hot + cold1; cold2/cold3 unmatched
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("profile: one-pass per-column stats with nulls and strings") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("y")), (3L, Some("x")))
+      .toDF("id", "name")
+    val p = ProfileOps.profile(df, Seq("id", "name"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(p("id") == ((4L, 0L, 3L, "1", "3")))
+    assert(p("name") == ((4L, 1L, 2L, "x", "y")))
+    val err = intercept[IllegalArgumentException] {
+      ProfileOps.profile(df, Seq("nope"))
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("repetition stats: exact fractions on a crafted doc") {
     import spark.implicits._
     // "a b a b a b" bigrams: [a b, b a, a b, b a, a b] → 5 grams,
