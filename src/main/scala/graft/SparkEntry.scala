@@ -298,6 +298,37 @@ object SparkEntry {
          |       CAST(max($c) AS VARCHAR) AS max_val
          |FROM documents""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // per-group top-k replay (TextOps.topTokensByGroup): same (freq
+    // DESC, token ASC) deterministic tie-break as q_token_topk, ranked
+    // within each language
+    "q_token_topk_by_lang" ->
+      """WITH tok AS (
+        |  SELECT lang AS grp,
+        |         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |f AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS freq
+        |      FROM tok GROUP BY grp, token),
+        |r AS (SELECT grp, token, freq,
+        |             CAST(row_number() OVER (PARTITION BY grp
+        |               ORDER BY freq DESC, token ASC) AS BIGINT) AS rank
+        |      FROM f)
+        |SELECT grp, token, freq, rank FROM r WHERE rank <= 10
+        |ORDER BY grp, rank""".stripMargin,
+    // fixed-N stratified sample replay (SampleOps.stratifiedFixedN):
+    // DuckDB ranks each stratum in ONE window — the naive formulation
+    // the Spark side deliberately avoids (two-phase pre-bucketed
+    // top-n) while producing the identical row set
+    "q_stratified_topn" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(doc_id || ':r6topn'), 1, 15)) AS BIGINT) AS ord
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |             CAST(row_number() OVER (PARTITION BY lang
+        |               ORDER BY ord, doc_id) AS BIGINT) AS sample_rank
+        |      FROM h)
+        |SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
     // tokenization = \s+ regex with empties dropped, matching
     // TextOps.tokens exactly (a plain ' ' split would diverge on
     // tabs/newlines); empty docs guard the word-length division
@@ -1663,6 +1694,18 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet"),
             Seq("doc_id", "lang", "source", "n_chars"))
           .orderBy("col_name")
+      },
+      "q_token_topk_by_lang" -> { (s, dir) =>
+        TextOps.topTokensByGroup(
+            s.read.parquet(s"$dir/documents.parquet"), "lang", "text", k = 10)
+          .orderBy("grp", "rank")
+      },
+      "q_stratified_topn" -> { (s, dir) =>
+        SampleOps.stratifiedFixedN(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang",
+            n = 20, salt = "r6topn")
+          .select(col("doc_id"), col("lang"), col("sample_rank"))
+          .orderBy("lang", "sample_rank")
       },
       "q_events_window" -> { (s, dir) =>
         StreamingOps.windowedCounts(StreamingOps.readEventsBatch(s, dir))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and splitting for training pipelines.
@@ -86,5 +87,47 @@ object SampleOps {
           lit(math.round(f * DefaultBuckets))).otherwise(acc)
     }
     df.where(checkedBucket(col(idCol), salt) < cutoff)
+  }
+
+  /** EXACTLY `n` rows per stratum (vs the fraction-based
+    * [[stratifiedSample]]): the n rows with the smallest deterministic
+    * hash, so membership is again a pure function of (id, salt) —
+    * re-runs and engine swaps pick the identical rows, and `n` per
+    * stratum is exact, which fraction sampling can't promise
+    * (val/test set construction usually wants "500 docs per
+    * language", not "≈0.1%").
+    *
+    * Scale shape — the naive single window
+    * `row_number() over (partition by stratum)` funnels EVERY row of
+    * a stratum through one task; with 3 languages over 100 TB that is
+    * three tasks doing all the work.  Instead, phase 1 takes the n
+    * smallest hashes per (stratum, pre-bucket) — `preBuckets`-way
+    * parallel, each window sees ~1/preBuckets of the stratum — and
+    * phase 2 ranks only the ≤ preBuckets·n survivors per stratum.
+    * Identical result (the global top-n is inside the union of
+    * per-bucket top-ns: any row outside every bucket top-n has ≥ n
+    * smaller hashes in its own bucket alone), bounded task input.
+    */
+  def stratifiedFixedN(
+      df: DataFrame, idCol: String, strataCol: String, n: Int,
+      salt: String, preBuckets: Int = 64): DataFrame = {
+    require(n > 0 && preBuckets > 0, s"stratifiedFixedN: n=$n preBuckets=$preBuckets")
+    val ord = coalesce(
+      DedupOps.md5Hash60(concat(col(idCol).cast("string"), lit(":" + salt))),
+      raise_error(lit("stratifiedFixedN: null id")).cast("long"))
+    val staged = df
+      .withColumn("__ord", ord)
+      .withColumn("__pb", pmod(col("__ord"), lit(preBuckets.toLong)))
+    val local = staged
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy(col(strataCol), col("__pb"))
+          .orderBy(col("__ord"), col(idCol))))
+      .where(col("__r1") <= n)
+    local
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(col("__ord"), col(idCol))).cast("long"))
+      .where(col("sample_rank") <= n)
+      .drop("__ord", "__pb", "__r1")
   }
 }

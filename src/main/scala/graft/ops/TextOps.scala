@@ -97,6 +97,27 @@ object TextOps {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Per-group top-k vocabulary (the per-language flavor of
+    * [[topTokens]]): token frequencies keyed by (group, token), then
+    * a rank window PER GROUP with the deterministic (freq DESC, token
+    * ASC) tie-break.  The window runs over the already-aggregated
+    * per-group vocabulary — ≪ corpus, and the per-group partitions
+    * are vocabulary-sized, so no single-task funnel even when one
+    * group dominates the corpus.
+    */
+  def topTokensByGroup(
+      df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
+    val freqs = df
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("grp", "token")
+      .agg(count(lit(1)).as("freq"))
+    freqs
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("freq").desc, col("token").asc)).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Function-word tables for the language-ID heuristic. */
   val langFunctionWords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it", "that"),

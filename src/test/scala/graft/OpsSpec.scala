@@ -936,6 +936,48 @@ class OpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("fixed-N stratified sample: exact n per stratum, two-phase == naive window") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+    val df = rows.toDF("doc_id", "lang")
+    val got = SampleOps.stratifiedFixedN(df, "doc_id", "lang", n = 7,
+        salt = "s", preBuckets = 4)
+      .select("doc_id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.count(_._2 == "en") == 7 && got.count(_._2 == "de") == 7)
+    // naive single-window formulation picks the identical rows
+    val ord = coalesce(DedupOps.md5Hash60(
+      concat(col("doc_id").cast("string"), lit(":s"))), lit(-1L))
+    val naive = df.withColumn("__o", ord)
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("__o"), col("doc_id"))).cast("long"))
+      .where(col("sample_rank") <= 7)
+      .select("doc_id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+    // a stratum smaller than n yields all its rows, ranked
+    val tiny = Seq((1L, "en"), (2L, "zh")).toDF("doc_id", "lang")
+    assert(SampleOps.stratifiedFixedN(tiny, "doc_id", "lang", 5, "s").count() == 2)
+  }
+
+  test("per-group top-k tokens: deterministic rank within each group") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "b b b a a c"),
+      ("en", "a"),
+      ("de", "x y y"))
+      .toDF("lang", "text")
+    val got = TextOps.topTokensByGroup(df, "lang", "text", k = 2)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    // en: a=3, b=3 → tie broken token ASC → a rank 1, b rank 2 (c cut)
+    // de: y=2 rank 1, x=1 rank 2
+    assert(got.toSeq == Seq(
+      ("de", "x", 1L, 2L), ("de", "y", 2L, 1L),
+      ("en", "a", 3L, 1L), ("en", "b", 3L, 2L)))
+  }
+
   test("repetition stats: exact fractions on a crafted doc") {
     import spark.implicits._
     // "a b a b a b" bigrams: [a b, b a, a b, b a, a b] → 5 grams,
