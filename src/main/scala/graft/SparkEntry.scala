@@ -1388,15 +1388,19 @@ object SparkEntry {
       "q_bloom_decontaminate" -> { (s, dir) =>
         // the bloom flavor of q_decontaminate: same benchmark
         // convention (doc_id < 20), but membership runs against an
-        // O(m)-bit broadcast filter instead of the exact gram-hash set
+        // O(m)-bit broadcast filter instead of the exact gram-hash
+        // set — via the PER-ROW form (bloomContaminationCols): pure
+        // array expressions, no explode/groupBy/join, zero shuffle
+        // (OpsSpec pins equality with the relational form)
         val docs = s.read.parquet(s"$dir/documents.parquet")
         val positions = TextOps.bloomBuild(
           docs.filter(col("doc_id") < 20), "text", n = 3)
-        TextOps.bloomContamination(
-            docs.filter(col("doc_id") >= 20), "doc_id", "text", positions, n = 3)
-          .select(col("id").cast("bigint").as("doc_id"),
-            col("n_grams"), col("n_flagged"),
-            (col("n_flagged") >= 10).cast("bigint").as("contaminated"))
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id").cast("bigint").as("doc_id"),
+            TextOps.bloomContaminationCols(col("text"), positions, n = 3).as("b"))
+          .select(col("doc_id"), col("b.n_grams").as("n_grams"),
+            col("b.n_flagged").as("n_flagged"),
+            (col("b.n_flagged") >= 10).cast("bigint").as("contaminated"))
           .orderBy("doc_id")
       },
       "q_paragraph_dedup" -> { (s, dir) =>

@@ -249,10 +249,9 @@ object TextOps {
     * false-positive cost.  The per-gram test is k codegen'd
     * bit-probes — no UDF, no lambda.
     */
-  def bloomContamination(
-      corpus: DataFrame, corpusId: String, corpusText: String,
-      positions: Array[Long],
-      n: Int = 3, mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
+  /** The packed filter + bit-probe shared by both membership shapes. */
+  private def bloomHitExpr(
+      positions: Array[Long], mBits: Int, k: Int): Column => Column = {
     val words = new Array[Long](mBits / 64)
     positions.foreach { p => words((p / 64).toInt) |= 1L << (p % 64).toInt }
     val wordsLit = lit(words)
@@ -260,9 +259,14 @@ object TextOps {
       call_function("shiftrightunsigned",
         element_at(wordsLit, (pos / lit(64L)).cast("int") + lit(1)),
         (pos % lit(64L)).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
-    val hit = (0 until k)
-      .map(j => bitSet(bloomPositions(col("g"), mBits, j)))
-      .reduce(_ && _)
+    g => (0 until k).map(j => bitSet(bloomPositions(g, mBits, j))).reduce(_ && _)
+  }
+
+  def bloomContamination(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      positions: Array[Long],
+      n: Int = 3, mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
+    val hit = bloomHitExpr(positions, mBits, k)(col("g"))
     val grams = corpus.select(col(corpusId).as("id"),
       explode(array_distinct(wordNgrams(col(corpusText), n))).as("g"))
     val flagged = grams
@@ -274,6 +278,26 @@ object TextOps {
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+  }
+
+  /** Per-ROW form of [[bloomContamination]]: a struct column
+    * `(n_grams, n_flagged)` computed entirely as array expressions —
+    * no explode, no aggregation, NO SHUFFLE — so it drops into any
+    * projection chain, including a `readStream` ingest filter (the
+    * explode+groupBy shape can't run pre-aggregation on a stream
+    * without watermark state; this one is stateless by construction).
+    * Identical counts to the relational form (OpsSpec pins equality);
+    * prefer it everywhere the per-doc counts are the goal and the
+    * gram rows themselves aren't needed downstream.
+    */
+  def bloomContaminationCols(
+      text: Column, positions: Array[Long],
+      n: Int = 3, mBits: Int = 1 << 17, k: Int = 4): Column = {
+    val hit = bloomHitExpr(positions, mBits, k)
+    val grams = array_distinct(wordNgrams(text, n))
+    struct(
+      size(grams).cast("long").as("n_grams"),
+      size(filter(grams, hit)).cast("long").as("n_flagged"))
   }
 
   /** Order-preserving removal of exact duplicate paragraphs within a

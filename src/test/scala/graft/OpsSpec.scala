@@ -848,6 +848,59 @@ class OpsSpec extends AnyFunSuite {
     assert(bloom(2L)._1 == 5L) // 7 tokens → 5 distinct trigrams
   }
 
+  test("per-row bloom membership equals the explode+groupBy form") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val positions = TextOps.bloomBuild(
+      docs.filter(col("doc_id") < 20), "text", n = 3)
+    val relational = TextOps.bloomContamination(
+        docs.filter(col("doc_id") >= 20), "doc_id", "text", positions, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val inline = docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"),
+        TextOps.bloomContaminationCols(col("text"), positions, n = 3).as("b"))
+      .select(col("doc_id"), col("b.n_grams"), col("b.n_flagged"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(inline == relational)
+    assert(inline.values.exists(_._2 > 0)) // the check has signal
+  }
+
+  test("streaming ingest filter: quality + bloom + PII scrub == batch") {
+    // the whole pre-training ingest scrub is projection-pure, so the
+    // SAME column expressions run unchanged on a readStream source —
+    // stateless (no watermark, no aggregation), which is the design
+    // claim for the text family at 100 TB streaming ingest
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val positions = TextOps.bloomBuild(
+      batch.filter(col("doc_id") < 20), "text", n = 3)
+    def scrub(df: org.apache.spark.sql.DataFrame) =
+      TextOps.qualityMetrics(df, "text")
+        .withColumn("b", TextOps.bloomContaminationCols(col("text"), positions, n = 3))
+        .where(col("quality_score") >= 0.5 && col("b.n_flagged") < 10)
+        .select(col("doc_id"), col("quality_score"), col("b.n_flagged"),
+          TextOps.redactPii(col("text")).as("clean"))
+    val staged = graft.SparkEntry.stageAsDir(dir, "documents")
+    val stream = spark.readStream.schema(batch.schema).parquet(staged)
+    val name = s"scrub_${System.nanoTime()}"
+    val q = scrub(stream).writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1)
+      val want = scrub(batch).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1)
+      assert(got.nonEmpty && got.length < 500) // the filter actually cut rows
+      assert(got.toSeq == want.toSeq)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("paragraph dedup preserves first-occurrence order") {
     import spark.implicits._
     val df = Seq("a\nb\na\nc\nb", "x", "").toDF("t")
