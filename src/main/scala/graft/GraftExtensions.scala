@@ -25,6 +25,36 @@ import graft.functions.DotProduct
   * path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def wrongArity(name: String, expected: Int, actual: Int): Nothing =
+    // a wrong arity must surface as a normal analyzer error, not a
+    // bare IllegalArgumentException stack trace (ADVICE r05)
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** Registers a Column-composition function (the TextOps family) as a
+    * SQL function: the builder re-expresses the incoming argument
+    * expressions through the same `Column` tree the Scala API builds,
+    * so SQL callers get the IDENTICAL (codegen'd, built-in-only) plan
+    * — these are macro-style expansions, not UDFs.
+    */
+  private def injectColumnFn(
+      ext: SparkSessionExtensions, name: String, usage: String, arity: Int)(
+      build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+      (children: Seq[Expression]) => {
+        if (children.length != arity) wrongArity(name, arity, children.length)
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.eagerExpression(build(children.map(ColumnBridge.column)))
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
@@ -36,17 +66,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "with double accumulation; NULL on null/length-mismatched input",
         ""),
       (children: Seq[Expression]) => {
-        // a wrong arity must surface as a normal analyzer error, not a
-        // bare IllegalArgumentException stack trace (ADVICE r05)
-        if (children.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`graft_dot`",
-              "expectedNum" -> "2",
-              "actualNum" -> children.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+        if (children.length != 2) wrongArity("graft_dot", 2, children.length)
         DotProduct(children.head, children(1))
       }))
+    injectColumnFn(ext, "graft_tokens",
+      "graft_tokens(text) - whitespace tokens with empties dropped", 1)(
+      args => graft.ops.TextOps.tokens(args.head))
+    injectColumnFn(ext, "graft_bpe_estimate",
+      "graft_bpe_estimate(text) - BPE-ish subword count estimate", 1)(
+      args => graft.ops.TextOps.bpeTokenEstimate(args.head))
+    injectColumnFn(ext, "graft_lang_id",
+      "graft_lang_id(text) - function-word language-ID heuristic", 1)(
+      args => graft.ops.TextOps.langId(args.head))
+    injectColumnFn(ext, "graft_redact_pii",
+      "graft_redact_pii(text) - scrub emails/IPs/SSNs/phone numbers", 1)(
+      args => graft.ops.TextOps.redactPii(args.head))
+    injectColumnFn(ext, "graft_dedup_paragraphs",
+      "graft_dedup_paragraphs(text) - drop repeated paragraphs, keep first occurrences", 1)(
+      args => graft.ops.TextOps.dedupParagraphs(args.head))
+    injectColumnFn(ext, "graft_fingerprint",
+      "graft_fingerprint(text) - stable 64-bit document fingerprint", 1)(
+      args => graft.ops.TextOps.fingerprint64(args.head))
   }
 }

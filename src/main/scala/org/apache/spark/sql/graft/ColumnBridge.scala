@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column → Expression conversion.  `expression` wraps the
+    * node in a lazy `ColumnNodeExpression`, which is fine inside a
+    * Dataset transformation (the converter runs at plan construction)
+    * but NOT as a `FunctionBuilder` return value: the analyzer treats
+    * the wrapper as resolved, it survives to codegen, and codegen
+    * rejects it as Unevaluable.  SQL-function expansion therefore
+    * converts the whole tree up front.
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -637,6 +637,31 @@ class OpsSpec extends AnyFunSuite {
     assert(desc.contains("graft_dot"), desc)
   }
 
+  test("GraftExtensions: text-family SQL functions expand to the Scala-API plans") {
+    // macro-style Column expansions, not UDFs — each SQL call builds
+    // the identical expression tree the Scala API builds
+    val row = spark.sql(
+      """SELECT graft_tokens('a  b c') AS toks,
+        |       graft_bpe_estimate('hello, world42') AS bpe,
+        |       graft_lang_id('the cat is in the hat and it is that') AS lang,
+        |       graft_redact_pii('mail me at a.b@example.com now') AS clean,
+        |       graft_dedup_paragraphs('p1\np2\np1') AS paras,
+        |       graft_fingerprint('doc body') AS fp""".stripMargin).head()
+    assert(row.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(row.getInt(1) == 4) // hello , world 42
+    assert(row.getString(2) == "en")
+    assert(row.getString(3) == "mail me at <EMAIL> now")
+    assert(row.getString(4) == "p1\np2")
+    val viaApi = spark.range(1)
+      .select(TextOps.fingerprint64(lit("doc body"))).head().getLong(0)
+    assert(row.getLong(5) == viaApi)
+    // arity errors are analyzer errors, not raw stack traces
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_lang_id('a', 'b')")
+    }
+    assert(e.getMessage.contains("graft_lang_id"))
+  }
+
   test("synthesizeBmp round-trips through the REAL decoder") {
     import spark.implicits._
     val docs = Seq(
