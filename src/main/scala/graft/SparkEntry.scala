@@ -329,6 +329,25 @@ object SparkEntry {
         |      FROM h)
         |SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20
         |ORDER BY lang, sample_rank""".stripMargin,
+    // temperature-sample replay (SampleOps.temperatureSample, α=0.5):
+    // per-stratum cutoffs are pure INTEGER arithmetic — floor(sqrt)
+    // weights (exact for counts ≪ 2^52), integer floor division — so
+    // DuckDB recomputes the identical cutoffs from the same counts,
+    // then filters by the same md5 hash bucket
+    "q_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS wt FROM c),
+        |s AS (SELECT CAST(sum(wt) AS BIGINT) AS sw FROM w),
+        |cut AS (
+        |  SELECT lang, least(10000, (10000 * 250 * wt) // (sw * cnt)) AS cutoff
+        |  FROM w CROSS JOIN s)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cut USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r6temp'), 1, 15)) AS BIGINT)
+        |        % 10000 < cutoff
+        |ORDER BY doc_id""".stripMargin,
     // tokenization = \s+ regex with empties dropped, matching
     // TextOps.tokens exactly (a plain ' ' split would diverge on
     // tabs/newlines); empty docs guard the word-length division
@@ -1710,6 +1729,13 @@ object SparkEntry {
             n = 20, salt = "r6topn")
           .select(col("doc_id"), col("lang"), col("sample_rank"))
           .orderBy("lang", "sample_rank")
+      },
+      "q_temperature_sample" -> { (s, dir) =>
+        SampleOps.temperatureSample(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang",
+            targetRows = 250, salt = "r6temp")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
       },
       "q_events_window" -> { (s, dir) =>
         StreamingOps.windowedCounts(StreamingOps.readEventsBatch(s, dir))

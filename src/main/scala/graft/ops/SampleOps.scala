@@ -89,6 +89,59 @@ object SampleOps {
     df.where(checkedBucket(col(idCol), salt) < cutoff)
   }
 
+  /** Floor integer square root, exact for any non-negative Long —
+    * `math.sqrt` alone can land an ulp off near perfect squares.
+    */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt($n)")
+    var x = math.sqrt(n.toDouble).toLong
+    while (x > 0 && x * x > n) x -= 1
+    while ((x + 1) * (x + 1) <= n) x += 1
+    x
+  }
+
+  /** Temperature-based (α = 0.5) source rebalancing — the standard
+    * data-mixing step for multi-source / multilingual corpora (XLM-R
+    * style): strata are re-weighted ∝ √count so dominant sources are
+    * downsampled toward (not onto) uniform, and per-row membership is
+    * the same deterministic (id, salt) hash as every sampler here.
+    *
+    * Exactness contract: the per-stratum keep cutoff is
+    * `min(B, B·targetRows·√cₛ / (Σ√cₜ · cₛ))` computed ENTIRELY in
+    * integer arithmetic (integer sqrt, BigInt floor division) — no
+    * float pow, no float normalization sum — so an external engine
+    * replays the cutoffs bit-exactly from the same counts (the reason
+    * α is fixed at 0.5: integer sqrt exists; arbitrary-α pow does
+    * not).
+    *
+    * Scale shape: the only driver-side state is one (stratum, count)
+    * row per stratum — strata are languages/sources, small by
+    * contract (`maxStrata` guards the contract); the sample itself is
+    * a pure projection + filter, zero shuffle beyond the count pass.
+    */
+  def temperatureSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      targetRows: Long, salt: String, maxStrata: Int = 10000): DataFrame = {
+    require(targetRows > 0, s"temperatureSample: targetRows=$targetRows")
+    val counts = df.groupBy(strataCol).count()
+      .collect().map(r => r.get(0) -> r.getLong(1))
+    require(counts.length <= maxStrata,
+      s"temperatureSample: ${counts.length} strata exceed maxStrata=$maxStrata — " +
+        "a high-cardinality stratum column would put unbounded state on the driver")
+    val sumW = counts.map { case (_, c) => BigInt(isqrt(c)) }.sum
+    val b = BigInt(DefaultBuckets)
+    val cutoffs: Seq[(Any, Long)] = counts.toSeq.map { case (k, c) =>
+      val cut = (b * BigInt(targetRows) * BigInt(isqrt(c)) / (sumW * BigInt(c)))
+        .min(b)
+      k -> cut.toLong
+    }
+    val cutoff = cutoffs.foldLeft(lit(0L): Column) {
+      case (acc, (stratum, cut)) =>
+        when(col(strataCol) === lit(stratum), lit(cut)).otherwise(acc)
+    }
+    df.where(checkedBucket(col(idCol), salt) < cutoff)
+  }
+
   /** EXACTLY `n` rows per stratum (vs the fraction-based
     * [[stratifiedSample]]): the n rows with the smallest deterministic
     * hash, so membership is again a pure function of (id, salt) —

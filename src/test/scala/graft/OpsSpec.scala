@@ -1039,6 +1039,38 @@ class OpsSpec extends AnyFunSuite {
     assert(SampleOps.stratifiedFixedN(tiny, "doc_id", "lang", 5, "s").count() == 2)
   }
 
+  test("temperature sample: sqrt-weighted cutoffs, integer-exact, isqrt edge cases") {
+    import spark.implicits._
+    // strata 100 vs 400 rows → weights 10 vs 20; target 150 →
+    // cutoffs 5000 (keep ~half of a) and 2500 (keep ~quarter of b):
+    // the 1:4 imbalance rebalances to 1:2 (√ temperature)
+    val df = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 500L).map(i => (i, "b"))).toDF("doc_id", "lang")
+    val got = SampleOps.temperatureSample(df, "doc_id", "lang", 150L, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // replay the cutoffs by hand with the public hashBucket
+    val manual = df
+      .withColumn("bucket", SampleOps.hashBucket(col("doc_id"), "t"))
+      .where((col("lang") === "a" && col("bucket") < 5000) ||
+             (col("lang") === "b" && col("bucket") < 2500))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == manual.sorted.toSeq)
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // hash buckets are ~uniform: expect ≈50 and ≈100
+    assert(byLang("a") > 30 && byLang("a") < 70, byLang)
+    assert(byLang("b") > 75 && byLang("b") < 125, byLang)
+    // exact integer sqrt at the double-rounding danger spots
+    assert(SampleOps.isqrt(0L) == 0L && SampleOps.isqrt(1L) == 1L)
+    assert(SampleOps.isqrt(999999L) == 999L)
+    assert(SampleOps.isqrt(1000000L) == 1000L)
+    assert(SampleOps.isqrt((1L << 52) - 1) == 67108863L)
+    // a degenerate stratum column fails fast instead of flooding the driver
+    val err = intercept[IllegalArgumentException] {
+      SampleOps.temperatureSample(df, "doc_id", "doc_id", 10L, "t", maxStrata = 50)
+    }
+    assert(err.getMessage.contains("maxStrata"))
+  }
+
   test("per-group top-k tokens: deterministic rank within each group") {
     import spark.implicits._
     val df = Seq(
