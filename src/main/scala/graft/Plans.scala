@@ -91,6 +91,37 @@ object Plans {
         spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
         Seq("join", "scan", "window"))
     }
+    show("window dedup (hash-keyed agg + co-partitioned join-back)") {
+      graft.ops.DedupOps.duplicateWindowStats(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    }
+    show("unigram LM (vocab join co-partitioned on token, no broadcast vocab)") {
+      graft.ops.TextOps.unigramLogProbs(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    }
+    show("salted join (join keys include the salt)") {
+      val ev = graft.ops.StreamingOps.readEventsBatch(spark, sfDir)
+        .select("event_id", "user_id", "event_type")
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_count"))
+      graft.ops.JoinOps.saltedJoin(ev, dim, "event_type", 8)
+    }
+    show("profile (ONE scan: single Expand aggregate, inline unpivot)") {
+      graft.ops.ProfileOps.profile(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+    }
+    show("stratified fixed-N (two-phase windows, pre-bucketed then bounded)") {
+      graft.ops.SampleOps.stratifiedFixedN(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "lang",
+        n = 5, salt = "p")
+    }
+    show("bloom decontaminate per-row (zero shuffle)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val positions = graft.ops.TextOps.bloomBuild(
+        docs.filter(col("doc_id") < 20), "text", n = 3)
+      docs.filter(col("doc_id") >= 20).select(col("doc_id"),
+        graft.ops.TextOps.bloomContaminationCols(col("text"), positions, n = 3))
+    }
     spark.stop()
   }
 }
