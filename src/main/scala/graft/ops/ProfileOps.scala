@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-style one-pass corpus profiling: per-column row/null/
@@ -14,23 +14,30 @@ import org.apache.spark.sql.functions._
   * profile cost ≈ one pass, independent of column count in I/O terms.
   *
   * min/max surface as strings so heterogeneous column types share one
-  * schema; exact `count(distinct)` keeps the result oracle-comparable
-  * (swap in `approx_count_distinct` when a ±2% answer is enough to
-  * skip the Expand — noted, not defaulted, because this frame feeds
-  * the correctness gate).
+  * schema; exact `count(distinct)` keeps the result oracle-comparable,
+  * and `approxDistinct = true` swaps in HyperLogLog++ sketches — no
+  * Expand, one plain pass — when a ±2% answer is enough (the right
+  * default at 100 TB; kept off here because this frame feeds the
+  * correctness gate).
   */
 object ProfileOps {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
+    // the scale path: HyperLogLog++ distincts need no Expand at all —
+    // ONE un-expanded pass with an O(2^p)-byte sketch per column —
+    // at the documented ~2% relative error (the default rsd)
+    def distinctOf(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c))
+      else count_distinct(col(c))
     val aggs =
       count(lit(1)).as("__total") +:
       cols.flatMap { c =>
         Seq(
           count(col(c)).as(s"__n__$c"),
-          count_distinct(col(c)).as(s"__d__$c"),
+          distinctOf(c).as(s"__d__$c"),
           min(col(c)).cast("string").as(s"__min__$c"),
           max(col(c)).cast("string").as(s"__max__$c"))
       }

@@ -1012,6 +1012,19 @@ class OpsSpec extends AnyFunSuite {
       ProfileOps.profile(df, Seq("nope"))
     }
     assert(err.getMessage.contains("nope"))
+    // the approx (HLL++) scale path: no Expand in the plan, distincts
+    // within the documented ~2% on real data, all other columns exact
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = ProfileOps.profile(docs, Seq("doc_id", "lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = ProfileOps.profile(docs, Seq("doc_id", "lang"), approxDistinct = true)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    approx.collect().foreach { r =>
+      val (c, d) = (r.getString(0), r.getLong(3))
+      assert(math.abs(d - exact(c)) <= math.max(1L, (exact(c) * 0.05).toLong),
+        s"$c: approx $d vs exact ${exact(c)}")
+    }
   }
 
   test("fixed-N stratified sample: exact n per stratum, two-phase == naive window") {
