@@ -119,8 +119,10 @@ object Plans {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val positions = graft.ops.TextOps.bloomBuild(
         docs.filter(col("doc_id") < 20), "text", n = 3)
-      docs.filter(col("doc_id") >= 20).select(col("doc_id"),
-        graft.ops.TextOps.bloomContaminationCols(col("text"), positions, n = 3))
+      docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          graft.ops.TextOps.bloomContaminationCols(col("__toks"), positions, n = 3))
     }
     spark.stop()
   }

@@ -139,6 +139,42 @@ object Profile {
     time("q_fit_streaming full") {
       SparkEntry.queries("q_fit_streaming")(spark, sfDir).count()
     }
+
+    // ---- window-dedup hash flavors
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (1 to 2).foreach { pass =>
+        time(s"window dedup xxhash64 (pass $pass)") {
+          graft.ops.DedupOps.duplicateWindowStats(
+            docs, "doc_id", "text", k = 8, portableHash = false).count()
+        }
+        graft.ops.DedupOps.unpersistAll()
+        time(s"window dedup md5-60bit (pass $pass)") {
+          graft.ops.DedupOps.duplicateWindowStats(
+            docs, "doc_id", "text", k = 8, portableHash = true).count()
+        }
+        graft.ops.DedupOps.unpersistAll()
+        // the two "bare" probes below use the single-expression
+        // wordNgrams ON PURPOSE: they measure the re-inlining trap
+        // (tokenize per window) that wordNgramsOf + materialized
+        // token columns eliminate — keep as the regression reference
+        time(s"  bare window-gram md5 projection (pass $pass)") {
+          docs.select(explode(graft.ops.TextOps.wordNgrams(col("text"), 8)).as("g"))
+            .select(pmod(graft.ops.DedupOps.md5Hash60(col("g")), lit(1000003L)).as("wh"))
+            .agg(sum("wh")).head()
+        }
+        time(s"  bare window-gram build only (pass $pass)") {
+          docs.select(explode(graft.ops.TextOps.wordNgrams(col("text"), 8)).as("g"))
+            .select(length(col("g")).as("l")).agg(sum("l")).head()
+        }
+        time(s"  agg stage only: docsPerHash (pass $pass)") {
+          docs.select(col("doc_id").as("id"),
+              explode(graft.ops.TextOps.wordNgrams(col("text"), 8)).as("g"))
+            .select(col("id"), xxhash64(col("g")).as("wh"))
+            .groupBy("wh").agg(count_distinct(col("id"))).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

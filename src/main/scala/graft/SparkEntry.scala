@@ -1416,7 +1416,9 @@ object SparkEntry {
           docs.filter(col("doc_id") < 20), "text", n = 3)
         docs.filter(col("doc_id") >= 20)
           .select(col("doc_id").cast("bigint").as("doc_id"),
-            TextOps.bloomContaminationCols(col("text"), positions, n = 3).as("b"))
+            TextOps.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            TextOps.bloomContaminationCols(col("__toks"), positions, n = 3).as("b"))
           .select(col("doc_id"), col("b.n_grams").as("n_grams"),
             col("b.n_flagged").as("n_flagged"),
             (col("b.n_flagged") >= 10).cast("bigint").as("contaminated"))
@@ -1428,18 +1430,25 @@ object SparkEntry {
         // convention: synthesize what the operator exists to scrub),
         // then the order-preserving intra-doc dedup
         val docs = s.read.parquet(s"$dir/documents.parquet")
-        val toks = TextOps.tokens(col("text"))
+        // tokens and paragraph arrays materialize as columns so the
+        // per-paragraph lambda slices an attribute, not a re-evaluated
+        // tokenize expression (the wordNgramsOf contract)
+        val toks = col("__toks")
         val paras = transform(
           sequence(lit(0),
             greatest(ceil(size(toks) / lit(8.0)).cast("int"), lit(1)) - lit(1)),
           i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " "))
         val withDup = concat(paras, slice(paras, 1, 2))
-        val cleaned = TextOps.dedupParagraphs(array_join(withDup, "\n"), "\n")
-        docs.select(col("doc_id"),
-            size(withDup).cast("bigint").as("n_paras"),
-            size(array_distinct(withDup)).cast("bigint").as("n_unique"),
-            md5(cleaned).as("clean_hash"),
-            length(cleaned).cast("bigint").as("clean_len"))
+        docs
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .withColumn("__paras", withDup)
+          .withColumn("__clean",
+            TextOps.dedupParagraphs(array_join(col("__paras"), "\n"), "\n"))
+          .select(col("doc_id"),
+            size(col("__paras")).cast("bigint").as("n_paras"),
+            size(array_distinct(col("__paras"))).cast("bigint").as("n_unique"),
+            md5(col("__clean")).as("clean_hash"),
+            length(col("__clean")).cast("bigint").as("clean_len"))
           .orderBy("doc_id")
       },
       "q_semantic_dedup" -> { (s, dir) =>

@@ -67,9 +67,17 @@ object DedupOps {
   private[graft] def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Word k-shingles of a document as a distinct array. */
+  /** Word k-shingles of a document as a distinct array.  Single-
+    * expression convenience — the operators here tokenize into a
+    * materialized column first and use [[shinglesOf]] (see
+    * [[TextOps.wordNgramsOf]] for the re-inlining trap this avoids).
+    */
   def shingles(c: Column, k: Int = 3): Column =
     array_distinct(TextOps.wordNgrams(c, k))
+
+  /** [[shingles]] over a PRE-MATERIALIZED token-array column. */
+  def shinglesOf(toks: Column, k: Int = 3): Column =
+    array_distinct(TextOps.wordNgramsOf(toks, k))
 
   /** MinHash signature from a MATERIALIZED base-hash column:
     * h_i(s) = (a_i * base + b_i) mod P, minimum over shingles.
@@ -88,7 +96,9 @@ object DedupOps {
   def withMinhashSignature(
       df: DataFrame, textCol: String, shCol: String, sigCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
-    df.withColumn(shCol, shingles(col(textCol), shingleSize))
+    df.withColumn(shCol + "__toks", TextOps.tokens(col(textCol)))
+      .withColumn(shCol, shinglesOf(col(shCol + "__toks"), shingleSize))
+      .drop(shCol + "__toks")
       .withColumn(sigCol + "__base",
         transform(col(shCol), s => pmod(xxhash64(s), lit(P))))
       .withColumn(sigCol, minhashSignatureFromBase(col(sigCol + "__base"), numHashes))
@@ -143,8 +153,8 @@ object DedupOps {
     val gramHash: Column => Column =
       if (portableHash) md5Hash60 else c => xxhash64(c)
     val occ = registerPersist(
-      df.select(col(idCol).as("id"),
-          explode(TextOps.wordNgrams(col(textCol), k)).as("g"))
+      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
+        .select(col("id"), explode(TextOps.wordNgramsOf(col("__t"), k)).as("g"))
         .select(col("id"), gramHash(col("g")).as("wh")))
     val docsPerHash = occ.groupBy("wh")
       .agg(count_distinct(col("id")).as("nd"))
@@ -192,8 +202,9 @@ object DedupOps {
     // the two candidate verify joins) would otherwise each re-derive
     // every shingle array — the same pattern MLlib's LSH uses; spills
     // to disk at scale, released via DedupOps.unpersistAll()
-    val shingled = registerPersist(df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh")))
+    val shingled = registerPersist(
+      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
+        .select(col("id"), shinglesOf(col("__t"), shingleSize).as("sh")))
     // signature via explode + hash-agg (codegen'd; see simhashByExplode)
     // — 32 interpreted array-transform minima per row would dominate.
     // Hash AFTER the explode: a hash inside a transform lambda runs

@@ -26,16 +26,26 @@ object TextOps {
   def bpeTokenEstimate(c: Column): Column =
     size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
-  /** Overlapping word n-grams, space-joined (NOT distinct — see
-    * [[DedupOps.shingles]] for the set flavor).  A token-less document
-    * yields a single empty-string gram (the sequence clamp), which
-    * both engines agree on.
+  /** Overlapping word n-grams over a PRE-MATERIALIZED token-array
+    * column.  `toks` is referenced inside the per-window lambda, so it
+    * MUST be a plain attribute (a `withColumn`/`select` output): an
+    * expression-valued `toks` would re-evaluate — re-tokenize — once
+    * per window (the re-inlining trap; measured ~5× on the window
+    * family, since a w-token doc pays w regex splits instead of one).
+    *
+    * A token-less document yields a single empty-string gram (the
+    * sequence clamp), which both engines agree on.
     */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def wordNgramsOf(toks: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
-  }
+
+  /** Convenience single-expression form of [[wordNgramsOf]] — ONLY for
+    * contexts that evaluate it once over few windows; every DataFrame-
+    * level operator here materializes the token array first and calls
+    * [[wordNgramsOf]] instead (see its scaladoc for why).
+    */
+  def wordNgrams(c: Column, n: Int): Column = wordNgramsOf(tokens(c), n)
 
   /** Gopher-style repetition metrics over word `n`-grams (the unit is
     * n-grams rather than lines because the line rule degenerates on
@@ -53,8 +63,10 @@ object TextOps {
     // materialized stages: inlining `grams` into each metric would
     // recompute the token + n-gram chain per reference (the same
     // re-inlining trap winnowFingerprints documents)
-    val withG = df.withColumn("__grams", wordNgrams(col(textCol), n))
+    val withG = df.withColumn("__rs_toks", tokens(col(textCol)))
+      .withColumn("__grams", wordNgramsOf(col("__rs_toks"), n))
       .withColumn("__sg", array_sort(col("__grams")))
+      .drop("__rs_toks")
     val g = col("__grams")
     val sg = col("__sg")
     val nGrams = size(g)
@@ -198,10 +210,12 @@ object TextOps {
     val gramHash: Column => Column =
       if (portableHash) DedupOps.md5Hash60 else c => xxhash64(c)
     val bench = benchmark
-      .select(explode(array_distinct(wordNgrams(col(benchText), n))).as("g"))
+      .select(tokens(col(benchText)).as("__t"))
+      .select(explode(array_distinct(wordNgramsOf(col("__t"), n))).as("g"))
       .select(gramHash(col("g")).as("gh")).distinct()
-    val corpusGrams = corpus.select(col(corpusId).as("id"),
-        explode(array_distinct(wordNgrams(col(corpusText), n))).as("g"))
+    val corpusGrams = corpus
+      .select(col(corpusId).as("id"), tokens(col(corpusText)).as("__t"))
+      .select(col("id"), explode(array_distinct(wordNgramsOf(col("__t"), n))).as("g"))
       .select(col("id"), gramHash(col("g")).as("gh"))
     val overlaps = corpusGrams.join(broadcast(bench), "gh")
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
@@ -233,7 +247,8 @@ object TextOps {
     require(k <= 7, s"bloomBuild: k=$k would overflow the position arithmetic")
     require(mBits % 64 == 0, s"bloomBuild: mBits=$mBits must pack into longs")
     benchmark
-      .select(explode(array_distinct(wordNgrams(col(benchText), n))).as("g"))
+      .select(tokens(col(benchText)).as("__t"))
+      .select(explode(array_distinct(wordNgramsOf(col("__t"), n))).as("g"))
       .select(explode(array((0 until k).map(j =>
         bloomPositions(col("g"), mBits, j)): _*)).as("pos"))
       .distinct().collect().map(_.getLong(0))
@@ -267,8 +282,9 @@ object TextOps {
       positions: Array[Long],
       n: Int = 3, mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
     val hit = bloomHitExpr(positions, mBits, k)(col("g"))
-    val grams = corpus.select(col(corpusId).as("id"),
-      explode(array_distinct(wordNgrams(col(corpusText), n))).as("g"))
+    val grams = corpus
+      .select(col(corpusId).as("id"), tokens(col(corpusText)).as("__t"))
+      .select(col("id"), explode(array_distinct(wordNgramsOf(col("__t"), n))).as("g"))
     val flagged = grams
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
@@ -289,15 +305,21 @@ object TextOps {
     * Identical counts to the relational form (OpsSpec pins equality);
     * prefer it everywhere the per-doc counts are the goal and the
     * gram rows themselves aren't needed downstream.
+    *
+    * `toks` must be a MATERIALIZED token-array column (the
+    * [[wordNgramsOf]] contract), and both counts come from ONE
+    * `aggregate` fold so the gram array is built once per row.
     */
   def bloomContaminationCols(
-      text: Column, positions: Array[Long],
+      toks: Column, positions: Array[Long],
       n: Int = 3, mBits: Int = 1 << 17, k: Int = 4): Column = {
     val hit = bloomHitExpr(positions, mBits, k)
-    val grams = array_distinct(wordNgrams(text, n))
-    struct(
-      size(grams).cast("long").as("n_grams"),
-      size(filter(grams, hit)).cast("long").as("n_flagged"))
+    aggregate(
+      array_distinct(wordNgramsOf(toks, n)),
+      struct(lit(0L).as("n_grams"), lit(0L).as("n_flagged")),
+      (acc, g) => struct(
+        (acc("n_grams") + lit(1L)).as("n_grams"),
+        (acc("n_flagged") + when(hit(g), 1L).otherwise(0L)).as("n_flagged")))
   }
 
   /** Order-preserving removal of exact duplicate paragraphs within a

@@ -882,8 +882,9 @@ class OpsSpec extends AnyFunSuite {
         docs.filter(col("doc_id") >= 20), "doc_id", "text", positions, n = 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val inline = docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        TextOps.bloomContaminationCols(col("text"), positions, n = 3).as("b"))
+        TextOps.bloomContaminationCols(col("__toks"), positions, n = 3).as("b"))
       .select(col("doc_id"), col("b.n_grams"), col("b.n_flagged"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(inline == relational)
@@ -901,7 +902,8 @@ class OpsSpec extends AnyFunSuite {
       batch.filter(col("doc_id") < 20), "text", n = 3)
     def scrub(df: org.apache.spark.sql.DataFrame) =
       TextOps.qualityMetrics(df, "text")
-        .withColumn("b", TextOps.bloomContaminationCols(col("text"), positions, n = 3))
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("b", TextOps.bloomContaminationCols(col("__toks"), positions, n = 3))
         .where(col("quality_score") >= 0.5 && col("b.n_flagged") < 10)
         .select(col("doc_id"), col("quality_score"), col("b.n_flagged"),
           TextOps.redactPii(col("text")).as("clean"))
