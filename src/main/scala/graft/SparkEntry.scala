@@ -1097,6 +1097,9 @@ object SparkEntry {
     "q_dedup_embed_lsh" -> lshPairsOracleSql(bits = 4, dim = 64, threshold = 0.4),
     "q_ann_topk_lsh" -> lshTopKOracleSql(bits = 8, dim = 64, k = 10),
     "q_ann_topk_ivf" -> ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10),
+    // the persisted-index flavor materializes the SAME assignment and
+    // prunes to probed cells — identical result set, identical oracle
+    "q_ann_topk_ivf_index" -> ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10),
     // SemDeDup replay: the SAME centroid literals + nearest-cell
     // struct sort as the IVF oracle, then the within-cell lower-id
     // neighbor rule (count/max are order-free aggregates; the cosine
@@ -1623,6 +1626,23 @@ object SparkEntry {
                 (SimilarityOps.norm(col("qv")) * SimilarityOps.norm(col("v"))))
               .as("q_cosine"))
           .orderBy("vec_id")
+      },
+      "q_ann_topk_ivf_index" -> { (s, dir) =>
+        // build-once/probe-forever: write the cell-partitioned index,
+        // then answer the SAME query batch as q_ann_topk_ivf reading
+        // ONLY the probed cell directories (static partition pruning —
+        // OpsSpec pins the PartitionFilters property)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val idx = s"/tmp/graft-ivf-index/$key"
+        SimilarityOps.saveIvfIndex(emb, "vec_id", "embedding", cents, idx)
+        SimilarityOps.ivfTopKFromIndex(
+            s, idx, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, nProbe = 4, k = 10)
+          .orderBy("query_id", "rank")
       },
       "q_ann_topk_ivf" -> { (s, dir) =>
         // deterministic IVF: centroids from a sorted driver-side

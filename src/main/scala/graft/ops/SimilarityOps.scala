@@ -432,35 +432,94 @@ object SimilarityOps {
     * projection; the probe join broadcasts the small query side), and
     * `nCells` ~ √n keeps candidate sets per probe bounded.
     */
-  def ivfTopKWithCentroids(
-      corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      centroids: Array[Array[Double]], nProbe: Int = 4, k: Int = 10): DataFrame = {
-    def cellScores(vec: Column) = centroids.zipWithIndex.map { case (cent, i) =>
+  private def cellScoresFor(centroids: Array[Array[Double]])(vec: Column) =
+    centroids.zipWithIndex.map { case (cent, i) =>
       struct(
         (lit(sumSquares(cent)) - lit(2.0) * dot(vec, lit(cent))).as("score"),
         lit(i).as("cell"))
     }
-    val c = corpus.select(col(corpusId).as("corpus_id"),
+
+  /** `(corpus_id, cv, cn, cell)` — the nearest-centroid assignment
+    * shared by the in-memory and persisted IVF paths (pure projection,
+    * zero shuffle).
+    */
+  private def assignCells(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(col(corpusId).as("corpus_id"),
         col(corpusVec).as("cv"), norm(col(corpusVec)).as("cn"))
       .filter(col("cn") > 0)
-    val assigned = c.withColumn("cell",
-      element_at(sort_array(array(cellScores(col("cv")): _*)), 1).getField("cell"))
-    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+      .withColumn("cell",
+        element_at(sort_array(array(cellScoresFor(centroids)(col("cv")): _*)), 1)
+          .getField("cell"))
+
+  /** `(query_id, qv, qn, cell)` with one row per probed cell. */
+  private def probeCells(
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame =
+    queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
         norm(col(queryVec)).as("qn"))
       .filter(col("qn") > 0)
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(transform(slice(sort_array(array(cellScores(col("qv")): _*)), 1, nProbe),
+        explode(transform(
+          slice(sort_array(array(cellScoresFor(centroids)(col("qv")): _*)), 1, nProbe),
           s => s.getField("cell"))).as("cell"))
-    val cand = assigned.join(broadcast(q), "cell")
-      .select(col("query_id"), col("corpus_id"),
-        (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
+
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  def ivfTopKWithCentroids(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[Array[Double]], nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val assigned = assignCells(corpus, corpusId, corpusVec, centroids)
+    val q = probeCells(queries, queryId, queryVec, centroids, nProbe)
+    val cand = assigned.join(broadcast(q), "cell")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
+    rankTopK(cand, k)
+  }
+
+  /** Persist the IVF-assigned corpus as a CELL-PARTITIONED parquet
+    * index: one directory per Voronoi cell, vectors + precomputed
+    * norms inside.  Build once, probe forever — the index write is the
+    * only pass over the corpus, and every later query batch touches
+    * only its probed cells ([[ivfTopKFromIndex]]).
+    */
+  def saveIvfIndex(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: Array[Array[Double]], path: String): Unit =
+    assignCells(corpus, corpusId, corpusVec, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** ANN top-k against a [[saveIvfIndex]] index WITHOUT touching the
+    * unprobed corpus: the probed cell set (≤ |queries|·nProbe ids,
+    * small by the same contract that broadcasts the query side) turns
+    * into a static `cell IN (...)` predicate on the partition column,
+    * so the scan PRUNES to the probed directories at planning time —
+    * at 100 TB with √n cells, a query batch reads ~nProbe/√n of the
+    * index from disk instead of all of it (OpsSpec pins the
+    * PartitionFilters plan property and result equality with the
+    * in-memory path).
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[Array[Double]], nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val q = probeCells(queries, queryId, queryVec, centroids, nProbe)
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val assigned = spark.read.parquet(path)
+      .where(col("cell").isInCollection(cells.map(Int.box)))
+    val cand = assigned.join(broadcast(q), "cell")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
+    rankTopK(cand, k)
   }
 
   /** Mean-pooled per-group centroids in the EXACT-INTEGER domain: each

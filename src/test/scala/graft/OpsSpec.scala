@@ -849,6 +849,43 @@ class OpsSpec extends AnyFunSuite {
     DedupOps.unpersistAll()
   }
 
+  test("persisted IVF index: pruned probe reads equal the in-memory path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    val idx = s"/tmp/graft-test-ivf-${System.nanoTime()}"
+    SimilarityOps.saveIvfIndex(emb, "vec_id", "embedding", cents, idx)
+    val queries = emb.filter(col("vec_id") < 8)
+    val fromIndex = SimilarityOps.ivfTopKFromIndex(
+      spark, idx, queries, "vec_id", "embedding", cents, nProbe = 4, k = 10)
+    val direct = SimilarityOps.ivfTopKWithCentroids(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      cents, nProbe = 4, k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(rows(fromIndex).toSeq == rows(direct).toSeq)
+    // the scan must PRUNE to probed cell directories at planning time
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // probing 8 queries x 4 cells cannot touch all 16 cells' files
+    // unwrap AQE to reach the actual scans, then count the pruned
+    // partition directories each scan will read
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leaves(s.plan)
+        case other if other.children.isEmpty => Seq(other)
+        case other => other.children.flatMap(leaves)
+      }
+    val probed = leaves(fromIndex.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(idx)) =>
+          s.selectedPartitions.partitionCount }
+    assert(probed.nonEmpty && probed.forall(_ <= 16), probed)
+  }
+
   test("bloom decontamination: no false negatives vs the exact gram join") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
