@@ -681,6 +681,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens,
         |       CAST(before // 4096 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    // sequence-packing replay (PackingOps.packSequences): same global
+    // running sum, then each doc fans out to the training sequences
+    // it intersects — all-integer boundary arithmetic
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok,
+        |         CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, tok, before,
+        |         unnest(generate_series(before // 512, (before + tok - 1) // 512)) AS seq_id
+        |  FROM c WHERE tok > 0)
+        |SELECT doc_id,
+        |       CAST(seq_id AS BIGINT) AS seq_id,
+        |       CAST(greatest(before, seq_id * 512) - seq_id * 512 AS BIGINT) AS start_in_seq,
+        |       CAST(least(before + tok, (seq_id + 1) * 512)
+        |            - greatest(before, seq_id * 512) AS BIGINT) AS n_taken,
+        |       CAST(before AS BIGINT) AS doc_offset
+        |FROM s ORDER BY doc_id, seq_id""".stripMargin,
     // stratified rebalance replay: same md5 bucket, per-lang cutoffs
     // (en halved, zh quartered, everything else kept)
     "q_stratified_sample" ->
@@ -1489,6 +1513,13 @@ object SparkEntry {
             TextOps.bpeTokenEstimate(col("text")).as("tok"))
         graft.ops.PackingOps.packByTokenBudget(docs, "doc_id", "tok", 4096L)
           .orderBy("doc_id")
+      },
+      "q_seq_pack" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            TextOps.bpeTokenEstimate(col("text")).as("tok"))
+        graft.ops.PackingOps.packSequences(docs, "doc_id", "tok", 512L)
+          .orderBy("doc_id", "seq_id")
       },
       "q_stratified_sample" -> { (s, dir) =>
         SampleOps.stratifiedSample(

@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object PackingOps {
 
-  def packByTokenBudget(
-      df: DataFrame, idCol: String, tokenCol: String, budget: Long,
-      numPartitions: Int = 0): DataFrame = {
-    require(budget > 0, s"bad budget $budget")
+  /** `(id, tok, before)` — each doc's exclusive global running-token
+    * offset in ascending-id order, via the two-pass scan above.
+    */
+  private def withGlobalOffset(
+      df: DataFrame, idCol: String, tokenCol: String,
+      numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
@@ -51,7 +53,51 @@ object PackingOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged.join(broadcast(offDf), "pid")
       .withColumn("before", coalesce(sum("tok").over(w), lit(0L)) + col("offset"))
+      .select(col("id"), col("tok"), col("before"))
+  }
+
+  def packByTokenBudget(
+      df: DataFrame, idCol: String, tokenCol: String, budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    withGlobalOffset(df, idCol, tokenCol, numPartitions)
       .select(col("id").as(idCol), col("tok").as("n_tokens"),
         expr(s"before DIV ${budget}L").as("shard_id"))
+  }
+
+  /** GPT-style SEQUENCE packing: concatenate every document's tokens
+    * in ascending-id order and cut the stream into fixed `seqLen`
+    * training sequences that CROSS document boundaries — the
+    * pretraining batch layout (vs [[packByTokenBudget]], which
+    * assigns whole docs to shards).  One output row per
+    * (document, sequence) it occupies:
+    * `(id, seq_id, start_in_seq, n_taken, doc_offset)` — enough for a
+    * loader to materialize any sequence by fetching exactly the docs
+    * that intersect it.
+    *
+    * Same two-pass prefix scan as the shard packer (never a global
+    * single-reducer window); the per-doc sequence fan-out is
+    * `⌈tok/seqLen⌉ + 1` rows of five integers.  Empty documents span
+    * no sequence and are dropped.  All-integer arithmetic → exact
+    * cross-engine replay.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String, seqLen: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"bad seqLen $seqLen")
+    withGlobalOffset(df, idCol, tokenCol, numPartitions)
+      .where(col("tok") > 0)
+      .select(col("id"), col("tok"), col("before"),
+        explode(sequence(
+          expr(s"before DIV ${seqLen}L"),
+          expr(s"(before + tok - 1) DIV ${seqLen}L"))).as("seq_id"))
+      .select(
+        col("id").as(idCol),
+        col("seq_id"),
+        (greatest(col("before"), col("seq_id") * seqLen)
+          - col("seq_id") * seqLen).as("start_in_seq"),
+        (least(col("before") + col("tok"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("before"), col("seq_id") * seqLen)).as("n_taken"),
+        col("before").as("doc_offset"))
   }
 }

@@ -742,6 +742,39 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(ss2 - score(3, 2, 3)) < 1e-12)
   }
 
+  test("sequence packing: boundary-crossing docs, exact spans, empty docs dropped") {
+    import spark.implicits._
+    // stream of 18 tokens into L=8 sequences:
+    //   doc 1 (5 tok)  @0  → seq 0 [0,5)
+    //   doc 2 (3 tok)  @5  → seq 0 [5,8)        (fills seq 0 exactly)
+    //   doc 3 (10 tok) @8  → seq 1 [0,8) + seq 2 [0,2)
+    //   doc 4 (0 tok)       → dropped
+    val docs = Seq((1L, 5L), (2L, 3L), (3L, 10L), (4L, 0L)).toDF("doc_id", "tok")
+    val got = PackingOps.packSequences(docs, "doc_id", "tok", 8L, numPartitions = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 5L, 0L),
+      (2L, 0L, 5L, 3L, 5L),
+      (3L, 1L, 0L, 8L, 8L),
+      (3L, 2L, 0L, 2L, 8L)))
+    // conservation: every token lands in exactly one (doc, seq) span
+    assert(got.map(_._4).sum == 18L)
+    // larger randomized corpus: per-sequence totals are exactly seqLen
+    // except the trailing sequence
+    val big = (0 until 1000).map(i => (i.toLong, (i % 13 + 1).toLong))
+      .toDF("doc_id", "tok")
+    val spans = PackingOps.packSequences(big, "doc_id", "tok", 64L, numPartitions = 7)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    val bySeq = spans.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, tot) =>
+      if (s < lastSeq) assert(tot == 64L, s"seq $s total $tot")
+    }
+    assert(spans.map(_._2).sum == (0 until 1000).map(_ % 13 + 1).sum.toLong)
+  }
+
   test("shard packing: two-pass scan equals a single-machine running sum") {
     import spark.implicits._
     val n = 5000
