@@ -8,27 +8,34 @@ import graft.ops._
   * composed form of the operator families (each stage is individually
   * oracle-checked; `PipelineSpec` pins the composition):
   *
-  *   quality gate → exact+near dedup → cluster purge →
-  *   benchmark decontamination → PII scrub → stratified rebalance →
-  *   train/val/test split → token-budget shard packing
+  *   quality gate + intra-doc paragraph scrub →
+  *   exact+near dedup → cluster purge → substring window-dedup gate →
+  *   bloom benchmark decontamination → PII scrub →
+  *   temperature (√-weighted) source rebalance →
+  *   train/val/test split → token-budget shard packing →
+  *   GPT-style sequence packing
   *
   * Run: `sbt "runMain graft.PipelineDemo [sfDir]"`.
   */
 object PipelineDemo {
 
   /** The pipeline as a function: corpus in, packed training plan out.
-    * Returns (kept corpus with split+shard columns, per-stage counts).
+    * Returns (kept corpus with split+shard columns, the per-(doc,
+    * sequence) packing plan for the train split, per-stage counts).
     */
   def run(spark: SparkSession, docs: DataFrame,
-      benchmark: DataFrame): (DataFrame, Seq[(String, Long)]) = {
+      benchmark: DataFrame): (DataFrame, DataFrame, Seq[(String, Long)]) = {
     val stages = Seq.newBuilder[(String, Long)]
     stages += "input" -> docs.count()
 
-    // 1. quality gate (C4/Gopher-style composite + repetition cap)
+    // 1. quality gate (C4/Gopher-style composite + repetition cap),
+    //    then the intra-doc paragraph scrub on the survivors (so the
+    //    cross-doc dedup stages see repetition-free text)
     val quality = TextOps.repetitionStats(
         TextOps.qualityMetrics(docs, "text"), "text", 2)
       .where(col("quality_score") >= 0.5 && col("dup_gram_frac") <= 0.5)
       .select(docs.columns.map(col): _*)
+      .withColumn("text", TextOps.dedupParagraphs(col("text")))
     stages += "quality_gate" -> quality.count()
 
     // 2. dedup: exact star pairs + token-jaccard near-dups → components
@@ -46,22 +53,36 @@ object PipelineDemo {
     val deduped = ClusterOps.dedupedCorpus(quality, "doc_id", cc)
     stages += "dedup_purge" -> deduped.count()
 
-    // 3. benchmark decontamination (drop docs sharing >= 10 trigrams)
-    val contaminated = TextOps.contaminationScores(
-        deduped, "doc_id", "text", benchmark, "text", n = 3)
-      .where(col("n_overlap") >= 10).select(col("id").as("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. substring window-dedup gate: drop docs mostly stitched from
+    //    text duplicated elsewhere (whole-doc tests can't see these)
+    val windowDups = DedupOps.duplicateWindowStats(deduped, "doc_id", "text", k = 8)
+      .where(col("dup_frac") > 0.8).select(col("id").as("doc_id"))
+    val substringClean = deduped.join(windowDups, Seq("doc_id"), "left_anti")
+    stages += "window_dedup" -> substringClean.count()
+
+    // 4. benchmark decontamination via the PER-ROW bloom probe (O(m)
+    //    broadcast state, zero shuffle; >= 10 flagged trigrams drops)
+    val positions = TextOps.bloomBuild(benchmark, "text", n = 3)
+    val clean = substringClean
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__b",
+        TextOps.bloomContaminationCols(col("__toks"), positions, n = 3))
+      .where(col("__b.n_flagged") < 10)
+      .drop("__toks", "__b")
     stages += "decontaminate" -> clean.count()
 
-    // 4. PII scrub (projection; row count unchanged by construction)
+    // 5. PII scrub (projection; row count unchanged by construction)
     val scrubbed = clean.withColumn("text", TextOps.redactPii(col("text")))
 
-    // 5. stratified rebalance (halve the dominant language)
-    val balanced = SampleOps.stratifiedSample(
-      scrubbed, "doc_id", "lang", Map("en" -> 0.5), "demo")
+    // 6. temperature rebalance (√-weighted source mixing toward 80%
+    //    of the surviving corpus)
+    val nClean = stages.result().last._2
+    val balanced = SampleOps.temperatureSample(
+      scrubbed, "doc_id", "lang", targetRows = math.max(1L, nClean * 8 / 10),
+      salt = "demo")
     stages += "rebalance" -> balanced.count()
 
-    // 6. deterministic split + 7. token-budget shard packing
+    // 7. deterministic split + 8. token-budget shard packing
     val split = SampleOps.hashSplit(balanced, "doc_id", "demo")
     val packed = PackingOps.packByTokenBudget(
       split.select(col("doc_id"),
@@ -70,7 +91,14 @@ object PipelineDemo {
     val out = split.join(
       packed.select(col("doc_id"), col("n_tokens"), col("shard_id")), "doc_id")
     stages += "packed" -> out.count()
-    (out, stages.result())
+
+    // 9. GPT-style sequence packing of the train split: the final
+    //    (doc, sequence) layout a pretraining loader consumes
+    val seqPlan = PackingOps.packSequences(
+      out.where(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens").as("tok")),
+      "doc_id", "tok", 512L)
+    (out, seqPlan, stages.result())
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,7 +110,7 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val (out, stages) = run(spark, docs.filter(col("doc_id") >= 20),
+    val (out, seqPlan, stages) = run(spark, docs.filter(col("doc_id") >= 20),
       docs.filter(col("doc_id") < 20))
     println("== pipeline stages ==")
     stages.foreach { case (name, n) => println(f"$name%-16s $n%7d docs") }
@@ -91,6 +119,10 @@ object PipelineDemo {
         sum("n_tokens").as("tokens"),
         countDistinct("shard_id").as("shards"))
       .orderBy("split").show(truncate = false)
+    println("== train sequence-packing summary ==")
+    seqPlan.agg(countDistinct("seq_id").as("sequences"),
+        count(lit(1)).as("doc_spans"),
+        sum("n_taken").as("tokens")).show(truncate = false)
     spark.stop()
   }
 }

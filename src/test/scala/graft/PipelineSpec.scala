@@ -16,7 +16,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val corpus = docs.filter(col("doc_id") >= 20)
     val bench = docs.filter(col("doc_id") < 20)
-    val (out, stages) = PipelineDemo.run(spark, corpus, bench)
+    val (out, seqPlan, stages) = PipelineDemo.run(spark, corpus, bench)
     val counts = stages.map(_._2)
     assert(stages.head._1 == "input" && counts.head == corpus.count())
     // every filtering stage can only shrink the corpus
@@ -28,8 +28,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.length == counts.last)
     assert(rows.map(_._1).distinct.length == rows.length, "doc_id unique")
     assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // sequence plan covers exactly the train split's tokens
+    val trainTokens = rows.filter(_._2 == "train").map(_._4).sum
+    val spanRows = seqPlan.select("doc_id", "n_taken").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(spanRows.map(_._2).sum == trainTokens, "token conservation")
+    assert(spanRows.map(_._1).distinct.toSet.subsetOf(
+      rows.filter(_._2 == "train").map(_._1).toSet))
     // deterministic: a second full run yields the identical plan
-    val (out2, stages2) = PipelineDemo.run(spark, corpus, bench)
+    val (out2, _, stages2) = PipelineDemo.run(spark, corpus, bench)
     assert(stages2 == stages)
     val rows2 = out2.select("doc_id", "split", "shard_id", "n_tokens")
       .collect().map(r =>
