@@ -103,7 +103,7 @@ object Plans {
       val ev = graft.ops.StreamingOps.readEventsBatch(spark, sfDir)
         .select("event_id", "user_id", "event_type")
       val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_count"))
-      graft.ops.JoinOps.saltedJoin(ev, dim, "event_type", 8)
+      graft.ops.JoinOps.saltedJoin(ev, dim, "event_type", 8, "event_id")
     }
     show("profile (ONE scan: single Expand aggregate, inline unpivot)") {
       graft.ops.ProfileOps.profile(

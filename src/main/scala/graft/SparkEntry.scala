@@ -1240,6 +1240,25 @@ object SparkEntry {
         |            p -> CAST(('0x' || p) AS INT))), 0) AS DOUBLE) / 192E0 AS mean_byte,
         |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
         |FROM px ORDER BY doc_id""".stripMargin,
+    // REAL PNG IHDR decode replay: dims are header constants (the
+    // synthesized 33-byte signature+IHDR prefix), n_bytes = 33 + text
+    // bytes, and the stats region is exactly the UTF-8 text — byte
+    // math over the same payload both engines see
+    "q_multimodal_png" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(hex(encode(text)), '..') AS pairs
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(24 AS BIGINT) AS width,
+        |       CAST(7 AS BIGINT) AS height,
+        |       CAST(33 + len(pairs) AS BIGINT) AS n_bytes,
+        |       CASE WHEN len(pairs) = 0 THEN 0E0
+        |            ELSE CAST(list_sum(list_transform(pairs,
+        |                 p -> CAST(('0x' || p) AS INT))) AS DOUBLE) / len(pairs)
+        |       END AS mean_byte,
+        |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
+        |FROM px ORDER BY doc_id""".stripMargin,
     // token-window chunking replay: same whitespace tokens, same
     // full-windows-plus-short-doc-clamp start rule, same md5 of the
     // space-rejoined window
@@ -1734,6 +1753,25 @@ object SparkEntry {
             element_at(col("byteHistogram"), 7).as("hist_bucket6"))
           .orderBy("doc_id")
       },
+      "q_multimodal_png" -> { (s, dir) =>
+        // REAL PNG header decode under the hash gate: synthesize a
+        // PNG-framed record per doc (signature + IHDR literal with
+        // valid CRC, text bytes as the chunk stream), decode through
+        // the same batched decoder, and emit the TRUE IHDR dims —
+        // width/height are header constants and the stats region is
+        // exactly the text bytes, so DuckDB replays every column
+        val media = MultimodalOps.synthesizePng(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          width = 24, height = 7)
+        MultimodalOps.decodeFeatures(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("nBytes").cast("long").as("n_bytes"),
+            col("meanByte").as("mean_byte"),
+            element_at(col("byteHistogram"), 7).as("hist_bucket6"))
+          .orderBy("doc_id")
+      },
       "q_dedup_embed_lsh" -> { (s, dir) =>
         SimilarityOps.lshCosinePairs(
             s.read.parquet(s"$dir/embeddings.parquet"),
@@ -1766,7 +1804,8 @@ object SparkEntry {
           .select("event_id", "user_id", "event_type")
         val dim = ev.groupBy("event_type")
           .agg(count(lit(1)).as("type_count"))
-        graft.ops.JoinOps.saltedJoin(ev, dim, "event_type", salt = 8)
+        graft.ops.JoinOps.saltedJoin(ev, dim, "event_type", salt = 8,
+          idCol = "event_id")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
             sum("type_count").as("sum_tc"))

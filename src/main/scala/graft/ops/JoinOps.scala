@@ -25,18 +25,29 @@ object JoinOps {
     * checks.
     *
     * The salt must NOT be a function of the join key (that would send
-    * a hot key's rows to one reducer again); a function of the row's
-    * position is used so the operator stays deterministic-in-result
-    * for any input partitioning.
+    * a hot key's rows to one reducer again), and it must be STABLE
+    * under task re-attempts: a positional salt
+    * (`monotonically_increasing_id`) changes when a lost shuffle
+    * partition is recomputed in a different row order, silently
+    * dropping/duplicating join rows (the SPARK-23207 class of bug).
+    * So the salt hashes `idCol` — stable row CONTENT, e.g. a record
+    * id or any roughly-uniform non-key column — which re-routes
+    * identically no matter how many times the stage re-runs.
     */
   def saltedJoin(
-      big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+      big: DataFrame, small: DataFrame, key: String, salt: Int,
+      idCol: String): DataFrame = {
     require(salt > 0, s"saltedJoin: salt=$salt must be positive")
     require(small.columns.contains(key) && big.columns.contains(key),
       s"saltedJoin: both sides need column '$key'")
+    require(big.columns.contains(idCol),
+      s"saltedJoin: big side needs salt-source column '$idCol'")
+    require(idCol != key,
+      s"saltedJoin: salt source '$idCol' must differ from the join key — " +
+        "salting by the key re-concentrates the hot key on one reducer")
     val saltCol = "__graft_salt"
     val bigS = big.withColumn(saltCol,
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(col(idCol)), lit(salt.toLong)).cast("int"))
     val smallS = small.withColumn(saltCol,
       explode(array((0 until salt).map(lit(_)): _*)))
     bigS.join(smallS, big.columns.intersect(Seq(key)).toSeq :+ saltCol)

@@ -91,12 +91,16 @@ object SampleOps {
 
   /** Floor integer square root, exact for any non-negative Long —
     * `math.sqrt` alone can land an ulp off near perfect squares.
+    * Both correction loops are overflow-safe: the initial guess is
+    * capped at floor(√Long.MaxValue) so `x*x` never wraps, and the
+    * upward step compares via division instead of squaring `x+1`.
     */
   private[graft] def isqrt(n: Long): Long = {
     require(n >= 0, s"isqrt($n)")
-    var x = math.sqrt(n.toDouble).toLong
+    val maxRoot = 3037000499L // floor(sqrt(Long.MaxValue))
+    var x = math.min(math.sqrt(n.toDouble).toLong, maxRoot)
     while (x > 0 && x * x > n) x -= 1
-    while ((x + 1) * (x + 1) <= n) x += 1
+    while (x < maxRoot && (x + 1) <= n / (x + 1)) x += 1
     x
   }
 
@@ -116,8 +120,14 @@ object SampleOps {
     *
     * Scale shape: the only driver-side state is one (stratum, count)
     * row per stratum — strata are languages/sources, small by
-    * contract (`maxStrata` guards the contract); the sample itself is
-    * a pure projection + filter, zero shuffle beyond the count pass.
+    * contract (`maxStrata` guards the contract); the per-stratum
+    * cutoff rides back in as a BROADCAST-joined (stratum, cutoff)
+    * table rather than a folded `when` chain — thousands of
+    * data-derived strata would otherwise build an expression tree
+    * deep enough to break codegen/JVM method limits.  A NULL stratum
+    * is a real stratum (null-safe join key): it was counted like any
+    * other, so it samples at its own cutoff instead of silently
+    * vanishing.
     */
   def temperatureSample(
       df: DataFrame, idCol: String, strataCol: String,
@@ -135,11 +145,21 @@ object SampleOps {
         .min(b)
       k -> cut.toLong
     }
-    val cutoff = cutoffs.foldLeft(lit(0L): Column) {
-      case (acc, (stratum, cut)) =>
-        when(col(strataCol) === lit(stratum), lit(cut)).otherwise(acc)
-    }
-    df.where(checkedBucket(col(idCol), salt) < cutoff)
+    val spark = df.sparkSession
+    val cutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__stratum", df.schema(strataCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField(
+        "__cut", org.apache.spark.sql.types.LongType, nullable = false)))
+    val cutDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cutoffs.map { case (k, cut) => org.apache.spark.sql.Row(k, cut) }, 1),
+      cutSchema)
+    // every stratum in df appears in cutDf (it came from df's own
+    // groupBy), so the inner null-safe join loses no rows
+    df.join(broadcast(cutDf), col(strataCol) <=> col("__stratum"))
+      .where(checkedBucket(col(idCol), salt) < col("__cut"))
+      .drop("__stratum", "__cut")
   }
 
   /** EXACTLY `n` rows per stratum (vs the fraction-based

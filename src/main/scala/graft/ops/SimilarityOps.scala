@@ -420,9 +420,11 @@ object SimilarityOps {
   }
 
   /** IVF top-k with caller-supplied centroid LITERALS: corpus vectors
-    * are assigned to their nearest cell by a pure sorted-struct
-    * expression (`||c||² − 2·v·c` ranks like squared L2; the `||v||²`
-    * term is constant per vector), each query probes its `nProbe`
+    * are assigned to their nearest cell by an `array_min` over
+    * (score, cell) structs (`||c||² − 2·v·c` ranks like squared L2;
+    * the `||v||²` term is constant per vector — and the struct min is
+    * O(nCells) per row where a full sort would be O(nCells·log nCells)
+    * on every corpus row), each query probes its `nProbe`
     * nearest cells, and only those candidates are ranked by exact
     * cosine.  The whole plan is codegen'd expressions + one broadcast
     * probe join — no UDF, no driver loop — and, with
@@ -450,7 +452,7 @@ object SimilarityOps {
         col(corpusVec).as("cv"), norm(col(corpusVec)).as("cn"))
       .filter(col("cn") > 0)
       .withColumn("cell",
-        element_at(sort_array(array(cellScoresFor(centroids)(col("cv")): _*)), 1)
+        array_min(array(cellScoresFor(centroids)(col("cv")): _*))
           .getField("cell"))
 
   /** `(query_id, qv, qn, cell)` with one row per probed cell. */

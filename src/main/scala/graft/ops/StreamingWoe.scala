@@ -22,9 +22,12 @@ import scala.collection.parallel.CollectionConverters._
   *
   * Scale note: state is O(distinct (variable, value)) and each trigger
   * collects it, like the batch path.  For unbounded-cardinality
-  * features, pre-bucket the stream (e.g. `round(value, p)` or a
-  * Bucketizer on fixed edges) before calling — the batch `maxDistinct`
-  * knob needs a full-data quantile pass that a stream cannot do.
+  * features, pass `preBucketEdges` — per-column FIXED bucket edges
+  * applied to the stream before the aggregation (the same
+  * lower-edge-snap as the batch `maxDistinct` path, WoeBinning
+  * .snapToEdges), bounding complete-mode state at |edges| distinct
+  * values per column.  The edges must be caller-fixed because the
+  * batch knob's quantile pass is a full-data scan a stream cannot do.
   */
 object StreamingWoe {
 
@@ -36,6 +39,9 @@ object StreamingWoe {
     *                           (complete-mode state replays from it)
     * @param trigger            micro-batch cadence (default: as fast
     *                           as data arrives)
+    * @param preBucketEdges     per-column fixed bucket edges capping
+    *                           streaming state at |edges| distinct
+    *                           values per column (unbounded otherwise)
     */
   def fitStream(
       stream: DataFrame,
@@ -44,9 +50,15 @@ object StreamingWoe {
       cfg: WoeConfig,
       sepValue: Option[Double] = None,
       checkpointLocation: Option[String] = None,
-      trigger: Option[Trigger] = None)(
+      trigger: Option[Trigger] = None,
+      preBucketEdges: Map[String, Seq[Double]] = Map.empty)(
       onModel: (Long, WoeBinningModel) => Unit): StreamingQuery = {
-    val stats = WoeBinning.statsAggregation(stream, targetCol, inputCols)
+    preBucketEdges.keys.foreach(c => require(inputCols.contains(c),
+      s"fitStream: preBucketEdges column '$c' is not an input column"))
+    val bucketed = preBucketEdges.foldLeft(stream) {
+      case (acc, (c, es)) => WoeBinning.snapToEdges(acc, c, es)
+    }
+    val stats = WoeBinning.statsAggregation(bucketed, targetCol, inputCols)
     var writer = stats.writeStream.outputMode("complete")
     checkpointLocation.foreach(p => writer = writer.option("checkpointLocation", p))
     trigger.foreach(t => writer = writer.trigger(t))

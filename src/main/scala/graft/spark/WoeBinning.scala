@@ -155,6 +155,31 @@ object WoeBinning {
       }
     }
 
+  /** Snap each value of `c` to the LOWER edge of its bucket (edges
+    * deduped + sorted; null/NaN pass through untouched — they carry
+    * their own "missing" semantics through the fit).  Shared by the
+    * quantile scale path ([[preBin]]) and the streaming state cap
+    * (StreamingWoe.fitStream's `preBucketEdges`), which must bound
+    * distinct values with CALLER-FIXED edges because a stream cannot
+    * run the quantile pass.
+    */
+  def snapToEdges(df: DataFrame, c: String, edges: Seq[Double]): DataFrame = {
+    val es = edges.distinct.sorted
+    require(es.length >= 2, s"snapToEdges('$c'): need >= 2 distinct edges, got ${es.length}")
+    // m edges → m-2 interior splits → m-1 buckets, representative =
+    // the bucket's lower edge
+    val splits = Double.NegativeInfinity +: es.drop(1).dropRight(1) :+ Double.PositiveInfinity
+    val reps = es.dropRight(1)
+    val bucketizer = new org.apache.spark.ml.feature.Bucketizer()
+      .setInputCol(c).setOutputCol(s"__${c}_bucket")
+      .setSplits(splits.toArray).setHandleInvalid("keep")
+    val repCol = element_at(
+      lit(reps.toArray), (col(s"__${c}_bucket") + 1).cast(IntegerType))
+    bucketizer.transform(df)
+      .withColumn(c, when(col(c).isNull || isnan(col(c)), col(c)).otherwise(repCol))
+      .drop(s"__${c}_bucket")
+  }
+
   /** Quantile pre-binning for the distinct-value-explosion scale path:
     * snap each value to the lower edge of its approx-quantile bucket.
     * Semantics divergence knob — documented, off for parity tests.
@@ -165,20 +190,7 @@ object WoeBinning {
     inputCols.zip(quantiles).foldLeft(df) { case (acc, (c, qs)) =>
       val edges = qs.distinct.sorted
       if (edges.length <= 2) acc
-      else {
-        // m edges → m-2 interior splits → m-1 buckets, representative =
-        // the bucket's lower quantile edge
-        val splits = Double.NegativeInfinity +: edges.drop(1).dropRight(1) :+ Double.PositiveInfinity
-        val reps = edges.dropRight(1)
-        val bucketizer = new org.apache.spark.ml.feature.Bucketizer()
-          .setInputCol(c).setOutputCol(s"__${c}_bucket")
-          .setSplits(splits.toArray).setHandleInvalid("keep")
-        val repCol = element_at(
-          lit(reps.toArray), (col(s"__${c}_bucket") + 1).cast(IntegerType))
-        bucketizer.transform(acc)
-          .withColumn(c, when(col(c).isNull || isnan(col(c)), col(c)).otherwise(repCol))
-          .drop(s"__${c}_bucket")
-      }
+      else snapToEdges(acc, c, edges)
     }
   }
 
@@ -200,7 +212,17 @@ object WoeBinning {
       inputCols.par
         .map(c => c -> fitOne(c, targetCol, stats, cfg, opts.sepValue))
         .seq.toVector
-    new WoeBinningModel(fitted)
+    // the per-(variable, value) counts the fit just collected ARE the
+    // grouped stats `transform`'s exact medians need — precompute them
+    // driver-side (O(distinct), zero extra jobs) so a fit-then-apply on
+    // the SAME DataFrame (the dominant workflow) scans the data once.
+    // Skipped under maxDistinct: pre-binned values would yield snapped
+    // medians, not the apply dataset's true ones.
+    val fitMedians: Map[String, Double] =
+      if (opts.maxDistinct.isDefined) Map.empty
+      else stats.map { case (v, s) => v -> Kernels.exactMedian(s.groups) }
+    new WoeBinningModel(fitted, fitMedians,
+      Some(df.queryExecution.analyzed))
   }
 
   /** Sentinel fit (`woe_binning_sep`, binning.py:32-75) WITHOUT extra
@@ -274,8 +296,19 @@ object WoeBinning {
 /** The fitted model: the stacked bins table (variable-keyed, like
   * `apply_bins(is_df=True)` consumes, binning.py:271-277) plus the
   * expression-compiled transform.
+  *
+  * @param fitMedians per-column exact medians of the FIT dataset,
+  *                   precomputed driver-side from the fit's collected
+  *                   grouped stats (empty for loaded / hand-built models)
+  * @param fitPlan    analyzed plan of the fit DataFrame; when the apply
+  *                   DataFrame `sameResult`s it, `transform` reuses
+  *                   [[fitMedians]] instead of launching a second
+  *                   median job over the same data
   */
-final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
+final class WoeBinningModel(
+    val fitted: Seq[(String, Vector[WoeBin])],
+    fitMedians: Map[String, Double] = Map.empty,
+    fitPlan: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None) {
 
   def bins(variable: String): Vector[WoeBin] =
     fitted.collectFirst { case (v, b) if v == variable => b }.get
@@ -292,6 +325,17 @@ final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
   }
 
   private def isCompleteRow(b: WoeBin): Boolean = Kernels.isCompleteRow(b)
+
+  /** Canonical-plan equality between the apply DataFrame and the fit
+    * DataFrame — `sameResult` normalizes expression ids and ordering,
+    * so the common `model.transform(sameDf)` is recognized even when
+    * the plan object was rebuilt.
+    */
+  private def sameAsFit(df: DataFrame): Boolean =
+    fitPlan.exists { p =>
+      try df.queryExecution.analyzed.sameResult(p)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
 
   /** `apply_bins` (binning.py:268-304): per surviving variable compile
     * the learned bins into a single codegen-friendly `when`-chain over
@@ -337,14 +381,20 @@ final class WoeBinningModel(val fitted: Seq[(String, Vector[WoeBin])]) {
         }
       }
     val selected = kept.collect { case (v, Some(bs)) => (v, bs) }
-    // single job: exact interpolated medians for all selected columns at
-    // once, from per-value grouped counts (O(distinct) driver rows, like
-    // the fit's sufficient stats) — NOT Spark's `median`/`percentile`
-    // aggregate, whose final merge buffers every raw value of the group
-    // in one task: on a 100 TB apply pass that single buffer is the job
+    // medians of the APPLY dataset (binning.py:297,302).  When the apply
+    // plan IS the fit plan (the dominant fit-then-apply workflow), the
+    // fit already collected per-value counts — reuse its precomputed
+    // medians and skip the second scan entirely.  Otherwise: one job of
+    // exact interpolated medians for all selected columns at once, from
+    // per-value grouped counts (O(distinct) driver rows, like the fit's
+    // sufficient stats) — NOT Spark's `median`/`percentile` aggregate,
+    // whose final merge buffers every raw value of the group in one
+    // task: on a 100 TB apply pass that single buffer is the job
     // killer, while grouped counts stay bounded by distinct values
     val medians: Map[String, Double] =
       if (selected.isEmpty) Map.empty
+      else if (sameAsFit(df) && selected.forall(s => fitMedians.contains(s._1)))
+        selected.iterator.map { case (v, _) => v -> fitMedians(v) }.toMap
       else WoeBinning.exactMedians(df, selected.map(_._1))
     val outCols =
       if (exactSchema) kept.map {

@@ -622,6 +622,62 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(2).nBytes == 10)
   }
 
+  test("multimodal decode: real PNG and JPEG headers (JDK-written files)") {
+    // REAL compressed images written by the JDK's own encoders — the
+    // header parsers must read back the true dimensions
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (x * 31 + y * 97) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val png = encode("png", 37, 23)
+    val pf = MultimodalOps.decodePng(
+      MultimodalOps.MediaRecord(1L, "image/png", png)).get
+    assert(pf.width == 37 && pf.height == 23, s"${pf.width}x${pf.height}")
+    assert(pf.nBytes == png.length)
+    // stats region = post-IHDR chunk stream (PNG analog of BMP pixels)
+    assert(pf.byteHistogram.sum == png.length - 33)
+
+    val jpg = encode("jpg", 41, 17)
+    val jf = MultimodalOps.decodeJpeg(
+      MultimodalOps.MediaRecord(2L, "image/jpeg", jpg)).get
+    assert(jf.width == 41 && jf.height == 17, s"${jf.width}x${jf.height}")
+
+    // the dispatch reaches them through the declared-image gate
+    val viaDispatch = MultimodalOps.decode(
+      MultimodalOps.MediaRecord(3L, "image/png", png))
+    assert(viaDispatch.width == 37 && viaDispatch.height == 23)
+
+    // imageIoDecode agrees with the header parse on a real file and
+    // degrades to None on junk instead of throwing
+    val io = MultimodalOps.imageIoDecode(
+      MultimodalOps.MediaRecord(4L, "image/png", png)).get
+    assert(io.width == 37 && io.height == 23)
+    assert(MultimodalOps.imageIoDecode(
+      MultimodalOps.MediaRecord(5L, "image/png", "not an image".getBytes)).isEmpty)
+
+    // synthesizePng: constant header (valid CRC) + text bytes as the
+    // stats region; decode returns the constant dims and text stats
+    import spark.implicits._
+    val docs = Seq((10L, "hello png"), (11L, null: String))
+      .toDF("doc_id", "text")
+    val fs = MultimodalOps.decodeFeatures(
+      MultimodalOps.synthesizePng(docs, "doc_id", "text", 24, 7))
+      .collect().sortBy(_.id)
+    assert(fs(0).width == 24 && fs(0).height == 7)
+    assert(fs(0).nBytes == 33 + "hello png".length)
+    assert(fs(0).byteHistogram.sum == "hello png".length)
+    assert(fs(1).width == 24 && fs(1).height == 7, "null text → header-only PNG")
+    assert(fs(1).nBytes == 33 && fs(1).meanByte == 0.0)
+    // truncated PNG headers fall back, never error
+    assert(MultimodalOps.decodePng(
+      MultimodalOps.MediaRecord(6L, "image/png", png.take(20))).isEmpty)
+  }
+
   test("GraftExtensions: graft_dot is a SQL function via spark.sql.extensions") {
     // TestSpark wires spark.sql.extensions=graft.GraftExtensions — the
     // same config a pure-SQL deployment would set
@@ -660,6 +716,26 @@ class OpsSpec extends AnyFunSuite {
       spark.sql("SELECT graft_lang_id('a', 'b')")
     }
     assert(e.getMessage.contains("graft_lang_id"))
+
+    // the real usage shape: UNRESOLVED column references from a view,
+    // exercising the eagerExpression conversion path with non-literal
+    // children (ADVICE r06 — only literals were pinned before)
+    import spark.implicits._
+    Seq((1L, "a  b c", "mail a.b@example.com"),
+        (2L, "the cat is in the hat and it is that", "clean"))
+      .toDF("id", "txt", "pii").createOrReplaceTempView("graft_sqlfn_t")
+    val rows = spark.sql(
+      """SELECT id, graft_tokens(txt) AS toks, graft_bpe_estimate(txt) AS bpe,
+        |       graft_lang_id(txt) AS lang, graft_redact_pii(pii) AS clean,
+        |       graft_fingerprint(txt) AS fp
+        |FROM graft_sqlfn_t ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getSeq[String](1) == Seq("a", "b", "c"))
+    assert(rows(0).getString(4) == "mail <EMAIL>")
+    assert(rows(1).getString(3) == "en")
+    val fpApi = Seq("a  b c", "the cat is in the hat and it is that")
+      .toDF("txt").select(TextOps.fingerprint64(col("txt")))
+      .collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(5)).toSeq == fpApi.toSeq)
   }
 
   test("synthesizeBmp round-trips through the REAL decoder") {
@@ -1060,7 +1136,7 @@ class OpsSpec extends AnyFunSuite {
     val big = ((1 to 100).map(i => (i.toLong, "hot")) ++
       Seq((101L, "cold1"), (102L, "cold2"))).toDF("row_id", "k")
     val dim = Seq(("hot", 1L), ("cold1", 2L), ("cold3", 3L)).toDF("k", "v")
-    val salted = JoinOps.saltedJoin(big, dim, "k", salt = 7)
+    val salted = JoinOps.saltedJoin(big, dim, "k", salt = 7, idCol = "row_id")
       .select("row_id", "k", "v").collect().map(r =>
         (r.getLong(0), r.getString(1), r.getLong(2))).sorted
     val plain = big.join(dim, "k")

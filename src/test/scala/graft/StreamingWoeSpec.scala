@@ -35,4 +35,42 @@ class StreamingWoeSpec extends AnyFunSuite {
     assert(got.length == expected.length)
     got.zip(expected).foreach { case (g, e) => assert(g == e) }
   }
+
+  test("preBucketEdges caps streaming state on a high-cardinality column " +
+    "and still == batch fit over the same snapped values") {
+    val dir = "/root/testdata/sf0.001"
+    // extendedprice is near-unique at this sf — the unbounded-
+    // cardinality shape the cap exists for
+    val edges = (0 to 10).map(_ * 12000.0)
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(SparkEntry.stageAsDir(dir, "lineitem"))
+      .select(SparkEntry.lcgColumns: _*)
+      .select("target", "extendedprice")
+
+    @volatile var last: Option[WoeBinningModel] = None
+    val q = graft.ops.StreamingWoe.fitStream(
+      stream, "target", Seq("extendedprice"), WoeConfig(nThreshold = 300),
+      preBucketEdges = Map("extendedprice" -> edges)) {
+      (_, m) => last = Some(m)
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // the cap actually bounds distinct values (streaming state is
+    // O(distinct) by construction, so this is the state bound)
+    val batchDf = TestSpark.lcgFrame(dir).select("target", "extendedprice")
+    val snapped = WoeBinning.snapToEdges(batchDf, "extendedprice", edges)
+    val nDistinct = snapped.select(countDistinct(col("extendedprice"))).head.getLong(0)
+    assert(nDistinct <= edges.length,
+      s"snapped distinct $nDistinct exceeds ${edges.length} edges")
+
+    // streaming-with-cap == batch fit over the identically snapped data
+    val batch = WoeBinning.fit(snapped, "target", Seq("extendedprice"),
+      WoeFitOptions(nThreshold = Some(300)))
+    val got = last.get.bins("extendedprice")
+    val expected = batch.bins("extendedprice")
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e) }
+  }
 }
