@@ -22,83 +22,105 @@ object PipelineDemo {
   /** The pipeline as a function: corpus in, packed training plan out.
     * Returns (kept corpus with split+shard columns, the per-(doc,
     * sequence) packing plan for the train split, per-stage counts).
+    *
+    * Every stage boundary is persisted, so each stage EXECUTES ONCE:
+    * the boundary's stage count materializes its cache and downstream
+    * stages read the cache instead of re-deriving the whole upstream
+    * lineage per action (at cluster scale, swap persist for
+    * checkpoint-to-store — the composition shape is the same).  All
+    * intermediate caches (including DedupOps' registered ones) are
+    * released before returning, success or failure; the returned
+    * `out` frame STAYS cached — callers `unpersist()` it when done
+    * (`seqPlan` is a cheap derivation of cached `out` and needs no
+    * cache of its own).
     */
   def run(spark: SparkSession, docs: DataFrame,
       benchmark: DataFrame): (DataFrame, DataFrame, Seq[(String, Long)]) = {
     val stages = Seq.newBuilder[(String, Long)]
-    stages += "input" -> docs.count()
+    val boundaries = scala.collection.mutable.Buffer.empty[DataFrame]
+    def boundary(df: DataFrame): DataFrame = { boundaries += df.persist(); df }
+    try {
+      stages += "input" -> docs.count()
 
-    // 1. quality gate (C4/Gopher-style composite + repetition cap),
-    //    then the intra-doc paragraph scrub on the survivors (so the
-    //    cross-doc dedup stages see repetition-free text)
-    val quality = TextOps.repetitionStats(
-        TextOps.qualityMetrics(docs, "text"), "text", 2)
-      .where(col("quality_score") >= 0.5 && col("dup_gram_frac") <= 0.5)
-      .select(docs.columns.map(col): _*)
-      .withColumn("text", TextOps.dedupParagraphs(col("text")))
-    stages += "quality_gate" -> quality.count()
+      // 1. quality gate (C4/Gopher-style composite + repetition cap),
+      //    then the intra-doc paragraph scrub on the survivors (so the
+      //    cross-doc dedup stages see repetition-free text)
+      val quality = boundary(TextOps.repetitionStats(
+          TextOps.qualityMetrics(docs, "text"), "text", 2)
+        .where(col("quality_score") >= 0.5 && col("dup_gram_frac") <= 0.5)
+        .select(docs.columns.map(col): _*)
+        .withColumn("text", TextOps.dedupParagraphs(col("text"))))
+      stages += "quality_gate" -> quality.count()
 
-    // 2. dedup: exact star pairs + token-jaccard near-dups → components
-    //   → one canonical doc per cluster
-    val exactPairs = DedupOps.exactDupMembers(quality, "text", "doc_id")
-      .join(DedupOps.exactDupGroups(quality, "text", "doc_id")
-        .select("content_hash", "keep_id"), "content_hash")
-      .where(col("id") =!= col("keep_id"))
-      .select(col("keep_id").as("id_a"), col("id").as("id_b"))
-    val nearPairs = DedupOps
-      .tokenJaccardPairs(quality, "text", "doc_id", "n_chars", 0.7)
-      .select("id_a", "id_b")
-    val cc = ClusterOps.connectedComponents(
-      exactPairs.union(nearPairs), "id_a", "id_b")
-    val deduped = ClusterOps.dedupedCorpus(quality, "doc_id", cc)
-    stages += "dedup_purge" -> deduped.count()
+      // 2. dedup: exact star pairs + token-jaccard near-dups → components
+      //   → one canonical doc per cluster
+      val exactPairs = DedupOps.exactDupMembers(quality, "text", "doc_id")
+        .join(DedupOps.exactDupGroups(quality, "text", "doc_id")
+          .select("content_hash", "keep_id"), "content_hash")
+        .where(col("id") =!= col("keep_id"))
+        .select(col("keep_id").as("id_a"), col("id").as("id_b"))
+      val nearPairs = DedupOps
+        .tokenJaccardPairs(quality, "text", "doc_id", "n_chars", 0.7)
+        .select("id_a", "id_b")
+      val cc = ClusterOps.connectedComponents(
+        exactPairs.union(nearPairs), "id_a", "id_b")
+      val deduped = boundary(ClusterOps.dedupedCorpus(quality, "doc_id", cc))
+      stages += "dedup_purge" -> deduped.count()
 
-    // 3. substring window-dedup gate: drop docs mostly stitched from
-    //    text duplicated elsewhere (whole-doc tests can't see these)
-    val windowDups = DedupOps.duplicateWindowStats(deduped, "doc_id", "text", k = 8)
-      .where(col("dup_frac") > 0.8).select(col("id").as("doc_id"))
-    val substringClean = deduped.join(windowDups, Seq("doc_id"), "left_anti")
-    stages += "window_dedup" -> substringClean.count()
+      // 3. substring window-dedup gate: drop docs mostly stitched from
+      //    text duplicated elsewhere (whole-doc tests can't see these)
+      val windowDups = DedupOps.duplicateWindowStats(deduped, "doc_id", "text", k = 8)
+        .where(col("dup_frac") > 0.8).select(col("id").as("doc_id"))
+      val substringClean = boundary(deduped.join(windowDups, Seq("doc_id"), "left_anti"))
+      stages += "window_dedup" -> substringClean.count()
 
-    // 4. benchmark decontamination via the PER-ROW bloom probe (O(m)
-    //    broadcast state, zero shuffle; >= 10 flagged trigrams drops)
-    val positions = TextOps.bloomBuild(benchmark, "text", n = 3)
-    val clean = substringClean
-      .withColumn("__toks", TextOps.tokens(col("text")))
-      .withColumn("__b",
-        TextOps.bloomContaminationCols(col("__toks"), positions, n = 3))
-      .where(col("__b.n_flagged") < 10)
-      .drop("__toks", "__b")
-    stages += "decontaminate" -> clean.count()
+      // 4. benchmark decontamination via the PER-ROW bloom probe (O(m)
+      //    broadcast state, zero shuffle; >= 10 flagged trigrams drops)
+      val positions = TextOps.bloomBuild(benchmark, "text", n = 3)
+      val clean = boundary(substringClean
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__b",
+          TextOps.bloomContaminationCols(col("__toks"), positions, n = 3))
+        .where(col("__b.n_flagged") < 10)
+        .drop("__toks", "__b"))
+      stages += "decontaminate" -> clean.count()
 
-    // 5. PII scrub (projection; row count unchanged by construction)
-    val scrubbed = clean.withColumn("text", TextOps.redactPii(col("text")))
+      // 5. PII scrub (projection; row count unchanged by construction)
+      val scrubbed = clean.withColumn("text", TextOps.redactPii(col("text")))
 
-    // 6. temperature rebalance (√-weighted source mixing toward 80%
-    //    of the surviving corpus)
-    val nClean = stages.result().last._2
-    val balanced = SampleOps.temperatureSample(
-      scrubbed, "doc_id", "lang", targetRows = math.max(1L, nClean * 8 / 10),
-      salt = "demo")
-    stages += "rebalance" -> balanced.count()
+      // 6. temperature rebalance (√-weighted source mixing toward 80%
+      //    of the surviving corpus)
+      val nClean = stages.result().last._2
+      val balanced = boundary(SampleOps.temperatureSample(
+        scrubbed, "doc_id", "lang", targetRows = math.max(1L, nClean * 8 / 10),
+        salt = "demo"))
+      stages += "rebalance" -> balanced.count()
 
-    // 7. deterministic split + 8. token-budget shard packing
-    val split = SampleOps.hashSplit(balanced, "doc_id", "demo")
-    val packed = PackingOps.packByTokenBudget(
-      split.select(col("doc_id"),
-        TextOps.bpeTokenEstimate(col("text")).as("tok")),
-      "doc_id", "tok", 4096L)
-    val out = split.join(
-      packed.select(col("doc_id"), col("n_tokens"), col("shard_id")), "doc_id")
-    stages += "packed" -> out.count()
+      // 7. deterministic split + 8. token-budget shard packing
+      val split = SampleOps.hashSplit(balanced, "doc_id", "demo")
+      val packed = PackingOps.packByTokenBudget(
+        split.select(col("doc_id"),
+          TextOps.bpeTokenEstimate(col("text")).as("tok")),
+        "doc_id", "tok", 4096L)
+      val out = split.join(
+        packed.select(col("doc_id"), col("n_tokens"), col("shard_id")), "doc_id")
+        .persist() // kept cached for the caller (NOT in `boundaries`)
+      stages += "packed" -> out.count() // materializes before the release below
 
-    // 9. GPT-style sequence packing of the train split: the final
-    //    (doc, sequence) layout a pretraining loader consumes
-    val seqPlan = PackingOps.packSequences(
-      out.where(col("split") === "train")
-        .select(col("doc_id"), col("n_tokens").as("tok")),
-      "doc_id", "tok", 512L)
-    (out, seqPlan, stages.result())
+      // 9. GPT-style sequence packing of the train split: the final
+      //    (doc, sequence) layout a pretraining loader consumes
+      val seqPlan = PackingOps.packSequences(
+        out.where(col("split") === "train")
+          .select(col("doc_id"), col("n_tokens").as("tok")),
+        "doc_id", "tok", 512L)
+      (out, seqPlan, stages.result())
+    } finally {
+      // releasing upstream caches is safe: `out` is materialized, and
+      // seqPlan reads only `out`
+      boundaries.foreach(_.unpersist())
+      DedupOps.unpersistAll()
+      ClusterOps.unpersistAll()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -123,6 +145,7 @@ object PipelineDemo {
     seqPlan.agg(countDistinct("seq_id").as("sequences"),
         count(lit(1)).as("doc_spans"),
         sum("n_taken").as("tokens")).show(truncate = false)
+    out.unpersist()
     spark.stop()
   }
 }

@@ -727,7 +727,171 @@ object SparkEntry {
       """
         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin),
+    // END-TO-END composed pipeline replay (PipelineDemo.run): every
+    // stage formula is the SAME SQL its individually-green oracle uses
+    // — quality gate + paragraph scrub → exact+jaccard dedup → CC
+    // purge → window-dedup gate → bloom decontamination → temperature
+    // rebalance (the packing stage assigns every survivor, so its
+    // count equals rebalance).  Corpus = doc_id >= 20, benchmark =
+    // doc_id < 20, salts fixed ('demo') — deterministic end to end.
+    "q_pipeline_e2e" ->
+      """WITH RECURSIVE base AS MATERIALIZED (
+        |  SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id >= 20
+        |), qm AS (
+        |  SELECT doc_id, length(text) AS qn_chars,
+        |         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS stop_hits,
+        |         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha
+        |  FROM base
+        |), qs AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+        |          + CASE WHEN (CASE WHEN n_words > 0
+        |                THEN CAST(qn_chars - (n_words - 1) AS DOUBLE) / n_words
+        |                ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+        |          + CASE WHEN (CASE WHEN n_words > 0
+        |                THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END) > 0.01
+        |                THEN 1.0 ELSE 0.0 END
+        |          + CASE WHEN (CASE WHEN qn_chars > 0
+        |                THEN CAST(alpha AS DOUBLE) / qn_chars ELSE 0.0 END) > 0.6
+        |                THEN 1.0 ELSE 0.0 END) / 4.0 AS quality_score
+        |  FROM qm
+        |), rg AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |           i -> array_to_string(toks[i:i+1], ' ')) AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |        FROM base)
+        |), rf AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(grams) > 0
+        |              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |              END AS dup_gram_frac
+        |  FROM rg
+        |), qual_ids AS MATERIALIZED (
+        |  SELECT q.doc_id FROM qs q JOIN rf r USING (doc_id)
+        |  WHERE q.quality_score >= 0.5 AND r.dup_gram_frac <= 0.5
+        |), paras AS (
+        |  SELECT b.doc_id,
+        |         unnest(list_transform(range(1, len(string_split(b.text, chr(10))) + 1),
+        |           i -> {'ord': i, 'para': string_split(b.text, chr(10))[CAST(i AS INT)]})) AS s
+        |  FROM base b JOIN qual_ids USING (doc_id)
+        |), pf AS (
+        |  SELECT doc_id, s.para AS para, min(s.ord) AS ord FROM paras GROUP BY doc_id, s.para
+        |), pc AS (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY ord) AS text FROM pf GROUP BY doc_id
+        |), quality AS MATERIALIZED (
+        |  SELECT b.doc_id, b.lang, b.n_chars, pc.text
+        |  FROM base b JOIN pc USING (doc_id)
+        |), t AS MATERIALIZED (
+        |  SELECT doc_id, lang, n_chars, text, md5(text) AS h,
+        |         list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS toks
+        |  FROM quality
+        |), grp AS (
+        |  SELECT h, min(doc_id) AS keep_id, count(*) AS cnt FROM t GROUP BY h
+        |), exact_pairs AS (
+        |  SELECT grp.keep_id AS id_a, t.doc_id AS id_b
+        |  FROM t JOIN grp USING (h) WHERE grp.cnt > 1 AND t.doc_id <> grp.keep_id
+        |), cold AS (
+        |  SELECT * FROM t WHERE n_chars IN (
+        |    SELECT n_chars FROM t GROUP BY n_chars HAVING count(*) <= 10000)
+        |), tj_pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM cold a JOIN cold b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.7
+        |), und AS (
+        |  SELECT id_a AS u, id_b AS v FROM exact_pairs
+        |  UNION SELECT id_b, id_a FROM exact_pairs
+        |  UNION SELECT id_a, id_b FROM tj_pairs
+        |  UNION SELECT id_b, id_a FROM tj_pairs
+        |), reach AS (
+        |  SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM und)
+        |  UNION
+        |  SELECT e.v AS id, r.lbl FROM reach r JOIN und e ON e.u = r.id
+        |), comp AS MATERIALIZED (
+        |  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        |), deduped AS MATERIALIZED (
+        |  SELECT * FROM t
+        |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+        |), wg AS (
+        |  -- raw token SEQUENCE from the text (deduped.toks is the
+        |  -- DISTINCT token set built for jaccard — wrong for windows)
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(wtoks) - 7, 1) + 1),
+        |           i -> CAST(('0x' || substr(md5(array_to_string(wtoks[i:i+7], ' ')), 1, 15)) AS BIGINT))) AS wh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wtoks
+        |        FROM deduped)
+        |), wd AS (
+        |  SELECT wh, count(DISTINCT doc_id) AS nd FROM wg GROUP BY wh
+        |), wstat AS (
+        |  SELECT wg.doc_id,
+        |         CAST(sum(CASE WHEN wd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |  FROM wg JOIN wd USING (wh) GROUP BY wg.doc_id
+        |), winclean AS MATERIALIZED (
+        |  SELECT * FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM wstat WHERE dup_frac > 0.8)
+        |), js AS (SELECT unnest([0, 1, 2, 3]) AS j
+        |), bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(btoks) - 2, 1) + 1),
+        |           i -> array_to_string(btoks[i:i+2], ' ')))) AS g
+        |  FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS btoks
+        |        FROM documents WHERE doc_id < 20)
+        |), bpos AS MATERIALIZED (
+        |  SELECT DISTINCT (CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+        |       + j * CAST(('0x' || substr(md5(g), 17, 15)) AS BIGINT)) % 131072 AS pos
+        |  FROM bg CROSS JOIN js
+        |), cg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(ctoks) - 2, 1) + 1),
+        |           i -> array_to_string(ctoks[i:i+2], ' ')))) AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ctoks
+        |        FROM winclean)
+        |), cpos AS (
+        |  SELECT doc_id, g, j,
+        |         (CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+        |       + j * CAST(('0x' || substr(md5(g), 17, 15)) AS BIGINT)) % 131072 AS pos
+        |  FROM cg CROSS JOIN js
+        |), hits AS (
+        |  SELECT doc_id, g FROM cpos JOIN bpos USING (pos)
+        |  GROUP BY doc_id, g HAVING count(DISTINCT j) = 4
+        |), flagged AS (
+        |  SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY doc_id
+        |), clean AS MATERIALIZED (
+        |  SELECT w.* FROM winclean w LEFT JOIN flagged USING (doc_id)
+        |  WHERE coalesce(n_flagged, 0) < 10
+        |), lc AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM clean GROUP BY lang
+        |), lw AS (
+        |  SELECT lang, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS wt FROM lc
+        |), ls AS (SELECT CAST(sum(wt) AS BIGINT) AS sw FROM lw
+        |), tgt AS (
+        |  SELECT greatest(1, (CAST(count(*) AS BIGINT) * 8) // 10) AS t FROM clean
+        |), cuts AS (
+        |  SELECT lang, least(10000, (10000 * t * wt) // (sw * cnt)) AS cutoff
+        |  FROM lw CROSS JOIN ls CROSS JOIN tgt
+        |), balanced AS MATERIALIZED (
+        |  SELECT c.* FROM clean c JOIN cuts USING (lang)
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':demo'), 1, 15)) AS BIGINT)
+        |          % 10000 < cutoff
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_ord, 'input' AS stage,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_docs
+        |  UNION ALL SELECT 1, 'quality_gate', (SELECT count(*) FROM quality)
+        |  UNION ALL SELECT 2, 'dedup_purge', (SELECT count(*) FROM deduped)
+        |  UNION ALL SELECT 3, 'window_dedup', (SELECT count(*) FROM winclean)
+        |  UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM clean)
+        |  UNION ALL SELECT 5, 'rebalance', (SELECT count(*) FROM balanced)
+        |  UNION ALL SELECT 6, 'packed', (SELECT count(*) FROM balanced)
+        |) ORDER BY stage_ord""".stripMargin)
 
   /** Connected components replayed in DuckDB: the SAME pair sources as
     * the Spark side (exact-dup star pairs + the hot-block-guarded
@@ -1588,6 +1752,22 @@ object SparkEntry {
           .select(col("content_hash"), col("cnt"),
             col("keep_id").cast("bigint").as("keep_id"))
           .orderBy("content_hash")
+      },
+      "q_pipeline_e2e" -> { (s, dir) =>
+        // the COMPOSED pipeline under the driver's hash gate: the full
+        // PipelineDemo chain (fixed 'demo' salts, corpus = doc_id >=
+        // 20, benchmark = doc_id < 20) reduced to its per-stage count
+        // table — gating the glue (stage ordering, column plumbing)
+        // that the per-stage oracles can't see
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val (out, _, stages) = PipelineDemo.run(s,
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+        out.unpersist()
+        import s.implicits._
+        stages.zipWithIndex
+          .map { case ((name, n), i) => (i.toLong, name, n) }
+          .toDF("stage_ord", "stage", "n_docs")
+          .orderBy("stage_ord")
       },
       "q_dedup_token_jaccard" -> { (s, dir) =>
         DedupOps.tokenJaccardPairs(

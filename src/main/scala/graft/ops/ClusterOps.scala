@@ -17,14 +17,48 @@ import org.apache.spark.sql.functions._
   * arrays (no collect_list — a cluster with millions of members stays
   * distributed).
   *
-  * Every round is `localCheckpoint`ed: an iterative DataFrame loop
-  * otherwise compounds plan depth and re-executes all prior rounds at
-  * each action.  On a real cluster prefer reliable checkpointing
-  * (`spark.sparkContext.setCheckpointDir` + `.checkpoint()`) so a lost
-  * executor doesn't force a full recompute; local mode has no executor
-  * loss, so the cheap variant is used here.
+  * Every round is checkpointed: an iterative DataFrame loop otherwise
+  * compounds plan depth and re-executes all prior rounds at each
+  * action.  Two flavors, selected by `checkpointDir`:
+  *
+  *  - None (default): `localCheckpoint` — executor-memory/disk blocks,
+  *    right for local mode where there is no executor loss.  Each
+  *    round's blocks are RELEASED as soon as the next round is
+  *    materialized (a 20-round contraction holds 2 edge sets, not 20);
+  *    the final round's blocks back the returned frame and are
+  *    released by [[unpersistAll]] once every derived frame is
+  *    materialized.
+  *  - Some(dir): RELIABLE checkpoints under `dir` — survive executor
+  *    loss, the right choice on a real cluster (a lost
+  *    localCheckpoint block would otherwise kill the job, since the
+  *    truncated lineage cannot recompute).  Superseded round files
+  *    stay in `dir` until the job cleans it (or
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`).
   */
 object ClusterOps {
+
+  /** The RDD holding a checkpoint-backed Dataset's blocks (the
+    * LogicalRDD the checkpoint rewrote the plan to).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
+  private val liveCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Release the final-round localCheckpoint blocks of every
+    * [[connectedComponents]] call since the last release.  Call ONLY
+    * after every frame derived from those results is materialized — a
+    * checkpoint-backed frame cannot recompute once its blocks are
+    * gone (truncated lineage), unlike DedupOps' recomputable caches.
+    */
+  def unpersistAll(): Unit = {
+    var r = liveCheckpoints.poll()
+    while (r != null) { r.unpersist(blocking = false); r = liveCheckpoints.poll() }
+  }
 
   /** large-star: connect every neighbor v > u to min(N(u) ∪ {u}).
     * Output edges are directed big → small.
@@ -69,7 +103,17 @@ object ClusterOps {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    // local blocks are truncated lineage — release only when the next
+    // round is safely materialized; reliable files need no release here
+    def release(df: DataFrame): Unit =
+      if (!reliable) checkpointRdd(df).foreach(_.unpersist(blocking = false))
     // (count, xor-of-hashes ×2) in the single job that also
     // materializes the checkpoint blocks; xor (unlike sum) cannot
     // overflow under ANSI mode and is insensitive to row order.  TWO
@@ -87,16 +131,16 @@ object ClusterOps {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    var e = ckpt(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(eager = false)
+      .distinct())
     var (cnt, hs, hs2x) = sig(e)
     var converged = cnt == 0
     var iter = 0
     while (!converged && iter < maxIter) {
-      val e2 = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val e2 = ckpt(smallStar(largeStar(e)))
       val (cnt2, h2, h2x) = sig(e2)
+      release(e) // e2 is materialized; the prior round is dead weight
       converged = cnt2 == cnt && h2 == hs && h2x == hs2x
       e = e2
       cnt = cnt2
@@ -112,6 +156,9 @@ object ClusterOps {
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds " +
           s"($cnt edges remain) — raise maxIter")
+    // the final round's blocks back the returned frame — releasable
+    // via unpersistAll once derived frames are materialized
+    if (!reliable) checkpointRdd(e).foreach(liveCheckpoints.add)
     // at the fixpoint every edge is (member, component-min); the min
     // itself only appears on the right, so union it in as its own row
     e.select(col("u").as("id"), col("v").as("cluster_id"))

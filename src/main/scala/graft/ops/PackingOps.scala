@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   * driver, broadcast back as offsets, and the intra-partition cumsum
   * runs in a window PARTITIONED by the partition id — fully parallel.
   *
-  * The ranged frame is checkpointed before the two passes: range
-  * boundaries come from sampling, so two independent executions of
-  * the same plan may split partitions differently — the offset pass
-  * and the final pass MUST read one pinned partitioning.  (On a real
-  * cluster use reliable `checkpoint`; see ClusterOps for the same
-  * local/reliable note.)
+  * The ranged frame is PINNED (registered persist) before the two
+  * passes: range boundaries come from sampling seeded by the RDD id,
+  * so two independent executions of the same plan may split
+  * partitions differently — the offset pass and the final pass MUST
+  * read one pinned partitioning.  A persist (not a checkpoint) is the
+  * right pin: both passes read the one cached RDD DAG, and a lost
+  * block RECOMPUTES through the intact lineage with the same RDD id —
+  * hence the same boundaries — where a truncated localCheckpoint
+  * lineage could not recompute at all.  The cache is released via
+  * `DedupOps.unpersistAll()` once the derived plan is materialized.
   */
 object PackingOps {
 
@@ -35,12 +39,11 @@ object PackingOps {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
+    val ranged = DedupOps.registerPersist(df
       .select(col(idCol).as("id"), col(tokenCol).cast("long").as("tok"))
       .repartitionByRange(parts, col("id"))
       .sortWithinPartitions("id")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("pid", spark_partition_id()))
     // pass 1: one row per partition → driver prefix sum (O(partitions))
     val partials = ranged.groupBy("pid").agg(sum("tok").as("psum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -403,6 +403,34 @@ class OpsSpec extends AnyFunSuite {
     cc.foreach(r => assert(r.getLong(1) == 0L, s"node ${r.getLong(0)}"))
   }
 
+  test("connected components: reliable-checkpoint flag writes to the dir " +
+    "and matches the local flavor; round blocks are released") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val rel = ClusterOps.connectedComponents(pairs, "id_a", "id_b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // the rounds really went through the reliable dir
+    def countFiles(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles().map(countFiles).sum else 1
+    assert(countFiles(new java.io.File(dir)) > 0, s"no checkpoint files in $dir")
+
+    // local flavor: superseded rounds release as the loop runs, and
+    // unpersistAll releases the final round once results are consumed
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val local = ClusterOps.connectedComponents(pairs, "id_a", "id_b")
+    assert(local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == rel)
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size <= 1, s"more than the final round is cached: $during")
+    ClusterOps.unpersistAll()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"final round not released: $after")
+  }
+
   test("deduped corpus keeps one canonical doc per cluster") {
     import spark.implicits._
     val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "aaa"), (4L, "bbb"),

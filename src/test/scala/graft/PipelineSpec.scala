@@ -13,6 +13,7 @@ class PipelineSpec extends AnyFunSuite {
   private val sf001 = "/root/testdata/sf0.001"
 
   test("composed pipeline: monotone stage counts, deterministic output") {
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val corpus = docs.filter(col("doc_id") >= 20)
     val bench = docs.filter(col("doc_id") < 20)
@@ -42,5 +43,11 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r =>
         (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows2.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // run() releases every intermediate cache itself; the returned
+    // frames are the caller's to release
+    out.unpersist(); out2.unpersist()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty,
+      s"pipeline must not leak cached RDDs across runs: $leaked")
   }
 }
