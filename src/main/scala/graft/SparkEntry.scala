@@ -1154,6 +1154,62 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The incremental minhash-store probe (IncrementalDedup
+    * .minhashDupsAgainstStore, portable flavor) in DuckDB: identical
+    * signatures/banding to [[minhashPortableOracleSql]], but the
+    * candidate join is STORE (doc_id < splitId) vs BATCH (doc_id >=
+    * splitId), and the verify is the signature-AGREEMENT estimate —
+    * count of equal components / numHashes, an exact small-int
+    * division by a power of two, so even the float column is
+    * bit-identical across engines.
+    */
+  private def incrMinhashOracleSql(
+      numHashes: Int, bands: Int, splitId: Long, threshold: Double): String = {
+    val rows = numHashes / bands
+    val bigP = 2147483647L
+    val sigExprs = graft.ops.DedupOps.hashParams(numHashes).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $bigP))"
+    }.mkString(",\n           ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), shing AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(toks) - 2, 1) + 1),
+       |           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |  FROM t
+       |), hashed AS (
+       |  SELECT doc_id, sh,
+       |         list_transform(sh, s ->
+       |           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $bigP) AS hs
+       |  FROM shing
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         [$sigExprs] AS sig
+       |  FROM hashed
+       |), banded AS (
+       |  SELECT doc_id, u.b,
+       |         array_to_string(sig[u.b*$rows+1 : u.b*$rows+$rows], ',') AS band_key
+       |  FROM sigs, (SELECT unnest(range($bands)) AS b) u
+       |), cand AS (
+       |  SELECT DISTINCT p.doc_id AS doc_id, st.doc_id AS dup_of
+       |  FROM banded p JOIN banded st
+       |    ON p.b = st.b AND p.band_key = st.band_key
+       |  WHERE p.doc_id >= $splitId AND st.doc_id < $splitId
+       |)
+       |SELECT doc_id, dup_of, est_jaccard FROM (
+       |  SELECT cand.doc_id, cand.dup_of,
+       |         CAST(list_sum(list_transform(range(1, $numHashes + 1),
+       |              i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END))
+       |           AS DOUBLE) / $numHashes AS est_jaccard
+       |  FROM cand JOIN sigs x ON x.doc_id = cand.doc_id
+       |            JOIN sigs y ON y.doc_id = cand.dup_of) v
+       |WHERE est_jaccard >= ${dlit(threshold)}
+       |ORDER BY doc_id, dup_of""".stripMargin
+  }
+
   /** The `portableHash` minhash pipeline recomputed end-to-end in
     * DuckDB: word 3-shingles, md5-derived 60-bit base hashes mod P,
     * the 32 (a·h+b) mod P signature minima from the SAME LCG (a,b)
@@ -1296,6 +1352,19 @@ object SparkEntry {
       semanticDedupOracleSql(ivfCentroidsSf001, cosThreshold = 0.3, maxCell = 100000),
     "q_dedup_minhash_md5" ->
       minhashPortableOracleSql(numHashes = 32, bands = 8, threshold = 0.5),
+    // incremental-dedup store probes: the exact store keyed on md5
+    // content (probe = re-ingest detection over doc_id >= 250), and
+    // the minhash store probe with signature-agreement verify
+    "q_incr_dedup_exact" ->
+      """WITH store AS (
+        |  SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id
+        |  FROM documents GROUP BY md5(text))
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, s.keep_id AS dup_of
+        |FROM documents d JOIN store s ON md5(d.text) = s.h
+        |WHERE d.doc_id >= 250 ORDER BY doc_id, dup_of""".stripMargin,
+    "q_incr_dedup_minhash_md5" ->
+      incrMinhashOracleSql(numHashes = 32, bands = 8, splitId = 250L,
+        threshold = 0.5),
     // winnowing replay: same char 8-grams, md5-60bit gram hashes,
     // window-of-16 minima, distinct; summaries are all order-free
     "q_doc_winnow_md5" ->
@@ -1774,6 +1843,41 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet"),
             "text", "doc_id", "n_chars", 0.7)
           .select("id_a", "id_b").orderBy("id_a", "id_b")
+      },
+      "q_incr_dedup_exact" -> { (s, dir) =>
+        // incremental ingest: build the exact content store once, then
+        // probe a batch against it — re-ingesting already-stored docs
+        // flags every one of them with its canonical keeper
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val store = s"/tmp/graft-exact-store/$key"
+        graft.ops.IncrementalDedup.writeExactStore(docs, "text", "doc_id", store)
+        graft.ops.IncrementalDedup.exactDupsAgainstStore(
+            s, store, docs.filter(col("doc_id") >= 250), "text", "doc_id")
+          .select(col("id").cast("long").as("doc_id"),
+            col("dup_of").cast("long").as("dup_of"))
+          .orderBy("doc_id", "dup_of")
+      },
+      "q_incr_dedup_minhash_md5" -> { (s, dir) =>
+        // near-dup ingest check WITHOUT the old corpus text: store =
+        // banded minhash signatures of doc_id < 250, batch = the rest,
+        // verify = signature-agreement Jaccard estimate (exact k/32
+        // division — hash-gateable)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val store = s"/tmp/graft-minhash-store/$key"
+        graft.ops.IncrementalDedup.writeMinhashStore(
+          docs.filter(col("doc_id") < 250), "text", "doc_id", store,
+          numHashes = 32, bands = 8, shingleSize = 3, portableHash = true)
+        graft.ops.IncrementalDedup.minhashDupsAgainstStore(
+            s, store, docs.filter(col("doc_id") >= 250), "text", "doc_id",
+            numHashes = 32, bands = 8, shingleSize = 3,
+            simThreshold = 0.5, portableHash = true)
+          .select(col("id").cast("long").as("doc_id"),
+            col("dup_of").cast("long").as("dup_of"), col("est_jaccard"))
+          .orderBy("doc_id", "dup_of")
       },
       "q_dedup_minhash" -> { (s, dir) => // rows-only (xxhash64 signatures)
         DedupOps.minhashPairs(

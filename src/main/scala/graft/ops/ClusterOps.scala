@@ -7,6 +7,14 @@ import org.apache.spark.sql.functions._
   * (from any DedupOps/SimilarityOps flavor) → connected components →
   * one canonical document per component.
   *
+  * Algorithm selection is ADAPTIVE, like Spark's own broadcast-join
+  * cutoff: at or below `collectThreshold` edges the whole graph ships
+  * to the driver for union-find (milliseconds, zero rounds); above
+  * it, the distributed star contraction below.  After heavy dedup
+  * filtering the surviving pair graph is often tiny even when the
+  * corpus is not — paying ~2 scheduling-bound shuffle jobs per
+  * contraction round for a 10k-edge graph is pure overhead.
+  *
   * Components use the alternating large-star / small-star contraction
   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
   * SoCC'14): converges in O(log n) rounds on ANY graph shape — a
@@ -55,6 +63,54 @@ object ClusterOps {
     * checkpoint-backed frame cannot recompute once its blocks are
     * gone (truncated lineage), unlike DedupOps' recomputable caches.
     */
+  /** Natural ordering of the runtime id type (ids are orderable Spark
+    * types — Long, Int, String... — all `Comparable`).
+    */
+  private def anyLess(a: Any, b: Any): Boolean =
+    a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+
+  /** Driver union-find over a collected edge list — the SMALL-GRAPH
+    * fast path of [[connectedComponents]].  Union-by-min (the smaller
+    * root absorbs) + path compression: near-linear, and the root of
+    * every tree is the component minimum by construction, so the
+    * output is exactly the distributed path's `(id, cluster_id=min)`
+    * mapping.
+    */
+  private def driverComponents(
+      edges: Array[org.apache.spark.sql.Row],
+      spark: org.apache.spark.sql.SparkSession,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      var p = parent.get(r)
+      while (p != null && p != r) { r = p; p = parent.get(r) }
+      // path compression
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { row =>
+      val u = row.get(0)
+      val v = row.get(1)
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) {
+        if (anyLess(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = Vector.newBuilder[org.apache.spark.sql.Row]
+    parent.keySet().forEach(k =>
+      out += org.apache.spark.sql.Row(k, find(k)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", idType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result(), 1), schema)
+  }
+
   def unpersistAll(): Unit = {
     var r = liveCheckpoints.poll()
     while (r != null) { r.unpersist(blocking = false); r = liveCheckpoints.poll() }
@@ -101,9 +157,20 @@ object ClusterOps {
     * `maxIter` bounds the driver loop, and exhausting it THROWS — a
     * truncated contraction is not a component mapping.
     */
+  /** @param collectThreshold edge count at or below which the DRIVER
+    *        union-find fast path runs instead of the distributed
+    *        contraction — the same adaptive cutoff logic as a
+    *        broadcast join: a graph of ≤ ~1M edges (≈ 16 MB of longs)
+    *        resolves in milliseconds on the driver, where the
+    *        log-round loop would pay ~2 shuffle jobs per round of
+    *        pure scheduling overhead.  Set 0 to force the distributed
+    *        path (the specs pinning the contraction do).  The output
+    *        is set-identical either way.
+    */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+      maxIter: Int = 50, checkpointDir: Option[String] = None,
+      collectThreshold: Long = 1000000L): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     val reliable = checkpointDir.isDefined
@@ -135,6 +202,17 @@ object ClusterOps {
       .where(col("u") =!= col("v"))
       .distinct())
     var (cnt, hs, hs2x) = sig(e)
+    if (cnt <= collectThreshold) {
+      // small-graph fast path: the edge list fits on the driver with
+      // room to spare — union-find beats paying the round loop's
+      // scheduling overhead.  Reads the just-materialized checkpoint,
+      // then releases it (nothing to register: no checkpoint backs
+      // the returned frame).
+      val rows = e.collect()
+      release(e)
+      return driverComponents(rows, pairs.sparkSession,
+        pairs.schema(aCol).dataType)
+    }
     var converged = cnt == 0
     var iter = 0
     while (!converged && iter < maxIter) {

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup: fingerprint STORES persisted once, then each
+  * ingest batch checked against them — the operation a continuously-fed
+  * corpus needs, because re-running whole-corpus dedup per batch scales
+  * O(corpus) per ingest while the store probe scales O(batch + store
+  * scan) with NO store shuffle.
+  *
+  * Two stores, matching the two whole-corpus flavors:
+  *
+  *  - EXACT: one `(content_hash, keep_id)` row per distinct content —
+  *    the md5-keyed dedup state of [[DedupOps.exactDupGroups]] made
+  *    durable.  A batch probe is one join keyed on the hash.
+  *  - MINHASH: per-doc signature rows exploded to `(band, band_hash,
+  *    id, sig)` — the LSH banding state of [[DedupOps.minhashPairs]]
+  *    made durable.  A batch probe joins the batch's banded signatures
+  *    against the store and verifies candidates by SIGNATURE AGREEMENT
+  *    (the fraction of equal minhash components — the standard unbiased
+  *    Jaccard estimate), so the store never needs the original text.
+  *
+  * Scale shape of the probes: the batch side is small by the ingest
+  * contract, so it is explicitly `broadcast()` — the store scans
+  * once, shuffles never.  Store merges (absorbing a batch) are a
+  * union + re-aggregate written to a NEW path: object stores don't
+  * re-write in place, and the previous store stays readable until the
+  * swap (the usual snapshot-roll pattern).
+  */
+object IncrementalDedup {
+
+  private val P: Long = 2147483647L // 2^31-1, matches DedupOps base hashes
+
+  // ---------------------------------------------------------------- exact
+
+  /** Build the exact-dup store: `(content_hash, keep_id)`, keep_id =
+    * the minimum id ever seen for that content.
+    */
+  def writeExactStore(
+      df: DataFrame, textCol: String, idCol: String, path: String): Unit =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol).as("keep_id"))
+      .groupBy("content_hash").agg(min("keep_id").as("keep_id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Batch rows whose content ALREADY exists in the store:
+    * `(id, dup_of)` — dup_of is the store's canonical keeper.  The
+    * batch is broadcast; the store never shuffles.
+    */
+  def exactDupsAgainstStore(
+      spark: SparkSession, storePath: String,
+      batch: DataFrame, textCol: String, idCol: String): DataFrame =
+    spark.read.parquet(storePath)
+      .join(broadcast(
+        batch.select(md5(col(textCol)).as("content_hash"), col(idCol).as("id"))),
+        "content_hash")
+      .select(col("id"), col("keep_id").as("dup_of"))
+
+  /** Absorb a batch into the exact store at a NEW path (snapshot
+    * roll): the min-id merge is associative, so ingest order never
+    * changes the keeper.
+    */
+  def mergeExactStore(
+      spark: SparkSession, storePath: String,
+      batch: DataFrame, textCol: String, idCol: String,
+      outPath: String): Unit =
+    spark.read.parquet(storePath)
+      .union(batch.select(md5(col(textCol)).as("content_hash"),
+        col(idCol).cast("long").as("keep_id")))
+      .groupBy("content_hash").agg(min("keep_id").as("keep_id"))
+      .write.mode("overwrite").parquet(outPath)
+
+  // -------------------------------------------------------------- minhash
+
+  /** The minhash signature of every doc, banded for LSH — shared by
+    * the store writer and the batch probe so both sides band
+    * identically.  Mirrors [[DedupOps.minhashPairs]]'s two hash
+    * flavors: md5-portable (oracle-replayable) and xxhash64 (scale).
+    */
+  private def bandedSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int,
+      portableHash: Boolean): DataFrame = {
+    val rows = numHashes / bands
+    val baseHash: Column => Column =
+      if (portableHash) s => pmod(DedupOps.md5Hash60(s), lit(P))
+      else s => pmod(xxhash64(s), lit(P))
+    val bandKey: Column => Column =
+      if (portableHash)
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
+            _.cast("string")))
+      else b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))
+        .cast("string")
+    val exploded = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(DedupOps.shinglesOf(col("__t"), shingleSize)).as("s"))
+      .select(col("id"), baseHash(col("s")).as("h"))
+    val minCols = DedupOps.hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+    }
+    exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey))
+          .as(Seq("band", "band_hash")))
+  }
+
+  /** Build the minhash LSH store: `(band, band_hash, id, sig)`,
+    * partitioned by band so a probe of a single band (diagnostics)
+    * prunes at planning time.  One pass over the corpus — the same
+    * cost the first whole-corpus dedup already paid.
+    */
+  def writeMinhashStore(
+      df: DataFrame, textCol: String, idCol: String, path: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      portableHash: Boolean = false): Unit =
+    bandedSignatures(df, textCol, idCol, numHashes, bands, shingleSize,
+      portableHash)
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Near-dup matches of a new batch against the store: LSH band
+    * collision → signature-agreement estimate ≥ `simThreshold`.
+    * Output `(id, dup_of, est_jaccard)` — one row per (batch doc,
+    * matching store doc).  Batch ids may overlap store ids (re-ingest);
+    * self-matches are excluded by id inequality.
+    *
+    * The agreement fraction `|{i : sigA[i] = sigB[i]}| / numHashes` is
+    * the textbook unbiased MinHash Jaccard estimate — the store never
+    * needs original text, so it stays ~300 B/doc at any corpus size.
+    */
+  def minhashDupsAgainstStore(
+      spark: SparkSession, storePath: String,
+      batch: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      simThreshold: Double = 0.5, portableHash: Boolean = false): DataFrame = {
+    val probe = bandedSignatures(batch, textCol, idCol,
+      numHashes, bands, shingleSize, portableHash)
+    val store = spark.read.parquet(storePath)
+    val agree = (0 until numHashes).map(i =>
+      when(element_at(col("bsig"), i + 1) === element_at(col("ssig"), i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    store.select(col("band"), col("band_hash"),
+        col("id").as("dup_of"), col("sig").as("ssig"))
+      .join(broadcast(probe.select(col("band"), col("band_hash"),
+        col("id"), col("sig").as("bsig"))),
+        Seq("band", "band_hash"))
+      .where(col("id") =!= col("dup_of"))
+      .select(col("id"), col("dup_of"), col("bsig"), col("ssig"))
+      .dropDuplicates("id", "dup_of")
+      .select(col("id"), col("dup_of"),
+        (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
+      .where(col("est_jaccard") >= simThreshold)
+  }
+}

@@ -397,10 +397,35 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     // a 200-node path is the adversarial case for naive propagation
     // (diameter 199); star contraction must still finish in ≤ 25 rounds
+    // (collectThreshold = 0 forces the DISTRIBUTED path — the default
+    // would take the driver fast path on a graph this small)
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = ClusterOps.connectedComponents(pairs, "id_a", "id_b").collect()
+    val cc = ClusterOps.connectedComponents(pairs, "id_a", "id_b",
+      collectThreshold = 0L).collect()
     assert(cc.length == 200)
     cc.foreach(r => assert(r.getLong(1) == 0L, s"node ${r.getLong(0)}"))
+  }
+
+  test("connected components: driver fast path == distributed contraction") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: several components of mixed
+    // shapes (chains via i->i+1 strides, cross links via hashes)
+    val pairs = ((0L until 300L).map(i => (i, i + 3)) ++
+      (0L until 100L).map(i => (i * 7 % 311, i * 13 % 311)) ++
+      Seq((1000L, 1001L), (1002L, 1001L)))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = toMap(ClusterOps.connectedComponents(pairs, "id_a", "id_b"))
+    val dist = toMap(ClusterOps.connectedComponents(pairs, "id_a", "id_b",
+      collectThreshold = 0L))
+    assert(fast == dist, "adaptive cutoff must not change the mapping")
+    // string ids exercise the generic-orderable fast path
+    val spairs = Seq(("b", "a"), ("c", "b"), ("e", "d")).toDF("id_a", "id_b")
+    val sm = ClusterOps.connectedComponents(spairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sm == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d", "e" -> "d"))
   }
 
   test("connected components: reliable-checkpoint flag writes to the dir " +
@@ -410,7 +435,7 @@ class OpsSpec extends AnyFunSuite {
       .toDF("id_a", "id_b")
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val rel = ClusterOps.connectedComponents(pairs, "id_a", "id_b",
-        checkpointDir = Some(dir))
+        checkpointDir = Some(dir), collectThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rel == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
@@ -419,16 +444,65 @@ class OpsSpec extends AnyFunSuite {
       if (p.isDirectory) p.listFiles().map(countFiles).sum else 1
     assert(countFiles(new java.io.File(dir)) > 0, s"no checkpoint files in $dir")
 
-    // local flavor: superseded rounds release as the loop runs, and
-    // unpersistAll releases the final round once results are consumed
+    // local flavor (distributed path forced): superseded rounds
+    // release as the loop runs, and unpersistAll releases the final
+    // round once results are consumed
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val local = ClusterOps.connectedComponents(pairs, "id_a", "id_b")
+    val local = ClusterOps.connectedComponents(pairs, "id_a", "id_b",
+      collectThreshold = 0L)
     assert(local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == rel)
     val during = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(during.size <= 1, s"more than the final round is cached: $during")
     ClusterOps.unpersistAll()
     val after = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(after.isEmpty, s"final round not released: $after")
+  }
+
+  test("incremental dedup: exact store probe, snapshot merge, minhash store probe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different document about spark plans"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    IncrementalDedup.writeExactStore(corpus, "text", "doc_id", s"$dir/exact")
+
+    // batch: one re-ingest of stored content (new id), one novel doc
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "novel content never seen before")).toDF("doc_id", "text")
+    val dups = IncrementalDedup.exactDupsAgainstStore(
+        spark, s"$dir/exact", batch, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(dups.toSeq == Seq(10L -> 1L), s"${dups.toSeq}")
+
+    // snapshot merge: novel content joins the store, min-id keeper kept
+    IncrementalDedup.mergeExactStore(
+      spark, s"$dir/exact", batch, "text", "doc_id", s"$dir/exact2")
+    val merged = spark.read.parquet(s"$dir/exact2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.size == 3)
+    assert(merged.values.toSet == Set(1L, 2L, 11L), "min-id keepers survive the merge")
+
+    // minhash store: near-dup (one token changed) found across the
+    // split, novel doc not flagged; agreement is an exact k/32
+    val storeDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "unrelated text entirely about something else altogether")).toDF("doc_id", "text")
+    val probeDocs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (11L, "yet another topic with no overlap at all whatsoever")).toDF("doc_id", "text")
+    IncrementalDedup.writeMinhashStore(storeDocs, "text", "doc_id",
+      s"$dir/mh", portableHash = true)
+    val near = IncrementalDedup.minhashDupsAgainstStore(
+        spark, s"$dir/mh", probeDocs, "text", "doc_id",
+        simThreshold = 0.5, portableHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(near.map(t => (t._1, t._2)).toSeq == Seq((10L, 1L)), near.toSeq)
+    assert(near.head._3 > 0.5 && near.head._3 <= 1.0)
+    assert((near.head._3 * 32) == math.rint(near.head._3 * 32),
+      "agreement must be an exact k/32 fraction")
   }
 
   test("deduped corpus keeps one canonical doc per cluster") {
