@@ -1327,6 +1327,22 @@ class OpsSpec extends AnyFunSuite {
     assert(SampleOps.isqrt(999999L) == 999L)
     assert(SampleOps.isqrt(1000000L) == 1000L)
     assert(SampleOps.isqrt((1L << 52) - 1) == 67108863L)
+    // the Long-overflow region the (x+1)² form wrapped on (ADVICE r06):
+    // near and at Long.MaxValue the root must stay the true floor
+    assert(SampleOps.isqrt(Long.MaxValue) == 3037000499L)
+    assert(SampleOps.isqrt(3037000499L * 3037000499L) == 3037000499L)
+    assert(SampleOps.isqrt(3037000499L * 3037000499L - 1) == 3037000498L)
+    // a NULL stratum is a REAL stratum (null-safe cutoff join): it was
+    // counted, so it samples at its own cutoff instead of vanishing
+    val withNull = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 200L).map(i => (i, null: String))).toDF("doc_id", "lang")
+    val sampled = SampleOps.temperatureSample(withNull, "doc_id", "lang", 100L, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nullKept = sampled.count(_._2 == null)
+    // equal counts → equal cutoffs → null stratum keeps ≈ the same
+    // share as 'a' (both ~50); zero would mean it was silently dropped
+    assert(nullKept > 25 && nullKept < 75, s"null stratum kept $nullKept")
+    assert(sampled.count(_._2 == "a") > 25, sampled.length)
     // a degenerate stratum column fails fast instead of flooding the driver
     val err = intercept[IllegalArgumentException] {
       SampleOps.temperatureSample(df, "doc_id", "doc_id", 10L, "t", maxStrata = 50)
