@@ -239,8 +239,10 @@ object SimilarityOps {
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("nrm"))
         .filter(col("v").isNotNull && col("nrm") > 0)
+        // array_min, not sort: O(nCells) per corpus row (same
+        // lexicographic (score, cell) minimum — see assignCells)
         .withColumn("cell",
-          element_at(sort_array(array(cellScores: _*)), 1).getField("cell")))
+          array_min(array(cellScores: _*)).getField("cell")))
     val hot = assigned.groupBy("cell").agg(count(lit(1)).as("pop"))
       .filter(col("pop") > maxCell).select("cell")
     val cold = assigned.join(broadcast(hot), Seq("cell"), "left_anti")

@@ -505,6 +505,23 @@ class OpsSpec extends AnyFunSuite {
       "agreement must be an exact k/32 fraction")
   }
 
+  test("incremental dedup probe plan: batch broadcasts, store never shuffles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-plan").toString
+    val corpus = (1L to 50L).map(i => (i, s"doc body number $i with words"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.writeExactStore(corpus, "text", "doc_id", s"$dir/exact")
+    val probe = IncrementalDedup.exactDupsAgainstStore(
+      spark, s"$dir/exact", corpus.limit(5), "text", "doc_id")
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the store side must reach the join straight from its scan — any
+    // hash-partitioned Exchange would mean the 100 TB store reshuffles
+    // per ingest batch
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("deduped corpus keeps one canonical doc per cluster") {
     import spark.implicits._
     val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "aaa"), (4L, "bbb"),
