@@ -1090,6 +1090,86 @@ object SparkEntry {
       s"{'score': $c2 - 2.0E0 * list_dot_product($vecExpr, $arr), 'cell': $i}"
     }.mkString(",\n            ")
 
+  /** The deterministic PQ codebook fixture for the verify SF
+    * (tools: `sbt "runMain graft.GenPqCodebooks"`).  Same contract as
+    * [[ivfCentroidsSf001]]: OpsSpec pins runtime == fixture.
+    */
+  private lazy val pqCodebooksSf001: Array[Array[Array[Double]]] = {
+    val t = Golden.load("sf0.01_pq_codebooks.json")
+    t.rows
+      .groupBy(_.head.asInstanceOf[Double])
+      .toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_(1).asInstanceOf[Double])
+          .map(_.drop(2).map(_.asInstanceOf[Double]).toArray).toArray
+      }.toArray
+  }
+
+  /** PQ encode as DuckDB SQL: per-subspace argmin over the (score,
+    * code) struct list built from the SAME codebook literals the
+    * Spark plan ships (`||cw||² − 2·v_s·cw` ranks like squared L2 —
+    * the [[centroidStructList]] pattern per subspace).
+    */
+  private def pqCodesSql(cbs: Array[Array[Array[Double]]], vecExpr: String): String = {
+    val sub = cbs.head.head.length
+    (0 until cbs.length).map { s =>
+      val lo = s * sub + 1
+      val hi = s * sub + sub
+      val structs = cbs(s).zipWithIndex.map { case (cw, j) =>
+        val arr = cw.map(dlit).mkString("[", ", ", "]")
+        val c2 = dlit(graft.ops.SimilarityOps.sumSquares(cw))
+        s"{'score': $c2 - 2.0E0 * list_dot_product($vecExpr[$lo:$hi], $arr), 'code': $j}"
+      }.mkString(",\n              ")
+      s"(list_sort([$structs]))[1].code"
+    }.mkString("[", ",\n           ", "]")
+  }
+
+  /** `SimilarityOps.pqTopKADC` as DuckDB SQL: the same codebook
+    * literals, the same per-subspace argmin codes, and the same ADC
+    * accumulation `||q_s||² − 2·q_s·cw + ||cw||²` summed left-to-right
+    * over subspaces — every piece a literal (dlit round-trip) or a
+    * sequential dot fold, so the float scores match bit-for-bit.
+    */
+  private def pqTopKOracleSql(cbs: Array[Array[Array[Double]]], k: Int): String = {
+    val m = cbs.length
+    val sub = cbs.head.head.length
+    // per-subspace ADC term against a code column: q-side dots stay
+    // DATA (the oracle recomputes them from the same embeddings rows),
+    // cw reconstruction + ||cw||² come from literals indexed by code
+    val terms = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = s * sub + sub
+      val cwList = cbs(s).map(_.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[", ",\n              ", "]")
+      val cw2List = cbs(s).map(cw =>
+        dlit(graft.ops.SimilarityOps.sumSquares(cw))).mkString("[", ", ", "]")
+      s"""(list_dot_product(q.qv[$lo:$hi], q.qv[$lo:$hi])
+         |            - 2.0E0 * list_dot_product(q.qv[$lo:$hi], ($cwList)[c.codes[${s + 1}] + 1])
+         |            + ($cw2List)[c.codes[${s + 1}] + 1])""".stripMargin
+    }.mkString("\n          + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+       |), c AS (
+       |  SELECT vec_id, ${pqCodesSql(cbs, "v")} AS codes
+       |  FROM b
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM b WHERE vec_id < 8
+       |), s AS (
+       |  SELECT q.query_id, c.vec_id AS corpus_id,
+       |         $terms AS adc
+       |  FROM c CROSS JOIN q
+       |), r AS (
+       |  SELECT query_id, corpus_id, adc,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY adc ASC, corpus_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, corpus_id, adc, rank FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** `SimilarityOps.semanticDupDrops` as DuckDB SQL: centroid-literal
     * nearest-cell assignment (the IVF oracle's struct sort), hot-cell
     * exclusion, the within-cell `lower id × cosine ≥ t` pair rule, and
@@ -1344,6 +1424,19 @@ object SparkEntry {
     // the persisted-index flavor materializes the SAME assignment and
     // prunes to probed cells — identical result set, identical oracle
     "q_ann_topk_ivf_index" -> ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10),
+    // product-quantization replay: codebook literals → per-subspace
+    // argmin codes → left-to-right ADC accumulation, bit-for-bit
+    "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
+    "q_pq_encode" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), b AS (
+         |  SELECT vec_id, v FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+         |)
+         |SELECT vec_id,
+         |       array_to_string(${pqCodesSql(pqCodebooksSf001, "v")}, ',') AS code_str
+         |FROM b ORDER BY vec_id""".stripMargin,
     // SemDeDup replay: the SAME centroid literals + nearest-cell
     // struct sort as the IVF oracle, then the within-cell lower-id
     // neighbor rule (count/max are order-free aggregates; the cosine
@@ -1977,6 +2070,32 @@ object SparkEntry {
             s, idx, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
             cents, nProbe = 4, k = 10)
           .orderBy("query_id", "rank")
+      },
+      "q_ann_topk_pq" -> { (s, dir) =>
+        // product quantization: deterministic per-subspace codebooks
+        // (same sorted-sample Lloyd as the IVF centroids) → 32×
+        // compressed integer codes → exhaustive ADC scan; at 100 TB
+        // the scan reads m codes per vector instead of 4·dim bytes
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cbs = SimilarityOps.pqCodebooks(
+          emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+        SimilarityOps.pqTopKADC(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cbs, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      "q_pq_encode" -> { (s, dir) =>
+        // the compressed corpus itself: every vector's m-byte code
+        // word (integer-exact, so the whole surface hash-gates)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cbs = SimilarityOps.pqCodebooks(
+          emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+        SimilarityOps.pqEncode(emb, "vec_id", "embedding", cbs)
+          .select(col("id").as("vec_id"),
+            concat_ws(",", col("codes")).as("code_str"))
+          .orderBy("vec_id")
       },
       "q_ann_topk_ivf" -> { (s, dir) =>
         // deterministic IVF: centroids from a sorted driver-side

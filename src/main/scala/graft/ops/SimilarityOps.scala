@@ -526,6 +526,122 @@ object SimilarityOps {
     rankTopK(cand, k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Per-subspace deterministic codebooks for product quantization
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the [[deterministicCentroids]] sample
+    * discipline — `sampleN` smallest ids, sequential Lloyd — applied
+    * independently to each of the `m` vector subspaces.  Returns
+    * `[m][ksub][dim/m]`, shipped as LITERALS like the IVF centroids,
+    * so encode/score plans are pure projections and the whole path
+    * replays bit-for-bit in an external engine.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, sampleN: Int = 256,
+      iters: Int = 10): Array[Array[Array[Double]]] = {
+    val rows = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && col("nrm") > 0)
+      .orderBy("id")
+      .limit(sampleN)
+      .collect()
+    val samples = rows.map(_.getSeq[Any](1).iterator
+      .map(_.asInstanceOf[Number].doubleValue).toArray)
+    val dim = samples.head.length
+    require(dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m)(s =>
+      lloydCentroids(samples.map(_.slice(s * sub, (s + 1) * sub)), ksub, iters))
+  }
+
+  /** `(id, codes)` — each vector compressed to its per-subspace
+    * nearest-codeword indices (`array<int>` of length m: 4·dim bytes
+    * → m small ints, 32× at dim=64/m=8).  Pure projection — the
+    * argmin per subspace is the same `array_min`-over-(score, code)
+    * structs as the IVF assignment, O(ksub) per subspace per row.
+    * Null/zero-norm vectors are dropped (nothing to quantize).
+    */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    def codeFor(vec: Column, s: Int): Column = {
+      val vs = slice(vec, s * sub + 1, sub)
+      array_min(array(codebooks(s).zipWithIndex.map { case (cw, j) =>
+        struct(
+          (lit(sumSquares(cw)) - lit(2.0) * dot(vs, lit(cw))).as("score"),
+          lit(j).as("code"))
+      }: _*)).getField("code")
+    }
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && col("nrm") > 0)
+      .select(col("id"),
+        array((0 until m).map(s => codeFor(col("v"), s)): _*).as("codes"))
+  }
+
+  /** Exhaustive ADC (asymmetric distance computation) top-k over PQ
+    * codes: every corpus vector participates as its m-code row; each
+    * query scores a row by looking up the reconstructed codeword per
+    * subspace and accumulating `||q_s||² − 2·q_s·cw + ||cw||²` in a
+    * FIXED left-to-right subspace order (each piece a literal or a
+    * sequential dot fold — so an external engine replays the same
+    * float bits).  ONE scan of the encoded corpus produces every
+    * query's scores via an inline per-row struct explode, then the
+    * usual WindowGroupLimit rank shape selects k.
+    *
+    * At 100 TB this is the memory-bandwidth play: the scan reads m
+    * codes per vector instead of 4·dim bytes of floats (32× at
+    * dim=64/m=8), which is what makes exhaustive scanning of a
+    * compressed corpus feasible; compose with the IVF cell filter for
+    * IVF-PQ when even the compressed scan is too much.  Queries are
+    * collected driver-side (small by the ANN contract, like
+    * [[bruteForceTopK]]).
+    */
+  def pqTopKADC(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      codebooks: Array[Array[Array[Double]]], k: Int = 10): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val encoded = pqEncode(corpus, corpusId, corpusVec, codebooks)
+    val qData = queries
+      .select(col(queryId).as("qid"), col(queryVec).as("qv"),
+        norm(col(queryVec)).as("qn"))
+      .filter(col("qv").isNotNull && col("qn") > 0)
+      .orderBy("qid")
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Any](1).iterator
+        .map(_.asInstanceOf[Number].doubleValue).toArray))
+    // ||cw||² per (subspace, code) as literal lookup arrays — constant
+    // per code, no reason to re-dot it per row
+    val cw2 = codebooks.map(_.map(sumSquares))
+    def adcFor(qv: Array[Double]): Column =
+      (0 until m).map { s =>
+        val qs = qv.slice(s * sub, (s + 1) * sub)
+        val codeIdx = element_at(col("codes"), s + 1) + 1
+        val recon = element_at(
+          array(codebooks(s).map(cw => lit(cw)): _*), codeIdx)
+        lit(sumSquares(qs)) - lit(2.0) * dot(lit(qs), recon) +
+          element_at(lit(cw2(s)), codeIdx)
+      }.reduceLeft(_ + _)
+    val perQuery = qData.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"), adcFor(qv).as("adc"))
+    }
+    val cand = encoded
+      .select(col("id").as("corpus_id"), explode(array(perQuery: _*)).as("q"))
+      .select(col("q.query_id"), col("corpus_id"), col("q.adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("corpus_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "adc", "rank")
+  }
+
   /** Mean-pooled per-group centroids in the EXACT-INTEGER domain: each
     * element quantizes to `round(v * scale)` (scale a power of two, so
     * the scaling itself is exact double math), the per-(group, dim)

@@ -131,6 +131,54 @@ class OpsSpec extends AnyFunSuite {
     assert(auto.filter(r => r.getLong(0) == r.getLong(1)).length == 5)
   }
 
+  test("product quantization: codebooks reproduce the fixture, exact-reconstructible " +
+    "vectors round-trip, ADC finds self first") {
+    import spark.implicits._
+    val sf01emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cbs = SimilarityOps.pqCodebooks(
+      sf01emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+    // oracle-literal parity: the fixture IS this computation
+    val fixture = Golden.load("sf0.01_pq_codebooks.json")
+    assert(fixture.rows.length == 8 * 16)
+    fixture.rows.foreach { row =>
+      val s = row(0).asInstanceOf[Double].toInt
+      val j = row(1).asInstanceOf[Double].toInt
+      row.drop(2).map(_.asInstanceOf[Double]).zip(cbs(s)(j)).foreach {
+        case (a, b) => assert(a == b, s"codebook drift at ($s,$j): $a vs $b")
+      }
+    }
+    // exact-reconstruction invariant: a corpus whose vectors ARE
+    // concatenated codewords must encode back to the constructing
+    // codes, and its ADC self-distance is exactly 0
+    val built = Seq(
+      (100L, (0 until 8).flatMap(s => cbs(s)(3)).map(_.toFloat).toArray),
+      (101L, (0 until 8).flatMap(s => cbs(s)(7)).map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val codes = SimilarityOps.pqEncode(built, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(100L) == Seq.fill(8)(3), codes(100L))
+    assert(codes(101L) == Seq.fill(8)(7), codes(101L))
+    val self = SimilarityOps.pqTopKADC(built, "vec_id", "embedding",
+        built, "vec_id", "embedding", cbs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    self.foreach { case (q, c, adc) =>
+      assert(q == c, s"rank-1 of $q is $c")
+      // not exactly 0: the float embedding column rounds the double
+      // codewords, and the ||q||²−2q·cw+||cw||² form cancels — a few
+      // ulps is the true floor
+      assert(math.abs(adc) < 1e-12, s"self ADC of $q is $adc")
+    }
+    // on real embeddings: every query's own vector is its ADC rank-1
+    // (2000 docs, 16^8 code space — quantization ties are absent here)
+    val top = SimilarityOps.pqTopKADC(sf01emb, "vec_id", "embedding",
+        sf01emb.filter(col("vec_id") < 5), "vec_id", "embedding", cbs, k = 3)
+      .collect()
+    val rank1 = top.filter(_.getInt(3) == 1)
+    assert(rank1.length == 5)
+    rank1.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"rank-1 of ${r.getLong(0)} is ${r.getLong(1)}"))
+  }
+
   test("deterministic IVF: centroids reproduce the fixture bit-for-bit, topk matches brute cosines") {
     val sf01emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val cents = SimilarityOps.deterministicCentroids(
