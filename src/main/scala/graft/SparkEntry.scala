@@ -1170,6 +1170,56 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** `SimilarityOps.ivfPqTopK` as DuckDB SQL: the IVF oracle's
+    * cell-assignment/probe CTEs + the PQ oracle's code argmin and ADC
+    * terms, joined on the probed cell — the composition replays
+    * because both halves do.
+    */
+  private def ivfPqOracleSql(
+      centroids: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], nProbe: Int, k: Int): String = {
+    val m = cbs.length
+    val sub = cbs.head.head.length
+    val terms = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = s * sub + sub
+      val cwList = cbs(s).map(_.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[", ",\n              ", "]")
+      val cw2List = cbs(s).map(cw =>
+        dlit(graft.ops.SimilarityOps.sumSquares(cw))).mkString("[", ", ", "]")
+      s"""(list_dot_product(q.qv[$lo:$hi], q.qv[$lo:$hi])
+         |            - 2.0E0 * list_dot_product(q.qv[$lo:$hi], ($cwList)[a.codes[${s + 1}] + 1])
+         |            + ($cw2List)[a.codes[${s + 1}] + 1])""".stripMargin
+    }.mkString("\n          + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+       |), a AS (
+       |  SELECT vec_id, v,
+       |         (list_sort([${centroidStructList(centroids, "v")}]))[1].cell AS cell,
+       |         ${pqCodesSql(cbs, "v")} AS codes
+       |  FROM b
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv,
+       |         unnest(list_transform(
+       |           (list_sort([${centroidStructList(centroids, "v")}]))[1:$nProbe],
+       |           s -> s.cell)) AS cell
+       |  FROM b WHERE vec_id < 8
+       |), s AS (
+       |  SELECT q.query_id, a.vec_id AS corpus_id,
+       |         $terms AS adc
+       |  FROM a JOIN q USING (cell)
+       |), r AS (
+       |  SELECT query_id, corpus_id, adc,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY adc ASC, corpus_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, corpus_id, adc, rank FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** `SimilarityOps.semanticDupDrops` as DuckDB SQL: centroid-literal
     * nearest-cell assignment (the IVF oracle's struct sort), hot-cell
     * exclusion, the within-cell `lower id × cosine ≥ t` pair rule, and
@@ -1427,6 +1477,8 @@ object SparkEntry {
     // product-quantization replay: codebook literals → per-subspace
     // argmin codes → left-to-right ADC accumulation, bit-for-bit
     "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
+    "q_ann_topk_ivfpq" ->
+      ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
     "q_pq_encode" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2096,6 +2148,23 @@ object SparkEntry {
           .select(col("id").as("vec_id"),
             concat_ws(",", col("codes")).as("code_str"))
           .orderBy("vec_id")
+      },
+      "q_ann_topk_ivfpq" -> { (s, dir) =>
+        // the production composition: IVF cell pruning × PQ codes —
+        // the scan touches ~nProbe/nCells of the corpus AND reads
+        // codes instead of floats; deterministic end to end, so the
+        // composed plan replays in DuckDB like its two halves
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        val cbs = SimilarityOps.pqCodebooks(
+          emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+        SimilarityOps.ivfPqTopK(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, cbs, nProbe = 4, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
       },
       "q_ann_topk_ivf" -> { (s, dir) =>
         // deterministic IVF: centroids from a sorted driver-side

@@ -563,12 +563,14 @@ object SimilarityOps {
     * structs as the IVF assignment, O(ksub) per subspace per row.
     * Null/zero-norm vectors are dropped (nothing to quantize).
     */
-  def pqEncode(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
+  /** `array<int>` of per-subspace nearest-codeword indices for `vec`
+    * — the PQ code word as a pure expression (shared by the encode,
+    * ADC, and IVF-PQ paths).
+    */
+  private def pqCodesOf(
+      vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     val sub = codebooks.head.head.length
-    def codeFor(vec: Column, s: Int): Column = {
+    def codeFor(s: Int): Column = {
       val vs = slice(vec, s * sub + 1, sub)
       array_min(array(codebooks(s).zipWithIndex.map { case (cw, j) =>
         struct(
@@ -576,12 +578,34 @@ object SimilarityOps {
           lit(j).as("code"))
       }: _*)).getField("code")
     }
+    array(codebooks.indices.map(codeFor): _*)
+  }
+
+  /** Per-subspace ADC terms against a `codes` column, with the query
+    * subvector as a COLUMN expression — `||q_s||² − 2·q_s·cw +
+    * ||cw||²` accumulated left-to-right (every piece a literal lookup
+    * or a sequential dot fold, so external engines replay the bits).
+    */
+  private def adcExpr(
+      qVec: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    codebooks.indices.map { s =>
+      val qs = slice(qVec, s * sub + 1, sub)
+      val codeIdx = element_at(codes, s + 1) + 1
+      val recon = element_at(array(codebooks(s).map(cw => lit(cw)): _*), codeIdx)
+      dot(qs, qs) - lit(2.0) * dot(qs, recon) +
+        element_at(lit(codebooks(s).map(sumSquares)), codeIdx)
+    }.reduceLeft(_ + _)
+  }
+
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
     corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
       .filter(col("v").isNotNull && col("nrm") > 0)
-      .select(col("id"),
-        array((0 until m).map(s => codeFor(col("v"), s)): _*).as("codes"))
-  }
+      .select(col("id"), pqCodesOf(col("v"), codebooks).as("codes"))
 
   /** Exhaustive ADC (asymmetric distance computation) top-k over PQ
     * codes: every corpus vector participates as its m-code row; each
@@ -634,6 +658,40 @@ object SimilarityOps {
     val cand = encoded
       .select(col("id").as("corpus_id"), explode(array(perQuery: _*)).as("q"))
       .select(col("q.query_id"), col("corpus_id"), col("q.adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("corpus_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "adc", "rank")
+  }
+
+  /** IVF-PQ — the production ANN composition: the IVF coarse
+    * quantizer prunes the corpus to each query's `nProbe` probed
+    * cells, then PQ codes stand in for the pruned vectors under the
+    * ADC score.  One corpus projection computes BOTH the cell
+    * assignment and the code word; the probe join broadcasts the
+    * query side (ivfTopKWithCentroids' shape); the ADC runs with the
+    * query vector as a column, so nothing is collected beyond the
+    * centroid/codebook literals.  At 100 TB the scan touches
+    * ~nProbe/nCells of the corpus AND reads codes instead of floats —
+    * the two levers multiply.  Fully deterministic given
+    * [[deterministicCentroids]] + [[pqCodebooks]], hence
+    * oracle-replayable end-to-end.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val assigned = assignCells(corpus, corpusId, corpusVec, centroids)
+      .select(col("corpus_id"), col("cell"),
+        pqCodesOf(col("cv"), codebooks).as("codes"))
+    val q = probeCells(queries, queryId, queryVec, centroids, nProbe)
+    val cand = assigned.join(broadcast(q), "cell")
+      .select(col("query_id"), col("corpus_id"),
+        adcExpr(col("qv"), col("codes"), codebooks).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("corpus_id").asc)

@@ -177,6 +177,25 @@ class OpsSpec extends AnyFunSuite {
     assert(rank1.length == 5)
     rank1.foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"rank-1 of ${r.getLong(0)} is ${r.getLong(1)}"))
+
+    // IVF-PQ: the cell restriction prunes candidates but must not
+    // perturb the ADC score of any surviving pair (column-wise vs
+    // literal-collected query arithmetic both fold sequentially)
+    val cents = SimilarityOps.deterministicCentroids(
+      sf01emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    val ivfpq = SimilarityOps.ivfPqTopK(sf01emb, "vec_id", "embedding",
+        sf01emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cents, cbs, nProbe = 4, k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val full = SimilarityOps.pqTopKADC(sf01emb, "vec_id", "embedding",
+        sf01emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cbs, k = sf01emb.count().toInt)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (key, adc) =>
+      assert(full.contains(key) && full(key) == adc,
+        s"IVF-PQ adc for $key diverges from the full ADC scan")
+    }
   }
 
   test("deterministic IVF: centroids reproduce the fixture bit-for-bit, topk matches brute cosines") {
