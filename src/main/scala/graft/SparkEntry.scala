@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.spark.{WoeBinning, WoeFitOptions}
-import graft.ops.{AsofOps, ClusterOps, DedupOps, MultimodalOps, SampleOps, SimilarityOps, StreamingOps, TextOps}
+import graft.ops.{AsofOps, ClusterOps, DedupOps, MultimodalOps, SampleOps, SelectionOps, SimilarityOps, StreamingOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -253,6 +253,92 @@ object SparkEntry {
         |       CAST(sum(tf.tf * v.freq) AS DOUBLE) / sum(tf.tf) AS avg_token_freq
         |FROM tf JOIN v USING (token)
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet head/middle/tail replay (SelectionOps.perplexityBuckets):
+    // the rarity CTEs + per-language ntile(3) on the integer-exact
+    // avg_token_freq ranking, ties on doc_id
+    "q_lm_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, token),
+        |r AS (SELECT tf.doc_id,
+        |             CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |             CAST(sum(tf.tf * v.freq) AS DOUBLE) / sum(tf.tf) AS avg_token_freq
+        |      FROM tf JOIN v USING (token) GROUP BY tf.doc_id),
+        |j AS (SELECT r.doc_id, d.lang, r.n_tokens, r.avg_token_freq,
+        |             CAST(ntile(3) OVER (PARTITION BY d.lang
+        |               ORDER BY r.avg_token_freq DESC, r.doc_id) AS BIGINT) AS bucket
+        |      FROM r JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, n_tokens, avg_token_freq, bucket,
+        |       CASE WHEN bucket = 1 THEN 'head'
+        |            WHEN bucket = 3 THEN 'tail'
+        |            ELSE 'middle' END AS band
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // token-budget selection replay (SelectionOps.budgetSelect): the
+    // quality-score CTEs + per-language running token sum over the
+    // (score desc, id) ranking; keep rows that START inside the budget
+    "q_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, length(text) AS n_chars,
+        |         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS stop_hits,
+        |         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, tok, n_words,
+        |         CASE WHEN n_words > 0
+        |              THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+        |              ELSE 0.0 END AS avg_word_len,
+        |         CASE WHEN n_words > 0
+        |              THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio,
+        |         CASE WHEN n_chars > 0
+        |              THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio
+        |  FROM t
+        |), q AS (
+        |  SELECT doc_id AS id, lang AS part,
+        |         (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+        |          + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+        |          + CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.0 END
+        |          + CASE WHEN alpha_ratio > 0.6 THEN 1.0 ELSE 0.0 END) / 4.0 AS score,
+        |         CAST(tok AS BIGINT) AS n_tokens
+        |  FROM m
+        |), c AS (
+        |  SELECT id, part, score, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY part
+        |           ORDER BY score DESC, id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT id, part, score, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 5000
+        |ORDER BY part, id""".stripMargin,
+    // mixture-plan replay (SelectionOps.mixturePlan): per-source
+    // integer token totals joined to literal target shares; epochs is
+    // one double division then a min — every share*budget product is
+    // integral so round() never faces a half case
+    "q_mixture_plan" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+        |  FROM documents
+        |), a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source
+        |), s AS (
+        |  SELECT * FROM (VALUES
+        |    ('src0', 3.0E-1), ('src1', 2.5E-1), ('src2', 2.0E-1),
+        |    ('src3', 1.5E-1), ('src4', 1.0E-1)) AS v(source, target_share))
+        |SELECT a.source, a.n_docs, a.n_tokens, s.target_share,
+        |       CAST(round(s.target_share * 100000) AS BIGINT) AS needed_tokens,
+        |       least(CAST(CAST(round(s.target_share * 100000) AS BIGINT) AS DOUBLE)
+        |             / a.n_tokens, 4.0E0) AS epochs
+        |FROM a JOIN s USING (source) ORDER BY source""".stripMargin,
     // duplicate-window replay (DedupOps.duplicateWindowStats, k=8):
     // overlapping 8-token windows as md5-60bit hashes, per-hash
     // distinct-doc counts, per-doc share of windows seen in ≥2 docs
@@ -2259,6 +2345,36 @@ object SparkEntry {
         TextOps.tokenRarityStats(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .orderBy("doc_id")
+      },
+      "q_lm_buckets" -> { (s, dir) =>
+        // CCNet-style head/middle/tail: per-language ntile over the
+        // integer-exact token-commonness ranking
+        SelectionOps.perplexityBuckets(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", "lang", nBuckets = 3)
+          .orderBy("doc_id")
+      },
+      "q_budget_select" -> { (s, dir) =>
+        // greedy quality-ranked selection until each language's token
+        // budget is spent — the data-selection primitive
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val scored = TextOps.qualityMetrics(docs, "text")
+          .select(col("doc_id"), col("lang"), col("quality_score"),
+            TextOps.bpeTokenEstimate(col("text")).as("tok"))
+        SelectionOps.budgetSelect(
+            scored, "doc_id", "lang", "quality_score", "tok", budget = 5000L)
+          .orderBy("part", "id")
+      },
+      "q_mixture_plan" -> { (s, dir) =>
+        // domain weights -> concrete per-source epochs under a total
+        // token budget (shares * budget all integral: no round() halves)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"), TextOps.bpeTokenEstimate(col("text")).as("tok"))
+        SelectionOps.mixturePlan(docs, "source", "tok",
+            Map("src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20,
+                "src3" -> 0.15, "src4" -> 0.10),
+            totalBudget = 100000L, maxEpochs = 4.0)
+          .orderBy("source")
       },
       "q_window_dedup" -> { (s, dir) =>
         DedupOps.duplicateWindowStats(

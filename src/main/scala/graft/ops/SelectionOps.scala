@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for assembling a training mix out of a
+  * scored corpus: perplexity-style bucketing (CCNet's head/middle/tail
+  * split), token-budget-capped selection, and per-source mixture
+  * planning (how many epochs of each source hit a target blend).
+  *
+  * All three stay in the exact-integer / exact-ratio domain wherever a
+  * value crosses an aggregation (token counts sum as longs; the only
+  * doubles are single divisions of integers or already-hash-gated
+  * quality ratios), so results are partition-order-independent and
+  * replay bit-for-bit in an external engine.
+  */
+object SelectionOps {
+
+  /** CCNet-style per-language corpus split (Wenzek et al. 2020,
+    * arXiv:1911.00359): rank each document within its language by a
+    * model score and cut the ranking into `nBuckets` equal parts —
+    * bucket 1 = "head" (most in-distribution), last = "tail".  The
+    * score here is [[TextOps.tokenRarityStats]]' `avg_token_freq`
+    * (mean corpus frequency of the document's tokens — integer-exact,
+    * so cross-engine ties are impossible to mis-order): high mean
+    * frequency = common language = the low-perplexity head, directly
+    * analogous to CCNet's LM-perplexity ranking without a float score
+    * that could diverge between engines.  Ties break on `id` so the
+    * ntile assignment is a pure function of the data.
+    *
+    * Scale shape: one token-keyed hash agg (the rarity stats) plus ONE
+    * window partitioned by language.  The window sorts each language
+    * once — the exact-ntile cost.  At 100 TB with a skewed language
+    * mix, swap the exact ntile for approximate score cut-points
+    * (e.g. `approxQuantile` per language broadcast back as range
+    * predicates); the bucket semantics degrade only at the cut edges.
+    * The oracle path keeps exact ntile.
+    */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"perplexityBuckets: nBuckets=$nBuckets must be >= 2")
+    val rarity = TextOps.tokenRarityStats(df, idCol, textCol)
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_freq"))
+    val langs = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_token_freq").desc, col("doc_id"))
+    rarity.join(langs, "doc_id")
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .withColumn("band",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail")
+          .otherwise("middle"))
+      .select("doc_id", "lang", "n_tokens", "avg_token_freq", "bucket", "band")
+  }
+
+  /** Token-budget-capped selection: within each `partCol` group, rank
+    * documents by `scoreCol` (descending, ties on `idCol`) and keep a
+    * document iff it STARTS inside the group's token budget — the
+    * running token sum of all better-ranked documents is `< budget`.
+    * The greedy prefix rule every "take the best N tokens per
+    * language" data-selection recipe uses; the last kept document may
+    * overrun the budget (standard — a document is atomic).
+    *
+    * `cum_tokens` (running total INCLUDING the row) rides along so the
+    * caller can see the realized budget.  All running sums are integer.
+    *
+    * Scale shape: ONE window per group — same exact-sort cost and the
+    * same approximate escape hatch as [[perplexityBuckets]]: at
+    * extreme scale, pre-bucket by a coarse score quantile, take whole
+    * buckets while they fit, and sort only the boundary bucket.
+    */
+  def budgetSelect(
+      df: DataFrame, idCol: String, partCol: String, scoreCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budgetSelect: budget=$budget must be positive")
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("id"), col(partCol).as("part"),
+        col(scoreCol).as("score"), col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select("id", "part", "score", "n_tokens", "cum_tokens")
+  }
+
+  /** Per-source mixture plan: given target sampling proportions and a
+    * total token budget, compute how many epochs (repeat factor) of
+    * each source realize the blend — the DoReMi/Pile-style "domain
+    * weights → concrete epochs" step.  `epochs` is
+    * `min(needed / available, maxEpochs)`: one double division of two
+    * exact integers, then a min — bit-replayable.  Sources missing
+    * from `targets` get share 0 (excluded); shares need not sum to 1
+    * (they are normalized by the caller's convention, passed through
+    * verbatim as `target_share`).
+    *
+    * Scale shape: a per-source integer agg (hash agg, no sort) plus a
+    * broadcast of the tiny plan table.  Nothing here grows with corpus
+    * size except the one aggregation.
+    */
+  def mixturePlan(
+      df: DataFrame, sourceCol: String, tokenCol: String,
+      targets: Map[String, Double], totalBudget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(totalBudget > 0, s"mixturePlan: totalBudget=$totalBudget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = targets.toSeq.toDF("source", "target_share")
+    df.select(col(sourceCol).as("source"), col(tokenCol).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .join(broadcast(shares), Seq("source"), "inner")
+      .withColumn("needed_tokens",
+        round(col("target_share") * totalBudget).cast("long"))
+      .withColumn("epochs",
+        least(col("needed_tokens").cast("double") / col("n_tokens"),
+          lit(maxEpochs)))
+      .select("source", "n_docs", "n_tokens", "target_share",
+        "needed_tokens", "epochs")
+  }
+}

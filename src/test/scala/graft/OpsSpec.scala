@@ -1465,4 +1465,62 @@ class OpsSpec extends AnyFunSuite {
     assert(m(1L) == ((5L, 2L, 0.6, 0.6)))
     assert(m(2L)._3 == 0.0 && m(2L)._4 == 0.0)
   }
+
+  test("perplexity buckets: per-lang ntile sizes within 1, head outranks tail") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val rows = SelectionOps.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getLong(4), r.getString(5)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang ntile sizes $sizes differ by more than 1")
+      // every head score >= every tail score within the language
+      val headMin = rs.filter(_._4 == "head").map(_._2).min
+      val tailMax = rs.filter(_._4 == "tail").map(_._2).max
+      assert(headMin >= tailMax, s"$lang head $headMin < tail $tailMax")
+    }
+  }
+
+  test("budget select: greedy prefix property per partition") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val scored = TextOps.qualityMetrics(docs, "text")
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        TextOps.bpeTokenEstimate(col("text")).as("tok"))
+    val budget = 2000L
+    val kept = SelectionOps.budgetSelect(
+        scored, "doc_id", "lang", "quality_score", "tok", budget)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._1).foreach { case (lang, rs) =>
+      // every kept row starts inside the budget; the running total is
+      // consistent with the row's own token count
+      rs.foreach { case (_, id, tok, cum) =>
+        assert(cum - tok < budget, s"$lang doc $id starts past the budget")
+      }
+      // the greedy set is a PREFIX of the ranking: kept count must
+      // equal the number of ranked docs whose predecessors fit
+      val ranked = scored.filter(col("lang") === lang)
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .select(col("tok").cast("long")).collect().map(_.getLong(0))
+      val expected = ranked.scanLeft(0L)(_ + _).init.count(_ < budget)
+      assert(rs.length == expected,
+        s"$lang kept ${rs.length}, greedy prefix says $expected")
+    }
+  }
+
+  test("mixture plan: epochs = min(needed/available, cap), missing sources excluded") {
+    import spark.implicits._
+    val df = Seq.tabulate(60)(i => (s"s${i % 3}", 10L + i % 7))
+      .toDF("source", "tok")
+    val plan = SelectionOps.mixturePlan(df, "source", "tok",
+        Map("s0" -> 0.9, "s1" -> 0.1), totalBudget = 10000L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    assert(!plan.contains("s2"), "untargeted source must be excluded")
+    val (_, n0, need0, ep0) = (0, plan("s0")._2, plan("s0")._3, plan("s0")._4)
+    assert(need0 == 9000L)
+    assert(ep0 == math.min(need0.toDouble / n0, 4.0))
+    assert(plan("s1")._4 == math.min(1000.0 / plan("s1")._2, 4.0))
+  }
 }
