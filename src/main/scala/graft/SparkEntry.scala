@@ -401,6 +401,12 @@ object SparkEntry {
         |JOIN sz sa ON p.source_a = sa.source
         |JOIN sz sb ON p.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+    // JSONL round-trip: the Spark side goes parquet -> JSONL -> back;
+    // the oracle reads the parquet directly, so the equality gate IS
+    // the losslessness of the interchange
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // duplicate-window replay (DedupOps.duplicateWindowStats, k=8):
     // overlapping 8-token windows as md5-60bit hashes, per-hash
     // distinct-doc counts, per-doc share of windows seen in ≥2 docs
@@ -2084,6 +2090,20 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet"), "source", "text",
             k = 8, maxSources = 16, portableHash = true)
           .orderBy("source_a", "source_b")
+      },
+      "q_jsonl_roundtrip" -> { (s, dir) =>
+        // JSONL interchange gate: parquet -> JSONL sink -> schema'd
+        // JSONL source must be lossless (the oracle reads the parquet
+        // directly, so any escaping/typing drift in either direction
+        // hash-fails); clean corpus -> zero quarantined lines
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val tmp = s"/tmp/graft_jsonl_rt_${Integer.toHexString(dir.hashCode)}"
+        graft.sources.JsonlCorpus.write(docs, tmp)
+        val back = graft.sources.JsonlCorpus.read(s, tmp, docs.schema)
+        back.filter(col("_corrupt_record").isNull)
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          .orderBy("doc_id")
       },
       "q_stratified_sample" -> { (s, dir) =>
         SampleOps.stratifiedSample(
