@@ -1223,6 +1223,16 @@ object SparkEntry {
       .map(_.drop(1).map(_.asInstanceOf[Double]).toArray).toArray
   }
 
+  /** The FULL-CORPUS distributed-Lloyd centroid fixture (tools:
+    * `sbt "runMain graft.GenDistCentroids"`).  Same contract as
+    * [[ivfCentroidsSf001]]: OpsSpec pins runtime == fixture.
+    */
+  private lazy val distCentroidsSf001: Array[Array[Double]] = {
+    val t = Golden.load("sf0.01_dist_centroids.json")
+    t.rows.sortBy(_.head.asInstanceOf[Double])
+      .map(_.drop(1).map(_.asInstanceOf[Double]).toArray).toArray
+  }
+
   /** `ivfTopKWithCentroids` as DuckDB SQL: the same centroid literals
     * (`dlit`-printed, so both engines strtod the same bits), the same
     * `||c||² − 2·v·c` scores (the `||c||²` term is the same
@@ -1625,6 +1635,10 @@ object SparkEntry {
     "q_dedup_embed_lsh" -> lshPairsOracleSql(bits = 4, dim = 64, threshold = 0.4),
     "q_ann_topk_lsh" -> lshTopKOracleSql(bits = 8, dim = 64, k = 10),
     "q_ann_topk_ivf" -> ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10),
+    // same probe/rank replay, centroids from the FULL-CORPUS
+    // quantized-integer-sum Lloyd (fixture literals, OpsSpec-pinned)
+    "q_ann_topk_ivf_dist" ->
+      ivfTopKOracleSql(distCentroidsSf001, nProbe = 4, k = 10),
     // the persisted-index flavor materializes the SAME assignment and
     // prunes to probed cells — identical result set, identical oracle
     "q_ann_topk_ivf_index" -> ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10),
@@ -2364,6 +2378,20 @@ object SparkEntry {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         val cents = SimilarityOps.deterministicCentroids(
           emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        SimilarityOps.ivfTopKWithCentroids(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, nProbe = 4, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      "q_ann_topk_ivf_dist" -> { (s, dir) =>
+        // the scale flavor of centroid learning: full-corpus Lloyd
+        // with quantized-integer-sum means — distributed yet
+        // bit-deterministic, so the same oracle replay applies
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = SimilarityOps.distributedCentroids(
+          emb, "vec_id", "embedding", nCells = 16, iters = 10)
         SimilarityOps.ivfTopKWithCentroids(
             emb, "vec_id", "embedding",
             emb.filter(col("vec_id") < 8), "vec_id", "embedding",

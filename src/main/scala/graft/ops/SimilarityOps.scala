@@ -421,6 +421,74 @@ object SimilarityOps {
     lloydCentroids(samples, nCells, iters)
   }
 
+  /** FULL-CORPUS deterministic Lloyd — the scale path when a
+    * `sampleN`-vector sample no longer represents the data (billions
+    * of embeddings, many fine cells).  Each iteration assigns every
+    * vector to its nearest centroid with the same `array_min`
+    * projection the IVF query uses, then recomputes means
+    * DISTRIBUTED: per-(cell, dim) sums of `round(v · 2²⁰)` as LONGS.
+    * Integer addition is associative-commutative, so the shuffle's
+    * combine order — the thing that makes MLlib KMeans centroids
+    * drift between runs — cannot change a bit of the result; the mean
+    * is one double division of two exact integers on the driver.
+    * Quantization to 2⁻²⁰ shifts each mean by < 5e-7 relative to the
+    * float-sum mean but identically so on every run, partition
+    * layout, and cluster size.
+    *
+    * Per iteration: one job, one shuffle of at most
+    * `partitions × nCells × dim` partial-agg rows (map-side combine),
+    * one `nCells × dim`-row collect.  The projected corpus is
+    * persisted across iterations and released before returning.
+    * Seeds are the `nCells` smallest-id vectors (same total-order
+    * determinism as [[deterministicCentroids]]).
+    */
+  def distributedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 10,
+      quantScale: Double = 1048576.0): Array[Array[Double]] = {
+    val base = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .filter(col("v").isNotNull && col("nrm") > 0)
+      .select("id", "v")
+      .persist()
+    try {
+      val seedRows = base.orderBy("id").limit(nCells).collect()
+      require(seedRows.length >= nCells,
+        s"distributedCentroids: need >= $nCells non-null vectors, got ${seedRows.length}")
+      var cents = seedRows.map(_.getSeq[Any](1).iterator
+        .map(_.asInstanceOf[Number].doubleValue).toArray)
+      val dim = cents.head.length
+      var it = 0
+      while (it < iters) {
+        val stats = base
+          .withColumn("cell",
+            array_min(array(cellScoresFor(cents)(col("v")): _*))
+              .getField("cell"))
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(sum(round(col("x") * quantScale).cast("long")).as("qsum"),
+            count(lit(1)).as("n"))
+          .collect()
+        val qsums = Array.fill(nCells)(new Array[Long](dim))
+        val counts = new Array[Long](nCells)
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          qsums(c)(r.getInt(1)) = r.getLong(2)
+          counts(c) = r.getLong(3)
+        }
+        cents = Array.tabulate(nCells) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dim)(j =>
+            qsums(c)(j).toDouble / counts(c).toDouble / quantScale)
+        }
+        it += 1
+      }
+      cents
+    } finally { base.unpersist(); () }
+  }
+
   /** IVF top-k with caller-supplied centroid LITERALS: corpus vectors
     * are assigned to their nearest cell by an `array_min` over
     * (score, cell) structs (`||c||² − 2·v·c` ranks like squared L2;

@@ -198,6 +198,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed Lloyd: fixture parity, partition invariance, exact quantized means") {
+    val sf01emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = SimilarityOps.distributedCentroids(
+      sf01emb, "vec_id", "embedding", nCells = 16, iters = 10)
+    val fixture = Golden.load("sf0.01_dist_centroids.json")
+    assert(fixture.rows.length == 16)
+    fixture.rows.sortBy(_.head.asInstanceOf[Double]).zip(cents).foreach {
+      case (row, cent) =>
+        row.drop(1).map(_.asInstanceOf[Double]).zip(cent).foreach {
+          case (a, b) => assert(a == b, s"distributed centroid drift: $a vs $b")
+        }
+    }
+    // the claim that matters: an ADVERSARIAL partition layout cannot
+    // change a single bit (this is what MLlib KMeans does NOT give)
+    val cents31 = SimilarityOps.distributedCentroids(
+      sf01emb.repartition(31), "vec_id", "embedding", nCells = 16, iters = 10)
+    assert(cents.flatten.toSeq == cents31.flatten.toSeq)
+    // one-cell, one-iteration crafted case: the mean must be EXACTLY
+    // (sum of round(v*2^20)) / n / 2^20
+    import spark.implicits._
+    val tiny = Seq((1L, Array(1.5f, -2.25f)), (2L, Array(0.5f, 0.75f)),
+        (3L, Array(2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val one = SimilarityOps.distributedCentroids(
+      tiny, "vec_id", "embedding", nCells = 1, iters = 1)
+    val s = 1048576.0
+    def q(x: Double) = math.round(x * s)
+    assert(one.head.toSeq == Seq(
+      (q(1.5) + q(0.5) + q(2.0)).toDouble / 3.0 / s,
+      (q(-2.25) + q(0.75) + q(1.0)).toDouble / 3.0 / s))
+  }
+
   test("deterministic IVF: centroids reproduce the fixture bit-for-bit, topk matches brute cosines") {
     val sf01emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val cents = SimilarityOps.deterministicCentroids(
