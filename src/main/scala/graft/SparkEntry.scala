@@ -1647,6 +1647,10 @@ object SparkEntry {
     "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
     "q_ann_topk_ivfpq" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
+    // the persisted-index flavor answers the same batch with the same
+    // scores (pruned scan over stored codes) -> identical replay
+    "q_ann_topk_ivfpq_index" ->
+      ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
     "q_pq_encode" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2382,6 +2386,26 @@ object SparkEntry {
             emb, "vec_id", "embedding",
             emb.filter(col("vec_id") < 8), "vec_id", "embedding",
             cents, nProbe = 4, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      "q_ann_topk_ivfpq_index" -> { (s, dir) =>
+        // the on-disk composition: partition-pruned probe over a
+        // cell-partitioned index of PQ CODES — ~1/32 the bytes of the
+        // float index per probed cell; same oracle as the in-memory
+        // IVF-PQ because the scores are the same expression
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        val cbs = SimilarityOps.pqCodebooks(
+          emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val idx = s"/tmp/graft-ivfpq-index/$key"
+        SimilarityOps.saveIvfPqIndex(emb, "vec_id", "embedding", cents, cbs, idx)
+        SimilarityOps.ivfPqTopKFromIndex(
+            s, idx, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, cbs, nProbe = 4, k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },

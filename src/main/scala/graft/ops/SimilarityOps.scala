@@ -760,12 +760,56 @@ object SimilarityOps {
     val cand = assigned.join(broadcast(q), "cell")
       .select(col("query_id"), col("corpus_id"),
         adcExpr(col("qv"), col("codes"), codebooks).as("adc"))
+    rankByAdc(cand, k)
+  }
+
+  /** Rank candidates by ascending ADC distance (ties on corpus id). */
+  private def rankByAdc(cand: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("corpus_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "adc", "rank")
+  }
+
+  /** Persist the IVF-PQ index: cell-partitioned parquet holding ONLY
+    * `(corpus_id, codes)` — the on-disk ANN shape for 100 TB corpora.
+    * Compared to [[saveIvfIndex]] the stored rows shrink ~32×
+    * (m small ints instead of dim floats + norm), so the same probed
+    * cells cost ~1/32 the disk read on every later query batch; the
+    * float corpus is only ever scanned ONCE, at build time.
+    */
+  def saveIvfPqIndex(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    assignCells(corpus, corpusId, corpusVec, centroids)
+      .select(col("corpus_id"), col("cell"),
+        pqCodesOf(col("cv"), codebooks).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** ADC top-k against a [[saveIvfPqIndex]] index: the probed cell
+    * set becomes a static partition-pruning predicate (the
+    * [[ivfTopKFromIndex]] mechanism), and the pruned scan reads codes,
+    * not vectors — the two levers multiply ON DISK exactly as
+    * [[ivfPqTopK]] multiplies them in memory.  Scores are identical
+    * to the in-memory path (same adcExpr over the same codes).
+    */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val q = probeCells(queries, queryId, queryVec, centroids, nProbe)
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val assigned = spark.read.parquet(path)
+      .where(col("cell").isInCollection(cells.map(Int.box)))
+    val cand = assigned.join(broadcast(q), "cell")
+      .select(col("query_id"), col("corpus_id"),
+        adcExpr(col("qv"), col("codes"), codebooks).as("adc"))
+    rankByAdc(cand, k)
   }
 
   /** Mean-pooled per-group centroids in the EXACT-INTEGER domain: each

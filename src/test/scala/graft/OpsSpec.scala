@@ -1176,6 +1176,31 @@ class OpsSpec extends AnyFunSuite {
     DedupOps.unpersistAll()
   }
 
+  test("persisted IVF-PQ index: stored-code probe equals the in-memory composition") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    val cbs = SimilarityOps.pqCodebooks(
+      emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+    val idx = s"/tmp/graft-test-ivfpq-${System.nanoTime()}"
+    SimilarityOps.saveIvfPqIndex(emb, "vec_id", "embedding", cents, cbs, idx)
+    val queries = emb.filter(col("vec_id") < 8)
+    val fromIndex = SimilarityOps.ivfPqTopKFromIndex(
+      spark, idx, queries, "vec_id", "embedding", cents, cbs, nProbe = 4, k = 10)
+    val direct = SimilarityOps.ivfPqTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      cents, cbs, nProbe = 4, k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(rows(fromIndex).toSeq == rows(direct).toSeq)
+    // pruning must reach the code index too (same partition mechanism)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // and the stored rows must be codes, not vectors: schema check
+    val stored = spark.read.parquet(idx)
+    assert(stored.columns.toSet == Set("corpus_id", "cell", "codes"))
+  }
+
   test("persisted IVF index: pruned probe reads equal the in-memory path") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = SimilarityOps.deterministicCentroids(
