@@ -339,6 +339,38 @@ object SparkEntry {
         |       least(CAST(CAST(round(s.target_share * 100000) AS BIGINT) AS DOUBLE)
         |             / a.n_tokens, 4.0E0) AS epochs
         |FROM a JOIN s USING (source) ORDER BY source""".stripMargin,
+    // mixture materialization replay: the plan CTEs + per-doc
+    // n_copies = floor(epochs) + (md5 bucket < frac * 10000), fanned
+    // out by generate_series — pure integer/hash arithmetic on top of
+    // the already-bit-exact epochs
+    "q_mixture_materialize" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+        |  FROM documents
+        |), a AS (
+        |  SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source
+        |), s AS (
+        |  SELECT * FROM (VALUES
+        |    ('src0', 3.0E-1), ('src1', 2.5E-1), ('src2', 2.0E-1),
+        |    ('src3', 1.5E-1), ('src4', 1.0E-1)) AS v(source, target_share)
+        |), p AS (
+        |  SELECT a.source,
+        |         least(CAST(CAST(round(s.target_share * 100000) AS BIGINT) AS DOUBLE)
+        |               / a.n_tokens, 4.0E0) AS epochs
+        |  FROM a JOIN s USING (source)
+        |), j AS (
+        |  SELECT t.doc_id AS id, t.source,
+        |         CAST(floor(p.epochs) AS BIGINT)
+        |         + CASE WHEN CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix7'), 1, 15)) AS BIGINT)
+        |                     % 10000 < (p.epochs - floor(p.epochs)) * 10000
+        |                THEN 1 ELSE 0 END AS n_copies
+        |  FROM t JOIN p USING (source))
+        |SELECT id, source,
+        |       CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy
+        |FROM j WHERE n_copies > 0
+        |ORDER BY id, copy""".stripMargin,
     // sequence-manifest replay (PackingOps.shardManifest over
     // packSequences): per-sequence doc/token counts plus the md5 of
     // the ascending-id `id:start:len` triples — DuckDB's ordered
@@ -2528,6 +2560,19 @@ object SparkEntry {
                 "src3" -> 0.15, "src4" -> 0.10),
             totalBudget = 100000L, maxEpochs = 4.0)
           .orderBy("source")
+      },
+      "q_mixture_materialize" -> { (s, dir) =>
+        // plan -> repeat-expanded corpus: floor(epochs) copies + a
+        // deterministic hash-fraction extra copy per doc
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val docs = raw.select(col("doc_id"), col("source"),
+          TextOps.bpeTokenEstimate(col("text")).as("tok"))
+        val plan = SelectionOps.mixturePlan(docs, "source", "tok",
+          Map("src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20,
+              "src3" -> 0.15, "src4" -> 0.10),
+          totalBudget = 100000L, maxEpochs = 4.0)
+        SelectionOps.materializeMixture(docs, "doc_id", "source", plan, "mix7")
+          .orderBy("id", "copy")
       },
       "q_window_dedup" -> { (s, dir) =>
         DedupOps.duplicateWindowStats(

@@ -119,4 +119,37 @@ object SelectionOps {
       .select("source", "n_docs", "n_tokens", "target_share",
         "needed_tokens", "epochs")
   }
+
+  /** Materialize a [[mixturePlan]]: emit each document
+    * `floor(epochs)` times, plus ONE extra copy for the deterministic
+    * hash-fraction of ids that realizes the fractional epoch — so the
+    * expected per-source token volume is `epochs × n_tokens` while
+    * every copy decision is a pure function of (id, salt), exactly
+    * like [[SampleOps.hashSplit]] membership.  Output is one row per
+    * (id, copy) with `copy ∈ [0, n_copies)`: the repeat-expanded
+    * corpus a shuffler/packer consumes downstream.
+    *
+    * Scale shape: a broadcast join of the (tiny) plan + a pure
+    * projection with a bounded `sequence` fan-out (≤ ⌈maxEpochs⌉ rows
+    * per doc) — no shuffle, no skew surface.  Rows whose source has
+    * `n_copies = 0` are filtered BEFORE the sequence (Spark's
+    * `sequence(0, -1)` would run descending, not empty).
+    */
+  def materializeMixture(
+      df: DataFrame, idCol: String, sourceCol: String,
+      plan: DataFrame, salt: String): DataFrame = {
+    val joined = df
+      .select(col(idCol).as("id"), col(sourceCol).as("source"))
+      .join(broadcast(plan.select(col("source"), col("epochs"))), "source")
+    val nFull = floor(col("epochs")).cast("long")
+    val frac = col("epochs") - floor(col("epochs"))
+    val extra = when(
+      SampleOps.hashBucket(col("id"), salt) <
+        frac * SampleOps.DefaultBuckets, 1L).otherwise(0L)
+    joined
+      .withColumn("n_copies", nFull + extra)
+      .filter(col("n_copies") > 0)
+      .select(col("id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+  }
 }

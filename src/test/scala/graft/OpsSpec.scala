@@ -1654,4 +1654,38 @@ class OpsSpec extends AnyFunSuite {
     assert(ep0 == math.min(need0.toDouble / n0, 4.0))
     assert(plan("s1")._4 == math.min(1000.0 / plan("s1")._2, 4.0))
   }
+
+  test("mixture materialization: fractional epochs realize as hash-fraction extra copies") {
+    import spark.implicits._
+    val docs = Seq.tabulate(400)(i => (i.toLong, s"s${i % 2}"))
+      .toDF("doc_id", "source")
+    // crafted plan: s0 gets 1.5 epochs, s1 gets 0.25 (sub-one epoch:
+    // only the hash-selected quarter appears at all)
+    val plan = Seq(("s0", 1.5), ("s1", 0.25)).toDF("source", "epochs")
+    val rows = SelectionOps.materializeMixture(docs, "doc_id", "source", plan, "t7")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    // recompute the expected copy count from the same md5 bucket rule
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:t7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10000
+    }
+    (0 until 400).foreach { i =>
+      val id = i.toLong
+      val (full, frac) = if (i % 2 == 0) (1L, 0.5) else (0L, 0.25)
+      val expected = full + (if (bucket(id) < frac * 10000) 1L else 0L)
+      assert(byDoc.getOrElse(id, 0) == expected,
+        s"doc $id: ${byDoc.getOrElse(id, 0)} copies, expected $expected")
+    }
+    // copies are dense 0..n-1 per doc
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length.toLong).toSeq, s"doc $id")
+    }
+    // s0 realized volume ~ 1.5 epochs (hash half), s1 ~ 0.25
+    val s0 = rows.count(_._2 == "s0")
+    val s1 = rows.count(_._2 == "s1")
+    assert(s0 > 250 && s0 < 350, s"s0 got $s0 rows for 200 docs at 1.5 epochs")
+    assert(s1 > 20 && s1 < 80, s"s1 got $s1 rows for 200 docs at 0.25 epochs")
+  }
 }
