@@ -1416,6 +1416,22 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** `SimilarityOps.randomProject` as DuckDB SQL: one
+    * `list_dot_product` against each literal sign row — both engines
+    * fold the dot sequentially, so the doubles match bit-for-bit.
+    */
+  private def randProjOracleSql(matrix: Array[Array[Double]]): String = {
+    val cols = matrix.zipWithIndex.map { case (row, j) =>
+      s"list_dot_product(v, ${row.map(dlit).mkString("[", ", ", "]")}) AS p$j"
+    }.mkString(",\n       ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |       $cols
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   /** `SimilarityOps.semanticDupDrops` as DuckDB SQL: centroid-literal
     * nearest-cell assignment (the IVF oracle's struct sort), hot-cell
     * exclusion, the within-cell `lower id × cosine ≥ t` pair rule, and
@@ -1679,6 +1695,9 @@ object SparkEntry {
     "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
     "q_ann_topk_ivfpq" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
+    // JL sign projection: 16 literal-row dot folds (dim 64 -> 16)
+    "q_rand_proj" ->
+      randProjOracleSql(SimilarityOps.signProjectionMatrix(64, 16, "rp7")),
     // the persisted-index flavor answers the same batch with the same
     // scores (pruned scan over stored codes) -> identical replay
     "q_ann_topk_ivfpq_index" ->
@@ -2149,8 +2168,7 @@ object SparkEntry {
         val docs = s.read.parquet(s"$dir/documents.parquet")
         val tmp = s"/tmp/graft_jsonl_rt_${Integer.toHexString(dir.hashCode)}"
         graft.sources.JsonlCorpus.write(docs, tmp)
-        val back = graft.sources.JsonlCorpus.read(s, tmp, docs.schema)
-        back.filter(col("_corrupt_record").isNull)
+        graft.sources.JsonlCorpus.readClean(s, tmp, docs.schema)
           .select(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_chars"))
           .orderBy("doc_id")
@@ -2420,6 +2438,16 @@ object SparkEntry {
             cents, nProbe = 4, k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_rand_proj" -> { (s, dir) =>
+        // storage/bandwidth lever before any ANN structure: 64 -> 16
+        // dims via a salt-derived sign matrix, pure projection
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val m = SimilarityOps.signProjectionMatrix(64, 16, "rp7")
+        SimilarityOps.randomProject(emb, "vec_id", "embedding", m)
+          .select(col("id").as("vec_id") +:
+            (0 until 16).map(j => element_at(col("proj"), j + 1).as(s"p$j")): _*)
+          .orderBy("vec_id")
       },
       "q_ann_topk_ivfpq_index" -> { (s, dir) =>
         // the on-disk composition: partition-pruned probe over a

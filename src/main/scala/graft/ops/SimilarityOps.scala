@@ -558,6 +558,41 @@ object SimilarityOps {
     rankTopK(cand, k)
   }
 
+  /** Deterministic ±1/√outDim sign matrix for random projection
+    * (Achlioptas, "Database-friendly random projections", JPDC 2003:
+    * sign entries preserve pairwise distances like Gaussians do).
+    * Each sign is the PARITY OF AN MD5 BYTE of `"salt:i:j"` — no RNG
+    * state, so the matrix is a pure function of (dim, outDim, salt)
+    * and any engine rebuilds it bit-for-bit.
+    */
+  def signProjectionMatrix(
+      dim: Int, outDim: Int, salt: String): Array[Array[Double]] = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(dim) { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt:$i:$j".getBytes("UTF-8"))
+        if ((md(0) & 1) == 0) scale else -scale
+      }
+    }
+  }
+
+  /** Project vectors onto the rows of a literal matrix (typically
+    * [[signProjectionMatrix]]) — dimensionality reduction as a PURE
+    * PROJECTION: each output coordinate is one sequential dot fold
+    * against a shipped literal row, so there is no shuffle, no
+    * training pass, and the result replays bit-for-bit externally.
+    * At 100 TB this is the storage/bandwidth lever BEFORE any ANN
+    * structure: 64→16 dims cuts every downstream scan 4× while
+    * approximately preserving cosine geometry (JL lemma), and the
+    * projected column feeds the LSH/IVF machinery unchanged.
+    */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      matrix: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol).as("id"),
+      array(matrix.map(row => dot(col(vecCol), lit(row))): _*).as("proj"))
+
   /** Persist the IVF-assigned corpus as a CELL-PARTITIONED parquet
     * index: one directory per Voronoi cell, vectors + precomputed
     * norms inside.  Build once, probe forever — the index write is the

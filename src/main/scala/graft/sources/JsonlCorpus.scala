@@ -46,4 +46,18 @@ object JsonlCorpus {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
+
+  /** The clean stream only: malformed lines are DROPPED at the scan
+    * (DROPMALFORMED), no corrupt column in the schema — so any
+    * downstream plan shape (including a bare `count()`, which the
+    * PERMISSIVE corrupt-column form rejects when column pruning
+    * leaves only the corrupt column referenced) is legal.  Use
+    * [[read]] when the quarantined lines themselves need inspecting.
+    */
+  def readClean(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
 }

@@ -1176,6 +1176,35 @@ class OpsSpec extends AnyFunSuite {
     DedupOps.unpersistAll()
   }
 
+  test("sign projection: deterministic matrix, linear map, cosine roughly preserved") {
+    val m = SimilarityOps.signProjectionMatrix(64, 16, "rp7")
+    val m2 = SimilarityOps.signProjectionMatrix(64, 16, "rp7")
+    assert(m.flatten.toSeq == m2.flatten.toSeq, "matrix must be salt-pure")
+    assert(m.flatten.forall(x => math.abs(x) == 1.0 / 4.0))
+    // a different salt gives a different matrix
+    assert(m.flatten.toSeq !=
+      SimilarityOps.signProjectionMatrix(64, 16, "rp8").flatten.toSeq)
+    // JL sanity on real embeddings: projected cosine tracks the
+    // original within loose distortion for 16 dims
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val proj = SimilarityOps.randomProject(emb, "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val orig = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = orig.keys.toSeq.sorted.take(20)
+    val errs = for (i <- ids; j <- ids if i < j) yield
+      math.abs(cos(orig(i), orig(j)) - cos(proj(i), proj(j)))
+    // JL at d'=16 has per-pair std ~ 1/sqrt(16) = 0.25; the mean
+    // absolute distortion lands ~0.21 on this data — bound at 0.3
+    assert(errs.nonEmpty && errs.sum / errs.size < 0.3,
+      s"mean cosine distortion ${errs.sum / errs.size}")
+  }
+
   test("persisted IVF-PQ index: stored-code probe equals the in-memory composition") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = SimilarityOps.deterministicCentroids(
@@ -1549,10 +1578,12 @@ class OpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val rt = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
     graft.sources.JsonlCorpus.write(exotic, rt)
-    val back = graft.sources.JsonlCorpus.read(spark, rt, schema)
-      .filter(col("_corrupt_record").isNull)
+    val back = graft.sources.JsonlCorpus.readClean(spark, rt, schema)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(back == Map(10L -> "line\nbreak", 11L -> "unié中", 12L -> "back\\slash"))
+    // readClean on the hand-broken dir: malformed lines just vanish,
+    // and a bare count() is legal (the PERMISSIVE form rejects it)
+    assert(graft.sources.JsonlCorpus.readClean(spark, dir, schema).count() == 2)
   }
 
   test("shard manifest: token conservation, full interior sequences, layout-stable sig") {
