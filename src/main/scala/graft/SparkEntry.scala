@@ -1695,6 +1695,24 @@ object SparkEntry {
     "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
     "q_ann_topk_ivfpq" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
+    // hot-key skew replay: per-key counts, (n desc, key) top-k, exact
+    // integer shares
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+        |r AS (
+        |  SELECT key, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank,
+        |         CAST(sum(n) OVER (ORDER BY n DESC, key
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM c)
+        |SELECT r.rank, r.key, r.n,
+        |       CAST(r.n AS DOUBLE) / t.total AS share,
+        |       CAST(r.cum_n AS DOUBLE) / t.total AS cum_share
+        |FROM r CROSS JOIN t WHERE r.rank <= 10 ORDER BY rank""".stripMargin,
     // JL sign projection: 16 literal-row dot folds (dim 64 -> 16)
     "q_rand_proj" ->
       randProjOracleSql(SimilarityOps.signProjectionMatrix(64, 16, "rp7")),
@@ -2438,6 +2456,13 @@ object SparkEntry {
             cents, nProbe = 4, k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_key_skew" -> { (s, dir) =>
+        // pre-shuffle skew report on the natural join key of events:
+        // the decision input for plain vs broadcast vs salted joins
+        graft.ops.ProfileOps.keySkew(
+            StreamingOps.readEventsBatch(s, dir), "user_id", topK = 10)
+          .orderBy("rank")
       },
       "q_rand_proj" -> { (s, dir) =>
         // storage/bandwidth lever before any ANN structure: 64 -> 16

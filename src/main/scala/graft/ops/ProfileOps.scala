@@ -53,4 +53,36 @@ object ProfileOps {
       }: _*)).as("p"))
       .select("p.*")
   }
+
+  /** Hot-key skew report for a prospective shuffle/join key: the
+    * top-k keys by row count with each key's share of the table and
+    * the running cumulative share — the numbers that decide between a
+    * plain shuffle, a broadcast, and a salted join BEFORE launching
+    * the 100 TB job (`JoinOps.saltedJoin`'s `salt` parameter is sized
+    * off exactly this report).  One hash agg, then the rank window
+    * runs over the (already tiny relative to the input) per-key count
+    * frame; shares are single divisions of exact integers, so they
+    * replay bit-for-bit.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, s"keySkew: topK=$topK must be positive")
+    // orderBy+limit plans as a distributed TakeOrdered — the billions
+    // of per-key counts are NEVER globally sorted; the rank/cum-share
+    // window then runs over the ≤ topK surviving rows only
+    val top = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key"))
+    top.crossJoin(broadcast(df.groupBy().agg(count(lit(1)).as("total"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n",
+        sum(col("n")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .withColumn("cum_share", col("cum_n").cast("double") / col("total"))
+      .select("rank", "key", "n", "share", "cum_share")
+  }
 }

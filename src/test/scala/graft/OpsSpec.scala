@@ -1176,6 +1176,22 @@ class OpsSpec extends AnyFunSuite {
     DedupOps.unpersistAll()
   }
 
+  test("key skew: exact shares on a crafted hot key, no global sort of the counts") {
+    import spark.implicits._
+    val df = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"k$i")).toDF("k")
+    val rep = ProfileOps.keySkew(df, "k", topK = 3)
+    val rows = rep.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.head == ((1L, "hot", 50L, 50.0 / 80.0, 50.0 / 80.0)))
+    // ranks 2..3 are singleton keys in key order, cum share accumulates
+    assert(rows(1)._3 == 1L && rows(2)._3 == 1L)
+    assert(rows(2)._5 == 52.0 / 80.0)
+    // the per-key count frame must reach the limit as a TakeOrdered,
+    // never a global sort of all distinct keys
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("sign projection: deterministic matrix, linear map, cosine roughly preserved") {
     val m = SimilarityOps.signProjectionMatrix(64, 16, "rp7")
     val m2 = SimilarityOps.signProjectionMatrix(64, 16, "rp7")
