@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, NormalizeText}
 
 /** The engine's `SparkSessionExtensions` entry point — makes the
   * custom codegen'd expressions first-class SQL functions, so pure-SQL
@@ -87,5 +87,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectColumnFn(ext, "graft_fingerprint",
       "graft_fingerprint(text) - stable 64-bit document fingerprint", 1)(
       args => graft.ops.TextOps.fingerprint64(args.head))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NormalizeText].getName, null, "graft_nfc",
+        "graft_nfc(text) - Unicode NFC normalization (canonical " +
+          "composition); normalize dedup keys BEFORE hashing", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) wrongArity("graft_nfc", 1, children.length)
+        NormalizeText(children.head, compat = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[NormalizeText].getName, null, "graft_nfkc",
+        "graft_nfkc(text) - Unicode NFKC normalization (compatibility " +
+          "fold: ligatures, full-width forms) - the aggressive dedup key", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) wrongArity("graft_nfkc", 1, children.length)
+        NormalizeText(children.head, compat = true)
+      }))
   }
 }

@@ -1695,6 +1695,18 @@ object SparkEntry {
     "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
     "q_ann_topk_ivfpq" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
+    // Unicode-normalization replay: the NFC column goes through
+    // DuckDB's own nfc_normalize (genuine cross-engine normalization
+    // check); the NFKC column's oracle exploits that the corpus text
+    // is ASCII (NFKC = identity there), so NFKC(text || suffix) =
+    // text || NFKC(suffix) with the suffix's NFKC form written as a
+    // literal ("café final AB" — ligature and full-width forms folded)
+    "q_text_normalize" ->
+      ("""SELECT doc_id,
+        |       md5(nfc_normalize(text || ' cafe""" + "́ ﬁnal ＡＢ" +
+        """')) AS nfc_md5,
+        |       md5(text || ' caf""" + "é" + """ final AB') AS nfkc_md5
+        |FROM documents ORDER BY doc_id""").stripMargin,
     // hot-key skew replay: per-key counts, (n desc, key) top-k, exact
     // integer shares
     "q_key_skew" ->
@@ -2456,6 +2468,24 @@ object SparkEntry {
             cents, nProbe = 4, k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_text_normalize" -> { (s, dir) =>
+        // normalize-then-hash: the dedup-key discipline for unicode
+        // corpora, via the codegen'd NormalizeText expression; the
+        // spliced suffix carries a combining accent, a ligature, and
+        // full-width letters so both forms do real work
+        import org.apache.spark.sql.graft.ColumnBridge
+        // decomposed accent (e + U+0301) so the Spark-side NFC does
+        // real composition work, not a pass-through
+        val mixed = concat(col("text"),
+          lit(" cafe\u0301 \ufb01nal \uff21\uff22"))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            md5(ColumnBridge.column(graft.functions.NormalizeText(
+              ColumnBridge.expression(mixed)))).as("nfc_md5"),
+            md5(ColumnBridge.column(graft.functions.NormalizeText(
+              ColumnBridge.expression(mixed), compat = true))).as("nfkc_md5"))
+          .orderBy("doc_id")
       },
       "q_key_skew" -> { (s, dir) =>
         // pre-shuffle skew report on the natural join key of events:

@@ -956,6 +956,46 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(5)).toSeq == fpApi.toSeq)
   }
 
+  test("NormalizeText: composes/folds correctly, codegen == interpreted, SQL path on a view column") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    def nfc(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.NormalizeText(ColumnBridge.expression(c)))
+    def nfkc(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.NormalizeText(
+        ColumnBridge.expression(c), compat = true))
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val ligFw = "\ufb01nal \uff21\uff22"      // ligature fi + full-width AB
+    val df = Seq(
+      (1L, decomposed),
+      (2L, ligFw),
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val got = df.select(col("id"), nfc(col("s")).as("c"), nfkc(col("s")).as("k"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(got(1L) == ((Some(composed), Some(composed))))
+    // NFC keeps ligature/full-width; NFKC folds them
+    assert(got(2L) == ((Some(ligFw), Some("final AB"))))
+    assert(got(3L) == ((Some("plain ascii"), Some("plain ascii"))))
+    assert(got(4L) == ((None, None)))
+    // interpreted eval must agree with the codegen path
+    val interp = graft.functions.NormalizeText(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed),
+        org.apache.spark.sql.types.StringType)).eval(null)
+    assert(interp.toString == composed)
+    // SQL functions resolve over a real view column (not just literals)
+    df.filter(col("s").isNotNull).createOrReplaceTempView("graft_nfc_t")
+    val viaSql = spark.sql(
+      "SELECT id, graft_nfc(s) AS c, graft_nfkc(s) AS k FROM graft_nfc_t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(viaSql(1L) == ((composed, composed)))
+    assert(viaSql(2L)._2 == "final AB")
+  }
+
   test("synthesizeBmp round-trips through the REAL decoder") {
     import spark.implicits._
     val docs = Seq(
