@@ -525,9 +525,14 @@ object TextOps {
     * dropped BEFORE the pair join — universal boilerplate would
     * otherwise contribute a `k²` row blow-up per gram while carrying
     * no pair-discrimination signal (same hot-key philosophy as
-    * `DedupOps.maxBucket`).  The join is gram-keyed and both sides are
-    * already distinct-per-source, so the shuffle carries
-    * O(distinct grams × sources-per-gram), never documents².
+    * `DedupOps.maxBucket`).
+    *
+    * Shape: ONE aggregation per gram hash collects the (bounded, ≤
+    * maxSources after the guard) source set, and the source pairs are
+    * expanded ARRAY-SIDE from that set — a projection, not a
+    * gram-keyed self-join, so the gram hashes shuffle twice total
+    * (distinct, group) instead of four times, and no join ever sees
+    * O(sources-per-gram²) shuffled rows.
     */
   def sourceOverlap(
       df: DataFrame, sourceCol: String, textCol: String,
@@ -541,22 +546,36 @@ object TextOps {
       .select(col("source"), explode(wordNgramsOf(col("toks"), k)).as("gram"))
       .select(col("source"), gramHash(col("gram")).as("gh"))
       .distinct()
-    val deg = grams.groupBy("gh").agg(count(lit(1)).as("ns"))
-    val kept = grams.join(deg.filter(col("ns") <= maxSources), "gh")
-      .select("source", "gh")
-    val pairs = kept.select(col("gh"), col("source").as("source_a"))
-      .join(kept.select(col("gh"), col("source").as("source_b")), "gh")
-      .filter(col("source_a") < col("source_b"))
-      .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("shared_grams"))
-    val sizes = kept.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    pairs
-      .join(sizes.select(col("source").as("source_a"), col("n_grams").as("grams_a")), "source_a")
-      .join(sizes.select(col("source").as("source_b"), col("n_grams").as("grams_b")), "source_b")
-      .withColumn("jaccard", col("shared_grams").cast("double") /
-        (col("grams_a") + col("grams_b") - col("shared_grams")))
-      .select("source_a", "source_b", "shared_grams",
-        "grams_a", "grams_b", "jaccard")
+    // one agg: the canonically-sorted source set per gram; the
+    // hot-gram guard bounds the pair fan-out below to maxSources²
+    val bySet = grams.groupBy("gh")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) <= maxSources)
+      .persist()
+    try {
+      // per-source kept-gram counts: explode the (deduplicated) sets
+      val sizes = bySet.select(explode(col("srcs")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n_grams"))
+      // ordered pairs straight from the sorted array — a projection
+      val pairs = bySet
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+            struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n_grams").as("grams_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n_grams").as("grams_b"))), "source_b")
+        .withColumn("jaccard", col("shared_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared_grams")))
+        .select("source_a", "source_b", "shared_grams",
+          "grams_a", "grams_b", "jaccard")
+        // materialize while bySet is still cached: both branches read it
+        .localCheckpoint(true)
+    } finally { bySet.unpersist(); () }
   }
 
   def winnowFingerprints(
