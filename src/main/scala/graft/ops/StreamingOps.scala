@@ -69,7 +69,7 @@ object StreamingOps {
     * The returned frame stays cached; callers owning long sessions
     * should unpersist it when done.
     */
-  private def runToMemory(
+  private[graft] def runToMemory(
       df: DataFrame, prefix: String, outputMode: String): DataFrame = {
     val spark = df.sparkSession
     val name = s"${prefix}_${System.nanoTime()}"

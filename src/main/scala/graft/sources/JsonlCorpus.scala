@@ -60,4 +60,23 @@ object JsonlCorpus {
       .schema(schema)
       .option("mode", "DROPMALFORMED")
       .json(path)
+
+  /** Streaming flavor of [[readClean]]: the same schema-explicit,
+    * malformed-dropping scan as a file-watch source — point it at the
+    * landing directory and every NEW JSONL shard flows through the
+    * (unchanged) downstream pipeline as it arrives; Structured
+    * Streaming tracks seen files, so ingestion is exactly-once per
+    * shard.  `maxFilesPerTrigger` bounds the per-batch ingest burst
+    * (the backpressure knob when a backfill drops 10⁵ shards at once).
+    */
+  def readCleanStream(
+      spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val base = spark.readStream
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+    val tuned = if (maxFilesPerTrigger > 0)
+      base.option("maxFilesPerTrigger", maxFilesPerTrigger) else base
+    tuned.json(path)
+  }
 }

@@ -1642,6 +1642,34 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.sources.JsonlCorpus.readClean(spark, dir, schema).count() == 2)
   }
 
+  test("streaming JSONL ingest == batch: same clean rows, corrupt shards skipped") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream").toString
+    graft.sources.JsonlCorpus.write(docs, dir)
+    // drop a malformed shard into the landing dir alongside the good ones
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part-corrupt.json"),
+      "this is not json\n{\"doc_id\": broken\n")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string").add("lang", "string")
+    // stream the directory through the SAME downstream projection as
+    // batch (quality metrics), into a memory sink
+    val streamed = StreamingOps.runToMemory(
+      TextOps.qualityMetrics(
+        graft.sources.JsonlCorpus.readCleanStream(spark, dir, schema,
+          maxFilesPerTrigger = 2), "text")
+        .select("doc_id", "n_words", "quality_score"),
+      "jsonl_ingest", "append")
+    val batch = TextOps.qualityMetrics(
+        graft.sources.JsonlCorpus.readClean(spark, dir, schema), "text")
+      .select("doc_id", "n_words", "quality_score")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    assert(key(streamed) == key(batch))
+    assert(streamed.count() == docs.count(), "corrupt shard must drop, clean rows all land")
+  }
+
   test("shard manifest: token conservation, full interior sequences, layout-stable sig") {
     import spark.implicits._
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 50L))
