@@ -1687,6 +1687,10 @@ object SparkEntry {
     // quantized-integer-sum Lloyd (fixture literals, OpsSpec-pinned)
     "q_ann_topk_ivf_dist" ->
       ivfTopKOracleSql(distCentroidsSf001, nProbe = 4, k = 10),
+    // base-build + delta-append must equal the all-at-once index, so
+    // the incremental flavor shares q_ann_topk_ivf's exact oracle
+    "q_ann_topk_ivf_incr" ->
+      ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10),
     // the persisted-index flavor materializes the SAME assignment and
     // prunes to probed cells — identical result set, identical oracle
     "q_ann_topk_ivf_index" -> ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10),
@@ -1695,6 +1699,22 @@ object SparkEntry {
     "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
     "q_ann_topk_ivfpq" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
+    // BPE first-merge replay: per-word adjacent char pairs, corpus
+    // counts, (n desc, pair) top-k
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |           x -> x <> '')) AS w
+        |  FROM documents
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |           i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM w WHERE length(w) >= 2
+        |), c AS (
+        |  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
+        |       pair, n
+        |FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     // Unicode-normalization replay: the NFC column goes through
     // DuckDB's own nfc_normalize (genuine cross-engine normalization
     // check); the NFKC column's oracle exploits that the corpus text
@@ -2465,6 +2485,33 @@ object SparkEntry {
         SimilarityOps.ivfTopKWithCentroids(
             emb, "vec_id", "embedding",
             emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, nProbe = 4, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      "q_bpe_pairs" -> { (s, dir) =>
+        // BPE training's first merge table: corpus-wide adjacent
+        // char-pair counts, top 20
+        TextOps.bpePairCounts(
+            s.read.parquet(s"$dir/documents.parquet"), "text", topK = 20)
+          .orderBy("rank")
+      },
+      "q_ann_topk_ivf_incr" -> { (s, dir) =>
+        // incremental maintenance gate: base build + delta append
+        // must answer queries identically to indexing everything at
+        // once — same oracle as q_ann_topk_ivf
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val idx = s"/tmp/graft-ivf-incr/$key"
+        SimilarityOps.saveIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", cents, idx)
+        SimilarityOps.appendIvfIndex(
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", cents, idx)
+        SimilarityOps.ivfTopKFromIndex(
+            s, idx, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
             cents, nProbe = 4, k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")

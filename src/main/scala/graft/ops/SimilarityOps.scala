@@ -605,6 +605,24 @@ object SimilarityOps {
     assignCells(corpus, corpusId, corpusVec, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Append a NEW batch of vectors to an existing [[saveIvfIndex]]
+    * index — daily-ingest maintenance without re-scanning the corpus.
+    * The batch is assigned with the SAME centroid literals the index
+    * was built with, so appended rows land in the correct cell
+    * directories and every later [[ivfTopKFromIndex]] probe sees the
+    * union exactly as if the whole corpus had been indexed at once
+    * (the spec pins base+delta == full-build row-for-row).  Centroids
+    * staying fixed is the standard IVF maintenance contract: re-learn
+    * and rebuild only when assignment drift warrants it — and
+    * [[distributedCentroids]] re-learned bit-deterministically tells
+    * you exactly when that is (compare the arrays).
+    */
+  def appendIvfIndex(
+      batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit =
+    assignCells(batch, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** ANN top-k against a [[saveIvfIndex]] index WITHOUT touching the
     * unprobed corpus: the probed cell set (≤ |queries|·nProbe ids,
     * small by the same contract that broadcasts the query side) turns

@@ -512,6 +512,40 @@ object TextOps {
     * gram array per window — O(n²) per row.  Materializing the grams
     * as their own column keeps it O(n·w).
     */
+  /** Corpus-wide adjacent-symbol pair counts — the statistic BPE
+    * tokenizer TRAINING maximizes at each merge step (Sennrich et al.
+    * 2016): within every whitespace word, count each adjacent
+    * character pair, then rank corpus totals.  This is the first
+    * merge's exact decision table (and the shape of every later one —
+    * full BPE training repeats this agg once per merge on the
+    * re-tokenized corpus); emitted as (rank, pair, n) for the top-k
+    * candidates, ties broken on the pair string so the ranking is a
+    * total order.
+    *
+    * Scale shape: explode to pairs (bounded by corpus characters),
+    * ONE hash agg, distributed TakeOrdered for the top-k — the
+    * wordcount pattern on character pairs.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    require(topK > 0, s"bpePairCounts: topK=$topK must be positive")
+    val toks = df.select(tokens(col(textCol)).as("toks"))
+      .select(explode(col("toks")).as("w"))
+      // single-char words carry no pair; filtering also keeps the
+      // sequence bound >= 1 (Spark's sequence(1, 0) runs DESCENDING)
+      .filter(length(col("w")) >= 2)
+    val top = toks
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "pair", "n")
+  }
+
   /** Pairwise cross-source contamination matrix: for every pair of
     * sources, the number of DISTINCT word k-grams they share, each
     * side's kept gram count, and the gram-set Jaccard — the "which of

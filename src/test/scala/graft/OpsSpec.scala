@@ -1286,6 +1286,40 @@ class OpsSpec extends AnyFunSuite {
     assert(stored.columns.toSet == Set("corpus_id", "cell", "codes"))
   }
 
+  test("incremental IVF index: base + delta append equals the all-at-once build") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    val full = s"/tmp/graft-test-ivf-full-${System.nanoTime()}"
+    val incr = s"/tmp/graft-test-ivf-incr-${System.nanoTime()}"
+    SimilarityOps.saveIvfIndex(emb, "vec_id", "embedding", cents, full)
+    SimilarityOps.saveIvfIndex(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", cents, incr)
+    SimilarityOps.appendIvfIndex(
+      emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", cents, incr)
+    // stored content identical (cell assignment is centroid-pure)
+    def content(p: String) = spark.read.parquet(p)
+      .select("corpus_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(content(incr) == content(full))
+    // probe answers identical
+    val q = emb.filter(col("vec_id") < 5)
+    def topk(p: String) = SimilarityOps.ivfTopKFromIndex(
+        spark, p, q, "vec_id", "embedding", cents, nProbe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(topk(incr) == topk(full))
+  }
+
+  test("BPE pair counts: exact decision table on a crafted corpus") {
+    import spark.implicits._
+    // "abab" pairs: ab, ba, ab ; "ab" pairs: ab ; "x" none
+    val df = Seq((1L, "abab ab x"), (2L, "ba")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(df, "text", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "ab", 3L), (2L, "ba", 2L)))
+  }
+
   test("persisted IVF index: pruned probe reads equal the in-memory path") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = SimilarityOps.deterministicCentroids(
