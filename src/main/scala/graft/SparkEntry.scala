@@ -253,6 +253,35 @@ object SparkEntry {
         |       CAST(sum(tf.tf * v.freq) AS DOUBLE) / sum(tf.tf) AS avg_token_freq
         |FROM tf JOIN v USING (token)
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    // interpolated bigram-LM replay: bigram + unigram count CTEs, the
+    // fixed λ·cb/c1 + (1−λ)·c2/N chain — single IEEE ops per row, no
+    // float aggregation, so even logprob hash-gates
+    "q_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+        |n AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM v),
+        |pr AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks)),
+        |           i -> {'w1': toks[CAST(i AS INT)], 'w2': toks[CAST(i AS INT) + 1]})) AS p
+        |  FROM t WHERE len(toks) >= 2),
+        |pw AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM pw GROUP BY w1, w2),
+        |tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+        |       FROM pw GROUP BY doc_id, w1, w2)
+        |SELECT tf.doc_id, tf.w1, tf.w2, tf.tf,
+        |       -ln(7.5E-1 * (CAST(bg.cb AS DOUBLE) / v1.freq)
+        |           + 2.5E-1 * (CAST(v2.freq AS DOUBLE) / n.n_total)) AS logprob
+        |FROM tf
+        |JOIN bg USING (w1, w2)
+        |JOIN v v1 ON tf.w1 = v1.token
+        |JOIN v v2 ON tf.w2 = v2.token
+        |CROSS JOIN n
+        |ORDER BY doc_id, w1, w2""".stripMargin,
     // CCNet head/middle/tail replay (SelectionOps.perplexityBuckets):
     // the rarity CTEs + per-language ntile(3) on the integer-exact
     // avg_token_freq ranking, ties on doc_id
@@ -1699,6 +1728,28 @@ object SparkEntry {
     "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
     "q_ann_topk_ivfpq" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
+    // corpus-diff replay: the same synthetic revision (drop %11,
+    // uppercase %7, add %13 shifted), md5 content hashes, full outer
+    // join on id
+    "q_corpus_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, md5(text) AS base_md5 FROM documents
+        |), rev AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 13 = 0
+        |), r AS (
+        |  SELECT doc_id AS id, md5(text) AS rev_md5 FROM rev)
+        |SELECT coalesce(b.id, r.id) AS id,
+        |       CASE WHEN b.base_md5 IS NULL THEN 'added'
+        |            WHEN r.rev_md5 IS NULL THEN 'removed'
+        |            WHEN b.base_md5 = r.rev_md5 THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       b.base_md5, r.rev_md5
+        |FROM b FULL OUTER JOIN r ON b.id = r.id
+        |ORDER BY id""".stripMargin,
     // BPE first-merge replay: per-word adjacent char pairs, corpus
     // counts, (n desc, pair) top-k
     "q_bpe_pairs" ->
@@ -2489,6 +2540,21 @@ object SparkEntry {
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },
+      "q_corpus_diff" -> { (s, dir) =>
+        // governance audit between corpus snapshots: the "revised"
+        // corpus drops ids % 11 == 0, uppercases ids % 7 == 0, and
+        // adds ids shifted by 100000 for % 13 == 0 — all expressible
+        // identically in the oracle
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val revised = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, upper(col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        TextOps.corpusDiff(docs, revised, "doc_id", "text")
+          .orderBy("id")
+      },
       "q_bpe_pairs" -> { (s, dir) =>
         // BPE training's first merge table: corpus-wide adjacent
         // char-pair counts, top 20
@@ -2660,6 +2726,13 @@ object SparkEntry {
         TextOps.tokenRarityStats(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .orderBy("doc_id")
+      },
+      "q_bigram_lm" -> { (s, dir) =>
+        // Jelinek-Mercer interpolated bigram scores under the
+        // corpus's own counts — the next step up from q_lm_score
+        TextOps.bigramLogProbs(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .orderBy("doc_id", "w1", "w2")
       },
       "q_lm_buckets" -> { (s, dir) =>
         // CCNet-style head/middle/tail: per-language ntile over the

@@ -460,6 +460,49 @@ object TextOps {
         (-log(col("freq").cast("double") / col("n_total"))).as("logprob"))
   }
 
+  /** Per-(document, bigram) INTERPOLATED bigram-LM scores — the
+    * standard next-step up from [[unigramLogProbs]] for perplexity
+    * filtering: `-ln(λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N)` under the
+    * corpus's own counts (Jelinek-Mercer interpolation, so unseen
+    * continuations back off to the unigram term instead of -∞).
+    * Every count is an exact integer and each row's score is a fixed
+    * chain of single IEEE ops (two divisions, two products, one add,
+    * one ln) — no float aggregation anywhere, so rows replay
+    * bit-for-bit across engines regardless of partitioning.
+    *
+    * Scale shape: bigram and unigram vocabularies are token-keyed
+    * hash aggs; the score join lands co-partitioned on the bigram and
+    * the two unigram joins on their token — the classic n-gram-LM
+    * count pipeline, never a broadcast of the (huge) vocabulary.
+    */
+  def bigramLogProbs(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"bigramLogProbs: lambda=$lambda not in (0,1)")
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // toks is a materialized attribute, so the per-position lambda
+    // does NOT re-tokenize (the n-gram re-inlining trap)
+    val pairs = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(
+          element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val vocab = tokenFrequencies(df, textCol) // (token, freq)
+    val total = vocab.agg(sum("freq").as("n_total"))
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val tf = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    tf.join(bigrams, Seq("w1", "w2"))
+      .join(vocab.select(col("token").as("w1"), col("freq").as("c1")), "w1")
+      .join(vocab.select(col("token").as("w2"), col("freq").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("w1"), col("w2"), col("tf"),
+        (-log(lit(lambda) * (col("cb").cast("double") / col("c1"))
+          + lit(1.0 - lambda) * (col("c2").cast("double") / col("n_total"))))
+          .as("logprob"))
+  }
+
   /** Integer-exact per-document rarity profile under the corpus
     * unigram model: token count, distinct-token count, the corpus
     * frequency of the document's RAREST token, and the mean corpus
@@ -512,6 +555,32 @@ object TextOps {
     * gram array per window — O(n²) per row.  Materializing the grams
     * as their own column keeps it O(n·w).
     */
+  /** Version diff between two corpus snapshots — the audit that runs
+    * before promoting a re-crawled / re-filtered corpus: per document
+    * id, whether it was `added`, `removed`, `changed`, or `unchanged`
+    * between `base` and `revised`, decided by content hash (md5 so
+    * external engines replay it).  Training-data governance wants
+    * exactly this table: what changed since the mix we last trained
+    * on, and how much.
+    *
+    * Scale shape: two hash projections and ONE full outer join on the
+    * id — both sides shuffle once on the same key (co-partitioned
+    * join), the hashes travel instead of the documents.
+    */
+  def corpusDiff(
+      base: DataFrame, revised: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val b = base.select(col(idCol).as("id"), md5(col(textCol)).as("base_md5"))
+    val r = revised.select(col(idCol).as("id"), md5(col(textCol)).as("rev_md5"))
+    b.join(r, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("base_md5").isNull, "added")
+          .when(col("rev_md5").isNull, "removed")
+          .when(col("base_md5") === col("rev_md5"), "unchanged")
+          .otherwise("changed"))
+      .select("id", "status", "base_md5", "rev_md5")
+  }
+
   /** Corpus-wide adjacent-symbol pair counts — the statistic BPE
     * tokenizer TRAINING maximizes at each merge step (Sennrich et al.
     * 2016): within every whitespace word, count each adjacent

@@ -1311,6 +1311,34 @@ class OpsSpec extends AnyFunSuite {
     assert(topk(incr) == topk(full))
   }
 
+  test("corpus diff: added/removed/changed/unchanged partition exactly") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val revised = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("doc_id", "text")
+    val got = TextOps.corpusDiff(base, revised, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("bigram LM: interpolated scores exact on a crafted corpus") {
+    import spark.implicits._
+    // corpus: "a b a b" + "b c" -> unigrams a:2 b:3 c:1, N=6
+    // bigrams: (a,b):2 (b,a):1 (b,c):1
+    val df = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.bigramLogProbs(df, "doc_id", "text", lambda = 0.75)
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    def lp(cb: Long, c1: Long, c2: Long): Double =
+      -math.log(0.75 * (cb.toDouble / c1) + 0.25 * (c2.toDouble / 6L))
+    assert(got((1L, "a", "b")) == ((2L, lp(2, 2, 3))))
+    assert(got((1L, "b", "a")) == ((1L, lp(1, 3, 2))))
+    assert(got((2L, "b", "c")) == ((1L, lp(1, 3, 1))))
+    // a doc with fewer than 2 tokens contributes no rows
+    assert(TextOps.bigramLogProbs(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
   test("BPE pair counts: exact decision table on a crafted corpus") {
     import spark.implicits._
     // "abab" pairs: ab, ba, ab ; "ab" pairs: ab ; "x" none
