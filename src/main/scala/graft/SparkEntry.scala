@@ -253,6 +253,30 @@ object SparkEntry {
         |       CAST(sum(tf.tf * v.freq) AS DOUBLE) / sum(tf.tf) AS avg_token_freq
         |FROM tf JOIN v USING (token)
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    // TF-IDF keyword replay: tf/df count CTEs, tf * ln(N/df), per-doc
+    // (tfidf desc, token) rank window
+    "q_tfidf_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |         CAST(tf.tf AS DOUBLE)
+        |           * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN nd),
+        |r AS (
+        |  SELECT doc_id, token, tf, df, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT doc_id, rank, token, tf, df, tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // interpolated bigram-LM replay: bigram + unigram count CTEs, the
     // fixed λ·cb/c1 + (1−λ)·c2/N chain — single IEEE ops per row, no
     // float aggregation, so even logprob hash-gates
@@ -2726,6 +2750,12 @@ object SparkEntry {
         TextOps.tokenRarityStats(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .orderBy("doc_id")
+      },
+      "q_tfidf_terms" -> { (s, dir) =>
+        // per-doc top-3 TF-IDF keywords over the corpus's own counts
+        TextOps.tfIdfTopTerms(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)
+          .orderBy("doc_id", "rank")
       },
       "q_bigram_lm" -> { (s, dir) =>
         // Jelinek-Mercer interpolated bigram scores under the

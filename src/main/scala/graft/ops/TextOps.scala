@@ -555,6 +555,39 @@ object TextOps {
     * gram array per window — O(n²) per row.  Materializing the grams
     * as their own column keeps it O(n·w).
     */
+  /** Per-document top-k TF-IDF terms — the classic "what is this
+    * document about" keywords: `tf · ln(N / df)` with raw corpus
+    * counts (N = doc count, df = docs containing the term).  Rank
+    * ties break on the term string, so the per-doc top-k is a total
+    * order; the score is one ln of a ratio of exact integers times an
+    * integer — a single IEEE chain per row, cross-engine exact to the
+    * ulp of ln.
+    *
+    * Scale shape: tf and df are token-keyed hash aggs (co-partitioned
+    * join), the doc count is a 1-row broadcast, and the per-doc top-k
+    * is one window partitioned by doc — bounded output k rows per doc.
+    */
+  def tfIdfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k > 0, s"tfIdfTopTerms: k=$k must be positive")
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+  }
+
   /** Version diff between two corpus snapshots — the audit that runs
     * before promoting a re-crawled / re-filtered corpus: per document
     * id, whether it was `added`, `removed`, `changed`, or `unchanged`

@@ -1339,6 +1339,24 @@ class OpsSpec extends AnyFunSuite {
       Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
   }
 
+  test("tf-idf top terms: exact keywords on a crafted corpus") {
+    import spark.implicits._
+    // 3 docs; "rare" only in doc 1, "the" in all three
+    val df = Seq((1L, "rare the the"), (2L, "the common common"),
+      (3L, "the common word")).toDF("doc_id", "text")
+    val got = TextOps.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // Spark's log expression evaluates via StrictMath (1 ulp off
+    // Math.log for some inputs, e.g. ln 3)
+    def s(tf: Long, dfc: Long) = tf.toDouble * StrictMath.log(3.0 / dfc)
+    // doc 1: rare (1, df 1) beats the (tf 2, df 3 -> idf 0)
+    assert(got((1L, 1L)) == (("rare", 1L, 1L, s(1, 1))))
+    assert(got((1L, 2L))._1 == "the" && got((1L, 2L))._4 == s(2, 3))
+    // doc 2: common tf 2 df 2 ranks first
+    assert(got((2L, 1L)) == (("common", 2L, 2L, s(2, 2))))
+  }
+
   test("BPE pair counts: exact decision table on a crafted corpus") {
     import spark.implicits._
     // "abab" pairs: ab, ba, ab ; "ab" pairs: ab ; "x" none
