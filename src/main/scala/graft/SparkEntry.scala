@@ -492,6 +492,43 @@ object SparkEntry {
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // span-removal replay (DedupOps.removeDuplicateSpans): positioned
+    // windows, keeper = min id per hash, covered tokens cut, cleaned
+    // text re-hashed — list lambdas mirror the Spark HOFs exactly
+    "q_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+        |           i -> {'start': i,
+        |                 'wh': CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT)})) AS s
+        |  FROM t),
+        |ww AS (SELECT doc_id, s.start AS start, s.wh AS wh FROM w),
+        |own AS (
+        |  SELECT wh, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+        |  FROM ww GROUP BY wh),
+        |rm AS (
+        |  SELECT ww.doc_id, list_sort(list(DISTINCT ww.start)) AS starts
+        |  FROM ww JOIN own USING (wh)
+        |  WHERE own.nd >= 2 AND ww.doc_id <> own.keeper
+        |  GROUP BY ww.doc_id),
+        |c AS (
+        |  SELECT t.doc_id, t.toks, coalesce(rm.starts, []) AS st
+        |  FROM t LEFT JOIN rm ON t.doc_id = rm.doc_id),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |         list_filter(range(1, len(toks) + 1),
+        |           j -> len(list_filter(st, s -> j >= s AND j <= s + 7)) = 0) AS kept
+        |  FROM c)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+        |       md5(coalesce(array_to_string(list_transform(kept,
+        |         j -> toks[CAST(j AS INT)]), ' '), '')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
     // duplicate-window replay (DedupOps.duplicateWindowStats, k=8):
     // overlapping 8-token windows as md5-60bit hashes, per-hash
     // distinct-doc counts, per-doc share of windows seen in ≥2 docs
@@ -2806,6 +2843,17 @@ object SparkEntry {
           totalBudget = 100000L, maxEpochs = 4.0)
         SelectionOps.materializeMixture(docs, "doc_id", "source", plan, "mix7")
           .orderBy("id", "copy")
+      },
+      "q_span_dedup" -> { (s, dir) =>
+        // Lee et al. substring dedup as an ACTION: cut every k-token
+        // window already owned by a lower-id doc; narrow output
+        // (counts + cleaned-text md5)
+        DedupOps.removeDuplicateSpans(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            k = 8, portableHash = true)
+          .select(col("id").cast("bigint").as("doc_id"),
+            col("n_tokens"), col("n_removed"), col("clean_md5"))
+          .orderBy("doc_id")
       },
       "q_window_dedup" -> { (s, dir) =>
         DedupOps.duplicateWindowStats(

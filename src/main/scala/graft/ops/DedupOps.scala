@@ -147,6 +147,60 @@ object DedupOps {
     * `portableHash` swaps xxhash64 for the md5-60bit hash so DuckDB
     * replays the identical pipeline.
     */
+  /** Span-level duplicate REMOVAL (Lee et al. 2022's substring dedup
+    * as an action, not just a statistic): every k-token window seen in
+    * ≥ 2 documents is kept ONLY by the lowest-id document containing
+    * it; every other document has that window's token span cut out.
+    * Overlapping cut spans merge naturally (a token goes when ANY
+    * removed window covers it), and exact-duplicate documents of a
+    * keeper collapse to empty — keep-first at span granularity.
+    * Output per doc: original/removed token counts + the md5 of the
+    * cleaned text, so the result frame stays narrow at any corpus
+    * size.
+    *
+    * Scale shape: windows travel as (id, start, 8-byte hash) rows —
+    * the text itself never shuffles; the keeper rule is one hash agg
+    * (min id + distinct count) joined back hash-keyed; the cut is a
+    * pure array projection per doc (`exists` over the ≤ n_windows
+    * sorted starts).  Same clamp convention as
+    * [[duplicateWindowStats]]: a doc shorter than k yields one
+    * clamped window, so short exact-dups dedup too.
+    */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, portableHash: Boolean = false): DataFrame = {
+    val gramHash: Column => Column =
+      if (portableHash) md5Hash60 else c => xxhash64(c)
+    val toks = df.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val wins = registerPersist(toks.select(col("id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("toks")) - lit(k - 1), lit(1))),
+          i => struct(i.as("start"),
+            gramHash(concat_ws(" ", slice(col("toks"), i, lit(k)))).as("wh"))))
+          .as("w"))
+      .select(col("id"), col("w.start").as("start"), col("w.wh").as("wh")))
+    val own = wins.groupBy("wh").agg(
+      count_distinct(col("id")).as("nd"), min(col("id")).as("keeper"))
+    val rm = wins.join(own, "wh")
+      .filter(col("nd") >= 2 && col("id") =!= col("keeper"))
+      .groupBy("id").agg(sort_array(collect_set(col("start"))).as("starts"))
+    toks.join(rm, Seq("id"), "left")
+      .withColumn("st", coalesce(col("starts"), array().cast("array<int>")))
+      // greatest(…, 1) + the j <= size guard keeps the sequence
+      // ascending for empty docs (sequence(1, 0) would run DESCENDING)
+      .withColumn("kept", filter(
+        sequence(lit(1), greatest(size(col("toks")), lit(1))),
+        j => j <= size(col("toks")) &&
+          !exists(col("st"), s => j >= s && j <= s + lit(k - 1))))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ",
+          transform(col("kept"), j => element_at(col("toks"), j))))
+          .as("clean_md5"))
+  }
+
   def duplicateWindowStats(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, portableHash: Boolean = false): DataFrame = {

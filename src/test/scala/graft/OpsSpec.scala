@@ -1311,6 +1311,32 @@ class OpsSpec extends AnyFunSuite {
     assert(topk(incr) == topk(full))
   }
 
+  test("span removal: keep-first cuts exact spans, overlaps merge, keeper intact") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")   // one full window
+    val df = Seq(
+      (1L, s"$shared tail1 tail2"),        // keeper of the shared window
+      (2L, s"head1 head2 $shared tail3"),  // loses tokens 3..10
+      (3L, shared),                        // exact window -> empties
+      (4L, "totally different words here never repeated anywhere else ok"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.removeDuplicateSpans(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 keeps everything (it is the min-id owner of every dup window)
+    assert(got(1L) == ((10L, 0L, md5(s"$shared tail1 tail2"))))
+    // doc 2: windows at starts 3..3 (the only full shared window) cut
+    // tokens 3..10; head and tail survive
+    assert(got(2L) == ((11L, 8L, md5("head1 head2 tail3"))))
+    // doc 3: fully covered -> empty
+    assert(got(3L) == ((8L, 8L, md5(""))))
+    // doc 4: untouched
+    assert(got(4L)._2 == 0L)
+    DedupOps.unpersistAll()
+  }
+
   test("corpus diff: added/removed/changed/unchanged partition exactly") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
