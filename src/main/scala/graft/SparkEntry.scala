@@ -392,6 +392,105 @@ object SparkEntry {
         |       least(CAST(CAST(round(s.target_share * 100000) AS BIGINT) AS DOUBLE)
         |             / a.n_tokens, 4.0E0) AS epochs
         |FROM a JOIN s USING (source) ORDER BY source""".stripMargin,
+    // composed-selection replay: the quality/rarity/ntile/budget/
+    // mixture/materialize/pack/manifest CTEs chained over the SAME
+    // shrinking doc set the Spark pipeline sees (note the rarity
+    // stats are computed over quality SURVIVORS, not the full corpus)
+    "q_selection_e2e" ->
+      """WITH qm AS (
+        |  SELECT doc_id, lang, source, text, length(text) AS n_chars,
+        |         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
+        |         len(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x IN ('the','a','of','and','to','is','in','it','that'))) AS stop_hits,
+        |         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha,
+        |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, lang, source, text, tok,
+        |         (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+        |          + CASE WHEN (CASE WHEN n_words > 0
+        |                THEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+        |                ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+        |          + CASE WHEN (CASE WHEN n_words > 0
+        |                THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END) > 0.01
+        |                THEN 1.0 ELSE 0.0 END
+        |          + CASE WHEN (CASE WHEN n_chars > 0
+        |                THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END) > 0.6
+        |                THEN 1.0 ELSE 0.0 END) / 4.0 AS quality_score
+        |  FROM qm
+        |), sv AS (SELECT * FROM scored WHERE quality_score >= 0.5
+        |), tkn AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM sv
+        |), v AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tkn GROUP BY token),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tkn GROUP BY doc_id, token),
+        |rar AS (
+        |  SELECT tf.doc_id,
+        |         CAST(sum(tf.tf * v.freq) AS DOUBLE) / sum(tf.tf) AS avg_token_freq
+        |  FROM tf JOIN v USING (token) GROUP BY tf.doc_id
+        |), bkt AS (
+        |  SELECT r.doc_id,
+        |         ntile(3) OVER (PARTITION BY s.lang
+        |           ORDER BY r.avg_token_freq DESC, r.doc_id) AS bucket
+        |  FROM rar r JOIN sv s USING (doc_id)
+        |), keepb AS (SELECT doc_id FROM bkt WHERE bucket <= 2
+        |), sv2 AS (SELECT sv.* FROM sv JOIN keepb USING (doc_id)
+        |), cum AS (
+        |  SELECT doc_id, lang, source, tok,
+        |         CAST(sum(tok) OVER (PARTITION BY lang
+        |           ORDER BY quality_score DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM sv2
+        |), picked AS (
+        |  SELECT doc_id, lang, source, tok FROM cum
+        |  WHERE cum_tokens - tok < 4000
+        |), agg AS (
+        |  SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens
+        |  FROM picked GROUP BY source
+        |), sh AS (
+        |  SELECT * FROM (VALUES
+        |    ('src0', 3.0E-1), ('src1', 2.5E-1), ('src2', 2.0E-1),
+        |    ('src3', 1.5E-1), ('src4', 1.0E-1)) AS v(source, target_share)
+        |), pl AS (
+        |  SELECT agg.source,
+        |         least(CAST(CAST(round(sh.target_share * 50000) AS BIGINT) AS DOUBLE)
+        |               / agg.n_tokens, 4.0E0) AS epochs
+        |  FROM agg JOIN sh USING (source)
+        |), nc AS (
+        |  SELECT p.doc_id, p.tok,
+        |         CAST(floor(pl.epochs) AS BIGINT)
+        |         + CASE WHEN CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':sel7'), 1, 15)) AS BIGINT)
+        |                     % 10000 < (pl.epochs - floor(pl.epochs)) * 10000
+        |                THEN 1 ELSE 0 END AS n_copies
+        |  FROM picked p JOIN pl USING (source)
+        |), cop AS (
+        |  SELECT doc_id * 8 + unnest(generate_series(0, n_copies - 1)) AS cid, tok
+        |  FROM nc WHERE n_copies > 0
+        |), run AS (
+        |  SELECT cid, tok,
+        |         CAST(coalesce(sum(tok) OVER (ORDER BY cid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM cop
+        |), sq AS (
+        |  SELECT cid, tok, before,
+        |         unnest(generate_series(before // 256, (before + tok - 1) // 256)) AS seq_id
+        |  FROM run WHERE tok > 0
+        |), spans AS (
+        |  SELECT cid, CAST(seq_id AS BIGINT) AS seq_id,
+        |         CAST(greatest(before, seq_id * 256) - seq_id * 256 AS BIGINT) AS start_in_seq,
+        |         CAST(least(before + tok, (seq_id + 1) * 256)
+        |              - greatest(before, seq_id * 256) AS BIGINT) AS n_taken
+        |  FROM sq)
+        |SELECT seq_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_taken) AS BIGINT) AS n_tokens,
+        |       CAST(min(cid) AS BIGINT) AS first_doc,
+        |       CAST(max(cid) AS BIGINT) AS last_doc,
+        |       md5(string_agg(cid || ':' || start_in_seq || ':' || n_taken,
+        |                      ',' ORDER BY cid)) AS sig
+        |FROM spans GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // mixture materialization replay: the plan CTEs + per-doc
     // n_copies = floor(epochs) + (md5 bucket < frac * 10000), fanned
     // out by generate_series — pure integer/hash arithmetic on top of
@@ -2830,6 +2929,20 @@ object SparkEntry {
                 "src3" -> 0.15, "src4" -> 0.10),
             totalBudget = 100000L, maxEpochs = 4.0)
           .orderBy("source")
+      },
+      "q_selection_e2e" -> { (s, dir) =>
+        // the composed data-selection pipeline: quality gate ->
+        // head/middle buckets -> per-lang budget -> mixture ->
+        // fractional-epoch copies -> sequence pack -> manifest; every
+        // stage is individually oracled, this gates the glue
+        SelectionOps.selectionPipeline(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", "lang", "source",
+            budgetPerLang = 4000L,
+            targets = Map("src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20,
+              "src3" -> 0.15, "src4" -> 0.10),
+            totalBudget = 50000L, seqLen = 256L, salt = "sel7")
+          .orderBy("seq_id")
       },
       "q_mixture_materialize" -> { (s, dir) =>
         // plan -> repeat-expanded corpus: floor(epochs) copies + a

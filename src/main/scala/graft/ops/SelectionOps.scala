@@ -135,6 +135,50 @@ object SelectionOps {
     * `n_copies = 0` are filtered BEFORE the sequence (Spark's
     * `sequence(0, -1)` would run descending, not empty).
     */
+  /** The composed data-selection pipeline, end to end: quality gate →
+    * perplexity buckets on the survivors (keep head+middle) →
+    * per-language token-budget selection → mixture plan over the
+    * selected docs → fractional-epoch materialization → GPT-style
+    * sequence packing of the copies → per-sequence manifest.  Every
+    * stage is individually oracled; this composition gates the GLUE
+    * (stage ordering, column plumbing, id synthesis for copies) the
+    * same way — deterministic by construction, so the whole chain
+    * replays as one DuckDB CTE pipeline (q_selection_e2e).
+    *
+    * Copies get the synthetic id `id · 8 + copy` (epochs are capped
+    * ≤ 4, so copy < 8 and the mapping is injective) — the packing
+    * order interleaves copies right after their document, which keeps
+    * the layout a pure function of the inputs.
+    */
+  def selectionPipeline(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      sourceCol: String, budgetPerLang: Long,
+      targets: Map[String, Double], totalBudget: Long,
+      seqLen: Long, salt: String): DataFrame = {
+    val scored = TextOps.qualityMetrics(docs, textCol)
+      .filter(col("quality_score") >= 0.5)
+      .select(col(idCol), col(langCol), col(sourceCol), col(textCol),
+        col("quality_score"),
+        TextOps.bpeTokenEstimate(col(textCol)).as("tok"))
+    val buckets = perplexityBuckets(scored, idCol, textCol, langCol)
+      .filter(col("bucket") <= 2)
+      .select(col("doc_id").as("__bucket_id"))
+    val surviving = scored.join(buckets,
+      col(idCol) === col("__bucket_id")).drop("__bucket_id")
+    val selected = budgetSelect(
+        surviving, idCol, langCol, "quality_score", "tok", budgetPerLang)
+      .select(col("id").as("__sel_id"))
+    val picked = surviving.join(selected,
+      col(idCol) === col("__sel_id")).drop("__sel_id")
+    val plan = mixturePlan(picked, sourceCol, "tok", targets, totalBudget)
+    val copies = materializeMixture(picked, idCol, sourceCol, plan, salt)
+    val withTok = copies
+      .join(picked.select(col(idCol).as("id"), col("tok")), "id")
+      .select((col("id") * 8 + col("copy")).as("cid"), col("tok"))
+    PackingOps.shardManifest(
+      PackingOps.packSequences(withTok, "cid", "tok", seqLen), "cid")
+  }
+
   def materializeMixture(
       df: DataFrame, idCol: String, sourceCol: String,
       plan: DataFrame, salt: String): DataFrame = {

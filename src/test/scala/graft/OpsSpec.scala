@@ -1876,6 +1876,23 @@ class OpsSpec extends AnyFunSuite {
     assert(plan("s1")._4 == math.min(1000.0 / plan("s1")._2, 4.0))
   }
 
+  test("selection pipeline: full interior sequences, rerun-stable manifest") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def run() = SelectionOps.selectionPipeline(docs,
+        "doc_id", "text", "lang", "source", budgetPerLang = 2000L,
+        targets = Map("src0" -> 0.5, "src1" -> 0.5),
+        totalBudget = 20000L, seqLen = 128L, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(5)))
+      .sortBy(_._1).toSeq
+    val m = run()
+    assert(m.nonEmpty)
+    // every sequence except the last is exactly full
+    m.init.foreach { case (seq, _, n, _) => assert(n == 128L, s"seq $seq has $n") }
+    assert(m.last._3 <= 128L)
+    // the whole composition is a pure function of its inputs
+    assert(run() == m)
+  }
+
   test("mixture materialization: fractional epochs realize as hash-fraction extra copies") {
     import spark.implicits._
     val docs = Seq.tabulate(400)(i => (i.toLong, s"s${i % 2}"))
