@@ -30,7 +30,9 @@ object Bench {
     // is ALREADY benched individually), so timing the composition
     // would triple-count the stage costs and drown per-query deltas in
     // a fixed ~20 s of orchestration overhead at bench SF
-    val benchExclude = Set("q_pipeline_e2e")
+    // q_selection_e2e joined the exclusion in r7 for the same reason:
+    // its 8 stages are each benched as their own query
+    val benchExclude = Set("q_pipeline_e2e", "q_selection_e2e")
     if (canon(warmDir) != canon(sfDir)) {
       SparkEntry.queries.foreach { case (name, fn) =>
         if (!benchExclude.contains(name) && only.forall(_.contains(name)))

@@ -623,6 +623,27 @@ object SimilarityOps {
     assignCells(batch, idCol, vecCol, centroids)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** STREAMING index maintenance: every micro-batch of arriving
+    * vectors is assigned with the fixed centroid literals and
+    * appended to the cell-partitioned index via [[appendIvfIndex]] —
+    * the embedding firehose lands straight into the probe-ready
+    * layout, no batch re-index job.  `foreachBatch` gives the sink
+    * transactional batch ids; the append itself is the same
+    * deterministic projection as the batch path, so (spec-pinned) a
+    * streamed corpus produces the identical index content.
+    * Returns the started query; callers own its lifecycle.
+    */
+  def streamIntoIvfIndex(
+      stream: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendIvfIndex(batch, idCol, vecCol, centroids, path)
+      }
+      .start()
+
   /** ANN top-k against a [[saveIvfIndex]] index WITHOUT touching the
     * unprobed corpus: the probed cell set (≤ |queries|·nProbe ids,
     * small by the same contract that broadcasts the query side) turns

@@ -1286,6 +1286,27 @@ class OpsSpec extends AnyFunSuite {
     assert(stored.columns.toSet == Set("corpus_id", "cell", "codes"))
   }
 
+  test("streaming IVF ingest: the streamed index equals the batch build") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cents = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    // stage the vectors as parquet shards and stream them in
+    val staged = s"/tmp/graft-test-stream-emb-${System.nanoTime()}"
+    emb.repartition(4).write.parquet(staged)
+    val idx = s"/tmp/graft-test-stream-ivf-${System.nanoTime()}"
+    val batchIdx = s"/tmp/graft-test-batch-ivf-${System.nanoTime()}"
+    val q = SimilarityOps.streamIntoIvfIndex(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(staged),
+      "vec_id", "embedding", cents, idx, s"$idx-ckpt")
+    try q.processAllAvailable() finally q.stop()
+    SimilarityOps.saveIvfIndex(emb, "vec_id", "embedding", cents, batchIdx)
+    def content(p: String) = spark.read.parquet(p)
+      .select("corpus_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(content(idx) == content(batchIdx))
+  }
+
   test("incremental IVF index: base + delta append equals the all-at-once build") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = SimilarityOps.deterministicCentroids(
