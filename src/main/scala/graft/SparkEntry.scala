@@ -591,6 +591,10 @@ object SparkEntry {
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // CSV round-trip: same gate, tabular wire format
+    "q_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // span-removal replay (DedupOps.removeDuplicateSpans): positioned
     // windows, keeper = min id per hash, covered tokens cut, cleaned
     // text re-hashed — list lambdas mirror the Spark HOFs exactly
@@ -2420,6 +2424,17 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet"), "source", "text",
             k = 8, maxSources = 16, portableHash = true)
           .orderBy("source_a", "source_b")
+      },
+      "q_csv_roundtrip" -> { (s, dir) =>
+        // the tabular interchange gate, same shape as the JSONL one:
+        // parquet -> quoted CSV -> schema'd read must be lossless
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val tmp = s"/tmp/graft_csv_rt_${Integer.toHexString(dir.hashCode)}"
+        graft.sources.CsvCorpus.write(docs, tmp)
+        graft.sources.CsvCorpus.readClean(s, tmp, docs.schema)
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          .orderBy("doc_id")
       },
       "q_jsonl_roundtrip" -> { (s, dir) =>
         // JSONL interchange gate: parquet -> JSONL sink -> schema'd

@@ -1769,6 +1769,24 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.sources.JsonlCorpus.readClean(spark, dir, schema).count() == 2)
   }
 
+  test("csv source: quoted fields with delimiters and quotes round-trip") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "comma, inside"),
+      (2L, "a \"quoted\" word"),
+      (3L, "both, \"and\", more"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.sources.CsvCorpus.write(nasty, dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val back = graft.sources.CsvCorpus.readClean(spark, dir, schema)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    assert(back == Map(1L -> "comma, inside", 2L -> "a \"quoted\" word",
+      3L -> "both, \"and\", more", 4L -> ""))
+  }
+
   test("streaming JSONL ingest == batch: same clean rows, corrupt shards skipped") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select("doc_id", "text", "lang")
