@@ -124,6 +124,38 @@ object Plans {
         .select(col("doc_id"),
           graft.ops.TextOps.bloomContaminationCols(col("__toks"), positions, n = 3))
     }
+    show("random projection (pure projection, zero shuffle)") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.ops.SimilarityOps.randomProject(emb, "vec_id", "embedding",
+        graft.ops.SimilarityOps.signProjectionMatrix(64, 16, "rp7"))
+    }
+    show("mixture materialize (broadcast plan + bounded explode, no shuffle)") {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val plan = Seq(("src0", 1.5), ("src1", 0.25)).toDF("source", "epochs")
+      graft.ops.SelectionOps.materializeMixture(
+        docs, "doc_id", "source", plan, "p")
+    }
+    show("span removal (hash-keyed keeper agg, per-row array cut)") {
+      graft.ops.DedupOps.removeDuplicateSpans(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    }
+    show("key skew (TakeOrdered over counts, never a global sort)") {
+      graft.ops.ProfileOps.keySkew(
+        graft.ops.StreamingOps.readEventsBatch(spark, sfDir), "user_id")
+    }
+    show("source overlap (one set-agg, array-side pair expansion)") {
+      graft.ops.TextOps.sourceOverlap(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "source", "text")
+    }
+    show("budget select (one window per language)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val scored = graft.ops.TextOps.qualityMetrics(docs, "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"),
+          graft.ops.TextOps.bpeTokenEstimate(col("text")).as("tok"))
+      graft.ops.SelectionOps.budgetSelect(
+        scored, "doc_id", "lang", "quality_score", "tok", 5000L)
+    }
     spark.stop()
   }
 }
