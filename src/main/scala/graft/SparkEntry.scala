@@ -2902,6 +2902,13 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .orderBy("doc_id")
       },
+      "q_compress_ratio" -> { (s, dir) =>
+        // zlib-ratio quality signal; deflate is not SQL-expressible,
+        // so this is a sanctioned rows-only surface (spec-pinned)
+        TextOps.compressionRatio(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .orderBy("doc_id")
+      },
       "q_tfidf_terms" -> { (s, dir) =>
         // per-doc top-3 TF-IDF keywords over the corpus's own counts
         TextOps.tfIdfTopTerms(

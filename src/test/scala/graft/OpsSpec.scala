@@ -1386,6 +1386,26 @@ class OpsSpec extends AnyFunSuite {
       Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
   }
 
+  test("compression ratio: repetition compresses, determinism holds") {
+    import spark.implicits._
+    val repetitive = "spam ham " * 200
+    val varied = (1 to 400).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, repetitive), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // repetitive text must compress far better than varied text
+    assert(got(1L)._3 < 0.1, s"repetitive ratio ${got(1L)._3}")
+    assert(got(1L)._3 < got(2L)._3 / 3)
+    // empty text: neutral ratio, zero bytes
+    assert(got(3L) == ((0L, got(3L)._2, 1.0)))
+    // deterministic across reruns and partitionings
+    val again = TextOps.compressionRatio(df.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(again == got)
+  }
+
   test("tf-idf top terms: exact keywords on a crafted corpus") {
     import spark.implicits._
     // 3 docs; "rare" only in doc 1, "the" in all three
