@@ -113,9 +113,13 @@ object SelectionOps {
       .join(broadcast(shares), Seq("source"), "inner")
       .withColumn("needed_tokens",
         round(col("target_share") * totalBudget).cast("long"))
+      // a zero-token source can realize no tokens at any repeat count:
+      // 0 epochs, not a division blow-up (ANSI throws) or a cap
       .withColumn("epochs",
-        least(col("needed_tokens").cast("double") / col("n_tokens"),
-          lit(maxEpochs)))
+        when(col("n_tokens") > 0,
+          least(col("needed_tokens").cast("double") / col("n_tokens"),
+            lit(maxEpochs)))
+          .otherwise(lit(0.0)))
       .select("source", "n_docs", "n_tokens", "target_share",
         "needed_tokens", "epochs")
   }

@@ -1935,6 +1935,38 @@ class OpsSpec extends AnyFunSuite {
     assert(plan("s1")._4 == math.min(1000.0 / plan("s1")._2, 4.0))
   }
 
+  test("selection/overlap/skew ops degrade gracefully on degenerate corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    // empty corpus: every stage yields empty, nothing throws
+    assert(SelectionOps.perplexityBuckets(empty, "doc_id", "text", "lang").count() == 0)
+    assert(SelectionOps.budgetSelect(
+      empty.withColumn("tok", lit(1L)), "doc_id", "lang", "doc_id", "tok", 10L)
+      .count() == 0)
+    assert(TextOps.sourceOverlap(empty, "source", "text").count() == 0)
+    assert(TextOps.corpusDiff(empty, empty, "doc_id", "text").count() == 0)
+    assert(TextOps.bpePairCounts(empty, "text").count() == 0)
+    assert(TextOps.tfIdfTopTerms(empty, "doc_id", "text").count() == 0)
+    // single source: overlap has no pairs but does not throw
+    val one = Seq((1L, "a b c d e f g h", "en", "s0"),
+      (2L, "a b c d e f g h", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TextOps.sourceOverlap(one, "source", "text").count() == 0)
+    // all-zero tokens: budget keeps every row (all start at 0 < budget)
+    val zeros = Seq((1L, "en", 1.0, 0L), (2L, "en", 0.5, 0L))
+      .toDF("id", "lang", "score", "tok")
+    assert(SelectionOps.budgetSelect(zeros, "id", "lang", "score", "tok", 5L)
+      .count() == 2)
+    // a zero-token source can realize no tokens at any repeat count:
+    // epochs must be 0, not an ANSI division error (caught by this
+    // test before the guard existed)
+    val zt = Seq(("s0", 0L)).toDF("source", "tok")
+    val p = SelectionOps.mixturePlan(zt, "source", "tok",
+      Map("s0" -> 1.0), 100L, maxEpochs = 4.0).collect()
+    assert(p.head.getDouble(5) == 0.0, "zero-token source must yield 0 epochs")
+  }
+
   test("selection pipeline: full interior sequences, rerun-stable manifest") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     def run() = SelectionOps.selectionPipeline(docs,
