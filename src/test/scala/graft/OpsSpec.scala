@@ -1232,6 +1232,31 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("similarity ops degrade gracefully on degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val m = SimilarityOps.signProjectionMatrix(2, 2, "x")
+    assert(SimilarityOps.randomProject(empty, "vec_id", "embedding", m).count() == 0)
+    // centroid learning on too-few vectors fails FAST with a clear
+    // message (silent tiny-k centroids would poison every probe)
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityOps.distributedCentroids(empty, "vec_id", "embedding", nCells = 4)
+    }
+    assert(e1.getMessage.contains("non-null vectors"))
+    // IVF-PQ over an empty corpus: no candidates, no throw
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val cbs = Array(Array(Array(0.0), Array(1.0)), Array(Array(0.0), Array(1.0)))
+    val q = Seq((1L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    assert(SimilarityOps.ivfPqTopK(empty, "vec_id", "embedding",
+      q, "vec_id", "embedding", cents, cbs, nProbe = 1, k = 3).count() == 0)
+    // zero-norm vectors are dropped from assignment, not scored as NaN
+    val zero = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val enc = SimilarityOps.pqEncode(zero, "vec_id", "embedding", cbs)
+      .collect().map(_.getLong(0)).toSeq
+    assert(enc == Seq(2L))
+  }
+
   test("sign projection: deterministic matrix, linear map, cosine roughly preserved") {
     val m = SimilarityOps.signProjectionMatrix(64, 16, "rp7")
     val m2 = SimilarityOps.signProjectionMatrix(64, 16, "rp7")
