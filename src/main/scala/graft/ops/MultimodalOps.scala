@@ -317,7 +317,8 @@ object MultimodalOps {
   }
 
   /** "Resize": deterministic downscale of the fake dimensions —
-    * demonstrates a second chained partition-local stage.
+    * demonstrates a second chained partition-local stage.  For REAL
+    * byte-level resizing of decodable payloads see [[resizeBmp]].
     */
   def resize(ds: Dataset[MediaFeatures], maxSide: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
@@ -326,6 +327,63 @@ object MultimodalOps {
       f.copy(width = math.max(1, (f.width * scale).toInt),
         height = math.max(1, (f.height * scale).toInt))
     }
+  }
+
+  /** REAL pixel resize for uncompressed 24-bit BMP payloads:
+    * nearest-neighbor sampling over the actual pixel rows, emitting a
+    * NEW valid BMP (fresh header, re-padded rows) that [[decodeBmp]]'s
+    * strict validator accepts.  Every output byte is a pure function
+    * of the input bytes — deterministic across runs and partitionings.
+    * Returns None for payloads the strict parser rejects or for
+    * non-24-bit layouts; images already within `maxSide` pass through
+    * unchanged (byte-identical).  The media analog of a projection:
+    * partition-local, no shuffle, bounded memory (two row buffers).
+    */
+  private[graft] def resizeBmp(
+      rec: MediaRecord, maxSide: Int): Option[MediaRecord] = {
+    require(maxSide > 0, s"resizeBmp: maxSide=$maxSide must be positive")
+    val b = rec.content
+    val f = decodeBmp(rec).getOrElse(return None)
+    if (u16(b, 28) != 24) return None           // pixel math is 24-bit only
+    val (w, h) = (f.width, f.height)
+    if (math.max(w, h) <= maxSide) return Some(rec)
+    val topDown = i32(b, 22) < 0                 // row order flag survives
+    val scale = maxSide.toDouble / math.max(w, h)
+    val nw = math.max(1, (w * scale).toInt)
+    val nh = math.max(1, (h * scale).toInt)
+    val srcStride = (w * 3 + 3) / 4 * 4
+    val dstStride = (nw * 3 + 3) / 4 * 4
+    val pixelOff = u32(b, 10).toInt
+    val out = new Array[Byte](54 + dstStride * nh)
+    System.arraycopy(bmpHeader(nw, nh), 0, out, 0, 54)
+    var yd = 0
+    while (yd < nh) {
+      // nearest source row; stored order is bottom-up unless topDown
+      val ys = math.min(h - 1, (yd / scale).toInt)
+      val srcRow = pixelOff + (if (topDown) ys else h - 1 - ys) * srcStride
+      val dstRow = 54 + (nh - 1 - yd) * dstStride   // write bottom-up
+      var xd = 0
+      while (xd < nw) {
+        val xs = math.min(w - 1, (xd / scale).toInt)
+        out(dstRow + xd * 3) = b(srcRow + xs * 3)
+        out(dstRow + xd * 3 + 1) = b(srcRow + xs * 3 + 1)
+        out(dstRow + xd * 3 + 2) = b(srcRow + xs * 3 + 2)
+        xd += 1
+      }
+      yd += 1
+    }
+    Some(MediaRecord(rec.id, rec.kind, out))
+  }
+
+  /** Dataset form of [[resizeBmp]]: BMPs above `maxSide` shrink,
+    * everything else (other formats, rejects, already-small images)
+    * passes through untouched.
+    */
+  def resizeBmpPayloads(
+      ds: Dataset[MediaRecord], maxSide: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map(r =>
+      if (r.kind == "image/bmp") resizeBmp(r, maxSide).getOrElse(r) else r)
   }
 
   /** Canonical 54-byte BMP header (`BITMAPINFOHEADER`, BI_RGB 24-bit)

@@ -996,6 +996,39 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql(2L)._2 == "final AB")
   }
 
+  test("resizeBmp: nearest-neighbor pixels exact, validator accepts, small passes through") {
+    import spark.implicits._
+    // deterministic 16x4 gradient: pixel byte = (row*16 + col) pattern
+    val w = 16; val h = 4
+    val stride = (w * 3 + 3) / 4 * 4
+    val text = new String(
+      Array.tabulate(stride * h)(i => (32 + i % 64).toByte), "ISO-8859-1")
+    val rec = MultimodalOps.synthesizeBmp(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", w, h)
+      .collect().head
+    val resized = MultimodalOps.resizeBmp(rec, maxSide = 8).get
+    val f = MultimodalOps.decodeBmp(resized).get
+    assert(f.width == 8 && f.height == 2)
+    // nearest-neighbor: dst logical pixel (x,y) = src logical (2x, 2y)
+    val sOff = 54; val dOff = 54
+    val sStride = stride; val dStride = (8 * 3 + 3) / 4 * 4
+    for (y <- 0 until 2; x <- 0 until 8; c <- 0 until 3) {
+      val srcRow = sOff + (h - 1 - y * 2) * sStride     // bottom-up
+      val dstRow = dOff + (2 - 1 - y) * dStride
+      assert(resized.content(dstRow + x * 3 + c) == rec.content(srcRow + x * 2 * 3 + c),
+        s"pixel ($x,$y,$c)")
+    }
+    // already-small image: byte-identical pass-through
+    val small = MultimodalOps.resizeBmp(rec, maxSide = 64).get
+    assert(small.content.toSeq == rec.content.toSeq)
+    // dataset form leaves non-BMP kinds untouched
+    val mixed = Seq(rec, rec.copy(id = 2L, kind = "video/mp4")).toDS()
+    val out = MultimodalOps.resizeBmpPayloads(mixed, 8)
+      .collect().sortBy(_.id)
+    assert(out(0).content.length < rec.content.length)
+    assert(out(1).content.toSeq == rec.content.toSeq)
+  }
+
   test("synthesizeBmp round-trips through the REAL decoder") {
     import spark.implicits._
     val docs = Seq(
