@@ -386,6 +386,70 @@ object MultimodalOps {
       if (r.kind == "image/bmp") resizeBmp(r, maxSide).getOrElse(r) else r)
   }
 
+  /** REAL PCM downsample for WAV payloads — the audio analog of
+    * [[resizeBmp]]: keep every `factor`-th FRAME (all channels of one
+    * sample stay together: `blockAlign` bytes), emit a fresh
+    * canonical 44-byte-header WAV with the sample rate, byte rate and
+    * data size rescaled, which [[decodeWav]]'s strict parser accepts.
+    * Nearest-frame decimation (no filtering) — deterministic pure
+    * byte function; anti-alias filtering is a numerics choice layered
+    * on top, not a plumbing concern.  None for payloads the strict
+    * parser rejects; factor 1 passes through.
+    */
+  private[graft] def downsampleWav(
+      rec: MediaRecord, factor: Int): Option[MediaRecord] = {
+    require(factor >= 1, s"downsampleWav: factor=$factor must be >= 1")
+    if (factor == 1) return Some(rec)
+    val b = rec.content
+    if (decodeWav(rec).isEmpty) return None
+    // re-walk the chunks for the fields decodeWav does not surface
+    var off = 12
+    var channels = 0; var blockAlign = 0; var sampleRate = 0L
+    var bitsPerSample = 0; var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = u32(b, off + 4)
+      if (id == "fmt ") {
+        channels = u16(b, off + 10)
+        sampleRate = u32(b, off + 12)
+        blockAlign = u16(b, off + 20)
+        bitsPerSample = u16(b, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = size.toInt }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    val nFrames = dataLen / blockAlign
+    val outFrames = (nFrames + factor - 1) / factor
+    val outLen = outFrames * blockAlign
+    val newRate = math.max(1L, sampleRate / factor)
+    def u16a(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val header =
+      "RIFF".getBytes("US-ASCII") ++ u32a(36L + outLen) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ u32a(16L) ++ u16a(1) ++ u16a(channels) ++
+      u32a(newRate) ++ u32a(newRate * blockAlign) ++ u16a(blockAlign) ++
+      u16a(bitsPerSample) ++
+      "data".getBytes("US-ASCII") ++ u32a(outLen.toLong)
+    val out = new Array[Byte](44 + outLen)
+    System.arraycopy(header, 0, out, 0, 44)
+    var i = 0
+    while (i < outFrames) {
+      System.arraycopy(b, dataOff + i * factor * blockAlign,
+        out, 44 + i * blockAlign, blockAlign)
+      i += 1
+    }
+    Some(MediaRecord(rec.id, rec.kind, out))
+  }
+
+  /** Dataset form of [[downsampleWav]] (pass-through for other kinds). */
+  def downsampleWavPayloads(
+      ds: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map(r =>
+      if (r.kind == "audio/wav") downsampleWav(r, factor).getOrElse(r) else r)
+  }
+
   /** Canonical 54-byte BMP header (`BITMAPINFOHEADER`, BI_RGB 24-bit)
     * for the synthesizer below — little-endian fixed offsets, the
     * exact layout [[decodeBmp]] validates.

@@ -1029,6 +1029,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).content.toSeq == rec.content.toSeq)
   }
 
+  test("downsampleWav: frame decimation exact, rescaled header validates") {
+    def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def u32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // 16-bit stereo, 8 frames (32 data bytes), 8 kHz
+    val data = Array.tabulate(32)(i => (i * 5).toByte)
+    val wav = "RIFF".getBytes ++ u32(36 + 32) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ u32(16) ++ u16(1) ++ u16(2) ++ u32(8000) ++
+      u32(32000) ++ u16(4) ++ u16(16) ++
+      "data".getBytes ++ u32(32) ++ data
+    val rec = MultimodalOps.MediaRecord(1L, "audio/wav", wav)
+    val half = MultimodalOps.downsampleWav(rec, 2).get
+    val f = MultimodalOps.decodeWav(half).get
+    // 4 frames remain, still stereo
+    assert(f.width == 4 && f.height == 2, s"${f.width}x${f.height}")
+    // every kept frame is the exact bytes of source frame 2i
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(half.content(44 + i * 4 + j) == data(i * 2 * 4 + j), s"frame $i byte $j")
+    // sample rate halves in the emitted header
+    val rate = (half.content(24) & 0xff) | ((half.content(25) & 0xff) << 8) |
+      ((half.content(26) & 0xff) << 16)
+    assert(rate == 4000, s"sample rate $rate")
+    // factor 1: identity
+    assert(MultimodalOps.downsampleWav(rec, 1).get.content.toSeq == wav.toSeq)
+  }
+
   test("synthesizeBmp round-trips through the REAL decoder") {
     import spark.implicits._
     val docs = Seq(
