@@ -585,6 +585,33 @@ object SparkEntry {
         |JOIN sz sa ON p.source_a = sa.source
         |JOIN sz sb ON p.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+    // PSI drift replay: golden-edge bucketing of the even/odd
+    // populations, exact-integer counts, epsilon-floored shares, the
+    // (p-q)*ln(p/q) chain (ln ulp class)
+    "q_psi_drift" ->
+      s"""WITH bb AS (
+         |  SELECT ${bucketCase("CAST(l_extendedprice AS DOUBLE)")} AS bin_id
+         |  FROM lineitem WHERE l_orderkey % 2 = 0
+         |), cc AS (
+         |  SELECT ${bucketCase("CAST(l_extendedprice AS DOUBLE)")} AS bin_id
+         |  FROM lineitem WHERE l_orderkey % 2 <> 0
+         |), nb AS (SELECT bin_id, CAST(count(*) AS BIGINT) AS n_base FROM bb GROUP BY bin_id),
+         |nc AS (SELECT bin_id, CAST(count(*) AS BIGINT) AS n_curr FROM cc GROUP BY bin_id),
+         |j AS (
+         |  SELECT coalesce(nb.bin_id, nc.bin_id) AS bin_id,
+         |         coalesce(nb.n_base, 0) AS n_base,
+         |         coalesce(nc.n_curr, 0) AS n_curr
+         |  FROM nb FULL OUTER JOIN nc ON nb.bin_id = nc.bin_id
+         |), t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+         |                CAST(sum(n_curr) AS BIGINT) AS tc FROM j)
+         |SELECT j.bin_id, j.n_base, j.n_curr,
+         |       greatest(CAST(j.n_base AS DOUBLE) / t.tb, 1.0E-6) AS p_base,
+         |       greatest(CAST(j.n_curr AS DOUBLE) / t.tc, 1.0E-6) AS p_curr,
+         |       (greatest(CAST(j.n_base AS DOUBLE) / t.tb, 1.0E-6)
+         |        - greatest(CAST(j.n_curr AS DOUBLE) / t.tc, 1.0E-6))
+         |       * ln(greatest(CAST(j.n_base AS DOUBLE) / t.tb, 1.0E-6)
+         |            / greatest(CAST(j.n_curr AS DOUBLE) / t.tc, 1.0E-6)) AS psi_term
+         |FROM j CROSS JOIN t ORDER BY bin_id""".stripMargin,
     // JSONL round-trip: the Spark side goes parquet -> JSONL -> back;
     // the oracle reads the parquet directly, so the equality gate IS
     // the losslessness of the interchange
@@ -2901,6 +2928,19 @@ object SparkEntry {
         TextOps.tokenRarityStats(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .orderBy("doc_id")
+      },
+      "q_psi_drift" -> { (s, dir) =>
+        // post-deployment drift gate: PSI between the even-orderkey
+        // baseline and odd-orderkey current population over the golden
+        // fixed bin edges
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"),
+            col("l_extendedprice").cast("double").as("extendedprice"))
+        graft.ops.DriftOps.psi(
+            li.filter(col("l_orderkey") % 2 === 0),
+            li.filter(col("l_orderkey") % 2 =!= 0),
+            "extendedprice", goldenEdges)
+          .orderBy("bin_id")
       },
       "q_compress_ratio" -> { (s, dir) =>
         // zlib-ratio quality signal; deflate is not SQL-expressible,

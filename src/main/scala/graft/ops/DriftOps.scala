@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scorecard drift monitoring — the operations a WoE-binning user
+  * runs AFTER deployment: population stability between the fit-time
+  * baseline and the scoring-time population over the model's own bin
+  * edges.  PSI is the standard gate (< 0.1 stable, 0.1–0.25 watch,
+  * > 0.25 re-fit) — reference users compute it over exactly the
+  * binning tables this engine produces.
+  */
+object DriftOps {
+
+  /** Right-closed fixed-edge bin id (`(-inf, e₀], (e₀, e₁], …`) — the
+    * same when-chain shape the WoE transform compiles to, codegen'd,
+    * no join.
+    */
+  def binId(value: Column, edges: Seq[Double]): Column =
+    edges.zipWithIndex.foldRight(lit(edges.length): Column) {
+      case ((e, i), acc) => when(value <= e, lit(i)).otherwise(acc)
+    }
+
+  /** Per-bin PSI report between `baseline` and `current` over fixed
+    * `edges`: counts, shares, and the PSI term
+    * `(p − q) · ln(p / q)` with both shares floored at `epsilon` so
+    * a bin empty on one side contributes a large-but-finite term
+    * instead of ±∞.  The caller sums `psi_term` for the headline
+    * number (12 exact driver-side additions, not a float shuffle).
+    *
+    * Every count is an exact integer, each share one division, each
+    * term one fixed IEEE chain — partition-order-independent, and the
+    * DuckDB replay agrees bit-for-bit except the ln ulp.
+    *
+    * Scale shape: two scans (baseline, current), each a codegen'd
+    * projection + hash agg to ≤ |edges|+1 rows; the join/total
+    * arithmetic happens on driver-size frames.
+    */
+  def psi(
+      baseline: DataFrame, current: DataFrame, valueCol: String,
+      edges: Seq[Double], epsilon: Double = 1e-6): DataFrame = {
+    require(edges.nonEmpty, "psi: need at least one edge")
+    require(edges == edges.sorted, s"psi: edges must ascend, got $edges")
+    require(epsilon > 0, s"psi: epsilon=$epsilon must be positive")
+    def counts(df: DataFrame, nCol: String) =
+      df.select(binId(col(valueCol).cast("double"), edges).as("bin_id"))
+        .groupBy("bin_id").agg(count(lit(1)).as(nCol))
+    val b = counts(baseline, "n_base")
+    val c = counts(current, "n_curr")
+    val joined = b.join(c, Seq("bin_id"), "full_outer")
+      .select(col("bin_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+    val tb = joined.agg(sum("n_base").as("tb"), sum("n_curr").as("tc"))
+    val p = greatest(col("n_base").cast("double") / col("tb"), lit(epsilon))
+    val q = greatest(col("n_curr").cast("double") / col("tc"), lit(epsilon))
+    joined.crossJoin(broadcast(tb))
+      .select(col("bin_id"), col("n_base"), col("n_curr"),
+        p.as("p_base"), q.as("p_curr"),
+        ((p - q) * log(p / q)).as("psi_term"))
+  }
+}

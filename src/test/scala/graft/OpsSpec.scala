@@ -1441,6 +1441,26 @@ class OpsSpec extends AnyFunSuite {
     DedupOps.unpersistAll()
   }
 
+  test("PSI drift: exact terms on a crafted shift, epsilon floors empty bins") {
+    import spark.implicits._
+    val edges = Seq(10.0, 20.0)
+    // baseline: 8 low, 2 mid, 0 high; current: 2 low, 2 mid, 6 high
+    val base = (Seq.fill(8)(5.0) ++ Seq.fill(2)(15.0)).toDF("v")
+    val curr = (Seq.fill(2)(5.0) ++ Seq.fill(2)(15.0) ++ Seq.fill(6)(25.0)).toDF("v")
+    val got = DriftOps.psi(base, curr, "v", edges)
+      .collect().map(r => r.getInt(0).toLong ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    def term(p: Double, q: Double) = (p - q) * StrictMath.log(p / q)
+    assert(got(0L) == ((8L, 2L, 0.8, 0.2, term(0.8, 0.2))))
+    assert(got(1L) == ((2L, 2L, 0.2, 0.2, term(0.2, 0.2))))
+    // bin 2 is EMPTY in the baseline: share floors at epsilon
+    assert(got(2L)._1 == 0L && got(2L)._3 == 1e-6)
+    assert(got(2L)._5 == term(1e-6, 0.6))
+    // headline sum says "re-fit" for this blatant shift
+    assert(got.values.map(_._5).sum > 0.25)
+  }
+
   test("corpus diff: added/removed/changed/unchanged partition exactly") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
