@@ -59,4 +59,31 @@ object DriftOps {
         p.as("p_base"), q.as("p_curr"),
         ((p - q) * log(p / q)).as("psi_term"))
   }
+
+  /** Interior right-closed edges recovered from a fitted model's bins
+    * for `variable`: the finite interval endpoints, deduplicated and
+    * ascending — the NaN bin (and ±∞ outer bounds) contribute none.
+    */
+  def modelEdges(
+      model: graft.spark.WoeBinningModel, variable: String): Seq[Double] =
+    model.bins(variable)
+      .iterator
+      .flatMap(b => Iterator(b.intervalStartInclude, b.intervalEndExclude))
+      .filter(e => !e.isNaN && !e.isInfinite)
+      .toSeq.distinct.sorted
+
+  /** [[psi]] over the edges a FITTED model actually learned — the
+    * turn-key "did my scoring population drift off the fit
+    * population" call (null/NaN values are excluded on both sides;
+    * they belong to the model's NaN bin, not a value interval).
+    */
+  def psiForModel(
+      model: graft.spark.WoeBinningModel,
+      baseline: DataFrame, current: DataFrame, variable: String,
+      epsilon: Double = 1e-6): DataFrame = {
+    val clean = (df: DataFrame) => df.filter(
+      col(variable).isNotNull && !isnan(col(variable).cast("double")))
+    psi(clean(baseline), clean(current), variable,
+      modelEdges(model, variable), epsilon)
+  }
 }

@@ -1461,6 +1461,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.map(_._5).sum > 0.25)
   }
 
+  test("psiForModel: recovered edges reproduce the model's own bin sizes; self-PSI is zero") {
+    val df = SparkEntry.lcgFrame(spark, sf001)
+    val model = graft.spark.WoeBinning.fit(df, "target", Seq("extendedprice"),
+      graft.spark.WoeFitOptions(nThreshold = Some(300)))
+    val edges = DriftOps.modelEdges(model, "extendedprice")
+    assert(edges == edges.sorted && edges.nonEmpty)
+    // the recovered edges must re-derive the model's own recorded bin
+    // sizes when applied back to the fit data (integer equality)
+    val counts = df.filter(col("extendedprice").isNotNull)
+      .select(DriftOps.binId(col("extendedprice"), edges).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sizes = model.bins("extendedprice")
+      .filter(b => !b.intervalStartInclude.isNaN)
+      .map(_.size.toLong).sorted
+    assert(counts.values.toSeq.sorted == sizes,
+      s"${counts.values.toSeq.sorted} vs $sizes")
+    // fit population against itself: every PSI term is exactly 0
+    val self = DriftOps.psiForModel(model, df, df, "extendedprice")
+      .collect().map(_.getDouble(5))
+    assert(self.forall(_ == 0.0))
+  }
+
   test("corpus diff: added/removed/changed/unchanged partition exactly") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
