@@ -39,7 +39,9 @@ object DriftOps {
   def psi(
       baseline: DataFrame, current: DataFrame, valueCol: String,
       edges: Seq[Double], epsilon: Double = 1e-6): DataFrame = {
-    require(edges.nonEmpty, "psi: need at least one edge")
+    // empty edges = one bucket (a single-bin variable is trivially
+    // stable: p = q = 1, term 0) — legitimate for psiForModel when a
+    // fit collapsed a variable to one bin
     require(edges == edges.sorted, s"psi: edges must ascend, got $edges")
     require(epsilon > 0, s"psi: epsilon=$epsilon must be positive")
     def counts(df: DataFrame, nCol: String) =
@@ -86,4 +88,21 @@ object DriftOps {
     psi(clean(baseline), clean(current), variable,
       modelEdges(model, variable), epsilon)
   }
+
+  /** The full scorecard drift report: [[psiForModel]] for EVERY fitted
+    * variable, stacked with a `variable` column — the one frame a
+    * monitoring job materializes per scoring batch.  Costs two scans
+    * per variable (each variable's edges differ, so the buckets
+    * cannot share a pass without a melt; at typical scorecard widths
+    * of 10-50 variables this is the simple/robust trade).
+    */
+  def psiReport(
+      model: graft.spark.WoeBinningModel,
+      baseline: DataFrame, current: DataFrame,
+      epsilon: Double = 1e-6): DataFrame =
+    model.fitted.map(_._1).map { v =>
+      psiForModel(model, baseline, current, v, epsilon)
+        .select(lit(v).as("variable"), col("bin_id"), col("n_base"),
+          col("n_curr"), col("p_base"), col("p_curr"), col("psi_term"))
+    }.reduce(_ unionByName _)
 }

@@ -1484,6 +1484,17 @@ class OpsSpec extends AnyFunSuite {
     assert(self.forall(_ == 0.0))
   }
 
+  test("psiReport: one stacked frame covering every fitted variable") {
+    val df = SparkEntry.lcgFrame(spark, sf001)
+    val model = graft.spark.WoeBinning.fit(df, "target",
+      Seq("extendedprice", "quantity"),
+      graft.spark.WoeFitOptions(nThreshold = Some(300)))
+    val rep = DriftOps.psiReport(model, df, df)
+      .collect().map(r => (r.getString(0), r.getDouble(6)))
+    assert(rep.map(_._1).toSet == Set("extendedprice", "quantity"))
+    assert(rep.forall(_._2 == 0.0), "self-PSI must be zero for every variable")
+  }
+
   test("corpus diff: added/removed/changed/unchanged partition exactly") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
