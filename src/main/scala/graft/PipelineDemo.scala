@@ -108,15 +108,27 @@ object PipelineDemo {
       stages += "packed" -> out.count() // materializes before the release below
 
       // 9. GPT-style sequence packing of the train split: the final
-      //    (doc, sequence) layout a pretraining loader consumes
+      //    (doc, sequence) layout a pretraining loader consumes.
+      //    EAGERLY persisted+materialized before the finally releases
+      //    the packer's registered persist: packSequences' offset pass
+      //    collected per-partition sums from the pinned range
+      //    partitioning, and a caller action AFTER unpersistAll would
+      //    re-plan that exchange with freshly-sampled boundaries —
+      //    silently mismatching the baked-in offsets.  The persist
+      //    (same caller-released convention as `out`) materializes
+      //    through the still-live cache; even on block eviction the
+      //    InMemoryRelation recomputes its RETAINED physical plan —
+      //    the same exchange instance, hence the same boundaries.
       val seqPlan = PackingOps.packSequences(
         out.where(col("split") === "train")
           .select(col("doc_id"), col("n_tokens").as("tok")),
         "doc_id", "tok", 512L)
+        .persist()
+      seqPlan.count()
       (out, seqPlan, stages.result())
     } finally {
-      // releasing upstream caches is safe: `out` is materialized, and
-      // seqPlan reads only `out`
+      // releasing upstream caches is safe: `out` and `seqPlan` are
+      // materialized caller-owned caches
       boundaries.foreach(_.unpersist())
       DedupOps.unpersistAll()
       ClusterOps.unpersistAll()

@@ -2532,9 +2532,9 @@ object SparkEntry {
         // table — gating the glue (stage ordering, column plumbing)
         // that the per-stage oracles can't see
         val docs = s.read.parquet(s"$dir/documents.parquet")
-        val (out, _, stages) = PipelineDemo.run(s,
+        val (out, seqPlan, stages) = PipelineDemo.run(s,
           docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
-        out.unpersist()
+        out.unpersist(); seqPlan.unpersist()
         import s.implicits._
         stages.zipWithIndex
           .map { case ((name, n), i) => (i.toLong, name, n) }

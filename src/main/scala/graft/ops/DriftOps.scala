@@ -12,13 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object DriftOps {
 
-  /** Right-closed fixed-edge bin id (`(-inf, e₀], (e₀, e₁], …`) — the
-    * same when-chain shape the WoE transform compiles to, codegen'd,
-    * no join.
+  /** Fixed-edge bin id — the same when-chain shape the WoE transform
+    * compiles to, codegen'd, no join.  `rightClosed = true` gives
+    * `(-inf, e₀], (e₀, e₁], …`; false gives the left-closed
+    * `(-inf, e₀), [e₀, e₁), …` — the transform picks the comparator
+    * from the fit orientation, and drift bins must match it or
+    * boundary-exact values land in a different bin than scoring puts
+    * them ([[psiForModel]] derives the flag from the model's bins).
     */
-  def binId(value: Column, edges: Seq[Double]): Column =
+  def binId(
+      value: Column, edges: Seq[Double],
+      rightClosed: Boolean = true): Column =
     edges.zipWithIndex.foldRight(lit(edges.length): Column) {
-      case ((e, i), acc) => when(value <= e, lit(i)).otherwise(acc)
+      case ((e, i), acc) =>
+        when(if (rightClosed) value <= e else value < e, lit(i))
+          .otherwise(acc)
     }
 
   /** Per-bin PSI report between `baseline` and `current` over fixed
@@ -38,15 +46,24 @@ object DriftOps {
     */
   def psi(
       baseline: DataFrame, current: DataFrame, valueCol: String,
-      edges: Seq[Double], epsilon: Double = 1e-6): DataFrame = {
+      edges: Seq[Double], epsilon: Double = 1e-6,
+      rightClosed: Boolean = true): DataFrame = {
     // empty edges = one bucket (a single-bin variable is trivially
     // stable: p = q = 1, term 0) — legitimate for psiForModel when a
     // fit collapsed a variable to one bin
     require(edges == edges.sorted, s"psi: edges must ascend, got $edges")
     require(epsilon > 0, s"psi: epsilon=$epsilon must be positive")
-    def counts(df: DataFrame, nCol: String) =
-      df.select(binId(col(valueCol).cast("double"), edges).as("bin_id"))
+    // null/NaN rows get their OWN bin (-1, the "missing" bucket):
+    // a shifting null rate is a common drift mode and must be
+    // reported, not silently folded into the top value bin (which is
+    // where the bare when-chain would drop them)
+    def counts(df: DataFrame, nCol: String) = {
+      val v = col(valueCol).cast("double")
+      df.select(
+          when(v.isNull || isnan(v), lit(-1))
+            .otherwise(binId(v, edges, rightClosed)).as("bin_id"))
         .groupBy("bin_id").agg(count(lit(1)).as(nCol))
+    }
     val b = counts(baseline, "n_base")
     val c = counts(current, "n_curr")
     val joined = b.join(c, Seq("bin_id"), "full_outer")
@@ -76,17 +93,24 @@ object DriftOps {
 
   /** [[psi]] over the edges a FITTED model actually learned — the
     * turn-key "did my scoring population drift off the fit
-    * population" call (null/NaN values are excluded on both sides;
-    * they belong to the model's NaN bin, not a value interval).
+    * population" call.  Null/NaN rows surface as the `-1` missing bin
+    * (the drift mirror of the model's NaN bin), and the interval
+    * comparator follows the model's fit orientation exactly as the
+    * transform's when-chain does, so boundary-exact values are
+    * counted in the same bin scoring puts them.
     */
   def psiForModel(
       model: graft.spark.WoeBinningModel,
       baseline: DataFrame, current: DataFrame, variable: String,
       epsilon: Double = 1e-6): DataFrame = {
-    val clean = (df: DataFrame) => df.filter(
-      col(variable).isNotNull && !isnan(col(variable).cast("double")))
-    psi(clean(baseline), clean(current), variable,
-      modelEdges(model, variable), epsilon)
+    val complete = model.bins(variable)
+      .filter(graft.core.Kernels.isCompleteRow)
+    // same orientation rule as WoeBinningModel.applyExpr: descending
+    // recorded intervals = right-closed cuts
+    val rightClosed = complete.length < 2 ||
+      complete.head.intervalStartInclude > complete.last.intervalStartInclude
+    psi(baseline, current, variable,
+      modelEdges(model, variable), epsilon, rightClosed)
   }
 
   /** The full scorecard drift report: [[psiForModel]] for EVERY fitted

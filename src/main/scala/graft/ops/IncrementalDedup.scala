@@ -65,8 +65,10 @@ object IncrementalDedup {
       batch: DataFrame, textCol: String, idCol: String,
       outPath: String): Unit =
     spark.read.parquet(storePath)
+      // native id type, matching writeExactStore — a cast("long") here
+      // nulled string ids and made numeric-string mins lexicographic
       .union(batch.select(md5(col(textCol)).as("content_hash"),
-        col(idCol).cast("long").as("keep_id")))
+        col(idCol).as("keep_id")))
       .groupBy("content_hash").agg(min("keep_id").as("keep_id"))
       .write.mode("overwrite").parquet(outPath)
 

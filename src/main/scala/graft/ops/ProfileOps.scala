@@ -68,14 +68,19 @@ object ProfileOps {
     require(topK > 0, s"keySkew: topK=$topK must be positive")
     // orderBy+limit plans as a distributed TakeOrdered — the billions
     // of per-key counts are NEVER globally sorted; the rank/cum-share
-    // window then runs over the ≤ topK surviving rows only
-    val top = df.groupBy(col(keyCol).cast("string").as("key"))
-      .agg(count(lit(1)).as("n"))
+    // window then runs over the ≤ topK surviving rows only.  The
+    // per-key count frame is cached (the dedup family's registered
+    // persist, released by unpersistAll) so the input scans ONCE:
+    // both the top-k and the total derive from the cached counts.
+    val counts = DedupOps.registerPersist(
+      df.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("n")))
+    val top = counts
       .orderBy(col("n").desc, col("key"))
       .limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("key"))
-    top.crossJoin(broadcast(df.groupBy().agg(count(lit(1)).as("total"))))
+    top.crossJoin(broadcast(counts.agg(sum("n").as("total"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum_n",
         sum(col("n")).over(w.rowsBetween(

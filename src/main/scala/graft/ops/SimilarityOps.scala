@@ -460,9 +460,13 @@ object SimilarityOps {
       var cents = seedRows.map(_.getSeq[Any](1).iterator
         .map(_.asInstanceOf[Number].doubleValue).toArray)
       val dim = cents.head.length
+      // ragged vectors (length != dim) drop out like zero-norm rows do
+      // — they'd otherwise index qsums out of bounds on the driver or
+      // leave per-dim counts unequal (silently skewed means)
+      val conform = base.filter(size(col("v")) === dim)
       var it = 0
       while (it < iters) {
-        val stats = base
+        val stats = conform
           .withColumn("cell",
             array_min(array(cellScoresFor(cents)(col("v")): _*))
               .getField("cell"))
@@ -625,12 +629,15 @@ object SimilarityOps {
 
   /** STREAMING index maintenance: every micro-batch of arriving
     * vectors is assigned with the fixed centroid literals and
-    * appended to the cell-partitioned index via [[appendIvfIndex]] —
-    * the embedding firehose lands straight into the probe-ready
-    * layout, no batch re-index job.  `foreachBatch` gives the sink
-    * transactional batch ids; the append itself is the same
-    * deterministic projection as the batch path, so (spec-pinned) a
-    * streamed corpus produces the identical index content.
+    * assigned with the fixed centroid literals and written to the
+    * cell-partitioned index — the embedding firehose lands straight
+    * into the probe-ready layout, no batch re-index job.  Each batch
+    * OVERWRITES its own `batch=<id>` subdirectory, so a micro-batch
+    * replayed after a crash (foreachBatch's at-least-once contract)
+    * lands on the same path instead of appending duplicates —
+    * idempotent per batch id, hence exactly-once index content
+    * (spec-pinned equal to the batch build).  Readers see `batch` as
+    * one more partition column; cell pruning is unaffected.
     * Returns the started query; callers own its lifecycle.
     */
   def streamIntoIvfIndex(
@@ -639,8 +646,10 @@ object SimilarityOps {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendIvfIndex(batch, idCol, vecCol, centroids, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        assignCells(batch, idCol, vecCol, centroids)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/batch=$batchId")
       }
       .start()
 
@@ -800,12 +809,7 @@ object SimilarityOps {
     val cand = encoded
       .select(col("id").as("corpus_id"), explode(array(perQuery: _*)).as("q"))
       .select(col("q.query_id"), col("corpus_id"), col("q.adc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("corpus_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "adc", "rank")
+    rankByAdc(cand, k)
   }
 
   /** IVF-PQ — the production ANN composition: the IVF coarse

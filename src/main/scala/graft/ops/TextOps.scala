@@ -572,26 +572,32 @@ object TextOps {
   def compressionRatio(
       df: DataFrame, idCol: String, textCol: String,
       level: Int = 6): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val deflater = new java.util.zip.Deflater(level, true)
-        val buf = new Array[Byte](64 * 1024)
-        it.map { case (id, text) =>
-          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
-          deflater.reset()
-          deflater.setInput(bytes)
-          deflater.finish()
-          var total = 0L
-          while (!deflater.finished()) total += deflater.deflate(buf)
-          val ratio =
-            if (bytes.length > 0) total.toDouble / bytes.length else 1.0
-          (id, bytes.length.toLong, total, ratio)
-        }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    // Row-encoded so the id keeps its NATIVE type (string ids are as
+    // legitimate here as everywhere else in this family — a long cast
+    // would null them into encoder crashes)
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val outSchema = StructType(in.schema.fields(0) +: Array(
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_deflate", LongType, nullable = false),
+      StructField("ratio", DoubleType, nullable = false)))
+    in.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(level, true)
+      val buf = new Array[Byte](64 * 1024)
+      it.map { row =>
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        val bytes = text.getBytes("UTF-8")
+        deflater.reset()
+        deflater.setInput(bytes)
+        deflater.finish()
+        var total = 0L
+        while (!deflater.finished()) total += deflater.deflate(buf)
+        val ratio =
+          if (bytes.length > 0) total.toDouble / bytes.length else 1.0
+        Row(row.get(0), bytes.length.toLong, total, ratio)
       }
-      .toDF(idCol, "n_bytes", "n_deflate", "ratio")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Per-document top-k TF-IDF terms — the classic "what is this

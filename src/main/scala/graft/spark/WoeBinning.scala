@@ -303,7 +303,18 @@ object WoeBinning {
   * @param fitPlan    analyzed plan of the fit DataFrame; when the apply
   *                   DataFrame `sameResult`s it, `transform` reuses
   *                   [[fitMedians]] instead of launching a second
-  *                   median job over the same data
+  *                   median job over the same data.  CONTRACT: plan
+  *                   equality stands in for data equality — if the
+  *                   underlying files are overwritten between fit and
+  *                   transform, the reused medians describe the OLD
+  *                   data (the same staleness any Spark cache of that
+  *                   plan would exhibit); re-fit, or transform a
+  *                   freshly-read DataFrame whose plan differs, when
+  *                   the source may have changed.  The retained plan
+  *                   also keeps its analyzed tree reachable for the
+  *                   model's lifetime — negligible for file scans,
+  *                   worth knowing for plans embedding large local
+  *                   relations.
   */
 final class WoeBinningModel(
     val fitted: Seq[(String, Vector[WoeBin])],

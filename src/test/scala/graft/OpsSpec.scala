@@ -1459,6 +1459,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L)._5 == term(1e-6, 0.6))
     // headline sum says "re-fit" for this blatant shift
     assert(got.values.map(_._5).sum > 0.25)
+    // null values land in the -1 missing bin, not the top value bin
+    val withNull = (Seq(5.0, 15.0).map(Option(_)) :+ None)
+      .toDF("v")
+    val nb = DriftOps.psi(base, withNull, "v", edges)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(nb(-1) == 1L, s"missing bin: $nb")
+    assert(nb.getOrElse(2, 0L) == 0L, "null must not inflate the top bin")
+    // left-closed flavor: a boundary-exact value goes UP a bin
+    val b10 = Seq(10.0).toDF("v")
+    def bin(rc: Boolean) = DriftOps.psi(b10, b10, "v", edges, rightClosed = rc)
+      .collect().map(_.getInt(0)).min
+    assert(bin(true) == 0 && bin(false) == 1)
   }
 
   test("psiForModel: recovered edges reproduce the model's own bin sizes; self-PSI is zero") {
@@ -1467,21 +1479,17 @@ class OpsSpec extends AnyFunSuite {
       graft.spark.WoeFitOptions(nThreshold = Some(300)))
     val edges = DriftOps.modelEdges(model, "extendedprice")
     assert(edges == edges.sorted && edges.nonEmpty)
-    // the recovered edges must re-derive the model's own recorded bin
-    // sizes when applied back to the fit data (integer equality)
-    val counts = df.filter(col("extendedprice").isNotNull)
-      .select(DriftOps.binId(col("extendedprice"), edges).as("b"))
-      .groupBy("b").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // psiForModel's own (orientation-aware) bucketing must re-derive
+    // the model's recorded bin sizes on the fit data — integer
+    // equality ties edge recovery AND comparator choice to the model
+    val rep = DriftOps.psiForModel(model, df, df, "extendedprice").collect()
+    val counts = rep.filter(_.getInt(0) >= 0).map(_.getLong(1)).sorted.toSeq
     val sizes = model.bins("extendedprice")
       .filter(b => !b.intervalStartInclude.isNaN)
       .map(_.size.toLong).sorted
-    assert(counts.values.toSeq.sorted == sizes,
-      s"${counts.values.toSeq.sorted} vs $sizes")
+    assert(counts == sizes, s"$counts vs $sizes")
     // fit population against itself: every PSI term is exactly 0
-    val self = DriftOps.psiForModel(model, df, df, "extendedprice")
-      .collect().map(_.getDouble(5))
-    assert(self.forall(_ == 0.0))
+    assert(rep.map(_.getDouble(5)).forall(_ == 0.0))
   }
 
   test("psiReport: one stacked frame covering every fitted variable") {

@@ -37,15 +37,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(spanRows.map(_._1).distinct.toSet.subsetOf(
       rows.filter(_._2 == "train").map(_._1).toSet))
     // deterministic: a second full run yields the identical plan
-    val (out2, _, stages2) = PipelineDemo.run(spark, corpus, bench)
+    val (out2, seqPlan2, stages2) = PipelineDemo.run(spark, corpus, bench)
     assert(stages2 == stages)
     val rows2 = out2.select("doc_id", "split", "shard_id", "n_tokens")
       .collect().map(r =>
         (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows2.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
     // run() releases every intermediate cache itself; the returned
-    // frames are the caller's to release
+    // frames (out AND the pinned seqPlan) are the caller's to release
     out.unpersist(); out2.unpersist()
+    seqPlan.unpersist(); seqPlan2.unpersist()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty,
       s"pipeline must not leak cached RDDs across runs: $leaked")
