@@ -622,6 +622,10 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ORC round-trip: same gate, columnar peer format
+    "q_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // span-removal replay (DedupOps.removeDuplicateSpans): positioned
     // windows, keeper = min id per hash, covered tokens cut, cleaned
     // text re-hashed — list lambdas mirror the Spark HOFs exactly
@@ -2451,6 +2455,18 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet"), "source", "text",
             k = 8, maxSources = 16, portableHash = true)
           .orderBy("source_a", "source_b")
+      },
+      "q_orc_roundtrip" -> { (s, dir) =>
+        // columnar-interchange gate: parquet -> ORC -> schema'd read
+        // must be lossless (ORC is parquet's peer for Hive/Trino-era
+        // stacks)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val tmp = s"/tmp/graft_orc_rt_${Integer.toHexString(dir.hashCode)}"
+        graft.sources.OrcCorpus.write(docs, tmp)
+        graft.sources.OrcCorpus.read(s, tmp, docs.schema)
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          .orderBy("doc_id")
       },
       "q_csv_roundtrip" -> { (s, dir) =>
         // the tabular interchange gate, same shape as the JSONL one:
