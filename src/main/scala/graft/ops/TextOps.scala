@@ -442,19 +442,26 @@ object TextOps {
     * Callers who need a per-doc total fold the rows in a fixed order
     * (or use [[tokenRarityStats]], which stays integer-exact).
     *
-    * Scale shape: vocab and per-doc tfs are both token-keyed hash
-    * aggregations, so the vocab join lands on co-partitioned sides —
-    * no broadcast of the (possibly 10⁸-row) vocabulary, and the
-    * 2-long global total is the only driver-size frame.
+    * Scale shape: the explode path tokenizes the corpus ONCE — the
+    * corpus frequency is a token-partitioned window sum over the
+    * per-(doc, token) tf aggregate (`freq = Σ_docs tf`, identical
+    * integers to a direct corpus count), which replaces the
+    * vocab-join of the naive three-branch plan (whose branches each
+    * re-scanned and re-tokenized: the lambda inside `tokens` defeats
+    * exchange-reuse canonicalization).  The global total comes from a
+    * second, explode-free scan — `Σ size(tokens)` is a plain partial
+    * aggregate with zero shuffle — so no branch ever re-explodes, no
+    * (possibly 10⁸-row) vocabulary is broadcast, and the 1-long total
+    * is the only driver-size frame.
     */
   def unigramLogProbs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val vocab = tokenFrequencies(df, textCol) // (token, freq)
-    val total = vocab.agg(sum("freq").as("n_total"))
     val tf = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    tf.join(vocab, "token")
+    val byToken = org.apache.spark.sql.expressions.Window.partitionBy("token")
+    val total = df.agg(sum(tokenCount(col(textCol))).cast("long").as("n_total"))
+    tf.withColumn("freq", sum("tf").over(byToken))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("token"), col("tf"), col("freq"),
         (-log(col("freq").cast("double") / col("n_total"))).as("logprob"))
@@ -490,7 +497,10 @@ object TextOps {
           element_at(col("toks"), i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val vocab = tokenFrequencies(df, textCol) // (token, freq)
-    val total = vocab.agg(sum("freq").as("n_total"))
+    // Σ size(tokens) — a plain explode-free partial aggregate — is the
+    // same integer as Σ freq but does not re-derive (re-tokenize) the
+    // vocabulary branch
+    val total = df.agg(sum(tokenCount(col(textCol))).cast("long").as("n_total"))
     val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val tf = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
     tf.join(bigrams, Seq("w1", "w2"))

@@ -166,18 +166,13 @@ object WoeBinning {
   def snapToEdges(df: DataFrame, c: String, edges: Seq[Double]): DataFrame = {
     val es = edges.distinct.sorted
     require(es.length >= 2, s"snapToEdges('$c'): need >= 2 distinct edges, got ${es.length}")
-    // m edges → m-2 interior splits → m-1 buckets, representative =
-    // the bucket's lower edge
-    val splits = Double.NegativeInfinity +: es.drop(1).dropRight(1) :+ Double.PositiveInfinity
-    val reps = es.dropRight(1)
-    val bucketizer = new org.apache.spark.ml.feature.Bucketizer()
-      .setInputCol(c).setOutputCol(s"__${c}_bucket")
-      .setSplits(splits.toArray).setHandleInvalid("keep")
-    val repCol = element_at(
-      lit(reps.toArray), (col(s"__${c}_bucket") + 1).cast(IntegerType))
-    bucketizer.transform(df)
-      .withColumn(c, when(col(c).isNull || isnan(col(c)), col(c)).otherwise(repCol))
-      .drop(s"__${c}_bucket")
+    // codegen'd O(log edges) binary search per row (SnapToEdge) — the
+    // Bucketizer computes the same buckets but through a Scala UDF,
+    // which boxes rows and fences whole-stage codegen right in the
+    // scale valve's hot path; SnapToEdgeSpec pins bucket-for-bucket
+    // equivalence against the Bucketizer
+    df.withColumn(c,
+      graft.functions.SnapToEdge(col(c).cast("double"), es.toArray))
   }
 
   /** Quantile pre-binning for the distinct-value-explosion scale path:
