@@ -158,6 +158,7 @@ object PipelineDemo {
         count(lit(1)).as("doc_spans"),
         sum("n_taken").as("tokens")).show(truncate = false)
     out.unpersist()
+    seqPlan.unpersist() // run() persists it for the caller; release both
     spark.stop()
   }
 }

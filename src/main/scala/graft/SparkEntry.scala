@@ -1877,7 +1877,31 @@ object SparkEntry {
     * (The fit output is a function of the data, so a fixture-literal
     * oracle is necessarily per-SF; every other oracle stays SF-free.)
     */
+  /** Golden-literal oracle for the zlib compression-ratio signal.
+    * Deflate is not SQL-expressible, but it IS deterministic for a
+    * fixed level and zlib build, so the integer byte counts captured
+    * once from the engine (REGRESSION PIN — same contract as the
+    * prebin fixture) replay as literals and DuckDB recomputes the
+    * ratio with the same single IEEE division the Scala side does.
+    */
+  private def compressOracleSql(fixture: String): String = {
+    val t = Golden.load(fixture)
+    val valueRows = t.rows.map { r =>
+      r.map(v => s"CAST(${v.toString.toDouble.toLong} AS BIGINT)")
+        .mkString("(", ", ", ")")
+    }.mkString(",\n")
+    s"""SELECT doc_id, n_bytes, n_deflate,
+       |       CASE WHEN n_bytes > 0
+       |            THEN CAST(n_deflate AS DOUBLE) / CAST(n_bytes AS DOUBLE)
+       |            ELSE 1.0 END AS ratio
+       |FROM (VALUES
+       |$valueRows
+       |) AS t(${t.columns.mkString(", ")})
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val fitOracleSqls: Map[String, String] = Map(
+    "q_compress_ratio" -> compressOracleSql("sf0.01_compress_ratio_l6.json"),
     "q_fit_bins" -> fitOracleSql("sf0.01_extendedprice_n300.json",
       "sf0.01_quantity_n300.json", "sf0.01_discount_n300.json"),
     "q_fit_default_threshold" -> fitOracleSql("sf0.01_extendedprice_n3000.json"),
@@ -2989,7 +3013,9 @@ object SparkEntry {
       },
       "q_compress_ratio" -> { (s, dir) =>
         // zlib-ratio quality signal; deflate is not SQL-expressible,
-        // so this is a sanctioned rows-only surface (spec-pinned)
+        // but it is deterministic at a fixed level, so the golden-
+        // literal byte counts gate it (compressOracleSql) on top of
+        // the OpsSpec monotonicity/determinism properties
         TextOps.compressionRatio(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .orderBy("doc_id")

@@ -123,10 +123,14 @@ object DriftOps {
   def psiReport(
       model: graft.spark.WoeBinningModel,
       baseline: DataFrame, current: DataFrame,
-      epsilon: Double = 1e-6): DataFrame =
+      epsilon: Double = 1e-6): DataFrame = {
+    require(model.fitted.nonEmpty,
+      "psiReport: model has no fitted variables — fit at least one " +
+        "variable before asking for a drift report")
     model.fitted.map(_._1).map { v =>
       psiForModel(model, baseline, current, v, epsilon)
         .select(lit(v).as("variable"), col("bin_id"), col("n_base"),
           col("n_curr"), col("p_base"), col("p_curr"), col("psi_term"))
     }.reduce(_ unionByName _)
+  }
 }

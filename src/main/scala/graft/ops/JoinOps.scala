@@ -30,9 +30,10 @@ object JoinOps {
     * (`monotonically_increasing_id`) changes when a lost shuffle
     * partition is recomputed in a different row order, silently
     * dropping/duplicating join rows (the SPARK-23207 class of bug).
-    * So the salt hashes `idCol` — stable row CONTENT, e.g. a record
-    * id or any roughly-uniform non-key column — which re-routes
-    * identically no matter how many times the stage re-runs.
+    * So the salt hashes stable row CONTENT — `idCol` (a record id or
+    * any roughly-uniform non-key column) plus the row's remaining
+    * columns — which re-routes identically no matter how many times
+    * the stage re-runs, and keeps spreading even when `idCol` is null.
     */
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String, salt: Int,
@@ -46,8 +47,17 @@ object JoinOps {
       s"saltedJoin: salt source '$idCol' must differ from the join key — " +
         "salting by the key re-concentrates the hot key on one reducer")
     val saltCol = "__graft_salt"
+    // hash the id FIRST but fold in every other column too: xxhash64
+    // skips null inputs (returning the running seed), so a null idCol
+    // alone would send every null-id row of a hot key to ONE salt
+    // bucket — the exact concentration the salt exists to avoid.  With
+    // the full row hashed, null-id rows spread by their remaining
+    // content; only fully-identical rows co-locate (the deterministic
+    // floor: any content-stable salt must map equal rows equally).
+    val saltSrc = col(idCol) +:
+      big.columns.filterNot(_ == idCol).map(col).toSeq
     val bigS = big.withColumn(saltCol,
-      pmod(xxhash64(col(idCol)), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(saltSrc: _*), lit(salt.toLong)).cast("int"))
     val smallS = small.withColumn(saltCol,
       explode(array((0 until salt).map(lit(_)): _*)))
     bigS.join(smallS, big.columns.intersect(Seq(key)).toSeq :+ saltCol)

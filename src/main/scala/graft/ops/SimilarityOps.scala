@@ -628,8 +628,7 @@ object SimilarityOps {
       .write.mode("append").partitionBy("cell").parquet(path)
 
   /** STREAMING index maintenance: every micro-batch of arriving
-    * vectors is assigned with the fixed centroid literals and
-    * assigned with the fixed centroid literals and written to the
+    * vectors is assigned with the fixed centroid literals and written to the
     * cell-partitioned index — the embedding firehose lands straight
     * into the probe-ready layout, no batch re-index job.  Each batch
     * OVERWRITES its own `batch=<id>` subdirectory, so a micro-batch

@@ -35,5 +35,12 @@ object CsvCorpus {
       .option("header", "true")
       .option("mode", "DROPMALFORMED")
       .option("escape", "\"")
+      // write() quotes all fields, so a quoted field may legally carry
+      // an embedded newline; without multiLine each such row parses as
+      // two malformed lines and DROPMALFORMED makes the loss SILENT —
+      // multiLine keeps the sanctioned write-then-readClean round-trip
+      // lossless on realistic corpora (at the cost of per-file rather
+      // than per-split parallelism, the standard multiLine trade)
+      .option("multiLine", "true")
       .csv(path)
 }

@@ -1952,6 +1952,47 @@ class OpsSpec extends AnyFunSuite {
       3L -> "both, \"and\", more", 4L -> ""))
   }
 
+  test("csv source: embedded newlines survive the write-then-readClean round-trip") {
+    import spark.implicits._
+    // quoteAll legally emits quoted embedded newlines; without multiLine
+    // those rows parsed as two malformed lines and DROPMALFORMED made
+    // the loss silent (ADVICE r07)
+    val nasty = Seq(
+      (1L, "line\nbreak"),
+      (2L, "two\n\nbreaks"),
+      (3L, "crlf\r\nstyle"),
+      (4L, "plain"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_nl").toString
+    graft.sources.CsvCorpus.write(nasty, dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val back = graft.sources.CsvCorpus.readClean(spark, dir, schema)
+      .as[(Long, String)].collect().toMap
+    assert(back == Map(1L -> "line\nbreak", 2L -> "two\n\nbreaks",
+      3L -> "crlf\r\nstyle", 4L -> "plain"))
+  }
+
+  test("salted join keeps null-id rows and still equals the plain join") {
+    import spark.implicits._
+    // null idCol: xxhash64 skips null inputs, so an id-only salt sent
+    // every null-id row to ONE bucket; the full-row salt must neither
+    // drop these rows nor change the result set (ADVICE r07)
+    val big = ((1 to 50).map(i => (Option(i.toLong), "hot", s"p$i")) ++
+      (51 to 100).map(i => (None: Option[Long], "hot", s"p$i")) ++
+      Seq((Some(101L), "cold", "x")))
+      .toDF("row_id", "k", "payload")
+    val dim = Seq(("hot", 1L), ("cold", 2L)).toDF("k", "v")
+    val salted = JoinOps.saltedJoin(big, dim, "k", salt = 7, idCol = "row_id")
+      .select("payload", "k", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val plain = big.join(dim, "k")
+      .select("payload", "k", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(salted.length == 101)
+    assert(salted == plain)
+  }
+
   test("streaming JSONL ingest == batch: same clean rows, corrupt shards skipped") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select("doc_id", "text", "lang")
