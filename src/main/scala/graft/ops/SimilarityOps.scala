@@ -823,13 +823,24 @@ object SimilarityOps {
     * the two levers multiply.  Fully deterministic given
     * [[deterministicCentroids]] + [[pqCodebooks]], hence
     * oracle-replayable end-to-end.
+    *
+    * `refine > 0` adds the standard IVF-PQ refinement step: the ADC
+    * ranking keeps a `k·refine` shortlist per query, whose EXACT
+    * cosine is then recomputed from the float vectors and re-ranked
+    * to the final k (output columns become `cosine`/`rank`, matching
+    * the exact flavors).  ADC quantization error stops costing recall
+    * — RecallSpec measures the lift — while the exact math touches
+    * only shortlist rows: the shortlist broadcasts and the corpus is
+    * semi-join-filtered by it, so no corpus shuffle and no second
+    * probe.  Default 0 keeps the pure-ADC ranking (the oracled
+    * bit-replayable flavor).
     */
   def ivfPqTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
-      nProbe: Int = 4, k: Int = 10): DataFrame = {
+      nProbe: Int = 4, k: Int = 10, refine: Int = 0): DataFrame = {
     val assigned = assignCells(corpus, corpusId, corpusVec, centroids)
       .select(col("corpus_id"), col("cell"),
         pqCodesOf(col("cv"), codebooks).as("codes"))
@@ -837,7 +848,27 @@ object SimilarityOps {
     val cand = assigned.join(broadcast(q), "cell")
       .select(col("query_id"), col("corpus_id"),
         adcExpr(col("qv"), col("codes"), codebooks).as("adc"))
-    rankByAdc(cand, k)
+    if (refine <= 0) rankByAdc(cand, k)
+    else {
+      val shortlist = rankByAdc(cand, k * refine)
+        .select("query_id", "corpus_id")
+      val c = corpus.select(col(corpusId).as("corpus_id"),
+          col(corpusVec).as("cv"), norm(col(corpusVec)).as("cn"))
+        .filter(col("cn") > 0)
+      val qv = queries.select(col(queryId).as("query_id"),
+          col(queryVec).as("qv"), norm(col(queryVec)).as("qn"))
+        .filter(col("qn") > 0)
+      val exact = c.join(broadcast(shortlist), "corpus_id")
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("corpus_id"),
+          (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("corpus_id").asc)
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    }
   }
 
   /** Rank candidates by ascending ADC distance (ties on corpus id). */

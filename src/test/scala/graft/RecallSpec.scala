@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+
+/** Recall@k of the approximate ANN family against bruteForceTopK.
+  *
+  * The ANN oracles are HASH gates (bit-determinism), so a centroid or
+  * probe change could silently trade recall for speed while every
+  * oracle stays green — this spec is the quality floor that catches
+  * that: each approximate flavor must keep recall@10 over the fixture
+  * corpus at or above a pinned floor at its default probe settings.
+  * Floors sit under the currently measured values (printed on every
+  * run via `info`) so legitimate tuning has headroom but a collapse
+  * fails loudly.
+  */
+class RecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf01 = "/root/testdata/sf0.1"
+  private val k = 10
+
+  private lazy val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 32)
+
+  /** query_id -> top-k corpus ids (rank order irrelevant for recall). */
+  private def topSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id").cast("long"), col("corpus_id").cast("long"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private lazy val truth: Map[Long, Set[Long]] = topSets(
+    SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = k))
+
+  private def recall(name: String, df: DataFrame): Double = {
+    val approx = topSets(df)
+    val r = truth.toSeq.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = r.sum / r.size
+    info(f"$name recall@$k = $mean%.3f over ${r.size} queries")
+    mean
+  }
+
+  // Floor context: the fixture embeddings are near-uniform synthetic
+  // vectors — the WORST case for cell/code pruning (no cluster
+  // structure, so a query's true neighbors scatter across cells and PQ
+  // quantization error rivals true distance gaps).  Real embedding
+  // corpora cluster and sit well above these floors; the pins exist to
+  // catch a COLLAPSE (wrong assignment, broken probe, scrambled codes),
+  // not to certify state-of-the-art recall on uniform noise.
+  // Measured at pin time: ivf 0.706, lsh 1.000, ivfpq-adc 0.275,
+  // ivfpq refined (refine=16) 0.653 ≈ the IVF probed-cell ceiling.
+
+  test("IVF (deterministic centroids, default nProbe=4/16) holds its recall floor") {
+    val cents = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    val r = recall("ivf", SimilarityOps.ivfTopKWithCentroids(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      cents, nProbe = 4, k = k))
+    assert(r >= 0.65, f"IVF recall@$k collapsed: $r%.3f")
+  }
+
+  test("LSH top-k holds its recall floor at the default bucket target") {
+    val r = recall("lsh", SimilarityOps.lshTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      dim = 64, k = k))
+    assert(r >= 0.80, f"LSH recall@$k collapsed: $r%.3f")
+  }
+
+  test("IVF-PQ (ADC ranking) holds its recall floor") {
+    val cents = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    val cbs = SimilarityOps.pqCodebooks(
+      emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+    val r = recall("ivfpq-adc", SimilarityOps.ivfPqTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      cents, cbs, nProbe = 4, k = k))
+    assert(r >= 0.20, f"IVF-PQ recall@$k collapsed: $r%.3f")
+  }
+
+  test("IVF-PQ refinement recovers the ADC quantization loss") {
+    val cents = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    val cbs = SimilarityOps.pqCodebooks(
+      emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+    val adc = recall("ivfpq-adc", SimilarityOps.ivfPqTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      cents, cbs, nProbe = 4, k = k))
+    val refined = recall("ivfpq-refine16", SimilarityOps.ivfPqTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      cents, cbs, nProbe = 4, k = k, refine = 16))
+    // refinement re-ranks exactly within the probed cells, so it must
+    // (a) clearly beat raw ADC and (b) approach the IVF probed-cell
+    // ceiling (~0.7 on this fixture)
+    assert(refined >= adc + 0.2, f"refine lift too small: $adc%.3f -> $refined%.3f")
+    assert(refined >= 0.60, f"refined IVF-PQ recall@$k collapsed: $refined%.3f")
+  }
+}
