@@ -2180,6 +2180,26 @@ object SparkEntry {
         |       END AS mean_byte,
         |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
         |FROM px ORDER BY doc_id""".stripMargin,
+    // REAL MP4 box-walk replay: dims and duration are moov header
+    // constants (the synthesized 240-byte ftyp+moov+mdat prefix),
+    // n_bytes = 240 + text bytes, and the stats region is exactly the
+    // mdat payload — the UTF-8 text
+    "q_multimodal_mp4" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(hex(encode(text)), '..') AS pairs
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(320 AS BIGINT) AS width,
+        |       CAST(180 AS BIGINT) AS height,
+        |       CAST(7125 AS BIGINT) AS duration_ms,
+        |       CAST(240 + len(pairs) AS BIGINT) AS n_bytes,
+        |       CASE WHEN len(pairs) = 0 THEN 0E0
+        |            ELSE CAST(list_sum(list_transform(pairs,
+        |                 p -> CAST(('0x' || p) AS INT))) AS DOUBLE) / len(pairs)
+        |       END AS mean_byte,
+        |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
+        |FROM px ORDER BY doc_id""".stripMargin,
     // token-window chunking replay: same whitespace tokens, same
     // full-windows-plus-short-doc-clamp start rule, same md5 of the
     // space-rejoined window
@@ -2977,6 +2997,26 @@ object SparkEntry {
           .select(col("id").as("doc_id"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
+            col("nBytes").cast("long").as("n_bytes"),
+            col("meanByte").as("mean_byte"),
+            element_at(col("byteHistogram"), 7).as("hist_bucket6"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_mp4" -> { (s, dir) =>
+        // REAL ISO BMFF container parse under the hash gate: synthesize
+        // an MP4-framed record per doc (ftyp + structurally complete
+        // moov with true dims/duration, text bytes as the mdat
+        // payload), walk the boxes through the same batched decoder,
+        // and emit the TRUE tkhd dims + mvhd duration — header
+        // constants + text-byte stats, so DuckDB replays every column
+        val media = MultimodalOps.synthesizeMp4(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          width = 320, height = 180, durationMs = 7125L)
+        MultimodalOps.decodeFeatures(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("durationMs").as("duration_ms"),
             col("nBytes").cast("long").as("n_bytes"),
             col("meanByte").as("mean_byte"),
             element_at(col("byteHistogram"), 7).as("hist_bucket6"))

@@ -8,27 +8,36 @@ import org.apache.spark.sql.functions._
   * frame-sample stages running as batched partition-local transforms —
   * the Scala analog of `mapInPandas` batch UDFs.
   *
-  * Decode is REAL for the container formats whose dimensions live in
+  * Decode is REAL for the container formats whose metadata lives in
   * headers parseable with plain byte arithmetic: BMP (uncompressed
   * `BITMAPINFOHEADER` → true width/height, pixel-level stats), PNG
   * (fixed-offset IHDR → true width/height), JPEG (SOF marker walk →
-  * true width/height), and WAV (RIFF/WAVE PCM audio → true
-  * samples-per-channel/channel count, sample-level stats); declared
-  * images the strict parsers reject get a full-pixel attempt through
-  * the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP, zero native deps).
-  * Only payloads none of those paths accept fall back to the
+  * true width/height), WAV (RIFF/WAVE PCM audio → true
+  * samples-per-channel/channel count, sample-level stats, real
+  * duration), MP4/MOV (ISO BMFF box walk → true tkhd dims + mvhd
+  * duration, mdat-region stats), and MKV/WebM (EBML element walk →
+  * true PixelWidth/Height + segment duration, Cluster-region stats);
+  * declared images the strict parsers reject get a full-pixel attempt
+  * through the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP, zero native
+  * deps).  Only payloads none of those paths accept fall back to the
   * clearly-marked deterministic STUB (`fakeDecode`), which fabricates
-  * plausible dimensions from a content hash; swapping the stub for
-  * javacv/ffmpeg is a one-function change — the schema, encoders,
-  * batching shape, and partition-preserving execution are the same
-  * for real and stub.
+  * plausible dimensions from a content hash — after the container
+  * walks above, that surface is the codec PAYLOAD itself (frame
+  * pixels / audio samples inside a compressed stream), for which a
+  * real implementation would slot javacv/ffmpeg into the same
+  * signature; the schema, encoders, batching shape, and
+  * partition-preserving execution are identical for real and stub.
   */
 object MultimodalOps {
 
   /** An opaque media row: the content bytes plus caller metadata. */
   final case class MediaRecord(id: Long, kind: String, content: Array[Byte])
 
-  /** Decoded per-item features (what a real decoder would emit). */
+  /** Decoded per-item features (what a real decoder would emit).
+    * `durationMs` is REAL where the container carries timing (WAV
+    * sample count/rate, MP4 mvhd, MKV segment info) and 0 for stills
+    * and for the stub — the fake path fabricates no timing.
+    */
   final case class MediaFeatures(
       id: Long,
       kind: String,
@@ -37,7 +46,8 @@ object MultimodalOps {
       height: Int,
       meanByte: Double,
       byteHistogram: Array[Long], // 16 buckets
-      frameOffsets: Array[Int]) // "sampled frames" for video-ish kinds
+      frameOffsets: Array[Int], // "sampled frames" for video-ish kinds
+      durationMs: Long = 0L)
 
   /** STUB decode: deterministic pseudo-decode from the raw bytes.
     * A real implementation would call the codec here — signature and
@@ -232,6 +242,7 @@ object MultimodalOps {
     var off = 12
     var channels = 0
     var blockAlign = 0
+    var sampleRate = 0L
     var dataOff = -1
     var dataLen = 0
     while (off + 8 <= b.length && (channels == 0 || dataOff < 0)) {
@@ -242,6 +253,7 @@ object MultimodalOps {
         if (size < 16) return None
         if (u16(b, off + 8) != 1) return None // PCM only
         channels = u16(b, off + 10)
+        sampleRate = u32(b, off + 12)
         blockAlign = u16(b, off + 20)
         if (channels <= 0 || channels > 64 || blockAlign <= 0) return None
       } else if (id == "data") {
@@ -257,9 +269,224 @@ object MultimodalOps {
     val frames =
       if (dataLen == 0) Array.empty[Int]
       else (0 until math.min(8, dataLen)).map(j => dataOff + j * math.max(1, dataLen / 8)).toArray
+    val samplesPerChannel = dataLen / blockAlign
     Some(MediaFeatures(r.id, r.kind, b.length,
-      dataLen / blockAlign, channels,
-      if (dataLen == 0) 0.0 else sum.toDouble / dataLen, hist, frames))
+      samplesPerChannel, channels,
+      if (dataLen == 0) 0.0 else sum.toDouble / dataLen, hist, frames,
+      // real audio duration: sample count over the fmt chunk's rate
+      if (sampleRate > 0) samplesPerChannel * 1000L / sampleRate else 0L))
+  }
+
+  private def u64be(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** REAL decode of an ISO BMFF (MP4/MOV) container header: box walk
+    * for `ftyp` (magic gate) then `moov`, whose `mvhd` carries
+    * timescale+duration (→ true duration in ms) and whose first video
+    * `trak`/`tkhd` carries width/height as 16.16 fixed-point — the
+    * same pure byte arithmetic as the PNG IHDR path, so a synthesized
+    * container replays in SQL.  Byte stats cover the `mdat` payload
+    * region(s) — the media-bytes analog of the BMP pixel region; the
+    * codec payload itself stays undecoded (that is the one remaining
+    * stub surface, by design).  64-bit largesize boxes and a size-0
+    * (to end of file) final box are handled; anything structurally
+    * inconsistent returns None and falls through to the stub.
+    */
+  private[graft] def decodeMp4(r: MediaRecord): Option[MediaFeatures] = {
+    val b = r.content
+    if (b.length < 16) return None
+    // magic gate: first box must be ftyp (ISO 14496-12 §4.3)
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    var width = 0
+    var height = 0
+    var durationMs = 0L
+    val hist = new Array[Long](16)
+    var mdatSum = 0L
+    var mdatLen = 0L
+
+    // walk one box level in [from, until); returns false on malformed
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      var off = from
+      while (off + 8 <= until) {
+        val size32 = u32be(b, off)
+        val t0 = b(off + 4); val t1 = b(off + 5); val t2 = b(off + 6); val t3 = b(off + 7)
+        var header = 8L
+        val size: Long =
+          if (size32 == 1L) { // 64-bit largesize
+            if (off + 16 > until) return false
+            header = 16L; u64be(b, off + 8)
+          } else if (size32 == 0L) (until - off).toLong // box runs to end
+          else size32
+        if (size < header || off + size > until) return false
+        val payload = off + header.toInt
+        val payloadEnd = (off + size).toInt
+        def is(a: Char, bb: Char, c: Char, d: Char) =
+          t0 == a && t1 == bb && t2 == c && t3 == d
+        if (is('m', 'o', 'o', 'v') || is('t', 'r', 'a', 'k')) {
+          if (depth < 4 && !walk(payload, payloadEnd, depth + 1)) return false
+        } else if (is('m', 'v', 'h', 'd')) {
+          if (payloadEnd - payload < 4) return false
+          val version = b(payload) & 0xff
+          if (version == 0) {
+            if (payloadEnd - payload < 20) return false
+            val timescale = u32be(b, payload + 12)
+            val duration = u32be(b, payload + 16)
+            if (timescale > 0) durationMs = duration * 1000L / timescale
+          } else if (version == 1) {
+            if (payloadEnd - payload < 28) return false
+            val timescale = u32be(b, payload + 20)
+            val duration = u64be(b, payload + 24)
+            if (timescale > 0) durationMs = duration * 1000L / timescale
+          } else return false
+        } else if (is('t', 'k', 'h', 'd')) {
+          if (payloadEnd - payload < 4) return false
+          val version = b(payload) & 0xff
+          // width/height are the LAST 8 payload bytes (16.16 fixed)
+          // for both versions; keep the first video track's dims
+          if (payloadEnd - payload < (if (version == 0) 84 else 96)) return false
+          val w = (u32be(b, payloadEnd - 8) >> 16).toInt
+          val h = (u32be(b, payloadEnd - 4) >> 16).toInt
+          if (width == 0 && w > 0 && h > 0 && w <= 65536 && h <= 65536) {
+            width = w; height = h
+          }
+        } else if (is('m', 'd', 'a', 't')) {
+          val (hs, s) = byteStats(b, payload, payloadEnd)
+          var i = 0
+          while (i < 16) { hist(i) += hs(i); i += 1 }
+          mdatSum += s
+          mdatLen += (payloadEnd - payload).toLong
+        }
+        off = payloadEnd
+      }
+      off == until
+    }
+    if (!walk(0, b.length, 0)) return None
+    if (width == 0 && durationMs == 0L) return None // no moov content parsed
+    val frames = // evenly-spaced offsets into the first mdat region
+      if (mdatLen == 0) Array.empty[Int]
+      else {
+        var firstMdat = -1
+        var off = 0
+        while (firstMdat < 0 && off + 8 <= b.length) {
+          if (b(off + 4) == 'm' && b(off + 5) == 'd' && b(off + 6) == 'a' && b(off + 7) == 't')
+            firstMdat = off + 8
+          else {
+            val s32 = u32be(b, off)
+            val sz = if (s32 == 1L) u64be(b, off + 8) else if (s32 == 0L) (b.length - off).toLong else s32
+            off += sz.toInt
+          }
+        }
+        val base = math.max(firstMdat, 0)
+        val len = math.min(mdatLen, (b.length - base).toLong).toInt
+        if (len <= 0) Array.empty[Int]
+        else (0 until math.min(8, len)).map(j => base + j * math.max(1, len / 8)).toArray
+      }
+    Some(MediaFeatures(r.id, r.kind, b.length, width, height,
+      if (mdatLen == 0) 0.0 else mdatSum.toDouble / mdatLen, hist, frames,
+      durationMs))
+  }
+
+  /** REAL decode of a Matroska/WebM (EBML) container header: varint
+    * element walk through Segment → Info (TimestampScale + Duration →
+    * true duration in ms) and Tracks → TrackEntry → Video
+    * (PixelWidth/PixelHeight) — byte arithmetic only, no codec work.
+    * Byte stats cover Cluster payloads (the media-bytes region).
+    * Unknown-size elements (all-ones varint, common for streamed
+    * Segments) are accepted for Segment only; anything else malformed
+    * returns None and falls through to the stub.
+    */
+  private[graft] def decodeMkv(r: MediaRecord): Option[MediaFeatures] = {
+    val b = r.content
+    if (b.length < 8) return None
+    if (!((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)) return None
+    var width = 0
+    var height = 0
+    var durationScaled = Double.NaN // in TimestampScale units
+    var tsScaleNs = 1000000L // EBML default: 1ms
+    val hist = new Array[Long](16)
+    var clSum = 0L
+    var clLen = 0L
+
+    // EBML varints: ID keeps the marker bit, SIZE strips it
+    def varint(off: Int, keepMarker: Boolean): Option[(Long, Int, Boolean)] = {
+      if (off >= b.length) return None
+      val first = b(off) & 0xff
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (len < 1 || len > 8 || off + len > b.length) return None
+      var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+      var allOnes = !keepMarker && (first & (0xff >>> len)) == (0xff >>> len)
+      var i = 1
+      while (i < len) {
+        val byte = b(off + i) & 0xff
+        if (byte != 0xff) allOnes = false
+        v = (v << 8) | byte
+        i += 1
+      }
+      Some((v, len, allOnes))
+    }
+    def uintAt(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+      v
+    }
+    def floatAt(off: Int, len: Int): Double =
+      if (len == 4) java.lang.Float.intBitsToFloat(uintAt(off, 4).toInt).toDouble
+      else if (len == 8) java.lang.Double.longBitsToDouble(uintAt(off, 8))
+      else Double.NaN
+
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      var off = from
+      while (off < until) {
+        val (id, idLen, _) = varint(off, keepMarker = true).getOrElse(return false)
+        val (sz, szLen, unknown) = varint(off + idLen, keepMarker = false).getOrElse(return false)
+        val payload = off + idLen + szLen
+        val payloadEnd =
+          if (unknown) { if (id == 0x18538067L) until else return false }
+          else {
+            val e = payload + sz
+            if (e > until || sz < 0) return false
+            e.toInt
+          }
+        id match {
+          case 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xAEL | 0xE0L => // Segment/Info/Tracks/TrackEntry/Video
+            if (depth < 6 && !walk(payload, payloadEnd, depth + 1)) return false
+          case 0x2AD7B1L => // TimestampScale (ns)
+            val v = uintAt(payload, payloadEnd - payload)
+            if (v > 0) tsScaleNs = v
+          case 0x4489L => // Duration (float, TimestampScale units)
+            durationScaled = floatAt(payload, payloadEnd - payload)
+          case 0xB0L => // PixelWidth
+            val v = uintAt(payload, payloadEnd - payload).toInt
+            if (width == 0 && v > 0 && v <= 65536) width = v
+          case 0xBAL => // PixelHeight
+            val v = uintAt(payload, payloadEnd - payload).toInt
+            if (height == 0 && v > 0 && v <= 65536) height = v
+          case 0x1F43B675L => // Cluster: media bytes
+            val (hs, s) = byteStats(b, payload, payloadEnd)
+            var i = 0
+            while (i < 16) { hist(i) += hs(i); i += 1 }
+            clSum += s
+            clLen += (payloadEnd - payload).toLong
+          case _ => // skip (EBML header, codec private, ...)
+        }
+        off = payloadEnd
+      }
+      off == until
+    }
+    if (!walk(0, b.length, 0)) return None
+    val durationMs =
+      if (durationScaled.isNaN || durationScaled < 0) 0L
+      else (durationScaled * tsScaleNs / 1e6).toLong
+    if (width == 0 && durationMs == 0L) return None
+    Some(MediaFeatures(r.id, r.kind, b.length, width, height,
+      if (clLen == 0) 0.0 else clSum.toDouble / clLen, hist, Array.empty[Int],
+      durationMs))
   }
 
   /** Real decoders first (cheap header probes), stub for everything
@@ -288,6 +515,7 @@ object MultimodalOps {
       (top == "image" || top == "audio" || top == "video" || top == "text")
     val untyped = !typed
     val tryImage = untyped || top == "image"
+    val tryVideo = untyped || top == "video"
     val tryWav = untyped || top == "audio" || top == "video"
     // cheap fixed-offset header probes run for untyped payloads too;
     // the heavyweight ImageIO full decode only for DECLARED images the
@@ -295,6 +523,7 @@ object MultimodalOps {
     // ImageIO would put a codec attempt on each of 100 TB of rows)
     (if (tryImage) decodeBmp(r).orElse(decodePng(r)).orElse(decodeJpeg(r))
      else None)
+      .orElse(if (tryVideo) decodeMp4(r).orElse(decodeMkv(r)) else None)
       .orElse(if (tryWav) decodeWav(r) else None)
       .orElse(if (top == "image") imageIoDecode(r) else None)
       .getOrElse(fakeDecode(r))
@@ -523,6 +752,63 @@ object MultimodalOps {
     df.select(col(idCol).cast("long").as("id"),
         lit("image/png").as("kind"),
         concat(lit(pngHeader(width, height)),
+          coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])))
+          .as("content"))
+      .as[MediaRecord]
+  }
+
+  /** 240-byte ISO BMFF file prefix: `ftyp` + a structurally complete
+    * `moov` (mvhd v0 with the given timescale-1000 duration, one trak
+    * whose tkhd carries the given dims as 16.16 fixed-point) + a
+    * size-0 `mdat` header (box runs to end of file — legal for the
+    * final top-level box, and what keeps the prefix CONSTANT so a SQL
+    * oracle replays it).  Exactly the layout [[decodeMp4]] validates.
+    */
+  private def mp4Header(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    val matrix = // identity, 16.16 / 2.30 fixed point
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val mvhd = box("mvhd",
+      be32(0) ++ // version 0 + flags
+        be32(0) ++ be32(0) ++ // creation, modification
+        be32(1000L) ++ be32(durationMs) ++ // timescale 1000 → ms
+        be32(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++ // rate, volume+reserved
+        new Array[Byte](8) ++ matrix ++ new Array[Byte](24) ++
+        be32(2L)) // next track id
+    val tkhd = box("tkhd",
+      be32(7L) ++ // version 0, flags: enabled|in-movie|in-preview
+        be32(0) ++ be32(0) ++ // creation, modification
+        be32(1L) ++ be32(0) ++ // track id, reserved
+        be32(durationMs) ++ new Array[Byte](8) ++
+        new Array[Byte](8) ++ // layer, alt group, volume, reserved
+        matrix ++
+        be32(width.toLong << 16) ++ be32(height.toLong << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200L))
+    ftyp ++ moov ++ be32(0L) ++ "mdat".getBytes("US-ASCII")
+  }
+
+  /** Synthesizes an MP4-framed record per row: the constant
+    * ftyp+moov+mdat prefix (REAL dims and duration in the headers)
+    * with the row's UTF-8 text bytes as the mdat payload [[decodeMp4]]
+    * takes byte stats over — every output byte is a pure function of
+    * the source row, so a SQL engine replays dims/duration (constants)
+    * and stats (bytes of the text) EXACTLY.  The codec payload is the
+    * only fabricated part, which is precisely the boundary the decode
+    * family documents.
+    */
+  def synthesizeMp4(
+      df: DataFrame, idCol: String, textCol: String,
+      width: Int, height: Int, durationMs: Long): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        lit("video/mp4").as("kind"),
+        concat(lit(mp4Header(width, height, durationMs)),
           coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])))
           .as("content"))
       .as[MediaRecord]

@@ -896,6 +896,95 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(6L, "image/png", png.take(20))).isEmpty)
   }
 
+  test("multimodal decode: real MP4 box walk (dims, duration, mdat stats)") {
+    import spark.implicits._
+    val docs = Seq((10L, "mdat payload text"), (11L, null: String))
+      .toDF("doc_id", "text")
+    val fs = MultimodalOps.decodeFeatures(
+      MultimodalOps.synthesizeMp4(docs, "doc_id", "text",
+        width = 320, height = 180, durationMs = 7125L))
+      .collect().sortBy(_.id)
+    // tkhd dims and mvhd duration parsed back from the box walk
+    assert(fs(0).width == 320 && fs(0).height == 180,
+      s"${fs(0).width}x${fs(0).height}")
+    assert(fs(0).durationMs == 7125L)
+    assert(fs(0).nBytes == 240 + "mdat payload text".length)
+    // stats region = the mdat payload (exactly the text bytes)
+    assert(fs(0).byteHistogram.sum == "mdat payload text".length)
+    assert(fs(1).nBytes == 240 && fs(1).meanByte == 0.0, "null text → header-only")
+    assert(fs(1).durationMs == 7125L)
+
+    // text payloads must never false-positive into a video container
+    assert(MultimodalOps.decodeMp4(
+      MultimodalOps.MediaRecord(1L, "video/mp4", "ftyp but not really".getBytes)).isEmpty)
+    // truncated container falls back, never errors
+    val good = MultimodalOps.synthesizeMp4(
+      Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", 320, 180, 1000L)
+      .collect()(0).content
+    assert(MultimodalOps.decodeMp4(
+      MultimodalOps.MediaRecord(2L, "video/mp4", good.take(100))).isEmpty)
+    // the dispatch reaches mp4 through the declared-video gate AND the
+    // untyped probe
+    assert(MultimodalOps.decode(
+      MultimodalOps.MediaRecord(3L, "video/mp4", good)).width == 320)
+    assert(MultimodalOps.decode(
+      MultimodalOps.MediaRecord(4L, "", good)).width == 320)
+  }
+
+  test("multimodal decode: real MKV/EBML walk (dims, duration, cluster stats)") {
+    // hand-built minimal Matroska: EBML header, Segment(Info(
+    // TimestampScale 1ms, Duration 2500.0f), Tracks(TrackEntry(Video(
+    // PixelWidth 640, PixelHeight 360))), Cluster with 5 media bytes)
+    def id(v: Long, len: Int): Array[Byte] =
+      (0 until len).map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+    def sz(v: Int): Array[Byte] = Array((0x80 | v).toByte) // 1-byte size
+    def uint(v: Long, len: Int): Array[Byte] =
+      (0 until len).map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+    def el(eid: Long, idLen: Int, payload: Array[Byte]): Array[Byte] =
+      id(eid, idLen) ++ sz(payload.length) ++ payload
+    val ebmlHeader = el(0x1A45DFA3L, 4, Array.empty)
+    val info = el(0x1549A966L, 4,
+      el(0x2AD7B1L, 3, uint(1000000L, 4)) ++ // TimestampScale 1ms
+        el(0x4489L, 2, uint(java.lang.Float.floatToIntBits(2500f).toLong, 4)))
+    val video = el(0xE0L, 1,
+      el(0xB0L, 1, uint(640, 2)) ++ el(0xBAL, 1, uint(360, 2)))
+    val tracks = el(0x1654AE6BL, 4, el(0xAEL, 1, video))
+    val cluster = el(0x1F43B675L, 4, Array[Byte](1, 2, 3, 4, 5))
+    val segment = el(0x18538067L, 4, info ++ tracks ++ cluster)
+    val mkv = ebmlHeader ++ segment
+    val f = MultimodalOps.decodeMkv(
+      MultimodalOps.MediaRecord(1L, "video/webm", mkv)).get
+    assert(f.width == 640 && f.height == 360, s"${f.width}x${f.height}")
+    assert(f.durationMs == 2500L)
+    assert(f.byteHistogram.sum == 5 && f.meanByte == 3.0)
+    // junk and truncation fall back, never error
+    assert(MultimodalOps.decodeMkv(
+      MultimodalOps.MediaRecord(2L, "video/webm", "not ebml".getBytes)).isEmpty)
+    assert(MultimodalOps.decodeMkv(
+      MultimodalOps.MediaRecord(3L, "video/webm", mkv.take(20))).isEmpty)
+    // dispatch: declared video reaches the EBML parser
+    assert(MultimodalOps.decode(
+      MultimodalOps.MediaRecord(4L, "video/webm", mkv)).width == 640)
+  }
+
+  test("multimodal decode: WAV duration is real (samples over rate)") {
+    // 8000 Hz mono 16-bit, 4000 samples → 500 ms
+    val sampleRate = 8000
+    val samples = 4000
+    val dataLen = samples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    (0 until samples).foreach(i => bb.putShort((i % 251).toShort))
+    val f = MultimodalOps.decodeWav(
+      MultimodalOps.MediaRecord(1L, "audio/wav", bb.array())).get
+    assert(f.width == samples && f.height == 1)
+    assert(f.durationMs == 500L)
+  }
+
   test("GraftExtensions: graft_dot is a SQL function via spark.sql.extensions") {
     // TestSpark wires spark.sql.extensions=graft.GraftExtensions — the
     // same config a pure-SQL deployment would set
