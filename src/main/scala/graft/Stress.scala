@@ -4,11 +4,20 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.spark.{WoeBinning, WoeFitOptions}
 
-/** Manual scale stress (not part of the driver bench): inflates sf0.1
-  * lineitem 10× with value jitter → ~6M rows / ~6M distinct values,
-  * then fits exact vs quantile-prebinned.  Validates the
-  * distinct-value-explosion story beyond the shipped testdata.
+/** Manual scale stress (not part of the driver bench).
+  *
+  * Default mode: inflates sf0.1 lineitem 10× with value jitter → ~6M
+  * rows / ~6M distinct values, then fits exact vs quantile-prebinned —
+  * the distinct-value-explosion story beyond the shipped testdata.
   * Run: `sbt "runMain graft.Stress"`.
+  *
+  * `pipeline` mode: inflates sf0.1 documents 10× (each original plus 9
+  * near-dup replicas) and drives the dedup → connected-components →
+  * purge → pack chain with the DISTRIBUTED CC path forced
+  * (collectThreshold=0), recording per-stage wall time, total and
+  * max-single-stage shuffle write, and peak driver RSS — the measured
+  * numbers SCALE.md's 100 TB claims cite.
+  * Run: `sbt "runMain graft.Stress pipeline"`.
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -19,6 +28,7 @@ object Stress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("pipeline")) { pipelineStress(spark); spark.stop(); return }
     val base = SparkEntry.lcgFrame(spark, "/root/testdata/sf0.1")
     val inflated = spark.range(10).crossJoin(base)
       .withColumn("extendedprice",
@@ -48,5 +58,81 @@ object Stress {
     println(s"prebinned bins=${pre.bins("extendedprice").length} " +
       s"iv=${pre.bins("extendedprice").map(_.ivComponents).sum}")
     spark.stop()
+  }
+
+  /** VmRSS of this JVM from /proc (MiB); -1 where /proc is absent. */
+  private def rssMb(): Long =
+    try {
+      val line = scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmRSS")).getOrElse("")
+      line.split("\\s+").lift(1).map(_.toLong / 1024).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
+  private def pipelineStress(spark: SparkSession): Unit = {
+    import graft.ops.{ClusterOps, DedupOps, PackingOps, TextOps}
+    // shuffle accounting: total + max single stage, via listener
+    val totalShuffle = new java.util.concurrent.atomic.AtomicLong
+    val maxStageShuffle = new java.util.concurrent.atomic.AtomicLong
+    var peakRss = rssMb()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          totalShuffle.addAndGet(w)
+          maxStageShuffle.getAndUpdate(m => math.max(m, w))
+          peakRss = math.max(peakRss, rssMb())
+        }
+      })
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // 10 near-dup replicas per doc: same text + a replica marker token,
+    // ids offset into disjoint ranges — clusters of ~10 are the target
+    val corpus = spark.range(10).crossJoin(base)
+      .select((col("doc_id") + col("id") * lit(10000000L)).as("doc_id"),
+        when(col("id") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica"), col("id"))).as("text"),
+        col("lang"))
+      .persist()
+    val n = corpus.count()
+    println(s"[stress] corpus rows=$n (10x sf0.1 documents) rss=${rssMb()}MiB")
+
+    def stage[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      peakRss = math.max(peakRss, rssMb())
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(cum shuffle ${totalShuffle.get / (1 << 20)}%d MiB, rss ${rssMb()}%d MiB)")
+      r
+    }
+    val pairs = stage("minhash pairs (xxhash64 scale flavor)") {
+      val p = DedupOps.minhashPairs(corpus, "text", "doc_id",
+        jaccardThreshold = 0.5).select("id_a", "id_b").persist()
+      println(s"[stress]   pairs=${p.count()}")
+      p
+    }
+    val cc = stage("connected components (distributed contraction forced)") {
+      val c = ClusterOps.connectedComponents(pairs, "id_a", "id_b",
+        collectThreshold = 0L).persist()
+      println(s"[stress]   assignments=${c.count()}")
+      c
+    }
+    val deduped = stage("purge (keep one per cluster)") {
+      val d = ClusterOps.dedupedCorpus(corpus, "doc_id", cc).persist()
+      println(s"[stress]   survivors=${d.count()}")
+      d
+    }
+    stage("pack (token budget 4096)") {
+      val packed = PackingOps.packByTokenBudget(
+        deduped.select(col("doc_id"),
+          TextOps.bpeTokenEstimate(col("text")).as("tok")),
+        "doc_id", "tok", 4096L)
+      println(s"[stress]   shards=${packed.select(max("shard_id")).head().get(0)}")
+    }
+    println(f"[stress] TOTAL shuffle write ${totalShuffle.get / (1 << 20)}%d MiB, " +
+      f"max single stage ${maxStageShuffle.get / (1 << 20)}%d MiB, " +
+      f"peak driver RSS $peakRss%d MiB")
+    corpus.unpersist(); pairs.unpersist(); cc.unpersist(); deduped.unpersist()
+    DedupOps.unpersistAll()
   }
 }
