@@ -1593,11 +1593,16 @@ object SparkEntry {
   /** `SimilarityOps.ivfPqTopK` as DuckDB SQL: the IVF oracle's
     * cell-assignment/probe CTEs + the PQ oracle's code argmin and ADC
     * terms, joined on the probed cell — the composition replays
-    * because both halves do.
+    * because both halves do.  `refine > 0` appends the exact-re-rank
+    * replay: the ADC ranking keeps a `k·refine` shortlist (the ADC
+    * floats are bit-identical across engines, so the CUT is
+    * replayable), then true cosine — the same left-fold dot product
+    * every exact oracle uses — re-ranks it to the final k.
     */
   private def ivfPqOracleSql(
       centroids: Array[Array[Double]],
-      cbs: Array[Array[Array[Double]]], nProbe: Int, k: Int): String = {
+      cbs: Array[Array[Array[Double]]], nProbe: Int, k: Int,
+      refine: Int = 0): String = {
     val m = cbs.length
     val sub = cbs.head.head.length
     val terms = (0 until m).map { s =>
@@ -1636,8 +1641,26 @@ object SparkEntry {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |              ORDER BY adc ASC, corpus_id) AS BIGINT) AS rank
        |  FROM s)
-       |SELECT query_id, corpus_id, adc, rank FROM r
-       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |${
+      if (refine <= 0)
+        s"""SELECT query_id, corpus_id, adc, rank FROM r
+           |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+      else
+        s"""SELECT f.query_id, f.corpus_id, f.cosine, f.rank FROM (
+           |  SELECT x.query_id, x.corpus_id, x.cosine,
+           |         CAST(row_number() OVER (PARTITION BY x.query_id
+           |              ORDER BY x.cosine DESC, x.corpus_id) AS BIGINT) AS rank
+           |  FROM (
+           |    SELECT sl.query_id, sl.corpus_id,
+           |           list_dot_product(c.v, qq.v)
+           |             / (sqrt(list_dot_product(c.v, c.v))
+           |                * sqrt(list_dot_product(qq.v, qq.v))) AS cosine
+           |    FROM (SELECT query_id, corpus_id FROM r
+           |          WHERE rank <= ${k * refine}) sl
+           |    JOIN b c ON c.vec_id = sl.corpus_id
+           |    JOIN b qq ON qq.vec_id = sl.query_id) x) f
+           |WHERE f.rank <= $k ORDER BY f.query_id, f.rank""".stripMargin
+    }""".stripMargin
   }
 
   /** `SimilarityOps.randomProject` as DuckDB SQL: one
@@ -1947,6 +1970,10 @@ object SparkEntry {
     "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
     "q_ann_topk_ivfpq" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
+    // same shortlist replay + exact-cosine re-rank (the refine flavor)
+    "q_ann_topk_ivfpq_refine" ->
+      ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10,
+        refine = 8),
     // corpus-diff replay: the same synthetic revision (drop %11,
     // uppercase %7, add %13 shifted), md5 content hashes, full outer
     // join on id
@@ -2799,6 +2826,25 @@ object SparkEntry {
             emb, "vec_id", "embedding",
             emb.filter(col("vec_id") < 8), "vec_id", "embedding",
             cents, cbs, nProbe = 4, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      "q_ann_topk_ivfpq_refine" -> { (s, dir) =>
+        // the quality flavor of the composition (r8): same probed
+        // cells, same ADC shortlist cut, then EXACT cosine re-rank of
+        // the k·refine candidates — the standard recall-recovery step
+        // (RecallSpec measures the lift); shortlist broadcasts, the
+        // corpus never shuffles, and the whole chain stays
+        // deterministic, so the oracle replays shortlist + re-rank
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        val cbs = SimilarityOps.pqCodebooks(
+          emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+        SimilarityOps.ivfPqTopK(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, cbs, nProbe = 4, k = 10, refine = 8)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },
