@@ -1974,6 +1974,12 @@ object SparkEntry {
     "q_ann_topk_ivfpq_refine" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10,
         refine = 8),
+    // the hybrid persisted-index flavor materializes the same probed
+    // cells, shortlist, and float fetch — identical result set,
+    // identical oracle
+    "q_ann_topk_ivfpq_index_refine" ->
+      ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10,
+        refine = 8),
     // corpus-diff replay: the same synthetic revision (drop %11,
     // uppercase %7, add %13 shifted), md5 content hashes, full outer
     // join on id
@@ -2328,7 +2334,8 @@ object SparkEntry {
     */
   val oneTimeBuild: Set[String] = Set(
     "q_incr_dedup_exact", "q_incr_dedup_minhash_md5", "q_bucketed_join",
-    "q_ann_topk_ivf_index", "q_ann_topk_ivf_incr", "q_ann_topk_ivfpq_index")
+    "q_ann_topk_ivf_index", "q_ann_topk_ivf_incr", "q_ann_topk_ivfpq_index",
+    "q_ann_topk_ivfpq_index_refine")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2966,6 +2973,34 @@ object SparkEntry {
         SimilarityOps.ivfPqTopKFromIndex(
             s, idx, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
             cents, cbs, nProbe = 4, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      "q_ann_topk_ivfpq_index_refine" -> { (s, dir) =>
+        // production hybrid-index serving shape (r8): PQ code index
+        // drives the ADC scan, a float IVF index serves the shortlist
+        // fetch for exact re-rank — BOTH reads pruned to the probed
+        // cells.  The float index is the SAME artifact (path + memo
+        // key) q_ann_topk_ivf_index builds: one build serves both.
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        val cbs = SimilarityOps.pqCodebooks(
+          emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val codeIdx = s"/tmp/graft-ivfpq-index/$key"
+        val floatIdx = s"/tmp/graft-ivf-index/$key"
+        BuildOnce.once(s"ivfpq-index|$codeIdx") {
+          SimilarityOps.saveIvfPqIndex(emb, "vec_id", "embedding", cents, cbs, codeIdx)
+        }
+        BuildOnce.once(s"ivf-index|$floatIdx") {
+          SimilarityOps.saveIvfIndex(emb, "vec_id", "embedding", cents, floatIdx)
+        }
+        SimilarityOps.ivfPqTopKFromIndex(
+            s, codeIdx, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, cbs, nProbe = 4, k = 10, refine = 8,
+            floatIndexPath = Some(floatIdx))
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },

@@ -903,13 +903,25 @@ object SimilarityOps {
     * not vectors — the two levers multiply ON DISK exactly as
     * [[ivfPqTopK]] multiplies them in memory.  Scores are identical
     * to the in-memory path (same adcExpr over the same codes).
+    *
+    * `refine > 0` is the production HYBRID-INDEX shape: the code index
+    * drives the cheap ADC scan, then the `k·refine` shortlist fetches
+    * its float vectors from a [[saveIvfIndex]] float index at
+    * `floatIndexPath` (required) for the exact cosine re-rank.  The
+    * float fetch is pruned to the SAME probed cells (shortlist members
+    * live there by construction) and semi-join-filtered by the
+    * broadcast shortlist — so per query batch the disk reads are
+    * probed-cell codes + probed-cell floats-for-shortlist, never the
+    * corpus.  Output columns switch to `cosine`/`rank`, matching the
+    * in-memory refine flavor.
     */
   def ivfPqTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, queryId: String, queryVec: String,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
-      nProbe: Int = 4, k: Int = 10): DataFrame = {
+      nProbe: Int = 4, k: Int = 10, refine: Int = 0,
+      floatIndexPath: Option[String] = None): DataFrame = {
     val q = probeCells(queries, queryId, queryVec, centroids, nProbe)
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
     val assigned = spark.read.parquet(path)
@@ -917,7 +929,29 @@ object SimilarityOps {
     val cand = assigned.join(broadcast(q), "cell")
       .select(col("query_id"), col("corpus_id"),
         adcExpr(col("qv"), col("codes"), codebooks).as("adc"))
-    rankByAdc(cand, k)
+    if (refine <= 0) rankByAdc(cand, k)
+    else {
+      val fip = floatIndexPath.getOrElse(sys.error(
+        "ivfPqTopKFromIndex: refine > 0 needs floatIndexPath (a saveIvfIndex dir)"))
+      val shortlist = rankByAdc(cand, k * refine)
+        .select("query_id", "corpus_id")
+      val floats = spark.read.parquet(fip)
+        .where(col("cell").isInCollection(cells.map(Int.box)))
+        .select(col("corpus_id"), col("cv"), col("cn"))
+      val qv = queries.select(col(queryId).as("query_id"),
+          col(queryVec).as("qv"), norm(col(queryVec)).as("qn"))
+        .filter(col("qn") > 0)
+      val exact = floats.join(broadcast(shortlist), "corpus_id")
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("corpus_id"),
+          (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("corpus_id").asc)
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    }
   }
 
   /** Mean-pooled per-group centroids in the EXACT-INTEGER domain: each

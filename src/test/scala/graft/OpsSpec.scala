@@ -1458,6 +1458,34 @@ class OpsSpec extends AnyFunSuite {
     assert(stored.columns.toSet == Set("corpus_id", "cell", "codes"))
   }
 
+  test("hybrid-index refine: code-index ADC + float-index re-rank equals in-memory refine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    val cbs = SimilarityOps.pqCodebooks(
+      emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+    val codeIdx = s"/tmp/graft-test-hybrid-code-${System.nanoTime()}"
+    val floatIdx = s"/tmp/graft-test-hybrid-float-${System.nanoTime()}"
+    SimilarityOps.saveIvfPqIndex(emb, "vec_id", "embedding", cents, cbs, codeIdx)
+    SimilarityOps.saveIvfIndex(emb, "vec_id", "embedding", cents, floatIdx)
+    val queries = emb.filter(col("vec_id") < 8)
+    val hybrid = SimilarityOps.ivfPqTopKFromIndex(
+      spark, codeIdx, queries, "vec_id", "embedding", cents, cbs,
+      nProbe = 4, k = 10, refine = 8, floatIndexPath = Some(floatIdx))
+    val direct = SimilarityOps.ivfPqTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      cents, cbs, nProbe = 4, k = 10, refine = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(rows(hybrid).toSeq == rows(direct).toSeq)
+    // refine without a float index must fail fast, not mis-rank
+    assertThrows[RuntimeException] {
+      SimilarityOps.ivfPqTopKFromIndex(
+        spark, codeIdx, queries, "vec_id", "embedding", cents, cbs,
+        nProbe = 4, k = 10, refine = 8)
+    }
+  }
+
   test("streaming IVF ingest: the streamed index equals the batch build") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cents = SimilarityOps.deterministicCentroids(
