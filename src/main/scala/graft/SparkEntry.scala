@@ -1923,7 +1923,27 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Golden-literal oracle for the BPE merge table.  The training loop
+    * is exact-integer argmax with a total-order tie-break, so the
+    * learned merges are bit-deterministic (verified across separate
+    * JVM runs at capture time) — REGRESSION PIN, the prebin/compress
+    * contract: an engine change that alters any merge breaks the hash.
+    */
+  private def bpeOracleSql(fixture: String): String = {
+    val t = Golden.load(fixture)
+    val valueRows = t.rows.map { r =>
+      val rank = r(0).toString.toDouble.toLong
+      val n = r(3).toString.toDouble.toLong
+      s"(CAST($rank AS BIGINT), '${r(1)}', '${r(2)}', CAST($n AS BIGINT))"
+    }.mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$valueRows
+       |) AS t(merge_rank, "left", "right", n)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   private lazy val fitOracleSqls: Map[String, String] = Map(
+    "q_bpe_train" -> bpeOracleSql("sf0.01_bpe_train_m12.json"),
     "q_compress_ratio" -> compressOracleSql("sf0.01_compress_ratio_l6.json"),
     "q_fit_bins" -> fitOracleSql("sf0.01_extendedprice_n300.json",
       "sf0.01_quantity_n300.json", "sf0.01_discount_n300.json"),
@@ -3153,6 +3173,16 @@ object SparkEntry {
         TextOps.bigramLogProbs(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .orderBy("doc_id", "w1", "w2")
+      },
+      "q_bpe_train" -> { (s, dir) =>
+        // FULL tokenizer-training loop (r8): 12 BPE merges learned
+        // from the corpus's own words — vocab-scale iterations, exact
+        // integer counts, total-order tie-break → the merge table is
+        // bit-deterministic and golden-literal-oracled
+        TextOps.bpeTrain(
+            s.read.parquet(s"$dir/documents.parquet"), "text",
+            numMerges = 12, minCount = 2)
+          .orderBy("merge_rank")
       },
       "q_lm_buckets" -> { (s, dir) =>
         // CCNet-style head/middle/tail: per-language ntile over the

@@ -703,6 +703,90 @@ object TextOps {
       .select("rank", "pair", "n")
   }
 
+  /** FULL BPE tokenizer training (Sennrich et al. 2016), distributed:
+    * `numMerges` iterations of (count adjacent symbol pairs → take the
+    * most frequent → merge it everywhere), returning the learned merge
+    * table `(merge_rank, left, right, n)` — the artifact a tokenizer
+    * ships.  [[bpePairCounts]] is one iteration's decision table; this
+    * is the loop.
+    *
+    * Scale shape — the standard trick that makes the loop cheap: all
+    * iterations run over the WORD VOCABULARY with counts (one
+    * corpus-scale aggregation up front; every later job is
+    * vocab-scale, usually orders of magnitude smaller).  Each
+    * iteration is one pair-count aggregation (explode over symbol
+    * positions, weighted by word count) plus a 1-row argmax collect,
+    * and the winning merge is applied with a pure `aggregate`
+    * expression (left-to-right greedy fold — matching the reference
+    * algorithm's leftmost-first replacement), so there is no UDF and
+    * no driver materialization of the vocabulary.  Round state
+    * rotates through persist/unpersist with a periodic localCheckpoint
+    * to keep lineage flat (the CC-loop discipline).
+    *
+    * Determinism: counts are exact integers and the argmax tie-breaks
+    * on (n DESC, left ASC, right ASC) — a total order, so the merge
+    * table replays identically on any partitioning (golden-literal
+    * oracle material).  Simplification vs the paper: no end-of-word
+    * marker symbol (merges may therefore cross what the marker flavor
+    * would keep separate at word ends) — the marker is one
+    * `concat(syms, array(lit("</w>")))` away if a consumer needs it.
+    *
+    * Stops early when no pair reaches `minCount` (the paper's
+    * vocabulary-threshold stop).
+    */
+  def bpeTrain(
+      df: DataFrame, textCol: String,
+      numMerges: Int, minCount: Long = 2L): DataFrame = {
+    require(numMerges > 0, s"bpeTrain: numMerges=$numMerges must be positive")
+    require(minCount >= 1, s"bpeTrain: minCount=$minCount must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val emptySyms = array().cast("array<string>")
+    var words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .persist()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (!done && rank <= numMerges) {
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("left"),
+            element_at(col("syms"), i + 1).as("right")))).as("p"))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(sum("wc").as("n"))
+        .orderBy(col("n").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val merged = lit(l + r)
+        // left-to-right greedy fold: append, or replace the tail when
+        // it closes the winning pair ("aaa" under (a,a) → [aa, a])
+        val applyMerge = aggregate(col("syms"), emptySyms, (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+            .otherwise(concat(acc, array(x))))
+        val next0 = words.select(col("wc"), applyMerge.as("syms"))
+        // flat lineage: every 8th round cuts the plan chain
+        val next = (if (rank % 8 == 0) next0.localCheckpoint(eager = false)
+                    else next0).persist()
+        next.count()
+        words.unpersist(blocking = false)
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.toSeq.toDF("merge_rank", "left", "right", "n")
+  }
+
   /** Pairwise cross-source contamination matrix: for every pair of
     * sources, the number of DISTINCT word k-grams they share, each
     * side's kept gram count, and the gram-set Jaccard — the "which of

@@ -2090,6 +2090,33 @@ class OpsSpec extends AnyFunSuite {
       3L -> "crlf\r\nstyle", 4L -> "plain"))
   }
 
+  test("BPE training: hand-computed merges on a crafted corpus") {
+    import spark.implicits._
+    // words: aaab ×2, ab ×1
+    // r1: (a,a)=4 [two per 'aaab' × wc 2], (a,b)=3 → merge (a,a)
+    //     'aaab'→[aa,a,b] (LEFTMOST-first: greedy fold), 'ab'→[a,b]
+    // r2: (aa,a)=2, (a,b)=3 → merge (a,b) → [aa,ab], [ab]
+    // r3: (aa,ab)=2 → merge (aa,ab) → [aaab], [ab]; then nothing ≥ 2
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val m = TextOps.bpeTrain(docs, "text", numMerges = 10, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(m == Seq((1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)), m)
+  }
+
+  test("BPE training: deterministic tie-break and minCount stop") {
+    import spark.implicits._
+    // (a,b) and (c,d) both count 2 → left-asc tie-break picks (a,b)
+    val docs = Seq("ab cd", "ab cd").toDF("text")
+    val m = TextOps.bpeTrain(docs, "text", numMerges = 2, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(m.head == ((1L, "a", "b", 2L)), m)
+    assert(m == Seq((1L, "a", "b", 2L), (2L, "c", "d", 2L)), m)
+    // raising minCount above every count stops before any merge
+    assert(TextOps.bpeTrain(docs, "text", numMerges = 5, minCount = 99).count() == 0)
+  }
+
   test("salted join keeps null-id rows and still equals the plain join") {
     import spark.implicits._
     // null idCol: xxhash64 skips null inputs, so an id-only salt sent
