@@ -398,6 +398,44 @@ object SimilarityOps {
     cents
   }
 
+  /** Session cache for trained quantizers (centroids / PQ codebooks),
+    * keyed by analyzed-plan equality + the training parameters — the
+    * [[graft.spark.WoeBinningModel]] fitMedians mechanism applied to
+    * ANN training: the result is a pure deterministic function of
+    * (data, params), so re-invoking the same training on the same
+    * plan (ANN query families share one quantizer; benches and
+    * notebooks re-run cells) must not re-pay the sample collect +
+    * Lloyd.  CONTRACT (same as fitMedians): plan equality stands in
+    * for data equality — if the files behind the plan are overwritten,
+    * re-read the DataFrame (a fresh read has a different plan) or the
+    * cached quantizer describes the OLD data.  Bounded FIFO so held
+    * analyzed plans can't grow without bound.
+    */
+  private val trainCacheMax = 64
+  private val trainCache =
+    new scala.collection.mutable.ArrayBuffer[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, AnyRef)]
+  private def trainCached[T <: AnyRef](
+      df: DataFrame, params: String)(compute: => T): T = {
+    val plan = df.queryExecution.analyzed
+    trainCache.synchronized {
+      trainCache.find(e => e._2 == params && e._1.sameResult(plan))
+    } match {
+      case Some(e) => e._3.asInstanceOf[T]
+      case None =>
+        val v = compute
+        trainCache.synchronized {
+          if (trainCache.size >= trainCacheMax) trainCache.remove(0)
+          trainCache += ((plan, params, v))
+        }
+        v
+    }
+  }
+
+  /** Drop every cached quantizer (test hook / explicit refresh). */
+  def clearTrainingCache(): Unit =
+    trainCache.synchronized { trainCache.clear() }
+
   /** IVF coarse-quantizer centroids from a DETERMINISTIC corpus
     * sample: the `sampleN` smallest ids (total order on the unique id
     * column — a bounded takeOrdered, not a scan-order-dependent RNG
@@ -406,20 +444,22 @@ object SimilarityOps {
     * bit-reproducible across runs, partition layouts, and engines —
     * which is what lets the IVF query be oracle-checked end-to-end.
     * At 100 TB the sample collect is O(sampleN), not O(corpus).
+    * Results are memoized per (plan, params) — see [[trainCached]].
     */
   def deterministicCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 16, sampleN: Int = 256, iters: Int = 10): Array[Array[Double]] = {
-    val rows = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-      .filter(col("v").isNotNull && col("nrm") > 0)
-      .orderBy("id")
-      .limit(sampleN)
-      .collect()
-    val samples = rows.map(_.getSeq[Any](1).iterator
-      .map(_.asInstanceOf[Number].doubleValue).toArray)
-    lloydCentroids(samples, nCells, iters)
-  }
+      nCells: Int = 16, sampleN: Int = 256, iters: Int = 10): Array[Array[Double]] =
+    trainCached(corpus, s"cents|$idCol|$vecCol|$nCells|$sampleN|$iters") {
+      val rows = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+        .filter(col("v").isNotNull && col("nrm") > 0)
+        .orderBy("id")
+        .limit(sampleN)
+        .collect()
+      val samples = rows.map(_.getSeq[Any](1).iterator
+        .map(_.asInstanceOf[Number].doubleValue).toArray)
+      lloydCentroids(samples, nCells, iters)
+    }
 
   /** FULL-CORPUS deterministic Lloyd — the scale path when a
     * `sampleN`-vector sample no longer represents the data (billions
@@ -445,7 +485,15 @@ object SimilarityOps {
   def distributedCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, iters: Int = 10,
-      quantScale: Double = 1048576.0): Array[Array[Double]] = {
+      quantScale: Double = 1048576.0): Array[Array[Double]] =
+    trainCached(corpus, s"dist|$idCol|$vecCol|$nCells|$iters|$quantScale") {
+      distributedCentroidsUncached(corpus, idCol, vecCol, nCells, iters, quantScale)
+    }
+
+  private def distributedCentroidsUncached(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int,
+      quantScale: Double): Array[Array[Double]] = {
     val base = corpus
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"),
@@ -690,21 +738,22 @@ object SimilarityOps {
   def pqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16, sampleN: Int = 256,
-      iters: Int = 10): Array[Array[Array[Double]]] = {
-    val rows = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-      .filter(col("v").isNotNull && col("nrm") > 0)
-      .orderBy("id")
-      .limit(sampleN)
-      .collect()
-    val samples = rows.map(_.getSeq[Any](1).iterator
-      .map(_.asInstanceOf[Number].doubleValue).toArray)
-    val dim = samples.head.length
-    require(dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
-    val sub = dim / m
-    Array.tabulate(m)(s =>
-      lloydCentroids(samples.map(_.slice(s * sub, (s + 1) * sub)), ksub, iters))
-  }
+      iters: Int = 10): Array[Array[Array[Double]]] =
+    trainCached(corpus, s"pq|$idCol|$vecCol|$m|$ksub|$sampleN|$iters") {
+      val rows = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+        .filter(col("v").isNotNull && col("nrm") > 0)
+        .orderBy("id")
+        .limit(sampleN)
+        .collect()
+      val samples = rows.map(_.getSeq[Any](1).iterator
+        .map(_.asInstanceOf[Number].doubleValue).toArray)
+      val dim = samples.head.length
+      require(dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
+      val sub = dim / m
+      Array.tabulate(m)(s =>
+        lloydCentroids(samples.map(_.slice(s * sub, (s + 1) * sub)), ksub, iters))
+    }
 
   /** `(id, codes)` — each vector compressed to its per-subspace
     * nearest-codeword indices (`array<int>` of length m: 4·dim bytes

@@ -1458,6 +1458,33 @@ class OpsSpec extends AnyFunSuite {
     assert(stored.columns.toSet == Set("corpus_id", "cell", "codes"))
   }
 
+  test("quantizer training cache: plan-keyed memo, param-sensitive, clearable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    SimilarityOps.clearTrainingCache()
+    val a = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    // same plan + params → the SAME array instance (memo hit, no retrain)
+    val b = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    assert(a eq b)
+    // a fresh read of the same files canonicalizes to the same plan —
+    // the documented fitMedians-style staleness contract
+    val emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = SimilarityOps.deterministicCentroids(
+      emb2, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    assert(a eq c)
+    // different params retrain; clearing the cache retrains but lands
+    // on bit-identical values (the determinism the oracles rely on)
+    val d = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 8, sampleN = 256, iters = 10)
+    assert(!(a eq d) && d.length == 8)
+    SimilarityOps.clearTrainingCache()
+    val e = SimilarityOps.deterministicCentroids(
+      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+    assert(!(a eq e) && a.length == e.length &&
+      a.zip(e).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("hybrid-index refine: code-index ADC + float-index re-rank equals in-memory refine") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = SimilarityOps.deterministicCentroids(
