@@ -1679,6 +1679,43 @@ object SparkEntry {
        |FROM e ORDER BY vec_id""".stripMargin
   }
 
+  /** The deterministic PCA fixture for the verify SF (tools:
+    * `sbt "runMain graft.GenPcaBasis"`).  Row 0 = mean, rows 1..k =
+    * eigenvalue-ordered sign-canonical axes; same not-a-second-truth
+    * contract as [[ivfCentroidsSf001]] (OpsSpec pins runtime ==
+    * fixture).
+    */
+  private lazy val pcaBasisSf001: (Array[Double], Array[Array[Double]]) = {
+    val t = Golden.load("sf0.01_pca_basis.json")
+    val rows = t.rows.sortBy(_.head.asInstanceOf[Double])
+      .map(_.drop(1).map(_.asInstanceOf[Double]).toArray)
+    (rows.head, rows.tail.toArray)
+  }
+
+  /** `SimilarityOps.pcaProject` as DuckDB SQL: per axis one
+    * `list_dot_product` against the basis literal minus the
+    * driver-folded `mean·axis` offset literal — the randProj replay
+    * shape plus one IEEE subtraction, so the doubles match
+    * bit-for-bit.
+    */
+  private def pcaOracleSql(
+      mean: Array[Double], basis: Array[Array[Double]]): String = {
+    val cols = basis.zipWithIndex.map { case (b, j) =>
+      val off = {
+        var s = 0.0; var i = 0
+        while (i < b.length) { s += mean(i) * b(i); i += 1 }
+        s
+      }
+      s"list_dot_product(v, ${b.map(dlit).mkString("[", ", ", "]")}) - ${dlit(off)} AS p$j"
+    }.mkString(",\n       ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |       $cols
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   /** `SimilarityOps.semanticDupDrops` as DuckDB SQL: centroid-literal
     * nearest-cell assignment (the IVF oracle's struct sort), hot-cell
     * exclusion, the within-cell `lower id × cosine ≥ t` pair rule, and
@@ -2071,6 +2108,10 @@ object SparkEntry {
     // JL sign projection: 16 literal-row dot folds (dim 64 -> 16)
     "q_rand_proj" ->
       randProjOracleSql(SimilarityOps.signProjectionMatrix(64, 16, "rp7")),
+    // data-aware reduction: basis literals from the PCA fixture
+    // (runtime == fixture pinned by OpsSpec, the IVF-centroid contract)
+    "q_pca_project" ->
+      pcaOracleSql(pcaBasisSf001._1, pcaBasisSf001._2),
     // the persisted-index flavor answers the same batch with the same
     // scores (pruned scan over stored codes) -> identical replay
     "q_ann_topk_ivfpq_index" ->
@@ -2972,6 +3013,18 @@ object SparkEntry {
         SimilarityOps.randomProject(emb, "vec_id", "embedding", m)
           .select(col("id").as("vec_id") +:
             (0 until 16).map(j => element_at(col("proj"), j + 1).as(s"p$j")): _*)
+          .orderBy("vec_id")
+      },
+      "q_pca_project" -> { (s, dir) =>
+        // DATA-AWARE reduction (r8): 64 -> 8 dims onto the corpus's own
+        // principal axes — deterministic sample basis (eigenvalue
+        // order, canonical signs), projection a pure literal dot fold
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val (mean, basis) = SimilarityOps.pcaBasis(
+          emb, "vec_id", "embedding", k = 8, sampleN = 256)
+        SimilarityOps.pcaProject(emb, "vec_id", "embedding", mean, basis)
+          .select(col("id").as("vec_id") +:
+            (0 until 8).map(j => element_at(col("proj"), j + 1).as(s"p$j")): _*)
           .orderBy("vec_id")
       },
       "q_ann_topk_ivfpq_index" -> { (s, dir) =>

@@ -645,6 +645,100 @@ object SimilarityOps {
     df.select(col(idCol).as("id"),
       array(matrix.map(row => dot(col(vecCol), lit(row))): _*).as("proj"))
 
+  /** DATA-AWARE dimensionality reduction: top-`k` principal axes of a
+    * deterministic corpus sample — the [[deterministicCentroids]]
+    * sample discipline applied to PCA.  The `sampleN` smallest-id
+    * vectors are collected, mean-centered, and their covariance
+    * eigen-decomposed on the driver (commons-math3, symmetric
+    * Jacobi-class solver — deterministic for a fixed matrix); axes are
+    * ordered by (eigenvalue DESC, index) and sign-canonicalized (the
+    * largest-|component| entry made positive), so the basis is UNIQUE
+    * and bit-reproducible across runs and JVMs — fixture/oracle
+    * material like the IVF centroids.  At 100 TB the collect is
+    * O(sampleN·dim), the eigensolve O(dim³) driver work, and the
+    * projection a pure expression over the corpus.  Memoized per
+    * (plan, params) like the other trained quantizers.
+    *
+    * Returns (mean, basis rows k×dim).
+    */
+  def pcaBasis(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleN: Int = 256): (Array[Double], Array[Array[Double]]) =
+    trainCached(df, s"pca|$idCol|$vecCol|$k|$sampleN") {
+      val rows = df
+        .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+        .filter(col("v").isNotNull && col("nrm") > 0)
+        .orderBy("id")
+        .limit(sampleN)
+        .collect()
+      val samples = rows.map(_.getSeq[Any](1).iterator
+        .map(_.asInstanceOf[Number].doubleValue).toArray)
+      require(samples.length >= 2, s"pcaBasis: need >= 2 vectors, got ${samples.length}")
+      val dim = samples.head.length
+      require(k >= 1 && k <= dim, s"pcaBasis: k=$k not in [1, $dim]")
+      val n = samples.length
+      val mean = new Array[Double](dim)
+      samples.foreach { s => var i = 0; while (i < dim) { mean(i) += s(i); i += 1 } }
+      locally { var i = 0; while (i < dim) { mean(i) /= n; i += 1 } }
+      // sequential accumulation in sample (id) order — deterministic
+      val cov = Array.ofDim[Double](dim, dim)
+      samples.foreach { s =>
+        var i = 0
+        while (i < dim) {
+          val di = s(i) - mean(i)
+          var j = i
+          while (j < dim) { cov(i)(j) += di * (s(j) - mean(j)); j += 1 }
+          i += 1
+        }
+      }
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          cov(i)(j) /= (n - 1); cov(j)(i) = cov(i)(j); j += 1
+        }
+        i += 1
+      }
+      val eig = new org.apache.commons.math3.linear.EigenDecomposition(
+        new org.apache.commons.math3.linear.Array2DRowRealMatrix(cov, false))
+      val order = (0 until dim)
+        .sortBy(j => (-eig.getRealEigenvalue(j), j))
+      val basis = order.take(k).map { j =>
+        val v = eig.getEigenvector(j).toArray
+        // unique sign: the largest-|component| entry (first on ties)
+        // points positive
+        var best = 0
+        var bi = 1
+        while (bi < v.length) {
+          if (math.abs(v(bi)) > math.abs(v(best))) best = bi
+          bi += 1
+        }
+        if (v(best) < 0) v.map(x => -x) else v
+      }.toArray
+      (mean, basis)
+    }
+
+  /** Project onto a [[pcaBasis]]: output coordinate j is
+    * `v·bⱼ − mean·bⱼ`, with `mean·bⱼ` folded to ONE literal per axis
+    * on the driver — so the per-row work is the same literal dot fold
+    * as [[randomProject]] (no shuffle, no training pass in the plan)
+    * and the whole projection replays bit-for-bit in an external
+    * engine given the basis literals.
+    */
+  def pcaProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      mean: Array[Double], basis: Array[Array[Double]]): DataFrame = {
+    val offsets = basis.map(b => {
+      var s = 0.0; var i = 0
+      while (i < b.length) { s += mean(i) * b(i); i += 1 }
+      s
+    })
+    df.select(col(idCol).as("id"),
+      array(basis.zip(offsets).map { case (b, o) =>
+        dot(col(vecCol), lit(b)) - lit(o)
+      }: _*).as("proj"))
+  }
+
   /** Persist the IVF-assigned corpus as a CELL-PARTITIONED parquet
     * index: one directory per Voronoi cell, vectors + precomputed
     * norms inside.  Build once, probe forever — the index write is the

@@ -1458,6 +1458,37 @@ class OpsSpec extends AnyFunSuite {
     assert(stored.columns.toSet == Set("corpus_id", "cell", "codes"))
   }
 
+  test("PCA basis: orthonormal, variance-ordered, sign-canonical, fixture-pinned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val (mean, basis) = SimilarityOps.pcaBasis(
+      emb, "vec_id", "embedding", k = 8, sampleN = 256)
+    assert(mean.length == 64 && basis.length == 8)
+    // orthonormal within solver tolerance
+    for (i <- basis.indices; j <- i until basis.length) {
+      val d = basis(i).zip(basis(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"<b$i,b$j> = $d")
+    }
+    // sign canonicalization: the largest-|component| entry is positive
+    basis.foreach { b => assert(b(b.map(math.abs).zipWithIndex.maxBy(_._1)._2) >= 0) }
+    // axis ordering: sample variance along axes is non-increasing
+    val rows = emb.orderBy("vec_id").limit(256).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def variance(b: Array[Double]): Double = {
+      val projs = rows.map(v => v.zip(b).map { case (x, w) => x * w }.sum)
+      val m = projs.sum / projs.length
+      projs.map(p => (p - m) * (p - m)).sum / (projs.length - 1)
+    }
+    val vars = basis.map(variance)
+    vars.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9, vars.toSeq) }
+    // runtime == fixture (the IVF-centroid not-a-second-truth contract)
+    val t = Golden.load("sf0.01_pca_basis.json")
+    val fixRows = t.rows.sortBy(_.head.asInstanceOf[Double])
+      .map(_.drop(1).map(_.asInstanceOf[Double]).toArray)
+    assert(mean.sameElements(fixRows.head))
+    basis.zip(fixRows.tail).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
   test("quantizer training cache: plan-keyed memo, param-sensitive, clearable") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     SimilarityOps.clearTrainingCache()
