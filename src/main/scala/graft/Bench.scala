@@ -109,8 +109,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts.map(_._1)) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     def wrap(qs: String, omitted: Int) =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_omitted":$omitted,"full":"BENCH_out.json","failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_omitted":$omitted,"full":"$outPath","failed":$failedJson,"sf":"$sfDir"}"""
     val bySlowest = results
       .map { case (k, ts) => k -> median(ts.map(_._1)) }
       .sortBy(-_._2)
@@ -118,14 +119,16 @@ object Bench {
     val entries = scala.collection.mutable.ListBuffer.empty[String]
     bySlowest.foreach { case (k, m) =>
       val cand = (entries :+ f""""$k":$m%.4f""").mkString("{", ",", "}")
-      if (wrap(cand, 0).length <= budget) entries += f""""$k":$m%.4f"""
+      // measure against the WORST-CASE omitted digits, so the emitted
+      // line (with the real, smaller count) can never exceed budget
+      if (wrap(cand, bySlowest.length).length <= budget)
+        entries += f""""$k":$m%.4f"""
     }
     val compactLine =
       wrap(entries.mkString("{", ",", "}"), bySlowest.length - entries.length)
     // durable full-detail copy first, so a crash printing can't lose it;
     // path is env-overridable and cwd-relative by default, and a failed
     // write must not fail the bench (ADVICE r04)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     scala.util.Try {
       val p = java.nio.file.Paths.get(outPath).toAbsolutePath
       java.nio.file.Files.writeString(p, wrap(qsFull, 0) + "\n")

@@ -1700,12 +1700,8 @@ object SparkEntry {
     */
   private def pcaOracleSql(
       mean: Array[Double], basis: Array[Array[Double]]): String = {
-    val cols = basis.zipWithIndex.map { case (b, j) =>
-      val off = {
-        var s = 0.0; var i = 0
-        while (i < b.length) { s += mean(i) * b(i); i += 1 }
-        s
-      }
+    val offsets = SimilarityOps.pcaOffsets(mean, basis)
+    val cols = basis.zip(offsets).zipWithIndex.map { case ((b, off), j) =>
       s"list_dot_product(v, ${b.map(dlit).mkString("[", ", ", "]")}) - ${dlit(off)} AS p$j"
     }.mkString(",\n       ")
     s"""WITH e AS (
@@ -1971,7 +1967,10 @@ object SparkEntry {
     val valueRows = t.rows.map { r =>
       val rank = r(0).toString.toDouble.toLong
       val n = r(3).toString.toDouble.toLong
-      s"(CAST($rank AS BIGINT), '${r(1)}', '${r(2)}', CAST($n AS BIGINT))"
+      // learned tokens are corpus-derived strings — escape quotes so a
+      // merge like "'t" cannot break the literal SQL
+      def q(v: Any) = "'" + v.toString.replace("'", "''") + "'"
+      s"(CAST($rank AS BIGINT), ${q(r(1))}, ${q(r(2))}, CAST($n AS BIGINT))"
     }.mkString(",\n")
     s"""SELECT * FROM (VALUES
        |$valueRows

@@ -31,9 +31,10 @@ object JoinOps {
     * partition is recomputed in a different row order, silently
     * dropping/duplicating join rows (the SPARK-23207 class of bug).
     * So the salt hashes stable row CONTENT — `idCol` (a record id or
-    * any roughly-uniform non-key column) plus the row's remaining
-    * columns — which re-routes identically no matter how many times
-    * the stage re-runs, and keeps spreading even when `idCol` is null.
+    * any roughly-uniform non-key column) plus a few cheap hashable
+    * companion columns — which re-routes identically no matter how
+    * many times the stage re-runs, and keeps spreading even when
+    * `idCol` is null.
     */
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String, salt: Int,
@@ -47,15 +48,36 @@ object JoinOps {
       s"saltedJoin: salt source '$idCol' must differ from the join key — " +
         "salting by the key re-concentrates the hot key on one reducer")
     val saltCol = "__graft_salt"
-    // hash the id FIRST but fold in every other column too: xxhash64
+    // hash the id FIRST but fold in companion columns too: xxhash64
     // skips null inputs (returning the running seed), so a null idCol
     // alone would send every null-id row of a hot key to ONE salt
-    // bucket — the exact concentration the salt exists to avoid.  With
-    // the full row hashed, null-id rows spread by their remaining
-    // content; only fully-identical rows co-locate (the deterministic
-    // floor: any content-stable salt must map equal rows equally).
-    val saltSrc = col(idCol) +:
-      big.columns.filterNot(_ == idCol).map(col).toSeq
+    // bucket — the exact concentration the salt exists to avoid.
+    // Companions are chosen, not "everything": map-typed columns are
+    // not hashable (analysis error) and hashing whole document-sized
+    // payloads per row is a real cost at scale, so take up to four
+    // hash-safe columns, fixed-width atomics before strings/binaries,
+    // skipping duplicated names (ambiguous references).  Null-id rows
+    // with identical companions still co-locate — the deterministic
+    // floor: any content-stable salt must map equal rows equally.
+    val hashSafe: org.apache.spark.sql.types.DataType => Boolean = {
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _ => true
+    }
+    val cheap: org.apache.spark.sql.types.DataType => Boolean = {
+      case org.apache.spark.sql.types.StringType => false
+      case org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }
+    val uniqueNames = big.schema.fields.groupBy(_.name.toLowerCase)
+      .collect { case (_, Array(f)) => f }.toSeq
+    val companions = uniqueNames
+      .filter(f => f.name != idCol && hashSafe(f.dataType))
+      .sortBy(f => (!cheap(f.dataType), big.columns.indexOf(f.name)))
+      .take(4)
+      .map(f => col(f.name))
+    val saltSrc = col(idCol) +: companions
     val bigS = big.withColumn(saltCol,
       pmod(xxhash64(saltSrc: _*), lit(salt.toLong)).cast("int"))
     val smallS = small.withColumn(saltCol,

@@ -307,6 +307,7 @@ object MultimodalOps {
     val hist = new Array[Long](16)
     var mdatSum = 0L
     var mdatLen = 0L
+    var firstMdat = -1 // payload offset of the first mdat the walk sees
 
     // walk one box level in [from, until); returns false on malformed
     def walk(from: Int, until: Int, depth: Int): Boolean = {
@@ -354,6 +355,7 @@ object MultimodalOps {
             width = w; height = h
           }
         } else if (is('m', 'd', 'a', 't')) {
+          if (firstMdat < 0) firstMdat = payload
           val (hs, s) = byteStats(b, payload, payloadEnd)
           var i = 0
           while (i < 16) { hist(i) += hs(i); i += 1 }
@@ -366,24 +368,16 @@ object MultimodalOps {
     }
     if (!walk(0, b.length, 0)) return None
     if (width == 0 && durationMs == 0L) return None // no moov content parsed
-    val frames = // evenly-spaced offsets into the first mdat region
-      if (mdatLen == 0) Array.empty[Int]
+    // evenly-spaced offsets into the first mdat region — the offset
+    // comes from the SAME validated walk that counted the bytes (a
+    // second scan with its own size parsing could drift from it)
+    val frames =
+      if (mdatLen == 0 || firstMdat < 0) Array.empty[Int]
       else {
-        var firstMdat = -1
-        var off = 0
-        while (firstMdat < 0 && off + 8 <= b.length) {
-          if (b(off + 4) == 'm' && b(off + 5) == 'd' && b(off + 6) == 'a' && b(off + 7) == 't')
-            firstMdat = off + 8
-          else {
-            val s32 = u32be(b, off)
-            val sz = if (s32 == 1L) u64be(b, off + 8) else if (s32 == 0L) (b.length - off).toLong else s32
-            off += sz.toInt
-          }
-        }
-        val base = math.max(firstMdat, 0)
-        val len = math.min(mdatLen, (b.length - base).toLong).toInt
+        val len = math.min(mdatLen, (b.length - firstMdat).toLong).toInt
         if (len <= 0) Array.empty[Int]
-        else (0 until math.min(8, len)).map(j => base + j * math.max(1, len / 8)).toArray
+        else (0 until math.min(8, len))
+          .map(j => firstMdat + j * math.max(1, len / 8)).toArray
       }
     Some(MediaFeatures(r.id, r.kind, b.length, width, height,
       if (mdatLen == 0) 0.0 else mdatSum.toDouble / mdatLen, hist, frames,

@@ -728,16 +728,26 @@ object SimilarityOps {
   def pcaProject(
       df: DataFrame, idCol: String, vecCol: String,
       mean: Array[Double], basis: Array[Array[Double]]): DataFrame = {
-    val offsets = basis.map(b => {
-      var s = 0.0; var i = 0
-      while (i < b.length) { s += mean(i) * b(i); i += 1 }
-      s
-    })
+    val offsets = pcaOffsets(mean, basis)
     df.select(col(idCol).as("id"),
       array(basis.zip(offsets).map { case (b, o) =>
         dot(col(vecCol), lit(b)) - lit(o)
       }: _*).as("proj"))
   }
+
+  /** The per-axis `mean·bⱼ` offsets [[pcaProject]] subtracts — ONE
+    * ascending-index fold shared with the oracle builder, because the
+    * replay contract is bit-identity: a second implementation whose
+    * accumulation order drifted would fail only at verify time as a
+    * confusing float mismatch.
+    */
+  def pcaOffsets(
+      mean: Array[Double], basis: Array[Array[Double]]): Array[Double] =
+    basis.map { b =>
+      var s = 0.0; var i = 0
+      while (i < b.length) { s += mean(i) * b(i); i += 1 }
+      s
+    }
 
   /** Persist the IVF-assigned corpus as a CELL-PARTITIONED parquet
     * index: one directory per Voronoi cell, vectors + precomputed
@@ -993,25 +1003,40 @@ object SimilarityOps {
         adcExpr(col("qv"), col("codes"), codebooks).as("adc"))
     if (refine <= 0) rankByAdc(cand, k)
     else {
-      val shortlist = rankByAdc(cand, k * refine)
-        .select("query_id", "corpus_id")
       val c = corpus.select(col(corpusId).as("corpus_id"),
           col(corpusVec).as("cv"), norm(col(corpusVec)).as("cn"))
         .filter(col("cn") > 0)
-      val qv = queries.select(col(queryId).as("query_id"),
-          col(queryVec).as("qv"), norm(col(queryVec)).as("qn"))
-        .filter(col("qn") > 0)
-      val exact = c.join(broadcast(shortlist), "corpus_id")
-        .join(broadcast(qv), "query_id")
-        .select(col("query_id"), col("corpus_id"),
-          (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("corpus_id").asc)
-      exact.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("query_id", "corpus_id", "cosine", "rank")
+      exactReRank(c, rankByAdc(cand, k * refine),
+        queries, queryId, queryVec, k)
     }
+  }
+
+  /** Exact-cosine re-rank of an ADC shortlist: the float rows are
+    * semi-join-filtered by the BROADCAST shortlist (so the float
+    * source is never shuffled), one cosine per surviving row, final
+    * (cosine DESC, corpus_id) window cut to k.  ONE implementation
+    * shared by the in-memory and hybrid-index refine paths — their
+    * row-for-row equality is a spec-pinned invariant that must not
+    * drift through divergent copies.
+    */
+  private def exactReRank(
+      floats: DataFrame, shortlist: DataFrame,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val qv = queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qv"), norm(col(queryVec)).as("qn"))
+      .filter(col("qn") > 0)
+    val exact = floats
+      .join(broadcast(shortlist.select("query_id", "corpus_id")), "corpus_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
   }
 
   /** Rank candidates by ascending ADC distance (ties on corpus id). */
@@ -1076,24 +1101,11 @@ object SimilarityOps {
     else {
       val fip = floatIndexPath.getOrElse(sys.error(
         "ivfPqTopKFromIndex: refine > 0 needs floatIndexPath (a saveIvfIndex dir)"))
-      val shortlist = rankByAdc(cand, k * refine)
-        .select("query_id", "corpus_id")
       val floats = spark.read.parquet(fip)
         .where(col("cell").isInCollection(cells.map(Int.box)))
         .select(col("corpus_id"), col("cv"), col("cn"))
-      val qv = queries.select(col(queryId).as("query_id"),
-          col(queryVec).as("qv"), norm(col(queryVec)).as("qn"))
-        .filter(col("qn") > 0)
-      val exact = floats.join(broadcast(shortlist), "corpus_id")
-        .join(broadcast(qv), "query_id")
-        .select(col("query_id"), col("corpus_id"),
-          (dot(col("cv"), col("qv")) / (col("cn") * col("qn"))).as("cosine"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("corpus_id").asc)
-      exact.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("query_id", "corpus_id", "cosine", "rank")
+      exactReRank(floats, rankByAdc(cand, k * refine),
+        queries, queryId, queryVec, k)
     }
   }
 

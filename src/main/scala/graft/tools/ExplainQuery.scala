@@ -8,8 +8,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainQuery {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q_lm_score")
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // flags are positional-independent: "-run" anywhere must not be
+    // mistaken for the sfDir
+    val positional = args.filterNot(_.startsWith("-"))
+    val name = positional.headOption.getOrElse("q_lm_score")
+    val dir = if (positional.length > 1) positional(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -2184,6 +2184,9 @@ class OpsSpec extends AnyFunSuite {
       (51 to 100).map(i => (None: Option[Long], "hot", s"p$i")) ++
       Seq((Some(101L), "cold", "x")))
       .toDF("row_id", "k", "payload")
+      // un-hashable column type: the companion-column selection must
+      // skip it, not throw DATATYPE_MISMATCH at analysis
+      .withColumn("meta", map(lit("a"), lit("b")))
     val dim = Seq(("hot", 1L), ("cold", 2L)).toDF("k", "v")
     val salted = JoinOps.saltedJoin(big, dim, "k", salt = 7, idCol = "row_id")
       .select("payload", "k", "v").collect()
