@@ -626,6 +626,11 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // compaction preserves content exactly → identity oracle over the
+    // original table (the roundtrip-gate pattern)
+    "q_compact_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // span-removal replay (DedupOps.removeDuplicateSpans): positioned
     // windows, keeper = min id per hash, covered tokens cut, cleaned
     // text re-hashed — list lambdas mirror the Spark HOFs exactly
@@ -2603,6 +2608,19 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet"), "source", "text",
             k = 8, maxSources = 16, portableHash = true)
           .orderBy("source_a", "source_b")
+      },
+      "q_compact_roundtrip" -> { (s, dir) =>
+        // storage-maintenance gate (r8): the small-file compaction
+        // rewrite must preserve row content exactly — the oracle reads
+        // the ORIGINAL table, so any lost/duplicated/mutated row
+        // breaks the hash
+        val src = s"$dir/documents.parquet"
+        val tmp = s"/tmp/graft_compact_rt_${Integer.toHexString(dir.hashCode)}"
+        graft.ops.StorageOps.compactParquet(s, src, tmp, targetFileMB = 256)
+        s.read.parquet(tmp)
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          .orderBy("doc_id")
       },
       "q_orc_roundtrip" -> { (s, dir) =>
         // columnar-interchange gate: parquet -> ORC -> schema'd read

@@ -136,10 +136,23 @@ object IncrementalDedup {
       spark: SparkSession, storePath: String,
       batch: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      simThreshold: Double = 0.5, portableHash: Boolean = false): DataFrame =
+    minhashDupsAgainstStoreDf(spark.read.parquet(storePath),
+      batch, textCol, idCol, numHashes, bands, shingleSize,
+      simThreshold, portableHash)
+
+  /** As [[minhashDupsAgainstStore]] over an already-read (possibly
+    * filtered) store frame — the streaming ingest path probes the
+    * store restricted to EARLIER batches so a replayed micro-batch
+    * cannot match its own previously-landed signatures.
+    */
+  def minhashDupsAgainstStoreDf(
+      store: DataFrame,
+      batch: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
       simThreshold: Double = 0.5, portableHash: Boolean = false): DataFrame = {
     val probe = bandedSignatures(batch, textCol, idCol,
       numHashes, bands, shingleSize, portableHash)
-    val store = spark.read.parquet(storePath)
     val agree = (0 until numHashes).map(i =>
       when(element_at(col("bsig"), i + 1) === element_at(col("ssig"), i + 1), 1)
         .otherwise(0))
@@ -156,4 +169,50 @@ object IncrementalDedup {
         (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
       .where(col("est_jaccard") >= simThreshold)
   }
+
+  /** STREAMING near-dup ingest gate: every arriving micro-batch is
+    * (1) probed against the signatures of all EARLIER batches — the
+    * matches land in `dupsOut/batch=<id>` — and (2) its own banded
+    * signatures land in `storePath/batch=<id>`, so the store grows
+    * with the stream and never needs the original text.  Both writes
+    * OVERWRITE their own `batch=<id>` subdirectory and the probe
+    * filters the store to `batch < id`, so a micro-batch replayed
+    * after a crash (foreachBatch's at-least-once contract) reproduces
+    * byte-identical outputs instead of appending duplicates or
+    * matching its own half-landed signatures — exactly-once results
+    * from at-least-once execution, the [[graft.ops.SimilarityOps
+    * .streamIntoIvfIndex]] discipline.  Readers see `batch` as one
+    * more partition column; intra-batch duplicates are the batch
+    * operator's job ([[graft.ops.DedupOps.minhashPairs]] on the
+    * micro-batch if needed).
+    */
+  def streamIntoMinhashStore(
+      stream: DataFrame, textCol: String, idCol: String,
+      storePath: String, dupsOut: String, checkpointDir: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      simThreshold: Double = 0.5, portableHash: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dups =
+          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+            minhashDupsAgainstStoreDf(
+              spark.read.parquet(storePath).where(col("batch") < batchId),
+              batch, textCol, idCol, numHashes, bands, shingleSize,
+              simThreshold, portableHash)
+          else // empty frame with the id column's NATIVE type, so the
+            // batch=0 dups dir schema-merges with every later one
+            batch.select(col(idCol).as("id"), col(idCol).as("dup_of"),
+              lit(0.0).as("est_jaccard")).where(lit(false))
+        dups.write.mode("overwrite").parquet(s"$dupsOut/batch=$batchId")
+        bandedSignatures(batch, textCol, idCol,
+            numHashes, bands, shingleSize, portableHash)
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(s"$storePath/batch=$batchId")
+      }
+      .start()
 }

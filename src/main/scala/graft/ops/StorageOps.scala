@@ -58,4 +58,38 @@ object StorageOps {
       .format("parquet")
       .partitionBy(partitionCol)
       .saveAsTable(table)
+
+  /** Compact a small-file parquet directory into ~`targetFileMB` files
+    * — the maintenance op every long-running ingest needs: streaming
+    * sinks, incremental appends, and over-parallel writes leave
+    * thousands of KB-scale files whose per-file open/footer cost comes
+    * to dominate every later scan (the classic small-file problem;
+    * 100 TB in 1 MB files is 10⁸ opens per pass).
+    *
+    * File count derives from the directory's ACTUAL on-disk bytes (one
+    * cheap listing, no data scan), then one job rewrites the rows
+    * `coalesce`d to that count — coalesce, not repartition, so
+    * compaction itself moves no rows over the network.  Row CONTENT is
+    * preserved exactly (q_compact_roundtrip's oracle reads the
+    * original table); intra-file order is not a parquet contract and
+    * consumers must not rely on it.  Writes to `outDir` (compact-then-
+    * swap is the caller's atomic-rename step — a maintenance job must
+    * not delete its input).  Returns the file count written.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, outDir: String, targetFileMB: Int = 256): Int = {
+    require(targetFileMB > 0, s"compactParquet: targetFileMB=$targetFileMB")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(
+      bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+    spark.read.parquet(dir)
+      .coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
 }

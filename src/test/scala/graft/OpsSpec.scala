@@ -1565,6 +1565,47 @@ class OpsSpec extends AnyFunSuite {
     assert(content(idx) == content(batchIdx))
   }
 
+  test("streaming minhash ingest: per-batch dups equal the batch probe; store grows") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text")
+    // stage two shards: ids < 250 land first, the rest (including the
+    // corpus's exact-dup partners) arrive as the second micro-batch
+    val staged = s"/tmp/graft-test-stream-mh-src-${System.nanoTime()}"
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(staged)
+    val store = s"/tmp/graft-test-stream-mh-store-${System.nanoTime()}"
+    val dupsOut = s"/tmp/graft-test-stream-mh-dups-${System.nanoTime()}"
+    val q = graft.ops.IncrementalDedup.streamIntoMinhashStore(
+      spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(staged),
+      "text", "doc_id", store, dupsOut, s"$store-ckpt",
+      simThreshold = 0.5, portableHash = true)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(staged)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch-2 dups must equal the BATCH probe of the same split
+    // (the q_incr_dedup_minhash_md5 construction)
+    val streamed = spark.read.parquet(dupsOut)
+      .where(col("batch") === 1)
+      .select("id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batchStore = s"/tmp/graft-test-stream-mh-batchstore-${System.nanoTime()}"
+    graft.ops.IncrementalDedup.writeMinhashStore(
+      docs.filter(col("doc_id") < 250), "text", "doc_id", batchStore,
+      portableHash = true)
+    val direct = graft.ops.IncrementalDedup.minhashDupsAgainstStore(
+        spark, batchStore, docs.filter(col("doc_id") >= 250), "text", "doc_id",
+        simThreshold = 0.5, portableHash = true)
+      .select("id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == direct)
+    // batch 0 probed an empty history → no dups; the store holds both
+    // batches' signatures
+    assert(spark.read.parquet(dupsOut).where(col("batch") === 0).count() == 0)
+    assert(spark.read.parquet(store).select("batch").distinct().count() == 2)
+  }
+
   test("incremental IVF index: base + delta append equals the all-at-once build") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = SimilarityOps.deterministicCentroids(
@@ -2146,6 +2187,27 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(back == Map(1L -> "line\nbreak", 2L -> "two\n\nbreaks",
       3L -> "crlf\r\nstyle", 4L -> "plain"))
+  }
+
+  test("compactParquet: content-identical, file count tracks bytes, input untouched") {
+    import spark.implicits._
+    val src = s"/tmp/graft-test-compact-src-${System.nanoTime()}"
+    val out = s"/tmp/graft-test-compact-out-${System.nanoTime()}"
+    // the small-file problem in miniature: 64 files for ~60 KB of rows
+    (1 to 2000).map(i => (i.toLong, s"doc $i body")).toDF("id", "text")
+      .repartition(64).write.parquet(src)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(src) == 64)
+    val n = graft.ops.StorageOps.compactParquet(spark, src, out, targetFileMB = 256)
+    assert(n == 1 && files(out) == 1, s"n=$n files=${files(out)}")
+    // rows preserved exactly; the input dir is not touched
+    def rows(p: String) = spark.read.parquet(p).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(rows(out) == rows(src) && files(src) == 64)
+    // a tiny target forces multiple output files
+    val out2 = s"/tmp/graft-test-compact-out2-${System.nanoTime()}"
+    assert(graft.ops.StorageOps.compactParquet(spark, src, out2, targetFileMB = 1) >= 1)
   }
 
   test("BPE training: hand-computed merges on a crafted corpus") {
