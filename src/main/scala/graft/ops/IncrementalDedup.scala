@@ -196,10 +196,25 @@ object IncrementalDedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // committed DATA must exist, not just the directory: a crash
+        // mid-write leaves storePath with only _temporary scaffolding,
+        // and spark.read.parquet on that throws schema-inference
+        // errors on EVERY replay — the store would be wedged until a
+        // manual cleanup instead of healing via the batch overwrite
+        def hasCommittedFiles: Boolean = fs.exists(root) && {
+          val it = fs.listFiles(root, true)
+          var found = false
+          while (!found && it.hasNext) {
+            val s = it.next()
+            found = s.isFile && s.getPath.getName.endsWith(".parquet") &&
+              !s.getPath.toString.contains("/_temporary/")
+          }
+          found
+        }
         val dups =
-          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+          if (hasCommittedFiles)
             minhashDupsAgainstStoreDf(
               spark.read.parquet(storePath).where(col("batch") < batchId),
               batch, textCol, idCol, numHashes, bands, shingleSize,

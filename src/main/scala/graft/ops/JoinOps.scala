@@ -52,28 +52,33 @@ object JoinOps {
     // skips null inputs (returning the running seed), so a null idCol
     // alone would send every null-id row of a hot key to ONE salt
     // bucket — the exact concentration the salt exists to avoid.
-    // Companions are chosen, not "everything": map-typed columns are
-    // not hashable (analysis error) and hashing whole document-sized
-    // payloads per row is a real cost at scale, so take up to four
-    // hash-safe columns, fixed-width atomics before strings/binaries,
-    // skipping duplicated names (ambiguous references).  Null-id rows
-    // with identical companions still co-locate — the deterministic
-    // floor: any content-stable salt must map equal rows equally.
-    val hashSafe: org.apache.spark.sql.types.DataType => Boolean = {
-      case _: org.apache.spark.sql.types.MapType => false
-      case _: org.apache.spark.sql.types.StructType => false
-      case _: org.apache.spark.sql.types.ArrayType => false
+    // Companions are chosen, not "everything": MAP-typed columns (at
+    // any nesting depth) are not hashable (analysis error) and hashing
+    // whole document-sized payloads per row is a real cost at scale,
+    // so take up to four hash-safe columns — fixed-width atomics
+    // before variable-size ones — skipping duplicated names (ambiguous
+    // references) and the JOIN KEY (constant per hot key, so it
+    // carries zero spread and must not occupy a slot).  Arrays and
+    // structs stay eligible: they are often the only varying content
+    // next to a null id.  Null-id rows with identical companions still
+    // co-locate — the deterministic floor: any content-stable salt
+    // must map equal rows equally.
+    import org.apache.spark.sql.types._
+    def mapFree(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(e, _) => mapFree(e)
+      case StructType(fields) => fields.forall(f => mapFree(f.dataType))
       case _ => true
     }
-    val cheap: org.apache.spark.sql.types.DataType => Boolean = {
-      case org.apache.spark.sql.types.StringType => false
-      case org.apache.spark.sql.types.BinaryType => false
+    val cheap: DataType => Boolean = {
+      case StringType | BinaryType => false
+      case _: ArrayType | _: StructType => false
       case _ => true
     }
     val uniqueNames = big.schema.fields.groupBy(_.name.toLowerCase)
       .collect { case (_, Array(f)) => f }.toSeq
     val companions = uniqueNames
-      .filter(f => f.name != idCol && hashSafe(f.dataType))
+      .filter(f => f.name != idCol && f.name != key && mapFree(f.dataType))
       .sortBy(f => (!cheap(f.dataType), big.columns.indexOf(f.name)))
       .take(4)
       .map(f => col(f.name))

@@ -307,7 +307,8 @@ object MultimodalOps {
     val hist = new Array[Long](16)
     var mdatSum = 0L
     var mdatLen = 0L
-    var firstMdat = -1 // payload offset of the first mdat the walk sees
+    var firstMdat = -1 // payload bounds of the FIRST mdat the walk sees
+    var firstMdatEnd = -1
 
     // walk one box level in [from, until); returns false on malformed
     def walk(from: Int, until: Int, depth: Int): Boolean = {
@@ -355,7 +356,7 @@ object MultimodalOps {
             width = w; height = h
           }
         } else if (is('m', 'd', 'a', 't')) {
-          if (firstMdat < 0) firstMdat = payload
+          if (firstMdat < 0) { firstMdat = payload; firstMdatEnd = payloadEnd }
           val (hs, s) = byteStats(b, payload, payloadEnd)
           var i = 0
           while (i < 16) { hist(i) += hs(i); i += 1 }
@@ -368,13 +369,14 @@ object MultimodalOps {
     }
     if (!walk(0, b.length, 0)) return None
     if (width == 0 && durationMs == 0L) return None // no moov content parsed
-    // evenly-spaced offsets into the first mdat region — the offset
-    // comes from the SAME validated walk that counted the bytes (a
-    // second scan with its own size parsing could drift from it)
+    // evenly-spaced offsets into the FIRST mdat's own payload — bounds
+    // come from the SAME validated walk that counted the bytes, and a
+    // multi-mdat file must not let the total length spill the offsets
+    // past the first region into unrelated boxes
     val frames =
-      if (mdatLen == 0 || firstMdat < 0) Array.empty[Int]
+      if (firstMdat < 0) Array.empty[Int]
       else {
-        val len = math.min(mdatLen, (b.length - firstMdat).toLong).toInt
+        val len = firstMdatEnd - firstMdat
         if (len <= 0) Array.empty[Int]
         else (0 until math.min(8, len))
           .map(j => firstMdat + j * math.max(1, len / 8)).toArray

@@ -72,9 +72,12 @@ object StorageOps {
     * compaction itself moves no rows over the network.  Row CONTENT is
     * preserved exactly (q_compact_roundtrip's oracle reads the
     * original table); intra-file order is not a parquet contract and
-    * consumers must not rely on it.  Writes to `outDir` (compact-then-
-    * swap is the caller's atomic-rename step — a maintenance job must
-    * not delete its input).  Returns the file count written.
+    * consumers must not rely on it.  Partition COLUMNS survive as data
+    * columns but the directory layout flattens — compact partitioned
+    * layouts per partition if pruning must keep working.  Writes to
+    * `outDir` (compact-then-swap is the caller's atomic-rename step —
+    * a maintenance job must not delete its input).  Returns the file
+    * count written.
     */
   def compactParquet(
       spark: org.apache.spark.sql.SparkSession,
@@ -82,9 +85,16 @@ object StorageOps {
     require(targetFileMB > 0, s"compactParquet: targetFileMB=$targetFileMB")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(path).iterator
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // RECURSIVE listing: partitioned layouts (the streaming-sink case
+    // this op exists for) keep their files under subdirectories — a
+    // flat listStatus would see only dirs, size the job at 0 bytes,
+    // and funnel everything into one file
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) bytes += s.getLen
+    }
     val nFiles = math.max(1, math.ceil(
       bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
     spark.read.parquet(dir)

@@ -929,6 +929,24 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(3L, "video/mp4", good)).width == 320)
     assert(MultimodalOps.decode(
       MultimodalOps.MediaRecord(4L, "", good)).width == 320)
+
+    // multi-mdat: stats span BOTH regions, frame offsets stay within
+    // the FIRST one (not spilled by the total length)
+    def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(t: String, payload: Array[Byte]) =
+      be32(8L + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    val moovEnd = good.length - "x".length - 8 // header minus mdat hdr+payload
+    val headerBoxes = good.take(moovEnd - 0)   // ftyp+moov (232 bytes)
+    val two = headerBoxes.dropRight(0) ++
+      box("mdat", Array.fill[Byte](16)(1)) ++ box("mdat", Array.fill[Byte](16)(2))
+    val f2 = MultimodalOps.decodeMp4(
+      MultimodalOps.MediaRecord(5L, "video/mp4", two)).get
+    assert(f2.byteHistogram.sum == 32) // both regions counted
+    val firstStart = moovEnd + 8
+    assert(f2.frameOffsets.nonEmpty &&
+      f2.frameOffsets.forall(o => o >= firstStart && o < firstStart + 16),
+      f2.frameOffsets.toSeq)
   }
 
   test("multimodal decode: real MKV/EBML walk (dims, duration, cluster stats)") {
@@ -2208,6 +2226,22 @@ class OpsSpec extends AnyFunSuite {
     // a tiny target forces multiple output files
     val out2 = s"/tmp/graft-test-compact-out2-${System.nanoTime()}"
     assert(graft.ops.StorageOps.compactParquet(spark, src, out2, targetFileMB = 1) >= 1)
+  }
+
+  test("compactParquet: PARTITIONED layouts size from the recursive listing") {
+    import spark.implicits._
+    val src = s"/tmp/graft-test-compact-part-${System.nanoTime()}"
+    val out = s"/tmp/graft-test-compact-part-out-${System.nanoTime()}"
+    // ~6 MB of high-entropy strings under partition subdirectories — a
+    // flat listing sees only dirs (0 bytes) and would coalesce to 1
+    (1 to 200000).map(i => (i.toLong, i % 4,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes).map("%02x".format(_)).mkString))
+      .toDF("id", "part", "text")
+      .write.partitionBy("part").parquet(src)
+    val n = graft.ops.StorageOps.compactParquet(spark, src, out, targetFileMB = 1)
+    assert(n >= 2, s"partitioned dir sized at $n files — bytes not counted recursively?")
+    assert(spark.read.parquet(out).count() == 200000)
   }
 
   test("BPE training: hand-computed merges on a crafted corpus") {
