@@ -748,6 +748,12 @@ object TextOps {
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("syms"))
       .persist()
+    // 2-slot persist rotation (the CC-loop discipline): the pair-count
+    // job of iteration r materializes iteration r's words, which makes
+    // it safe to release iteration r-1's blocks — so each iteration is
+    // exactly ONE distributed job (the aggregation that also serves as
+    // the argmax collect), with no extra count() materialization pass
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var rank = 1L
     var done = false
@@ -761,6 +767,8 @@ object TextOps {
         .agg(sum("wc").as("n"))
         .orderBy(col("n").desc, col("left"), col("right"))
         .limit(1).collect()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
       if (best.isEmpty || best(0).getLong(2) < minCount) done = true
       else {
         val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -777,12 +785,12 @@ object TextOps {
         // flat lineage: every 8th round cuts the plan chain
         val next = (if (rank % 8 == 0) next0.localCheckpoint(eager = false)
                     else next0).persist()
-        next.count()
-        words.unpersist(blocking = false)
+        prev = Some(words)
         words = next
         rank += 1
       }
     }
+    prev.foreach(_.unpersist(blocking = false))
     words.unpersist(blocking = false)
     merges.toSeq.toDF("merge_rank", "left", "right", "n")
   }
