@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rules (operator-optimization batch, fixed point):
+    // bit-identical rewrites only — see graft.plans.GraftRules
+    ext.injectOptimizerRule(_ => graft.plans.GraftRules.CollapseNormalize)
+    ext.injectOptimizerRule(_ => graft.plans.GraftRules.RewriteHofDotProduct)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(

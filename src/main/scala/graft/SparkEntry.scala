@@ -216,6 +216,34 @@ object SparkEntry {
     * semantics — and for integer outputs the hashes — are identical).
     */
   val duckdbOnlySql: Map[String, String] = Map(
+    // HTML->text replay: the same synthesized markup wrap, stripped by
+    // the same ordered htmlPatterns chain (DuckDB needs the 'g' flag;
+    // single quotes in replacements are SQL-escaped)
+    "q_html_extract" -> {
+      val synth = "'<html><head><title>Doc ' || doc_id || " +
+        "'</title><style>p { color: red }</style>" +
+        "<script>var x = 1; if (x < 2) { x = 3; }</script>" +
+        "</head><body><h1>Doc ' || doc_id || '</h1>\n<p>' || text || " +
+        "' &amp; 5 &lt; 7</p><!-- crawl footer -->\n</body></html>'"
+      val clean = graft.ops.TextOps.htmlPatterns.foldLeft(synth) {
+        case (acc, (pat, repl)) =>
+          s"regexp_replace($acc, '${pat.replace("'", "''")}', " +
+            s"'${repl.replace("'", "''")}', 'g')"
+      }
+      s"""SELECT doc_id, $clean AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // JSON sidecar replay: json_extract_string = get_json_object /
+    // from_json field access on the same path; DuckDB sums promote to
+    // HUGEINT, so every aggregate is cast back to BIGINT
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_path
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // corpus unigram LM replay (TextOps.unigramLogProbs): same \s+
     // tokens, vocab + per-doc tf as integer aggregations, one ln of a
     // ratio of exact integers per output row (the q_bm25 determinism
@@ -2685,6 +2713,43 @@ object SparkEntry {
           lit(" ssn 123-45-6789 tel 415-555-0199"))
         docs.select(col("doc_id"), TextOps.redactPii(pii).as("clean"))
           .orderBy("doc_id")
+      },
+      // HTML -> text extraction: the oracle replays the same
+      // htmlPatterns chain, so both engines wrap each doc in the SAME
+      // deterministic markup (script/style/comment blocks, tags,
+      // entities) and must strip it identically (the q_pii_redact
+      // synthesis pattern)
+      "q_html_extract" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p { color: red }</style>" +
+            "<script>var x = 1; if (x < 2) { x = 3; }</script>" +
+            "</head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1>\n<p>"), col("text"),
+          lit(" &amp; 5 &lt; 7</p><!-- crawl footer -->\n</body></html>"))
+        docs.select(col("doc_id"),
+            TextOps.extractHtmlText(html).as("clean"))
+          .orderBy("doc_id")
+      },
+      // schema-explicit JSON sidecar parse over events.props: struct
+      // parse (from_json), flatten, single-path extraction — grouped to
+      // integer-exact aggregates
+      "q_json_extract" -> { (s, dir) =>
+        val ev = StreamingOps.readEventsBatch(s, dir) // nanos-ts-safe read
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType)
+        val parsed = graft.ops.JsonOps.parseSidecar(ev, "props", schema, "meta")
+        graft.ops.JsonOps.flattenSidecar(parsed, "meta", "meta_")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("meta_k")).as("sum_k"),
+            min(col("meta_k")).as("min_k"),
+            max(col("meta_k")).as("max_k"),
+            sum(graft.ops.JsonOps.extractPath(col("props"), "$.k")
+              .cast("long")).as("sum_k_path"))
+          .orderBy("event_type")
       },
       "q_dedup_clusters" -> { (s, dir) =>
         val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -354,6 +354,44 @@ object TextOps {
       regexp_replace(acc, pat, repl)
     }
 
+  /** HTML → text extraction as an ordered chained-`regexp_replace`
+    * pass (the boilerplate-strip step crawl corpora run before any
+    * quality/dedup stage).  Order matters: script/style/comment BLOCKS
+    * go first (their content is not text), then every remaining tag,
+    * then the five XML entities + `&nbsp;` decode (after tag-strip, so
+    * entity-encoded markup in the content stays content), then
+    * whitespace collapse.  Like [[piiPatterns]], every pattern sticks
+    * to the Java/RE2-identical regex subset (inline `(?is)` flags,
+    * lazy repeats, explicit classes — `\s` is avoided because Java
+    * includes `\x0B` in it and RE2 does not), so external engines
+    * replay the extraction byte-for-byte.  Entity decode is the
+    * standard five + nbsp, not the full HTML5 table — the subset
+    * covers machine-generated markup; a full table is a lookup join,
+    * not a regex.
+    */
+  val htmlPatterns: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?s)<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&amp;" -> "&",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "[ \\t\\n\\r\\f]+" -> " ",
+    "^ | $" -> "")
+
+  /** Strip markup from an HTML document column — chained
+    * `regexp_replace` over [[htmlPatterns]], pure per-row projection
+    * (no UDF, no shuffle).
+    */
+  def extractHtmlText(c: Column): Column =
+    htmlPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Fixed-token-window document chunking with overlap — the standard
     * pre-training segmentation pass (context-length windows, stride <
     * window for overlap).  One output row per chunk:

@@ -2504,4 +2504,110 @@ class OpsSpec extends AnyFunSuite {
     assert(s0 > 250 && s0 < 350, s"s0 got $s0 rows for 200 docs at 1.5 epochs")
     assert(s1 > 20 && s1 < 80, s"s1 got $s1 rows for 200 docs at 0.25 epochs")
   }
+
+  test("JsonOps: schema-explicit sidecar parse, flatten, path extraction, quarantine") {
+    import spark.implicits._
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("tag", org.apache.spark.sql.types.StringType)
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "a"}"""),
+      (2L, """{"k": 9}"""),           // missing field -> null field
+      (3L, """not json at all"""),    // corrupt -> null struct
+      (4L, null.asInstanceOf[String]) // null sidecar stays null, NOT corrupt
+    ).toDF("id", "props")
+    val parsed = JsonOps.parseSidecar(df, "props", schema, "meta")
+    val flat = JsonOps.flattenSidecar(parsed, "meta", "m_")
+      .orderBy("id").collect()
+    assert(flat.map(_.schema.fieldNames.toSeq).head == Seq("id", "props", "m_k", "m_tag"))
+    assert(flat(0).getLong(2) == 7L && flat(0).getString(3) == "a")
+    assert(flat(1).getLong(2) == 9L && flat(1).isNullAt(3))
+    assert(flat(2).isNullAt(2) && flat(2).isNullAt(3))
+    assert(flat(3).isNullAt(2) && flat(3).isNullAt(3))
+    // quarantine = non-null sidecar that failed the parse: exactly id 3
+    val bad = JsonOps.corruptSidecars(df, "props", schema).collect()
+    assert(bad.map(_.getLong(0)).toSeq == Seq(3L))
+    // single-path extraction agrees with the struct parse
+    val viaPath = df.select($"id",
+        JsonOps.extractPath($"props", "$.k").cast("long").as("k"))
+      .orderBy("id").collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    assert(viaPath.toSeq == Seq(Some(7L), Some(9L), None, None))
+  }
+
+  test("extractHtmlText: blocks, tags, entities, whitespace — in that order") {
+    import spark.implicits._
+    val html =
+      """<html><head><style>p { b: 1 }</style>
+        |<script>if (a < b) { go(); }</script></head>
+        |<body><h1>Title</h1>
+        |<p>plain &amp; simple, 5 &lt; 7, say &quot;hi&quot; &#39;now&#39;</p>
+        |<p>literal markup stays text: &lt;script&gt;evil()&lt;/script&gt;</p>
+        |<!-- comment out --></body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(TextOps.extractHtmlText(col("h")).as("t")).head().getString(0)
+    assert(out == "Title plain & simple, 5 < 7, say \"hi\" 'now' " +
+      "literal markup stays text: <script>evil()</script>", s"got: [$out]")
+    // entity-encoded markup decoded AFTER tag-strip stays content —
+    // the '<script>' above is text, not an executed strip target
+    assert(out.contains("<script>evil()</script>"))
+    // null propagates
+    assert(Seq((null.asInstanceOf[String], 1)).toDF("h", "i")
+      .select(TextOps.extractHtmlText(col("h"))).head().isNullAt(0))
+  }
+
+  test("GraftRules: HOF dot product rewrites to the codegen'd DotProduct") {
+    // TestSpark wires graft.GraftExtensions, so the injected optimizer
+    // rule must fire on BOTH the Scala-API HOF form and the SQL form
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
+    val viaHof = emb.select(col("vec_id"),
+      SimilarityOps.dotHof(col("embedding"), col("embedding")).as("d"))
+    val optimized = viaHof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot") && !optimized.contains("aggregate("),
+      s"HOF form not rewritten:\n$optimized")
+    // bit-identical to the direct expression
+    val direct = emb.select(col("vec_id"),
+      SimilarityOps.dot(col("embedding"), col("embedding")).as("d"))
+    assert(viaHof.exceptAll(direct).isEmpty && direct.exceptAll(viaHof).isEmpty)
+    // SQL spelling (casts written explicitly) rewrites too
+    emb.createOrReplaceTempView("graft_rules_emb")
+    val sqlPlan = spark.sql(
+      """SELECT aggregate(zip_with(embedding, embedding,
+        |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d
+        |FROM graft_rules_emb""".stripMargin)
+    assert(sqlPlan.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "SQL HOF form not rewritten")
+    // negative control: FLOAT multiply has different rounding — must NOT rewrite
+    val floatMul = emb.select(aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!floatMul.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "float-multiply HOF must be left alone")
+  }
+
+  test("GraftRules: nested Unicode normalizations collapse to one pass") {
+    // NFC(NFKC(x)), NFKC(NFC(x)), NFC(NFC(x)) -- all collapse to a
+    // single pass with the stronger (compat) form winning.  The input
+    // must be neither foldable nor a LocalRelation: ConstantFolding
+    // and ConvertToLocalRelation would otherwise evaluate the nest
+    // away before the node count.
+    val df = spark.read.parquet(s"$sf001/documents.parquet").limit(2)
+      .select(concat(lit("\uFB01x "), col("text")).as("s")) // fi ligature prefix
+    val plan = df.select(
+      expr("graft_nfc(graft_nfkc(s))").as("a"),
+      expr("graft_nfkc(graft_nfc(s))").as("b"),
+      expr("graft_nfc(graft_nfc(s))").as("c"))
+    val opt = plan.queryExecution.optimizedPlan
+    val norms = opt.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case n: graft.functions.NormalizeText => n })
+    }.flatten
+    assert(norms.length == 3, s"expected 3 collapsed normalize nodes in:\n$opt")
+    assert(norms.count(_.compat) == 2, s"compat must win in both compositions: $norms")
+    // value check: NFKC folds the ligature wherever it appears in the
+    // composition; the pure-NFC chain keeps it
+    val row = plan.head()
+    assert(row.getString(0).startsWith("fix ") && row.getString(1).startsWith("fix ") &&
+      row.getString(2).startsWith("\uFB01x "), s"values: $row")
+  }
 }
