@@ -233,6 +233,29 @@ object SparkEntry {
       s"""SELECT doc_id, $clean AS clean
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // linear-classifier replay: same \s+ tokens, same md5-60-bit
+    // bucket (the q_hash_split pattern), same literal weight vector
+    // (demoWeights is the single source), integer fold + one logistic
+    // of an exact integer
+    "q_quality_classifier" -> {
+      val w = graft.ops.SelectionOps.demoWeights(64).mkString(", ")
+      raw"""WITH w AS (SELECT [$w] AS wt),
+           |t AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |         CAST(len(toks) AS BIGINT) AS n_tokens,
+           |         CAST(COALESCE(list_sum(list_transform(toks,
+           |           tk -> wt[CAST(CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) % 64 AS INT) + 1])), 0) AS BIGINT)
+           |           + 17 AS score
+           |  FROM t CROSS JOIN w)
+           |SELECT doc_id, n_tokens, CAST(score AS BIGINT) AS score,
+           |       1.0 / (1.0 + exp(-(CAST(score AS DOUBLE) / 1000.0))) AS prob,
+           |       CAST(score >= 0 AS BIGINT) AS keep
+           |FROM sc ORDER BY doc_id""".stripMargin
+    },
     // JSON sidecar replay: json_extract_string = get_json_object /
     // from_json field access on the same path; DuckDB sums promote to
     // HUGEINT, so every aggregate is cast back to BIGINT
@@ -2731,6 +2754,16 @@ object SparkEntry {
           lit(" &amp; 5 &lt; 7</p><!-- crawl footer -->\n</body></html>"))
         docs.select(col("doc_id"),
             TextOps.extractHtmlText(html).as("clean"))
+          .orderBy("doc_id")
+      },
+      // learned quality filter (fasttext-shape): md5-bucketed token
+      // hashing into a literal integer weight vector, integer score
+      // fold, logistic only for reporting — score/keep bit-exact in
+      // both engines
+      "q_quality_classifier" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        SelectionOps.linearQualityScore(docs, "doc_id", "text",
+            SelectionOps.demoWeights(64), bias = 17L)
           .orderBy("doc_id")
       },
       // schema-explicit JSON sidecar parse over events.props: struct

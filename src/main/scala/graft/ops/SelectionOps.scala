@@ -17,6 +17,58 @@ import org.apache.spark.sql.functions._
   */
 object SelectionOps {
 
+  /** Deterministic demo weights for [[linearQualityScore]]: a fixed
+    * Knuth-multiplicative spread into [-1001, 1001], the same literal
+    * vector on the Spark side and in the DuckDB oracle (the
+    * htmlPatterns shared-constant discipline).  Real deployments swap
+    * in trained weights; the SHAPE of the op is what scales.
+    */
+  def demoWeights(d: Int): Array[Int] =
+    Array.tabulate(d)(i => ((i * 2654435761L) % 2003L - 1001L).toInt)
+
+  /** Fasttext-style hashed-bag-of-tokens linear classifier — THE
+    * standard learned quality filter for pre-training corpora (GPT-3 /
+    * LLaMA / FineWeb-Edu all gate on one): each token hashes into one
+    * of `weights.length` buckets, the document's score is the sum of
+    * its tokens' bucket weights plus `bias`, and the keep decision
+    * thresholds the score.
+    *
+    * Engineered for the engine's determinism bar: weights are INTEGER,
+    * the token hash is the portable md5-60-bit bucket
+    * ([[DedupOps.md5Hash60]] — same bytes in any engine), and the
+    * score is an integer left-fold, so `score`/`keep` are bit-exact
+    * everywhere and only the reporting `prob` (one logistic of an
+    * exact integer) is float at all.  A pure per-row projection: the
+    * weight vector ships as a literal array into the plan (a few KiB —
+    * the broadcast-free analog of a tiny dim join), nothing shuffles,
+    * and the whole expression stays in whole-stage codegen except the
+    * HOF fold itself.  At 100 TB this is scan-bound, exactly like the
+    * rule-based [[TextOps]] quality score it complements.
+    */
+  def linearQualityScore(
+      df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Int], bias: Long = 0L,
+      scale: Double = 1000.0): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val d = weights.length
+    val wLit = array(weights.map(w => lit(w.toLong)): _*)
+    val toks = TextOps.tokens(col(textCol))
+    val score = aggregate(
+      transform(toks, tk => element_at(wLit,
+        // element_at is 1-based; md5Hash60 is non-negative so pmod = %
+        pmod(DedupOps.md5Hash60(tk), lit(d.toLong)).cast("int") + lit(1))),
+      lit(bias), (acc, x) => acc + x)
+    // divide-then-negate-then-exp, in exactly that order — the oracle
+    // replays the same IEEE sequence (negation is exact, so the one
+    // rounding point is the division)
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      score.as("score"),
+      (lit(1.0) / (lit(1.0) +
+        exp(-(score.cast("double") / lit(scale))))).as("prob"),
+      (score >= 0L).cast("long").as("keep"))
+  }
+
   /** CCNet-style per-language corpus split (Wenzek et al. 2020,
     * arXiv:1911.00359): rank each document within its language by a
     * model score and cut the ranking into `nBuckets` equal parts —

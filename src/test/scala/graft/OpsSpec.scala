@@ -2610,4 +2610,33 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getString(0).startsWith("fix ") && row.getString(1).startsWith("fix ") &&
       row.getString(2).startsWith("\uFB01x "), s"values: $row")
   }
+
+  test("linearQualityScore: hand-computed hashed-linear score; empty doc = bias") {
+    import spark.implicits._
+    val w = SelectionOps.demoWeights(64)
+    // reproduce the portable bucket (md5 60-bit % d) independently
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 64).toInt
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, ""), (3L, "   "),        // empty / whitespace-only -> bias
+      (4L, "the the the")           // repeated token sums its weight
+    ).toDF("doc_id", "text")
+    val out = SelectionOps.linearQualityScore(docs, "doc_id", "text", w, bias = 17L)
+      .orderBy("doc_id").collect()
+    val exp1 = 17L + Seq("the", "quick", "brown", "fox").map(t => w(bucket(t)).toLong).sum
+    assert(out(0).getLong(2) == exp1 && out(0).getLong(1) == 4L)
+    assert(out(1).getLong(2) == 17L && out(1).getLong(1) == 0L)
+    assert(out(2).getLong(2) == 17L && out(2).getLong(1) == 0L)
+    assert(out(3).getLong(2) == 17L + 3L * w(bucket("the")))
+    // prob is the logistic of the exact integer score; keep thresholds at 0
+    out.foreach { r =>
+      val p = 1.0 / (1.0 + math.exp(-(r.getLong(2).toDouble / 1000.0)))
+      assert(r.getDouble(3) == p, s"prob mismatch: $r")
+      assert(r.getLong(4) == (if (r.getLong(2) >= 0L) 1L else 0L))
+    }
+  }
 }
