@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.spark.{WoeBinning, WoeFitOptions}
-import graft.ops.{AsofOps, ClusterOps, DedupOps, MultimodalOps, SampleOps, SelectionOps, SimilarityOps, StreamingOps, TextOps}
+import graft.ops.{AsofOps, ClusterOps, DedupOps, MultimodalOps, SampleOps, SelectionOps, SimilarityOps, StreamingOps, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -215,7 +215,92 @@ object SparkEntry {
     * is DataFrame-API (list_* function names differ from Spark but the
     * semantics — and for integer outputs the hashes — are identical).
     */
+  /** Deterministic per-doc URL synthesis shared by the URL-governance
+    * queries (documents carry no URL column): mixed-case host, an
+    * occasional extra subdomain, a multi-part-suffix TLD for every
+    * 4th doc, a default port, tracking params, and a fragment — every
+    * case the canonicalizer must handle.  SQL and Column forms must
+    * stay in lockstep (the hash oracle catches drift).
+    */
+  private val urlSynthSql =
+    "'HTTPS://WWW.' || CASE WHEN doc_id % 5 = 0 THEN 'Blog.' ELSE '' END" +
+      " || source || CASE WHEN doc_id % 4 = 0 THEN '.Co.UK' ELSE '.COM' END" +
+      " || ':443/Articles/' || doc_id || '?utm_source=feed&page=' ||" +
+      " (doc_id % 10) || '&utm_campaign=x&gclid=abc#section-2'"
+
+  private def urlSynthCol: org.apache.spark.sql.Column =
+    concat(
+      lit("HTTPS://WWW."),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("Blog.")).otherwise(lit("")),
+      col("source"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit(".Co.UK")).otherwise(lit(".COM")),
+      lit(":443/Articles/"), col("doc_id").cast("string"),
+      lit("?utm_source=feed&page="),
+      pmod(col("doc_id"), lit(10)).cast("string"),
+      lit("&utm_campaign=x&gclid=abc#section-2"))
+
+  /** The registrable-domain CASE both URL oracles share (the SQL twin
+    * of [[graft.ops.UrlOps.registrableDomain]]).
+    */
+  private val urlDomainSql = {
+    val suffixes = graft.ops.UrlOps.multiPartSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    raw"""CASE WHEN len(L) <= 2 THEN host2
+         |     WHEN (L[-2] || '.' || L[-1]) IN ($suffixes) AND len(L) >= 3
+         |       THEN L[-3] || '.' || L[-2] || '.' || L[-1]
+         |     ELSE L[-2] || '.' || L[-1] END""".stripMargin
+  }
+
   val duckdbOnlySql: Map[String, String] = Map(
+    // URL canonicalization replay: same part extraction, same default-
+    // port/tracking-param/fragment rules, same registrable-domain cut
+    "q_url_normalize" ->
+      raw"""WITH u AS (
+           |  SELECT doc_id, $urlSynthSql AS url FROM documents),
+           |parts AS (
+           |  SELECT doc_id,
+           |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           |         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           |         regexp_extract(url, '\?([^#]*)', 1) AS q
+           |  FROM u),
+           |n AS (
+           |  SELECT doc_id, scheme,
+           |         CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+           |              WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+           |              ELSE hostport END AS host,
+           |         path,
+           |         array_to_string(list_filter(string_split(q, '&'),
+           |           p -> NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid)=') AND p <> ''), '&') AS cleanq,
+           |         string_split(regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\.', ''), '.') AS L,
+           |         regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\.', '') AS host2
+           |  FROM parts)
+           |SELECT doc_id,
+           |       scheme || '://' || host || path ||
+           |         CASE WHEN cleanq = '' THEN '' ELSE '?' || cleanq END AS url_norm,
+           |       $urlDomainSql AS domain
+           |FROM n ORDER BY doc_id""".stripMargin,
+    // per-domain cap replay: same domain, same deterministic
+    // row_number cut
+    "q_domain_cap" ->
+      raw"""WITH u AS (
+           |  SELECT doc_id, $urlSynthSql AS url FROM documents),
+           |h AS (
+           |  SELECT doc_id,
+           |         regexp_replace(regexp_replace(
+           |           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+           |           ':[0-9]+$$', ''), '^www\.', '') AS host2
+           |  FROM u),
+           |d AS (
+           |  SELECT doc_id, host2, string_split(host2, '.') AS L FROM h),
+           |dd AS (
+           |  SELECT doc_id, $urlDomainSql AS domain FROM d),
+           |r AS (
+           |  SELECT doc_id, domain,
+           |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS domain_rank
+           |  FROM dd)
+           |SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank
+           |FROM r WHERE domain_rank <= 5 ORDER BY doc_id""".stripMargin,
     // HTML->text replay: the same synthesized markup wrap, stripped by
     // the same ordered htmlPatterns chain (DuckDB needs the 'g' flag;
     // single quotes in replacements are SQL-escaped)
@@ -2754,6 +2839,29 @@ object SparkEntry {
           lit(" &amp; 5 &lt; 7</p><!-- crawl footer -->\n</body></html>"))
         docs.select(col("doc_id"),
             TextOps.extractHtmlText(html).as("clean"))
+          .orderBy("doc_id")
+      },
+      // URL canonicalization + registrable domain over a synthesized
+      // URL (mixed case, default port, tracking params, fragment,
+      // multi-part suffix) — the crawl-corpus canonicalize-before-
+      // group discipline; oracle replays the identical part rules
+      "q_url_normalize" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val url = urlSynthCol
+        docs.select(col("doc_id"),
+            UrlOps.normalizeUrl(url).as("url_norm"),
+            UrlOps.registrableDomain(url).as("domain"))
+          .orderBy("doc_id")
+      },
+      // per-domain frequency cap: at most 5 docs per registrable
+      // domain, rank by doc_id — the Common Crawl anti-domination cut
+      "q_domain_cap" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        UrlOps.capPerDomain(
+            docs.select(col("doc_id"), urlSynthCol.as("url")),
+            "url", "doc_id", cap = 5)
+          .select(col("doc_id"), col("domain"),
+            col("domain_rank").cast("long").as("domain_rank"))
           .orderBy("doc_id")
       },
       // learned quality filter (fasttext-shape): md5-bucketed token

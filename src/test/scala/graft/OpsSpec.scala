@@ -2639,4 +2639,50 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(4) == (if (r.getLong(2) >= 0L) 1L else 0L))
     }
   }
+
+  test("UrlOps: canonicalization and registrable-domain edge cases") {
+    import spark.implicits._
+    val cases = Seq(
+      // default https port + tracking params + fragment all go
+      "HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&id=2&gclid=z#top" ->
+        ("https://www.ex.com/A/b?id=2", "ex.com"),
+      // http default port; params all tracking -> query dropped entirely
+      "http://News.Site.ORG:80/p?utm_a=1&fbclid=2" ->
+        ("http://news.site.org/p", "site.org"),
+      // non-default port survives normalization; domain strips ANY port
+      "https://a.b.co.uk:8443/x" ->
+        ("https://a.b.co.uk:8443/x", "b.co.uk"),
+      // unknown scheme: host untouched beyond lowercase
+      "ftp://Files.Ex.COM:443/d" ->
+        ("ftp://files.ex.com:443/d", "ex.com"),
+      // single-label host passes through whole
+      "https://localhost/x" -> ("https://localhost/x", "localhost"),
+      // IPv4: no registrable domain
+      "http://10.1.2.3/x" -> ("http://10.1.2.3/x", "10.1.2.3"),
+      // deep subdomain under a multi-part suffix
+      "https://a.b.c.gov.uk/" -> ("https://a.b.c.gov.uk/", "c.gov.uk"))
+    val df = cases.map(_._1).toDF("url")
+    val out = df.select(col("url"),
+        UrlOps.normalizeUrl(col("url")).as("n"),
+        UrlOps.registrableDomain(col("url")).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    cases.foreach { case (u, exp) =>
+      assert(out(u) == exp, s"$u: got ${out(u)}, want $exp")
+    }
+  }
+
+  test("UrlOps: capPerDomain keeps exactly cap rows per domain, by order") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"https://site${i % 2}.com/p/$i")).toDF("id", "url")
+    val kept = UrlOps.capPerDomain(docs, "url", "id", cap = 3)
+      .select("id", "domain", "domain_rank").collect()
+    assert(kept.length == 6)
+    // lowest ids win inside each domain
+    assert(kept.filter(_.getString(1) == "site0.com").map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 2L, 4L))
+    assert(kept.filter(_.getString(1) == "site1.com").map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 5L))
+    kept.foreach(r => assert(r.getInt(2) <= 3))
+  }
 }
