@@ -2119,8 +2119,37 @@ object SparkEntry {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** Golden-literal oracle for the BPE ENCODE output: pure string
+    * rewriting with a fixed merge table is bit-deterministic (verified
+    * across separate JVM runs at capture time) — REGRESSION PIN, same
+    * contract as the bpe_train/compress fixtures.
+    */
+  private def bpeEncodeOracleSql(fixture: String): String = {
+    val t = Golden.load(fixture)
+    val valueRows = t.rows.map { r =>
+      val id = r(0).toString.toDouble.toLong
+      val nw = r(1).toString.toDouble.toLong
+      val nt = r(2).toString.toDouble.toLong
+      s"(CAST($id AS BIGINT), CAST($nw AS BIGINT), CAST($nt AS BIGINT), '${r(3)}')"
+    }.mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$valueRows
+       |) AS t(doc_id, n_words, n_bpe_tokens, bpe_md5)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The sf0.01-trained merge table in rank order — the engine's demo
+    * tokenizer, compiled in from the [[bpeOracleSql]] fixture exactly
+    * as a production pipeline compiles in its trained tokenizer.
+    */
+  lazy val bpeFixtureMerges: Seq[(String, String)] =
+    Golden.load("sf0.01_bpe_train_m12.json").rows
+      .sortBy(_(0).toString.toDouble)
+      .map(r => (r(1).toString, r(2).toString))
+
   private lazy val fitOracleSqls: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracleSql("sf0.01_bpe_train_m12.json"),
+    "q_bpe_encode" -> bpeEncodeOracleSql("sf0.01_bpe_encode_m12.json"),
     "q_compress_ratio" -> compressOracleSql("sf0.01_compress_ratio_l6.json"),
     "q_fit_bins" -> fitOracleSql("sf0.01_extendedprice_n300.json",
       "sf0.01_quantity_n300.json", "sf0.01_discount_n300.json"),
@@ -3449,6 +3478,17 @@ object SparkEntry {
         TextOps.bigramLogProbs(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .orderBy("doc_id", "w1", "w2")
+      },
+      "q_bpe_encode" -> { (s, dir) =>
+        // the ENCODE half (r8): the sf0.01-trained 12-merge table
+        // (golden fixture — "train once on a sample, apply
+        // corpus-wide") applied to every document; counts feed
+        // packing/budget selection, the md5 pins the exact tokens
+        TextOps.bpeEncode(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            bpeFixtureMerges)
+          .withColumn("doc_id", col("doc_id").cast("long"))
+          .orderBy("doc_id")
       },
       "q_bpe_train" -> { (s, dir) =>
         // FULL tokenizer-training loop (r8): 12 BPE merges learned

@@ -833,6 +833,77 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "left", "right", "n")
   }
 
+  /** Applies a trained BPE merge table to every document — the encode
+    * half of the tokenizer family ([[bpeTrain]] is the train half):
+    * per word, split to characters, then apply each merge in rank
+    * order with the same greedy left-to-right fold the training loop
+    * used.  Ascending-rank sequential application is equivalent to the
+    * classic "merge the lowest-rank pair anywhere, repeat" algorithm
+    * (a merge's operands are strictly lower-rank constructs, so later
+    * merges can never create an occurrence of an earlier pair) —
+    * OpsSpec pins that equivalence against an independent
+    * implementation of the classic loop.
+    *
+    * Output per doc: word count, encoded token count (what packing /
+    * budget selection actually consume), and an md5 fingerprint of the
+    * full token sequence (so a fixture pins the exact encoding, not
+    * just counts).  The merge table ships as a broadcast array and the
+    * per-word merge loop runs in one of the engine's rare sanctioned
+    * `mapPartitions` bodies — iterate-to-fixpoint string rewriting is
+    * not expressible as a finite builtin expression tree for an
+    * arbitrary merge table, and this IS the production shape anyway: a
+    * tokenizer is trained once on a sample, then applied corpus-wide
+    * as a tight partition-local loop (scan-bound, zero shuffle).
+    */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val outSchema = StructType(in.schema.fields(0) +: Array(
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_bpe_tokens", LongType, nullable = false),
+      StructField("bpe_md5", StringType, nullable = false)))
+    in.mapPartitions { it =>
+      val ms = bc.value
+      it.map { row =>
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        var total = 0L
+        val md = java.security.MessageDigest.getInstance("MD5")
+        words.foreach { w =>
+          var syms: Array[String] = w.map(_.toString).toArray
+          ms.foreach { case (l, r) =>
+            // one greedy left-to-right pass exhausts the pair: the
+            // merged symbol l+r can never itself be l's tail partner
+            // (r is non-empty), so no (l, r) occurrence survives
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (out.nonEmpty && out(out.length - 1) == l && syms(i) == r)
+                out(out.length - 1) = l + r
+              else out += syms(i)
+              i += 1
+            }
+            syms = out.toArray
+          }
+          total += syms.length
+          // token-boundary and word-boundary separators keep the
+          // fingerprint injective over token sequences
+          syms.foreach { t =>
+            md.update(t.getBytes("UTF-8")); md.update(1.toByte)
+          }
+          md.update(2.toByte)
+        }
+        val fp = md.digest().map("%02x".format(_)).mkString
+        Row(row.get(0), words.length.toLong, total, fp)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Pairwise cross-source contamination matrix: for every pair of
     * sources, the number of DISTINCT word k-grams they share, each
     * side's kept gram count, and the gram-set Jaccard — the "which of

@@ -2685,4 +2685,57 @@ class OpsSpec extends AnyFunSuite {
       Seq(1L, 3L, 5L))
     kept.foreach(r => assert(r.getInt(2) <= 3))
   }
+
+  test("bpeEncode == classic lowest-rank-anywhere BPE; hand example; partition-invariant") {
+    import spark.implicits._
+    // independent implementation of the classic algorithm: repeatedly
+    // merge the LOWEST-RANK pair present anywhere in the word
+    def classic(w: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      var go = true
+      while (go) {
+        val hit = merges.zipWithIndex.flatMap { case ((l, r), rank) =>
+          (0 until syms.length - 1)
+            .find(i => syms(i) == l && syms(i + 1) == r)
+            .map(i => (rank, i))
+        }.sortBy(_._1).headOption
+        hit match {
+          case Some((rank, i)) =>
+            val (l, r) = merges(rank)
+            syms = (syms.take(i) :+ (l + r)) ++ syms.drop(i + 2)
+          case None => go = false
+        }
+      }
+      syms
+    }
+    // train on the real corpus so merges chain (multi-char operands)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val merges = TextOps.bpeTrain(docs, "text", numMerges = 10, minCount = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val out = TextOps.bpeEncode(docs.limit(50), "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    val texts = docs.limit(50).orderBy("doc_id")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val words = texts(r.getLong(0)).split("\\s+").filter(_.nonEmpty)
+      val expected = words.map(w => classic(w, merges).length.toLong).sum
+      assert(r.getLong(2) == expected,
+        s"doc ${r.getLong(0)}: got ${r.getLong(2)}, classic $expected")
+      assert(r.getLong(1) == words.length.toLong)
+    }
+    // hand example: merges (l,o) then (lo,w)
+    val hand = Seq((7L, "low lower wow")).toDF("id", "t")
+    val h = TextOps.bpeEncode(hand, "id", "t", Seq("l" -> "o", "lo" -> "w")).head()
+    // low -> [low]; lower -> [low,e,r]; wow -> [w,o,w]  => 1+3+3
+    assert(h.getLong(2) == 7L, s"hand: $h")
+    // partition invariance: md5 fingerprints identical under any layout
+    val p1 = TextOps.bpeEncode(docs.repartition(8), "doc_id", "text", merges)
+      .select("doc_id", "bpe_md5").as[(Long, String)].collect().toMap
+    val p2 = TextOps.bpeEncode(docs.coalesce(1), "doc_id", "text", merges)
+      .select("doc_id", "bpe_md5").as[(Long, String)].collect().toMap
+    assert(p1 == p2)
+  }
 }
