@@ -29,6 +29,7 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("pipeline")) { pipelineStress(spark); spark.stop(); return }
+    if (args.headOption.contains("text")) { textStress(spark); spark.stop(); return }
     val base = SparkEntry.lcgFrame(spark, "/root/testdata/sf0.1")
     val inflated = spark.range(10).crossJoin(base)
       .withColumn("extendedprice",
@@ -134,5 +135,76 @@ object Stress {
       f"peak driver RSS $peakRss%d MiB")
     corpus.unpersist(); pairs.unpersist(); cc.unpersist(); deduped.unpersist()
     DedupOps.unpersistAll()
+  }
+
+  /** `text` mode (r8): 10× corpus through the per-row text family —
+    * HTML extraction, the learned quality classifier, BPE encode, URL
+    * normalize + per-domain cap.  The claim under test: everything but
+    * the cap window shuffles ZERO bytes (pure projections), and the
+    * cap's one shuffle carries (id, domain) pairs, not text.
+    * Run: `sbt "runMain graft.Stress text"`.
+    */
+  private def textStress(spark: SparkSession): Unit = {
+    import graft.ops.{SelectionOps, TextOps, UrlOps}
+    val totalShuffle = new java.util.concurrent.atomic.AtomicLong
+    val maxStageShuffle = new java.util.concurrent.atomic.AtomicLong
+    var peakRss = rssMb()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          totalShuffle.addAndGet(w)
+          maxStageShuffle.getAndUpdate(m => math.max(m, w))
+          peakRss = math.max(peakRss, rssMb())
+        }
+      })
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = spark.range(10).crossJoin(base)
+      .select((col("doc_id") + col("id") * lit(10000000L)).as("doc_id"),
+        col("text"), col("source"))
+      .persist()
+    val n = corpus.count()
+    println(s"[stress] corpus rows=$n (10x sf0.1 documents) rss=${rssMb()}MiB")
+
+    def stage[A](label: String)(f: => A): A = {
+      val before = totalShuffle.get
+      val t0 = System.nanoTime()
+      val r = f
+      peakRss = math.max(peakRss, rssMb())
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(stage shuffle ${(totalShuffle.get - before) / (1 << 10)}%d KiB, " +
+        f"rss ${rssMb()}%d MiB)")
+      r
+    }
+    stage("html extract (12-pattern chain)") {
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit("</p><!-- x --></body></html>"))
+      println("[stress]   total clean chars: " + corpus
+        .select(sum(length(TextOps.extractHtmlText(html)))).head().get(0))
+    }
+    stage("quality classifier (64-bucket linear)") {
+      val scored = SelectionOps.linearQualityScore(
+        corpus, "doc_id", "text", SelectionOps.demoWeights(64), bias = 17L)
+      println("[stress]   kept: " + scored.filter(col("keep") === 1).count())
+    }
+    stage("bpe encode (12 merges)") {
+      println("[stress]   total bpe tokens: " + TextOps.bpeEncode(
+          corpus, "doc_id", "text", SparkEntry.bpeFixtureMerges)
+        .select(sum("n_bpe_tokens")).head().get(0))
+    }
+    stage("url normalize + domain cap (the ONE shuffle)") {
+      val urls = corpus.select(col("doc_id"),
+        concat(lit("HTTPS://WWW."), col("source"),
+          lit(".COM:443/d/"), col("doc_id").cast("string"),
+          lit("?utm_source=x&id=1#f")).as("url"))
+      println("[stress]   capped rows: " +
+        UrlOps.capPerDomain(urls, "url", "doc_id", cap = 1000).count())
+    }
+    println(f"[stress] TOTAL shuffle write ${totalShuffle.get / (1 << 20)}%d MiB, " +
+      f"max single stage ${maxStageShuffle.get / (1 << 20)}%d MiB, " +
+      f"peak driver RSS $peakRss%d MiB")
+    corpus.unpersist()
   }
 }
