@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.spark.{WoeBinning, WoeFitOptions}
-import graft.ops.{AsofOps, ClusterOps, DedupOps, MultimodalOps, SampleOps, SelectionOps, SimilarityOps, StreamingOps, TextOps, UrlOps}
+import graft.ops.{AsofOps, ClusterOps, DedupOps, IndexOps, MultimodalOps, QuantileOps, SampleOps, SelectionOps, SimilarityOps, StreamingOps, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2388,6 +2388,31 @@ object SparkEntry {
   private val bm25Terms = Seq("join", "scan", "window")
   private val bm25K1 = 1.2
   private val bm25B = 0.75
+  private val postingTerms = Seq("part", "spark", "table")
+  private val phraseTerms = Seq("table", "part")
+  private val quantilePs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+  private val winsorLo = 0.05
+  private val winsorHi = 0.95
+  private val shuffleEpoch = 3
+  private val shuffleShards = 8
+
+  /** One oracle text for both phrase-query flavors (scan + indexed):
+    * start positions i with toks[i]=w0 ∧ toks[i+1]=w1, 1-based.
+    */
+  private lazy val phraseOracleSql: String = {
+    val Seq(w0, w1) = phraseTerms
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |        list_filter(range(1, len(toks)),
+       |          i -> toks[i] = '$w0' AND toks[i+1] = '$w1') AS starts
+       |      FROM s)
+       |SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+       |       CAST(list_min(starts) AS BIGINT) AS first_pos
+       |FROM m WHERE len(starts) > 0 ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared-dialect oracles over documents (same text, both engines). */
   val sharedDocSql: Map[String, String] = Map(
@@ -2400,6 +2425,71 @@ object SparkEntry {
         |GROUP BY a.lang ORDER BY lang""".stripMargin,
     "q_doc_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    // positional posting replay: 1-based whitespace-token positions
+    // per (term, doc) for the fixed term subset — DuckDB indexes the
+    // token list by an unnested position range
+    "q_inverted_postings" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM s),
+         |t AS (SELECT doc_id, toks[pos] AS term, pos FROM p)
+         |SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         |       CAST(min(pos) AS BIGINT) AS first_pos,
+         |       CAST(max(pos) AS BIGINT) AS last_pos
+         |FROM t WHERE term IN (${postingTerms.map("'" + _ + "'").mkString(", ")})
+         |GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin,
+    // phrase-match replay: start positions i with toks[i]=w0 ∧
+    // toks[i+1]=w1 — the same integer position algebra both engines
+    // run (Spark: projection scan / posting intersection)
+    "q_phrase_search" -> phraseOracleSql,
+    // the INDEXED flavor must agree with the scan flavor exactly —
+    // one oracle text, two physical paths (bucket-pruned posting
+    // probe vs corpus projection; the pruning claim lives in IndexSpec)
+    "q_phrase_search_index" -> phraseOracleSql,
+    // exact-percentile replay: ANSI percentile_disc/_cont semantics
+    // (disc rank ⌈p·n⌉−1; cont lo+(hi−lo)·frac at (n−1)·p) — Spark
+    // computes them by 4-pass radix selection, never a sort
+    "q_quantiles" -> {
+      val branches = quantilePs.map { p =>
+        s"""SELECT CAST($p AS DOUBLE) AS p, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(quantile_disc(v, $p) AS BIGINT) AS q_disc,
+           |       CAST(quantile_cont(v, $p) AS DOUBLE) AS q_cont FROM v""".stripMargin
+      }
+      s"""WITH v AS (
+         |  SELECT CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |         x -> x <> '')) AS BIGINT) AS v
+         |  FROM documents)
+         |${branches.mkString("\nUNION ALL\n")}
+         |ORDER BY p""".stripMargin
+    },
+    // winsorize replay: clip at the exact [p05, p95] discrete
+    // percentiles of tokens-per-doc
+    "q_winsorize" ->
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |         x -> x <> '')) AS BIGINT) AS v
+         |  FROM documents),
+         |b AS (SELECT quantile_disc(v, $winsorLo) AS lo,
+         |             quantile_disc(v, $winsorHi) AS hi FROM v)
+         |SELECT doc_id, v,
+         |       CAST(greatest(b.lo, least(b.hi, v)) AS BIGINT) AS clipped,
+         |       (v < b.lo OR v > b.hi) AS was_clipped
+         |FROM v, b ORDER BY doc_id""".stripMargin,
+    // epoch-shuffle replay: the deterministic per-epoch permutation is
+    // the rank of md5(id ":" epoch) — DuckDB ranks with one window,
+    // Spark with the two-pass prefix scan (no global single-reducer)
+    "q_epoch_shuffle" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':$shuffleEpoch'),
+         |           doc_id) - 1 AS BIGINT) AS position
+         |  FROM documents)
+         |SELECT doc_id, position, position % $shuffleShards AS shard
+         |FROM r ORDER BY position""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash,
         |       CAST(count(*) AS BIGINT) AS cnt,
@@ -2565,7 +2655,7 @@ object SparkEntry {
   val oneTimeBuild: Set[String] = Set(
     "q_incr_dedup_exact", "q_incr_dedup_minhash_md5", "q_bucketed_join",
     "q_ann_topk_ivf_index", "q_ann_topk_ivf_incr", "q_ann_topk_ivfpq_index",
-    "q_ann_topk_ivfpq_index_refine")
+    "q_ann_topk_ivfpq_index_refine", "q_phrase_search_index")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2728,6 +2818,52 @@ object SparkEntry {
       "q_token_topk" -> { (s, dir) =>
         TextOps.topTokens(
           s.read.parquet(s"$dir/documents.parquet"), "text", 100)
+      },
+      "q_inverted_postings" -> { (s, dir) =>
+        IndexOps.postingSummary(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            postingTerms)
+          .orderBy("term", "doc_id")
+      },
+      "q_phrase_search" -> { (s, dir) =>
+        // baseline flavor: pure projection scan of the corpus
+        IndexOps.phraseScan(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            phraseTerms)
+          .orderBy("doc_id")
+      },
+      "q_phrase_search_index" -> { (s, dir) =>
+        // scale flavor: one hash-partitioned posting-index build
+        // (session memoized — the bench times only the probe), then a
+        // partition-pruned probe of the phrase's terms; output must
+        // agree with q_phrase_search exactly
+        val key = Integer.toHexString(dir.hashCode)
+        val idx = s"/tmp/graft-postings-index/$key"
+        BuildOnce.once(s"postings|$idx", token = dir) {
+          IndexOps.writePostingsIndex(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", idx, nParts = 16)
+        }
+        IndexOps.phraseProbe(s, idx, phraseTerms, nParts = 16)
+          .orderBy("doc_id")
+      },
+      "q_quantiles" -> { (s, dir) =>
+        val v = s.read.parquet(s"$dir/documents.parquet")
+          .select(TextOps.tokenCount(col("text")).cast("long").as("v"))
+        QuantileOps.exactQuantilesLong(v, "v", quantilePs).orderBy("p")
+      },
+      "q_winsorize" -> { (s, dir) =>
+        val v = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("tl"))
+        QuantileOps.winsorize(v, "doc_id", "tl", winsorLo, winsorHi)
+          .orderBy("doc_id")
+      },
+      "q_epoch_shuffle" -> { (s, dir) =>
+        graft.ops.PackingOps.epochShuffle(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+            epoch = shuffleEpoch, nShards = shuffleShards)
+          .orderBy("position")
       },
       "q_doc_chunk" -> { (s, dir) =>
         TextOps.chunkByTokens(

@@ -120,6 +120,50 @@ object PackingOps {
     * `⌈seqLen/min_doc_tokens⌉`-bounded — collect_list here is safe at
     * any corpus size (group width is set by seqLen, not data volume).
     */
+  /** Deterministic per-epoch training order: every epoch is a
+    * different, reproducible global permutation of the corpus —
+    * `position = rank of md5(id ":" epoch)` — so a training run can
+    * be resumed, sharded, or re-audited without ever materializing a
+    * random state.  The hash key makes the permutation (a) stable
+    * across cluster sizes and retries, (b) uncorrelated between
+    * epochs, and (c) joinable back to the corpus by id.
+    *
+    * Positions are assigned with the same two-pass prefix scan as the
+    * packer (range-partition by the hash key, per-partition counts
+    * prefix-summed on the driver — never a single global window), and
+    * `shard = position % nShards` hands each data-parallel worker an
+    * interleaved, size-balanced (±1) slice of the epoch order.  `id`
+    * breaks the (astronomically unlikely) hash-collision tie so the
+    * order is total.
+    */
+  def epochShuffle(
+      df: DataFrame, idCol: String, epoch: Int, nShards: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(nShards > 0, s"bad nShards $nShards")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = DedupOps.registerPersist(df
+      .select(col(idCol).as("id"),
+        md5(concat(col(idCol).cast("string"), lit(s":$epoch"))).as("k"))
+      .repartitionByRange(parts, col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+      .withColumn("pid", spark_partition_id()))
+    val partials = ranged.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partials.map(_._1)
+      .zip(partials.map(_._2).scanLeft(0L)(_ + _).init)
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "offset")
+    val w = Window.partitionBy("pid").orderBy("k", "id")
+    ranged.join(broadcast(offDf), "pid")
+      .withColumn("position",
+        col("offset") + row_number().over(w).cast("long") - 1L)
+      .select(col("id").as(idCol), col("position"),
+        (col("position") % nShards).as("shard"))
+  }
+
   def shardManifest(packed: DataFrame, idCol: String): DataFrame =
     packed.groupBy("seq_id")
       .agg(
