@@ -71,6 +71,10 @@ object IndexOps {
     * explode, no shuffle): filter the candidate start range `1 …
     * n−k+1` by the k-way token-equality conjunction.  The `sequence`
     * is guarded for short docs — `sequence(1, 0)` would count DOWN.
+    * `toks` MUST be a materialized token-array attribute, not the
+    * tokenize expression itself: the lambda references it k times per
+    * candidate start, and a re-inlined split would be O(n²) per doc
+    * (the TextOps word-n-gram trap).
     */
   private def scanStarts(toks: org.apache.spark.sql.Column,
       phrase: Seq[String]): org.apache.spark.sql.Column = {
@@ -86,14 +90,26 @@ object IndexOps {
 
   /** Baseline phrase query: full-corpus projection scan.  Output
     * `(doc_id, n_matches, first_pos)` for matching docs only.
+    *
+    * The match filter is a REGEX on the raw text, not a predicate on
+    * the computed starts: under `\s+` tokenization, "phrase occurs"
+    * ⟺ `(^|\s)w0\s+w1…(\s|$)` matches, so the regex is exact (not a
+    * prefilter) and the position algebra runs only on matching docs.
+    * Filtering on `size(starts) > 0` instead would get PUSHED below
+    * the projection with the whole token expression re-inlined into
+    * the filter lambda — the split would recompute per candidate
+    * start, O(n²·|text|) per doc (observed 40× slower at bench SF).
     */
   def phraseScan(
       df: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty && phrase.forall(_.nonEmpty), "empty phrase")
-    df.select(col(idCol).as("doc_id"),
-        scanStarts(TextOps.tokens(col(textCol)), phrase).as("starts"))
-      .where(size(col("starts")) > 0)
+    val pat = phrase.map(java.util.regex.Pattern.quote)
+      .mkString("(^|\\s)", "\\s+", "(\\s|$)")
+    df.where(col(textCol).rlike(pat))
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), scanStarts(col("toks"), phrase).as("starts"))
       .select(col("doc_id"),
         size(col("starts")).cast("long").as("n_matches"),
         array_min(col("starts")).cast("long").as("first_pos"))
