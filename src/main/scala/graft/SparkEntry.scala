@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.spark.{WoeBinning, WoeFitOptions}
-import graft.ops.{AsofOps, ClusterOps, DedupOps, IndexOps, MultimodalOps, QuantileOps, SampleOps, SelectionOps, SimilarityOps, StreamingOps, TextOps, UrlOps}
+import graft.ops.{AsofOps, ClusterOps, DedupOps, EvalOps, IndexOps, MultimodalOps, QuantileOps, SampleOps, SelectionOps, SimilarityOps, StreamingOps, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,16 +69,23 @@ object SparkEntry {
     if (s.contains('E') || s.contains('e')) s else s + "E0"
   }
 
+  /** CASE expression assigning `valueExpr` to its right-closed bin id
+    * for arbitrary ascending interior `edges` (value ≤ edge → that
+    * bin, else the next; ELSE the last) — shared dialect.
+    */
+  private def bucketCaseFor(valueExpr: String, edges: Seq[Double]): String = {
+    val whens = edges.zipWithIndex
+      .map { case (e, i) => s"WHEN $valueExpr <= ${dlit(e)} THEN $i" }
+      .mkString(" ")
+    s"CASE $whens ELSE ${edges.length} END"
+  }
+
   /** CASE expression assigning each extendedprice to its golden bin id
     * (ascending ids, right-closed intervals like the reference's
     * descending orientation reconstructed by apply).
     */
-  private def bucketCase(valueExpr: String): String = {
-    val whens = goldenEdges.zipWithIndex
-      .map { case (e, i) => s"WHEN $valueExpr <= ${dlit(e)} THEN $i" }
-      .mkString(" ")
-    s"CASE $whens ELSE ${goldenEdges.length} END"
-  }
+  private def bucketCase(valueExpr: String): String =
+    bucketCaseFor(valueExpr, goldenEdges)
 
   private def woeCase(valueExpr: String): String = {
     val whens = goldenEdges.zip(goldenWoes.dropRight(1))
@@ -86,6 +93,42 @@ object SparkEntry {
       .mkString(" ")
     s"CASE $whens ELSE ${dlit(goldenWoes.last)} END"
   }
+
+  /** The golden WoE score as a Spark when-chain — the Column twin of
+    * [[woeCase]], so the EvalOps queries grade exactly the score the
+    * fixed-edge apply path emits.
+    */
+  private def goldenWoeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    goldenEdges.zip(goldenWoes.dropRight(1)).foldRight(lit(goldenWoes.last)) {
+      case ((e, w), rest) => when(c <= lit(e), lit(w)).otherwise(rest)
+    }
+
+  /** lcgFrame + the golden WoE score — the scored population every
+    * EvalOps scorecard metric grades.
+    */
+  private def scoredFrame(s: SparkSession, dir: String): DataFrame =
+    lcgFrame(s, dir).withColumn("score", goldenWoeCol(col("extendedprice")))
+
+  /** Fixed candidate bins for the IV ranking query: the golden edges
+    * for the real signal plus literal equal-ish cuts for the two noise
+    * variables (the LCG target is a function of extendedprice alone,
+    * so the ranking must put it first with the noise IVs near zero).
+    */
+  private val ivRankingBins: Seq[(String, Seq[Double])] = Seq(
+    "extendedprice" -> goldenEdges,
+    "quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
+    "discount" -> Seq(0.02, 0.04, 0.06, 0.08))
+
+  /** Shared eval CTE prefix: the scored population reduced to
+    * per-distinct-score counts (the same single reduction EvalOps
+    * performs before any window runs).
+    */
+  private lazy val evalGroupedCte: String =
+    s"""$baseCte, s AS (
+       |  SELECT ${woeCase("extendedprice")} AS score, target FROM base
+       |), g AS (
+       |  SELECT score, count(*) AS n, sum(target) AS bads FROM s GROUP BY score
+       |)""".stripMargin
 
   /** Shared-dialect oracle SQL, one entry per SQL-expressible query. */
   val sqlQueries: Map[String, String] = Map(
@@ -252,6 +295,104 @@ object SparkEntry {
   }
 
   val duckdbOnlySql: Map[String, String] = Map(
+    // exact tie-corrected AUC replay: same grouped Mann-Whitney rank
+    // sum (EvalOps.aucReport) — 2×ranksum stays integer, one division
+    "q_eval_auc" ->
+      s"""$evalGroupedCte, r AS (
+         |  SELECT score, n, bads,
+         |         coalesce(sum(n) OVER (ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |  FROM g
+         |), t AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n,
+         |         CAST(sum(bads) AS BIGINT) AS n_pos,
+         |         CAST(sum(n) - sum(bads) AS BIGINT) AS n_neg,
+         |         sum(CAST(bads AS DECIMAL(38,0)) * (2*below + n + 1)) AS ranksum2
+         |  FROM r
+         |)
+         |SELECT n, n_pos, n_neg, auc, 2.0 * auc - 1.0 AS gini FROM (
+         |  SELECT n, n_pos, n_neg,
+         |         CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |              ELSE CAST(ranksum2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE)
+         |                   / CAST(2 * CAST(n_neg AS DECIMAL(38,0)) * n_pos AS DOUBLE) END AS auc
+         |  FROM t)""".stripMargin,
+    // KS replay: same descending cumulative-share scan, same
+    // (diff desc, score desc) argmax tie-break
+    "q_eval_ks" ->
+      s"""$evalGroupedCte, c AS (
+         |  SELECT score,
+         |         sum(bads) OVER (ORDER BY score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bads,
+         |         sum(n - bads) OVER (ORDER BY score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_goods,
+         |         sum(bads) OVER () AS tot_bads,
+         |         sum(n - bads) OVER () AS tot_goods
+         |  FROM g
+         |)
+         |SELECT abs(CAST(cum_bads AS DOUBLE) / CAST(tot_bads AS DOUBLE)
+         |           - CAST(cum_goods AS DOUBLE) / CAST(tot_goods AS DOUBLE)) AS ks,
+         |       CAST(score AS DOUBLE) AS ks_score,
+         |       CAST(tot_bads AS BIGINT) AS n_pos,
+         |       CAST(tot_goods AS BIGINT) AS n_neg
+         |FROM c ORDER BY ks DESC, score DESC LIMIT 1""".stripMargin,
+    // gains/lift replay: same riskiest-first banding, every ratio a
+    // division of exact integers
+    "q_gains_table" ->
+      s"""$evalGroupedCte, t AS (
+         |  SELECT score, n, bads,
+         |         row_number() OVER (ORDER BY score DESC) AS band,
+         |         sum(n) OVER () AS tot_n,
+         |         sum(bads) OVER () AS tot_bads,
+         |         sum(n) OVER (ORDER BY score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |         sum(bads) OVER (ORDER BY score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bads
+         |  FROM g
+         |)
+         |SELECT CAST(band AS INT) AS band,
+         |       CAST(score AS DOUBLE) AS score,
+         |       CAST(n AS BIGINT) AS n,
+         |       CAST(bads AS BIGINT) AS bads,
+         |       CAST(bads AS DOUBLE) / CAST(n AS DOUBLE) AS bad_rate,
+         |       CAST(cum_n AS BIGINT) AS cum_n,
+         |       CAST(cum_bads AS BIGINT) AS cum_bads,
+         |       CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE) AS pop_share,
+         |       CAST(cum_bads AS DOUBLE) / CAST(tot_bads AS DOUBLE) AS capture_rate,
+         |       (CAST(cum_bads AS DOUBLE) / CAST(tot_bads AS DOUBLE))
+         |         / (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS lift
+         |FROM t ORDER BY band""".stripMargin,
+    // IV ranking replay: same fixed bins, same zero-cell guard, and
+    // the same BIN-ORDERED float fold (ordered aggregate) as the
+    // Spark side's sort_array+aggregate — not an order-free sum()
+    "q_iv_ranking" -> {
+      val branches = ivRankingBins.map { case (v, es) =>
+        s"SELECT '$v' AS variable, ${bucketCaseFor(v, es)} AS bin, target FROM base"
+      }.mkString("\n  UNION ALL ")
+      s"""$baseCte, m AS (
+         |  $branches
+         |), pb AS (
+         |  SELECT variable, bin, count(*) AS n, sum(target) AS bads
+         |  FROM m GROUP BY variable, bin
+         |), sh AS (
+         |  SELECT variable, bin, bads, n - bads AS goods,
+         |         sum(bads) OVER (PARTITION BY variable) AS tb,
+         |         sum(n - bads) OVER (PARTITION BY variable) AS tg
+         |  FROM pb
+         |), terms AS (
+         |  SELECT variable, bin,
+         |         CASE WHEN bads = 0 OR goods = 0 THEN 0.0
+         |              ELSE (CAST(bads AS DOUBLE) / CAST(tb AS DOUBLE)
+         |                    - CAST(goods AS DOUBLE) / CAST(tg AS DOUBLE))
+         |                   * ln((CAST(bads AS DOUBLE) / CAST(tb AS DOUBLE))
+         |                        / (CAST(goods AS DOUBLE) / CAST(tg AS DOUBLE))) END AS term
+         |  FROM sh
+         |), iv AS (
+         |  SELECT variable, sum(term ORDER BY bin) AS iv FROM terms GROUP BY variable
+         |)
+         |SELECT variable, iv,
+         |       CAST(row_number() OVER (ORDER BY iv DESC, variable) AS BIGINT) AS rank
+         |FROM iv ORDER BY rank""".stripMargin
+    },
     // URL canonicalization replay: same part extraction, same default-
     // port/tracking-param/fragment rules, same registrable-domain cut
     "q_url_normalize" ->
@@ -2705,6 +2846,20 @@ object SparkEntry {
         // (the LCG target is a function of extendedprice alone, so
         // quantity/discount fit to near-zero total IV)
         m.transform(df, passthrough = true)
+      },
+
+      // ---- scorecard evaluation (EvalOps) over the golden WoE score
+      "q_eval_auc" -> { (s, dir) =>
+        EvalOps.aucReport(scoredFrame(s, dir), "score", "target")
+      },
+      "q_eval_ks" -> { (s, dir) =>
+        EvalOps.ksReport(scoredFrame(s, dir), "score", "target")
+      },
+      "q_gains_table" -> { (s, dir) =>
+        EvalOps.gainsTable(scoredFrame(s, dir), "score", "target")
+      },
+      "q_iv_ranking" -> { (s, dir) =>
+        EvalOps.ivRanking(lcgFrame(s, dir), "target", ivRankingBins)
       },
 
       // ---- training-data pipeline ops (documents / embeddings / events)

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scorecard evaluation metrics — the numbers a user of a WoE-binning
+  * library (reference: woe_monotonic_binning/binning.py, which emits
+  * the bins these metrics grade) computes right after `apply_bins`:
+  * exact AUC/Gini, the KS statistic, a gains/lift table by score band,
+  * and fixed-bin information-value ranking across candidate variables.
+  *
+  * Scale design (100 TB): every metric here reduces the corpus with ONE
+  * hash aggregation to a per-distinct-score (or per-bin) frame before
+  * any window/sort runs.  A model score is a function of its bins, so
+  * the grouped frame is O(bins) — tens of rows — and the unpartitioned
+  * windows below run over THAT, never over the input.  (For a raw
+  * continuous score, pre-band through `QuantileOps` first; grouping by
+  * an unbounded-cardinality score would defeat the reduction.)  All
+  * ratios are single divisions of exact integer counts, so results
+  * replay bit-for-bit in any engine.
+  */
+object EvalOps {
+
+  private def grouped(df: DataFrame, scoreCol: String, targetCol: String) =
+    df.groupBy(col(scoreCol).cast("double").as("score"))
+      .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("bigint")).as("bads"))
+
+  /** Exact tie-corrected AUC via the grouped Mann–Whitney rank sum.
+    *
+    * With per-score counts, the average rank of a tie group is
+    * `below + (n+1)/2`, so TWICE the positive rank sum —
+    * `Σ bads·(2·below + n + 1)` — stays integer, and
+    * `AUC = (2·ranksum⁺ − n₁(n₁+1)) / (2·n₀·n₁)` is one exact-integer
+    * division.  No per-row ranking ever happens: the corpus is reduced
+    * by the single groupBy above, and the rank window runs over the
+    * O(distinct score) grouped frame (single-partition by design —
+    * bounded, documented, and the same trade `ProfileOps.keySkew`
+    * makes after its top-k cut).
+    */
+  def aucReport(df: DataFrame, scoreCol: String, targetCol: String): DataFrame = {
+    val g = grouped(df, scoreCol, targetCol)
+    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("below", coalesce(sum("n").over(w), lit(0L)))
+    // the rank sum is O(n²·bad_rate): past ~3e9 rows it exceeds Int64,
+    // so it accumulates as decimal(38,0) — exact out to ~1e38, and the
+    // decimal arithmetic only ever touches the O(bins) grouped rows
+    val dec = "decimal(38,0)"
+    ranked
+      .agg(
+        sum("n").as("n"),
+        sum("bads").as("n_pos"),
+        (sum("n") - sum("bads")).as("n_neg"),
+        sum(col("bads").cast(dec)
+          * (lit(2L) * col("below") + col("n") + lit(1L)).cast(dec))
+          .as("ranksum2"))
+      .select(
+        col("n"), col("n_pos"), col("n_neg"),
+        // single-class input has no ranking to grade — NULL, not ±Inf
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(
+            (col("ranksum2") - col("n_pos").cast(dec) * (col("n_pos") + lit(1L)).cast(dec))
+              .cast("double")
+              / (lit(2L).cast(dec) * col("n_neg").cast(dec) * col("n_pos").cast(dec))
+                .cast("double")).as("auc"))
+      .withColumn("gini", lit(2.0) * col("auc") - lit(1.0))
+  }
+
+  /** Kolmogorov–Smirnov separation: max over score cuts of
+    * |F_bad − F_good| scanning scores DESCENDING (risk-ordered, the
+    * scorecard convention).  Cumulative shares are divisions of exact
+    * integers, so both engines compare identical doubles; the argmax
+    * tie-break (higher diff first, then higher score) is total, so the
+    * reported cut is deterministic.  Returns one row:
+    * (ks, ks_score, n_pos, n_neg).
+    */
+  def ksReport(df: DataFrame, scoreCol: String, targetCol: String): DataFrame = {
+    val g = grouped(df, scoreCol, targetCol)
+    val wTot = Window.partitionBy()
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g
+      .withColumn("tot_bads", sum("bads").over(wTot))
+      .withColumn("tot_goods", sum(col("n") - col("bads")).over(wTot))
+      .withColumn("cum_bads", sum("bads").over(wCum))
+      .withColumn("cum_goods", sum(col("n") - col("bads")).over(wCum))
+      .withColumn("diff",
+        abs(col("cum_bads").cast("double") / col("tot_bads").cast("double")
+          - col("cum_goods").cast("double") / col("tot_goods").cast("double")))
+    cum.orderBy(col("diff").desc, col("score").desc).limit(1)
+      .select(
+        col("diff").as("ks"),
+        col("score").as("ks_score"),
+        col("tot_bads").as("n_pos"),
+        col("tot_goods").as("n_neg"))
+  }
+
+  /** Gains/lift table by score band, riskiest (highest score) first:
+    * per band size/bads/bad-rate plus cumulative population share,
+    * bad-capture rate, and lift — the table that decides a scorecard
+    * cutoff.  One aggregation to O(bands) rows; the cumulative window
+    * runs over those rows only.  Every ratio divides exact integers.
+    */
+  def gainsTable(df: DataFrame, scoreCol: String, targetCol: String): DataFrame = {
+    val g = grouped(df, scoreCol, targetCol)
+    val wTot = Window.partitionBy()
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("band", row_number().over(Window.orderBy(col("score").desc)))
+      .withColumn("tot_n", sum("n").over(wTot))
+      .withColumn("tot_bads", sum("bads").over(wTot))
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_bads", sum("bads").over(wCum))
+      .select(
+        col("band"), col("score"), col("n"), col("bads"),
+        (col("bads").cast("double") / col("n").cast("double")).as("bad_rate"),
+        col("cum_n"), col("cum_bads"),
+        (col("cum_n").cast("double") / col("tot_n").cast("double")).as("pop_share"),
+        (col("cum_bads").cast("double") / col("tot_bads").cast("double")).as("capture_rate"),
+        ((col("cum_bads").cast("double") / col("tot_bads").cast("double"))
+          / (col("cum_n").cast("double") / col("tot_n").cast("double"))).as("lift"))
+      .orderBy("band")
+  }
+
+  /** Information-value ranking of candidate variables over FIXED bin
+    * edges (ascending interior edges; value ≤ edge → that bin, else
+    * the last bin — the same right-closed convention as the golden
+    * apply path).  IV = Σ_bins (bad% − good%)·ln(bad%/good%), with the
+    * standard zero-cell guard (a bin with no goods or no bads
+    * contributes 0 rather than ±∞).
+    *
+    * The melt is an inline explode (rows × variables fan-out inside
+    * the map task, like `ProfileOps.profile`), the bucket assignment a
+    * literal when-chain, and the only shuffle is the (variable, bin)
+    * aggregation to O(Σ bins) rows; per-variable totals come from a
+    * window over that tiny frame.  Ranking ties break by variable name
+    * so the output is total-ordered.
+    */
+  def ivRanking(
+      df: DataFrame,
+      targetCol: String,
+      bins: Seq[(String, Seq[Double])]): DataFrame = {
+    require(bins.nonEmpty, "ivRanking: need at least one (variable, edges) pair")
+    bins.foreach { case (v, es) =>
+      require(df.columns.contains(v), s"ivRanking: no such column: $v")
+      require(es.nonEmpty && es == es.sorted, s"ivRanking: edges for $v must ascend")
+    }
+    val melted = df.select(
+      col(targetCol).cast("bigint").as("t"),
+      explode(array(bins.map { case (v, es) =>
+        val bucket = es.zipWithIndex.foldRight(lit(es.length)) {
+          case ((e, i), rest) => when(col(v).cast("double") <= lit(e), lit(i)).otherwise(rest)
+        }
+        struct(lit(v).as("variable"), bucket.as("bin"))
+      }: _*)).as("m"))
+      .select(col("m.variable").as("variable"), col("m.bin").as("bin"), col("t"))
+    val perBin = melted.groupBy("variable", "bin")
+      .agg(count(lit(1)).as("n"), sum("t").as("bads"))
+      .withColumn("goods", col("n") - col("bads"))
+    val wVar = Window.partitionBy("variable")
+    val shares = perBin
+      .withColumn("tot_bads", sum("bads").over(wVar))
+      .withColumn("tot_goods", sum("goods").over(wVar))
+      .withColumn("bad_share", col("bads").cast("double") / col("tot_bads").cast("double"))
+      .withColumn("good_share", col("goods").cast("double") / col("tot_goods").cast("double"))
+      .withColumn("term",
+        when(col("bads") === 0L || col("goods") === 0L, lit(0.0))
+          .otherwise((col("bad_share") - col("good_share"))
+            * log(col("bad_share") / col("good_share"))))
+    // headline IV: fold the ≤O(bins) terms in BIN ORDER (sort_array on
+    // the (bin, term) structs, then a left-to-right IEEE fold) — a
+    // plain float sum() would depend on partial-aggregation order and
+    // break bit-replay; the oracle does the same with an ordered sum
+    shares.groupBy("variable")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("bin"), col("term")))),
+        lit(0.0),
+        (acc, x) => acc + x("term")).as("iv"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("iv").desc, col("variable")))
+          .cast("bigint"))
+      .orderBy("rank")
+  }
+}

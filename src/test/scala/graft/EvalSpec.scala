@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.EvalOps
+
+/** Scorecard evaluation metrics (EvalOps): hand-computed exactness for
+  * AUC/KS/gains/IV, a brute-force pair-count parity check for the
+  * grouped rank-sum AUC (ties included), and the degenerate edges
+  * (single-class input, zero-cell IV bins).
+  */
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def scored(rows: Seq[(Double, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("score", "target")
+  }
+
+  // ---------------- AUC ----------------
+
+  test("auc: perfect separation is 1, anti-separation is 0") {
+    val perfect = scored(Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)))
+    val r = EvalOps.aucReport(perfect, "score", "target").collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Double]("auc") == 1.0 && r.getAs[Double]("gini") == 1.0)
+    val anti = scored(Seq((4.0, 0), (3.0, 0), (2.0, 1), (1.0, 1)))
+    assert(EvalOps.aucReport(anti, "score", "target")
+      .collect()(0).getAs[Double]("auc") == 0.0)
+  }
+
+  test("auc: full ties give exactly 0.5; hand case with partial ties") {
+    val tied = scored(Seq((1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1)))
+    assert(EvalOps.aucReport(tied, "score", "target")
+      .collect()(0).getAs[Double]("auc") == 0.5)
+    // scores: pos {2, 3}, neg {1, 3} → pairs: (2>1)=1, (2,3)=0, (3>1)=1,
+    // (3,3)=0.5 → AUC = 2.5/4
+    val hand = scored(Seq((1.0, 0), (3.0, 0), (2.0, 1), (3.0, 1)))
+    assert(EvalOps.aucReport(hand, "score", "target")
+      .collect()(0).getAs[Double]("auc") == 2.5 / 4.0)
+  }
+
+  test("auc: grouped rank-sum equals brute-force pair counting on a tied mix") {
+    // deterministic pseudo-random scores with heavy ties (LCG, mod 7)
+    val rows = (0 until 400).map { i =>
+      val s = ((i * 1103515245L + 12345L) % 7 + 7) % 7
+      val t = if (((i * 7919 + 31) % 13) < 5) 1 else 0
+      (s.toDouble, t)
+    }
+    val got = EvalOps.aucReport(scored(rows), "score", "target")
+      .collect()(0).getAs[Double]("auc")
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val brute = wins / (pos.length.toDouble * neg.length.toDouble)
+    assert(math.abs(got - brute) < 1e-12, s"got $got brute $brute")
+  }
+
+  test("auc: single-class input reports NULL, not infinity") {
+    val onlyPos = scored(Seq((1.0, 1), (2.0, 1)))
+    val r = EvalOps.aucReport(onlyPos, "score", "target").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("auc")) && r.isNullAt(r.fieldIndex("gini")))
+  }
+
+  // ---------------- KS ----------------
+
+  test("ks: hand-computed cut and value; tie-break takes the higher score") {
+    // desc scan: score 3 → F1=2/3, F0=0   → diff 2/3  (the max)
+    //            score 2 → F1=2/3, F0=1/2 → diff 1/6
+    //            score 1 → F1=1,   F0=1   → diff 0
+    val df = scored(Seq((3.0, 1), (3.0, 1), (2.0, 0), (1.0, 1), (1.0, 0)))
+    val r = EvalOps.ksReport(df, "score", "target").collect()(0)
+    assert(r.getAs[Double]("ks") == 2.0 / 3.0)
+    assert(r.getAs[Double]("ks_score") == 3.0)
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 2L)
+  }
+
+  test("ks: perfect separation reaches 1 at the lowest positive band") {
+    val df = scored(Seq((4.0, 1), (3.0, 1), (2.0, 0), (1.0, 0)))
+    val r = EvalOps.ksReport(df, "score", "target").collect()(0)
+    assert(r.getAs[Double]("ks") == 1.0 && r.getAs[Double]("ks_score") == 3.0)
+  }
+
+  // ---------------- gains table ----------------
+
+  test("gains table: hand-computed bands, captures, and lift") {
+    // bands desc: 3.0 (n=2, bads=2), 2.0 (n=2, bads=1), 1.0 (n=4, bads=1)
+    val df = scored(Seq(
+      (3.0, 1), (3.0, 1), (2.0, 1), (2.0, 0),
+      (1.0, 1), (1.0, 0), (1.0, 0), (1.0, 0)))
+    val rows = EvalOps.gainsTable(df, "score", "target").collect()
+    assert(rows.map(_.getAs[Int]("band")).toSeq == Seq(1, 2, 3))
+    val b1 = rows(0)
+    assert(b1.getAs[Double]("score") == 3.0 && b1.getAs[Long]("n") == 2L)
+    assert(b1.getAs[Double]("bad_rate") == 1.0)
+    assert(b1.getAs[Double]("pop_share") == 0.25)
+    assert(b1.getAs[Double]("capture_rate") == 0.5)
+    assert(b1.getAs[Double]("lift") == 2.0) // 50% of bads in 25% of pop
+    val b3 = rows(2)
+    assert(b3.getAs[Long]("cum_n") == 8L && b3.getAs[Long]("cum_bads") == 4L)
+    assert(b3.getAs[Double]("capture_rate") == 1.0 && b3.getAs[Double]("lift") == 1.0)
+  }
+
+  // ---------------- IV ranking ----------------
+
+  private def ivFrame(rows: Seq[(Double, Double, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("x", "y", "target")
+  }
+
+  test("iv ranking: hand-computed IV, signal ranks above noise") {
+    // x bins at edge 0: bin0 = {4 goods, 1 bad}, bin1 = {1 good, 4 bads}
+    // shares: bin0 bad 1/5 good 4/5, bin1 bad 4/5 good 1/5
+    // IV = 2 · (4/5 − 1/5) · ln(4) = 1.2 ln 4
+    // y is the constant 1 → single bin → zero-cell-free but no split →
+    // its only bin has bad_share = good_share = 1 → term ln(1)·0 = 0
+    val rows = Seq(
+      (-1.0, 1.0, 0), (-1.0, 1.0, 0), (-1.0, 1.0, 0), (-1.0, 1.0, 0), (-1.0, 1.0, 1),
+      (1.0, 1.0, 1), (1.0, 1.0, 1), (1.0, 1.0, 1), (1.0, 1.0, 1), (1.0, 1.0, 0))
+    val got = EvalOps.ivRanking(ivFrame(rows), "target",
+      Seq("x" -> Seq(0.0), "y" -> Seq(0.0)))
+      .collect().map(r => (r.getAs[String]("variable"),
+        r.getAs[Double]("iv"), r.getAs[Long]("rank")))
+    val expIv = 2.0 * (4.0 / 5.0 - 1.0 / 5.0) * math.log(4.0)
+    assert(got(0)._1 == "x" && math.abs(got(0)._2 - expIv) < 1e-12)
+    assert(got(0)._3 == 1L)
+    assert(got(1)._1 == "y" && got(1)._2 == 0.0 && got(1)._3 == 2L)
+  }
+
+  test("iv ranking: a bin with zero goods or zero bads contributes 0, not infinity") {
+    // bin0 = all goods (zero bads) → guarded term 0; bin1 mixed
+    val rows = Seq(
+      (-1.0, 0.0, 0), (-1.0, 0.0, 0),
+      (1.0, 0.0, 1), (1.0, 0.0, 0))
+    val got = EvalOps.ivRanking(ivFrame(rows), "target", Seq("x" -> Seq(0.0)))
+      .collect()(0).getAs[Double]("iv")
+    // only bin1 contributes: bad_share 1/1, good_share 1/3 →
+    // (1 − 1/3) · ln(3)
+    val exp = (1.0 - 1.0 / 3.0) * math.log(3.0)
+    assert(!got.isInfinite && math.abs(got - exp) < 1e-12)
+  }
+
+  test("iv ranking: rejects unknown columns and unsorted edges") {
+    val df = ivFrame(Seq((1.0, 2.0, 0)))
+    intercept[IllegalArgumentException] {
+      EvalOps.ivRanking(df, "target", Seq("nope" -> Seq(0.0)))
+    }
+    intercept[IllegalArgumentException] {
+      EvalOps.ivRanking(df, "target", Seq("x" -> Seq(1.0, 0.0)))
+    }
+  }
+}
