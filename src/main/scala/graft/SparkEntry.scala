@@ -31,19 +31,23 @@ object SparkEntry {
 
   /** FIXTURES.md §2 deterministic LCG target, shared SQL dialect.
     * Floor-mod is spelled out so Spark and DuckDB agree for any sign.
+    * `extraCols` lets a query carry additional lineitem columns (e.g.
+    * a segment key) without duplicating the target derivation.
     */
-  private val baseCte: String =
-    """WITH base AS (
-      |  SELECT l_orderkey, l_linenumber,
-      |         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
-      |         CAST(l_quantity AS DOUBLE) AS quantity,
-      |         CAST(l_discount AS DOUBLE) AS discount,
-      |         CASE WHEN CAST(((((l_orderkey * 7919 + l_linenumber) % 2147483648 + 2147483648) % 2147483648
-      |                           * 1103515245 + 12345) % 2147483648 + 2147483648) % 2147483648 AS DOUBLE) / 2147483648.0
-      |                   < 1.0 / (1.0 + exp(-((CAST(l_extendedprice AS DOUBLE) - 38000.0) / 15000.0)))
-      |              THEN 1 ELSE 0 END AS target
-      |  FROM lineitem
-      |)""".stripMargin
+  private def baseCteWith(extraCols: String): String =
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber,$extraCols
+       |         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+       |         CAST(l_quantity AS DOUBLE) AS quantity,
+       |         CAST(l_discount AS DOUBLE) AS discount,
+       |         CASE WHEN CAST(((((l_orderkey * 7919 + l_linenumber) % 2147483648 + 2147483648) % 2147483648
+       |                           * 1103515245 + 12345) % 2147483648 + 2147483648) % 2147483648 AS DOUBLE) / 2147483648.0
+       |                   < 1.0 / (1.0 + exp(-((CAST(l_extendedprice AS DOUBLE) - 38000.0) / 15000.0)))
+       |              THEN 1 ELSE 0 END AS target
+       |  FROM lineitem
+       |)""".stripMargin
+
+  private val baseCte: String = baseCteWith("")
 
   /** Golden 12-bin model for extendedprice (sf0.001, n=300) as literal
     * edges/woes — used by the fixed-edge finalize/apply/range-join
@@ -316,6 +320,33 @@ object SparkEntry {
          |              ELSE CAST(ranksum2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE)
          |                   / CAST(2 * CAST(n_neg AS DECIMAL(38,0)) * n_pos AS DOUBLE) END AS auc
          |  FROM t)""".stripMargin,
+    // per-segment AUC replay: same grouped rank sum with the rank
+    // window partitioned by the segment key
+    "q_eval_auc_by_flag" ->
+      s"""${baseCteWith(" l_returnflag AS flag,")}, s AS (
+         |  SELECT flag, ${woeCase("extendedprice")} AS score, target FROM base
+         |), g AS (
+         |  SELECT flag, score, count(*) AS n, sum(target) AS bads
+         |  FROM s GROUP BY flag, score
+         |), r AS (
+         |  SELECT flag, score, n, bads,
+         |         coalesce(sum(n) OVER (PARTITION BY flag ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |  FROM g
+         |), t AS (
+         |  SELECT flag,
+         |         CAST(sum(n) AS BIGINT) AS n,
+         |         CAST(sum(bads) AS BIGINT) AS n_pos,
+         |         CAST(sum(n) - sum(bads) AS BIGINT) AS n_neg,
+         |         sum(CAST(bads AS DECIMAL(38,0)) * (2*below + n + 1)) AS ranksum2
+         |  FROM r GROUP BY flag
+         |)
+         |SELECT flag, n, n_pos, n_neg, auc, 2.0 * auc - 1.0 AS gini FROM (
+         |  SELECT flag, n, n_pos, n_neg,
+         |         CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |              ELSE CAST(ranksum2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE)
+         |                   / CAST(2 * CAST(n_neg AS DECIMAL(38,0)) * n_pos AS DOUBLE) END AS auc
+         |  FROM t) ORDER BY flag""".stripMargin,
     // KS replay: same descending cumulative-share scan, same
     // (diff desc, score desc) argmax tie-break
     "q_eval_ks" ->
@@ -2288,7 +2319,32 @@ object SparkEntry {
       .sortBy(_(0).toString.toDouble)
       .map(r => (r(1).toString, r(2).toString))
 
+  /** Golden-literal oracle for the isotonic-calibration blocks: PAV
+    * with exact-integer rate comparisons is bit-deterministic across
+    * JVMs (verified at capture time) — REGRESSION PIN, same contract
+    * as the bpe_train/compress fixtures.  EvalSpec pins
+    * runtime == fixture so the fixture is not a second truth.
+    */
+  private def isotonicOracleSql(fixture: String): String = {
+    val t = Golden.load(fixture)
+    val valueRows = t.rows.map { r =>
+      val block = r(0).toString.toDouble.toLong
+      val lo = dlit(r(1).toString.toDouble)
+      val hi = dlit(r(2).toString.toDouble)
+      val n = r(3).toString.toDouble.toLong
+      val bads = r(4).toString.toDouble.toLong
+      val p = dlit(r(5).toString.toDouble)
+      s"(CAST($block AS BIGINT), CAST($lo AS DOUBLE), CAST($hi AS DOUBLE), " +
+        s"CAST($n AS BIGINT), CAST($bads AS BIGINT), CAST($p AS DOUBLE))"
+    }.mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$valueRows
+       |) AS t(block, score_lo, score_hi, n, bads, p_cal)
+       |ORDER BY block""".stripMargin
+  }
+
   private lazy val fitOracleSqls: Map[String, String] = Map(
+    "q_isotonic_calibrate" -> isotonicOracleSql("sf0.01_isotonic_quantity.json"),
     "q_bpe_train" -> bpeOracleSql("sf0.01_bpe_train_m12.json"),
     "q_bpe_encode" -> bpeEncodeOracleSql("sf0.01_bpe_encode_m12.json"),
     "q_compress_ratio" -> compressOracleSql("sf0.01_compress_ratio_l6.json"),
@@ -2860,6 +2916,16 @@ object SparkEntry {
       },
       "q_iv_ranking" -> { (s, dir) =>
         EvalOps.ivRanking(lcgFrame(s, dir), "target", ivRankingBins)
+      },
+      "q_eval_auc_by_flag" -> { (s, dir) =>
+        val df = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(lcgColumns :+ col("l_returnflag").as("flag"): _*)
+          .withColumn("score", goldenWoeCol(col("extendedprice")))
+        EvalOps.aucBySegment(df, "score", "target", Seq("flag"))
+      },
+      "q_isotonic_calibrate" -> { (s, dir) =>
+        // oracle is the sf0.01 golden-literal pin (integer-exact PAV)
+        EvalOps.isotonicCalibrate(lcgFrame(s, dir), "quantity", "target")
       },
 
       // ---- training-data pipeline ops (documents / embeddings / events)

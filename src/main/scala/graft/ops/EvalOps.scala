@@ -38,15 +38,38 @@ object EvalOps {
     * bounded, documented, and the same trade `ProfileOps.keySkew`
     * makes after its top-k cut).
     */
-  def aucReport(df: DataFrame, scoreCol: String, targetCol: String): DataFrame = {
-    val g = grouped(df, scoreCol, targetCol)
-    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+  def aucReport(df: DataFrame, scoreCol: String, targetCol: String): DataFrame =
+    aucCore(df, scoreCol, targetCol, Nil)
+
+  /** [[aucReport]] per segment (e.g. language, source, vintage) in ONE
+    * pass: the rank window partitions BY SEGMENT, so unlike the global
+    * report there is no single-partition reduction anywhere — segments
+    * rank in parallel, and the grouped frame is O(segments × bins).
+    * The fairness/stability slice a scorecard review always asks for.
+    */
+  def aucBySegment(
+      df: DataFrame, scoreCol: String, targetCol: String,
+      segCols: Seq[String]): DataFrame = {
+    require(segCols.nonEmpty, "aucBySegment: need at least one segment column")
+    aucCore(df, scoreCol, targetCol, segCols)
+      .orderBy(segCols.map(col): _*)
+  }
+
+  private def aucCore(
+      df: DataFrame, scoreCol: String, targetCol: String,
+      segCols: Seq[String]): DataFrame = {
+    val g = df
+      .groupBy(segCols.map(col) :+ col(scoreCol).cast("double").as("score"): _*)
+      .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("bigint")).as("bads"))
+    val w = Window.partitionBy(segCols.map(col): _*)
+      .orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     val ranked = g.withColumn("below", coalesce(sum("n").over(w), lit(0L)))
     // the rank sum is O(n²·bad_rate): past ~3e9 rows it exceeds Int64,
     // so it accumulates as decimal(38,0) — exact out to ~1e38, and the
     // decimal arithmetic only ever touches the O(bins) grouped rows
     val dec = "decimal(38,0)"
     ranked
+      .groupBy(segCols.map(col): _*)
       .agg(
         sum("n").as("n"),
         sum("bads").as("n_pos"),
@@ -55,14 +78,15 @@ object EvalOps {
           * (lit(2L) * col("below") + col("n") + lit(1L)).cast(dec))
           .as("ranksum2"))
       .select(
-        col("n"), col("n_pos"), col("n_neg"),
-        // single-class input has no ranking to grade — NULL, not ±Inf
-        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
-          .otherwise(
-            (col("ranksum2") - col("n_pos").cast(dec) * (col("n_pos") + lit(1L)).cast(dec))
-              .cast("double")
-              / (lit(2L).cast(dec) * col("n_neg").cast(dec) * col("n_pos").cast(dec))
-                .cast("double")).as("auc"))
+        segCols.map(col) ++ Seq(
+          col("n"), col("n_pos"), col("n_neg"),
+          // single-class input has no ranking to grade — NULL, not ±Inf
+          when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+            .otherwise(
+              (col("ranksum2") - col("n_pos").cast(dec) * (col("n_pos") + lit(1L)).cast(dec))
+                .cast("double")
+                / (lit(2L).cast(dec) * col("n_neg").cast(dec) * col("n_pos").cast(dec))
+                  .cast("double")).as("auc")): _*)
       .withColumn("gini", lit(2.0) * col("auc") - lit(1.0))
   }
 
@@ -167,7 +191,7 @@ object EvalOps {
         when(col("bads") === 0L || col("goods") === 0L, lit(0.0))
           .otherwise((col("bad_share") - col("good_share"))
             * log(col("bad_share") / col("good_share"))))
-    // headline IV: fold the ≤O(bins) terms in BIN ORDER (sort_array on
+    // headline IV: fold the <=O(bins) terms in BIN ORDER (sort_array on
     // the (bin, term) structs, then a left-to-right IEEE fold) — a
     // plain float sum() would depend on partial-aggregation order and
     // break bit-replay; the oracle does the same with an ordered sum
@@ -180,5 +204,56 @@ object EvalOps {
         row_number().over(Window.orderBy(col("iv").desc, col("variable")))
           .cast("bigint"))
       .orderBy("rank")
+  }
+
+  /** Isotonic (PAV) calibration of the observed bad rate as a
+    * NON-DECREASING step function of the score: the standard
+    * score → probability-of-default map, and the natural companion to
+    * the reference's monotone binning (same pool-adjacent-violators
+    * idea `core/Kernels.monotonePool` applies with the reference's
+    * significance rules; this is the classic unweighted-mean PAV).
+    *
+    * Pooling decisions compare rates by EXACT INTEGER cross-
+    * multiplication (`bads_i·n_j > bads_j·n_i`, in BigInt so no count
+    * magnitude can overflow) — no float comparison anywhere, so the
+    * block structure is bit-deterministic on any JVM and the only
+    * floats in the output are one division per block.  Equal rates do
+    * NOT pool: the fitted values are already monotone, and keeping the
+    * blocks separate preserves the score resolution.
+    *
+    * Scale: one hash aggregation reduces the corpus to per-distinct-
+    * score exact counts; PAV itself is a driver-side O(distinct)
+    * stack pass over that bounded frame (`maxGroups` fails loudly
+    * BEFORE collecting if the score is not banded — pre-band raw
+    * continuous scores through QuantileOps, same contract as the
+    * other metrics here).
+    */
+  def isotonicCalibrate(
+      df: DataFrame, scoreCol: String, targetCol: String,
+      maxGroups: Int = 1 << 20): DataFrame = {
+    val g = grouped(df, scoreCol, targetCol)
+      .orderBy("score")
+      .limit(maxGroups + 1)
+      .collect()
+    require(g.length <= maxGroups,
+      s"isotonicCalibrate: more than $maxGroups distinct scores — " +
+        "band the score first (QuantileOps) or raise maxGroups")
+    final case class Block(lo: Double, hi: Double, n: Long, bads: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    g.foreach { r =>
+      var cur = Block(r.getDouble(0), r.getDouble(0), r.getLong(1), r.getLong(2))
+      // pool while the previous block's rate STRICTLY exceeds ours
+      while (stack.nonEmpty &&
+        BigInt(stack.last.bads) * cur.n > BigInt(cur.bads) * stack.last.n) {
+        val p = stack.remove(stack.length - 1)
+        cur = Block(p.lo, cur.hi, p.n + cur.n, p.bads + cur.bads)
+      }
+      stack += cur
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    stack.toSeq.zipWithIndex.map { case (b, i) =>
+      (i + 1L, b.lo, b.hi, b.n, b.bads, b.bads.toDouble / b.n.toDouble)
+    }.toDF("block", "score_lo", "score_hi", "n", "bads", "p_cal")
   }
 }
