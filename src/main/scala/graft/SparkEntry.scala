@@ -18,15 +18,16 @@ import graft.ops.{AsofOps, ClusterOps, DedupOps, EvalOps, IndexOps, MultimodalOp
 object SparkEntry {
 
   /** Register the named tables as temp views (both engines address
-    * them by bare name).  `events` carries nanosecond timestamps →
-    * needs the nanos-as-long legacy read.
+    * them by bare name).  `events` goes through the unit-sniffing
+    * reader (ts normalized to ns-long, see StreamingOps).
     */
   private[graft] def registerViews(
       spark: SparkSession, dir: String, names: Seq[String]): Unit =
     names.foreach { t =>
-      if (t == "events")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      val df =
+        if (t == "events") graft.ops.StreamingOps.readEventsBatch(spark, dir)
+        else spark.read.parquet(s"$dir/$t.parquet")
+      df.createOrReplaceTempView(t)
     }
 
   /** FIXTURES.md §2 deterministic LCG target, shared SQL dialect.

@@ -8,16 +8,21 @@ import org.apache.spark.sql.types._
   * the driver testdata for stream extensions; the reference itself has
   * no streaming surface — SURVEY.md §2.10).
   *
-  * The events parquet carries nanosecond timestamps → read with
-  * nanosAsLong and convert explicitly.  Each op exists in a streaming
-  * form (readStream + watermark) and a batch form with identical
-  * semantics — the batch form is what the DuckDB oracle checks.
+  * The events parquet has shipped with BOTH TIMESTAMP(NANOS) and
+  * TIMESTAMP(MICROS) `ts` columns across testdata generations, so the
+  * readers sniff the file's physical type from its footer and
+  * normalize to the engine-canonical unit: `ts` as ns-since-epoch
+  * LONG (exact integer arithmetic; ns epoch values fit a long until
+  * year 2262).  Each op exists in a streaming form (readStream +
+  * watermark) and a batch form with identical semantics — the batch
+  * form is what the DuckDB oracle checks.
   */
 object StreamingOps {
 
+  /** Canonical post-normalization schema: `ts` is ns-since-epoch. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // ns since epoch (nanosAsLong)
+    StructField("ts", LongType), // ns since epoch (normalized)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -28,23 +33,50 @@ object StreamingOps {
     // 1µs on ~13% of timestamps, shifting window-boundary events
     df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
+  /** True iff the parquet at `path` stores `ts` as TIMESTAMP(NANOS).
+    * Footer-only sniff (one driver-side schema read, no data scan).
+    * NANOS columns surface as LongType only under the nanosAsLong
+    * legacy conf; without it Spark 4 reads them as TimestampNTZ/
+    * Timestamp — so sniff with the conf ON and check for LongType.
+    */
+  private def tsIsNanosLong(spark: SparkSession, path: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema("ts").dataType == LongType
+  }
+
+  /** Reader-side schema matching the file's physical `ts` type. */
+  private def fileSchema(nanos: Boolean): StructType =
+    if (nanos) eventsSchema
+    else StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
+  /** Normalize `ts` to ns-long (µs timestamps ×1000 — exact: the
+    * product stays far below Long.MaxValue for any real epoch).
+    */
+  private def normalizeTs(df: DataFrame, nanos: Boolean): DataFrame =
+    if (nanos) df
+    else df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+
   // NOTE: nanosAsLong is a session-wide SQL conf (no reader-level
-  // equivalent) and must stay set while the scan EXECUTES, so the
+  // equivalent) and must stay set while a NANOS scan EXECUTES, so the
   // readers below intentionally leave it on: any later read of a
   // parquet TIMESTAMP(NANOS) column in the same session also sees
   // longs.  Isolate sessions (spark.newSession()) if that matters.
 
   def readEventsBatch(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    withEventTime(spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet"))
+    val path = s"$dir/events.parquet"
+    val nanos = tsIsNanosLong(spark, path)
+    withEventTime(normalizeTs(
+      spark.read.schema(fileSchema(nanos)).parquet(path), nanos))
   }
 
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source insists on a directory; the testdata ships
     // one parquet FILE per table → stage a symlink dir
-    withEventTime(spark.readStream.schema(eventsSchema)
-      .parquet(graft.SparkEntry.stageAsDir(dir, "events")))
+    val staged = graft.SparkEntry.stageAsDir(dir, "events")
+    val nanos = tsIsNanosLong(spark, staged)
+    withEventTime(normalizeTs(
+      spark.readStream.schema(fileSchema(nanos)).parquet(staged), nanos))
   }
 
   /** 5-minute tumbling window counts per event type.  Works on both
@@ -121,9 +153,9 @@ object StreamingOps {
   def runDedupStream(
       spark: SparkSession, stagedDir: String,
       keys: Seq[String] = Seq("event_id")): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = withEventTime(
-      spark.readStream.schema(eventsSchema).parquet(stagedDir))
+    val nanos = tsIsNanosLong(spark, stagedDir)
+    val src = withEventTime(normalizeTs(
+      spark.readStream.schema(fileSchema(nanos)).parquet(stagedDir), nanos))
     runToMemory(streamingDedup(src, keys), "events_dedup", "append")
   }
 

@@ -449,8 +449,7 @@ class OpsSpec extends AnyFunSuite {
     val deduped = StreamingOps.runDedupStream(spark, staged.toString)
     val batch = StreamingOps.readEventsBatch(spark, sf001)
     assert(batch.count() * 2 ==
-      spark.read.schema(StreamingOps.eventsSchema)
-        .parquet(staged.toString).count(),
+      spark.read.parquet(staged.toString).count(),
       "staging must double the input")
     assert(deduped.count() == batch.dropDuplicates("event_id").count(),
       "stream dedup must equal the batch distinct count")
