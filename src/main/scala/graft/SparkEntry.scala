@@ -2501,6 +2501,11 @@ object SparkEntry {
       semanticDedupOracleSql(ivfCentroidsSf001, cosThreshold = 0.3, maxCell = 100000),
     "q_dedup_minhash_md5" ->
       minhashPortableOracleSql(numHashes = 32, bands = 8, threshold = 0.5),
+    // the xxhash64 scale flavors, closed by the XXH64-in-SQL replay
+    "q_dedup_minhash" ->
+      OracleXxh64.minhashOracleSql(numHashes = 32, bands = 8, threshold = 0.5),
+    "q_dedup_simhash" ->
+      OracleXxh64.simhashOracleSql(maxHamming = 3, maxBucket = 10000),
     // incremental-dedup store probes: the exact store keyed on md5
     // content (probe = re-ingest detection over doc_id >= 250), and
     // the minhash store probe with signature-agreement verify
@@ -3363,16 +3368,20 @@ object SparkEntry {
             col("dup_of").cast("long").as("dup_of"), col("est_jaccard"))
           .orderBy("doc_id", "dup_of")
       },
-      "q_dedup_minhash" -> { (s, dir) => // rows-only (xxhash64 signatures)
+      // xxhash64 scale flavors — oracled via the DuckDB XXH64 replay
+      // (OracleXxh64), so the bench/scale path itself is hash-checked,
+      // not just its md5 twin
+      "q_dedup_minhash" -> { (s, dir) =>
         DedupOps.minhashPairs(
             s.read.parquet(s"$dir/documents.parquet"),
             "text", "doc_id", jaccardThreshold = 0.5)
           .orderBy("id_a", "id_b")
       },
-      "q_dedup_simhash" -> { (s, dir) => // rows-only
+      "q_dedup_simhash" -> { (s, dir) =>
         DedupOps.simhashPairs(
             s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
             maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("bigint"))
           .orderBy("id_a", "id_b")
       },
       // the same banding/verify pipelines with the portable md5 hash —
