@@ -61,35 +61,51 @@ object Bench {
       t
     }
     var failed = List.empty[String]
-    val results: Seq[(String, Vector[(Double, Long)])] = SparkEntry.queries.toSeq
+    val benchQueries = SparkEntry.queries.toSeq
       .filter { case (name, _) =>
         !benchExclude.contains(name) && only.forall(_.contains(name)) }
-      .map {
-      case (name, fn) =>
-        // one-time-build queries: materialize the store/table at the
-        // benchmark SF untimed (BuildOnce memoizes it), so all timed
-        // passes — including the first — measure only the probe
-        if (SparkEntry.oneTimeBuild.contains(name)) {
-          try { fn(spark, sfDir).count() }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] setup $name: ${e.getMessage}")
-          }
-          graft.ops.DedupOps.unpersistAll()
+    // one-time-build queries: materialize the store/table at the
+    // benchmark SF untimed (BuildOnce memoizes it), so all timed
+    // passes — including the first — measure only the probe
+    benchQueries.foreach { case (name, fn) =>
+      if (SparkEntry.oneTimeBuild.contains(name)) {
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] setup $name: ${e.getMessage}")
         }
-        val times = (1 to runs).toVector.map { _ =>
-          val g0 = gcMs()
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case e: Throwable =>
-            if (!failed.contains(name)) failed ::= name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          graft.ops.DedupOps.unpersistAll()
-          (dt, gcMs() - g0)
-        }
-        name -> times
+        graft.ops.DedupOps.unpersistAll()
+      }
     }
+    // host-contention attribution companion to gcMs: the 1-minute
+    // loadavg at the start of each timed run — a slow run with flat GC
+    // AND loadavg >> this JVM's own core use marks external contention
+    // (the VERDICT r09 false "regression")
+    def loadavg(): Double = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    ).getOrElse(-1.0)
+    // Passes interleave ROUND-ROBIN across queries (pass 1 of every
+    // query, then pass 2, ...): a contention window spanning minutes
+    // then inflates one pass of MANY queries — which median-of-3 per
+    // query rejects — instead of all passes of whichever queries were
+    // running, which no per-query statistic can repair (VERDICT r09).
+    val acc = collection.mutable.Map.empty[String, Vector[(Double, Long, Double)]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to runs; (name, fn) <- benchQueries) {
+      val la = loadavg()
+      val g0 = gcMs()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        if (!failed.contains(name)) failed ::= name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.ops.DedupOps.unpersistAll()
+      acc(name) = acc(name) :+ ((dt, gcMs() - g0, la))
+    }
+    val results: Seq[(String, Vector[(Double, Long, Double)])] =
+      benchQueries.map { case (name, _) => name -> acc(name) }
     def median(ts: Vector[Double]): Double = {
       val s = ts.sorted
       if (s.length % 2 == 1) s(s.length / 2)
@@ -105,13 +121,18 @@ object Bench {
     val qsFull = results.map { case (k, ts) =>
       val all = ts.map(t => f"${t._1}%.4f").mkString("[", ",", "]")
       val gc = ts.map(_._2).mkString("[", ",", "]")
-      s""""$k":{"median":${median(ts.map(_._1))},"runs":${ts.length},"all":$all,"gc_ms":$gc}"""
+      val la = ts.map(t => f"${t._3}%.2f").mkString("[", ",", "]")
+      // min rides along: under contention the median is still inflated
+      // when 2 of 3 passes were hit; the min is the cleanest observed
+      // run and the honest lower bound for cross-round comparison
+      s""""$k":{"median":${median(ts.map(_._1))},"min":${ts.map(_._1).min},"runs":${ts.length},"all":$all,"gc_ms":$gc,"loadavg":$la}"""
     }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts.map(_._1)) }.sum
+    val totalMin = results.map { case (_, ts) => ts.map(_._1).min }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     def wrap(qs: String, omitted: Int) =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_omitted":$omitted,"full":"$outPath","failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","total_min":$totalMin%.4f,"queries":$qs,"queries_omitted":$omitted,"full":"$outPath","failed":$failedJson,"sf":"$sfDir"}"""
     val bySlowest = results
       .map { case (k, ts) => k -> median(ts.map(_._1)) }
       .sortBy(-_._2)
