@@ -19,13 +19,18 @@ object SparkEntry {
 
   /** Register the named tables as temp views (both engines address
     * them by bare name).  `events` goes through the unit-sniffing
-    * reader (ts normalized to ns-long, see StreamingOps).
+    * reader, with the reader's derived event_time column dropped so
+    * the view carries only the file's columns; its `ts` is still the
+    * engine-canonical ns-long, whereas DuckDB's raw-parquet view reads
+    * TIMESTAMP — only DuckDB-dialect oracles may touch `events`, never
+    * a shared-dialect query (ADVICE r09).
     */
   private[graft] def registerViews(
       spark: SparkSession, dir: String, names: Seq[String]): Unit =
     names.foreach { t =>
       val df =
-        if (t == "events") graft.ops.StreamingOps.readEventsBatch(spark, dir)
+        if (t == "events")
+          graft.ops.StreamingOps.readEventsBatch(spark, dir).drop("event_time")
         else spark.read.parquet(s"$dir/$t.parquet")
       df.createOrReplaceTempView(t)
     }

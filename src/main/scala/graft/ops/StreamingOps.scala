@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   *
   * The events parquet has shipped with BOTH TIMESTAMP(NANOS) and
   * TIMESTAMP(MICROS) `ts` columns across testdata generations, so the
-  * readers sniff the file's physical type from its footer and
-  * normalize to the engine-canonical unit: `ts` as ns-since-epoch
-  * LONG (exact integer arithmetic; ns epoch values fit a long until
-  * year 2262).  Each op exists in a streaming form (readStream +
-  * watermark) and a batch form with identical semantics — the batch
-  * form is what the DuckDB oracle checks.
+  * readers sniff the file's physical type from its parquet FOOTER
+  * (no session conf touched; the legacy nanosAsLong conf is set only
+  * when a NANOS file genuinely needs it) and normalize to the
+  * engine-canonical unit: `ts` as ns-since-epoch LONG (exact integer
+  * arithmetic; ns epoch values fit a long until year 2262).  Each op
+  * exists in a streaming form (readStream + watermark) and a batch
+  * form with identical semantics — the batch form is what the DuckDB
+  * oracle checks.
   */
 object StreamingOps {
 
@@ -33,50 +35,125 @@ object StreamingOps {
     // 1µs on ~13% of timestamps, shifting window-boundary events
     df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
-  /** True iff the parquet at `path` stores `ts` as TIMESTAMP(NANOS).
-    * Footer-only sniff (one driver-side schema read, no data scan).
-    * NANOS columns surface as LongType only under the nanosAsLong
-    * legacy conf; without it Spark 4 reads them as TimestampNTZ/
-    * Timestamp — so sniff with the conf ON and check for LongType.
-    */
-  private def tsIsNanosLong(spark: SparkSession, path: String): Boolean = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path).schema("ts").dataType == LongType
+  /** The file's physical `ts` flavor, from the parquet footer. */
+  private[graft] sealed trait TsKind
+  private[graft] object TsKind {
+    /** TIMESTAMP(NANOS) — readable as ns-long only under the
+      * session-wide nanosAsLong legacy conf. */
+    case object NanosTs extends TsKind
+    /** Plain INT64, no logical type — already ns-since-epoch. */
+    case object RawLong extends TsKind
+    /** TIMESTAMP(MICROS/MILLIS, adjustedToUTC=true) — an instant. */
+    case object MicrosLtz extends TsKind
+    /** TIMESTAMP(MICROS/MILLIS, adjustedToUTC=false) — a wall time
+      * the testdata means as UTC. */
+    case object MicrosNtz extends TsKind
   }
 
-  /** Reader-side schema matching the file's physical `ts` type. */
-  private def fileSchema(nanos: Boolean): StructType =
-    if (nanos) eventsSchema
-    else StructType(eventsSchema.map(f =>
-      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
-
-  /** Normalize `ts` to ns-long (µs timestamps ×1000 — exact: the
-    * product stays far below Long.MaxValue for any real epoch).
+  /** Footer-only sniff of the `ts` flavor (one ParquetFileReader
+    * metadata read — no data scan and, unlike a spark.read probe under
+    * the nanosAsLong conf, NO session state touched; ADVICE r09).  A
+    * directory resolves through its first parquet file.  A path with
+    * no parquet file yet (a staged stream dir before the first batch
+    * lands — a valid state for a file-stream source) falls back to the
+    * current testdata generation's MICROS/NTZ so the stream can still
+    * be DEFINED; the sniff re-runs on the next reader construction.
     */
-  private def normalizeTs(df: DataFrame, nanos: Boolean): DataFrame =
-    if (nanos) df
-    else df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+  private[graft] def sniffTsKind(spark: SparkSession, path: String): TsKind = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val file: Option[Path] =
+      if (!fs.exists(p)) None
+      else if (fs.getFileStatus(p).isFile) Some(p)
+      else fs.listStatus(p).iterator.map(_.getPath).find { q =>
+        val n = q.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    file match {
+      case None => TsKind.MicrosNtz
+      case Some(f) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+          prim.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS)
+                TsKind.NanosTs
+              else if (t.isAdjustedToUTC) TsKind.MicrosLtz
+              else TsKind.MicrosNtz
+            case _ => TsKind.RawLong
+          }
+        } finally reader.close()
+    }
+  }
 
-  // NOTE: nanosAsLong is a session-wide SQL conf (no reader-level
-  // equivalent) and must stay set while a NANOS scan EXECUTES, so the
-  // readers below intentionally leave it on: any later read of a
-  // parquet TIMESTAMP(NANOS) column in the same session also sees
-  // longs.  Isolate sessions (spark.newSession()) if that matters.
+  /** Reader-side schema matching the SNIFFED `ts` type exactly (no
+    * LTZ forcing onto NTZ files — ADVICE r09).  For NANOS the session
+    * conf below makes the scan yield longs.
+    */
+  private def fileSchema(kind: TsKind): StructType = {
+    val tsType: DataType = kind match {
+      case TsKind.NanosTs | TsKind.RawLong => LongType
+      case TsKind.MicrosLtz => TimestampType
+      case TsKind.MicrosNtz => TimestampNTZType
+    }
+    StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+  }
+
+  /** NANOS only: nanosAsLong is a session-wide SQL conf (no
+    * reader-level equivalent) and must stay set while the NANOS scan
+    * EXECUTES, so it is set — and left on — only when the file
+    * actually needs it; MICROS/NTZ generations no longer flip it at
+    * all (ADVICE r09).  Isolate sessions (spark.newSession()) if a
+    * later unrelated NANOS read in the same session must see
+    * timestamps.
+    */
+  private def confFor(spark: SparkSession, kind: TsKind): Unit =
+    if (kind == TsKind.NanosTs)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Normalize `ts` to ns-long — exact integer arithmetic in every
+    * branch.  LTZ: unix_micros ×1000 (tz-free: an LTZ value IS its
+    * epoch micros).  NTZ: wall-clock field decomposition ×1000 — also
+    * tz-free (date/hour/minute/second of an NTZ value are plain wall
+    * fields; `extract(SECOND)` is an exact DECIMAL(8,6) so ×1e6 is
+    * exact), unlike a cast to TimestampType, which would shift by the
+    * session offset.  The testdata's NTZ wall times mean UTC, so wall
+    * micros == epoch micros.
+    */
+  private def normalizeTs(df: DataFrame, kind: TsKind): DataFrame = kind match {
+    case TsKind.NanosTs | TsKind.RawLong => df
+    case TsKind.MicrosLtz =>
+      df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    case TsKind.MicrosNtz =>
+      df.withColumn("ts", expr(
+        """(cast(unix_date(cast(ts AS date)) AS BIGINT) * 86400000000 +
+          | (cast(hour(ts) AS BIGINT) * 3600 + minute(ts) * 60) * 1000000 +
+          | cast(extract(SECOND FROM ts) * 1000000 AS BIGINT)) * 1000""".stripMargin))
+  }
 
   def readEventsBatch(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val nanos = tsIsNanosLong(spark, path)
+    val kind = sniffTsKind(spark, path)
+    confFor(spark, kind)
     withEventTime(normalizeTs(
-      spark.read.schema(fileSchema(nanos)).parquet(path), nanos))
+      spark.read.schema(fileSchema(kind)).parquet(path), kind))
   }
 
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     // the file-stream source insists on a directory; the testdata ships
     // one parquet FILE per table → stage a symlink dir
     val staged = graft.SparkEntry.stageAsDir(dir, "events")
-    val nanos = tsIsNanosLong(spark, staged)
+    val kind = sniffTsKind(spark, staged)
+    confFor(spark, kind)
     withEventTime(normalizeTs(
-      spark.readStream.schema(fileSchema(nanos)).parquet(staged), nanos))
+      spark.readStream.schema(fileSchema(kind)).parquet(staged), kind))
   }
 
   /** 5-minute tumbling window counts per event type.  Works on both
@@ -153,9 +230,10 @@ object StreamingOps {
   def runDedupStream(
       spark: SparkSession, stagedDir: String,
       keys: Seq[String] = Seq("event_id")): DataFrame = {
-    val nanos = tsIsNanosLong(spark, stagedDir)
+    val kind = sniffTsKind(spark, stagedDir)
+    confFor(spark, kind)
     val src = withEventTime(normalizeTs(
-      spark.readStream.schema(fileSchema(nanos)).parquet(stagedDir), nanos))
+      spark.readStream.schema(fileSchema(kind)).parquet(stagedDir), kind))
     runToMemory(streamingDedup(src, keys), "events_dedup", "append")
   }
 
