@@ -2741,6 +2741,58 @@ object SparkEntry {
         |       END AS mean_byte,
         |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
         |FROM px ORDER BY doc_id""".stripMargin,
+    // FULL PNG codec replay: the decoded pixels are a closed-form
+    // function of (doc_id % 50, x, y, channel), so the oracle
+    // recomputes pixel sum / identity md5 (over the lowercase hex
+    // dump — same ASCII both engines) / gradient hash from arithmetic
+    // alone; deflate+inflate must round-trip bit-exactly for the
+    // Spark side to match.  Scanline index algebra: i = y*48 + x*3 + c
+    // for w=16, h=12; the gradient grid is 15×12 (j = y*15 + x).
+    "q_png_pixel_stats" -> {
+      val pv = "(k*31 + ((i % 48) // 3) * 7 + (i // 48) * 13 + (i % 3) * 101) % 256"
+      def gray(xExpr: String) =
+        s"((k*31 + $xExpr * 7 + (j // 15) * 13) % 256 + " +
+          s"(k*31 + $xExpr * 7 + (j // 15) * 13 + 101) % 256 + " +
+          s"(k*31 + $xExpr * 7 + (j // 15) * 13 + 202) % 256) // 3"
+      s"""WITH keys AS (
+         |  SELECT DISTINCT doc_id % 50 AS k FROM documents
+         |), f AS (
+         |  SELECT k,
+         |    list_transform(range(0, 576), i -> $pv) AS pxs,
+         |    list_transform(range(0, 180), j ->
+         |      CASE WHEN ${gray("(j % 15 + 1)")} > ${gray("(j % 15)")}
+         |           THEN 1 ELSE 0 END) AS gb
+         |  FROM keys
+         |), fs AS (
+         |  SELECT k,
+         |    CAST(list_sum(pxs) AS BIGINT) AS px_sum,
+         |    md5(array_to_string(list_transform(pxs,
+         |        v -> lpad(lower(to_hex(v)), 2, '0')), '')) AS px_md5,
+         |    CAST(list_sum(gb) AS BIGINT) AS grad_bits,
+         |    CAST(list_sum(list_transform(range(0, 63),
+         |        j -> gb[j+1] * (CAST(1 AS BIGINT) << j))) AS BIGINT) AS grad_word
+         |  FROM f
+         |)
+         |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+         |       px_sum, px_md5, grad_bits, grad_word
+         |FROM documents JOIN fs ON documents.doc_id % 50 = fs.k
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_png_pixel_dedup" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT doc_id % 50 AS k FROM documents
+        |), f AS (
+        |  SELECT k, md5(array_to_string(list_transform(range(0, 576), i ->
+        |      lpad(lower(to_hex(
+        |        (k*31 + ((i % 48) // 3) * 7 + (i // 48) * 13 + (i % 3) * 101) % 256
+        |      )), 2, '0')), '')) AS px_md5
+        |  FROM keys
+        |)
+        |SELECT px_md5, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM documents JOIN f ON documents.doc_id % 50 = f.k
+        |GROUP BY px_md5 HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
     // REAL MP4 box-walk replay: dims and duration are moov header
     // constants (the synthesized 240-byte ftyp+moov+mdat prefix),
     // n_bytes = 240 + text bytes, and the stats region is exactly the
@@ -3779,6 +3831,39 @@ object SparkEntry {
             col("meanByte").as("mean_byte"),
             element_at(col("byteHistogram"), 7).as("hist_bucket6"))
           .orderBy("doc_id")
+      },
+      "q_png_pixel_stats" -> { (s, dir) =>
+        // FULL compressed-pixel codec path under the hash gate: per
+        // doc a complete valid PNG is encoded (closed-form RGB pixels,
+        // per-scanline filters cycling all five spec types, real zlib
+        // deflate) and decoded back (real inflate + unfilter), then
+        // reduced to exact pixel stats.  The pixel content is a pure
+        // function of (doc_id % 50, x, y, c), so DuckDB recomputes
+        // every column from arithmetic alone — compression cancels
+        // out of the oracle but NOT out of the measured path
+        val media = MultimodalOps.synthesizePngPixels(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          w = 16, h = 12, keyMod = 50)
+        MultimodalOps.pngPixelFeatures(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("px_sum"), col("px_md5"), col("grad_bits"), col("grad_word"))
+          .orderBy("doc_id")
+      },
+      "q_png_pixel_dedup" -> { (s, dir) =>
+        // pixel-level image dedup (the thing byte-level hashing can't
+        // do: these PNGs deflate the same pixels into identical files
+        // only because the encoder is shared — pixel identity is the
+        // decoded-domain key): decode → group by pixel md5 → groups
+        val media = MultimodalOps.synthesizePngPixels(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          w = 16, h = 12, keyMod = 50)
+        MultimodalOps.pngPixelFeatures(media).toDF()
+          .groupBy(col("px_md5"))
+          .agg(count(lit(1)).as("n_items"), min(col("id")).as("keep_id"))
+          .filter(col("n_items") > 1)
+          .orderBy("keep_id")
       },
       "q_multimodal_mp4" -> { (s, dir) =>
         // REAL ISO BMFF container parse under the hash gate: synthesize

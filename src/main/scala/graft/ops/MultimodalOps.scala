@@ -810,6 +810,244 @@ object MultimodalOps {
       .as[MediaRecord]
   }
 
+  // ---------------------------------------------------------------
+  // Full PNG codec (pure JDK: java.util.zip Deflater/Inflater) — the
+  // REAL compressed-pixel path.  Everything below is bit-deterministic:
+  // the filters are spec arithmetic, inflate inverts whatever deflate
+  // produced, and the pixel content of the synthesized images is a
+  // closed-form function of (key, x, y, channel) that a SQL oracle
+  // recomputes WITHOUT touching compression — so the whole
+  // encode → deflate → inflate → unfilter → stats loop is hash-gated
+  // end-to-end against pure arithmetic.  Spec compliance (not just
+  // round-trip self-consistency) is pinned by decoding our encoder's
+  // output with the JDK's INDEPENDENT ImageIO PNG reader in the spec.
+  // ---------------------------------------------------------------
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    def u32be(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val body = tpe.getBytes("US-ASCII") ++ payload
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    u32be(payload.length.toLong) ++ body ++ u32be(crc.getValue)
+  }
+
+  /** Encodes 8-bit RGB scanline-order `pixels` (3·w·h bytes) as a
+    * complete, valid PNG: per-scanline filter `y % 5` (cycling all
+    * five spec filters so a decoder must implement every one), zlib
+    * deflate at a FIXED level (deterministic for a given JDK), one
+    * IDAT, proper CRCs.  Returns a file [[decodePngPixels]] and any
+    * external PNG reader accept.
+    */
+  private[graft] def encodePng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == 3 * w * h, s"need ${3 * w * h} bytes")
+    val stride = 3 * w
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = pixels(y * stride + i) & 0xff
+        val left = if (i >= 3) pixels(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) pixels((y - 1) * stride + i - 3) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(6)
+    defl.setInput(raw)
+    defl.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    pngHeader(w, h) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** REAL pixel decode of an 8-bit truecolor PNG: chunk walk →
+    * concatenated IDAT inflate → per-scanline unfilter (all five
+    * filter types).  Returns (w, h, 3·w·h RGB bytes); anything the
+    * strict path can't take (other color types, bad stream) returns
+    * None — decode failure must not kill a 100 TB pass.
+    */
+  private[graft] def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 45) return None
+    if (!((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+      return None
+    if (u32be(b, 8) != 13L ||
+      !(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val w = u32be(b, 16).toInt
+    val h = u32be(b, 20).toInt
+    if (w <= 0 || w > 65536 || h <= 0 || h > 65536) return None
+    if ((b(24) & 0xff) != 8 || (b(25) & 0xff) != 2) return None // depth 8, RGB
+    if ((b(28) & 0xff) != 0) return None // no interlace
+    val idat = new java.io.ByteArrayOutputStream(b.length)
+    var off = 33
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      val len = u32be(b, off).toInt
+      if (len < 0 || off + 12 + len > b.length) return None
+      val tpe = new String(b, off + 4, 4, "US-ASCII")
+      if (tpe == "IDAT") idat.write(b, off + 8, len)
+      else if (tpe == "IEND") done = true
+      off += 12 + len
+    }
+    val stride = 3 * w
+    val raw = new Array[Byte]((stride + 1) * h)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, got, raw.length - got)
+        if (n == 0 && infl.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally infl.end()
+    if (got != raw.length) return None
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      if (f > 4) return None
+      var i = 0
+      while (i < stride) {
+        val v = raw(y * (stride + 1) + 1 + i) & 0xff
+        val left = if (i >= 3) px(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) px((y - 1) * stride + i - 3) & 0xff else 0
+        val out = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case _ => v + paeth(left, up, ul)
+        }
+        px(y * stride + i) = out.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** The closed-form pixel content of [[synthesizePngPixels]] images:
+    * channel c of pixel (x, y) for image key k.  Pure integer
+    * arithmetic — the DuckDB oracle recomputes it verbatim, which is
+    * what makes the COMPRESSED pixel path hash-gateable.
+    */
+  @inline private[graft] def pixelValue(k: Long, x: Int, y: Int, c: Int): Int =
+    (((k * 31 + x.toLong * 7 + y.toLong * 13 + c.toLong * 101) % 256) + 256).toInt % 256
+
+  /** Per-row REAL compressed images: pixels from [[pixelValue]] with
+    * image key `id % keyMod` (so `keyMod` distinct pixel contents
+    * exist corpus-wide and pixel-level dedup has real work), encoded
+    * through the full deflate path.  Runs as a typed map — one
+    * CPU-bound codec call per row, no shuffle, exactly how a real
+    * decode fleet runs at 100 TB.
+    */
+  def synthesizePngPixels(
+      df: DataFrame, idCol: String,
+      w: Int, h: Int, keyMod: Int): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val k = id % keyMod
+      val px = new Array[Byte](3 * w * h)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            px(i) = pixelValue(k, x, y, c).toByte
+            i += 1
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      MediaRecord(id, "image/png", encodePng(px, w, h))
+    }
+  }
+
+  /** Decoded-pixel features (REAL codec output, all exact integers):
+    * pixel sum, md5 of the lowercase hex dump of the RGB bytes (the
+    * pixel-identity key — hex because the oracle engine's md5 takes
+    * strings, and hex is the same ASCII on both sides), and a
+    * gradient perceptual hash over the decoded luma: bit (x, y) set
+    * iff gray(x+1, y) > gray(x, y) with gray = (r+g+b)/3 integer
+    * division — `grad_bits` counts all of them, `grad_word` packs the
+    * first 63 (kept positive so BIGINT semantics match everywhere).
+    */
+  final case class PngPixelFeatures(
+      id: Long, width: Int, height: Int, px_sum: Long, px_md5: String,
+      grad_bits: Long, grad_word: Long)
+
+  def pngPixelFeatures(ds: Dataset[MediaRecord]): Dataset[PngPixelFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      decodePngPixels(r.content).map { case (w, h, px) =>
+        var sum = 0L
+        val hex = new java.lang.StringBuilder(px.length * 2)
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff
+          sum += v
+          if (v < 16) hex.append('0')
+          hex.append(java.lang.Integer.toHexString(v))
+          i += 1
+        }
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(hex.toString.getBytes("US-ASCII"))
+          .map("%02x".format(_)).mkString
+        def gray(x: Int, y: Int): Int = {
+          val o = (y * w + x) * 3
+          ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3
+        }
+        var bits = 0L
+        var word = 0L
+        var k = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            if (gray(x + 1, y) > gray(x, y)) {
+              bits += 1
+              if (k < 63) word |= 1L << k
+            }
+            k += 1
+            x += 1
+          }
+          y += 1
+        }
+        PngPixelFeatures(r.id, w, h, sum, md5, bits, word)
+      }
+    }
+  }
+
   /** Lift the documents table into media records (text bytes as the
     * opaque payload) — the test/demo source for the pipeline.
     */

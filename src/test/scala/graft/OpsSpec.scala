@@ -777,6 +777,68 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("png full codec: deflate round-trip, spec compliance via ImageIO") {
+    // round-trip: encode (all five filters exercised, h >= 5) then
+    // decode must reproduce the exact pixel bytes
+    val w = 16
+    val h = 12
+    val px = Array.tabulate(3 * w * h) { i =>
+      MultimodalOps.pixelValue(7L, (i % (3 * w)) / 3, i / (3 * w), i % 3).toByte
+    }
+    val png = MultimodalOps.encodePng(px, w, h)
+    val (dw, dh, dpx) = MultimodalOps.decodePngPixels(png).get
+    assert(dw == w && dh == h)
+    assert(java.util.Arrays.equals(dpx, px), "inflate+unfilter must invert")
+
+    // spec compliance, not just self-consistency: the JDK's ImageIO
+    // PNG reader is an INDEPENDENT decoder — if our filter/deflate
+    // logic deviated from the spec in mutually-cancelling ways, this
+    // catches it
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((rgb >> 16) & 0xff) == (px(o) & 0xff) &&
+        ((rgb >> 8) & 0xff) == (px(o + 1) & 0xff) &&
+        (rgb & 0xff) == (px(o + 2) & 0xff),
+        s"pixel ($x,$y) mismatch vs ImageIO")
+    }
+
+    // and the reverse direction: our decoder must read a PNG written
+    // by the JDK's INDEPENDENT encoder (different filter choices,
+    // different deflate stream) back to the same pixels
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      bi.setRGB(x, y, ((px(o) & 0xff) << 16) |
+        ((px(o + 1) & 0xff) << 8) | (px(o + 2) & 0xff))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    val (ew, eh, epx) = MultimodalOps.decodePngPixels(baos.toByteArray).get
+    assert(ew == w && eh == h)
+    assert(java.util.Arrays.equals(epx, px), "must decode ImageIO's PNG too")
+
+    // degenerate inputs fall back to None, never throw
+    assert(MultimodalOps.decodePngPixels(png.take(50)).isEmpty)
+    assert(MultimodalOps.decodePngPixels(Array.fill(60)(0x7f.toByte)).isEmpty)
+
+    // distributed: features over synthesized corpus — keyMod groups
+    // share pixel identity, distinct keys differ
+    val feats = MultimodalOps.pngPixelFeatures(
+      MultimodalOps.synthesizePngPixels(
+        spark.range(0, 20).toDF("doc_id"), "doc_id", w, h, keyMod = 5))
+      .collect().sortBy(_.id)
+    assert(feats.length == 20)
+    assert(feats.map(_.px_md5).distinct.length == 5, "5 pixel identities")
+    val f0 = feats.filter(_.id % 5 == 0)
+    assert(f0.map(_.px_md5).distinct.length == 1 &&
+      f0.map(_.grad_word).distinct.length == 1,
+      "same key => same pixels => same perceptual hash")
+  }
+
   test("multimodal decode: real BMP and WAV headers, stub for everything else") {
     // 4x2 24-bit uncompressed BMP: 54-byte headers + 12-byte rows
     def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
