@@ -15,16 +15,26 @@ import org.apache.spark.sql.functions._
   *    across fact/dim tables, so join fan-in and key cardinality scale
   *    with the data (10 exact key copies would instead turn every join
   *    into a hot-key microbenchmark);
-  *  - document text is salted with a per-replica prefix token, so the
-  *    corpus keeps its ORIGINAL dup/near-dup density per replica rather
-  *    than making every doc a 10-way exact dup (which would blow the
-  *    candidate-pair count into a different workload entirely);
+  *  - document text is salted with a per-replica SUFFIX ON EVERY TOKEN
+  *    (`tok` → `tok_r3`): within a replica the token stream is
+  *    isomorphic to the original — exact/near-dup structure, token
+  *    counts, and shingle-collision behavior are preserved — while no
+  *    shingle survives across replicas, so cross-replica Jaccard is ~0
+  *    and dup DENSITY stays constant as the corpus grows.  (A weaker
+  *    prefix-only salt leaves replicas ~0.99-Jaccard near-dups of each
+  *    other: every doc gains `factor`−1 true near-dups, the pair count
+  *    grows quadratically in `factor`, and the bench measures a
+  *    100-way-boilerplate stress corpus instead of scaling — kept
+  *    available as `saltMode=prefix` because that adversarial shape is
+  *    worth measuring too);
   *  - embeddings get a deterministic per-replica nudge on dim 0 for the
   *    same reason (identical vectors would make every ANN hit a tie);
   *  - events keep their time range — same window span, `factor`× the
   *    density and users, which is how a bigger corpus actually looks.
   *
-  * Usage: runMain graft.tools.ScaleUp <inSfDir> <outDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <inSfDir> <outDir> <factor> [saltMode]
+  * saltMode: `token` (default, iso-density) | `prefix` (adversarial
+  * 100-way-cluster stress).
   */
 object ScaleUp {
   private val K = 10000000000L // replica key offset; >> any sf0.1 key
@@ -33,6 +43,7 @@ object ScaleUp {
     val in = args(0)
     val out = args(1)
     val factor = args(2).toInt
+    val saltMode = if (args.length > 3) args(3) else "token"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,8 +86,15 @@ object ScaleUp {
     write(reps("documents") { (d, i) =>
       val salted =
         if (i == 0) d
-        else d.withColumn("text", concat(lit(s"r$i "), col("text")))
-          .withColumn("n_chars", length(col("text")).cast("long"))
+        else {
+          val txt =
+            if (saltMode == "prefix") concat(lit(s"r$i "), col("text"))
+            else concat_ws(" ", transform(
+              filter(split(col("text"), "\\s+"), t => t =!= lit("")),
+              t => concat(t, lit(s"_r$i"))))
+          d.withColumn("text", txt)
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        }
       offset(salted, i, "doc_id")
     }, "documents", factor)
     write(reps("embeddings") { (d, i) =>
