@@ -147,12 +147,23 @@ object OracleXxh64 {
     * a 2^-64 collision — then the band self-join and the exact-Jaccard
     * verify, identical to the portable oracle.
     */
-  def minhashOracleSql(numHashes: Int, bands: Int, threshold: Double): String = {
+  def minhashOracleSql(numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashPairsCtes(numHashes, bands, threshold)}
+       |SELECT id_a, id_b, jaccard FROM mh_pairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The same pipeline as a reusable CTE fragment (splice after
+    * `WITH `): ends with `mh_pairs(id_a, id_b, jaccard)` — the
+    * verified pairs at `threshold`.  Lets composite oracles (e.g. the
+    * connected-components replay) consume the banded-minhash pair set
+    * the Spark scale path produces.
+    */
+  def minhashPairsCtes(numHashes: Int, bands: Int, threshold: Double): String = {
     val rows = numHashes / bands
     val sig = graft.ops.DedupOps.hashParams(numHashes)
       .map { case (a, b) => s"min(($a * hm + $b) % $P)" }
       .mkString(",\n           ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id,
        |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
        |  FROM documents
@@ -179,15 +190,15 @@ object OracleXxh64 {
        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
        |  FROM banded a JOIN banded c
        |    ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id
-       |)
-       |SELECT id_a, id_b, jaccard FROM (
-       |  SELECT cand.id_a, cand.id_b,
-       |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-       |           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-       |  FROM cand JOIN shing x ON x.doc_id = cand.id_a
-       |            JOIN shing y ON y.doc_id = cand.id_b) v
-       |WHERE jaccard >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |), mh_pairs AS (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT cand.id_a, cand.id_b,
+       |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+       |    FROM cand JOIN shing x ON x.doc_id = cand.id_a
+       |              JOIN shing y ON y.doc_id = cand.id_b) v
+       |  WHERE jaccard >= $threshold
+       |)""".stripMargin
   }
 
   /** `q_dedup_simhash` (xxhash64 flavor) in DuckDB: per-occurrence

@@ -1631,30 +1631,24 @@ object SparkEntry {
     * scales).  `comp` maps every non-isolated doc to its component
     * minimum.
     */
+  /** CC replay over the SAME edge set the Spark side clusters: exact
+    * md5 groups + the banded-minhash near pairs (XXH64 replay — the
+    * banding, not just the verify, must agree for the pair set to
+    * match), then label propagation as a recursive CTE.
+    */
   private lazy val clusterCtes: String =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, n_chars, md5(text) AS h,
-      |         list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS toks
-      |  FROM documents
+    s"""WITH RECURSIVE ex AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
       |), grp AS (
-      |  SELECT h, min(doc_id) AS keep_id, count(*) AS cnt FROM t GROUP BY h
+      |  SELECT h, min(doc_id) AS keep_id, count(*) AS cnt FROM ex GROUP BY h
       |), exact_pairs AS (
-      |  SELECT grp.keep_id AS id_a, t.doc_id AS id_b
-      |  FROM t JOIN grp USING (h) WHERE grp.cnt > 1 AND t.doc_id <> grp.keep_id
-      |), cold AS (
-      |  SELECT * FROM t WHERE n_chars IN (
-      |    SELECT n_chars FROM t GROUP BY n_chars HAVING count(*) <= 10000)
-      |), tj_pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM cold a JOIN cold b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-      |  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0
-      |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.7
-      |), und AS (
+      |  SELECT grp.keep_id AS id_a, ex.doc_id AS id_b
+      |  FROM ex JOIN grp USING (h) WHERE grp.cnt > 1 AND ex.doc_id <> grp.keep_id
+      |), ${OracleXxh64.minhashPairsCtes(numHashes = 32, bands = 8, threshold = 0.7)}, und AS (
       |  SELECT id_a AS u, id_b AS v FROM exact_pairs
       |  UNION SELECT id_b, id_a FROM exact_pairs
-      |  UNION SELECT id_a, id_b FROM tj_pairs
-      |  UNION SELECT id_b, id_a FROM tj_pairs
+      |  UNION SELECT id_a, id_b FROM mh_pairs
+      |  UNION SELECT id_b, id_a FROM mh_pairs
       |), reach AS (
       |  SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM und)
       |  UNION
@@ -4118,13 +4112,23 @@ object SparkEntry {
     * pairs.  Both flavors are DuckDB-replayable, so the clustering
     * result hash-checks end-to-end.
     */
+  /** Cluster-input edges: exact-dup membership plus the BANDED minhash
+    * near-dup pairs (the scale path).  The near source was
+    * tokenJaccardPairs until r10 — its length-block populations grow
+    * linearly with the corpus, so candidate verify work grows
+    * quadratically (measured: 10× data → ~25× q_dedup_clusters at the
+    * sf10 scratch SF).  Banded minhash keeps candidates proportional
+    * to true near-dup mass; exact pairs stay unioned so whole-corpus
+    * duplicate groups keep their keep_id-centered edges.
+    */
   private def dedupPairs(docs: DataFrame): DataFrame = {
     val exact = DedupOps.exactDupMembers(docs, "text", "doc_id")
       .join(DedupOps.exactDupGroups(docs, "text", "doc_id")
         .select("content_hash", "keep_id"), "content_hash")
       .where(col("id") =!= col("keep_id"))
       .select(col("keep_id").as("id_a"), col("id").as("id_b"))
-    val near = DedupOps.tokenJaccardPairs(docs, "text", "doc_id", "n_chars", 0.7)
+    val near = DedupOps.minhashPairs(docs, "text", "doc_id",
+        jaccardThreshold = 0.7)
       .select("id_a", "id_b")
     exact.union(near)
   }
