@@ -4122,9 +4122,16 @@ object SparkEntry {
     * duplicate groups keep their keep_id-centered edges.
     */
   private def dedupPairs(docs: DataFrame): DataFrame = {
-    val exact = DedupOps.exactDupMembers(docs, "text", "doc_id")
-      .join(DedupOps.exactDupGroups(docs, "text", "doc_id")
-        .select("content_hash", "keep_id"), "content_hash")
+    // hash once into a slim persisted (id, h) table: the group-by side
+    // and the member join would otherwise each re-scan and re-md5 the
+    // full text column (3 passes via the exactDupMembers+Groups
+    // composition — measurable at the sf10 scratch SF)
+    val hashed = graft.ops.DedupOps.registerPersist(
+      docs.select(col("doc_id").as("id"), md5(col("text")).as("h")))
+    val grp = hashed.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("keep_id"))
+      .filter(col("cnt") > 1)
+    val exact = hashed.join(grp.select("h", "keep_id"), "h")
       .where(col("id") =!= col("keep_id"))
       .select(col("keep_id").as("id_a"), col("id").as("id_b"))
     val near = DedupOps.minhashPairs(docs, "text", "doc_id",

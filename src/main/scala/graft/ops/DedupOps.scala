@@ -33,7 +33,7 @@ object DedupOps {
   private val persistedPlans =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private[ops] def registerPersist(df: DataFrame): DataFrame = {
+  private[graft] def registerPersist(df: DataFrame): DataFrame = {
     persistedPlans.add(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     df
   }
