@@ -2787,6 +2787,31 @@ object SparkEntry {
         |FROM documents JOIN f ON documents.doc_id % 50 = f.k
         |GROUP BY px_md5 HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+    // sample-level WAV replay: samples are (k*13 + ch*7 + t*31) % 65536
+    // − 32768 with k = doc_id % 40 — the RIFF walk and the 16-bit LE
+    // wire format must both be right for Spark to reproduce these
+    "q_wav_sample_stats" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT doc_id % 40 AS k FROM documents
+        |), f AS (
+        |  SELECT k, ch.c AS channel,
+        |    list_transform(range(0, 200),
+        |      t -> (k*13 + ch.c*7 + t*31) % 65536 - 32768) AS sv
+        |  FROM keys, (SELECT unnest(range(2)) AS c) ch
+        |), fs AS (
+        |  SELECT k, channel,
+        |    CAST(200 AS BIGINT) AS n_samples,
+        |    CAST(list_sum(sv) AS BIGINT) AS s_sum,
+        |    CAST(list_min(sv) AS BIGINT) AS s_min,
+        |    CAST(list_max(sv) AS BIGINT) AS s_max,
+        |    CAST(list_sum(list_transform(range(1, 200), t ->
+        |      CASE WHEN (sv[t+1] >= 0) <> (sv[t] >= 0) THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS zero_cross
+        |  FROM f
+        |)
+        |SELECT doc_id, channel, n_samples, s_sum, s_min, s_max, zero_cross
+        |FROM documents JOIN fs ON documents.doc_id % 40 = fs.k
+        |ORDER BY doc_id, channel""".stripMargin,
     // REAL MP4 box-walk replay: dims and duration are moov header
     // constants (the synthesized 240-byte ftyp+moov+mdat prefix),
     // n_bytes = 240 + text bytes, and the stats region is exactly the
@@ -3858,6 +3883,24 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_items"), min(col("id")).as("keep_id"))
           .filter(col("n_items") > 1)
           .orderBy("keep_id")
+      },
+      "q_wav_sample_stats" -> { (s, dir) =>
+        // sample-level audio decode under the hash gate: per doc a
+        // canonical PCM WAV (closed-form 16-bit samples, 2ch × 200
+        // frames) goes through the real RIFF walk + LE sample
+        // extraction; every stat is exact integer arithmetic the
+        // oracle recomputes without the container
+        val media = MultimodalOps.synthesizeWavPcm(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          channels = 2, samples = 200, sampleRate = 8000, keyMod = 40)
+        MultimodalOps.wavSampleStats(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("channel").cast("long").as("channel"),
+            col("n_samples"), col("s_sum"),
+            col("s_min").cast("long").as("s_min"),
+            col("s_max").cast("long").as("s_max"),
+            col("zero_cross"))
+          .orderBy("doc_id", "channel")
       },
       "q_multimodal_mp4" -> { (s, dir) =>
         // REAL ISO BMFF container parse under the hash gate: synthesize

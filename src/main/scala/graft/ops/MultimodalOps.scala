@@ -811,6 +811,111 @@ object MultimodalOps {
   }
 
   // ---------------------------------------------------------------
+  // Sample-level WAV path: PCM is uncompressed, so the "codec" work is
+  // the RIFF chunk walk plus 16-bit little-endian sample extraction —
+  // all real, and the synthesized sample content is closed-form, so
+  // the audio analog of the PNG pixel oracle holds: DuckDB recomputes
+  // per-channel sample stats from arithmetic alone.
+  // ---------------------------------------------------------------
+
+  /** Closed-form 16-bit sample for stream key k, channel ch, frame t —
+    * spans the full signed range and crosses zero often enough that
+    * min/max/zero-crossing stats all have signal.
+    */
+  @inline private[graft] def sampleValue(k: Long, ch: Int, t: Int): Int =
+    (((k * 13 + ch.toLong * 7 + t.toLong * 31) % 65536).toInt + 65536) % 65536 - 32768
+
+  /** Per-row canonical PCM WAV (44-byte header + interleaved 16-bit LE
+    * samples from [[sampleValue]] with stream key `id % keyMod`) —
+    * exactly the layout [[decodeWav]] walks.
+    */
+  def synthesizeWavPcm(
+      df: DataFrame, idCol: String,
+      channels: Int, samples: Int, sampleRate: Int, keyMod: Int): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val k = id % keyMod
+      val dataLen = channels * samples * 2
+      def u16a(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+      def u32a(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      val header = "RIFF".getBytes("US-ASCII") ++ u32a(36 + dataLen) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ u32a(16) ++ u16a(1) ++ u16a(channels) ++
+        u32a(sampleRate) ++ u32a(sampleRate * channels * 2) ++
+        u16a(channels * 2) ++ u16a(16) ++
+        "data".getBytes("US-ASCII") ++ u32a(dataLen)
+      val body = new Array[Byte](dataLen)
+      var i = 0
+      var t = 0
+      while (t < samples) {
+        var ch = 0
+        while (ch < channels) {
+          val s = sampleValue(k, ch, t)
+          body(i) = s.toByte
+          body(i + 1) = (s >> 8).toByte
+          i += 2
+          ch += 1
+        }
+        t += 1
+      }
+      MediaRecord(id, "audio/wav", header ++ body)
+    }
+  }
+
+  /** One row per (stream, channel) of REAL decoded-sample statistics:
+    * the RIFF walk finds fmt/data, samples come off the wire as signed
+    * 16-bit little-endian, and every stat is exact integer arithmetic
+    * (zero crossings = sign flips between consecutive frames, sign(0)
+    * counted non-negative).
+    */
+  final case class WavChannelStats(
+      id: Long, channel: Int, n_samples: Long, s_sum: Long,
+      s_min: Int, s_max: Int, zero_cross: Long)
+
+  def wavSampleStats(ds: Dataset[MediaRecord]): Dataset[WavChannelStats] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val b = r.content
+      // reuse the validated walk: dims tell us geometry, then read the
+      // data chunk directly (decodeWav already rejected non-PCM)
+      decodeWav(r).toSeq.flatMap { f =>
+        val channels = f.height
+        val samples = f.width
+        // relocate the data chunk (decodeWav keeps it internal)
+        var off = 12
+        var dataOff = -1
+        while (off + 8 <= b.length && dataOff < 0) {
+          val id4 = new String(b, off, 4, "US-ASCII")
+          val size = u32(b, off + 4)
+          if (id4 == "data") dataOff = off + 8
+          else off += 8 + size.toInt + (size.toInt & 1)
+        }
+        (0 until channels).map { ch =>
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var zc = 0L
+          var prevNonNeg = false
+          var t = 0
+          while (t < samples) {
+            val o = dataOff + (t * channels + ch) * 2
+            val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+            sum += s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            val nonNeg = s >= 0
+            if (t > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            t += 1
+          }
+          WavChannelStats(r.id, ch, samples.toLong, sum, mn, mx, zc)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
   // Full PNG codec (pure JDK: java.util.zip Deflater/Inflater) — the
   // REAL compressed-pixel path.  Everything below is bit-deterministic:
   // the filters are spec arithmetic, inflate inverts whatever deflate

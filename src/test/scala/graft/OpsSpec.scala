@@ -839,6 +839,27 @@ class OpsSpec extends AnyFunSuite {
       "same key => same pixels => same perceptual hash")
   }
 
+  test("wav sample stats: real RIFF walk + 16-bit LE extraction") {
+    val stats = MultimodalOps.wavSampleStats(
+      MultimodalOps.synthesizeWavPcm(
+        spark.range(0, 6).toDF("doc_id"), "doc_id",
+        channels = 2, samples = 50, sampleRate = 8000, keyMod = 3))
+      .collect().sortBy(s => (s.id, s.channel))
+    assert(stats.length == 12, "6 streams x 2 channels")
+    // pin against the closed form computed independently here
+    for (s <- stats) {
+      val k = s.id % 3
+      val sv = (0 until 50).map(t => MultimodalOps.sampleValue(k, s.channel, t))
+      assert(s.n_samples == 50 && s.s_sum == sv.map(_.toLong).sum)
+      assert(s.s_min == sv.min && s.s_max == sv.max)
+      val zc = (1 until 50).count(t => (sv(t) >= 0) != (sv(t - 1) >= 0))
+      assert(s.zero_cross == zc, s"zc ${s.zero_cross} vs $zc")
+    }
+    // same stream key => identical stats (the audio dedup invariant)
+    assert(stats.filter(_.id % 3 == 1).groupBy(_.channel)
+      .forall { case (_, g) => g.map(x => (x.s_sum, x.zero_cross)).distinct.length == 1 })
+  }
+
   test("multimodal decode: real BMP and WAV headers, stub for everything else") {
     // 4x2 24-bit uncompressed BMP: 54-byte headers + 12-byte rows
     def u16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
