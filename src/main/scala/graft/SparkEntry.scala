@@ -2812,6 +2812,53 @@ object SparkEntry {
         |SELECT doc_id, channel, n_samples, s_sum, s_min, s_max, zero_cross
         |FROM documents JOIN fs ON documents.doc_id % 40 = fs.k
         |ORDER BY doc_id, channel""".stripMargin,
+    // JPEG decoded-domain replay: lossy DCT decode is not SQL
+    // arithmetic, so the per-key decoded stats are golden literals
+    // (derived by graft.tools.JpegGolden — same codec calls the
+    // distributed path runs; keyMod=30 w=16 h=12 quality=0.9 thumb=4);
+    // DuckDB replays only the doc_id → key mapping.  The error columns
+    // double as the decode-fidelity pin: a broken codec path cannot
+    // reproduce the decoded md5 AND a ≤33 max error vs the closed-form
+    // source simultaneously.
+    "q_multimodal_jpeg_pixels" ->
+      """WITH g(k, px_sum, px_md5, thumb_md5, sum_abs_err, max_err) AS (VALUES
+        |  (0, 97337, '3464f80dea9f6298e9425f602c032deb', '12966dc246ff1fd5bca2512cef93e83a', 2085, 19),
+        |  (1, 99097, 'ba4f7f667ce08c592876f661f54f63af', '37df2dc292862a303047683b43d9d575', 1999, 18),
+        |  (2, 97131, '1bd7b12f1f08ed8d667fb4f300132937', '9f35c2ed413db7da531b2d9b4c3aae14', 1973, 18),
+        |  (3, 91740, '809eec706a7c5df3cdf5fc9c7b60ab1e', '35948f9e74a152958db81efc53d4fd98', 1876, 29),
+        |  (4, 83906, '10942a7f1fbd16df49af91b703295239', '0801ac7bbf0b9cfb554ed8b735b57a68', 2050, 24),
+        |  (5, 74326, '60f9760f1ea478f7c837c45288aec386', '535f41373d9b3c87dbfe125ae85804eb', 2036, 28),
+        |  (6, 64619, '696ba13d23d2114293e998bdb9c473af', 'dea75f567b4b3a40ea4fd3065c78eaad', 1919, 18),
+        |  (7, 56160, '27f3ff09b0d4522c66a294088971e883', '4cb44b29ed172cd91d0822788e94cd4c', 1926, 21),
+        |  (8, 50310, '8bfa461b29fb9e28e3b7418657a2df2f', '618ba33e197d5707de29f57b435104f6', 2012, 22),
+        |  (9, 47780, '8e09937e8e0b64e2447661f7bcfd9792', '2d27507467f03dfea5b9eac4fa5df6f2', 1980, 19),
+        |  (10, 48913, '2bd9fd40c2ec7b46a702dff15d800d71', '02f789c5b6dfddfe6532db04d13bfd1f', 2111, 19),
+        |  (11, 53557, '5d04a20cba3b84c25c7737cd92b7d52f', 'c4efa4c119b7484f07ca91fad65ef0c8', 1955, 24),
+        |  (12, 61004, '22f4d104e1b64877ee54a5bb0d4ff124', 'abfc5bb723c23461a30f0ca7d2c35d53', 2010, 28),
+        |  (13, 70333, '09b61dfe7c74fe85cb1e803d15a2f545', 'b8ea8b4249f0ddea95ef629b60ad225f', 2051, 30),
+        |  (14, 80226, '1333240b0fdab6f6bb9b9393d826025e', 'ea5f902f52336365071f5eefcfe87b53', 2008, 20),
+        |  (15, 88933, '66341fe6a0875e8fe38f2f2a910a977c', '2614c69b5f991db8550df2a7ffc4e9c6', 1983, 26),
+        |  (16, 95445, 'e17fe7f2e8f972b640e4a64c5290e9fc', 'af3f0df26d2679c37adf030808b3ccb3', 1959, 21),
+        |  (17, 98829, 'ddc38562865c6d884ed7d66cddaa508a', '22d1a28c54b42b4983ad2ddc20daaaa6', 2009, 21),
+        |  (18, 98592, '35868022f31800268df10124d8541c07', 'd8cf1afbd91c1f15319bd37e5c829f3a', 1906, 19),
+        |  (19, 94641, '1cfa229f952b6960e63555b0f5cccee3', 'a6b33e254df61042383c7ac89eea599b', 1799, 19),
+        |  (20, 87755, '89bb3df7d6a648a6f556e39340add82a', 'c1336b1f4954836a9705178538c7e196', 2121, 27),
+        |  (21, 78667, 'b5e6f5186452f31b7f18960ccf0dd5d7', '5a4034fcb1fe4f454497a7615031d360', 2027, 32),
+        |  (22, 69007, 'def792ef574e5e0e616bc15037dbb792', '7d30fe12ff1634c44f8995c4c011b9ec', 2049, 21),
+        |  (23, 59680, 'b32b361a054b29d97d7ac2a9369a8d22', 'fc2beff927c17ff8b8910f388a63eee5', 2030, 26),
+        |  (24, 52650, '71872b92f14a5e3e8a4f3ad430ba53cf', '5073abe9ead140f0b3d7b95abbe8b297', 1966, 21),
+        |  (25, 48473, 'fe3adaad77ea59dce55637d2d81a1173', 'a2f22853831cd472cb3965cea64d9f1c', 2075, 17),
+        |  (26, 47934, 'ed1307e0108ceee56e4e5d2f1e456b4e', '2bcb4d99df1db040d135b48f785c135d', 1970, 19),
+        |  (27, 51002, 'a04bbbfe1da11c277c395c857a424829', '87044db656dc3b8afcb7e27b33ba99f6', 2056, 20),
+        |  (28, 57330, 'f8aa8b07431b5432b1cf6de24cc75271', 'a7651394a5a55e78c2e554f15c95c46a', 1942, 29),
+        |  (29, 66024, '5becaec117b30fb46d96ee6e68a4f668', 'fbddb95df06d0e96bc6a1323db30b20e', 2134, 33))
+        |SELECT doc_id,
+        |       CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |       CAST(px_sum AS BIGINT) AS px_sum, px_md5, thumb_md5,
+        |       CAST(sum_abs_err AS BIGINT) AS sum_abs_err,
+        |       CAST(max_err AS BIGINT) AS max_err
+        |FROM documents JOIN g ON documents.doc_id % 30 = g.k
+        |ORDER BY doc_id""".stripMargin,
     // REAL MP4 box-walk replay: dims and duration are moov header
     // constants (the synthesized 240-byte ftyp+moov+mdat prefix),
     // n_bytes = 240 + text bytes, and the stats region is exactly the
@@ -3901,6 +3948,29 @@ object SparkEntry {
             col("s_max").cast("long").as("s_max"),
             col("zero_cross"))
           .orderBy("doc_id", "channel")
+      },
+      "q_multimodal_jpeg_pixels" -> { (s, dir) =>
+        // REAL lossy-codec pixel path under the hash gate: per doc a
+        // baseline JPEG (closed-form triangle-wave RGB source, JDK
+        // ImageIO encode at fixed quality) is decoded back through
+        // ImageIO and reduced to exact decoded-domain integers — pixel
+        // sum, decoded-pixel md5, 4×4 average-pooled gray thumb md5
+        // (the downsampled perceptual key), and exact error-vs-source
+        // columns that pin decode fidelity (max_err ≤ 33 across keys).
+        // DCT+entropy decode is not SQL-replayable in principle, so
+        // the oracle joins doc_id % 30 against the golden per-key
+        // literal table derived by graft.tools.JpegGolden — the
+        // q_bpe_train golden-literal discipline.
+        val media = MultimodalOps.synthesizeJpegPixels(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          w = 16, h = 12, keyMod = 30, quality = 0.9f)
+        MultimodalOps.jpegPixelFeatures(media, keyMod = 30).toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("px_sum"), col("px_md5"), col("thumb_md5"),
+            col("sum_abs_err"), col("max_err").cast("long").as("max_err"))
+          .orderBy("doc_id")
       },
       "q_multimodal_mp4" -> { (s, dir) =>
         // REAL ISO BMFF container parse under the hash gate: synthesize

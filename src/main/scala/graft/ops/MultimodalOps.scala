@@ -1153,6 +1153,186 @@ object MultimodalOps {
     }
   }
 
+  // ---------------------------------------------------------------
+  // JPEG compressed-pixel path (the JDK `javax.imageio` codec — the
+  // reader/writer pair every JRE ships).  JPEG is LOSSY: for a given
+  // JDK the decoded pixels are a deterministic function of the encoded
+  // bytes, but they are NOT arithmetic a SQL engine can replay (DCT,
+  // quantization, entropy coding).  So the hash gate uses the
+  // golden-literal discipline (the q_bpe_train pattern): the
+  // synthesized corpus has exactly `keyMod` distinct pixel contents,
+  // the decoded-domain stats per key are pinned as literals the oracle
+  // joins on `doc_id % keyMod`, and decode FIDELITY is itself part of
+  // the gated output — exact integer error-vs-source columns mean a
+  // broken codec path cannot reproduce both the decoded md5 AND a
+  // small max error against the closed-form source pixels.
+  // ---------------------------------------------------------------
+
+  /** Encodes 8-bit RGB scanline-order `pixels` (3·w·h bytes) as a
+    * baseline JPEG via the JDK writer at a FIXED explicit quality —
+    * the one knob that changes the bytes; pinned so encode is
+    * deterministic per JDK.
+    */
+  private[graft] def encodeJpeg(
+      pixels: Array[Byte], w: Int, h: Int, quality: Float): Array[Byte] = {
+    require(pixels.length == 3 * w * h, s"need ${3 * w * h} bytes")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        img.setRGB(x, y,
+          ((pixels(o) & 0xff) << 16) | ((pixels(o + 1) & 0xff) << 8) |
+            (pixels(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream(pixels.length / 4 + 1024)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Per-row REAL lossy-compressed images: pixels from [[pixelValue]]
+    * with image key `id % keyMod` (same closed form the PNG path
+    * uses), encoded through the JDK JPEG writer.  One CPU-bound codec
+    * call per row, no shuffle — the decode-fleet shape at 100 TB.
+    */
+  /** Closed-form JPEG source pixel: a TRIANGLE wave over the same
+    * (k, x, y, c) mix the PNG path uses.  The PNG form's raw mod-256
+    * wraparound is adversarial for a lossy codec (step edges at every
+    * wrap → large DCT ringing would drown the fidelity columns); the
+    * triangle fold keeps the content smooth-gradient, which is what
+    * makes `sum_abs_err`/`max_err` a real decode-fidelity pin instead
+    * of a ringing measurement.
+    */
+  @inline private[graft] def jpegPixelValue(k: Long, x: Int, y: Int, c: Int): Int = {
+    val t = ((((k * 31 + x.toLong * 7 + y.toLong * 13 + c.toLong * 101) % 510)
+      + 510) % 510).toInt
+    if (t < 255) t else 510 - t
+  }
+
+  private[graft] def jpegRecordOf(
+      id: Long, w: Int, h: Int, keyMod: Int, quality: Float): MediaRecord = {
+    val k = id % keyMod
+    val px = new Array[Byte](3 * w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          px(i) = jpegPixelValue(k, x, y, c).toByte
+          i += 1
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    MediaRecord(id, "image/jpeg", encodeJpeg(px, w, h, quality))
+  }
+
+  def synthesizeJpegPixels(
+      df: DataFrame, idCol: String,
+      w: Int, h: Int, keyMod: Int, quality: Float = 0.9f): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map(id => jpegRecordOf(id, w, h, keyMod, quality))
+  }
+
+  /** Decoded-domain JPEG features, all exact integers over the codec's
+    * output: pixel sum and md5 of the decoded RGB hex dump (the
+    * decoded-identity key), md5 of a `thumb`×`thumb` average-pooled
+    * gray thumbnail (the downsampled perceptual key — what image
+    * near-dup at scale actually hashes, robust to single-pixel codec
+    * jitter), and decode-fidelity columns against the closed-form
+    * SOURCE pixels: `sum_abs_err` / `max_err` (needs `keyMod` to
+    * rebuild the source from the id).
+    */
+  final case class JpegPixelFeatures(
+      id: Long, width: Int, height: Int, px_sum: Long, px_md5: String,
+      thumb_md5: String, sum_abs_err: Long, max_err: Int)
+
+  private[graft] def jpegFeaturesOf(
+      r: MediaRecord, keyMod: Int, thumb: Int): Option[JpegPixelFeatures] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content)))
+      catch { case _: Throwable => None } // decode failure ≠ job failure
+    img.map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        val k = r.id % keyMod
+        var sum = 0L
+        var sumErr = 0L
+        var maxErr = 0
+        val hex = new java.lang.StringBuilder(6 * w * h)
+        // pooled-gray accumulators: cell (x * thumb / w, y * thumb / h)
+        val cellSum = new Array[Long](thumb * thumb)
+        val cellN = new Array[Long](thumb * thumb)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val cs = Array((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            var c = 0
+            var g = 0
+            while (c < 3) {
+              val v = cs(c)
+              sum += v
+              if (v < 16) hex.append('0')
+              hex.append(java.lang.Integer.toHexString(v))
+              val e = math.abs(v - jpegPixelValue(k, x, y, c))
+              sumErr += e
+              if (e > maxErr) maxErr = e
+              g += v
+              c += 1
+            }
+            val cell = (y * thumb / h) * thumb + (x * thumb / w)
+            cellSum(cell) += g / 3
+            cellN(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        def md5hex(s: String): String = java.security.MessageDigest
+          .getInstance("MD5").digest(s.getBytes("US-ASCII"))
+          .map("%02x".format(_)).mkString
+        val thumbHex = new java.lang.StringBuilder(2 * thumb * thumb)
+        var t = 0
+        while (t < thumb * thumb) {
+          val v = if (cellN(t) == 0) 0 else (cellSum(t) / cellN(t)).toInt
+          if (v < 16) thumbHex.append('0')
+          thumbHex.append(java.lang.Integer.toHexString(v))
+          t += 1
+        }
+        JpegPixelFeatures(r.id, w, h, sum, md5hex(hex.toString),
+          md5hex(thumbHex.toString), sumErr, maxErr)
+    }
+  }
+
+  def jpegPixelFeatures(
+      ds: Dataset[MediaRecord], keyMod: Int, thumb: Int = 4): Dataset[JpegPixelFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(jpegFeaturesOf(_, keyMod, thumb))
+  }
+
   /** Lift the documents table into media records (text bytes as the
     * opaque payload) — the test/demo source for the pipeline.
     */

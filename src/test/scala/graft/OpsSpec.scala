@@ -839,6 +839,48 @@ class OpsSpec extends AnyFunSuite {
       "same key => same pixels => same perceptual hash")
   }
 
+  test("jpeg lossy codec: decode fidelity, determinism, perceptual key") {
+    val w = 16
+    val h = 12
+    // per-row pure path: encode → decode must land near the source
+    // (lossy, so near — the fidelity columns ARE the pin) and be
+    // bit-deterministic call-to-call (the golden-literal premise)
+    val rec = MultimodalOps.jpegRecordOf(7L, w, h, keyMod = 30, quality = 0.9f)
+    val f1 = MultimodalOps.jpegFeaturesOf(rec, keyMod = 30, thumb = 4).get
+    val f2 = MultimodalOps.jpegFeaturesOf(
+      MultimodalOps.jpegRecordOf(7L, w, h, 30, 0.9f), 30, 4).get
+    assert(f1.width == w && f1.height == h)
+    assert(f1.max_err <= 40, s"smooth-gradient source must survive q=0.9 decode, got ${f1.max_err}")
+    assert(f1.sum_abs_err <= 40L * 3 * w * h / 10, "mean error must stay small")
+    assert(f1 == f2, "encode+decode must be deterministic per JDK")
+    // SOI marker really present — this is a JPEG, not a renamed bitmap
+    assert((rec.content(0) & 0xff) == 0xd8 || (rec.content(1) & 0xff) == 0xd8)
+
+    // degenerate input degrades to None, never throws
+    assert(MultimodalOps.jpegFeaturesOf(
+      MultimodalOps.MediaRecord(1L, "image/jpeg", Array.fill(60)(0x3f.toByte)),
+      30, 4).isEmpty)
+
+    // distributed: keyMod identity groups share BOTH the decoded md5
+    // and the pooled perceptual key; distinct keys differ; results
+    // are partition-invariant (no per-partition codec state)
+    val feats = MultimodalOps.jpegPixelFeatures(
+      MultimodalOps.synthesizeJpegPixels(
+        spark.range(0, 20).toDF("doc_id"), "doc_id", w, h, keyMod = 5),
+      keyMod = 5).collect().sortBy(_.id)
+    assert(feats.length == 20)
+    assert(feats.map(_.px_md5).distinct.length == 5, "5 decoded identities")
+    val g0 = feats.filter(_.id % 5 == 0)
+    assert(g0.map(_.px_md5).distinct.length == 1 &&
+      g0.map(_.thumb_md5).distinct.length == 1,
+      "same key => same decoded pixels => same perceptual key")
+    val feats1p = MultimodalOps.jpegPixelFeatures(
+      MultimodalOps.synthesizeJpegPixels(
+        spark.range(0, 20).toDF("doc_id").repartition(1), "doc_id", w, h, keyMod = 5),
+      keyMod = 5).collect().sortBy(_.id)
+    assert(feats.toSeq == feats1p.toSeq, "partitioning must not change codec output")
+  }
+
   test("wav sample stats: real RIFF walk + 16-bit LE extraction") {
     val stats = MultimodalOps.wavSampleStats(
       MultimodalOps.synthesizeWavPcm(
