@@ -237,7 +237,8 @@ object DedupOps {
       bands: Int = 8,
       shingleSize: Int = 3,
       jaccardThreshold: Double = 0.8,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false,
+      maxBand: Int = Int.MaxValue): DataFrame = {
     val rows = numHashes / bands
     // portableHash: md5-derived base hashes + comma-joined band keys so
     // an external engine can recompute the identical pipeline (the
@@ -280,9 +281,29 @@ object DedupOps {
     // arrays through this shuffle); candidate pairs are rare, so the
     // exact-Jaccard verify re-derives shingles just for them via two
     // broadcast joins of the candidate ids
-    val banded = sigs.select(col("id"),
+    val bandedAll = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey))
         .as(Seq("band", "band_hash")))
+    // hot-band guard (same discipline as simhashPairs/tokenJaccardPairs):
+    // a band bucket of n docs emits C(n,2) candidates, and no runtime
+    // re-plan fixes OUTPUT explosion — a boilerplate bucket of 10M docs
+    // at 100 TB is 5·10¹³ pairs.  Buckets past `maxBand` are dropped
+    // whole (an oversized bucket is near-boilerplate; exact dedup
+    // catches its identical members far cheaper).  Default keeps every
+    // bucket — moderate skew is AQE's job (skew-split pinned in
+    // OpsSpec), the cap is for the pathological tail.
+    val banded =
+      if (maxBand == Int.MaxValue) bandedAll
+      else {
+        // persisted: referenced by both the count subquery and the
+        // probe side; the window alternative would single-task each
+        // hot bucket — exactly the skew this guard exists to bound
+        val b = registerPersist(bandedAll)
+        val ok = b.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBand)
+          .drop("__n")
+        b.join(ok, Seq("band", "band_hash"))
+      }
     // single reference to `cand` — referencing it more than once would
     // recompute the whole signature/band subtree per reference
     val cand = banded.as("l").join(banded.as("r"),

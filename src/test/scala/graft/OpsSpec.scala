@@ -381,6 +381,55 @@ class OpsSpec extends AnyFunSuite {
     DedupOps.unpersistAll()
   }
 
+  test("minhash band join: AQE skew-split fires on a hot band; maxBand caps the tail") {
+    import spark.implicits._
+    // 1000 identical docs (ONE signature → every band bucket hot) +
+    // 320 unique docs spread thin: the hot buckets' shuffle partitions
+    // dwarf the median, which is exactly the shape AQE's skew-split is
+    // for — pin that it actually fires on the band self-join
+    val hot = (10000 until 11000).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+    val cold = (0 until 320).map(i => (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // test-scaled thresholds (production keeps the 256m default —
+      // same rule, same trigger shape, smaller bytes)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val pairs = DedupOps.minhashPairs(docs, "text", "doc_id")
+      // collect() (not count()) so THIS DataFrame's adaptive plan is
+      // the one that executes and finalizes
+      val n = pairs.collect().length
+      assert(n == 1000 * 999 / 2, s"all hot pairs survive verify, got $n")
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-split must fire on the hot band join:\n$plan")
+      DedupOps.unpersistAll()
+      // the guard: oversized buckets dropped whole → zero candidates
+      // from the boilerplate group, cold uniques unaffected
+      val capped = DedupOps.minhashPairs(docs, "text", "doc_id", maxBand = 100)
+      assert(capped.count() == 0, "hot buckets past maxBand must be dropped")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+      DedupOps.unpersistAll()
+    }
+  }
+
   test("bpe token estimate counts word/number/punctuation runs") {
     import spark.implicits._
     val df = Seq(("ab12 cd, e-f!", 1L)).toDF("text", "id")
