@@ -450,6 +450,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out1.map(_.getLong(2)).sum == expBytes)
   }
 
+  test("events ts sniff: footer-only, no session conf side effect, empty-dir fallback") {
+    // VERDICT r09 "done =": reading a MICROS-generation events file
+    // must leave spark.sql.legacy.parquet.nanosAsLong untouched — the
+    // footer sniff must not flip session-global state for files that
+    // don't need it
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val kind = StreamingOps.sniffTsKind(spark, s"$sf001/events.parquet")
+    assert(kind != StreamingOps.TsKind.NanosTs,
+      s"testdata generation changed to NANOS? sniff said $kind")
+    StreamingOps.readEventsBatch(spark, sf001).count()
+    assert(spark.conf.getOption(key) == before,
+      s"sniff/read leaked $key into the session")
+    // a staged stream dir with no parquet yet (valid for a file-stream
+    // source) must still let the reader be DEFINED: the sniff falls
+    // back instead of throwing
+    val empty = java.nio.file.Files.createTempDirectory("graft-sniff-empty")
+    assert(StreamingOps.sniffTsKind(spark, empty.toString) ==
+      StreamingOps.TsKind.MicrosNtz)
+    assert(StreamingOps.sniffTsKind(spark, "/tmp/graft-sniff-nonexistent-xyz") ==
+      StreamingOps.TsKind.MicrosNtz)
+  }
+
   test("streaming windowed counts == batch windowed counts") {
     val batch = StreamingOps.windowedCounts(
       StreamingOps.readEventsBatch(spark, sf001))
@@ -928,6 +951,63 @@ class OpsSpec extends AnyFunSuite {
         spark.range(0, 20).toDF("doc_id").repartition(1), "doc_id", w, h, keyMod = 5),
       keyMod = 5).collect().sortBy(_.id)
     assert(feats.toSeq == feats1p.toSeq, "partitioning must not change codec output")
+  }
+
+  test("codec robustness: corrupted containers degrade to None, never throw") {
+    // a 100 TB pass meets truncated shards and bit-rotted files; every
+    // decoder's contract is Option-out, throw-never.  Seeded fuzz:
+    // byte flips and truncations of VALID containers through each
+    // strict parser — any uncaught exception fails the test by itself
+    val w = 16
+    val h = 12
+    val px = Array.tabulate(3 * w * h)(i =>
+      MultimodalOps.pixelValue(3L, (i % (3 * w)) / 3, i / (3 * w), i % 3).toByte)
+    val png = MultimodalOps.encodePng(px, w, h)
+    val jpg = MultimodalOps.jpegRecordOf(3L, w, h, 30, 0.9f).content
+    val wav = MultimodalOps.synthesizeWavPcm(
+      spark.range(0, 1).toDF("doc_id"), "doc_id",
+      channels = 2, samples = 50, sampleRate = 8000, keyMod = 3)
+      .collect().head.content
+    val rnd = new scala.util.Random(20260814L)
+    def corrupt(b: Array[Byte]): Array[Byte] = {
+      val c = b.clone()
+      (0 until (1 + rnd.nextInt(4))).foreach { _ =>
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      }
+      c
+    }
+    (0 until 200).foreach { i =>
+      val pc = corrupt(png)
+      val jc = corrupt(jpg)
+      val wc = corrupt(wav)
+      // decode either succeeds or returns None — both fine; a throw
+      // is the defect this test exists to catch
+      try {
+        MultimodalOps.decodePngPixels(pc)
+        MultimodalOps.jpegFeaturesOf(
+          MultimodalOps.MediaRecord(i.toLong, "image/jpeg", jc), 30, 4)
+        MultimodalOps.decodeWav(
+          MultimodalOps.MediaRecord(i.toLong, "audio/wav", wc))
+      } catch {
+        case e: Throwable => fail(s"fuzz iteration $i threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // truncations at every prefix length band
+    Seq(png, jpg, wav).foreach { b =>
+      Seq(0, 3, 11, 32, 45, b.length / 2, b.length - 1).foreach { n =>
+        val t = b.take(n)
+        MultimodalOps.decodePngPixels(t)
+        MultimodalOps.jpegFeaturesOf(
+          MultimodalOps.MediaRecord(0L, "image/jpeg", t), 30, 4)
+        MultimodalOps.decodeWav(MultimodalOps.MediaRecord(0L, "audio/wav", t))
+      }
+    }
+    // the intact originals still decode (the fuzz clones, never mutates)
+    assert(MultimodalOps.decodePngPixels(png).isDefined)
+    assert(MultimodalOps.jpegFeaturesOf(
+      MultimodalOps.MediaRecord(0L, "image/jpeg", jpg), 30, 4).isDefined)
+    assert(MultimodalOps.decodeWav(
+      MultimodalOps.MediaRecord(0L, "audio/wav", wav)).isDefined)
   }
 
   test("wav sample stats: real RIFF walk + 16-bit LE extraction") {
