@@ -1156,6 +1156,26 @@ object SimilarityOps {
     bits
   }
 
+  /** IVF cell count for a corpus size — the deployment knob the sf10
+    * bench identified (BENCH_sf10.json: q_ann_topk_ivfpq tracks corpus
+    * growth because probe cost ∝ corpus/nCells at FIXED geometry; a
+    * real deployment re-trains with more cells as the corpus grows).
+    * The classic sizing is cells ≈ √n (per-cell population √n too, so
+    * probe work per query grows as √n instead of n), clamped to
+    * [minCells, maxCells] — the cap keeps the coarse-quantizer scan
+    * (queries × cells distance evaluations, and the Lloyd training
+    * sample ≥ 4·cells) bounded.  RecallSpec pins that recall HOLDS
+    * across this knob (nCells ∈ {16, 64, 256} at constant probe
+    * fraction), so resizing is a pure cost move.
+    */
+  def autoCells(
+      corpusCount: Long, minCells: Int = 16, maxCells: Int = 65536): Int = {
+    require(minCells > 0 && maxCells >= minCells,
+      s"bad cell bounds: [$minCells, $maxCells]")
+    val root = math.sqrt(math.max(0L, corpusCount).toDouble).toLong
+    math.min(maxCells.toLong, math.max(minCells.toLong, root)).toInt
+  }
+
   /** IVF-flavored top-k: assign corpus vectors to the nearest of
     * `nCells` LSH-bucket centroids is overkill without kmeans; the
     * pragmatic scale path re-uses sign-LSH — probe the query's bucket

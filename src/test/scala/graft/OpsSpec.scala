@@ -108,6 +108,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("autoCells sizes IVF geometry as sqrt(n), clamped to training/scan bounds") {
+    // the BENCH_sf10 finding: probe cost ∝ corpus/nCells at fixed
+    // geometry — √n cells keeps per-query probe work at √n
+    assert(SimilarityOps.autoCells(2000) == 44)           // sf0.1 fixture
+    assert(SimilarityOps.autoCells(200000) == 447)        // sf10 scratch
+    assert(SimilarityOps.autoCells(1L << 40) == 65536)    // capped
+    assert(SimilarityOps.autoCells(100) == 16)            // floored
+    assert(SimilarityOps.autoCells(0) == 16)
+    // monotone non-decreasing in n
+    val cs = Seq(1L << 10, 1L << 16, 1L << 22, 1L << 30, 1L << 40)
+      .map(SimilarityOps.autoCells(_))
+    assert(cs == cs.sorted)
+  }
+
   test("autoBits tracks corpus scale; fixed bits=8 would blow the bucket budget") {
     // at a billion vectors, bits=8 means ~n/256 ≈ 4M candidates per
     // probe bucket — autoBits sizes to the target instead
