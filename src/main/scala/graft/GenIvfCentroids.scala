@@ -24,9 +24,13 @@ object GenIvfCentroids {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional 3rd arg: cell count (default 16 — the fixed-geometry
+    // fixture; the auto-geometry fixture passes autoCells(corpus))
+    val nCells = if (args.length > 2) args(2).toInt else 16
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = graft.ops.SimilarityOps.deterministicCentroids(
-      emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+      emb, "vec_id", "embedding", nCells = nCells,
+      sampleN = math.max(256, 4 * nCells), iters = 10)
     val dim = cents.head.length
     val cols = ("cell" +: (0 until dim).map(j => s"v$j"))
       .map("\"" + _ + "\"").mkString("[", ", ", "]")

@@ -1792,6 +1792,17 @@ object SparkEntry {
       .map(_.drop(1).map(_.asInstanceOf[Double]).toArray).toArray
   }
 
+  /** The AUTO-geometry centroid fixture for the verify SF: the same
+    * derivation at `autoCells(500) = 22` cells (tools:
+    * `sbt "runMain graft.GenIvfCentroids <sf> <out> 22"`).  OpsSpec
+    * pins runtime == fixture, same contract as [[ivfCentroidsSf001]].
+    */
+  private lazy val ivfCentroidsSf001Auto: Array[Array[Double]] = {
+    val t = Golden.load("sf0.01_ivf_centroids_auto.json")
+    t.rows.sortBy(_.head.asInstanceOf[Double])
+      .map(_.drop(1).map(_.asInstanceOf[Double]).toArray).toArray
+  }
+
   /** The FULL-CORPUS distributed-Lloyd centroid fixture (tools:
     * `sbt "runMain graft.GenDistCentroids"`).  Same contract as
     * [[ivfCentroidsSf001]]: OpsSpec pins runtime == fixture.
@@ -2393,6 +2404,11 @@ object SparkEntry {
     "q_ann_topk_pq" -> pqTopKOracleSql(pqCodebooksSf001, k = 10),
     "q_ann_topk_ivfpq" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10),
+    // the auto-geometry flavor replays against its OWN centroid
+    // literals (autoCells(500) = 22 at the oracle SF) — the oracle
+    // checks the geometry the deployment knob actually picks
+    "q_ann_topk_ivfpq_auto" ->
+      ivfPqOracleSql(ivfCentroidsSf001Auto, pqCodebooksSf001, nProbe = 4, k = 10),
     // same shortlist replay + exact-cosine re-rank (the refine flavor)
     "q_ann_topk_ivfpq_refine" ->
       ivfPqOracleSql(ivfCentroidsSf001, pqCodebooksSf001, nProbe = 4, k = 10,
@@ -3630,6 +3646,32 @@ object SparkEntry {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         val cents = SimilarityOps.deterministicCentroids(
           emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        val cbs = SimilarityOps.pqCodebooks(
+          emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
+        SimilarityOps.ivfPqTopK(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, cbs, nProbe = 4, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      "q_ann_topk_ivfpq_auto" -> { (s, dir) =>
+        // the DEPLOYMENT-GEOMETRY flavor of the composition: identical
+        // code path to q_ann_topk_ivfpq, but the cell count tracks the
+        // corpus (autoCells = √n clamped — the knob BENCH_sf10
+        // isolated: probe cost ∝ corpus/nCells at fixed geometry).
+        // At the driver's sf0.01 (500 vectors) this is 22 cells,
+        // hash-gated against its own 22-cell centroid fixture; at
+        // bench SFs the probed mass shrinks as nProbe·√n instead of
+        // growing as nProbe·n/16.  nProbe
+        // stays the constant recall knob a deployment tunes (FAISS
+        // discipline) — RecallSpec separately pins that recall holds
+        // across cell counts at constant probe FRACTION.
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val cells = SimilarityOps.autoCells(emb.count())
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = cells,
+          sampleN = math.max(256, 4 * cells), iters = 10)
         val cbs = SimilarityOps.pqCodebooks(
           emb, "vec_id", "embedding", m = 8, ksub = 16, sampleN = 256, iters = 10)
         SimilarityOps.ivfPqTopK(

@@ -262,6 +262,19 @@ class OpsSpec extends AnyFunSuite {
     val cents2 = SimilarityOps.deterministicCentroids(
       sf01emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
     assert(cents.flatten.toSeq == cents2.flatten.toSeq)
+    // the AUTO-geometry fixture (autoCells(500) = 22, same derivation)
+    // under the same not-a-second-truth contract
+    assert(SimilarityOps.autoCells(sf01emb.count()) == 22)
+    val centsAuto = SimilarityOps.deterministicCentroids(
+      sf01emb, "vec_id", "embedding", nCells = 22, sampleN = 256, iters = 10)
+    val fixtureAuto = Golden.load("sf0.01_ivf_centroids_auto.json")
+    assert(fixtureAuto.rows.length == 22)
+    fixtureAuto.rows.sortBy(_.head.asInstanceOf[Double]).zip(centsAuto).foreach {
+      case (row, cent) =>
+        row.drop(1).map(_.asInstanceOf[Double]).zip(cent).foreach {
+          case (a, b) => assert(a == b, s"auto-centroid drift: $a vs $b")
+        }
+    }
     // self at rank 1; every reported cosine equals the brute-force
     // cosine for the same pair (candidate restriction must not perturb
     // scores)
