@@ -1683,6 +1683,15 @@ object SparkEntry {
     s"SELECT * FROM (VALUES\n$valueRows\n) AS t(${cols.mkString(", ")})"
   }
 
+  /** [[fitOracleSql]] with a leading `segment` tag per fixture: the
+    * fitByGroup oracle is the union of per-segment reference-captured
+    * bin tables, each row tagged with its segment value.
+    */
+  private def fitByGroupOracleSql(fixtures: Seq[(String, String)]): String =
+    fixtures.map { case (seg, f) =>
+      s"SELECT '$seg' AS segment, t.* FROM (${fitOracleSql(f)}) AS t"
+    }.mkString("\nUNION ALL\n")
+
   /** Sign-LSH bucket as DuckDB SQL: one CASE per hyperplane, using the
     * SAME deterministic-LCG hyperplane literals SimilarityOps ships, so
     * both engines compute bit-identical bucket ids (the dot products
@@ -2375,6 +2384,12 @@ object SparkEntry {
     // single-column exact fit == the extendedprice fixture of q_fit_bins
     // (variables fit independently, so the 1-col and 3-col fits agree)
     "q_fit_exact" -> fitOracleSql("sf0.01_extendedprice_n300.json"),
+    // per-segment fit: reference run per l_returnflag subset (the
+    // manual filter-then-fit workflow fitByGroup folds into one pass)
+    "q_fit_by_group" -> fitByGroupOracleSql(
+      Seq("A", "N", "R").flatMap(f => Seq(
+        f -> s"sf0.01_extendedprice_flag${f}_n300.json",
+        f -> s"sf0.01_quantity_flag${f}_n300.json"))),
     // full-data apply: every row of the 60k-row verify SF bucketed by
     // the fixture-compiled CASE.  Only extendedprice survives the
     // transform's default IV threshold (quantity/discount IV ≈ 0
@@ -3008,6 +3023,15 @@ object SparkEntry {
         val df = lcgFrame(s, dir)
         WoeBinning.fit(df, "target", Seq("extendedprice", "quantity", "discount"),
           WoeFitOptions(nThreshold = Some(300))).binsDf(s)
+      },
+      "q_fit_by_group" -> { (s, dir) =>
+        // per-l_returnflag scorecards, one stats pass for all segments
+        val df = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(lcgColumns :+ col("l_returnflag").as("flag"): _*)
+        WoeBinning.fitByGroup(df, "target", Seq("extendedprice", "quantity"),
+            "flag", WoeFitOptions(nThreshold = Some(300)))
+          .map { case (g, m) => m.binsDf(s).withColumn("segment", lit(g)) }
+          .reduce(_.unionByName(_))
       },
       "q_fit_default_threshold" -> { (s, dir) =>
         val df = lcgFrame(s, dir)

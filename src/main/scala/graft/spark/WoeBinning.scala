@@ -220,6 +220,75 @@ object WoeBinning {
       Some(df.queryExecution.analyzed))
   }
 
+  /** Per-segment fit: an independent model per distinct value of
+    * `groupCol`, all segments computed in ONE distributed stats pass.
+    *
+    * Semantics contract (ByGroupSpec pins it): the model for segment
+    * `g` equals `fit(df.filter(col(groupCol) === g), ...)` — including
+    * the per-segment default `nThreshold = ceil(segmentRows / 20)`
+    * (binning.py:84-87 applied to the segment, exactly what a user
+    * filtering manually would get).  Rows whose segment is null are
+    * skipped, as no equality filter would select them.
+    *
+    * Scale: the reference user fits per-segment scorecards by running
+    * the whole pipeline once per segment — S full scans.  Here the melt
+    * is keyed by (segment, variable, value), so the single shuffle and
+    * single collect carry every segment at once; driver work stays
+    * O(segments × distinct values) and the kernels run in one parallel
+    * collection over (segment, variable) tasks.  `maxDistinct` prebins
+    * globally (same edges for every segment) before the stats pass.
+    */
+  def fitByGroup(
+      df: DataFrame,
+      targetCol: String,
+      inputCols: Seq[String],
+      groupCol: String,
+      opts: WoeFitOptions = WoeFitOptions()): Seq[(String, WoeBinningModel)] = {
+    val base = opts.maxDistinct.map(m => preBin(df, inputCols, m)).getOrElse(df)
+    val stackExpr = s"stack(${inputCols.length}, " +
+      inputCols.map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double)").mkString(", ") +
+      ") as (variable, value)"
+    val grouped = base
+      .selectExpr(s"cast(${sqlId(groupCol)} as string) as grp", stackExpr,
+        s"cast(${sqlId(targetCol)} as double) as traw")
+      .where(col("grp").isNotNull)
+      .withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
+      .groupBy("grp", "variable", "value")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("traw") === 0.0 || col("traw") === 1.0, col("traw"))
+          .otherwise(lit(null)).cast("bigint")).as("tsum"),
+        count(col("traw")).as("tcnt"),
+        sum(when(isnan(col("traw")) ||
+            (col("traw") =!= 0.0 && col("traw") =!= 1.0), 1L)
+          .otherwise(0L)).as("tbad"))
+      .orderBy("grp", "variable", "value")
+      .collect()
+    grouped.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (g, rows) =>
+      // strip the segment key → the exact row shape statsFromRows
+      // consumes; rows stay (variable, value)-sorted within a segment
+      val stats = statsFromRows(rows.map(r => Row.fromSeq(r.toSeq.drop(1))))
+      val n = stats.valuesIterator.map(_.totalRows).maxOption.getOrElse(0L)
+      val nThr = opts.nThreshold.getOrElse(math.ceil(n.toDouble / 20.0))
+      val cfg = WoeConfig(nThr, opts.nOccurrences, opts.pThreshold,
+        opts.sortOverload, opts.mergeThreshold)
+      val fitted: Seq[(String, Vector[WoeBin])] =
+        inputCols.par
+          .map(c => c -> fitOne(c, targetCol, stats, cfg, opts.sepValue))
+          .seq.toVector
+      val fitMedians: Map[String, Double] =
+        if (opts.maxDistinct.isDefined) Map.empty
+        else stats.map { case (v, s) => v -> Kernels.exactMedian(s.groups) }
+      // fit plan of the EQUIVALENT manual workflow: transform on
+      // df.filter(groupCol === g) reuses the precomputed medians
+      val gPlan =
+        try Some(df.filter(col(groupCol).cast("string") === g)
+          .queryExecution.analyzed)
+        catch { case scala.util.control.NonFatal(_) => None }
+      g -> new WoeBinningModel(fitted, fitMedians, gPlan)
+    }
+  }
+
   /** Sentinel fit (`woe_binning_sep`, binning.py:32-75) WITHOUT extra
     * scans: the sep-subset and complement sufficient stats are split
     * out of the already-collected grouped stats.

@@ -158,6 +158,55 @@ class ApiSpec extends AnyFunSuite {
     assert(WoeBinningTransformer.load(path).transform(sf0001).columns.length == 3)
   }
 
+  test("fitByGroup == independent filter-then-fit per segment") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(SparkEntry.lcgColumns :+ col("l_returnflag").as("flag"): _*)
+    val opts = WoeFitOptions(nThreshold = Some(60))
+    val cols = Seq("extendedprice", "quantity")
+    val grouped = WoeBinning.fitByGroup(df, "target", cols, "flag", opts)
+    assert(grouped.map(_._1) == Seq("A", "N", "R"), "sorted segment keys")
+    grouped.foreach { case (g, m) =>
+      val manual = WoeBinning.fit(df.filter(col("flag") === g), "target", cols, opts)
+      cols.foreach { c =>
+        val gb = m.bins(c); val mb = manual.bins(c)
+        assert(gb.length == mb.length, s"flag=$g $c bin count")
+        gb.zip(mb).foreach { case (a, b) => assert(a == b, s"flag=$g $c bin mismatch") }
+      }
+    }
+  }
+
+  test("fitByGroup: per-segment default nThreshold = ceil(segmentRows/20)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(SparkEntry.lcgColumns :+ col("l_returnflag").as("flag"): _*)
+    val grouped = WoeBinning.fitByGroup(
+      df, "target", Seq("quantity"), "flag").toMap
+    Seq("A", "N", "R").foreach { g =>
+      val manual = WoeBinning.fit(
+        df.filter(col("flag") === g), "target", Seq("quantity"))
+      assert(grouped(g).bins("quantity") == manual.bins("quantity"),
+        s"flag=$g default-threshold fit")
+    }
+  }
+
+  test("fitByGroup skips null segments and supports transform on the filtered slice") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(SparkEntry.lcgColumns :+
+        when(col("l_linenumber") === 1, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("flag"): _*)
+    val grouped = WoeBinning.fitByGroup(df, "target", Seq("extendedprice"),
+      "flag", WoeFitOptions(nThreshold = Some(60)))
+    assert(grouped.map(_._1) == Seq("A", "N", "R"), "null segment dropped")
+    val totalRows = grouped.map { case (_, m) =>
+      m.bins("extendedprice").filter(b => !b.size.isNaN).map(_.size).sum }.sum
+    val nonNull = df.filter(col("flag").isNotNull).count()
+    assert(totalRows == nonNull.toDouble, "null-flag rows excluded from stats")
+    // transform of the equivalent manual slice works (medians reused or
+    // recomputed — either way the columns bucket)
+    val (g, m) = grouped.head
+    val out = m.transform(df.filter(col("flag") === g))
+    assert(out.count() > 0)
+  }
+
   test("MLlib transformer passthrough keeps input columns") {
     val model = new WoeBinningEstimator()
       .setTargetCol("target")

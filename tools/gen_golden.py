@@ -88,6 +88,14 @@ def main():
                 bins = woe_binning("target", df[["target", col]].copy(),
                                    n_threshold=300)
                 dump(bins, f"{outdir}/{sf}_{col}_n300.json")
+            # per-segment fits (fitByGroup oracle): the reference user's
+            # manual filter-then-fit per l_returnflag segment
+            for flag in sorted(li["l_returnflag"].unique()):
+                sub = df[(li["l_returnflag"] == flag).values]
+                for col in ["extendedprice", "quantity"]:
+                    bins = woe_binning("target", sub[["target", col]].copy(),
+                                       n_threshold=300)
+                    dump(bins, f"{outdir}/{sf}_{col}_flag{flag}_n300.json")
             bins = woe_binning("target", df[["target", "extendedprice"]].copy(),
                                n_threshold=300, merge_threshold=0.2)
             dump(bins, f"{outdir}/{sf}_extendedprice_n300_mt0.2.json")
