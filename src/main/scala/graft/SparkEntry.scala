@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.spark.{WoeBinning, WoeFitOptions}
-import graft.ops.{AsofOps, ClusterOps, DedupOps, EvalOps, IndexOps, MultimodalOps, QuantileOps, SampleOps, SelectionOps, SimilarityOps, StreamingOps, TextOps, UrlOps}
+import graft.ops.{AsofOps, ClusterOps, DedupOps, EvalOps, IndexOps, MultimodalOps, QuantileOps, SampleOps, SelectionOps, SimilarityOps, SketchOps, StreamingOps, TextOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -305,6 +305,10 @@ object SparkEntry {
   }
 
   val duckdbOnlySql: Map[String, String] = Map(
+    // HLL sketch replays (OracleHll): same xxhash64 registers, same
+    // exact harmonic sum, textually identical estimate doubles
+    "q_hll_distinct" -> OracleHll.hllDistinctSql,
+    "q_hll_merged" -> OracleHll.hllMergedSql,
     // exact tie-corrected AUC replay: same grouped Mann-Whitney rank
     // sum (EvalOps.aucReport) — 2×ranksum stays integer, one division
     "q_eval_auc" ->
@@ -3562,6 +3566,43 @@ object SparkEntry {
             maxHamming = 3, portableHash = true)
           .withColumn("hamming", col("hamming").cast("bigint"))
           .orderBy("id_a", "id_b")
+      },
+      "q_hll_distinct" -> { (s, dir) =>
+        // mergeable-HLL corpus profile: distinct shingles per source.
+        // The register table (≤ 2^10 rows/source) is the 100 TB
+        // artifact; estimate AND exact ride in the output so the
+        // oracle pins accuracy, not just arithmetic.
+        val sh = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source").as("scope"),
+            explode(DedupOps.shingles(col("text"))).as("sh"))
+        SketchOps.hllDistinct(sh, Seq("scope"), "sh", p = 10)
+          .join(sh.groupBy("scope")
+            .agg(countDistinct("sh").as("exact_distinct")), "scope")
+          .select(col("scope"), col("buckets_used"), col("est_distinct"),
+            col("exact_distinct"))
+          .orderBy("scope")
+      },
+      "q_hll_merged" -> { (s, dir) =>
+        // lossless-merge law end-to-end: the 'ALL' row is the FOLDED
+        // merge of the three per-flag register tables; DuckDB computes
+        // it directly over the union of occurrences — equal by HLL's
+        // defining property
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_returnflag").as("scope"), col("l_orderkey"))
+        val regs = SketchOps.hllRegisters(li, Seq("scope"), "l_orderkey", p = 12)
+        val merged = Seq("A", "N", "R")
+          .map(f => regs.where(col("scope") === f).withColumn("scope", lit("ALL")))
+          .reduce(SketchOps.hllMerge(_, _, Seq("scope")))
+        val est = SketchOps.hllEstimate(regs, Seq("scope"), p = 12)
+          .unionByName(SketchOps.hllEstimate(merged, Seq("scope"), p = 12))
+        val exact = li.groupBy("scope")
+          .agg(countDistinct("l_orderkey").as("exact_distinct"))
+          .unionByName(li.agg(countDistinct("l_orderkey").as("exact_distinct"))
+            .withColumn("scope", lit("ALL")))
+        est.join(exact, "scope")
+          .select(col("scope"), col("buckets_used"), col("est_distinct"),
+            col("exact_distinct"))
+          .orderBy("scope")
       },
       "q_embed_cosine_dups" -> { (s, dir) =>
         SimilarityOps.blockedCosinePairs(
