@@ -1192,6 +1192,29 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, corpus_id, cosine, rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // contrastive pair mining: same cosine tree as q_ann_topk, rank
+    // windowed per (anchor, pos|neg relation), self excluded
+    "q_mine_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+        |), s AS (
+        |  SELECT a.vec_id AS anchor_id, c.vec_id AS pair_id,
+        |         CASE WHEN c.label = a.label THEN 'pos' ELSE 'neg' END AS relation,
+        |         list_dot_product(c.v, a.v) / (c.nrm * a.nrm) AS cosine
+        |  FROM c CROSS JOIN (SELECT * FROM c WHERE vec_id < 8) a
+        |  WHERE c.vec_id <> a.vec_id
+        |), r AS (
+        |  SELECT anchor_id, pair_id, relation, cosine,
+        |         CAST(row_number() OVER (PARTITION BY anchor_id, relation
+        |              ORDER BY cosine DESC, pair_id) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT anchor_id, pair_id, relation, cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY anchor_id, relation, rank""".stripMargin,
     "q_events_window" ->
       """SELECT epoch_us(ts) // 300000000 AS bucket5m, event_type,
         |       CAST(count(*) AS BIGINT) AS cnt,
@@ -3617,6 +3640,16 @@ object SparkEntry {
             emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_mine_pairs" -> { (s, dir) =>
+        // hard-negative + positive mining for contrastive training:
+        // partition-local bounded heaps per (anchor, relation), corpus
+        // never shuffles (SimilarityOps.minePairs)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        SimilarityOps.minePairs(emb, "vec_id", "embedding", "label",
+            emb.filter(col("vec_id") < 8), kPos = 5, kNeg = 5)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("anchor_id", "relation", "rank")
       },
       "q_ann_topk_lsh" -> { (s, dir) => // the scale path
         val emb = s.read.parquet(s"$dir/embeddings.parquet")

@@ -1235,4 +1235,107 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
+
+  /** Contrastive training-pair mining: for each anchor vector, the
+    * `kPos` most-similar SAME-label neighbors (the positives, self
+    * excluded) and the `kNeg` most-similar DIFFERENT-label neighbors
+    * (the HARD negatives — similar yet wrong, the examples that
+    * actually move an embedding model / reranker; random negatives are
+    * trivially separable and teach nothing).
+    *
+    * Same execution shape as [[bruteForceTopK]]: anchors (id, vector,
+    * norm, label) are collected + broadcast, each corpus partition
+    * reduces itself to ≤ kPos+kNeg candidates per anchor with bounded
+    * heaps — one pos heap, one neg heap — before anything shuffles, so
+    * the rank window sees partitions × anchors × (kPos+kNeg) rows and
+    * the corpus itself never moves.  For anchor sets too big to
+    * broadcast, mine from an over-fetched IVF shortlist
+    * ([[ivfPqTopK]] with k ≫ kPos+kNeg) and filter by label — the
+    * shortlist must over-fetch because a label filter AFTER an exact-k
+    * cut can starve one relation.
+    *
+    * Output: (anchor_id, pair_id, relation 'pos'|'neg', cosine, rank)
+    * with rank windowed per (anchor, relation).
+    */
+  def minePairs(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      anchors: DataFrame, kPos: Int = 5, kNeg: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = corpus.sparkSession
+    val aData: Array[(Any, Array[Double], Double, Any)] = anchors
+      .select(col(idCol).as("aid"), col(vecCol).as("av"), col(labelCol).as("al"))
+      .filter(col("av").isNotNull)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).iterator
+          .map(x => if (x == null) Double.NaN else x.asInstanceOf[Number].doubleValue)
+          .toArray
+        (r.get(0), v, math.sqrt(dotSeq(v, v)), r.get(2))
+      }
+      .filter(_._3 > 0)
+    val ab = spark.sparkContext.broadcast(aData)
+    val outSchema = StructType(Seq(
+      StructField("anchor_id", anchors.schema(idCol).dataType),
+      StructField("pair_id", corpus.schema(idCol).dataType),
+      StructField("relation", StringType),
+      StructField("cosine", DoubleType)))
+    val (kp, kn) = (kPos, kNeg)
+    val cand = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col(labelCol).as("cl"))
+      .filter(col("cv").isNotNull)
+      .mapPartitions { it =>
+        val as = ab.value
+        val worstFirst = new Ordering[(Double, Any)] {
+          def compare(a: (Double, Any), b: (Double, Any)): Int = {
+            val c = java.lang.Double.compare(b._1, a._1)
+            if (c != 0) c else cmpId(a._2, b._2)
+          }
+        }
+        def newHeaps() = Array.fill(as.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Any)](worstFirst))
+        val pos = newHeaps()
+        val neg = newHeaps()
+        it.foreach { r =>
+          val cid = r.get(0)
+          val cv = r.getSeq[Any](1).iterator
+            .map(x => if (x == null) Double.NaN else x.asInstanceOf[Number].doubleValue)
+            .toArray
+          val cl = r.get(2)
+          val cn = math.sqrt(dotSeq(cv, cv))
+          if (cn > 0) {
+            var ai = 0
+            while (ai < as.length) {
+              val (aid, av, an, al) = as(ai)
+              val samePair = cmpId(cid, aid) == 0
+              val (heap, cap) =
+                if (cl == al) (pos(ai), kp) else (neg(ai), kn)
+              if (!samePair && cap > 0) {
+                val cos = dotSeq(cv, av) / (cn * an)
+                if (heap.size < cap) heap.enqueue((cos, cid))
+                else {
+                  val (wc, wid) = heap.head
+                  if (cos > wc || (cos == wc && cmpId(cid, wid) < 0)) {
+                    heap.dequeue(); heap.enqueue((cos, cid))
+                  }
+                }
+              }
+              ai += 1
+            }
+          }
+        }
+        (pos.iterator.zipWithIndex.map { case (h, ai) => (h, ai, "pos") } ++
+          neg.iterator.zipWithIndex.map { case (h, ai) => (h, ai, "neg") })
+          .flatMap { case (h, ai, rel) =>
+            h.iterator.map { case (cos, cid) => Row(as(ai)._1, cid, rel, cos) }
+          }
+      }(Encoders.row(outSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"), col("relation"))
+      .orderBy(col("cosine").desc, col("pair_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter((col("relation") === "pos" && col("rank") <= kPos) ||
+        (col("relation") === "neg" && col("rank") <= kNeg))
+      .select("anchor_id", "pair_id", "relation", "cosine", "rank")
+  }
 }

@@ -136,4 +136,43 @@ class RecallSpec extends AnyFunSuite {
         f"hybrid IVF-PQ recall@$k collapsed at nCells=$nCells: $r%.3f")
     }
   }
+
+  test("minePairs: relations honest, self excluded, equals the serial reference") {
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") < 4)
+    val got = SimilarityOps.minePairs(
+      emb, "vec_id", "embedding", "label", anchors, kPos = 3, kNeg = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getInt(4)))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall { case (a, p, _, _, _) => a != p }, "self pair leaked")
+    got.foreach { case (a, p, rel, _, _) =>
+      assert((labels(a) == labels(p)) == (rel == "pos"),
+        s"relation mislabeled for ($a,$p,$rel)")
+    }
+    // serial reference: exact cosines, same tie-break
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(b.zip(b).map { case (x, y) => x * y }.sum) *
+        math.sqrt(a.zip(a).map { case (x, y) => x * y }.sum))
+    }
+    for (a <- 0L until 4L; rel <- Seq("pos", "neg")) {
+      val expect = vecs.keys.toSeq
+        .filter(p => p != a && ((labels(p) == labels(a)) == (rel == "pos")))
+        .map(p => (p, cos(vecs(p), vecs(a))))
+        .sortBy { case (p, c) => (-c, p) }.take(3).map(_._1)
+      val mined = got.filter(g => g._1 == a && g._3 == rel)
+        .sortBy(_._5).map(_._2).toSeq
+      assert(mined == expect, s"anchor $a $rel: $mined != $expect")
+    }
+    // partition invariance: the bounded-heap reduction is order-free
+    val rep = SimilarityOps.minePairs(
+      emb.repartition(7), "vec_id", "embedding", "label", anchors, 3, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(4))).toSet
+    assert(rep == got.map(g => (g._1, g._2, g._3, g._5)).toSet)
+  }
 }
