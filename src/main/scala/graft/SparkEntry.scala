@@ -309,6 +309,31 @@ object SparkEntry {
     // exact harmonic sum, textually identical estimate doubles
     "q_hll_distinct" -> OracleHll.hllDistinctSql,
     "q_hll_merged" -> OracleHll.hllMergedSql,
+    // weighted systematic sample: one window cumsum + the same
+    // closed-form integer pick count (all operands nonnegative, so
+    // DuckDB's floor // == Spark's truncating DIV)
+    "q_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt
+        |  FROM documents WHERE n_chars > 0
+        |), c AS (
+        |  SELECT doc_id, wt,
+        |         CAST(coalesce(sum(wt) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS before
+        |  FROM w
+        |), t AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w)
+        |SELECT doc_id, wt AS weight, before AS cum_before,
+        |       CAST(n_copies AS BIGINT) AS n_copies FROM (
+        |  SELECT doc_id, wt, before,
+        |         (CASE WHEN before + wt = 0 THEN 0 ELSE
+        |            least(CAST(100 AS BIGINT),
+        |              ((200 * (before + wt) - 1) // tw + 1) // 2) END)
+        |       - (CASE WHEN before = 0 THEN 0 ELSE
+        |            least(CAST(100 AS BIGINT),
+        |              ((200 * before - 1) // tw + 1) // 2) END) AS n_copies
+        |  FROM c, t) x
+        |WHERE n_copies > 0 ORDER BY doc_id""".stripMargin,
     // exact tie-corrected AUC replay: same grouped Mann-Whitney rank
     // sum (EvalOps.aucReport) — 2×ranksum stays integer, one division
     "q_eval_auc" ->
@@ -3640,6 +3665,14 @@ object SparkEntry {
             emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_weighted_sample" -> { (s, dir) =>
+        // deterministic weighted systematic draw: k=100 picks across
+        // the n_chars-weighted doc spans (two-pass prefix scan +
+        // closed-form pick counts — zero RNG, integer-exact)
+        SampleOps.weightedSystematicSample(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "n_chars",
+          k = 100)
       },
       "q_mine_pairs" -> { (s, dir) =>
         // hard-negative + positive mining for contrastive training:

@@ -31,8 +31,10 @@ object PackingOps {
 
   /** `(id, tok, before)` — each doc's exclusive global running-token
     * offset in ascending-id order, via the two-pass scan above.
+    * (`private[ops]`: SampleOps' weighted systematic sampler rides the
+    * same scan.)
     */
-  private def withGlobalOffset(
+  private[ops] def withGlobalOffset(
       df: DataFrame, idCol: String, tokenCol: String,
       numPartitions: Int): DataFrame = {
     val spark = df.sparkSession

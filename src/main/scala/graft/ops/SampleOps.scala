@@ -203,4 +203,58 @@ object SampleOps {
       .where(col("sample_rank") <= n)
       .drop("__ord", "__pb", "__r1")
   }
+
+  /** Deterministic WEIGHTED sampling by the systematic (stratified-
+    * grid) scheme: lay every row's integer weight end-to-end in
+    * ascending-id order (total `W`), drop `k` evenly-spaced picks at
+    * positions `(2i+1)·W/(2k)`, and emit each row with the number of
+    * picks that landed inside its span — rows are drawn proportional
+    * to weight, heavy rows may repeat (`n_copies` > 1), and the whole
+    * draw is a pure function of the data (zero RNG state, replayable
+    * by any engine in integer arithmetic — no `pow(u, 1/w)` float
+    * keys whose cross-engine ulp could flip a rank).
+    *
+    * This is the epoch-mixing primitive "sample documents proportional
+    * to quality/length for this epoch's budget of k": unlike
+    * A-ES/exponential-key sampling it is integer-exact, and unlike
+    * independent draws its copy counts never drift from k.
+    *
+    * Scale shape: the global offsets come from [[PackingOps]]' two-pass
+    * prefix scan (driver holds one row per partition), and pick counts
+    * are a CLOSED-FORM projection on the offset frame — no positions
+    * join, no per-row × per-pick work:
+    * `n_copies = c(before + w) − c(before)` where `c(x)` counts picks
+    * below `x` (#odd o ≤ (2kx−1) div W, capped at k).
+    *
+    * Output: `(idCol, weight, cum_before, n_copies)` for rows with
+    * `n_copies > 0`, ordered by id.  Rows with weight ≤ 0 are
+    * excluded (a zero-width span can't contain a pick).
+    */
+  def weightedSystematicSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(k > 0, s"weightedSystematicSample: k=$k")
+    val offsets = PackingOps.withGlobalOffset(
+      df.where(col(weightCol).cast("long") > 0), idCol, weightCol,
+      numPartitions)
+    val w = offsets.agg(sum("tok")).head().getLong(0)
+    require(w > 0, "weightedSystematicSample: total weight is 0")
+    require(w <= Long.MaxValue / (2L * k),
+      s"weightedSystematicSample: 2k·W overflows 63 bits (W=$w, k=$k) — " +
+        "rescale weights to coarser units (e.g. KB instead of chars)")
+    // c(x) = #picks at positions < x = #odd o ≤ (2kx−1) div W, capped
+    // at k; all operands nonnegative, so DIV (truncating) == floor and
+    // matches any engine's integer division
+    def picksBelow(x: String): String =
+      s"(CASE WHEN $x = 0 THEN 0L ELSE " +
+        s"least(CAST($k AS BIGINT), (($x * ${2L * k}L - 1L) DIV ${w}L + 1L) DIV 2L) END)"
+    offsets
+      .withColumn("xhi", col("before") + col("tok"))
+      .select(
+        col("id").as(idCol), col("tok").as("weight"),
+        col("before").as("cum_before"),
+        expr(s"${picksBelow("xhi")} - ${picksBelow("before")}").as("n_copies"))
+      .where(col("n_copies") > 0)
+      .orderBy(idCol)
+  }
 }

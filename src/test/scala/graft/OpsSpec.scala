@@ -2382,6 +2382,39 @@ class OpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("maxStrata"))
   }
 
+  test("weighted systematic sample: exact-k copies, serial parity, invariance") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, 1L + (i * 37) % 503))
+    val df = rows.toDF("id", "w")
+    val k = 17
+    val got = SampleOps.weightedSystematicSample(df, "id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // invariant: copy counts total EXACTLY k (independent draws drift)
+    assert(got.map(_._2).sum == k)
+    // serial reference: same grid positions over the same cumsum
+    val totalW = rows.map(_._2).sum
+    val cum = rows.map(_._2).scanLeft(0L)(_ + _).init
+    val picks = (0 until k).map(i => (2L * i + 1) * totalW / (2L * k))
+    val expect = rows.zip(cum).map { case ((id, w), before) =>
+      id -> picks.count(p => p >= before && p < before + w).toLong
+    }.filter(_._2 > 0)
+    assert(got == expect)
+    // a heavy row spanning many grid cells repeats
+    val heavy = (Seq((1L, 10000L)) ++ (2L to 50L).map(i => (i, 1L))).toDF("id", "w")
+    val h = SampleOps.weightedSystematicSample(heavy, "id", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(h.find(_._1 == 1L).get._2 >= 9, h.mkString(","))
+    // partition invariance: the two-pass scan is repartition-proof
+    val rep = SampleOps.weightedSystematicSample(df.repartition(7), "id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(rep == got)
+    // zero-weight rows can't be drawn
+    val wz = (Seq((1L, 0L), (2L, 5L))).toDF("id", "w")
+    val z = SampleOps.weightedSystematicSample(wz, "id", "w", 3)
+      .collect().map(_.getLong(0))
+    assert(z.forall(_ == 2L))
+  }
+
   test("per-group top-k tokens: deterministic rank within each group") {
     import spark.implicits._
     val df = Seq(
