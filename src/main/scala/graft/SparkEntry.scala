@@ -309,6 +309,41 @@ object SparkEntry {
     // exact harmonic sum, textually identical estimate doubles
     "q_hll_distinct" -> OracleHll.hllDistinctSql,
     "q_hll_merged" -> OracleHll.hllMergedSql,
+    // HDR quantile sketch replay: the same pure-integer bucket index
+    // (top b+1 significant bits), register counts, cumulative walk,
+    // and bucket lower bound — the 'ALL' scope is the merged shard
+    // pair on the Spark side, direct here (count-sum merge law)
+    "q_hdr_quantiles" ->
+      """WITH v AS (
+        |  SELECT source AS scope, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'ALL' AS scope, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), ix AS (
+        |  SELECT scope, CASE WHEN v < 64 THEN v
+        |    ELSE (length(printf('%b', v)) - 6) * 64
+        |         + (v >> (length(printf('%b', v)) - 7)) - 64 END AS idx
+        |  FROM v
+        |), regs AS (
+        |  SELECT scope, idx, count(*) AS cnt FROM ix GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT scope, idx, cnt,
+        |         sum(cnt) OVER (PARTITION BY scope ORDER BY idx) AS cum,
+        |         sum(cnt) OVER (PARTITION BY scope) AS n
+        |  FROM regs
+        |), sel AS (
+        |  SELECT c.scope, qq.q, c.idx, c.n
+        |  FROM cum c CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+        |    (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) qq(q)
+        |  WHERE c.cum >= ceil(qq.q * c.n) AND c.cum - c.cnt < ceil(qq.q * c.n)
+        |)
+        |SELECT scope, q,
+        |       CAST(CASE WHEN idx < 64 THEN idx
+        |            ELSE (64 + idx % 64) << (idx // 64 - 1) END AS BIGINT)
+        |         AS est_value,
+        |       CAST(n AS BIGINT) AS n
+        |FROM sel ORDER BY scope, q""".stripMargin,
     // weighted systematic sample: one window cumsum + the same
     // closed-form integer pick count (all operands nonnegative, so
     // DuckDB's floor // == Spark's truncating DIV)
@@ -3665,6 +3700,23 @@ object SparkEntry {
             emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_hdr_quantiles" -> { (s, dir) =>
+        // mergeable quantile telemetry: per-source doc-length p50/p90/
+        // p99 from HDR registers; the ALL scope is hdrMerge of the
+        // even/odd doc_id shards — count-sum merge law end-to-end
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val perSrc = SketchOps.hdrRegisters(
+          docs.select(col("source").as("scope"), col("n_chars")),
+          Seq("scope"), "n_chars", b = 6)
+        def shard(par: Int) = SketchOps.hdrRegisters(
+          docs.where(pmod(col("doc_id"), lit(2)) === par)
+            .select(lit("ALL").as("scope"), col("n_chars")),
+          Seq("scope"), "n_chars", b = 6)
+        val all = SketchOps.hdrMerge(shard(0), shard(1), Seq("scope"))
+        SketchOps.hdrQuantiles(perSrc.unionByName(all), Seq("scope"),
+            b = 6, qs = Seq(0.5, 0.9, 0.99))
+          .orderBy("scope", "q")
       },
       "q_weighted_sample" -> { (s, dir) =>
         // deterministic weighted systematic draw: k=100 picks across

@@ -137,4 +137,102 @@ object SketchOps {
       df: DataFrame, groupCols: Seq[String], keyCol: String,
       p: Int): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, keyCol, p), groupCols, p)
+
+  // ---------------------------------------------------------------
+  // HDR-histogram quantile sketch — the quantile peer of the HLL
+  // family.  DDSketch-style log buckets would put a value on a bucket
+  // EDGE differently per engine (ln is a float); this indexing is pure
+  // integer bit arithmetic, so registers are bit-identical everywhere:
+  //
+  //   v < 2^b            → idx = v                      (exact)
+  //   v ≥ 2^b, L bits    → idx = (L−b)·2^b + (v >> (L−b−1)) − 2^b
+  //
+  // i.e. keep the top b+1 significant bits.  Bucket width 2^(L−b−1)
+  // over a lower bound ≥ 2^(L−1) gives relative error ≤ 2^−b (~3% at
+  // b=5, ~0.1% at b=10).  Registers are (group, idx, cnt): mergeable
+  // by plain count-sum, ≤ (64−b)·2^b rows per group no matter the
+  // data, and a quantile is a cumulative walk over the tiny register
+  // frame — the 100 TB percentile-telemetry primitive (doc-length /
+  // score distributions per source per day, merged on demand) without
+  // re-scanning anything.
+  // ---------------------------------------------------------------
+
+  private def requireB(b: Int): Unit =
+    require(b >= 2 && b <= 16, s"HDR sub-bucket bits b=$b outside [2,16]")
+
+  /** Per-group HDR register table `(groupCols…, idx INT, cnt BIGINT)`
+    * over a nonnegative integral `valueCol` (nulls dropped; a negative
+    * value fails fast — silent clamping would skew every quantile).
+    */
+  def hdrRegisters(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int): DataFrame = {
+    requireB(b)
+    val base = 1 << b
+    val v = "cast(" +
+      s"case when $valueCol < 0 then raise_error('hdrRegisters: negative value') " +
+      s"else $valueCol end as bigint)"
+    // L = bit length of v (v > 0); bin() has no leading zeros
+    val idx = s"cast(case when $v < $base then $v else " +
+      s"(length(bin($v)) - $b) * $base + shiftright($v, length(bin($v)) - $b - 1) - $base " +
+      s"end as int)"
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ expr(idx).as("idx"): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Lossless register merge (counts add). */
+  def hdrMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Bucket lower bound for an index — the sketch's value estimate
+    * (taking the lower bound, not the midpoint, keeps the estimate an
+    * ACHIEVED value bound: est ≤ true quantile < est·(1+2^−b)).
+    */
+  private def hdrLowerBound(b: Int): String = {
+    val base = 1 << b
+    s"case when idx < $base then cast(idx as bigint) " +
+      s"else shiftleft(cast($base + idx % $base as bigint), idx div $base - 1) end"
+  }
+
+  /** Quantile estimates per group from a register table:
+    * `(groupCols…, q DOUBLE, est_value BIGINT, n BIGINT)` — for each
+    * requested quantile, the lower bound of the bucket holding rank
+    * `ceil(q·n)` (rank-1-indexed; q=1.0 → max bucket).  One window
+    * over the register frame (≤ (64−b)·2^b rows per group).
+    */
+  def hdrQuantiles(
+      regs: DataFrame, groupCols: Seq[String], b: Int,
+      qs: Seq[Double]): DataFrame = {
+    requireB(b)
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("idx")
+    val cum = regs
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+    val qdf = {
+      val sp = regs.sparkSession
+      import sp.implicits._
+      qs.toDF("q")
+    }
+    // first bucket whose cumulative count reaches rank ceil(q·n)
+    cum.crossJoin(broadcast(qdf))
+      .where(col("cum") >= ceil(col("q") * col("n")) &&
+        (col("cum") - col("cnt")) < ceil(col("q") * col("n")))
+      .select(
+        groupCols.map(col) :+ col("q") :+
+          expr(hdrLowerBound(b)).as("est_value") :+ col("n"): _*)
+  }
+
+  /** One-call convenience: registers + quantiles. */
+  def hdrQuantilesOf(
+      df: DataFrame, groupCols: Seq[String], valueCol: String, b: Int,
+      qs: Seq[Double]): DataFrame =
+    hdrQuantiles(hdrRegisters(df, groupCols, valueCol, b), groupCols, b, qs)
 }

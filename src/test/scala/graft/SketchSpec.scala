@@ -72,4 +72,64 @@ class SketchSpec extends AnyFunSuite {
     val row = SketchOps.hllDistinct(big, Seq("g"), "k", p = 12).head()
     assert(row.getLong(1) == 4096L, "expected all buckets used at n=100k")
   }
+
+  /** Scalar reference for the HDR index: top b+1 significant bits. */
+  private def hdrIdx(v: Long, b: Int): Int = {
+    val base = 1 << b
+    if (v < base) v.toInt
+    else {
+      val l = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      ((l - b) * base + (v >> (l - b - 1)) - base).toInt
+    }
+  }
+
+  test("HDR index matches the scalar reference and bounds relative error") {
+    val vals = Seq(0L, 1L, 63L, 64L, 65L, 127L, 128L, 1000L, 65535L,
+      65536L, (1L << 40) + 12345L, Long.MaxValue / 3)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val regs = SketchOps.hdrRegisters(df, Seq("g"), "v", b = 6)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val expect = vals.groupBy(hdrIdx(_, 6)).map { case (i, vs) => i -> vs.size.toLong }
+    assert(regs == expect)
+    // lower bound ≤ v < lower bound · (1 + 2^-b) for every value
+    vals.filter(_ > 0).foreach { v =>
+      val i = hdrIdx(v, 6)
+      val lo = if (i < 64) i.toLong else (64L + i % 64) << (i / 64 - 1)
+      assert(lo <= v && (v - lo).toDouble / lo.max(1L) <= 1.0 / 64 + 1e-12,
+        s"v=$v idx=$i lo=$lo")
+    }
+  }
+
+  test("HDR quantiles: within one bucket of exact, merge law, invariance") {
+    val vals = (1 to 5000).map(i => ("g", ((i.toLong * 2654435761L) % 100000L) + 1))
+    val df = vals.toDF("g", "v")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = SketchOps.hdrQuantilesOf(df, Seq("g"), "v", b = 6, qs)
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    val sorted = vals.map(_._2).sorted
+    qs.foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      val lo = est(q)
+      assert(lo <= exact && exact < math.ceil(lo * (1.0 + 1.0 / 64)).toLong + 1,
+        s"q=$q est=$lo exact=$exact")
+    }
+    // merge law: shard registers + count-sum == direct registers
+    val (a, bb) = vals.splitAt(2000)
+    val merged = SketchOps.hdrMerge(
+      SketchOps.hdrRegisters(a.toDF("g", "v"), Seq("g"), "v", 6),
+      SketchOps.hdrRegisters(bb.toDF("g", "v"), Seq("g"), "v", 6), Seq("g"))
+    val direct = SketchOps.hdrRegisters(df, Seq("g"), "v", 6)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    // repartition invariance
+    val rep = SketchOps.hdrQuantilesOf(df.toDF("g", "v").repartition(9),
+      Seq("g"), "v", 6, qs).collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert(rep == est)
+    // negative values fail fast instead of silently skewing
+    val err = intercept[Exception] {
+      SketchOps.hdrRegisters(Seq(("g", -1L)).toDF("g", "v"), Seq("g"), "v", 6)
+        .collect()
+    }
+    assert(err.getMessage.contains("negative") ||
+      err.getCause != null && err.getCause.getMessage.contains("negative"))
+  }
 }
