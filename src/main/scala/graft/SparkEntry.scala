@@ -309,6 +309,46 @@ object SparkEntry {
     // exact harmonic sum, textually identical estimate doubles
     "q_hll_distinct" -> OracleHll.hllDistinctSql,
     "q_hll_merged" -> OracleHll.hllMergedSql,
+    // CMS replay: same Kirsch–Mitzenmacher buckets from the XXH64
+    // replay (h1 = hu mod 2^32; h2 = high half forced odd — `|1` on a
+    // nonnegative is (x//2)*2+1), same register sums and min-walk
+    "q_cms_topk" -> {
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+         |           x -> x <> '')) AS token
+         |  FROM documents
+         |), ex AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS exact
+         |  FROM tok GROUP BY token
+         |), vocab AS (
+         |  SELECT DISTINCT token AS s0 FROM tok
+         |), ${OracleXxh64.xxh64Cte("vocab", Nil, sCol = "s0")}, hv AS (
+         |  SELECT s, CAST(h AS HUGEINT) + CASE WHEN h < 0
+         |         THEN 18446744073709551616 ELSE 0 END AS hu
+         |  FROM xx_out
+         |), hb AS (
+         |  SELECT s, hu % 4294967296 AS h1,
+         |         ((hu // 4294967296) // 2) * 2 + 1 AS h2
+         |  FROM hv
+         |), bk AS (
+         |  SELECT s, i.i AS rw,
+         |         CAST((h1 + i.i * h2) % 1024 AS BIGINT) AS bucket
+         |  FROM hb, (SELECT unnest(range(4)) AS i) i
+         |), regs AS (
+         |  SELECT b.rw, b.bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok t JOIN bk b ON t.token = b.s
+         |  GROUP BY 1, 2
+         |), top AS (
+         |  SELECT token, exact FROM ex
+         |  ORDER BY exact DESC, token ASC LIMIT 10
+         |)
+         |SELECT t.token, t.exact,
+         |       CAST(min(coalesce(r.cnt, 0)) AS BIGINT) AS est
+         |FROM top t JOIN bk b ON b.s = t.token
+         |LEFT JOIN regs r ON r.rw = b.rw AND r.bucket = b.bucket
+         |GROUP BY 1, 2
+         |ORDER BY token""".stripMargin
+    },
     // HDR quantile sketch replay: the same pure-integer bucket index
     // (top b+1 significant bits), register counts, cumulative walk,
     // and bucket lower bound — the 'ALL' scope is the merged shard
@@ -3700,6 +3740,22 @@ object SparkEntry {
             emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_cms_topk" -> { (s, dir) =>
+        // frequency telemetry: CMS estimates for the exact top-10
+        // tokens ride next to their true counts, so the oracle pins
+        // the never-underestimate guarantee row by row
+        val toks = s.read.parquet(s"$dir/documents.parquet")
+          .select(lit("g").as("scope"),
+            explode(TextOps.tokens(col("text"))).as("token"))
+        val regs = SketchOps.cmsRegisters(toks, Seq("scope"), "token",
+          d = 4, p = 10)
+        val exact = toks.groupBy("scope", "token")
+          .agg(count(lit(1)).as("exact"))
+        val top = exact.orderBy(col("exact").desc, col("token").asc).limit(10)
+        SketchOps.cmsLookup(regs, Seq("scope"), top, "token", d = 4, p = 10)
+          .select(col("token"), col("exact"), col("est"))
+          .orderBy("token")
       },
       "q_hdr_quantiles" -> { (s, dir) =>
         // mergeable quantile telemetry: per-source doc-length p50/p90/

@@ -235,4 +235,78 @@ object SketchOps {
       df: DataFrame, groupCols: Seq[String], valueCol: String, b: Int,
       qs: Seq[Double]): DataFrame =
     hdrQuantiles(hdrRegisters(df, groupCols, valueCol, b), groupCols, b, qs)
+
+  // ---------------------------------------------------------------
+  // Count-Min frequency sketch — the frequency peer: "how often does
+  // key X occur per source/day" answered from a d×2^p integer table
+  // instead of a full wordcount, with the same plain-DataFrame /
+  // merge-by-sum discipline as the HLL and HDR families.  The d row
+  // hashes derive from ONE xxhash64 via Kirsch–Mitzenmacher double
+  // hashing (g_i = h1 + i·h2 mod w, h2 forced odd so it is a unit mod
+  // the power-of-two w) — bit-deterministic and foreign-engine
+  // replayable, unlike seeding a hash d times (Spark's xxhash64 seed
+  // is fixed).  Estimates are the classic min over rows: never under
+  // the true count, over by ≤ 2N/w with probability 1−2^−d per query.
+  // ---------------------------------------------------------------
+
+  private def requireDp(d: Int, p: Int): Unit = {
+    require(d >= 1 && d <= 8, s"CMS depth d=$d outside [1,8]")
+    require(p >= 4 && p <= 20, s"CMS width bits p=$p outside [4,20]")
+  }
+
+  /** The d bucket columns for a key expression (w = 2^p). */
+  private def cmsBuckets(key: Column, d: Int, p: Int): Seq[Column] = {
+    val h = xxhash64(key)
+    val h1 = h.bitwiseAND(lit(0xFFFFFFFFL))
+    val h2 = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
+    (0 until d).map(i => (h1 + lit(i.toLong) * h2).bitwiseAND(lit((1L << p) - 1L)))
+  }
+
+  /** Per-group CMS register table `(groupCols…, row INT, bucket INT,
+    * cnt BIGINT)` counting occurrences of `keyCol` (cast to string,
+    * nulls dropped).  ≤ d·2^p rows per group.
+    */
+  def cmsRegisters(
+      df: DataFrame, groupCols: Seq[String], keyCol: String,
+      d: Int = 4, p: Int = 10): DataFrame = {
+    requireDp(d, p)
+    val key = col(keyCol).cast("string")
+    df.where(key.isNotNull)
+      .select(groupCols.map(col) :+
+        posexplode(array(cmsBuckets(key, d, p): _*)).as(Seq("row", "bucket")): _*)
+      .groupBy((groupCols :+ "row" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("row", col("row").cast("int"))
+      .withColumn("bucket", col("bucket").cast("int"))
+  }
+
+  /** Lossless register merge (counts add). */
+  def cmsMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "row" :+ "bucket").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Point estimates: for each row of `keys` (carrying `groupCols` and
+    * `keyCol`), the CMS estimate `min_i regs[i, g_i(key)]` — appended
+    * as `est` (BIGINT, ≥ the true count).  The keys frame is expected
+    * small (a watchlist / top-k probe) and is broadcast against the
+    * register table; an absent register cell counts as 0.
+    */
+  def cmsLookup(
+      regs: DataFrame, groupCols: Seq[String], keys: DataFrame,
+      keyCol: String, d: Int = 4, p: Int = 10): DataFrame = {
+    requireDp(d, p)
+    val key = col(keyCol).cast("string")
+    val probes = keys
+      .select(keys.columns.map(col) :+
+        posexplode(array(cmsBuckets(key, d, p): _*)).as(Seq("row", "bucket")): _*)
+      .withColumn("row", col("row").cast("int"))
+      .withColumn("bucket", col("bucket").cast("int"))
+    // the register table is the broadcastable side (≤ d·2^p rows per
+    // group); Spark cannot broadcast the preserved side of a left join
+    val joinCols = groupCols ++ Seq("row", "bucket")
+    probes.join(broadcast(regs), joinCols, "left")
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -132,4 +132,42 @@ class SketchSpec extends AnyFunSuite {
     assert(err.getMessage.contains("negative") ||
       err.getCause != null && err.getCause.getMessage.contains("negative"))
   }
+
+  test("CMS: never underestimates, bounded overestimate, merge law, invariance") {
+    // zipf-ish: key j occurs ~40000/j times over 1000 distinct keys
+    val occs = (1 to 1000).flatMap(j =>
+      Seq.fill(40000 / (j * j) max 1)(("g", s"key-$j")))
+    val df = occs.toDF("g", "k")
+    val n = occs.size
+    val regs = SketchOps.cmsRegisters(df, Seq("g"), "k", d = 4, p = 10)
+    val exact = occs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val probe = exact.keys.toSeq.map(("g", _)).toDF("g", "k")
+    val est = SketchOps.cmsLookup(regs, Seq("g"), probe, "k", d = 4, p = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k underestimated: ${est(k)} < $c")
+      // classic bound: err ≤ 2N/w with prob 1-2^-d per key; allow 4N/w
+      assert(est(k) - c <= 4L * n / 1024,
+        s"$k overestimate ${est(k) - c} > ${4L * n / 1024}")
+    }
+    // merge law: shard registers + count-sum == direct
+    val (a, b) = occs.splitAt(n / 2)
+    val merged = SketchOps.cmsMerge(
+      SketchOps.cmsRegisters(a.toDF("g", "k"), Seq("g"), "k"),
+      SketchOps.cmsRegisters(b.toDF("g", "k"), Seq("g"), "k"), Seq("g"))
+    val direct = SketchOps.cmsRegisters(df, Seq("g"), "k")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    // repartition invariance
+    val rep = SketchOps.cmsLookup(
+      SketchOps.cmsRegisters(df.repartition(11), Seq("g"), "k"),
+      Seq("g"), probe, "k")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rep == est)
+    // an unseen key reads 0 unless every row collides (it must never
+    // read negative or null)
+    val miss = SketchOps.cmsLookup(regs, Seq("g"),
+      Seq(("g", "never-seen-key-xyz")).toDF("g", "k"), "k")
+      .head().getLong(2)
+    assert(miss >= 0L && miss <= 4L * n / 1024)
+  }
 }
