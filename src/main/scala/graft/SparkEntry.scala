@@ -308,6 +308,10 @@ object SparkEntry {
     // HLL sketch replays (OracleHll): same xxhash64 registers, same
     // exact harmonic sum, textually identical estimate doubles
     "q_hll_distinct" -> OracleHll.hllDistinctSql,
+    // the incremental (persisted-store) flavor must equal the direct
+    // build exactly — one oracle text for both, the phrase-search
+    // two-flavor pattern
+    "q_incr_hll" -> OracleHll.hllDistinctSql,
     "q_hll_merged" -> OracleHll.hllMergedSql,
     // CMS replay: same Kirsch–Mitzenmacher buckets from the XXH64
     // replay (h1 = hu mod 2^32; h2 = high half forced odd — `|1` on a
@@ -3740,6 +3744,39 @@ object SparkEntry {
             emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_incr_hll" -> { (s, dir) =>
+        // incremental cardinality telemetry: batch-1 registers persist
+        // as a tiny parquet store (BuildOnce, untimed), each later
+        // ingest absorbs via hllMerge — estimate equals the
+        // whole-corpus build exactly (lossless merge), so this shares
+        // q_hll_distinct's oracle verbatim
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        def shingled(part: DataFrame) = part.select(
+          col("source").as("scope"),
+          explode(DedupOps.shingles(col("text"))).as("sh"))
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val store = s"/tmp/graft-hll-store/$key"
+        BuildOnce.once(s"hll-store|$store") {
+          SketchOps.hllRegisters(
+              shingled(docs.filter(col("doc_id") < 250)), Seq("scope"), "sh",
+              p = 10)
+            .write.mode("overwrite").parquet(store)
+        }
+        val merged = SketchOps.hllMerge(
+          s.read.parquet(store),
+          SketchOps.hllRegisters(
+            shingled(docs.filter(col("doc_id") >= 250)), Seq("scope"), "sh",
+            p = 10),
+          Seq("scope"))
+        val sh = shingled(docs)
+        SketchOps.hllEstimate(merged, Seq("scope"), p = 10)
+          .join(sh.groupBy("scope")
+            .agg(countDistinct("sh").as("exact_distinct")), "scope")
+          .select(col("scope"), col("buckets_used"), col("est_distinct"),
+            col("exact_distinct"))
+          .orderBy("scope")
       },
       "q_cms_topk" -> { (s, dir) =>
         // frequency telemetry: CMS estimates for the exact top-10

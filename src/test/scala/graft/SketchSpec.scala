@@ -170,4 +170,23 @@ class SketchSpec extends AnyFunSuite {
       .head().getLong(2)
     assert(miss >= 0L && miss <= 4L * n / 1024)
   }
+
+  test("streaming HLL registers converge to the batch registers") {
+    // the register op is a plain groupBy/max, so the SAME code runs on
+    // a stream in complete mode — cardinality telemetry over a firehose
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = (1 to 9000).map(i => (s"g${i % 2}", s"key-${i % 3301}"))
+    val stream = MemoryStream[(String, String)]
+    val name = s"hll_stream_${System.nanoTime()}"
+    val q = SketchOps.hllRegisters(
+        stream.toDF().toDF("g", "k"), Seq("g"), "k", p = 10)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    data.grouped(3000).foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table(name)
+    val batch = SketchOps.hllRegisters(data.toDF("g", "k"), Seq("g"), "k", p = 10)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
