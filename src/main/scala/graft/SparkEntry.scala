@@ -313,6 +313,64 @@ object SparkEntry {
     // two-flavor pattern
     "q_incr_hll" -> OracleHll.hllDistinctSql,
     "q_hll_merged" -> OracleHll.hllMergedSql,
+    // KMV replay: same signed-hash k-minimum registers (row_number
+    // trim), theta normalization, below-theta intersection walk, and
+    // exact set intersection from the same distinct (scope, shingle)s
+    "q_kmv_overlap" -> {
+      val norm = (h: String) =>
+        s"CAST($h AS DOUBLE) / 18446744073709551616.0 + 0.5 + " +
+          "1.0 / 18446744073709551616.0"
+      s"""WITH t AS (
+         |  SELECT source,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+         |), shing AS (
+         |  SELECT source,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(toks) - 2, 1) + 1),
+         |           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         |  FROM t
+         |), docc AS (
+         |  SELECT DISTINCT source AS scope, unnest(sh) AS s FROM shing
+         |), vocab AS (
+         |  SELECT DISTINCT s AS s0 FROM docc
+         |), ${OracleXxh64.xxh64Cte("vocab", Nil, sCol = "s0")}, hs AS (
+         |  SELECT DISTINCT scope, h FROM docc JOIN xx_out USING (s)
+         |), regs AS (
+         |  SELECT scope, h,
+         |         row_number() OVER (PARTITION BY scope ORDER BY h) AS rank
+         |  FROM hs QUALIFY rank <= 256
+         |), th AS (
+         |  SELECT scope,
+         |         CASE WHEN count(*) < 256 THEN CAST(1.0 AS DOUBLE)
+         |              ELSE ${norm("max(h)")} END AS theta
+         |  FROM regs GROUP BY scope
+         |), pairs AS (
+         |  SELECT a.scope AS scope_a, b.scope AS scope_b,
+         |         least(a.theta, b.theta) AS theta_min
+         |  FROM th a JOIN th b ON a.scope < b.scope
+         |), common AS (
+         |  SELECT ra.scope AS scope_a, rb.scope AS scope_b,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM regs ra JOIN regs rb ON ra.h = rb.h AND ra.scope < rb.scope
+         |  JOIN pairs p ON p.scope_a = ra.scope AND p.scope_b = rb.scope
+         |  WHERE ${norm("ra.h")} < p.theta_min
+         |  GROUP BY 1, 2
+         |), ex AS (
+         |  SELECT a.scope AS scope_a, b.scope AS scope_b,
+         |         CAST(count(*) AS BIGINT) AS exact_inter
+         |  FROM docc a JOIN docc b ON a.s = b.s AND a.scope < b.scope
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.scope_a, p.scope_b,
+         |       coalesce(c.n_common, 0) AS n_common,
+         |       CAST(coalesce(c.n_common, 0) AS DOUBLE) / p.theta_min AS est_inter,
+         |       coalesce(e.exact_inter, 0) AS exact_inter
+         |FROM pairs p
+         |LEFT JOIN common c USING (scope_a, scope_b)
+         |LEFT JOIN ex e USING (scope_a, scope_b)
+         |ORDER BY scope_a, scope_b""".stripMargin
+    },
     // CMS replay: same Kirsch–Mitzenmacher buckets from the XXH64
     // replay (h1 = hu mod 2^32; h2 = high half forced odd — `|1` on a
     // nonnegative is (x//2)*2+1), same register sums and min-walk
@@ -3744,6 +3802,30 @@ object SparkEntry {
             emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_kmv_overlap" -> { (s, dir) =>
+        // set-operation sketch: pairwise source overlap estimated from
+        // k=256 KMV registers (~KB per source) next to the exact
+        // intersection — the scale path for q_source_overlap's exact
+        // gram-join form
+        val sh = s.read.parquet(s"$dir/documents.parquet")
+          .where(col("source").isin("src0", "src1", "src2", "src3"))
+          .select(col("source").as("scope"),
+            explode(DedupOps.shingles(col("text"))).as("sh"))
+        val est = SketchOps.kmvOverlap(
+          SketchOps.kmvRegisters(sh, Seq("scope"), "sh", k = 256),
+          "scope", k = 256)
+        val dsh = sh.distinct()
+        val exact = dsh.select(col("scope").as("scope_a"), col("sh"))
+          .join(dsh.select(col("scope").as("scope_b"), col("sh")), "sh")
+          .where(col("scope_a") < col("scope_b"))
+          .groupBy("scope_a", "scope_b")
+          .agg(count(lit(1)).as("exact_inter"))
+        est.join(exact, Seq("scope_a", "scope_b"), "left")
+          .select(col("scope_a"), col("scope_b"), col("n_common"),
+            col("est_inter"),
+            coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+          .orderBy("scope_a", "scope_b")
       },
       "q_incr_hll" -> { (s, dir) =>
         // incremental cardinality telemetry: batch-1 registers persist

@@ -309,4 +309,119 @@ object SketchOps {
       .groupBy(keys.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ---------------------------------------------------------------
+  // KMV (k-minimum-values / theta) sketch — SET OPERATIONS, which HLL
+  // registers fundamentally cannot do: an HLL bucket max tells you
+  // nothing about which elements two sketches share, while the k
+  // smallest hash values of a set are a uniform SAMPLE of it.  Keep
+  // the k smallest distinct signed xxhash64 values per group (signed
+  // order is unsigned order shifted — still uniform, and both engines
+  // sort it identically); then
+  //   distinct(A)   = (k−1)/u_k            (u_k = normalized k-th min)
+  //   |A ∩ B|       = |S_A ∩ S_B below θ| / θ,   θ = min(u_A, u_B)
+  // Registers are k rows per group, merge = union-distinct + re-trim
+  // (associative), and every estimate is arithmetic on stored hashes —
+  // foreign-engine replayable.  The 100 TB story: pairwise source
+  // overlap from ~KB register tables instead of a gram-set join over
+  // the corpus (q_source_overlap's exact form).
+  // ---------------------------------------------------------------
+
+  /** Normalized position of a signed 64-bit hash in [0,1):
+    * `(h + 2^63 + 1) / 2^64` written in overflow-free double form —
+    * the same textual expression the DuckDB oracle evaluates.
+    */
+  private def normSql(h: String): String =
+    s"cast($h as double) / 18446744073709551616.0d + 0.5d + " +
+      "1.0d / 18446744073709551616.0d"
+
+  /** Per-group KMV register table `(groupCols…, rank INT, h BIGINT)` —
+    * the k smallest DISTINCT signed xxhash64 values of `keyCol`.
+    *
+    * Scale shape: distinct-hash shuffle (wordcount-shaped), then a
+    * TWO-stage trim — per (group, hash mod 64) row_number keeps ≤ k
+    * each, so the final per-group window ranks ≤ 64k candidate rows,
+    * never the full distinct set through one task.
+    */
+  def kmvRegisters(
+      df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 16 && k <= 65536, s"KMV k=$k outside [16, 65536]")
+    val key = col(keyCol).cast("string")
+    val hashed = df.where(key.isNotNull)
+      .select(groupCols.map(col) :+ xxhash64(key).as("h"): _*)
+      .distinct()
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupCols :+ "__salt").map(col): _*).orderBy("h")
+    val cand = hashed
+      .withColumn("__salt", pmod(col("h"), lit(64L)))
+      .withColumn("__r", row_number().over(w1))
+      .where(col("__r") <= k)
+      .drop("__salt", "__r")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("h")
+    cand.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(groupCols.map(col) :+ col("rank") :+ col("h"): _*)
+  }
+
+  /** Lossless register merge: union-distinct + re-trim to the k
+    * smallest (associative — `regs(A ∪ B) == merge(regs(A), regs(B))`).
+    */
+  def kmvMerge(
+      a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("h")
+    a.unionByName(b)
+      .select((groupCols :+ "h").map(col): _*).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(groupCols.map(col) :+ col("rank") :+ col("h"): _*)
+  }
+
+  /** Per-group theta stats `(groupCols…, n_kept BIGINT, theta DOUBLE,
+    * est_distinct DOUBLE)`: a group holding fewer than k hashes IS its
+    * full set (theta = 1, estimate exact); otherwise theta is the
+    * normalized k-th minimum and est = (k−1)/theta.
+    */
+  def kmvDistinct(regs: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max("h").as("__hmax"))
+      .withColumn("theta",
+        when(col("n_kept") < k, lit(1.0))
+          .otherwise(expr(normSql("__hmax"))))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("theta")))
+      .drop("__hmax")
+
+  /** Pairwise intersection estimates across the groups of ONE register
+    * table: `(scope_a, scope_b, n_common BIGINT, est_inter DOUBLE)`
+    * for every scope pair a < b.  n_common counts shared hashes with
+    * norm < θ = min(θ_a, θ_b); est = n_common/θ.  All frames are
+    * O(#scopes · k) — broadcast joins, nothing corpus-sized.
+    */
+  def kmvOverlap(regs: DataFrame, scopeCol: String, k: Int): DataFrame = {
+    val stats = kmvDistinct(regs, Seq(scopeCol), k)
+      .select(col(scopeCol).as("scope"), col("theta"))
+    val pairs = stats.select(col("scope").as("scope_a"), col("theta").as("ta"))
+      .crossJoin(broadcast(
+        stats.select(col("scope").as("scope_b"), col("theta").as("tb"))))
+      .where(col("scope_a") < col("scope_b"))
+      .withColumn("theta_min", least(col("ta"), col("tb")))
+    val ra = regs.select(col(scopeCol).as("scope_a"), col("h"))
+    val rb = regs.select(col(scopeCol).as("scope_b"), col("h"))
+    val common = ra.join(broadcast(rb), "h")
+      .where(col("scope_a") < col("scope_b"))
+      .join(broadcast(pairs), Seq("scope_a", "scope_b"))
+      .where(expr(normSql("h")) < col("theta_min"))
+      .groupBy("scope_a", "scope_b")
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(common, Seq("scope_a", "scope_b"), "left")
+      .select(col("scope_a"), col("scope_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") / col("theta_min"))
+          .as("est_inter"))
+  }
 }

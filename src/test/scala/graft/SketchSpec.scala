@@ -171,6 +171,55 @@ class SketchSpec extends AnyFunSuite {
     assert(miss >= 0L && miss <= 4L * n / 1024)
   }
 
+  test("KMV: trim matches serial k-smallest, estimates land, merge law holds") {
+    val keys = (1 to 30000).map(i => ("g", s"elem-$i"))
+    val df = keys.toDF("g", "k")
+    val k = 512
+    val regs = SketchOps.kmvRegisters(df, Seq("g"), "k", k)
+    val got = regs.collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    // serial reference: the k smallest distinct signed hashes
+    val hashes = df.select(xxhash64(col("k"))).collect()
+      .map(_.getLong(0)).distinct.sorted.take(k)
+    assert(got.map(_._2).toSeq == hashes.toSeq)
+    assert(got.map(_._1).toSeq == (1 to k).toSeq)
+    // distinct estimate within 3/sqrt(k) (~13%)
+    val est = SketchOps.kmvDistinct(regs, Seq("g"), k)
+      .select("est_distinct").head().getDouble(0)
+    assert(math.abs(est - 30000) < 3.0 / math.sqrt(k) * 30000, s"est=$est")
+    // under-k group is exact with theta 1
+    val tiny = (1 to 100).map(i => ("t", s"x$i")).toDF("g", "k")
+    val trow = SketchOps.kmvDistinct(
+      SketchOps.kmvRegisters(tiny, Seq("g"), "k", k), Seq("g"), k).head()
+    assert(trow.getLong(1) == 100L && trow.getDouble(3) == 100.0)
+    // merge law
+    val (a, b) = keys.splitAt(11000)
+    val merged = SketchOps.kmvMerge(
+      SketchOps.kmvRegisters(a.toDF("g", "k"), Seq("g"), "k", k),
+      SketchOps.kmvRegisters(b.toDF("g", "k"), Seq("g"), "k", k), Seq("g"), k)
+    assert(merged.exceptAll(regs).isEmpty && regs.exceptAll(merged).isEmpty)
+    // repartition invariance
+    val rep = SketchOps.kmvRegisters(df.repartition(13), Seq("g"), "k", k)
+    assert(rep.exceptAll(regs).isEmpty && regs.exceptAll(rep).isEmpty)
+  }
+
+  test("KMV overlap estimates a known intersection") {
+    // A = 1..20000, B = 15001..35000 → |A ∩ B| = 5000 of 20000 each
+    val occ = ((1 to 20000).map(i => ("A", s"e$i")) ++
+      (15001 to 35000).map(i => ("B", s"e$i"))).toDF("scope", "k")
+    val k = 1024
+    val regs = SketchOps.kmvRegisters(occ, Seq("scope"), "k", k)
+    val row = SketchOps.kmvOverlap(regs, "scope", k).head()
+    val est = row.getDouble(3)
+    // n_common ≈ k·|A∩B|/|A∪B| ≈ 146; rse ~ 1/√146 ≈ 8% — allow 4σ
+    assert(math.abs(est - 5000) < 0.35 * 5000, s"est_inter=$est")
+    // disjoint scopes estimate 0
+    val disj = ((1 to 5000).map(i => ("A", s"a$i")) ++
+      (1 to 5000).map(i => ("B", s"b$i"))).toDF("scope", "k")
+    val d = SketchOps.kmvOverlap(
+      SketchOps.kmvRegisters(disj, Seq("scope"), "k", k), "scope", k).head()
+    assert(d.getLong(2) == 0L && d.getDouble(3) == 0.0)
+  }
+
   test("streaming HLL registers converge to the batch registers") {
     // the register op is a plain groupBy/max, so the SAME code runs on
     // a stream in complete mode — cardinality telemetry over a firehose
