@@ -313,6 +313,44 @@ object SparkEntry {
     // two-flavor pattern
     "q_incr_hll" -> OracleHll.hllDistinctSql,
     "q_hll_merged" -> OracleHll.hllMergedSql,
+    // sorted-neighborhood linkage replay: same deterministic dirty
+    // keys, same (s, kind, id) sort rank, window-5 candidates (range
+    // form here, offset equi-joins in Spark — identical pair set),
+    // same Levenshtein verify
+    "q_fuzzy_link" ->
+      """WITH cl AS (
+        |  SELECT doc_id AS id, substr(text, 1, 48) AS s, 'c' AS kind
+        |  FROM documents WHERE length(text) >= 48
+        |), dt AS (
+        |  SELECT id,
+        |         substr(s2, 1, p - 1) || substr(s2, p + 1, 100) AS s,
+        |         'd' AS kind
+        |  FROM (SELECT doc_id AS id, substr(text, 1, 48) AS s2,
+        |               CAST(doc_id % 20 + 1 AS INT) AS p
+        |        FROM documents WHERE length(text) >= 48) t
+        |), base AS (
+        |  SELECT * FROM cl UNION ALL SELECT * FROM dt
+        |), uf AS (
+        |  SELECT *, row_number() OVER (ORDER BY s, kind, id) AS rn FROM base
+        |), ur AS (
+        |  SELECT *, row_number() OVER (ORDER BY reverse(s), kind, id) AS rn
+        |  FROM base
+        |), prs AS (
+        |  SELECT a.kind AS ka, a.id AS ia, a.s AS sa,
+        |         b.kind AS kb, b.id AS ib, b.s AS sb
+        |  FROM uf a JOIN uf b ON b.rn - a.rn BETWEEN 1 AND 12
+        |  WHERE a.kind <> b.kind
+        |  UNION ALL
+        |  SELECT a.kind, a.id, a.s, b.kind, b.id, b.s
+        |  FROM ur a JOIN ur b ON b.rn - a.rn BETWEEN 1 AND 12
+        |  WHERE a.kind <> b.kind
+        |)
+        |SELECT DISTINCT
+        |       CASE WHEN ka = 'd' THEN ia ELSE ib END AS dirty_id,
+        |       CASE WHEN ka = 'd' THEN ib ELSE ia END AS clean_id,
+        |       CAST(levenshtein(sa, sb) AS BIGINT) AS lev
+        |FROM prs WHERE levenshtein(sa, sb) <= 3
+        |ORDER BY dirty_id, clean_id""".stripMargin,
     // KMV replay: same signed-hash k-minimum registers (row_number
     // trim), theta normalization, below-theta intersection walk, and
     // exact set intersection from the same distinct (scope, shingle)s
@@ -3802,6 +3840,26 @@ object SparkEntry {
             emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_fuzzy_link" -> { (s, dir) =>
+        // record linkage: deterministic one-char deletions (pos =
+        // doc_id%20+1) over 48-char keys, recovered by sorted-
+        // neighborhood blocking + Levenshtein verify; edits in the
+        // first character move the record out of the window — those
+        // misses are deterministic and replayed by the oracle, not
+        // hidden
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .where(length(col("text")) >= 48)
+        val pre = substring(col("text"), 1, 48)
+        val p = (col("doc_id") % 20 + 1).cast("int")
+        val clean = docs.select(col("doc_id"), pre.as("k"))
+        val dirty = docs.select(col("doc_id"),
+          concat(pre.substr(lit(1), p - 1), pre.substr(p + 1, lit(100))).as("k"))
+        graft.ops.LinkOps.sortedNeighborhoodLink(
+            dirty, clean, "doc_id", "k", window = 12, maxLev = 3,
+            reversePass = true)
+          .withColumn("lev", col("lev").cast("bigint"))
+          .orderBy("dirty_id", "clean_id")
       },
       "q_kmv_overlap" -> { (s, dir) =>
         // set-operation sketch: pairwise source overlap estimated from

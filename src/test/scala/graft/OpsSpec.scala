@@ -2415,6 +2415,43 @@ class OpsSpec extends AnyFunSuite {
     assert(z.forall(_ == 2L))
   }
 
+  test("sorted-neighborhood link: recovers edits, reverse pass catches front edits") {
+    import spark.implicits._
+    // distinct random-ish keys (md5 hex), edits at front/middle/end
+    val clean = (1L to 300L).map(i => (i,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"key-$i".getBytes("UTF-8")).map("%02x".format(_)).mkString))
+    val dirty = clean.map { case (i, s) =>
+      val pos = (i % 3) match {
+        case 0 => 0 // front edit — invisible to the forward pass
+        case 1 => s.length / 2
+        case _ => s.length - 1
+      }
+      (i, s.substring(0, pos) + s.substring(pos + 1))
+    }
+    val linked = LinkOps.sortedNeighborhoodLink(
+      dirty.toDF("id", "k"), clean.toDF("id", "k"), "id", "k",
+      window = 4, maxLev = 2, reversePass = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every dirty record finds its clean original at lev=1, nothing else
+    // (md5 keys are far apart, so no cross-links survive maxLev=2)
+    assert(linked.toSet == clean.map(c => (c._1, c._1, 1)).toSet)
+    // the forward-only pass must MISS the front-edited third
+    val fwdOnly = LinkOps.sortedNeighborhoodLink(
+      dirty.toDF("id", "k"), clean.toDF("id", "k"), "id", "k",
+      window = 4, maxLev = 2, reversePass = false)
+      .collect().map(_.getLong(0)).toSet
+    val frontIds = clean.map(_._1).filter(_ % 3 == 0).toSet
+    // a front edit usually jumps out of the forward window (a few land
+    // adjacent by chance); the reverse pass is what recovers the rest
+    val frontMissed = frontIds.count(!fwdOnly.contains(_))
+    assert(frontMissed >= frontIds.size / 2,
+      s"expected most front edits to defeat forward-only blocking " +
+        s"($frontMissed/${frontIds.size} missed)")
+    assert(clean.map(_._1).filterNot(frontIds).forall(fwdOnly.contains),
+      "middle/end edits must survive the forward pass")
+  }
+
   test("per-group top-k tokens: deterministic rank within each group") {
     import spark.implicits._
     val df = Seq(
