@@ -1420,6 +1420,18 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hopping replay: the same (tus DIV slide − o)·slide start, both
+    // offsets always inside the 2× window when slide divides window
+    "q_events_hopping" ->
+      """SELECT wstart_us, event_type,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+        |FROM (
+        |  SELECT (epoch_us(ts) // 300000000 - o.o) * 300000000 AS wstart_us,
+        |         epoch_us(ts) AS tus, event_type, value
+        |  FROM events, (SELECT unnest(range(2)) AS o) o) x
+        |WHERE tus - wstart_us < 600000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |f AS (SELECT user_id, tus,
@@ -4641,6 +4653,12 @@ object SparkEntry {
       "q_events_window" -> { (s, dir) =>
         StreamingOps.windowedCounts(StreamingOps.readEventsBatch(s, dir))
           .orderBy("bucket5m", "event_type")
+      },
+      "q_events_hopping" -> { (s, dir) =>
+        // 10-min windows every 5 min — each event in 2 overlapping
+        // windows via the integer offset explode
+        StreamingOps.hoppingCounts(StreamingOps.readEventsBatch(s, dir))
+          .orderBy("wstart_us", "event_type")
       },
       "q_events_asof" -> { (s, dir) =>
         // purchase ← most recent prior (or equal-time) view per user:

@@ -170,6 +170,33 @@ object StreamingOps {
         count(lit(1)).as("cnt"),
         sum(floor(col("value") * 1000).cast(LongType)).as("value_millis"))
 
+  /** HOPPING (sliding) windows — `windowUs`-wide, every `slideUs`:
+    * each event lands in `window/slide` overlapping windows, produced
+    * by an integer offset explode over the same µs bucket arithmetic
+    * as [[windowedCounts]] (no `window()` struct, no timestamps — the
+    * epoch-aligned start is `(tus DIV slide − o)·slide`, identical in
+    * any engine).  Fan-out is the window/slide ratio, applied BEFORE
+    * the groupBy so map-side partial aggregation still collapses each
+    * partition to O(windows × types) rows.
+    */
+  def hoppingCounts(
+      events: DataFrame, windowUs: Long = 600000000L,
+      slideUs: Long = 300000000L): DataFrame = {
+    require(windowUs > 0 && slideUs > 0 && windowUs % slideUs == 0,
+      s"hoppingCounts: window $windowUs must be a multiple of slide $slideUs")
+    val nOff = (windowUs / slideUs).toInt
+    events
+      .withColumn("__tus", expr("ts DIV 1000"))
+      .withColumn("__o", explode(array((0 until nOff).map(lit(_)): _*)))
+      .withColumn("wstart_us",
+        expr(s"(__tus DIV ${slideUs}L - __o) * ${slideUs}L"))
+      .where(col("__tus") - col("wstart_us") < windowUs)
+      .groupBy(col("wstart_us"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1000).cast(LongType)).as("value_millis"))
+  }
+
   /** One-shot memory-sink runner shared by the stream test/demo
     * surfaces: runs the frame to completion, materializes the result
     * into a cached DataFrame, and — even on failure — stops the query

@@ -2415,6 +2415,20 @@ class OpsSpec extends AnyFunSuite {
     assert(z.forall(_ == 2L))
   }
 
+  test("hopping windows = sum of the two tumbling buckets they cover") {
+    val ev = StreamingOps.readEventsBatch(spark, sf001)
+    val tumb = StreamingOps.windowedCounts(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hop = StreamingOps.hoppingCounts(ev).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    assert(hop.map(_._2).sum == 2 * ev.count(), "each event must land in 2 windows")
+    hop.foreach { case ((ws, t), c) =>
+      val b = ws / 300000000L
+      assert(c == tumb.getOrElse((b, t), 0L) + tumb.getOrElse((b + 1, t), 0L),
+        s"window $ws/$t: $c")
+    }
+  }
+
   test("sorted-neighborhood link: recovers edits, reverse pass catches front edits") {
     import spark.implicits._
     // distinct random-ish keys (md5 hex), edits at front/middle/end
