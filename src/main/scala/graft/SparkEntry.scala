@@ -313,6 +313,35 @@ object SparkEntry {
     // two-flavor pattern
     "q_incr_hll" -> OracleHll.hllDistinctSql,
     "q_hll_merged" -> OracleHll.hllMergedSql,
+    // MaxSim replay: same cosine tree, per-(qdoc, qvec, doc) max, and
+    // the facet sum folded in explicit qvec order (list ORDER BY +
+    // list_reduce == sort_array + aggregate — identical IEEE chain)
+    "q_maxsim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, vec_id // 8 AS gid,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id, gid, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+        |), q AS (
+        |  SELECT * FROM c WHERE gid < 2
+        |), best AS (
+        |  SELECT q.gid AS qg, q.vec_id AS qv, c.gid AS dg,
+        |         max(list_dot_product(c.v, q.v) / (c.nrm * q.nrm)) AS mc
+        |  FROM c, q GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT qg, dg,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(mc ORDER BY qv)), (a, x) -> a + x) AS maxsim
+        |  FROM best GROUP BY 1, 2
+        |), r AS (
+        |  SELECT qg AS query_group, dg AS doc_group, maxsim,
+        |         CAST(row_number() OVER (PARTITION BY qg
+        |              ORDER BY maxsim DESC, dg) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT query_group, doc_group, maxsim, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_group, rank""".stripMargin,
     // sorted-neighborhood linkage replay: same deterministic dirty
     // keys, same (s, kind, id) sort rank, window-5 candidates (range
     // form here, offset equi-joins in Spark — identical pair set),
@@ -3852,6 +3881,17 @@ object SparkEntry {
             emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_maxsim_topk" -> { (s, dir) =>
+        // late-interaction retrieval: vec_id DIV 8 groups as
+        // multi-vector docs, groups 0-1 as queries
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .withColumn("gid", expr("vec_id DIV 8"))
+        SimilarityOps.maxSimTopK(
+            emb, "gid", "embedding",
+            emb.where(col("gid") < 2), "gid", "vec_id", k = 5)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_group", "rank")
       },
       "q_fuzzy_link" -> { (s, dir) =>
         // record linkage: deterministic one-char deletions (pos =

@@ -1338,4 +1338,52 @@ object SimilarityOps {
         (col("relation") === "neg" && col("rank") <= kNeg))
       .select("anchor_id", "pair_id", "relation", "cosine", "rank")
   }
+
+  /** ColBERT-style LATE-INTERACTION retrieval (MaxSim): documents and
+    * queries are BAGS of vectors (one per token/segment), and
+    * `score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d)` — each query facet
+    * matches its best-supporting doc vector independently, which is
+    * what single-vector cosine (one pooled embedding per doc) cannot
+    * express.
+    *
+    * Shape: query vectors are the broadcast side; the per-(query-doc,
+    * query-vec, doc) max and the per-(query-doc, doc) sum are ordinary
+    * aggregations with map-side combine.  The facet sum folds in
+    * EXPLICIT query-vector order (`sort_array` + `aggregate`) — an
+    * order-free float `sum()` would break the bit-replay discipline
+    * the oracle queries rely on.
+    *
+    * Returns `(query_group, doc_group, maxsim, rank)`, top-k doc
+    * groups per query group.
+    */
+  def maxSimTopK(
+      docVecs: DataFrame, docGroupCol: String, vecCol: String,
+      queryVecs: DataFrame, queryGroupCol: String, queryVecIdCol: String,
+      k: Int = 5): DataFrame = {
+    def prep(df: DataFrame, cols: Seq[(String, String)]) = {
+      val v = transform(col(vecCol), x => x.cast("double"))
+      df.select(cols.map { case (c, a) => col(c).as(a) } :+ v.as("__v"): _*)
+        .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+        .where(col("__n") > 0)
+    }
+    val c = prep(docVecs, Seq(docGroupCol -> "dg"))
+    val q = prep(queryVecs, Seq(queryGroupCol -> "qg", queryVecIdCol -> "qv"))
+      .withColumnRenamed("__v", "__qvv").withColumnRenamed("__n", "__qn")
+    val best = c.crossJoin(broadcast(q))
+      .select(col("qg"), col("qv"), col("dg"),
+        (dot(col("__v"), col("__qvv")) / (col("__n") * col("__qn"))).as("cos"))
+      .groupBy("qg", "qv", "dg")
+      .agg(max("cos").as("mc"))
+    val scored = best
+      .groupBy("qg", "dg")
+      .agg(sort_array(collect_list(struct(col("qv"), col("mc")))).as("__l"))
+      .withColumn("maxsim",
+        expr("aggregate(__l, cast(0.0 as double), (a, x) -> a + x.mc)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qg")).orderBy(col("maxsim").desc, col("dg").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qg").as("query_group"), col("dg").as("doc_group"),
+        col("maxsim"), col("rank"))
+  }
 }

@@ -137,6 +137,40 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("maxSim: self-retrieval at full score, facet-sum reference, invariance") {
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .withColumn("gid", expr("vec_id DIV 8"))
+    val got = SimilarityOps.maxSimTopK(
+      emb, "gid", "embedding", emb.where(col("gid") < 2), "gid", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // each query group retrieves itself at rank 1 with Σ cos(q,q) = |Q|
+    for (g <- Seq(0L, 1L)) {
+      val top = got.filter(x => x._1 == g && x._4 == 1).head
+      assert(top._2 == g && math.abs(top._3 - 8.0) < 1e-9, top)
+    }
+    // serial reference for one (query group, doc group) score
+    val vecs = emb.select("gid", "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val q0 = vecs.filter(_._1 == 0L).sortBy(_._2)
+    val someDoc = got.filter(x => x._1 == 0L && x._4 == 2).head._2
+    val dv = vecs.filter(_._1 == someDoc).map(_._3)
+    val ref = q0.map(q => dv.map(d => cos(d, q._3)).max).sum
+    val gotScore = got.filter(x => x._1 == 0L && x._2 == someDoc).head._3
+    assert(math.abs(gotScore - ref) < 1e-9, s"$gotScore vs $ref")
+    // repartition invariance (ranks; scores are order-pinned by design)
+    val rep = SimilarityOps.maxSimTopK(
+      emb.repartition(7), "gid", "embedding",
+      emb.where(col("gid") < 2), "gid", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rep == got.map(x => (x._1, x._2, x._4)).toSet)
+  }
+
   test("minePairs: relations honest, self excluded, equals the serial reference") {
     val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
     val anchors = emb.filter(col("vec_id") < 4)
