@@ -313,6 +313,9 @@ object SparkEntry {
     // two-flavor pattern
     "q_incr_hll" -> OracleHll.hllDistinctSql,
     "q_hll_merged" -> OracleHll.hllMergedSql,
+    // fixed-point PageRank replay: unrolled iteration CTEs, every
+    // division an integer floor (OraclePageRank)
+    "q_pagerank" -> OraclePageRank.sql(OraclePageRank.nationEdgesSql, iters = 10),
     // MaxSim replay: same cosine tree, per-(qdoc, qvec, doc) max, and
     // the facet sum folded in explicit qvec order (list ORDER BY +
     // list_reduce == sort_array + aggregate — identical IEEE chain)
@@ -3881,6 +3884,22 @@ object SparkEntry {
             emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
+      },
+      "q_pagerank" -> { (s, dir) =>
+        // source-quality ranking on the nation trade graph: 10
+        // fixed-point iterations, bit-identical across engines
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val su = s.read.parquet(s"$dir/supplier.parquet")
+        val edges = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .select(c("c_nationkey").cast("long").as("src"),
+            su("s_nationkey").cast("long").as("dst"))
+          .distinct()
+        graft.ops.GraphOps.pageRankFixedPoint(edges, "src", "dst", iters = 10)
+          .orderBy("node")
       },
       "q_maxsim_topk" -> { (s, dir) =>
         // late-interaction retrieval: vec_id DIV 8 groups as

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking beyond ClusterOps' connected components:
+  * PageRank for source/host QUALITY — the CommonCrawl-era curation
+  * signal ("rank hosts by link structure, keep the reputable tail")
+  * that degree counts alone miss.
+  *
+  * The whole iteration runs in FIXED-POINT integer arithmetic (ranks
+  * are long micro-units of `scale`): float PageRank sums incoming
+  * contributions in shuffle order, which no two engines (or two runs)
+  * replay identically, while long sums are order-free — so 10
+  * iterations later the ranks are STILL bit-identical in Spark and the
+  * DuckDB oracle, per-iteration truncation and all.  Update rule per
+  * iteration (N nodes, damping d = num/den):
+  *
+  *   contrib(v)  = rank(v) DIV outdeg(v)          (per out-edge)
+  *   dangling    = Σ rank(v) over outdeg-0 nodes  (one scalar)
+  *   rank'(u)    = (scale − d·scale/den... spelled exactly as:)
+  *                 (scale DIV N · (den−num)) DIV den
+  *               + (Σ contrib + dangling DIV N) · num DIV den
+  *
+  * Execution shape: edges are the only big table; each iteration is
+  * one join (ranks → edges on src, broadcastable when the node table
+  * is small; co-partitioned on src otherwise) + one groupBy(dst) long
+  * sum with map-side combine.  The rank frame is O(nodes); iterations
+  * persist-rotate like `bpeTrain` so lineage stays flat.
+  */
+object GraphOps {
+
+  /** Fixed-point PageRank over a directed edge list.  Returns
+    * `(node, rank_fp BIGINT, rank DOUBLE)` where rank = rank_fp/scale
+    * and Σ rank_fp ≈ scale·N (conserved up to integer truncation).
+    *
+    * ADAPTIVE like [[ClusterOps]]: an edge list at or below
+    * `collectThreshold` resolves in a driver array loop (every
+    * iteration of a distributed loop costs job-scheduling overhead
+    * that dwarfs the arithmetic on small graphs); larger graphs run
+    * the distributed loop — per iteration one edge⋈rank join + one
+    * `groupBy(dst)` LONG sum with map-side combine, rank frames
+    * persist-rotated.  Both paths run the identical integer update
+    * rule, so they are bit-equal (GraphSpec pins it).
+    *
+    * Self-loops are legal; duplicate edges should be deduped by the
+    * caller if unweighted semantics are intended.
+    */
+  def pageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L,
+      collectThreshold: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"bad iters $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"bad damping $dampNum/$dampDen")
+    // the edge list feeds every iteration — pin it once
+    val e = DedupOps.registerPersist(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull))
+    if (e.count() <= collectThreshold)
+      pageRankDriver(e, iters, dampNum, dampDen, scale)
+    else pageRankDistributed(e, iters, dampNum, dampDen, scale)
+  }
+
+  /** Driver fast path: same update rule on arrays. */
+  private def pageRankDriver(
+      e: DataFrame, iters: Int, dampNum: Long, dampDen: Long,
+      scale: Long): DataFrame = {
+    val rows = e.collect()
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def idOf(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    val es = rows.map(r => (idOf(r.get(0)), idOf(r.get(1))))
+    val n = idx.size.toLong
+    require(n > 0, "pageRankFixedPoint: empty graph")
+    val outdeg = new Array[Long](idx.size)
+    es.foreach { case (s, _) => outdeg(s) += 1 }
+    val teleport = scale / n * (dampDen - dampNum) / dampDen
+    var ranks = Array.fill(idx.size)(scale / n)
+    for (_ <- 1 to iters) {
+      var dangling = 0L
+      var i = 0
+      while (i < ranks.length) {
+        if (outdeg(i) == 0) dangling += ranks(i); i += 1
+      }
+      val inflow = new Array[Long](idx.size)
+      es.foreach { case (s, d) => inflow(d) += ranks(s) / outdeg(s) }
+      val dshare = dangling / n
+      ranks = Array.tabulate(idx.size)(u =>
+        teleport + (inflow(u) + dshare) * dampNum / dampDen)
+    }
+    val spark = e.sparkSession
+    val nodeType = e.schema.head.dataType
+    val out = idx.toSeq.map { case (v, i) =>
+      org.apache.spark.sql.Row(v, ranks(i), ranks(i).toDouble / scale)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("rank_fp",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** Distributed loop: one join + one long-sum groupBy per iteration. */
+  private def pageRankDistributed(
+      e: DataFrame, iters: Int, dampNum: Long, dampDen: Long,
+      scale: Long): DataFrame = {
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val base = DedupOps.registerPersist(
+      nodes.join(outdeg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+    val n = base.count()
+    require(n > 0, "pageRankFixedPoint: empty graph")
+    val teleport = scale / n * (dampDen - dampNum) / dampDen
+    var ranks = DedupOps.registerPersist(
+      base.select(col("node"), col("outdeg"), lit(scale / n).as("rank_fp")))
+    for (_ <- 1 to iters) {
+      val dangling = ranks.where(col("outdeg") === 0)
+        .agg(coalesce(sum("rank_fp"), lit(0L))).head().getLong(0)
+      // integer DIV throughout: Spark's `/` is double division, whose
+      // round-to-nearest can land one above the true floor on large
+      // operands — DIV keeps every iteration exact
+      val contribs = e
+        .join(ranks.select(col("node").as("src"),
+          expr("rank_fp DIV outdeg").as("c")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("inflow"))
+      val next = DedupOps.registerPersist(
+        base.join(contribs, Seq("node"), "left")
+          .select(col("node"), col("outdeg"),
+            expr(s"${teleport}L + (coalesce(inflow, 0L) + ${dangling / n}L) " +
+              s"* ${dampNum}L DIV ${dampDen}L").as("rank_fp")))
+      next.count() // materialize before releasing the previous round
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks.select(col("node"), col("rank_fp"),
+      (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
+  }
+}
