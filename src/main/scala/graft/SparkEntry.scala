@@ -2918,6 +2918,16 @@ object SparkEntry {
        |FROM m WHERE len(starts) > 0 ORDER BY doc_id""".stripMargin
   }
 
+  /** The q_blocklist_match pattern list, single-sourced for the Spark
+    * side and the oracle.  All entries are borderless strings (see the
+    * oracle comment); mixes whole vocabulary words, cross-token
+    * phrases, and intra-token substrings.  Declared BEFORE
+    * [[sharedDocSql]], which interpolates it eagerly.
+    */
+  private[graft] val blockPatterns: Seq[String] = Seq(
+    "spark", "merge", "filter", "dup", "row", "an", "ta",
+    "slow scan", "big table", "key value")
+
   /** Shared-dialect oracles over documents (same text, both engines). */
   val sharedDocSql: Map[String, String] = Map(
     // DuckDB replays the bucketed self-join un-bucketed — identical
@@ -3229,7 +3239,25 @@ object SparkEntry {
         |             * (${dlit(1.0 - bm25B)} + (${dlit(bm25B)} * tf.dl)
         |                / (CAST(st.total_tokens AS DOUBLE) / st.n_docs)))) AS bm25
         |FROM tf JOIN dfq USING (term) CROSS JOIN st
-        |ORDER BY doc_id, term""".stripMargin)
+        |ORDER BY doc_id, term""".stripMargin,
+    // blocklist replay: per (doc, pattern) occurrence count via the
+    // replace-length delta.  Every pattern is BORDERLESS (no proper
+    // prefix = suffix), so occurrences can never self-overlap and the
+    // greedy non-overlapping replace count equals the Aho–Corasick
+    // all-end-positions count the engine computes in ONE text pass
+    // ("an"/"ta" deliberately hit INSIDE tokens — substring, not
+    // word, semantics on both sides)
+    "q_blocklist_match" -> {
+      val vals = blockPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH p AS (SELECT * FROM (VALUES $vals) AS t(pattern)),
+         |h AS (
+         |  SELECT d.doc_id, p.pattern,
+         |         (length(d.text) - length(replace(d.text, p.pattern, '')))
+         |           // length(p.pattern) AS hits
+         |  FROM documents d CROSS JOIN p)
+         |SELECT doc_id, pattern, CAST(hits AS BIGINT) AS hits
+         |FROM h WHERE hits > 0 ORDER BY doc_id, pattern""".stripMargin
+    })
 
   /** The FIXTURES.md §2 target-derivation projection, single-sourced
     * for the batch frame, the streaming fit, and external callers
@@ -3394,6 +3422,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
           .orderBy("doc_id")
+      },
+      "q_blocklist_match" -> { (s, dir) =>
+        // ONE Aho–Corasick pass per document for the whole pattern
+        // list (the oracle replays it as |patterns| replace scans —
+        // exactly the P-pass plan this operator exists to beat)
+        graft.ops.MatchOps.matchHits(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", blockPatterns)
+          .select(col("doc_id").cast("bigint").as("doc_id"),
+            col("pattern"), col("hits").cast("bigint").as("hits"))
+          .orderBy("doc_id", "pattern")
       },
       "q_quality_score" -> { (s, dir) =>
         val docs = s.read.parquet(s"$dir/documents.parquet")
