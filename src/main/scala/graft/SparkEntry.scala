@@ -305,6 +305,22 @@ object SparkEntry {
   }
 
   val duckdbOnlySql: Map[String, String] = Map(
+    // Z-order replay: the SAME interleave term sum (zValueSql single-
+    // sources it), bucket = top 10 of the 32-bit Morton value; the
+    // per-bucket dim rectangles the query reports are the clustering
+    // claim (tight min/max per z-region) made hash-checkable
+    "q_zorder_layout" -> {
+      val zv = graft.ops.StorageOps.zValueSql(Seq("x", "y"), bits = 16)
+      s"""WITH d AS (
+         |  SELECT o_custkey % 65536 AS x,
+         |         CAST(floor(o_totalprice / 16) AS BIGINT) % 65536 AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, $zv >> 22 AS bucket FROM d)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         |       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     // HLL sketch replays (OracleHll): same xxhash64 registers, same
     // exact harmonic sum, textually identical estimate doubles
     "q_hll_distinct" -> OracleHll.hllDistinctSql,
@@ -3422,6 +3438,22 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
           .orderBy("doc_id")
+      },
+      "q_zorder_layout" -> { (s, dir) =>
+        // dims normalized to 16 bits, Morton-interleaved by the
+        // codegen'd zValue term sum; the z-buckets' min/max
+        // rectangles are what parquet file stats would prune on after
+        // a zorderWrite (the write path itself is StorageSpec-pinned)
+        val d = s.read.parquet(s"$dir/orders.parquet").select(
+          pmod(col("o_custkey"), lit(65536L)).as("x"),
+          pmod(floor(col("o_totalprice") / 16).cast("long"), lit(65536L)).as("y"))
+        d.withColumn("bucket",
+            shiftright(graft.ops.StorageOps.zValue(Seq(col("x"), col("y"))), 22))
+          .groupBy("bucket")
+          .agg(count("*").cast("long").as("n"),
+            min("x").cast("long").as("min_x"), max("x").cast("long").as("max_x"),
+            min("y").cast("long").as("min_y"), max("y").cast("long").as("max_y"))
+          .orderBy("bucket")
       },
       "q_blocklist_match" -> { (s, dir) =>
         // ONE Aho–Corasick pass per document for the whole pattern
