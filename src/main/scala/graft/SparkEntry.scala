@@ -2944,6 +2944,26 @@ object SparkEntry {
     "spark", "merge", "filter", "dup", "row", "an", "ta",
     "slow scan", "big table", "key value")
 
+  /** DuckDB CTE producing the CDC chunk spans of TextOps.cdcChunks
+    * (window 8, divisor 64) — shared by the chunk and chunk-dedup
+    * oracles.  `ch` yields (doc_id, start, len, text).
+    */
+  private val cdcChunkCte: String =
+    """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |b AS (SELECT doc_id, text, n,
+      |        list_filter(range(8, n + 1),
+      |          i -> CAST(('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))
+      |                 AS BIGINT) % 64 = 0) AS bounds
+      |      FROM t),
+      |s AS (SELECT doc_id, text,
+      |        list_prepend(CAST(0 AS BIGINT), bounds) AS st,
+      |        list_append(bounds, n) AS en FROM b),
+      |u AS (SELECT doc_id, text, unnest(range(1, len(st) + 1)) AS k, st, en
+      |      FROM s),
+      |ch AS (SELECT doc_id, st[k] + 1 AS start, en[k] - st[k] AS len, text
+      |       FROM u WHERE en[k] > st[k])
+      |""".stripMargin
+
   /** Shared-dialect oracles over documents (same text, both engines). */
   val sharedDocSql: Map[String, String] = Map(
     // DuckDB replays the bucketed self-join un-bucketed — identical
@@ -3256,6 +3276,24 @@ object SparkEntry {
         |                / (CAST(st.total_tokens AS DOUBLE) / st.n_docs)))) AS bm25
         |FROM tf JOIN dfq USING (term) CROSS JOIN st
         |ORDER BY doc_id, term""".stripMargin,
+    // CDC replay: identical boundary rule (md5-60bit of the trailing
+    // 8-char window ≡ 0 mod 64) evaluated positionally, chunk spans
+    // from the shifted boundary lists, chunk_md5 over the exact
+    // substring — the whole chunker is hash-gated, not just counts
+    "q_cdc_chunks" -> (cdcChunkCte +
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start)
+        |            - 1 AS BIGINT) AS chunk_idx,
+        |       CAST(start AS BIGINT) AS start, CAST(len AS BIGINT) AS len,
+        |       md5(substr(text, start, len)) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin),
+    "q_cdc_chunk_dedup" -> (cdcChunkCte +
+      """SELECT md5(substr(text, start, len)) AS chunk_md5,
+        |       CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(min(len) AS BIGINT) AS len,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM ch GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY chunk_md5""".stripMargin),
     // blocklist replay: per (doc, pattern) occurrence count via the
     // replace-length delta.  Every pattern is BORDERLESS (no proper
     // prefix = suffix), so occurrences can never self-overlap and the
@@ -3454,6 +3492,18 @@ object SparkEntry {
             min("x").cast("long").as("min_x"), max("x").cast("long").as("max_x"),
             min("y").cast("long").as("min_y"), max("y").cast("long").as("max_y"))
           .orderBy("bucket")
+      },
+      "q_cdc_chunks" -> { (s, dir) =>
+        TextOps.cdcChunks(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .select(col("doc_id").cast("bigint").as("doc_id"),
+            col("chunk_idx"), col("start"), col("len"), col("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      "q_cdc_chunk_dedup" -> { (s, dir) =>
+        TextOps.cdcChunkDups(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .orderBy("chunk_md5")
       },
       "q_blocklist_match" -> { (s, dir) =>
         // ONE Aho–Corasick pass per document for the whole pattern

@@ -430,6 +430,75 @@ object TextOps {
         md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
   }
 
+  /** Content-defined chunking (CDC) — the storage/dedup community's
+    * answer to "fixed-size chunks break on any insertion": a chunk
+    * boundary is declared wherever a hash of the trailing `window`
+    * characters hits `0 mod divisor`, so boundaries are a function of
+    * LOCAL content only.  Insert a byte and only the chunk containing
+    * the edit (and at most its neighbor) changes — every other chunk
+    * hash survives, which is what makes chunk-level dedup robust to
+    * near-identical documents (rsync/LBFS/backup-dedup lineage; the
+    * fixed-window "Gear" formulation).
+    *
+    * Expressed entirely as array higher-order functions over one row —
+    * boundary positions via `filter(sequence…)`, chunk spans via
+    * `zip_with` over shifted boundary lists — so the operator is a
+    * pure per-row projection: no explode-then-window, no shuffle, and
+    * the per-position hash work is the honest CDC cost model (one
+    * rolling probe per character).  Expected chunk length ≈ `divisor`
+    * characters.
+    *
+    * Hash = the md5-60bit idiom (portable to any engine with md5 —
+    * the oracle replays boundaries positionally in DuckDB).
+    *
+    * Output per chunk: `doc_id, chunk_idx, start (1-based), len,
+    * chunk_md5` — chunk_md5 over the exact substring, ready for
+    * chunk-level dedup (`GROUP BY chunk_md5`).
+    */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window > 0 && divisor > 0, s"window=$window divisor=$divisor")
+    val t = col("__text")
+    val n = length(t)
+    val probe = (i: Column) =>
+      conv(substring(md5(t.substr(i - lit(window - 1), lit(window))), 1, 15),
+        16, 10).cast("long") % divisor === 0
+    val bounds = when(n >= window,
+      filter(sequence(lit(window), n), probe))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__bounds", bounds)
+      .withColumn("__spans",
+        filter(
+          zip_with(
+            concat(array(lit(0)), col("__bounds")),
+            concat(col("__bounds"), array(n)),
+            (s, e) => struct((s + 1).as("start"), (e - s).as("len"))),
+          sp => sp.getField("len") > 0))
+      .select(col("doc_id"), posexplode(col("__spans")).as(Seq("chunk_idx", "sp")),
+        col("__text"))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("sp.start").cast("long").as("start"),
+        col("sp.len").cast("long").as("len"),
+        md5(col("__text").substr(col("sp.start"), col("sp.len"))).as("chunk_md5"))
+  }
+
+  /** Chunk-level dedup over [[cdcChunks]]: the repeated-content map a
+    * CDC store maintains — every chunk hash seen more than once, with
+    * its replication count and canonical (min doc, min start) copy.
+    */
+  def cdcChunkDups(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 64): DataFrame =
+    cdcChunks(df, idCol, textCol, window, divisor)
+      .groupBy("chunk_md5")
+      .agg(count("*").cast("long").as("n_copies"),
+        min("len").cast("long").as("len"),
+        min("doc_id").cast("long").as("first_doc"))
+      .where(col("n_copies") > 1)
+
   /** BM25 relevance scores for a small set of query terms over the
     * corpus — one row per (document, matched term) with the exact
     * Robertson/Sparck-Jones idf flavor `ln(1 + (N-df+0.5)/(df+0.5))`.

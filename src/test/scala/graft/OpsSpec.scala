@@ -1496,6 +1496,37 @@ class OpsSpec extends AnyFunSuite {
     assert(d3(0)._5 == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("cdcChunks: spans tile the doc; edits only change local chunks") {
+    import spark.implicits._
+    // aperiodic text (a periodic string can have NO boundary-hitting
+    // window at all, and then CDC degenerates to one whole-doc chunk)
+    val text = (1 to 250).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val chunks = TextOps.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // spans tile each doc exactly: contiguous, summing to its length
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.head._3 == 1L && d1.map(_._4).sum == text.length)
+    d1.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 == a._3 + a._4, s"gap between $a and $b")
+      case _ => ()
+    }
+    // short doc (< window): one whole-doc chunk; empty doc: no chunks
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._4 == 5L)
+    assert(!chunks.exists(_._1 == 3L))
+    // THE CDC property: prepend a char — a fixed-size chunker would
+    // shift every boundary; CDC re-finds the same content boundaries,
+    // so all chunk hashes except the first survive
+    val edited = Seq((1L, "X" + text)).toDF("doc_id", "text")
+    val e1 = TextOps.cdcChunks(edited, "doc_id", "text")
+      .collect().map(r => (r.getLong(3), r.getString(4))).sortBy(_._1)
+    val origHashes = d1.map(_._5).toSet
+    val survived = e1.count(c => origHashes.contains(c._2))
+    assert(survived >= d1.length - 1 && d1.length >= 5,
+      s"${d1.length} orig chunks, only $survived hashes survived the edit")
+  }
+
   test("bm25Scores: exact formula on a hand-checked corpus") {
     import spark.implicits._
     val docs = Seq(
