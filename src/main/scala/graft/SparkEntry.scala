@@ -3276,6 +3276,32 @@ object SparkEntry {
         |                / (CAST(st.total_tokens AS DOUBLE) / st.n_docs)))) AS bm25
         |FROM tf JOIN dfq USING (term) CROSS JOIN st
         |ORDER BY doc_id, term""".stripMargin,
+    // DSIR replay: same md5-60bit bigram buckets, same integer mass
+    // sums, the one float (the final ratio of exact integers) formed
+    // identically — see SelectionOps.dsirWeights for why the paper's
+    // float log-sum is replaced by the mass ratio
+    "q_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_target,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, is_target,
+        |        unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |          i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 15))
+        |                 AS BIGINT) % 1024)) AS bucket
+        |      FROM t),
+        |pb AS (SELECT doc_id, is_target, bucket,
+        |         CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2, 3),
+        |bf AS (SELECT bucket, CAST(sum(tf * is_target) AS BIGINT) AS ct,
+        |         CAST(sum(tf) AS BIGINT) AS cr FROM pb GROUP BY bucket)
+        |SELECT pb.doc_id, pb.is_target,
+        |       CAST(sum(tf) AS BIGINT) AS n_grams,
+        |       CAST(sum(tf * ct) AS BIGINT) AS sum_t,
+        |       CAST(sum(tf * cr) AS BIGINT) AS sum_r,
+        |       (CAST(sum(tf * ct) AS DOUBLE) + 1.0)
+        |         / (CAST(sum(tf * cr) AS DOUBLE) + 1.0) AS w
+        |FROM pb JOIN bf USING (bucket)
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // CDC replay: identical boundary rule (md5-60bit of the trailing
     // 8-char window ≡ 0 mod 64) evaluated positionally, chunk spans
     // from the shifted boundary lists, chunk_md5 over the exact
@@ -3492,6 +3518,15 @@ object SparkEntry {
             min("x").cast("long").as("min_x"), max("x").cast("long").as("max_x"),
             min("y").cast("long").as("min_y"), max("y").cast("long").as("max_y"))
           .orderBy("bucket")
+      },
+      "q_dsir_weights" -> { (s, dir) =>
+        SelectionOps.dsirWeights(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", col("lang") === "en")
+          .select(col("doc_id").cast("bigint").as("doc_id"),
+            col("is_target"), col("n_grams"), col("sum_t"), col("sum_r"),
+            col("w"))
+          .orderBy("doc_id")
       },
       "q_cdc_chunks" -> { (s, dir) =>
         TextOps.cdcChunks(

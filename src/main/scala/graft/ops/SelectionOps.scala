@@ -252,4 +252,58 @@ object SelectionOps {
       .select(col("id"), col("source"),
         explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
   }
+
+  /** DSIR-style importance weights over hashed n-gram features — the
+    * data-selection move of Xie et al. 2023 ("Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much its feature distribution looks like a small
+    * TARGET domain (here `targetFilter`, e.g. the high-quality or
+    * in-domain slice), then resample the raw corpus proportionally.
+    *
+    * Features are word bigrams hashed into `nBuckets` buckets
+    * ([[DedupOps.md5Hash60]] — the portable hash).  Where the paper
+    * scores `Σ log p_target(b)/p_raw(b)`, this implementation scores
+    * the frequency-MASS ratio
+    * `w = (Σ_g tf·ct_b + 1) / (Σ_g tf·cr_b + 1)` (ct/cr = bucket
+    * counts in target/raw): every sum is an exact integer, the single
+    * division happens once per document, and the score is therefore
+    * bit-identical across engines and partitionings — the engine's
+    * determinism bar, which a float log-sum cannot meet (its value
+    * depends on addition order).  Both are monotone in "target-like
+    * grams per raw-common gram"; the log-sum's per-feature weighting
+    * differs, so this is a surrogate, documented as such.
+    *
+    * Scale shape: ONE explode+groupBy over (doc, bucket) — the same
+    * shuffle tf-idf pays; the bucket frequency table is ≤ `nBuckets`
+    * rows, broadcast into the final join; target membership rides
+    * along as a 0/1 flag so the target pass costs no second scan.
+    */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      targetFilter: org.apache.spark.sql.Column,
+      nBuckets: Int = 1024): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val grams = df.select(col(idCol).as("doc_id"),
+        targetFilter.cast("long").as("is_target"), toks.as("__toks"))
+      .select(col("doc_id"), col("is_target"),
+        explode(TextOps.wordNgramsOf(col("__toks"), 2)).as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        (DedupOps.md5Hash60(col("gram")) % nBuckets).as("bucket"))
+    val perDocBucket = grams
+      .groupBy("doc_id", "is_target", "bucket")
+      .agg(count("*").as("tf"))
+    // bucket frequency table: total occurrences in target vs raw (raw
+    // includes the target slice, as in the paper's raw distribution)
+    val bucketFreq = perDocBucket
+      .groupBy("bucket")
+      .agg(sum(col("tf") * col("is_target")).as("ct"), sum("tf").as("cr"))
+    perDocBucket
+      .join(broadcast(bucketFreq), "bucket")
+      .groupBy("doc_id", "is_target")
+      .agg(sum("tf").cast("long").as("n_grams"),
+        sum(col("tf") * col("ct")).cast("long").as("sum_t"),
+        sum(col("tf") * col("cr")).cast("long").as("sum_r"))
+      .withColumn("w",
+        (col("sum_t").cast("double") + 1.0) / (col("sum_r").cast("double") + 1.0))
+  }
 }

@@ -1496,6 +1496,27 @@ class OpsSpec extends AnyFunSuite {
     assert(d3(0)._5 == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("dsirWeights: hand-checked mass ratios; target-like docs score higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y", "en"),   // target; gram "x y"
+      (2L, "x y", "de"),   // raw twin of the target gram
+      (3L, "p q", "de"))   // raw-only gram
+      .toDF("doc_id", "text", "lang")
+    val got = SelectionOps.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // gram "x y": ct=1 (doc1), cr=2; gram "p q": ct=0, cr=1
+    assert(got(0) == (1L, 1L, 1L, 2L, 2.0 / 3.0))
+    assert(got(1) == (2L, 1L, 1L, 2L, 2.0 / 3.0))
+    assert(got(2) == (3L, 1L, 0L, 1L, 0.5))
+    // the selection property: the doc sharing the target's grams
+    // outranks the one with none
+    assert(got(1)._5 > got(2)._5)
+  }
+
   test("cdcChunks: spans tile the doc; edits only change local chunks") {
     import spark.implicits._
     // aperiodic text (a periodic string can have NO boundary-hitting
