@@ -1497,6 +1497,17 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // as-of join replay: IDENTICAL union-tag + carry-forward window
     // formulation (AsofOps.asofJoin), right-before-left at equal time
+    // interval-join replay: every click in the 4h before a same-user
+    // purchase; µs integer band on both sides
+    "q_events_interval_join" ->
+      """SELECT e1.user_id AS user_id, e1.event_id AS purchase_id,
+        |       e2.event_id AS click_id,
+        |       CAST(epoch_us(e1.ts) - epoch_us(e2.ts) AS BIGINT) AS gap_us
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e1.event_type = 'purchase' AND e2.event_type = 'click'
+        | AND epoch_us(e2.ts) BETWEEN epoch_us(e1.ts) - 14400000000 AND epoch_us(e1.ts)
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_events_asof" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,
@@ -4887,6 +4898,19 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("matched_id").as("view_id"), col("gap").as("gap_us"))
           .orderBy("user_id", "purchase_id")
+      },
+      "q_events_interval_join" -> { (s, dir) =>
+        // batch twin of the stream-stream interval join (OpsSpec pins
+        // the streaming flavor equal on this data)
+        val ev = StreamingOps.readEventsBatch(s, dir)
+          .withColumn("tus", expr("ts DIV 1000"))
+        AsofOps.intervalJoin(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"),
+            Seq("user_id"), "tus", "event_id", lookback = 14400000000L)
+          .select(col("user_id"), col("left_id").as("purchase_id"),
+            col("right_id").as("click_id"), col("gap").as("gap_us"))
+          .orderBy("user_id", "purchase_id", "click_id")
       },
       "q_events_sessionize" -> { (s, dir) =>
         StreamingOps.sessionize(StreamingOps.readEventsBatch(s, dir))

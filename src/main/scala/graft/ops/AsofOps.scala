@@ -54,4 +54,43 @@ object AsofOps {
           col("__right_t").as("matched_time") :+
           (col("__t") - col("__right_t")).as("gap"): _*)
   }
+
+  /** Interval (time-range) join — ALL right rows with
+    * `left.time - lookback <= right.time <= left.time` per key, not
+    * just the latest one ([[asofJoin]]'s top-1 specialization).  The
+    * many-match attribution shape: every click within the window
+    * before a purchase, every sensor reading around an alarm.
+    *
+    * Plan shape: an EQUI-join on the key columns (one shuffle both
+    * sides, sort-merge or broadcast as size dictates) with the time
+    * band as a post-join filter — Spark plans the band predicate
+    * inside the join operator, so per-key candidate pairs are the only
+    * quadratic term, bounded by events-per-key-per-window.  This is
+    * also exactly the batch twin of the STREAMING stream-stream
+    * interval join ([[StreamingOps.runIntervalJoinStream]]): same
+    * condition, and the band is what lets streaming state expire —
+    * a right row older than `lookback` past the watermark can never
+    * match again.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], timeCol: String, idCol: String,
+      lookback: Long): DataFrame = {
+    require(lookback >= 0, s"intervalJoin: lookback=$lookback")
+    val l = left.select(
+      keyCols.map(col) :+
+        col(timeCol).cast("long").as("__lt") :+
+        col(idCol).as("left_id"): _*)
+    val r = right.select(
+      keyCols.map(col) :+
+        col(timeCol).cast("long").as("__rt") :+
+        col(idCol).as("right_id"): _*)
+    l.join(r,
+        keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
+          r("__rt") >= l("__lt") - lookback && r("__rt") <= l("__lt"))
+      .select(
+        keyCols.map(l(_)) :+
+          l("left_id") :+ r("right_id") :+
+          (l("__lt") - r("__rt")).as("gap"): _*)
+  }
 }

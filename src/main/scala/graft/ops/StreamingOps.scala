@@ -237,6 +237,62 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** STREAM-STREAM interval join — the live twin of
+    * [[AsofOps.intervalJoin]]: purchases joined to every same-user
+    * click in the preceding `lookbackMinutes`.  Both sides are
+    * unbounded streams; what makes the join FEASIBLE is the pair of
+    * watermarks plus the explicit time band in the join condition —
+    * Spark derives from them exactly how long each side's rows must be
+    * buffered in the state store (a click older than
+    * `watermark − lookback` can never match a future purchase and is
+    * evicted), so state is bounded by rate × lookback, never by
+    * history.  An unbanded stream-stream join is rejected by the
+    * engine for precisely this reason.
+    *
+    * Output (append mode, rows final once both watermarks pass):
+    * `user_id, purchase_id, click_id, gap_us` — identical rows to the
+    * batch twin (OpsSpec pins set-equality on the testdata).
+    */
+  def intervalJoinStream(
+      purchases: DataFrame, clicks: DataFrame,
+      lookbackMinutes: Int = 240): DataFrame = {
+    val p = purchases
+      .withWatermark("event_time", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"), expr("ts DIV 1000").as("p_tus"))
+    val c = clicks
+      .withWatermark("event_time", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"), expr("ts DIV 1000").as("c_tus"))
+    // the band stays in TIMESTAMP form only: event_time is exactly
+    // timestamp_micros(tus), so the timestamp band IS the µs integer
+    // band — and re-stating it on the long columns would defeat
+    // StreamingJoinHelper's state-constraint extraction (it parses
+    // timestamp±interval conditions, not long arithmetic), silently
+    // downgrading state eviction to "keep everything"
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_time") >= col("p_time") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("c_time") <= col("p_time"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        (col("p_tus") - col("c_tus")).as("gap_us"))
+  }
+
+  /** Memory-sink runner for [[intervalJoinStream]] over the staged
+    * events directory.
+    */
+  def runIntervalJoinStream(
+      spark: SparkSession, dir: String,
+      lookbackMinutes: Int = 240): DataFrame = {
+    val src = readEventsStream(spark, dir)
+    val out = intervalJoinStream(
+      src.filter(col("event_type") === "purchase"),
+      src.filter(col("event_type") === "click"),
+      lookbackMinutes)
+    runToMemory(out, "events_ijoin", "append")
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   /** Exact streaming dedup (idempotent ingestion): at-most-once per
     * key, with state BOUNDED by the watermark horizon —
     * `dropDuplicatesWithinWatermark` evicts seen-keys older than the

@@ -515,6 +515,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val ev = StreamingOps.readEventsBatch(spark, sf001)
+      .withColumn("tus", expr("ts DIV 1000"))
+    val batch = graft.ops.AsofOps.intervalJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        Seq("user_id"), "tus", "event_id", lookback = 14400000000L)
+      .select(col("user_id"), col("left_id"), col("right_id"), col("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = StreamingOps.runIntervalJoinStream(spark, sf001)
+    val got = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    streamed.unpersist()
+    assert(batch.nonEmpty, "test window must produce pairs at sf0.001")
+    assert(got == batch,
+      s"stream ${got.size} vs batch ${batch.size}; diff ${(got diff batch) ++ (batch diff got)}")
+  }
+
+  test("intervalJoin: band edges inclusive, key-scoped, many matches") {
+    import spark.implicits._
+    val buys = Seq((1L, 100L, 10L), (2L, 100L, 11L)).toDF("user_id", "tus", "event_id")
+    val clicks = Seq(
+      (1L, 80L, 1L),   // inside (gap 20)
+      (1L, 90L, 2L),   // inside (gap 10)
+      (1L, 100L, 3L),  // equal time: inclusive
+      (1L, 79L, 4L),   // one past the band: excluded
+      (1L, 101L, 5L),  // after the purchase: excluded
+      (2L, 85L, 6L))   // other key
+      .toDF("user_id", "tus", "event_id")
+    val got = graft.ops.AsofOps.intervalJoin(
+        buys, clicks, Seq("user_id"), "tus", "event_id", lookback = 20L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((10L, 1L, 20L), (10L, 2L, 10L), (10L, 3L, 0L), (11L, 6L, 15L)))
+  }
+
   test("as-of join: latest prior match, equal-time visible, no-match null") {
     import spark.implicits._
     // user 1: views at t=10 (id 1) and t=30 (id 3); purchases at t=20
