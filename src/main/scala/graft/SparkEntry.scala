@@ -3287,6 +3287,33 @@ object SparkEntry {
         |                / (CAST(st.total_tokens AS DOUBLE) / st.n_docs)))) AS bm25
         |FROM tf JOIN dfq USING (term) CROSS JOIN st
         |ORDER BY doc_id, term""".stripMargin,
+    // pooled-centroid replay: zipped unnests give (dim, x); the same
+    // floor(x*1e6) integer quantization makes the per-(label,dim) sums
+    // order-free exact — mean is the one terminal division
+    "q_embed_pool" ->
+      """WITH u AS (
+        |  SELECT label, unnest(range(len(embedding))) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |            AS BIGINT) AS q_sum,
+        |       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |            AS DOUBLE) / count(*) AS q_mean
+        |FROM u GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    // k-anonymity replay: QI groups under k=8 collapse into the '*'
+    // residual; the released group-size table is the gate (row-level
+    // release is the same frame pre-aggregation)
+    "q_k_anonymize" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |           FROM customer GROUP BY 1, 2),
+        |m AS (SELECT CASE WHEN g.n >= 8 THEN c.c_mktsegment ELSE '*' END AS seg,
+        |             CASE WHEN g.n >= 8 THEN CAST(c.c_nationkey AS VARCHAR)
+        |                  ELSE '*' END AS nat
+        |      FROM customer c JOIN g USING (c_mktsegment, c_nationkey))
+        |SELECT seg, nat, CAST(count(*) AS BIGINT) AS n
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DSIR replay: same md5-60bit bigram buckets, same integer mass
     // sums, the one float (the final ratio of exact integers) formed
     // identically — see SelectionOps.dsirWeights for why the paper's
@@ -3529,6 +3556,21 @@ object SparkEntry {
             min("x").cast("long").as("min_x"), max("x").cast("long").as("max_x"),
             min("y").cast("long").as("min_y"), max("y").cast("long").as("max_y"))
           .orderBy("bucket")
+      },
+      "q_embed_pool" -> { (s, dir) =>
+        SimilarityOps.quantizedLabelCentroids(
+            s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")
+          .select(col("label").cast("bigint").as("label"), col("dim"),
+            col("n").cast("bigint").as("n"), col("q_sum"), col("q_mean"))
+          .orderBy("label", "dim")
+      },
+      "q_k_anonymize" -> { (s, dir) =>
+        graft.ops.ProfileOps.kAnonymize(
+            s.read.parquet(s"$dir/customer.parquet"),
+            Seq("c_mktsegment", "c_nationkey"), k = 8)
+          .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+          .agg(count("*").cast("long").as("n"))
+          .orderBy("seg", "nat")
       },
       "q_dsir_weights" -> { (s, dir) =>
         SelectionOps.dsirWeights(

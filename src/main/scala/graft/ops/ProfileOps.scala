@@ -90,4 +90,32 @@ object ProfileOps {
       .withColumn("cum_share", col("cum_n").cast("double") / col("total"))
       .select("rank", "key", "n", "share", "cum_share")
   }
+
+  /** k-anonymity suppression over quasi-identifier columns — the
+    * release-governance primitive: a row is publishable only if at
+    * least `k` rows share its full quasi-identifier combination;
+    * smaller groups get their identifiers REPLACED by a suppression
+    * marker (collapsing them into one residual group) instead of being
+    * dropped, so aggregate totals still reconcile.
+    *
+    * One groupBy on the quasi-identifier tuple (the counts frame is
+    * tiny — bounded by the QI domain, not the data) broadcast back
+    * onto the rows: at 100 TB the data passes once and only small
+    * state shuffles.  Suppression is all-or-nothing per row (the
+    * standard model): partially generalized hierarchies are the
+    * caller's pre-processing.
+    */
+  def kAnonymize(
+      df: DataFrame, quasiIds: Seq[String], k: Long,
+      marker: String = "*"): DataFrame = {
+    require(quasiIds.nonEmpty && k >= 1, s"kAnonymize: quasiIds=$quasiIds k=$k")
+    val qi = quasiIds.map(col)
+    val counts = df.groupBy(qi: _*).agg(count(lit(1)).as("__qn"))
+    val out = df.join(broadcast(counts), quasiIds)
+    val keep = col("__qn") >= k
+    val masked = quasiIds.foldLeft(out) { (d, q) =>
+      d.withColumn(q, when(keep, col(q).cast("string")).otherwise(lit(marker)))
+    }
+    masked.drop("__qn")
+  }
 }

@@ -1386,4 +1386,32 @@ object SimilarityOps {
       .select(col("qg").as("query_group"), col("dg").as("doc_group"),
         col("maxsim"), col("rank"))
   }
+
+  /** Per-label mean-pooled centroids (class prototypes) in QUANTIZED
+    * integer space — the embedding-pooling op behind prototype
+    * classifiers, semantic-dedup cluster centers, and class-balanced
+    * mixture design.  A float mean over millions of rows depends on
+    * addition order; quantizing each component to `floor(x·scale)`
+    * first makes the per-(label, dim) sum an exact integer (order-free
+    * under any partitioning — the engine's determinism bar) and the
+    * mean one terminal division.  With scale 10⁶ the quantization
+    * error (≤1e-6 per component) is far below float32 embedding noise.
+    *
+    * Long shape — one row per (label, dim) from a posexplode — so one
+    * hash-aggregate handles any dimensionality without a 2·d-column
+    * schema; map-side partial aggregation collapses each partition to
+    * O(labels × dims) rows before the shuffle.
+    */
+  def quantizedLabelCentroids(
+      df: DataFrame, labelCol: String, vecCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"quantizedLabelCentroids: scale=$scale")
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * scale).cast("long").as("qx"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("qx").as("q_sum"))
+      .withColumn("q_mean", col("q_sum").cast("double") / col("n"))
+  }
 }

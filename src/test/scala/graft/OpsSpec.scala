@@ -1532,6 +1532,37 @@ class OpsSpec extends AnyFunSuite {
     assert(d3(0)._5 == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("kAnonymize: small QI groups suppressed into the residual, totals reconcile") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", 1, 10L), ("A", 1, 11L), ("A", 1, 12L), // group of 3: kept at k=3
+      ("A", 2, 13L), ("B", 1, 14L))                // two singletons: suppressed
+      .toDF("seg", "nat", "id")
+    val out = graft.ops.ProfileOps.kAnonymize(rows, Seq("seg", "nat"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 5) // suppression never drops rows
+    assert(out.count(r => r._1 == "A" && r._2 == "1") == 3)
+    assert(out.count(r => r._1 == "*" && r._2 == "*") == 2)
+    // every released non-residual group has >= k members
+    out.filter(_._1 != "*").groupBy(r => (r._1, r._2))
+      .foreach { case (g, rs) => assert(rs.length >= 3, s"group $g under k") }
+  }
+
+  test("quantizedLabelCentroids: exact integer sums, hand-checked") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(0.5f, -1.25f)), (0, Array(1.5f, 0.75f)), (1, Array(2.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val got = SimilarityOps.quantizedLabelCentroids(df, "label", "embedding")
+      .orderBy("label", "dim")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0, 0L, 2L, 2000000L, 1000000.0),   // 500000 + 1500000
+      (0, 1L, 2L, -500000L, -250000.0),   // -1250000 + 750000
+      (1, 0L, 1L, 2000000L, 2000000.0),
+      (1, 1L, 1L, 0L, 0.0)))
+  }
+
   test("dsirWeights: hand-checked mass ratios; target-like docs score higher") {
     import spark.implicits._
     val docs = Seq(
