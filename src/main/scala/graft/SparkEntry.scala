@@ -1497,6 +1497,44 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // as-of join replay: IDENTICAL union-tag + carry-forward window
     // formulation (AsofOps.asofJoin), right-before-left at equal time
+    // CUBE replay: all four grouping sets of (status, priority), the
+    // subtotal rows' NULLs folded to 'ALL'; cents are exact integers
+    "q_cube_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    // pivot replay: conditional sums per event type over user buckets
+    "q_events_pivot" ->
+      """SELECT user_id % 10 AS ub,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // funnel replay: first view, first click strictly after it, first
+    // purchase strictly after that — µs integers end-to-end
+    "q_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |       GROUP BY 1)
+        |SELECT s1.user_id AS user_id, CAST(s1.t1 AS BIGINT) AS t_view,
+        |       CAST(s2.t2 AS BIGINT) AS t_click,
+        |       CAST(s3.t3 AS BIGINT) AS t_purchase,
+        |       CAST(1 + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)
+        |              + (CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // interval-join replay: every click in the 4h before a same-user
     // purchase; µs integer band on both sides
     "q_events_interval_join" ->
@@ -4940,6 +4978,42 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("matched_id").as("view_id"), col("gap").as("gap_us"))
           .orderBy("user_id", "purchase_id")
+      },
+      "q_cube_agg" -> { (s, dir) =>
+        // the native CUBE operator (all 2^d grouping sets in one
+        // Expand + single aggregation — not 4 scans); rollup is the
+        // prefix-sets specialization of the same operator
+        s.read.parquet(s"$dir/orders.parquet")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(floor(col("o_totalprice") * 100).cast("long"))
+              .cast("long").as("cents"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("cents"))
+          .orderBy("status", "priority")
+      },
+      "q_events_pivot" -> { (s, dir) =>
+        // the native pivot operator: one pass, map-side partial aggs
+        // per (bucket, type), then the wide reshape
+        StreamingOps.readEventsBatch(s, dir)
+          .groupBy(pmod(col("user_id"), lit(10L)).as("ub"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("ub") +: Seq("click", "error", "purchase", "signup", "view")
+            .map(c => col(c).cast("long").as(c)): _*)
+          .orderBy("ub")
+      },
+      "q_event_funnel" -> { (s, dir) =>
+        val ev = StreamingOps.readEventsBatch(s, dir)
+          .withColumn("tus", expr("ts DIV 1000"))
+        StreamingOps.funnelSteps(ev, Seq("view", "click", "purchase"))
+          .select(col("user_id"), col("t_1").as("t_view"),
+            col("t_2").as("t_click"), col("t_3").as("t_purchase"),
+            col("depth"))
+          .orderBy("user_id")
       },
       "q_events_interval_join" -> { (s, dir) =>
         // batch twin of the stream-stream interval join (OpsSpec pins

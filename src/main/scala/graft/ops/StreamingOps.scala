@@ -237,6 +237,50 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** Funnel (ordered-sequence) analysis — the product-analytics
+    * staple: how many users performed step 1, then step 2 strictly
+    * AFTER their first step-1 event, then step 3 after that, …  The
+    * strict ordering is what distinguishes it from a per-type count:
+    * a purchase before the first view does not count as funnel depth 3.
+    *
+    * Semantics: `t_1` = user's first step-1 event; `t_{i+1}` = first
+    * step-(i+1) event strictly after `t_i`; depth = number of steps
+    * reached.  Users with no step-1 event don't appear.
+    *
+    * Plan shape: one aggregation per step plus an equi-join per step
+    * boundary — ALL keyed on user_id, so after the first shuffle every
+    * later stage reuses the same hash partitioning (Exchange reuse; no
+    * new partitioning is ever introduced).  The alternative
+    * collect-events-per-user fold is one shuffle but unbounded per-key
+    * state; this form's state is one timestamp per user per step.
+    *
+    * `timeCol` must be an integer (µs) column — exact comparisons,
+    * no timestamp equality hazards.
+    */
+  def funnelSteps(
+      events: DataFrame, steps: Seq[String],
+      typeCol: String = "event_type", userCol: String = "user_id",
+      timeCol: String = "tus"): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: need at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(timeCol)).as("t_1"))
+    val full = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val hit = events.filter(col(typeCol) === step)
+          .select(col(userCol), col(timeCol).as("__ht"))
+          .join(acc.select(col(userCol), col(s"t_$i").as("__pt")), Seq(userCol))
+          .where(col("__ht") > col("__pt"))
+          .groupBy(col(userCol))
+          .agg(min(col("__ht")).as(s"t_${i + 1}"))
+        acc.join(hit, Seq(userCol), "left")
+    }
+    val depth = steps.indices
+      .map(i => col(s"t_${i + 1}").isNotNull.cast("long"))
+      .reduce(_ + _)
+    full.withColumn("depth", depth)
+  }
+
   /** STREAM-STREAM interval join — the live twin of
     * [[AsofOps.intervalJoin]]: purchases joined to every same-user
     * click in the preceding `lookbackMinutes`.  Both sides are

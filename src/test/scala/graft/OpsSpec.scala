@@ -515,6 +515,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelSteps: strict ordering, partial depths, out-of-order purchase ignored") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: purchase BEFORE the first view — depth stops at click
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 15L),
+      // user 3: click at the same instant as the view (not strictly
+      // after) — depth 1
+      (3L, "view", 10L), (3L, "click", 10L),
+      // user 4: never viewed — absent from the funnel
+      (4L, "click", 1L), (4L, "purchase", 2L))
+      .toDF("user_id", "event_type", "tus")
+    val got = StreamingOps.funnelSteps(ev, Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+  }
+
   test("stream-stream interval join == batch interval join") {
     val ev = StreamingOps.readEventsBatch(spark, sf001)
       .withColumn("tus", expr("ts DIV 1000"))
