@@ -1497,6 +1497,35 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // as-of join replay: IDENTICAL union-tag + carry-forward window
     // formulation (AsofOps.asofJoin), right-before-left at equal time
+    // triangle replay: a<b enumeration closes each triangle once;
+    // the engine's degree-ordered orientation is intermediate-size
+    // optimization only, the triangle set is identical
+    "q_triangles" ->
+      s"""WITH e0 AS (
+         |${OraclePageRank.nationEdgesSql}
+         |),
+         |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM e0 WHERE src <> dst),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM ue e1 JOIN ue e2 ON e2.a = e1.b
+         |        JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MAD replay: both medians are quantile_disc (the same
+    // ceil(p*n)-1 rank the radix selection computes); all integer
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT o_orderkey,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS value
+        |           FROM orders),
+        |m AS (SELECT quantile_disc(value, 0.5) AS med FROM v),
+        |d AS (SELECT o_orderkey, value, abs(value - m.med) AS dev, m.med AS med
+        |      FROM v, m),
+        |md AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d)
+        |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, value,
+        |       CAST(dev AS BIGINT) AS dev, CAST(med AS BIGINT) AS med,
+        |       CAST(md.mad AS BIGINT) AS mad
+        |FROM d, md WHERE dev > 2 * md.mad ORDER BY o_orderkey""".stripMargin,
     // CUBE replay: all four grouping sets of (status, priority), the
     // subtotal rows' NULLs folded to 'ALL'; cents are exact integers
     "q_cube_agg" ->
@@ -4978,6 +5007,33 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("matched_id").as("view_id"), col("gap").as("gap_us"))
           .orderBy("user_id", "purchase_id")
+      },
+      "q_triangles" -> { (s, dir) =>
+        // triangle census of the nation trade graph (same edge frame
+        // as q_pagerank), degree-ordered node-iterator
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val su = s.read.parquet(s"$dir/supplier.parquet")
+        val edges = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .select(c("c_nationkey").cast("long").as("src"),
+            su("s_nationkey").cast("long").as("dst"))
+          .distinct()
+        graft.ops.GraphOps.triangleCounts(edges, "src", "dst")
+          .select(col("node").cast("bigint").as("node"),
+            col("n_tri").cast("bigint").as("n_tri"))
+          .orderBy("node")
+      },
+      "q_mad_outliers" -> { (s, dir) =>
+        val v = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        QuantileOps.madOutliers(v, "o_orderkey", "cents", k = 2)
+          .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+            col("value"), col("dev"), col("med"), col("mad"))
+          .orderBy("o_orderkey")
       },
       "q_cube_agg" -> { (s, dir) =>
         // the native CUBE operator (all 2^d grouping sets in one

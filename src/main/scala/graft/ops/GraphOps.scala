@@ -142,4 +142,56 @@ object GraphOps {
     ranks.select(col("node"), col("rank_fp"),
       (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
   }
+
+  /** Per-node triangle counts over an undirected graph (directed
+    * input: direction and duplicates collapse, self-loops drop).
+    *
+    * Degree-ordered node-iterator — the MapReduce-era standard (Cohen
+    * 2009; Suri & Vassilvitskii's MR-friendly variant): orient every
+    * edge from its lower-(degree, id) endpoint to the higher, form
+    * wedges only at each edge's LOW endpoint, and close them against
+    * the edge set.  The orientation is what makes this scale: wedge
+    * count is Σ out-deg² with out-degree ≤ O(√m) under degree
+    * ordering, so the intermediate is O(m^1.5) — a hub with degree d
+    * in a plain formulation would fan out d² wedges (10¹⁰ for a
+    * 100k-degree hub at 100 TB); oriented, hubs sit on the receiving
+    * end.  Three hash-joins, no explosion, AQE skew-split applies to
+    * the wedge join.
+    *
+    * The result is orientation-independent (each triangle counted
+    * exactly once, at its lowest-ordered vertex), so any engine
+    * replays it with the simple a<b enumeration.  Nodes in no
+    * triangle are absent.
+    */
+  def triangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = DedupOps.registerPersist(
+      edges.select(
+          least(col(srcCol), col(dstCol)).cast("long").as("a"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b"))
+        .distinct())
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    // lower (degree, id) endpoint first
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val tri = wedges.join(und,
+      least(col("y"), col("z")) === col("a") &&
+        greatest(col("y"), col("z")) === col("b"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -142,6 +142,39 @@ object QuantileOps {
     out.toDF("p", "n", "q_disc", "q_cont")
   }
 
+  /** Robust (MAD) outlier detection: flag rows whose integer value
+    * deviates from the exact median by more than `k` × MAD (median
+    * absolute deviation).  Mean/stddev outlier rules are themselves
+    * dragged by the outliers they hunt; the median/MAD pair is the
+    * standard robust replacement (50% breakdown point) and — on
+    * integer values — is EXACT here: two bounded radix-rank
+    * selections ([[exactRankValues]], ≤65536-row driver collects, no
+    * sort) and a final shuffle-free projection with the cuts as
+    * literals.  Three scans total at any scale.
+    *
+    * Output: the outlier rows (id, value, dev) with the med/MAD cuts
+    * carried as columns (one frame gates both the selection machinery
+    * and the rule).  `k` is integer so the threshold `k·mad` stays in
+    * exact-integer space.
+    */
+  def madOutliers(
+      df: DataFrame, idCol: String, valueCol: String,
+      k: Long = 2): DataFrame = {
+    require(k > 0, s"madOutliers: k=$k")
+    def discRank(n: Long) = math.max(0L, math.ceil(0.5 * n).toLong - 1L)
+    val (n, meds) = exactRankValues(df, valueCol, n => Seq(discRank(n)))
+    require(n > 0, s"madOutliers: no non-null rows in $valueCol")
+    val med = meds(discRank(n))
+    val devs = df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(valueCol).cast("long").as("value"),
+        abs(col(valueCol).cast("long") - med).as("dev"))
+    val (_, mads) = exactRankValues(devs, "dev", n => Seq(discRank(n)))
+    val mad = mads(discRank(n))
+    devs.where(col("dev") > k * mad)
+      .withColumn("med", lit(med))
+      .withColumn("mad", lit(mad))
+  }
+
   /** Winsorize: clip `valueCol` to its exact [pLo, pHi] discrete
     * percentiles.  Two bounded-rank selections, then a pure projection
     * with the cut values as literals — the clip itself is shuffle-free

@@ -42,4 +42,25 @@ class GraphSpec extends AnyFunSuite {
     val dang = ranksOf(Seq((1L, 2L), (2L, 3L)), 1000000L) // 3 is dangling
     assert(math.abs(dang.map(_._3).sum - 1.0) < 1e-6, dang.mkString(","))
   }
+
+  test("triangleCounts: hand-checked graphs, direction/dup/loop collapse") {
+    import TestSpark.spark.implicits._
+    def count(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.ops.GraphOps.triangleCounts(
+          edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    val diamond = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(count(diamond) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // same graph with reversed duplicates, self-loops, and a pendant
+    // vertex: identical census; the pendant (no triangle) is absent
+    val noisy = diamond ++ diamond.map(_.swap) ++
+      Seq((1L, 1L), (5L, 1L))
+    assert(count(noisy) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // triangle-free: empty result
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    // K5: C(4,2)=6 per node
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    assert(count(k5) == (1L to 5L).map(_ -> 6L).toMap)
+  }
 }

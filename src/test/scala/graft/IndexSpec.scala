@@ -145,6 +145,27 @@ class IndexSpec extends AnyFunSuite {
     assert(got.forall(_ == ((7L, 7.0))))
   }
 
+  test("madOutliers: serial median/MAD replica; mean-rule victim survives") {
+    import spark.implicits._
+    // 1..99 plus one huge outlier: the mean rule would let the
+    // outlier drag the threshold; median/MAD must flag exactly it
+    // plus the serial rule's tail
+    val vals = (1L to 99L) :+ 100000L
+    val df = vals.map(v => (v, v)).toDF("id", "v").repartition(4)
+    val got = QuantileOps.madOutliers(df, "id", "v", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // serial replica
+    val sorted = vals.sorted; val n = sorted.size
+    val med = sorted(math.ceil(0.5 * n).toInt - 1)
+    val devs = vals.map(v => math.abs(v - med)).sorted
+    val mad = devs(math.ceil(0.5 * n).toInt - 1)
+    val expIds = vals.filter(v => math.abs(v - med) > 2 * mad).sorted
+    assert(got.map(_._1).toSeq == expIds)
+    assert(got.forall(r => r._4 == med && r._5 == mad))
+    assert(got.map(_._1).contains(100000L))
+  }
+
   test("winsorize: crafted clip at exact percentile cuts; nulls pass through") {
     import spark.implicits._
     // 1..100: p05 disc = 5, p95 disc = 95 (rank ceil(p*100)-1)
