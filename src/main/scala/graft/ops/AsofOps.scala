@@ -77,20 +77,24 @@ object AsofOps {
       keyCols: Seq[String], timeCol: String, idCol: String,
       lookback: Long): DataFrame = {
     require(lookback >= 0, s"intervalJoin: lookback=$lookback")
+    // the right side's key columns are RENAMED before the join: both
+    // sides usually derive from one frame (a type-filtered self-join),
+    // and same-named key attributes would force Spark's fragile
+    // trivially-true-predicate disambiguation
     val l = left.select(
       keyCols.map(col) :+
         col(timeCol).cast("long").as("__lt") :+
         col(idCol).as("left_id"): _*)
     val r = right.select(
-      keyCols.map(col) :+
+      keyCols.map(k => col(k).as(s"__rk_$k")) :+
         col(timeCol).cast("long").as("__rt") :+
         col(idCol).as("right_id"): _*)
     l.join(r,
-        keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
-          r("__rt") >= l("__lt") - lookback && r("__rt") <= l("__lt"))
+        keyCols.map(k => col(k) === col(s"__rk_$k")).reduce(_ && _) &&
+          col("__rt") >= col("__lt") - lookback && col("__rt") <= col("__lt"))
       .select(
-        keyCols.map(l(_)) :+
-          l("left_id") :+ r("right_id") :+
-          (l("__lt") - r("__rt")).as("gap"): _*)
+        keyCols.map(col) :+
+          col("left_id") :+ col("right_id") :+
+          (col("__lt") - col("__rt")).as("gap"): _*)
   }
 }
