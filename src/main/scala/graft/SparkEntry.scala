@@ -3024,14 +3024,20 @@ object SparkEntry {
 
   /** DuckDB CTE producing the CDC chunk spans of TextOps.cdcChunks
     * (window 8, divisor 64) — shared by the chunk and chunk-dedup
-    * oracles.  `ch` yields (doc_id, start, len, text).
+    * oracles.  `ch` yields (doc_id, start, len, text).  The boundary
+    * rule replays CdcBoundaries' closed form positionally:
+    * h(i) = Σ_j gear(char at i−j) << j, gear = Knuth-multiplicative
+    * mod 1048573 — what the engine computes ROLLING, one update per
+    * char.
     */
   private val cdcChunkCte: String =
     """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
       |b AS (SELECT doc_id, text, n,
       |        list_filter(range(8, n + 1),
-      |          i -> CAST(('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))
-      |                 AS BIGINT) % 64 = 0) AS bounds
+      |          i -> list_sum(list_transform(range(0, 8),
+      |                 j -> ((CAST(ascii(substr(text, CAST(i - j AS INT), 1))
+      |                         AS BIGINT) * 2654435761) % 1048573) << j))
+      |               % 64 = 0) AS bounds
       |      FROM t),
       |s AS (SELECT doc_id, text,
       |        list_prepend(CAST(0 AS BIGINT), bounds) AS st,

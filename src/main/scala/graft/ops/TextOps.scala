@@ -440,16 +440,19 @@ object TextOps {
     * near-identical documents (rsync/LBFS/backup-dedup lineage; the
     * fixed-window "Gear" formulation).
     *
-    * Expressed entirely as array higher-order functions over one row —
-    * boundary positions via `filter(sequence…)`, chunk spans via
-    * `zip_with` over shifted boundary lists — so the operator is a
-    * pure per-row projection: no explode-then-window, no shuffle, and
-    * the per-position hash work is the honest CDC cost model (one
-    * rolling probe per character).  Expected chunk length ≈ `divisor`
-    * characters.
+    * Boundary positions come from the codegen'd rolling-Gear
+    * expression [[graft.functions.CdcBoundaries]] — ONE integer
+    * update per character (the telescoped closed form), which is the
+    * real CDC cost model; an earlier per-position `md5(substr)` probe
+    * formulation measured ~35× slower for identical semantics.  Chunk
+    * spans via `zip_with` over the shifted boundary lists — the whole
+    * operator is a pure per-row projection: no explode-then-window,
+    * no shuffle.  Expected chunk length ≈ `divisor` characters.
     *
-    * Hash = the md5-60bit idiom (portable to any engine with md5 —
-    * the oracle replays boundaries positionally in DuckDB).
+    * The boundary rule is pure integer arithmetic (see CdcBoundaries'
+    * scaladoc), replayed positionally by the DuckDB oracle; chunk
+    * IDENTITY is the md5 of the exact substring (one md5 per chunk,
+    * not per character).
     *
     * Output per chunk: `doc_id, chunk_idx, start (1-based), len,
     * chunk_md5` — chunk_md5 over the exact substring, ready for
@@ -461,12 +464,10 @@ object TextOps {
     require(window > 0 && divisor > 0, s"window=$window divisor=$divisor")
     val t = col("__text")
     val n = length(t)
-    val probe = (i: Column) =>
-      conv(substring(md5(t.substr(i - lit(window - 1), lit(window))), 1, 15),
-        16, 10).cast("long") % divisor === 0
-    val bounds = when(n >= window,
-      filter(sequence(lit(window), n), probe))
-      .otherwise(array().cast("array<int>"))
+    val bounds = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CdcBoundaries(
+        org.apache.spark.sql.graft.ColumnBridge.expression(t),
+        window, divisor))
     df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__bounds", bounds)
       .withColumn("__spans",
