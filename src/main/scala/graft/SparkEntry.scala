@@ -1497,6 +1497,56 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // as-of join replay: IDENTICAL union-tag + carry-forward window
     // formulation (AsofOps.asofJoin), right-before-left at equal time
+    // transition replay: lag pairs per user in (time, id) order;
+    // per-from share is one division of exact counts
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY tus, event_id) AS prev
+        |      FROM e),
+        |c AS (SELECT prev AS from_type, event_type AS to_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE)
+        |         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // cohort replay: epoch-aligned integer week buckets; retention vs
+    // the cohort's own week 0
+    "q_cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        |g AS (SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |        CAST(count(*) AS BIGINT) AS n_users
+        |      FROM w JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |       CAST(week_offset AS BIGINT) AS week_offset, n_users,
+        |       CAST(n_users AS DOUBLE)
+        |         / CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+        |                OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention
+        |FROM g ORDER BY 1, 2""".stripMargin,
+    // rolling replay: the same ANSI ROWS frame; integer value millis
+    "q_rolling_sum" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |             CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+        |SELECT event_id, user_id, CAST(tus AS BIGINT) AS tus,
+        |       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        |       CAST(sum(vm) OVER w AS BIGINT) AS roll_millis
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // bloom-join replay: the PLAIN join — bloom pruning must be
+    // invisible in the result (false positives die in the join)
+    "q_bloom_join" ->
+      """SELECT o.o_orderkey AS o_orderkey,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F' AND o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // triangle replay: a<b enumeration closes each triangle once;
     // the engine's degree-ordered orientation is intermediate-size
     // optimization only, the triangle set is identical
@@ -5013,6 +5063,41 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("matched_id").as("view_id"), col("gap").as("gap_us"))
           .orderBy("user_id", "purchase_id")
+      },
+      "q_event_transitions" -> { (s, dir) =>
+        val ev = StreamingOps.readEventsBatch(s, dir)
+          .withColumn("tus", expr("ts DIV 1000"))
+        StreamingOps.transitionCounts(ev)
+          .orderBy("from_type", "to_type")
+      },
+      "q_cohort_retention" -> { (s, dir) =>
+        val ev = StreamingOps.readEventsBatch(s, dir)
+          .withColumn("tus", expr("ts DIV 1000"))
+        StreamingOps.cohortRetention(ev)
+          .orderBy("cohort_week", "week_offset")
+      },
+      "q_rolling_sum" -> { (s, dir) =>
+        val ev = StreamingOps.readEventsBatch(s, dir)
+          .withColumn("tus", expr("ts DIV 1000"))
+        StreamingOps.rollingStats(ev, k = 5)
+          .select(col("event_id"), col("user_id"), col("tus"),
+            col("roll_n").cast("long").as("roll_n"),
+            col("roll_millis"))
+          .orderBy("event_id")
+      },
+      "q_bloom_join" -> { (s, dir) =>
+        val big = s.read.parquet(s"$dir/lineitem.parquet")
+        val small = s.read.parquet(s"$dir/orders.parquet")
+          .where(col("o_orderstatus") === "F" &&
+            col("o_orderpriority") === "1-URGENT")
+        graft.ops.JoinOps.bloomPrunedJoin(
+            big, "l_orderkey", small, "o_orderkey")
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(floor(col("l_quantity")).cast("long")).cast("long").as("sum_qty"))
+          .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+            col("n_lines"), col("sum_qty"))
+          .orderBy("o_orderkey")
       },
       "q_triangles" -> { (s, dir) =>
         // triangle census of the nation trade graph (same edge frame

@@ -90,4 +90,55 @@ object JoinOps {
     bigS.join(smallS, big.columns.intersect(Seq(key)).toSeq :+ saltCol)
       .drop(saltCol)
   }
+
+  /** Bloom-pruned inner equi-join — the semi-join reduction lever for
+    * a BIG probe side joining a selective build side: light a bloom
+    * filter with the build side's keys (driver-collected bit
+    * positions, ≤ m bits — ~16 KiB at m = 2¹⁷ regardless of build
+    * row count), pre-filter the probe side with k codegen'd bit
+    * probes per row, and only THEN shuffle for the join.  At 100 TB
+    * the win is what never enters the exchange: with a 1%-selective
+    * build side, ~99% of probe rows drop at the scan (false-positive
+    * rate `(1−e^(−k·n/m))^k` leaks a few extra rows into the shuffle;
+    * the join itself removes them, so the RESULT is exactly the plain
+    * join — which is what the oracle checks; the row-reduction claim
+    * is spec-pinned).
+    *
+    * This is the manual, portable form of Spark's own runtime bloom
+    * rewrite (`spark.sql.optimizer.runtime.bloomFilter.enabled`) —
+    * explicit so it applies when the optimizer's heuristics decline
+    * (pre-aggregated builds, non-AQE plans, multi-use filters).
+    *
+    * Keys are matched as strings (the md5-position arithmetic is the
+    * portable TextOps bloom discipline).
+    */
+  def bloomPrunedJoin(
+      big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
+      mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
+    require(k <= 7 && mBits % 64 == 0, s"bloomPrunedJoin: mBits=$mBits k=$k")
+    val positions = small
+      .select(col(smallKey).cast("string").as("g")).distinct()
+      .select(explode(array((0 until k).map(j =>
+        TextOps.bloomPositions(col("g"), mBits, j)): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val hit = TextOps.bloomHitExpr(positions, mBits, k)
+    big.where(hit(col(bigKey).cast("string")))
+      .join(small, col(bigKey) === col(smallKey))
+  }
+
+  /** The probe-side survivor count of [[bloomPrunedJoin]]'s
+    * pre-filter — the observability hook the spec pins the reduction
+    * claim with.
+    */
+  private[graft] def bloomSurvivors(
+      big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
+      mBits: Int = 1 << 17, k: Int = 4): Long = {
+    val positions = small
+      .select(col(smallKey).cast("string").as("g")).distinct()
+      .select(explode(array((0 until k).map(j =>
+        TextOps.bloomPositions(col("g"), mBits, j)): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    big.where(TextOps.bloomHitExpr(positions, mBits, k)(
+      col(bigKey).cast("string"))).count()
+  }
 }

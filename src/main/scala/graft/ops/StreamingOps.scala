@@ -237,6 +237,90 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** First-order (Markov) transition matrix over per-user event
+    * sequences: for every consecutive pair in a user's time-ordered
+    * stream, count (from_type → to_type) and the per-from share — the
+    * behavioral fingerprint behind next-event prediction, bot
+    * detection (improbable transitions), and session-model QA.
+    *
+    * One window shuffle on the user key pairs each event with its
+    * predecessor (`lag` — deterministic (time, id) order), then the
+    * aggregation collapses to a |types|² frame; the share window runs
+    * over that tiny frame only.  Exact-integer counts, one division
+    * per output row.
+    */
+  def transitionCounts(
+      events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", timeCol: String = "tus",
+      idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(timeCol), col(idCol))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum("n").over(tot).cast("double"))
+  }
+
+  /** Cohort retention: users bucketed by the week of their FIRST
+    * event; for each (cohort week, week offset), the count of cohort
+    * members active that week and the retention ratio vs the cohort's
+    * own week 0.  The growth-analytics table every event warehouse
+    * serves.
+    *
+    * Plan shape: distinct (user, week) — the only corpus-sized
+    * shuffle — then a per-user min and one equi-join back, all keyed
+    * on the user; the retention window runs over the tiny
+    * (cohorts × offsets) frame.  Weeks are integer µs-divisions
+    * (epoch-aligned), exact in any engine.
+    */
+  def cohortRetention(
+      events: DataFrame, userCol: String = "user_id",
+      timeCol: String = "tus"): DataFrame = {
+    val weekUs = 604800000000L
+    val weeks = events
+      .select(col(userCol).as("user_id"),
+        expr(s"$timeCol DIV ${weekUs}L").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("retention",
+        col("n_users").cast("double") /
+          max(when(col("week_offset") === 0, col("n_users"))).over(w0)
+            .cast("double"))
+  }
+
+  /** Trailing `k`-row rolling aggregates per user (time-ordered):
+    * event-level rolling count and value sum — the moving-baseline
+    * primitive behind rate limiting, spend velocity, and per-entity
+    * anomaly scores.  ONE window shuffle on the user key; the frame
+    * is ROWS-bounded so state per key is k rows regardless of
+    * history.  Values ride as exact integer millis.
+    */
+  def rollingStats(
+      events: DataFrame, k: Int = 5, userCol: String = "user_id",
+      timeCol: String = "tus", idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    require(k >= 1, s"rollingStats: k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(timeCol), col(idCol))
+      .rowsBetween(-(k - 1), 0)
+    events.select(col(idCol), col(userCol), col(timeCol),
+        floor(col(valueCol) * 1000).cast("long").as("__vm"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_millis", sum("__vm").over(w))
+      .drop("__vm")
+  }
+
   /** Funnel (ordered-sequence) analysis — the product-analytics
     * staple: how many users performed step 1, then step 2 strictly
     * AFTER their first step-1 event, then step 3 after that, …  The

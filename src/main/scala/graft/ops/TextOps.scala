@@ -230,7 +230,7 @@ object TextOps {
     * engine with md5 + hex parsing replays the identical positions).
     * h1, h2 < 2⁶⁰ and j ≤ 7 keeps `h1 + j·h2 < 2⁶³` (no overflow).
     */
-  private def bloomPositions(g: Column, mBits: Int, j: Int): Column = {
+  private[ops] def bloomPositions(g: Column, mBits: Int, j: Int): Column = {
     val h1 = DedupOps.md5Hash60(g)
     val h2 = conv(substring(md5(g), 17, 15), 16, 10).cast("long")
     pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong))
@@ -265,7 +265,7 @@ object TextOps {
     * bit-probes — no UDF, no lambda.
     */
   /** The packed filter + bit-probe shared by both membership shapes. */
-  private def bloomHitExpr(
+  private[ops] def bloomHitExpr(
       positions: Array[Long], mBits: Int, k: Int): Column => Column = {
     val words = new Array[Long](mBits / 64)
     positions.foreach { p => words((p / 64).toInt) |= 1L << (p % 64).toInt }

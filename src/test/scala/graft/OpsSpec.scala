@@ -515,6 +515,48 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomPrunedJoin == plain join; pre-filter drops most non-matching rows") {
+    val big = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val small = spark.read.parquet(s"$sf001/orders.parquet")
+      .where(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT")
+    val pruned = graft.ops.JoinOps.bloomPrunedJoin(
+        big, "l_orderkey", small, "o_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString.toLong)).toSet
+    val plain = big.join(small, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString.toLong)).toSet
+    assert(pruned == plain && plain.nonEmpty)
+    // the reduction claim: survivors ≈ matches, far below the corpus
+    val survivors = graft.ops.JoinOps.bloomSurvivors(
+      big, "l_orderkey", small, "o_orderkey")
+    val bigN = big.count()
+    assert(survivors < bigN / 2,
+      s"bloom left $survivors of $bigN probe rows — no pruning happened")
+    assert(survivors >= plain.size, "bloom must never drop a true match")
+  }
+
+  test("transitionCounts and rollingStats: hand-checked sequences") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "a", 1.0, 1L), (1L, 20L, "b", 2.0, 2L),
+      (1L, 30L, "a", 4.0, 3L), (2L, 10L, "a", 8.0, 4L),
+      (2L, 20L, "a", 16.0, 5L))
+      .toDF("user_id", "tus", "event_type", "value", "event_id")
+    val trans = StreamingOps.transitionCounts(ev)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // user1: a->b, b->a; user2: a->a
+    assert(trans == Map(
+      ("a", "b") -> (1L, 0.5), ("a", "a") -> (1L, 0.5), ("b", "a") -> (1L, 1.0)))
+    val roll = StreamingOps.rollingStats(ev, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // trailing-2 sums of value millis in (tus, id) order per user
+    assert(roll == Map(
+      1L -> (1L, 1000L), 2L -> (2L, 3000L), 3L -> (2L, 6000L),
+      4L -> (1L, 8000L), 5L -> (2L, 24000L)))
+  }
+
   test("funnelSteps: strict ordering, partial depths, out-of-order purchase ignored") {
     import spark.implicits._
     val ev = Seq(
