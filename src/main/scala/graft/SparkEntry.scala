@@ -1497,6 +1497,31 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // as-of join replay: IDENTICAL union-tag + carry-forward window
     // formulation (AsofOps.asofJoin), right-before-left at equal time
+    // SCD2 replay: deterministic update batch (every 7th key changes,
+    // every 97th is brand-new); changed opens close at batch 1, new
+    // versions open; history length and flags all gated
+    "q_scd2_merge" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS val_cents FROM customer),
+        |upd AS (SELECT k, val_cents + 100000 AS val_cents
+        |        FROM base WHERE k % 7 = 0
+        |        UNION ALL
+        |        SELECT k + 1000000 AS k, CAST(12345 AS BIGINT) AS val_cents
+        |        FROM base WHERE k % 97 = 0),
+        |merged AS (
+        |  SELECT b.k, b.val_cents, CAST(0 AS BIGINT) AS version_start,
+        |         CASE WHEN u.k IS NOT NULL AND u.val_cents <> b.val_cents
+        |              THEN CAST(1 AS BIGINT)
+        |              ELSE 9223372036854775807 END AS version_end,
+        |         NOT (u.k IS NOT NULL AND u.val_cents <> b.val_cents) AS is_current
+        |  FROM base b LEFT JOIN upd u ON b.k = u.k
+        |  UNION ALL
+        |  SELECT u.k, u.val_cents, CAST(1 AS BIGINT) AS version_start,
+        |         9223372036854775807 AS version_end, true AS is_current
+        |  FROM upd u LEFT JOIN base b ON u.k = b.k
+        |  WHERE b.k IS NULL OR b.val_cents <> u.val_cents)
+        |SELECT k, val_cents, version_start, version_end, is_current
+        |FROM merged ORDER BY k, version_start""".stripMargin,
     // transition replay: lag pairs per user in (time, id) order;
     // per-from share is one division of exact counts
     "q_event_transitions" ->
@@ -5063,6 +5088,20 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("matched_id").as("view_id"), col("gap").as("gap_us"))
           .orderBy("user_id", "purchase_id")
+      },
+      "q_scd2_merge" -> { (s, dir) =>
+        import graft.ops.StorageOps
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("k"),
+            floor(col("c_acctbal") * 100).cast("long").as("val_cents"))
+        val dim0 = StorageOps.scd2Init(base, "k", Seq("val_cents"))
+        val upd = base.where(pmod(col("k"), lit(7L)) === 0)
+          .select(col("k"), (col("val_cents") + 100000L).as("val_cents"))
+          .unionByName(base.where(pmod(col("k"), lit(97L)) === 0)
+            .select((col("k") + 1000000L).as("k"),
+              lit(12345L).as("val_cents")))
+        StorageOps.scd2Merge(dim0, upd, "k", Seq("val_cents"), batchId = 1L)
+          .orderBy("k", "version_start")
       },
       "q_event_transitions" -> { (s, dir) =>
         val ev = StreamingOps.readEventsBatch(s, dir)

@@ -104,6 +104,71 @@ object StorageOps {
     nFiles
   }
 
+  /** SCD Type-2 merge — the slowly-changing-dimension maintenance op:
+    * fold an incoming snapshot `updates` into a versioned dimension
+    * `current`, keeping FULL HISTORY.  A changed row's open version
+    * closes (`version_end = batchId`, `is_current = false`) and a new
+    * open version appends; unchanged rows and already-closed history
+    * pass through untouched; unseen keys insert as new open rows.
+    * Deletes are out of scope (retail SCD2 keeps disappeared keys
+    * open — soft-delete is a tracked column).
+    *
+    * `current` schema: `key, tracked..., version_start BIGINT,
+    * version_end BIGINT (OpenEnd = open), is_current BOOLEAN`;
+    * `updates` carries `key, tracked...`.  Use [[scd2Init]] for
+    * batch 0.
+    *
+    * Plan shape: ONE equi-join of the OPEN slice against the batch
+    * (both shuffled on the key — on a key-bucketed dimension the
+    * Exchange disappears, see [[writeBucketed]]); closed history is a
+    * pass-through union that never joins.  At 100 TB the dimension's
+    * history dominates rows but only the open slice pays the join —
+    * exactly the merge shape Delta/Iceberg MERGE INTO compiles to,
+    * expressed on plain DataFrames.
+    */
+  val OpenEnd: Long = Long.MaxValue
+
+  def scd2Init(
+      snapshot: DataFrame, key: String, tracked: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    snapshot.select((key +: tracked).map(col): _*)
+      .withColumn("version_start", lit(0L))
+      .withColumn("version_end", lit(OpenEnd))
+      .withColumn("is_current", lit(true))
+  }
+
+  def scd2Merge(
+      current: DataFrame, updates: DataFrame, key: String,
+      tracked: Seq[String], batchId: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(batchId > 0, s"scd2Merge: batchId=$batchId (0 is scd2Init)")
+    val closed = current.where(!col("is_current"))
+    val open = current.where(col("is_current"))
+    val u = updates.select(
+      col(key).as("__uk") +: tracked.map(t => col(t).as(s"__u_$t")): _*)
+    val j = open.join(u, col(key) === col("__uk"), "full_outer")
+    val differs = tracked.map(t =>
+      !(col(t) <=> col(s"__u_$t"))).reduce(_ || _)
+    // open rows: unmatched pass through; matched-and-same pass
+    // through; matched-and-different close
+    val fromOpen = j.where(col(key).isNotNull)
+      .select((key +: tracked).map(col) :+
+        col("version_start") :+
+        when(col("__uk").isNotNull && differs, lit(batchId))
+          .otherwise(col("version_end")).as("version_end") :+
+        (!(col("__uk").isNotNull && differs)).as("is_current"): _*)
+    // new versions: changed rows + brand-new keys, with the update's
+    // tracked values
+    val fresh = j.where(col("__uk").isNotNull &&
+        (col(key).isNull || differs))
+      .select(col("__uk").as(key) +:
+        tracked.map(t => col(s"__u_$t").as(t)) :+
+        lit(batchId).as("version_start") :+
+        lit(OpenEnd).as("version_end") :+
+        lit(true).as("is_current"): _*)
+    closed.unionByName(fromOpen).unionByName(fresh)
+  }
+
   /** Morton (Z-order) value of N non-negative integer dimensions, each
     * truncated to `bits` low bits: bit `b` of dimension `i` lands at
     * output position `b*N + i` (round-robin, low-to-high).  Pure

@@ -60,6 +60,36 @@ class StorageSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS docs_by_lang")
   }
 
+  test("scd2Merge: two batches build correct version chains") {
+    import spark.implicits._
+    import graft.ops.StorageOps
+    val b0 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val dim0 = StorageOps.scd2Init(b0, "k", Seq("v"))
+    // batch 1: k=1 changes, k=2 unchanged, k=4 new
+    val u1 = Seq((1L, 11L), (2L, 20L), (4L, 40L)).toDF("k", "v")
+    val dim1 = StorageOps.scd2Merge(dim0, u1, "k", Seq("v"), 1L)
+    // batch 2: k=1 changes again, k=3 changes for the first time
+    val u2 = Seq((1L, 12L), (3L, 31L)).toDF("k", "v")
+    val dim2 = StorageOps.scd2Merge(dim1, u2, "k", Seq("v"), 2L)
+    val rows = dim2.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    val E = StorageOps.OpenEnd
+    assert(rows.toSeq == Seq(
+      (1L, 10L, 0L, 1L, false), (1L, 11L, 1L, 2L, false), (1L, 12L, 2L, E, true),
+      (2L, 20L, 0L, E, true),
+      (3L, 30L, 0L, 2L, false), (3L, 31L, 2L, E, true),
+      (4L, 40L, 1L, E, true)))
+    // invariants: exactly one open version per key; closed spans chain
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      assert(vs.count(_._5) == 1, s"key $k open-version count")
+      vs.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"key $k span gap")
+        case _ => ()
+      }
+    }
+  }
+
   test("zValue interleaves bits round-robin, hand-checked") {
     import spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
