@@ -1497,6 +1497,22 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // as-of join replay: IDENTICAL union-tag + carry-forward window
     // formulation (AsofOps.asofJoin), right-before-left at equal time
+    // standardize replay: exact integer moments, the identical IEEE
+    // chain for mean/std/z — bit-equal under any partitioning
+    "q_standardize" ->
+      """WITH v AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS value FROM orders),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(value) AS BIGINT) AS s,
+        |        CAST(sum(value * value) AS BIGINT) AS s2 FROM v)
+        |SELECT o_orderkey, value,
+        |       CAST(s AS DOUBLE) / n AS mean,
+        |       sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |            / (n - 1)) AS std,
+        |       (CAST(value AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |         / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |                / (n - 1)) AS z
+        |FROM v, m ORDER BY o_orderkey""".stripMargin,
     // SCD2 replay: deterministic update batch (every 7th key changes,
     // every 97th is brand-new); changed opens close at batch 1, new
     // versions open; history length and flags all gated
@@ -5088,6 +5104,17 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("matched_id").as("view_id"), col("gap").as("gap_us"))
           .orderBy("user_id", "purchase_id")
+      },
+      "q_standardize" -> { (s, dir) =>
+        graft.ops.ProfileOps.standardize(
+            s.read.parquet(s"$dir/orders.parquet")
+              .select(col("o_orderkey"),
+                // whole units, not cents: sum(v^2) must stay in Long
+                floor(col("o_totalprice")).cast("long").as("units")),
+            "o_orderkey", "units")
+          .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+            col("value"), col("mean"), col("std"), col("z"))
+          .orderBy("o_orderkey")
       },
       "q_scd2_merge" -> { (s, dir) =>
         import graft.ops.StorageOps

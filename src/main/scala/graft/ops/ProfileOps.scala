@@ -91,6 +91,37 @@ object ProfileOps {
       .select("rank", "key", "n", "share", "cum_share")
   }
 
+  /** Z-score standardization with integer-exact moments — the feature
+    * scaler, done to the engine's determinism bar: the column is
+    * quantized to integer units (caller passes e.g. cents), mean and
+    * variance come from exact integer Σv and Σv² (order-free under
+    * any partitioning; a float `avg`/`stddev` is not), and the
+    * per-row z is one IEEE chain over those exact constants — so the
+    * standardized value is bit-identical in any engine.  Sample
+    * std (n−1); requires n ≥ 2 and non-constant values.
+    *
+    * Σv² of |v| ≤ V over n rows needs n·V² < 2^63 — at cents
+    * precision that is ~10¹⁰ rows of $10k values; past that,
+    * pre-aggregate per partition key or drop to decimal(38,0).
+    * One global 3-long aggregate (broadcast), then a pure projection.
+    */
+  def standardize(
+      df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val agg = df.agg(
+      count(col(valueCol)).as("n"),
+      sum(col(valueCol).cast("long")).as("s"),
+      sum(col(valueCol).cast("long") * col(valueCol).cast("long")).as("s2"))
+    df.select(col(idCol), col(valueCol).cast("long").as("value"))
+      .crossJoin(broadcast(agg))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("std",
+        sqrt((col("s2").cast("double") - col("s").cast("double")
+          * col("s").cast("double") / col("n")) / (col("n") - 1)))
+      .withColumn("z",
+        (col("value").cast("double") - col("mean")) / col("std"))
+      .select(idCol, "value", "mean", "std", "z")
+  }
+
   /** k-anonymity suppression over quasi-identifier columns — the
     * release-governance primitive: a row is publishable only if at
     * least `k` rows share its full quasi-identifier combination;
