@@ -109,21 +109,54 @@ object JoinOps {
     * explicit so it applies when the optimizer's heuristics decline
     * (pre-aggregated builds, non-AQE plans, multi-use filters).
     *
-    * Keys are matched as strings (the md5-position arithmetic is the
-    * portable TextOps bloom discipline).
+    * Keys hash natively with xxhash64 — build and probe must pass the
+    * same key TYPE (xxhash64 of a long and of its string differ).
     */
   def bloomPrunedJoin(
       big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
       mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
     require(k <= 7 && mBits % 64 == 0, s"bloomPrunedJoin: mBits=$mBits k=$k")
-    val positions = small
-      .select(col(smallKey).cast("string").as("g")).distinct()
-      .select(explode(array((0 until k).map(j =>
-        TextOps.bloomPositions(col("g"), mBits, j)): _*)).as("pos"))
-      .distinct().collect().map(_.getLong(0))
-    val hit = TextOps.bloomHitExpr(positions, mBits, k)
-    big.where(hit(col(bigKey).cast("string")))
+    val positions = buildPositions(small, smallKey, mBits, k)
+    withBloomFilter(big, bigKey, positions, mBits, k)
       .join(small, col(bigKey) === col(smallKey))
+  }
+
+  /** Kirsch–Mitzenmacher position set from TWO xxhash64 draws — the
+    * bloom here is engine-internal (the join removes false positives,
+    * so the oracle never sees the hash), which frees it from the
+    * portable-md5 discipline: xxhash64 on the native key type costs
+    * ~nothing per row where the md5-on-string chain measured ~1.7 µs
+    * (the whole probe scan was 5× the join it was pruning for).
+    */
+  private def positionCols(key: org.apache.spark.sql.Column, mBits: Int, k: Int) = {
+    // mod-reduce BEFORE the j·h2 combination: full-range 64-bit
+    // hashes overflow the Long sum under ANSI; mod distributes, so
+    // the position set is unchanged
+    val m = lit(mBits.toLong)
+    val h1 = pmod(xxhash64(key), m)
+    val h2 = pmod(xxhash64(key, lit("graft-bloom-2")), m)
+    (0 until k).map(j => pmod(h1 + lit(j.toLong) * h2, m))
+  }
+
+  private def buildPositions(
+      small: DataFrame, smallKey: String, mBits: Int, k: Int): Array[Long] =
+    small.select(col(smallKey).as("g")).distinct()
+      .select(explode(array(positionCols(col("g"), mBits, k): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+
+  private def withBloomFilter(
+      big: DataFrame, bigKey: String, positions: Array[Long],
+      mBits: Int, k: Int): DataFrame = {
+    val words = new Array[Long](mBits / 64)
+    positions.foreach { p => words((p / 64).toInt) |= 1L << (p % 64).toInt }
+    val wordsLit = lit(words)
+    def bitSet(pos: org.apache.spark.sql.Column) =
+      call_function("shiftrightunsigned",
+        element_at(wordsLit, (pos / lit(64L)).cast("int") + lit(1)),
+        (pos % lit(64L)).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    val probe = positionCols(col(bigKey), mBits, k)
+      .map(bitSet).reduce(_ && _)
+    big.where(probe)
   }
 
   /** The probe-side survivor count of [[bloomPrunedJoin]]'s
@@ -132,13 +165,7 @@ object JoinOps {
     */
   private[graft] def bloomSurvivors(
       big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
-      mBits: Int = 1 << 17, k: Int = 4): Long = {
-    val positions = small
-      .select(col(smallKey).cast("string").as("g")).distinct()
-      .select(explode(array((0 until k).map(j =>
-        TextOps.bloomPositions(col("g"), mBits, j)): _*)).as("pos"))
-      .distinct().collect().map(_.getLong(0))
-    big.where(TextOps.bloomHitExpr(positions, mBits, k)(
-      col(bigKey).cast("string"))).count()
-  }
+      mBits: Int = 1 << 17, k: Int = 4): Long =
+    withBloomFilter(big, bigKey,
+      buildPositions(small, smallKey, mBits, k), mBits, k).count()
 }
