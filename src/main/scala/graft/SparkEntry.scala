@@ -1497,6 +1497,37 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // as-of join replay: IDENTICAL union-tag + carry-forward window
     // formulation (AsofOps.asofJoin), right-before-left at equal time
+    // grouped-median replay: quantile_disc/_cont per group — the
+    // engine computes the same ranks by window, the oracle natively
+    "q_grouped_median" ->
+      """WITH v AS (SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(quantile_disc(v, 0.5) AS BIGINT) AS med_disc,
+        |       CAST(quantile_cont(CAST(v AS DOUBLE), 0.5) AS DOUBLE) AS med_cont
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // percent_rank/cume_dist replay: ANSI tie semantics, exact ratios
+    "q_percent_rank" ->
+      """WITH v AS (SELECT o_orderkey, o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders)
+        |SELECT o_orderkey, grp, v,
+        |       percent_rank() OVER (PARTITION BY grp ORDER BY v) AS pr,
+        |       cume_dist() OVER (PARTITION BY grp ORDER BY v) AS cd
+        |FROM v ORDER BY o_orderkey""".stripMargin,
+    // path replay: two lags per user in (time, id) order, top-10
+    // trigram paths with a (count desc, path asc) tie-break
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT event_type AS c,
+        |        lag(event_type, 1) OVER w AS p1,
+        |        lag(event_type, 2) OVER w AS p2
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY tus, event_id)),
+        |t AS (SELECT p2 || '>' || p1 || '>' || c AS path,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE p2 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM t ORDER BY n DESC, path LIMIT 10""".stripMargin,
     // standardize replay: exact integer moments, the identical IEEE
     // chain for mean/std/z — bit-equal under any partitioning
     "q_standardize" ->
@@ -5104,6 +5135,40 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("matched_id").as("view_id"), col("gap").as("gap_us"))
           .orderBy("user_id", "purchase_id")
+      },
+      "q_grouped_median" -> { (s, dir) =>
+        QuantileOps.groupedMedian(
+            s.read.parquet(s"$dir/orders.parquet")
+              .select(col("o_orderpriority").as("grp"),
+                floor(col("o_totalprice")).cast("long").as("v")),
+            "grp", "v")
+          .orderBy("grp")
+      },
+      "q_percent_rank" -> { (s, dir) =>
+        // ANSI percent_rank/cume_dist — rank-ratio windows whose tie
+        // semantics make them deterministic functions of the value
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("v"))
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+            floor(col("o_totalprice")).cast("long").as("v"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .orderBy("o_orderkey")
+      },
+      "q_event_paths" -> { (s, dir) =>
+        val ev = StreamingOps.readEventsBatch(s, dir)
+          .withColumn("tus", expr("ts DIV 1000"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        ev.withColumn("p1", lag(col("event_type"), 1).over(w))
+          .withColumn("p2", lag(col("event_type"), 2).over(w))
+          .where(col("p2").isNotNull)
+          .groupBy(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+            .as("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(10)
       },
       "q_standardize" -> { (s, dir) =>
         graft.ops.ProfileOps.standardize(

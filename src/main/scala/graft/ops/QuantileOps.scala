@@ -142,6 +142,40 @@ object QuantileOps {
     out.toDF("p", "n", "q_disc", "q_cont")
   }
 
+  /** Exact per-GROUP medians (disc + interpolated cont) via rank
+    * windows — the grouped complement of the global radix selection
+    * (which has no per-group form: its histogram narrowing is a
+    * global walk).  One shuffle on the group key; each group's rank
+    * assignment sorts only that group's rows, and the final
+    * conditional-max aggregation touches the two needed ranks per
+    * group.  For integer inputs both medians are exact: disc is the
+    * ceil(n/2)-rank value, cont the exact mean of the two middle
+    * values (equal doubles in any engine — integer-valued doubles
+    * add/halve exactly).
+    */
+  def groupedMedian(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"))
+    val g = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val ranked = df
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(g))
+      .withColumn("__lo_rank", expr("(__n + 1) div 2"))
+      .withColumn("__hi_rank",
+        col("__lo_rank") + lit(1) - pmod(col("__n"), lit(2)))
+    ranked.groupBy(col(groupCol))
+      .agg(max("__n").cast("long").as("n"),
+        max(when(col("__rn") === col("__lo_rank"), col("__v"))).as("__lo"),
+        max(when(col("__rn") === col("__hi_rank"), col("__v"))).as("__hi"))
+      .select(col(groupCol), col("n"),
+        col("__lo").as("med_disc"),
+        ((col("__lo").cast("double") + col("__hi").cast("double")) / 2.0)
+          .as("med_cont"))
+  }
+
   /** Robust (MAD) outlier detection: flag rows whose integer value
     * deviates from the exact median by more than `k` × MAD (median
     * absolute deviation).  Mean/stddev outlier rules are themselves

@@ -145,6 +145,22 @@ class IndexSpec extends AnyFunSuite {
     assert(got.forall(_ == ((7L, 7.0))))
   }
 
+  test("groupedMedian: odd/even groups, duplicate values, singleton") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L), ("a", 3L), ("a", 9L),           // odd: disc=cont=3
+      ("b", 1L), ("b", 2L), ("b", 10L), ("b", 11L), // even: disc=2, cont=6
+      ("c", 5L), ("c", 5L), ("c", 5L), ("c", 7L),   // dups: disc=5, cont=5
+      ("d", 42L))                                 // singleton
+      .toDF("g", "v").repartition(3)
+    val got = QuantileOps.groupedMedian(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      "a" -> (3L, 3L, 3.0), "b" -> (4L, 2L, 6.0),
+      "c" -> (4L, 5L, 5.0), "d" -> (1L, 42L, 42.0)))
+  }
+
   test("madOutliers: serial median/MAD replica; mean-rule victim survives") {
     import spark.implicits._
     // 1..99 plus one huge outlier: the mean rule would let the
