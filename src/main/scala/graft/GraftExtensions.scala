@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bit-identical rewrites only — see graft.plans.GraftRules
     ext.injectOptimizerRule(_ => graft.plans.GraftRules.CollapseNormalize)
     ext.injectOptimizerRule(_ => graft.plans.GraftRules.RewriteHofDotProduct)
+    // whole-operator tier: the per-key top-k logical node plans to
+    // the partial/final bounded-heap execs (graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(

@@ -15,6 +15,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over a custom LogicalPlan (the whole-operator tier:
+    * graft.plans.TopKPerKey) — `Dataset.ofRows` is `private[sql]`,
+    * reached through this in-namespace shim like the converters.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** EAGER Column → Expression conversion.  `expression` wraps the
     * node in a lazy `ColumnNodeExpression`, which is fine inside a
     * Dataset transformation (the converter runs at plan construction)
