@@ -135,9 +135,14 @@ object Profile {
       time("  statsFromRows driver")(graft.spark.WoeBinning.statsFromRows(rows))
     }
 
-    // ---- streaming fit
-    time("q_fit_streaming full") {
+    // ---- streaming fit (needs the testdata file layout — a ScaleUp
+    // scratch dir has no stageable single-file table, so don't abort
+    // the later stages over it)
+    try time("q_fit_streaming full") {
       SparkEntry.queries("q_fit_streaming")(spark, sfDir).count()
+    } catch {
+      case e: RuntimeException =>
+        println(s"[profile] q_fit_streaming skipped: ${e.getMessage}")
     }
 
     // ---- window-dedup hash flavors
@@ -172,6 +177,26 @@ object Profile {
               explode(graft.ops.TextOps.wordNgrams(col("text"), 8)).as("g"))
             .select(col("id"), xxhash64(col("g")).as("wh"))
             .groupBy("wh").agg(count_distinct(col("id"))).count()
+        }
+      }
+    }
+
+    // ---- TopKPerKey custom operator vs the window spelling
+    {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("id"),
+          col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+      for (pass <- 1 to 2) {
+        time(s"topKPerKey custom operator (pass $pass)") {
+          graft.ops.TopKOps.topKPerKey(orders, Seq("grp"),
+            Seq("v" -> false, "id" -> true), 5).count()
+        }
+        time(s"topK via row_number window (pass $pass)") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("grp")).orderBy(col("v").desc, col("id"))
+          orders.withColumn("rn", row_number().over(w))
+            .where(col("rn") <= 5).count()
         }
       }
     }
