@@ -1497,6 +1497,15 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // as-of join replay: IDENTICAL union-tag + carry-forward window
     // formulation (AsofOps.asofJoin), right-before-left at equal time
+    // top-k-per-key replay: the row_number spelling — the custom
+    // operator must keep EXACTLY the rows the window form ranks
+    "q_topk_per_key" ->
+      """WITH v AS (SELECT o_orderkey, o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY grp
+        |        ORDER BY v DESC, o_orderkey) AS rn FROM v)
+        |SELECT grp, o_orderkey, v FROM r WHERE rn <= 5
+        |ORDER BY grp, v DESC, o_orderkey""".stripMargin,
     // grouped-median replay: quantile_disc/_cont per group — the
     // engine computes the same ranks by window, the oracle natively
     "q_grouped_median" ->
@@ -3026,6 +3035,13 @@ object SparkEntry {
     // incremental-dedup store probes: the exact store keyed on md5
     // content (probe = re-ingest detection over doc_id >= 250), and
     // the minhash store probe with signature-agreement verify
+    // erasure replay: a from-scratch rebuild of the filtered corpus —
+    // the engine's INCREMENTAL store patch must equal it exactly
+    "q_erasure" ->
+      """SELECT md5(text) AS content_hash,
+        |       CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM documents WHERE doc_id % 13 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_incr_dedup_exact" ->
       """WITH store AS (
         |  SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id
@@ -4165,6 +4181,30 @@ object SparkEntry {
             "text", "doc_id", "n_chars", 0.7)
           .select("id_a", "id_b").orderBy("id_a", "id_b")
       },
+      "q_erasure" -> { (s, dir) =>
+        // right-to-be-forgotten: erase every 13th doc, patch the
+        // persisted exact store incrementally (keeper reassignment
+        // only where the keeper died) — the gate is that the PATCHED
+        // store hash-equals the oracle's from-scratch rebuild of the
+        // filtered corpus
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val store = s"/tmp/graft-exact-store/$key"
+        BuildOnce.once(s"exact-store|$store") {
+          graft.ops.IncrementalDedup.writeExactStore(docs, "text", "doc_id", store)
+        }
+        val erased = docs.where(pmod(col("doc_id"), lit(13L)) === 0)
+          .select(col("doc_id"))
+        val out = s"/tmp/graft-exact-store-erased/$key"
+        graft.ops.IncrementalDedup.eraseExactStore(
+          s, store, docs.where(pmod(col("doc_id"), lit(13L)) =!= 0),
+          "text", "doc_id", erased, out)
+        s.read.parquet(out)
+          .select(col("content_hash"),
+            col("keep_id").cast("bigint").as("keep_id"))
+          .orderBy("content_hash")
+      },
       "q_incr_dedup_exact" -> { (s, dir) =>
         // incremental ingest: build the exact content store once, then
         // probe a batch against it — re-ingesting already-stored docs
@@ -5135,6 +5175,20 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("matched_id").as("view_id"), col("gap").as("gap_us"))
           .orderBy("user_id", "purchase_id")
+      },
+      "q_topk_per_key" -> { (s, dir) =>
+        // the whole-operator tier: custom LogicalPlan -> injected
+        // Strategy -> partial/final bounded-heap execs; requires the
+        // GraftExtensions session (Verify/Bench/tests all carry it)
+        graft.ops.TopKOps.topKPerKey(
+            s.read.parquet(s"$dir/orders.parquet")
+              .select(col("o_orderkey").cast("long").as("o_orderkey"),
+                col("o_orderpriority").as("grp"),
+                floor(col("o_totalprice")).cast("long").as("v")),
+            keys = Seq("grp"),
+            order = Seq("v" -> false, "o_orderkey" -> true), k = 5)
+          .select(col("grp"), col("o_orderkey"), col("v"))
+          .orderBy(col("grp"), col("v").desc, col("o_orderkey"))
       },
       "q_grouped_median" -> { (s, dir) =>
         QuantileOps.groupedMedian(

@@ -72,6 +72,57 @@ object IncrementalDedup {
       .groupBy("content_hash").agg(min("keep_id").as("keep_id"))
       .write.mode("overwrite").parquet(outPath)
 
+  /** ERASURE propagation (the GDPR/right-to-be-forgotten op) through
+    * the exact store: remove every erased id's influence WITHOUT a
+    * whole-store rebuild.  A keeper-only store cannot just filter —
+    * when a group's canonical keeper is erased, the new keeper is the
+    * min of the SURVIVING members, which only the corpus knows.  So:
+    *
+    *  - groups whose keeper survives pass through untouched (erasing
+    *    a non-keeper member changes nothing the store records);
+    *  - groups whose keeper was erased are rebuilt from the
+    *    post-erasure corpus, but ONLY those groups — a semi-join on
+    *    the affected hashes keeps the rebuild O(affected), not
+    *    O(corpus state);
+    *  - a group with no survivors disappears (its hash no longer
+    *    joins anything).
+    *
+    * Written to a NEW path (the snapshot-roll discipline).  The
+    * incremental patch must equal a from-scratch rebuild of the
+    * filtered corpus — that equality IS q_erasure's oracle gate.
+    */
+  def eraseExactStore(
+      spark: SparkSession, storePath: String,
+      corpusAfter: DataFrame, textCol: String, idCol: String,
+      erasedIds: DataFrame, outPath: String): Unit = {
+    val store = spark.read.parquet(storePath)
+    val erased = broadcast(erasedIds.select(col(erasedIds.columns.head).as("__eid")))
+    val untouched = store.join(erased,
+      store("keep_id") === col("__eid"), "left_anti")
+    val affectedHashes = store.join(erased,
+      store("keep_id") === col("__eid"), "left_semi")
+      .select("content_hash")
+    val rebuilt = corpusAfter
+      .select(md5(col(textCol)).as("content_hash"), col(idCol).as("keep_id"))
+      .join(broadcast(affectedHashes), "content_hash")
+      .groupBy("content_hash").agg(min("keep_id").as("keep_id"))
+    untouched.unionByName(rebuilt)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Erasure through the minhash signature store: signatures are
+    * per-id state, so the patch is one broadcast anti-join — no
+    * rebuild, no corpus access (the store never held text).
+    */
+  def eraseMinhashStore(
+      spark: SparkSession, storePath: String,
+      erasedIds: DataFrame, outPath: String): Unit = {
+    val store = spark.read.parquet(storePath)
+    val erased = broadcast(erasedIds.select(col(erasedIds.columns.head).as("__eid")))
+    store.join(erased, store("id") === col("__eid"), "left_anti")
+      .write.mode("overwrite").partitionBy("band").parquet(outPath)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** The minhash signature of every doc, banded for LSH — shared by

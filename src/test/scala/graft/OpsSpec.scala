@@ -515,6 +515,52 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("eraseExactStore: keeper reassignment, member-only erase, group death") {
+    import spark.implicits._
+    import graft.ops.IncrementalDedup
+    val docs = Seq(
+      (1L, "aaa"), (2L, "aaa"), (3L, "aaa"), // keeper 1 erased -> 2
+      (4L, "bbb"), (5L, "bbb"),              // member 5 erased -> untouched
+      (6L, "ccc"),                           // sole member erased -> gone
+      (7L, "ddd"))                           // untouched
+      .toDF("doc_id", "text")
+    val store = "/tmp/graft-test-erase-store"
+    val out = "/tmp/graft-test-erase-out"
+    IncrementalDedup.writeExactStore(docs, "text", "doc_id", store)
+    val erased = Seq(1L, 5L, 6L).toDF("doc_id")
+    val after = docs.where(!col("doc_id").isin(1L, 5L, 6L))
+    IncrementalDedup.eraseExactStore(spark, store, after, "text", "doc_id",
+      erased, out)
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val h = (s: String) => org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got == Map(h("aaa") -> 2L, h("bbb") -> 4L, h("ddd") -> 7L))
+  }
+
+  test("eraseMinhashStore drops exactly the erased ids' signature rows") {
+    import spark.implicits._
+    import graft.ops.IncrementalDedup
+    val docs = (1L to 6L).map(i => (i, s"tok$i alpha beta gamma delta " * 3))
+      .toDF("doc_id", "text")
+    val store = "/tmp/graft-test-erase-mh"
+    val out = "/tmp/graft-test-erase-mh-out"
+    IncrementalDedup.writeMinhashStore(docs, "text", "doc_id", store,
+      portableHash = true)
+    IncrementalDedup.eraseMinhashStore(spark,
+      store, Seq(2L, 4L).toDF("doc_id"), out)
+    val ids = spark.read.parquet(out).select("id").distinct()
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 5L, 6L))
+    // surviving rows are byte-identical to the original store's
+    val before = spark.read.parquet(store).where(!col("id").isin(2L, 4L))
+      .select("band", "band_hash", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val afterRows = spark.read.parquet(out)
+      .select("band", "band_hash", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(afterRows == before)
+  }
+
   test("bloomPrunedJoin == plain join; pre-filter drops most non-matching rows") {
     val big = spark.read.parquet(s"$sf001/lineitem.parquet")
     val small = spark.read.parquet(s"$sf001/orders.parquet")
