@@ -1537,6 +1537,51 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM p WHERE p2 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM t ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // moments replay: HUGEINT power sums, the identical float chains
+    // (skew uses m2*sqrt(m2), never libm pow)
+    "q_moments" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice) AS HUGEINT) AS v FROM orders),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s1,
+        |        sum(v * v) AS s2, sum(v * v * v) AS s3,
+        |        sum(v * v * v * v) AS s4 FROM v),
+        |x AS (SELECT n, CAST(s1 AS DOUBLE) / n AS mean,
+        |        CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3,
+        |        CAST(s4 AS DOUBLE) / n AS r4 FROM m),
+        |y AS (SELECT n, mean, r2 - mean * mean AS m2,
+        |        r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+        |        r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+        |          - 3.0 * mean * mean * mean * mean AS m4 FROM x)
+        |SELECT n, mean, m2, m3 / (m2 * sqrt(m2)) AS skewness,
+        |       m4 / (m2 * m2) - 3.0 AS kurtosis_excess FROM y""".stripMargin,
+    // correlation replay: five exact sums, one float chain for r
+    "q_correlation" ->
+      """WITH v AS (SELECT CAST(floor(l_quantity) AS HUGEINT) AS x,
+        |             CAST(floor(l_extendedprice) AS HUGEINT) AS y FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM v)
+        |SELECT n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM m""".stripMargin,
+    // chi-square replay: per-cell observed/expected/term — no float
+    // sum crosses the engine boundary
+    "q_chi2_cells" ->
+      """WITH c AS (SELECT c_mktsegment AS a, CAST(c_nationkey AS BIGINT) AS b,
+        |             CAST(count(*) AS BIGINT) AS obs FROM customer GROUP BY 1, 2),
+        |at AS (SELECT a, CAST(sum(obs) AS BIGINT) AS na FROM c GROUP BY 1),
+        |bt AS (SELECT b, CAST(sum(obs) AS BIGINT) AS nb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c)
+        |SELECT c.a AS a, c.b AS b, obs,
+        |       CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / n AS expected,
+        |       (CAST(obs AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / n)
+        |         * (CAST(obs AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / n)
+        |         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / n) AS chi2_term
+        |FROM c JOIN at USING (a) JOIN bt USING (b) CROSS JOIN t
+        |ORDER BY a, b""".stripMargin,
     // standardize replay: exact integer moments, the identical IEEE
     // chain for mean/std/z — bit-equal under any partitioning
     "q_standardize" ->
@@ -5223,6 +5268,29 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path"))
           .limit(10)
+      },
+      "q_moments" -> { (s, dir) =>
+        graft.ops.ProfileOps.moments(
+          s.read.parquet(s"$dir/orders.parquet")
+            .select(floor(col("o_totalprice")).cast("long").as("units")),
+          "units")
+      },
+      "q_correlation" -> { (s, dir) =>
+        graft.ops.ProfileOps.correlation(
+          s.read.parquet(s"$dir/lineitem.parquet")
+            .select(floor(col("l_quantity")).cast("long").as("x"),
+              floor(col("l_extendedprice")).cast("long").as("y")),
+          "x", "y")
+      },
+      "q_chi2_cells" -> { (s, dir) =>
+        graft.ops.ProfileOps.chiSquareCells(
+            s.read.parquet(s"$dir/customer.parquet")
+              .select(col("c_mktsegment"),
+                col("c_nationkey").cast("long").as("nat")),
+            "c_mktsegment", "nat")
+          .select(col("a"), col("b"), col("obs"), col("expected"),
+            col("chi2_term"))
+          .orderBy("a", "b")
       },
       "q_standardize" -> { (s, dir) =>
         graft.ops.ProfileOps.standardize(

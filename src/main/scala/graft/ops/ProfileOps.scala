@@ -122,6 +122,91 @@ object ProfileOps {
       .select(idCol, "value", "mean", "std", "z")
   }
 
+  /** Exact central moments → skewness / excess kurtosis.  Raw power
+    * sums Σv..Σv⁴ accumulate as decimal(38,0) (v⁴ of a 10⁶-unit value
+    * is 10²⁴ — past Long, far inside 38 digits), so the moments are
+    * order-free exact and only the final skew/kurtosis expressions
+    * are float — same closed forms, same IEEE chain, any engine.
+    * One aggregate, one row out.
+    */
+  def moments(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(38,0)")
+    df.agg(
+        count(col(valueCol)).as("n"),
+        sum(v).cast("decimal(38,0)").as("s1"),
+        sum(v * v).cast("decimal(38,0)").as("s2"),
+        sum(v * v * v).cast("decimal(38,0)").as("s3"),
+        sum(v * v * v * v).cast("decimal(38,0)").as("s4"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("m2",
+        col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3",
+        col("s3").cast("double") / col("n")
+          - lit(3.0) * col("mean") * (col("s2").cast("double") / col("n"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4",
+        col("s4").cast("double") / col("n")
+          - lit(4.0) * col("mean") * (col("s3").cast("double") / col("n"))
+          + lit(6.0) * col("mean") * col("mean") * (col("s2").cast("double") / col("n"))
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      // m2·sqrt(m2), not pow(m2, 1.5): sqrt is IEEE-exact everywhere,
+      // pow is libm-dependent in the last ulp
+      .withColumn("skewness", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurtosis_excess", col("m4") / (col("m2") * col("m2")) - 3.0)
+      .select("n", "mean", "m2", "skewness", "kurtosis_excess")
+  }
+
+  /** Exact-moment Pearson correlation between two integer columns:
+    * all five sums exact decimals, r one float chain — deterministic
+    * under any partitioning, unlike `corr()`'s streaming float
+    * accumulation.
+    */
+  def correlation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,0)").as("sx"),
+        sum(y).cast("decimal(38,0)").as("sy"),
+        sum(x * y).cast("decimal(38,0)").as("sxy"),
+        sum(x * x).cast("decimal(38,0)").as("sxx"),
+        sum(y * y).cast("decimal(38,0)").as("syy"))
+      .withColumn("r",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+      .select("n", "r")
+  }
+
+  /** Chi-square contingency cells for two categorical columns: per
+    * cell the observed count, expected count (one division of exact
+    * integers), and the χ² contribution (one float chain per row) —
+    * the independence-test surface, emitted as cells rather than one
+    * statistic so no float SUM crosses the engine boundary (the
+    * consumer folds the tiny cell frame in any order it likes).
+    * Margins broadcast; the data passes once.
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val aTot = cells.groupBy("a").agg(sum("obs").as("na"))
+    val bTot = cells.groupBy("b").agg(sum("obs").as("nb"))
+    val tot = cells.agg(sum("obs").as("n"))
+    cells
+      .join(broadcast(aTot), "a").join(broadcast(bTot), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        col("na").cast("double") * col("nb").cast("double") / col("n"))
+      .withColumn("chi2_term",
+        (col("obs").cast("double") - col("expected"))
+          * (col("obs").cast("double") - col("expected")) / col("expected"))
+      .select(col("a"), col("b"), col("obs").cast("long").as("obs"),
+        col("expected"), col("chi2_term"))
+  }
+
   /** k-anonymity suppression over quasi-identifier columns — the
     * release-governance primitive: a row is publishable only if at
     * least `k` rows share its full quasi-identifier combination;

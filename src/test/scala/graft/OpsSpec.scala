@@ -1639,6 +1639,41 @@ class OpsSpec extends AnyFunSuite {
     assert(d3(0)._5 == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("moments/correlation: serial replicas; known-shape sanity") {
+    import spark.implicits._
+    // right-skewed integer sample with a long tail
+    val vals = Seq.tabulate(200)(i => (i % 10).toLong) ++ Seq(50L, 60L, 80L)
+    val m = graft.ops.ProfileOps.moments(vals.toDF("v").repartition(4), "v").head
+    val n = vals.size.toDouble
+    val mean = vals.sum / n
+    val m2 = vals.map(v => (v - mean) * (v - mean)).sum / n
+    assert(m.getLong(0) == vals.size)
+    assert(math.abs(m.getDouble(1) - mean) < 1e-9)
+    assert(math.abs(m.getDouble(2) - m2) < 1e-6)
+    assert(m.getDouble(3) > 2.0, s"tail sample must be right-skewed, got ${m.getDouble(3)}")
+    // correlation: exact linear relation -> r = 1; anti-linear -> -1
+    val xs = (1L to 100L)
+    val lin = xs.map(x => (x, 3 * x + 7)).toDF("x", "y")
+    val rLin = graft.ops.ProfileOps.correlation(lin, "x", "y").head.getDouble(1)
+    assert(math.abs(rLin - 1.0) < 1e-12, s"r=$rLin")
+    val anti = xs.map(x => (x, -2 * x)).toDF("x", "y")
+    val rAnti = graft.ops.ProfileOps.correlation(anti, "x", "y").head.getDouble(1)
+    assert(math.abs(rAnti + 1.0) < 1e-12, s"r=$rAnti")
+  }
+
+  test("chiSquareCells: independent uniform table has zero chi2; margins exact") {
+    import spark.implicits._
+    val rows = for { a <- Seq("p", "q"); b <- Seq(1L, 2L, 3L); _ <- 1 to 4 }
+      yield (a, b)
+    val cells = graft.ops.ProfileOps.chiSquareCells(
+        rows.toDF("a", "b"), "a", "b")
+      .collect()
+    assert(cells.length == 6)
+    cells.foreach { r =>
+      assert(r.getLong(2) == 4L && r.getDouble(3) == 4.0 && r.getDouble(4) == 0.0)
+    }
+  }
+
   test("kAnonymize: small QI groups suppressed into the residual, totals reconcile") {
     import spark.implicits._
     val rows = Seq(
