@@ -1537,6 +1537,39 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM p WHERE p2 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM t ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // EWMA replay: same (t, id)-sorted per-user list, same
+    // first-element seed, same fold — the float chain is a
+    // deterministic function of the ordered data in both engines
+    "q_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i,
+        |             CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |        list_transform(
+        |          list_sort(list({'t': t, 'i': i, 'vm': vm})),
+        |          x -> CAST(x.vm AS DOUBLE)) AS vs
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, n_events,
+        |       list_reduce(vs, (a, b) -> a + 0.125 * (b - a)) AS ewma_millis
+        |FROM g ORDER BY user_id""".stripMargin,
+    // native session-window replay: gaps-and-islands with the SAME
+    // boundary rule Spark's session_window uses (new session when the
+    // gap is >= 30 min; window end = last event + gap)
+    "q_events_session_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |                  >= 1800000000 OR
+        |                  lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
+        |       CAST(max(t) + 1800000000 AS BIGINT) AS session_end_us,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
     // moments replay: HUGEINT power sums, the identical float chains
     // (skew uses m2*sqrt(m2), never libm pow)
     "q_moments" ->
@@ -5268,6 +5301,28 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path"))
           .limit(10)
+      },
+      "q_ewma" -> { (s, dir) =>
+        val ev = StreamingOps.readEventsBatch(s, dir)
+          .withColumn("tus", expr("ts DIV 1000"))
+        StreamingOps.ewmaPerUser(ev).orderBy("user_id")
+      },
+      "q_events_session_native" -> { (s, dir) =>
+        // the NATIVE session_window operator (merging session windows
+        // in one aggregation) — the gaps-and-islands q_events_sessionize
+        // computes the same sessions by windows; this gates Spark's
+        // built-in operator against that independent formulation
+        StreamingOps.readEventsBatch(s, dir)
+          .groupBy(session_window(col("event_time"), "30 minutes"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            expr("CAST(unix_micros(session_window.start) AS BIGINT)")
+              .as("session_start_us"),
+            expr("CAST(unix_micros(session_window.end) AS BIGINT)")
+              .as("session_end_us"),
+            col("n").cast("long").as("n"))
+          .orderBy("user_id", "session_start_us")
       },
       "q_moments" -> { (s, dir) =>
         graft.ops.ProfileOps.moments(

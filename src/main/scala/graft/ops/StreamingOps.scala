@@ -237,6 +237,45 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** Per-user exponentially-weighted moving average of the event
+    * value — the sequential-decay statistic (spend velocity,
+    * engagement decay) that CANNOT be a distributed float sum: its
+    * recurrence `e_i = e_{i-1} + α(v_i − e_{i-1})` is order-DEPENDENT
+    * by definition.  The engine's answer: collect each user's events
+    * into an array, `sort_array` fixes the (time, id) order
+    * bit-identically everywhere, and ONE `aggregate` lambda folds the
+    * recurrence — the float chain is then a deterministic function of
+    * the data, replayable in any engine with ordered-list folds.
+    * Seed = the first event's value (the DuckDB `list_reduce`
+    * convention, matched exactly).
+    *
+    * State bound: one user's events must fit an array (~events per
+    * entity, not corpus) — the same per-key bound the sessionizer
+    * documents; past it, the streaming flavor with running state is
+    * the right tool.  α must be exactly representable (1/8 default).
+    */
+  def ewmaPerUser(
+      events: DataFrame, alpha: Double = 0.125,
+      userCol: String = "user_id", timeCol: String = "tus",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame =
+    events
+      .select(col(userCol).as("user_id"), col(timeCol).as("t"),
+        col(idCol).as("i"),
+        floor(col(valueCol) * 1000).cast("long").as("vm"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("t"), col("i"), col("vm"))))
+          .as("__seq"))
+      .withColumn("ewma_millis",
+        aggregate(
+          slice(col("__seq"), lit(2),
+            greatest(size(col("__seq")) - 1, lit(0))),
+          element_at(col("__seq"), 1).getField("vm").cast("double"),
+          (acc, x) =>
+            acc + lit(alpha) * (x.getField("vm").cast("double") - acc)))
+      .select(col("user_id"), col("n_events").cast("long").as("n_events"),
+        col("ewma_millis"))
+
   /** First-order (Markov) transition matrix over per-user event
     * sequences: for every consecutive pair in a user's time-ordered
     * stream, count (from_type → to_type) and the per-from share — the

@@ -583,6 +583,21 @@ class OpsSpec extends AnyFunSuite {
     assert(survivors >= plain.size, "bloom must never drop a true match")
   }
 
+  test("ewmaPerUser: hand-checked recurrence in (time, id) order") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 1L, 8.0),   // seed 8000
+      (1L, 20L, 2L, 16.0),  // 8000 + (16000-8000)/8 = 9000
+      (1L, 5L, 3L, 0.0),    // sorts FIRST: real seq is 0, 8000, 16000
+      (2L, 1L, 4L, 4.0))    // singleton: ewma = value
+      .toDF("user_id", "tus", "event_id", "value")
+    val got = StreamingOps.ewmaPerUser(ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // user 1 ordered values: 0, 8000, 16000 ->
+    //   e1 = 0; e2 = 0 + 1000 = 1000; e3 = 1000 + (16000-1000)/8 = 2875
+    assert(got == Map(1L -> (3L, 2875.0), 2L -> (1L, 4000.0)))
+  }
+
   test("transitionCounts and rollingStats: hand-checked sequences") {
     import spark.implicits._
     val ev = Seq(
