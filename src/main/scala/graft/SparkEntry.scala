@@ -1537,6 +1537,54 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM p WHERE p2 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM t ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // data-quality replay: each metric a ratio of exact counts
+    "q_dq_checks" ->
+      """WITH r AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(l_orderkey) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.08
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |           FROM lineitem),
+        |u1 AS (SELECT CAST(count(*) AS BIGINT) AS d
+        |       FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+        |u2 AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d
+        |       FROM lineitem),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS miss
+        |       FROM lineitem l
+        |       LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |         ON l.l_orderkey = o.o_orderkey
+        |       WHERE o.o_orderkey IS NULL),
+        |v AS (
+        |  SELECT 'complete:l_orderkey' AS check_name,
+        |         (SELECT CAST(c1 AS DOUBLE) / n FROM r) AS metric,
+        |         CAST(1.0 AS DOUBLE) AS threshold
+        |  UNION ALL SELECT 'in_range:l_discount',
+        |         (SELECT CAST(c2 AS DOUBLE) / n FROM r), 0.8
+        |  UNION ALL SELECT 'unique:l_orderkey+l_linenumber',
+        |         (SELECT CAST(u1.d AS DOUBLE) / r.n FROM u1, r), 1.0
+        |  UNION ALL SELECT 'unique:l_orderkey',
+        |         (SELECT CAST(u2.d AS DOUBLE) / r.n FROM u2, r), 0.2
+        |  UNION ALL SELECT 'ref:l_orderkey',
+        |         (SELECT CAST(r.n - fk.miss AS DOUBLE) / r.n FROM r, fk), 1.0)
+        |SELECT check_name, metric, threshold, metric >= threshold AS passed
+        |FROM v ORDER BY check_name""".stripMargin,
+    // set-operation replay: INTERSECT / EXCEPT / UNION distinct counts
+    "q_set_ops" ->
+      """WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |b AS (SELECT doc_id FROM documents
+        |      WHERE source IN ('src1', 'src2', 'src3', 'src4', 'src5'))
+        |SELECT 'a_except_b' AS op,
+        |       CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |            AS BIGINT) AS n
+        |UNION ALL SELECT 'a_intersect_b',
+        |       CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        |            AS BIGINT)
+        |UNION ALL SELECT 'a_union_b',
+        |       CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+        |            AS BIGINT)
+        |UNION ALL SELECT 'b_except_a',
+        |       CAST((SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+        |            AS BIGINT)
+        |ORDER BY op""".stripMargin,
     // EWMA replay: same (t, id)-sorted per-user list, same
     // first-element seed, same fold — the float chain is a
     // deterministic function of the ordered data in both engines
@@ -5301,6 +5349,33 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path"))
           .limit(10)
+      },
+      "q_dq_checks" -> { (s, dir) =>
+        import graft.ops.ProfileOps._
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val orders = s.read.parquet(s"$dir/orders.parquet")
+        dataQualityReport(li, Seq(
+            Complete("l_orderkey"),
+            InRange("l_discount", 0.0, 0.08, minRatio = 0.8),
+            Unique(Seq("l_orderkey", "l_linenumber")),
+            Unique(Seq("l_orderkey"), minRatio = 0.2),
+            RefIntegrity("l_orderkey", orders, "o_orderkey")))
+          .withColumnRenamed("check", "check_name")
+          .orderBy("check_name")
+      },
+      "q_set_ops" -> { (s, dir) =>
+        // the native set operators (EXCEPT/INTERSECT/UNION DISTINCT)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val a = docs.where(col("lang") === "en").select("doc_id")
+        val b = docs.where(col("source").isin(
+          "src1", "src2", "src3", "src4", "src5")).select("doc_id")
+        import s.implicits._
+        Seq(
+          ("a_except_b", a.except(b).count()),
+          ("a_intersect_b", a.intersect(b).count()),
+          ("a_union_b", a.union(b).distinct().count()),
+          ("b_except_a", b.except(a).count()))
+          .toDF("op", "n").orderBy("op")
       },
       "q_ewma" -> { (s, dir) =>
         val ev = StreamingOps.readEventsBatch(s, dir)

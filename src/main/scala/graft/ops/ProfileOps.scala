@@ -91,6 +91,73 @@ object ProfileOps {
       .select("rank", "key", "n", "share", "cum_share")
   }
 
+  /** Declarative data-quality checks (the Deequ/Great-Expectations
+    * shape) evaluated against a frame in as few passes as the check
+    * mix allows: every scalar check (completeness, bounds, row count)
+    * folds into ONE aggregation over one scan; uniqueness adds one
+    * groupBy; referential integrity one anti-join per FK.  Output is
+    * the audit table a pipeline gate consumes: `(check, metric,
+    * threshold, passed)` — metrics are ratios of exact counts (one
+    * division each), so the report replays bit-exactly.
+    */
+  sealed trait DqCheck { def name: String }
+  /** non-null fraction of `col` must be ≥ `minRatio`. */
+  case class Complete(col: String, minRatio: Double = 1.0) extends DqCheck {
+    val name = s"complete:$col"
+  }
+  /** fraction of rows inside [lo, hi] (nulls fail) ≥ `minRatio`. */
+  case class InRange(col: String, lo: Double, hi: Double,
+      minRatio: Double = 1.0) extends DqCheck {
+    val name = s"in_range:$col"
+  }
+  /** distinct(cols) / rows must be ≥ `minRatio` (1.0 = unique key). */
+  case class Unique(cols: Seq[String], minRatio: Double = 1.0) extends DqCheck {
+    val name = s"unique:${cols.mkString("+")}"
+  }
+  /** fraction of rows whose `col` exists in `ref.refCol` ≥ minRatio. */
+  case class RefIntegrity(col: String, ref: DataFrame, refCol: String,
+      minRatio: Double = 1.0) extends DqCheck {
+    val name = s"ref:$col"
+  }
+
+  def dataQualityReport(df: DataFrame, checks: Seq[DqCheck]): DataFrame = {
+    require(checks.nonEmpty, "dataQualityReport: no checks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one aggregation for every scalar check + the row count
+    val scalarAggs = count(lit(1)).as("__rows") +: checks.collect {
+      case c: Complete =>
+        count(col(c.col)).as(c.name)
+      case c: InRange =>
+        sum(when(col(c.col) >= c.lo && col(c.col) <= c.hi, 1L)
+          .otherwise(0L)).as(c.name)
+    }
+    val scalarRow = df.agg(scalarAggs.head, scalarAggs.tail: _*).head()
+    val rows = scalarRow.getLong(0)
+    val results = checks.map {
+      case c: Complete =>
+        val m = if (rows == 0) 1.0
+          else scalarRow.getAs[Long](c.name).toDouble / rows
+        (c.name, m, c.minRatio)
+      case c: InRange =>
+        val m = if (rows == 0) 1.0
+          else scalarRow.getAs[Long](c.name).toDouble / rows
+        (c.name, m, c.minRatio)
+      case c: Unique =>
+        val distinct = df.select(c.cols.map(col): _*).distinct().count()
+        val m = if (rows == 0) 1.0 else distinct.toDouble / rows
+        (c.name, m, c.minRatio)
+      case c: RefIntegrity =>
+        val matched = rows - df.join(
+          c.ref.select(col(c.refCol).as(c.col)).distinct(),
+          Seq(c.col), "left_anti").count()
+        val m = if (rows == 0) 1.0 else matched.toDouble / rows
+        (c.name, m, c.minRatio)
+    }
+    results.map { case (n, m, t) => (n, m, t, m >= t) }
+      .toDF("check", "metric", "threshold", "passed")
+  }
+
   /** Z-score standardization with integer-exact moments — the feature
     * scaler, done to the engine's determinism bar: the column is
     * quantized to integer units (caller passes e.g. cents), mean and

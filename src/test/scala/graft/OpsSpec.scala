@@ -1654,6 +1654,32 @@ class OpsSpec extends AnyFunSuite {
     assert(d3(0)._5 == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("dataQualityReport: crafted violations per check type") {
+    import spark.implicits._
+    import graft.ops.ProfileOps._
+    val df = Seq(
+      (Some(1L), 5.0, "x"), (Some(2L), 50.0, "x"), // 50 out of range
+      (None, 7.0, "y"),                            // null id
+      (Some(2L), 9.0, "z"))                        // dup id, z not in ref
+      .toDF("id", "v", "k")
+    val ref = Seq("x", "y").toDF("rk")
+    val got = dataQualityReport(df, Seq(
+        Complete("id", 0.8),
+        InRange("v", 0.0, 10.0, 0.9),
+        Unique(Seq("id"), 1.0),
+        RefIntegrity("k", ref, "rk", 1.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(got("complete:id") == (0.75, false))
+    assert(got("in_range:v") == (0.75, false))
+    assert(got("unique:id") == (0.75, false))
+    assert(got("ref:k") == (0.75, false))
+    // all-green variant
+    val clean = dataQualityReport(df, Seq(Complete("v"), InRange("v", 0.0, 50.0)))
+      .collect().map(_.getBoolean(3))
+    assert(clean.forall(identity))
+  }
+
   test("moments/correlation: serial replicas; known-shape sanity") {
     import spark.implicits._
     // right-skewed integer sample with a long tail
