@@ -1537,6 +1537,13 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM p WHERE p2 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM t ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // graftdoc replay: content fidelity through the binary format —
+    // the DuckDB side reads the parquet truth; byte-identical text
+    // md5s prove the DSv2 encode/decode round-trip under a pushed
+    // range filter (which also exercises the shard skipping)
+    "q_graftdoc_scan" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents
+        |WHERE doc_id < 250 ORDER BY doc_id""".stripMargin,
     // data-quality replay: each metric a ratio of exact counts
     "q_dq_checks" ->
       """WITH r AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -3764,6 +3771,7 @@ object SparkEntry {
     * serve — instead of re-measuring parquet-write jitter.
     */
   val oneTimeBuild: Set[String] = Set(
+    "q_graftdoc_scan", "q_erasure",
     "q_incr_dedup_exact", "q_incr_dedup_minhash_md5", "q_bucketed_join",
     "q_ann_topk_ivf_index", "q_ann_topk_ivf_incr", "q_ann_topk_ivfpq_index",
     "q_ann_topk_ivfpq_index_refine", "q_phrase_search_index")
@@ -5349,6 +5357,27 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path"))
           .limit(10)
+      },
+      "q_graftdoc_scan" -> { (s, dir) =>
+        // the DataSource V2 connector end-to-end: shard the corpus
+        // once (BuildOnce), read through the connector with a pushed
+        // doc_id bound, fingerprint the decoded text
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val store = s"/tmp/graft-gdoc-store/$key"
+        BuildOnce.once(s"gdoc|$store") {
+          graft.sources.GraftDoc.write(
+            s.read.parquet(s"$dir/documents.parquet")
+              .select(col("doc_id"), col("text"))
+              .repartitionByRange(8, col("doc_id")),
+            store)
+        }
+        s.read.format(classOf[graft.sources.GraftDocSource].getName)
+          .option("path", store).load()
+          .where(col("doc_id") < 250)
+          .select(col("doc_id").cast("bigint").as("doc_id"),
+            md5(col("text")).as("fp"))
+          .orderBy("doc_id")
       },
       "q_dq_checks" -> { (s, dir) =>
         import graft.ops.ProfileOps._
