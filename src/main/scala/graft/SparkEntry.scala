@@ -1537,6 +1537,41 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM p WHERE p2 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM t ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // MJPEG frame replay: real JDK codec per sampled frame — decoded-
+    // domain literals per (stream key, frame) derived by JpegGolden
+    // (golden-literal discipline); DuckDB replays only id → key and
+    // the every-2nd sampling
+    "q_mp4_frames" -> {
+      val lits =
+        """  (0, 0, 97337, '12966dc246ff1fd5bca2512cef93e83a', 19),
+          |  (0, 2, 97131, '9f35c2ed413db7da531b2d9b4c3aae14', 18),
+          |  (1, 0, 83906, '0801ac7bbf0b9cfb554ed8b735b57a68', 24),
+          |  (1, 2, 64619, 'dea75f567b4b3a40ea4fd3065c78eaad', 18),
+          |  (2, 0, 50310, '618ba33e197d5707de29f57b435104f6', 22),
+          |  (2, 2, 48913, '02f789c5b6dfddfe6532db04d13bfd1f', 19),
+          |  (3, 0, 61004, 'abfc5bb723c23461a30f0ca7d2c35d53', 28),
+          |  (3, 2, 80226, 'ea5f902f52336365071f5eefcfe87b53', 20),
+          |  (4, 0, 95445, 'af3f0df26d2679c37adf030808b3ccb3', 21),
+          |  (4, 2, 98592, 'd8cf1afbd91c1f15319bd37e5c829f3a', 19),
+          |  (5, 0, 87755, 'c1336b1f4954836a9705178538c7e196', 27),
+          |  (5, 2, 69007, '7d30fe12ff1634c44f8995c4c011b9ec', 21),
+          |  (6, 0, 52650, '5073abe9ead140f0b3d7b95abbe8b297', 21),
+          |  (6, 2, 47934, '2bcb4d99df1db040d135b48f785c135d', 19),
+          |  (7, 0, 57330, 'a7651394a5a55e78c2e554f15c95c46a', 29),
+          |  (7, 2, 75903, '89fa5ccb3fdd75d9e8f327e91114d919', 26),
+          |  (8, 0, 92952, 'd811b793f5873c3ae65ba3d2017ef2c2', 23),
+          |  (8, 2, 99174, '86588702a4b1a155b11c8254c84534f4', 19),
+          |  (9, 0, 91148, '8eda6c959a3a257f37f7d89559eeea77', 31),
+          |  (9, 2, 73255, 'c403e2b78ff0fafda5515fb963938256', 26)""".stripMargin
+      s"""WITH g(k, frame_idx, px_sum, thumb_md5, max_err) AS (VALUES
+         |$lits)
+         |SELECT d.doc_id AS doc_id, CAST(g.frame_idx AS BIGINT) AS frame_idx,
+         |       CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+         |       CAST(g.px_sum AS BIGINT) AS px_sum, g.thumb_md5,
+         |       CAST(g.max_err AS INT) AS max_err
+         |FROM documents d JOIN g ON d.doc_id % 10 = g.k
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
     // graftdoc replay: content fidelity through the binary format —
     // the DuckDB side reads the parquet truth; byte-identical text
     // md5s prove the DSv2 encode/decode round-trip under a pushed
@@ -5357,6 +5392,20 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path"))
           .limit(10)
+      },
+      "q_mp4_frames" -> { (s, dir) =>
+        // real MJPEG frames through the container: synthesize, frame-
+        // sample every 2nd, decode sampled frames with the JDK codec
+        val recs = MultimodalOps.synthesizeMjpegMp4(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          w = 16, h = 12, keyMod = 10, nFrames = 4)
+        MultimodalOps.mjpegSampleFrames(recs, keyMod = 10, nFrames = 4,
+            everyN = 2)
+          .toDF()
+          .select(col("id").cast("bigint").as("doc_id"), col("frame_idx"),
+            col("width"), col("height"), col("px_sum"), col("thumb_md5"),
+            col("max_err"))
+          .orderBy("doc_id", "frame_idx")
       },
       "q_graftdoc_scan" -> { (s, dir) =>
         // the DataSource V2 connector end-to-end: shard the corpus

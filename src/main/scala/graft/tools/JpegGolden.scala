@@ -41,5 +41,30 @@ object JpegGolden {
         keyMod, 4).get.max_err
     }.max
     println(s"-- max per-sample decode error across keys: $maxErr")
+
+    // ---- MJPEG frame literals for q_mp4_frames (sampled frames only)
+    val fKeyMod = 10
+    val fFrames = 4
+    val fEvery = 2
+    println(s"-- mjpeg frames: keyMod=$fKeyMod nFrames=$fFrames every=$fEvery w=$w h=$h q=$quality")
+    val frameRows = for {
+      k <- 0 until fKeyMod
+      f <- 0 until fFrames if f % fEvery == 0
+    } yield {
+      val rec = MultimodalOps.mjpegRecordOf(
+        k.toLong, w, h, fKeyMod, fFrames, quality)
+      // decode through the real frame-sampling path
+      val spans = MultimodalOps.jpegFrameSpans(
+        rec.content, 0, rec.content.length)
+      require(spans.length == fFrames, s"key $k: ${spans.length} frames")
+      val (s0, e0) = spans(f)
+      val frame = java.util.Arrays.copyOfRange(rec.content, s0, e0)
+      val jf = MultimodalOps.jpegFeaturesOf(
+        graft.ops.MultimodalOps.MediaRecord(
+          k.toLong * fFrames + f, "image/jpeg", frame),
+        fKeyMod * fFrames, 4).getOrElse(sys.error(s"frame decode $k/$f"))
+      s"  ($k, $f, ${jf.px_sum}, '${jf.thumb_md5}', ${jf.max_err})"
+    }
+    println(frameRows.mkString(",\n"))
   }
 }

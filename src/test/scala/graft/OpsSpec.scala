@@ -515,6 +515,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mjpeg: marker-walk frame split, sampling, parity with the still path") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val rec = MultimodalOps.mjpegRecordOf(3L, 16, 12, 10, 4, 0.9f)
+    // the marker walk finds exactly nFrames spans, each a valid JPEG
+    val spans = MultimodalOps.jpegFrameSpans(rec.content, 0, rec.content.length)
+    assert(spans.length == 4)
+    spans.foreach { case (s, e) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(rec.content, s, e)))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 12)
+    }
+    // sampling keeps frames 0 and 2; features equal the STILL JPEG
+    // path for the same pixel key (one codec, two containers)
+    val ds = MultimodalOps.synthesizeMjpegMp4(
+      Seq(3L).toDF("doc_id"), "doc_id", 16, 12, 10, 4)
+    val frames = MultimodalOps.mjpegSampleFrames(ds, 10, 4, everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    frames.foreach { fr =>
+      val still = MultimodalOps.jpegFeaturesOf(
+        MultimodalOps.jpegRecordOf(3L * 4 + fr.frame_idx, 16, 12, 40, 0.9f),
+        40, 4).get
+      assert(fr.px_sum == still.px_sum && fr.thumb_md5 == still.thumb_md5,
+        s"frame ${fr.frame_idx} != still path")
+    }
+  }
+
   test("eraseExactStore: keeper reassignment, member-only erase, group death") {
     import spark.implicits._
     import graft.ops.IncrementalDedup
