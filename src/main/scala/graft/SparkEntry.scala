@@ -1537,6 +1537,14 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM p WHERE p2 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM t ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // histogram replay: the same clamped equi-width bucket arithmetic
+    "q_histogram" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+        |b AS (SELECT v, least(greatest(v // 50000, 0), 11) AS bucket FROM v)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // MJPEG frame replay: real JDK codec per sampled frame — decoded-
     // domain literals per (stream key, frame) derived by JpegGolden
     // (golden-literal discipline); DuckDB replays only id → key and
@@ -5392,6 +5400,19 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path"))
           .limit(10)
+      },
+      "q_histogram" -> { (s, dir) =>
+        // equi-width histogram: one clamped integer projection + one
+        // hash agg — the profiling primitive at any scale
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(floor(col("o_totalprice")).cast("long").as("v"))
+          .withColumn("bucket",
+            least(greatest(expr("v div 50000"), lit(0L)), lit(11L)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).cast("long").as("n"),
+            min("v").cast("long").as("min_v"),
+            max("v").cast("long").as("max_v"))
+          .orderBy("bucket")
       },
       "q_mp4_frames" -> { (s, dir) =>
         // real MJPEG frames through the container: synthesize, frame-

@@ -112,10 +112,12 @@ class GraftDocTable(path: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDocScanBuilder(path)
+    new GraftDocScanBuilder(path,
+      permissive = options.getBoolean("permissive", false))
 }
 
-class GraftDocScanBuilder(path: String) extends ScanBuilder
+class GraftDocScanBuilder(path: String, permissive: Boolean = false)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftDoc.schema
   private var pushed: Array[Filter] = Array.empty
@@ -134,7 +136,8 @@ class GraftDocScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftDocScan(path, required, pushed)
+  override def build(): Scan =
+    new GraftDocScan(path, required, pushed, permissive)
 }
 
 /** The pushed doc_id bounds as a closed interval. */
@@ -164,7 +167,9 @@ private[sources] object IdBounds {
 case class GraftDocPartition(file: String, minId: Long, maxId: Long)
     extends InputPartition
 
-class GraftDocScan(path: String, required: StructType, pushed: Array[Filter])
+class GraftDocScan(
+    path: String, required: StructType, pushed: Array[Filter],
+    permissive: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -181,15 +186,47 @@ class GraftDocScan(path: String, required: StructType, pushed: Array[Filter])
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(root).filter(_.getPath.getName.endsWith(".gdoc"))
     files.toSeq.flatMap { st =>
-      val in = fs.open(st.getPath)
-      val buf = new Array[Byte](GraftDoc.FooterBytes)
-      in.readFully(st.getLen - GraftDoc.FooterBytes, buf)
-      in.close()
-      val bb = java.nio.ByteBuffer.wrap(buf)
-      val (mn, mx, n) = (bb.getLong, bb.getLong, bb.getLong)
-      if (n > 0 && bounds.overlaps(mn, mx))
-        Some((st.getPath.toString, mn, mx, st.getLen))
-      else None
+      // a shard must at least hold magic + footer, and its footer must
+      // be sane; in permissive mode a corrupt shard is SKIPPED with a
+      // warning instead of failing the whole 1000-executor read — one
+      // bad object-store upload must not kill the job
+      def corrupt(reason: String): Option[(String, Long, Long, Long)] =
+        if (permissive) {
+          System.err.println(
+            s"[graftdoc] skipping corrupt shard ${st.getPath}: $reason")
+          None
+        } else sys.error(s"graftdoc: corrupt shard ${st.getPath}: $reason")
+      if (st.getLen < GraftDoc.Magic.length + GraftDoc.FooterBytes)
+        corrupt(s"only ${st.getLen} bytes")
+      else {
+        // an unreadable footer (I/O or checksum failure) is corruption
+        // too — probe under the same permissive/strict policy
+        val probed =
+          try {
+            val in = fs.open(st.getPath)
+            try {
+              val buf = new Array[Byte](GraftDoc.FooterBytes)
+              in.readFully(st.getLen - GraftDoc.FooterBytes, buf)
+              val magic = new Array[Byte](GraftDoc.Magic.length)
+              in.readFully(0, magic)
+              val bb = java.nio.ByteBuffer.wrap(buf)
+              Right((magic, bb.getLong, bb.getLong, bb.getLong))
+            } finally in.close()
+          } catch {
+            case e: java.io.IOException => Left(e.toString)
+          }
+        probed match {
+          case Left(reason) => corrupt(reason)
+          case Right((magic, mn, mx, n)) =>
+            if (!java.util.Arrays.equals(magic, GraftDoc.Magic))
+              corrupt("bad magic")
+            else if (n < 0 || (n > 0 && mn > mx))
+              corrupt(s"bad footer ($mn,$mx,$n)")
+            else if (n > 0 && bounds.overlaps(mn, mx))
+              Some((st.getPath.toString, mn, mx, st.getLen))
+            else None
+        }
+      }
     }
   }
 
