@@ -76,6 +76,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length != 2) wrongArity("graft_dot", 2, children.length)
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllSketchAgg].getName, null, "graft_hll",
+        "graft_hll(key) - HyperLogLog distinct-count AGGREGATE " +
+          "(p=10 registers; returns struct(buckets_used, est_distinct)); " +
+          "bit-equal to the SketchOps register-table formulation", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) wrongArity("graft_hll", 1, children.length)
+        graft.functions.HllSketchAgg(children.head, p = 10)
+          .toAggregateExpression()
+      }))
     injectColumnFn(ext, "graft_tokens",
       "graft_tokens(text) - whitespace tokens with empties dropped", 1)(
       args => graft.ops.TextOps.tokens(args.head))

@@ -324,6 +324,9 @@ object SparkEntry {
     // HLL sketch replays (OracleHll): same xxhash64 registers, same
     // exact harmonic sum, textually identical estimate doubles
     "q_hll_distinct" -> OracleHll.hllDistinctSql,
+    // the aggregate-function flavor must equal the register-table
+    // flavor exactly — one oracle text, two physical paths
+    "q_hll_agg" -> OracleHll.hllDistinctSql,
     // the incremental (persisted-store) flavor must equal the direct
     // build exactly — one oracle text for both, the phrase-search
     // two-flavor pattern
@@ -4454,6 +4457,21 @@ object SparkEntry {
             maxHamming = 3, portableHash = true)
           .withColumn("hamming", col("hamming").cast("bigint"))
           .orderBy("id_a", "id_b")
+      },
+      "q_hll_agg" -> { (s, dir) =>
+        // the AGGREGATE-function flavor of q_hll_distinct: identical
+        // registers and estimator inside one TypedImperativeAggregate
+        // expression — shares the DuckDB oracle text verbatim (the
+        // phrase-search two-flavor pattern)
+        val sh = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source").as("scope"),
+            explode(DedupOps.shingles(col("text"))).as("sh"))
+        sh.groupBy("scope")
+          .agg(SketchOps.hllAggCol(col("sh"), p = 10).as("h"),
+            countDistinct("sh").as("exact_distinct"))
+          .select(col("scope"), col("h.buckets_used").as("buckets_used"),
+            col("h.est_distinct").as("est_distinct"), col("exact_distinct"))
+          .orderBy("scope")
       },
       "q_hll_distinct" -> { (s, dir) =>
         // mergeable-HLL corpus profile: distinct shingles per source.

@@ -138,6 +138,18 @@ object SketchOps {
       p: Int): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, keyCol, p), groupCols, p)
 
+  /** The AGGREGATE-function form — `graft.functions.HllSketchAgg` as
+    * a Column for `groupBy.agg(...)`: one expression, registers live
+    * in the agg buffer, no register table materializes.  Bit-equal to
+    * [[hllDistinct]] by contract (same hash/layout/estimator; spec +
+    * shared-oracle pinned).  `key` must be a string column.
+    */
+  def hllAggCol(key: Column, p: Int = 10): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HllSketchAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(key), p)
+        .toAggregateExpression())
+
   // ---------------------------------------------------------------
   // HDR-histogram quantile sketch — the quantile peer of the HLL
   // family.  DDSketch-style log buckets would put a value on a bucket

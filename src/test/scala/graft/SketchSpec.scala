@@ -238,4 +238,31 @@ class SketchSpec extends AnyFunSuite {
     val batch = SketchOps.hllRegisters(data.toDF("g", "k"), Seq("g"), "k", p = 10)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("HllSketchAgg == register-table formulation, bit-for-bit, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val data = (1 to 5000).map(i => (s"g${i % 3}", s"key${i % 1234}")) ++
+      Seq(("g0", null))
+    val df = data.toDF("g", "k")
+    val table = SketchOps.hllDistinct(df, Seq("g"), "k", p = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (parts <- Seq(1, 7)) {
+      // repartition forces the partial-update + merge + serialize path
+      val agg = df.repartition(parts).groupBy("g")
+        .agg(SketchOps.hllAggCol(col("k"), p = 10).as("h"))
+        .select(col("g"), col("h.buckets_used"), col("h.est_distinct"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(agg == table, s"parts=$parts")
+    }
+    // empty group behavior: no rows -> no group (same as the table form)
+    assert(df.where(lit(false)).groupBy("g")
+      .agg(SketchOps.hllAggCol(col("k"), 10)).count() == 0)
+    // SQL-function registration path (GraftExtensions)
+    df.createOrReplaceTempView("hll_agg_in")
+    val viaSql = spark.sql(
+      "SELECT g, graft_hll(k).est_distinct AS e FROM hll_agg_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == table.map { case (g, (_, e)) => g -> e })
+  }
 }
