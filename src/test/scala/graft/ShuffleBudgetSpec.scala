@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-budget assertions: SCALE.md claims several plans shuffle
+  * O(distinct)/O(state) bytes, not O(corpus) — this spec measures the
+  * actual shuffle-write bytes through a SparkListener and pins hard
+  * ceilings, so a regression that silently starts shuffling the corpus
+  * fails a test instead of a 100 TB bill.
+  */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf01 = "/root/testdata/sf0.1"
+
+  /** Total shuffle-write bytes of every task run inside `f`. */
+  private def shuffleBytes(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) acc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      // listener events are async: give the bus a moment to drain
+      // (the private listenerBus.waitUntilEmpty is unreachable here)
+      Thread.sleep(1500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  test("fit stats pass shuffles O(distinct values), far below corpus bytes") {
+    // low-cardinality columns (quantity ~50 distinct, discount ~11):
+    // map-side combine must collapse the melt to per-partition
+    // distinct rows.  (A near-unique column like extendedprice
+    // legitimately shuffles ~corpus rows — distinct ≈ rows is the
+    // documented q_fit_exact stress case, not a regression.)
+    val df = TestSpark.lcgFrame(sf01).cache()
+    df.count() // materialize outside the measurement
+    val corpusBytes = 600000L * 8 * 2
+    val bytes = shuffleBytes {
+      graft.spark.WoeBinning.fit(df, "target", Seq("quantity", "discount"),
+        graft.spark.WoeFitOptions(nThreshold = Some(300)))
+      ()
+    }
+    df.unpersist()
+    assert(bytes > 0, "expected a (small) stats shuffle")
+    assert(bytes < corpusBytes / 20,
+      s"stats pass shuffled $bytes bytes — corpus-scale, not distinct-scale")
+  }
+
+  test("transform (apply) is shuffle-free") {
+    val df = TestSpark.lcgFrame(sf01)
+    val model = graft.spark.WoeBinning.fit(df, "target", Seq("extendedprice"),
+      graft.spark.WoeFitOptions(nThreshold = Some(300)))
+    val bytes = shuffleBytes {
+      model.transform(df).count()
+      ()
+    }
+    // count()'s own final aggregation exchanges one tiny row per
+    // partition; the TRANSFORM itself must add nothing beyond that
+    assert(bytes < 50000, s"apply shuffled $bytes bytes")
+  }
+
+  test("blocklist match scans without shuffling text") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val textBytes = docs.agg(sum(length(col("text")))).head.getLong(0)
+    val bytes = shuffleBytes {
+      graft.ops.MatchOps.matchSummary(
+        docs, "doc_id", "text", SparkEntry.blockPatterns).count()
+      ()
+    }
+    // only the tiny (pattern, counts) agg shuffles — never the text
+    assert(bytes < textBytes / 100,
+      s"blocklist shuffled $bytes bytes vs $textBytes of text")
+  }
+
+  test("TopKPerKey shuffles at most partitions*keys*k rows, not the corpus") {
+    val orders = spark.read.parquet(s"$sf01/orders.parquet")
+      .select(col("o_orderkey").cast("long").as("id"),
+        col("o_orderpriority").as("grp"),
+        floor(col("o_totalprice")).cast("long").as("v"))
+      .repartition(8).cache()
+    orders.count() // the repartition shuffle happens OUTSIDE the meter
+    val full = shuffleBytes { orders.groupBy("grp").count().count(); () }
+    val topk = shuffleBytes {
+      graft.ops.TopKOps.topKPerKey(orders, Seq("grp"),
+        Seq("v" -> false, "id" -> true), 5).count()
+      ()
+    }
+    // 8 partitions x 5 groups x 5 rows = 200 rows max into the
+    // exchange — a fraction of even the groupBy's partial-agg shuffle,
+    // and orders of magnitude under the 150k-row corpus
+    assert(topk < 200L * 500, s"TopK shuffled $topk bytes")
+    assert(topk <= full * 4, s"TopK ($topk) >> groupBy baseline ($full)")
+    orders.unpersist()
+  }
+}
