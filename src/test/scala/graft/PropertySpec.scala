@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Seeded-RNG property tests for the r10 kernels: each new primitive
+  * checked against an independent brute-force or closed-form replica
+  * over randomized inputs (the KernelSpec discipline — the
+  * scalatest/scalacheck bridge artifact is not in the offline cache,
+  * so properties run on a fixed-seed generator).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("AhoCorasick == brute-force substring counting (random texts)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 100) {
+      val alphabet = "abc"
+      def randStr(max: Int) =
+        (0 until (1 + rnd.nextInt(max))).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      val patterns = (0 until (1 + rnd.nextInt(6))).map(_ => randStr(4)).distinct
+      val text = randStr(200)
+      val ac = graft.functions.AhoCorasick.build(patterns)
+      val got = ac.countAll(text)
+      patterns.zipWithIndex.foreach { case (p, i) =>
+        val brute = (0 to text.length - p.length)
+          .count(j => text.regionMatches(j, p, 0, p.length))
+        assert(got(i) == brute.toLong,
+          s"pattern '$p' in '${text.take(40)}…': ${got(i)} vs $brute")
+      }
+    }
+  }
+
+  test("CdcBoundaries rolling == positional closed form (random texts)") {
+    val rnd = new scala.util.Random(13)
+    def gear(c: Char): Long = (c.toLong * 2654435761L) % 1048573L
+    for (_ <- 1 to 100) {
+      val n = rnd.nextInt(400)
+      val text = (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val w = 1 + rnd.nextInt(12)
+      val d = 1 << (1 + rnd.nextInt(7))
+      val got = graft.functions.CdcBoundaries.boundaries(text, w, d).toSeq
+      val expected = (w to n).filter { i =>
+        val h = (0 until w).map(j => gear(text.charAt(i - 1 - j)) << j).sum
+        h % d == 0
+      }
+      assert(got == expected, s"w=$w d=$d n=$n")
+    }
+  }
+
+  test("zValue interleave is invertible (random dims)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dims = (0 until 200).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = dims.toDF("x", "y")
+      .withColumn("z", graft.ops.StorageOps.zValue(Seq(col("x"), col("y"))))
+    df.collect().foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (rx, ry) = (0L, 0L)
+      for (b <- 0 until 16) {
+        rx |= ((z >> (2 * b)) & 1L) << b
+        ry |= ((z >> (2 * b + 1)) & 1L) << b
+      }
+      assert(rx == x && ry == y, s"z=$z decoded ($rx,$ry) != ($x,$y)")
+    }
+  }
+
+  test("topKPerKey == window spelling on random frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 5) {
+      val rows = (0 until 500).map { i =>
+        (s"g${rnd.nextInt(7)}", rnd.nextInt(40).toLong, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id").repartition(1 + rnd.nextInt(6))
+      val k = 1 + rnd.nextInt(8)
+      val got = graft.ops.TopKOps.topKPerKey(df, Seq("g"),
+          Seq("v" -> false, "id" -> true), k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(t => (-t._2, t._3)).take(k)
+      }.toSet
+      assert(got == expected, s"trial=$trial k=$k")
+    }
+  }
+
+  test("groupedMedian == sorted serial medians on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 800).map(_ =>
+      (s"g${rnd.nextInt(9)}", rnd.nextInt(1000).toLong - 500))
+    val got = graft.ops.QuantileOps.groupedMedian(
+        rows.toDF("g", "v").repartition(5), "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.size
+      val disc = sorted((n + 1) / 2 - 1)
+      val lo = sorted((n + 1) / 2 - 1)
+      val hi = sorted((n + 1) / 2 - 1 + (1 - n % 2))
+      val cont = (lo + hi) / 2.0
+      assert(got(g) == ((disc, cont)), s"group $g")
+    }
+  }
+}
