@@ -57,6 +57,23 @@ class MatchSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("non-ASCII text: BMP code points match per UTF-16 unit") {
+    import spark.implicits._
+    val ac = AhoCorasick.build(Seq("héllo", "日本", "é"))
+    assert(ac.countAll("héllo wörld 日本語 héllo").toSeq == Seq(2L, 1L, 2L))
+    // surrogate pairs (non-BMP) still count consistently: the pattern
+    // and text use the same UTF-16 units, so a 2-unit emoji matches
+    val emoji = "🎉"
+    val ac2 = AhoCorasick.build(Seq(emoji))
+    assert(ac2.countAll(s"x${emoji}y$emoji").toSeq == Seq(2L))
+    // and through a plan (UTF8String -> String decode path)
+    val got = MatchOps.matchHits(
+        Seq((1L, s"héllo $emoji")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("é", emoji))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("é" -> 1L, emoji -> 1L))
+  }
+
   test("q_blocklist_match borderless invariant holds for the shipped list") {
     // every shipped pattern must be borderless (no proper prefix that
     // is also a suffix) — the precondition for the oracle's
