@@ -289,9 +289,14 @@ object SelectionOps {
         explode(TextOps.wordNgramsOf(col("__toks"), 2)).as("gram"))
       .select(col("doc_id"), col("is_target"),
         (DedupOps.md5Hash60(col("gram")) % nBuckets).as("bucket"))
-    val perDocBucket = grams
+    // persisted: BOTH the bucket-frequency aggregate and the final
+    // join consume this frame — without the pin the plan re-tokenizes
+    // and re-explodes the whole corpus for the frequency side (the
+    // explain showed two full document scans); released by
+    // DedupOps.unpersistAll with the rest of the family
+    val perDocBucket = DedupOps.registerPersist(grams
       .groupBy("doc_id", "is_target", "bucket")
-      .agg(count("*").as("tf"))
+      .agg(count("*").as("tf")))
     // bucket frequency table: total occurrences in target vs raw (raw
     // includes the target slice, as in the paper's raw distribution)
     val bucketFreq = perDocBucket
