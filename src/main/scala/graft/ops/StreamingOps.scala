@@ -321,10 +321,13 @@ object StreamingOps {
       events: DataFrame, userCol: String = "user_id",
       timeCol: String = "tus"): DataFrame = {
     val weekUs = 604800000000L
-    val weeks = events
+    // persisted: both the per-user cohort aggregate and the join
+    // consume the distinct (user, week) frame — unpinned, the corpus
+    // scans twice
+    val weeks = DedupOps.registerPersist(events
       .select(col(userCol).as("user_id"),
         expr(s"$timeCol DIV ${weekUs}L").as("week"))
-      .distinct()
+      .distinct())
     val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
     val w0 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cohort_week"))
@@ -385,18 +388,30 @@ object StreamingOps {
       typeCol: String = "event_type", userCol: String = "user_id",
       timeCol: String = "tus"): DataFrame = {
     require(steps.nonEmpty, "funnelSteps: need at least one step")
-    val first = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol))
-      .agg(min(col(timeCol)).as("t_1"))
+    // each step's accumulated frame is referenced twice (the hit
+    // derivation and the left join) and feeds the NEXT step's lineage
+    // — unpinned, the recursion re-executed the whole chain per
+    // reference (a 3-step funnel re-scanned the events source 14
+    // times in the explain).  The persists pin only the SMALL
+    // per-user step frames (one timestamp row per surviving user);
+    // the events source deliberately stays unpinned — one
+    // filter-pushed scan per step is the normal multi-aggregate
+    // shape, and caching the full projection measured SLOWER at sf1
+    // than the scans it saved.  Released by DedupOps.unpersistAll.
+    val ev = events.select(col(userCol), col(typeCol), col(timeCol))
+    val first = DedupOps.registerPersist(
+      ev.filter(col(typeCol) === steps.head)
+        .groupBy(col(userCol))
+        .agg(min(col(timeCol)).as("t_1")))
     val full = steps.zipWithIndex.drop(1).foldLeft(first) {
       case (acc, (step, i)) =>
-        val hit = events.filter(col(typeCol) === step)
+        val hit = ev.filter(col(typeCol) === step)
           .select(col(userCol), col(timeCol).as("__ht"))
           .join(acc.select(col(userCol), col(s"t_$i").as("__pt")), Seq(userCol))
           .where(col("__ht") > col("__pt"))
           .groupBy(col(userCol))
           .agg(min(col("__ht")).as(s"t_${i + 1}"))
-        acc.join(hit, Seq(userCol), "left")
+        DedupOps.registerPersist(acc.join(hit, Seq(userCol), "left"))
     }
     val depth = steps.indices
       .map(i => col(s"t_${i + 1}").isNotNull.cast("long"))
