@@ -1540,6 +1540,35 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM p WHERE p2 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM t ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // k-core replay: 8 unrolled peel rounds over the thresholded
+    // token co-occurrence graph (fixpoint measured at 4 rounds, so
+    // rounds 5-8 are stable and the unroll equals the engine's
+    // iterate-to-fixpoint loop); final degrees inside the core
+    "q_kcore" -> {
+      val base =
+        """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'),
+          |             x -> x <> '') AS toks FROM documents),
+          |g AS (SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+          |        i -> {'x': toks[i], 'y': toks[i + 1]})) AS p FROM t),
+          |c AS (SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b,
+          |        count(*) AS n
+          |      FROM g WHERE p.x IS NOT NULL AND p.y IS NOT NULL AND p.x <> p.y
+          |      GROUP BY 1, 2),
+          |ue AS (SELECT a, b FROM c WHERE n >= 66),
+          |de AS (SELECT a AS u, b AS v FROM ue
+          |       UNION ALL SELECT b, a FROM ue),
+          |n0 AS (SELECT DISTINCT u AS n FROM de)""".stripMargin
+      val rounds = (1 to 8).map { i =>
+        s"""n$i AS (SELECT de.u AS n FROM de
+           |  JOIN n${i - 1} x ON de.u = x.n JOIN n${i - 1} y ON de.v = y.n
+           |  GROUP BY 1 HAVING count(*) >= 6)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT z.n AS node, CAST(count(*) AS BIGINT) AS deg
+         |FROM de JOIN n8 z ON de.u = z.n JOIN n8 w ON de.v = w.n
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // histogram replay: the same clamped equi-width bucket arithmetic
     "q_histogram" ->
       """WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
@@ -5418,6 +5447,26 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path"))
           .limit(10)
+      },
+      "q_kcore" -> { (s, dir) =>
+        // 6-core of the token co-occurrence graph (bigram count ≥ 66):
+        // iterate-to-fixpoint peeling, oracle unrolls the rounds
+        val t = s.read.parquet(s"$dir/documents.parquet")
+          .select(TextOps.tokens(col("text")).as("__t"))
+        val edges = t
+          .select(col("__t"), explode(
+            when(size(col("__t")) >= 2,
+              sequence(lit(1), size(col("__t")) - 1))
+              .otherwise(array().cast("array<int>"))).as("i"))
+          .select(element_at(col("__t"), col("i")).as("x"),
+            element_at(col("__t"), col("i") + 1).as("y"))
+          .where(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 66)
+        graft.ops.GraphOps.kCore(edges, "a", "b", k = 6)
+          .orderBy("node")
       },
       "q_histogram" -> { (s, dir) =>
         // equi-width histogram: one clamped integer projection + one

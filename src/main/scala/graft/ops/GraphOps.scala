@@ -143,6 +143,59 @@ object GraphOps {
       (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
   }
 
+  /** k-core decomposition membership: the maximal subgraph in which
+    * every node keeps degree ≥ k — the graph-density mining standard
+    * (spam-farm detection, community cores, the robustness filter
+    * before expensive per-node analytics).  Peeling is inherently
+    * iterative: removing one under-k node can drop a neighbor below
+    * k, so rounds repeat until a fixpoint.
+    *
+    * Distributed shape per round: ONE semi-join of the (both-
+    * direction) edge list against the surviving node set + one
+    * degree aggregation — the node set is tiny relative to edges and
+    * broadcasts; survivors persist-rotate so each round reads the
+    * previous round's materialization, never the whole lineage
+    * (the ClusterOps round discipline).  Round count is bounded by
+    * the peel depth (≤ the degeneracy ordering length; single digits
+    * on real graphs), never by node count.
+    *
+    * Returns `(node, deg)` — survivors with their degree INSIDE the
+    * core.  Direction/duplicates collapse; self-loops drop.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"kCore: k=$k maxRounds=$maxRounds")
+    // node type stays the caller's (string tokens, long ids, …)
+    val und = DedupOps.registerPersist(
+      edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .distinct())
+    val de = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    def coreDegrees(nodes: DataFrame): DataFrame =
+      de.join(broadcast(nodes.select(col("n").as("u"))), "u")
+        .join(broadcast(nodes.select(col("n").as("v"))), "v")
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+    var cur = DedupOps.registerPersist(de.select(col("u").as("n")).distinct())
+    var curCount = cur.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = DedupOps.registerPersist(
+        coreDegrees(cur).where(col("deg") >= k).select(col("u").as("n")))
+      val nextCount = next.count()
+      converged = nextCount == curCount
+      cur = next
+      curCount = nextCount
+      rounds += 1
+    }
+    coreDegrees(cur)
+      .select(col("u").as("node"), col("deg").cast("long").as("deg"))
+  }
+
   /** Per-node triangle counts over an undirected graph (directed
     * input: direction and duplicates collapse, self-loops drop).
     *

@@ -43,6 +43,26 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(dang.map(_._3).sum - 1.0) < 1e-6, dang.mkString(","))
   }
 
+  test("kCore: cascading peel, empty core, full-graph core") {
+    import TestSpark.spark.implicits._
+    def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      graft.ops.GraphOps.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 {1..4} plus a pendant chain 4-5-6: 3-core = the K4 exactly,
+    // and removing 6 (deg 1) must CASCADE into removing 5
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    assert(core(g, 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above max degree: empty core
+    assert(core(g, 5).isEmpty)
+    // k=1: every non-isolated node survives with its full degree
+    val c1 = core(g, 1)
+    assert(c1.keySet == (1L to 6L).toSet && c1(4L) == 4L && c1(6L) == 1L)
+    // a cycle is exactly its own 2-core
+    val cyc = (0L to 5L).map(i => (i, (i + 1) % 6))
+    assert(core(cyc, 2).values.toSet == Set(2L) && core(cyc, 2).size == 6)
+  }
+
   test("triangleCounts: hand-checked graphs, direction/dup/loop collapse") {
     import TestSpark.spark.implicits._
     def count(edges: Seq[(Long, Long)]): Map[Long, Long] =
