@@ -304,6 +304,28 @@ object SparkEntry {
          |     ELSE L[-2] || '.' || L[-1] END""".stripMargin
   }
 
+  /** Exact cosine top-10 replay (q_ann_topk) — a val because the
+    * retrieval-metrics oracle embeds the same text as a CTE.
+    */
+  private val annExactTopkSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+      |), s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |         list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cosine
+      |  FROM c CROSS JOIN (SELECT * FROM c WHERE vec_id < 8) q
+      |), r AS (
+      |  SELECT query_id, corpus_id, cosine,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+      |  FROM s)
+      |SELECT query_id, corpus_id, cosine, rank FROM r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val duckdbOnlySql: Map[String, String] = Map(
     // Z-order replay: the SAME interleave term sum (zValueSql single-
     // sources it), bucket = top 10 of the 32-bit Morton value; the
@@ -1425,24 +1447,33 @@ object SparkEntry {
     // brute-force cosine top-k: same dot/norm/divide tree as
     // q_embed_cosine_dups (bit-parity proven there); rank ties broken
     // by corpus_id so both engines rank identically
-    "q_ann_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), c AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-        |  FROM e WHERE sqrt(list_dot_product(v, v)) > 0
-        |), s AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |         list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cosine
-        |  FROM c CROSS JOIN (SELECT * FROM c WHERE vec_id < 8) q
-        |), r AS (
-        |  SELECT query_id, corpus_id, cosine,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |              ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
-        |  FROM s)
-        |SELECT query_id, corpus_id, cosine, rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_topk" -> annExactTopkSql,
+    // retrieval-quality metrics: recall@10 of the IVF list against
+    // the exact top-10, plus the reciprocal rank of the TRUE nearest
+    // inside the IVF list — both engines reduce the two (already
+    // independently replayed) result sets identically
+    "q_retrieval_metrics" -> {
+      val ivf = ivfTopKOracleSql(ivfCentroidsSf001, nProbe = 4, k = 10)
+      s"""WITH exact AS ($annExactTopkSql),
+         |ivf AS ($ivf),
+         |hits AS (
+         |  SELECT e.query_id,
+         |         CAST(count(i.corpus_id) AS BIGINT) AS hits10
+         |  FROM exact e LEFT JOIN ivf i
+         |    ON e.query_id = i.query_id AND e.corpus_id = i.corpus_id
+         |  GROUP BY 1),
+         |nn AS (SELECT query_id, corpus_id AS nn_id FROM exact WHERE rank = 1),
+         |rr AS (
+         |  SELECT nn.query_id,
+         |         coalesce(max(1.0 / i.rank), CAST(0.0 AS DOUBLE)) AS mrr
+         |  FROM nn LEFT JOIN ivf i
+         |    ON nn.query_id = i.query_id AND nn.nn_id = i.corpus_id
+         |  GROUP BY 1)
+         |SELECT h.query_id AS query_id, h.hits10,
+         |       CAST(h.hits10 AS DOUBLE) / 10.0 AS recall10, rr.mrr
+         |FROM hits h JOIN rr ON h.query_id = rr.query_id
+         |ORDER BY query_id""".stripMargin
+    },
     // contrastive pair mining: same cosine tree as q_ann_topk, rank
     // windowed per (anchor, pos|neg relation), self excluded
     "q_mine_pairs" ->
@@ -1540,6 +1571,26 @@ object SparkEntry {
         |        CAST(count(*) AS BIGINT) AS n
         |      FROM p WHERE p2 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM t ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // SCD2 time travel replay: the snapshot at t=0 is the base frame,
+    // at t=1 the base with updates applied and new keys present —
+    // both reconstructed ONLY from version spans
+    "q_scd2_snapshot" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS val_cents FROM customer),
+        |upd AS (SELECT k, val_cents + 100000 AS val_cents
+        |        FROM base WHERE k % 7 = 0
+        |        UNION ALL
+        |        SELECT k + 1000000 AS k, CAST(12345 AS BIGINT) AS val_cents
+        |        FROM base WHERE k % 97 = 0),
+        |s0 AS (SELECT CAST(0 AS BIGINT) AS as_of, k, val_cents FROM base),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS as_of, coalesce(u.k, b.k) AS k,
+        |         coalesce(u.val_cents, b.val_cents) AS val_cents
+        |       FROM base b FULL OUTER JOIN upd u ON b.k = u.k)
+        |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |ORDER BY as_of, k""".stripMargin,
+    // retrieval-metrics replay: per query the IVF hit list vs the
+    // exact top-10 (both already SQL-replayable) reduced to
+    // recall@10 and the reciprocal rank of the true nearest
     // k-core replay: 8 unrolled peel rounds over the thresholded
     // token co-occurrence graph (fixpoint measured at 4 rounds, so
     // rounds 5-8 are stable and the unroll equals the engine's
@@ -5447,6 +5498,57 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path"))
           .limit(10)
+      },
+      "q_scd2_snapshot" -> { (s, dir) =>
+        import graft.ops.StorageOps
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("k"),
+            floor(col("c_acctbal") * 100).cast("long").as("val_cents"))
+        val dim0 = StorageOps.scd2Init(base, "k", Seq("val_cents"))
+        val upd = base.where(pmod(col("k"), lit(7L)) === 0)
+          .select(col("k"), (col("val_cents") + 100000L).as("val_cents"))
+          .unionByName(base.where(pmod(col("k"), lit(97L)) === 0)
+            .select((col("k") + 1000000L).as("k"),
+              lit(12345L).as("val_cents")))
+        val dim1 = StorageOps.scd2Merge(dim0, upd, "k", Seq("val_cents"), 1L)
+        // time travel: both snapshots reconstructed from version spans
+        StorageOps.scd2Snapshot(dim1, 0L)
+          .select(lit(0L).as("as_of"), col("k"), col("val_cents"))
+          .unionByName(StorageOps.scd2Snapshot(dim1, 1L)
+            .select(lit(1L).as("as_of"), col("k"), col("val_cents")))
+          .orderBy("as_of", "k")
+      },
+      "q_retrieval_metrics" -> { (s, dir) =>
+        // IR evaluation of the ANN index: recall@10 vs the exact
+        // top-10 and the reciprocal rank of the true nearest — the
+        // metrics a retrieval deployment tracks per index rebuild
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val queries = emb.filter(col("vec_id") < 8)
+        val exact = SimilarityOps.bruteForceTopK(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+        val cents = SimilarityOps.deterministicCentroids(
+          emb, "vec_id", "embedding", nCells = 16, sampleN = 256, iters = 10)
+        val ivf = SimilarityOps.ivfTopKWithCentroids(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          cents, nProbe = 4, k = 10)
+        val e = exact.select(col("query_id"), col("corpus_id"), col("rank"))
+        val i = ivf.select(col("query_id").as("iq"),
+          col("corpus_id").as("ic"), col("rank").as("ir"))
+        val hits = e.join(i,
+            col("query_id") === col("iq") && col("corpus_id") === col("ic"),
+            "left")
+          .groupBy("query_id")
+          .agg(count(col("ic")).cast("long").as("hits10"))
+        val rr = e.where(col("rank") === 1)
+          .select(col("query_id"), col("corpus_id").as("nn_id"))
+          .join(i, col("query_id") === col("iq") && col("nn_id") === col("ic"),
+            "left")
+          .groupBy("query_id")
+          .agg(coalesce(max(lit(1.0) / col("ir")), lit(0.0)).as("mrr"))
+        hits.join(rr, "query_id")
+          .select(col("query_id"), col("hits10"),
+            (col("hits10").cast("double") / 10.0).as("recall10"), col("mrr"))
+          .orderBy("query_id")
       },
       "q_kcore" -> { (s, dir) =>
         // 6-core of the token co-occurrence graph (bigram count ≥ 66):

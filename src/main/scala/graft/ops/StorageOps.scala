@@ -169,6 +169,19 @@ object StorageOps {
     closed.unionByName(fromOpen).unionByName(fresh)
   }
 
+  /** AS-OF snapshot over an [[scd2Merge]]-maintained dimension: the
+    * rows visible at batch `t` are exactly those whose version span
+    * covers it — one filter, no join, pruning-friendly (a dimension
+    * partitioned or z-ordered on `version_start` prunes history at
+    * the scan).  `t = 0` reproduces the initial snapshot; the latest
+    * batch reproduces `is_current`.
+    */
+  def scd2Snapshot(dim: DataFrame, t: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    dim.where(col("version_start") <= t && col("version_end") > t)
+      .drop("is_current")
+  }
+
   /** Morton (Z-order) value of N non-negative integer dimensions, each
     * truncated to `bits` low bits: bit `b` of dimension `i` lands at
     * output position `b*N + i` (round-robin, low-to-high).  Pure

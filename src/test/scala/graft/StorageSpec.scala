@@ -90,6 +90,26 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2Snapshot: time travel reconstructs each batch's state") {
+    import spark.implicits._
+    import graft.ops.StorageOps
+    val dim0 = StorageOps.scd2Init(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "k", Seq("v"))
+    val dim1 = StorageOps.scd2Merge(dim0,
+      Seq((1L, 11L), (3L, 30L)).toDF("k", "v"), "k", Seq("v"), 1L)
+    val dim2 = StorageOps.scd2Merge(dim1,
+      Seq((1L, 12L)).toDF("k", "v"), "k", Seq("v"), 2L)
+    def snap(t: Long) = StorageOps.scd2Snapshot(dim2, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap(0L) == Map(1L -> 10L, 2L -> 20L))
+    assert(snap(1L) == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+    assert(snap(2L) == Map(1L -> 12L, 2L -> 20L, 3L -> 30L))
+    // the latest snapshot equals the is_current slice
+    val current = dim2.where(col("is_current"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap(2L) == current)
+  }
+
   test("zValue interleaves bits round-robin, hand-checked") {
     import spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
