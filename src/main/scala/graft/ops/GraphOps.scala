@@ -152,19 +152,29 @@ object GraphOps {
     *
     * Distributed shape per round: ONE semi-join of the (both-
     * direction) edge list against the surviving node set + one
-    * degree aggregation — the node set is tiny relative to edges and
-    * broadcasts; survivors persist-rotate so each round reads the
-    * previous round's materialization, never the whole lineage
-    * (the ClusterOps round discipline).  Round count is bounded by
-    * the peel depth (≤ the degeneracy ordering length; single digits
-    * on real graphs), never by node count.
+    * degree aggregation.  The node-side join strategy is ADAPTIVE
+    * (the pageRankFixedPoint / ClusterOps discipline): the node set
+    * broadcasts only while its COUNTED size is at or below
+    * `broadcastThreshold` — round 1's node set is every distinct node
+    * of the graph, which at billion-node scale exceeds Spark's
+    * broadcast ceiling, so early rounds run shuffle hash/sort-merge
+    * joins and later rounds (survivor set shrunk by the peel) flip to
+    * broadcast.  Survivors persist-rotate so each round reads the
+    * previous round's materialization, never the whole lineage.
+    * Round count is bounded by the peel depth (≤ the degeneracy
+    * ordering length; single digits on real graphs), never by node
+    * count.
+    *
+    * Throws if `maxRounds` is exhausted before the peeling fixpoint —
+    * a silent early exit would return a superset of the true k-core
+    * with no signal to the caller.
     *
     * Returns `(node, deg)` — survivors with their degree INSIDE the
     * core.  Direction/duplicates collapse; self-loops drop.
     */
   def kCore(
       edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, broadcastThreshold: Long = 1000000L): DataFrame = {
     require(k >= 1 && maxRounds >= 1, s"kCore: k=$k maxRounds=$maxRounds")
     // node type stays the caller's (string tokens, long ids, …)
     val und = DedupOps.registerPersist(
@@ -175,24 +185,35 @@ object GraphOps {
         .distinct())
     val de = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
-    def coreDegrees(nodes: DataFrame): DataFrame =
-      de.join(broadcast(nodes.select(col("n").as("u"))), "u")
-        .join(broadcast(nodes.select(col("n").as("v"))), "v")
+    def coreDegrees(nodes: DataFrame, nodeCount: Long): DataFrame = {
+      // broadcast only a COUNTED-small survivor set; a large one joins
+      // shuffle-side (AQE still promotes it if the measured size allows)
+      def hinted(c: org.apache.spark.sql.Column) = {
+        val side = nodes.select(c)
+        if (nodeCount <= broadcastThreshold) broadcast(side) else side
+      }
+      de.join(hinted(col("n").as("u")), "u")
+        .join(hinted(col("n").as("v")), "v")
         .groupBy("u").agg(count(lit(1)).as("deg"))
+    }
     var cur = DedupOps.registerPersist(de.select(col("u").as("n")).distinct())
     var curCount = cur.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val next = DedupOps.registerPersist(
-        coreDegrees(cur).where(col("deg") >= k).select(col("u").as("n")))
+        coreDegrees(cur, curCount).where(col("deg") >= k)
+          .select(col("u").as("n")))
       val nextCount = next.count()
       converged = nextCount == curCount
       cur = next
       curCount = nextCount
       rounds += 1
     }
-    coreDegrees(cur)
+    if (!converged) throw new IllegalStateException(
+      s"kCore: no fixpoint after $maxRounds rounds ($curCount survivors); " +
+        "raise maxRounds")
+    coreDegrees(cur, curCount)
       .select(col("u").as("node"), col("deg").cast("long").as("deg"))
   }
 

@@ -20,13 +20,43 @@ import org.apache.spark.sql.functions._
   * (an edit in the first character moves the record far away), the
   * miss is deterministic and visible, not a sampling artifact.
   *
-  * Execution shape: the rank comes from one global sort (range
-  * partition + window — at corpus scale substitute the two-pass
-  * prefix-rank of PackingOps); the window join is `w` EQUI-joins on
+  * Execution shape: the rank is the TWO-PASS prefix-rank of
+  * PackingOps (range-partition by the sort key, per-partition counts
+  * prefix-summed on the driver — one tiny row per partition — and the
+  * intra-partition row_number windowed BY PARTITION ID), never a
+  * single global-ORDER window, which Spark executes as a one-task
+  * sort over the whole corpus; the window join is `w` EQUI-joins on
   * shifted ranks (an offset explode), never a range/cross join; the
   * Levenshtein verify runs only on the ≤ w·n candidate pairs.
   */
 object LinkOps {
+
+  /** Dense global rank of `df` in ascending (`s`, `kind`, `id`) order
+    * via the two-pass prefix scan (PackingOps.withGlobalOffset
+    * pattern).  The ranged frame is PINNED before the two passes:
+    * range boundaries come from sampling, so the offset pass and the
+    * final pass must read one fixed partitioning.  Requires the
+    * (s, kind, id) triple to be a total order (id unique per kind).
+    */
+  private[graft] def withGlobalRank(df: DataFrame, sortExpr: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df.withColumn("sk", sortExpr)
+    val ranged = DedupOps.registerPersist(keyed
+      .repartitionByRange(parts, col("sk"), col("kind"), col("id"))
+      .sortWithinPartitions("sk", "kind", "id")
+      .withColumn("pid", spark_partition_id()))
+    val partials = ranged.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partials.map(_._1)
+      .zip(partials.map(_._2).scanLeft(0L)(_ + _).init)
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "offset")
+    val w = Window.partitionBy("pid").orderBy("sk", "kind", "id")
+    ranged.join(broadcast(offDf), "pid")
+      .withColumn("rn", col("offset") + row_number().over(w))
+      .select(col("kind"), col("id"), col("s"), col("rn"))
+  }
 
   /** Link `dirty` records to `clean` records whose `keyCol` is within
     * `maxLev` edits, considering candidates within `window` positions
@@ -58,9 +88,8 @@ object LinkOps {
     import spark.implicits._
     val offsets = (1 to window).toDF("off")
     def onePass(sortKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
-      val u = side(dirty, "d").unionByName(side(clean, "c"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(sortKey(col("s")), col("kind"), col("id"))))
+      val u = withGlobalRank(
+        side(dirty, "d").unionByName(side(clean, "c")), sortKey(col("s")))
       // w equi-joins via offset explode: pair (rn, rn+off) — no range join
       val lo = u.select(col("kind").as("kind_a"), col("id").as("id_a"),
         col("s").as("s_a"), col("rn"))

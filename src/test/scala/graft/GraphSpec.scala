@@ -63,6 +63,40 @@ class GraphSpec extends AnyFunSuite {
     assert(core(cyc, 2).values.toSet == Set(2L) && core(cyc, 2).size == 6)
   }
 
+  test("kCore above the broadcast gate: no forced broadcast, bit-parity") {
+    import TestSpark.spark.implicits._
+    val g = ((1L to 40L).flatMap(i => Seq((i, i % 13 + 1), (i, (i * 3) % 29 + 1)))
+      ++ Seq((1L, 2L), (2L, 3L), (3L, 1L))).filter(e => e._1 != e._2)
+    def run(threshold: Long) =
+      graft.ops.GraphOps.kCore(g.toDF("src", "dst"), "src", "dst", k = 2,
+        broadcastThreshold = threshold)
+    // above the gate (threshold 0 → node set always "too big"): the
+    // node-side joins carry NO broadcast hint — the optimizer is free
+    // to pick shuffle joins from measured sizes
+    val big = run(0L)
+    assert(!big.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"), "forced broadcast above the gate")
+    // below the gate: the hint is present (the small-survivor fast path)
+    val small = run(1000000L)
+    assert(small.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"), "missing broadcast hint below gate")
+    // both paths produce the identical core
+    val a = big.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = small.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("kCore throws when maxRounds exhausts before the fixpoint") {
+    import TestSpark.spark.implicits._
+    // a 12-node path peels one layer per round at k=2 → needs ~6 rounds
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      graft.ops.GraphOps.kCore(path.toDF("src", "dst"), "src", "dst",
+        k = 2, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("no fixpoint"))
+  }
+
   test("triangleCounts: hand-checked graphs, direction/dup/loop collapse") {
     import TestSpark.spark.implicits._
     def count(edges: Seq[(Long, Long)]): Map[Long, Long] =

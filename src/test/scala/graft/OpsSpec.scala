@@ -2797,6 +2797,28 @@ class OpsSpec extends AnyFunSuite {
       "middle/end edits must survive the forward pass")
   }
 
+  test("link prefix-rank == global window rank, no single-partition Exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // crafted corpus with DUPLICATE sort keys across kinds so the
+    // (s, kind, id) tiebreak is load-bearing
+    val df = (1L to 500L).map(i =>
+        (if (i % 2 == 0) "c" else "d", i, s"key-${i % 37}"))
+      .toDF("kind", "id", "s")
+    val got = LinkOps.withGlobalRank(df, col("s"))
+    // the scale-safe rank must not funnel through one reducer
+    assert(!got.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"),
+      "prefix-rank plan regressed to a single-partition sort")
+    val expect = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("s"), col("kind"), col("id")))
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val gotMap = got.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(gotMap == expect)
+  }
+
   test("per-group top-k tokens: deterministic rank within each group") {
     import spark.implicits._
     val df = Seq(
