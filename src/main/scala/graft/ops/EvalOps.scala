@@ -26,6 +26,27 @@ object EvalOps {
     df.groupBy(col(scoreCol).cast("double").as("score"))
       .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("bigint")).as("bads"))
 
+  /** Pre-banding valve for RAW CONTINUOUS scores: snap the score to
+    * the lower edge of its approx-quantile bucket (the codegen'd
+    * `WoeBinning.snapToEdges` binary search) so the downstream
+    * unpartitioned cumulative windows see O(maxBands) rows instead of
+    * O(distinct).  `maxBands <= 0` (the default everywhere) is a
+    * no-op — banded scorecard scores are already O(bins) and must not
+    * be perturbed.  Banding changes the reported cut resolution (a
+    * documented semantics knob, like fit's `maxDistinct`), never the
+    * totals: counts aggregate exactly within each band.
+    */
+  private[graft] def banded(df: DataFrame, scoreCol: String, maxBands: Int): DataFrame =
+    if (maxBands <= 0) df
+    else {
+      val probs = (0 to maxBands).map(_.toDouble / maxBands).toArray
+      val edges = df.stat.approxQuantile(scoreCol, probs, 1e-4).distinct.sorted
+      if (edges.length <= 2) df
+      else graft.spark.WoeBinning.snapToEdges(
+        df.withColumn(scoreCol, col(scoreCol).cast("double")), scoreCol,
+        edges.toIndexedSeq)
+    }
+
   /** Exact tie-corrected AUC via the grouped Mann–Whitney rank sum.
     *
     * With per-score counts, the average rank of a tie group is
@@ -97,9 +118,14 @@ object EvalOps {
     * tie-break (higher diff first, then higher score) is total, so the
     * reported cut is deterministic.  Returns one row:
     * (ks, ks_score, n_pos, n_neg).
+    *
+    * `maxBands > 0` routes a raw continuous score through the
+    * [[banded]] quantile snap first, bounding the cumulative window's
+    * input at O(maxBands); default off (exact per-distinct-score KS).
     */
-  def ksReport(df: DataFrame, scoreCol: String, targetCol: String): DataFrame = {
-    val g = grouped(df, scoreCol, targetCol)
+  def ksReport(df: DataFrame, scoreCol: String, targetCol: String,
+      maxBands: Int = 0): DataFrame = {
+    val g = grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol)
     val wTot = Window.partitionBy()
     val wCum = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -124,9 +150,14 @@ object EvalOps {
     * bad-capture rate, and lift — the table that decides a scorecard
     * cutoff.  One aggregation to O(bands) rows; the cumulative window
     * runs over those rows only.  Every ratio divides exact integers.
+    *
+    * `maxBands > 0` routes a raw continuous score through the
+    * [[banded]] quantile snap first (one band row per bucket); default
+    * off.
     */
-  def gainsTable(df: DataFrame, scoreCol: String, targetCol: String): DataFrame = {
-    val g = grouped(df, scoreCol, targetCol)
+  def gainsTable(df: DataFrame, scoreCol: String, targetCol: String,
+      maxBands: Int = 0): DataFrame = {
+    val g = grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol)
     val wTot = Window.partitionBy()
     val wCum = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -117,8 +117,12 @@ object JoinOps {
       mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
     require(k <= 7 && mBits % 64 == 0, s"bloomPrunedJoin: mBits=$mBits k=$k")
     val positions = buildPositions(small, smallKey, mBits, k)
-    withBloomFilter(big, bigKey, positions, mBits, k)
-      .join(small, col(bigKey) === col(smallKey))
+    val probe = withBloomFilter(big, bigKey, positions, mBits, k)
+    // same key name on both sides (self-joins, conformed dimensions)
+    // would make col(bigKey) === col(smallKey) ambiguous — alias the
+    // sides so the condition resolves, like intervalJoin does
+    probe.as("__bloom_big").join(small.as("__bloom_small"),
+      col(s"__bloom_big.$bigKey") === col(s"__bloom_small.$smallKey"))
   }
 
   /** Kirsch–Mitzenmacher position set from TWO xxhash64 draws — the

@@ -57,9 +57,13 @@ object MatchOps {
         sum("hits").cast("long").as("total_hits"))
 
   /** Documents carrying NO blocklisted phrase — the pipeline's filter
-    * form (the complement of [[matchHits]]'s audit form).
+    * form (the complement of [[matchHits]]'s audit form).  A NULL
+    * document carries no blocklisted phrase, so it is KEPT: without
+    * the coalesce the exists(...) predicate is NULL, its negation is
+    * NULL, and where() would silently drop the row.
     */
   def filterClean(
       df: DataFrame, textCol: String, patterns: Seq[String]): DataFrame =
-    df.where(!exists(multiMatchCounts(col(textCol), patterns), _ > 0L))
+    df.where(coalesce(
+      !exists(multiMatchCounts(col(textCol), patterns), _ > 0L), lit(true)))
 }

@@ -143,24 +143,33 @@ object StorageOps {
     import org.apache.spark.sql.functions._
     require(batchId > 0, s"scd2Merge: batchId=$batchId (0 is scd2Init)")
     val closed = current.where(!col("is_current"))
+    // side-presence flags, NOT key nullity, tell the two branches
+    // apart after the full outer join: a NULL dimension key would
+    // otherwise never match (null === x is null) and then vanish from
+    // history when the branch filter tested col(key).isNotNull.  The
+    // join itself is null-safe (<=>), so a null key behaves like any
+    // other key value instead of silently dropping.
     val open = current.where(col("is_current"))
+      .withColumn("__has_open", lit(true))
     val u = updates.select(
       col(key).as("__uk") +: tracked.map(t => col(t).as(s"__u_$t")): _*)
-    val j = open.join(u, col(key) === col("__uk"), "full_outer")
-    val differs = tracked.map(t =>
+      .withColumn("__has_upd", lit(true))
+    val j = open.join(u, col(key) <=> col("__uk"), "full_outer")
+    val matched = col("__has_upd").isNotNull
+    val differs = matched && tracked.map(t =>
       !(col(t) <=> col(s"__u_$t"))).reduce(_ || _)
     // open rows: unmatched pass through; matched-and-same pass
     // through; matched-and-different close
-    val fromOpen = j.where(col(key).isNotNull)
+    val fromOpen = j.where(col("__has_open").isNotNull)
       .select((key +: tracked).map(col) :+
         col("version_start") :+
-        when(col("__uk").isNotNull && differs, lit(batchId))
+        when(differs, lit(batchId))
           .otherwise(col("version_end")).as("version_end") :+
-        (!(col("__uk").isNotNull && differs)).as("is_current"): _*)
+        (!differs).as("is_current"): _*)
     // new versions: changed rows + brand-new keys, with the update's
     // tracked values
-    val fresh = j.where(col("__uk").isNotNull &&
-        (col(key).isNull || differs))
+    val fresh = j.where(matched &&
+        (col("__has_open").isNull || differs))
       .select(col("__uk").as(key) +:
         tracked.map(t => col(s"__u_$t").as(t)) :+
         lit(batchId).as("version_start") :+

@@ -83,6 +83,32 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ks") == 1.0 && r.getAs[Double]("ks_score") == 3.0)
   }
 
+  test("ks/gains pre-banding: near-unique score reduces to O(bands), totals exact") {
+    // 5000 near-unique continuous scores (LCG jitter makes each distinct)
+    val rows = (0 until 5000).map { i =>
+      val s = i.toDouble + ((i * 1103515245L + 12345L) % 1000) / 1e6
+      (s, if ((i * 7919 + 31) % 13 < 4) 1 else 0)
+    }
+    val df = scored(rows)
+    val maxBands = 16
+    // the banded valve itself: window input is O(bands), not O(distinct)
+    val snapped = EvalOps.banded(df, "score", maxBands)
+    val nBands = snapped.select("score").distinct().count()
+    assert(nBands <= maxBands + 1,
+      s"banding left $nBands distinct scores (> ${maxBands + 1})")
+    assert(df.select("score").distinct().count() == 5000L, "fixture not near-unique")
+    // totals are untouched by the snap; KS on bands is a valid KS over cuts
+    val r = EvalOps.ksReport(df, "score", "target", maxBands = maxBands).collect()(0)
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 5000L)
+    assert(r.getAs[Double]("ks") > 0.0 && r.getAs[Double]("ks") <= 1.0)
+    val g = EvalOps.gainsTable(df, "score", "target", maxBands = maxBands).collect()
+    assert(g.length.toLong == nBands)
+    assert(g.map(_.getAs[Long]("n")).sum == 5000L)
+    assert(g.last.getAs[Double]("capture_rate") == 1.0)
+    // default (maxBands = 0) is bit-unchanged: one band per distinct score
+    assert(EvalOps.gainsTable(df, "score", "target").collect().length == 5000)
+  }
+
   // ---------------- gains table ----------------
 
   test("gains table: hand-computed bands, captures, and lift") {

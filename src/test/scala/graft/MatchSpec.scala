@@ -48,13 +48,15 @@ class MatchSpec extends AnyFunSuite {
       (4L, "ta", 2L)))
   }
 
-  test("filterClean drops exactly the docs with any hit") {
+  test("filterClean drops exactly the docs with any hit; null text is kept") {
     val docs = Seq(
-      (1L, "clean text"), (2L, "has spark inside"), (3L, "also clean"))
+      (1L, Some("clean text")), (2L, Some("has spark inside")),
+      (3L, Some("also clean")), (4L, Option.empty[String]))
       .toDF("doc_id", "text")
     val kept = MatchOps.filterClean(docs, "text", Seq("spark", "zzz"))
       .select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(1L, 3L))
+    // a null document carries no blocklisted phrase — it must survive
+    assert(kept == Set(1L, 3L, 4L))
   }
 
   test("non-ASCII text: BMP code points match per UTF-16 unit") {

@@ -612,6 +612,16 @@ class OpsSpec extends AnyFunSuite {
     assert(survivors >= plain.size, "bloom must never drop a true match")
   }
 
+  test("bloomPrunedJoin resolves when both sides share the key name") {
+    import spark.implicits._
+    val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = Seq((5L, "x"), (17L, "y")).toDF("k", "vb")
+    val got = graft.ops.JoinOps.bloomPrunedJoin(a, "k", b, "k")
+      .select(col("va"), col("vb"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a5", "x"), ("a17", "y")))
+  }
+
   test("ewmaPerUser: hand-checked recurrence in (time, id) order") {
     import spark.implicits._
     val ev = Seq(

@@ -90,6 +90,28 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2Merge: null-key open rows survive and version like any key") {
+    import spark.implicits._
+    import graft.ops.StorageOps
+    val E = StorageOps.OpenEnd
+    val b0 = Seq((Some(1L), 10L), (None, 99L)).toDF("k", "v")
+    val dim0 = StorageOps.scd2Init(b0, "k", Seq("v"))
+    // batch 1 doesn't mention the null key: its open row must pass through
+    val dim1 = StorageOps.scd2Merge(dim0,
+      Seq((Some(1L), 11L)).toDF("k", "v"), "k", Seq("v"), 1L)
+    val nullRows1 = dim1.where(col("k").isNull).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(nullRows1.toSeq == Seq((99L, 0L, E, true)),
+      s"null-key open row dropped or mutated: ${nullRows1.toSeq}")
+    // batch 2 updates the null key: it closes + re-opens (null-safe match)
+    val dim2 = StorageOps.scd2Merge(dim1,
+      Seq((Option.empty[Long], 100L)).toDF("k", "v"), "k", Seq("v"), 2L)
+    val nullRows2 = dim2.where(col("k").isNull).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._2)
+    assert(nullRows2.toSeq == Seq((99L, 0L, 2L, false), (100L, 2L, E, true)))
+  }
+
   test("scd2Snapshot: time travel reconstructs each batch's state") {
     import spark.implicits._
     import graft.ops.StorageOps
