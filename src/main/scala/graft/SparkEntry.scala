@@ -3708,6 +3708,32 @@ object SparkEntry {
         |       END AS mean_byte,
         |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
         |FROM px ORDER BY doc_id""".stripMargin,
+    // fragmented-MP4 replay: nFrags = 1 + doc_id%3, duration = the
+    // tfdt+trun accumulation = nFrags × Fmp4FragMs, n_bytes = fixed
+    // header + per-fragment moof/mdat overhead (size constants from
+    // MultimodalOps.fmp4Sizes) + text bytes, stats over all mdats =
+    // the text bytes
+    "q_multimodal_fmp4" -> {
+      val (hdr, moofMid, moofLast) = graft.ops.MultimodalOps.fmp4Sizes
+      val fragMs = graft.ops.MultimodalOps.Fmp4FragMs
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(hex(encode(text)), '..') AS pairs,
+        |         CAST(1 + doc_id % 3 AS BIGINT) AS n_frags
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(640 AS BIGINT) AS width,
+        |       CAST(360 AS BIGINT) AS height,
+        |       n_frags * $fragMs AS duration_ms,
+        |       CAST($hdr + (n_frags - 1) * $moofMid + $moofLast
+        |            + 8 * n_frags + len(pairs) AS BIGINT) AS n_bytes,
+        |       CASE WHEN len(pairs) = 0 THEN 0E0
+        |            ELSE CAST(list_sum(list_transform(pairs,
+        |                 p -> CAST(('0x' || p) AS INT))) AS DOUBLE) / len(pairs)
+        |       END AS mean_byte,
+        |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
+        |FROM px ORDER BY doc_id""".stripMargin
+    },
     // token-window chunking replay: same whitespace tokens, same
     // full-windows-plus-short-doc-clamp start rule, same md5 of the
     // space-rejoined window
@@ -5230,6 +5256,24 @@ object SparkEntry {
         val media = MultimodalOps.synthesizeMp4(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
           width = 320, height = 180, durationMs = 7125L)
+        MultimodalOps.decodeFeatures(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("durationMs").as("duration_ms"),
+            col("nBytes").cast("long").as("n_bytes"),
+            col("meanByte").as("mean_byte"),
+            element_at(col("byteHistogram"), 7).as("hist_bucket6"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_fmp4" -> { (s, dir) =>
+        // FRAGMENTED MP4 (streaming-packager layout): moov declares no
+        // duration; the decoder accumulates it from the moof/traf/
+        // tfdt/trun chain (1 + doc_id%3 fragments × 200 ms), and byte
+        // stats span every fragment's mdat — all replayable arithmetic
+        val media = MultimodalOps.synthesizeFmp4(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          width = 640, height = 360)
         MultimodalOps.decodeFeatures(media).toDF()
           .select(col("id").as("doc_id"),
             col("width").cast("long").as("width"),

@@ -295,6 +295,18 @@ object MultimodalOps {
     * stub surface, by design).  64-bit largesize boxes and a size-0
     * (to end of file) final box are handled; anything structurally
     * inconsistent returns None and falls through to the stub.
+    *
+    * FRAGMENTED MP4 (fMP4 — the layout every streaming packager
+    * emits: `moov` with duration 0 + repeating `moof`/`mdat` pairs)
+    * is fully walked too: duration resolves, in order, from (1) the
+    * classic `mvhd` duration when non-zero, (2) `mvex`/`mehd`'s
+    * whole-presentation fragment_duration (movie timescale), (3) the
+    * fragments themselves — max over fragments of `tfdt` base time +
+    * that fragment's `trun` sample-duration sum (falling back to
+    * Σ trun durations when no `tfdt` is present), in the first
+    * track's `mdhd` timescale.  Per-sample trun durations, `tfhd`
+    * defaults, and `trex` defaults are honored in that priority
+    * order, all pure box arithmetic (ISO 14496-12 §8.8).
     */
   private[graft] def decodeMp4(r: MediaRecord): Option[MediaFeatures] = {
     val b = r.content
@@ -309,6 +321,19 @@ object MultimodalOps {
     var mdatLen = 0L
     var firstMdat = -1 // payload bounds of the FIRST mdat the walk sees
     var firstMdatEnd = -1
+    // fMP4 state (ISO 14496-12 §8.8): movie/track timescales, defaults,
+    // and per-fragment accumulation
+    var movieTimescale = 0L
+    var mvhdDuration = 0L
+    var mehdDuration = -1L
+    var trackTimescale = 0L // first mdhd wins (dims convention: first track)
+    var trexDefaultDur = 0L
+    var tfhdDefaultDur = 0L // reset per traf
+    var curTfdtBase = -1L // reset per traf
+    var curTrafDur = 0L // trun sample-duration sum, reset per traf
+    var fragEndMax = 0L // max over fragments of tfdt + Σdur
+    var fragAccum = 0L // Σ over all fragments of Σdur (no-tfdt fallback)
+    var sawTfdt = false
 
     // walk one box level in [from, until); returns false on malformed
     def walk(from: Int, until: Int, depth: Int): Boolean = {
@@ -328,22 +353,92 @@ object MultimodalOps {
         val payloadEnd = (off + size).toInt
         def is(a: Char, bb: Char, c: Char, d: Char) =
           t0 == a && t1 == bb && t2 == c && t3 == d
-        if (is('m', 'o', 'o', 'v') || is('t', 'r', 'a', 'k')) {
+        if (is('m', 'o', 'o', 'v') || is('t', 'r', 'a', 'k') ||
+            is('m', 'd', 'i', 'a') || is('m', 'v', 'e', 'x') ||
+            is('m', 'o', 'o', 'f')) {
           if (depth < 4 && !walk(payload, payloadEnd, depth + 1)) return false
+        } else if (is('t', 'r', 'a', 'f')) {
+          tfhdDefaultDur = trexDefaultDur
+          curTfdtBase = -1L
+          curTrafDur = 0L
+          if (depth < 4 && !walk(payload, payloadEnd, depth + 1)) return false
+          if (curTfdtBase >= 0L) {
+            sawTfdt = true
+            val end = curTfdtBase + curTrafDur
+            if (end > fragEndMax) fragEndMax = end
+          }
+          fragAccum += curTrafDur
         } else if (is('m', 'v', 'h', 'd')) {
           if (payloadEnd - payload < 4) return false
           val version = b(payload) & 0xff
           if (version == 0) {
             if (payloadEnd - payload < 20) return false
-            val timescale = u32be(b, payload + 12)
-            val duration = u32be(b, payload + 16)
-            if (timescale > 0) durationMs = duration * 1000L / timescale
+            movieTimescale = u32be(b, payload + 12)
+            mvhdDuration = u32be(b, payload + 16)
           } else if (version == 1) {
             if (payloadEnd - payload < 28) return false
-            val timescale = u32be(b, payload + 20)
-            val duration = u64be(b, payload + 24)
-            if (timescale > 0) durationMs = duration * 1000L / timescale
+            movieTimescale = u32be(b, payload + 20)
+            mvhdDuration = u64be(b, payload + 24)
           } else return false
+        } else if (is('m', 'd', 'h', 'd')) {
+          if (payloadEnd - payload < 4) return false
+          val version = b(payload) & 0xff
+          if (version == 0) {
+            if (payloadEnd - payload < 16) return false
+            if (trackTimescale == 0L) trackTimescale = u32be(b, payload + 12)
+          } else if (version == 1) {
+            if (payloadEnd - payload < 24) return false
+            if (trackTimescale == 0L) trackTimescale = u32be(b, payload + 20)
+          } else return false
+        } else if (is('m', 'e', 'h', 'd')) {
+          if (payloadEnd - payload < 8) return false
+          val version = b(payload) & 0xff
+          if (version == 0) mehdDuration = u32be(b, payload + 4)
+          else if (version == 1) {
+            if (payloadEnd - payload < 12) return false
+            mehdDuration = u64be(b, payload + 4)
+          } else return false
+        } else if (is('t', 'r', 'e', 'x')) {
+          if (payloadEnd - payload < 24) return false
+          trexDefaultDur = u32be(b, payload + 12)
+        } else if (is('t', 'f', 'h', 'd')) {
+          if (payloadEnd - payload < 8) return false
+          val flags = u32be(b, payload).toInt & 0xffffff
+          var pos = payload + 8
+          if ((flags & 0x01) != 0) pos += 8 // base-data-offset
+          if ((flags & 0x02) != 0) pos += 4 // sample-description-index
+          if ((flags & 0x08) != 0) { // default-sample-duration
+            if (pos + 4 > payloadEnd) return false
+            tfhdDefaultDur = u32be(b, pos)
+          }
+        } else if (is('t', 'f', 'd', 't')) {
+          if (payloadEnd - payload < 8) return false
+          val version = b(payload) & 0xff
+          if (version == 0) curTfdtBase = u32be(b, payload + 4)
+          else if (version == 1) {
+            if (payloadEnd - payload < 12) return false
+            curTfdtBase = u64be(b, payload + 4)
+          } else return false
+        } else if (is('t', 'r', 'u', 'n')) {
+          if (payloadEnd - payload < 8) return false
+          val flags = u32be(b, payload).toInt & 0xffffff
+          val sampleCount = u32be(b, payload + 4)
+          var pos = payload + 8
+          if ((flags & 0x01) != 0) pos += 4 // data-offset
+          if ((flags & 0x04) != 0) pos += 4 // first-sample-flags
+          if ((flags & 0x100) != 0) { // per-sample durations present
+            var perSample = 0
+            if ((flags & 0x200) != 0) perSample += 4
+            if ((flags & 0x400) != 0) perSample += 4
+            if ((flags & 0x800) != 0) perSample += 4
+            var i = 0L
+            while (i < sampleCount) {
+              if (pos + 4 > payloadEnd) return false
+              curTrafDur += u32be(b, pos)
+              pos += 4 + perSample
+              i += 1
+            }
+          } else curTrafDur += sampleCount * tfhdDefaultDur
         } else if (is('t', 'k', 'h', 'd')) {
           if (payloadEnd - payload < 4) return false
           val version = b(payload) & 0xff
@@ -368,6 +463,17 @@ object MultimodalOps {
       off == until
     }
     if (!walk(0, b.length, 0)) return None
+    // duration priority: classic mvhd → mehd whole-presentation
+    // declaration → fragment accumulation (tfdt+trun in the track
+    // timescale; Σ trun when no tfdt)
+    durationMs =
+      if (mvhdDuration > 0L && movieTimescale > 0L)
+        mvhdDuration * 1000L / movieTimescale
+      else if (mehdDuration >= 0L && movieTimescale > 0L)
+        mehdDuration * 1000L / movieTimescale
+      else if (trackTimescale > 0L)
+        (if (sawTfdt) fragEndMax else fragAccum) * 1000L / trackTimescale
+      else 0L
     if (width == 0 && durationMs == 0L) return None // no moov content parsed
     // evenly-spaced offsets into the FIRST mdat's own payload — bounds
     // come from the SAME validated walk that counted the bytes, and a
@@ -808,6 +914,132 @@ object MultimodalOps {
           coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])))
           .as("content"))
       .as[MediaRecord]
+  }
+
+  // ---------------------------------------------------------------
+  // Fragmented MP4 (fMP4) synthesis — the streaming-packager layout:
+  // moov declares NO duration (mvhd/mdhd duration 0, no mehd), so the
+  // decoder must accumulate it from the moof/traf/tfdt/trun chain.
+  // Every byte is a pure function of the source row, so a SQL oracle
+  // replays dims (constants), duration (fragment arithmetic), and
+  // byte stats (the text bytes, split across the fragments' mdats).
+  // ---------------------------------------------------------------
+
+  private def bmffBe32(v: Long) = Array[Byte](
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def bmffBe64(v: Long) = bmffBe32(v >>> 32) ++ bmffBe32(v & 0xffffffffL)
+  private def bmffBox(tpe: String, payload: Array[Byte]): Array[Byte] =
+    bmffBe32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  /** fMP4 timing constants (shared with the oracle SQL and the spec):
+    * 90 kHz track timescale, 3600-unit (40 ms) samples, 5 samples per
+    * fragment → each fragment is exactly 200 ms.
+    */
+  private[graft] val Fmp4TrackTimescale = 90000L
+  private[graft] val Fmp4SampleDur = 3600L
+  private[graft] val Fmp4SamplesPerFrag = 5
+  private[graft] val Fmp4FragMs: Long =
+    Fmp4SamplesPerFrag * Fmp4SampleDur * 1000L / Fmp4TrackTimescale // 200
+
+  /** ftyp + moov for a fragmented file: mvhd duration 0, tkhd dims,
+    * mdia/mdhd with the track timescale (duration 0), and mvex/trex
+    * whose default_sample_duration is a DECOY (7777) — every traf
+    * carries its own tfhd default, so a decoder that wrongly falls
+    * back to trex diverges visibly.
+    */
+  private[graft] def fmp4Header(width: Int, height: Int): Array[Byte] = {
+    val matrix = // identity, 16.16 / 2.30 fixed point
+      bmffBe32(0x00010000L) ++ bmffBe32(0) ++ bmffBe32(0) ++
+        bmffBe32(0) ++ bmffBe32(0x00010000L) ++ bmffBe32(0) ++
+        bmffBe32(0) ++ bmffBe32(0) ++ bmffBe32(0x40000000L)
+    val mvhd = bmffBox("mvhd",
+      bmffBe32(0) ++ // version 0 + flags
+        bmffBe32(0) ++ bmffBe32(0) ++ // creation, modification
+        bmffBe32(1000L) ++ bmffBe32(0L) ++ // timescale, duration 0 (fMP4)
+        bmffBe32(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++
+        new Array[Byte](8) ++ matrix ++ new Array[Byte](24) ++
+        bmffBe32(2L)) // next track id
+    val tkhd = bmffBox("tkhd",
+      bmffBe32(7L) ++
+        bmffBe32(0) ++ bmffBe32(0) ++
+        bmffBe32(1L) ++ bmffBe32(0) ++
+        bmffBe32(0L) ++ new Array[Byte](8) ++ // duration 0
+        new Array[Byte](8) ++
+        matrix ++
+        bmffBe32(width.toLong << 16) ++ bmffBe32(height.toLong << 16))
+    val mdhd = bmffBox("mdhd",
+      bmffBe32(0) ++ // version 0 + flags
+        bmffBe32(0) ++ bmffBe32(0) ++ // creation, modification
+        bmffBe32(Fmp4TrackTimescale) ++ bmffBe32(0L) ++ // timescale, dur 0
+        bmffBe32(0x55c40000L)) // language 'und' + pre_defined
+    val trex = bmffBox("trex",
+      bmffBe32(0) ++ bmffBe32(1L) ++ bmffBe32(1L) ++
+        bmffBe32(7777L) ++ bmffBe32(0) ++ bmffBe32(0)) // decoy default dur
+    val moov = bmffBox("moov",
+      mvhd ++ bmffBox("trak", tkhd ++ bmffBox("mdia", mdhd)) ++
+        bmffBox("mvex", trex))
+    bmffBox("ftyp", "isom".getBytes("US-ASCII") ++ bmffBe32(0x200L)) ++ moov
+  }
+
+  /** One movie fragment header.  `perSampleDur = true` spells the five
+    * sample durations explicitly in the trun (flags 0x100); otherwise
+    * the trun is bare and timing comes from tfhd's default (0x08).
+    * tfdt is version 1 (64-bit base) — the streaming-packager norm.
+    */
+  private[graft] def fmp4Moof(seq: Int, tfdtBase: Long, perSampleDur: Boolean): Array[Byte] = {
+    val mfhd = bmffBox("mfhd", bmffBe32(0) ++ bmffBe32(seq.toLong))
+    val tfhd = bmffBox("tfhd",
+      bmffBe32(0x000008L) ++ // flags: default-sample-duration present
+        bmffBe32(1L) ++ bmffBe32(Fmp4SampleDur))
+    val tfdt = bmffBox("tfdt",
+      Array[Byte](1, 0, 0, 0) ++ bmffBe64(tfdtBase)) // version 1
+    val trun =
+      if (perSampleDur)
+        bmffBox("trun",
+          bmffBe32(0x000100L) ++ bmffBe32(Fmp4SamplesPerFrag.toLong) ++
+            Array.fill(Fmp4SamplesPerFrag)(bmffBe32(Fmp4SampleDur)).flatten)
+      else
+        bmffBox("trun", bmffBe32(0) ++ bmffBe32(Fmp4SamplesPerFrag.toLong))
+    bmffBox("moof", mfhd ++ bmffBox("traf", tfhd ++ tfdt ++ trun))
+  }
+
+  /** Byte-size constants of the fixed fMP4 pieces, for the SQL oracle:
+    * (header, non-final moof, final moof).
+    */
+  private[graft] lazy val fmp4Sizes: (Int, Int, Int) =
+    (fmp4Header(1, 1).length, fmp4Moof(1, 0L, perSampleDur = false).length,
+      fmp4Moof(1, 0L, perSampleDur = true).length)
+
+  /** Synthesizes a FRAGMENTED MP4 record per row: the constant
+    * ftyp+moov header (duration 0 everywhere) + `1 + id % 3`
+    * moof/mdat pairs, the row's UTF-8 text bytes split contiguously
+    * across the fragments' mdat payloads.  The LAST fragment's trun
+    * spells per-sample durations; earlier fragments rely on the tfhd
+    * default — both decoder paths exercise on every multi-fragment
+    * row.  True duration = nFrags × [[Fmp4FragMs]].
+    */
+  def synthesizeFmp4(
+      df: DataFrame, idCol: String, textCol: String,
+      width: Int, height: Int): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
+      .as[(Long, Array[Byte])].map { case (id, text) =>
+        val n = 1 + (id % 3).toInt
+        val out = Array.newBuilder[Byte]
+        out ++= fmp4Header(width, height)
+        var i = 0
+        while (i < n) {
+          val lo = i * text.length / n
+          val hi = (i + 1) * text.length / n
+          out ++= fmp4Moof(i + 1,
+            i.toLong * Fmp4SamplesPerFrag * Fmp4SampleDur,
+            perSampleDur = i == n - 1)
+          out ++= bmffBox("mdat", java.util.Arrays.copyOfRange(text, lo, hi))
+          i += 1
+        }
+        MediaRecord(id, "video/mp4", out.result())
+      }
   }
 
   // ---------------------------------------------------------------

@@ -1426,6 +1426,57 @@ class OpsSpec extends AnyFunSuite {
       f2.frameOffsets.toSeq)
   }
 
+  test("multimodal decode: fragmented MP4 (moof/traf/tfdt/trun duration)") {
+    import spark.implicits._
+    // synthesized path: nFrags = 1 + id%3 → duration = nFrags × 200 ms;
+    // text bytes split across the fragments' mdats, stats unchanged
+    val docs = Seq((3L, "fragmented mdat payload"), (4L, "xy"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val fs = MultimodalOps.decodeFeatures(
+      MultimodalOps.synthesizeFmp4(docs, "doc_id", "text", 640, 360))
+      .collect().sortBy(_.id).map(f => f.id -> f).toMap
+    assert(fs(3L).width == 640 && fs(3L).height == 360)
+    assert(fs(3L).durationMs == 200L, s"id 3: ${fs(3L).durationMs}") // 1 frag
+    assert(fs(4L).durationMs == 400L, s"id 4: ${fs(4L).durationMs}") // 2 frags
+    assert(fs(5L).durationMs == 600L, s"id 5: ${fs(5L).durationMs}") // 3 frags
+    assert(fs(3L).byteHistogram.sum == "fragmented mdat payload".length,
+      "stats must span every fragment's mdat")
+    val (hdr, moofMid, moofLast) = MultimodalOps.fmp4Sizes
+    assert(fs(4L).nBytes == hdr + moofMid + moofLast + 16 + 2)
+    // hand-built single-fragment file WITHOUT tfdt: duration falls back
+    // to the Σ-trun accumulation (5 × 3600 / 90000 = 200 ms)
+    def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(t: String, p: Array[Byte]) =
+      be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val tfhd = box("tfhd", be32(0x08L) ++ be32(1L) ++ be32(3600L))
+    val trun = box("trun", be32(0L) ++ be32(5L))
+    val noTfdt = MultimodalOps.fmp4Header(320, 180) ++
+      box("moof", box("mfhd", be32(0L) ++ be32(1L)) ++
+        box("traf", tfhd ++ trun)) ++
+      box("mdat", "abc".getBytes("US-ASCII"))
+    val f = MultimodalOps.decodeMp4(
+      MultimodalOps.MediaRecord(9L, "video/mp4", noTfdt)).get
+    assert(f.durationMs == 200L && f.width == 320)
+    // mehd declaration (movie timescale 1000) wins over fragment walk
+    // when mvhd duration is 0: splice an mehd into the mvex
+    val mehd = box("mehd", be32(0L) ++ be32(4321L))
+    val hdrB = MultimodalOps.fmp4Header(320, 180)
+    // rebuild header with mvex = trex + mehd: easiest is hand-built mvex
+    val trex = box("trex", be32(0L) ++ be32(1L) ++ be32(1L) ++
+      be32(7777L) ++ be32(0L) ++ be32(0L))
+    val ftypLen = 16
+    val moovPayloadOld = hdrB.drop(ftypLen + 8) // inside moov
+    val oldMvexLen = 8 + trex.length
+    val moovPayloadNoMvex = moovPayloadOld.dropRight(oldMvexLen)
+    val newMoov = box("moov", moovPayloadNoMvex ++ box("mvex", trex ++ mehd))
+    val withMehd = hdrB.take(ftypLen) ++ newMoov ++
+      box("mdat", "zz".getBytes("US-ASCII"))
+    val fm = MultimodalOps.decodeMp4(
+      MultimodalOps.MediaRecord(10L, "video/mp4", withMehd)).get
+    assert(fm.durationMs == 4321L, s"mehd: ${fm.durationMs}")
+  }
+
   test("multimodal decode: real MKV/EBML walk (dims, duration, cluster stats)") {
     // hand-built minimal Matroska: EBML header, Segment(Info(
     // TimestampScale 1ms, Duration 2500.0f), Tracks(TrackEntry(Video(
