@@ -229,6 +229,18 @@ object DedupOps {
     * bucket → distinct candidate pairs → exact Jaccard verify on the
     * pair (array intersection over the two shingle sets).
     */
+  /** @param saltHotBands auto-salt threshold (0 = off): a band bucket
+    *   holding more than this many docs has its self-join split into a
+    *   triangular GRID — each row hashes to a cell `c` of
+    *   `s = ⌈n/threshold⌉` (capped 64), the left side replicates to
+    *   cells `(c, j ≥ c)` and the right to `(i ≤ c, c)`, so every
+    *   unordered pair meets in EXACTLY one cell and the pair set is
+    *   bit-identical to the plain join while no join task reads more
+    *   than ~threshold rows per side.  Unlike `maxBand` (which drops
+    *   buckets whole) this keeps every candidate; unlike AQE skew-split
+    *   (which re-plans partitions, pinned in OpsSpec) it bounds the
+    *   per-KEY group that a single sort-merge task must buffer.
+    */
   def minhashPairs(
       df: DataFrame,
       textCol: String,
@@ -238,7 +250,8 @@ object DedupOps {
       shingleSize: Int = 3,
       jaccardThreshold: Double = 0.8,
       portableHash: Boolean = false,
-      maxBand: Int = Int.MaxValue): DataFrame = {
+      maxBand: Int = Int.MaxValue,
+      saltHotBands: Int = 0): DataFrame = {
     val rows = numHashes / bands
     // portableHash: md5-derived base hashes + comma-joined band keys so
     // an external engine can recompute the identical pipeline (the
@@ -306,12 +319,15 @@ object DedupOps {
       }
     // single reference to `cand` — referencing it more than once would
     // recompute the whole signature/band subtree per reference
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-        col("l.band_hash") === col("r.band_hash") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val rawPairs =
+      if (saltHotBands <= 0)
+        banded.as("l").join(banded.as("r"),
+            col("l.band") === col("r.band") &&
+            col("l.band_hash") === col("r.band_hash") &&
+            col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      else saltedBandPairs(banded, saltHotBands)
+    val cand = rawPairs.dropDuplicates("id_a", "id_b")
     cand
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -319,6 +335,55 @@ object DedupOps {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Grid-salted bucket cells for [[saltedBandPairs]]: each `(band,
+    * band_hash, id)` row annotated with its counted bucket size `__n`,
+    * split factor `__s = ⌈n/threshold⌉` (1 for cold buckets, capped
+    * 64), and hash cell `__c = xxhash64(id) mod __s`.  Exposed to the
+    * spec so the per-cell input bound is directly assertable.
+    */
+  private[graft] def bandCells(banded: DataFrame, threshold: Int): DataFrame = {
+    val b = registerPersist(banded)
+    val counts = b.groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
+    b.join(counts, Seq("band", "band_hash"))
+      .withColumn("__s",
+        when(col("__n") <= threshold, lit(1L))
+          .otherwise(least(
+            ceil(col("__n").cast("double") / threshold).cast("long"),
+            lit(64L))))
+      .withColumn("__c", pmod(xxhash64(col("id")), col("__s")))
+  }
+
+  /** Skew-bounded band self-join: the triangular grid split described
+    * on [[minhashPairs]]'s `saltHotBands` — returns the IDENTICAL
+    * unordered pair set as the plain `(band, band_hash)` self-join,
+    * with per-join-key group size bounded by the cell population
+    * ≈ threshold instead of the full bucket.  A pair with cells
+    * `c_a < c_b` meets exactly once, at grid cell `(c_a, c_b)` (the
+    * lower-cell row as `l`, whichever id order); an equal-cell pair
+    * meets in both orientations, which the canonical least/greatest
+    * projection + the caller's dropDuplicates collapse — an `id_a <
+    * id_b` JOIN filter would instead LOSE pairs whose id order opposes
+    * their cell order.  Replication cost is ~`s/2`+1 rows per
+    * hot-bucket row — O(n·s) input for C(n,2) output, the standard
+    * skew-grid trade.
+    */
+  private[graft] def saltedBandPairs(banded: DataFrame, threshold: Int): DataFrame = {
+    val cells = bandCells(banded, threshold)
+    val lSide = cells.select(col("band"), col("band_hash"), col("id"),
+      col("__c").as("gi"),
+      explode(sequence(col("__c"), col("__s") - 1)).as("gj"))
+    val rSide = cells.select(col("band"), col("band_hash"), col("id"),
+      explode(sequence(lit(0L), col("__c"))).as("gi"),
+      col("__c").as("gj"))
+    lSide.as("l").join(rSide.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.gi") === col("r.gi") && col("l.gj") === col("r.gj") &&
+        col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
   }
 
   /** 64-bit SimHash from a MATERIALIZED token-hash array column —

@@ -2858,6 +2858,40 @@ class OpsSpec extends AnyFunSuite {
       "middle/end edits must survive the forward pass")
   }
 
+  test("saltHotBands: grid split bounds hot-band cells, pair set identical") {
+    import spark.implicits._
+    // 40 identical boilerplate docs → every band is a hot bucket of 40;
+    // 60 distinct docs → cold buckets stay on the s=1 path
+    val boiler = (1L to 40L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val distinct = (101L to 160L).map(i =>
+      (i, s"unique document number $i with words w${i}a w${i * 7}b w${i * 13}c end"))
+    val docs = (boiler ++ distinct).toDF("doc_id", "text")
+    def pairs(salt: Int) = graft.ops.DedupOps.minhashPairs(
+        docs, "text", "doc_id", saltHotBands = salt)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(0)
+    val salted = pairs(8)
+    assert(plain.nonEmpty && salted == plain,
+      s"salted path changed the pair set: ${salted.size} vs ${plain.size}")
+    // the boilerplate clique must be fully present (C(40,2) pairs)
+    assert((1L to 40L).flatMap(a => (a + 1 to 40L).map(a -> _))
+      .forall(plain.contains), "boilerplate clique incomplete")
+    graft.ops.DedupOps.unpersistAll()
+    // the bound itself: no grid cell of a hot bucket holds more than a
+    // fraction of the bucket (split factor ⌈40/8⌉ = 5)
+    val banded = (1L to 40L).map(i => (0, 12345L, i)).toDF("band", "band_hash", "id")
+    val cells = graft.ops.DedupOps.bandCells(banded, 8)
+    val perCell = cells.groupBy("band", "band_hash", "__c")
+      .count().collect().map(_.getLong(3))
+    assert(cells.select("__s").distinct().collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(perCell.max < 40L / 2,
+      s"hot bucket not split: max cell ${perCell.max} of 40")
+    assert(perCell.sum == 40L)
+    graft.ops.DedupOps.unpersistAll()
+  }
+
   test("link prefix-rank == global window rank, no single-partition Exchange") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
