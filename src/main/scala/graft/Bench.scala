@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** CONTENTION.md's protocol, promoted into the harness: a pass that
+    * starts while the host 1-minute loadavg exceeds this JVM's core
+    * count ran on a contended machine — its wall time indicts the
+    * HOST, not the code.  The flag rides on every per-query record so
+    * a future round's regression triage self-diagnoses (the r9 356 s
+    * false alarm took a manual replay to disprove).
+    */
+  private[graft] def contended(loadavgs: Seq[Double], cores: Int): Boolean =
+    loadavgs.exists(_ > cores.toDouble)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,14 +36,12 @@ object Bench {
     // (unset = the full suite; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
-    // correctness-gate-only queries: q_pipeline_e2e re-runs the whole
-    // composed pipeline (≈16 actions + the CC loop — every stage of it
-    // is ALREADY benched individually), so timing the composition
-    // would triple-count the stage costs and drown per-query deltas in
-    // a fixed ~20 s of orchestration overhead at bench SF
-    // q_selection_e2e joined the exclusion in r7 for the same reason:
-    // its 8 stages are each benched as their own query
-    val benchExclude = Set("q_pipeline_e2e", "q_selection_e2e")
+    // The two composed end-to-end chains re-run member stages that are
+    // each benched individually, so their medians overlap stage costs —
+    // but a tracked e2e wall-time is the number a user quotes, so they
+    // are TIMED like everything else since r11 (they were excluded
+    // r7-r10); read their rows as "whole pipeline", not a new stage.
+    val benchExclude = Set.empty[String]
     if (canon(warmDir) != canon(sfDir)) {
       SparkEntry.queries.foreach { case (name, fn) =>
         if (!benchExclude.contains(name) && only.forall(_.contains(name)))
@@ -126,7 +134,7 @@ object Bench {
       // min rides along: under contention the median is still inflated
       // when 2 of 3 passes were hit; the min is the cleanest observed
       // run and the honest lower bound for cross-round comparison
-      s""""$k":{"median":${median(ts.map(_._1))},"min":${ts.map(_._1).min},"runs":${ts.length},"all":$all,"gc_ms":$gc,"loadavg":$la}"""
+      s""""$k":{"median":${median(ts.map(_._1))},"min":${ts.map(_._1).min},"runs":${ts.length},"all":$all,"gc_ms":$gc,"loadavg":$la,"contended":${contended(ts.map(_._3), cpus.toInt)}}"""
     }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts.map(_._1)) }.sum
     val totalMin = results.map { case (_, ts) => ts.map(_._1).min }.sum
