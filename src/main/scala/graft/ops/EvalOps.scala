@@ -58,9 +58,15 @@ object EvalOps {
     * O(distinct score) grouped frame (single-partition by design —
     * bounded, documented, and the same trade `ProfileOps.keySkew`
     * makes after its top-k cut).
+    *
+    * `maxBands > 0` routes a raw continuous score through the
+    * [[banded]] quantile snap first (same valve as [[ksReport]];
+    * banding coarsens tie groups, so the AUC becomes the banded-score
+    * AUC); default off.
     */
-  def aucReport(df: DataFrame, scoreCol: String, targetCol: String): DataFrame =
-    aucCore(df, scoreCol, targetCol, Nil)
+  def aucReport(df: DataFrame, scoreCol: String, targetCol: String,
+      maxBands: Int = 0): DataFrame =
+    aucCore(banded(df, scoreCol, maxBands), scoreCol, targetCol, Nil)
 
   /** [[aucReport]] per segment (e.g. language, source, vintage) in ONE
     * pass: the rank window partitions BY SEGMENT, so unlike the global
@@ -257,12 +263,13 @@ object EvalOps {
     * stack pass over that bounded frame (`maxGroups` fails loudly
     * BEFORE collecting if the score is not banded — pre-band raw
     * continuous scores through QuantileOps, same contract as the
-    * other metrics here).
+    * other metrics here, or pass `maxBands > 0` to run the [[banded]]
+    * quantile snap inline).
     */
   def isotonicCalibrate(
       df: DataFrame, scoreCol: String, targetCol: String,
-      maxGroups: Int = 1 << 20): DataFrame = {
-    val g = grouped(df, scoreCol, targetCol)
+      maxGroups: Int = 1 << 20, maxBands: Int = 0): DataFrame = {
+    val g = grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol)
       .orderBy("score")
       .limit(maxGroups + 1)
       .collect()

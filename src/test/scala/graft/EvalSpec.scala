@@ -107,6 +107,14 @@ class EvalSpec extends AnyFunSuite {
     assert(g.last.getAs[Double]("capture_rate") == 1.0)
     // default (maxBands = 0) is bit-unchanged: one band per distinct score
     assert(EvalOps.gainsTable(df, "score", "target").collect().length == 5000)
+    // the same valve on AUC and isotonic: totals exact, blocks bounded
+    val a = EvalOps.aucReport(df, "score", "target", maxBands = maxBands).collect()(0)
+    assert(a.getAs[Long]("n") == 5000L)
+    assert(a.getAs[Double]("auc") > 0.0 && a.getAs[Double]("auc") < 1.0)
+    val iso = EvalOps.isotonicCalibrate(df, "score", "target",
+      maxGroups = maxBands + 1, maxBands = maxBands).collect()
+    assert(iso.map(_.getAs[Long]("n")).sum == 5000L)
+    assert(iso.length.toLong <= nBands)
   }
 
   // ---------------- gains table ----------------
