@@ -516,8 +516,7 @@ object SimilarityOps {
       while (it < iters) {
         val stats = conform
           .withColumn("cell",
-            array_min(array(cellScoresFor(cents)(col("v")): _*))
-              .getField("cell"))
+            element_at(nearestCellsExpr(col("v"), cents, 1), 1))
           .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy("cell", "dim")
           .agg(sum(round(col("x") * quantScale).cast("long")).as("qsum"),
@@ -556,12 +555,31 @@ object SimilarityOps {
     * projection; the probe join broadcasts the small query side), and
     * `nCells` ~ √n keeps candidate sets per probe bounded.
     */
-  private def cellScoresFor(centroids: Array[Array[Double]])(vec: Column) =
+  // retained as the expression-tree parity REFERENCE for
+  // NearestCellsParity in OpsSpec (the hot paths use nearestCellsExpr)
+  private[graft] def cellScoresFor(centroids: Array[Array[Double]])(vec: Column) =
     centroids.zipWithIndex.map { case (cent, i) =>
       struct(
         (lit(sumSquares(cent)) - lit(2.0) * dot(vec, lit(cent))).as("score"),
         lit(i).as("cell"))
     }
+
+  /** `n` nearest cells as a codegen'd expression over the constant
+    * centroid matrix (`graft.functions.NearestCells`) — replaces the
+    * per-centroid `sort_array(array(struct…))` fan-out of
+    * [[cellScoresFor]] on the assign/probe hot paths: with `autoCells`
+    * geometry (√n centroids) the fan-out's C inlined loops exceeded
+    * Janino's 64 KB method limit and silently degraded the whole ANN
+    * stage to interpreted evaluation.  Bit-identical scores and
+    * (score ASC, cell ASC) ordering; OpsSpec pins parity against the
+    * struct form, and every q_ann_* oracle re-proves it end-to-end.
+    */
+  private[graft] def nearestCellsExpr(
+      vec: Column, centroids: Array[Array[Double]], n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NearestCells(
+      ColumnBridge.expression(vec), centroids, n))
+  }
 
   /** `(corpus_id, cv, cn, cell)` — the nearest-centroid assignment
     * shared by the in-memory and persisted IVF paths (pure projection,
@@ -574,8 +592,7 @@ object SimilarityOps {
         col(corpusVec).as("cv"), norm(col(corpusVec)).as("cn"))
       .filter(col("cn") > 0)
       .withColumn("cell",
-        array_min(array(cellScoresFor(centroids)(col("cv")): _*))
-          .getField("cell"))
+        element_at(nearestCellsExpr(col("cv"), centroids, 1), 1))
 
   /** `(query_id, qv, qn, cell)` with one row per probed cell. */
   private def probeCells(
@@ -585,9 +602,7 @@ object SimilarityOps {
         norm(col(queryVec)).as("qn"))
       .filter(col("qn") > 0)
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(transform(
-          slice(sort_array(array(cellScoresFor(centroids)(col("qv")): _*)), 1, nProbe),
-          s => s.getField("cell"))).as("cell"))
+        explode(nearestCellsExpr(col("qv"), centroids, nProbe)).as("cell"))
 
   private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

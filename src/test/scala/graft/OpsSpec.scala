@@ -2858,6 +2858,46 @@ class OpsSpec extends AnyFunSuite {
       "middle/end edits must survive the forward pass")
   }
 
+  test("NearestCells == struct-form cell scores, bit-for-bit, all tie paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_min, sort_array, slice => fslice, transform => ftransform}
+    // deterministic centroids incl. DUPLICATES (cells 3 and 7 equal) so
+    // the tie-to-lower-cell path is exercised, plus float input vectors
+    val dim = 8
+    def cent(seed: Int): Array[Double] =
+      Array.tabulate(dim)(j => ((seed * 31 + j * 17) % 13 - 6) / 3.0)
+    val cents = Array.tabulate(10)(cent)
+    cents(7) = cent(3) // exact duplicate → every vector ties 3 vs 7
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (((i * 131 + j * 29) % 97) - 48) / 7.0f)))
+      .toDF("id", "v")
+    val refCell = array_min(
+      org.apache.spark.sql.functions.array(
+        graft.ops.SimilarityOps.cellScoresFor(cents)(col("v")): _*))
+      .getField("cell")
+    val refProbe = ftransform(
+      fslice(sort_array(org.apache.spark.sql.functions.array(
+        graft.ops.SimilarityOps.cellScoresFor(cents)(col("v")): _*)), 1, 4),
+      s => s.getField("cell"))
+    val got = vecs.select(col("id"),
+        refCell.as("ref1"),
+        element_at(graft.ops.SimilarityOps.nearestCellsExpr(col("v"), cents, 1), 1).as("new1"),
+        refProbe.as("ref4"),
+        graft.ops.SimilarityOps.nearestCellsExpr(col("v"), cents, 4).as("new4"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)} argmin")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4), s"id ${r.getLong(0)} probe order")
+    }
+    // duplicate centroid: the winner must be the LOWER cell id (3, never 7)
+    assert(got.forall(r => r.getInt(1) != 7))
+    // n past the cell count clamps to all cells, nearest-first
+    val all = vecs.limit(1).select(
+      graft.ops.SimilarityOps.nearestCellsExpr(col("v"), cents, 99)).collect()
+    assert(all(0).getSeq[Int](0).length == 10)
+  }
+
   test("saltHotBands: grid split bounds hot-band cells, pair set identical") {
     import spark.implicits._
     // 40 identical boilerplate docs → every band is a hot bucket of 40;
