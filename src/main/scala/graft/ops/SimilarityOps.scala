@@ -887,6 +887,19 @@ object SimilarityOps {
     */
   private def pqCodesOf(
       vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqCodes(
+      ColumnBridge.expression(vec), codebooks))
+  }
+
+  /** The original per-codeword expression-tree encode, retained as the
+    * parity REFERENCE for PqCodes (OpsSpec): m × ksub struct+dot terms
+    * grow generated code linearly in the codebook and cross Janino's
+    * 64 KB method limit at production ksub — the hot path uses the
+    * constant-codebook expression above.
+    */
+  private[graft] def pqCodesExprTree(
+      vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     val sub = codebooks.head.head.length
     def codeFor(s: Int): Column = {
       val vs = slice(vec, s * sub + 1, sub)
@@ -905,6 +918,17 @@ object SimilarityOps {
     * or a sequential dot fold, so external engines replay the bits).
     */
   private def adcExpr(
+      qVec: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqAdc(
+      ColumnBridge.expression(qVec), ColumnBridge.expression(codes), codebooks))
+  }
+
+  /** The original ADC expression tree, retained as the parity
+    * REFERENCE for PqAdc (OpsSpec); see [[pqCodesExprTree]].
+    */
+  private[graft] def adcExprTree(
       qVec: Column, codes: Column,
       codebooks: Array[Array[Array[Double]]]): Column = {
     val sub = codebooks.head.head.length
@@ -947,8 +971,6 @@ object SimilarityOps {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       codebooks: Array[Array[Array[Double]]], k: Int = 10): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
     val encoded = pqEncode(corpus, corpusId, corpusVec, codebooks)
     val qData = queries
       .select(col(queryId).as("qid"), col(queryVec).as("qv"),
@@ -958,18 +980,12 @@ object SimilarityOps {
       .collect()
       .map(r => (r.get(0), r.getSeq[Any](1).iterator
         .map(_.asInstanceOf[Number].doubleValue).toArray))
-    // ||cw||² per (subspace, code) as literal lookup arrays — constant
-    // per code, no reason to re-dot it per row
-    val cw2 = codebooks.map(_.map(sumSquares))
+    // the query vector is a LITERAL here (driver-collected), so the
+    // whole per-query ADC is one PqAdc call — bit-equal to the old
+    // inline form (its lit(sumSquares(qs)) pre-accumulation is the
+    // same left-to-right fold PqAdc's dotQQ performs)
     def adcFor(qv: Array[Double]): Column =
-      (0 until m).map { s =>
-        val qs = qv.slice(s * sub, (s + 1) * sub)
-        val codeIdx = element_at(col("codes"), s + 1) + 1
-        val recon = element_at(
-          array(codebooks(s).map(cw => lit(cw)): _*), codeIdx)
-        lit(sumSquares(qs)) - lit(2.0) * dot(lit(qs), recon) +
-          element_at(lit(cw2(s)), codeIdx)
-      }.reduceLeft(_ + _)
+      adcExpr(lit(qv), col("codes"), codebooks)
     val perQuery = qData.map { case (qid, qv) =>
       struct(lit(qid).as("query_id"), adcFor(qv).as("adc"))
     }

@@ -2898,6 +2898,47 @@ class OpsSpec extends AnyFunSuite {
     assert(all(0).getSeq[Int](0).length == 10)
   }
 
+  test("PqCodes/PqAdc == expression-tree forms, bit-for-bit") {
+    import spark.implicits._
+    // m=4 subspaces of dim 4; 12 codewords incl. a duplicate pair so
+    // the tie-to-lower-code path is exercised; float vectors
+    val sub = 4
+    def cw(s: Int, j: Int): Array[Double] =
+      Array.tabulate(sub)(i => ((s * 37 + j * 13 + i * 7) % 11 - 5) / 2.0)
+    val cbs = Array.tabulate(4)(s => Array.tabulate(12)(j => cw(s, j)))
+    cbs(2)(9) = cw(2, 4) // duplicate codeword → tie in subspace 2
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(4 * sub)(j =>
+        (((i * 113 + j * 41) % 89) - 44) / 9.0f)))
+      .toDF("id", "v")
+    val both = vecs.select(col("id"),
+        graft.ops.SimilarityOps.pqCodesExprTree(col("v"), cbs).as("ref_codes"),
+        col("v"))
+      .withColumn("new_codes", {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.functions.PqCodes(
+          ColumnBridge.expression(col("v")), cbs))
+      })
+      .withColumn("ref_adc",
+        graft.ops.SimilarityOps.adcExprTree(col("v"), col("ref_codes"), cbs))
+      .withColumn("new_adc", {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.functions.PqAdc(
+          ColumnBridge.expression(col("v")),
+          ColumnBridge.expression(col("new_codes")), cbs))
+      })
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](3), s"id ${r.getLong(0)} codes")
+      // ADC doubles must be IDENTICAL BITS, not just close
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(5)),
+        s"id ${r.getLong(0)} adc ${r.getDouble(4)} vs ${r.getDouble(5)}")
+    }
+    // duplicate codeword: subspace 2 never emits the higher code 9
+    assert(both.forall(_.getSeq[Int](3)(2) != 9))
+  }
+
   test("saltHotBands: grid split bounds hot-band cells, pair set identical") {
     import spark.implicits._
     // 40 identical boilerplate docs → every band is a hot bucket of 40;
