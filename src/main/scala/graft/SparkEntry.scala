@@ -1595,31 +1595,11 @@ object SparkEntry {
     // token co-occurrence graph (fixpoint measured at 4 rounds, so
     // rounds 5-8 are stable and the unroll equals the engine's
     // iterate-to-fixpoint loop); final degrees inside the core
-    "q_kcore" -> {
-      val base =
-        """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'),
-          |             x -> x <> '') AS toks FROM documents),
-          |g AS (SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
-          |        i -> {'x': toks[i], 'y': toks[i + 1]})) AS p FROM t),
-          |c AS (SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b,
-          |        count(*) AS n
-          |      FROM g WHERE p.x IS NOT NULL AND p.y IS NOT NULL AND p.x <> p.y
-          |      GROUP BY 1, 2),
-          |ue AS (SELECT a, b FROM c WHERE n >= 66),
-          |de AS (SELECT a AS u, b AS v FROM ue
-          |       UNION ALL SELECT b, a FROM ue),
-          |n0 AS (SELECT DISTINCT u AS n FROM de)""".stripMargin
-      val rounds = (1 to 8).map { i =>
-        s"""n$i AS (SELECT de.u AS n FROM de
-           |  JOIN n${i - 1} x ON de.u = x.n JOIN n${i - 1} y ON de.v = y.n
-           |  GROUP BY 1 HAVING count(*) >= 6)""".stripMargin
-      }.mkString(",\n")
-      s"""$base,
-         |$rounds
-         |SELECT z.n AS node, CAST(count(*) AS BIGINT) AS deg
-         |FROM de JOIN n8 z ON de.u = z.n JOIN n8 w ON de.v = w.n
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "q_kcore" -> kcoreOracleSql,
+    // the SAME fixpoint through the above-the-gate SHUFFLE path
+    // (broadcastThreshold = 0): results must be identical — the oracle
+    // checks the fixed scale path end-to-end, not just the spec pin
+    "q_kcore_shuffle" -> kcoreOracleSql,
     // histogram replay: the same clamped equi-width bucket arithmetic
     "q_histogram" ->
       """WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
@@ -3289,6 +3269,10 @@ object SparkEntry {
     // the xxhash64 scale flavors, closed by the XXH64-in-SQL replay
     "q_dedup_minhash" ->
       OracleXxh64.minhashOracleSql(numHashes = 32, bands = 8, threshold = 0.5),
+    // identical pipeline + identical pair set through the hot-band
+    // grid salt — same replay
+    "q_dedup_minhash_salted" ->
+      OracleXxh64.minhashOracleSql(numHashes = 32, bands = 8, threshold = 0.5),
     "q_dedup_simhash" ->
       OracleXxh64.simhashOracleSql(maxHamming = 3, maxBucket = 10000),
     // incremental-dedup store probes: the exact store keyed on md5
@@ -4541,6 +4525,16 @@ object SparkEntry {
             "text", "doc_id", jaccardThreshold = 0.5)
           .orderBy("id_a", "id_b")
       },
+      "q_dedup_minhash_salted" -> { (s, dir) =>
+        // the SAME pipeline through the triangular-grid hot-band salt
+        // (saltHotBands = 4): the pair set is bit-identical by
+        // construction — this row proves the skew-bounded scale path
+        // against the full XXH64 oracle, not just the OpsSpec pin
+        DedupOps.minhashPairs(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "text", "doc_id", jaccardThreshold = 0.5, saltHotBands = 4)
+          .orderBy("id_a", "id_b")
+      },
       "q_dedup_simhash" -> { (s, dir) =>
         DedupOps.simhashPairs(
             s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
@@ -5614,6 +5608,30 @@ object SparkEntry {
         graft.ops.GraphOps.kCore(edges, "a", "b", k = 6)
           .orderBy("node")
       },
+      "q_kcore_shuffle" -> { (s, dir) =>
+        // the SAME 6-core through the above-the-gate SHUFFLE path:
+        // broadcastThreshold = 0 disables every node-set broadcast
+        // hint, so all peel rounds run the 100×-safe shuffle joins —
+        // results must equal q_kcore's (GraphSpec pins bit-parity;
+        // this row proves the scale path against the oracle too)
+        val t = s.read.parquet(s"$dir/documents.parquet")
+          .select(TextOps.tokens(col("text")).as("__t"))
+        val edges = t
+          .select(col("__t"), explode(
+            when(size(col("__t")) >= 2,
+              sequence(lit(1), size(col("__t")) - 1))
+              .otherwise(array().cast("array<int>"))).as("i"))
+          .select(element_at(col("__t"), col("i")).as("x"),
+            element_at(col("__t"), col("i") + 1).as("y"))
+          .where(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 66)
+        graft.ops.GraphOps.kCore(edges, "a", "b", k = 6,
+            broadcastThreshold = 0L)
+          .orderBy("node")
+      },
       "q_histogram" -> { (s, dir) =>
         // equi-width histogram: one clamped integer projection + one
         // hash agg — the profiling primitive at any scale
@@ -5948,6 +5966,38 @@ object SparkEntry {
         link, java.nio.file.Paths.get(dir, s"$table.parquet"))
       staged.toString
     }
+
+  /** k-core oracle: the peel fixpoint unrolled as 8 materialized
+    * rounds (measured fixpoint is 4, so rounds 5-8 are stable).
+    * Shared by q_kcore (adaptive broadcast path) and q_kcore_shuffle
+    * (forced above-the-gate shuffle path) — identical results by the
+    * GraphSpec bit-parity pin.
+    */
+  private lazy val kcoreOracleSql: String = {
+    val base =
+      """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'),
+        |             x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |        i -> {'x': toks[i], 'y': toks[i + 1]})) AS p FROM t),
+        |c AS (SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b,
+        |        count(*) AS n
+        |      FROM g WHERE p.x IS NOT NULL AND p.y IS NOT NULL AND p.x <> p.y
+        |      GROUP BY 1, 2),
+        |ue AS (SELECT a, b FROM c WHERE n >= 66),
+        |de AS (SELECT a AS u, b AS v FROM ue
+        |       UNION ALL SELECT b, a FROM ue),
+        |n0 AS (SELECT DISTINCT u AS n FROM de)""".stripMargin
+    val rounds = (1 to 8).map { i =>
+      s"""n$i AS (SELECT de.u AS n FROM de
+         |  JOIN n${i - 1} x ON de.u = x.n JOIN n${i - 1} y ON de.v = y.n
+         |  GROUP BY 1 HAVING count(*) >= 6)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT z.n AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM de JOIN n8 z ON de.u = z.n JOIN n8 w ON de.v = w.n
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (fit queries: reference-captured literal

@@ -2898,6 +2898,53 @@ class OpsSpec extends AnyFunSuite {
     assert(all(0).getSeq[Int](0).length == 10)
   }
 
+  test("large-geometry ANN paths compile under codegen.fallback=false") {
+    import spark.implicits._
+    // pre-r11, 512 centroids / 256 codewords blew Janino's 64 KB
+    // method limit and the stage silently ran interpreted; with
+    // fallback DISABLED that failure mode becomes a hard error, so
+    // this passing IS the proof the constant-matrix expressions keep
+    // codegen alive at production geometry
+    val dim = 16
+    val cents = Array.tabulate(512)(c =>
+      Array.tabulate(dim)(j => ((c * 31 + j * 17) % 101 - 50) / 25.0))
+    val cbs = Array.tabulate(2)(s =>
+      Array.tabulate(256)(j => Array.tabulate(8)(i =>
+        ((s * 41 + j * 13 + i * 7) % 51 - 25) / 12.0)))
+    val vecs = (0 until 500).map(i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (((i * 131 + j * 29) % 97) - 48) / 7.0f))).toDF("id", "v")
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val assigned = vecs.select(col("id"), col("v"),
+          element_at(graft.ops.SimilarityOps.nearestCellsExpr(col("v"), cents, 1), 1).as("cell"),
+          {
+            import org.apache.spark.sql.graft.ColumnBridge
+            ColumnBridge.column(graft.functions.PqCodes(
+              ColumnBridge.expression(col("v")), cbs)).as("codes")
+          })
+        .withColumn("adc", {
+          import org.apache.spark.sql.graft.ColumnBridge
+          ColumnBridge.column(graft.functions.PqAdc(
+            ColumnBridge.expression(col("v")),
+            ColumnBridge.expression(col("codes")), cbs))
+        })
+        // the SORT stage is where the 64 KB overflow actually fired
+        // (sort_addToSorter inlines the upstream projection)
+        .orderBy(col("adc").asc, col("id").asc)
+        .collect()
+      assert(assigned.length == 500)
+      assert(assigned.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 512))
+      assert(assigned.forall(!_.isNullAt(4)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("PqCodes/PqAdc == expression-tree forms, bit-for-bit") {
     import spark.implicits._
     // m=4 subspaces of dim 4; 12 codewords incl. a duplicate pair so
