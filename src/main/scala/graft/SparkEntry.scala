@@ -3794,6 +3794,21 @@ object SparkEntry {
         |      FROM customer c JOIN g USING (c_mktsegment, c_nationkey))
         |SELECT seg, nat, CAST(count(*) AS BIGINT) AS n
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // pseudonymization replay: every surrogate token recomputed —
+    // md5('salt:' || value) — and the tokenized-key join reproduced
+    "q_pseudonymize" ->
+      """WITH p AS (
+        |  SELECT c.c_custkey,
+        |         md5('graft-r11:' || CAST(c.c_name AS VARCHAR)) AS tok_name,
+        |         md5('graft-r11:' || CAST(c.c_mktsegment AS VARCHAR)) AS tok_seg,
+        |         md5('graft-r11:' || CAST(c.c_nationkey AS VARCHAR)) AS ck
+        |  FROM customer c),
+        |nn AS (SELECT md5('graft-r11:' || CAST(n_nationkey AS VARCHAR)) AS nk,
+        |              n_name
+        |       FROM nation)
+        |SELECT c_custkey, p.tok_name AS c_name, p.tok_seg AS c_mktsegment,
+        |       nn.n_name
+        |FROM p JOIN nn ON p.ck = nn.nk ORDER BY c_custkey""".stripMargin,
     // DSIR replay: same md5-60bit bigram buckets, same integer mass
     // sums, the one float (the final ratio of exact integers) formed
     // identically — see SelectionOps.dsirWeights for why the paper's
@@ -4052,6 +4067,24 @@ object SparkEntry {
           .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
           .agg(count("*").cast("long").as("n"))
           .orderBy("seg", "nat")
+      },
+      "q_pseudonymize" -> { (s, dir) =>
+        // keyed pseudonymization: deterministic salted surrogates keep
+        // joins working across tables while severing identity; the
+        // self-join on the tokenized nationkey proves referential
+        // integrity survives tokenization (row count = exact join)
+        val p = graft.ops.ProfileOps.pseudonymize(
+          s.read.parquet(s"$dir/customer.parquet")
+            .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey"),
+          Seq("c_name", "c_mktsegment", "c_nationkey"), salt = "graft-r11")
+        val n = graft.ops.ProfileOps.pseudonymize(
+          s.read.parquet(s"$dir/nation.parquet")
+            .select(col("n_nationkey"), col("n_name")),
+          Seq("n_nationkey"), salt = "graft-r11")
+        p.join(n, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("n_name"))
+          .orderBy("c_custkey")
       },
       "q_dsir_weights" -> { (s, dir) =>
         SelectionOps.dsirWeights(

@@ -301,4 +301,30 @@ object ProfileOps {
     }
     masked.drop("__qn")
   }
+
+  /** Keyed PSEUDONYMIZATION (GDPR Art. 4(5)): replace each named
+    * column's value with a deterministic salted surrogate
+    * `md5(salt ':' value)` — identity is severed from the data while
+    * JOINS STILL WORK, because the same (salt, value) maps to the same
+    * token in every table of the corpus (the property kAnonymize's
+    * suppression destroys).  Re-identification requires the salt,
+    * which lives outside the data.  NULL stays NULL: an absent
+    * attribute carries no identity, and a salt-only token would
+    * otherwise make every null row linkable to every other.
+    *
+    * One codegen'd projection per row — no shuffle, no join, composes
+    * with pushdown; values cast to string first so numeric and string
+    * keys tokenize identically across tables of different schemas.
+    * Replayable by any engine with md5 (the oracle recomputes every
+    * token).
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: need at least one column")
+    require(salt.nonEmpty, "pseudonymize: empty salt defeats the purpose")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNull, lit(null).cast("string"))
+          .otherwise(md5(concat_ws(":", lit(salt), col(c).cast("string")))))
+    }
+  }
 }

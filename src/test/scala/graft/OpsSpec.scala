@@ -1805,6 +1805,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pseudonymize: deterministic tokens, joins survive, null stays null") {
+    import spark.implicits._
+    val a = Seq((1L, Some("alice"), 7L), (2L, Some("bob"), 8L),
+      (3L, Option.empty[String], 7L)).toDF("id", "name", "key")
+    val b = Seq((7L, "x"), (8L, "y")).toDF("key", "v")
+    val pa = graft.ops.ProfileOps.pseudonymize(a, Seq("name", "key"), "s1")
+    val pb = graft.ops.ProfileOps.pseudonymize(b, Seq("key"), "s1")
+    // identity severed: no raw value survives
+    val rows = pa.collect()
+    assert(rows.forall(r => r.isNullAt(1) ||
+      (r.getString(1).length == 32 && r.getString(1) != "alice")))
+    // null carries no identity → stays null (not a salt-only token)
+    assert(rows.find(_.getLong(0) == 3L).get.isNullAt(1))
+    // referential integrity: tokenized keys still join 1:1
+    val joined = pa.join(pb, "key").select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(joined == Map(1L -> "x", 3L -> "x", 2L -> "y"))
+    // different salt → unlinkable tokens
+    val pa2 = graft.ops.ProfileOps.pseudonymize(a, Seq("key"), "s2")
+    assert(pa2.join(pb, "key").count() == 0)
+    // deterministic across invocations
+    assert(graft.ops.ProfileOps.pseudonymize(a, Seq("name"), "s1")
+      .collect().toSeq == graft.ops.ProfileOps.pseudonymize(a, Seq("name"), "s1")
+      .collect().toSeq)
+  }
+
   test("kAnonymize: small QI groups suppressed into the residual, totals reconcile") {
     import spark.implicits._
     val rows = Seq(

@@ -104,4 +104,57 @@ class PropertySpec extends AnyFunSuite {
       assert(got(g) == ((disc, cont)), s"group $g")
     }
   }
+
+  test("saltedBandPairs == plain bucket self-join on random buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (round <- 1 to 8) {
+      // random bucket layout: a few buckets of wildly different sizes,
+      // random non-contiguous ids (the cell hash must not depend on
+      // density), random salt threshold
+      val rows = (0 until (2 + rnd.nextInt(5))).flatMap { b =>
+        val n = 1 + rnd.nextInt(40)
+        val hash = rnd.nextLong()
+        (0 until n).map(_ => (b % 3, hash, rnd.nextLong() & 0xffffffL))
+      }.distinct
+      val banded = rows.toDF("band", "band_hash", "id")
+      val threshold = 1 + rnd.nextInt(10)
+      val got = graft.ops.DedupOps.saltedBandPairs(banded, threshold)
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = rows.groupBy(r => (r._1, r._2)).values.flatMap { bucket =>
+        val ids = bucket.map(_._3).distinct
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      assert(got == expect,
+        s"round $round threshold $threshold: ${got.size} vs ${expect.size}")
+      graft.ops.DedupOps.unpersistAll()
+    }
+  }
+
+  test("NearestCells == serial argmin scan on random geometry") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 5) {
+      val dim = 2 + rnd.nextInt(10)
+      val nCells = 2 + rnd.nextInt(30)
+      val cents = Array.fill(nCells)(Array.fill(dim)(rnd.nextInt(21) - 10.0))
+      val n = 1 + rnd.nextInt(4).min(nCells)
+      val vecs = (0 until 100).map(i =>
+        (i.toLong, Array.fill(dim)((rnd.nextInt(41) - 20).toFloat)))
+      val got = vecs.toDF("id", "v")
+        .select(col("id"),
+          graft.ops.SimilarityOps.nearestCellsExpr(col("v"), cents, n))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      vecs.foreach { case (id, v) =>
+        val scored = cents.zipWithIndex.map { case (c, i) =>
+          val ss = c.foldLeft(0.0)((a, x) => a + x * x)
+          val dot = v.zip(c).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2)
+          (ss - 2.0 * dot, i)
+        }
+        val expect = scored.sortBy(identity).take(n).map(_._2).toSeq
+        assert(got(id) == expect, s"id $id dim=$dim cells=$nCells n=$n")
+      }
+    }
+  }
 }
