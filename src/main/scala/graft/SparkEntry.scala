@@ -603,6 +603,35 @@ object SparkEntry {
          |              ELSE CAST(ranksum2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE)
          |                   / CAST(2 * CAST(n_neg AS DECIMAL(38,0)) * n_pos AS DOUBLE) END AS auc
          |  FROM t)""".stripMargin,
+    // per-score isotonic replay: the MINIMAX characterization of the
+    // (unique) L2 isotonic regression — p_cal(i) = max_{j<=i} min_{k>=i}
+    // mean(j..k) — computed from the same exact integer prefix sums the
+    // engine's PAV pools, so every candidate mean is the same IEEE
+    // double in both engines and the max/min selections agree bit-wise
+    "q_isotonic_per_score" ->
+      s"""$baseCte, s AS (
+         |  SELECT quantity AS score, target FROM base
+         |), g AS (
+         |  SELECT score, count(*) AS n, sum(target) AS bads FROM s GROUP BY score
+         |),
+         |idx AS (SELECT score, CAST(n AS BIGINT) AS n,
+         |               CAST(bads AS BIGINT) AS bads,
+         |               row_number() OVER (ORDER BY score) AS i FROM g),
+         |cum AS (SELECT i, score, n, bads,
+         |               sum(n) OVER (ORDER BY i) AS cn,
+         |               sum(bads) OVER (ORDER BY i) AS cb FROM idx),
+         |spans AS (
+         |  SELECT j.i AS j, k.i AS k,
+         |         CAST(k.cb - j.cb + j.bads AS DOUBLE)
+         |           / CAST(k.cn - j.cn + j.n AS DOUBLE) AS m
+         |  FROM cum j JOIN cum k ON k.i >= j.i),
+         |inner_min AS (
+         |  SELECT s.j, x.i, min(s.m) AS v
+         |  FROM spans s JOIN idx x ON s.k >= x.i AND s.j <= x.i
+         |  GROUP BY s.j, x.i),
+         |fitted AS (SELECT i, max(v) AS p_cal FROM inner_min GROUP BY i)
+         |SELECT x.score, x.n, x.bads, f.p_cal
+         |FROM idx x JOIN fitted f ON f.i = x.i ORDER BY x.score""".stripMargin,
     // per-segment AUC replay: same grouped rank sum with the rank
     // window partitioned by the segment key
     "q_eval_auc_by_flag" ->
@@ -4008,6 +4037,15 @@ object SparkEntry {
       "q_isotonic_calibrate" -> { (s, dir) =>
         // oracle is the sf0.01 golden-literal pin (integer-exact PAV)
         EvalOps.isotonicCalibrate(lcgFrame(s, dir), "quantity", "target")
+      },
+      "q_isotonic_per_score" -> { (s, dir) =>
+        // per-score PAV fit over RAW quantity (whose bad rate is NOT
+        // monotone, so pooling genuinely happens — same input as the
+        // calibrate fixture): the oracle is a TRUE independent replay,
+        // the minimax characterization max_{j<=i} min_{k>=i} mean(j..k)
+        // over the same integer sums
+        EvalOps.isotonicFitPerScore(lcgFrame(s, dir), "quantity", "target")
+          .orderBy("score")
       },
 
       // ---- training-data pipeline ops (documents / embeddings / events)

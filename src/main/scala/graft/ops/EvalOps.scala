@@ -266,32 +266,73 @@ object EvalOps {
     * other metrics here, or pass `maxBands > 0` to run the [[banded]]
     * quantile snap inline).
     */
-  def isotonicCalibrate(
+  /** (loIdx, hiIdx, n, bads) PAV blocks over ascending grouped rows
+    * `(score, n, bads)` — the stack pass shared by
+    * [[isotonicCalibrate]] and [[isotonicFitPerScore]].
+    */
+  private final case class PavBlock(lo: Int, hi: Int, n: Long, bads: Long)
+
+  private def pavStack(g: Array[org.apache.spark.sql.Row]): Seq[PavBlock] = {
+    val stack = scala.collection.mutable.ArrayBuffer.empty[PavBlock]
+    g.zipWithIndex.foreach { case (r, i) =>
+      var cur = PavBlock(i, i, r.getLong(1), r.getLong(2))
+      // pool while the previous block's rate STRICTLY exceeds ours
+      while (stack.nonEmpty &&
+        BigInt(stack.last.bads) * cur.n > BigInt(cur.bads) * stack.last.n) {
+        val p = stack.remove(stack.length - 1)
+        cur = PavBlock(p.lo, cur.hi, p.n + cur.n, p.bads + cur.bads)
+      }
+      stack += cur
+    }
+    stack.toSeq
+  }
+
+  private def collectGrouped(
       df: DataFrame, scoreCol: String, targetCol: String,
-      maxGroups: Int = 1 << 20, maxBands: Int = 0): DataFrame = {
+      maxGroups: Int, maxBands: Int, caller: String): Array[org.apache.spark.sql.Row] = {
     val g = grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol)
       .orderBy("score")
       .limit(maxGroups + 1)
       .collect()
     require(g.length <= maxGroups,
-      s"isotonicCalibrate: more than $maxGroups distinct scores — " +
+      s"$caller: more than $maxGroups distinct scores — " +
         "band the score first (QuantileOps) or raise maxGroups")
-    final case class Block(lo: Double, hi: Double, n: Long, bads: Long)
-    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
-    g.foreach { r =>
-      var cur = Block(r.getDouble(0), r.getDouble(0), r.getLong(1), r.getLong(2))
-      // pool while the previous block's rate STRICTLY exceeds ours
-      while (stack.nonEmpty &&
-        BigInt(stack.last.bads) * cur.n > BigInt(cur.bads) * stack.last.n) {
-        val p = stack.remove(stack.length - 1)
-        cur = Block(p.lo, cur.hi, p.n + cur.n, p.bads + cur.bads)
-      }
-      stack += cur
-    }
+    g
+  }
+
+  def isotonicCalibrate(
+      df: DataFrame, scoreCol: String, targetCol: String,
+      maxGroups: Int = 1 << 20, maxBands: Int = 0): DataFrame = {
+    val g = collectGrouped(df, scoreCol, targetCol, maxGroups, maxBands,
+      "isotonicCalibrate")
     val spark = df.sparkSession
     import spark.implicits._
-    stack.toSeq.zipWithIndex.map { case (b, i) =>
-      (i + 1L, b.lo, b.hi, b.n, b.bads, b.bads.toDouble / b.n.toDouble)
+    pavStack(g).zipWithIndex.map { case (b, i) =>
+      (i + 1L, g(b.lo).getDouble(0), g(b.hi).getDouble(0), b.n, b.bads,
+        b.bads.toDouble / b.n.toDouble)
     }.toDF("block", "score_lo", "score_hi", "n", "bads", "p_cal")
+  }
+
+  /** Per-DISTINCT-SCORE isotonic fit: `(score, n, bads, p_cal)` with
+    * every score carrying its PAV block's pooled rate — the applyable
+    * score → probability map (vs [[isotonicCalibrate]]'s block view).
+    * The fitted VALUES are the unique L2 isotonic regression, which
+    * the minimax characterization `p_cal(i) = max_{j≤i} min_{k≥i}
+    * mean(j..k)` replays in plain SQL from the same exact integer
+    * sums — so unlike the block table (whose equal-rate split is an
+    * algorithmic choice), this surface has a TRUE independent oracle.
+    */
+  def isotonicFitPerScore(
+      df: DataFrame, scoreCol: String, targetCol: String,
+      maxGroups: Int = 1 << 20, maxBands: Int = 0): DataFrame = {
+    val g = collectGrouped(df, scoreCol, targetCol, maxGroups, maxBands,
+      "isotonicFitPerScore")
+    val spark = df.sparkSession
+    import spark.implicits._
+    pavStack(g).flatMap { b =>
+      val p = b.bads.toDouble / b.n.toDouble
+      (b.lo to b.hi).map(i =>
+        (g(i).getDouble(0), g(i).getLong(1), g(i).getLong(2), p))
+    }.toDF("score", "n", "bads", "p_cal")
   }
 }

@@ -117,6 +117,38 @@ class EvalSpec extends AnyFunSuite {
     assert(iso.length.toLong <= nBands)
   }
 
+  test("isotonicFitPerScore: expansion of the block table, minimax values") {
+    // crafted violations: rates 0.5, 0.2, 0.8 → first two pool to 0.35
+    val df = scored(Seq(
+      (1.0, 1), (1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1), (1.0, 0),
+      (1.0, 1), (1.0, 0), (1.0, 1), (1.0, 0), // score 1: 5/10
+      (2.0, 1), (2.0, 1), (2.0, 0), (2.0, 0), (2.0, 0),
+      (2.0, 0), (2.0, 0), (2.0, 0), (2.0, 0), (2.0, 0), // score 2: 2/10
+      (3.0, 1), (3.0, 1), (3.0, 1), (3.0, 1), (3.0, 0))) // score 3: 4/5
+    val per = EvalOps.isotonicFitPerScore(df, "score", "target")
+      .collect().map(r =>
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(per.toSeq == Seq(
+      (1.0, 10L, 5L, 7.0 / 20.0), (2.0, 10L, 2L, 7.0 / 20.0),
+      (3.0, 5L, 4L, 4.0 / 5.0)))
+    // coherent with the block view: same fitted value per member score
+    val blocks = EvalOps.isotonicCalibrate(df, "score", "target")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(5)))
+    assert(blocks.toSeq == Seq((1.0, 2.0, 0.35), (3.0, 3.0, 0.8)))
+    // minimax brute force agrees on every score
+    val g = Seq((1.0, 10L, 5L), (2.0, 10L, 2L), (3.0, 5L, 4L))
+    g.indices.foreach { i =>
+      val mm = (0 to i).map { j =>
+        (i until g.length).map { k =>
+          val slice = g.slice(j, k + 1)
+          slice.map(_._3).sum.toDouble / slice.map(_._2).sum.toDouble
+        }.min
+      }.max
+      assert(per(i)._4 == mm, s"score ${g(i)._1}")
+    }
+  }
+
   // ---------------- gains table ----------------
 
   test("gains table: hand-computed bands, captures, and lift") {
