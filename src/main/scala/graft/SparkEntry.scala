@@ -632,6 +632,38 @@ object SparkEntry {
          |fitted AS (SELECT i, max(v) AS p_cal FROM inner_min GROUP BY i)
          |SELECT x.score, x.n, x.bads, f.p_cal
          |FROM idx x JOIN fitted f ON f.i = x.i ORDER BY x.score""".stripMargin,
+    // per-segment isotonic replay: the q_isotonic_per_score minimax,
+    // every window/join additionally keyed by the segment
+    "q_isotonic_by_flag" ->
+      s"""${baseCteWith(" l_returnflag AS flag,")}, s AS (
+         |  SELECT flag, quantity AS score, target FROM base
+         |), g AS (
+         |  SELECT flag, score, count(*) AS n, sum(target) AS bads
+         |  FROM s GROUP BY 1, 2
+         |),
+         |idx AS (SELECT flag, score, CAST(n AS BIGINT) AS n,
+         |               CAST(bads AS BIGINT) AS bads,
+         |               row_number() OVER (PARTITION BY flag ORDER BY score) AS i
+         |        FROM g),
+         |cum AS (SELECT flag, i, score, n, bads,
+         |               sum(n) OVER (PARTITION BY flag ORDER BY i) AS cn,
+         |               sum(bads) OVER (PARTITION BY flag ORDER BY i) AS cb
+         |        FROM idx),
+         |spans AS (
+         |  SELECT j.flag, j.i AS j, k.i AS k,
+         |         CAST(k.cb - j.cb + j.bads AS DOUBLE)
+         |           / CAST(k.cn - j.cn + j.n AS DOUBLE) AS m
+         |  FROM cum j JOIN cum k ON k.flag = j.flag AND k.i >= j.i),
+         |inner_min AS (
+         |  SELECT s.flag, s.j, x.i, min(s.m) AS v
+         |  FROM spans s JOIN idx x
+         |    ON x.flag = s.flag AND s.k >= x.i AND s.j <= x.i
+         |  GROUP BY s.flag, s.j, x.i),
+         |fitted AS (SELECT flag, i, max(v) AS p_cal
+         |           FROM inner_min GROUP BY flag, i)
+         |SELECT x.flag, x.score, x.n, x.bads, f.p_cal
+         |FROM idx x JOIN fitted f ON f.flag = x.flag AND f.i = x.i
+         |ORDER BY x.flag, x.score""".stripMargin,
     // per-segment AUC replay: same grouped rank sum with the rank
     // window partitioned by the segment key
     "q_eval_auc_by_flag" ->
@@ -4046,6 +4078,16 @@ object SparkEntry {
         // over the same integer sums
         EvalOps.isotonicFitPerScore(lcgFrame(s, dir), "quantity", "target")
           .orderBy("score")
+      },
+      "q_isotonic_by_flag" -> { (s, dir) =>
+        // calibration-within-segment (the aucBySegment companion):
+        // each l_returnflag gets its own monotone quantity → rate map;
+        // oracle = the same minimax replay PARTITIONED by the segment
+        val df = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(lcgColumns :+ col("l_returnflag").as("flag"): _*)
+        EvalOps.isotonicFitPerScoreBySegment(
+            df, Seq("flag"), "quantity", "target")
+          .orderBy("flag", "score")
       },
 
       // ---- training-data pipeline ops (documents / embeddings / events)

@@ -268,14 +268,15 @@ object EvalOps {
     */
   /** (loIdx, hiIdx, n, bads) PAV blocks over ascending grouped rows
     * `(score, n, bads)` — the stack pass shared by
-    * [[isotonicCalibrate]] and [[isotonicFitPerScore]].
+    * [[isotonicCalibrate]], [[isotonicFitPerScore]], and the
+    * per-segment flavor.
     */
   private final case class PavBlock(lo: Int, hi: Int, n: Long, bads: Long)
 
-  private def pavStack(g: Array[org.apache.spark.sql.Row]): Seq[PavBlock] = {
+  private def pavStack(g: IndexedSeq[(Double, Long, Long)]): Seq[PavBlock] = {
     val stack = scala.collection.mutable.ArrayBuffer.empty[PavBlock]
     g.zipWithIndex.foreach { case (r, i) =>
-      var cur = PavBlock(i, i, r.getLong(1), r.getLong(2))
+      var cur = PavBlock(i, i, r._2, r._3)
       // pool while the previous block's rate STRICTLY exceeds ours
       while (stack.nonEmpty &&
         BigInt(stack.last.bads) * cur.n > BigInt(cur.bads) * stack.last.n) {
@@ -305,10 +306,11 @@ object EvalOps {
       maxGroups: Int = 1 << 20, maxBands: Int = 0): DataFrame = {
     val g = collectGrouped(df, scoreCol, targetCol, maxGroups, maxBands,
       "isotonicCalibrate")
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toIndexedSeq
     val spark = df.sparkSession
     import spark.implicits._
     pavStack(g).zipWithIndex.map { case (b, i) =>
-      (i + 1L, g(b.lo).getDouble(0), g(b.hi).getDouble(0), b.n, b.bads,
+      (i + 1L, g(b.lo)._1, g(b.hi)._1, b.n, b.bads,
         b.bads.toDouble / b.n.toDouble)
     }.toDF("block", "score_lo", "score_hi", "n", "bads", "p_cal")
   }
@@ -327,12 +329,69 @@ object EvalOps {
       maxGroups: Int = 1 << 20, maxBands: Int = 0): DataFrame = {
     val g = collectGrouped(df, scoreCol, targetCol, maxGroups, maxBands,
       "isotonicFitPerScore")
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toIndexedSeq
     val spark = df.sparkSession
     import spark.implicits._
     pavStack(g).flatMap { b =>
       val p = b.bads.toDouble / b.n.toDouble
-      (b.lo to b.hi).map(i =>
-        (g(i).getDouble(0), g(i).getLong(1), g(i).getLong(2), p))
+      (b.lo to b.hi).map(i => (g(i)._1, g(i)._2, g(i)._3, p))
     }.toDF("score", "n", "bads", "p_cal")
+  }
+
+  /** [[isotonicFitPerScore]] PER SEGMENT — calibration-within-group,
+    * the fairness companion of [[aucBySegment]] (a score calibrated
+    * globally is routinely MIS-calibrated inside each segment; this
+    * returns each segment's own monotone score → probability map).
+    * One hash aggregation reduces the corpus to per-(segment, score)
+    * exact counts; the PAV stack runs per segment on the driver over
+    * that bounded frame (`maxGroups` caps the TOTAL collected rows,
+    * fail-loud like the global form).  Output:
+    * `(segCols…, score, n, bads, p_cal)`.
+    */
+  def isotonicFitPerScoreBySegment(
+      df: DataFrame, segCols: Seq[String], scoreCol: String,
+      targetCol: String, maxGroups: Int = 1 << 20): DataFrame = {
+    require(segCols.nonEmpty, "isotonicFitPerScoreBySegment: need segment columns")
+    val grouped = df
+      .groupBy(segCols.map(col) :+ col(scoreCol).cast("double").as("score"): _*)
+      .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("bigint")).as("bads"))
+      .orderBy(segCols.map(col) :+ col("score"): _*)
+      .limit(maxGroups + 1)
+    val rows = grouped.collect()
+    require(rows.length <= maxGroups,
+      s"isotonicFitPerScoreBySegment: more than $maxGroups (segment, score) " +
+        "groups — band the score first or raise maxGroups")
+    val segN = segCols.length
+    val out = rows.groupBy(r => (0 until segN).map(r.get(_)).toIndexedSeq)
+      .toSeq
+      .flatMap { case (_, segRows) =>
+        // rows arrive score-ascending within each segment (the orderBy)
+        val g = segRows
+          .map(r => (r.getDouble(segN), r.getLong(segN + 1), r.getLong(segN + 2)))
+          .toIndexedSeq
+        pavStack(g).flatMap { b =>
+          val p = b.bads.toDouble / b.n.toDouble
+          (b.lo to b.hi).map { i =>
+            // Seq[Any]: a plain Seq would numerically WIDEN the mixed
+            // Double/Long elements to all-Double and break the encoder
+            org.apache.spark.sql.Row.fromSeq(
+              (0 until segN).map(segRows(i).get(_)) ++
+                Seq[Any](g(i)._1, g(i)._2, g(i)._3, p))
+          }
+        }
+      }
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      grouped.schema.take(segN) ++ Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bads",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("p_cal",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
   }
 }

@@ -149,6 +149,32 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonicFitPerScoreBySegment: each segment pools independently") {
+    import spark.implicits._
+    // segment A: violation (pools to 7/20); segment B: already monotone
+    val df = (Seq.fill(5)(("A", 1.0, 1)) ++ Seq.fill(5)(("A", 1.0, 0)) ++
+      Seq.fill(2)(("A", 2.0, 1)) ++ Seq.fill(8)(("A", 2.0, 0)) ++
+      Seq.fill(1)(("B", 1.0, 1)) ++ Seq.fill(9)(("B", 1.0, 0)) ++
+      Seq.fill(5)(("B", 2.0, 1)) ++ Seq.fill(5)(("B", 2.0, 0)))
+      .toDF("seg", "score", "target")
+    val got = EvalOps.isotonicFitPerScoreBySegment(
+        df, Seq("seg"), "score", "target")
+      .collect().map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("A", 1.0)) == ((10L, 5L, 7.0 / 20.0)))
+    assert(got(("A", 2.0)) == ((10L, 2L, 7.0 / 20.0)))
+    assert(got(("B", 1.0)) == ((10L, 1L, 0.1)))
+    assert(got(("B", 2.0)) == ((10L, 5L, 0.5)))
+    // each segment matches the global form run on its own slice
+    Seq("A", "B").foreach { s =>
+      val solo = EvalOps.isotonicFitPerScore(
+          df.where(col("seg") === s), "score", "target")
+        .collect().map(r => r.getDouble(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      solo.foreach { case (sc, v) => assert(got((s, sc)) == v, s"$s/$sc") }
+    }
+  }
+
   // ---------------- gains table ----------------
 
   test("gains table: hand-computed bands, captures, and lift") {
