@@ -34,6 +34,57 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     acc.get()
   }
 
+  /** (total shuffle-read bytes, max single-task shuffle-read bytes)
+    * of every task run inside `f` — the funnel detector: an
+    * unpartitioned window rank pulls ~100% of the rows through ONE
+    * task regardless of cluster size.
+    */
+  private def shuffleReadSpread(f: => Unit): (Long, Long) = {
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.totalBytesRead
+          total.addAndGet(r)
+          maxTask.getAndAccumulate(r, math.max(_, _))
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { f; Thread.sleep(1500) }
+    finally spark.sparkContext.removeSparkListener(listener)
+    (total.get(), maxTask.get())
+  }
+
+  test("link prefix-rank: no single task funnels the rank phase") {
+    import spark.implicits._
+    // 40k records with md5-ish keys: the r10 window rank read ALL of
+    // them in one task; the two-pass prefix-rank must spread the rank
+    // shuffle across partitions (max task ≲ a few partitions' worth)
+    def side(lo: Long, hi: Long) = (lo until hi).map(i => (i,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"k$i".getBytes).map("%02x".format(_)).mkString)).toDF("id", "k")
+    val dirty = side(0L, 20000L).cache()
+    val clean = side(20000L, 40000L).cache()
+    dirty.count(); clean.count()
+    val (total, maxTask) = shuffleReadSpread {
+      graft.ops.LinkOps.sortedNeighborhoodLink(
+        dirty, clean, "id", "k", window = 3, maxLev = 2).count()
+      ()
+    }
+    graft.ops.DedupOps.unpersistAll()
+    dirty.unpersist(); clean.unpersist()
+    assert(total > 0L, "expected some shuffle")
+    // 32 shuffle partitions: a funnel task reads ~100%; spread tasks
+    // read ~3% each. 25% is loose enough for skew, tight enough that
+    // a single-partition regression (100%) can never pass
+    assert(maxTask < total / 4,
+      s"rank funnel: one task read $maxTask of $total shuffle bytes")
+  }
+
   test("fit stats pass shuffles O(distinct values), far below corpus bytes") {
     // low-cardinality columns (quantity ~50 distinct, discount ~11):
     // map-side combine must collapse the melt to per-partition
