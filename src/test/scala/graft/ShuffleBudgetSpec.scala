@@ -70,17 +70,32 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     val dirty = side(0L, 20000L).cache()
     val clean = side(20000L, 40000L).cache()
     dirty.count(); clean.count()
-    val (total, maxTask) = shuffleReadSpread {
-      graft.ops.LinkOps.sortedNeighborhoodLink(
-        dirty, clean, "id", "k", window = 3, maxLev = 2).count()
-      ()
-    }
-    graft.ops.DedupOps.unpersistAll()
-    dirty.unpersist(); clean.unpersist()
+    // AQE's small-partition coalescing legitimately merges this tiny
+    // corpus into few tasks, which would mimic a funnel — disable it
+    // for the measurement so task spread reflects the PLAN's
+    // partitioning, which is what survives at 100× where coalescing
+    // has nothing to merge.  And run at 16 shuffle partitions (the
+    // suite default of 4 makes an even spread 25-35%/task —
+    // indistinguishable from a mild funnel).
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    val (total, maxTask) =
+      try shuffleReadSpread {
+        graft.ops.LinkOps.sortedNeighborhoodLink(
+          dirty, clean, "id", "k", window = 3, maxLev = 2).count()
+        ()
+      } finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        graft.ops.DedupOps.unpersistAll()
+        dirty.unpersist(); clean.unpersist()
+      }
     assert(total > 0L, "expected some shuffle")
-    // 32 shuffle partitions: a funnel task reads ~100%; spread tasks
-    // read ~3% each. 25% is loose enough for skew, tight enough that
-    // a single-partition regression (100%) can never pass
+    // 16 shuffle partitions: a funnel task reads ~100%; even spread is
+    // ~6%/task. 25% is loose enough for range-boundary imbalance,
+    // tight enough that a single-partition regression can never pass
     assert(maxTask < total / 4,
       s"rank funnel: one task read $maxTask of $total shuffle bytes")
   }
