@@ -106,6 +106,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectColumnFn(ext, "graft_fingerprint",
       "graft_fingerprint(text) - stable 64-bit document fingerprint", 1)(
       args => graft.ops.TextOps.fingerprint64(args.head))
+    injectColumnFn(ext, "graft_pseudonymize",
+      "graft_pseudonymize(value, salt) - deterministic keyed surrogate " +
+        "md5(salt ':' value); same (salt, value) -> same token across " +
+        "tables so joins survive; NULL value stays NULL", 2)(
+      args => org.apache.spark.sql.functions.when(args.head.isNull,
+          org.apache.spark.sql.functions.lit(null).cast("string"))
+        .otherwise(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat_ws(":",
+            args(1).cast("string"), args.head.cast("string")))))
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NormalizeText].getName, null, "graft_nfc",

@@ -1564,6 +1564,19 @@ class OpsSpec extends AnyFunSuite {
     val viaApi = spark.range(1)
       .select(TextOps.fingerprint64(lit("doc body"))).head().getLong(0)
     assert(row.getLong(5) == viaApi)
+    // keyed pseudonymization: SQL form == ProfileOps form, null-safe
+    val ps = spark.sql(
+      """SELECT graft_pseudonymize('alice', 's1') AS t1,
+        |       graft_pseudonymize(42, 's1') AS t2,
+        |       graft_pseudonymize(CAST(NULL AS STRING), 's1') AS t3""".stripMargin)
+      .head()
+    import spark.implicits._
+    val viaOps = graft.ops.ProfileOps.pseudonymize(
+        Seq(("alice", 42L)).toDF("a", "b"), Seq("a", "b"), "s1")
+      .head()
+    assert(ps.getString(0) == viaOps.getString(0))
+    assert(ps.getString(1) == viaOps.getString(1))
+    assert(ps.isNullAt(2))
     // arity errors are analyzer errors, not raw stack traces
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_lang_id('a', 'b')")
