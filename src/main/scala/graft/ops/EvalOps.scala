@@ -20,11 +20,32 @@ import org.apache.spark.sql.functions._
   * ratios are single divisions of exact integer counts, so results
   * replay bit-for-bit in any engine.
   */
-object EvalOps {
+object EvalOps extends Serializable {
 
   private def grouped(df: DataFrame, scoreCol: String, targetCol: String) =
     df.groupBy(col(scoreCol).cast("double").as("score"))
       .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("bigint")).as("bads"))
+
+  /** Fail-loud cardinality gate for the grouped per-score frame — the
+    * [[isotonicCalibrate]] contract applied to every metric whose
+    * cumulative window is unpartitioned.  An UNBANDED raw continuous
+    * score (near-unique values) would silently turn that window into a
+    * one-task pass over ~n rows; instead we count the grouped frame
+    * (one extra job over the already-reduced aggregate, capped by the
+    * limit) and throw past `maxGroups`.  A banded call is exempt: the
+    * quantile snap already bounds the frame at O(maxBands).
+    */
+  private def guarded(
+      g: DataFrame, maxGroups: Int, bandedAlready: Boolean,
+      caller: String): DataFrame = {
+    if (!bandedAlready) {
+      val cnt = g.limit(maxGroups + 1).count()
+      require(cnt <= maxGroups,
+        s"$caller: more than $maxGroups distinct scores — pass maxBands > 0 " +
+          "to band inline, pre-band through QuantileOps, or raise maxGroups")
+    }
+    g
+  }
 
   /** Pre-banding valve for RAW CONTINUOUS scores: snap the score to
     * the lower edge of its approx-quantile bucket (the codegen'd
@@ -62,11 +83,14 @@ object EvalOps {
     * `maxBands > 0` routes a raw continuous score through the
     * [[banded]] quantile snap first (same valve as [[ksReport]];
     * banding coarsens tie groups, so the AUC becomes the banded-score
-    * AUC); default off.
+    * AUC); default off.  Unbanded calls are [[guarded]]: more than
+    * `maxGroups` distinct scores throws instead of silently running
+    * the rank window in one task.
     */
   def aucReport(df: DataFrame, scoreCol: String, targetCol: String,
-      maxBands: Int = 0): DataFrame =
-    aucCore(banded(df, scoreCol, maxBands), scoreCol, targetCol, Nil)
+      maxBands: Int = 0, maxGroups: Int = 1 << 20): DataFrame =
+    aucCore(banded(df, scoreCol, maxBands), scoreCol, targetCol, Nil,
+      guard = g => guarded(g, maxGroups, maxBands > 0, "aucReport"))
 
   /** [[aucReport]] per segment (e.g. language, source, vintage) in ONE
     * pass: the rank window partitions BY SEGMENT, so unlike the global
@@ -84,10 +108,11 @@ object EvalOps {
 
   private def aucCore(
       df: DataFrame, scoreCol: String, targetCol: String,
-      segCols: Seq[String]): DataFrame = {
-    val g = df
+      segCols: Seq[String],
+      guard: DataFrame => DataFrame = identity): DataFrame = {
+    val g = guard(df
       .groupBy(segCols.map(col) :+ col(scoreCol).cast("double").as("score"): _*)
-      .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("bigint")).as("bads"))
+      .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("bigint")).as("bads")))
     val w = Window.partitionBy(segCols.map(col): _*)
       .orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     val ranked = g.withColumn("below", coalesce(sum("n").over(w), lit(0L)))
@@ -128,10 +153,12 @@ object EvalOps {
     * `maxBands > 0` routes a raw continuous score through the
     * [[banded]] quantile snap first, bounding the cumulative window's
     * input at O(maxBands); default off (exact per-distinct-score KS).
+    * Unbanded calls are [[guarded]] at `maxGroups` distinct scores.
     */
   def ksReport(df: DataFrame, scoreCol: String, targetCol: String,
-      maxBands: Int = 0): DataFrame = {
-    val g = grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol)
+      maxBands: Int = 0, maxGroups: Int = 1 << 20): DataFrame = {
+    val g = guarded(grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol),
+      maxGroups, maxBands > 0, "ksReport")
     val wTot = Window.partitionBy()
     val wCum = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -159,11 +186,13 @@ object EvalOps {
     *
     * `maxBands > 0` routes a raw continuous score through the
     * [[banded]] quantile snap first (one band row per bucket); default
-    * off.
+    * off.  Unbanded calls are [[guarded]] at `maxGroups` distinct
+    * scores.
     */
   def gainsTable(df: DataFrame, scoreCol: String, targetCol: String,
-      maxBands: Int = 0): DataFrame = {
-    val g = grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol)
+      maxBands: Int = 0, maxGroups: Int = 1 << 20): DataFrame = {
+    val g = guarded(grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol),
+      maxGroups, maxBands > 0, "gainsTable")
     val wTot = Window.partitionBy()
     val wCum = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -343,43 +372,26 @@ object EvalOps {
     * globally is routinely MIS-calibrated inside each segment; this
     * returns each segment's own monotone score → probability map).
     * One hash aggregation reduces the corpus to per-(segment, score)
-    * exact counts; the PAV stack runs per segment on the driver over
-    * that bounded frame (`maxGroups` caps the TOTAL collected rows,
-    * fail-loud like the global form).  Output:
-    * `(segCols…, score, n, bads, p_cal)`.
+    * exact counts.  At or below `maxGroups` TOTAL grouped rows the PAV
+    * stacks run on the driver (one collect, no second shuffle); above
+    * it the SAME stack pass runs per segment INSIDE the executors —
+    * hash-repartition on the segment columns, sort each partition by
+    * (segment, score), and stream consecutive same-segment runs
+    * through [[pavStack]].  Segment counts grow multiplicatively
+    * (language × source × vintage) at corpus scale, so the distributed
+    * path is the 100 TB shape: per-task memory is one segment's
+    * distinct-score frame, never the total.  Both paths run the
+    * identical exact-integer pooling, so their outputs are bit-equal
+    * (EvalSpec pins it).  Output: `(segCols…, score, n, bads, p_cal)`.
     */
   def isotonicFitPerScoreBySegment(
       df: DataFrame, segCols: Seq[String], scoreCol: String,
       targetCol: String, maxGroups: Int = 1 << 20): DataFrame = {
     require(segCols.nonEmpty, "isotonicFitPerScoreBySegment: need segment columns")
+    val segN = segCols.length
     val grouped = df
       .groupBy(segCols.map(col) :+ col(scoreCol).cast("double").as("score"): _*)
       .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("bigint")).as("bads"))
-      .orderBy(segCols.map(col) :+ col("score"): _*)
-      .limit(maxGroups + 1)
-    val rows = grouped.collect()
-    require(rows.length <= maxGroups,
-      s"isotonicFitPerScoreBySegment: more than $maxGroups (segment, score) " +
-        "groups — band the score first or raise maxGroups")
-    val segN = segCols.length
-    val out = rows.groupBy(r => (0 until segN).map(r.get(_)).toIndexedSeq)
-      .toSeq
-      .flatMap { case (_, segRows) =>
-        // rows arrive score-ascending within each segment (the orderBy)
-        val g = segRows
-          .map(r => (r.getDouble(segN), r.getLong(segN + 1), r.getLong(segN + 2)))
-          .toIndexedSeq
-        pavStack(g).flatMap { b =>
-          val p = b.bads.toDouble / b.n.toDouble
-          (b.lo to b.hi).map { i =>
-            // Seq[Any]: a plain Seq would numerically WIDEN the mixed
-            // Double/Long elements to all-Double and break the encoder
-            org.apache.spark.sql.Row.fromSeq(
-              (0 until segN).map(segRows(i).get(_)) ++
-                Seq[Any](g(i)._1, g(i)._2, g(i)._3, p))
-          }
-        }
-      }
     val spark = df.sparkSession
     val schema = org.apache.spark.sql.types.StructType(
       grouped.schema.take(segN) ++ Seq(
@@ -391,7 +403,56 @@ object EvalOps {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("p_cal",
           org.apache.spark.sql.types.DoubleType, nullable = false)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out, 1), schema)
+    // emit one segment's fitted rows from its score-ascending run
+    def fitRun(segRows: IndexedSeq[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
+      val g = segRows
+        .map(r => (r.getDouble(segN), r.getLong(segN + 1), r.getLong(segN + 2)))
+      pavStack(g).flatMap { b =>
+        val p = b.bads.toDouble / b.n.toDouble
+        (b.lo to b.hi).map { i =>
+          // Seq[Any]: a plain Seq would numerically WIDEN the mixed
+          // Double/Long elements to all-Double and break the encoder
+          org.apache.spark.sql.Row.fromSeq(
+            (0 until segN).map(segRows(i).get(_)) ++
+              Seq[Any](g(i)._1, g(i)._2, g(i)._3, p))
+        }
+      }
+    }
+    val head = grouped
+      .orderBy(segCols.map(col) :+ col("score"): _*)
+      .limit(maxGroups + 1)
+      .collect()
+    if (head.length <= maxGroups) {
+      // driver fast path: rows arrive score-ascending within each segment
+      val out = head.groupBy(r => (0 until segN).map(r.get(_)).toIndexedSeq)
+        .toSeq
+        .flatMap { case (_, segRows) => fitRun(segRows.toIndexedSeq) }
+      spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+    } else {
+      // distributed fallback: co-locate each segment in one partition,
+      // sort it score-ascending, and PAV consecutive same-segment runs
+      // with one segment buffered at a time
+      val sorted = grouped
+        .repartition(segCols.map(col): _*)
+        .sortWithinPartitions(segCols.map(col) :+ col("score"): _*)
+      val rdd = sorted.rdd.mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        var key: IndexedSeq[Any] = null
+        def flush(): Seq[org.apache.spark.sql.Row] =
+          if (buf.isEmpty) Nil
+          else { val r = fitRun(buf.toIndexedSeq); buf.clear(); r }
+        val body = it.flatMap { r =>
+          val k = (0 until segN).map(r.get(_))
+          if (key == null || k == key) { key = k; buf += r; Iterator.empty }
+          else { val done = flush(); key = k; buf += r; done.iterator }
+        }
+        body ++ new Iterator[org.apache.spark.sql.Row] {
+          private var emitted: Iterator[org.apache.spark.sql.Row] = null
+          def hasNext: Boolean = { if (emitted == null) emitted = flush().iterator; emitted.hasNext }
+          def next(): org.apache.spark.sql.Row = { hasNext; emitted.next() }
+        }
+      }
+      spark.createDataFrame(rdd, schema)
+    }
   }
 }

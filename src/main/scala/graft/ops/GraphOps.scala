@@ -236,13 +236,19 @@ object GraphOps {
     * exactly once, at its lowest-ordered vertex), so any engine
     * replays it with the simple a<b enumeration.  Nodes in no
     * triangle are absent.
+    *
+    * Node ids keep the CALLER'S type (the [[kCore]] discipline):
+    * string-keyed graphs — domains, URLs, the engine's own dedup
+    * corpus — canonicalize through `least`/`greatest`'s lexicographic
+    * total order, which is all the orientation needs.  (An earlier
+    * long cast silently nulled-and-dropped non-numeric ids.)
     */
   def triangleCounts(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = DedupOps.registerPersist(
       edges.select(
-          least(col(srcCol), col(dstCol)).cast("long").as("a"),
-          greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
         .where(col("a").isNotNull && col("b").isNotNull &&
           col("a") =!= col("b"))
         .distinct())

@@ -117,6 +117,33 @@ class EvalSpec extends AnyFunSuite {
     assert(iso.length.toLong <= nBands)
   }
 
+  test("auc/ks/gains fail loudly on an unbanded near-unique score") {
+    // 200 distinct scores against a 50-group cap: the old behavior was
+    // a silent single-task window over every distinct score
+    val rows = (0 until 200).map(i => (i + i / 1e4, i % 3 min 1))
+    val df = scored(rows)
+    Seq[(String, () => Unit)](
+      "aucReport" -> (() => EvalOps.aucReport(df, "score", "target",
+        maxGroups = 50).collect()),
+      "ksReport" -> (() => EvalOps.ksReport(df, "score", "target",
+        maxGroups = 50).collect()),
+      "gainsTable" -> (() => EvalOps.gainsTable(df, "score", "target",
+        maxGroups = 50).collect())
+    ).foreach { case (name, run) =>
+      val ex = intercept[IllegalArgumentException](run())
+      assert(ex.getMessage.contains("more than 50 distinct scores"), name)
+    }
+    // maxBands > 0 exempts the guard AND bounds the window input
+    val banded = EvalOps.gainsTable(df, "score", "target",
+      maxBands = 8, maxGroups = 50).collect()
+    assert(banded.length <= 9 && banded.map(_.getAs[Long]("n")).sum == 200L)
+    assert(EvalOps.aucReport(df, "score", "target",
+      maxBands = 8, maxGroups = 50).collect()(0).getAs[Long]("n") == 200L)
+    // at or under the cap the unbanded exact path is untouched
+    assert(EvalOps.ksReport(df, "score", "target", maxGroups = 200)
+      .collect()(0).getAs[Long]("n_pos") > 0L)
+  }
+
   test("isotonicFitPerScore: expansion of the block table, minimax values") {
     // crafted violations: rates 0.5, 0.2, 0.8 → first two pool to 0.35
     val df = scored(Seq(
@@ -172,6 +199,33 @@ class EvalSpec extends AnyFunSuite {
         .collect().map(r => r.getDouble(0) ->
           (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
       solo.foreach { case (sc, v) => assert(got((s, sc)) == v, s"$s/$sc") }
+    }
+  }
+
+  test("isotonicFitPerScoreBySegment: distributed fallback is bit-equal to driver path") {
+    import spark.implicits._
+    // 12 segments × 40 scores with crafted violations; LCG targets so
+    // both paths fold the identical exact-integer counts
+    val rows = for {
+      seg <- 0 until 12; i <- 0 until 40
+      rep <- 0 until (1 + (seg * 40 + i) % 3)
+    } yield (s"seg$seg", i.toDouble + (if (i % 5 == 0) 100 else 0),
+      if ((seg * 7919 + i * 31 + rep * 13) % 11 < 4) 1 else 0)
+    val df = rows.toDF("seg", "score", "target")
+    def run(cap: Int) = EvalOps.isotonicFitPerScoreBySegment(
+        df, Seq("seg"), "score", "target", maxGroups = cap)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val driver = run(1 << 20) // 480 groups ≤ cap → driver stacks
+    val dist = run(100)       // 480 groups > cap → executor stacks
+    assert(driver.length == 12 * 40)
+    assert(dist.toSeq == driver.toSeq)
+    // fitted values are monotone within every segment (sanity)
+    driver.groupBy(_._1).values.foreach { seg =>
+      val ps = seg.sortBy(_._2).map(_._5)
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
     }
   }
 

@@ -117,4 +117,16 @@ class GraphSpec extends AnyFunSuite {
     val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
     assert(count(k5) == (1L to 5L).map(_ -> 6L).toMap)
   }
+
+  test("triangleCounts: string node ids keep their type (no cast loss)") {
+    import TestSpark.spark.implicits._
+    // string-keyed K4 (the domain-graph shape): 3 triangles per node;
+    // a long cast would null every id and silently return empty
+    val doms = Seq("a.com", "b.org", "c.net", "d.io")
+    val k4 = for { a <- doms; b <- doms if a < b } yield (a, b)
+    val out = graft.ops.GraphOps.triangleCounts(
+        k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == doms.map(_ -> 3L).toMap)
+  }
 }
