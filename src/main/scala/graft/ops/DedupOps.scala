@@ -240,6 +240,16 @@ object DedupOps {
     *   buckets whole) this keeps every candidate; unlike AQE skew-split
     *   (which re-plans partitions, pinned in OpsSpec) it bounds the
     *   per-KEY group that a single sort-merge task must buffer.
+    *   DEFAULT ON at 2¹³ rows, so the 100 TB invocation is never one
+    *   hot boilerplate band away from a single task emitting a C(n,2)
+    *   group — opting OUT (0) is the explicit choice now, not opting
+    *   in.  The threshold doubles as the per-task OUTPUT bound and
+    *   must stay modest: the grid join's input arrives pre-shuffled on
+    *   (band, band_hash) by the bucket-count join, which concentrates
+    *   each key in ONE mapper — AQE skew-split cannot subdivide a
+    *   single-mapper key (spec-pinned), so a sub-threshold bucket is
+    *   one task producing ≤ C(threshold, 2) pairs.  2¹³ caps that at
+    *   ~3×10⁷ pairs (seconds); 2¹⁶ would be ~2×10⁹ (hours).
     */
   def minhashPairs(
       df: DataFrame,
@@ -251,7 +261,7 @@ object DedupOps {
       jaccardThreshold: Double = 0.8,
       portableHash: Boolean = false,
       maxBand: Int = Int.MaxValue,
-      saltHotBands: Int = 0): DataFrame = {
+      saltHotBands: Int = 1 << 13): DataFrame = {
     val rows = numHashes / bands
     // portableHash: md5-derived base hashes + comma-joined band keys so
     // an external engine can recompute the identical pipeline (the

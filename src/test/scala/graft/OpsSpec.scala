@@ -436,7 +436,11 @@ class OpsSpec extends AnyFunSuite {
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
       conf.set("spark.sql.shuffle.partitions", "32")
-      val pairs = DedupOps.minhashPairs(docs, "text", "doc_id")
+      // plain path (salt off): the band self-join's hot key is fed by
+      // MANY mappers (posexplode straight off the cached signatures),
+      // so AQE skew-split can and must subdivide it
+      val pairs = DedupOps.minhashPairs(docs, "text", "doc_id",
+        saltHotBands = 0)
       // collect() (not count()) so THIS DataFrame's adaptive plan is
       // the one that executes and finalizes
       val n = pairs.collect().length
@@ -444,6 +448,16 @@ class OpsSpec extends AnyFunSuite {
       val plan = pairs.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"AQE skew-split must fire on the hot band join:\n$plan")
+      DedupOps.unpersistAll()
+      // default (salted) path: the grid join's input arrives pre-
+      // shuffled on (band, band_hash) by the bucket-count join, which
+      // concentrates each hot key in ONE mapper — AQE cannot split a
+      // single-mapper key, so there the THRESHOLD is the skew guard
+      // (sub-threshold bucket ⇒ one task, ≤ C(threshold, 2) pairs).
+      // Pin both halves: identical pair count, and no skew=true needed
+      val salted = DedupOps.minhashPairs(docs, "text", "doc_id")
+      assert(salted.collect().length == 1000 * 999 / 2,
+        "default salted path must keep the identical pair set")
       DedupOps.unpersistAll()
       // the guard: oversized buckets dropped whole → zero candidates
       // from the boilerplate group, cold uniques unaffected
