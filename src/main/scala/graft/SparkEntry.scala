@@ -3779,6 +3779,32 @@ object SparkEntry {
         |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // H.264 metadata replay: the synthesized avcC SPS encodes profile/
+    // level/dims as pure functions of doc_id (the DECODER recovers them
+    // by real exp-Golomb bitstream parsing + crop arithmetic), the
+    // free-box pad makes the mdat payload offset a constant, and the
+    // keyframe offsets are stco + stsz prefix sums the SQL replays
+    "q_multimodal_h264_meta" -> {
+      val off = graft.ops.MultimodalOps.Avc1MdatPayloadOff
+      val ns = graft.ops.MultimodalOps.Avc1SampleCount
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         320 + 2 * (doc_id % 5) AS w,
+        |         2 + doc_id % 3 AS g
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS BIGINT) AS profile,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 31 ELSE 41 END AS BIGINT) AS level,
+        |       CAST(((w + 15) // 16) * 16 AS BIGINT) AS coded_width,
+        |       CAST(192 AS BIGINT) AS coded_height,
+        |       CAST(w AS BIGINT) AS width,
+        |       CAST(180 + 2 * (doc_id % 3) AS BIGINT) AS height,
+        |       CAST(1 + ${ns - 1} // g AS BIGINT) AS n_keyframes,
+        |       CAST($off AS BIGINT) AS kf1_off,
+        |       CAST($off + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
+        |FROM px ORDER BY doc_id""".stripMargin
+    },
     // token-window chunking replay: same whitespace tokens, same
     // full-windows-plus-short-doc-clamp start rule, same md5 of the
     // space-rejoined window
@@ -5389,6 +5415,23 @@ object SparkEntry {
             col("nBytes").cast("long").as("n_bytes"),
             col("meanByte").as("mean_byte"),
             element_at(col("byteHistogram"), 7).as("hist_bucket6"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_h264_meta" -> { (s, dir) =>
+        // H.264 metadata WITHOUT pixel decode: real exp-Golomb SPS
+        // parse (profile/level/coded dims/crop-adjusted display dims)
+        // out of the avcC box, keyframe byte offsets from
+        // stss × stsz/stsc/stco arithmetic — the sampling surface a
+        // video-corpus user needs even when the codec stays undecoded
+        val media = MultimodalOps.synthesizeAvc1Mp4(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.h264Meta(media).toDF()
+          .select(col("id").as("doc_id"), col("profile"), col("level"),
+            col("codedWidth").as("coded_width"),
+            col("codedHeight").as("coded_height"),
+            col("width"), col("height"),
+            col("nKeyframes").as("n_keyframes"),
+            col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
           .orderBy("doc_id")
       },
       "q_dedup_embed_lsh" -> { (s, dir) =>

@@ -1043,6 +1043,506 @@ object MultimodalOps {
   }
 
   // ---------------------------------------------------------------
+  // H.264 METADATA path (no pixel decode): avcC → SPS bitstream parse
+  // (exp-Golomb per ISO 14496-10 §7.3.2.1.1) for profile/level and the
+  // TRUE coded + cropped display dimensions, and stss/stsz/stsc/stco
+  // arithmetic (ISO 14496-12 §8.6.2, §8.7) for keyframe BYTE OFFSETS —
+  // the sampling decisions a video-corpus user needs (which frames are
+  // seekable, where they live) are pure bitstream+box arithmetic even
+  // though the codec payload stays undecoded.
+  // ---------------------------------------------------------------
+
+  /** MSB-first bit writer with exp-Golomb coding, for SPS synthesis. */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nb = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nb += 1
+      if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    def ue(v: Long): Unit = {
+      val code = v + 1
+      val len = 63 - java.lang.Long.numberOfLeadingZeros(code)
+      bits(0L, len); bits(code, len + 1)
+    }
+    /** rbsp_trailing_bits: stop bit + zero-pad to the byte boundary. */
+    def stopAndAlign(): Array[Byte] = {
+      bit(1)
+      while (nb != 0) bit(0)
+      buf.toArray
+    }
+  }
+
+  /** RBSP → escaped NAL payload: 0x03 inserted after any 00 00 that a
+    * byte ≤ 3 would follow (ISO 14496-10 §7.4.1.1).
+    */
+  private def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val b = rbsp(i)
+      if (zeros >= 2 && (b & 0xff) <= 3) { out += 0x03.toByte; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.result()
+  }
+
+  /** MSB-first bit reader over a NAL payload with the 0x03 emulation-
+    * prevention bytes stripped on construction.
+    */
+  private final class RbspReader(nal: Array[Byte], from: Int, until: Int) {
+    private val b: Array[Byte] = {
+      val out = Array.newBuilder[Byte]
+      var zeros = 0
+      var i = from
+      while (i < until) {
+        val v = nal(i)
+        if (zeros >= 2 && v == 0x03) zeros = 0 // skip the escape byte
+        else {
+          out += v
+          zeros = if (v == 0) zeros + 1 else 0
+        }
+        i += 1
+      }
+      out.result()
+    }
+    private var pos = 0
+    def ok: Boolean = pos <= b.length * 8
+    def bit(): Int = {
+      val i = pos; pos += 1
+      if (i >= b.length * 8) 0
+      else (b(i >> 3) >> (7 - (i & 7))) & 1
+    }
+    def bits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def ue(): Long = {
+      var zeros = 0
+      while (bit() == 0 && zeros < 32) zeros += 1
+      if (zeros >= 32) return -1L
+      (1L << zeros) - 1 + bits(zeros)
+    }
+    def se(): Long = {
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+  }
+
+  /** Parsed H.264 stream metadata: SPS profile/level, coded (macroblock
+    * grid) and display (crop-adjusted) dimensions, and the first sync
+    * samples' absolute byte offsets in the file (−1 when absent).
+    */
+  final case class H264Meta(
+      id: Long, profile: Long, level: Long,
+      codedWidth: Long, codedHeight: Long,
+      width: Long, height: Long,
+      nKeyframes: Long, kf1Off: Long, kf2Off: Long)
+
+  /** SPS fields this path needs (§7.3.2.1.1): returns (profile, level,
+    * codedW, codedH, dispW, dispH) or None on a malformed bitstream.
+    */
+  private[graft] def parseSps(nal: Array[Byte], from: Int, until: Int):
+      Option[(Int, Int, Int, Int, Int, Int)] = {
+    if (until - from < 4) return None
+    // nal_unit_type must be 7 (SPS)
+    if ((nal(from) & 0x1f) != 7) return None
+    val r = new RbspReader(nal, from + 1, until)
+    val profile = r.bits(8).toInt
+    r.bits(8) // constraint flags + reserved
+    val level = r.bits(8).toInt
+    if (r.ue() < 0) return None // seq_parameter_set_id
+    // chroma branch for the High-family profiles
+    var chromaArrayType = 1
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+        .contains(profile)) {
+      val chroma = r.ue().toInt
+      chromaArrayType = chroma
+      if (chroma == 3 && r.bit() == 1) chromaArrayType = 0 // separate planes
+      r.ue(); r.ue() // bit depths
+      r.bit() // qpprime_y_zero_transform_bypass
+      if (r.bit() == 1) return None // scaling matrices: out of scope
+    }
+    r.ue() // log2_max_frame_num_minus4
+    r.ue() match { // pic_order_cnt_type
+      case 0 => r.ue()
+      case 1 =>
+        r.bit(); r.se(); r.se()
+        val n = r.ue()
+        if (n < 0 || n > 255) return None
+        var i = 0L
+        while (i < n) { r.se(); i += 1 }
+      case _ => ()
+    }
+    r.ue() // max_num_ref_frames
+    r.bit() // gaps_in_frame_num_value_allowed
+    val pwMbs = r.ue()
+    val phMapUnits = r.ue()
+    if (pwMbs < 0 || phMapUnits < 0 || pwMbs > 8191 || phMapUnits > 8191)
+      return None
+    val frameMbsOnly = r.bit()
+    if (frameMbsOnly == 0) r.bit() // mb_adaptive_frame_field
+    r.bit() // direct_8x8_inference
+    val crop = r.bit()
+    val (cl, cr, ct, cb) =
+      if (crop == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0L, 0L, 0L, 0L)
+    if (!r.ok || cl < 0 || cr < 0 || ct < 0 || cb < 0) return None
+    val codedW = (pwMbs.toInt + 1) * 16
+    val codedH = (2 - frameMbsOnly) * (phMapUnits.toInt + 1) * 16
+    // crop units per chroma_format (§7.4.2.1.1 Table 6-1)
+    val cropX = if (chromaArrayType == 1 || chromaArrayType == 2) 2 else 1
+    val cropY =
+      (if (chromaArrayType == 1) 2 else 1) * (2 - frameMbsOnly)
+    val w = codedW - cropX * (cl + cr).toInt
+    val h = codedH - cropY * (ct + cb).toInt
+    if (w <= 0 || h <= 0) None
+    else Some((profile, level, codedW, codedH, w, h))
+  }
+
+  /** Walks one file's boxes for the H.264 metadata surface.  Collects
+    * the avcC SPS (through moov/trak/mdia/minf/stbl/stsd/avc1), the
+    * stss sync-sample table, and the stsz/stsc/stco sample-layout
+    * tables, then computes each sync sample's ABSOLUTE byte offset:
+    * chunk base from stco/co64 + the sizes of the samples before it in
+    * its chunk (stsc runs expanded in order).  Returns None when there
+    * is no avc1 track or any table is malformed.
+    */
+  private[graft] def h264MetaOf(r: MediaRecord): Option[H264Meta] = {
+    val b = r.content
+    if (b == null || b.length < 16) return None
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    var sps: Option[(Int, Int, Int, Int, Int, Int)] = None
+    var stss: Array[Long] = null
+    var sizes: Array[Long] = null // per-sample (after constant expand)
+    var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    var chunkOffs: Array[Long] = null
+    val MaxSamples = 1 << 20 // metadata surface: bounded tables only
+
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      var off = from
+      while (off + 8 <= until) {
+        val size32 = u32be(b, off)
+        val t = new String(b, off + 4, 4, "US-ASCII")
+        var header = 8L
+        val size: Long =
+          if (size32 == 1L) {
+            if (off + 16 > until) return false
+            header = 16L; u64be(b, off + 8)
+          } else if (size32 == 0L) (until - off).toLong
+          else size32
+        if (size < header || off + size > until) return false
+        val payload = off + header.toInt
+        val payloadEnd = (off + size).toInt
+        t match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            if (depth < 6 && !walk(payload, payloadEnd, depth + 1)) return false
+          case "stsd" if sps.isEmpty =>
+            // FullBox header + entry_count, then sample entries
+            if (payloadEnd - payload < 8) return false
+            var p = payload + 8
+            while (p + 8 <= payloadEnd && sps.isEmpty) {
+              val esz = u32be(b, p)
+              val etyp = new String(b, p + 4, 4, "US-ASCII")
+              if (esz < 8 || p + esz > payloadEnd) return false
+              if (etyp == "avc1" || etyp == "avc3") {
+                // VisualSampleEntry: 8 + 70 bytes before the codec boxes
+                var q = p + 8 + 78
+                while (q + 8 <= p + esz && sps.isEmpty) {
+                  val csz = u32be(b, q)
+                  if (csz < 8 || q + csz > p + esz) return false
+                  if (new String(b, q + 4, 4, "US-ASCII") == "avcC") {
+                    val c = q + 8
+                    // AVCDecoderConfigurationRecord: ver, profile,
+                    // compat, level, lenSizeMinusOne, numSPS
+                    if (q + csz - c < 7) return false
+                    val numSps = b(c + 5) & 0x1f
+                    if (numSps >= 1) {
+                      val spsLen = u16be(b, c + 6)
+                      val s0 = c + 8
+                      if (s0 + spsLen <= q + csz)
+                        sps = parseSps(b, s0, s0 + spsLen)
+                    }
+                  }
+                  q += csz.toInt
+                }
+              }
+              p += esz.toInt
+            }
+          case "stss" =>
+            if (payloadEnd - payload < 8) return false
+            val n = u32be(b, payload + 4)
+            if (n < 0 || n > MaxSamples ||
+              payload + 8 + n * 4 > payloadEnd) return false
+            stss = Array.tabulate(n.toInt)(i => u32be(b, payload + 8 + i * 4))
+          case "stsz" =>
+            if (payloadEnd - payload < 12) return false
+            val const = u32be(b, payload + 4)
+            val n = u32be(b, payload + 8)
+            if (n < 0 || n > MaxSamples) return false
+            sizes =
+              if (const != 0L) Array.fill(n.toInt)(const)
+              else {
+                if (payload + 12 + n * 4 > payloadEnd) return false
+                Array.tabulate(n.toInt)(i => u32be(b, payload + 12 + i * 4))
+              }
+          case "stsc" =>
+            if (payloadEnd - payload < 8) return false
+            val n = u32be(b, payload + 4)
+            if (n < 0 || n > MaxSamples ||
+              payload + 8 + n * 12 > payloadEnd) return false
+            stscRuns = Array.tabulate(n.toInt) { i =>
+              (u32be(b, payload + 8 + i * 12), u32be(b, payload + 12 + i * 12))
+            }
+          case "stco" =>
+            if (payloadEnd - payload < 8) return false
+            val n = u32be(b, payload + 4)
+            if (n < 0 || n > MaxSamples ||
+              payload + 8 + n * 4 > payloadEnd) return false
+            chunkOffs = Array.tabulate(n.toInt)(i => u32be(b, payload + 8 + i * 4))
+          case "co64" =>
+            if (payloadEnd - payload < 8) return false
+            val n = u32be(b, payload + 4)
+            if (n < 0 || n > MaxSamples ||
+              payload + 8 + n * 8 > payloadEnd) return false
+            chunkOffs = Array.tabulate(n.toInt)(i => u64be(b, payload + 8 + i * 8))
+          case _ => ()
+        }
+        off = payloadEnd
+      }
+      off == until
+    }
+    if (!walk(0, b.length, 0)) return None
+    sps.flatMap { case (profile, level, cw, ch, w, h) =>
+      if (sizes == null || stscRuns == null || chunkOffs == null ||
+        stscRuns.isEmpty || chunkOffs.isEmpty) None
+      else {
+        // absolute offset per sample: expand the stsc runs in order
+        val offs = new Array[Long](sizes.length)
+        var sample = 0
+        var run = 0
+        var chunk = stscRuns(0)._1
+        var valid = chunk >= 1
+        while (valid && sample < sizes.length) {
+          if (run + 1 < stscRuns.length && chunk >= stscRuns(run + 1)._1)
+            run += 1
+          val perChunk = stscRuns(run)._2
+          if (perChunk < 1 || chunk > chunkOffs.length) valid = false
+          else {
+            var pos = chunkOffs(chunk.toInt - 1)
+            var i = 0L
+            while (i < perChunk && sample < sizes.length) {
+              offs(sample) = pos
+              pos += sizes(sample)
+              sample += 1
+              i += 1
+            }
+            chunk += 1
+          }
+        }
+        if (!valid || sample < sizes.length) None
+        else {
+          // no stss box ⇒ every sample is a sync sample (§8.6.2)
+          val sync =
+            if (stss == null) Array.tabulate(sizes.length)(i => i + 1L)
+            else stss
+          def offOf(i: Int): Long =
+            if (i < sync.length && sync(i) >= 1 && sync(i) <= sizes.length)
+              offs(sync(i).toInt - 1)
+            else -1L
+          val nk = if (stss == null) sizes.length.toLong else stss.length.toLong
+          Some(H264Meta(r.id, profile, level, cw, ch, w, h, nk,
+            offOf(0), offOf(1)))
+        }
+      }
+    }
+  }
+
+  /** Batched partition-local H.264 metadata extraction — rows without
+    * an avc1 track (or with malformed tables) drop, like every decode
+    * surface here a 100 TB pass must not die on one bad file.
+    */
+  def h264Meta(ds: Dataset[MediaRecord]): Dataset[H264Meta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(h264MetaOf))
+  }
+
+  // -- synthesis (the oracle side) --------------------------------
+
+  private[graft] val Avc1SampleCount = 8
+  private[graft] val Avc1HeaderBytes = 1024 // ftyp+moov free-padded
+  /** Absolute file offset of the mdat payload (= first chunk). */
+  private[graft] val Avc1MdatPayloadOff: Long = Avc1HeaderBytes + 8L
+
+  /** profile_idc / level_idc per id%3: Baseline/3.0, Main/3.1,
+    * High/4.1 — High exercises the SPS chroma branch.
+    */
+  private[graft] def avc1ProfileLevel(id: Long): (Int, Int) =
+    (id % 3).toInt match {
+      case 0 => (66, 30)
+      case 1 => (77, 31)
+      case _ => (100, 41)
+    }
+
+  /** SPS NAL (header byte + escaped RBSP) for a 4:2:0 progressive
+    * stream of the given DISPLAY dims: coded dims round up to the
+    * macroblock grid, the remainder becomes frame cropping (right/
+    * bottom, in 2-pixel units).  Display dims must be even.
+    */
+  private[graft] def spsNal(profile: Int, level: Int, w: Int, h: Int): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, s"spsNal: dims must be even ($w×$h)")
+    val codedW = (w + 15) / 16 * 16
+    val codedH = (h + 15) / 16 * 16
+    val bw = new BitWriter
+    bw.bits(profile.toLong, 8)
+    bw.bits(0L, 8) // constraint flags + reserved
+    bw.bits(level.toLong, 8)
+    bw.ue(0) // seq_parameter_set_id
+    if (profile == 100) {
+      bw.ue(1) // chroma_format_idc 4:2:0
+      bw.ue(0); bw.ue(0) // bit depths
+      bw.bit(0) // qpprime_y_zero_transform_bypass
+      bw.bit(0) // seq_scaling_matrix_present
+    }
+    bw.ue(0) // log2_max_frame_num_minus4
+    bw.ue(0) // pic_order_cnt_type 0
+    bw.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    bw.ue(1) // max_num_ref_frames
+    bw.bit(0) // gaps_in_frame_num_value_allowed
+    bw.ue(codedW / 16 - 1) // pic_width_in_mbs_minus1
+    bw.ue(codedH / 16 - 1) // pic_height_in_map_units_minus1
+    bw.bit(1) // frame_mbs_only
+    bw.bit(1) // direct_8x8_inference
+    val cropR = (codedW - w) / 2
+    val cropB = (codedH - h) / 2
+    if (cropR > 0 || cropB > 0) {
+      bw.bit(1)
+      bw.ue(0); bw.ue(cropR.toLong); bw.ue(0); bw.ue(cropB.toLong)
+    } else bw.bit(0)
+    bw.bit(0) // vui_parameters_present
+    Array(0x67.toByte) ++ escapeRbsp(bw.stopAndAlign())
+  }
+
+  /** Minimal PPS NAL (all-default fields). */
+  private[graft] def ppsNal(): Array[Byte] = {
+    val bw = new BitWriter
+    bw.ue(0); bw.ue(0) // pps id, sps id
+    bw.bit(0); bw.bit(0) // entropy_coding_mode, pic_order_present
+    bw.ue(0) // num_slice_groups_minus1
+    bw.ue(0); bw.ue(0) // num_ref_idx_l{0,1}_default_active_minus1
+    bw.bit(0); bw.bits(0L, 2) // weighted_pred, weighted_bipred_idc
+    bw.ue(0); bw.ue(0); bw.ue(0) // init_qp/qs/chroma offsets (se(0)=ue(0))
+    bw.bit(0); bw.bit(0); bw.bit(0) // deblocking/intra/redundant flags
+    Array(0x68.toByte) ++ escapeRbsp(bw.stopAndAlign())
+  }
+
+  /** Per-row classic (non-fragmented) MP4 with a REAL avc1/avcC sample
+    * description, a full sample layout (stts/stsc/stsz/stco), and an
+    * stss sync table — the row's text bytes split across
+    * [[Avc1SampleCount]] "samples" in one chunk.  Parameterization per
+    * id: profile/level ([[avc1ProfileLevel]]), display dims
+    * `(320 + 2(id%5)) × (180 + 2(id%3))` (so cropping is live on
+    * every row), keyframes every `2 + id%3` samples.  A `free` box
+    * pads the header to exactly [[Avc1HeaderBytes]], so the mdat
+    * payload (= chunk) offset is the constant [[Avc1MdatPayloadOff]]
+    * and the SQL oracle replays every keyframe offset from arithmetic.
+    */
+  def synthesizeAvc1Mp4(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
+      .as[(Long, Array[Byte])].map { case (id, text) =>
+        val (profile, level) = avc1ProfileLevel(id)
+        val w = 320 + 2 * (id % 5).toInt
+        val h = 180 + 2 * (id % 3).toInt
+        val gop = 2 + (id % 3).toInt
+        val n = Avc1SampleCount
+        val matrix =
+          bmffBe32(0x00010000L) ++ bmffBe32(0) ++ bmffBe32(0) ++
+            bmffBe32(0) ++ bmffBe32(0x00010000L) ++ bmffBe32(0) ++
+            bmffBe32(0) ++ bmffBe32(0) ++ bmffBe32(0x40000000L)
+        val sampleDur = 3600L
+        val timescale = 90000L
+        val mvhd = bmffBox("mvhd",
+          bmffBe32(0) ++ bmffBe32(0) ++ bmffBe32(0) ++
+            bmffBe32(1000L) ++ bmffBe32(n * sampleDur * 1000L / timescale) ++
+            bmffBe32(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++
+            new Array[Byte](8) ++ matrix ++ new Array[Byte](24) ++
+            bmffBe32(2L))
+        val tkhd = bmffBox("tkhd",
+          bmffBe32(7L) ++ bmffBe32(0) ++ bmffBe32(0) ++
+            bmffBe32(1L) ++ bmffBe32(0) ++
+            bmffBe32(n * sampleDur * 1000L / timescale) ++
+            new Array[Byte](16) ++ matrix ++
+            bmffBe32(w.toLong << 16) ++ bmffBe32(h.toLong << 16))
+        val mdhd = bmffBox("mdhd",
+          bmffBe32(0) ++ bmffBe32(0) ++ bmffBe32(0) ++
+            bmffBe32(timescale) ++ bmffBe32(n * sampleDur) ++
+            bmffBe32(0x55c40000L))
+        val sps = spsNal(profile, level, w, h)
+        val pps = ppsNal()
+        val avcc = bmffBox("avcC",
+          Array[Byte](1, profile.toByte, 0, level.toByte, 0xff.toByte, 0xe1.toByte) ++
+            Array[Byte]((sps.length >> 8).toByte, sps.length.toByte) ++ sps ++
+            Array[Byte](1, (pps.length >> 8).toByte, pps.length.toByte) ++ pps)
+        val avc1 = bmffBox("avc1",
+          new Array[Byte](6) ++ Array[Byte](0, 1) ++ // data_reference_index
+            new Array[Byte](16) ++ // pre_defined/reserved
+            Array[Byte]((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
+            bmffBe32(0x00480000L) ++ bmffBe32(0x00480000L) ++ bmffBe32(0) ++
+            Array[Byte](0, 1) ++ new Array[Byte](32) ++ // frame_count, name
+            Array[Byte](0, 0x18, 0xff.toByte, 0xff.toByte) ++ avcc)
+        val stsd = bmffBox("stsd", bmffBe32(0) ++ bmffBe32(1L) ++ avc1)
+        val stts = bmffBox("stts",
+          bmffBe32(0) ++ bmffBe32(1L) ++ bmffBe32(n.toLong) ++ bmffBe32(sampleDur))
+        val syncSamples = (1 to n by gop).toArray
+        val stss = bmffBox("stss",
+          bmffBe32(0) ++ bmffBe32(syncSamples.length.toLong) ++
+            syncSamples.flatMap(s => bmffBe32(s.toLong)))
+        val stsc = bmffBox("stsc",
+          bmffBe32(0) ++ bmffBe32(1L) ++
+            bmffBe32(1L) ++ bmffBe32(n.toLong) ++ bmffBe32(1L))
+        val sampleSizes =
+          Array.tabulate(n)(i => (text.length / n + (if (i < text.length % n) 1 else 0)).toLong)
+        val stsz = bmffBox("stsz",
+          bmffBe32(0) ++ bmffBe32(0L) ++ bmffBe32(n.toLong) ++
+            sampleSizes.flatMap(bmffBe32))
+        val stco = bmffBox("stco",
+          bmffBe32(0) ++ bmffBe32(1L) ++ bmffBe32(Avc1MdatPayloadOff))
+        val stbl = bmffBox("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco ++ stss)
+        val vmhd = bmffBox("vmhd", bmffBe32(1L) ++ new Array[Byte](8))
+        val dref = bmffBox("dref", bmffBe32(0) ++ bmffBe32(1L) ++
+          bmffBox("url ", bmffBe32(1L)))
+        val minf = bmffBox("minf", vmhd ++ bmffBox("dinf", dref) ++ stbl)
+        val hdlr = bmffBox("hdlr",
+          bmffBe32(0) ++ bmffBe32(0) ++ "vide".getBytes("US-ASCII") ++
+            new Array[Byte](12) ++ Array[Byte](0))
+        val moov = bmffBox("moov",
+          mvhd ++ bmffBox("trak", tkhd ++
+            bmffBox("mdia", mdhd ++ hdlr ++ minf)))
+        val ftyp = bmffBox("ftyp",
+          "isom".getBytes("US-ASCII") ++ bmffBe32(0x200L) ++
+            "avc1".getBytes("US-ASCII"))
+        val head = ftyp ++ moov
+        val padLen = Avc1HeaderBytes - head.length
+        require(padLen >= 8,
+          s"synthesizeAvc1Mp4: header ${head.length} exceeds the pad budget")
+        val free = bmffBox("free", new Array[Byte](padLen - 8))
+        MediaRecord(id, "video/mp4",
+          head ++ free ++ bmffBox("mdat", text))
+      }
+  }
+
+  // ---------------------------------------------------------------
   // Sample-level WAV path: PCM is uncompressed, so the "codec" work is
   // the RIFF chunk walk plus 16-bit little-endian sample extraction —
   // all real, and the synthesized sample content is closed-form, so

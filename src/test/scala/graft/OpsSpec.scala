@@ -558,6 +558,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("h264: hand-built SPS bitstream parses; avcC walk; keyframe offsets") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // HAND-WRITTEN SPS (not via the synthesis writer, so an encode/
+    // decode-symmetric bug cannot hide): Baseline 66, level 30,
+    // 320×192 coded, no cropping.  Bit layout after the 3 header
+    // bytes (66, 0, 30):
+    //   ue(0) sps_id            1
+    //   ue(0) log2_max_frame    1
+    //   ue(0) poc_type          1
+    //   ue(0) log2_max_poc_lsb  1
+    //   ue(1) max_num_ref       010
+    //   0     gaps_flag         0
+    //   ue(19) width_mbs-1      000010100
+    //   ue(11) height_units-1   0001100
+    //   1     frame_mbs_only    1
+    //   1     direct_8x8        1
+    //   0     crop              0
+    //   0     vui               0
+    //   1     stop bit → 1111 0100 0000 1010 0000 1100 1100 1000
+    val hand = Array[Byte](0x67, 66, 0, 30,
+      0xf4.toByte, 0x0a, 0x0c, 0xc8.toByte)
+    val got = MultimodalOps.parseSps(hand, 0, hand.length)
+    assert(got.contains((66, 30, 320, 192, 320, 192)), s"hand SPS: $got")
+    // emulation-prevention: a synthesized SPS with 00 00 0x runs must
+    // round-trip through escape + de-escape (crop values of 0 create
+    // long zero runs in the bitstream)
+    val sps100 = MultimodalOps.spsNal(100, 41, 322, 180)
+    val parsed = MultimodalOps.parseSps(sps100, 0, sps100.length)
+    assert(parsed.contains((100, 41, 336, 192, 322, 180)),
+      s"High-profile crop SPS: $parsed")
+    // end-to-end: synthesized container → h264Meta — dims/profile per
+    // id, keyframe offsets = payload base + stsz prefix sums
+    val text = "0123456789abcdef" * 4 // 64 bytes → 8 samples of 8
+    val metas = MultimodalOps.h264Meta(
+        MultimodalOps.synthesizeAvc1Mp4(
+          Seq((0L, text), (2L, text)).toDF("doc_id", "text"),
+          "doc_id", "text"))
+      .collect().sortBy(_.id)
+    val base = MultimodalOps.Avc1MdatPayloadOff
+    assert(metas(0) == MultimodalOps.H264Meta(
+      0L, 66, 30, 320, 192, 320, 180, 4, base, base + 2 * 8))
+    assert(metas(1) == MultimodalOps.H264Meta(
+      2L, 100, 41, 336, 192, 324, 184, 2, base, base + 4 * 8))
+    // malformed payload (truncated box) drops, never throws
+    val dropped = MultimodalOps.h264Meta(
+      Seq(MultimodalOps.MediaRecord(9L, "video/mp4",
+        Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p', 0, 0, 0, 0, 0, 0, 0))).toDS())
+    assert(dropped.count() == 0)
+  }
+
   test("eraseExactStore: keeper reassignment, member-only erase, group death") {
     import spark.implicits._
     import graft.ops.IncrementalDedup
