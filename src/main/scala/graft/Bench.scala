@@ -139,9 +139,27 @@ object Bench {
     val total = results.map { case (_, ts) => median(ts.map(_._1)) }.sum
     val totalMin = results.map { case (_, ts) => ts.map(_._1).min }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-stage attribution for the e2e chains: ONE instrumented run
+    // each, after the timed passes (the medians above are untouched) —
+    // the durable record carries stage → seconds so the e2e wall-time
+    // is attributable to the stage that grew
+    val stagesJson = SparkEntry.stagedRuns.toSeq
+      .filter { case (name, _) => benchQueries.exists(_._1 == name) }
+      .flatMap { case (name, fn) =>
+        try {
+          val secs = fn(spark, sfDir)
+          graft.ops.DedupOps.unpersistAll()
+          val inner = secs.map { case (st, s) => f""""$st":$s%.4f""" }
+            .mkString("{", ",", "}")
+          Some(s""""$name":$inner""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] staged $name: ${e.getMessage}")
+          None
+        }
+      }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     def wrap(qs: String, omitted: Int) =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","total_min":$totalMin%.4f,"queries":$qs,"queries_omitted":$omitted,"full":"$outPath","failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","total_min":$totalMin%.4f,"queries":$qs,"queries_omitted":$omitted,"stages":$stagesJson,"full":"$outPath","failed":$failedJson,"sf":"$sfDir"}"""
     val bySlowest = results
       .map { case (k, ts) => k -> median(ts.map(_._1)) }
       .sortBy(-_._2)

@@ -19,6 +19,18 @@ import graft.ops._
   */
 object PipelineDemo {
 
+  /** Stage → seconds of the most recent [[run]] on this JVM.  Each
+    * stage is timed from the END of the previous stage through its own
+    * boundary `count()` — inclusive, so work that executes at plan-
+    * CONSTRUCTION time between boundaries (the connected-components
+    * loop, mixture-plan collects) is attributed to the stage that
+    * triggered it and the map sums to ≈ the e2e wall time.  This is
+    * the attribution the wall-time alone can't give (which stage grows
+    * super-linearly at sf10); Bench embeds it in the durable record
+    * after its timed passes.
+    */
+  @volatile var lastStageSeconds: Seq[(String, Double)] = Nil
+
   /** The pipeline as a function: corpus in, packed training plan out.
     * Returns (kept corpus with split+shard columns, the per-(doc,
     * sequence) packing plan for the train split, per-stage counts).
@@ -37,10 +49,21 @@ object PipelineDemo {
   def run(spark: SparkSession, docs: DataFrame,
       benchmark: DataFrame): (DataFrame, DataFrame, Seq[(String, Long)]) = {
     val stages = Seq.newBuilder[(String, Long)]
+    val secs = Seq.newBuilder[(String, Double)]
     val boundaries = scala.collection.mutable.Buffer.empty[DataFrame]
     def boundary(df: DataFrame): DataFrame = { boundaries += df.persist(); df }
+    // inclusive stage clock: each stage owns everything since the
+    // previous boundary, driver-side construction work included
+    var mark = System.nanoTime()
+    def timed(name: String)(count: => Long): Long = {
+      val n = count
+      val now = System.nanoTime()
+      secs += name -> (now - mark) / 1e9
+      mark = now
+      n
+    }
     try {
-      stages += "input" -> docs.count()
+      stages += "input" -> timed("input")(docs.count())
 
       // 1. quality gate (C4/Gopher-style composite + repetition cap),
       //    then the intra-doc paragraph scrub on the survivors (so the
@@ -50,7 +73,7 @@ object PipelineDemo {
         .where(col("quality_score") >= 0.5 && col("dup_gram_frac") <= 0.5)
         .select(docs.columns.map(col): _*)
         .withColumn("text", TextOps.dedupParagraphs(col("text"))))
-      stages += "quality_gate" -> quality.count()
+      stages += "quality_gate" -> timed("quality_gate")(quality.count())
 
       // 2. dedup: exact star pairs + token-jaccard near-dups → components
       //   → one canonical doc per cluster
@@ -65,14 +88,14 @@ object PipelineDemo {
       val cc = ClusterOps.connectedComponents(
         exactPairs.union(nearPairs), "id_a", "id_b")
       val deduped = boundary(ClusterOps.dedupedCorpus(quality, "doc_id", cc))
-      stages += "dedup_purge" -> deduped.count()
+      stages += "dedup_purge" -> timed("dedup_purge")(deduped.count())
 
       // 3. substring window-dedup gate: drop docs mostly stitched from
       //    text duplicated elsewhere (whole-doc tests can't see these)
       val windowDups = DedupOps.duplicateWindowStats(deduped, "doc_id", "text", k = 8)
         .where(col("dup_frac") > 0.8).select(col("id").as("doc_id"))
       val substringClean = boundary(deduped.join(windowDups, Seq("doc_id"), "left_anti"))
-      stages += "window_dedup" -> substringClean.count()
+      stages += "window_dedup" -> timed("window_dedup")(substringClean.count())
 
       // 4. benchmark decontamination via the PER-ROW bloom probe (O(m)
       //    broadcast state, zero shuffle; >= 10 flagged trigrams drops)
@@ -83,7 +106,7 @@ object PipelineDemo {
           TextOps.bloomContaminationCols(col("__toks"), positions, n = 3))
         .where(col("__b.n_flagged") < 10)
         .drop("__toks", "__b"))
-      stages += "decontaminate" -> clean.count()
+      stages += "decontaminate" -> timed("decontaminate")(clean.count())
 
       // 5. PII scrub (projection; row count unchanged by construction)
       val scrubbed = clean.withColumn("text", TextOps.redactPii(col("text")))
@@ -94,7 +117,7 @@ object PipelineDemo {
       val balanced = boundary(SampleOps.temperatureSample(
         scrubbed, "doc_id", "lang", targetRows = math.max(1L, nClean * 8 / 10),
         salt = "demo"))
-      stages += "rebalance" -> balanced.count()
+      stages += "rebalance" -> timed("rebalance")(balanced.count())
 
       // 7. deterministic split + 8. token-budget shard packing
       val split = SampleOps.hashSplit(balanced, "doc_id", "demo")
@@ -105,7 +128,7 @@ object PipelineDemo {
       val out = split.join(
         packed.select(col("doc_id"), col("n_tokens"), col("shard_id")), "doc_id")
         .persist() // kept cached for the caller (NOT in `boundaries`)
-      stages += "packed" -> out.count() // materializes before the release below
+      stages += "packed" -> timed("packed")(out.count()) // materializes before the release below
 
       // 9. GPT-style sequence packing of the train split: the final
       //    (doc, sequence) layout a pretraining loader consumes.
@@ -124,7 +147,8 @@ object PipelineDemo {
           .select(col("doc_id"), col("n_tokens").as("tok")),
         "doc_id", "tok", 512L)
         .persist()
-      seqPlan.count()
+      timed("seq_pack")(seqPlan.count())
+      lastStageSeconds = secs.result()
       (out, seqPlan, stages.result())
     } finally {
       // releasing upstream caches is safe: `out` and `seqPlan` are

@@ -4014,6 +4014,34 @@ object SparkEntry {
     "q_ann_topk_ivf_index", "q_ann_topk_ivf_incr", "q_ann_topk_ivfpq_index",
     "q_ann_topk_ivfpq_index_refine", "q_phrase_search_index")
 
+  /** Per-stage timing attribution for the composed e2e chains: one
+    * instrumented run per query name, returning stage → seconds.  The
+    * e2e wall-times are the only bench rows a single plan can't
+    * explain; Bench runs these ONCE after its timed passes (untimed
+    * w.r.t. the medians) and embeds the map in the durable record, so
+    * an sf10 e2e number is attributable to the stage that grew.
+    * Parameters mirror the corresponding `queries` entries exactly.
+    */
+  def stagedRuns: Map[String, (SparkSession, String) => Seq[(String, Double)]] = Map(
+    "q_pipeline_e2e" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val (out, seqPlan, _) = PipelineDemo.run(s,
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+      out.unpersist(); seqPlan.unpersist()
+      PipelineDemo.lastStageSeconds
+    },
+    "q_selection_e2e" -> { (s, dir) =>
+      val (out, secs) = graft.ops.SelectionOps.selectionPipelineTimed(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "lang", "source",
+        budgetPerLang = 4000L,
+        targets = Map("src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20,
+          "src3" -> 0.15, "src4" -> 0.10),
+        totalBudget = 50000L, seqLen = 256L, salt = "sel7")
+      out.unpersist()
+      secs
+    })
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqlQueries.keys.map(k => k -> sqlQuery(k)).toMap ++ Map[String, (SparkSession, String) => DataFrame](

@@ -210,29 +210,87 @@ object SelectionOps {
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       sourceCol: String, budgetPerLang: Long,
       targets: Map[String, Double], totalBudget: Long,
-      seqLen: Long, salt: String): DataFrame = {
-    val scored = TextOps.qualityMetrics(docs, textCol)
+      seqLen: Long, salt: String): DataFrame =
+    selectionPipelineCore(docs, idCol, textCol, langCol, sourceCol,
+      budgetPerLang, targets, totalBudget, seqLen, salt, (_, df) => df)
+
+  private def selectionPipelineCore(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      sourceCol: String, budgetPerLang: Long,
+      targets: Map[String, Double], totalBudget: Long,
+      seqLen: Long, salt: String,
+      boundary: (String, DataFrame) => DataFrame): DataFrame = {
+    val scored = boundary("quality_gate", TextOps.qualityMetrics(docs, textCol)
       .filter(col("quality_score") >= 0.5)
       .select(col(idCol), col(langCol), col(sourceCol), col(textCol),
         col("quality_score"),
-        TextOps.bpeTokenEstimate(col(textCol)).as("tok"))
+        TextOps.bpeTokenEstimate(col(textCol)).as("tok")))
     val buckets = perplexityBuckets(scored, idCol, textCol, langCol)
       .filter(col("bucket") <= 2)
       .select(col("doc_id").as("__bucket_id"))
-    val surviving = scored.join(buckets,
-      col(idCol) === col("__bucket_id")).drop("__bucket_id")
+    val surviving = boundary("perplexity_buckets", scored.join(buckets,
+      col(idCol) === col("__bucket_id")).drop("__bucket_id"))
     val selected = budgetSelect(
         surviving, idCol, langCol, "quality_score", "tok", budgetPerLang)
       .select(col("id").as("__sel_id"))
-    val picked = surviving.join(selected,
-      col(idCol) === col("__sel_id")).drop("__sel_id")
+    val picked = boundary("budget_select", surviving.join(selected,
+      col(idCol) === col("__sel_id")).drop("__sel_id"))
     val plan = mixturePlan(picked, sourceCol, "tok", targets, totalBudget)
-    val copies = materializeMixture(picked, idCol, sourceCol, plan, salt)
+    val copies = boundary("mixture",
+      materializeMixture(picked, idCol, sourceCol, plan, salt))
     val withTok = copies
       .join(picked.select(col(idCol).as("id"), col("tok")), "id")
       .select((col("id") * 8 + col("copy")).as("cid"), col("tok"))
     PackingOps.shardManifest(
       PackingOps.packSequences(withTok, "cid", "tok", seqLen), "cid")
+  }
+
+  /** [[selectionPipeline]] with per-stage timing attribution: each
+    * stage boundary is persisted and counted, so the count's elapsed
+    * time is that stage's INCREMENTAL cost (its inputs are already
+    * cached) — the PipelineDemo discipline, for the number a user
+    * quotes (e2e wall-time) to be attributable by stage at sf10.
+    * Returns (final frame, stage → seconds incl. the terminal
+    * `seq_pack_manifest` materialization).  The final frame is
+    * collected-from as usual; intermediate caches are released before
+    * returning.  Same result as the plain form (PipelineSpec pins it)
+    * — the boundaries only change WHERE materialization happens.
+    */
+  def selectionPipelineTimed(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      sourceCol: String, budgetPerLang: Long,
+      targets: Map[String, Double], totalBudget: Long,
+      seqLen: Long, salt: String): (DataFrame, Seq[(String, Double)]) = {
+    val secs = Seq.newBuilder[(String, Double)]
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    // inclusive stage clock (the PipelineDemo convention): each stage
+    // owns everything since the previous boundary, so construction-
+    // time work (mixture-plan collects, packSequences' offset pass)
+    // is attributed and the map sums to ≈ the e2e wall time
+    var mark = System.nanoTime()
+    def stamp(name: String): Unit = {
+      val now = System.nanoTime()
+      secs += name -> (now - mark) / 1e9
+      mark = now
+    }
+    def boundary(name: String, df: DataFrame): DataFrame = {
+      val p = df.persist()
+      cached += p
+      p.count()
+      stamp(name)
+      p
+    }
+    try {
+      val out = selectionPipelineCore(docs, idCol, textCol, langCol,
+        sourceCol, budgetPerLang, targets, totalBudget, seqLen, salt,
+        boundary)
+        .persist() // caller-released, like PipelineDemo's `out`
+      out.count()
+      stamp("seq_pack_manifest")
+      (out, secs.result())
+    } finally {
+      cached.foreach(_.unpersist())
+    }
   }
 
   def materializeMixture(

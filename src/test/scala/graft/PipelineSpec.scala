@@ -50,5 +50,33 @@ class PipelineSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty,
       s"pipeline must not leak cached RDDs across runs: $leaked")
+    // the stage→seconds attribution covers every count stage plus the
+    // terminal sequence-pack materialization, in order
+    assert(PipelineDemo.lastStageSeconds.map(_._1) ==
+      stages.map(_._1) :+ "seq_pack")
+    assert(PipelineDemo.lastStageSeconds.forall(_._2 >= 0.0))
+  }
+
+  test("selection pipeline: timed (staged) flavor returns the identical result") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val targets = Map("src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20,
+      "src3" -> 0.15, "src4" -> 0.10)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val plain = graft.ops.SelectionOps.selectionPipeline(
+      docs, "doc_id", "text", "lang", "source",
+      budgetPerLang = 4000L, targets = targets,
+      totalBudget = 50000L, seqLen = 256L, salt = "sel7")
+    val (timedOut, secs) = graft.ops.SelectionOps.selectionPipelineTimed(
+      docs, "doc_id", "text", "lang", "source",
+      budgetPerLang = 4000L, targets = targets,
+      totalBudget = 50000L, seqLen = 256L, salt = "sel7")
+    assert(rowsOf(timedOut) == rowsOf(plain),
+      "staged boundaries must not change the result")
+    assert(secs.map(_._1) == Seq("quality_gate", "perplexity_buckets",
+      "budget_select", "mixture", "seq_pack_manifest"))
+    assert(secs.forall(_._2 >= 0.0))
+    timedOut.unpersist()
+    graft.ops.DedupOps.unpersistAll()
   }
 }
