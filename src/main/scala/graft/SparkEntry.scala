@@ -4042,6 +4042,32 @@ object SparkEntry {
       secs
     })
 
+  /** A named A/B comparison for `tools.BenchAB`: two flavors of the
+    * same operation (two flag sets / two code paths) timed ROUND-ROBIN
+    * in one JVM session.  CONTENTION.md's host-state rule says
+    * cross-record deltas (one bench today vs one last round) carry a
+    * ±10-15% smear no per-query statistic can remove; an interleaved
+    * same-session pair is smear-immune by construction, and the
+    * sibling controls measure whatever smear remains.
+    */
+  final case class AbVariant(
+      labelA: String, a: (SparkSession, String) => DataFrame,
+      labelB: String, b: (SparkSession, String) => DataFrame)
+
+  def abVariants: Map[String, AbVariant] = Map(
+    // this round's deliberate change: the hot-band auto-salt default.
+    // A = the new default (salt on at 2^13); B = the r11 default (off).
+    // Identical pair sets (spec-pinned), so the delta is pure plan cost.
+    "minhash_salt_default" -> AbVariant(
+      "saltHotBands=8192(default)",
+      (s, dir) => DedupOps.minhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", jaccardThreshold = 0.5),
+      "saltHotBands=0(r11)",
+      (s, dir) => DedupOps.minhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", jaccardThreshold = 0.5, saltHotBands = 0)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqlQueries.keys.map(k => k -> sqlQuery(k)).toMap ++ Map[String, (SparkSession, String) => DataFrame](
