@@ -3779,6 +3779,37 @@ object SparkEntry {
         |       CAST(len(list_filter(pairs, p -> p[1] = '6')) AS BIGINT) AS hist_bucket6
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // fMP4 keyframe replay: keyframes live in trun sample flags (no
+    // stss in a fragmented file) — first sample of every fragment sync
+    // (even fragments via first-sample-flags, odd via per-sample
+    // flags, which also mark the LAST sample), so offsets are the
+    // moof-relative data_offset plus real size accumulation, all
+    // replayable from the fmp4KfSizes constants + text length
+    "q_multimodal_fmp4_kf" -> {
+      val (hdr, me, mo) = graft.ops.MultimodalOps.fmp4KfSizes
+      val k = graft.ops.MultimodalOps.Fmp4SamplesPerFrag
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         CAST(1 + doc_id % 3 AS BIGINT) AS nf
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n, nf,
+        |         n // nf AS len0,
+        |         (2 * n) // nf - (n // nf) AS len1
+        |  FROM px)
+        |SELECT doc_id,
+        |       nf AS n_frags,
+        |       nf + nf // 2 AS n_keyframes,
+        |       CAST($hdr + $me + 8 AS BIGINT) AS kf1_off,
+        |       CAST(CASE WHEN nf >= 2
+        |            THEN $hdr + $me + 8 + len0 + $mo + 8
+        |            ELSE -1 END AS BIGINT) AS kf2_off,
+        |       CAST(CASE WHEN nf >= 2
+        |            THEN $hdr + $me + 8 + len0 + $mo + 8
+        |                 + ${k - 1} * (len1 // $k) + least(${k - 1}, len1 % $k)
+        |            ELSE -1 END AS BIGINT) AS kf3_off
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
     // H.264 metadata replay: the synthesized avcC SPS encodes profile/
     // level/dims as pure functions of doc_id (the DECODER recovers them
     // by real exp-Golomb bitstream parsing + crop arithmetic), the
@@ -5469,6 +5500,22 @@ object SparkEntry {
             col("nBytes").cast("long").as("n_bytes"),
             col("meanByte").as("mean_byte"),
             element_at(col("byteHistogram"), 7).as("hist_bucket6"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_fmp4_kf" -> { (s, dir) =>
+        // keyframes of a STREAMING-PACKAGER file: no stss — the §8.8.8
+        // trun flag resolution (per-sample → first-sample-flags → tfhd
+        // default) decides sync samples, and offsets accumulate real
+        // trun sample sizes from the moof-based data_offset
+        val media = MultimodalOps.synthesizeFmp4Kf(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          width = 640, height = 360)
+        MultimodalOps.fmp4Keyframes(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("nFrags").as("n_frags"),
+            col("nKeyframes").as("n_keyframes"),
+            col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"),
+            col("kf3Off").as("kf3_off"))
           .orderBy("doc_id")
       },
       "q_multimodal_h264_meta" -> { (s, dir) =>

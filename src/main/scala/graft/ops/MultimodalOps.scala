@@ -1542,6 +1542,257 @@ object MultimodalOps {
       }
   }
 
+  // -- fMP4 keyframes: trun sample flags ---------------------------
+  // A fragmented file has no stss; seekability lives in the movie-
+  // fragment run boxes (ISO 14496-12 §8.8.8): a sample is a keyframe
+  // iff its resolved sample_flags clear the sample_is_non_sync bit
+  // (0x00010000), with the per-sample → first-sample-flags → tfhd
+  // default resolution order, and its byte position is the trun
+  // data_offset from the moof base plus the preceding samples' sizes.
+
+  /** Keyframe census of a fragmented MP4: fragment count, keyframe
+    * count, and the first three keyframes' absolute byte offsets
+    * (−1 when absent).
+    */
+  final case class Fmp4Kf(
+      id: Long, nFrags: Long, nKeyframes: Long,
+      kf1Off: Long, kf2Off: Long, kf3Off: Long)
+
+  private[graft] def fmp4KeyframesOf(r: MediaRecord): Option[Fmp4Kf] = {
+    val b = r.content
+    if (b == null || b.length < 16) return None
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    var nFrags = 0L
+    val kfs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // trex defaults (mvex) apply when a traf carries no tfhd override
+    var trexDefFlags = 0L
+    var trexDefSize = 0L
+
+    // walk the traf children; moofStart anchors default-base-is-moof
+    def traf(from: Int, until: Int, moofStart: Long): Boolean = {
+      var tfhdFlags = 0L
+      var baseDataOffset = -1L
+      var defFlags = trexDefFlags
+      var defSize = trexDefSize
+      var off = from
+      while (off + 8 <= until) {
+        val size = u32be(b, off)
+        if (size < 8 || off + size > until) return false
+        val payload = off + 8
+        val payloadEnd = (off + size).toInt
+        val t = new String(b, off + 4, 4, "US-ASCII")
+        if (t == "tfhd") {
+          if (payloadEnd - payload < 8) return false
+          tfhdFlags = u32be(b, payload) & 0xffffff
+          var pos = payload + 8
+          if ((tfhdFlags & 0x01) != 0) { // base-data-offset (u64)
+            if (pos + 8 > payloadEnd) return false
+            baseDataOffset = u64be(b, pos); pos += 8
+          }
+          if ((tfhdFlags & 0x02) != 0) pos += 4 // sample-description-index
+          if ((tfhdFlags & 0x08) != 0) pos += 4 // default-sample-duration
+          if ((tfhdFlags & 0x10) != 0) { // default-sample-size
+            if (pos + 4 > payloadEnd) return false
+            defSize = u32be(b, pos); pos += 4
+          }
+          if ((tfhdFlags & 0x20) != 0) { // default-sample-flags
+            if (pos + 4 > payloadEnd) return false
+            defFlags = u32be(b, pos); pos += 4
+          }
+        } else if (t == "trun") {
+          if (payloadEnd - payload < 8) return false
+          val flags = u32be(b, payload) & 0xffffff
+          val n = u32be(b, payload + 4)
+          if (n < 0 || n > (1 << 20)) return false
+          var pos = payload + 8
+          // data_offset is SIGNED (negative never occurs in practice
+          // but the field is i32 by spec) — big-endian like every
+          // BMFF integer
+          var dataOffset = 0L
+          if ((flags & 0x01) != 0) {
+            if (pos + 4 > payloadEnd) return false
+            dataOffset = u32be(b, pos).toInt.toLong; pos += 4
+          }
+          var firstFlags = -1L
+          if ((flags & 0x04) != 0) {
+            if (pos + 4 > payloadEnd) return false
+            firstFlags = u32be(b, pos); pos += 4
+          }
+          val base =
+            if (baseDataOffset >= 0) baseDataOffset
+            else moofStart // default-base-is-moof / first-trun convention
+          var sampleOff = base + dataOffset
+          var i = 0L
+          while (i < n) {
+            var sz = defSize
+            var fl = if (i == 0 && firstFlags >= 0) firstFlags else defFlags
+            if ((flags & 0x100) != 0) { // duration
+              if (pos + 4 > payloadEnd) return false
+              pos += 4
+            }
+            if ((flags & 0x200) != 0) { // size
+              if (pos + 4 > payloadEnd) return false
+              sz = u32be(b, pos); pos += 4
+            }
+            if ((flags & 0x400) != 0) { // per-sample flags win
+              if (pos + 4 > payloadEnd) return false
+              fl = u32be(b, pos); pos += 4
+            }
+            if ((flags & 0x800) != 0) { // composition offset
+              if (pos + 4 > payloadEnd) return false
+              pos += 4
+            }
+            if ((fl & 0x00010000L) == 0L) kfs += sampleOff // sync sample
+            sampleOff += sz
+            i += 1
+          }
+        }
+        off = payloadEnd
+      }
+      off == until
+    }
+
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      var off = from
+      while (off + 8 <= until) {
+        val size32 = u32be(b, off)
+        var header = 8L
+        val size: Long =
+          if (size32 == 1L) {
+            if (off + 16 > until) return false
+            header = 16L; u64be(b, off + 8)
+          } else if (size32 == 0L) (until - off).toLong
+          else size32
+        if (size < header || off + size > until) return false
+        val payload = off + header.toInt
+        val payloadEnd = (off + size).toInt
+        val t = new String(b, off + 4, 4, "US-ASCII")
+        if (t == "moov" || t == "mvex") {
+          if (depth < 3 && !walk(payload, payloadEnd, depth + 1)) return false
+        } else if (t == "trex") {
+          if (payloadEnd - payload < 24) return false
+          trexDefSize = u32be(b, payload + 16)
+          trexDefFlags = u32be(b, payload + 20)
+        } else if (t == "moof") {
+          nFrags += 1
+          // scan the moof's children for trafs
+          var p = payload
+          while (p + 8 <= payloadEnd) {
+            val csz = u32be(b, p)
+            if (csz < 8 || p + csz > payloadEnd) return false
+            if (new String(b, p + 4, 4, "US-ASCII") == "traf") {
+              if (!traf(p + 8, (p + csz).toInt, off.toLong)) return false
+            }
+            p += csz.toInt
+          }
+        }
+        off = payloadEnd
+      }
+      off == until
+    }
+    if (!walk(0, b.length, 0) || nFrags == 0) None
+    else {
+      def at(i: Int): Long = if (i < kfs.length) kfs(i) else -1L
+      Some(Fmp4Kf(r.id, nFrags, kfs.length.toLong, at(0), at(1), at(2)))
+    }
+  }
+
+  /** Batched partition-local fMP4 keyframe extraction; non-fragmented
+    * or malformed rows drop.
+    */
+  def fmp4Keyframes(ds: Dataset[MediaRecord]): Dataset[Fmp4Kf] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(fmp4KeyframesOf))
+  }
+
+  /** One movie fragment whose trun carries REAL sample sizes and sync
+    * flags: `data_offset` points just past the moof (default-base-is-
+    * moof in tfhd), the first sample is a keyframe, and — on the
+    * `perSampleFlags` variant — the LAST sample too (so a correct
+    * offset needs the size accumulation, not just the data offset).
+    * The other variant resolves the first sample from trun's
+    * first-sample-flags and the rest from tfhd's non-sync default —
+    * both §8.8.8 resolution paths are live in every multi-fragment
+    * file.
+    */
+  private[graft] def fmp4MoofKf(
+      seq: Int, tfdtBase: Long, sampleSizes: Array[Long],
+      perSampleFlags: Boolean): Array[Byte] = {
+    val NonSync = 0x00010000L
+    val SyncI = 0x02000000L // depends_on=2 (I-frame), non-sync bit clear
+    def build(dataOffset: Long): Array[Byte] = {
+      val mfhd = bmffBox("mfhd", bmffBe32(0) ++ bmffBe32(seq.toLong))
+      // default-base-is-moof | default-sample-duration | default-sample-flags
+      val tfhd = bmffBox("tfhd",
+        bmffBe32(0x020028L) ++ bmffBe32(1L) ++
+          bmffBe32(Fmp4SampleDur) ++ bmffBe32(NonSync))
+      val tfdt = bmffBox("tfdt",
+        Array[Byte](1, 0, 0, 0) ++ bmffBe64(tfdtBase))
+      val n = sampleSizes.length
+      val trun =
+        if (perSampleFlags)
+          bmffBox("trun", // data-offset | size | per-sample flags
+            bmffBe32(0x000601L) ++ bmffBe32(n.toLong) ++ bmffBe32(dataOffset) ++
+              sampleSizes.zipWithIndex.flatMap { case (sz, i) =>
+                val fl = if (i == 0 || i == n - 1) SyncI else NonSync
+                bmffBe32(sz) ++ bmffBe32(fl)
+              })
+        else
+          bmffBox("trun", // data-offset | first-sample-flags | size
+            bmffBe32(0x000205L) ++ bmffBe32(n.toLong) ++ bmffBe32(dataOffset) ++
+              bmffBe32(SyncI) ++ sampleSizes.flatMap(bmffBe32))
+      bmffBox("moof", mfhd ++ bmffBox("traf", tfhd ++ tfdt ++ trun))
+    }
+    val size = build(0L).length // trun length is offset-independent
+    build(size + 8L) // first media byte sits right past the mdat header
+  }
+
+  /** Byte sizes for the SQL oracle: (header, moof with
+    * first-sample-flags, moof with per-sample flags) at
+    * [[Fmp4SamplesPerFrag]] samples.
+    */
+  private[graft] lazy val fmp4KfSizes: (Int, Int, Int) = {
+    val sz = Array.fill(Fmp4SamplesPerFrag)(0L)
+    (fmp4Header(1, 1).length,
+      fmp4MoofKf(1, 0L, sz, perSampleFlags = false).length,
+      fmp4MoofKf(1, 0L, sz, perSampleFlags = true).length)
+  }
+
+  /** Per-row fragmented MP4 with REAL trun sample sizes and sync
+    * flags: `1 + id % 3` fragments, text bytes split contiguously
+    * across the fragments' mdats and then across each fragment's
+    * [[Fmp4SamplesPerFrag]] samples (longest-first remainder split,
+    * like stsz in [[synthesizeAvc1Mp4]]).  Even-index fragments use
+    * the first-sample-flags resolution, odd-index fragments spell
+    * per-sample flags with first AND last sample sync.
+    */
+  def synthesizeFmp4Kf(
+      df: DataFrame, idCol: String, textCol: String,
+      width: Int, height: Int): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
+      .as[(Long, Array[Byte])].map { case (id, text) =>
+        val nf = 1 + (id % 3).toInt
+        val out = Array.newBuilder[Byte]
+        out ++= fmp4Header(width, height)
+        var f = 0
+        while (f < nf) {
+          val lo = f * text.length / nf
+          val hi = (f + 1) * text.length / nf
+          val len = hi - lo
+          val k = Fmp4SamplesPerFrag
+          val sizes = Array.tabulate(k)(i =>
+            (len / k + (if (i < len % k) 1 else 0)).toLong)
+          out ++= fmp4MoofKf(f + 1,
+            f.toLong * k * Fmp4SampleDur, sizes, perSampleFlags = f % 2 == 1)
+          out ++= bmffBox("mdat", java.util.Arrays.copyOfRange(text, lo, hi))
+          f += 1
+        }
+        MediaRecord(id, "video/mp4", out.result())
+      }
+  }
+
   // ---------------------------------------------------------------
   // Sample-level WAV path: PCM is uncompressed, so the "codec" work is
   // the RIFF chunk walk plus 16-bit little-endian sample extraction —

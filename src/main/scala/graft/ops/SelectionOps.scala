@@ -212,7 +212,8 @@ object SelectionOps {
       targets: Map[String, Double], totalBudget: Long,
       seqLen: Long, salt: String): DataFrame =
     selectionPipelineCore(docs, idCol, textCol, langCol, sourceCol,
-      budgetPerLang, targets, totalBudget, seqLen, salt, (_, df) => df)
+      budgetPerLang, targets, totalBudget, seqLen, salt,
+      (_, df) => DedupOps.registerPersist(df))
 
   private def selectionPipelineCore(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
@@ -220,6 +221,14 @@ object SelectionOps {
       targets: Map[String, Double], totalBudget: Long,
       seqLen: Long, salt: String,
       boundary: (String, DataFrame) => DataFrame): DataFrame = {
+    // each stage frame is referenced 2-3× downstream (buckets + the
+    // survivor join; selection + the picked join; plan + copies + the
+    // token re-join) — without a persist the LAZY plan re-derives the
+    // whole upstream per reference, which the r12 staged-timing run
+    // measured as a 2.3× wall-time tax at sf10 (45.5 s → 20 s).  The
+    // default boundary is therefore registerPersist (released by the
+    // standard unpersistAll); the timed flavor's boundary adds
+    // count+clock on top.
     val scored = boundary("quality_gate", TextOps.qualityMetrics(docs, textCol)
       .filter(col("quality_score") >= 0.5)
       .select(col(idCol), col(langCol), col(sourceCol), col(textCol),

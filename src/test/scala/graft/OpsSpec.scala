@@ -609,6 +609,37 @@ class OpsSpec extends AnyFunSuite {
     assert(dropped.count() == 0)
   }
 
+  test("fmp4 keyframes: trun flag resolution and size-accumulated offsets") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val text = "x" * 50 // 3 frags of 16|17|17 bytes → samples of 3|4
+    val metas = MultimodalOps.fmp4Keyframes(
+        MultimodalOps.synthesizeFmp4Kf(
+          Seq((0L, text), (1L, text), (2L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", width = 640, height = 360))
+      .collect().sortBy(_.id)
+    val (hdr, me, mo) = MultimodalOps.fmp4KfSizes
+    // id 0: one fragment (even variant) → exactly one keyframe at the
+    // first media byte; per-sample flags never used
+    assert(metas(0) == MultimodalOps.Fmp4Kf(0L, 1, 1, hdr + me + 8, -1, -1))
+    // id 1: two fragments; frag1 (odd variant) adds first AND last
+    // sample keyframes — the last one's offset needs the real trun
+    // size accumulation (len0 = 25, len1 = 25; frag1 samples 5|5|5|5|5)
+    val kf1 = hdr + me + 8L
+    val kf2 = kf1 + 25L + mo + 8L
+    assert(metas(1) == MultimodalOps.Fmp4Kf(1L, 2, 3, kf1, kf2, kf2 + 20L))
+    // id 2: three fragments (len 16|17|17; frag1 samples 4|4|3|3|3) —
+    // kf3 = frag1's last sample after 4+4+3+3 bytes
+    val k1 = hdr + me + 8L
+    val k2 = k1 + 16L + mo + 8L
+    assert(metas(2) == MultimodalOps.Fmp4Kf(2L, 3, 4, k1, k2, k2 + 14L))
+    // non-fragmented input drops (the classic-MP4 path owns stss)
+    val classic = MultimodalOps.fmp4Keyframes(
+      MultimodalOps.synthesizeAvc1Mp4(
+        Seq((5L, text)).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(classic.count() == 0)
+  }
+
   test("eraseExactStore: keeper reassignment, member-only erase, group death") {
     import spark.implicits._
     import graft.ops.IncrementalDedup
