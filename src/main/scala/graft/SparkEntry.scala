@@ -3836,6 +3836,32 @@ object SparkEntry {
         |       CAST($off + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // VP9 uncompressed-header replay: all fields are the synthesis
+    // parameterization (profile id%4, 10-bit for profiles ≥ 2, color
+    // space 1+id%5, exact frame_size dims); keyframe offsets are the
+    // fixed header pad + per-block overhead + the text-split frame
+    // lengths — pure integer arithmetic
+    "q_multimodal_vp9_meta" -> {
+      val off = graft.ops.MultimodalOps.Vp9FirstFrameOff
+      val ns = graft.ops.MultimodalOps.Vp9FrameCount
+      val ovh = graft.ops.MultimodalOps.Vp9BlockOverhead +
+        graft.ops.MultimodalOps.Vp9FramePadBytes
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         2 + doc_id % 3 AS g
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(doc_id % 4 AS BIGINT) AS profile,
+        |       CAST(CASE WHEN doc_id % 4 >= 2 THEN 10 ELSE 8 END AS BIGINT) AS bit_depth,
+        |       CAST(1 + doc_id % 5 AS BIGINT) AS color_space,
+        |       CAST(426 + doc_id % 7 AS BIGINT) AS width,
+        |       CAST(240 + doc_id % 5 AS BIGINT) AS height,
+        |       CAST(1 + ${ns - 1} // g AS BIGINT) AS n_keyframes,
+        |       CAST($off AS BIGINT) AS kf1_off,
+        |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
+        |FROM px ORDER BY doc_id""".stripMargin
+    },
     // token-window chunking replay: same whitespace tokens, same
     // full-windows-plus-short-doc-clamp start rule, same md5 of the
     // space-rejoined window
@@ -5530,6 +5556,22 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("profile"), col("level"),
             col("codedWidth").as("coded_width"),
             col("codedHeight").as("coded_height"),
+            col("width"), col("height"),
+            col("nKeyframes").as("n_keyframes"),
+            col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_vp9_meta" -> { (s, dir) =>
+        // VP9 metadata WITHOUT pixel decode: real §6.2 uncompressed-
+        // header bit parse (profile, bit depth, color space, TRUE
+        // frame_size dims) + keyframe census from the WebM SimpleBlock
+        // walk — the VP9 analog of the avcC/SPS surface
+        val media = MultimodalOps.synthesizeVp9Webm(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.vp9Meta(media).toDF()
+          .select(col("id").as("doc_id"), col("profile"),
+            col("bitDepth").as("bit_depth"),
+            col("colorSpace").as("color_space"),
             col("width"), col("height"),
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))

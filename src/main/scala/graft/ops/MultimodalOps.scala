@@ -1076,6 +1076,13 @@ object MultimodalOps {
       while (nb != 0) bit(0)
       buf.toArray
     }
+    /** Zero-pad to the byte boundary WITHOUT a stop bit (VP9 headers
+      * are raw bits, not RBSP).
+      */
+    def padAlign(): Array[Byte] = {
+      while (nb != 0) bit(0)
+      buf.toArray
+    }
   }
 
   /** RBSP → escaped NAL payload: 0x03 inserted after any 00 00 that a
@@ -2462,5 +2469,334 @@ object MultimodalOps {
           }
         }
     }
+  }
+
+  // ---------------------------------------------------------------
+  // VP9 METADATA path (no pixel decode): the WebM/VP9 analog of the
+  // H.264 avcC/SPS surface above.  VP9 carries its stream parameters
+  // in every keyframe's UNCOMPRESSED HEADER (VP9 Bitstream & Decoding
+  // Process Specification §6.2, public): frame_marker, profile bits,
+  // frame_type, the 0x498342 sync code, color_config (bit depth,
+  // color space) and frame_size — all plain bit arithmetic before any
+  // arithmetic-coded payload.  Keyframe POSITIONS come from the EBML
+  // SimpleBlock walk (the WebM layer has no stss; seekability = which
+  // blocks start with a frame_type==KEY header).  Together these give
+  // a video-corpus user the same sampling surface as the H.264 path:
+  // true coded dims, profile/depth, and where the seek points live.
+  // ---------------------------------------------------------------
+
+  /** Parsed VP9 stream metadata: profile/bit-depth/color-space and
+    * TRUE coded dimensions from the first keyframe's uncompressed
+    * header, plus the keyframe census (count + first two keyframes'
+    * absolute byte offsets of the frame payload; −1 when absent).
+    */
+  final case class Vp9Meta(
+      id: Long, profile: Long, bitDepth: Long, colorSpace: Long,
+      width: Long, height: Long,
+      nKeyframes: Long, kf1Off: Long, kf2Off: Long)
+
+  /** MSB-first bit reader over a byte range (VP9 headers are raw bits,
+    * no NAL escaping).  Reads past the end return 0 and flip `ok`.
+    */
+  private final class Vp9BitReader(b: Array[Byte], from: Int, until: Int) {
+    private var pos = from.toLong * 8
+    private val end = until.toLong * 8
+    var ok: Boolean = true
+    def bit(): Int = {
+      if (pos >= end) { ok = false; return 0 }
+      val i = pos; pos += 1
+      (b((i >> 3).toInt) >> (7 - (i & 7)).toInt) & 1
+    }
+    def bits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** One VP9 uncompressed header, parsed far enough to classify the
+    * frame and (for keyframes) recover the stream parameters:
+    * (isKey, profile, bitDepth, colorSpace, width, height).
+    * `show_existing_frame` repeats and malformed headers return None.
+    */
+  private def vp9FrameHeader(
+      b: Array[Byte], from: Int, until: Int): Option[(Boolean, Long, Long, Long, Long, Long)] = {
+    val r = new Vp9BitReader(b, from, until)
+    if (r.bits(2) != 2L) return None // frame_marker
+    val profLow = r.bit()
+    val profHigh = r.bit()
+    val profile = (profHigh << 1) + profLow
+    if (profile == 3 && r.bit() != 0) return None // reserved_zero
+    if (r.bit() == 1) return None // show_existing_frame: not a new frame
+    val frameType = r.bit() // 0 = KEY_FRAME
+    r.bit() // show_frame
+    r.bit() // error_resilient_mode
+    if (frameType != 0) {
+      if (!r.ok) None else Some((false, profile.toLong, 0L, 0L, 0L, 0L))
+    } else {
+      if (r.bits(24) != 0x498342L) return None // frame_sync_code
+      // color_config
+      val bitDepth =
+        if (profile >= 2) { if (r.bit() == 1) 12L else 10L } else 8L
+      val colorSpace = r.bits(3)
+      if (colorSpace != 7L) { // != CS_RGB
+        r.bit() // color_range
+        if (profile == 1 || profile == 3) { r.bit(); r.bit(); r.bit() }
+      } else {
+        if (profile == 1 || profile == 3) r.bit() // reserved_zero
+      }
+      val w = r.bits(16) + 1 // frame_size
+      val h = r.bits(16) + 1
+      if (!r.ok) None
+      else Some((true, profile.toLong, bitDepth, colorSpace, w, h))
+    }
+  }
+
+  /** WebM walk → VP9 keyframe census: finds the V_VP9 track, then for
+    * every SimpleBlock of that track bit-parses the frame's
+    * uncompressed header.  Returns None for non-WebM payloads, files
+    * without a V_VP9 track, or any malformed block — decode failure
+    * must not kill a 100 TB pass, rows just drop (same contract as
+    * every decode surface here).
+    */
+  private[graft] def vp9MetaOf(r: MediaRecord): Option[Vp9Meta] = {
+    val b = r.content
+    if (b == null || b.length < 8) return None
+    if (!((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)) return None
+
+    def varint(off: Int, keepMarker: Boolean): Option[(Long, Int, Boolean)] = {
+      if (off >= b.length) return None
+      val first = b(off) & 0xff
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (len < 1 || len > 8 || off + len > b.length) return None
+      var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+      var allOnes = !keepMarker && (first & (0xff >>> len)) == (0xff >>> len)
+      var i = 1
+      while (i < len) {
+        val byte = b(off + i) & 0xff
+        if (byte != 0xff) allOnes = false
+        v = (v << 8) | byte
+        i += 1
+      }
+      Some((v, len, allOnes))
+    }
+    def uintAt(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+      v
+    }
+
+    var vp9Track = -1L
+    var nKey = 0L
+    var kf1 = -1L
+    var kf2 = -1L
+    var meta: Option[(Long, Long, Long, Long, Long)] = None
+
+    // pass inside one TrackEntry: is it the V_VP9 track, and which number?
+    def trackEntry(from: Int, until: Int): Unit = {
+      var num = -1L
+      var isVp9 = false
+      var off = from
+      while (off < until) {
+        val (id, idLen, _) = varint(off, keepMarker = true).getOrElse(return)
+        val (sz, szLen, _) = varint(off + idLen, keepMarker = false).getOrElse(return)
+        val payload = off + idLen + szLen
+        val payloadEnd = payload + sz.toInt
+        if (payloadEnd > until || sz < 0) return
+        id match {
+          case 0xD7L => num = uintAt(payload, payloadEnd - payload) // TrackNumber
+          case 0x86L => // CodecID
+            isVp9 = new String(b, payload, payloadEnd - payload, "US-ASCII") == "V_VP9"
+          case _ => ()
+        }
+        off = payloadEnd
+      }
+      if (isVp9 && num > 0 && vp9Track < 0) vp9Track = num
+    }
+
+    def simpleBlock(payload: Int, payloadEnd: Int): Boolean = {
+      val (track, tLen, _) = varint(payload, keepMarker = false).getOrElse(return false)
+      if (track != vp9Track) return true // other track: skip, not an error
+      val frameOff = payload + tLen + 3 // int16 timestamp + flags byte
+      if (frameOff >= payloadEnd) return false
+      vp9FrameHeader(b, frameOff, payloadEnd) match {
+        case Some((isKey, profile, depth, cs, w, h)) =>
+          if (isKey) {
+            nKey += 1
+            if (kf1 < 0) kf1 = frameOff.toLong
+            else if (kf2 < 0) kf2 = frameOff.toLong
+            if (meta.isEmpty) meta = Some((profile, depth, cs, w, h))
+          }
+          true
+        case None => false
+      }
+    }
+
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      var off = from
+      while (off < until) {
+        val (id, idLen, _) = varint(off, keepMarker = true).getOrElse(return false)
+        val (sz, szLen, unknown) = varint(off + idLen, keepMarker = false).getOrElse(return false)
+        val payload = off + idLen + szLen
+        val payloadEnd =
+          if (unknown) { if (id == 0x18538067L) until else return false }
+          else {
+            val e = payload + sz
+            if (e > until || sz < 0) return false
+            e.toInt
+          }
+        id match {
+          case 0x18538067L | 0x1654AE6BL | 0x1F43B675L => // Segment/Tracks/Cluster
+            if (depth < 4 && !walk(payload, payloadEnd, depth + 1)) return false
+          case 0xAEL => trackEntry(payload, payloadEnd) // TrackEntry
+          case 0xA3L if vp9Track > 0 => // SimpleBlock (document order puts Tracks first)
+            if (!simpleBlock(payload, payloadEnd)) return false
+          case _ => () // EBML header, Info, Timestamp, Void, ...
+        }
+        off = payloadEnd
+      }
+      off == until
+    }
+    if (!walk(0, b.length, 0) || vp9Track < 0) return None
+    meta.map { case (profile, depth, cs, w, h) =>
+      Vp9Meta(r.id, profile, depth, cs, w, h, nKey, kf1, kf2)
+    }
+  }
+
+  /** Batched partition-local VP9 metadata extraction — rows without a
+    * V_VP9 track (or with malformed blocks) drop.
+    */
+  def vp9Meta(ds: Dataset[MediaRecord]): Dataset[Vp9Meta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(vp9MetaOf))
+  }
+
+  // -- synthesis (the oracle side) --------------------------------
+
+  private[graft] val Vp9FrameCount = 8
+  private[graft] val Vp9HeaderBytes = 512 // EBML + Info/Tracks, Void-padded
+  /** Per-SimpleBlock bytes before the frame payload: element id (1) +
+    * fixed 4-byte size varint + track varint (1) + int16 timestamp +
+    * flags.
+    */
+  private[graft] val Vp9BlockOverhead = 9
+  /** Frame payload bytes beyond the text split: room for the bit-packed
+    * uncompressed header (≤ 10 bytes) in every frame.
+    */
+  private[graft] val Vp9FramePadBytes = 16
+  /** Absolute offset of the FIRST frame payload: header pad + cluster
+    * id/size (8) + Timestamp element (3) + block overhead.
+    */
+  private[graft] val Vp9FirstFrameOff: Long =
+    Vp9HeaderBytes + 8L + 3L + Vp9BlockOverhead
+
+  /** Per-row WebM with a real V_VP9 track and [[Vp9FrameCount]] frames
+    * whose uncompressed headers are REAL VP9 bitstream (§6.2): frame
+    * `j` is a keyframe iff `j % gop == 0` (gop = `2 + id%3`), carrying
+    * sync code, color_config and frame_size; interframes carry the
+    * inter header prefix.  Parameterization per id: profile `id%4`
+    * (covering the profile-3 reserved bit), 10-bit for profiles ≥ 2
+    * (`ten_or_twelve_bit`=0), color space `1 + id%5` (never CS_RGB),
+    * dims `(426 + id%7) × (240 + id%5)` — VP9 needs no macroblock
+    * rounding, `frame_size` is exact.  Frame `j`'s payload length is
+    * `Vp9FramePadBytes + n/8 (+1 for j < n%8)` (n = text bytes) and a
+    * Void element pads the pre-Cluster header to [[Vp9HeaderBytes]],
+    * so every keyframe offset replays from SQL arithmetic.
+    */
+  def synthesizeVp9Webm(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
+      .as[(Long, Array[Byte])].map { case (id, text) =>
+        val profile = (id % 4).toInt
+        val cs = 1 + (id % 5).toInt
+        val w = 426 + (id % 7).toInt
+        val h = 240 + (id % 5).toInt
+        val gop = 2 + (id % 3).toInt
+        val n = text.length
+
+        def el(idBytes: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+          // shortest-form size varint (payloads here are < 2^14-1)
+          val sz = payload.length
+          val szBytes =
+            if (sz < 127) Array[Byte]((0x80 | sz).toByte)
+            else Array[Byte]((0x40 | (sz >> 8)).toByte, sz.toByte)
+          idBytes ++ szBytes ++ payload
+        }
+        def be(v: Long, len: Int): Array[Byte] =
+          Array.tabulate(len)(i => (v >> (8 * (len - 1 - i))).toByte)
+
+        def vp9Frame(j: Int): Array[Byte] = {
+          val bw = new BitWriter
+          bw.bits(2L, 2) // frame_marker
+          bw.bit(profile & 1) // profile_low_bit
+          bw.bit((profile >> 1) & 1) // profile_high_bit
+          if (profile == 3) bw.bit(0) // reserved_zero
+          bw.bit(0) // show_existing_frame
+          val isKey = j % gop == 0
+          bw.bit(if (isKey) 0 else 1) // frame_type
+          bw.bit(1) // show_frame
+          bw.bit(0) // error_resilient_mode
+          if (isKey) {
+            bw.bits(0x498342L, 24) // frame_sync_code
+            if (profile >= 2) bw.bit(0) // ten_or_twelve_bit → 10-bit
+            bw.bits(cs.toLong, 3) // color_space (never CS_RGB here)
+            bw.bit(0) // color_range
+            if (profile == 1 || profile == 3) {
+              bw.bit(0); bw.bit(0); bw.bit(0) // subsampling + reserved
+            }
+            bw.bits((w - 1).toLong, 16)
+            bw.bits((h - 1).toLong, 16)
+          }
+          val head = bw.padAlign()
+          val len = Vp9FramePadBytes + n / Vp9FrameCount +
+            (if (j < n % Vp9FrameCount) 1 else 0)
+          head ++ new Array[Byte](len - head.length)
+        }
+
+        val blocks = (0 until Vp9FrameCount).flatMap { j =>
+          val frame = vp9Frame(j)
+          val body = Array[Byte](0x81.toByte) ++ be(j * 40L, 2) ++
+            Array[Byte](if (j % gop == 0) 0x80.toByte else 0x00) ++ frame
+          // fixed 4-byte size varint so the offset math is constant
+          Array(0xA3.toByte) ++ be(0x10000000L | body.length.toLong, 4) ++ body
+        }.toArray
+        val cluster = be(0x1F43B675L, 4) ++
+          be(0x10000000L | (3L + blocks.length), 4) ++
+          el(Array(0xE7.toByte), Array[Byte](0)) ++ blocks
+
+        val ebmlHead = el(be(0x1A45DFA3L, 4),
+          el(be(0x4286L, 2), Array[Byte](1)) ++ // EBMLVersion
+            el(be(0x4282L, 2), "webm".getBytes("US-ASCII"))) // DocType
+        val info = el(be(0x1549A966L, 4),
+          el(be(0x2AD7B1L, 3), be(1000000L, 3)) ++ // TimestampScale
+            el(be(0x4489L, 2), // Duration (float64, scale units)
+              be(java.lang.Double.doubleToLongBits(Vp9FrameCount * 40.0), 8)))
+        val video = el(Array(0xE0.toByte),
+          el(Array(0xB0.toByte), be(w.toLong, 2)) ++
+            el(Array(0xBA.toByte), be(h.toLong, 2)))
+        val track = el(Array(0xAE.toByte),
+          el(Array(0xD7.toByte), Array[Byte](1)) ++ // TrackNumber
+            el(Array(0x83.toByte), Array[Byte](1)) ++ // TrackType video
+            el(be(0x86L, 1), "V_VP9".getBytes("US-ASCII")) ++ video)
+        val tracks = el(be(0x1654AE6BL, 4), track)
+
+        // Segment with a fixed 8-byte size varint; Void pads the
+        // pre-Cluster region to exactly Vp9HeaderBytes
+        val preCluster = ebmlHead.length + 4 + 8 + info.length + tracks.length
+        val voidLen = Vp9HeaderBytes - preCluster // total Void bytes
+        require(voidLen >= 3,
+          s"synthesizeVp9Webm: header $preCluster exceeds the pad budget")
+        val voidEl = Array(0xEC.toByte,
+          (0x40 | ((voidLen - 3) >> 8)).toByte, (voidLen - 3).toByte) ++
+          new Array[Byte](voidLen - 3)
+        val segPayload = info ++ tracks ++ voidEl ++ cluster
+        val segment = be(0x18538067L, 4) ++
+          be(0x0100000000000000L | segPayload.length.toLong, 8) ++ segPayload
+        MediaRecord(id, "video/webm", ebmlHead ++ segment)
+      }
   }
 }

@@ -394,6 +394,36 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped > 6, "generous cap must keep the hot block")
   }
 
+  test("token-jaccard prefix filter is pair-identical to the nested-loop") {
+    // real corpus (sf0.001 documents, the oracle's blocking column) at
+    // two thresholds, plus the skewed fixture above — the prefix path
+    // is a candidate PRUNE, so any divergence is a missed true pair
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    for (t <- Seq(0.7, 0.9)) {
+      val fast = DedupOps.tokenJaccardPairs(
+        docs, "text", "doc_id", "n_chars", threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val slow = DedupOps.tokenJaccardPairs(
+        docs, "text", "doc_id", "n_chars", threshold = t,
+        prefixFilter = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == slow, s"prefix/nested-loop divergence at t=$t: " +
+        s"only-fast=${(fast -- slow).take(3)} only-slow=${(slow -- fast).take(3)}")
+      DedupOps.unpersistAll()
+    }
+    import spark.implicits._
+    val tiny = ((0 until 40).map(i => (i.toLong, f"aaa bbb ccc d${i % 7}%03d", 15)) ++
+      Seq((100L, "", 0), (101L, "", 0))) // token-less docs never pair
+      .toDF("doc_id", "text", "n_chars")
+    val fastTiny = DedupOps.tokenJaccardPairs(tiny, "text", "doc_id", "n_chars",
+      threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slowTiny = DedupOps.tokenJaccardPairs(tiny, "text", "doc_id", "n_chars",
+      threshold = 0.5, prefixFilter = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastTiny == slowTiny)
+    DedupOps.unpersistAll()
+  }
+
   test("simhash hot-bucket guard bounds an identical-prefix corpus") {
     import spark.implicits._
     val prefix = (0 until 64).map(i => s"tok$i").mkString(" ")
@@ -1607,6 +1637,50 @@ class OpsSpec extends AnyFunSuite {
     // dispatch: declared video reaches the EBML parser
     assert(MultimodalOps.decode(
       MultimodalOps.MediaRecord(4L, "video/webm", mkv)).width == 640)
+  }
+
+  test("multimodal vp9: uncompressed-header parse + keyframe census") {
+    import spark.implicits._
+    // ids 0..11 cover all four profiles (incl. profile-3's reserved
+    // bit), all gops, and both dim moduli; empty text exercises the
+    // min frame length
+    val docs = ((0L until 11L).map(i => (i, s"vp9 sample text $i " * (i.toInt + 1))) :+
+      (11L, "")).toDF("doc_id", "text")
+    val metas = MultimodalOps.vp9Meta(
+      MultimodalOps.synthesizeVp9Webm(docs, "doc_id", "text"))
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size == 12)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- 0L until 12L) {
+      val m = metas(id)
+      val n = texts(id).getBytes("UTF-8").length
+      val g = 2 + (id % 3).toInt
+      assert(m.profile == id % 4, s"id $id profile ${m.profile}")
+      assert(m.bitDepth == (if (id % 4 >= 2) 10 else 8), s"id $id depth")
+      assert(m.colorSpace == 1 + id % 5, s"id $id cs ${m.colorSpace}")
+      assert(m.width == 426 + id % 7 && m.height == 240 + id % 5,
+        s"id $id dims ${m.width}x${m.height}")
+      assert(m.nKeyframes == 1 + 7 / g, s"id $id nkf ${m.nKeyframes}")
+      assert(m.kf1Off == MultimodalOps.Vp9FirstFrameOff, s"id $id kf1 ${m.kf1Off}")
+      val expectKf2 = MultimodalOps.Vp9FirstFrameOff +
+        (MultimodalOps.Vp9BlockOverhead + MultimodalOps.Vp9FramePadBytes) * g +
+        g * (n / MultimodalOps.Vp9FrameCount) +
+        math.min(g, n % MultimodalOps.Vp9FrameCount)
+      assert(m.kf2Off == expectKf2, s"id $id kf2 ${m.kf2Off} != $expectKf2")
+    }
+    // junk / truncation / foreign codec drop, never error
+    val webm = MultimodalOps.synthesizeVp9Webm(docs.limit(1), "doc_id", "text")
+      .collect()(0).content
+    assert(MultimodalOps.vp9MetaOf(
+      MultimodalOps.MediaRecord(1L, "video/webm", "junk".getBytes)).isEmpty)
+    assert(MultimodalOps.vp9MetaOf(
+      MultimodalOps.MediaRecord(2L, "video/webm", webm.take(600))).isEmpty)
+    // flip the sync code of the first keyframe: malformed → drops
+    val broken = webm.clone()
+    val kf1 = MultimodalOps.Vp9FirstFrameOff.toInt
+    broken(kf1 + 1) = (broken(kf1 + 1) ^ 0x20).toByte // inside sync code bits
+    assert(MultimodalOps.vp9MetaOf(
+      MultimodalOps.MediaRecord(3L, "video/webm", broken)).isEmpty)
   }
 
   test("multimodal decode: WAV duration is real (samples over rate)") {
@@ -3207,6 +3281,31 @@ class OpsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(m(1L) == ((5L, 2L, 0.6, 0.6)))
     assert(m(2L)._3 == 0.0 && m(2L)._4 == 0.0)
+  }
+
+  test("repetition stats: fused expression matches the HOF reference") {
+    import spark.implicits._
+    // edge zoo: empty doc (one empty gram), single token (short-doc
+    // clamp), all-identical tokens, unicode, the crafted doc above —
+    // plus the real corpus at n = 2 and 3
+    val edge = Seq((1L, ""), (2L, "solo"), (3L, "x x x x x"),
+      (4L, "a b a b a b"), (5L, "é中 é中 tail"), (6L, "  spaced   out  "))
+      .toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_grams", "uniq_grams", "dup_gram_frac", "dup_char_frac")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toSet
+    for (n <- Seq(1, 2, 3)) {
+      assert(rows(TextOps.repetitionStats(edge, "text", n)) ==
+        rows(TextOps.repetitionStatsHof(edge, "text", n)), s"edge zoo n=$n")
+    }
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    for (n <- Seq(2, 3)) {
+      assert(rows(TextOps.repetitionStats(docs, "text", n)) ==
+        rows(TextOps.repetitionStatsHof(docs, "text", n)), s"corpus n=$n")
+    }
   }
 
   test("jsonl source: schema'd read quarantines corrupt lines, round-trip lossless") {
