@@ -528,6 +528,14 @@ object DedupOps {
     * explode (which would shuffle Σ prefix·|toks| — quadratic in
     * document length).
     *
+    * The prefix's token order is FREQUENCY-DEMOTED (Bayardo §3.1): a
+    * wordcount pass finds the `demoteHotTokens` globally most frequent
+    * tokens and sorts them AFTER everything else, so prefixes are made
+    * of rare tokens and a stopword shared by every doc in a block
+    * cannot become a C(block²) candidate key.  Any total order is
+    * lossless, so this is selectivity only — the parity spec runs with
+    * the default on.
+    *
     * @param maxBlock hot-block guard: common blocking-key values (e.g.
     *   popular document lengths) otherwise form O(block²) self-joins;
     *   blocks above this population are excluded from the join
@@ -537,6 +545,9 @@ object DedupOps {
     * @param prefixFilter false forces the plain block nested-loop
     *   (small inputs / spec parity pins); the default prefix path is
     *   the one that scales.
+    * @param demoteHotTokens size of the demoted hot-token set (0 skips
+    *   the wordcount pass and orders purely by hash — fine for corpora
+    *   already known stopword-free, e.g. post-normalization shingles).
     */
   def tokenJaccardPairs(
       df: DataFrame,
@@ -545,7 +556,8 @@ object DedupOps {
       blockCol: String,
       threshold: Double = 0.9,
       maxBlock: Int = 10000,
-      prefixFilter: Boolean = true): DataFrame = {
+      prefixFilter: Boolean = true,
+      demoteHotTokens: Int = 1024): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(TextOps.tokens(col(textCol))).as("toks"))
     val hot = t.groupBy("blk").agg(count(lit(1)).as("pop"))
@@ -567,21 +579,7 @@ object DedupOps {
       // joins — without the cache each reference re-tokenizes the
       // corpus (released via unpersistAll, like minhashPairs' tables)
       val base = registerPersist(cold.withColumn("sz", size(col("toks"))))
-      // total token order = (xxhash64, token): deterministic, no
-      // vocabulary pass, and hash order scatters locally-hot tokens.
-      // ⌈t·sz⌉ computes with a 1e-9 slack so float error can only
-      // LENGTHEN the prefix (more candidates, never a missed pair).
-      val minOverlap = ceil(lit(threshold) * col("sz") - lit(1e-9))
-      val pfx = base
-        .select(col("id"), col("blk"), col("sz"),
-          explode(slice(
-            transform(
-              array_sort(transform(col("toks"),
-                tk => struct(xxhash64(tk).as("h"), tk.as("t")))),
-              s => s.getField("t")),
-            lit(1),
-            greatest(col("sz") - minOverlap.cast("int") + lit(1), lit(0))))
-            .as("ptok"))
+      val pfx = jaccardPrefixes(base, threshold, demoteHotTokens)
       // J ≥ t also bounds the size ratio (t·max ≤ min) — slack in the
       // keep-more direction for the same float-safety reason
       val cand = pfx.as("l").join(pfx.as("r"),
@@ -601,5 +599,44 @@ object DedupOps {
             size(array_union(col("__ta"), col("__tb")))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
+  }
+
+  /** The (id, blk, sz, ptok) prefix rows of the filtered-Jaccard
+    * candidate join — package-visible so the spec can pin the
+    * demotion contract (a doc with enough rare tokens never carries a
+    * hot token in its prefix).  Expects `base` with (id, blk, toks,
+    * sz) columns.
+    *
+    * Token order = (hot?, xxhash64, token): deterministic and total;
+    * hot tokens (top `demoteHotTokens` by corpus frequency over the
+    * distinct-per-doc token sets) sort last.  ⌈t·sz⌉ computes with a
+    * 1e-9 slack so float error can only LENGTHEN the prefix (more
+    * candidates, never a missed pair).
+    */
+  private[graft] def jaccardPrefixes(
+      base: DataFrame, threshold: Double, demoteHotTokens: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hotArr: Array[org.apache.spark.unsafe.types.UTF8String] =
+      if (demoteHotTokens <= 0) Array.empty
+      else base.select(explode(col("toks")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("t"))
+        .limit(demoteHotTokens)
+        .collect()
+        .map(r => org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+    val hotKey: Column => Column =
+      if (hotArr.isEmpty) _ => lit(0)
+      else tk => ColumnBridge.column(graft.functions.TokenSetContains(
+        ColumnBridge.expression(tk), hotArr))
+    val minOverlap = ceil(lit(threshold) * col("sz") - lit(1e-9))
+    base.select(col("id"), col("blk"), col("sz"),
+      explode(slice(
+        transform(
+          array_sort(transform(col("toks"),
+            tk => struct(hotKey(tk).as("d"), xxhash64(tk).as("h"), tk.as("t")))),
+          s => s.getField("t")),
+        lit(1),
+        greatest(col("sz") - minOverlap.cast("int") + lit(1), lit(0))))
+        .as("ptok"))
   }
 }

@@ -424,6 +424,41 @@ class OpsSpec extends AnyFunSuite {
     DedupOps.unpersistAll()
   }
 
+  test("token-jaccard prefix demotion keeps stopwords out of prefixes") {
+    import spark.implicits._
+    // 50 one-block docs all sharing 3 stopwords + 3 unique rare tokens:
+    // with hash order a stopword lands in ~half the 2-token prefixes
+    // (C(50,2)-class candidates); demoted, prefixes are rare-only
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"the of and r${i}a r${i}b r${i}c", 7))
+      .toDF("doc_id", "text", "n_chars")
+    val base = docs.select(col("doc_id").as("id"), col("n_chars").as("blk"),
+      array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val stop = Set("the", "of", "and")
+    val demoted = DedupOps.jaccardPrefixes(base, 0.7, demoteHotTokens = 3)
+      .select("ptok").collect().map(_.getString(0))
+    assert(demoted.nonEmpty && !demoted.exists(stop),
+      s"stopwords leaked into demoted prefixes: ${demoted.filter(stop).take(3).toSeq}")
+    val hashOrdered = DedupOps.jaccardPrefixes(base, 0.7, demoteHotTokens = 0)
+      .select("ptok").collect().map(_.getString(0))
+    assert(hashOrdered.exists(stop), // the hazard the demotion removes
+      "expected the undemoted hash order to put some stopword in a prefix")
+    // demotion is selectivity only: pair sets agree either way
+    val on = DedupOps.tokenJaccardPairs(docs, "text", "doc_id", "n_chars",
+      threshold = 0.3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupOps.unpersistAll()
+    val off = DedupOps.tokenJaccardPairs(docs, "text", "doc_id", "n_chars",
+      threshold = 0.3, demoteHotTokens = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupOps.unpersistAll()
+    val loop = DedupOps.tokenJaccardPairs(docs, "text", "doc_id", "n_chars",
+      threshold = 0.3, prefixFilter = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(on == loop && off == loop,
+      s"demotion changed the pair set: on=${on.size} off=${off.size} loop=${loop.size}")
+  }
+
   test("simhash hot-bucket guard bounds an identical-prefix corpus") {
     import spark.implicits._
     val prefix = (0 until 64).map(i => s"tok$i").mkString(" ")
