@@ -4112,7 +4112,7 @@ object SparkEntry {
       labelB: String, b: (SparkSession, String) => DataFrame)
 
   def abVariants: Map[String, AbVariant] = Map(
-    // this round's deliberate change: the hot-band auto-salt default.
+    // r12 change 1: the hot-band auto-salt default.
     // A = the new default (salt on at 2^13); B = the r11 default (off).
     // Identical pair sets (spec-pinned), so the delta is pure plan cost.
     "minhash_salt_default" -> AbVariant(
@@ -4123,7 +4123,31 @@ object SparkEntry {
       "saltHotBands=0(r11)",
       (s, dir) => DedupOps.minhashPairs(
         s.read.parquet(s"$dir/documents.parquet"),
-        "text", "doc_id", jaccardThreshold = 0.5, saltHotBands = 0)))
+        "text", "doc_id", jaccardThreshold = 0.5, saltHotBands = 0)),
+    // r12 change 2: prefix-filtered vs nested-loop token-Jaccard
+    // candidates (pair-identical by spec; the delta is the candidate
+    // join's shape)
+    "jaccard_prefix_filter" -> AbVariant(
+      "prefixFilter=true(default)",
+      (s, dir) => DedupOps.tokenJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", "n_chars", threshold = 0.7),
+      "prefixFilter=false(r11)",
+      (s, dir) => DedupOps.tokenJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", "n_chars", threshold = 0.7, prefixFilter = false)),
+    // r12 change 3: fused GramRepetition expression vs the interpreted
+    // HOF chain, measured UNDER the quality-gate filter where the
+    // pushdown re-evaluation lives
+    "repetition_fused_expr" -> AbVariant(
+      "GramRepetition(default)",
+      (s, dir) => graft.ops.TextOps.repetitionStats(
+        s.read.parquet(s"$dir/documents.parquet"), "text", 2)
+        .where(col("dup_gram_frac") <= 0.5),
+      "HOF chain(r11)",
+      (s, dir) => graft.ops.TextOps.repetitionStatsHof(
+        s.read.parquet(s"$dir/documents.parquet"), "text", 2)
+        .where(col("dup_gram_frac") <= 0.5)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
