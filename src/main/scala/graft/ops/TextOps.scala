@@ -186,6 +186,28 @@ object TextOps {
     * cross-engine reproducible.
     */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    // ONE fused codegen'd byte scan (graft.functions.QualityTextStats)
+    // — the composed form below (kept as the spec-parity reference)
+    // re-tokenizes per metric under filter pushdown and pays an
+    // interpreted HOF for the stopword count
+    val qs = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.QualityTextStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol))))
+    df.withColumn("__qs", qs)
+      .withColumn("n_chars_m", col("__qs.n_chars_m"))
+      .withColumn("n_words", col("__qs.n_words"))
+      .withColumn("avg_word_len", col("__qs.avg_word_len"))
+      .withColumn("stopword_ratio", col("__qs.stopword_ratio"))
+      .withColumn("alpha_ratio", col("__qs.alpha_ratio"))
+      .withColumn("punct_ratio", col("__qs.punct_ratio"))
+      .withColumn("quality_score", col("__qs.quality_score"))
+      .drop("__qs")
+  }
+
+  /** The composed-column form of [[qualityMetrics]] — the reference
+    * implementation the parity spec pins [[QualityTextStats]] against.
+    */
+  private[graft] def qualityMetricsHof(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     val toks = tokens(c)
     val nChars = length(c)

@@ -3318,6 +3318,29 @@ class OpsSpec extends AnyFunSuite {
     assert(m(2L)._3 == 0.0 && m(2L)._4 == 0.0)
   }
 
+  test("quality metrics: fused expression matches the composed reference") {
+    import spark.implicits._
+    // edge zoo: empty, whitespace-only, unicode (multi-byte chars in
+    // the char count), stopword-dense, punctuation-dense, exotic
+    // whitespace (\t \x0B \f \r), boundary word counts for the gates
+    val edge = Seq((1L, ""), (2L, "   \t  "), (3L, "é中 café né 中文 ok"),
+      (4L, "the a of and to is in it that"), (5L, "!!! ,,, ??? ;;; :::"),
+      (6L, "one\ttwothree\ffour\rfive the"),
+      (7L, "w x y z v"), (8L, "abcdefghijkl " * 20))
+      .toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_chars_m", "n_words", "avg_word_len",
+      "stopword_ratio", "alpha_ratio", "punct_ratio", "quality_score")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSet
+    assert(rows(TextOps.qualityMetrics(edge, "text")) ==
+      rows(TextOps.qualityMetricsHof(edge, "text")), "edge zoo")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    assert(rows(TextOps.qualityMetrics(docs, "text")) ==
+      rows(TextOps.qualityMetricsHof(docs, "text")), "corpus")
+  }
+
   test("repetition stats: fused expression matches the HOF reference") {
     import spark.implicits._
     // edge zoo: empty doc (one empty gram), single token (short-doc
