@@ -21,9 +21,17 @@ object TextOps {
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword count estimate: word / number / punctuation runs
-    * via regex (the usual pre-tokenizer shape), no model table needed.
+    * (the usual pre-tokenizer shape), no model table needed — one
+    * codegen'd byte scan (graft.functions.BpeTokenCount; the regex
+    * form below is the spec-parity reference).
     */
   def bpeTokenEstimate(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BpeTokenCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Regex form of [[bpeTokenEstimate]] — parity-spec reference. */
+  private[graft] def bpeTokenEstimateRegex(c: Column): Column =
     size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Overlapping word n-grams over a PRE-MATERIALIZED token-array

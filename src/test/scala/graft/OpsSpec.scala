@@ -3341,6 +3341,25 @@ class OpsSpec extends AnyFunSuite {
       rows(TextOps.qualityMetricsHof(docs, "text")), "corpus")
   }
 
+  test("bpe token estimate: fused scan matches the regex reference") {
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "hello world"), (3L, "abc123def"),
+      (4L, "a1b2 c3!d4?"), (5L, "é中文, café 42€"), (6L, " \t\r\n "),
+      (7L, "snake_case-kebab.dot"), (8L, "2026-08-15T12:00:00Z"))
+      .toDF("doc_id", "text")
+    def counts(c: org.apache.spark.sql.Column) =
+      edge.select(col("doc_id"), c.as("n")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts(TextOps.bpeTokenEstimate(col("text"))) ==
+      counts(TextOps.bpeTokenEstimateRegex(col("text"))), "edge zoo")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val d = docs.select(
+      TextOps.bpeTokenEstimate(col("text")).as("a"),
+      TextOps.bpeTokenEstimateRegex(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(d == 0, s"$d corpus rows diverge")
+  }
+
   test("repetition stats: fused expression matches the HOF reference") {
     import spark.implicits._
     // edge zoo: empty doc (one empty gram), single token (short-doc
