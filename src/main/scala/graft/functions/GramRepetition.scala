@@ -69,20 +69,20 @@ object GramRepetition {
 
   private val Space = UTF8String.fromString(" ")
 
-  /** Static helper the generated code calls: builds the overlapping
-    * gram sequence once, then distinct-counts (open-addressed via
-    * java.util.HashSet — UTF8String hashes by content) and
-    * sorted-neighbor char-charges in the same pass structure the HOF
-    * chain pins.
+  /** The overlapping word-n-gram sequence with TextOps.wordNgramsOf's
+    * exact clamp semantics: max(len−n+1, 1) windows, the final windows
+    * truncated at the array end, a token-less input yielding one empty
+    * gram, null tokens skipped like `concat_ws`.  Shared by
+    * [[GramRepetition]] and [[WordNgramArray]].
     */
-  def compute(toks: ArrayData, n: Int): InternalRow = {
+  private[functions] def buildGrams(toks: ArrayData, n: Int): Array[UTF8String] = {
     val len = toks.numElements()
     val w = math.max(len - (n - 1), 1)
     val grams = new Array[UTF8String](w)
     val parts = new Array[UTF8String](n)
     var i = 0
     while (i < w) {
-      // slice(toks, i+1, n) with the end clamp; concat_ws skips nulls
+      // slice(toks, i+1, n) with the end clamp
       val end = math.min(i + n, len)
       var k = 0
       var j = i
@@ -97,9 +97,21 @@ object GramRepetition {
         else UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(parts, 0, k): _*)
       i += 1
     }
+    grams
+  }
+
+  /** Static helper the generated code calls: builds the overlapping
+    * gram sequence once, then distinct-counts (open-addressed via
+    * java.util.HashSet — UTF8String hashes by content) and
+    * sorted-neighbor char-charges in the same pass structure the HOF
+    * chain pins.
+    */
+  def compute(toks: ArrayData, n: Int): InternalRow = {
+    val grams = buildGrams(toks, n)
+    val w = grams.length
     var totalChars = 0L
     val seen = new java.util.HashSet[UTF8String](w * 2)
-    i = 0
+    var i = 0
     while (i < w) {
       totalChars += grams(i).numChars()
       seen.add(grams(i))
@@ -122,4 +134,45 @@ object GramRepetition {
       if (totalChars > 0) dupChars.toDouble / totalChars else null
     new GenericInternalRow(Array[Any](w.toLong, uniq, gramFrac, charFrac))
   }
+}
+
+/** The overlapping word-n-gram sequence (TextOps.wordNgramsOf) as one
+  * codegen'd pass — gram strings identical to the composed
+  * `transform(sequence(...), i => concat_ws(" ", slice(toks, i, n)))`
+  * chain (the parity spec pins it), but built in a compiled loop
+  * instead of four nested interpreted higher-order nodes.  Shingle
+  * construction rides every dedup/sketch/decontamination path, and
+  * the interpreted chain measured ~4.5 s of the sf10 minhash pass on
+  * its own.
+  */
+case class WordNgramArray(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramArray.build(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${WordNgramArray.getClass.getName.stripSuffix("$")}.build($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgramArray = copy(child = newChild)
+}
+
+object WordNgramArray {
+  def build(toks: ArrayData, n: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GramRepetition.buildGrams(toks, n).asInstanceOf[Array[Any]])
 }

@@ -87,7 +87,18 @@ object DedupOps {
     * function per row (numHashes× slower; same re-inlining trap as
     * TextOps.winnowFingerprints documents).
     */
-  def minhashSignatureFromBase(base: Column, numHashes: Int): Column =
+  def minhashSignatureFromBase(base: Column, numHashes: Int): Column = {
+    val params = hashParams(numHashes)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinhashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(base),
+        params.map(_._1).toArray, params.map(_._2).toArray))
+  }
+
+  /** Composed form of [[minhashSignatureFromBase]] — parity-spec
+    * reference (numHashes interpreted transform+array_min passes).
+    */
+  private[graft] def minhashSignatureFromBaseHof(base: Column, numHashes: Int): Column =
     array(hashParams(numHashes).map { case (a, b) =>
       array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
     }: _*)

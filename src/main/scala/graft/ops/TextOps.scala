@@ -45,6 +45,14 @@ object TextOps {
     * sequence clamp), which both engines agree on.
     */
   def wordNgramsOf(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordNgramArray(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks), n))
+
+  /** Composed higher-order form of [[wordNgramsOf]] — parity-spec
+    * reference (four interpreted nodes; see WordNgramArray).
+    */
+  private[graft] def wordNgramsOfHof(toks: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
@@ -96,7 +104,7 @@ object TextOps {
     // recompute the token + n-gram chain per reference (the same
     // re-inlining trap winnowFingerprints documents)
     val withG = df.withColumn("__rs_toks", tokens(col(textCol)))
-      .withColumn("__grams", wordNgramsOf(col("__rs_toks"), n))
+      .withColumn("__grams", wordNgramsOfHof(col("__rs_toks"), n))
       .withColumn("__sg", array_sort(col("__grams")))
       .drop("__rs_toks")
     val g = col("__grams")

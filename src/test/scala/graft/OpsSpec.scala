@@ -3341,6 +3341,51 @@ class OpsSpec extends AnyFunSuite {
       rows(TextOps.qualityMetricsHof(docs, "text")), "corpus")
   }
 
+  test("word n-grams: fused expression matches the HOF reference") {
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "solo"), (3L, "a b"), (4L, "a b c d e"),
+      (5L, "é中 tail x"), (6L, "  gap   in\tmiddle  "))
+      .toDF("doc_id", "text")
+    def grams(df: org.apache.spark.sql.DataFrame, mk: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column, n: Int) =
+      df.select(col("doc_id"),
+          mk(TextOps.tokens(col("text")), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for (n <- Seq(1, 2, 3, 5)) {
+      assert(grams(edge, TextOps.wordNgramsOf, n) ==
+        grams(edge, TextOps.wordNgramsOfHof, n), s"edge zoo n=$n")
+    }
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val d = docs.select(TextOps.tokens(col("text")).as("__t"))
+      .select(TextOps.wordNgramsOf(col("__t"), 3).as("a"),
+        TextOps.wordNgramsOfHof(col("__t"), 3).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(d == 0, s"$d corpus rows diverge")
+  }
+
+  test("minhash signature: fused expression matches the HOF reference") {
+    import spark.implicits._
+    // empty base (all-null slots), single element, many elements
+    val base = Seq((1L, Seq.empty[Long]), (2L, Seq(7L)),
+      (3L, Seq(0L, 2147483646L, 12345L, 99L, 424242L)))
+      .toDF("id", "bh")
+    def sig(c: org.apache.spark.sql.Column) =
+      base.select(col("id"), c.as("s")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(sig(DedupOps.minhashSignatureFromBase(col("bh"), 32)) ==
+      sig(DedupOps.minhashSignatureFromBaseHof(col("bh"), 32)))
+    // real corpus base hashes
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(TextOps.tokens(col("text")).as("__t"))
+      .select(DedupOps.shinglesOf(col("__t")).as("__sh"))
+      .select(transform(col("__sh"),
+        s => pmod(xxhash64(s), lit(2147483647L))).as("bh"))
+    val d = docs.select(
+        DedupOps.minhashSignatureFromBase(col("bh"), 16).as("a"),
+        DedupOps.minhashSignatureFromBaseHof(col("bh"), 16).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(d == 0, s"$d corpus rows diverge")
+  }
+
   test("bpe token estimate: fused scan matches the regex reference") {
     import spark.implicits._
     val edge = Seq((1L, ""), (2L, "hello world"), (3L, "abc123def"),
