@@ -375,9 +375,26 @@ object TextOps {
   def bloomContaminationCols(
       toks: Column, positions: Array[Long],
       n: Int = 3, mBits: Int = 1 << 17, k: Int = 4): Column = {
+    // ONE fused pass (graft.functions.BloomContamination — one md5 per
+    // distinct gram, k bit probes); the fold form below is the
+    // parity-spec reference
+    val words = new Array[Long](mBits / 64)
+    positions.foreach { p => words((p / 64).toInt) |= 1L << (p % 64).toInt }
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomContamination(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks),
+        words, n, mBits, k))
+  }
+
+  /** Composed fold form of [[bloomContaminationCols]] — parity-spec
+    * reference (interpreted aggregate, two md5 evaluations per gram).
+    */
+  private[graft] def bloomContaminationColsHof(
+      toks: Column, positions: Array[Long],
+      n: Int = 3, mBits: Int = 1 << 17, k: Int = 4): Column = {
     val hit = bloomHitExpr(positions, mBits, k)
     aggregate(
-      array_distinct(wordNgramsOf(toks, n)),
+      array_distinct(wordNgramsOfHof(toks, n)),
       struct(lit(0L).as("n_grams"), lit(0L).as("n_flagged")),
       (acc, g) => struct(
         (acc("n_grams") + lit(1L)).as("n_grams"),

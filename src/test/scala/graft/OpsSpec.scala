@@ -3362,6 +3362,30 @@ class OpsSpec extends AnyFunSuite {
     assert(d == 0, s"$d corpus rows diverge")
   }
 
+  test("bloom contamination: fused expression matches the fold reference") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val positions = TextOps.bloomBuild(docs.filter(col("doc_id") < 20), "text", n = 3)
+    val corpus = docs.withColumn("__t", TextOps.tokens(col("text")))
+    def counts(c: org.apache.spark.sql.Column) =
+      corpus.select(col("doc_id"), c.as("b"))
+        .select(col("doc_id"), col("b.n_grams"), col("b.n_flagged"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(counts(TextOps.bloomContaminationCols(col("__t"), positions, n = 3)) ==
+      counts(TextOps.bloomContaminationColsHof(col("__t"), positions, n = 3)),
+      "corpus")
+    // edge: empty doc (one empty gram), token-less whitespace doc
+    val edge = Seq((1L, ""), (2L, " \t "), (3L, "one two three four"))
+      .toDF("doc_id", "text").withColumn("__t", TextOps.tokens(col("text")))
+    def ecounts(c: org.apache.spark.sql.Column) =
+      edge.select(col("doc_id"), c.as("b"))
+        .select(col("doc_id"), col("b.n_grams"), col("b.n_flagged"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ecounts(TextOps.bloomContaminationCols(col("__t"), positions, n = 3)) ==
+      ecounts(TextOps.bloomContaminationColsHof(col("__t"), positions, n = 3)),
+      "edge zoo")
+  }
+
   test("minhash signature: fused expression matches the HOF reference") {
     import spark.implicits._
     // empty base (all-null slots), single element, many elements
