@@ -104,4 +104,7 @@ object BloomContamination {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** Shared per-thread digest for the md5-based fused expressions. */
+  private[functions] def md5(): java.security.MessageDigest = digest.get()
 }

@@ -1121,6 +1121,21 @@ object TextOps {
 
   def winnowFingerprints(
       df: DataFrame, textCol: String, outCol: String,
+      k: Int = 8, w: Int = 16, portableHash: Boolean = false): DataFrame =
+    // ONE fused pass (graft.functions.WinnowFingerprint: char→byte
+    // offset table + O(grams) monotonic-deque window minima); the
+    // composed form below is the parity-spec reference — measured
+    // 63 s at sf10 for its O(chars·w) interpreted slices
+    df.withColumn(outCol, org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WinnowFingerprint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+        k, w, portableHash)))
+
+  /** Composed array-expression form of [[winnowFingerprints]] —
+    * parity-spec reference.
+    */
+  private[graft] def winnowFingerprintsHof(
+      df: DataFrame, textCol: String, outCol: String,
       k: Int = 8, w: Int = 16, portableHash: Boolean = false): DataFrame = {
     val gcol = outCol + "__grams"
     val gramHash: Column => Column =

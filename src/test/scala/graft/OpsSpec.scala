@@ -3362,6 +3362,34 @@ class OpsSpec extends AnyFunSuite {
     assert(d == 0, s"$d corpus rows diverge")
   }
 
+  test("winnow fingerprint: fused expression matches the composed reference") {
+    import spark.implicits._
+    // edges: empty (one empty gram), shorter than k, shorter than k+w,
+    // multi-byte chars (char-based substr), repetitive text (distinct
+    // collapse + tie-heavy windows)
+    val edge = Seq((1L, ""), (2L, "abc"), (3L, "abcdefghij"),
+      (4L, "é中文 café née 中文abc"), (5L, "ababababababababababababab"),
+      (6L, "the quick brown fox jumps over the lazy dog and then some more"))
+      .toDF("doc_id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (portable <- Seq(false, true); (k, w) <- Seq((8, 16), (3, 4))) {
+      val a = fp(TextOps.winnowFingerprints(edge, "text", "f", k, w, portable)
+        .select("doc_id", "f"))
+      val b = fp(TextOps.winnowFingerprintsHof(edge, "text", "f", k, w, portable)
+        .select("doc_id", "f"))
+      assert(a == b, s"edge zoo diverges portable=$portable k=$k w=$w")
+    }
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    for (portable <- Seq(false, true)) {
+      val d = TextOps.winnowFingerprints(docs, "text", "a", 8, 16, portable)
+        .join(TextOps.winnowFingerprintsHof(docs, "text", "b", 8, 16, portable)
+          .select("doc_id", "b"), "doc_id")
+        .where(col("a") =!= col("b")).count()
+      assert(d == 0, s"$d corpus rows diverge (portable=$portable)")
+    }
+  }
+
   test("bloom contamination: fused expression matches the fold reference") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
