@@ -35,7 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class QualityTextStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = QualityTextStats.schema
-  override def nullable: Boolean = child.nullable
+  // null TEXT does not null the struct: the composed form's
+  // `when(...).otherwise(0.0)` ratio branches yield
+  // (null, null, 0, 0, 0, 0, 0) for a null document, and the fused
+  // form matches it exactly (the count fields alone stay null)
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_quality_text_stats"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -44,12 +48,24 @@ case class QualityTextStats(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string input, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    QualityTextStats.compute(input.asInstanceOf[UTF8String])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) QualityTextStats.NullTextRow
+    else QualityTextStats.compute(v.asInstanceOf[UTF8String])
+  }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"${QualityTextStats.getClass.getName.stripSuffix("$")}.compute($c)")
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val cls = QualityTextStats.getClass.getName.stripSuffix("$")
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        InternalRow ${ev.value} = ${childGen.isNull} ?
+          $cls.nullTextRow() : $cls.compute(${childGen.value});
+        """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): QualityTextStats = copy(child = newChild)
@@ -57,13 +73,21 @@ case class QualityTextStats(child: Expression) extends UnaryExpression {
 
 object QualityTextStats {
   val schema: StructType = StructType(Seq(
-    StructField("n_chars_m", IntegerType, nullable = false),
-    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_chars_m", IntegerType, nullable = true), // null for null text
+    StructField("n_words", IntegerType, nullable = true),
     StructField("avg_word_len", DoubleType, nullable = false),
     StructField("stopword_ratio", DoubleType, nullable = false),
     StructField("alpha_ratio", DoubleType, nullable = false),
     StructField("punct_ratio", DoubleType, nullable = false),
     StructField("quality_score", DoubleType, nullable = false)))
+
+  /** The composed form's null-text row: counts null (length/size of a
+    * null chain), ratios and score 0.0 (the `otherwise` branches).
+    */
+  private val NullTextRow: InternalRow =
+    new GenericInternalRow(Array[Any](null, null, 0.0, 0.0, 0.0, 0.0, 0.0))
+
+  def nullTextRow(): InternalRow = NullTextRow
 
   // TextOps.langFunctionWords("en"), as UTF-8 bytes for alloc-free
   // token comparison (all ASCII; longest is 4 bytes)

@@ -3326,13 +3326,17 @@ class OpsSpec extends AnyFunSuite {
     val edge = Seq((1L, ""), (2L, "   \t  "), (3L, "é中 café né 中文 ok"),
       (4L, "the a of and to is in it that"), (5L, "!!! ,,, ??? ;;; :::"),
       (6L, "one\ttwothree\ffour\rfive the"),
-      (7L, "w x y z v"), (8L, "abcdefghijkl " * 20))
+      (7L, "w x y z v"), (8L, "abcdefghijkl " * 20),
+      (9L, null)) // null text: counts null, ratios/score 0.0 (otherwise branches)
       .toDF("doc_id", "text")
     val cols = Seq("doc_id", "n_chars_m", "n_words", "avg_word_len",
       "stopword_ratio", "alpha_ratio", "punct_ratio", "quality_score")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(cols.map(col): _*).collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getInt(1),
+          if (r.isNullAt(2)) null else r.getInt(2),
+          r.getDouble(3),
           r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSet
     assert(rows(TextOps.qualityMetrics(edge, "text")) ==
       rows(TextOps.qualityMetricsHof(edge, "text")), "edge zoo")
