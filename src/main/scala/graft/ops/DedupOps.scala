@@ -97,11 +97,14 @@ object DedupOps {
 
   /** Composed form of [[minhashSignatureFromBase]] — parity-spec
     * reference (numHashes interpreted transform+array_min passes).
+    * Null wrap: a null base gives a null signature, not an array of
+    * nulls — the fused expression's (and the only useful) contract.
     */
   private[graft] def minhashSignatureFromBaseHof(base: Column, numHashes: Int): Column =
-    array(hashParams(numHashes).map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
-    }: _*)
+    when(base.isNull, lit(null).cast("array<bigint>")).otherwise(
+      array(hashParams(numHashes).map { case (a, b) =>
+        array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
+      }: _*))
 
   /** Adds shingle + signature columns (two materialized stages). */
   def withMinhashSignature(

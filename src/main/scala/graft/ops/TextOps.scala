@@ -50,11 +50,15 @@ object TextOps {
         org.apache.spark.sql.graft.ColumnBridge.expression(toks), n))
 
   /** Composed higher-order form of [[wordNgramsOf]] — parity-spec
-    * reference (four interpreted nodes; see WordNgramArray).
+    * reference (four interpreted nodes; see WordNgramArray).  The
+    * explicit null wrap defines the gram contract as null-in →
+    * null-out: the raw chain accidentally produced one EMPTY gram for
+    * a null array because `greatest` ignores null operands.
     */
   private[graft] def wordNgramsOfHof(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(toks.isNull, lit(null).cast("array<string>")).otherwise(
+      transform(sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** Convenience single-expression form of [[wordNgramsOf]] — ONLY for
     * contexts that evaluate it once over few windows; every DataFrame-
@@ -738,9 +742,13 @@ object TextOps {
     * flavor passes `DedupOps.md5Hash60` so DuckDB can replay it).
     */
   def kgramHashesWith(c: Column, k: Int, gramHash: Column => Column): Column =
-    transform(
-      sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),
-      i => gramHash(c.substr(i, lit(k))))
+    // null wrap: null text → null hashes (not [null]; `greatest`
+    // would otherwise swallow the null length) — same contract as
+    // the fused WinnowFingerprint
+    when(c.isNull, lit(null).cast("array<bigint>")).otherwise(
+      transform(
+        sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),
+        i => gramHash(c.substr(i, lit(k)))))
 
   /** Winnowing-style rolling fingerprint: hash every character k-gram,
     * then keep the minimum hash of each sliding window of w k-grams
@@ -1142,9 +1150,10 @@ object TextOps {
       if (portableHash) DedupOps.md5Hash60 else s => xxhash64(s)
     df.withColumn(gcol, kgramHashesWith(col(textCol), k, gramHash))
       .withColumn(outCol,
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(col(gcol)) - lit(w - 1), lit(1))),
-          i => array_min(slice(col(gcol), i, lit(w))))))
+        when(col(gcol).isNull, lit(null).cast("array<bigint>")).otherwise(
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(col(gcol)) - lit(w - 1), lit(1))),
+            i => array_min(slice(col(gcol), i, lit(w)))))))
       .drop(gcol)
   }
 }

@@ -3366,6 +3366,37 @@ class OpsSpec extends AnyFunSuite {
     assert(d == 0, s"$d corpus rows diverge")
   }
 
+  test("fused expressions: null input matches each composed reference") {
+    import spark.implicits._
+    val df = Seq((1L, Option("some text here")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    def pair(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      val ra = a.orderBy("id").collect().map(_.toString).toSeq
+      val rb = b.orderBy("id").collect().map(_.toString).toSeq
+      assert(ra == rb, s"null-row divergence:\n fused $ra\n ref   $rb")
+    }
+    pair(TextOps.repetitionStats(df, "text", 2).select("id", "n_grams", "dup_char_frac"),
+      TextOps.repetitionStatsHof(df, "text", 2).select("id", "n_grams", "dup_char_frac"))
+    pair(df.select(col("id"), TextOps.bpeTokenEstimate(col("text")).as("n")),
+      df.select(col("id"), TextOps.bpeTokenEstimateRegex(col("text")).as("n")))
+    val toks = df.withColumn("__t",
+      when(col("text").isNotNull, TextOps.tokens(col("text"))))
+    pair(toks.select(col("id"), TextOps.wordNgramsOf(col("__t"), 2).as("g")),
+      toks.select(col("id"), TextOps.wordNgramsOfHof(col("__t"), 2).as("g")))
+    pair(TextOps.winnowFingerprints(df, "text", "f").select("id", "f"),
+      TextOps.winnowFingerprintsHof(df, "text", "f").select("id", "f"))
+    val pos = Array(1L, 5L, 1000L)
+    pair(toks.select(col("id"),
+        TextOps.bloomContaminationCols(col("__t"), pos).as("b")),
+      toks.select(col("id"),
+        TextOps.bloomContaminationColsHof(col("__t"), pos).as("b")))
+    val bh = df.withColumn("__bh",
+      when(col("text").isNotNull,
+        array(pmod(xxhash64(col("text")), lit(2147483647L)))))
+    pair(bh.select(col("id"), DedupOps.minhashSignatureFromBase(col("__bh"), 4).as("s")),
+      bh.select(col("id"), DedupOps.minhashSignatureFromBaseHof(col("__bh"), 4).as("s")))
+  }
+
   test("winnow fingerprint: fused expression matches the composed reference") {
     import spark.implicits._
     // edges: empty (one empty gram), shorter than k, shorter than k+w,
