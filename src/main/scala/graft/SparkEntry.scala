@@ -3836,6 +3836,35 @@ object SparkEntry {
         |       CAST($off + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // AV1 sequence-header replay: profile id%3, 10-bit when id%2=1,
+    // level 4+id%4, exact max-frame dims; keyframe offsets fold in the
+    // profile/bitdepth-dependent sequence-OBU length (a layout
+    // constant per (profile, high) pair, CASE over id%6)
+    "q_multimodal_av1_meta" -> {
+      val off = graft.ops.MultimodalOps.Av1FirstTuOff
+      val ns = graft.ops.MultimodalOps.Av1FrameCount
+      val ovh = graft.ops.MultimodalOps.Av1BlockOverhead + 3 +
+        graft.ops.MultimodalOps.Av1FramePadBytes
+      val seqLenCase = (0 until 6).map { m =>
+        s"WHEN $m THEN ${graft.ops.MultimodalOps.av1SeqObuLen(m % 3, m % 2 == 1)}"
+      }.mkString(" ")
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         2 + doc_id % 3 AS g,
+        |         CASE doc_id % 6 $seqLenCase END AS sl
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(doc_id % 3 AS BIGINT) AS profile,
+        |       CAST(4 + doc_id % 4 AS BIGINT) AS level,
+        |       CAST(CASE WHEN doc_id % 2 = 1 THEN 10 ELSE 8 END AS BIGINT) AS bit_depth,
+        |       CAST(640 + doc_id % 9 AS BIGINT) AS width,
+        |       CAST(360 + doc_id % 7 AS BIGINT) AS height,
+        |       CAST(1 + ${ns - 1} // g AS BIGINT) AS n_keyframes,
+        |       CAST($off AS BIGINT) AS kf1_off,
+        |       CAST($off + sl + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
+        |FROM px ORDER BY doc_id""".stripMargin
+    },
     // VP9 uncompressed-header replay: all fields are the synthesis
     // parameterization (profile id%4, 10-bit for profiles ≥ 2, color
     // space 1+id%5, exact frame_size dims); keyframe offsets are the
@@ -5580,6 +5609,22 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("profile"), col("level"),
             col("codedWidth").as("coded_width"),
             col("codedHeight").as("coded_height"),
+            col("width"), col("height"),
+            col("nKeyframes").as("n_keyframes"),
+            col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_av1_meta" -> { (s, dir) =>
+        // AV1 metadata WITHOUT pixel decode: real §5.5 sequence-header
+        // OBU bit parse (profile/level/bit-depth/max dims) + keyframe
+        // census from the frame OBUs' uncompressed-header prefix via
+        // the WebM SimpleBlock + §5.3.2 OBU walk — keyframe offsets
+        // are temporal-unit starts (the sequence OBU a seek must feed)
+        val media = MultimodalOps.synthesizeAv1Webm(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.av1Meta(media).toDF()
+          .select(col("id").as("doc_id"), col("profile"), col("level"),
+            col("bitDepth").as("bit_depth"),
             col("width"), col("height"),
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))

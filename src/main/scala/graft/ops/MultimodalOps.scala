@@ -2799,4 +2799,406 @@ object MultimodalOps {
         MediaRecord(id, "video/webm", ebmlHead ++ segment)
       }
   }
+
+  // ---------------------------------------------------------------
+  // AV1 METADATA path: the third modern codec, same no-pixel-decode
+  // contract.  AV1 carries its stream parameters in the SEQUENCE
+  // HEADER OBU (AV1 Bitstream & Decoding Process Specification
+  // §5.5, public): seq_profile, seq_level_idx, color_config bit
+  // depth, and max frame dimensions — and each frame OBU's
+  // uncompressed header opens with show_existing_frame/frame_type,
+  // which classifies keyframes.  OBU framing (§5.3.2: 1-byte header
+  // + leb128 size) and the WebM V_AV1 SimpleBlock walk give the
+  // keyframe census; a seek point is the START of the temporal unit
+  // (the sequence OBU precedes the keyframe), so keyframe offsets
+  // are block-payload starts.
+  // ---------------------------------------------------------------
+
+  /** Parsed AV1 stream metadata: profile/level/bit-depth and max
+    * frame dims from the sequence header OBU, keyframe census from
+    * the frame OBUs' uncompressed-header prefix.
+    */
+  final case class Av1Meta(
+      id: Long, profile: Long, level: Long, bitDepth: Long,
+      width: Long, height: Long,
+      nKeyframes: Long, kf1Off: Long, kf2Off: Long)
+
+  /** Sequence-header fields the frame-header parse depends on. */
+  private final case class Av1SeqInfo(
+      profile: Int, level: Int, bitDepth: Int, width: Int, height: Int,
+      reducedStillPicture: Boolean, frameIdNumbers: Boolean)
+
+  /** §5.5 sequence_header_obu — walks exactly the fields our
+    * synthesis emits (single operating point, no timing info, no
+    * order hint, level ≤ 7 so no tier bit) and returns None on any
+    * layout this subset parser cannot prove it understood.
+    */
+  private def av1SeqHeader(b: Array[Byte], from: Int, until: Int): Option[Av1SeqInfo] = {
+    val r = new Vp9BitReader(b, from, until)
+    val profile = r.bits(3).toInt
+    if (profile > 2) return None
+    r.bit() // still_picture
+    val reduced = r.bit() == 1
+    var level = 0
+    if (reduced) {
+      level = r.bits(5).toInt
+    } else {
+      if (r.bit() == 1) return None // timing_info_present: not emitted
+      if (r.bit() == 1) return None // initial_display_delay_present
+      if (r.bits(5) != 0) return None // operating_points_cnt_minus_1
+      r.bits(12) // operating_point_idc[0]
+      level = r.bits(5).toInt
+      if (level > 7) r.bit() // seq_tier[0]
+    }
+    val wBits = r.bits(4).toInt + 1
+    val hBits = r.bits(4).toInt + 1
+    val width = r.bits(wBits).toInt + 1
+    val height = r.bits(hBits).toInt + 1
+    val frameIds =
+      if (reduced) false
+      else {
+        val f = r.bit() == 1
+        if (f) return None // frame_id_numbers: not emitted
+        f
+      }
+    r.bit() // use_128x128_superblock
+    r.bit(); r.bit() // enable_filter_intra, enable_intra_edge_filter
+    if (!reduced) {
+      r.bit(); r.bit(); r.bit(); r.bit() // interintra/masked/warped/dual
+      val orderHint = r.bit() == 1
+      if (orderHint) return None // not emitted; shifts everything after
+      val chooseSct = r.bit() == 1
+      val forceSct = if (chooseSct) 2 else r.bit()
+      if (forceSct > 0) {
+        val chooseIntMv = r.bit() == 1
+        if (!chooseIntMv) r.bit() // force_integer_mv literal
+      }
+      // order_hint_bits only when enable_order_hint
+    }
+    r.bit(); r.bit(); r.bit() // enable_superres/cdef/restoration
+    // color_config (§5.5.2)
+    val high = r.bit() == 1
+    val twelve = if (profile == 2 && high) r.bit() == 1 else false
+    val depth =
+      if (profile == 2 && high) { if (twelve) 12 else 10 }
+      else if (high) 10 else 8
+    val mono = if (profile == 1) false else r.bit() == 1
+    if (mono) return None // not emitted
+    if (r.bit() == 1) return None // color_description_present: not emitted
+    r.bit() // color_range
+    var subX = 0
+    var subY = 0
+    if (profile == 0) { subX = 1; subY = 1 }
+    else if (profile == 1) { subX = 0; subY = 0 }
+    else { // profile 2
+      if (depth == 12) { subX = r.bit(); subY = if (subX == 1) r.bit() else 0 }
+      else { subX = 1; subY = r.bit() }
+    }
+    if (subX == 1 && subY == 1) r.bits(2) // chroma_sample_position
+    r.bit() // separate_uv_delta_q
+    if (!r.ok) None
+    else Some(Av1SeqInfo(profile, level, depth, width, height, reduced, frameIds))
+  }
+
+  /** WebM/V_AV1 walk → sequence-header metadata + keyframe census.
+    * Same drop-on-malformed contract as every decode surface here.
+    */
+  private[graft] def av1MetaOf(r: MediaRecord): Option[Av1Meta] = {
+    val b = r.content
+    if (b == null || b.length < 8) return None
+    if (!((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)) return None
+
+    def varint(off: Int, keepMarker: Boolean): Option[(Long, Int, Boolean)] = {
+      if (off >= b.length) return None
+      val first = b(off) & 0xff
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (len < 1 || len > 8 || off + len > b.length) return None
+      var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+      var allOnes = !keepMarker && (first & (0xff >>> len)) == (0xff >>> len)
+      var i = 1
+      while (i < len) {
+        val byte = b(off + i) & 0xff
+        if (byte != 0xff) allOnes = false
+        v = (v << 8) | byte
+        i += 1
+      }
+      Some((v, len, allOnes))
+    }
+    def uintAt(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+      v
+    }
+
+    var av1Track = -1L
+    var seq: Option[Av1SeqInfo] = None
+    var nKey = 0L
+    var kf1 = -1L
+    var kf2 = -1L
+
+    def trackEntry(from: Int, until: Int): Unit = {
+      var num = -1L
+      var isAv1 = false
+      var off = from
+      while (off < until) {
+        val (id, idLen, _) = varint(off, keepMarker = true).getOrElse(return)
+        val (sz, szLen, _) = varint(off + idLen, keepMarker = false).getOrElse(return)
+        val payload = off + idLen + szLen
+        val payloadEnd = payload + sz.toInt
+        if (payloadEnd > until || sz < 0) return
+        id match {
+          case 0xD7L => num = uintAt(payload, payloadEnd - payload)
+          case 0x86L =>
+            isAv1 = new String(b, payload, payloadEnd - payload, "US-ASCII") == "V_AV1"
+          case _ => ()
+        }
+        off = payloadEnd
+      }
+      if (isAv1 && num > 0 && av1Track < 0) av1Track = num
+    }
+
+    /** §5.3.2 leb128 (up to 8 bytes). Returns (value, nBytes). */
+    def leb128(off: Int, until: Int): Option[(Long, Int)] = {
+      var v = 0L
+      var i = 0
+      while (i < 8 && off + i < until) {
+        val byte = b(off + i) & 0xff
+        v |= (byte & 0x7fL) << (7 * i)
+        i += 1
+        if ((byte & 0x80) == 0) return Some((v, i))
+      }
+      None
+    }
+
+    def simpleBlock(payload: Int, payloadEnd: Int): Boolean = {
+      val (track, tLen, _) = varint(payload, keepMarker = false).getOrElse(return false)
+      if (track != av1Track) return true
+      var off = payload + tLen + 3 // int16 ts + flags byte
+      val tuStart = off.toLong // temporal-unit start = the seek point
+      var sawKey = false
+      while (off < payloadEnd) {
+        val hdr = b(off) & 0xff
+        if ((hdr & 0x80) != 0) return false // forbidden bit
+        val obuType = (hdr >> 3) & 0xf
+        if ((hdr & 0x04) != 0) return false // extension: not emitted
+        if ((hdr & 0x02) == 0) return false // must have size field
+        val (sz, szLen) = leb128(off + 1, payloadEnd).getOrElse(return false)
+        val p = off + 1 + szLen
+        val pEnd = p + sz.toInt
+        if (pEnd > payloadEnd) return false
+        obuType match {
+          case 1 => // OBU_SEQUENCE_HEADER
+            val s = av1SeqHeader(b, p, pEnd).getOrElse(return false)
+            if (seq.isEmpty) seq = Some(s)
+          case 6 => // OBU_FRAME: uncompressed-header prefix
+            val s = seq.getOrElse(return false) // config must precede frames
+            val isKey =
+              if (s.reducedStillPicture) true // §5.9.2: implied KEY_FRAME
+              else {
+                val fr = new Vp9BitReader(b, p, pEnd)
+                if (fr.bit() == 1) false // show_existing_frame: a repeat
+                else fr.bits(2) == 0L // frame_type KEY_FRAME
+              }
+            if (isKey) sawKey = true
+          case _ => () // temporal delimiter, metadata, padding...
+        }
+        off = pEnd
+      }
+      if (sawKey) {
+        nKey += 1
+        if (kf1 < 0) kf1 = tuStart else if (kf2 < 0) kf2 = tuStart
+      }
+      true
+    }
+
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      var off = from
+      while (off < until) {
+        val (id, idLen, _) = varint(off, keepMarker = true).getOrElse(return false)
+        val (sz, szLen, unknown) = varint(off + idLen, keepMarker = false).getOrElse(return false)
+        val payload = off + idLen + szLen
+        val payloadEnd =
+          if (unknown) { if (id == 0x18538067L) until else return false }
+          else {
+            val e = payload + sz
+            if (e > until || sz < 0) return false
+            e.toInt
+          }
+        id match {
+          case 0x18538067L | 0x1654AE6BL | 0x1F43B675L =>
+            if (depth < 4 && !walk(payload, payloadEnd, depth + 1)) return false
+          case 0xAEL => trackEntry(payload, payloadEnd)
+          case 0xA3L if av1Track > 0 =>
+            if (!simpleBlock(payload, payloadEnd)) return false
+          case _ => ()
+        }
+        off = payloadEnd
+      }
+      off == until
+    }
+    if (!walk(0, b.length, 0) || av1Track < 0) return None
+    seq.map { s =>
+      Av1Meta(r.id, s.profile, s.level, s.bitDepth, s.width, s.height,
+        nKey, kf1, kf2)
+    }
+  }
+
+  /** Batched partition-local AV1 metadata extraction. */
+  def av1Meta(ds: Dataset[MediaRecord]): Dataset[Av1Meta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(av1MetaOf))
+  }
+
+  // -- synthesis (the oracle side) --------------------------------
+
+  private[graft] val Av1FrameCount = 8
+  private[graft] val Av1HeaderBytes = 512
+  private[graft] val Av1BlockOverhead = 9 // id + 4B size varint + track + ts + flags
+  private[graft] val Av1FramePadBytes = 16
+  /** Absolute offset of the FIRST block's temporal unit (= kf1). */
+  private[graft] val Av1FirstTuOff: Long = Av1HeaderBytes + 8L + 3L + Av1BlockOverhead
+
+  /** Byte length of the synthesized sequence-header OBU (header +
+    * leb128 + payload) for a given (profile, highBitdepth) — the
+    * layout constant the oracle's keyframe arithmetic needs.
+    */
+  private[graft] def av1SeqObuLen(profile: Int, high: Boolean): Int =
+    3 + av1SeqPayload(profile, high, 0, 2, 2).length // 1B header + 2B leb128
+
+  private def av1SeqPayload(
+      profile: Int, high: Boolean, level: Int, w: Int, h: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.bits(profile.toLong, 3)
+    bw.bit(0) // still_picture
+    bw.bit(0) // reduced_still_picture_header
+    bw.bit(0); bw.bit(0) // timing_info, initial_display_delay
+    bw.bits(0L, 5) // operating_points_cnt_minus_1
+    bw.bits(0L, 12) // operating_point_idc[0]
+    bw.bits(level.toLong, 5) // seq_level_idx[0] (≤ 7: no tier bit)
+    bw.bits(15L, 4); bw.bits(15L, 4) // frame_width/height_bits_minus_1
+    bw.bits((w - 1).toLong, 16)
+    bw.bits((h - 1).toLong, 16)
+    bw.bit(0) // frame_id_numbers_present_flag
+    bw.bit(1) // use_128x128_superblock
+    bw.bit(0); bw.bit(0) // enable_filter_intra, intra_edge_filter
+    bw.bit(0); bw.bit(0); bw.bit(0); bw.bit(0) // interintra/masked/warped/dual
+    bw.bit(0) // enable_order_hint
+    bw.bit(1) // seq_choose_screen_content_tools → SELECT (2)
+    bw.bit(1) // seq_choose_integer_mv (force_sct > 0)
+    bw.bit(0); bw.bit(0); bw.bit(0) // superres/cdef/restoration
+    // color_config
+    bw.bit(if (high) 1 else 0)
+    if (profile == 2 && high) bw.bit(0) // twelve_bit → 10
+    if (profile != 1) bw.bit(0) // mono_chrome
+    bw.bit(0) // color_description_present
+    bw.bit(0) // color_range
+    val depth12 = false
+    if (profile == 2) {
+      if (depth12) { bw.bit(1); bw.bit(1) }
+      else bw.bit(1) // subsampling_y = 1 (4:2:0)
+    }
+    val subXY = profile != 1 // profiles 0 and 2-as-emitted are 4:2:0
+    if (subXY) bw.bits(0L, 2) // chroma_sample_position
+    bw.bit(0) // separate_uv_delta_q
+    // trailing_bits: stop + align (§5.3.4)
+    bw.stopAndAlign()
+  }
+
+  /** Per-row WebM with a real V_AV1 track: every keyframe block opens
+    * with a REAL §5.5 sequence-header OBU followed by an OBU_FRAME
+    * whose uncompressed-header prefix carries the frame_type;
+    * interframes are a single OBU_FRAME.  Parameterization per id:
+    * profile `id%3`, 10-bit when `id%2=1`, level `4 + id%4` (≤ 7),
+    * dims `(640+id%9) × (360+id%7)`, keyframes every `2 + id%3` of
+    * [[Av1FrameCount]] frames.  Frame OBU payloads are
+    * `Av1FramePadBytes + n/8 (+1)` bytes (text split), sizes ship as
+    * fixed 2-byte leb128 so the oracle replays every offset.
+    */
+  def synthesizeAv1Webm(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
+      .as[(Long, Array[Byte])].map { case (id, text) =>
+        val profile = (id % 3).toInt
+        val high = id % 2 == 1
+        val level = 4 + (id % 4).toInt
+        val w = 640 + (id % 9).toInt
+        val h = 360 + (id % 7).toInt
+        val gop = 2 + (id % 3).toInt
+        val n = text.length
+
+        def el(idBytes: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+          val sz = payload.length
+          val szBytes =
+            if (sz < 127) Array[Byte]((0x80 | sz).toByte)
+            else Array[Byte]((0x40 | (sz >> 8)).toByte, sz.toByte)
+          idBytes ++ szBytes ++ payload
+        }
+        def be(v: Long, len: Int): Array[Byte] =
+          Array.tabulate(len)(i => (v >> (8 * (len - 1 - i))).toByte)
+        def obu(tpe: Int, payload: Array[Byte]): Array[Byte] =
+          // header: type + has_size; fixed 2-byte leb128 size
+          Array[Byte](((tpe << 3) | 0x02).toByte,
+            (0x80 | (payload.length & 0x7f)).toByte,
+            (payload.length >> 7).toByte) ++ payload
+
+        val seqObuBytes = {
+          val p = av1SeqPayload(profile, high, level, w, h)
+          Array[Byte]((1 << 3 | 0x02).toByte,
+            (0x80 | (p.length & 0x7f)).toByte, (p.length >> 7).toByte) ++ p
+        }
+        def frameObu(j: Int): Array[Byte] = {
+          val bw = new BitWriter
+          val isKey = j % gop == 0
+          bw.bit(0) // show_existing_frame
+          bw.bits(if (isKey) 0L else 1L, 2) // frame_type KEY / INTER
+          bw.bit(1) // show_frame
+          val head = bw.padAlign()
+          val len = Av1FramePadBytes + n / Av1FrameCount +
+            (if (j < n % Av1FrameCount) 1 else 0)
+          obu(6, head ++ new Array[Byte](len - head.length))
+        }
+
+        val blocks = (0 until Av1FrameCount).flatMap { j =>
+          val isKey = j % gop == 0
+          val tu = (if (isKey) seqObuBytes else Array.empty[Byte]) ++ frameObu(j)
+          val body = Array[Byte](0x81.toByte) ++ be(j * 40L, 2) ++
+            Array[Byte](if (isKey) 0x80.toByte else 0x00) ++ tu
+          Array(0xA3.toByte) ++ be(0x10000000L | body.length.toLong, 4) ++ body
+        }.toArray
+        val cluster = be(0x1F43B675L, 4) ++
+          be(0x10000000L | (3L + blocks.length), 4) ++
+          el(Array(0xE7.toByte), Array[Byte](0)) ++ blocks
+
+        val ebmlHead = el(be(0x1A45DFA3L, 4),
+          el(be(0x4286L, 2), Array[Byte](1)) ++
+            el(be(0x4282L, 2), "webm".getBytes("US-ASCII")))
+        val info = el(be(0x1549A966L, 4),
+          el(be(0x2AD7B1L, 3), be(1000000L, 3)) ++
+            el(be(0x4489L, 2),
+              be(java.lang.Double.doubleToLongBits(Av1FrameCount * 40.0), 8)))
+        val video = el(Array(0xE0.toByte),
+          el(Array(0xB0.toByte), be(w.toLong, 2)) ++
+            el(Array(0xBA.toByte), be(h.toLong, 2)))
+        val track = el(Array(0xAE.toByte),
+          el(Array(0xD7.toByte), Array[Byte](1)) ++
+            el(Array(0x83.toByte), Array[Byte](1)) ++
+            el(be(0x86L, 1), "V_AV1".getBytes("US-ASCII")) ++ video)
+        val tracks = el(be(0x1654AE6BL, 4), track)
+
+        val preCluster = ebmlHead.length + 4 + 8 + info.length + tracks.length
+        val voidLen = Av1HeaderBytes - preCluster
+        require(voidLen >= 3,
+          s"synthesizeAv1Webm: header $preCluster exceeds the pad budget")
+        val voidEl = Array(0xEC.toByte,
+          (0x40 | ((voidLen - 3) >> 8)).toByte, (voidLen - 3).toByte) ++
+          new Array[Byte](voidLen - 3)
+        val segPayload = info ++ tracks ++ voidEl ++ cluster
+        val segment = be(0x18538067L, 4) ++
+          be(0x0100000000000000L | segPayload.length.toLong, 8) ++ segPayload
+        MediaRecord(id, "video/webm", ebmlHead ++ segment)
+      }
+  }
 }

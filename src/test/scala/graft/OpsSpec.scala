@@ -1674,6 +1674,50 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(4L, "video/webm", mkv)).width == 640)
   }
 
+  test("multimodal av1: sequence-header OBU parse + keyframe census") {
+    import spark.implicits._
+    // ids 0..11 cover all profiles × bit depths (id%6) and all gops
+    val docs = ((0L until 11L).map(i => (i, s"av1 sample text $i " * (i.toInt + 1))) :+
+      (11L, "")).toDF("doc_id", "text")
+    val metas = MultimodalOps.av1Meta(
+      MultimodalOps.synthesizeAv1Webm(docs, "doc_id", "text"))
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size == 12)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- 0L until 12L) {
+      val m = metas(id)
+      val n = texts(id).getBytes("UTF-8").length
+      val g = 2 + (id % 3).toInt
+      assert(m.profile == id % 3, s"id $id profile ${m.profile}")
+      assert(m.level == 4 + id % 4, s"id $id level ${m.level}")
+      assert(m.bitDepth == (if (id % 2 == 1) 10 else 8), s"id $id depth ${m.bitDepth}")
+      assert(m.width == 640 + id % 9 && m.height == 360 + id % 7,
+        s"id $id dims ${m.width}x${m.height}")
+      assert(m.nKeyframes == 1 + 7 / g, s"id $id nkf ${m.nKeyframes}")
+      assert(m.kf1Off == MultimodalOps.Av1FirstTuOff, s"id $id kf1 ${m.kf1Off}")
+      val seqLen = MultimodalOps.av1SeqObuLen((id % 3).toInt, id % 2 == 1)
+      val expectKf2 = MultimodalOps.Av1FirstTuOff + seqLen +
+        (MultimodalOps.Av1BlockOverhead + 3 + MultimodalOps.Av1FramePadBytes) * g +
+        g * (n / MultimodalOps.Av1FrameCount) +
+        math.min(g, n % MultimodalOps.Av1FrameCount)
+      assert(m.kf2Off == expectKf2, s"id $id kf2 ${m.kf2Off} != $expectKf2")
+    }
+    // junk / truncation / frame-before-config drop, never error
+    val webm = MultimodalOps.synthesizeAv1Webm(docs.limit(1), "doc_id", "text")
+      .collect()(0).content
+    assert(MultimodalOps.av1MetaOf(
+      MultimodalOps.MediaRecord(1L, "video/webm", "junk".getBytes)).isEmpty)
+    assert(MultimodalOps.av1MetaOf(
+      MultimodalOps.MediaRecord(2L, "video/webm", webm.take(600))).isEmpty)
+    // corrupt the sequence OBU's type to padding: frames then precede
+    // any config → malformed → drops
+    val broken = webm.clone()
+    val tu = MultimodalOps.Av1FirstTuOff.toInt
+    broken(tu) = ((15 << 3) | 0x02).toByte // OBU_PADDING instead of SEQ
+    assert(MultimodalOps.av1MetaOf(
+      MultimodalOps.MediaRecord(3L, "video/webm", broken)).isEmpty)
+  }
+
   test("multimodal vp9: uncompressed-header parse + keyframe census") {
     import spark.implicits._
     // ids 0..11 cover all four profiles (incl. profile-3's reserved
