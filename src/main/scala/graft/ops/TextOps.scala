@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, empty strings dropped. */
+  /** Whitespace tokens, empty strings dropped — one codegen'd byte
+    * scan (graft.functions.TokensArray; the regex form below is the
+    * parity-spec reference).
+    */
   def tokens(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TokensArray(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Regex form of [[tokens]] — parity-spec reference. */
+  private[graft] def tokensRegex(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= lit(""))
 
   def tokenCount(c: Column): Column = size(tokens(c))

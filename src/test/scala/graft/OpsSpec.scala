@@ -3410,6 +3410,25 @@ class OpsSpec extends AnyFunSuite {
     assert(d == 0, s"$d corpus rows diverge")
   }
 
+  test("tokens: fused byte scan matches the regex reference") {
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "   "), (3L, " lead"), (4L, "trail "),
+      (5L, "a\tbc\fd\re\nf"), (6L, "é中  文  café"),
+      (7L, "one"), (8L, "  双  byte  mix\tok "), (9L, null))
+      .toDF("doc_id", "text")
+    def toks(c: org.apache.spark.sql.Column) =
+      edge.select(col("doc_id"), c.as("t")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(toks(TextOps.tokens(col("text"))) ==
+      toks(TextOps.tokensRegex(col("text"))), "edge zoo")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val d = docs.select(TextOps.tokens(col("text")).as("a"),
+        TextOps.tokensRegex(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(d == 0, s"$d corpus rows diverge")
+  }
+
   test("fused expressions: null input matches each composed reference") {
     import spark.implicits._
     val df = Seq((1L, Option("some text here")), (2L, Option.empty[String]))
