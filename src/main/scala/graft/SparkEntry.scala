@@ -2023,6 +2023,25 @@ object SparkEntry {
         |SELECT user_id, event_id AS purchase_id, view_id,
         |       CAST(tus - view_tus AS BIGINT) AS gap_us
         |FROM c WHERE is_left ORDER BY user_id, purchase_id""".stripMargin,
+    // raw-TimestampType as-of: AsofOps normalizes timestamps to exact
+    // integer µs internally, so the µs-integer oracle is IDENTICAL
+    "q_events_asof_ts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |         event_type = 'purchase' AS is_left
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |c AS (
+        |  SELECT user_id, tus, event_id, is_left,
+        |    last_value(CASE WHEN NOT is_left THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, is_left, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS view_id,
+        |    last_value(CASE WHEN NOT is_left THEN tus END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, is_left, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS view_tus
+        |  FROM e)
+        |SELECT user_id, event_id AS purchase_id, view_id,
+        |       CAST(tus - view_tus AS BIGINT) AS gap_us
+        |FROM c WHERE is_left ORDER BY user_id, purchase_id""".stripMargin,
     // word-bigram repetition (TextOps.repetitionStats): duplicate-gram
     // fraction + duplicate-char fraction via the same sort-and-charge-
     // predecessor formulation; all-ASCII grams so list_sort and
@@ -5853,6 +5872,20 @@ object SparkEntry {
             ev.filter(col("event_type") === "purchase"),
             ev.filter(col("event_type") === "view"),
             Seq("user_id"), "tus", "event_id")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("matched_id").as("view_id"), col("gap").as("gap_us"))
+          .orderBy("user_id", "purchase_id")
+      },
+      "q_events_asof_ts" -> { (s, dir) =>
+        // the SAME attribution as q_events_asof but feeding the RAW
+        // TimestampType column: pins AsofOps' type-aware normalization
+        // (exact integer µs — a seconds-floored cast("long") would tie
+        // sub-second pairs and leak future views into the match)
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        AsofOps.asofJoin(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"),
+            Seq("user_id"), "ts", "event_id")
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("matched_id").as("view_id"), col("gap").as("gap_us"))
           .orderBy("user_id", "purchase_id")

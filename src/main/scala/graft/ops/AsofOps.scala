@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** As-of (point-in-time) join — for each left row, the most recent
   * right row with `right.time <= left.time` within the same key.
@@ -21,6 +22,34 @@ import org.apache.spark.sql.functions._
   */
 object AsofOps {
 
+  /** Time normalization shared by both joins.  A blanket
+    * `cast("long")` would silently FLOOR timestamps to whole seconds —
+    * two events 300 ms apart become a tie, and the right-first tie
+    * rule would then show a right row up to 999 ms in the FUTURE to a
+    * left row.  So: timestamps compare in exact integer MICROSECONDS
+    * (`gap`/`matched_time`/lookback are µs for timestamp inputs),
+    * dates in days, integrals as themselves; fractional time keeps its
+    * native type (ordering and subtraction are exact operations there
+    * too); anything else — strings in particular — throws instead of
+    * nulling out.
+    */
+  private def timeExpr(df: DataFrame, timeCol: String): Column =
+    df.schema(timeCol).dataType match {
+      // NTZ wall-clocks interpret in the session timezone (standard
+      // Spark cast semantics); both sides of a join shift identically,
+      // so ordering and gaps are consistent for any fixed session tz
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(timeCol).cast(TimestampType))
+      case DateType => unix_date(col(timeCol)).cast("long")
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(timeCol).cast("long")
+      case FloatType | DoubleType | _: DecimalType => col(timeCol)
+      case other => throw new IllegalArgumentException(
+        s"asof/interval join: time column '$timeCol' has un-orderable " +
+          s"type ${other.catalogString}; cast it to a timestamp or a " +
+          "numeric epoch first")
+    }
+
   /** @param left  rows to annotate (must contain key, time, id columns)
     * @param right rows to look up (same three columns)
     * @return left (key, id, time) + matched right id/time (null when no
@@ -32,7 +61,7 @@ object AsofOps {
     def side(df: DataFrame, isLeft: Boolean): DataFrame =
       df.select(
         keyCols.map(col) :+
-          col(timeCol).cast("long").as("__t") :+
+          timeExpr(df, timeCol).as("__t") :+
           col(idCol).as("__id") :+
           lit(isLeft).as("__is_left"): _*)
     val unioned = side(left, isLeft = true).unionByName(side(right, isLeft = false))
@@ -76,6 +105,8 @@ object AsofOps {
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], timeCol: String, idCol: String,
       lookback: Long): DataFrame = {
+    // lookback is in the NORMALIZED time unit (µs for timestamp
+    // inputs, days for dates, the caller's own unit for numerics)
     require(lookback >= 0, s"intervalJoin: lookback=$lookback")
     // the right side's key columns are RENAMED before the join: both
     // sides usually derive from one frame (a type-filtered self-join),
@@ -83,11 +114,11 @@ object AsofOps {
     // trivially-true-predicate disambiguation
     val l = left.select(
       keyCols.map(col) :+
-        col(timeCol).cast("long").as("__lt") :+
+        timeExpr(left, timeCol).as("__lt") :+
         col(idCol).as("left_id"): _*)
     val r = right.select(
       keyCols.map(k => col(k).as(s"__rk_$k")) :+
-        col(timeCol).cast("long").as("__rt") :+
+        timeExpr(right, timeCol).as("__rt") :+
         col(idCol).as("right_id"): _*)
     l.join(r,
         keyCols.map(k => col(k) === col(s"__rk_$k")).reduce(_ && _) &&

@@ -80,8 +80,13 @@ object LinkOps {
       reversePass: Boolean = false): DataFrame = {
     require(window >= 1 && window <= 64, s"bad window $window")
     require(maxLev >= 0, s"bad maxLev $maxLev")
+    // Keep the caller's id TYPE (kCore/triangleCounts discipline): a
+    // cast("long") here would silently null string ids — URL/doc-key
+    // linkage would return null-id pairs instead of failing.  Any
+    // orderable type works: the id only tiebreaks the sort and labels
+    // the output.
     def side(df: DataFrame, kind: String) = df
-      .select(col(idCol).cast("long").as("id"), col(keyCol).as("s"))
+      .select(col(idCol).as("id"), col(keyCol).as("s"))
       .where(col("s").isNotNull && length(col("s")) > 0)
       .withColumn("kind", lit(kind))
     val spark = dirty.sparkSession

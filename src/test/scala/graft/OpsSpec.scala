@@ -892,6 +892,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == (-1L, -1L)) // user with no views
   }
 
+  test("as-of join: timestamps keep sub-second order (µs, not floored seconds)") {
+    import spark.implicits._
+    // view 300 ms AFTER the purchase within the same wall-clock second:
+    // a cast-to-long (seconds) normalization would tie them and leak
+    // the future view into the match
+    val buys = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:05.1"), 10L))
+      .toDF("user_id", "ts", "event_id")
+    val views = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:05.4"), 1L), // future
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:04.9"), 2L)) // prior
+      .toDF("user_id", "ts", "event_id")
+    val r = AsofOps.asofJoin(buys, views, Seq("user_id"), "ts", "event_id")
+      .select("matched_id", "gap").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 2L, "must match the 200ms-prior view")
+    assert(r(0).getLong(1) == 200000L, "gap is exact integer microseconds")
+    // and an un-orderable time column fails loudly instead of nulling
+    val bad = Seq((1L, "yesterday", 1L)).toDF("user_id", "ts", "event_id")
+    val ex = intercept[IllegalArgumentException] {
+      AsofOps.asofJoin(bad, bad, Seq("user_id"), "ts", "event_id")
+    }
+    assert(ex.getMessage.contains("un-orderable"))
+  }
+
   test("streaming dedup collapses a doubled input to the batch distinct set") {
     // stage a directory holding TWO links to the same events file —
     // every event_id arrives exactly twice on the stream
@@ -3144,6 +3168,20 @@ class OpsSpec extends AnyFunSuite {
         s"($frontMissed/${frontIds.size} missed)")
     assert(clean.map(_._1).filterNot(frontIds).forall(fwdOnly.contains),
       "middle/end edits must survive the forward pass")
+  }
+
+  test("sorted-neighborhood link keeps string ids (no silent long-cast nulls)") {
+    import spark.implicits._
+    // string-keyed records (doc ids) — the r11 triangles wart class: a
+    // cast("long") would null every id and emit null-id pairs
+    val clean = Seq(("doc-a", "alpha-key-0001"), ("doc-b", "beta-key-0002"))
+      .toDF("id", "k")
+    val dirty = Seq(("x-a", "alpha-key-001"), ("x-b", "beta-key-002"))
+      .toDF("id", "k")
+    val got = LinkOps.sortedNeighborhoodLink(dirty, clean, "id", "k",
+        window = 4, maxLev = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("x-a", "doc-a", 1), ("x-b", "doc-b", 1)))
   }
 
   test("NearestCells == struct-form cell scores, bit-for-bit, all tie paths") {

@@ -157,4 +157,43 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("token-path fusions == composed forms on random unicode soup") {
+    // the r12 codegen'd byte scans (TokensArray / WordNgramArray /
+    // MinhashSignature via the public entry points) against the
+    // composed HOF/regex references, over strings that mix multi-byte
+    // UTF-8, every ASCII whitespace byte, empties, and long runs —
+    // exactly the byte patterns a zero-copy scanner can get wrong
+    val rnd = new scala.util.Random(12)
+    val pool: IndexedSeq[String] = IndexedSeq(
+      " ", "\t", "\n", "", "\f", "\r", "a", "Zz", "é", "中",
+      "👍", "café", "0", "—", ".", "x" * 37, " " * 5, "ß", " ")
+    def soup(): String =
+      (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val rows = (1L to 200L).map(i => (i, soup()))
+    val spark2 = spark
+    import spark2.implicits._
+    val df = rows.toDF("id", "text")
+    import graft.ops.TextOps
+    val tokDiff = df.select(
+        TextOps.tokens(col("text")).as("a"),
+        TextOps.tokensRegex(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(tokDiff == 0, s"$tokDiff token rows diverge")
+    val gramDiff = df.select(TextOps.tokens(col("text")).as("t"))
+      .select(TextOps.wordNgramsOf(col("t"), 3).as("a"),
+        TextOps.wordNgramsOfHof(col("t"), 3).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(gramDiff == 0, s"$gramDiff ngram rows diverge")
+    import graft.ops.DedupOps
+    val based = df
+      .withColumn("sh", DedupOps.shingles(col("text"), 3))
+      .withColumn("base",
+        transform(col("sh"), s => pmod(xxhash64(s), lit((1L << 31) - 1))))
+    val sigDiff = based.select(
+        DedupOps.minhashSignatureFromBase(col("base"), 16).as("a"),
+        DedupOps.minhashSignatureFromBaseHof(col("base"), 16).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(sigDiff == 0, s"$sigDiff minhash rows diverge")
+  }
 }
