@@ -37,6 +37,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "actualNum" -> actual.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
 
+  /** Parameter literals (k, w, n, …) must be foldable INT literals —
+    * they size compile-time structures inside the fused expressions,
+    * so a per-row value cannot work; fail as the analyzer would.
+    */
+  private def litInt(name: String, param: String, e: Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$name`",
+          "paramName" -> s"`$param`",
+          "paramType" -> "\"INT\""))
+    }
+
   /** Registers a Column-composition function (the TextOps family) as a
     * SQL function: the builder re-expresses the incoming argument
     * expressions through the same `Column` tree the Scala API builds,
@@ -115,6 +131,79 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .otherwise(org.apache.spark.sql.functions.md5(
           org.apache.spark.sql.functions.concat_ws(":",
             args(1).cast("string"), args.head.cast("string")))))
+    // ---- the fused-expression text family (r12 codegen'd scans) ----
+    ext.injectFunction((
+      FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(
+        classOf[graft.functions.QualityTextStats].getName, null,
+        "graft_quality",
+        "graft_quality(text) - seven quality metrics in one byte scan: " +
+          "struct(n_chars_m, n_words, avg_word_len, stopword_ratio, " +
+          "alpha_ratio, punct_ratio, quality_score)", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) wrongArity("graft_quality", 1, children.length)
+        graft.functions.QualityTextStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(
+        classOf[graft.functions.WinnowFingerprint].getName, null,
+        "graft_winnow",
+        "graft_winnow(text, k, w) - winnowing fingerprint (Schleimer " +
+          "et al. SIGMOD'03): distinct window-of-w minima over char " +
+          "k-gram xxhash64 values, first-occurrence order; k and w " +
+          "must be INT literals", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 3) wrongArity("graft_winnow", 3, children.length)
+        graft.functions.WinnowFingerprint(children.head,
+          litInt("graft_winnow", "k", children(1)),
+          litInt("graft_winnow", "w", children(2)), portable = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(
+        classOf[graft.functions.WordNgramArray].getName, null,
+        "graft_word_ngrams",
+        "graft_word_ngrams(text, n) - space-joined word n-grams of the " +
+          "whitespace tokens, short-input clamp to one (truncated) " +
+          "gram; n must be an INT literal", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) wrongArity("graft_word_ngrams", 2, children.length)
+        graft.functions.WordNgramArray(
+          graft.functions.TokensArray(children.head),
+          litInt("graft_word_ngrams", "n", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(
+        classOf[graft.functions.GramRepetition].getName, null,
+        "graft_repetition",
+        "graft_repetition(text, n) - intra-document n-gram repetition: " +
+          "struct(n_grams, n_distinct, dup_gram_frac, dup_char_frac); " +
+          "n must be an INT literal", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) wrongArity("graft_repetition", 2, children.length)
+        graft.functions.GramRepetition(
+          graft.functions.TokensArray(children.head),
+          litInt("graft_repetition", "n", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(
+        classOf[graft.functions.MinhashSignature].getName, null,
+        "graft_minhash",
+        "graft_minhash(text, shingle_size, num_hashes) - whole-chain " +
+          "MinHash signature: word shingles, xxhash64 mod 2^31-1 base, " +
+          "fused minima (deterministic LCG hash family); INT literals", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 3) wrongArity("graft_minhash", 3, children.length)
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.eagerExpression(
+          graft.ops.DedupOps.minhashSignatureOfText(
+            ColumnBridge.column(children.head),
+            litInt("graft_minhash", "shingle_size", children(1)),
+            litInt("graft_minhash", "num_hashes", children(2))))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NormalizeText].getName, null, "graft_nfc",

@@ -106,6 +106,19 @@ object DedupOps {
         array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
       }: _*))
 
+  /** Whole-chain MinHash signature of a text column in ONE projection
+    * — the SQL-surface / single-column convenience (`graft_minhash`):
+    * tokens → k-shingles → xxhash64-mod-P base → fused k-minima.  The
+    * base transform is the one interpreted HOF in the chain; for the
+    * corpus-scale candidate-pair path use [[minhashPairs]], whose
+    * explode formulation keeps the base hash codegen'd.
+    */
+  def minhashSignatureOfText(
+      text: Column, shingleSize: Int = 3, numHashes: Int = 32): Column =
+    minhashSignatureFromBase(
+      transform(shinglesOf(TextOps.tokens(text), shingleSize),
+        s => pmod(xxhash64(s), lit(P))), numHashes)
+
   /** Adds shingle + signature columns (two materialized stages). */
   def withMinhashSignature(
       df: DataFrame, textCol: String, shCol: String, sigCol: String,

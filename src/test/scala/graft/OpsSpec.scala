@@ -1819,6 +1819,42 @@ class OpsSpec extends AnyFunSuite {
     assert(desc.contains("graft_dot"), desc)
   }
 
+  test("GraftExtensions: fused-expression SQL functions equal the Scala-API columns") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    docs.createOrReplaceTempView("graft_fused_sql_t")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |       graft_quality(text) AS q,
+        |       graft_winnow(text, 8, 16) AS wn,
+        |       graft_word_ngrams(text, 3) AS ng,
+        |       graft_repetition(text, 2) AS rep,
+        |       graft_minhash(text, 3, 16) AS mh
+        |FROM graft_fused_sql_t""".stripMargin)
+    val viaApi = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.QualityTextStats(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text")))).as("q"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.WinnowFingerprint(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+          8, 16, portable = false)).as("wn"),
+      graft.ops.TextOps.wordNgrams(col("text"), 3).as("ng"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.GramRepetition(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            graft.ops.TextOps.tokens(col("text"))), 2)).as("rep"),
+      graft.ops.DedupOps.minhashSignatureOfText(col("text"), 3, 16).as("mh"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty,
+      "SQL and Scala-API forms diverge")
+    // parameter arguments must be INT literals — fail like the analyzer
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_winnow(text, doc_id, 16) FROM graft_fused_sql_t")
+    }
+    assert(ex.getMessage.contains("foldable"), ex.getMessage)
+  }
+
   test("GraftExtensions: text-family SQL functions expand to the Scala-API plans") {
     // macro-style Column expansions, not UDFs — each SQL call builds
     // the identical expression tree the Scala API builds
