@@ -4159,6 +4159,21 @@ object SparkEntry {
       labelA: String, a: (SparkSession, String) => DataFrame,
       labelB: String, b: (SparkSession, String) => DataFrame)
 
+  private def fuzzyLinkOn(
+      s: SparkSession, dir: String, bandedVerify: Boolean): DataFrame = {
+    // the q_fuzzy_link fixture: one-char deletions over 48-char keys
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .where(length(col("text")) >= 48)
+    val pre = substring(col("text"), 1, 48)
+    val p = (col("doc_id") % 20 + 1).cast("int")
+    graft.ops.LinkOps.sortedNeighborhoodLink(
+      docs.select(col("doc_id"),
+        concat(pre.substr(lit(1), p - 1), pre.substr(p + 1, lit(100))).as("k")),
+      docs.select(col("doc_id"), pre.as("k")),
+      "doc_id", "k", window = 12, maxLev = 3, reversePass = true,
+      bandedVerify = bandedVerify)
+  }
+
   def abVariants: Map[String, AbVariant] = Map(
     // r12 change 1: the hot-band auto-salt default.
     // A = the new default (salt on at 2^13); B = the r11 default (off).
@@ -4184,6 +4199,14 @@ object SparkEntry {
       (s, dir) => DedupOps.tokenJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"),
         "text", "doc_id", "n_chars", threshold = 0.7, prefixFilter = false)),
+    // r12 change 4: banded threshold-levenshtein verify (length band +
+    // early-exit O(len·maxLev) DP) vs the full-table verify (pair sets
+    // identical by spec; the delta is pure verify-stage cost)
+    "link_banded_verify" -> AbVariant(
+      "banded(default)",
+      (s, dir) => fuzzyLinkOn(s, dir, bandedVerify = true),
+      "full-table(r11)",
+      (s, dir) => fuzzyLinkOn(s, dir, bandedVerify = false)),
     // r12 change 3: fused GramRepetition expression vs the interpreted
     // HOF chain, measured UNDER the quality-gate filter where the
     // pushdown re-evaluation lives

@@ -77,7 +77,8 @@ object LinkOps {
   def sortedNeighborhoodLink(
       dirty: DataFrame, clean: DataFrame, idCol: String, keyCol: String,
       window: Int = 5, maxLev: Int = 3,
-      reversePass: Boolean = false): DataFrame = {
+      reversePass: Boolean = false,
+      bandedVerify: Boolean = true): DataFrame = {
     require(window >= 1 && window <= 64, s"bad window $window")
     require(maxLev >= 0, s"bad maxLev $maxLev")
     // Keep the caller's id TYPE (kCore/triangleCounts discipline): a
@@ -102,10 +103,25 @@ object LinkOps {
         col("s").as("s_b"), col("rn").as("rn_b"))
         .crossJoin(broadcast(offsets))
         .withColumn("rn", col("rn_b") - col("off"))
-      lo.join(hi, "rn")
+      val joined = lo.join(hi, "rn")
         .where(col("kind_a") =!= col("kind_b"))
-        .withColumn("lev", levenshtein(col("s_a"), col("s_b")))
-        .where(col("lev") <= maxLev)
+      // bandedVerify (default): length band first (free column
+      // arithmetic — |Δlen| > maxLev can never verify), then the
+      // THRESHOLD levenshtein, a banded O(len·maxLev) DP with early
+      // exit returning -1 past the threshold, instead of the full
+      // O(len²) table per candidate pair.  The unbanded form stays as
+      // the A/B reference (identical pairs, spec-pinned).
+      val verified =
+        if (bandedVerify)
+          joined
+            .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxLev)
+            .withColumn("lev", levenshtein(col("s_a"), col("s_b"), maxLev))
+            .where(col("lev") >= 0)
+        else
+          joined
+            .withColumn("lev", levenshtein(col("s_a"), col("s_b")))
+            .where(col("lev") <= maxLev)
+      verified
         .select(
           when(col("kind_a") === "d", col("id_a")).otherwise(col("id_b"))
             .as("dirty_id"),

@@ -3206,6 +3206,28 @@ class OpsSpec extends AnyFunSuite {
       "middle/end edits must survive the forward pass")
   }
 
+  test("fuzzy link: banded threshold verify == full-table verify, incl. maxLev=0") {
+    import spark.implicits._
+    val clean = (1L to 200L).map(i => (i,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bv-$i".getBytes("UTF-8")).map("%02x".format(_)).mkString))
+    val dirty = clean.map { case (i, s) =>
+      (i, if (i % 4 == 0) s else s.substring(0, (i % 30 + 1).toInt) +
+        s.substring((i % 30 + 2).toInt)) // 1/4 exact, 3/4 one-deletion
+    }
+    def run(banded: Boolean, lev: Int) = LinkOps.sortedNeighborhoodLink(
+        dirty.toDF("id", "k"), clean.toDF("id", "k"), "id", "k",
+        window = 4, maxLev = lev, reversePass = true, bandedVerify = banded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (lev <- Seq(0, 1, 2)) {
+      val a = run(banded = true, lev)
+      val b = run(banded = false, lev)
+      assert(a == b, s"banded != full at maxLev=$lev")
+      if (lev == 0) assert(a == clean.map(_._1).filter(_ % 4 == 0)
+        .map(i => (i, i, 0)).toSet, "maxLev=0 must keep exactly the exact matches")
+    }
+  }
+
   test("sorted-neighborhood link keeps string ids (no silent long-cast nulls)") {
     import spark.implicits._
     // string-keyed records (doc ids) — the r11 triangles wart class: a
