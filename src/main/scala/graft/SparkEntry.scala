@@ -4199,6 +4199,17 @@ object SparkEntry {
       (s, dir) => DedupOps.tokenJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"),
         "text", "doc_id", "n_chars", threshold = 0.7, prefixFilter = false)),
+    // r12 change 5: fused scalar simhash signature (one shuffle-free
+    // projection) vs the explode + 65-column aggregation (identical
+    // signatures, spec-pinned; the delta is the signature stage)
+    "simhash_fused_scalar" -> AbVariant(
+      "SimhashBits scalar(default)",
+      (s, dir) => DedupOps.simhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id"),
+      "explode+agg(r11)",
+      (s, dir) => DedupOps.simhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        fusedSignature = false)),
     // r12 change 4: banded threshold-levenshtein verify (length band +
     // early-exit O(len·maxLev) DP) vs the full-table verify (pair sets
     // identical by spec; the delta is pure verify-stage cost)

@@ -444,18 +444,49 @@ object DedupOps {
       .withColumn(outCol, simhash64FromHashes(col(outCol + "__th")))
       .drop(outCol + "__th")
 
+  /** SimHash of a text column as ONE codegen'd scalar —
+    * [[graft.functions.SimhashBits]].  Simhash is per-row, so no
+    * explode and NO SHUFFLE: the r12 fused form of
+    * [[simhashByExplode]] (bit-parity spec-pinned).  Token-less text
+    * → null (the explode form emits no row for such docs — filter
+    * `isNotNull` to match it).
+    */
+  def simhashOfText(
+      text: Column, nBits: Int = 64, portable: Boolean = false): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimhashBits(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        nBits, portable))
+
+  /** (id, simhash) in one shuffle-free projection, row set identical
+    * to [[simhashByExplode]] (token-less docs absent).
+    */
+  private def withSimhashScalar(
+      df: DataFrame, textCol: String, idCol: String,
+      nBits: Int, portable: Boolean): DataFrame =
+    df.select(col(idCol).as("id"),
+        simhashOfText(col(textCol), nBits, portable).as("simhash"))
+      .where(col("simhash").isNotNull)
+
   /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
     * hamming distance ≤ 3 of 64 bits collides on ≥ 1 of 4 chunks),
     * verify with bit_count(xor) ≤ maxHamming.
     */
-  /** (id, simhash) via explode + hash aggregate: higher-order
-    * `aggregate` lambdas are interpreted in Spark, so 64 of them per
-    * row dominate at scale — the explode/groupBy form keeps the 64
-    * per-bit sums inside whole-stage codegen with map-side partial
-    * aggregation (shuffle = one 65-column row per doc).
+  /** (id, simhash) via explode + hash aggregate — the parity-spec
+    * reference for [[simhashOfText]] (higher-order `aggregate` lambdas
+    * are interpreted in Spark, so the pre-r12 engine kept the 64
+    * per-bit sums inside whole-stage codegen this way; the fused
+    * scalar removes the explode AND the per-doc 65-column shuffle).
     */
   def simhashByExplode(df: DataFrame, textCol: String, idCol: String): DataFrame =
     simhashByExplodeImpl(df, textCol, idCol, 64, t => xxhash64(t))
+
+  /** Portable (md5-60bit) explode form — parity reference for
+    * `simhashOfText(_, 60, portable = true)`.
+    */
+  private[graft] def simhashByExplodePortable(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashByExplodeImpl(df, textCol, idCol, 60, md5Hash60)
 
   private def simhashByExplodeImpl(
       df: DataFrame, textCol: String, idCol: String,
@@ -491,17 +522,23 @@ object DedupOps {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 10000,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false,
+      fusedSignature: Boolean = true): DataFrame = {
     // portable flavor: 60-bit md5-derived token hashes (15 hex chars)
     // in 4 chunks of 15 bits, recomputable by the DuckDB oracle;
-    // default: full 64-bit xxhash64 in 4×16-bit chunks
-    val (withSim, chunkBits) =
-      if (portableHash)
-        (simhashByExplodeImpl(df, textCol, idCol, 60, md5Hash60), 15)
-      else (simhashByExplode(df, textCol, idCol), 16)
+    // default: full 64-bit xxhash64 in 4×16-bit chunks.  Both via the
+    // r12 fused scalar — the signature stage is now shuffle-free
+    // (fusedSignature = false keeps the explode form as A/B reference)
+    val nBits = if (portableHash) 60 else 64
+    val chunkBits = if (portableHash) 15 else 16
+    val withSim =
+      if (fusedSignature)
+        withSimhashScalar(df, textCol, idCol, nBits, portable = portableHash)
+      else if (portableHash) simhashByExplodePortable(df, textCol, idCol)
+      else simhashByExplode(df, textCol, idCol)
     val chunkMask = (1L << chunkBits) - 1
     // persisted: the hot-bucket agg + the two self-join sides would
-    // each re-run the explode + 65-column aggregation otherwise
+    // each re-read and re-hash the full corpus otherwise
     val chunked = registerPersist(withSim.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * chunkBits).bitwiseAND(lit(chunkMask))): _*))
@@ -527,7 +564,7 @@ object DedupOps {
     */
   def simhashHotBuckets(
       df: DataFrame, textCol: String, idCol: String, maxBucket: Int): DataFrame =
-    simhashByExplode(df, textCol, idCol)
+    withSimhashScalar(df, textCol, idCol, 64, portable = false)
       .select(col("id"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))

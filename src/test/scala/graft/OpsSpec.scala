@@ -3206,6 +3206,32 @@ class OpsSpec extends AnyFunSuite {
       "middle/end edits must survive the forward pass")
   }
 
+  test("SimhashBits scalar == explode formulation, both hash flavors") {
+    import spark.implicits._
+    // edge zoo: empty + whitespace-only + null text must be ABSENT
+    // (the explode form emits no row); single token; multi-byte UTF-8;
+    // even token count (vote ties resolve to 0 the same way)
+    val edge = Seq((1L, "the quick brown fox"), (2L, ""), (3L, "   \t "),
+      (4L, "solo"), (5L, "é中 café 中文"), (6L, "a b c d"), (7L, null))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, docs)) {
+      def viaScalar(nBits: Int, portable: Boolean) =
+        df.select(col("doc_id").as("id"),
+            DedupOps.simhashOfText(col("text"), nBits, portable).as("simhash"))
+          .where(col("simhash").isNotNull)
+      val exDefault = DedupOps.simhashByExplode(df, "text", "doc_id")
+      assert(viaScalar(64, portable = false).exceptAll(exDefault).isEmpty &&
+        exDefault.exceptAll(viaScalar(64, portable = false)).isEmpty,
+        "xxhash64 flavor diverges")
+      val exPortable = DedupOps.simhashByExplodePortable(df, "text", "doc_id")
+      assert(viaScalar(60, portable = true).exceptAll(exPortable).isEmpty &&
+        exPortable.exceptAll(viaScalar(60, portable = true)).isEmpty,
+        "md5-60 flavor diverges")
+    }
+  }
+
   test("fuzzy link: banded threshold verify == full-table verify, incl. maxLev=0") {
     import spark.implicits._
     val clean = (1L to 200L).map(i => (i,
