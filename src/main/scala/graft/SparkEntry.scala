@@ -4174,6 +4174,17 @@ object SparkEntry {
       bandedVerify = bandedVerify)
   }
 
+  private def md5GramCount(
+      s: SparkSession, dir: String, composed: Boolean): DataFrame = {
+    val h: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (composed) graft.ops.DedupOps.md5Hash60Composed
+      else graft.ops.DedupOps.md5Hash60
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.ops.TextOps.wordNgrams(col("text"), 8)).as("g"))
+      .select(h(col("g")).as("gh"))
+      .agg(count_distinct(col("gh")).as("n"))
+  }
+
   def abVariants: Map[String, AbVariant] = Map(
     // r12 change 1: the hot-band auto-salt default.
     // A = the new default (salt on at 2^13); B = the r11 default (off).
@@ -4199,6 +4210,14 @@ object SparkEntry {
       (s, dir) => DedupOps.tokenJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"),
         "text", "doc_id", "n_chars", threshold = 0.7, prefixFilter = false)),
+    // r12 change 6: fused md5-60 (digest bytes -> long) vs the
+    // composed conv(substring(md5)) hex round-trip, isolated on the
+    // gram-hash projection every portable-flavor pipeline runs
+    "md5_60_fused" -> AbVariant(
+      "Md5Hash60(default)",
+      (s, dir) => md5GramCount(s, dir, composed = false),
+      "conv(substring(md5))(r11)",
+      (s, dir) => md5GramCount(s, dir, composed = true)),
     // r12 change 5: fused scalar simhash signature (one shuffle-free
     // projection) vs the explode + 65-column aggregation (identical
     // signatures, spec-pinned; the delta is the signature stage)

@@ -61,10 +61,19 @@ object DedupOps {
     * reproducible in any engine with md5 + hex parsing (DuckDB:
     * `('0x' || substr(md5(s),1,15))::BIGINT`), unlike Spark's
     * xxhash64.  The oracle-checkable `portableHash` dedup flavors use
-    * this; the default xxhash64 stays the fast path (no hex-string
-    * round-trip per shingle).
+    * this; the default xxhash64 stays the fast path.  Since r12 the
+    * implementation is the fused [[graft.functions.Md5Hash60]] —
+    * digest bytes straight to the long, no hex-string round-trip per
+    * gram (the composed `conv(substring(md5(c),1,15),16,10)` stays
+    * below as the parity reference).
     */
   private[graft] def md5Hash60(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Md5Hash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Composed parity reference for [[md5Hash60]]. */
+  private[graft] def md5Hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Word k-shingles of a document as a distinct array.  Single-

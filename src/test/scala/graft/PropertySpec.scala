@@ -186,6 +186,11 @@ class PropertySpec extends AnyFunSuite {
       .where(col("a") =!= col("b")).count()
     assert(gramDiff == 0, s"$gramDiff ngram rows diverge")
     import graft.ops.DedupOps
+    val md5Diff = df.select(
+        DedupOps.md5Hash60(col("text")).as("a"),
+        DedupOps.md5Hash60Composed(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(md5Diff == 0, s"$md5Diff md5-60 rows diverge")
     val based = df
       .withColumn("sh", DedupOps.shingles(col("text"), 3))
       .withColumn("base",
