@@ -4210,6 +4210,18 @@ object SparkEntry {
       (s, dir) => DedupOps.tokenJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"),
         "text", "doc_id", "n_chars", threshold = 0.7, prefixFilter = false)),
+    // r12 change 7: fused minhash signature (one projection off the
+    // persisted gram arrays) vs the explode + 33-column aggregation
+    // (identical signatures, spec-pinned)
+    "minhash_fused_signature" -> AbVariant(
+      "MinhashFromGrams(default)",
+      (s, dir) => DedupOps.minhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", jaccardThreshold = 0.7),
+      "explode+agg(r11)",
+      (s, dir) => DedupOps.minhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", jaccardThreshold = 0.7, fusedSignature = false)),
     // r12 change 6: fused md5-60 (digest bytes -> long) vs the
     // composed conv(substring(md5)) hex round-trip, isolated on the
     // gram-hash projection every portable-flavor pipeline runs

@@ -128,6 +128,20 @@ object DedupOps {
       transform(shinglesOf(TextOps.tokens(text), shingleSize),
         s => pmod(xxhash64(s), lit(P))), numHashes)
 
+  /** MinHash signature straight from a gram-array column in ONE
+    * compiled loop ([[graft.functions.MinhashFromGrams]]): base hash +
+    * k minima fused, no explode, no shuffle.  Empty/null gram arrays
+    * → null (filter `isNotNull` to match the explode form's row set).
+    */
+  def minhashFromGrams(
+      grams: Column, numHashes: Int, portable: Boolean = false): Column = {
+    val params = hashParams(numHashes)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinhashFromGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(grams),
+        params.map(_._1).toArray, params.map(_._2).toArray, portable))
+  }
+
   /** Adds shingle + signature columns (two materialized stages). */
   def withMinhashSignature(
       df: DataFrame, textCol: String, shCol: String, sigCol: String,
@@ -297,15 +311,13 @@ object DedupOps {
       jaccardThreshold: Double = 0.8,
       portableHash: Boolean = false,
       maxBand: Int = Int.MaxValue,
-      saltHotBands: Int = 1 << 13): DataFrame = {
+      saltHotBands: Int = 1 << 13,
+      fusedSignature: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     // portableHash: md5-derived base hashes + comma-joined band keys so
     // an external engine can recompute the identical pipeline (the
     // oracle flavor); default: xxhash64 base + 8-byte band keys (the
     // scale flavor — band keys shuffle as longs, not strings)
-    val baseHash: Column => Column =
-      if (portableHash) s => pmod(md5Hash60(s), lit(P))
-      else s => pmod(xxhash64(s), lit(P))
     val bandKey: Column => Column =
       if (portableHash)
         b => concat_ws(",",
@@ -319,23 +331,32 @@ object DedupOps {
     val shingled = registerPersist(
       df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
         .select(col("id"), shinglesOf(col("__t"), shingleSize).as("sh")))
-    // signature via explode + hash-agg (codegen'd; see simhashByExplode)
-    // — 32 interpreted array-transform minima per row would dominate.
-    // Hash AFTER the explode: a hash inside a transform lambda runs
-    // interpreted per element, the same scalar hash over the exploded
-    // column is a codegen'd projection
-    val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), baseHash(col("s")).as("h"))
-    val minCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
-    }
-    // persisted: the band self-join references this subtree twice (l/r)
-    // and would recompute the explode+32-min aggregation per side; the
+    // signature stage.  Default (r12): ONE compiled loop straight off
+    // the persisted gram arrays (MinhashFromGrams — base hash + 32
+    // minima fused), a shuffle-free projection.  fusedSignature =
+    // false keeps the pre-r12 explode + 33-column aggregation as the
+    // A/B reference (hash AFTER the explode because a hash inside a
+    // transform lambda runs interpreted per element).  Persisted
+    // either way: the band self-join references sigs twice (l/r); the
     // signature table is tiny (one 32-long row per doc)
     val sigs = registerPersist(
-      exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
-        .select(col("id"),
-          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")))
+      if (fusedSignature)
+        shingled.select(col("id"),
+            minhashFromGrams(col("sh"), numHashes, portableHash).as("sig"))
+          .where(col("sig").isNotNull)
+      else {
+        val baseHash: Column => Column =
+          if (portableHash) s => pmod(md5Hash60(s), lit(P))
+          else s => pmod(xxhash64(s), lit(P))
+        val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
+          .select(col("id"), baseHash(col("s")).as("h"))
+        val minCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+          min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+        }
+        exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+          .select(col("id"),
+            array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      })
     // band bucketing on the SMALL signature rows only (no shingle
     // arrays through this shuffle); candidate pairs are rare, so the
     // exact-Jaccard verify re-derives shingles just for them via two

@@ -3232,6 +3232,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MinhashFromGrams projection == explode formulation, both hash flavors") {
+    import spark.implicits._
+    val edge = Seq((1L, "the quick brown fox jumps over it"), (2L, ""),
+      (3L, "   "), (4L, "one two"), (5L, "é中 café 中文 mixed bytes here"),
+      (6L, null)).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, docs); portable <- Seq(false, true)) {
+      // both flavors of minhashPairs' signature stage, lifted verbatim
+      val shingled = df.select(col("doc_id").as("id"),
+        DedupOps.shinglesOf(graft.ops.TextOps.tokens(col("text")), 3).as("sh"))
+      val fused = shingled.select(col("id"),
+          DedupOps.minhashFromGrams(col("sh"), 16, portable).as("sig"))
+        .where(col("sig").isNotNull)
+      val baseHash: org.apache.spark.sql.Column =
+        if (portable) pmod(DedupOps.md5Hash60(col("s")), lit((1L << 31) - 1))
+        else pmod(xxhash64(col("s")), lit((1L << 31) - 1))
+      val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), baseHash.as("h"))
+      val minCols = DedupOps.hashParams(16).zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(col("h") * lit(a) + lit(b), lit((1L << 31) - 1))).as(s"m$i")
+      }
+      val viaExplode = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+        .select(col("id"), array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+      assert(fused.exceptAll(viaExplode).isEmpty &&
+        viaExplode.exceptAll(fused).isEmpty,
+        s"minhash signature diverges (portable=$portable)")
+    }
+  }
+
   test("fuzzy link: banded threshold verify == full-table verify, incl. maxLev=0") {
     import spark.implicits._
     val clean = (1L to 200L).map(i => (i,
