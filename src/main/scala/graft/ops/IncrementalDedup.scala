@@ -135,9 +135,6 @@ object IncrementalDedup {
       numHashes: Int, bands: Int, shingleSize: Int,
       portableHash: Boolean): DataFrame = {
     val rows = numHashes / bands
-    val baseHash: Column => Column =
-      if (portableHash) s => pmod(DedupOps.md5Hash60(s), lit(P))
-      else s => pmod(xxhash64(s), lit(P))
     val bandKey: Column => Column =
       if (portableHash)
         b => concat_ws(",",
@@ -145,16 +142,15 @@ object IncrementalDedup {
             _.cast("string")))
       else b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))
         .cast("string")
-    val exploded = df
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
-      .select(col("id"), explode(DedupOps.shinglesOf(col("__t"), shingleSize)).as("s"))
-      .select(col("id"), baseHash(col("s")).as("h"))
-    val minCols = DedupOps.hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
-    }
-    exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+    // r12: the fused one-loop signature (MinhashFromGrams), identical
+    // to the old explode + 33-column aggregation by the minhashPairs
+    // parity pin — the batch and incremental stores stay bit-equal
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
       .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+        DedupOps.minhashFromGrams(
+          DedupOps.shinglesOf(col("__t"), shingleSize),
+          numHashes, portableHash).as("sig"))
+      .where(col("sig").isNotNull)
       .select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey))
           .as(Seq("band", "band_hash")))
