@@ -205,6 +205,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litInt("graft_minhash", "num_hashes", children(2))))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(
+        classOf[graft.functions.SimhashBits].getName, null,
+        "graft_simhash",
+        "graft_simhash(text) - 64-bit SimHash of the whitespace tokens " +
+          "(seed-42 xxhash64 per token, per-bit majority vote) in one " +
+          "shuffle-free byte scan; NULL for token-less text", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) wrongArity("graft_simhash", 1, children.length)
+        graft.functions.SimhashBits(children.head, nBits = 64, portable = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_60"),
+      new ExpressionInfo(
+        classOf[graft.functions.Md5Hash60].getName, null,
+        "graft_md5_60",
+        "graft_md5_60(v) - the engine's portable 60-bit hash: the first " +
+          "15 hex chars of md5 as a BIGINT (replayable in any engine " +
+          "with md5 + hex parsing)", ""),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) wrongArity("graft_md5_60", 1, children.length)
+        graft.functions.Md5Hash60(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NormalizeText].getName, null, "graft_nfc",
         "graft_nfc(text) - Unicode NFC normalization (canonical " +

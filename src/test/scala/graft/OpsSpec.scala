@@ -1830,7 +1830,9 @@ class OpsSpec extends AnyFunSuite {
         |       graft_winnow(text, 8, 16) AS wn,
         |       graft_word_ngrams(text, 3) AS ng,
         |       graft_repetition(text, 2) AS rep,
-        |       graft_minhash(text, 3, 16) AS mh
+        |       graft_minhash(text, 3, 16) AS mh,
+        |       graft_simhash(text) AS sh,
+        |       graft_md5_60(text) AS h60
         |FROM graft_fused_sql_t""".stripMargin)
     val viaApi = docs.select(col("doc_id"),
       org.apache.spark.sql.graft.ColumnBridge.column(
@@ -1845,7 +1847,9 @@ class OpsSpec extends AnyFunSuite {
         graft.functions.GramRepetition(
           org.apache.spark.sql.graft.ColumnBridge.expression(
             graft.ops.TextOps.tokens(col("text"))), 2)).as("rep"),
-      graft.ops.DedupOps.minhashSignatureOfText(col("text"), 3, 16).as("mh"))
+      graft.ops.DedupOps.minhashSignatureOfText(col("text"), 3, 16).as("mh"),
+      graft.ops.DedupOps.simhashOfText(col("text")).as("sh"),
+      graft.ops.DedupOps.md5Hash60(col("text")).as("h60"))
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty,
       "SQL and Scala-API forms diverge")
     // parameter arguments must be INT literals — fail like the analyzer
