@@ -86,17 +86,34 @@ object UrlOps {
     * registrable domain, deterministically (rank by `orderCol` inside
     * the domain — ties impossible when it's the id).  Output keeps the
     * domain and the within-domain rank so downstream stages can audit
-    * the cut.  One hash partition per domain set; the window never
-    * sees more than a domain's rows, and the discarded tail is exactly
-    * the skew.
+    * the cut.
+    *
+    * Scale shape (r12): a LONG `orderCol` routes through the
+    * [[graft.plans.TopKPerKey]] whole-operator — per-partition bounded
+    * heaps BEFORE the exchange, so a boilerplate domain holding 30% of
+    * a 100 TB corpus ships ≤ cap rows per input partition instead of
+    * its entire row set through one window task.  The rank is then a
+    * window over ≤ cap rows per domain — bounded by construction.  A
+    * non-long `orderCol` (or `viaTopK = false`, the A/B + parity
+    * reference) takes the plain window form, whose per-task input is
+    * the full hot-domain row set — fine at moderate skew, the reason
+    * the TopK route is the long-id default.
     */
   def capPerDomain(
       df: DataFrame, urlCol: String, orderCol: String,
-      cap: Int): DataFrame = {
+      cap: Int, viaTopK: Boolean = true): DataFrame = {
     require(cap > 0, s"cap=$cap must be positive")
+    val domained = df.withColumn("domain", registrableDomain(col(urlCol)))
     val w = Window.partitionBy(col("domain")).orderBy(col(orderCol).asc)
-    df.withColumn("domain", registrableDomain(col(urlCol)))
-      .withColumn("domain_rank", row_number().over(w))
-      .filter(col("domain_rank") <= cap)
+    val isLong = df.schema(orderCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (viaTopK && isLong)
+      graft.ops.TopKOps.topKPerKey(
+          domained, Seq("domain"), Seq(orderCol -> true), cap)
+        .withColumn("domain_rank", row_number().over(w))
+    else
+      domained
+        .withColumn("domain_rank", row_number().over(w))
+        .filter(col("domain_rank") <= cap)
   }
 }

@@ -4286,6 +4286,14 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.filter(_.getString(1) == "site1.com").map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 3L, 5L))
     kept.foreach(r => assert(r.getInt(2) <= 3))
+    // the bounded-heap TopK route (long-id default) == the window form
+    val viaWindow = UrlOps.capPerDomain(docs, "url", "id", cap = 3,
+        viaTopK = false)
+      .select("id", "domain", "domain_rank")
+    val viaTopK = UrlOps.capPerDomain(docs, "url", "id", cap = 3)
+      .select("id", "domain", "domain_rank")
+    assert(viaTopK.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaTopK).isEmpty, "TopK route != window route")
   }
 
   test("bpeEncode == classic lowest-rank-anywhere BPE; hand example; partition-invariant") {
