@@ -28,8 +28,11 @@ object MatchOps {
   /** Long form: one row per (id, pattern) with a positive occurrence
     * count.  The posexplode runs over the single-pass count array, so
     * the text is scanned exactly once per document however long the
-    * blocklist is; rows for zero-hit patterns are dropped BEFORE the
-    * explode materializes them (`filter` on the array side).
+    * blocklist is; the zero-hit filter sits directly on the generate
+    * output, where whole-stage codegen pipelines it — zero-hit
+    * entries cost a loop iteration each, never a buffered row, and
+    * nothing downstream (the element_at projection, any shuffle) sees
+    * them.
     */
   def matchHits(
       df: DataFrame, idCol: String, textCol: String,

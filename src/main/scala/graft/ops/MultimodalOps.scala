@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // ImageIO's default stream cache is DISK-backed: a temp file per
+  // image read/write — pure overhead when every payload is already an
+  // in-memory byte array, and under a 32-thread decode the /tmp
+  // writeback pressure COMPOUNDS across a session (measured: the same
+  // sf10 JPEG pass drifting 29 s → 126 s over one bench session).
+  // Memory-cached streams are the correct mode for in-memory media;
+  // one JVM-wide switch, applied when this object first loads on each
+  // executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** An opaque media row: the content bytes plus caller metadata. */
   final case class MediaRecord(id: Long, kind: String, content: Array[Byte])
 

@@ -200,5 +200,30 @@ class PropertySpec extends AnyFunSuite {
         DedupOps.minhashSignatureFromBaseHof(col("base"), 16).as("b"))
       .where(col("a") =!= col("b")).count()
     assert(sigDiff == 0, s"$sigDiff minhash rows diverge")
+    // fused per-row simhash vs the explode+agg reference on the soup
+    val viaScalar = df.select(col("id"),
+        DedupOps.simhashOfText(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
+    val viaExplode = DedupOps.simhashByExplode(df, "text", "id")
+    assert(viaScalar.exceptAll(viaExplode).isEmpty &&
+      viaExplode.exceptAll(viaScalar).isEmpty, "simhash soup divergence")
+    // fused gram-array minhash vs its explode reference on the soup
+    val sh = df.select(col("id"),
+      DedupOps.shinglesOf(graft.ops.TextOps.tokens(col("text")), 3).as("sh"))
+    val fusedSig = sh.select(col("id"),
+        DedupOps.minhashFromGrams(col("sh"), 8, portable = false).as("sig"))
+      .where(col("sig").isNotNull)
+    val P = (1L << 31) - 1
+    val expSig = {
+      val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), pmod(xxhash64(col("s")), lit(P)).as("h"))
+      val minCols = DedupOps.hashParams(8).zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$i")
+      }
+      exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+        .select(col("id"), array((0 until 8).map(i => col(s"m$i")): _*).as("sig"))
+    }
+    assert(fusedSig.exceptAll(expSig).isEmpty &&
+      expSig.exceptAll(fusedSig).isEmpty, "minhash-grams soup divergence")
   }
 }
