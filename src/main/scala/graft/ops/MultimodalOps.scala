@@ -1979,12 +1979,13 @@ object MultimodalOps {
       y += 1
     }
     val defl = new java.util.zip.Deflater(6)
-    defl.setInput(raw)
-    defl.finish()
     val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-    val buf = new Array[Byte](8192)
-    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-    defl.end()
+    try {
+      defl.setInput(raw)
+      defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    } finally defl.end() // native zlib memory — GC finalization is too late
     pngHeader(w, h) ++ pngChunk("IDAT", out.toByteArray) ++
       pngChunk("IEND", Array.empty[Byte])
   }
