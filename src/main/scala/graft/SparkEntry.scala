@@ -4210,6 +4210,18 @@ object SparkEntry {
       (s, dir) => DedupOps.tokenJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"),
         "text", "doc_id", "n_chars", threshold = 0.7, prefixFilter = false)),
+    // r12 change 8: one-shuffle source-overlap (collect_set's map-side
+    // partial dedup) vs the distinct-then-aggregate two-shuffle form
+    // (result-identical: set union ignores multiplicity)
+    "overlap_single_shuffle" -> AbVariant(
+      "collect_set only(default)",
+      (s, dir) => graft.ops.TextOps.sourceOverlap(
+        s.read.parquet(s"$dir/documents.parquet"), "source", "text",
+        k = 8, maxSources = 16),
+      "distinct first(r11)",
+      (s, dir) => graft.ops.TextOps.sourceOverlap(
+        s.read.parquet(s"$dir/documents.parquet"), "source", "text",
+        k = 8, maxSources = 16, preDistinct = true)),
     // r12 change 7: fused minhash signature (one projection off the
     // persisted gram arrays) vs the explode + 33-column aggregation
     // (identical signatures, spec-pinned)

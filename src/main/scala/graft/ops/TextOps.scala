@@ -1095,15 +1095,23 @@ object TextOps {
   def sourceOverlap(
       df: DataFrame, sourceCol: String, textCol: String,
       k: Int = 8, maxSources: Int = 16,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false,
+      preDistinct: Boolean = false): DataFrame = {
     val gramHash: Column => Column =
       if (portableHash) DedupOps.md5Hash60 else (s => xxhash64(s))
     val toks = df.select(col(sourceCol).as("source"),
       tokens(col(textCol)).as("toks"))
-    val grams = toks
+    // NO distinct before the set aggregation (the r12 default):
+    // collect_set dedups map-side inside the partial aggregate, so a
+    // separate distinct() is a SECOND corpus-volume shuffle of the
+    // same (source, gh) rows for nothing — the partials entering the
+    // one remaining shuffle are already per-partition sets.
+    // preDistinct = true keeps the two-shuffle form as the A/B
+    // reference (result-identical: set union ignores multiplicity).
+    val grams0 = toks
       .select(col("source"), explode(wordNgramsOf(col("toks"), k)).as("gram"))
       .select(col("source"), gramHash(col("gram")).as("gh"))
-      .distinct()
+    val grams = if (preDistinct) grams0.distinct() else grams0
     // one agg: the canonically-sorted source set per gram; the
     // hot-gram guard bounds the pair fan-out below to maxSources²
     val bySet = grams.groupBy("gh")

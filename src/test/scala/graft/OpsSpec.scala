@@ -3236,6 +3236,15 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceOverlap: one-shuffle form == distinct-first form") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val a = TextOps.sourceOverlap(docs, "source", "text", k = 8, maxSources = 16)
+    val b = TextOps.sourceOverlap(docs, "source", "text", k = 8, maxSources = 16,
+      preDistinct = true)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "overlap forms diverge")
+  }
+
   test("MinhashFromGrams projection == explode formulation, both hash flavors") {
     import spark.implicits._
     val edge = Seq((1L, "the quick brown fox jumps over it"), (2L, ""),
