@@ -398,9 +398,13 @@ object DedupOps {
     cand
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // |A∪B| = |A|+|B|−|A∩B| for the DISTINCT shingle arrays — one
+      // hash-set pass per pair instead of intersect AND union (same
+      // integers, bit-identical quotient)
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (col("__i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
@@ -662,11 +666,14 @@ object DedupOps {
       val l = cold.as("l")
       val r = cold.as("r")
       l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-        // token-less pairs have union 0 → skip (ANSI divide-by-zero)
-        .filter(size(array_union(col("l.toks"), col("r.toks"))) > 0)
+        // token-less pairs have union 0 → skip (ANSI divide-by-zero);
+        // union size from the DISTINCT arrays' size identity
+        .filter(size(col("l.toks")) + size(col("r.toks")) > 0)
+        .withColumn("__i", size(array_intersect(col("l.toks"), col("r.toks"))))
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-          (size(array_intersect(col("l.toks"), col("r.toks"))).cast("double") /
-            size(array_union(col("l.toks"), col("r.toks")))).as("jaccard"))
+          (col("__i").cast("double") /
+            (size(col("l.toks")) + size(col("r.toks")) - col("__i")))
+            .as("jaccard"))
         .filter(col("jaccard") >= threshold)
     } else {
       // persisted: referenced by the prefix explode AND both verify
@@ -687,10 +694,12 @@ object DedupOps {
       cand
         .join(sides.select(col("id").as("id_a"), col("toks").as("__ta")), Seq("id_a"))
         .join(sides.select(col("id").as("id_b"), col("toks").as("__tb")), Seq("id_b"))
-        .filter(size(array_union(col("__ta"), col("__tb"))) > 0)
+        .filter(size(col("__ta")) + size(col("__tb")) > 0)
+        .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
         .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
-            size(array_union(col("__ta"), col("__tb")))).as("jaccard"))
+          (col("__i").cast("double") /
+            (size(col("__ta")) + size(col("__tb")) - col("__i")))
+            .as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
   }
