@@ -223,13 +223,15 @@ object DedupOps {
       if (portableHash) md5Hash60 else c => xxhash64(c)
     val toks = df.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("toks"))
+    // windows via the FUSED gram builder + a post-explode scalar hash
+    // (posexplode supplies the start index): the old per-window
+    // `gramHash(concat_ws(slice(...)))` ran INTERPRETED inside the
+    // transform lambda — the exact trap wordNgramsOf exists to avoid;
+    // gram strings are parity-pinned identical to that composed form
     val wins = registerPersist(toks.select(col("id"),
-        explode(transform(
-          sequence(lit(1), greatest(size(col("toks")) - lit(k - 1), lit(1))),
-          i => struct(i.as("start"),
-            gramHash(concat_ws(" ", slice(col("toks"), i, lit(k)))).as("wh"))))
-          .as("w"))
-      .select(col("id"), col("w.start").as("start"), col("w.wh").as("wh")))
+        posexplode(TextOps.wordNgramsOf(col("toks"), k)).as(Seq("pos", "g")))
+      .select(col("id"), (col("pos") + 1).as("start"),
+        gramHash(col("g")).as("wh")))
     val own = wins.groupBy("wh").agg(
       count_distinct(col("id")).as("nd"), min(col("id")).as("keeper"))
     val rm = wins.join(own, "wh")
