@@ -591,8 +591,12 @@ object DedupOps {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // filter BEFORE the pair dedup: hamming is a pure function of
+      // the pair (multi-chunk duplicates carry identical values), so
+      // the order is semantics-free and the dedup hash table sees only
+      // surviving pairs
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** The chunk buckets a `maxBucket` cap would drop, with populations —

@@ -3236,6 +3236,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("every abVariants pair is result-identical (the A/B contract)") {
+    // BenchAB exists to measure PLAN deltas; a variant whose sides
+    // return different ROWS is measuring two different operators.
+    // Loop the whole registry so every future knob inherits the pin.
+    // Materialized-multiset compare, not exceptAll: both sides persist
+    // plan-identical subtrees, and Spark's cache-manager dedup plus
+    // the exceptAll rewrite collide into
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the shared relation.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    for ((name, v) <- SparkEntry.abVariants) {
+      val a = rows(v.a(spark, sf001))
+      val b = rows(v.b(spark, sf001))
+      assert(a == b, s"abVariants '$name': ${v.labelA} != ${v.labelB}")
+      graft.ops.DedupOps.unpersistAll()
+    }
+  }
+
   test("sourceOverlap: one-shuffle form == distinct-first form") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val a = TextOps.sourceOverlap(docs, "source", "text", k = 8, maxSources = 16)
