@@ -100,9 +100,10 @@ object Profile {
       val verified = cand
         .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
         .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+          (col("__i").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("__i"))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
       time("  verify join")(verified.count())
       shingled.unpersist(); sigsP.unpersist()

@@ -43,9 +43,10 @@ object PrefixBisect {
     timed("verify")(
       cand.join(sides.select(col("id").as("id_a"), col("toks").as("__ta")), Seq("id_a"))
         .join(sides.select(col("id").as("id_b"), col("toks").as("__tb")), Seq("id_b"))
-        .filter(size(array_union(col("__ta"), col("__tb"))) > 0)
-        .select((size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
-          size(array_union(col("__ta"), col("__tb")))).as("j"))
+        .filter(size(col("__ta")) + size(col("__tb")) > 0)
+        .withColumn("__i", size(array_intersect(col("__ta"), col("__tb"))))
+        .select((col("__i").cast("double") /
+          (size(col("__ta")) + size(col("__tb")) - col("__i"))).as("j"))
         .filter(col("j") >= 0.7).count())
     spark.stop()
   }
