@@ -3236,6 +3236,53 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused expressions: interpreted eval == codegen (NO_CODEGEN parity)") {
+    // every fused expression has TWO execution paths — nullSafeEval and
+    // doGenCode — and the regular parity specs only exercise whichever
+    // one planning picks (codegen, normally).  Force the interpreted
+    // factory and re-check a cross-section against values computed
+    // under default codegen: a divergence here is the classic
+    // expression bug the per-path specs cannot see.
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    def snapshot(): Map[Long, String] = docs.select(col("doc_id"),
+        concat_ws("|",
+          TextOps.tokens(col("text")).cast("string"),
+          TextOps.wordNgrams(col("text"), 3).cast("string"),
+          DedupOps.simhashOfText(col("text")).cast("string"),
+          DedupOps.md5Hash60(col("text")).cast("string"),
+          DedupOps.minhashFromGrams(
+            DedupOps.shingles(col("text"), 3), 8).cast("string"),
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.WinnowFingerprint(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+              8, 16, portable = false)).cast("string"),
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.QualityTextStats(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
+            .cast("string")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaCodegen = snapshot()
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevWhole = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaInterpreted = snapshot()
+      assert(viaInterpreted == viaCodegen,
+        "interpreted eval diverges from codegen on " +
+          viaCodegen.keys.filter(k => viaInterpreted(k) != viaCodegen(k))
+            .take(3).mkString(", "))
+    } finally {
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWhole)
+    }
+  }
+
   test("every abVariants pair is result-identical (the A/B contract)") {
     // BenchAB exists to measure PLAN deltas; a variant whose sides
     // return different ROWS is measuring two different operators.
