@@ -166,4 +166,29 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assert(topk <= full * 4, s"TopK ($topk) >> groupBy baseline ($full)")
     orders.unpersist()
   }
+
+  test("fused simhash/minhash signature stages are shuffle-free") {
+    // the late-r12 claim: signatures are per-row scalars, so deriving
+    // (id, signature) from the corpus must write ZERO shuffle bytes —
+    // the explode+aggregate formulations they replaced shuffled every
+    // token/gram occurrence
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    // foreachPartition, not count(): a global count is itself a
+    // 1-row-per-partition exchange (~59 bytes) that would mask the pin
+    val sim = shuffleBytes {
+      docs.select(col("doc_id"),
+          graft.ops.DedupOps.simhashOfText(col("text")).as("s"))
+        .where(col("s").isNotNull)
+        .foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    }
+    assert(sim == 0L, s"scalar simhash wrote $sim shuffle bytes")
+    val mh = shuffleBytes {
+      docs.select(col("doc_id"),
+          graft.ops.DedupOps.minhashFromGrams(
+            graft.ops.DedupOps.shingles(col("text"), 3), 16).as("sig"))
+        .where(col("sig").isNotNull)
+        .foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    }
+    assert(mh == 0L, s"fused minhash signature wrote $mh shuffle bytes")
+  }
 }
