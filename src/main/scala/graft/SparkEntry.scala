@@ -1320,6 +1320,48 @@ object SparkEntry {
         |       md5(coalesce(array_to_string(list_transform(kept,
         |         j -> toks[CAST(j AS INT)]), ' '), '')) AS clean_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+    // surgical-decontamination replay: corpus (doc_id >= 20) windows
+    // cut where the 8-token window hash appears in the benchmark
+    // slice (doc_id < 20); same cut arithmetic as q_span_dedup
+    "q_decontaminate_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id >= 20),
+        |bt AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 20),
+        |ref AS (
+        |  SELECT DISTINCT
+        |         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS wh
+        |  FROM (SELECT unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(toks) - 7, 1) + 1),
+        |          i -> array_to_string(toks[i:i+7], ' ')))) AS g FROM bt)),
+        |w AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+        |           i -> {'start': i,
+        |                 'wh': CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT)})) AS s
+        |  FROM t),
+        |ww AS (SELECT doc_id, s.start AS start, s.wh AS wh FROM w),
+        |rm AS (
+        |  SELECT ww.doc_id, list_sort(list(DISTINCT ww.start)) AS starts
+        |  FROM ww WHERE ww.wh IN (SELECT wh FROM ref)
+        |  GROUP BY ww.doc_id),
+        |c AS (
+        |  SELECT t.doc_id, t.toks, coalesce(rm.starts, []) AS st
+        |  FROM t LEFT JOIN rm ON t.doc_id = rm.doc_id),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |         list_filter(range(1, len(toks) + 1),
+        |           j -> len(list_filter(st, s -> j >= s AND j <= s + 7)) = 0) AS kept
+        |  FROM c)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+        |       md5(coalesce(array_to_string(list_transform(kept,
+        |         j -> toks[CAST(j AS INT)]), ' '), '')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
     // duplicate-window replay (DedupOps.duplicateWindowStats, k=8):
     // overlapping 8-token windows as md5-60bit hashes, per-hash
     // distinct-doc counts, per-doc share of windows seen in ≥2 docs
@@ -4725,6 +4767,18 @@ object SparkEntry {
             // bigint 0/1, not boolean: every driver-hashed column so
             // far is numeric/string — stay in the proven type envelope
             (col("n_overlap") >= 10).cast("bigint").as("contaminated"))
+          .orderBy("doc_id")
+      },
+      "q_decontaminate_spans" -> { (s, dir) =>
+        // surgical decontamination: cut exactly the 8-token windows
+        // that appear in the benchmark slice, keep the rest of the doc
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        TextOps.removeContaminatedSpans(
+            docs.filter(col("doc_id") >= 20), "doc_id", "text",
+            docs.filter(col("doc_id") < 20), "text",
+            k = 8, portableHash = true)
+          .select(col("id").cast("bigint").as("doc_id"),
+            col("n_tokens"), col("n_removed"), col("clean_md5"))
           .orderBy("doc_id")
       },
       "q_pii_redact" -> { (s, dir) =>

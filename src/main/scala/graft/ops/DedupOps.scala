@@ -237,6 +237,17 @@ object DedupOps {
     val rm = wins.join(own, "wh")
       .filter(col("nd") >= 2 && col("id") =!= col("keeper"))
       .groupBy("id").agg(sort_array(collect_set(col("start"))).as("starts"))
+    cutSpans(toks, rm, k)
+  }
+
+  /** The span-cut projection shared by [[removeDuplicateSpans]] and
+    * [[TextOps.removeContaminatedSpans]]: drop every token covered by
+    * any removed window start in `rm` (`(id, starts sorted array)`),
+    * and summarize per doc.  Pure array projection — the text never
+    * shuffles.
+    */
+  private[graft] def cutSpans(
+      toks: DataFrame, rm: DataFrame, k: Int): DataFrame =
     toks.join(rm, Seq("id"), "left")
       .withColumn("st", coalesce(col("starts"), array().cast("array<int>")))
       // greatest(…, 1) + the j <= size guard keeps the sequence
@@ -251,7 +262,6 @@ object DedupOps {
         md5(concat_ws(" ",
           transform(col("kept"), j => element_at(col("toks"), j))))
           .as("clean_md5"))
-  }
 
   def duplicateWindowStats(
       df: DataFrame, idCol: String, textCol: String,

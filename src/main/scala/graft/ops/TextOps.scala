@@ -278,6 +278,47 @@ object TextOps {
     * DuckDB oracle replays the identical pipeline (same convention as
     * DedupOps.minhashPairs).
     */
+  /** SURGICAL decontamination — the span-level sibling of
+    * [[contaminationScores]]: instead of flagging/dropping whole
+    * documents whose n-gram overlap with a benchmark crosses a
+    * threshold, cut exactly the k-token windows that literally appear
+    * in the reference set and keep the rest of the document.  The
+    * shape a training-data pipeline wants when a long document quotes
+    * one benchmark item: doc-level dropping burns the other 99% of
+    * its tokens.
+    *
+    * Output per doc: `(id, n_tokens, n_removed, clean_md5)` — the
+    * [[DedupOps.removeDuplicateSpans]] summary contract (narrow at
+    * any corpus size); overlapping cut spans merge naturally.
+    *
+    * Scale shape: the reference's distinct window hashes BROADCAST (a
+    * benchmark set is MBs against a 100 TB corpus — if it ever is not,
+    * Spark's size estimate falls back to a hash join on the same key);
+    * corpus windows travel as (id, start, 8-byte hash) rows, the text
+    * itself never shuffles, and the cut is the shared pure array
+    * projection.
+    */
+  def removeContaminatedSpans(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchText: String,
+      k: Int = 8, portableHash: Boolean = false): DataFrame = {
+    val gramHash: Column => Column =
+      if (portableHash) DedupOps.md5Hash60 else c => xxhash64(c)
+    val refHashes = benchmark
+      .select(tokens(col(benchText)).as("__t"))
+      .select(explode(array_distinct(wordNgramsOf(col("__t"), k))).as("g"))
+      .select(gramHash(col("g")).as("wh")).distinct()
+    val toks = corpus.select(col(corpusId).as("id"),
+      tokens(col(corpusText)).as("toks"))
+    val wins = toks.select(col("id"),
+        posexplode(wordNgramsOf(col("toks"), k)).as(Seq("pos", "g")))
+      .select(col("id"), (col("pos") + 1).as("start"),
+        gramHash(col("g")).as("wh"))
+    val rm = wins.join(broadcast(refHashes), Seq("wh"), "left_semi")
+      .groupBy("id").agg(sort_array(collect_set(col("start"))).as("starts"))
+    DedupOps.cutSpans(toks, rm, k)
+  }
+
   def contaminationScores(
       corpus: DataFrame, corpusId: String, corpusText: String,
       benchmark: DataFrame, benchText: String,

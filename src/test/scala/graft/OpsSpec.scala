@@ -3301,6 +3301,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("removeContaminatedSpans cuts exactly the benchmark windows") {
+    import spark.implicits._
+    val bench = Seq("the secret benchmark answer is forty two exactly here")
+      .toDF("text") // 9 tokens → 2 overlapping 8-token windows
+    val corpus = Seq(
+      // quotes the full benchmark inside a longer doc → tokens 3..11
+      // covered by starts {3, 4}: spans [3,10] ∪ [4,11]
+      (1L, "aa bb the secret benchmark answer is forty two exactly here cc dd"),
+      (2L, "completely unrelated text with enough tokens to not match anything"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.removeContaminatedSpans(
+        corpus, "doc_id", "text", bench, "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (13L, 9L), s"doc 1: ${got(1L)}") // tokens 3..11 cut
+    assert(got(2L) == (10L, 0L), "clean doc must be untouched")
+    assert(got(3L)._2 == 0L, "empty doc: nothing to cut")
+    // the cleaned doc 1 is the surviving tokens, md5-checkable
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("aa bb cc dd".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cleanMd5 = TextOps.removeContaminatedSpans(
+        corpus, "doc_id", "text", bench, "text", k = 8)
+      .filter(col("id") === 1L).head().getString(3)
+    assert(cleanMd5 == md, "clean_md5 must hash the surviving tokens")
+  }
+
   test("sourceOverlap: one-shuffle form == distinct-first form") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val a = TextOps.sourceOverlap(docs, "source", "text", k = 8, maxSources = 16)
