@@ -3246,6 +3246,10 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("doc_id"), col("text")).limit(300)
+    def viaBridge(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.graft.ColumnBridge.column(e)
+    def ex(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.expression(c)
     def snapshot(): Map[Long, String] = docs.select(col("doc_id"),
         concat_ws("|",
           TextOps.tokens(col("text")).cast("string"),
@@ -3254,14 +3258,25 @@ class OpsSpec extends AnyFunSuite {
           DedupOps.md5Hash60(col("text")).cast("string"),
           DedupOps.minhashFromGrams(
             DedupOps.shingles(col("text"), 3), 8).cast("string"),
-          org.apache.spark.sql.graft.ColumnBridge.column(
-            graft.functions.WinnowFingerprint(
-              org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
-              8, 16, portable = false)).cast("string"),
-          org.apache.spark.sql.graft.ColumnBridge.column(
-            graft.functions.QualityTextStats(
-              org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
-            .cast("string")).as("v"))
+          viaBridge(graft.functions.WinnowFingerprint(
+            ex(col("text")), 8, 16, portable = false)).cast("string"),
+          viaBridge(graft.functions.QualityTextStats(ex(col("text"))))
+            .cast("string"),
+          // the pre-r12 fused family, same two-path exposure
+          viaBridge(graft.functions.BpeTokenCount(ex(col("text"))))
+            .cast("string"),
+          viaBridge(graft.functions.GramRepetition(
+            ex(TextOps.tokens(col("text"))), 2)).cast("string"),
+          viaBridge(graft.functions.CdcBoundaries(
+            ex(col("text")), 8, 64)).cast("string"),
+          viaBridge(graft.functions.NormalizeText(ex(col("text")),
+            compat = true)).cast("string"),
+          MatchOps.multiMatchCounts(col("text"),
+            Seq("the", "data", "zz-never")).cast("string"),
+          graft.ops.SimilarityOps.dot(
+            array(lit(1.0), lit(2.0), lit(3.0)),
+            array(lit(0.5), crc32(col("text")).cast("double") / 1e12,
+              lit(-1.0))).cast("string")).as("v"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val viaCodegen = snapshot()
     val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
