@@ -4303,6 +4303,53 @@ object SparkEntry {
       (s, dir) => fuzzyLinkOn(s, dir, bandedVerify = true),
       "full-table(r11)",
       (s, dir) => fuzzyLinkOn(s, dir, bandedVerify = false)),
+    // r13 change: the approximate per-language perplexity cut-point
+    // path (SCALE.md §Selection's promised 100 TB swap — sketch
+    // cut-points instead of the exact per-language ntile sort).
+    // Results differ only at bucket edges (documented semantics knob),
+    // so this record is a COST comparison; the exact path stays the
+    // oracle default.
+    "selection_approx_buckets" -> AbVariant(
+      "approxCutpoints=true(100TB path)",
+      (s, dir) => SelectionOps.selectionPipeline(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "lang", "source", budgetPerLang = 4000L,
+        targets = Map("src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20,
+          "src3" -> 0.15, "src4" -> 0.10),
+        totalBudget = 50000L, seqLen = 256L, salt = "sel7",
+        approxBuckets = true),
+      "exact ntile(default/oracle)",
+      (s, dir) => SelectionOps.selectionPipeline(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "lang", "source", budgetPerLang = 4000L,
+        targets = Map("src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20,
+          "src3" -> 0.15, "src4" -> 0.10),
+        totalBudget = 50000L, seqLen = 256L, salt = "sel7")),
+    // r13 adjudication: the graph family's sf10 cross-record deltas
+    // (q_pagerank 6.4→10.2 s, q_triangles 6.4→7.9 s with ~10 changed
+    // lines) were claimed as host smear — CONTENTION.md's rule demands
+    // interleaved evidence.  Both arms run the SAME current code, so
+    // the A−B delta IS the session's smear on this exact plan; a
+    // genuine code regression would instead need A≠B arms, which don't
+    // exist (the code didn't change).  Done when |delta| sits inside
+    // the controls' drift.
+    "graph_pagerank_smear" -> AbVariant(
+      "pagerank(current)", (s, dir) => queries("q_pagerank")(s, dir),
+      "pagerank(current)", (s, dir) => queries("q_pagerank")(s, dir)),
+    "graph_triangles_smear" -> AbVariant(
+      "triangles(current)", (s, dir) => queries("q_triangles")(s, dir),
+      "triangles(current)", (s, dir) => queries("q_triangles")(s, dir)),
+    // r13 change: the eval guard's cardinality count now persists the
+    // grouped per-score frame it shares with the metric (ONE corpus
+    // aggregation).  A = guarded default; B = gate off (maxGroups=0),
+    // the r11 unguarded cost the guarded path must sit within noise of.
+    "eval_guard_fused" -> AbVariant(
+      "guarded+persist(default)",
+      (s, dir) => graft.ops.EvalOps.aucReport(
+        scoredFrame(s, dir), "score", "target"),
+      "unguarded(r11)",
+      (s, dir) => graft.ops.EvalOps.aucReport(
+        scoredFrame(s, dir), "score", "target", maxGroups = 0)),
     // r12 change 3: fused GramRepetition expression vs the interpreted
     // HOF chain, measured UNDER the quality-gate filter where the
     // pushdown re-evaluation lives

@@ -34,6 +34,7 @@ object Verify {
         }
         rm(new java.io.File(s"$outDir/$name"))
       }
+      finally graft.ops.DedupOps.unpersistAll() // drop per-query cached plans
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -31,20 +31,33 @@ object EvalOps extends Serializable {
     * cumulative window is unpartitioned.  An UNBANDED raw continuous
     * score (near-unique values) would silently turn that window into a
     * one-task pass over ~n rows; instead we count the grouped frame
-    * (one extra job over the already-reduced aggregate, capped by the
-    * limit) and throw past `maxGroups`.  A banded call is exempt: the
+    * and throw past `maxGroups`.  A banded call is exempt: the
     * quantile snap already bounds the frame at O(maxBands).
+    *
+    * ONE corpus aggregation, not two: the grouped frame is persisted
+    * (the `DedupOps.registerPersist` discipline) so the guard's count
+    * job materializes the same cache the metric pass then reads — the
+    * naive `g.count()` + metric form scans the corpus twice, which at
+    * 100 TB doubles the cost of every guarded eval call.  The cached
+    * frame is O(distinct score) ≤ maxGroups rows, not corpus-sized.
+    *
+    * `maxGroups <= 0` disables the gate entirely (no count job, no
+    * persist) — the expert valve for a score the CALLER already knows
+    * is banded (e.g. a scorecard score that is a function of O(bins)
+    * WoE values); state then stays bounded by that contract, not ours.
     */
   private def guarded(
       g: DataFrame, maxGroups: Int, bandedAlready: Boolean,
       caller: String): DataFrame = {
-    if (!bandedAlready) {
-      val cnt = g.limit(maxGroups + 1).count()
+    if (bandedAlready || maxGroups <= 0) g
+    else {
+      val p = DedupOps.registerPersist(g)
+      val cnt = p.limit(maxGroups + 1).count()
       require(cnt <= maxGroups,
         s"$caller: more than $maxGroups distinct scores — pass maxBands > 0 " +
           "to band inline, pre-band through QuantileOps, or raise maxGroups")
+      p
     }
-    g
   }
 
   /** Pre-banding valve for RAW CONTINUOUS scores: snap the score to

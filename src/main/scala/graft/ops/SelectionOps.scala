@@ -83,23 +83,53 @@ object SelectionOps {
     *
     * Scale shape: one token-keyed hash agg (the rarity stats) plus ONE
     * window partitioned by language.  The window sorts each language
-    * once — the exact-ntile cost.  At 100 TB with a skewed language
-    * mix, swap the exact ntile for approximate score cut-points
-    * (e.g. `approxQuantile` per language broadcast back as range
-    * predicates); the bucket semantics degrade only at the cut edges.
-    * The oracle path keeps exact ntile.
+    * once — the exact-ntile cost.  The oracle path keeps exact ntile.
+    *
+    * `approxCutpoints = true` is the 100 TB path (SCALE.md §Selection):
+    * instead of sorting each language, ONE mergeable
+    * `percentile_approx` sketch aggregation (map-side combinable, no
+    * per-language sort, immune to language skew — the hot language
+    * costs a sketch merge, not a single-task sort) derives nBuckets−1
+    * score cut-points per language, broadcast back as a tiny
+    * O(languages × nBuckets) table; the bucket is then a shuffle-free
+    * per-row comparison against the cuts.  Semantics degrade ONLY at
+    * the cut edges: ntile splits equal scores by rank (equal-count
+    * buckets), the cut-point form assigns every tied score to one
+    * bucket (equal-range buckets), so bucket populations can deviate
+    * by the tie mass around each cut plus the sketch's rank error
+    * (`approxAccuracy`, percentile_approx's 1/accuracy rank bound).
+    * Head/middle/tail membership — the downstream decision — agrees
+    * except inside those edge bands (OpsSpec measures the agreement).
     */
   def perplexityBuckets(
       df: DataFrame, idCol: String, textCol: String, langCol: String,
-      nBuckets: Int = 3): DataFrame = {
+      nBuckets: Int = 3, approxCutpoints: Boolean = false,
+      approxAccuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"perplexityBuckets: nBuckets=$nBuckets must be >= 2")
     val rarity = TextOps.tokenRarityStats(df, idCol, textCol)
       .select(col("doc_id"), col("n_tokens"), col("avg_token_freq"))
     val langs = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("avg_token_freq").desc, col("doc_id"))
-    rarity.join(langs, "doc_id")
-      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+    val joined = rarity.join(langs, "doc_id")
+    val bucketed = if (!approxCutpoints) {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_token_freq").desc, col("doc_id"))
+      joined.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+    } else {
+      // ascending interior quantiles q_1 ≤ … ≤ q_{nBuckets-1}; bucket 1
+      // (head) = highest scores, so bucket = n − #{cuts the score
+      // clears}: ≥ every cut → 1, below every cut → n, monotone in
+      // between.  The agg is one sketch pass; the join is a broadcast.
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+      val cuts = joined.groupBy(col("lang")).agg(
+        percentile_approx(col("avg_token_freq"),
+          array(probs.map(lit): _*), lit(approxAccuracy)).as("__cuts"))
+      joined.join(broadcast(cuts), "lang")
+        .withColumn("bucket",
+          (lit(nBuckets) - size(filter(col("__cuts"),
+            c => col("avg_token_freq").cast("double") >= c))).cast("long"))
+        .drop("__cuts")
+    }
+    bucketed
       .withColumn("band",
         when(col("bucket") === 1, "head")
           .when(col("bucket") === nBuckets, "tail")
@@ -210,17 +240,19 @@ object SelectionOps {
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       sourceCol: String, budgetPerLang: Long,
       targets: Map[String, Double], totalBudget: Long,
-      seqLen: Long, salt: String): DataFrame =
+      seqLen: Long, salt: String,
+      approxBuckets: Boolean = false): DataFrame =
     selectionPipelineCore(docs, idCol, textCol, langCol, sourceCol,
       budgetPerLang, targets, totalBudget, seqLen, salt,
-      (_, df) => DedupOps.registerPersist(df))
+      (_, df) => DedupOps.registerPersist(df), approxBuckets)
 
   private def selectionPipelineCore(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       sourceCol: String, budgetPerLang: Long,
       targets: Map[String, Double], totalBudget: Long,
       seqLen: Long, salt: String,
-      boundary: (String, DataFrame) => DataFrame): DataFrame = {
+      boundary: (String, DataFrame) => DataFrame,
+      approxBuckets: Boolean = false): DataFrame = {
     // each stage frame is referenced 2-3× downstream (buckets + the
     // survivor join; selection + the picked join; plan + copies + the
     // token re-join) — without a persist the LAZY plan re-derives the
@@ -234,7 +266,8 @@ object SelectionOps {
       .select(col(idCol), col(langCol), col(sourceCol), col(textCol),
         col("quality_score"),
         TextOps.bpeTokenEstimate(col(textCol)).as("tok")))
-    val buckets = perplexityBuckets(scored, idCol, textCol, langCol)
+    val buckets = perplexityBuckets(scored, idCol, textCol, langCol,
+        approxCutpoints = approxBuckets)
       .filter(col("bucket") <= 2)
       .select(col("doc_id").as("__bucket_id"))
     val surviving = boundary("perplexity_buckets", scored.join(buckets,
@@ -269,7 +302,8 @@ object SelectionOps {
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       sourceCol: String, budgetPerLang: Long,
       targets: Map[String, Double], totalBudget: Long,
-      seqLen: Long, salt: String): (DataFrame, Seq[(String, Double)]) = {
+      seqLen: Long, salt: String,
+      approxBuckets: Boolean = false): (DataFrame, Seq[(String, Double)]) = {
     val secs = Seq.newBuilder[(String, Double)]
     val cached = scala.collection.mutable.Buffer.empty[DataFrame]
     // inclusive stage clock (the PipelineDemo convention): each stage
@@ -292,7 +326,7 @@ object SelectionOps {
     try {
       val out = selectionPipelineCore(docs, idCol, textCol, langCol,
         sourceCol, budgetPerLang, targets, totalBudget, seqLen, salt,
-        boundary)
+        boundary, approxBuckets)
         .persist() // caller-released, like PipelineDemo's `out`
       out.count()
       stamp("seq_pack_manifest")

@@ -144,6 +144,34 @@ class EvalSpec extends AnyFunSuite {
       .collect()(0).getAs[Long]("n_pos") > 0L)
   }
 
+  test("guard shares ONE aggregation with the metric (persisted grouped frame)") {
+    // r12 regression: the guard ran `g.count()` as a separate job and
+    // the metric then re-ran the same corpus groupBy — two full scans.
+    // Now the grouped frame is persisted across guard + metric, so the
+    // metric's executed plan must read the cache (InMemoryTableScan),
+    // and maxGroups <= 0 must skip both the count job and the persist.
+    val rows = (0 until 150).map(i => (i / 10.0, i % 2))
+    val df = scored(rows)
+    try {
+      val auc = EvalOps.aucReport(df, "score", "target")
+      val aucRow = auc.collect()(0)
+      assert(auc.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      val ks = EvalOps.ksReport(df, "score", "target")
+      assert(ks.collect()(0).getAs[Long]("n_pos") > 0L)
+      assert(ks.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      val gains = EvalOps.gainsTable(df, "score", "target")
+      assert(gains.collect().nonEmpty)
+      assert(gains.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      // the unguarded escape: same numbers, no cache, no count job
+      // (release the guarded runs' caches first — the cache manager
+      // would otherwise substitute them into this identical plan)
+      graft.ops.DedupOps.unpersistAll()
+      val off = EvalOps.aucReport(df, "score", "target", maxGroups = 0)
+      assert(!off.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      assert(off.collect()(0).getAs[Double]("auc") == aucRow.getAs[Double]("auc"))
+    } finally graft.ops.DedupOps.unpersistAll()
+  }
+
   test("isotonicFitPerScore: expansion of the block table, minimax values") {
     // crafted violations: rates 0.5, 0.2, 0.8 → first two pool to 0.35
     val df = scored(Seq(

@@ -4096,6 +4096,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("perplexity buckets: approx cut-points agree with exact off the edges") {
+    // the 100 TB path: sketch cut-points per language instead of the
+    // per-language ntile sort.  Invariants: buckets in [1, n], band
+    // mapping consistent, bucket monotone non-increasing in score
+    // within a language; and vs the exact split, disagreement is
+    // confined to the cut edges (ties + sketch rank error) — on this
+    // corpus with a tight accuracy that means a high agreement rate
+    // and never more than one bucket of difference.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val exact = SelectionOps.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3), r.getLong(4))).toMap
+    val approx = SelectionOps.perplexityBuckets(docs, "doc_id", "text", "lang",
+        approxCutpoints = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3), r.getLong(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.values.foreach { case (_, _, b) => assert(b >= 1L && b <= 3L) }
+    // within a language, a higher score must never land in a LOWER
+    // bucket number's complement (monotone: score desc -> bucket asc)
+    approx.values.groupBy(_._1).foreach { case (lang, rs) =>
+      val sorted = rs.toSeq.sortBy(-_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, s1, b1), (_, s2, b2)) =>
+          assert(b1 <= b2 || s1 == s2, s"$lang: score $s1 bucket $b1 vs $s2 bucket $b2")
+        case _ =>
+      }
+    }
+    val diffs = exact.keys.map(k => math.abs(exact(k)._3 - approx(k)._3)).toSeq
+    assert(diffs.max <= 1L, "approx bucket may differ from exact only at a cut edge")
+    val agree = diffs.count(_ == 0L).toDouble / diffs.size
+    assert(agree >= 0.9, f"approx/exact bucket agreement $agree%.3f below 0.9")
+  }
+
   test("budget select: greedy prefix property per partition") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val scored = TextOps.qualityMetrics(docs, "text")
