@@ -28,6 +28,17 @@ import scala.collection.parallel.CollectionConverters._
   * .snapToEdges), bounding complete-mode state at |edges| distinct
   * values per column.  The edges must be caller-fixed because the
   * batch knob's quantile pass is a full-data scan a stream cannot do.
+  *
+  * FAIL-LOUD state gate: a near-unique continuous feature streamed in
+  * WITHOUT pre-bucket edges makes complete-mode state grow O(distinct)
+  * until the job dies — the silent-degrade class the batch fit
+  * (`maxDistinct`) and the eval metrics (`maxGroups`) already refuse.
+  * Every micro-batch therefore counts its per-variable grouped rows
+  * (one tiny agg over the already-reduced state frame, BEFORE the
+  * driver collect) and fails the query past `maxDistinctState` for any
+  * column not capped by `preBucketEdges`.  The failure is the
+  * StreamingQuery terminating with the diagnostic, not a quiet OOM
+  * hours later.
   */
 object StreamingWoe {
 
@@ -42,6 +53,12 @@ object StreamingWoe {
     * @param preBucketEdges     per-column fixed bucket edges capping
     *                           streaming state at |edges| distinct
     *                           values per column (unbounded otherwise)
+    * @param maxDistinctState   per-variable distinct-value cap for
+    *                           columns NOT in `preBucketEdges`: the
+    *                           query fails loudly when a micro-batch's
+    *                           state exceeds it (<= 0 disables — the
+    *                           expert valve, same contract as the eval
+    *                           metrics' `maxGroups`)
     */
   def fitStream(
       stream: DataFrame,
@@ -51,19 +68,44 @@ object StreamingWoe {
       sepValue: Option[Double] = None,
       checkpointLocation: Option[String] = None,
       trigger: Option[Trigger] = None,
-      preBucketEdges: Map[String, Seq[Double]] = Map.empty)(
+      preBucketEdges: Map[String, Seq[Double]] = Map.empty,
+      maxDistinctState: Int = 1 << 20)(
       onModel: (Long, WoeBinningModel) => Unit): StreamingQuery = {
     preBucketEdges.keys.foreach(c => require(inputCols.contains(c),
       s"fitStream: preBucketEdges column '$c' is not an input column"))
     val bucketed = preBucketEdges.foldLeft(stream) {
       case (acc, (c, es)) => WoeBinning.snapToEdges(acc, c, es)
     }
+    // snapped columns are bounded at |edges|+1 by construction; only
+    // the uncapped ones can grow state without limit
+    val uncapped = inputCols.filterNot(preBucketEdges.contains).toSet
     val stats = WoeBinning.statsAggregation(bucketed, targetCol, inputCols)
     var writer = stats.writeStream.outputMode("complete")
     checkpointLocation.foreach(p => writer = writer.option("checkpointLocation", p))
     trigger.foreach(t => writer = writer.trigger(t))
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (maxDistinctState > 0 && uncapped.nonEmpty) {
+          // O(#vars) agg over the already-reduced state frame, run
+          // BEFORE the driver collect so the overflow never lands on
+          // the driver; throwing here terminates the streaming query
+          // with the diagnostic (the loud failure)
+          import org.apache.spark.sql.functions.{col, count, lit}
+          val hot = batch
+            .filter(col("variable").isInCollection(uncapped))
+            .groupBy("variable").agg(count(lit(1)).as("n"))
+            .filter(col("n") > maxDistinctState.toLong)
+            .collect()
+          if (hot.nonEmpty) {
+            val worst = hot.maxBy(_.getLong(1))
+            throw new IllegalStateException(
+              s"fitStream: streaming state for '${worst.getString(0)}' " +
+                s"reached ${worst.getLong(1)} distinct values " +
+                s"(> maxDistinctState=$maxDistinctState) — pass " +
+                "preBucketEdges for the column (fixed-edge snap bounds " +
+                "complete-mode state) or raise maxDistinctState")
+          }
+        }
         val byVar = WoeBinning.statsFromRows(batch.collect())
         if (byVar.nonEmpty) { // no data yet → no model to emit
           val fitted = inputCols.par

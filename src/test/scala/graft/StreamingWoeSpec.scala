@@ -73,4 +73,39 @@ class StreamingWoeSpec extends AnyFunSuite {
     assert(got.length == expected.length)
     got.zip(expected).foreach { case (g, e) => assert(g == e) }
   }
+
+  test("fitStream fails loudly when uncapped state passes maxDistinctState") {
+    // extendedprice is near-unique: with no preBucketEdges and a small
+    // cap, the per-batch state gate must TERMINATE the query with the
+    // diagnostic instead of letting complete-mode state grow unbounded
+    // (the batch fit's maxDistinct / eval maxGroups contract, applied
+    // to the streaming surface)
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(SparkEntry.stageAsDir(dir, "lineitem"))
+      .select(SparkEntry.lcgColumns: _*)
+      .select("target", "extendedprice")
+    val q = graft.ops.StreamingWoe.fitStream(
+      stream, "target", Seq("extendedprice"), WoeConfig(nThreshold = 300),
+      maxDistinctState = 50) { (_, _) => () }
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("maxDistinctState=50")),
+      s"expected the state-gate diagnostic, got: ${chain(ex)}")
+    // the same stream under preBucketEdges fits normally with the same
+    // cap: snapped columns are bounded by construction, so the gate
+    // has nothing left to police
+    val edges = (0 to 10).map(_ * 12000.0)
+    @volatile var fired = false
+    val ok = graft.ops.StreamingWoe.fitStream(
+      stream, "target", Seq("extendedprice"), WoeConfig(nThreshold = 300),
+      preBucketEdges = Map("extendedprice" -> edges),
+      maxDistinctState = 50) { (_, _) => fired = true }
+    try ok.processAllAvailable() finally ok.stop()
+    assert(fired, "pre-bucketed stream must fit normally under the gate")
+  }
 }
