@@ -3952,6 +3952,52 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // MP3 frame-header replay: every header field is the synthesis
+    // parameterization; the frame census and duration are pure integer
+    // arithmetic over the UTF-8 byte count (frameLen = 144·br·1000/sr,
+    // capacity = frameLen − 4, MPEG-1 Layer III = 1152 samples/frame)
+    "q_multimodal_mp3_meta" -> {
+      val brCase = (1 to 14).map { i =>
+        s"WHEN $i THEN ${graft.ops.MultimodalOps.Mp3BitrateKbps(i)}"
+      }.mkString(" ")
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         CASE 1 + doc_id % 14 $brCase END AS br,
+        |         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+        |  FROM documents),
+        |fx AS (
+        |  SELECT doc_id, n, br, sr, 144 * br * 1000 // sr - 4 AS cap FROM px)
+        |SELECT doc_id,
+        |       CAST(1 AS BIGINT) AS version,
+        |       CAST(3 AS BIGINT) AS layer,
+        |       CAST(br AS BIGINT) AS bitrate_kbps,
+        |       CAST(sr AS BIGINT) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+        |       CAST(greatest(1, (n + cap - 1) // cap) AS BIGINT) AS n_frames,
+        |       CAST(greatest(1, (n + cap - 1) // cap) * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+        |       CAST(10 + doc_id % 17 AS BIGINT) AS first_frame_off
+        |FROM fx ORDER BY doc_id""".stripMargin
+    },
+    // FLAC STREAMINFO replay: rate/channels/precision are the packed
+    // 64-bit group's synthesis parameterization; total samples and the
+    // audio offset are integer arithmetic over the byte count and the
+    // padding-block hop (4 magic + 38 STREAMINFO + 4 + id%31 padding)
+    "q_multimodal_flac_meta" ->
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 96000 END AS sr
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(sr AS BIGINT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |       CAST(CASE WHEN doc_id % 2 = 1 THEN 24 ELSE 16 END AS BIGINT) AS bits_per_sample,
+        |       CAST(4 * n + doc_id % 1000 AS BIGINT) AS total_samples,
+        |       CAST((4 * n + doc_id % 1000) * 1000 // sr AS BIGINT) AS duration_ms,
+        |       CAST(46 + doc_id % 31 AS BIGINT) AS audio_off,
+        |       CAST(n AS BIGINT) AS n_audio_bytes
+        |FROM px ORDER BY doc_id""".stripMargin,
     // token-window chunking replay: same whitespace tokens, same
     // full-windows-plus-short-doc-clamp start rule, same md5 of the
     // space-rejoined window
@@ -5841,6 +5887,38 @@ object SparkEntry {
             col("width"), col("height"),
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_mp3_meta" -> { (s, dir) =>
+        // MP3 census WITHOUT decode: real ISO 11172-3 frame-header
+        // parse (sync/version/layer/bitrate/rate/mode) + ID3v2 skip +
+        // CBR frame-chain walk — the compressed-audio sibling of the
+        // avcC/SPS surface
+        val media = MultimodalOps.synthesizeMp3(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.mp3Meta(media).toDF()
+          .select(col("id").as("doc_id"), col("version"), col("layer"),
+            col("bitrateKbps").as("bitrate_kbps"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("nFrames").as("n_frames"),
+            col("durationMs").as("duration_ms"),
+            col("firstFrameOff").as("first_frame_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_flac_meta" -> { (s, dir) =>
+        // FLAC census WITHOUT decode: real STREAMINFO bit parse
+        // (20/3/5/36-bit packed group) + metadata-block-chain hop to
+        // the first audio byte
+        val media = MultimodalOps.synthesizeFlac(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.flacMeta(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("bitsPerSample").as("bits_per_sample"),
+            col("totalSamples").as("total_samples"),
+            col("durationMs").as("duration_ms"),
+            col("audioOff").as("audio_off"),
+            col("nAudioBytes").as("n_audio_bytes"))
           .orderBy("doc_id")
       },
       "q_dedup_embed_lsh" -> { (s, dir) =>

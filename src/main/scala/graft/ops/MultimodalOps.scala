@@ -3212,4 +3212,232 @@ object MultimodalOps {
         MediaRecord(id, "video/webm", ebmlHead ++ segment)
       }
   }
+
+  // ---------------------------------------------------------------
+  // Compressed-audio metadata: MP3 frame headers (ISO/IEC 11172-3
+  // §2.4.1.3 — the MPEG-1 audio frame header) and FLAC STREAMINFO
+  // (xiph.org FLAC format §METADATA_BLOCK_STREAMINFO).  The audio
+  // sibling of the avcC/SPS work: pure-bitstream arithmetic over
+  // opaque binary columns — no codec, no pixel/PCM decode — because a
+  // multimodal corpus census needs duration/rate/channel statistics
+  // from billions of files WITHOUT decompressing any of them.  Both
+  // parsers are per-row projections (mapPartitions, no shuffle): at
+  // 100 TB they are scan-bound like every other metadata surface here.
+  // ---------------------------------------------------------------
+
+  /** MPEG-1 Layer III file census: header fields of the first frame
+    * plus the whole-file frame count and the exact-integer duration
+    * (MPEG-1 Layer III is 1152 samples per frame).  `firstFrameOff`
+    * is where audio starts — past the ID3v2 tag when one leads the
+    * file (real-world MP3s almost always carry one).
+    */
+  final case class Mp3Meta(
+      id: Long, version: Long, layer: Long, bitrateKbps: Long,
+      sampleRate: Long, channels: Long, nFrames: Long,
+      durationMs: Long, firstFrameOff: Long)
+
+  /** MPEG-1 Layer III bitrate table, index 1-14 (0 = free, 15 = bad —
+    * both rejected here; a census wants well-formed CBR frames).
+    */
+  private[graft] val Mp3BitrateKbps: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private[graft] val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+  private[graft] val Mp3SamplesPerFrame = 1152
+
+  /** Frame length in bytes for MPEG-1 Layer III (spec formula,
+    * integer floor): 144 · bitrate / sampleRate + padding.
+    */
+  @inline private[graft] def mp3FrameLen(
+      bitrateKbps: Int, sampleRate: Int, padding: Int): Int =
+    144 * bitrateKbps * 1000 / sampleRate + padding
+
+  /** Size of a leading ID3v2 tag (0 when absent): 10-byte header with
+    * a 28-bit SYNCSAFE length (7 data bits per byte — §3.1 of the
+    * ID3v2 informal standard) counting the bytes AFTER the header.
+    */
+  private[graft] def id3v2Size(b: Array[Byte]): Int = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') 0
+    else if ((b(6) | b(7) | b(8) | b(9)) < 0) 0 // syncsafe bytes are 7-bit
+    else 10 + ((b(6) & 0x7f) << 21 | (b(7) & 0x7f) << 14 |
+      (b(8) & 0x7f) << 7 | (b(9) & 0x7f))
+  }
+
+  /** Walks the frame chain of one MP3 file: skip ID3v2, then validate
+    * each 4-byte header (sync, MPEG-1, Layer III, sane bitrate/rate
+    * indices) and hop by the computed frame length.  CBR discipline:
+    * every frame must repeat the first frame's bitrate/rate/mode
+    * (a mismatch or a broken sync ends in None — fail loud, not a
+    * half-census).  Trailing garbage shorter than a header is ignored,
+    * matching how encoders pad files.
+    */
+  private[graft] def mp3MetaOf(r: MediaRecord): Option[Mp3Meta] = {
+    val b = r.content
+    if (b == null || b.length < 14) return None
+    val start = id3v2Size(b)
+    if (start + 4 > b.length) return None
+    var off = start
+    var nFrames = 0L
+    var first: (Int, Int, Int) = null // (bitrateIdx, srIdx, channelMode)
+    while (off + 4 <= b.length) {
+      val b0 = b(off) & 0xff
+      val b1 = b(off + 1) & 0xff
+      val b2 = b(off + 2) & 0xff
+      val b3 = b(off + 3) & 0xff
+      if (b0 != 0xff || (b1 & 0xe0) != 0xe0) return None // broken sync
+      if ((b1 >> 3 & 3) != 3 || (b1 >> 1 & 3) != 1) return None // not MPEG-1 L3
+      val brIdx = b2 >> 4
+      val srIdx = b2 >> 2 & 3
+      val padding = b2 >> 1 & 1
+      val mode = b3 >> 6
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      if (first == null) first = (brIdx, srIdx, mode)
+      else if (first != ((brIdx, srIdx, mode))) return None // VBR/mode drift
+      nFrames += 1
+      off += mp3FrameLen(Mp3BitrateKbps(brIdx), Mp3SampleRates(srIdx), padding)
+    }
+    if (first == null || nFrames == 0) None
+    else {
+      val sr = Mp3SampleRates(first._2)
+      Some(Mp3Meta(r.id, version = 1L, layer = 3L,
+        bitrateKbps = Mp3BitrateKbps(first._1).toLong,
+        sampleRate = sr.toLong,
+        channels = if (first._3 == 3) 1L else 2L,
+        nFrames = nFrames,
+        durationMs = nFrames * Mp3SamplesPerFrame * 1000L / sr,
+        firstFrameOff = start.toLong))
+    }
+  }
+
+  def mp3Meta(ds: Dataset[MediaRecord]): Dataset[Mp3Meta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(mp3MetaOf))
+  }
+
+  /** Per-row CBR MPEG-1 Layer III synthesis (the oracle side): an
+    * ID3v2 tag of `10 + id % 17` bytes, then exactly enough frames to
+    * carry the document's UTF-8 bytes (ceil(n / (frameLen − 4)), min
+    * 1), each a real 4-byte header + the text slice zero-padded.
+    * Bitrate index `1 + id % 14`, sample-rate index `id % 3`, channel
+    * mode `id % 4` — every header field and the frame census replay
+    * from (id, octet_length(text)) alone, the byte-replay pattern of
+    * the other q_multimodal_* oracles.
+    */
+  def synthesizeMp3(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val pad = (id % 17).toInt
+        val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0,
+          0, 0, (pad >> 7).toByte, (pad & 0x7f).toByte) ++ new Array[Byte](pad)
+        val brIdx = 1 + (id % 14).toInt
+        val srIdx = (id % 3).toInt
+        val mode = (id % 4).toInt
+        val frameLen = mp3FrameLen(Mp3BitrateKbps(brIdx), Mp3SampleRates(srIdx), 0)
+        val cap = frameLen - 4
+        val nFrames = math.max(1, (payload.length + cap - 1) / cap)
+        val out = new Array[Byte](id3.length + nFrames * frameLen)
+        System.arraycopy(id3, 0, out, 0, id3.length)
+        var f = 0
+        while (f < nFrames) {
+          val base = id3.length + f * frameLen
+          out(base) = 0xff.toByte
+          out(base + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+          out(base + 2) = (brIdx << 4 | srIdx << 2).toByte // padding 0
+          out(base + 3) = (mode << 6 | 1 << 2).toByte // original=1
+          val from = f * cap
+          val len = math.min(cap, payload.length - from)
+          if (len > 0) System.arraycopy(payload, from, out, base + 4, len)
+          f += 1
+        }
+        MediaRecord(id, "audio/mpeg", out)
+      }
+  }
+
+  /** FLAC stream census from STREAMINFO — rate/channels/precision/
+    * total samples and the exact-integer duration, plus where the
+    * audio frames start (`audioOff`, after the metadata block chain a
+    * player must skip).  No subframe decode.
+    */
+  final case class FlacMeta(
+      id: Long, sampleRate: Long, channels: Long, bitsPerSample: Long,
+      totalSamples: Long, durationMs: Long, audioOff: Long,
+      nAudioBytes: Long)
+
+  /** Walks one FLAC file: "fLaC" magic, then the metadata-block chain
+    * (1-bit last flag, 7-bit type, 24-bit big-endian length) with
+    * STREAMINFO mandatory-first (type 0, 34 bytes — spec).  The
+    * 64-bit group holding sampleRate(20) | channels−1(3) | bps−1(5) |
+    * totalSamples(36) is read as one big-endian long and shifted
+    * apart.  None on any malformed structure.
+    */
+  private[graft] def flacMetaOf(r: MediaRecord): Option[FlacMeta] = {
+    val b = r.content
+    if (b == null || b.length < 42) return None
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    // STREAMINFO must be the first block and exactly 34 bytes
+    if ((b(4) & 0x7f) != 0) return None
+    val siLen = (b(5) & 0xff) << 16 | (b(6) & 0xff) << 8 | (b(7) & 0xff)
+    if (siLen != 34 || 8 + siLen > b.length) return None
+    val packed = u64be(b, 8 + 10) // skip block/frame-size fields
+    val sampleRate = packed >>> 44
+    val channels = (packed >>> 41 & 0x7) + 1
+    val bps = (packed >>> 36 & 0x1f) + 1
+    val totalSamples = packed & 0xfffffffffL
+    if (sampleRate == 0) return None
+    // hop the remaining metadata blocks to the first audio byte
+    var off = 8 + siLen
+    var last = (b(4) & 0x80) != 0
+    while (!last) {
+      if (off + 4 > b.length) return None
+      last = (b(off) & 0x80) != 0
+      val len = (b(off + 1) & 0xff) << 16 | (b(off + 2) & 0xff) << 8 | (b(off + 3) & 0xff)
+      off += 4 + len
+      if (off > b.length) return None
+    }
+    Some(FlacMeta(r.id, sampleRate, channels, bps, totalSamples,
+      durationMs = totalSamples * 1000L / sampleRate,
+      audioOff = off.toLong, nAudioBytes = (b.length - off).toLong))
+  }
+
+  def flacMeta(ds: Dataset[MediaRecord]): Dataset[FlacMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(flacMetaOf))
+  }
+
+  /** Per-row FLAC synthesis (the oracle side): fLaC magic, STREAMINFO
+    * (sample rate [44100, 48000, 96000][id % 3], channels 1 + id % 2,
+    * bits 16/24 by id % 2, totalSamples = 4·n + id % 1000 where n is
+    * the document's UTF-8 byte count), one PADDING block of id % 31
+    * bytes (exercising the block hop), then the text bytes standing in
+    * for the opaque audio frames.  Every output field replays from
+    * (id, octet_length(text)).
+    */
+  def synthesizeFlac(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val sr = Array(44100L, 48000L, 96000L)((id % 3).toInt)
+        val ch = 1L + id % 2
+        val bps = if (id % 2 == 1) 24L else 16L
+        val total = 4L * payload.length + id % 1000
+        val packed = sr << 44 | (ch - 1) << 41 | (bps - 1) << 36 | total
+        val streaminfo = new Array[Byte](34)
+        // min/max block size 4096; min/max frame size 0 (unknown)
+        streaminfo(0) = 0x10; streaminfo(1) = 0; streaminfo(2) = 0x10; streaminfo(3) = 0
+        var i = 0
+        while (i < 8) { streaminfo(10 + i) = (packed >>> (56 - 8 * i)).toByte; i += 1 }
+        // md5 of the unencoded audio: zeros (unknown) — allowed by spec
+        val padLen = (id % 31).toInt
+        val padding = Array[Byte](0x81.toByte, // last block, type 1
+          (padLen >> 16).toByte, (padLen >> 8).toByte, padLen.toByte) ++
+          new Array[Byte](padLen)
+        val head = "fLaC".getBytes("US-ASCII") ++
+          Array[Byte](0, 0, 0, 34) ++ streaminfo ++ padding
+        MediaRecord(id, "audio/flac", head ++ payload)
+      }
+  }
 }

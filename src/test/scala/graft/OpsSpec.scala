@@ -674,6 +674,90 @@ class OpsSpec extends AnyFunSuite {
     assert(dropped.count() == 0)
   }
 
+  test("mp3: hand-built frame chain parses; ID3v2 skip; CBR drift rejected") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // HAND-WRITTEN frames (not via synthesizeMp3, so an encode/decode-
+    // symmetric bug cannot hide): 128 kbps (idx 9) @ 44100 (idx 0),
+    // joint stereo (mode 1) → frameLen = 144·128000/44100 = 417; the
+    // second frame sets the PADDING bit → 418 bytes.  Led by an ID3v2
+    // tag of 200 payload bytes (0x81 0x48 syncsafe = 1·128 + 72 = 200,
+    // exercising the multi-byte 7-bit math).
+    def frame(padding: Int): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xfb.toByte,
+        (9 << 4 | 0 << 2 | padding << 1).toByte, (1 << 6).toByte) ++
+        new Array[Byte](417 + padding - 4)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0x01, 0x48) ++
+      new Array[Byte](200)
+    val hand = id3 ++ frame(0) ++ frame(1) ++ frame(0)
+    val got = MultimodalOps.mp3MetaOf(MultimodalOps.MediaRecord(7L, "audio/mpeg", hand))
+    assert(got.contains(MultimodalOps.Mp3Meta(7L, 1, 3, 128, 44100, 2,
+      nFrames = 3, durationMs = 3L * 1152 * 1000 / 44100, firstFrameOff = 210)))
+    // bitrate drift mid-file (VBR) is rejected, not half-censused
+    val vbr = id3 ++ frame(0) ++ (Array[Byte](0xff.toByte, 0xfb.toByte,
+      (10 << 4).toByte, (1 << 6).toByte) ++ new Array[Byte](100))
+    assert(MultimodalOps.mp3MetaOf(
+      MultimodalOps.MediaRecord(8L, "audio/mpeg", vbr)).isEmpty)
+    // broken sync and free-bitrate headers are rejected
+    assert(MultimodalOps.mp3MetaOf(MultimodalOps.MediaRecord(9L, "audio/mpeg",
+      Array[Byte](0x12, 0x34, 0x56, 0x78, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))).isEmpty)
+    // end-to-end: synthesized corpus → mp3Meta matches the closed form
+    val text = "q" * 1000
+    val metas = MultimodalOps.mp3Meta(
+        MultimodalOps.synthesizeMp3(
+          Seq((3L, text), (17L, text)).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().sortBy(_.id)
+    // id 3: brIdx 4 (56 kbps), srIdx 0 (44100), mode 3 (mono), pad 3
+    val len3 = 144 * 56000 / 44100
+    val nf3 = (1000 + len3 - 5) / (len3 - 4)
+    assert(metas(0) == MultimodalOps.Mp3Meta(3L, 1, 3, 56, 44100, 1,
+      nf3, nf3.toLong * 1152 * 1000 / 44100, 13))
+    // id 17: brIdx 4, srIdx 2 (32000), mode 1 (joint), pad 0
+    val len17 = 144 * 56000 / 32000
+    val nf17 = (1000 + len17 - 5) / (len17 - 4)
+    assert(metas(1) == MultimodalOps.Mp3Meta(17L, 1, 3, 56, 32000, 2,
+      nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
+  }
+
+  test("flac: hand-built STREAMINFO parses; block-chain hop; malformed dropped") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // HAND-WRITTEN STREAMINFO: 96000 Hz, 6 channels, 24-bit, and a
+    // totalSamples above 2^32 (0x1_2345_6789) exercising the full
+    // 36-bit field; followed by a VORBIS_COMMENT (type 4, 5 bytes)
+    // and a LAST PADDING block (type 1, 3 bytes) before the audio.
+    val packed = 96000L << 44 | 5L << 41 | 23L << 36 | 0x123456789L
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(2) = 0x10
+    (0 until 8).foreach(i => si(10 + i) = (packed >>> (56 - 8 * i)).toByte)
+    val hand = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 34) ++ si ++
+      Array[Byte](4, 0, 0, 5) ++ new Array[Byte](5) ++
+      Array[Byte](0x81.toByte, 0, 0, 3) ++ new Array[Byte](3) ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7) // "audio"
+    val got = MultimodalOps.flacMetaOf(MultimodalOps.MediaRecord(5L, "audio/flac", hand))
+    assert(got.contains(MultimodalOps.FlacMeta(5L, 96000, 6, 24,
+      0x123456789L, 0x123456789L * 1000 / 96000,
+      audioOff = 42 + 9 + 7, nAudioBytes = 7)))
+    // a chain whose declared block length runs past EOF is malformed
+    val overrun = hand.take(42) ++ Array[Byte](0x81.toByte, 0, 0x40, 0)
+    assert(MultimodalOps.flacMetaOf(
+      MultimodalOps.MediaRecord(6L, "audio/flac", overrun)).isEmpty)
+    // STREAMINFO not first (type != 0) is malformed per spec
+    val wrongFirst = hand.clone(); wrongFirst(4) = 2
+    assert(MultimodalOps.flacMetaOf(
+      MultimodalOps.MediaRecord(7L, "audio/flac", wrongFirst)).isEmpty)
+    // end-to-end: synthesized corpus → flacMeta matches the closed form
+    val text = "z" * 321
+    val metas = MultimodalOps.flacMeta(
+        MultimodalOps.synthesizeFlac(
+          Seq((4L, text)).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect()
+    assert(metas.toSeq == Seq(MultimodalOps.FlacMeta(4L, 48000, 1, 16,
+      4L * 321 + 4, (4L * 321 + 4) * 1000 / 48000,
+      audioOff = 46 + 4, nAudioBytes = 321)))
+  }
+
   test("fmp4 keyframes: trun flag resolution and size-accumulated offsets") {
     import spark.implicits._
     import graft.ops.MultimodalOps
