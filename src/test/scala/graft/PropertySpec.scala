@@ -226,4 +226,88 @@ class PropertySpec extends AnyFunSuite {
     assert(fusedSig.exceptAll(expSig).isEmpty &&
       expSig.exceptAll(fusedSig).isEmpty, "minhash-grams soup divergence")
   }
+
+  test("tokenJaccardPairs: prefix-filtered == nested-loop == brute force " +
+    "on random corpora and thresholds") {
+    // the r12 default flip (prefixFilter = true) changes candidate
+    // generation for every downstream dedup caller — the fixed-fixture
+    // identity pin is narrow, so sweep random corpora × thresholds ×
+    // hot-token demotion counts and require the full (id_a, id_b,
+    // jaccard) result identical between both engine paths AND an
+    // in-memory brute force over the same distinct token sets.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1213)
+    val vocab = Array.tabulate(60)(i => s"w$i")
+    for (round <- 1 to 10) {
+      val nDocs = 40 + rnd.nextInt(40)
+      val docs = (0 until nDocs).map { i =>
+        val blk = rnd.nextInt(3)
+        // half the docs are mutations of a shared template per block,
+        // so true near-dups exist at every threshold
+        val base = (0 until 6 + rnd.nextInt(10))
+          .map(j => vocab((blk * 17 + j * (1 + i % 4)) % vocab.length))
+        val noise = (0 until rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        (i.toLong, blk.toString, (base ++ noise).mkString(" "))
+      }
+      val df = docs.toDF("id", "blk", "text")
+      val threshold = 0.25 + rnd.nextInt(13) * 0.05
+      val demote = Seq(0, 2, 1024)(rnd.nextInt(3))
+      def run(prefix: Boolean) = graft.ops.DedupOps.tokenJaccardPairs(
+          df, "text", "id", "blk", threshold = threshold,
+          prefixFilter = prefix, demoteHotTokens = demote)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fast = run(prefix = true)
+      val slow = run(prefix = false)
+      val toks = docs.map { case (id, blk, t) => (id, blk, t.split(" ").toSet) }
+      val brute = (for {
+        (a, ba, ta) <- toks; (b, bb, tb) <- toks
+        if a < b && ba == bb && (ta.size + tb.size) > 0
+        j = (ta & tb).size.toDouble / (ta.size + tb.size - (ta & tb).size)
+        if j >= threshold
+      } yield (a, b, j)).toSet
+      assert(fast == slow,
+        s"round $round t=$threshold demote=$demote: prefix != nested-loop")
+      assert(fast == brute,
+        s"round $round t=$threshold demote=$demote: engine != brute force")
+      graft.ops.DedupOps.unpersistAll()
+    }
+  }
+
+  test("minhashPairs: hot-band salting == unsalted join on random corpora " +
+    "and LSH shapes") {
+    // the other r12 default flip (saltHotBands = 2^13).  Tiny random
+    // corpora never reach 2^13-row band buckets, so the sweep forces
+    // the salt path with saltHotBands in 1..4 — every bucket splits —
+    // and requires the full (id_a, id_b, jaccard) output identical to
+    // the unsalted plain band self-join across random corpus shapes,
+    // LSH geometries, shingle sizes and thresholds.
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array.tabulate(24)(i => s"t$i")
+    for (round <- 1 to 8) {
+      val nDocs = 30 + rnd.nextInt(30)
+      val docs = (0 until nDocs).map { i =>
+        // clusters of mutated copies → plenty of shared band buckets
+        val k = i % (3 + rnd.nextInt(4))
+        val words = (0 until 6 + rnd.nextInt(12))
+          .map(j => vocab((k * 7 + j + (if (rnd.nextInt(5) == 0) 1 else 0)) % vocab.length))
+        (i.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("id", "text")
+      val (numHashes, bands) = Seq((32, 8), (16, 4), (24, 6))(rnd.nextInt(3))
+      val shingle = 2 + rnd.nextInt(2)
+      val threshold = 0.2 + rnd.nextInt(7) * 0.1
+      def run(salt: Int) = graft.ops.DedupOps.minhashPairs(
+          df, "text", "id", numHashes = numHashes, bands = bands,
+          shingleSize = shingle, jaccardThreshold = threshold,
+          saltHotBands = salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val salted = run(1 + rnd.nextInt(4))
+      val plain = run(0)
+      assert(salted == plain,
+        s"round $round nh=$numHashes b=$bands sh=$shingle t=$threshold: " +
+          s"${salted.size} vs ${plain.size}")
+      graft.ops.DedupOps.unpersistAll()
+    }
+  }
 }
