@@ -116,7 +116,7 @@ object SparkEntry {
   /** lcgFrame + the golden WoE score — the scored population every
     * EvalOps scorecard metric grades.
     */
-  private def scoredFrame(s: SparkSession, dir: String): DataFrame =
+  private[graft] def scoredFrame(s: SparkSession, dir: String): DataFrame =
     lcgFrame(s, dir).withColumn("score", goldenWoeCol(col("extendedprice")))
 
   /** Fixed candidate bins for the IV ranking query: the golden edges
@@ -4385,12 +4385,13 @@ object SparkEntry {
     "graph_triangles_smear" -> AbVariant(
       "triangles(current)", (s, dir) => queries("q_triangles")(s, dir),
       "triangles(current)", (s, dir) => queries("q_triangles")(s, dir)),
-    // r13 change: the eval guard's cardinality count now persists the
-    // grouped per-score frame it shares with the metric (ONE corpus
+    // r13 change: the eval guard is fused into the metric's own plan
+    // (limit bounding the window input + an assert on a count riding
+    // the existing pass — zero extra jobs, zero persist, ONE corpus
     // aggregation).  A = guarded default; B = gate off (maxGroups=0),
     // the r11 unguarded cost the guarded path must sit within noise of.
     "eval_guard_fused" -> AbVariant(
-      "guarded+persist(default)",
+      "guarded(limit-fused, default)",
       (s, dir) => graft.ops.EvalOps.aucReport(
         scoredFrame(s, dir), "score", "target"),
       "unguarded(r11)",

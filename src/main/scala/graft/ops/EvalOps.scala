@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,35 +30,54 @@ object EvalOps extends Serializable {
     * [[isotonicCalibrate]] contract applied to every metric whose
     * cumulative window is unpartitioned.  An UNBANDED raw continuous
     * score (near-unique values) would silently turn that window into a
-    * one-task pass over ~n rows; instead we count the grouped frame
-    * and throw past `maxGroups`.  A banded call is exempt: the
+    * one-task pass over ~n rows.  A banded call is exempt: the
     * quantile snap already bounds the frame at O(maxBands).
     *
-    * ONE corpus aggregation, not two: the grouped frame is persisted
-    * (the `DedupOps.registerPersist` discipline) so the guard's count
-    * job materializes the same cache the metric pass then reads — the
-    * naive `g.count()` + metric form scans the corpus twice, which at
-    * 100 TB doubles the cost of every guarded eval call.  The cached
-    * frame is O(distinct score) ≤ maxGroups rows, not corpus-sized.
+    * FUSED INTO THE METRIC'S OWN PASS — zero extra jobs, zero persist,
+    * ONE corpus aggregation.  Two pieces cooperate:
     *
-    * `maxGroups <= 0` disables the gate entirely (no count job, no
-    * persist) — the expert valve for a score the CALLER already knows
-    * is banded (e.g. a scorecard score that is a function of O(bins)
-    * WoE values); state then stays bounded by that contract, not ours.
+    *   1. `limit(maxGroups + 1)` here bounds the window's input: a
+    *      within-contract frame (≤ maxGroups rows) passes through
+    *      UNCHANGED, while a pathological frame is truncated BEFORE
+    *      the single-task sort — the expensive degradation (a global
+    *      sort of billions of grouped rows in one task) is pre-empted
+    *      by the plan itself, not by a separate count job.
+    *   2. [[groupGate]] below turns that truncation into a LOUD
+    *      failure: a `count` of the grouped rows rides the metric's
+    *      existing window/aggregation pass, and an `assert_true`
+    *      projection throws (at action time, inside the caller's one
+    *      job) the moment the count reaches maxGroups + 1 — silent
+    *      truncation is impossible.
+    *
+    * The r12 form ran a separate `g.count()` job, re-aggregating the
+    * corpus (two full scans); the r13 persist form shared the scan via
+    * cache but still paid a fixed ~0.3-0.4 s of job/cache overhead per
+    * call (BENCH_ab `eval_guard_fused`, EvalGuardProbe4).  This form
+    * is plan-shaped like the unguarded metric — same jobs, same
+    * exchanges — so the gate costs nothing measurable.
+    *
+    * `maxGroups <= 0` disables the gate entirely — the expert valve
+    * for a score the CALLER already knows is banded (e.g. a scorecard
+    * score that is a function of O(bins) WoE values).
     */
   private def guarded(
-      g: DataFrame, maxGroups: Int, bandedAlready: Boolean,
-      caller: String): DataFrame = {
+      g: DataFrame, maxGroups: Int, bandedAlready: Boolean): DataFrame =
     if (bandedAlready || maxGroups <= 0) g
-    else {
-      val p = DedupOps.registerPersist(g)
-      val cnt = p.limit(maxGroups + 1).count()
-      require(cnt <= maxGroups,
-        s"$caller: more than $maxGroups distinct scores — pass maxBands > 0 " +
-          "to band inline, pre-band through QuantileOps, or raise maxGroups")
-      p
-    }
-  }
+    else g.limit(maxGroups + 1)
+
+  /** The loud half of [[guarded]]: `groups` must carry the metric's
+    * own count of grouped rows; rows only pass once the count is
+    * proven ≤ maxGroups.  assert_true is non-foldable, so the check
+    * survives optimization and fires during the caller's action.
+    */
+  private def groupGate(
+      groups: Column, maxGroups: Int, bandedAlready: Boolean,
+      caller: String): Column =
+    if (bandedAlready || maxGroups <= 0) lit(true)
+    else assert_true(groups <= lit(maxGroups.toLong),
+      lit(s"$caller: more than $maxGroups distinct scores — pass " +
+        "maxBands > 0 to band inline, pre-band through QuantileOps, " +
+        "or raise maxGroups")).isNull
 
   /** Pre-banding valve for RAW CONTINUOUS scores: snap the score to
     * the lower edge of its approx-quantile bucket (the codegen'd
@@ -103,7 +122,8 @@ object EvalOps extends Serializable {
   def aucReport(df: DataFrame, scoreCol: String, targetCol: String,
       maxBands: Int = 0, maxGroups: Int = 1 << 20): DataFrame =
     aucCore(banded(df, scoreCol, maxBands), scoreCol, targetCol, Nil,
-      guard = g => guarded(g, maxGroups, maxBands > 0, "aucReport"))
+      guard = g => guarded(g, maxGroups, maxBands > 0),
+      gate = c => groupGate(c, maxGroups, maxBands > 0, "aucReport"))
 
   /** [[aucReport]] per segment (e.g. language, source, vintage) in ONE
     * pass: the rank window partitions BY SEGMENT, so unlike the global
@@ -122,7 +142,8 @@ object EvalOps extends Serializable {
   private def aucCore(
       df: DataFrame, scoreCol: String, targetCol: String,
       segCols: Seq[String],
-      guard: DataFrame => DataFrame = identity): DataFrame = {
+      guard: DataFrame => DataFrame = identity,
+      gate: Column => Column = _ => lit(true)): DataFrame = {
     val g = guard(df
       .groupBy(segCols.map(col) :+ col(scoreCol).cast("double").as("score"): _*)
       .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("bigint")).as("bads")))
@@ -141,7 +162,10 @@ object EvalOps extends Serializable {
         (sum("n") - sum("bads")).as("n_neg"),
         sum(col("bads").cast(dec)
           * (lit(2L) * col("below") + col("n") + lit(1L)).cast(dec))
-          .as("ranksum2"))
+          .as("ranksum2"),
+        // grouped-row census for the fail-loud gate — rides this agg
+        count(lit(1)).as("__g"))
+      .where(gate(col("__g")))
       .select(
         segCols.map(col) ++ Seq(
           col("n"), col("n_pos"), col("n_neg"),
@@ -171,7 +195,7 @@ object EvalOps extends Serializable {
   def ksReport(df: DataFrame, scoreCol: String, targetCol: String,
       maxBands: Int = 0, maxGroups: Int = 1 << 20): DataFrame = {
     val g = guarded(grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol),
-      maxGroups, maxBands > 0, "ksReport")
+      maxGroups, maxBands > 0)
     val wTot = Window.partitionBy()
     val wCum = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -183,7 +207,10 @@ object EvalOps extends Serializable {
       .withColumn("diff",
         abs(col("cum_bads").cast("double") / col("tot_bads").cast("double")
           - col("cum_goods").cast("double") / col("tot_goods").cast("double")))
+      // grouped-row census for the fail-loud gate — rides wTot
+      .withColumn("__g", count(lit(1)).over(wTot))
     cum.orderBy(col("diff").desc, col("score").desc).limit(1)
+      .where(groupGate(col("__g"), maxGroups, maxBands > 0, "ksReport"))
       .select(
         col("diff").as("ks"),
         col("score").as("ks_score"),
@@ -205,7 +232,7 @@ object EvalOps extends Serializable {
   def gainsTable(df: DataFrame, scoreCol: String, targetCol: String,
       maxBands: Int = 0, maxGroups: Int = 1 << 20): DataFrame = {
     val g = guarded(grouped(banded(df, scoreCol, maxBands), scoreCol, targetCol),
-      maxGroups, maxBands > 0, "gainsTable")
+      maxGroups, maxBands > 0)
     val wTot = Window.partitionBy()
     val wCum = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -214,6 +241,10 @@ object EvalOps extends Serializable {
       .withColumn("tot_bads", sum("bads").over(wTot))
       .withColumn("cum_n", sum("n").over(wCum))
       .withColumn("cum_bads", sum("bads").over(wCum))
+      // grouped-row census for the fail-loud gate — rides wTot (a
+      // window can't live in a WHERE, so it lands as a column first)
+      .withColumn("__g", count(lit(1)).over(wTot))
+      .where(groupGate(col("__g"), maxGroups, maxBands > 0, "gainsTable"))
       .select(
         col("band"), col("score"), col("n"), col("bads"),
         (col("bads").cast("double") / col("n").cast("double")).as("bad_rate"),

@@ -119,11 +119,19 @@ object SelectionOps {
       // (head) = highest scores, so bucket = n − #{cuts the score
       // clears}: ≥ every cut → 1, below every cut → n, monotone in
       // between.  The agg is one sketch pass; the join is a broadcast.
+      // The per-doc score frame is referenced TWICE (sketch agg + the
+      // join back) — persisted so the token-keyed rarity aggregation
+      // runs once, not per reference (the selectionPipeline stage
+      // discipline; the cache is the REDUCED ~per-doc frame, far
+      // smaller than the corpus, released via unpersistAll).  The
+      // first sf10 A/B caught the unpersisted form re-deriving the
+      // rarity pass and losing to the exact window it replaces.
+      val j = DedupOps.registerPersist(joined)
       val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-      val cuts = joined.groupBy(col("lang")).agg(
+      val cuts = j.groupBy(col("lang")).agg(
         percentile_approx(col("avg_token_freq"),
           array(probs.map(lit): _*), lit(approxAccuracy)).as("__cuts"))
-      joined.join(broadcast(cuts), "lang")
+      j.join(broadcast(cuts), "lang")
         .withColumn("bucket",
           (lit(nBuckets) - size(filter(col("__cuts"),
             c => col("avg_token_freq").cast("double") >= c))).cast("long"))

@@ -110,7 +110,12 @@ object BenchAB {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_AB_OUT", "BENCH_ab.json")
     scala.util.Try {
       val p = java.nio.file.Paths.get(outPath).toAbsolutePath
-      java.nio.file.Files.writeString(p, line + "\n")
+      // JSONL, append: one line per comparison run, so the durable file
+      // accumulates the round's records instead of keeping only the
+      // last run (re-runs of a comparison append too — latest wins)
+      java.nio.file.Files.writeString(p, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       System.err.println(s"[ab] durable copy: $p")
     }.failed.foreach(e => System.err.println(s"[ab] durable write: $e"))
     println(line)

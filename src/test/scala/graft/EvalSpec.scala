@@ -119,9 +119,14 @@ class EvalSpec extends AnyFunSuite {
 
   test("auc/ks/gains fail loudly on an unbanded near-unique score") {
     // 200 distinct scores against a 50-group cap: the old behavior was
-    // a silent single-task window over every distinct score
+    // a silent single-task window over every distinct score.  The gate
+    // is fused into the metric's plan, so the failure surfaces at
+    // ACTION time (the assert_true projection) — walk the cause chain
+    // for the diagnostic.
     val rows = (0 until 200).map(i => (i + i / 1e4, i % 3 min 1))
     val df = scored(rows)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
     Seq[(String, () => Unit)](
       "aucReport" -> (() => EvalOps.aucReport(df, "score", "target",
         maxGroups = 50).collect()),
@@ -130,8 +135,9 @@ class EvalSpec extends AnyFunSuite {
       "gainsTable" -> (() => EvalOps.gainsTable(df, "score", "target",
         maxGroups = 50).collect())
     ).foreach { case (name, run) =>
-      val ex = intercept[IllegalArgumentException](run())
-      assert(ex.getMessage.contains("more than 50 distinct scores"), name)
+      val ex = intercept[Exception](run())
+      assert(chain(ex).exists(_.contains("more than 50 distinct scores")),
+        s"$name: ${chain(ex)}")
     }
     // maxBands > 0 exempts the guard AND bounds the window input
     val banded = EvalOps.gainsTable(df, "score", "target",
@@ -144,32 +150,44 @@ class EvalSpec extends AnyFunSuite {
       .collect()(0).getAs[Long]("n_pos") > 0L)
   }
 
-  test("guard shares ONE aggregation with the metric (persisted grouped frame)") {
+  test("guard is fused into the metric's ONE pass (no second aggregation)") {
     // r12 regression: the guard ran `g.count()` as a separate job and
     // the metric then re-ran the same corpus groupBy — two full scans.
-    // Now the grouped frame is persisted across guard + metric, so the
-    // metric's executed plan must read the cache (InMemoryTableScan),
-    // and maxGroups <= 0 must skip both the count job and the persist.
-    val rows = (0 until 150).map(i => (i / 10.0, i % 2))
+    // The gate is now IN the metric's plan: a limit bounding the
+    // window input + an assert on a count riding the existing pass.
+    // Pin the shape: exactly ONE corpus aggregation pair (partial +
+    // final HashAggregate over the input), no cache, a GlobalLimit,
+    // and numbers identical to the unguarded escape.
+    val rows = (0 until 150).map(i => ((i / 10).toDouble, i % 2))
     val df = scored(rows)
-    try {
-      val auc = EvalOps.aucReport(df, "score", "target")
-      val aucRow = auc.collect()(0)
-      assert(auc.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
-      val ks = EvalOps.ksReport(df, "score", "target")
-      assert(ks.collect()(0).getAs[Long]("n_pos") > 0L)
-      assert(ks.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
-      val gains = EvalOps.gainsTable(df, "score", "target")
-      assert(gains.collect().nonEmpty)
-      assert(gains.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
-      // the unguarded escape: same numbers, no cache, no count job
-      // (release the guarded runs' caches first — the cache manager
-      // would otherwise substitute them into this identical plan)
-      graft.ops.DedupOps.unpersistAll()
-      val off = EvalOps.aucReport(df, "score", "target", maxGroups = 0)
-      assert(!off.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
-      assert(off.collect()(0).getAs[Double]("auc") == aucRow.getAs[Double]("auc"))
-    } finally graft.ops.DedupOps.unpersistAll()
+    // maxGroups below the input's provable maxRows, so the bounding
+    // limit survives optimization (with the default 2^20 cap over a
+    // 150-row LocalRelation, EliminateLimits correctly folds it —
+    // the 15 grouped rows still pass the gate either way)
+    val auc = EvalOps.aucReport(df, "score", "target", maxGroups = 100)
+    val aucRow = auc.collect()(0)
+    val plan = auc.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"), "fused gate must not cache")
+    assert(plan.contains("Limit"), "fused gate bounds the window input")
+    // ONE scan of the input: a second aggregation (the r12 wart) would
+    // scan the source twice (count inside the FINAL adaptive plan only
+    // — the "Initial Plan" section repeats every node)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = "LocalTableScan".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"expected ONE input scan, plan had $scans:\n$finalPlan")
+    val off = EvalOps.aucReport(df, "score", "target", maxGroups = 0)
+      .collect()(0)
+    assert(off.getAs[Double]("auc") == aucRow.getAs[Double]("auc"))
+    assert(off.getAs[Long]("n") == aucRow.getAs[Long]("n"))
+    // ks/gains: same fused shape, same values as their escapes
+    val ks = EvalOps.ksReport(df, "score", "target")
+    assert(!ks.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    assert(ks.collect()(0).getAs[Double]("ks") ==
+      EvalOps.ksReport(df, "score", "target", maxGroups = 0)
+        .collect()(0).getAs[Double]("ks"))
+    val gains = EvalOps.gainsTable(df, "score", "target").collect()
+    val gainsOff = EvalOps.gainsTable(df, "score", "target", maxGroups = 0).collect()
+    assert(gains.toSeq == gainsOff.toSeq)
   }
 
   test("isotonicFitPerScore: expansion of the block table, minimax values") {
