@@ -3952,6 +3952,30 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // AAC ADTS replay: header fields are the synthesis
+    // parameterization; the frame census is fixed (6 frames), frame
+    // lengths are the 7-byte header plus the text-split payload, and
+    // the duration is 1024-samples-per-frame integer arithmetic
+    "q_multimodal_aac_meta" -> {
+      val srCase = (0 to 4).map { i =>
+        s"WHEN $i THEN ${graft.ops.MultimodalOps.AdtsSampleRates(3 + i)}"
+      }.mkString(" ")
+      val ns = graft.ops.MultimodalOps.AdtsFrameCount
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         CASE doc_id % 5 $srCase END AS sr
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(1 + doc_id % 3 AS BIGINT) AS object_type,
+        |       CAST(sr AS BIGINT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |       CAST($ns AS BIGINT) AS n_frames,
+        |       CAST($ns * 1024 * 1000 // sr AS BIGINT) AS duration_ms,
+        |       CAST(n + 7 * $ns AS BIGINT) AS n_bytes,
+        |       CAST(7 + n // $ns + CASE WHEN n % $ns > 0 THEN 1 ELSE 0 END AS BIGINT) AS max_frame_len
+        |FROM px ORDER BY doc_id""".stripMargin
+    },
     // MP3 frame-header replay: every header field is the synthesis
     // parameterization; the frame census and duration are pure integer
     // arithmetic over the UTF-8 byte count (frameLen = 144·br·1000/sr,
@@ -5888,6 +5912,22 @@ object SparkEntry {
             col("width"), col("height"),
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_aac_meta" -> { (s, dir) =>
+        // AAC ADTS census WITHOUT decode: real 7-byte header parse
+        // (sync/ID/layer/profile/rate/channels) hopping by the
+        // EXPLICIT 13-bit frame length the stream declares
+        val media = MultimodalOps.synthesizeAac(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.aacMeta(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("objectType").as("object_type"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("nFrames").as("n_frames"),
+            col("durationMs").as("duration_ms"),
+            col("nBytes").as("n_bytes"),
+            col("maxFrameLen").as("max_frame_len"))
           .orderBy("doc_id")
       },
       "q_multimodal_mp3_meta" -> { (s, dir) =>

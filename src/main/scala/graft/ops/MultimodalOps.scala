@@ -3440,4 +3440,111 @@ object MultimodalOps {
         MediaRecord(id, "audio/flac", head ++ payload)
       }
   }
+
+  /** AAC ADTS stream census (ISO/IEC 14496-3 §1.A.3 — the ADTS
+    * transport every raw .aac capture and most HLS audio segments
+    * use): first-frame header fields plus the whole-file frame census
+    * and exact-integer duration (1024 samples per raw data block).
+    * Unlike MP3, the frame length is an EXPLICIT 13-bit header field
+    * (it includes the 7-byte header), so the walk hops by what the
+    * stream declares and a one-bit length corruption is caught as a
+    * broken next-sync rather than silently re-synced.
+    */
+  final case class AacMeta(
+      id: Long, objectType: Long, sampleRate: Long, channels: Long,
+      nFrames: Long, durationMs: Long, nBytes: Long, maxFrameLen: Long)
+
+  private[graft] val AdtsSampleRates: Array[Int] = Array(
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350)
+  private[graft] val AdtsSamplesPerFrame = 1024
+
+  /** Walks one ADTS stream: validate each 7-byte header (12-bit sync,
+    * MPEG-4 ID, layer 00) and hop by the declared aac_frame_length.
+    * Consistency discipline as [[mp3MetaOf]]: every frame must repeat
+    * the first frame's profile/rate/channels (a drift or a broken
+    * sync yields None, not a half-census).
+    */
+  private[graft] def aacMetaOf(r: MediaRecord): Option[AacMeta] = {
+    val b = r.content
+    if (b == null || b.length < 7) return None
+    var off = 0
+    var nFrames = 0L
+    var maxLen = 0L
+    var first: (Int, Int, Int) = null // (profile2b, srIdx, chanCfg)
+    while (off + 7 <= b.length) {
+      val b0 = b(off) & 0xff
+      val b1 = b(off + 1) & 0xff
+      if (b0 != 0xff || (b1 & 0xf0) != 0xf0) return None // broken sync
+      if ((b1 & 0x08) != 0) return None // MPEG-2 ID: out of scope here
+      if ((b1 & 0x06) != 0) return None // layer must be 00
+      val b2 = b(off + 2) & 0xff
+      val profile = b2 >> 6
+      val srIdx = b2 >> 2 & 0xf
+      if (srIdx >= AdtsSampleRates.length) return None
+      val chanCfg = (b2 & 1) << 2 | (b(off + 3) & 0xff) >> 6
+      val frameLen = ((b(off + 3) & 0x03) << 11 |
+        (b(off + 4) & 0xff) << 3 | (b(off + 5) & 0xff) >> 5)
+      if (frameLen < 7 || off + frameLen > b.length) return None
+      if (first == null) first = (profile, srIdx, chanCfg)
+      else if (first != ((profile, srIdx, chanCfg))) return None
+      nFrames += 1
+      if (frameLen > maxLen) maxLen = frameLen
+      off += frameLen
+    }
+    if (first == null || off != b.length) None
+    else {
+      val sr = AdtsSampleRates(first._2)
+      Some(AacMeta(r.id, objectType = first._1 + 1L, sampleRate = sr.toLong,
+        channels = first._3.toLong, nFrames = nFrames,
+        durationMs = nFrames * AdtsSamplesPerFrame * 1000L / sr,
+        nBytes = b.length.toLong, maxFrameLen = maxLen))
+    }
+  }
+
+  def aacMeta(ds: Dataset[MediaRecord]): Dataset[AacMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(aacMetaOf))
+  }
+
+  private[graft] val AdtsFrameCount = 6
+
+  /** Per-row ADTS synthesis (the oracle side): exactly
+    * [[AdtsFrameCount]] frames; frame f carries `n/6 + (f < n%6)`
+    * payload bytes of the document's UTF-8 text (the vp9-style split),
+    * so every frame length — and therefore the census — replays from
+    * (id, octet_length(text)).  Profile `id % 3`, sampling-frequency
+    * index `3 + id % 5` (48000..22050), channel config `1 + id % 2`,
+    * buffer fullness 0x7FF (the VBR convention).
+    */
+  def synthesizeAac(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val profile = (id % 3).toInt
+        val srIdx = 3 + (id % 5).toInt
+        val chanCfg = 1 + (id % 2).toInt
+        val n = payload.length
+        val out = Array.newBuilder[Byte]
+        var from = 0
+        var f = 0
+        while (f < AdtsFrameCount) {
+          val take = n / AdtsFrameCount + (if (f < n % AdtsFrameCount) 1 else 0)
+          val frameLen = 7 + take
+          out += 0xff.toByte
+          out += 0xf1.toByte // MPEG-4, layer 00, no CRC
+          out += (profile << 6 | srIdx << 2 | (chanCfg >> 2)).toByte
+          out += ((chanCfg & 3) << 6 | (frameLen >> 11)).toByte
+          out += (frameLen >> 3).toByte
+          out += ((frameLen & 7) << 5 | 0x1f).toByte // fullness hi
+          out += 0xfc.toByte // fullness lo + 1 raw data block
+          out ++= payload.slice(from, from + take)
+          from += take
+          f += 1
+        }
+        MediaRecord(id, "audio/aac", out.result())
+      }
+  }
 }

@@ -33,12 +33,12 @@ import scala.collection.parallel.CollectionConverters._
   * WITHOUT pre-bucket edges makes complete-mode state grow O(distinct)
   * until the job dies — the silent-degrade class the batch fit
   * (`maxDistinct`) and the eval metrics (`maxGroups`) already refuse.
-  * Every micro-batch therefore counts its per-variable grouped rows
-  * (one tiny agg over the already-reduced state frame, BEFORE the
-  * driver collect) and fails the query past `maxDistinctState` for any
-  * column not capped by `preBucketEdges`.  The failure is the
-  * StreamingQuery terminating with the diagnostic, not a quiet OOM
-  * hours later.
+  * The gate rides the per-trigger collect itself: the collect is
+  * LIMIT-bounded at the budget implied by `maxDistinctState` and the
+  * pre-bucket edges, so an overflowing batch truncates at the cap
+  * (the driver never receives the monster) and the over-cap row count
+  * fails the query with the diagnostic — zero extra work per trigger,
+  * not a quiet OOM hours later.
   */
 object StreamingWoe {
 
@@ -53,12 +53,13 @@ object StreamingWoe {
     * @param preBucketEdges     per-column fixed bucket edges capping
     *                           streaming state at |edges| distinct
     *                           values per column (unbounded otherwise)
-    * @param maxDistinctState   per-variable distinct-value cap for
-    *                           columns NOT in `preBucketEdges`: the
-    *                           query fails loudly when a micro-batch's
-    *                           state exceeds it (<= 0 disables — the
-    *                           expert valve, same contract as the eval
-    *                           metrics' `maxGroups`)
+    * @param maxDistinctState   distinct-value budget per column NOT in
+    *                           `preBucketEdges`: the per-trigger
+    *                           collect is bounded at the total budget
+    *                           and the query fails loudly when the
+    *                           state frame exceeds it (<= 0 disables —
+    *                           the expert valve, same contract as the
+    *                           eval metrics' `maxGroups`)
     */
   def fitStream(
       stream: DataFrame,
@@ -83,30 +84,36 @@ object StreamingWoe {
     var writer = stats.writeStream.outputMode("complete")
     checkpointLocation.foreach(p => writer = writer.option("checkpointLocation", p))
     trigger.foreach(t => writer = writer.trigger(t))
+    // the gate rides the existing per-trigger collect as a LIMIT — no
+    // second pass over the state frame per micro-batch (a first cut
+    // ran a per-batch groupBy(variable).count() and cost q_fit_streaming
+    // +30% at sf0.1).  The cap bounds the driver collect itself:
+    // snapped columns contribute ≤ |edges|+2 grouped rows each
+    // (buckets + the null/NaN row), uncapped ones maxDistinctState+1
+    // each (+1 for their null row), so rows.length > cap proves some
+    // uncapped column outgrew its budget.
+    val cap: Long =
+      if (maxDistinctState <= 0 || uncapped.isEmpty) Long.MaxValue
+      else preBucketEdges.valuesIterator.map(_.length + 2L).sum +
+        uncapped.size.toLong * (maxDistinctState + 1L)
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (maxDistinctState > 0 && uncapped.nonEmpty) {
-          // O(#vars) agg over the already-reduced state frame, run
-          // BEFORE the driver collect so the overflow never lands on
-          // the driver; throwing here terminates the streaming query
-          // with the diagnostic (the loud failure)
-          import org.apache.spark.sql.functions.{col, count, lit}
-          val hot = batch
-            .filter(col("variable").isInCollection(uncapped))
-            .groupBy("variable").agg(count(lit(1)).as("n"))
-            .filter(col("n") > maxDistinctState.toLong)
-            .collect()
-          if (hot.nonEmpty) {
-            val worst = hot.maxBy(_.getLong(1))
-            throw new IllegalStateException(
-              s"fitStream: streaming state for '${worst.getString(0)}' " +
-                s"reached ${worst.getLong(1)} distinct values " +
-                s"(> maxDistinctState=$maxDistinctState) — pass " +
-                "preBucketEdges for the column (fixed-edge snap bounds " +
-                "complete-mode state) or raise maxDistinctState")
-          }
+        val rows =
+          if (cap == Long.MaxValue) batch.collect()
+          else batch.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
+        if (rows.length > cap) {
+          // name the dominant variable among the truncated rows — an
+          // approximate culprit, but the throw itself is exact
+          val worst = rows.groupBy(_.getString(0)).maxBy(_._2.length)
+          throw new IllegalStateException(
+            s"fitStream: streaming state reached ${rows.length}+ grouped " +
+              s"rows (cap $cap for ${uncapped.size} uncapped column(s) at " +
+              s"maxDistinctState=$maxDistinctState; densest so far: " +
+              s"'${worst._1}' with ${worst._2.length} rows) — pass " +
+              "preBucketEdges for high-cardinality columns (fixed-edge " +
+              "snap bounds complete-mode state) or raise maxDistinctState")
         }
-        val byVar = WoeBinning.statsFromRows(batch.collect())
+        val byVar = WoeBinning.statsFromRows(rows)
         if (byVar.nonEmpty) { // no data yet → no model to emit
           val fitted = inputCols.par
             .map(c => c -> WoeBinning.fitOne(c, targetCol, byVar, cfg, sepValue))

@@ -719,6 +719,45 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("aac adts: hand-built frames parse; declared-length hop; drift rejected") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // HAND-WRITTEN frames: LC profile (2-bit value 1), 44100 (idx 4),
+    // stereo (config 2), two frames of declared lengths 7+5 and 7+3 —
+    // header bits laid out by hand, not via synthesizeAac
+    def frame(payload: Int): Array[Byte] = {
+      val len = 7 + payload
+      Array[Byte](0xff.toByte, 0xf1.toByte,
+        (1 << 6 | 4 << 2 | 0).toByte,
+        (2 << 6 | (len >> 11)).toByte,
+        (len >> 3).toByte,
+        ((len & 7) << 5 | 0x1f).toByte, 0xfc.toByte) ++ new Array[Byte](payload)
+    }
+    val hand = frame(5) ++ frame(3)
+    val got = MultimodalOps.aacMetaOf(MultimodalOps.MediaRecord(3L, "audio/aac", hand))
+    assert(got.contains(MultimodalOps.AacMeta(3L, objectType = 2, sampleRate = 44100,
+      channels = 2, nFrames = 2, durationMs = 2L * 1024 * 1000 / 44100,
+      nBytes = 22, maxFrameLen = 12)))
+    // a frame whose declared length overruns the file is malformed
+    val overrun = hand.clone(); overrun(4) = 0x40 // frameLen huge
+    assert(MultimodalOps.aacMetaOf(
+      MultimodalOps.MediaRecord(4L, "audio/aac", overrun)).isEmpty)
+    // rate drift mid-stream is rejected (same discipline as mp3)
+    val drift = frame(5) ++ { val f = frame(3); f(2) = (1 << 6 | 5 << 2).toByte; f }
+    assert(MultimodalOps.aacMetaOf(
+      MultimodalOps.MediaRecord(5L, "audio/aac", drift)).isEmpty)
+    // end-to-end: synthesized corpus matches the closed form
+    val text = "y" * 100
+    val metas = MultimodalOps.aacMeta(
+        MultimodalOps.synthesizeAac(
+          Seq((7L, text)).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect()
+    // id 7: profile 1 (LC -> objectType 2), srIdx 3+2=5 -> 32000, ch 2
+    assert(metas.toSeq == Seq(MultimodalOps.AacMeta(7L, 2, 32000, 2,
+      nFrames = 6, durationMs = 6L * 1024 * 1000 / 32000,
+      nBytes = 100 + 42, maxFrameLen = 7 + 17)))
+  }
+
   test("flac: hand-built STREAMINFO parses; block-chain hop; malformed dropped") {
     import spark.implicits._
     import graft.ops.MultimodalOps
