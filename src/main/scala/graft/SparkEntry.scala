@@ -3952,6 +3952,50 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // VBR MP3 replay: frame f's bitrate is 1 + (id+f) % 14, so the
+    // frame census walks the same per-frame capacity series with a
+    // running sum (generate_series + window) — variable-length layout,
+    // still pure integer arithmetic
+    "q_multimodal_mp3_vbr" -> {
+      val brCase = (1 to 14).map { i =>
+        s"WHEN $i THEN ${graft.ops.MultimodalOps.Mp3BitrateKbps(i)}"
+      }.mkString(" ")
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n, sr,
+        |         unnest(generate_series(0, 4095)) AS fi
+        |  FROM px),
+        |cum AS (
+        |  SELECT doc_id, n, sr, fi,
+        |         144 * (CASE 1 + (doc_id + fi) % 14 $brCase END) * 1000 // sr AS flen,
+        |         CASE 1 + (doc_id + fi) % 14 $brCase END AS br,
+        |         sum(144 * (CASE 1 + (doc_id + fi) % 14 $brCase END) * 1000 // sr - 4)
+        |           OVER (PARTITION BY doc_id ORDER BY fi) AS cumcap
+        |  FROM fr),
+        |nf AS (
+        |  SELECT doc_id, greatest(1, min(fi + 1)) AS n_frames
+        |  FROM cum WHERE cumcap >= n GROUP BY doc_id),
+        |kept AS (
+        |  SELECT c.doc_id, c.sr, c.n, f.n_frames,
+        |         min(c.br) AS br_min, max(c.br) AS br_max,
+        |         sum(c.flen) AS body_bytes
+        |  FROM cum c JOIN nf f ON c.doc_id = f.doc_id AND c.fi < f.n_frames
+        |  GROUP BY c.doc_id, c.sr, c.n, f.n_frames)
+        |SELECT doc_id,
+        |       CAST(sr AS BIGINT) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+        |       CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+        |       CAST(br_min AS BIGINT) AS br_min_kbps,
+        |       CAST(br_max AS BIGINT) AS br_max_kbps,
+        |       CAST(10 + doc_id % 17 AS BIGINT) AS first_frame_off,
+        |       CAST(10 + doc_id % 17 + body_bytes AS BIGINT) AS n_bytes
+        |FROM kept ORDER BY doc_id""".stripMargin
+    },
     // AAC ADTS replay: header fields are the synthesis
     // parameterization; the frame census is fixed (6 frames), frame
     // lengths are the 7-byte header plus the text-split payload, and
@@ -5912,6 +5956,23 @@ object SparkEntry {
             col("width"), col("height"),
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_mp3_vbr" -> { (s, dir) =>
+        // VBR census: bitrate varies per frame (the real-corpus case
+        // the CBR walk rejects); rate/mode stay consistent, duration
+        // is exact 1152-samples arithmetic, bitrate RANGE reported
+        val media = MultimodalOps.synthesizeMp3Vbr(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.mp3VbrMeta(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("nFrames").as("n_frames"),
+            col("durationMs").as("duration_ms"),
+            col("brMinKbps").as("br_min_kbps"),
+            col("brMaxKbps").as("br_max_kbps"),
+            col("firstFrameOff").as("first_frame_off"),
+            col("nBytes").as("n_bytes"))
           .orderBy("doc_id")
       },
       "q_multimodal_aac_meta" -> { (s, dir) =>

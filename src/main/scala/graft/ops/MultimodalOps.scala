@@ -3547,4 +3547,107 @@ object MultimodalOps {
         MediaRecord(id, "audio/aac", out.result())
       }
   }
+
+  /** VBR MP3 census — real corpora are mostly VBR, which the CBR walk
+    * [[mp3MetaOf]] deliberately rejects.  This flavor allows the
+    * bitrate index to change per frame (the VBR definition) while
+    * still requiring a consistent sample rate and channel mode (a
+    * mid-stream rate change is a new stream, not VBR), and reports the
+    * bitrate RANGE plus the exact frame census.  Duration stays exact
+    * integer arithmetic: every MPEG-1 Layer III frame is 1152 samples
+    * regardless of its bitrate.
+    */
+  final case class Mp3VbrMeta(
+      id: Long, sampleRate: Long, channels: Long, nFrames: Long,
+      durationMs: Long, brMinKbps: Long, brMaxKbps: Long,
+      firstFrameOff: Long, nBytes: Long)
+
+  private[graft] def mp3VbrMetaOf(r: MediaRecord): Option[Mp3VbrMeta] = {
+    val b = r.content
+    if (b == null || b.length < 14) return None
+    val start = id3v2Size(b)
+    if (start + 4 > b.length) return None
+    var off = start
+    var nFrames = 0L
+    var brMin = Int.MaxValue
+    var brMax = 0
+    var first: (Int, Int) = null // (srIdx, channelMode)
+    while (off + 4 <= b.length) {
+      val b0 = b(off) & 0xff
+      val b1 = b(off + 1) & 0xff
+      val b2 = b(off + 2) & 0xff
+      val b3 = b(off + 3) & 0xff
+      if (b0 != 0xff || (b1 & 0xe0) != 0xe0) return None
+      if ((b1 >> 3 & 3) != 3 || (b1 >> 1 & 3) != 1) return None
+      val brIdx = b2 >> 4
+      val srIdx = b2 >> 2 & 3
+      val padding = b2 >> 1 & 1
+      val mode = b3 >> 6
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      if (first == null) first = (srIdx, mode)
+      else if (first != ((srIdx, mode))) return None // rate/mode drift
+      val br = Mp3BitrateKbps(brIdx)
+      if (br < brMin) brMin = br
+      if (br > brMax) brMax = br
+      nFrames += 1
+      off += mp3FrameLen(br, Mp3SampleRates(srIdx), padding)
+    }
+    if (first == null || nFrames == 0) None
+    else {
+      val sr = Mp3SampleRates(first._1)
+      Some(Mp3VbrMeta(r.id, sampleRate = sr.toLong,
+        channels = if (first._2 == 3) 1L else 2L, nFrames = nFrames,
+        durationMs = nFrames * Mp3SamplesPerFrame * 1000L / sr,
+        brMinKbps = brMin.toLong, brMaxKbps = brMax.toLong,
+        firstFrameOff = start.toLong, nBytes = b.length.toLong))
+    }
+  }
+
+  def mp3VbrMeta(ds: Dataset[MediaRecord]): Dataset[Mp3VbrMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(mp3VbrMetaOf))
+  }
+
+  /** Per-row VBR MP3 synthesis: same ID3v2 lead and sample-rate /
+    * channel-mode parameterization as [[synthesizeMp3]], but frame f's
+    * bitrate index is `1 + (id + f) % 14` — genuinely variable — and
+    * frames are appended until the cumulative payload capacity covers
+    * the document's UTF-8 bytes (min 1 frame).  The oracle replays the
+    * frame count by walking the same per-frame capacity series with a
+    * running sum (generate_series + a window), so even the
+    * variable-length layout stays pure integer arithmetic.
+    */
+  def synthesizeMp3Vbr(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val pad = (id % 17).toInt
+        val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0,
+          0, 0, (pad >> 7).toByte, (pad & 0x7f).toByte) ++ new Array[Byte](pad)
+        val srIdx = (id % 3).toInt
+        val sr = Mp3SampleRates(srIdx)
+        val mode = (id % 4).toInt
+        val out = Array.newBuilder[Byte]
+        out ++= id3
+        var covered = 0
+        var f = 0
+        while (f == 0 || covered < payload.length) {
+          val brIdx = 1 + ((id + f) % 14).toInt
+          val frameLen = mp3FrameLen(Mp3BitrateKbps(brIdx), sr, 0)
+          val body = new Array[Byte](frameLen)
+          body(0) = 0xff.toByte
+          body(1) = 0xfb.toByte
+          body(2) = (brIdx << 4 | srIdx << 2).toByte
+          body(3) = (mode << 6 | 1 << 2).toByte
+          val take = math.min(frameLen - 4, payload.length - covered)
+          if (take > 0) System.arraycopy(payload, covered, body, 4, take)
+          covered += take
+          out ++= body
+          f += 1
+        }
+        MediaRecord(id, "audio/mpeg", out.result())
+      }
+  }
 }

@@ -719,6 +719,46 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("mp3 vbr: per-frame bitrate census; CBR walk rejects the same bytes") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // hand-built two-bitrate chain @ 44100 joint stereo: 128 kbps
+    // (idx 9, 417 B) then 160 kbps (idx 10, 522 B)
+    def frame(brIdx: Int, len: Int): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xfb.toByte,
+        (brIdx << 4).toByte, (1 << 6).toByte) ++ new Array[Byte](len - 4)
+    val hand = frame(9, 417) ++ frame(10, 522)
+    val vbr = MultimodalOps.mp3VbrMetaOf(MultimodalOps.MediaRecord(2L, "audio/mpeg", hand))
+    assert(vbr.contains(MultimodalOps.Mp3VbrMeta(2L, 44100, 2, nFrames = 2,
+      durationMs = 2L * 1152 * 1000 / 44100, brMinKbps = 128, brMaxKbps = 160,
+      firstFrameOff = 0, nBytes = 939)))
+    // the CBR walk refuses exactly these bytes (bitrate drift)
+    assert(MultimodalOps.mp3MetaOf(
+      MultimodalOps.MediaRecord(2L, "audio/mpeg", hand)).isEmpty)
+    // sample-rate drift is still rejected even in the VBR flavor
+    val srDrift = frame(9, 417) ++ (Array[Byte](0xff.toByte, 0xfb.toByte,
+      (9 << 4 | 1 << 2).toByte, (1 << 6).toByte) ++ new Array[Byte](100))
+    assert(MultimodalOps.mp3VbrMetaOf(
+      MultimodalOps.MediaRecord(3L, "audio/mpeg", srDrift)).isEmpty)
+    // end-to-end: synthesized VBR corpus matches the capacity-walk
+    // closed form (id 5: sr 32000, mode 1 -> stereo, id3 pad 5)
+    val text = "v" * 800
+    val metas = MultimodalOps.mp3VbrMeta(
+        MultimodalOps.synthesizeMp3Vbr(
+          Seq((5L, text)).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect()
+    val sr = 32000
+    var covered = 0; var f = 0; var brs = List.empty[Int]; var bytes = 0L
+    while (f == 0 || covered < 800) {
+      val br = MultimodalOps.Mp3BitrateKbps(1 + ((5 + f) % 14))
+      val len = 144 * br * 1000 / sr
+      covered += len - 4; bytes += len; brs ::= br; f += 1
+    }
+    assert(metas.toSeq == Seq(MultimodalOps.Mp3VbrMeta(5L, sr, 2, f,
+      f.toLong * 1152 * 1000 / sr, brs.min, brs.max,
+      firstFrameOff = 15, nBytes = 15 + bytes)))
+  }
+
   test("aac adts: hand-built frames parse; declared-length hop; drift rejected") {
     import spark.implicits._
     import graft.ops.MultimodalOps
