@@ -3952,6 +3952,35 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // Ogg/Opus replay: ID-header fields are the synthesis
+    // parameterization; page count is fixed (2 header + 4 data), the
+    // duration is the RFC 7845 rule ((last_granule - pre_skip) 48 kHz
+    // ticks), and the byte census folds the RFC 3533 lacing rule
+    // (27-byte header + ceil-ish (p/255 + 1) lacing values + payload)
+    "q_multimodal_opus_meta" -> {
+      val np = graft.ops.MultimodalOps.OpusDataPages
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         480 * (1 + doc_id % 4) AS ticks
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, n, ticks, unnest(generate_series(0, ${np - 1})) AS k
+        |  FROM px),
+        |sz AS (
+        |  SELECT doc_id, any_value(n) AS n, any_value(ticks) AS ticks,
+        |         sum((n // $np + CASE WHEN k < n % $np THEN 1 ELSE 0 END) // 255) AS lace255
+        |  FROM pg GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |       CAST(312 + doc_id % 100 AS BIGINT) AS pre_skip,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 16000 END AS BIGINT) AS input_sample_rate,
+        |       CAST(2 + $np AS BIGINT) AS n_pages,
+        |       CAST(312 + doc_id % 100 + $np * ticks AS BIGINT) AS last_granule,
+        |       CAST($np * ticks * 1000 // 48000 AS BIGINT) AS duration_ms,
+        |       CAST(203 + n + lace255 AS BIGINT) AS n_bytes
+        |FROM sz ORDER BY doc_id""".stripMargin
+    },
     // VBR MP3 replay: frame f's bitrate is 1 + (id+f) % 14, so the
     // frame census walks the same per-frame capacity series with a
     // running sum (generate_series + window) — variable-length layout,
@@ -5956,6 +5985,22 @@ object SparkEntry {
             col("width"), col("height"),
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_opus_meta" -> { (s, dir) =>
+        // Ogg/Opus census WITHOUT decode: RFC 3533 page walk with
+        // REAL per-page CRC verification + RFC 7845 OpusHead parse;
+        // duration from the last granule position minus pre-skip
+        val media = MultimodalOps.synthesizeOpus(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.opusMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("channels"),
+            col("preSkip").as("pre_skip"),
+            col("inputSampleRate").as("input_sample_rate"),
+            col("nPages").as("n_pages"),
+            col("lastGranule").as("last_granule"),
+            col("durationMs").as("duration_ms"),
+            col("nBytes").as("n_bytes"))
           .orderBy("doc_id")
       },
       "q_multimodal_mp3_vbr" -> { (s, dir) =>

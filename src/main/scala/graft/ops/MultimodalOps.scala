@@ -3650,4 +3650,142 @@ object MultimodalOps {
         MediaRecord(id, "audio/mpeg", out.result())
       }
   }
+
+  /** Ogg/Opus stream census (RFC 3533 page walk + RFC 7845 OpusHead):
+    * channel count, pre-skip, original input rate from the ID header,
+    * page census, and the exact duration from the last page's granule
+    * position (48 kHz ticks minus pre-skip — the RFC 7845 rule).
+    * Every page's CRC is VERIFIED (the RFC 3533 0x04c11db7 CRC-32,
+    * non-reflected, init 0, CRC field zeroed) — a corrupt page fails
+    * the census rather than mis-counting.
+    */
+  final case class OpusMeta(
+      id: Long, channels: Long, preSkip: Long, inputSampleRate: Long,
+      nPages: Long, lastGranule: Long, durationMs: Long, nBytes: Long)
+
+  /** RFC 3533 page CRC: poly 0x04c11db7, no reflection, init/xorout 0,
+    * computed with the header's CRC field as zero.
+    */
+  private[graft] def oggCrc(b: Array[Byte], from: Int, len: Int, crcOff: Int): Long = {
+    var crc = 0L
+    var i = 0
+    while (i < len) {
+      val v = if (i >= crcOff && i < crcOff + 4) 0 else b(from + i) & 0xff
+      crc ^= v.toLong << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000L) != 0) (crc << 1) ^ 0x04c11db7L else crc << 1
+        crc &= 0xffffffffL
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[graft] def opusMetaOf(r: MediaRecord): Option[OpusMeta] = {
+    val b = r.content
+    if (b == null || b.length < 47) return None
+    var off = 0
+    var nPages = 0L
+    var lastGranule = 0L
+    var head: Option[(Int, Int, Long)] = None // (channels, preSkip, inputRate)
+    while (off + 27 <= b.length) {
+      if (!(b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' &&
+        b(off + 3) == 'S')) return None
+      if (b(off + 4) != 0) return None // stream_structure_version
+      val flags = b(off + 5) & 0xff
+      val granule = java.lang.Long.reverseBytes(u64be(b, off + 6))
+      val nSegs = b(off + 26) & 0xff
+      if (off + 27 + nSegs > b.length) return None
+      var bodyLen = 0
+      var i = 0
+      while (i < nSegs) { bodyLen += b(off + 27 + i) & 0xff; i += 1 }
+      val pageLen = 27 + nSegs + bodyLen
+      if (off + pageLen > b.length) return None
+      if (oggCrc(b, off, pageLen, 22) != u32(b, off + 22)) return None
+      if (nPages == 0) {
+        if ((flags & 0x02) == 0) return None // first page must be BOS
+        val p = off + 27 + nSegs
+        if (bodyLen < 19 || new String(b, p, 8, "US-ASCII") != "OpusHead")
+          return None
+        head = Some(((b(p + 9) & 0xff), u16(b, p + 10), u32(b, p + 12)))
+      }
+      // granule -1 (continuation-only page) never ends a stream here
+      if (granule >= 0) lastGranule = granule
+      nPages += 1
+      off += pageLen
+    }
+    head.flatMap { case (ch, skip, rate) =>
+      if (off != b.length || nPages < 2) None
+      else Some(OpusMeta(r.id, ch.toLong, skip.toLong, rate,
+        nPages, lastGranule,
+        durationMs = math.max(0L, lastGranule - skip) * 1000L / 48000L,
+        nBytes = b.length.toLong))
+    }
+  }
+
+  def opusMeta(ds: Dataset[MediaRecord]): Dataset[OpusMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(opusMetaOf))
+  }
+
+  private[graft] val OpusDataPages = 4
+
+  /** Per-row Ogg/Opus synthesis: a BOS OpusHead page (channels
+    * 1 + id % 2, pre-skip 312 + id % 100, input rate [44100, 48000,
+    * 16000][id % 3]), an OpusTags page, then [[OpusDataPages]] data
+    * pages each carrying one packet of the text split (lacing runs of
+    * 255 + remainder — the RFC 3533 segmentation), granule advancing
+    * `480·(1 + id % 4)` 48 kHz ticks per page past the pre-skip, EOS
+    * on the last.  All CRCs are real, so the parse verifies them.
+    */
+  def synthesizeOpus(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val channels = 1 + (id % 2).toInt
+        val preSkip = 312 + (id % 100).toInt
+        val inputRate = Array(44100L, 48000L, 16000L)((id % 3).toInt)
+        val frameTicks = 480L * (1 + (id % 4).toInt)
+        def u16a(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        def u64a(v: Long) = u32a(v & 0xffffffffL) ++ u32a(v >>> 32)
+        def page(flags: Int, granule: Long, seq: Int, packet: Array[Byte]): Array[Byte] = {
+          val lacing = Array.newBuilder[Byte]
+          var rest = packet.length
+          while (rest >= 255) { lacing += 255.toByte; rest -= 255 }
+          lacing += rest.toByte
+          val segs = lacing.result()
+          val out = "OggS".getBytes("US-ASCII") ++ Array[Byte](0, flags.toByte) ++
+            u64a(granule) ++ u32a(0x5eed + (id & 0xffff)) ++ u32a(seq.toLong) ++
+            u32a(0L) ++ Array(segs.length.toByte) ++ segs ++ packet
+          val crc = oggCrc(out, 0, out.length, 22)
+          System.arraycopy(u32a(crc), 0, out, 22, 4)
+          out
+        }
+        val opusHead = "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1) ++
+          Array(channels.toByte) ++ u16a(preSkip) ++ u32a(inputRate) ++
+          u16a(0) ++ Array[Byte](0)
+        val opusTags = "OpusTags".getBytes("US-ASCII") ++ u32a(0L) ++ u32a(0L)
+        val out = Array.newBuilder[Byte]
+        out ++= page(0x02, 0L, 0, opusHead)
+        out ++= page(0x00, 0L, 1, opusTags)
+        var f = 0
+        var from = 0
+        val n = payload.length
+        while (f < OpusDataPages) {
+          val take = n / OpusDataPages + (if (f < n % OpusDataPages) 1 else 0)
+          val eos = if (f == OpusDataPages - 1) 0x04 else 0x00
+          out ++= page(eos, preSkip + frameTicks * (f + 1), 2 + f,
+            payload.slice(from, from + take))
+          from += take
+          f += 1
+        }
+        MediaRecord(id, "audio/ogg", out.result())
+      }
+  }
 }

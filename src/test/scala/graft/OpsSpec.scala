@@ -719,6 +719,46 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("ogg/opus: page walk + OpusHead; CRC catches corruption") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // end-to-end: synthesized stream parses to the closed form
+    // (id 9: channels 2, preSkip 312+9=321, rate idx 0 -> 44100,
+    // ticks 480*(1+1)=960, 4 data pages, payload 777 bytes — the
+    // 255-lacing path triggers on the 195-byte... no: 777/4 = 194+
+    // remainder 1, all < 255 -> one lacing each)
+    val text = "o" * 777
+    val metas = MultimodalOps.opusMeta(
+        MultimodalOps.synthesizeOpus(
+          Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect()
+    val nBytes = 47 + 44 + (0 until 4).map { k =>
+      val p = 777 / 4 + (if (k < 777 % 4) 1 else 0); 27 + (p / 255 + 1) + p
+    }.sum
+    assert(metas.toSeq == Seq(MultimodalOps.OpusMeta(9L, 2, 321, 44100,
+      nPages = 6, lastGranule = 321 + 4 * 960,
+      durationMs = 4L * 960 * 1000 / 48000, nBytes = nBytes)))
+    // >255-byte packets take the 255-run lacing path and round-trip
+    val big = MultimodalOps.opusMeta(
+        MultimodalOps.synthesizeOpus(
+          Seq((4L, "B" * 3000)).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect()
+    assert(big.head.nPages == 6 && big.head.nBytes > 3000)
+    // a single flipped payload byte breaks that page's CRC -> None
+    val bytes = MultimodalOps.synthesizeOpus(
+        Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.content
+    val corrupt = bytes.clone(); corrupt(bytes.length - 1) = (corrupt(bytes.length - 1) ^ 0x40).toByte
+    assert(MultimodalOps.opusMetaOf(
+      MultimodalOps.MediaRecord(9L, "audio/ogg", corrupt)).isEmpty)
+    // structural negatives: bad capture pattern, truncated page
+    val badMagic = bytes.clone(); badMagic(0) = 'X'
+    assert(MultimodalOps.opusMetaOf(
+      MultimodalOps.MediaRecord(1L, "audio/ogg", badMagic)).isEmpty)
+    assert(MultimodalOps.opusMetaOf(
+      MultimodalOps.MediaRecord(1L, "audio/ogg", bytes.take(bytes.length - 3))).isEmpty)
+  }
+
   test("mp3 vbr: per-frame bitrate census; CBR walk rejects the same bytes") {
     import spark.implicits._
     import graft.ops.MultimodalOps
