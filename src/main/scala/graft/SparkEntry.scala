@@ -3952,6 +3952,37 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // EXIF replay: every field is the synthesis parameterization
+    // (fixed little-endian TIFF layout, so the whole block is id
+    // arithmetic); GPS-less rows (id % 4 = 0) carry empty refs/zeros
+    "q_multimodal_exif" ->
+      s"""SELECT doc_id,
+        |       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |       'C' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT) AS has_gps,
+        |       CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 90 END AS BIGINT) AS lat_deg,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 60 END AS BIGINT) AS lat_min,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id * 7 % 60 END AS BIGINT) AS lat_sec,
+        |       CASE WHEN doc_id % 4 = 0 THEN '' WHEN (doc_id // 2) % 2 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 180 END AS BIGINT) AS lon_deg,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id * 3 % 60 END AS BIGINT) AS lon_min,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id * 11 % 60 END AS BIGINT) AS lon_sec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // EXIF-strip governance replay: the APP1 segment is the only thing
+    // removed, so the byte deltas are the fixed TIFF-layout sizes
+    "q_multimodal_exif_strip" ->
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         CASE WHEN doc_id % 4 = 0 THEN 48 ELSE 162 END AS app1
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(4 + app1 + n + 4 * greatest(1, (n + 59999) // 60000) AS BIGINT) AS n_before,
+        |       CAST(4 + n + 4 * greatest(1, (n + 59999) // 60000) AS BIGINT) AS n_after,
+        |       CAST(app1 AS BIGINT) AS exif_bytes,
+        |       CAST(0 AS BIGINT) AS exif_after
+        |FROM px ORDER BY doc_id""".stripMargin,
     // Ogg/Opus replay: ID-header fields are the synthesis
     // parameterization; page count is fixed (2 header + 4 data), the
     // duration is the RFC 7845 rule ((last_granule - pre_skip) 48 kHz
@@ -5985,6 +6016,36 @@ object SparkEntry {
             col("width"), col("height"),
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_exif" -> { (s, dir) =>
+        // EXIF census WITHOUT decode: JPEG marker walk + TIFF IFD
+        // parse (orientation, make, GPS deg/min/sec rationals) — the
+        // image-side PII surface the text redaction family can't see
+        val media = MultimodalOps.synthesizeExifJpeg(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.exifMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("orientation"), col("make"),
+            col("hasGps").as("has_gps"),
+            col("latRef").as("lat_ref"), col("latDeg").as("lat_deg"),
+            col("latMin").as("lat_min"), col("latSec").as("lat_sec"),
+            col("lonRef").as("lon_ref"), col("lonDeg").as("lon_deg"),
+            col("lonMin").as("lon_min"), col("lonSec").as("lon_sec"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_exif_strip" -> { (s, dir) =>
+        // the governance ACTION: strip every APP1 segment; everything
+        // else byte-preserved, and re-parsing finds no EXIF
+        import s.implicits._
+        val media = MultimodalOps.synthesizeExifJpeg(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        media.map { r =>
+          val stripped = MultimodalOps.exifStripBytes(r.content)
+          (r.id, r.content.length.toLong, stripped.length.toLong,
+            (r.content.length - stripped.length).toLong,
+            if (MultimodalOps.exifMetaOf(
+              MultimodalOps.MediaRecord(r.id, r.kind, stripped)).isDefined) 1L else 0L)
+        }.toDF("doc_id", "n_before", "n_after", "exif_bytes", "exif_after")
           .orderBy("doc_id")
       },
       "q_multimodal_opus_meta" -> { (s, dir) =>

@@ -3788,4 +3788,214 @@ object MultimodalOps {
         MediaRecord(id, "audio/ogg", out.result())
       }
   }
+
+  /** EXIF metadata census + GPS governance for JPEG columns: parse the
+    * APP1 Exif TIFF block (both byte orders) for orientation, camera
+    * make, and the GPS IFD's latitude/longitude — the image-side PII
+    * the text family's redaction ops cannot see — and [[exifStrip]]
+    * removes every APP1 segment so location never leaves the lake.
+    * Pure marker/IFD arithmetic over opaque bytes; no pixel decode.
+    */
+  final case class ExifMeta(
+      id: Long, orientation: Long, make: String, hasGps: Long,
+      latRef: String, latDeg: Long, latMin: Long, latSec: Long,
+      lonRef: String, lonDeg: Long, lonMin: Long, lonSec: Long)
+
+  private[graft] def exifMetaOf(r: MediaRecord): Option[ExifMeta] = {
+    val b = r.content
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None // SOI
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no EXIF
+      val segLen = u16be(b, off + 2)
+      if (segLen < 2 || off + 2 + segLen > b.length) return None
+      if (marker == 0xe1 && segLen >= 8 &&
+        new String(b, off + 4, 4, "US-ASCII") == "Exif" &&
+        b(off + 8) == 0 && b(off + 9) == 0) {
+        return parseTiff(r.id, b, off + 10, off + 2 + segLen)
+      }
+      off += 2 + segLen
+    }
+    None
+  }
+
+  private def parseTiff(id: Long, b: Array[Byte], t0: Int, until: Int): Option[ExifMeta] = {
+    if (t0 + 8 > until) return None
+    val le = b(t0) == 'I' && b(t0 + 1) == 'I'
+    val be = b(t0) == 'M' && b(t0 + 1) == 'M'
+    if (!le && !be) return None
+    def rd16(o: Int): Int = if (le) u16(b, o) else u16be(b, o)
+    def rd32(o: Int): Long = if (le) u32(b, o) else u32be(b, o)
+    if (rd16(t0 + 2) != 42) return None
+    val ifd0 = t0 + rd32(t0 + 4).toInt
+    if (ifd0 + 2 > until) return None
+    def asciiAt(o: Int, max: Int): String = {
+      var e = o
+      while (e < o + max && e < until && b(e) != 0) e += 1
+      new String(b, o, e - o, "US-ASCII")
+    }
+    var orientation = 0L
+    var make = ""
+    var gpsOff = -1
+    val n0 = rd16(ifd0)
+    var i = 0
+    while (i < n0) {
+      val e = ifd0 + 2 + i * 12
+      if (e + 12 > until) return None
+      val tag = rd16(e)
+      tag match {
+        case 0x0112 => orientation = rd16(e + 8).toLong
+        case 0x010f =>
+          val cnt = rd32(e + 4).toInt
+          make =
+            if (cnt <= 4) asciiAt(e + 8, cnt)
+            else asciiAt(t0 + rd32(e + 8).toInt, cnt)
+        case 0x8825 => gpsOff = t0 + rd32(e + 8).toInt
+        case _ =>
+      }
+      i += 1
+    }
+    if (gpsOff < 0)
+      return Some(ExifMeta(id, orientation, make, 0L, "", 0, 0, 0, "", 0, 0, 0))
+    if (gpsOff + 2 > until) return None
+    var latRef = ""; var lonRef = ""
+    var lat = Array(0L, 0L, 0L); var lon = Array(0L, 0L, 0L)
+    def rationals3(o: Int): Array[Long] =
+      Array.tabulate(3) { j =>
+        val num = rd32(o + j * 8)
+        val den = rd32(o + j * 8 + 4)
+        if (den == 0) 0L else num / den
+      }
+    val ng = rd16(gpsOff)
+    var j = 0
+    while (j < ng) {
+      val e = gpsOff + 2 + j * 12
+      if (e + 12 > until) return None
+      rd16(e) match {
+        case 0x0001 => latRef = asciiAt(e + 8, 2)
+        case 0x0002 => lat = rationals3(t0 + rd32(e + 8).toInt)
+        case 0x0003 => lonRef = asciiAt(e + 8, 2)
+        case 0x0004 => lon = rationals3(t0 + rd32(e + 8).toInt)
+        case _ =>
+      }
+      j += 1
+    }
+    Some(ExifMeta(id, orientation, make, 1L,
+      latRef, lat(0), lat(1), lat(2), lonRef, lon(0), lon(1), lon(2)))
+  }
+
+  def exifMeta(ds: Dataset[MediaRecord]): Dataset[ExifMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(exifMetaOf))
+  }
+
+  /** GPS/EXIF governance strip: drop every APP1 segment from a JPEG
+    * stream, leaving all other segments (and the entropy-coded body)
+    * byte-identical.  The blunt-and-safe erasure tool — offset-free,
+    * so it cannot corrupt a TIFF it does not fully understand.
+    */
+  private[graft] def exifStripBytes(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return b
+    val out = Array.newBuilder[Byte]
+    out += b(0); out += b(1)
+    var off = 2
+    var copying = false // once in the entropy stream, copy verbatim
+    while (off < b.length) {
+      if (copying || off + 4 > b.length || (b(off) & 0xff) != 0xff) {
+        out += b(off); off += 1
+      } else {
+        val marker = b(off + 1) & 0xff
+        if (marker == 0xd9) { out += b(off); out += b(off + 1); off += 2 }
+        else if (marker == 0xda) { copying = true; out += b(off); out += b(off + 1); off += 2 }
+        else {
+          val segLen = u16be(b, off + 2)
+          if (segLen < 2 || off + 2 + segLen > b.length) { out += b(off); off += 1 }
+          else {
+            if (marker != 0xe1) {
+              var i = 0
+              while (i < 2 + segLen) { out += b(off + i); i += 1 }
+            }
+            off += 2 + segLen
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  def exifStrip(ds: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map(r => MediaRecord(r.id, r.kind, exifStripBytes(r.content)))
+  }
+
+  /** Per-row JPEG-with-EXIF synthesis: SOI + an APP1 Exif block
+    * (little-endian TIFF; orientation `1 + id % 8`, make
+    * `"C" + id % 5`, and — when `id % 4 != 0` — a GPS IFD with
+    * deg/min/sec rationals parameterized by id) + the document's
+    * UTF-8 bytes as COM segments (≤ 60000 per segment) + EOI.
+    * Fixed offsets, so the whole layout replays from
+    * (id, octet_length(text)).
+    */
+  def synthesizeExifJpeg(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        def u16a(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+        def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        def entry(tag: Int, tpe: Int, cnt: Long, value: Array[Byte]): Array[Byte] =
+          u16a(tag) ++ u16a(tpe) ++ u32a(cnt) ++ value.padTo(4, 0.toByte)
+        val hasGps = id % 4 != 0
+        val make = ("C" + (id % 5)).getBytes("US-ASCII") :+ 0.toByte // 3 incl NUL
+        val ifd0Count = if (hasGps) 3 else 2
+        val ifd0Len = 2 + ifd0Count * 12 + 4
+        val gpsIfdOff = 8L + ifd0Len
+        val ifd0 =
+          u16a(ifd0Count) ++
+            entry(0x010f, 2, make.length.toLong, make) ++
+            entry(0x0112, 3, 1L, u16a((1 + id % 8).toInt) ++ Array[Byte](0, 0)) ++
+            (if (hasGps) entry(0x8825, 4, 1L, u32a(gpsIfdOff)) else Array.empty[Byte]) ++
+            u32a(0L)
+        val tiff =
+          if (!hasGps) "II".getBytes("US-ASCII") ++ u16a(42) ++ u32a(8L) ++ ifd0
+          else {
+            val latOff = gpsIfdOff + 2 + 4 * 12 + 4
+            val lonOff = latOff + 24
+            val gps =
+              u16a(4) ++
+                entry(0x0001, 2, 2L, (if (id % 2 == 0) "N" else "S").getBytes("US-ASCII") :+ 0.toByte) ++
+                entry(0x0002, 5, 3L, u32a(latOff)) ++
+                entry(0x0003, 2, 2L, (if ((id / 2) % 2 == 0) "E" else "W").getBytes("US-ASCII") :+ 0.toByte) ++
+                entry(0x0004, 5, 3L, u32a(lonOff)) ++
+                u32a(0L)
+            val latData = u32a(id % 90) ++ u32a(1L) ++ u32a(id % 60) ++ u32a(1L) ++
+              u32a(id * 7 % 60) ++ u32a(1L)
+            val lonData = u32a(id % 180) ++ u32a(1L) ++ u32a(id * 3 % 60) ++ u32a(1L) ++
+              u32a(id * 11 % 60) ++ u32a(1L)
+            "II".getBytes("US-ASCII") ++ u16a(42) ++ u32a(8L) ++ ifd0 ++ gps ++ latData ++ lonData
+          }
+        def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+        val app1Payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+        val out = Array.newBuilder[Byte]
+        out += 0xff.toByte; out += 0xd8.toByte
+        out += 0xff.toByte; out += 0xe1.toByte
+        out ++= be16(2 + app1Payload.length); out ++= app1Payload
+        var from = 0
+        do {
+          val take = math.min(60000, payload.length - from)
+          out += 0xff.toByte; out += 0xfe.toByte
+          out ++= be16(2 + take)
+          out ++= payload.slice(from, from + take)
+          from += take
+        } while (from < payload.length)
+        out += 0xff.toByte; out += 0xd9.toByte
+        MediaRecord(id, "image/jpeg", out.result())
+      }
+  }
 }

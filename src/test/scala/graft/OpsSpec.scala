@@ -719,6 +719,41 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("exif: big-endian TIFF parses; strip removes only APP1; GPS-less path") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // HAND-WRITTEN big-endian (MM) TIFF — the synthesizer emits II
+    // only, so the MM branch can't hide behind encode/decode symmetry.
+    // IFD0: orientation 6, next IFD 0 (no make, no GPS).
+    val tiff = Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8,
+      0, 1, // one entry
+      0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, 6, 0, 0, // orientation SHORT 6
+      0, 0, 0, 0)
+    val app1 = Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ tiff
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe1.toByte,
+      ((app1.length + 2) >> 8).toByte, ((app1.length + 2) & 0xff).toByte) ++
+      app1 ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+    val got = MultimodalOps.exifMetaOf(MultimodalOps.MediaRecord(1L, "image/jpeg", jpeg))
+    assert(got.contains(MultimodalOps.ExifMeta(1L, 6, "", 0, "", 0, 0, 0, "", 0, 0, 0)))
+    // strip: APP1 gone, SOI/COM/EOI byte-identical, re-parse finds none
+    val synth = MultimodalOps.synthesizeExifJpeg(
+        Seq((7L, "hello exif")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    val full = MultimodalOps.exifMetaOf(synth).get
+    assert(full == MultimodalOps.ExifMeta(7L, 1 + 7 % 8, "C2", 1,
+      "S", 7, 7, 49, "W", 7, 21, 17))
+    val stripped = MultimodalOps.exifStripBytes(synth.content)
+    assert(stripped.length == synth.content.length - 162)
+    assert(MultimodalOps.exifMetaOf(
+      MultimodalOps.MediaRecord(7L, "image/jpeg", stripped)).isEmpty)
+    // the COM payload survives verbatim
+    assert(new String(stripped, "ISO-8859-1").contains("hello exif"))
+    // non-JPEG bytes pass through strip untouched
+    val notJpeg = "plainly not a jpeg".getBytes("US-ASCII")
+    assert(MultimodalOps.exifStripBytes(notJpeg).sameElements(notJpeg))
+  }
+
   test("ogg/opus: page walk + OpusHead; CRC catches corruption") {
     import spark.implicits._
     import graft.ops.MultimodalOps
