@@ -779,6 +779,11 @@ class OpsSpec extends AnyFunSuite {
           Seq((4L, "B" * 3000)).toDF("doc_id", "text"), "doc_id", "text"))
       .collect()
     assert(big.head.nPages == 6 && big.head.nBytes > 3000)
+    // CRC vector derived from an INDEPENDENT implementation (a pure-
+    // Python bit-loop replica of RFC 3533's poly 0x04c11db7, init 0,
+    // no reflection): crc("123456789") = 0x89A1897F — so a shared bug
+    // between the synth and parse sides of oggCrc cannot cancel out
+    assert(MultimodalOps.oggCrc("123456789".getBytes("US-ASCII"), 0, 9, 999) == 0x89a1897fL)
     // a single flipped payload byte breaks that page's CRC -> None
     val bytes = MultimodalOps.synthesizeOpus(
         Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text")
