@@ -3827,12 +3827,20 @@ object MultimodalOps {
     val le = b(t0) == 'I' && b(t0 + 1) == 'I'
     val be = b(t0) == 'M' && b(t0 + 1) == 'M'
     if (!le && !be) return None
+    // every offset below is attacker-controlled (a u32 read off the
+    // wire) — range-check before EVERY dereference: a malformed block
+    // must yield None, never an exception that kills a 100 TB pass
+    @inline def ok(o: Int, len: Int): Boolean =
+      o >= t0 && len >= 0 && o + len <= until && o + len >= o
     def rd16(o: Int): Int = if (le) u16(b, o) else u16be(b, o)
     def rd32(o: Int): Long = if (le) u32(b, o) else u32be(b, o)
     if (rd16(t0 + 2) != 42) return None
-    val ifd0 = t0 + rd32(t0 + 4).toInt
-    if (ifd0 + 2 > until) return None
+    val ifd0off = rd32(t0 + 4)
+    if (ifd0off > until.toLong - t0) return None
+    val ifd0 = t0 + ifd0off.toInt
+    if (!ok(ifd0, 2)) return None
     def asciiAt(o: Int, max: Int): String = {
+      if (!ok(o, 0)) return ""
       var e = o
       while (e < o + max && e < until && b(e) != 0) e += 1
       new String(b, o, e - o, "US-ASCII")
@@ -3849,22 +3857,32 @@ object MultimodalOps {
       tag match {
         case 0x0112 => orientation = rd16(e + 8).toLong
         case 0x010f =>
-          val cnt = rd32(e + 4).toInt
-          make =
-            if (cnt <= 4) asciiAt(e + 8, cnt)
-            else asciiAt(t0 + rd32(e + 8).toInt, cnt)
-        case 0x8825 => gpsOff = t0 + rd32(e + 8).toInt
+          val cnt = rd32(e + 4)
+          if (cnt >= 0 && cnt <= until.toLong - t0) {
+            make =
+              if (cnt <= 4) asciiAt(e + 8, cnt.toInt)
+              else {
+                val off32 = rd32(e + 8)
+                if (off32 <= until.toLong - t0)
+                  asciiAt(t0 + off32.toInt, cnt.toInt)
+                else ""
+              }
+          }
+        case 0x8825 =>
+          val off32 = rd32(e + 8)
+          if (off32 <= until.toLong - t0) gpsOff = t0 + off32.toInt
         case _ =>
       }
       i += 1
     }
     if (gpsOff < 0)
       return Some(ExifMeta(id, orientation, make, 0L, "", 0, 0, 0, "", 0, 0, 0))
-    if (gpsOff + 2 > until) return None
+    if (!ok(gpsOff, 2)) return None
     var latRef = ""; var lonRef = ""
     var lat = Array(0L, 0L, 0L); var lon = Array(0L, 0L, 0L)
     def rationals3(o: Int): Array[Long] =
-      Array.tabulate(3) { j =>
+      if (!ok(o, 24)) Array(0L, 0L, 0L)
+      else Array.tabulate(3) { j =>
         val num = rd32(o + j * 8)
         val den = rd32(o + j * 8 + 4)
         if (den == 0) 0L else num / den
@@ -3874,11 +3892,15 @@ object MultimodalOps {
     while (j < ng) {
       val e = gpsOff + 2 + j * 12
       if (e + 12 > until) return None
+      def dataAt(e: Int): Int = {
+        val off32 = rd32(e + 8)
+        if (off32 <= until.toLong - t0) t0 + off32.toInt else -1
+      }
       rd16(e) match {
         case 0x0001 => latRef = asciiAt(e + 8, 2)
-        case 0x0002 => lat = rationals3(t0 + rd32(e + 8).toInt)
+        case 0x0002 => lat = rationals3(dataAt(e))
         case 0x0003 => lonRef = asciiAt(e + 8, 2)
-        case 0x0004 => lon = rationals3(t0 + rd32(e + 8).toInt)
+        case 0x0004 => lon = rationals3(dataAt(e))
         case _ =>
       }
       j += 1

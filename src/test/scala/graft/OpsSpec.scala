@@ -719,6 +719,55 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
+    // the 100 TB contract: a malformed payload must yield None, never
+    // an exception that kills the pass.  Seeded fuzz: take each
+    // format's synthesized bytes, apply random single-byte flips and
+    // truncations, and demand every parser returns (Some or None)
+    // without throwing.
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((3L, "fuzz seed text " * 40), (8L, "x"), (12L, ""))
+      .toDF("doc_id", "text")
+    val corpora: Seq[(String, Array[Array[Byte]], MultimodalOps.MediaRecord => Any)] = Seq(
+      ("mp3", MultimodalOps.synthesizeMp3(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.mp3MetaOf(r)),
+      ("mp3vbr", MultimodalOps.synthesizeMp3Vbr(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.mp3VbrMetaOf(r)),
+      ("flac", MultimodalOps.synthesizeFlac(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.flacMetaOf(r)),
+      ("aac", MultimodalOps.synthesizeAac(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.aacMetaOf(r)),
+      ("opus", MultimodalOps.synthesizeOpus(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.opusMetaOf(r)),
+      ("exif", MultimodalOps.synthesizeExifJpeg(docs, "doc_id", "text")
+        .collect().map(_.content),
+        r => { MultimodalOps.exifMetaOf(r); MultimodalOps.exifStripBytes(r.content) }))
+    val rnd = new scala.util.Random(1313)
+    corpora.foreach { case (name, bases, parse) =>
+      bases.foreach { base =>
+        for (trial <- 0 until 400) {
+          val mutated = base.clone()
+          // 1-4 random byte flips
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            if (mutated.nonEmpty) {
+              val i = rnd.nextInt(mutated.length)
+              mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+            }
+          }
+          val victim =
+            if (rnd.nextInt(3) == 0 && mutated.length > 1)
+              mutated.take(rnd.nextInt(mutated.length))
+            else mutated
+          try parse(MultimodalOps.MediaRecord(1L, name, victim))
+          catch { case e: Throwable =>
+            fail(s"$name threw on fuzz trial $trial: $e")
+          }
+        }
+      }
+    }
+  }
+
   test("exif: big-endian TIFF parses; strip removes only APP1; GPS-less path") {
     import spark.implicits._
     import graft.ops.MultimodalOps
