@@ -2405,29 +2405,36 @@ object MultimodalOps {
     * until EOI.  A length-field walk is what makes the split immune
     * to FFD9-looking bytes inside table segments.
     */
+  /** SOI→EOI frame spans inside `[from, until)`.  TOTAL on arbitrary
+    * bytes: a frame whose segment walk breaks (bad marker, truncated
+    * length, no EOI) is DROPPED and scanning resumes after its SOI —
+    * one corrupt frame in a 100 TB pass costs that frame, not the job
+    * (same contract as every other parser here; the fuzz pins it).
+    */
   private[graft] def jpegFrameSpans(
       bytes: Array[Byte], from: Int, until: Int): Seq[(Int, Int)] = {
     def u8(i: Int) = bytes(i) & 0xff
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    var i = from
+    var i = math.max(0, from)
     while (i + 1 < until) {
       if (u8(i) == 0xff && u8(i + 1) == 0xd8) { // SOI
         val start = i
         var j = i + 2
         var inScan = false
         var end = -1
-        while (end < 0 && j + 1 < until) {
+        var broken = false
+        while (end < 0 && !broken && j + 1 < until) {
           if (!inScan) {
             // segment walk: FF marker [len payload]
-            if (u8(j) != 0xff) sys.error(s"bad JPEG segment at $j")
-            val m = u8(j + 1)
-            if (m == 0xda) { inScan = true; // SOS: skip its header too
-              val len = (u8(j + 2) << 8) | u8(j + 3)
-              j += 2 + len
-            } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) j += 2
+            if (u8(j) != 0xff) broken = true
             else {
-              val len = (u8(j + 2) << 8) | u8(j + 3)
-              j += 2 + len
+              val m = u8(j + 1)
+              if (m == 0xda) { // SOS: skip its header too
+                if (j + 3 >= until) broken = true
+                else { inScan = true; j += 2 + ((u8(j + 2) << 8) | u8(j + 3)) }
+              } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) j += 2
+              else if (j + 3 >= until) broken = true
+              else j += 2 + ((u8(j + 2) << 8) | u8(j + 3))
             }
           } else {
             if (u8(j) == 0xff) {
@@ -2437,9 +2444,8 @@ object MultimodalOps {
             } else j += 1
           }
         }
-        require(end > 0, s"unterminated JPEG frame at $start")
-        out += ((start, end))
-        i = end
+        if (end > 0) { out += ((start, end)); i = end }
+        else i = start + 2 // corrupt frame: drop it, rescan past its SOI
       } else i += 1
     }
     out.toSeq
@@ -2463,10 +2469,14 @@ object MultimodalOps {
       val bytes = r.content
       // the fixed synthesis header contains the single real 'mdat'
       val marker = "mdat".getBytes("US-ASCII")
+      // a record with no mdat is malformed media: contribute nothing
+      // rather than killing the pass (the parser-family contract)
       val at = bytes.indices.find(i => i + 4 <= bytes.length &&
         bytes(i) == marker(0) && bytes(i + 1) == marker(1) &&
         bytes(i + 2) == marker(2) && bytes(i + 3) == marker(3))
-        .getOrElse(sys.error(s"record ${r.id}: no mdat"))
+        .getOrElse(-1)
+      if (at < 0) Nil
+      else {
       val spans = jpegFrameSpans(bytes, at + 4, bytes.length)
       spans.zipWithIndex
         .filter { case (_, f) => f % everyN == 0 }
@@ -2479,6 +2489,7 @@ object MultimodalOps {
               jf.px_sum, jf.thumb_md5, jf.max_err)
           }
         }
+      }
     }
   }
 
@@ -2615,8 +2626,10 @@ object MultimodalOps {
         val (id, idLen, _) = varint(off, keepMarker = true).getOrElse(return)
         val (sz, szLen, _) = varint(off + idLen, keepMarker = false).getOrElse(return)
         val payload = off + idLen + szLen
+        // bound-check as Long BEFORE the Int cast: an 8-byte wire size
+        // overflows toInt negative and would walk the buffer backwards
+        if (sz < 0 || sz > (until - payload).toLong) return
         val payloadEnd = payload + sz.toInt
-        if (payloadEnd > until || sz < 0) return
         id match {
           case 0xD7L => num = uintAt(payload, payloadEnd - payload) // TrackNumber
           case 0x86L => // CodecID
@@ -2957,8 +2970,9 @@ object MultimodalOps {
         val (id, idLen, _) = varint(off, keepMarker = true).getOrElse(return)
         val (sz, szLen, _) = varint(off + idLen, keepMarker = false).getOrElse(return)
         val payload = off + idLen + szLen
+        // Long bound check BEFORE the Int cast (same rationale as vp9)
+        if (sz < 0 || sz > (until - payload).toLong) return
         val payloadEnd = payload + sz.toInt
-        if (payloadEnd > until || sz < 0) return
         id match {
           case 0xD7L => num = uintAt(payload, payloadEnd - payload)
           case 0x86L =>
@@ -2997,8 +3011,10 @@ object MultimodalOps {
         if ((hdr & 0x02) == 0) return false // must have size field
         val (sz, szLen) = leb128(off + 1, payloadEnd).getOrElse(return false)
         val p = off + 1 + szLen
+        // Long bound check BEFORE the Int cast: a 8-byte leb128 size
+        // overflows toInt negative and indexes behind the buffer
+        if (sz < 0 || sz > (payloadEnd - p).toLong) return false
         val pEnd = p + sz.toInt
-        if (pEnd > payloadEnd) return false
         obuType match {
           case 1 => // OBU_SEQUENCE_HEADER
             val s = av1SeqHeader(b, p, pEnd).getOrElse(return false)

@@ -743,8 +743,39 @@ class OpsSpec extends AnyFunSuite {
       ("exif", MultimodalOps.synthesizeExifJpeg(docs, "doc_id", "text")
         .collect().map(_.content),
         r => { MultimodalOps.exifMetaOf(r); MultimodalOps.exifStripBytes(r.content) }))
+    // the pre-r13 walks take attacker-controlled offsets too (box
+    // sizes, EBML varints, SPS bit reads, trun tables) — same contract
+    val mjpeg = MultimodalOps.synthesizeMjpegMp4(docs, "doc_id", 32, 24, 3, 2)
+      .collect().map(_.content)
+    val preR13: Seq[(String, Array[Array[Byte]], MultimodalOps.MediaRecord => Any)] = Seq(
+      ("dispatcher/mp4", MultimodalOps.synthesizeMp4(docs, "doc_id", "text", 320, 200, 1500L)
+        .collect().map(_.content), r => MultimodalOps.decode(r)),
+      ("h264", MultimodalOps.synthesizeAvc1Mp4(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.h264MetaOf(r)),
+      ("fmp4kf", MultimodalOps.synthesizeFmp4Kf(docs, "doc_id", "text", 320, 180)
+        .collect().map(_.content), r => MultimodalOps.fmp4KeyframesOf(r)),
+      ("vp9", MultimodalOps.synthesizeVp9Webm(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.vp9MetaOf(r)),
+      ("av1", MultimodalOps.synthesizeAv1Webm(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.av1MetaOf(r)),
+      ("pngpix", MultimodalOps.synthesizePngPixels(docs, "doc_id", 9, 7, 5)
+        .collect().map(_.content), r => MultimodalOps.decodePngPixels(r.content)),
+      ("mjpeg-spans", mjpeg,
+        r => MultimodalOps.jpegFrameSpans(r.content, 0, r.content.length)),
+      ("dispatcher/wav", MultimodalOps.synthesizeWavPcm(docs, "doc_id", 2, 64, 8000, 5)
+        .collect().map(_.content),
+        r => MultimodalOps.decode(MultimodalOps.MediaRecord(r.id, "audio/wav", r.content))),
+      ("dispatcher/bmp", MultimodalOps.synthesizeBmp(docs, "doc_id", "text", 16, 12)
+        .collect().map(_.content),
+        r => MultimodalOps.decode(MultimodalOps.MediaRecord(r.id, "image/bmp", r.content))),
+      ("dispatcher/webm", MultimodalOps.synthesizeVp9Webm(docs, "doc_id", "text")
+        .collect().map(_.content),
+        r => MultimodalOps.decode(MultimodalOps.MediaRecord(r.id, "video/webm", r.content))),
+      ("jpeg-features", mjpeg, // any jpeg-ish bytes exercise the ImageIO path
+        r => MultimodalOps.jpegFeaturesOf(
+          MultimodalOps.MediaRecord(r.id, "image/jpeg", r.content), 3, 4)))
     val rnd = new scala.util.Random(1313)
-    corpora.foreach { case (name, bases, parse) =>
+    (corpora ++ preR13).foreach { case (name, bases, parse) =>
       bases.foreach { base =>
         for (trial <- 0 until 400) {
           val mutated = base.clone()
