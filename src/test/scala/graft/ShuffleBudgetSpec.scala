@@ -191,4 +191,30 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     }
     assert(mh == 0L, s"fused minhash signature wrote $mh shuffle bytes")
   }
+
+  test("media metadata parsers are shuffle-free per-row projections") {
+    // the r13 audio/EXIF census family (mp3/vbr/flac/aac/opus/exif) is
+    // claimed scan-bound: synthesize -> parse must write ZERO shuffle
+    // bytes — a regression that sneaks an exchange into the mapPartitions
+    // chain would silently re-shuffle raw media at 100 TB
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      .select("doc_id", "text").cache()
+    docs.count()
+    val b = shuffleBytes {
+      MultimodalOps.mp3Meta(MultimodalOps.synthesizeMp3(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.Mp3Meta]) => ())
+      MultimodalOps.flacMeta(MultimodalOps.synthesizeFlac(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.FlacMeta]) => ())
+      MultimodalOps.aacMeta(MultimodalOps.synthesizeAac(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.AacMeta]) => ())
+      MultimodalOps.opusMeta(MultimodalOps.synthesizeOpus(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.OpusMeta]) => ())
+      MultimodalOps.exifMeta(MultimodalOps.synthesizeExifJpeg(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.ExifMeta]) => ())
+    }
+    docs.unpersist()
+    assert(b == 0L, s"media metadata chain wrote $b shuffle bytes")
+  }
 }
