@@ -3952,6 +3952,22 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // WebVTT replay: cue count/timings are id arithmetic, cue text is
+    // the same token-window slice both engines compute from the raw
+    // document (the q_doc_chunk tokenization pairing)
+    "q_multimodal_vtt_cues" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+        |         1 + doc_id % 4 AS nc
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS k FROM t)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS cue_idx,
+        |       CAST(k * (2000 + doc_id % 500) AS BIGINT) AS start_ms,
+        |       CAST(k * (2000 + doc_id % 500) + 1500 + doc_id % 300 AS BIGINT) AS end_ms,
+        |       coalesce(array_to_string(toks[k * 5 + 1 : k * 5 + 5], ' '), '') AS cue_text
+        |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
     // EXIF replay: every field is the synthesis parameterization
     // (fixed little-endian TIFF layout, so the whole block is id
     // arithmetic); GPS-less rows (id % 4 = 0) carry empty refs/zeros
@@ -6017,6 +6033,18 @@ object SparkEntry {
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
           .orderBy("doc_id")
+      },
+      "q_multimodal_vtt_cues" -> { (s, dir) =>
+        // WebVTT cue extraction: real timestamp/settings/NOTE parsing
+        // over synthesized caption files — the video-text alignment
+        // rows a multimodal pairing pipeline joins on
+        val vtt = MultimodalOps.synthesizeVtt(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.vttCues(vtt, "id", "vtt").toDF()
+          .select(col("id").as("doc_id"), col("cueIdx").as("cue_idx"),
+            col("startMs").as("start_ms"), col("endMs").as("end_ms"),
+            col("text").as("cue_text"))
+          .orderBy("doc_id", "cue_idx")
       },
       "q_multimodal_exif" -> { (s, dir) =>
         // EXIF census WITHOUT decode: JPEG marker walk + TIFF IFD

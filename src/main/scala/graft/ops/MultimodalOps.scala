@@ -4036,4 +4036,113 @@ object MultimodalOps {
         MediaRecord(id, "image/jpeg", out.result())
       }
   }
+
+  /** WebVTT cue extraction — the video↔text ALIGNMENT surface a
+    * multimodal training corpus needs (captions are how video frames
+    * get text supervision).  One row per cue: index, exact start/end
+    * milliseconds, and the payload text.  TOTAL on arbitrary input
+    * (the parser-family contract): a malformed timing line just ends
+    * that cue's candidacy — scanning continues; NOTE/STYLE blocks and
+    * cue-settings after the end timestamp are skipped per the spec.
+    */
+  final case class VttCue(
+      id: Long, cueIdx: Long, startMs: Long, endMs: Long, text: String)
+
+  /** `HH:MM:SS.mmm` (hours unbounded) or `MM:SS.mmm` → milliseconds. */
+  private[graft] def vttTimestampMs(s: String): Option[Long] = {
+    val parts = s.trim.split(':')
+    def msOf(secMs: String): Option[Long] = {
+      val i = secMs.indexOf('.')
+      if (i < 0 || secMs.length - i - 1 != 3) None
+      else for {
+        sec <- secMs.substring(0, i).toLongOption
+        ms <- secMs.substring(i + 1).toLongOption
+        if sec >= 0 && ms >= 0
+      } yield sec * 1000 + ms
+    }
+    parts.length match {
+      case 2 => for {
+        m <- parts(0).toLongOption; if m >= 0
+        sm <- msOf(parts(1))
+      } yield m * 60000 + sm
+      case 3 => for {
+        h <- parts(0).toLongOption; if h >= 0
+        m <- parts(1).toLongOption; if m >= 0 && m < 60
+        sm <- msOf(parts(2))
+      } yield h * 3600000 + m * 60000 + sm
+      case _ => None
+    }
+  }
+
+  private[graft] def vttCuesOf(id: Long, doc: String): Seq[VttCue] = {
+    if (doc == null) return Nil
+    val lines = doc.split("\\r?\\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("WEBVTT")) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[VttCue]
+    var i = 1
+    var cueIdx = 0L
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.contains("-->")) {
+        val Array(a, rest) = line.split("-->", 2)
+        // cue settings follow the end timestamp, whitespace-separated
+        val bStr = rest.trim.split("\\s+", 2)(0)
+        (vttTimestampMs(a), vttTimestampMs(bStr)) match {
+          case (Some(st), Some(en)) if en >= st =>
+            val text = scala.collection.mutable.ArrayBuffer.empty[String]
+            i += 1
+            while (i < lines.length && lines(i).nonEmpty) { text += lines(i); i += 1 }
+            out += VttCue(id, cueIdx, st, en, text.mkString("\n"))
+            cueIdx += 1
+          case _ => i += 1 // malformed timing: skip the line, keep scanning
+        }
+      } else if (line.startsWith("NOTE") || line.startsWith("STYLE") ||
+        line.startsWith("REGION")) {
+        // block: skip to the next blank line
+        while (i < lines.length && lines(i).nonEmpty) i += 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  def vttCues(df: DataFrame, idCol: String, vttCol: String): Dataset[VttCue] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(vttCol).as("v"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, v) => vttCuesOf(id, v) })
+  }
+
+  /** Per-row WebVTT synthesis: `1 + id % 4` cues; cue k spans
+    * `[k·(2000 + id % 500), +1500 + id % 300)` ms and carries the
+    * document's whitespace tokens `[5k, 5k+5)` — so the cue census,
+    * the exact timings, and each cue's UTF-8 payload size replay from
+    * (id, text) in plain SQL.  A NOTE block and a cue-settings
+    * fragment ride along so the parser's skip paths stay exercised.
+    */
+  def synthesizeVtt(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val nc = 1 + (id % 4).toInt
+        val sb = new StringBuilder("WEBVTT\n\nNOTE synthesized corpus fixture\nsecond note line\n\n")
+        def ts(ms: Long): String =
+          f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:${ms / 1000 % 60}%02d.${ms % 1000}%03d"
+        var k = 0
+        while (k < nc) {
+          val st = k.toLong * (2000 + id % 500)
+          val en = st + 1500 + id % 300
+          sb.append(k + 1).append('\n') // optional cue identifier
+          sb.append(ts(st)).append(" --> ").append(ts(en))
+          if (k % 2 == 1) sb.append(" align:start position:10%")
+          sb.append('\n')
+          sb.append(toks.slice(k * 5, k * 5 + 5).mkString(" ")).append("\n\n")
+          k += 1
+        }
+        (id, sb.result())
+      }
+      .toDF("id", "vtt")
+  }
 }

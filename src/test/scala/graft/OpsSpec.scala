@@ -719,6 +719,48 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("webvtt: cue parse with both timestamp forms, settings, blocks, junk") {
+    import graft.ops.MultimodalOps
+    val doc = Seq(
+      "WEBVTT - with a header remark",
+      "",
+      "NOTE a comment block",
+      "spanning two lines",
+      "",
+      "intro",
+      "00:01.000 --> 00:02.500 align:middle", // MM:SS.mmm + settings
+      "first line",
+      "second line",
+      "",
+      "01:02:03.450 --> 01:02:04.000",        // HH:MM:SS.mmm
+      "hour cue",
+      "",
+      "garbage --> 00:99.000",                 // malformed: skipped
+      "not a cue",
+      "",
+      "00:05.000 --> 00:04.000",               // end < start: skipped
+      "backwards",
+      "").mkString("\n")
+    val cues = MultimodalOps.vttCuesOf(9L, doc)
+    assert(cues == Seq(
+      MultimodalOps.VttCue(9L, 0, 1000, 2500, "first line\nsecond line"),
+      MultimodalOps.VttCue(9L, 1, 3723450, 3724000, "hour cue")))
+    // a non-VTT document yields nothing, never throws
+    assert(MultimodalOps.vttCuesOf(1L, "just some prose").isEmpty)
+    assert(MultimodalOps.vttCuesOf(1L, null).isEmpty)
+    // synthesized round-trip: cue 1 of id 6 carries tokens [5, 10)
+    import spark.implicits._
+    val got = MultimodalOps.vttCues(
+        MultimodalOps.synthesizeVtt(
+          Seq((6L, "a b c d e f g h i j k")).toDF("doc_id", "text"),
+          "doc_id", "text"), "id", "vtt")
+      .collect().sortBy(_.cueIdx)
+    assert(got.length == 3) // 1 + 6 % 4
+    assert(got(0) == MultimodalOps.VttCue(6L, 0, 0, 1506, "a b c d e"))
+    assert(got(1) == MultimodalOps.VttCue(6L, 1, 2006, 3512, "f g h i j"))
+    assert(got(2) == MultimodalOps.VttCue(6L, 2, 4012, 5518, "k"))
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
