@@ -3952,6 +3952,22 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // ID3v2.3 replay: tag fields are the synthesis parameterization,
+    // the album is the shared first-token rule, and the tag byte count
+    // folds the 10-byte frame headers + encoding bytes
+    "q_multimodal_id3" ->
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         coalesce(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')[1],
+        |                  'untitled') AS alb
+        |  FROM documents)
+        |SELECT doc_id,
+        |       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |       'src' || CAST(doc_id % 5 AS VARCHAR) AS artist,
+        |       alb AS album,
+        |       CAST(3 AS BIGINT) AS n_frames,
+        |       CAST(51 + length(CAST(doc_id AS VARCHAR)) + octet_length(encode(alb)) AS BIGINT) AS tag_bytes
+        |FROM px ORDER BY doc_id""".stripMargin,
     // WebVTT replay: cue count/timings are id arithmetic, cue text is
     // the same token-window slice both engines compute from the raw
     // document (the q_doc_chunk tokenization pairing)
@@ -6032,6 +6048,18 @@ object SparkEntry {
             col("width"), col("height"),
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_id3" -> { (s, dir) =>
+        // ID3v2.3 text-frame census: real tag walk (syncsafe header,
+        // plain-u32 v2.3 frame sizes, ISO-8859-1 + UTF-8 encodings) —
+        // audio attribution/provenance metadata, the EXIF sibling
+        val media = MultimodalOps.synthesizeMp3Id3(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.id3Meta(media).toDF()
+          .select(col("id").as("doc_id"), col("title"), col("artist"),
+            col("album"), col("nFrames").as("n_frames"),
+            col("tagBytes").as("tag_bytes"))
           .orderBy("doc_id")
       },
       "q_multimodal_vtt_cues" -> { (s, dir) =>

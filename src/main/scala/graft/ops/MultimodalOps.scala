@@ -4145,4 +4145,97 @@ object MultimodalOps {
       }
       .toDF("id", "vtt")
   }
+
+  /** ID3v2.3 text-frame extraction — the audio-side tag census
+    * (title/artist/album + total tag size), the MP3 sibling of the
+    * EXIF surface: where a corpus's audio attribution/provenance
+    * metadata lives.  Walks the 10-byte tag header (syncsafe size)
+    * then the v2.3 frame chain (4-byte id, PLAIN u32 size, 2 flag
+    * bytes); only text frames (id `T…`, encoding byte 0 = ISO-8859-1
+    * or 3 = UTF-8) are decoded.  TOTAL on arbitrary bytes: a frame
+    * that overruns the tag ends the walk, never the job.
+    */
+  final case class Id3Meta(
+      id: Long, title: String, artist: String, album: String,
+      nFrames: Long, tagBytes: Long)
+
+  private[graft] def id3MetaOf(r: MediaRecord): Option[Id3Meta] = {
+    val b = r.content
+    val total = id3v2Size(b)
+    if (total <= 10 || total > b.length) return None
+    var off = 10
+    var title = ""; var artist = ""; var album = ""
+    var nFrames = 0L
+    while (off + 10 <= total) {
+      val c0 = b(off) & 0xff
+      if (c0 == 0) return Some(Id3Meta(r.id, title, artist, album, nFrames, total.toLong)) // padding
+      val fid = new String(b, off, 4, "US-ASCII")
+      if (!fid.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))) return None
+      val sz = u32be(b, off + 4)
+      if (sz < 0 || sz > (total - off - 10).toLong) return None
+      val p = off + 10
+      if (fid.startsWith("T") && sz >= 1) {
+        val enc = b(p) & 0xff
+        val txt =
+          if (enc == 0) new String(b, p + 1, sz.toInt - 1, "ISO-8859-1")
+          else if (enc == 3) new String(b, p + 1, sz.toInt - 1, "UTF-8")
+          else ""
+        fid match {
+          case "TIT2" => title = txt
+          case "TPE1" => artist = txt
+          case "TALB" => album = txt
+          case _ => ()
+        }
+      }
+      nFrames += 1
+      off = p + sz.toInt
+    }
+    Some(Id3Meta(r.id, title, artist, album, nFrames, total.toLong))
+  }
+
+  def id3Meta(ds: Dataset[MediaRecord]): Dataset[Id3Meta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(id3MetaOf))
+  }
+
+  /** Per-row MP3 with a REAL ID3v2.3 tag: TIT2 = "doc <id>", TPE1 =
+    * "src<id % 5>", TALB = the document's first whitespace token (or
+    * "untitled"), all ISO-8859-1... except TALB, stored UTF-8
+    * (encoding byte 3) so the non-latin path is exercised; one CBR
+    * frame chain follows (the [[synthesizeMp3]] layout with the same
+    * bitrate/rate/mode parameterization), so both the tag fields and
+    * the audio census replay from (id, text).
+    */
+  def synthesizeMp3Id3(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        def frame(fid: String, enc: Int, txt: Array[Byte]): Array[Byte] = {
+          val sz = 1 + txt.length
+          fid.getBytes("US-ASCII") ++
+            Array[Byte]((sz >> 24).toByte, (sz >> 16).toByte,
+              (sz >> 8).toByte, sz.toByte, 0, 0, enc.toByte) ++ txt
+        }
+        val firstTok = text.split("\\s+").find(_.nonEmpty).getOrElse("untitled")
+        val frames =
+          frame("TIT2", 0, s"doc $id".getBytes("ISO-8859-1")) ++
+            frame("TPE1", 0, s"src${id % 5}".getBytes("ISO-8859-1")) ++
+            frame("TALB", 3, firstTok.getBytes("UTF-8"))
+        val size = frames.length // syncsafe, fits well under 2^14
+        val tag = Array[Byte]('I', 'D', '3', 3, 0, 0,
+          ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+          ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++ frames
+        // one minimal CBR frame chain behind the tag (audio present)
+        val brIdx = 1 + (id % 14).toInt
+        val srIdx = (id % 3).toInt
+        val frameLen = mp3FrameLen(Mp3BitrateKbps(brIdx), Mp3SampleRates(srIdx), 0)
+        val body = new Array[Byte](frameLen)
+        body(0) = 0xff.toByte; body(1) = 0xfb.toByte
+        body(2) = (brIdx << 4 | srIdx << 2).toByte
+        body(3) = (((id % 4).toInt) << 6 | 1 << 2).toByte
+        MediaRecord(id, "audio/mpeg", tag ++ body)
+      }
+  }
 }

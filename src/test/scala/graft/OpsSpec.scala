@@ -719,6 +719,47 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("id3v2: hand-built tag parses; padding stops the walk; overrun rejected") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    def frame(fid: String, enc: Int, txt: Array[Byte]): Array[Byte] = {
+      val sz = 1 + txt.length
+      fid.getBytes("US-ASCII") ++ Array[Byte](
+        (sz >> 24).toByte, (sz >> 16).toByte, (sz >> 8).toByte, sz.toByte,
+        0, 0, enc.toByte) ++ txt
+    }
+    // hand tag: TIT2 + an unknown text frame + non-text frame skipped
+    // by id, then PADDING (a zero byte) before the declared end
+    val frames = frame("TIT2", 0, "Title A".getBytes("ISO-8859-1")) ++
+      frame("TXXX", 0, "extra".getBytes("ISO-8859-1")) ++
+      frame("WOAR", 0, "http".getBytes("ISO-8859-1")) // W-frame: counted, not decoded
+    val size = frames.length + 6 // + padding bytes
+    val tag = Array[Byte]('I', 'D', '3', 3, 0, 0,
+      ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+      ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++ frames ++
+      new Array[Byte](6)
+    val got = MultimodalOps.id3MetaOf(MultimodalOps.MediaRecord(2L, "audio/mpeg", tag))
+    assert(got.contains(MultimodalOps.Id3Meta(2L, "Title A", "", "", 3, (10 + size).toLong)))
+    // a frame size overrunning the tag ends in None, never a throw
+    val overrun = tag.clone(); overrun(14) = 0x7f // TIT2 size huge
+    assert(MultimodalOps.id3MetaOf(
+      MultimodalOps.MediaRecord(3L, "audio/mpeg", overrun)).isEmpty)
+    // synthesized round-trip incl. the UTF-8 album path
+    val metas = MultimodalOps.id3Meta(
+        MultimodalOps.synthesizeMp3Id3(
+          Seq((12L, "naïve tokens here")).toDF("doc_id", "text"),
+          "doc_id", "text"))
+      .collect()
+    assert(metas.toSeq == Seq(MultimodalOps.Id3Meta(12L, "doc 12", "src2",
+      "naïve", 3, 51 + 2 + 6))) // "naïve" = 6 UTF-8 bytes
+    // and the audio behind the tag still censuses as MP3
+    val rec = MultimodalOps.synthesizeMp3Id3(
+        Seq((12L, "naïve tokens here")).toDF("doc_id", "text"),
+        "doc_id", "text").collect().head
+    val mp3 = MultimodalOps.mp3MetaOf(rec)
+    assert(mp3.exists(m => m.nFrames == 1L && m.sampleRate == 44100L))
+  }
+
   test("webvtt: cue parse with both timestamp forms, settings, blocks, junk") {
     import graft.ops.MultimodalOps
     val doc = Seq(
@@ -784,7 +825,12 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.opusMetaOf(r)),
       ("exif", MultimodalOps.synthesizeExifJpeg(docs, "doc_id", "text")
         .collect().map(_.content),
-        r => { MultimodalOps.exifMetaOf(r); MultimodalOps.exifStripBytes(r.content) }))
+        r => { MultimodalOps.exifMetaOf(r); MultimodalOps.exifStripBytes(r.content) }),
+      ("id3", MultimodalOps.synthesizeMp3Id3(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.id3MetaOf(r)),
+      ("vtt", MultimodalOps.synthesizeVtt(docs, "doc_id", "text")
+        .collect().map(r => r.getString(1).getBytes("UTF-8")),
+        r => MultimodalOps.vttCuesOf(r.id, new String(r.content, "UTF-8"))))
     // the pre-r13 walks take attacker-controlled offsets too (box
     // sizes, EBML varints, SPS bit reads, trun tables) — same contract
     val mjpeg = MultimodalOps.synthesizeMjpegMp4(docs, "doc_id", 32, 24, 3, 2)
