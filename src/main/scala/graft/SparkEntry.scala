@@ -3952,6 +3952,36 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // WebDataset tar replay: member names/sizes are the synthesis
+    // parameterization; each member consumes 512 (header) +
+    // 512-rounded data, so the exact data offsets replay as a
+    // running sum over the member sequence
+    "q_multimodal_tar_members" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k, 0 AS sub, 's' || CAST(k AS VARCHAR) || '.txt' AS name,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS size
+        |  FROM ks
+        |  UNION ALL
+        |  SELECT doc_id, k, 1 AS sub, 's' || CAST(k AS VARCHAR) || '.cls' AS name,
+        |         1 AS size
+        |  FROM ks),
+        |o AS (
+        |  SELECT doc_id, name, size,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY k, sub) - 1 AS member_idx,
+        |         coalesce(sum(512 + ((size + 511) // 512) * 512)
+        |           OVER (PARTITION BY doc_id ORDER BY k, sub
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 512 AS data_offset
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(member_idx AS BIGINT) AS member_idx,
+        |       name,
+        |       CAST(size AS BIGINT) AS size,
+        |       CAST(data_offset AS BIGINT) AS data_offset
+        |FROM o ORDER BY doc_id, member_idx""".stripMargin,
     // ID3v2.3 replay: tag fields are the synthesis parameterization,
     // the album is the shared first-token rule, and the tag byte count
     // folds the 10-byte frame headers + encoding bytes
@@ -6049,6 +6079,17 @@ object SparkEntry {
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
           .orderBy("doc_id")
+      },
+      "q_multimodal_tar_members" -> { (s, dir) =>
+        // WebDataset shard census: POSIX ustar member walk with
+        // verified header checksums — names, sizes, and the exact
+        // data offsets a random-access shard reader seeks to
+        val media = MultimodalOps.synthesizeTarShard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.tarMembers(media).toDF()
+          .select(col("id").as("doc_id"), col("memberIdx").as("member_idx"),
+            col("name"), col("size"), col("dataOffset").as("data_offset"))
+          .orderBy("doc_id", "member_idx")
       },
       "q_multimodal_id3" -> { (s, dir) =>
         // ID3v2.3 text-frame census: real tag walk (syncsafe header,

@@ -4238,4 +4238,144 @@ object MultimodalOps {
         MediaRecord(id, "audio/mpeg", tag ++ body)
       }
   }
+
+  /** POSIX ustar member census — the WebDataset surface: multimodal
+    * training shards ship as tar files whose members pair up into
+    * samples by basename key (`key.jpg` + `key.txt` + `key.json`), so
+    * "list the members without extracting" is the first operation any
+    * shard-level pipeline (integrity check, sample census, resharding
+    * plan) runs.  One row per member with its EXACT data offset — the
+    * seek table a random-access reader needs.  Every header checksum
+    * is VERIFIED (the POSIX sum-with-spaced-checksum-field rule); a
+    * corrupt header ends the walk with None, never a half-census.
+    */
+  final case class TarMember(
+      id: Long, memberIdx: Long, name: String, size: Long,
+      typeflag: String, dataOffset: Long)
+
+  private def tarOctal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    var seen = false
+    while (i < end) {
+      val c = b(i) & 0xff
+      if (c == 0 || c == ' ') {
+        if (seen) return Some(v)
+      } else if (c >= '0' && c <= '7') { v = v * 8 + (c - '0'); seen = true }
+      else return None
+      i += 1
+    }
+    if (seen) Some(v) else None
+  }
+
+  private[graft] def tarMembersOf(r: MediaRecord): Option[Seq[TarMember]] = {
+    val b = r.content
+    if (b == null || b.length < 1024 || b.length % 512 != 0) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
+    var off = 0
+    var idx = 0L
+    while (off + 512 <= b.length) {
+      if (b(off) == 0) {
+        // end-of-archive: two zero blocks, then nothing but zeros
+        var i = off
+        while (i < b.length) { if (b(i) != 0) return None; i += 1 }
+        if (b.length - off < 1024) return None
+        return Some(out.toSeq)
+      }
+      // magic "ustar" at 257
+      if (!(b(off + 257) == 'u' && b(off + 258) == 's' && b(off + 259) == 't' &&
+        b(off + 260) == 'a' && b(off + 261) == 'r')) return None
+      // checksum: header bytes with the chksum field (148, 8) as spaces
+      val stored = tarOctal(b, off + 148, 8).getOrElse(return None)
+      var sum = 0L
+      var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toInt else b(off + i) & 0xff)
+        i += 1
+      }
+      if (sum != stored) return None
+      var e = off
+      while (e < off + 100 && b(e) != 0) e += 1
+      val name = new String(b, off, e - off, "US-ASCII")
+      val size = tarOctal(b, off + 124, 12).getOrElse(return None)
+      if (size < 0 || size > (b.length - off - 512).toLong) return None
+      val tf = (b(off + 156) & 0xff).toChar
+      out += TarMember(r.id, idx, name, size,
+        if (tf == 0) "0" else tf.toString, (off + 512).toLong)
+      idx += 1
+      off += 512 + ((size + 511) / 512).toInt * 512
+    }
+    None // ran off the end without the end-of-archive marker
+  }
+
+  def tarMembers(ds: Dataset[MediaRecord]): Dataset[TarMember] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => tarMembersOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row WebDataset-style shard synthesis: `1 + id % 3` samples,
+    * each contributing `s<k>.txt` (the k-th byte-split of the
+    * document's UTF-8 text) and `s<k>.cls` (one class byte) — real
+    * ustar headers with correct checksums, 512-padded data, and the
+    * two-zero-block trailer, so member names/sizes/offsets replay
+    * from (id, octet_length(text)) with a running-sum walk.
+    */
+  def synthesizeTarShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val ns = 1 + (id % 3).toInt
+        def header(name: String, size: Long): Array[Byte] = {
+          val h = new Array[Byte](512)
+          val nb = name.getBytes("US-ASCII")
+          System.arraycopy(nb, 0, h, 0, nb.length)
+          def octal(v: Long, off: Int, len: Int): Unit = {
+            val sStr = java.lang.Long.toOctalString(v)
+            val padded = ("0" * (len - 1 - sStr.length)) + sStr
+            var i = 0
+            while (i < len - 1) { h(off + i) = padded(i).toByte; i += 1 }
+            h(off + len - 1) = 0
+          }
+          octal(420L, 100, 8) // mode 0644
+          octal(0L, 108, 8); octal(0L, 116, 8) // uid/gid
+          octal(size, 124, 12)
+          octal(0L, 136, 12) // mtime
+          h(156) = '0' // regular file
+          "ustar".getBytes("US-ASCII").copyToArray(h, 257)
+          h(262) = 0; h(263) = '0'; h(264) = '0'
+          // checksum over the header with the field spaced
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          var sum = 0L
+          var i = 0
+          while (i < 512) { sum += h(i) & 0xff; i += 1 }
+          val cs = java.lang.Long.toOctalString(sum)
+          val csPad = ("0" * (6 - cs.length)) + cs
+          var j = 0
+          while (j < 6) { h(148 + j) = csPad(j).toByte; j += 1 }
+          h(154) = 0; h(155) = ' '
+          h
+        }
+        def padded(data: Array[Byte]): Array[Byte] =
+          data ++ new Array[Byte]((512 - data.length % 512) % 512)
+        val out = Array.newBuilder[Byte]
+        var from = 0
+        val n = payload.length
+        var k = 0
+        while (k < ns) {
+          val take = n / ns + (if (k < n % ns) 1 else 0)
+          out ++= header(s"s$k.txt", take.toLong)
+          out ++= padded(payload.slice(from, from + take))
+          from += take
+          out ++= header(s"s$k.cls", 1L)
+          out ++= padded(Array(('0' + (id % 10).toInt).toByte))
+          k += 1
+        }
+        out ++= new Array[Byte](1024)
+        MediaRecord(id, "application/x-tar", out.result())
+      }
+  }
 }

@@ -719,6 +719,47 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("tar: member walk with checksum verify; system tar cross-check") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val shard = MultimodalOps.synthesizeTarShard(
+        Seq((7L, "abcdefghij klmno")).toDF("doc_id", "text"),
+        "doc_id", "text").collect().head
+    val members = MultimodalOps.tarMembersOf(shard).get
+    // id 7: 2 samples, text 16 bytes -> txt sizes 8, 8
+    assert(members.map(m => (m.name, m.size)) ==
+      Seq(("s0.txt", 8L), ("s0.cls", 1L), ("s1.txt", 8L), ("s1.cls", 1L)))
+    assert(members.map(_.dataOffset) == Seq(512L, 1536L, 2560L, 3584L))
+    // payload bytes at the reported offsets are exactly the split
+    assert(new String(shard.content, 512, 8, "UTF-8") == "abcdefgh")
+    assert(new String(shard.content, 2560, 8, "UTF-8") == "ij klmno")
+    // a flipped header byte breaks that member's checksum -> None
+    val bad = shard.content.clone(); bad(1) = 'X'
+    assert(MultimodalOps.tarMembersOf(
+      MultimodalOps.MediaRecord(7L, "application/x-tar", bad)).isEmpty)
+    // truncation (no end-of-archive marker) -> None
+    assert(MultimodalOps.tarMembersOf(MultimodalOps.MediaRecord(7L,
+      "application/x-tar", shard.content.take(shard.content.length - 1024))).isEmpty)
+    // INDEPENDENT reader: the system tar must list the same members
+    // (skipped gracefully where no tar binary exists)
+    val tarBin = Seq("/bin/tar", "/usr/bin/tar").find(new java.io.File(_).exists)
+    tarBin.foreach { bin =>
+      val f = java.io.File.createTempFile("graft-shard", ".tar")
+      try {
+        java.nio.file.Files.write(f.toPath, shard.content)
+        val out = new StringBuilder
+        val p = new ProcessBuilder(bin, "-tf", f.getAbsolutePath).start()
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var line = r.readLine()
+        while (line != null) { out.append(line).append('\n'); line = r.readLine() }
+        assert(p.waitFor() == 0, s"system tar rejected the shard")
+        assert(out.toString.trim.split("\n").toSeq ==
+          Seq("s0.txt", "s0.cls", "s1.txt", "s1.cls"))
+      } finally { f.delete(); () }
+    }
+  }
+
   test("id3v2: hand-built tag parses; padding stops the walk; overrun rejected") {
     import spark.implicits._
     import graft.ops.MultimodalOps
@@ -830,7 +871,9 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.id3MetaOf(r)),
       ("vtt", MultimodalOps.synthesizeVtt(docs, "doc_id", "text")
         .collect().map(r => r.getString(1).getBytes("UTF-8")),
-        r => MultimodalOps.vttCuesOf(r.id, new String(r.content, "UTF-8"))))
+        r => MultimodalOps.vttCuesOf(r.id, new String(r.content, "UTF-8"))),
+      ("tar", MultimodalOps.synthesizeTarShard(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.tarMembersOf(r)))
     // the pre-r13 walks take attacker-controlled offsets too (box
     // sizes, EBML varints, SPS bit reads, trun tables) — same contract
     val mjpeg = MultimodalOps.synthesizeMjpegMp4(docs, "doc_id", 32, 24, 3, 2)
