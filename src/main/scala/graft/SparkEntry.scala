@@ -3982,6 +3982,34 @@ object SparkEntry {
         |       CAST(size AS BIGINT) AS size,
         |       CAST(data_offset AS BIGINT) AS data_offset
         |FROM o ORDER BY doc_id, member_idx""".stripMargin,
+    // .tar.gz replay: the gzip layer must be INVISIBLE to the member
+    // table — same oracle arithmetic as the uncompressed shard
+    "q_multimodal_targz_members" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k, 0 AS sub, 's' || CAST(k AS VARCHAR) || '.txt' AS name,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS size
+        |  FROM ks
+        |  UNION ALL
+        |  SELECT doc_id, k, 1 AS sub, 's' || CAST(k AS VARCHAR) || '.cls' AS name,
+        |         1 AS size
+        |  FROM ks),
+        |o AS (
+        |  SELECT doc_id, name, size,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY k, sub) - 1 AS member_idx,
+        |         coalesce(sum(512 + ((size + 511) // 512) * 512)
+        |           OVER (PARTITION BY doc_id ORDER BY k, sub
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 512 AS data_offset
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(member_idx AS BIGINT) AS member_idx,
+        |       name,
+        |       CAST(size AS BIGINT) AS size,
+        |       CAST(data_offset AS BIGINT) AS data_offset
+        |FROM o ORDER BY doc_id, member_idx""".stripMargin,
     // ID3v2.3 replay: tag fields are the synthesis parameterization,
     // the album is the shared first-token rule, and the tag byte count
     // folds the 10-byte frame headers + encoding bytes
@@ -6087,6 +6115,17 @@ object SparkEntry {
         val media = MultimodalOps.synthesizeTarShard(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         MultimodalOps.tarMembers(media).toDF()
+          .select(col("id").as("doc_id"), col("memberIdx").as("member_idx"),
+            col("name"), col("size"), col("dataOffset").as("data_offset"))
+          .orderBy("doc_id", "member_idx")
+      },
+      "q_multimodal_targz_members" -> { (s, dir) =>
+        // compressed-shard census: gzip inflate (bomb-guarded) + the
+        // same verified ustar walk — the compression layer must not
+        // change what the reader sees
+        val media = MultimodalOps.synthesizeTarGzShard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.tarGzMembers(media).toDF()
           .select(col("id").as("doc_id"), col("memberIdx").as("member_idx"),
             col("name"), col("size"), col("dataOffset").as("data_offset"))
           .orderBy("doc_id", "member_idx")

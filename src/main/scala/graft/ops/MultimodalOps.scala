@@ -4378,4 +4378,52 @@ object MultimodalOps {
         MediaRecord(id, "application/x-tar", out.result())
       }
   }
+
+  /** `.tar.gz` member census: inflate the gzip layer (pure JDK, the
+    * PNG codec's Inflater discipline) and run the same verified ustar
+    * walk — WebDataset shards ship compressed at least as often as
+    * raw.  A bomb guard caps the inflated size (default 1 GiB per
+    * shard — tune to the fleet's shard size); a corrupt gzip stream
+    * or an over-budget inflation yields None, never a dead executor.
+    */
+  private[graft] def tarGzMembersOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[TarMember]] = {
+    val b = r.content
+    if (b == null || b.length < 18) return None
+    if ((b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
+    val out = new java.io.ByteArrayOutputStream(math.min(1 << 16, maxInflated))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) {
+        if (out.size() + n > maxInflated) return None // bomb guard
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+    } catch { case _: java.io.IOException => return None }
+    tarMembersOf(MediaRecord(r.id, "application/x-tar", out.toByteArray))
+  }
+
+  def tarGzMembers(ds: Dataset[MediaRecord]): Dataset[TarMember] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => tarGzMembersOf(r).getOrElse(Nil)))
+  }
+
+  /** [[synthesizeTarShard]] compressed with the JDK gzip writer
+    * (MTIME 0, deterministic deflate — the PNG codec's contract), so
+    * the member table replays IDENTICALLY to the uncompressed shard:
+    * the compression layer must not change what a reader sees.
+    */
+  def synthesizeTarGzShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    synthesizeTarShard(df, idCol, textCol).map { r =>
+      val bos = new java.io.ByteArrayOutputStream(r.content.length / 2 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(r.content); gz.close()
+      MediaRecord(r.id, "application/gzip", bos.toByteArray)
+    }
+  }
 }

@@ -760,6 +760,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tar.gz: inflate + walk equals the raw shard; corrupt gzip rejected") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "the quick brown fox")).toDF("doc_id", "text")
+    val raw = MultimodalOps.tarMembersOf(
+      MultimodalOps.synthesizeTarShard(docs, "doc_id", "text").collect().head).get
+    val gz = MultimodalOps.synthesizeTarGzShard(docs, "doc_id", "text").collect().head
+    assert(MultimodalOps.tarGzMembersOf(gz).contains(raw))
+    // corrupt deflate stream -> None, never a throw
+    val bad = gz.content.clone(); bad(gz.content.length / 2) = 0x55
+    assert(MultimodalOps.tarGzMembersOf(
+      MultimodalOps.MediaRecord(5L, "application/gzip", bad)).isEmpty)
+    // the bomb guard caps inflation
+    assert(MultimodalOps.tarGzMembersOf(gz, maxInflated = 100).isEmpty)
+  }
+
   test("id3v2: hand-built tag parses; padding stops the walk; overrun rejected") {
     import spark.implicits._
     import graft.ops.MultimodalOps
@@ -873,7 +889,9 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(r => r.getString(1).getBytes("UTF-8")),
         r => MultimodalOps.vttCuesOf(r.id, new String(r.content, "UTF-8"))),
       ("tar", MultimodalOps.synthesizeTarShard(docs, "doc_id", "text")
-        .collect().map(_.content), r => MultimodalOps.tarMembersOf(r)))
+        .collect().map(_.content), r => MultimodalOps.tarMembersOf(r)),
+      ("targz", MultimodalOps.synthesizeTarGzShard(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.tarGzMembersOf(r)))
     // the pre-r13 walks take attacker-controlled offsets too (box
     // sizes, EBML varints, SPS bit reads, trun tables) — same contract
     val mjpeg = MultimodalOps.synthesizeMjpegMp4(docs, "doc_id", 32, 24, 3, 2)
