@@ -3952,6 +3952,42 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // safetensors replay: the JSON header both engines can RECONSTRUCT
+    // byte-for-byte (ASCII, deterministic field order), so even the
+    // absolute byte offsets — 8 + header length + running data offset —
+    // are exact id arithmetic plus a string_agg length
+    "q_multimodal_safetensors" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS nt, 3 + doc_id % 5 AS cols FROM documents),
+        |ks AS (SELECT doc_id, cols, unnest(generate_series(0, nt - 1)) AS k FROM px),
+        |t AS (SELECT doc_id, k, cols,
+        |        CASE WHEN (doc_id + k) % 2 = 0 THEN 'F32' ELSE 'F16' END AS dtype,
+        |        (k + 1) * cols AS n_el,
+        |        CASE WHEN (doc_id + k) % 2 = 0 THEN 4 ELSE 2 END AS bp
+        |      FROM ks),
+        |c AS (SELECT doc_id, k, dtype, n_el, cols, n_el * bp AS nb,
+        |        coalesce(sum(n_el * bp) OVER (PARTITION BY doc_id ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS datoff
+        |      FROM t),
+        |f AS (SELECT doc_id, k, dtype, n_el, nb, datoff,
+        |        '"t' || CAST(k AS VARCHAR) || '":{"dtype":"' || dtype || '","shape":[' ||
+        |        CAST(k + 1 AS VARCHAR) || ',' || CAST(cols AS VARCHAR) ||
+        |        '],"data_offsets":[' || CAST(datoff AS VARCHAR) || ',' ||
+        |        CAST(datoff + nb AS VARCHAR) || ']}' AS frag
+        |      FROM c),
+        |h AS (SELECT doc_id,
+        |        length('{"__metadata__":{"format":"pt"},' ||
+        |               string_agg(frag, ',' ORDER BY k) || '}') AS hlen
+        |      FROM f GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |       't' || CAST(k AS VARCHAR) AS tensor,
+        |       dtype,
+        |       CAST(2 AS BIGINT) AS rank,
+        |       CAST(n_el AS BIGINT) AS n_elements,
+        |       CAST(8 + h.hlen + f.datoff AS BIGINT) AS byte_offset,
+        |       CAST(nb AS BIGINT) AS n_bytes
+        |FROM f JOIN h ON f.doc_id = h.doc_id
+        |ORDER BY f.doc_id, byte_offset""".stripMargin,
     // WebDataset tar replay: member names/sizes are the synthesis
     // parameterization; each member consumes 512 (header) +
     // 512-rounded data, so the exact data offsets replay as a
@@ -6107,6 +6143,17 @@ object SparkEntry {
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
           .orderBy("doc_id")
+      },
+      "q_multimodal_safetensors" -> { (s, dir) =>
+        // checkpoint-lake census: tensor names/dtypes/shapes/byte
+        // spans from the safetensors JSON header — no weight bytes read
+        val media = MultimodalOps.synthesizeSafetensors(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.safetensorsMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("tensor"), col("dtype"),
+            col("rank"), col("nElements").as("n_elements"),
+            col("byteOffset").as("byte_offset"), col("nBytes").as("n_bytes"))
+          .orderBy("doc_id", "byte_offset")
       },
       "q_multimodal_tar_members" -> { (s, dir) =>
         // WebDataset shard census: POSIX ustar member walk with

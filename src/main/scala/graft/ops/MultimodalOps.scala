@@ -4426,4 +4426,99 @@ object MultimodalOps {
       MediaRecord(r.id, "application/gzip", bos.toByteArray)
     }
   }
+
+  /** safetensors header census — the checkpoint-lake surface: a
+    * training pipeline's OTHER large binary population is model
+    * checkpoints, and safetensors puts everything a census needs in a
+    * JSON header (8-byte LE length prefix, then
+    * `{"tensor": {"dtype": …, "shape": […], "data_offsets": [a, b]}}`)
+    * before the weight bytes.  One row per tensor: name, dtype, rank,
+    * element count, exact byte span — without reading a single weight.
+    * Parsed with Spark's bundled Jackson; any malformed header yields
+    * no rows (the parser-family contract).
+    */
+  final case class TensorMeta(
+      id: Long, tensor: String, dtype: String, rank: Long,
+      nElements: Long, byteOffset: Long, nBytes: Long)
+
+  private[graft] def safetensorsOf(r: MediaRecord): Seq[TensorMeta] = {
+    val b = r.content
+    if (b == null || b.length < 8) return Nil
+    var hlen = 0L
+    var i = 0
+    while (i < 8) { hlen |= (b(i) & 0xffL) << (8 * i); i += 1 }
+    if (hlen <= 0 || hlen > (b.length - 8).toLong) return Nil
+    val dataBase = 8L + hlen
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(new String(b, 8, hlen.toInt, "UTF-8"))
+      if (root == null || !root.isObject) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[TensorMeta]
+      val fields = root.fields()
+      while (fields.hasNext) {
+        val e = fields.next()
+        if (e.getKey != "__metadata__") {
+          val v = e.getValue
+          val dtype = Option(v.get("dtype")).map(_.asText("")).getOrElse("")
+          val shape = Option(v.get("shape")).filter(_.isArray)
+          val offs = Option(v.get("data_offsets")).filter(n => n.isArray && n.size == 2)
+          (shape, offs) match {
+            case (Some(sh), Some(o)) =>
+              var n = 1L
+              var j = 0
+              while (j < sh.size) { n *= math.max(0L, sh.get(j).asLong(0L)); j += 1 }
+              val a = o.get(0).asLong(-1L)
+              val bnd = o.get(1).asLong(-1L)
+              if (a >= 0 && bnd >= a && dataBase + bnd <= b.length.toLong)
+                out += TensorMeta(r.id, e.getKey, dtype, sh.size.toLong, n,
+                  dataBase + a, bnd - a)
+            case _ => ()
+          }
+        }
+      }
+      out.toSeq.sortBy(t => (t.byteOffset, t.tensor))
+    } catch { case _: Exception => Nil }
+  }
+
+  def safetensorsMeta(ds: Dataset[MediaRecord]): Dataset[TensorMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(safetensorsOf))
+  }
+
+  /** Per-row safetensors synthesis: `1 + id % 4` tensors; tensor k is
+    * `t<k>` with dtype F32/F16 alternating by (id + k) % 2, shape
+    * `[k + 1, 3 + id % 5]`, contiguous data offsets, and a
+    * `__metadata__` entry (skipped by the census, per spec).  Weight
+    * bytes are zeros — the census never reads them; every field
+    * replays from id arithmetic.
+    */
+  def synthesizeSafetensors(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val nt = 1 + (id % 4).toInt
+      val cols = 3 + (id % 5).toInt
+      val sb = new StringBuilder("{\"__metadata__\":{\"format\":\"pt\"},")
+      var off = 0L
+      var k = 0
+      while (k < nt) {
+        val f32 = (id + k) % 2 == 0
+        val bytesPer = if (f32) 4 else 2
+        val n = (k + 1).toLong * cols
+        val end = off + n * bytesPer
+        sb.append("\"t").append(k).append("\":{\"dtype\":\"")
+          .append(if (f32) "F32" else "F16")
+          .append("\",\"shape\":[").append(k + 1).append(',').append(cols)
+          .append("],\"data_offsets\":[").append(off).append(',').append(end)
+          .append("]}")
+        if (k < nt - 1) sb.append(',')
+        off = end
+        k += 1
+      }
+      sb.append('}')
+      val header = sb.result().getBytes("UTF-8")
+      val lenLe = Array.tabulate(8)(i => (header.length.toLong >> (8 * i)).toByte)
+      MediaRecord(id, "application/safetensors",
+        lenLe ++ header ++ new Array[Byte](off.toInt))
+    }
+  }
 }

@@ -719,6 +719,45 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("safetensors: hand-built header parses; bad offsets and JSON rejected") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    def file(json: String, dataBytes: Int): Array[Byte] = {
+      val h = json.getBytes("UTF-8")
+      Array.tabulate(8)(i => (h.length.toLong >> (8 * i)).toByte) ++ h ++
+        new Array[Byte](dataBytes)
+    }
+    // hand JSON: metadata skipped, one 3-D F16 tensor, one scalar-ish
+    val hand = file(
+      """{"__metadata__":{"x":"y"},""" +
+        """"w.q":{"dtype":"F16","shape":[2,3,4],"data_offsets":[0,48]},""" +
+        """"bias":{"dtype":"F32","shape":[4],"data_offsets":[48,64]}}""", 64)
+    val got = MultimodalOps.safetensorsOf(
+      MultimodalOps.MediaRecord(1L, "application/safetensors", hand))
+    val base = 8L + (hand.length - 8 - 64)
+    assert(got == Seq(
+      MultimodalOps.TensorMeta(1L, "w.q", "F16", 3, 24, base, 48),
+      MultimodalOps.TensorMeta(1L, "bias", "F32", 1, 4, base + 48, 16)))
+    // a tensor whose span runs past the file is dropped; the rest stay
+    val overrun = file(
+      """{"a":{"dtype":"F32","shape":[2],"data_offsets":[0,8]},""" +
+        """"b":{"dtype":"F32","shape":[999],"data_offsets":[8,99999]}}""", 8)
+    assert(MultimodalOps.safetensorsOf(
+      MultimodalOps.MediaRecord(2L, "application/safetensors", overrun))
+      .map(_.tensor) == Seq("a"))
+    // malformed JSON / short file -> no rows, never a throw
+    assert(MultimodalOps.safetensorsOf(
+      MultimodalOps.MediaRecord(3L, "application/safetensors", file("{oops", 0))).isEmpty)
+    assert(MultimodalOps.safetensorsOf(
+      MultimodalOps.MediaRecord(3L, "application/safetensors", Array[Byte](1, 2))).isEmpty)
+    // synthesized round-trip (id 9: 2 tensors, cols 3 + 9 % 5 = 7)
+    val metas = MultimodalOps.safetensorsMeta(
+        MultimodalOps.synthesizeSafetensors(Seq(9L).toDF("doc_id"), "doc_id"))
+      .collect().sortBy(_.byteOffset)
+    assert(metas.map(m => (m.tensor, m.dtype, m.nElements, m.nBytes)).toSeq ==
+      Seq(("t0", "F16", 7L, 14L), ("t1", "F32", 14L, 56L)))
+  }
+
   test("tar: member walk with checksum verify; system tar cross-check") {
     import spark.implicits._
     import graft.ops.MultimodalOps
@@ -891,7 +930,9 @@ class OpsSpec extends AnyFunSuite {
       ("tar", MultimodalOps.synthesizeTarShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.tarMembersOf(r)),
       ("targz", MultimodalOps.synthesizeTarGzShard(docs, "doc_id", "text")
-        .collect().map(_.content), r => MultimodalOps.tarGzMembersOf(r)))
+        .collect().map(_.content), r => MultimodalOps.tarGzMembersOf(r)),
+      ("safetensors", MultimodalOps.synthesizeSafetensors(docs, "doc_id")
+        .collect().map(_.content), r => MultimodalOps.safetensorsOf(r)))
     // the pre-r13 walks take attacker-controlled offsets too (box
     // sizes, EBML varints, SPS bit reads, trun tables) — same contract
     val mjpeg = MultimodalOps.synthesizeMjpegMp4(docs, "doc_id", 32, 24, 3, 2)
