@@ -3952,6 +3952,28 @@ object SparkEntry {
         |       CAST($off + $ovh * g + g * (n // $ns) + least(g, n % $ns) AS BIGINT) AS kf2_off
         |FROM px ORDER BY doc_id""".stripMargin
     },
+    // npy replay: the ASCII dict header reconstructs byte-for-byte, so
+    // the 64-aligned data offset is digit arithmetic both engines do
+    "q_multimodal_npy" ->
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN '<f4' WHEN 1 THEN '<f2' ELSE '<i8' END AS descr,
+        |         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 8 END AS isz,
+        |         1 + doc_id % 4 AS r, 3 + doc_id % 5 AS c
+        |  FROM documents),
+        |h AS (
+        |  SELECT px.*, length('{''descr'': ''' || descr ||
+        |         ''', ''fortran_order'': False, ''shape'': (' ||
+        |         CAST(r AS VARCHAR) || ', ' || CAST(c AS VARCHAR) || '), }') AS dlen
+        |  FROM px)
+        |SELECT doc_id, descr,
+        |       false AS fortran_order,
+        |       CAST(2 AS BIGINT) AS rank,
+        |       CAST(r * c AS BIGINT) AS n_elements,
+        |       CAST(isz AS BIGINT) AS item_size,
+        |       CAST(((10 + dlen + 1 + 63) // 64) * 64 AS BIGINT) AS data_offset,
+        |       CAST(r * c * isz AS BIGINT) AS n_bytes
+        |FROM h ORDER BY doc_id""".stripMargin,
     // safetensors replay: the JSON header both engines can RECONSTRUCT
     // byte-for-byte (ASCII, deterministic field order), so even the
     // absolute byte offsets — 8 + header length + running data offset —
@@ -6142,6 +6164,20 @@ object SparkEntry {
             col("width"), col("height"),
             col("nKeyframes").as("n_keyframes"),
             col("kf1Off").as("kf1_off"), col("kf2Off").as("kf2_off"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_npy" -> { (s, dir) =>
+        // NumPy array census: dtype/order/shape/exact data offset from
+        // the v1 ASCII header — no array bytes read
+        val media = MultimodalOps.synthesizeNpy(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.npyMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("descr"),
+            col("fortranOrder").as("fortran_order"), col("rank"),
+            col("nElements").as("n_elements"),
+            col("itemSize").as("item_size"),
+            col("dataOffset").as("data_offset"),
+            col("nBytes").as("n_bytes"))
           .orderBy("doc_id")
       },
       "q_multimodal_safetensors" -> { (s, dir) =>

@@ -4521,4 +4521,107 @@ object MultimodalOps {
         lenLe ++ header ++ new Array[Byte](off.toInt))
     }
   }
+
+  /** NumPy `.npy` header census — embedding dumps and intermediate
+    * arrays are the other binary population of an ML data lake.  The
+    * v1 format is fully described by its ASCII header (magic
+    * `\x93NUMPY`, version, u16-LE header length, then a Python dict
+    * literal `{'descr': '<f4', 'fortran_order': False, 'shape':
+    * (r, c), }` space-padded so data starts 64-aligned): one row per
+    * file with dtype, order, rank, element count, item size, and the
+    * exact data offset — no array bytes read.  Malformed headers
+    * yield None (the parser-family contract).
+    */
+  final case class NpyMeta(
+      id: Long, descr: String, fortranOrder: Boolean, rank: Long,
+      nElements: Long, itemSize: Long, dataOffset: Long, nBytes: Long)
+
+  private[graft] def npyMetaOf(r: MediaRecord): Option[NpyMeta] = {
+    val b = r.content
+    if (b == null || b.length < 10) return None
+    if (!((b(0) & 0xff) == 0x93 && b(1) == 'N' && b(2) == 'U' && b(3) == 'M' &&
+      b(4) == 'P' && b(5) == 'Y')) return None
+    val major = b(6) & 0xff
+    val (hlen, hoff) =
+      if (major == 1) (((b(8) & 0xff) | (b(9) & 0xff) << 8).toLong, 10)
+      else if (major == 2 || major == 3) {
+        if (b.length < 12) return None
+        (u32(b, 8), 12)
+      } else return None
+    if (hlen <= 0 || hlen > (b.length - hoff).toLong) return None
+    val header = new String(b, hoff, hlen.toInt, "US-ASCII")
+    val Q = 0x27.toChar // single quote
+    def strField(key: String): Option[String] = {
+      val i = header.indexOf(s"$Q$key$Q:")
+      if (i < 0) return None
+      val q1 = header.indexOf(Q, i + key.length + 3)
+      if (q1 < 0) return None
+      val q2 = header.indexOf(Q, q1 + 1)
+      if (q2 < 0) None else Some(header.substring(q1 + 1, q2))
+    }
+    val descr = strField("descr").getOrElse(return None)
+    val fortran = {
+      val i = header.indexOf(s"${Q}fortran_order$Q:")
+      if (i < 0) return None
+      val t = header.indexOf("True", i)
+      t >= 0 && t < i + 24
+    }
+    val shape: Seq[Long] = {
+      val i = header.indexOf(s"${Q}shape$Q:")
+      if (i < 0) return None
+      val o = header.indexOf('(', i)
+      val c = header.indexOf(')', o + 1)
+      if (o < 0 || c < 0) return None
+      val inner = header.substring(o + 1, c).trim
+      if (inner.isEmpty) Nil
+      else {
+        val parts = inner.split(',').map(_.trim).filter(_.nonEmpty)
+        val dims = parts.map(_.toLongOption.getOrElse(return None)).toSeq
+        if (dims.exists(_ < 0)) return None
+        dims
+      }
+    }
+    // item size from the descr tail: '<f4' -> 4, '|b1' -> 1, '<c16' -> 16
+    val itemSize = descr.reverse.takeWhile(_.isDigit).reverse.toLongOption
+      .filter(n => n > 0 && n <= 64).getOrElse(return None)
+    val n = shape.foldLeft(1L)(_ * _)
+    val dataOff = hoff.toLong + hlen
+    if (dataOff + n * itemSize > b.length.toLong) return None
+    Some(NpyMeta(r.id, descr, fortran, shape.length.toLong, n, itemSize,
+      dataOff, n * itemSize))
+  }
+
+  def npyMeta(ds: Dataset[MediaRecord]): Dataset[NpyMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(npyMetaOf))
+  }
+
+  /** Per-row `.npy` synthesis (v1, 64-aligned like NumPy itself):
+    * descr `['<f4', '<f2', '<i8'][id % 3]`, C order, shape
+    * `(1 + id % 4, 3 + id % 5)`, zero array bytes — every census
+    * field replays from id arithmetic (the header is ASCII, so its
+    * padded length is digit arithmetic both engines can do).
+    */
+  def synthesizeNpy(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val Q = 0x27.toChar
+      val descrs = Array("<f4", "<f2", "<i8")
+      val descr = descrs((id % 3).toInt)
+      val itemSize = descr.last.asDigit
+      val rows = 1 + (id % 4)
+      val cols = 3 + (id % 5)
+      val dict = s"{${Q}descr$Q: $Q$descr$Q, ${Q}fortran_order$Q: False, " +
+        s"${Q}shape$Q: ($rows, $cols), }"
+      // numpy pads with spaces + final newline so 10 + hlen is 64-aligned
+      val total = (10 + dict.length + 1 + 63) / 64 * 64
+      val hlen = total - 10
+      val header = dict + (" " * (hlen - dict.length - 1)) + "\n"
+      val lenLe = Array[Byte](hlen.toByte, (hlen >> 8).toByte)
+      MediaRecord(id, "application/x-npy",
+        Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0) ++ lenLe ++
+          header.getBytes("US-ASCII") ++
+          new Array[Byte]((rows * cols * itemSize).toInt))
+    }
+  }
 }

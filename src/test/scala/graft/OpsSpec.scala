@@ -719,6 +719,43 @@ class OpsSpec extends AnyFunSuite {
       nf17, nf17.toLong * 1152 * 1000 / 32000, 10))
   }
 
+  test("npy: hand-built v2 header parses; truncated data rejected") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // HAND-WRITTEN v2 header (u32 length), Fortran order, 3-D shape,
+    // non-canonical spacing — the parser must not depend on numpy's
+    // own formatting
+    val dict = "{'shape': ( 2,3, 4 ), 'fortran_order': True, 'descr': '<c16'}"
+    def v2(d: String, dataBytes: Int): Array[Byte] = {
+      val h = d.getBytes("US-ASCII")
+      Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 2, 0,
+        h.length.toByte, (h.length >> 8).toByte, 0, 0) ++ h ++
+        new Array[Byte](dataBytes)
+    }
+    val got = MultimodalOps.npyMetaOf(
+      MultimodalOps.MediaRecord(4L, "application/x-npy", v2(dict, 24 * 16)))
+    assert(got.contains(MultimodalOps.NpyMeta(4L, "<c16", fortranOrder = true,
+      rank = 3, nElements = 24, itemSize = 16,
+      dataOffset = 12L + dict.length, nBytes = 384)))
+    // declared array larger than the file -> None
+    assert(MultimodalOps.npyMetaOf(
+      MultimodalOps.MediaRecord(5L, "application/x-npy", v2(dict, 100))).isEmpty)
+    // mangled dict -> None, never a throw
+    assert(MultimodalOps.npyMetaOf(
+      MultimodalOps.MediaRecord(6L, "application/x-npy",
+        v2("{'shape': oops", 0))).isEmpty)
+    // synthesized round-trip (id 11: '<i8', shape (4, 4), 64-aligned)
+    val metas = MultimodalOps.npyMeta(
+        MultimodalOps.synthesizeNpy(Seq(11L).toDF("doc_id"), "doc_id"))
+      .collect()
+    assert(metas.length == 1)
+    val m = metas.head
+    assert(m == MultimodalOps.NpyMeta(11L, "<i8", fortranOrder = false,
+      rank = 2, nElements = 16, itemSize = 8, dataOffset = m.dataOffset,
+      nBytes = 128))
+    assert(m.dataOffset % 64 == 0, s"numpy alignment: ${m.dataOffset}")
+  }
+
   test("safetensors: hand-built header parses; bad offsets and JSON rejected") {
     import spark.implicits._
     import graft.ops.MultimodalOps
@@ -932,7 +969,9 @@ class OpsSpec extends AnyFunSuite {
       ("targz", MultimodalOps.synthesizeTarGzShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.tarGzMembersOf(r)),
       ("safetensors", MultimodalOps.synthesizeSafetensors(docs, "doc_id")
-        .collect().map(_.content), r => MultimodalOps.safetensorsOf(r)))
+        .collect().map(_.content), r => MultimodalOps.safetensorsOf(r)),
+      ("npy", MultimodalOps.synthesizeNpy(docs, "doc_id")
+        .collect().map(_.content), r => MultimodalOps.npyMetaOf(r)))
     // the pre-r13 walks take attacker-controlled offsets too (box
     // sizes, EBML varints, SPS bit reads, trun tables) — same contract
     val mjpeg = MultimodalOps.synthesizeMjpegMp4(docs, "doc_id", 32, 24, 3, 2)
