@@ -4010,6 +4010,19 @@ object SparkEntry {
         |       CAST(nb AS BIGINT) AS n_bytes
         |FROM f JOIN h ON f.doc_id = h.doc_id
         |ORDER BY f.doc_id, byte_offset""".stripMargin,
+    // WebDataset sample replay: members pair into samples by basename
+    // key; per sample the member count, extension set, and byte total
+    "q_webdataset_samples" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px)
+        |SELECT doc_id,
+        |       's' || CAST(k AS VARCHAR) AS sample_key,
+        |       CAST(2 AS BIGINT) AS n_members,
+        |       'cls,txt' AS extensions,
+        |       CAST(n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END + 1 AS BIGINT) AS n_bytes
+        |FROM ks ORDER BY doc_id, sample_key""".stripMargin,
     // WebDataset tar replay: member names/sizes are the synthesis
     // parameterization; each member consumes 512 (header) +
     // 512-rounded data, so the exact data offsets replay as a
@@ -6190,6 +6203,23 @@ object SparkEntry {
             col("rank"), col("nElements").as("n_elements"),
             col("byteOffset").as("byte_offset"), col("nBytes").as("n_bytes"))
           .orderBy("doc_id", "byte_offset")
+      },
+      "q_webdataset_samples" -> { (s, dir) =>
+        // the member table feeding the distributed aggregation every
+        // shard pipeline runs: group members into SAMPLES by basename
+        // key (the WebDataset convention) — count, extension set, bytes
+        val media = MultimodalOps.synthesizeTarShard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.tarMembers(media).toDF()
+          .select(col("id").as("doc_id"),
+            regexp_extract(col("name"), "^(.*)\\.[^.]+$", 1).as("sample_key"),
+            regexp_extract(col("name"), "\\.([^.]+)$", 1).as("ext"),
+            col("size"))
+          .groupBy("doc_id", "sample_key")
+          .agg(count(lit(1)).as("n_members"),
+            array_join(array_sort(collect_list(col("ext"))), ",").as("extensions"),
+            sum(col("size")).as("n_bytes"))
+          .orderBy("doc_id", "sample_key")
       },
       "q_multimodal_tar_members" -> { (s, dir) =>
         // WebDataset shard census: POSIX ustar member walk with
