@@ -3340,7 +3340,8 @@ object MultimodalOps {
     */
   def synthesizeMp3(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
@@ -3432,7 +3433,8 @@ object MultimodalOps {
     */
   def synthesizeFlac(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
@@ -3535,7 +3537,8 @@ object MultimodalOps {
     */
   def synthesizeAac(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
@@ -3546,6 +3549,13 @@ object MultimodalOps {
         val out = Array.newBuilder[Byte]
         var from = 0
         var f = 0
+        // ADTS carries the frame length in 13 bits (max 8191 B incl. the
+        // 7-byte header); with the payload split evenly over AdtsFrameCount
+        // frames, a doc over ~(8184 · AdtsFrameCount) B can't be encoded —
+        // fail here with the size, not as a downstream oracle mismatch.
+        require(n / AdtsFrameCount + (if (n % AdtsFrameCount > 0) 1 else 0) <= 8184,
+          s"synthesizeAac: doc of $n B overflows the 13-bit ADTS frame " +
+            s"length at $AdtsFrameCount frames (max ${8184L * AdtsFrameCount} B)")
         while (f < AdtsFrameCount) {
           val take = n / AdtsFrameCount + (if (f < n % AdtsFrameCount) 1 else 0)
           val frameLen = 7 + take
@@ -3635,7 +3645,8 @@ object MultimodalOps {
     */
   def synthesizeMp3Vbr(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
@@ -3650,6 +3661,12 @@ object MultimodalOps {
         var covered = 0
         var f = 0
         while (f == 0 || covered < payload.length) {
+          // The q_multimodal_mp3_vbr oracle replays the capacity walk over
+          // generate_series(0, 4095): a doc needing a 4097th frame would
+          // silently vanish from the oracle's inner join — fail loudly here.
+          require(f < 4096,
+            s"synthesizeMp3Vbr: doc of ${payload.length} B needs > 4096 " +
+              "frames, beyond the oracle's replayed capacity walk")
           val brIdx = 1 + ((id + f) % 14).toInt
           val frameLen = mp3FrameLen(Mp3BitrateKbps(brIdx), sr, 0)
           val body = new Array[Byte](frameLen)
@@ -3758,7 +3775,8 @@ object MultimodalOps {
     */
   def synthesizeOpus(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
@@ -3776,6 +3794,12 @@ object MultimodalOps {
           while (rest >= 255) { lacing += 255.toByte; rest -= 255 }
           lacing += rest.toByte
           val segs = lacing.result()
+          // Ogg caps the segment table at 255 entries (RFC 3533 §6), so a
+          // single page carries < ~64 KiB; this synthesizer does not do
+          // packet continuation — fail at synthesis, not as an oracle drift.
+          require(segs.length <= 255,
+            s"synthesizeOpus: packet of ${packet.length} B needs ${segs.length} " +
+              "lacing values, over the 255-per-page Ogg limit (doc too large)")
           val out = "OggS".getBytes("US-ASCII") ++ Array[Byte](0, flags.toByte) ++
             u64a(granule) ++ u32a(0x5eed + (id & 0xffff)) ++ u32a(seq.toLong) ++
             u32a(0L) ++ Array(segs.length.toByte) ++ segs ++ packet
@@ -3980,7 +4004,8 @@ object MultimodalOps {
     */
   def synthesizeExifJpeg(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
@@ -4161,6 +4186,7 @@ object MultimodalOps {
 
   private[graft] def id3MetaOf(r: MediaRecord): Option[Id3Meta] = {
     val b = r.content
+    if (b == null) return None
     val total = id3v2Size(b)
     if (total <= 10 || total > b.length) return None
     var off = 10
@@ -4392,9 +4418,10 @@ object MultimodalOps {
     if (b == null || b.length < 18) return None
     if ((b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
     val out = new java.io.ByteArrayOutputStream(math.min(1 << 16, maxInflated))
+    val in = try {
+      new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    } catch { case _: java.io.IOException => return None }
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0) {
@@ -4402,8 +4429,8 @@ object MultimodalOps {
         out.write(buf, 0, n)
         n = in.read(buf)
       }
-      in.close()
-    } catch { case _: java.io.IOException => return None }
+    } catch { case _: java.io.IOException => return None
+    } finally in.close() // release the Inflater's native memory on EVERY exit path
     tarMembersOf(MediaRecord(r.id, "application/x-tar", out.toByteArray))
   }
 

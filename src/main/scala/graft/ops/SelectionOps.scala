@@ -131,11 +131,17 @@ object SelectionOps {
       val cuts = j.groupBy(col("lang")).agg(
         percentile_approx(col("avg_token_freq"),
           array(probs.map(lit): _*), lit(approxAccuracy)).as("__cuts"))
-      j.join(broadcast(cuts), "lang")
+        .withColumnRenamed("lang", "__cut_lang")
+      // null-safe join: groupBy keeps a null-lang group and the exact
+      // ntile path windows it like any other language, so a plain
+      // equi-join (null never equals null) would silently drop those
+      // docs from the approx path only — a survivor-set divergence
+      // beyond the documented cut-edge blur.
+      j.join(broadcast(cuts), col("lang") <=> col("__cut_lang"))
         .withColumn("bucket",
           (lit(nBuckets) - size(filter(col("__cuts"),
             c => col("avg_token_freq").cast("double") >= c))).cast("long"))
-        .drop("__cuts")
+        .drop("__cuts", "__cut_lang")
     }
     bucketed
       .withColumn("band",

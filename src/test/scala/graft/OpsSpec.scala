@@ -935,6 +935,44 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2) == MultimodalOps.VttCue(6L, 2, 4012, 5518, "k"))
   }
 
+  test("media parsers are total on null content; synthesizers total on null text") {
+    // regression (r13 advice): id3MetaOf lacked the null-content guard
+    // its siblings have, and six synthesizers called text.getBytes
+    // without coalescing a null text column.  Contract: EVERY parser
+    // returns None/Nil on a null-content record, and EVERY synthesizer
+    // treats null text as "" — a null cell must never kill a task.
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val nullRec = MultimodalOps.MediaRecord(7L, "application/octet-stream", null)
+    assert(MultimodalOps.mp3MetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.mp3VbrMetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.flacMetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.aacMetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.opusMetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.exifMetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.id3MetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.tarMembersOf(nullRec).isEmpty)
+    assert(MultimodalOps.tarGzMembersOf(nullRec).isEmpty)
+    assert(MultimodalOps.safetensorsOf(nullRec).isEmpty)
+    assert(MultimodalOps.npyMetaOf(nullRec).isEmpty)
+    val docs = Seq((1L, "some text"), (2L, null))
+      .toDF("doc_id", "text")
+    // null text synthesizes the empty-document shape, same as ""
+    assert(MultimodalOps.synthesizeMp3(docs, "doc_id", "text").count() == 2)
+    assert(MultimodalOps.synthesizeMp3Vbr(docs, "doc_id", "text").count() == 2)
+    assert(MultimodalOps.synthesizeFlac(docs, "doc_id", "text").count() == 2)
+    assert(MultimodalOps.synthesizeAac(docs, "doc_id", "text").count() == 2)
+    assert(MultimodalOps.synthesizeOpus(docs, "doc_id", "text").count() == 2)
+    assert(MultimodalOps.synthesizeExifJpeg(docs, "doc_id", "text").count() == 2)
+    // the null-text record round-trips through its parser like ""
+    val viaNull = MultimodalOps.synthesizeMp3(docs, "doc_id", "text")
+      .filter(_.id == 2L).collect().head
+    val viaEmpty = MultimodalOps.synthesizeMp3(
+        Seq((2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(java.util.Arrays.equals(viaNull.content, viaEmpty.content))
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
@@ -4678,6 +4716,32 @@ class OpsSpec extends AnyFunSuite {
     assert(diffs.max <= 1L, "approx bucket may differ from exact only at a cut edge")
     val agree = diffs.count(_ == 0L).toDouble / diffs.size
     assert(agree >= 0.9, f"approx/exact bucket agreement $agree%.3f below 0.9")
+  }
+
+  test("perplexity buckets: null-lang docs survive BOTH the exact and approx paths") {
+    // regression (r13 advice): the approx path's equi-join on lang
+    // dropped null-lang docs that the exact ntile path kept as their
+    // own window partition — the two paths must bucket the SAME set.
+    import spark.implicits._
+    val docs = Seq.tabulate(30)(i =>
+        (i.toLong, ("tok " * (1 + i % 7)).trim, if (i % 5 == 0) null else s"l${i % 2}"))
+      .toDF("doc_id", "text", "lang")
+    val exact = SelectionOps.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val approx = SelectionOps.perplexityBuckets(docs, "doc_id", "text", "lang",
+        approxCutpoints = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(exact.keySet == (0L until 30L).toSet, "exact path must keep null-lang docs")
+    assert(approx.keySet == exact.keySet,
+      "approx path must bucket the same survivor set as exact (incl. null lang)")
+    // null-lang docs form their own group in both paths: every one is
+    // bucketed in [1, n] (this fixture's texts repeat, so scores tie
+    // heavily and per-doc buckets may differ by the documented tie
+    // mass — set membership is the regression under test)
+    (0L until 30L by 5L).foreach { id =>
+      assert(exact(id) >= 1L && exact(id) <= 3L)
+      assert(approx(id) >= 1L && approx(id) <= 3L)
+    }
   }
 
   test("budget select: greedy prefix property per partition") {
