@@ -3130,15 +3130,16 @@ object SparkEntry {
     * prebin fixture) replay as literals and DuckDB recomputes the
     * ratio with the same single IEEE division the Scala side does.
     */
-  private def compressOracleSql(fixture: String): String = {
+  private def compressOracleSql(
+      fixture: String, sizeCol: String = "n_deflate"): String = {
     val t = Golden.load(fixture)
     val valueRows = t.rows.map { r =>
       r.map(v => s"CAST(${v.toString.toDouble.toLong} AS BIGINT)")
         .mkString("(", ", ", ")")
     }.mkString(",\n")
-    s"""SELECT doc_id, n_bytes, n_deflate,
+    s"""SELECT doc_id, n_bytes, $sizeCol,
        |       CASE WHEN n_bytes > 0
-       |            THEN CAST(n_deflate AS DOUBLE) / CAST(n_bytes AS DOUBLE)
+       |            THEN CAST($sizeCol AS DOUBLE) / CAST(n_bytes AS DOUBLE)
        |            ELSE 1.0 END AS ratio
        |FROM (VALUES
        |$valueRows
@@ -3225,6 +3226,8 @@ object SparkEntry {
     "q_bpe_train" -> bpeOracleSql("sf0.01_bpe_train_m12.json"),
     "q_bpe_encode" -> bpeEncodeOracleSql("sf0.01_bpe_encode_m12.json"),
     "q_compress_ratio" -> compressOracleSql("sf0.01_compress_ratio_l6.json"),
+    "q_compress_zstd" ->
+      compressOracleSql("sf0.01_compress_zstd_l3.json", "n_zstd"),
     "q_fit_bins" -> fitOracleSql("sf0.01_extendedprice_n300.json",
       "sf0.01_quantity_n300.json", "sf0.01_discount_n300.json"),
     "q_fit_default_threshold" -> fitOracleSql("sf0.01_extendedprice_n3000.json"),
@@ -4113,6 +4116,94 @@ object SparkEntry {
         |       CAST(k * (2000 + doc_id % 500) + 1500 + doc_id % 300 AS BIGINT) AS end_ms,
         |       coalesce(array_to_string(toks[k * 5 + 1 : k * 5 + 5], ' '), '') AS cue_text
         |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    // SubRip replay: same token-slice pattern as the VTT oracle, with
+    // the declared sequence number and comma-millisecond timings
+    "q_multimodal_srt_cues" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+        |         1 + doc_id % 5 AS nc
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS k FROM t)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS cue_idx,
+        |       CAST(k + 1 AS BIGINT) AS seq_no,
+        |       CAST(k * (1800 + doc_id % 400) AS BIGINT) AS start_ms,
+        |       CAST(k * (1800 + doc_id % 400) + 1200 + doc_id % 250 AS BIGINT) AS end_ms,
+        |       coalesce(array_to_string(toks[k * 4 + 1 : k * 4 + 4], ' '), '') AS cue_text
+        |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    // WebP replay: every census field is id arithmetic; the byte count
+    // is the RIFF header + the fixed-size flavor chunk (VP8L pads its
+    // odd 5-byte body) + the even-padded payload chunk
+    "q_multimodal_webp" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'VP8' WHEN 1 THEN 'VP8L' ELSE 'VP8X' END AS format,
+        |       CAST(1 + doc_id % 997 AS BIGINT) AS width,
+        |       CAST(1 + doc_id % 737 AS BIGINT) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 2 END AS BIGINT) AS has_alpha,
+        |       CAST(2 AS BIGINT) AS n_chunks,
+        |       CAST(12 + CASE doc_id % 3 WHEN 1 THEN 14 ELSE 18 END
+        |              + 8 + n + n % 2 AS BIGINT) AS n_bytes
+        |FROM px ORDER BY doc_id""".stripMargin,
+    // GIF replay: dims/colors/frames/delay are id arithmetic; the byte
+    // count replays the per-frame sub-block split (255-byte blocks,
+    // one length byte each, terminator per frame)
+    "q_multimodal_gif" ->
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         1 + doc_id % 3 AS nf,
+        |         1 << (1 + CAST(doc_id % 8 AS INTEGER)) AS ncol
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n, nf, ncol, unnest(generate_series(0, nf - 1)) AS f
+        |  FROM px),
+        |fb AS (
+        |  SELECT doc_id, nf, ncol,
+        |         n // nf + CASE WHEN f < n % nf THEN 1 ELSE 0 END AS take
+        |  FROM fr),
+        |agg AS (
+        |  SELECT doc_id, nf, ncol,
+        |         sum(8 + 10 + 1 + take + (take + 254) // 255 + 1) AS frame_bytes
+        |  FROM fb GROUP BY doc_id, nf, ncol)
+        |SELECT doc_id,
+        |       CAST(1 + doc_id % 500 AS BIGINT) AS width,
+        |       CAST(1 + doc_id % 300 AS BIGINT) AS height,
+        |       CAST(ncol AS BIGINT) AS n_colors,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(nf * (doc_id % 100) AS BIGINT) AS total_delay_cs,
+        |       CAST(13 + 3 * ncol + frame_bytes + 1 AS BIGINT) AS n_bytes
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // Ogg Vorbis replay: header fields are id arithmetic; page count
+    // is fixed (BOS + comment/setup + 3 data pages); the byte count
+    // replays the RFC 3533 page overhead (27 + lacing + body) with the
+    // fixed 58-byte BOS and 65-byte header pages
+    "q_multimodal_vorbis_meta" ->
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) AS n,
+        |         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+        |         1024 * (1 + doc_id % 4) AS tpp
+        |  FROM documents),
+        |fr AS (SELECT doc_id, n, unnest(generate_series(0, 2)) AS f FROM px),
+        |fb AS (
+        |  SELECT doc_id, n // 3 + CASE WHEN f < n % 3 THEN 1 ELSE 0 END AS take
+        |  FROM fr),
+        |agg AS (
+        |  SELECT doc_id, sum(27 + take // 255 + 1 + take) AS data_bytes
+        |  FROM fb GROUP BY doc_id)
+        |SELECT p.doc_id AS doc_id,
+        |       CAST(1 + p.doc_id % 2 AS BIGINT) AS channels,
+        |       CAST(sr AS BIGINT) AS sample_rate,
+        |       CAST(1000 * (64 + 16 * (p.doc_id % 13)) AS BIGINT) AS bitrate_nominal,
+        |       CAST(5 AS BIGINT) AS n_pages,
+        |       CAST(3 * tpp AS BIGINT) AS last_granule,
+        |       CAST(3 * tpp * 1000 // sr AS BIGINT) AS duration_ms,
+        |       CAST(58 + 65 + data_bytes AS BIGINT) AS n_bytes
+        |FROM px p JOIN agg a ON p.doc_id = a.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // EXIF replay: every field is the synthesis parameterization
     // (fixed little-endian TIFF layout, so the whole block is id
     // arithmetic); GPS-less rows (id % 4 = 0) carry empty refs/zeros
@@ -6267,6 +6358,56 @@ object SparkEntry {
             col("text").as("cue_text"))
           .orderBy("doc_id", "cue_idx")
       },
+      "q_multimodal_srt_cues" -> { (s, dir) =>
+        // SubRip cue extraction: the comma-millisecond VTT sibling,
+        // with the declared sequence number carried through
+        val srt = MultimodalOps.synthesizeSrt(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.srtCues(srt, "id", "srt").toDF()
+          .select(col("id").as("doc_id"), col("cueIdx").as("cue_idx"),
+            col("seqNo").as("seq_no"),
+            col("startMs").as("start_ms"), col("endMs").as("end_ms"),
+            col("text").as("cue_text"))
+          .orderBy("doc_id", "cue_idx")
+      },
+      "q_multimodal_webp" -> { (s, dir) =>
+        // WebP header census: RIFF chunk walk + per-flavor (VP8/VP8L/
+        // VP8X) dimension parse — no pixel decode
+        val media = MultimodalOps.synthesizeWebp(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.webpMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("format"),
+            col("width"), col("height"), col("hasAlpha").as("has_alpha"),
+            col("nChunks").as("n_chunks"), col("nBytes").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_gif" -> { (s, dir) =>
+        // GIF89a structure census: screen dims, color-table size,
+        // frame count, and total animation delay — the LZW payload is
+        // hopped via the format's own sub-block lengths, not decoded
+        val media = MultimodalOps.synthesizeGif(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.gifMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("nColors").as("n_colors"), col("nFrames").as("n_frames"),
+            col("totalDelayCs").as("total_delay_cs"),
+            col("nBytes").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_vorbis_meta" -> { (s, dir) =>
+        // Ogg Vorbis census: same verified-CRC page walk as Opus, with
+        // the Vorbis identification header and the granule-is-PCM-
+        // samples duration rule
+        val media = MultimodalOps.synthesizeVorbis(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.vorbisMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("channels"),
+            col("sampleRate").as("sample_rate"),
+            col("bitrateNominal").as("bitrate_nominal"),
+            col("nPages").as("n_pages"), col("lastGranule").as("last_granule"),
+            col("durationMs").as("duration_ms"), col("nBytes").as("n_bytes"))
+          .orderBy("doc_id")
+      },
       "q_multimodal_exif" -> { (s, dir) =>
         // EXIF census WITHOUT decode: JPEG marker walk + TIFF IFD
         // parse (orientation, make, GPS deg/min/sec rationals) — the
@@ -6413,6 +6554,15 @@ object SparkEntry {
         // literal byte counts gate it (compressOracleSql) on top of
         // the OpsSpec monotonicity/determinism properties
         TextOps.compressionRatio(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      "q_compress_zstd" -> { (s, dir) =>
+        // zstd-ratio quality signal — the lake's own codec; same
+        // golden-literal gate as the deflate flavor (deterministic at
+        // a fixed level), context reused per partition and closed when
+        // the partition drains
+        TextOps.zstdCompressionRatio(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
           .orderBy("doc_id")
       },

@@ -4651,4 +4651,496 @@ object MultimodalOps {
           new Array[Byte]((rows * cols * itemSize).toInt))
     }
   }
+
+  // ---- WebP header census (RIFF + VP8/VP8L/VP8X) -------------------
+
+  /** WebP header census — the third big web-image population next to
+    * JPEG and PNG.  A WebP file is a RIFF container (`RIFF` + u32le
+    * payload size + `WEBP`) whose first chunk picks the flavor: lossy
+    * `VP8 ` (dims in the keyframe header after the 0x9d 0x01 0x2a
+    * start code), lossless `VP8L` (14-bit dims packed little-endian
+    * after the 0x2f signature), or extended `VP8X` (24-bit canvas
+    * dims, feature flags).  Same contract as the JPEG/PNG walks: pure
+    * byte arithmetic over opaque bytes, no pixel decode, TOTAL on
+    * arbitrary input.
+    */
+  final case class WebpMeta(
+      id: Long, format: String, width: Long, height: Long,
+      hasAlpha: Long, nChunks: Long, nBytes: Long)
+
+  private[graft] def webpMetaOf(r: MediaRecord): Option[WebpMeta] = {
+    val b = r.content
+    if (b == null || b.length < 20) return None
+    def u32le(off: Int): Long =
+      (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+        (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+    def u16le(off: Int): Int = (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
+    def u24le(off: Int): Long =
+      (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 | (b(off + 2) & 0xffL) << 16
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return None
+    val riffEnd = 8L + u32le(4)
+    if (riffEnd > b.length.toLong || riffEnd < 12L) return None
+    var off = 12L
+    var nChunks = 0L
+    var format: String = null
+    var width = 0L; var height = 0L; var hasAlpha = 0L
+    while (off + 8 <= riffEnd) {
+      val o = off.toInt
+      var i = 0
+      while (i < 4) { // chunk ids are printable ASCII (RIFF rule)
+        val c = b(o + i) & 0xff
+        if (c < 0x20 || c > 0x7e) return None
+        i += 1
+      }
+      val fourcc = new String(b, o, 4, "US-ASCII")
+      val sz = u32le(o + 4)
+      val dataOff = o + 8
+      if (dataOff + sz > riffEnd) return None
+      if (nChunks == 0) {
+        format = fourcc.trim
+        fourcc match {
+          case "VP8 " =>
+            // 3-byte frame tag, then the keyframe start code, then
+            // 14-bit dims (low bits of two u16le — high 2 bits scale)
+            if (sz < 10) return None
+            if ((b(dataOff) & 1) != 0) return None // not a keyframe
+            if ((b(dataOff + 3) & 0xff) != 0x9d ||
+              (b(dataOff + 4) & 0xff) != 0x01 ||
+              (b(dataOff + 5) & 0xff) != 0x2a) return None
+            width = (u16le(dataOff + 6) & 0x3fff).toLong
+            height = (u16le(dataOff + 8) & 0x3fff).toLong
+          case "VP8L" =>
+            if (sz < 5) return None
+            if ((b(dataOff) & 0xff) != 0x2f) return None // signature
+            val bits = u32le(dataOff + 1)
+            width = (bits & 0x3fff) + 1
+            height = (bits >> 14 & 0x3fff) + 1
+            hasAlpha = bits >> 28 & 1
+            if ((bits >> 29 & 0x7) != 0) return None // version must be 0
+          case "VP8X" =>
+            if (sz < 10) return None
+            hasAlpha = (b(dataOff) >> 4 & 1).toLong
+            width = u24le(dataOff + 4) + 1
+            height = u24le(dataOff + 7) + 1
+          case _ => return None // first chunk must declare the flavor
+        }
+      }
+      nChunks += 1
+      off = dataOff + sz + (sz & 1) // chunks pad to even (RIFF rule)
+    }
+    if (format == null || off != riffEnd) None
+    else Some(WebpMeta(r.id, format, width, height, hasAlpha, nChunks,
+      b.length.toLong))
+  }
+
+  def webpMeta(ds: Dataset[MediaRecord]): Dataset[WebpMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(webpMetaOf))
+  }
+
+  /** Per-row WebP synthesis: flavor `id % 3` (VP8 / VP8L / VP8X),
+    * dims `1 + id % 997` × `1 + id % 737` (inside the lossy 14-bit
+    * limit), alpha `id % 2` where the flavor can carry it, and the
+    * document's UTF-8 bytes ride in a second `XPAY` chunk — so every
+    * census field including the total byte count replays from
+    * (id, octet_length(text)) in plain SQL.
+    */
+  def synthesizeWebp(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val w = 1 + (id % 997).toInt
+        val h = 1 + (id % 737).toInt
+        val alpha = (id % 2).toInt
+        def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        val fmtChunk: Array[Byte] = (id % 3) match {
+          case 0 => // VP8 : frame tag (keyframe) + start code + dims
+            "VP8 ".getBytes("US-ASCII") ++ u32a(10L) ++
+              Array[Byte](0x30, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+              Array[Byte](w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte)
+          case 1 => // VP8L: signature + packed 14-bit dims + alpha
+            val bits = (w - 1).toLong | (h - 1).toLong << 14 | alpha.toLong << 28
+            "VP8L".getBytes("US-ASCII") ++ u32a(5L) ++
+              (0x2f.toByte +: u32a(bits)) ++ Array[Byte](0) // odd size: pad
+          case _ => // VP8X: flags + reserved + 24-bit canvas dims
+            "VP8X".getBytes("US-ASCII") ++ u32a(10L) ++
+              Array[Byte]((alpha << 4).toByte, 0, 0, 0,
+                (w - 1).toByte, ((w - 1) >> 8).toByte, ((w - 1) >> 16).toByte,
+                (h - 1).toByte, ((h - 1) >> 8).toByte, ((h - 1) >> 16).toByte)
+        }
+        val payChunk = "XPAY".getBytes("US-ASCII") ++
+          u32a(payload.length.toLong) ++ payload ++
+          (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+        val riffLen = 4L + fmtChunk.length + payChunk.length
+        val out = "RIFF".getBytes("US-ASCII") ++ u32a(riffLen) ++
+          "WEBP".getBytes("US-ASCII") ++ fmtChunk ++ payChunk
+        MediaRecord(id, "image/webp", out)
+      }
+  }
+
+  // ---- GIF header census -------------------------------------------
+
+  /** GIF89a structure census — the animation-bearing web-image
+    * population: logical screen dims, global-color-table size, the
+    * frame count (image descriptors), and the total animation delay
+    * from the per-frame Graphic Control Extensions.  The LZW payload
+    * is walked STRUCTURALLY (sub-block length hops — the format's own
+    * skip mechanism) without decoding, like every parser in this
+    * family.  Strict framing: the walk must end exactly at the 0x3B
+    * trailer as the file's last byte, so a truncated tail fails the
+    * census instead of under-counting.
+    */
+  final case class GifMeta(
+      id: Long, width: Long, height: Long, nColors: Long,
+      nFrames: Long, totalDelayCs: Long, nBytes: Long)
+
+  private[graft] def gifMetaOf(r: MediaRecord): Option[GifMeta] = {
+    val b = r.content
+    if (b == null || b.length < 14) return None
+    def u16le(off: Int): Int = (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    val width = u16le(6).toLong
+    val height = u16le(8).toLong
+    val packed = b(10) & 0xff
+    val nColors = if ((packed & 0x80) != 0) 1L << ((packed & 7) + 1) else 0L
+    var off = 13 + (if ((packed & 0x80) != 0) 3 * nColors.toInt else 0)
+    var nFrames = 0L
+    var totalDelayCs = 0L
+    // hop sub-blocks (len byte + payload, 0x00 terminator); -1 = overrun
+    def skipSubBlocks(from: Int): Int = {
+      var p = from
+      while (p < b.length && b(p) != 0) {
+        p += 1 + (b(p) & 0xff)
+        if (p > b.length) return -1
+      }
+      if (p >= b.length) -1 else p + 1
+    }
+    while (off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x3b => // trailer: must be the last byte (strict framing)
+          return if (off == b.length - 1)
+            Some(GifMeta(r.id, width, height, nColors, nFrames,
+              totalDelayCs, b.length.toLong))
+          else None
+        case 0x21 => // extension: label + sub-blocks
+          if (off + 2 > b.length) return None
+          val label = b(off + 1) & 0xff
+          if (label == 0xf9 && off + 7 <= b.length && (b(off + 2) & 0xff) == 4)
+            totalDelayCs += u16le(off + 4).toLong // GCE delay, centiseconds
+          off = skipSubBlocks(off + 2)
+          if (off < 0) return None
+        case 0x2c => // image descriptor
+          if (off + 10 > b.length) return None
+          val ipacked = b(off + 9) & 0xff
+          var p = off + 10
+          if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1))
+          if (p + 1 > b.length) return None
+          p += 1 // LZW minimum code size
+          off = skipSubBlocks(p)
+          if (off < 0) return None
+          nFrames += 1
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  def gifMeta(ds: Dataset[MediaRecord]): Dataset[GifMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(gifMetaOf))
+  }
+
+  /** Per-row GIF89a synthesis: screen `1 + id % 500` × `1 + id % 300`,
+    * a global color table of `2^(1 + id % 8)` entries, `1 + id % 3`
+    * frames each preceded by a GCE with delay `id % 100` cs, and the
+    * document's UTF-8 bytes split evenly across the frames' data
+    * sub-blocks (≤ 255 B each, the format's own chunking) — the whole
+    * census INCLUDING the total byte count replays from
+    * (id, octet_length(text)) with integer arithmetic.
+    */
+  def synthesizeGif(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val w = 1 + (id % 500).toInt
+        val h = 1 + (id % 300).toInt
+        val gctBits = (id % 8).toInt
+        val nColors = 1 << (gctBits + 1)
+        val nFrames = 1 + (id % 3).toInt
+        val delay = (id % 100).toInt
+        val out = Array.newBuilder[Byte]
+        out ++= "GIF89a".getBytes("US-ASCII")
+        out += w.toByte; out += (w >> 8).toByte
+        out += h.toByte; out += (h >> 8).toByte
+        out += (0x80 | gctBits).toByte // GCT present, size bits
+        out += 0; out += 0             // bg index, aspect
+        out ++= new Array[Byte](3 * nColors)
+        var f = 0
+        var from = 0
+        while (f < nFrames) {
+          val take = payload.length / nFrames +
+            (if (f < payload.length % nFrames) 1 else 0)
+          out ++= Array[Byte](0x21, 0xf9.toByte, 4, 0,
+            delay.toByte, (delay >> 8).toByte, 0, 0) // GCE
+          out += 0x2c                                // image descriptor
+          out += 0; out += 0; out += 0; out += 0     // left, top
+          out += w.toByte; out += (w >> 8).toByte
+          out += h.toByte; out += (h >> 8).toByte
+          out += 0                                   // no LCT
+          out += 8                                   // LZW min code size
+          var rem = take
+          var p = from
+          while (rem > 0) {
+            val blk = math.min(255, rem)
+            out += blk.toByte
+            out ++= java.util.Arrays.copyOfRange(payload, p, p + blk)
+            p += blk; rem -= blk
+          }
+          out += 0 // sub-block terminator
+          from += take
+          f += 1
+        }
+        out += 0x3b
+        MediaRecord(id, "image/gif", out.result())
+      }
+  }
+
+  // ---- Ogg Vorbis identification-header census ---------------------
+
+  /** Ogg Vorbis stream census — the Vorbis sibling of [[opusMetaOf]],
+    * sharing the RFC 3533 page walk and real CRC verification.  The
+    * identification header (packet 1, its own BOS page per spec) is
+    * `0x01 "vorbis"` + u32le version (must be 0) + u8 channels +
+    * u32le sample rate + the three u32le bitrate fields + the
+    * blocksize byte + a framing bit.  Duration is exact integer
+    * arithmetic: the last page's granule position IS the PCM sample
+    * count at that page's end (Vorbis I spec §A.2).
+    */
+  final case class VorbisMeta(
+      id: Long, channels: Long, sampleRate: Long, bitrateNominal: Long,
+      nPages: Long, lastGranule: Long, durationMs: Long, nBytes: Long)
+
+  private[graft] def vorbisMetaOf(r: MediaRecord): Option[VorbisMeta] = {
+    val b = r.content
+    if (b == null || b.length < 58) return None
+    var off = 0
+    var nPages = 0L
+    var lastGranule = 0L
+    var head: Option[(Int, Long, Long)] = None // (channels, rate, brNominal)
+    while (off + 27 <= b.length) {
+      if (!(b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' &&
+        b(off + 3) == 'S')) return None
+      if (b(off + 4) != 0) return None
+      val granule = java.lang.Long.reverseBytes(u64be(b, off + 6))
+      val nSegs = b(off + 26) & 0xff
+      if (off + 27 + nSegs > b.length) return None
+      var bodyLen = 0
+      var i = 0
+      while (i < nSegs) { bodyLen += b(off + 27 + i) & 0xff; i += 1 }
+      val pageLen = 27 + nSegs + bodyLen
+      if (off + pageLen > b.length) return None
+      // verify the RFC 3533 page CRC — a corrupt page fails the census
+      val stored = (b(off + 22) & 0xffL) | (b(off + 23) & 0xffL) << 8 |
+        (b(off + 24) & 0xffL) << 16 | (b(off + 25) & 0xffL) << 24
+      if (oggCrc(b, off, pageLen, 22) != stored) return None
+      if (nPages == 0) {
+        // BOS page: the identification header, alone per spec
+        val p = off + 27 + nSegs
+        if (bodyLen < 30) return None
+        if ((b(p) & 0xff) != 0x01 ||
+          new String(b, p + 1, 6, "US-ASCII") != "vorbis") return None
+        def u32le(o: Int): Long = (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+          (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+        if (u32le(p + 7) != 0L) return None // vorbis_version
+        val channels = b(p + 11) & 0xff
+        val rate = u32le(p + 12)
+        val brNom = u32le(p + 20)
+        if (channels == 0 || rate == 0L) return None
+        if ((b(p + 29) & 1) != 1) return None // framing bit
+        head = Some((channels, rate, brNom))
+      }
+      if (granule > 0) lastGranule = granule
+      nPages += 1
+      off += pageLen
+    }
+    head match {
+      case Some((ch, rate, brNom)) if off == b.length =>
+        Some(VorbisMeta(r.id, ch.toLong, rate, brNom, nPages, lastGranule,
+          lastGranule * 1000L / rate, b.length.toLong))
+      case _ => None
+    }
+  }
+
+  def vorbisMeta(ds: Dataset[MediaRecord]): Dataset[VorbisMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(vorbisMetaOf))
+  }
+
+  private[graft] val VorbisDataPages = 3
+
+  /** Per-row Ogg Vorbis synthesis, the [[synthesizeOpus]] sibling: a
+    * BOS page with the identification header (channels `1 + id % 2`,
+    * rate `[44100, 48000, 32000][id % 3]`, nominal bitrate
+    * `1000 · (64 + 16 · (id % 13))`), one page carrying comment +
+    * setup-stub packets, then [[VorbisDataPages]] data pages splitting
+    * the document's UTF-8 bytes, granule advancing `1024 · (1 + id %
+    * 4)` samples per page, EOS on the last.  All page CRCs are real.
+    */
+  def synthesizeVorbis(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val channels = 1 + (id % 2).toInt
+        val rate = Array(44100L, 48000L, 32000L)((id % 3).toInt)
+        val brNom = 1000L * (64 + 16 * (id % 13))
+        val ticksPerPage = 1024L * (1 + (id % 4).toInt)
+        def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        def u64a(v: Long) = u32a(v & 0xffffffffL) ++ u32a(v >>> 32)
+        def lacing(n: Int): Array[Byte] = {
+          val bld = Array.newBuilder[Byte]
+          var rest = n
+          while (rest >= 255) { bld += 255.toByte; rest -= 255 }
+          bld += rest.toByte
+          bld.result()
+        }
+        def page(flags: Int, granule: Long, seq: Int,
+            packets: Array[Array[Byte]]): Array[Byte] = {
+          val segs = packets.flatMap(p => lacing(p.length))
+          require(segs.length <= 255,
+            s"synthesizeVorbis: ${segs.length} lacing values exceed the " +
+              "255-per-page Ogg limit (doc too large)")
+          val out = "OggS".getBytes("US-ASCII") ++ Array[Byte](0, flags.toByte) ++
+            u64a(granule) ++ u32a(0x7a11 + (id & 0xffff)) ++ u32a(seq.toLong) ++
+            u32a(0L) ++ Array(segs.length.toByte) ++ segs ++ packets.flatten
+          val crc = oggCrc(out, 0, out.length, 22)
+          System.arraycopy(u32a(crc), 0, out, 22, 4)
+          out
+        }
+        val ident = Array[Byte](0x01) ++ "vorbis".getBytes("US-ASCII") ++
+          u32a(0L) ++ Array(channels.toByte) ++ u32a(rate) ++
+          u32a(0L) ++ u32a(brNom) ++ u32a(0L) ++
+          Array[Byte](0xb8.toByte, 0x01) // blocksizes 2^8/2^11, framing
+        val vendor = "graft".getBytes("US-ASCII")
+        val comment = Array[Byte](0x03) ++ "vorbis".getBytes("US-ASCII") ++
+          u32a(vendor.length.toLong) ++ vendor ++ u32a(0L) ++ Array[Byte](1)
+        val setupStub = Array[Byte](0x05) ++ "vorbis".getBytes("US-ASCII") ++
+          new Array[Byte](8)
+        val out = Array.newBuilder[Byte]
+        out ++= page(0x02, 0L, 0, Array(ident))
+        out ++= page(0x00, 0L, 1, Array(comment, setupStub))
+        var f = 0
+        var from = 0
+        val n = payload.length
+        while (f < VorbisDataPages) {
+          val take = n / VorbisDataPages + (if (f < n % VorbisDataPages) 1 else 0)
+          val eos = if (f == VorbisDataPages - 1) 0x04 else 0x00
+          out ++= page(eos, ticksPerPage * (f + 1), 2 + f,
+            Array(java.util.Arrays.copyOfRange(payload, from, from + take)))
+          from += take
+          f += 1
+        }
+        MediaRecord(id, "audio/vorbis", out.result())
+      }
+  }
+
+  // ---- SRT subtitle cues -------------------------------------------
+
+  /** One parsed SubRip cue: the declared sequence number, the cue's
+    * position in parse order, exact integer millisecond bounds, and
+    * the payload text.
+    */
+  final case class SrtCue(
+      id: Long, cueIdx: Long, seqNo: Long, startMs: Long, endMs: Long,
+      text: String)
+
+  private val SrtTiming =
+    """(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3}).*""".r
+
+  /** SubRip (.srt) cue extraction — the WebVTT sibling with the
+    * comma-millisecond timestamp and a mandatory numeric sequence
+    * line.  Same totality contract as [[vttCuesOf]]: malformed lines
+    * are skipped, never thrown on; a timing line with no preceding
+    * sequence number still yields a cue (seqNo −1), matching how
+    * real-world tooling tolerates renumbered files.
+    */
+  private[graft] def srtCuesOf(id: Long, srt: String): Seq[SrtCue] = {
+    if (srt == null) return Nil
+    val lines = srt.split("\n", -1).map(_.stripLineEnd)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SrtCue]
+    var i = 0
+    var cueIdx = 0L
+    def ms(h: String, m: String, s: String, t: String): Long =
+      h.toLong * 3600000L + m.toLong * 60000L + s.toLong * 1000L + t.toLong
+    while (i < lines.length) {
+      lines(i) match {
+        case SrtTiming(h1, m1, s1, t1, h2, m2, s2, t2) =>
+          val seqNo =
+            if (i > 0 && lines(i - 1).nonEmpty &&
+              lines(i - 1).forall(_.isDigit) && lines(i - 1).length <= 9)
+              lines(i - 1).toLong
+            else -1L
+          val st = ms(h1, m1, s1, t1)
+          val en = ms(h2, m2, s2, t2)
+          i += 1
+          val text = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (i < lines.length && lines(i).nonEmpty) {
+            text += lines(i); i += 1
+          }
+          out += SrtCue(id, cueIdx, seqNo, st, en, text.mkString("\n"))
+          cueIdx += 1
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  def srtCues(df: DataFrame, idCol: String, srtCol: String): Dataset[SrtCue] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(srtCol).as("v"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, v) => srtCuesOf(id, v) })
+  }
+
+  /** Per-row SubRip synthesis: `1 + id % 5` cues; cue k is numbered
+    * `k + 1`, spans `[k·(1800 + id % 400), +1200 + id % 250)` ms, and
+    * carries the document's whitespace tokens `[4k, 4k + 4)` — census,
+    * timings, and payload all replay from (id, text) in plain SQL.
+    */
+  def synthesizeSrt(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val nc = 1 + (id % 5).toInt
+        val sb = new StringBuilder
+        def ts(msv: Long): String =
+          f"${msv / 3600000}%02d:${msv / 60000 % 60}%02d:${msv / 1000 % 60}%02d,${msv % 1000}%03d"
+        var k = 0
+        while (k < nc) {
+          val st = k.toLong * (1800 + id % 400)
+          val en = st + 1200 + id % 250
+          sb.append(k + 1).append('\n')
+          sb.append(ts(st)).append(" --> ").append(ts(en)).append('\n')
+          sb.append(toks.slice(k * 4, k * 4 + 4).mkString(" ")).append("\n\n")
+          k += 1
+        }
+        (id, sb.result())
+      }
+      .toDF("id", "srt")
+  }
 }

@@ -855,6 +855,50 @@ object TextOps {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Zstandard flavor of [[compressionRatio]] — the codec the lake
+    * itself runs on (parquet's default), so its ratio is the quality
+    * signal most predictive of real storage cost.  Same execution
+    * shape: one `mapPartitions` with the native compression context
+    * reused across the partition (zstd-jni ships with Spark), rows
+    * streaming through, the context CLOSED when the partition drains
+    * (it holds off-heap memory — the tarGz lesson: native resources
+    * release on every exit path, not at finalization).  Deterministic
+    * for a fixed level, so the oracle is a golden-literal pin exactly
+    * like the deflate flavor's.
+    */
+  def zstdCompressionRatio(
+      df: DataFrame, idCol: String, textCol: String,
+      level: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val outSchema = StructType(in.schema.fields(0) +: Array(
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_zstd", LongType, nullable = false),
+      StructField("ratio", DoubleType, nullable = false)))
+    in.mapPartitions { it =>
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      ctx.setLevel(level)
+      var closed = false
+      new scala.collection.AbstractIterator[Row] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !closed) { closed = true; ctx.close() }
+          h
+        }
+        def next(): Row = {
+          val row = it.next()
+          val text = if (row.isNullAt(1)) "" else row.getString(1)
+          val bytes = text.getBytes("UTF-8")
+          val n = ctx.compress(bytes).length.toLong
+          val ratio =
+            if (bytes.length > 0) n.toDouble / bytes.length else 1.0
+          Row(row.get(0), bytes.length.toLong, n, ratio)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Per-document top-k TF-IDF terms — the classic "what is this
     * document about" keywords: `tf · ln(N / df)` with raw corpus
     * counts (N = doc count, df = docs containing the term).  Rank

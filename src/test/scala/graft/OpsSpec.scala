@@ -1009,7 +1009,16 @@ class OpsSpec extends AnyFunSuite {
       ("safetensors", MultimodalOps.synthesizeSafetensors(docs, "doc_id")
         .collect().map(_.content), r => MultimodalOps.safetensorsOf(r)),
       ("npy", MultimodalOps.synthesizeNpy(docs, "doc_id")
-        .collect().map(_.content), r => MultimodalOps.npyMetaOf(r)))
+        .collect().map(_.content), r => MultimodalOps.npyMetaOf(r)),
+      ("webp", MultimodalOps.synthesizeWebp(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.webpMetaOf(r)),
+      ("gif", MultimodalOps.synthesizeGif(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.gifMetaOf(r)),
+      ("vorbis", MultimodalOps.synthesizeVorbis(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.vorbisMetaOf(r)),
+      ("srt", MultimodalOps.synthesizeSrt(docs, "doc_id", "text")
+        .collect().map(r => r.getString(1).getBytes("UTF-8")),
+        r => MultimodalOps.srtCuesOf(r.id, new String(r.content, "UTF-8"))))
     // the pre-r13 walks take attacker-controlled offsets too (box
     // sizes, EBML varints, SPS bit reads, trun tables) — same contract
     val mjpeg = MultimodalOps.synthesizeMjpegMp4(docs, "doc_id", 32, 24, 3, 2)
@@ -3397,6 +3406,159 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
     assert(again == got)
+  }
+
+  test("zstd ratio: repetition compresses, determinism holds, fixture pins runtime") {
+    import spark.implicits._
+    val repetitive = "spam ham " * 200
+    val varied = (1 to 400).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, repetitive), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.zstdCompressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L)._3 < 0.1, s"repetitive ratio ${got(1L)._3}")
+    assert(got(1L)._3 < got(2L)._3 / 3)
+    assert(got(3L) == ((0L, got(3L)._2, 1.0)))
+    val again = TextOps.zstdCompressionRatio(df.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(again == got)
+    // the golden fixture is not a second truth: runtime at the default
+    // level over sf0.01 must reproduce it bit-for-bit
+    val fixture = Golden.load("sf0.01_compress_zstd_l3.json").rows
+      .map(r => (r(0).toString.toDouble.toLong,
+        (r(1).toString.toDouble.toLong, r(2).toString.toDouble.toLong))).toMap
+    val runtime = TextOps.zstdCompressionRatio(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(runtime == fixture, "zstd runtime byte counts must equal the fixture")
+  }
+
+  test("webp census: hand-built flavors parse; malformed fail loud") {
+    import graft.ops.MultimodalOps
+    def u32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def riff(chunks: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ u32(4L + chunks.length) ++
+        "WEBP".getBytes("US-ASCII") ++ chunks
+    // VP8 lossy: 320x240, keyframe start code
+    val vp8 = riff("VP8 ".getBytes ++ u32(10) ++
+      Array[Byte](0x30, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+        64, 1, /* 320 */ 0xf0.toByte, 0 /* 240 */))
+    val m1 = MultimodalOps.webpMetaOf(
+      MultimodalOps.MediaRecord(1L, "image/webp", vp8)).get
+    assert(m1 == MultimodalOps.WebpMeta(1L, "VP8", 320L, 240L, 0L, 1L, vp8.length.toLong))
+    // VP8L lossless: 17x9 with alpha -> bits = 16 | 8<<14 | 1<<28
+    val bits = 16L | 8L << 14 | 1L << 28
+    val vp8l = riff("VP8L".getBytes ++ u32(5) ++
+      (0x2f.toByte +: u32(bits)) ++ Array[Byte](0))
+    val m2 = MultimodalOps.webpMetaOf(
+      MultimodalOps.MediaRecord(2L, "image/webp", vp8l)).get
+    assert(m2 == MultimodalOps.WebpMeta(2L, "VP8L", 17L, 9L, 1L, 1L, vp8l.length.toLong))
+    // VP8X extended: 100000x50000 canvas (24-bit), alpha flag, 2nd chunk
+    val vp8x = riff("VP8X".getBytes ++ u32(10) ++
+      Array[Byte](0x10, 0, 0, 0,
+        0x9f.toByte, 0x86.toByte, 0x01, /* 99999 = 0x1869f */
+        0x4f.toByte, 0xc3.toByte, 0x00 /* 49999 = 0xc34f */) ++
+      "XPAY".getBytes ++ u32(3) ++ Array[Byte](7, 8, 9, 0))
+    val m3 = MultimodalOps.webpMetaOf(
+      MultimodalOps.MediaRecord(3L, "image/webp", vp8x)).get
+    assert(m3 == MultimodalOps.WebpMeta(3L, "VP8X", 100000L, 50000L, 1L, 2L, vp8x.length.toLong))
+    // malformed: non-keyframe VP8, bad VP8L version, unknown first
+    // chunk, truncated chunk -> all None, never a throw
+    val nonKey = vp8.clone(); nonKey(20) = 0x31
+    assert(MultimodalOps.webpMetaOf(MultimodalOps.MediaRecord(4L, "x", nonKey)).isEmpty)
+    val badVer = riff("VP8L".getBytes ++ u32(5) ++
+      (0x2f.toByte +: u32(bits | 0x2L << 29)) ++ Array[Byte](0))
+    assert(MultimodalOps.webpMetaOf(MultimodalOps.MediaRecord(5L, "x", badVer)).isEmpty)
+    val unknownFirst = riff("JUNK".getBytes ++ u32(2) ++ Array[Byte](1, 2))
+    assert(MultimodalOps.webpMetaOf(MultimodalOps.MediaRecord(6L, "x", unknownFirst)).isEmpty)
+    assert(MultimodalOps.webpMetaOf(
+      MultimodalOps.MediaRecord(7L, "x", vp8.take(vp8.length - 3))).isEmpty)
+  }
+
+  test("gif census: hand-built animation parses; strict trailer framing") {
+    import graft.ops.MultimodalOps
+    val out = Array.newBuilder[Byte]
+    out ++= "GIF89a".getBytes("US-ASCII")
+    out ++= Array[Byte](10, 0, 7, 0)          // 10 x 7
+    out += (0x80 | 1).toByte                   // GCT, 4 colors
+    out += 0; out += 0
+    out ++= new Array[Byte](12)                // 4-color table
+    // frame 1: GCE delay 25cs + descriptor + 2 data sub-blocks
+    out ++= Array[Byte](0x21, 0xf9.toByte, 4, 0, 25, 0, 0, 0)
+    out ++= Array[Byte](0x2c, 0, 0, 0, 0, 10, 0, 7, 0, 0, 8)
+    out ++= Array[Byte](3, 1, 2, 3, 2, 4, 5, 0)
+    // frame 2: GCE delay 50cs + descriptor + no data
+    out ++= Array[Byte](0x21, 0xf9.toByte, 4, 0, 50, 0, 0, 0)
+    out ++= Array[Byte](0x2c, 0, 0, 0, 0, 10, 0, 7, 0, 0, 8, 0)
+    // a comment extension the walk must hop structurally
+    out ++= Array[Byte](0x21, 0xfe.toByte, 2, 'h', 'i', 0)
+    out += 0x3b.toByte
+    val gif = out.result()
+    val m = MultimodalOps.gifMetaOf(
+      MultimodalOps.MediaRecord(1L, "image/gif", gif)).get
+    assert(m == MultimodalOps.GifMeta(1L, 10L, 7L, 4L, 2L, 75L, gif.length.toLong))
+    // GIF87a accepted too (no GCEs there in practice, parser is lax)
+    val g87 = gif.clone(); g87(4) = '7'
+    assert(MultimodalOps.gifMetaOf(
+      MultimodalOps.MediaRecord(2L, "x", g87)).nonEmpty)
+    // strict framing: bytes after the trailer, or no trailer -> None
+    assert(MultimodalOps.gifMetaOf(
+      MultimodalOps.MediaRecord(3L, "x", gif ++ Array[Byte](0))).isEmpty)
+    assert(MultimodalOps.gifMetaOf(
+      MultimodalOps.MediaRecord(4L, "x", gif.take(gif.length - 1))).isEmpty)
+  }
+
+  test("vorbis census: ident fields parse and a corrupt page CRC fails the census") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "alpha beta gamma delta epsilon zeta"), (6L, ""))
+      .toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeVorbis(docs, "doc_id", "text").collect()
+    val m5 = MultimodalOps.vorbisMetaOf(media.find(_.id == 5L).get).get
+    // id 5: channels 2, rate 32000, brNom 1000*(64+16*5), tpp 1024*2
+    assert(m5.channels == 2L && m5.sampleRate == 32000L)
+    assert(m5.bitrateNominal == 1000L * (64 + 16 * 5))
+    assert(m5.nPages == 5L && m5.lastGranule == 3L * 2048L)
+    assert(m5.durationMs == 3L * 2048L * 1000L / 32000L)
+    val m6 = MultimodalOps.vorbisMetaOf(media.find(_.id == 6L).get).get
+    assert(m6.nPages == 5L) // empty doc still carries its page census
+    // flip one body byte in the LAST page: its CRC no longer matches
+    val corrupt = media.find(_.id == 5L).get.content.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x01).toByte
+    assert(MultimodalOps.vorbisMetaOf(
+      MultimodalOps.MediaRecord(5L, "audio/vorbis", corrupt)).isEmpty,
+      "a corrupt page must fail the census, not mis-count")
+  }
+
+  test("srt cues: declared numbering, comma timings, renumber tolerance") {
+    import graft.ops.MultimodalOps
+    val srt =
+      """1
+        |00:00:01,500 --> 00:00:04,000
+        |first line
+        |second line
+        |
+        |41
+        |01:02:03,004 --> 01:02:59,999
+        |later cue
+        |
+        |00:10:00,000 --> 00:10:01,000
+        |no sequence line
+        |""".stripMargin
+    val cues = MultimodalOps.srtCuesOf(9L, srt)
+    assert(cues.length == 3)
+    assert(cues(0) == MultimodalOps.SrtCue(9L, 0L, 1L, 1500L, 4000L,
+      "first line\nsecond line"))
+    assert(cues(1) == MultimodalOps.SrtCue(9L, 1L, 41L,
+      3723004L, 3779999L, "later cue"))
+    // real-world renumbered/missing sequence: cue still extracted
+    assert(cues(2) == MultimodalOps.SrtCue(9L, 2L, -1L,
+      600000L, 601000L, "no sequence line"))
+    assert(MultimodalOps.srtCuesOf(1L, null).isEmpty)
+    assert(MultimodalOps.srtCuesOf(1L, "not a subtitle file").isEmpty)
   }
 
   test("tf-idf top terms: exact keywords on a crafted corpus") {
