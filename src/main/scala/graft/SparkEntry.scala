@@ -4627,6 +4627,31 @@ object SparkEntry {
       labelA: String, a: (SparkSession, String) => DataFrame,
       labelB: String, b: (SparkSession, String) => DataFrame)
 
+  /** PipelineDemo's stage-1+2 sub-chain (quality gate → exact star +
+    * token-Jaccard pairs → connected components → canonical purge),
+    * replicated verbatim for the same-code `pipeline_dedup_smear`
+    * arm — keep in sync with `PipelineDemo` if the stage changes.
+    */
+  private def pipelineDedupStage(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val quality = TextOps.repetitionStats(
+        TextOps.qualityMetrics(docs, "text"), "text", 2)
+      .where(col("quality_score") >= 0.5 && col("dup_gram_frac") <= 0.5)
+      .select(docs.columns.map(col): _*)
+      .withColumn("text", TextOps.dedupParagraphs(col("text")))
+    val exactPairs = DedupOps.exactDupMembers(quality, "text", "doc_id")
+      .join(DedupOps.exactDupGroups(quality, "text", "doc_id")
+        .select("content_hash", "keep_id"), "content_hash")
+      .where(col("id") =!= col("keep_id"))
+      .select(col("keep_id").as("id_a"), col("id").as("id_b"))
+    val nearPairs = DedupOps
+      .tokenJaccardPairs(quality, "text", "doc_id", "n_chars", 0.7)
+      .select("id_a", "id_b")
+    val cc = ClusterOps.connectedComponents(
+      exactPairs.union(nearPairs), "id_a", "id_b")
+    ClusterOps.dedupedCorpus(quality, "doc_id", cc)
+  }
+
   private def fuzzyLinkOn(
       s: SparkSession, dir: String, bandedVerify: Boolean): DataFrame = {
     // the q_fuzzy_link fixture: one-char deletions over 48-char keys
@@ -4765,6 +4790,30 @@ object SparkEntry {
     "graph_triangles_smear" -> AbVariant(
       "triangles(current)", (s, dir) => queries("q_triangles")(s, dir),
       "triangles(current)", (s, dir) => queries("q_triangles")(s, dir)),
+    // r14: same-code smear arm for q_pipeline_e2e's dedup_purge stage
+    // (the one r13 cross-record stage delta, 1.64 → 2.50 s, not yet
+    // covered by the protocol).  Both arms run the pipeline's exact
+    // quality-gate → exact/near pairs → CC → purge sub-chain; the
+    // interleaved A/A delta IS the host-drift band for this plan
+    // shape, and the absolute medians adjudicate the r12→r13 records.
+    "pipeline_dedup_smear" -> AbVariant(
+      "pipeline dedup stage(current)", pipelineDedupStage,
+      "pipeline dedup stage(current)", pipelineDedupStage),
+    // r14: the approxCutpoints evidence gap (VERDICT r13 #6) — run on
+    // the GenSelSkew fixture (SPARK_GRAFT_SF_DIR=/tmp/selskew), where
+    // 90% of documents share one language: the exact arm's per-lang
+    // ntile sorts the hot language in ONE window task; the sketch arm
+    // replaces it with a mergeable percentile_approx agg + broadcast
+    // cut-point join.  Same rarity-stats prefix in both arms, so the
+    // delta isolates the bucketing strategy.
+    "selection_approx_buckets" -> AbVariant(
+      "approxCutpoints(sketch)",
+      (s, dir) => SelectionOps.perplexityBuckets(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang",
+        approxCutpoints = true),
+      "exact per-lang ntile",
+      (s, dir) => SelectionOps.perplexityBuckets(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "lang")),
     // r13 change: the eval guard is fused into the metric's own plan
     // (limit bounding the window input + an assert on a count riding
     // the existing pass — zero extra jobs, zero persist, ONE corpus

@@ -1,0 +1,149 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.ops.MultimodalOps
+import graft.ops.MultimodalOps.MediaRecord
+
+/** Design-size shard probe: exercises the one-row-per-shard memory
+  * contract (SCALE.md §shard census) with shards in the 100 MB–1 GB
+  * range the design actually targets — the oracle queries cover the
+  * census LOGIC at one-small-shard-per-document granularity, so until
+  * this probe nothing had executed a WebDataset-realistic shard (one
+  * tar aggregating thousands of members) through the walk.
+  *
+  * Per-task bound under test: ONE raw shard byte[] for the ustar walk
+  * (no member extraction — offsets are header arithmetic), plus ONE
+  * inflated copy for the `.tar.gz` path (the bomb-guard's knob).
+  * Synthesis and census run in the SAME stage (the map feeds the
+  * flatMap pipeline-fused), so exactly `concurrency` shards are in
+  * flight at once and nothing shard-sized is shuffled or collected —
+  * the executor-memory shape a 1000-task cluster pass has.
+  *
+  * Member payloads are LCG-filled (deterministic, ~incompressible) for
+  * the raw walk; the gz flavor uses zero-filled payloads on purpose:
+  * a high-ratio stream is the bomb-guard-adjacent case — a ~1 GB
+  * inflation from a few MB compressed — that the guard must ADMIT at
+  * the design boundary and reject beyond it.
+  *
+  * Usage: runMain graft.tools.ShardProbe <nShards> <memberKB>
+  *          <membersPerShard> <tar|targz> [concurrency]
+  * Prints one JSON line: shard/member census counts, aggregate bytes,
+  * wall seconds, effective GB/s.
+  */
+object ShardProbe extends Serializable {
+  def main(args: Array[String]): Unit = {
+    val nShards = args(0).toInt
+    val memberKB = args(1).toInt
+    val membersPerShard = args(2).toInt
+    val fmt = args(3)
+    val conc = if (args.length > 4) args(4).toInt else 8
+    require(fmt == "tar" || fmt == "targz", s"fmt $fmt must be tar|targz")
+    val spark = SparkSession.builder()
+      .master(s"local[$conc]")
+      .config("spark.sql.shuffle.partitions", conc)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val memberBytes = memberKB * 1024
+    val paddedMember = 512 + (memberBytes + 511) / 512 * 512
+    val shardBytes = membersPerShard.toLong * paddedMember + 1024L
+
+    def buildShard(id: Long): Array[Byte] = {
+      val out = new Array[Byte](shardBytes.toInt)
+      var off = 0
+      var m = 0
+      var lcg = id * 6364136223846793005L + 1442695040888963407L
+      while (m < membersPerShard) {
+        val h = tarHeader(f"sample$m%07d.bin", memberBytes.toLong)
+        System.arraycopy(h, 0, out, off, 512)
+        off += 512
+        if (fmt == "tar") { // LCG fill; targz keeps zeros for high ratio
+          var i = 0
+          while (i < memberBytes) {
+            lcg = lcg * 6364136223846793005L + 1442695040888963407L
+            out(off + i) = (lcg >>> 56).toByte
+            i += 1
+          }
+        }
+        off += paddedMember - 512
+        m += 1
+      }
+      out // trailing 1024 zero bytes are the two-zero-block trailer
+    }
+
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(1 << 20)
+      val gz = new java.util.zip.GZIPOutputStream(bos, 1 << 16)
+      gz.write(b); gz.close()
+      bos.toByteArray
+    }
+
+    val shards = spark.range(0, nShards, 1, nShards).as[Long].map { id =>
+      val raw = buildShard(id)
+      if (fmt == "tar") MediaRecord(id, "application/x-tar", raw)
+      else MediaRecord(id, "application/gzip", gzip(raw))
+    }
+
+    val t0 = System.nanoTime()
+    val members =
+      if (fmt == "tar") MultimodalOps.tarMembers(shards)
+      else MultimodalOps.tarGzMembers(shards)
+    val agg = members.toDF().agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("id")),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("size"))).head()
+    val (nMembers, nShardsSeen, sumSizes) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val wall = (System.nanoTime() - t0) / 1e9
+    val totalRaw = nShards.toLong * shardBytes
+    require(nShardsSeen == nShards.toLong,
+      s"census saw $nShardsSeen shards, expected $nShards (a shard failed its walk)")
+    require(nMembers == nShards.toLong * membersPerShard,
+      s"census saw $nMembers members, expected ${nShards.toLong * membersPerShard}")
+    require(sumSizes == nShards.toLong * membersPerShard * memberBytes,
+      "member size sum mismatch")
+    println(
+      s"""{"probe":"shard_census","fmt":"$fmt","n_shards":$nShards,""" +
+      s""""shard_mb":${shardBytes / 1048576},"members_per_shard":$membersPerShard,""" +
+      s""""member_kb":$memberKB,"concurrency":$conc,"n_members":$nMembers,""" +
+      s""""total_raw_gb":${f"${totalRaw / 1073741824.0}%.2f"},"wall_sec":${f"$wall%.2f"},""" +
+      s""""gb_per_sec":${f"${totalRaw / 1073741824.0 / wall}%.2f"}}""")
+    spark.stop()
+  }
+
+  /** Real checksummed ustar header (the synthesizeTarShard layout). */
+  private def tarHeader(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes("US-ASCII")
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def octal(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      var i = 0
+      while (i < len - 1) { h(off + i) = padded(i).toByte; i += 1 }
+      h(off + len - 1) = 0
+    }
+    octal(420L, 100, 8)
+    octal(0L, 108, 8); octal(0L, 116, 8)
+    octal(size, 124, 12)
+    octal(0L, 136, 12)
+    h(156) = '0'
+    "ustar".getBytes("US-ASCII").copyToArray(h, 257)
+    h(262) = 0; h(263) = '0'; h(264) = '0'
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    val cs = java.lang.Long.toOctalString(sum)
+    val csPad = ("0" * (6 - cs.length)) + cs
+    var j = 0
+    while (j < 6) { h(148 + j) = csPad(j).toByte; j += 1 }
+    h(154) = 0; h(155) = ' '
+    h
+  }
+}
