@@ -85,14 +85,17 @@ object SelectionOps {
     * window partitioned by language.  The window sorts each language
     * once — the exact-ntile cost.  The oracle path keeps exact ntile.
     *
-    * `approxCutpoints = true` is the 100 TB path (SCALE.md §Selection):
-    * instead of sorting each language, ONE mergeable
-    * `percentile_approx` sketch aggregation (map-side combinable, no
-    * per-language sort, immune to language skew — the hot language
-    * costs a sketch merge, not a single-task sort) derives nBuckets−1
-    * score cut-points per language, broadcast back as a tiny
-    * O(languages × nBuckets) table; the bucket is then a shuffle-free
-    * per-row comparison against the cuts.  Semantics degrade ONLY at
+    * `approxCutpoints = true` is the EXTREME-skew escape hatch, not a
+    * throughput win (SCALE.md §Selection, measured r14): instead of
+    * sorting each language, ONE mergeable `percentile_approx` sketch
+    * aggregation derives nBuckets−1 score cut-points per language,
+    * broadcast back as a tiny O(languages × nBuckets) table; the
+    * bucket is then a shuffle-free per-row comparison against the
+    * cuts.  The sketch path traverses the per-doc frame twice (hence
+    * the persist below), which costs MORE than the exact path's
+    * single per-language sort until one language's per-doc rows
+    * exceed a task's sort capacity (~10⁸ rows) — keep the default
+    * exact path unless the hot language is at that scale.  Semantics degrade ONLY at
     * the cut edges: ntile splits equal scores by rank (equal-count
     * buckets), the cut-point form assigns every tied score to one
     * bucket (equal-range buckets), so bucket populations can deviate
