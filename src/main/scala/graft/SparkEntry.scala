@@ -4116,6 +4116,49 @@ object SparkEntry {
         |       CAST(k * (2000 + doc_id % 500) + 1500 + doc_id % 300 AS BIGINT) AS end_ms,
         |       coalesce(array_to_string(toks[k * 5 + 1 : k * 5 + 5], ' '), '') AS cue_text
         |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    // ZIP replay: the tar oracle's sibling — member table as id
+    // arithmetic, local-header offsets as a running sum of
+    // (30-byte header + 6-byte name + data)
+    "q_multimodal_zip_members" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k, 0 AS sub, 's' || CAST(k AS VARCHAR) || '.txt' AS name,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS size
+        |  FROM ks
+        |  UNION ALL
+        |  SELECT doc_id, k, 1 AS sub, 's' || CAST(k AS VARCHAR) || '.cls' AS name,
+        |         1 AS size
+        |  FROM ks),
+        |o AS (
+        |  SELECT doc_id, name, size,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY k, sub) - 1 AS member_idx,
+        |         coalesce(sum(30 + 6 + size)
+        |           OVER (PARTITION BY doc_id ORDER BY k, sub
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_off
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(member_idx AS BIGINT) AS member_idx,
+        |       name,
+        |       CAST(0 AS BIGINT) AS method,
+        |       CAST(size AS BIGINT) AS comp_size,
+        |       CAST(size AS BIGINT) AS uncomp_size,
+        |       CAST(local_off AS BIGINT) AS local_off
+        |FROM o ORDER BY doc_id, member_idx""".stripMargin,
+    // HLS replay: segment table as pure id arithmetic (durations were
+    // synthesized as exact-millisecond decimal strings)
+    "q_multimodal_hls_segments" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, 1 + doc_id % 6 AS nsegs FROM documents),
+        |ks AS (SELECT doc_id, nsegs, unnest(generate_series(0, nsegs - 1)) AS k FROM px)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS seg_idx,
+        |       CAST(doc_id % 100 + k AS BIGINT) AS seq_no,
+        |       CAST(1500 + (doc_id + k) % 800 AS BIGINT) AS duration_ms,
+        |       'seg' || CAST(k AS VARCHAR) || '.ts' AS uri
+        |FROM ks ORDER BY doc_id, seg_idx""".stripMargin,
     // SubRip replay: same token-slice pattern as the VTT oracle, with
     // the declared sequence number and comma-millisecond timings
     "q_multimodal_srt_cues" ->
@@ -6406,6 +6449,32 @@ object SparkEntry {
             col("startMs").as("start_ms"), col("endMs").as("end_ms"),
             col("text").as("cue_text"))
           .orderBy("doc_id", "cue_idx")
+      },
+      "q_multimodal_zip_members" -> { (s, dir) =>
+        // ZIP shard census: EOCD-first central-directory walk (the
+        // spec-correct read path) with local-header signature checks —
+        // names, methods, sizes, and the exact seek offsets
+        val media = MultimodalOps.synthesizeZipShard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.zipMembers(media).toDF()
+          .select(col("id").as("doc_id"), col("memberIdx").as("member_idx"),
+            col("name"), col("method"),
+            col("compSize").as("comp_size"),
+            col("uncompSize").as("uncomp_size"),
+            col("localOff").as("local_off"))
+          .orderBy("doc_id", "member_idx")
+      },
+      "q_multimodal_hls_segments" -> { (s, dir) =>
+        // HLS media-playlist census: per-segment URI, rolling media
+        // sequence, and EXACT integer-ms EXTINF durations (decimal-
+        // string parse, no float ever exists)
+        val m3u8 = MultimodalOps.synthesizeHls(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.hlsSegments(m3u8, "id", "m3u8").toDF()
+          .select(col("id").as("doc_id"), col("segIdx").as("seg_idx"),
+            col("seqNo").as("seq_no"),
+            col("durationMs").as("duration_ms"), col("uri"))
+          .orderBy("doc_id", "seg_idx")
       },
       "q_multimodal_srt_cues" -> { (s, dir) =>
         // SubRip cue extraction: the comma-millisecond VTT sibling,

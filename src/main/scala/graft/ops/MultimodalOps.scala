@@ -5056,6 +5056,243 @@ object MultimodalOps {
       }
   }
 
+  // ---- ZIP shard member census -------------------------------------
+
+  /** One ZIP central-directory entry: index, member name, compression
+    * method (0 = store, 8 = deflate), both sizes, and the local-header
+    * offset a random-access reader seeks to.
+    */
+  final case class ZipMember(
+      id: Long, memberIdx: Long, name: String, method: Long,
+      compSize: Long, uncompSize: Long, localOff: Long)
+
+  /** ZIP shard member census — the tar walk's sibling for the OTHER
+    * shard convention (many corpus/checkpoint distributions ship
+    * `.zip`, and a random-access reader wants exactly this seek
+    * table).  Reads the format the way the spec says to: find the
+    * end-of-central-directory record from the END (its fixed
+    * signature within the last 64 KB + 22 bytes), then walk the
+    * central directory it points at — never the local headers, whose
+    * sizes lie when data descriptors are used.  Strict framing like
+    * the tar walk: entry count and directory size must agree with the
+    * EOCD, every referenced local header must carry its signature,
+    * and the EOCD (+ its comment) must END the file — a truncated or
+    * trailing-garbage shard fails the census rather than half-counts.
+    * TOTAL on arbitrary bytes: any violation yields None.
+    */
+  private[graft] def zipMembersOf(r: MediaRecord): Option[Seq[ZipMember]] = {
+    val b = r.content
+    if (b == null || b.length < 22) return None
+    def u16le(off: Int): Int = (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
+    def u32le(off: Int): Long =
+      (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+        (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+    // EOCD scan from the end (comment can push it up to 64 KB in)
+    var eocd = -1
+    var p = b.length - 22
+    val floor = math.max(0, b.length - 22 - 0xffff)
+    while (eocd < 0 && p >= floor) {
+      if (b(p) == 0x50 && b(p + 1) == 0x4b && b(p + 2) == 0x05 && b(p + 3) == 0x06)
+        eocd = p
+      else p -= 1
+    }
+    if (eocd < 0) return None
+    val nEntries = u16le(eocd + 10)
+    if (u16le(eocd + 8) != nEntries) return None // single-disk archive
+    val cdSize = u32le(eocd + 12)
+    val cdOff = u32le(eocd + 16)
+    val commentLen = u16le(eocd + 20)
+    if (eocd + 22 + commentLen != b.length) return None // strict framing
+    if (cdOff + cdSize != eocd.toLong) return None
+    if (cdOff < 0 || cdOff + cdSize > b.length.toLong) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[ZipMember]
+    var off = cdOff.toInt
+    var idx = 0L
+    while (idx < nEntries) {
+      if (off + 46 > eocd) return None
+      if (!(b(off) == 0x50 && b(off + 1) == 0x4b &&
+        b(off + 2) == 0x01 && b(off + 3) == 0x02)) return None
+      val method = u16le(off + 10).toLong
+      val compSize = u32le(off + 20)
+      val uncompSize = u32le(off + 24)
+      val nameLen = u16le(off + 28)
+      val extraLen = u16le(off + 30)
+      val cmtLen = u16le(off + 32)
+      val localOff = u32le(off + 42)
+      if (off + 46 + nameLen > eocd) return None
+      val name = new String(b, off + 46, nameLen, "UTF-8")
+      // the referenced local header must exist and carry its signature
+      if (localOff + 30 > b.length.toLong) return None
+      val lo = localOff.toInt
+      if (!(b(lo) == 0x50 && b(lo + 1) == 0x4b &&
+        b(lo + 2) == 0x03 && b(lo + 3) == 0x04)) return None
+      out += ZipMember(r.id, idx, name, method, compSize, uncompSize, localOff)
+      off += 46 + nameLen + extraLen + cmtLen
+      idx += 1
+    }
+    if (off != eocd) return None // walk must land exactly on the EOCD
+    Some(out.toSeq)
+  }
+
+  def zipMembers(ds: Dataset[MediaRecord]): Dataset[ZipMember] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => zipMembersOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row ZIP shard synthesis, the [[synthesizeTarShard]] sibling:
+    * `1 + id % 3` samples, each a `sK.txt` member carrying its slice
+    * of the document's UTF-8 bytes plus a 1-byte `sK.cls` label
+    * member — STORE method with real CRC-32s, so the output is a
+    * spec-valid archive any unzip reads, while every census field
+    * (names, sizes, exact local-header offsets, total byte count)
+    * replays from (id, octet_length(text)) with a running sum.
+    */
+  def synthesizeZipShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val ns = 1 + (id % 3).toInt
+        def u16a(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        val crc = new java.util.zip.CRC32
+        val members = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+        var from = 0
+        var k = 0
+        while (k < ns) {
+          val take = payload.length / ns + (if (k < payload.length % ns) 1 else 0)
+          members += ((s"s$k.txt", java.util.Arrays.copyOfRange(payload, from, from + take)))
+          from += take
+          members += ((s"s$k.cls", Array(('0' + (id % 10).toInt).toByte)))
+          k += 1
+        }
+        val out = Array.newBuilder[Byte]
+        val locals = members.map { case (name, data) =>
+          crc.reset(); crc.update(data)
+          val nb = name.getBytes("US-ASCII")
+          val off = out.knownSize.toLong
+          out ++= Array[Byte](0x50, 0x4b, 0x03, 0x04) ++ u16a(20) ++ u16a(0) ++
+            u16a(0) ++ u16a(0) ++ u16a(0) ++ u32a(crc.getValue) ++
+            u32a(data.length.toLong) ++ u32a(data.length.toLong) ++
+            u16a(nb.length) ++ u16a(0) ++ nb ++ data
+          (name, data, crc.getValue, off)
+        }.toSeq
+        val cdOff = out.knownSize.toLong
+        locals.foreach { case (name, data, c, off) =>
+          val nb = name.getBytes("US-ASCII")
+          out ++= Array[Byte](0x50, 0x4b, 0x01, 0x02) ++ u16a(20) ++ u16a(20) ++
+            u16a(0) ++ u16a(0) ++ u16a(0) ++ u16a(0) ++ u32a(c) ++
+            u32a(data.length.toLong) ++ u32a(data.length.toLong) ++
+            u16a(nb.length) ++ u16a(0) ++ u16a(0) ++ u16a(0) ++ u16a(0) ++
+            u32a(0L) ++ u32a(off) ++ nb
+        }
+        val cdSize = out.knownSize.toLong - cdOff
+        out ++= Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ u16a(0) ++ u16a(0) ++
+          u16a(locals.length) ++ u16a(locals.length) ++
+          u32a(cdSize) ++ u32a(cdOff) ++ u16a(0)
+        MediaRecord(id, "application/zip", out.result())
+      }
+  }
+
+  // ---- HLS media playlist census -----------------------------------
+
+  /** One HLS media-playlist segment: parse-order index, the rolling
+    * media sequence number, the EXTINF duration in EXACT integer
+    * milliseconds, and the segment URI.
+    */
+  final case class HlsSegment(
+      id: Long, segIdx: Long, seqNo: Long, durationMs: Long, uri: String)
+
+  /** HLS media-playlist (.m3u8) census — the manifest format video
+    * corpora arrive in: every segment URI with its EXTINF duration
+    * and rolling sequence number (RFC 8216 §4.3.2/§4.3.3).  Durations
+    * are parsed as DECIMAL STRINGS into integer milliseconds (up to
+    * three fractional digits, the format's own precision) — no float
+    * ever exists, so the census replays exactly in SQL.  Totality
+    * contract of the text family: unknown tags are skipped, an EXTINF
+    * with no following URI line is dropped, a non-#EXTM3U input
+    * yields no rows.
+    */
+  private[graft] def hlsSegmentsOf(id: Long, m3u8: String): Seq[HlsSegment] = {
+    if (m3u8 == null) return Nil
+    val lines = m3u8.split("\n", -1).map(_.stripLineEnd.trim)
+    if (lines.isEmpty || lines(0) != "#EXTM3U") return Nil
+    var seq = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[HlsSegment]
+    var i = 1
+    var segIdx = 0L
+    def parseMs(s: String): Option[Long] = {
+      val dot = s.indexOf('.')
+      val (whole, frac) =
+        if (dot < 0) (s, "") else (s.substring(0, dot), s.substring(dot + 1))
+      if (whole.isEmpty || !whole.forall(_.isDigit)) return None
+      if (frac.length > 3 || !frac.forall(_.isDigit)) return None
+      val ms = (frac + "000").substring(0, 3)
+      try Some(whole.toLong * 1000L + ms.toLong)
+      catch { case _: NumberFormatException => None }
+    }
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.startsWith("#EXT-X-MEDIA-SEQUENCE:")) {
+        val v = line.substring(22)
+        if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18) seq = v.toLong
+        i += 1
+      } else if (line.startsWith("#EXTINF:")) {
+        val spec = line.substring(8)
+        val comma = spec.indexOf(',')
+        val durStr = if (comma < 0) spec else spec.substring(0, comma)
+        // the URI is the next non-blank, non-tag line
+        var j = i + 1
+        while (j < lines.length && lines(j).isEmpty) j += 1
+        (parseMs(durStr), if (j < lines.length && !lines(j).startsWith("#")) Some(lines(j)) else None) match {
+          case (Some(ms), Some(uri)) =>
+            out += HlsSegment(id, segIdx, seq, ms, uri)
+            segIdx += 1; seq += 1
+            i = j + 1
+          case _ => i += 1 // malformed: skip the tag, keep scanning
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  def hlsSegments(df: DataFrame, idCol: String, m3u8Col: String): Dataset[HlsSegment] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(m3u8Col).as("v"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, v) => hlsSegmentsOf(id, v) })
+  }
+
+  /** Per-row HLS playlist synthesis: `1 + id % 6` segments, media
+    * sequence starting at `id % 100`, segment k lasting
+    * `1500 + (id + k) % 800` ms (written as the decimal string the
+    * format uses), URI `seg<k>.ts`; a VOD ENDLIST tag on `id % 4 != 0`
+    * rows so the live-playlist shape stays exercised.  Every field
+    * replays from id arithmetic.
+    */
+  def synthesizeHls(df: DataFrame, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val nSegs = 1 + (id % 6).toInt
+      val sb = new StringBuilder("#EXTM3U\n#EXT-X-VERSION:3\n")
+      sb.append("#EXT-X-TARGETDURATION:").append(3 + id % 9).append('\n')
+      sb.append("#EXT-X-MEDIA-SEQUENCE:").append(id % 100).append('\n')
+      var k = 0
+      while (k < nSegs) {
+        val ms = 1500 + (id + k) % 800
+        sb.append("#EXTINF:").append(ms / 1000).append('.')
+          .append(f"${ms % 1000}%03d").append(",\n")
+        sb.append("seg").append(k).append(".ts\n")
+        k += 1
+      }
+      if (id % 4 != 0) sb.append("#EXT-X-ENDLIST\n")
+      (id, sb.result())
+    }.toDF("id", "m3u8")
+  }
+
   // ---- SRT subtitle cues -------------------------------------------
 
   /** One parsed SubRip cue: the declared sequence number, the cue's

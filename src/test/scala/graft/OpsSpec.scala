@@ -1018,7 +1018,12 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.vorbisMetaOf(r)),
       ("srt", MultimodalOps.synthesizeSrt(docs, "doc_id", "text")
         .collect().map(r => r.getString(1).getBytes("UTF-8")),
-        r => MultimodalOps.srtCuesOf(r.id, new String(r.content, "UTF-8"))))
+        r => MultimodalOps.srtCuesOf(r.id, new String(r.content, "UTF-8"))),
+      ("zip", MultimodalOps.synthesizeZipShard(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.zipMembersOf(r)),
+      ("hls", MultimodalOps.synthesizeHls(docs, "doc_id")
+        .collect().map(r => r.getString(1).getBytes("UTF-8")),
+        r => MultimodalOps.hlsSegmentsOf(r.id, new String(r.content, "UTF-8"))))
     // the pre-r13 walks take attacker-controlled offsets too (box
     // sizes, EBML varints, SPS bit reads, trun tables) — same contract
     val mjpeg = MultimodalOps.synthesizeMjpegMp4(docs, "doc_id", 32, 24, 3, 2)
@@ -3559,6 +3564,84 @@ class OpsSpec extends AnyFunSuite {
       600000L, 601000L, "no sequence line"))
     assert(MultimodalOps.srtCuesOf(1L, null).isEmpty)
     assert(MultimodalOps.srtCuesOf(1L, "not a subtitle file").isEmpty)
+  }
+
+  test("zip census: JDK ZipInputStream reads the synthesized shard; walk is strict") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "zip shard sample text payload for members"), (6L, ""))
+      .toDF("doc_id", "text")
+    val shards = MultimodalOps.synthesizeZipShard(docs, "doc_id", "text").collect()
+    val s5 = shards.find(_.id == 5L).get
+    // independent reader: the JDK's own zip stream must see the same
+    // members with the same sizes (the tar-vs-system-tar discipline)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(s5.content))
+    val jdkSeen = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null)
+      .map { e =>
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = zin.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = zin.read(tmp) }
+        (e.getName, buf.size.toLong)
+      }.toVector
+    zin.close()
+    val walked = MultimodalOps.zipMembersOf(s5).get
+    assert(walked.map(m => (m.name, m.uncompSize)) == jdkSeen)
+    // payload reassembles from the member offsets (STORE: data follows
+    // the 30-byte local header + name)
+    val text5 = walked.filter(_.name.endsWith(".txt")).map { m =>
+      new String(s5.content, m.localOff.toInt + 30 + m.name.length,
+        m.uncompSize.toInt, "UTF-8")
+    }.mkString
+    assert(text5 == "zip shard sample text payload for members")
+    // empty doc: members still there, txt member is 0 bytes
+    val walked6 = MultimodalOps.zipMembersOf(shards.find(_.id == 6L).get).get
+    assert(walked6.map(_.uncompSize) == Seq(0L, 1L))
+    // strict framing: trailing garbage, truncation, corrupt local sig
+    assert(MultimodalOps.zipMembersOf(MultimodalOps.MediaRecord(
+      7L, "x", s5.content ++ Array[Byte](9))).isEmpty)
+    assert(MultimodalOps.zipMembersOf(MultimodalOps.MediaRecord(
+      7L, "x", s5.content.take(s5.content.length - 3))).isEmpty)
+    val corrupt = s5.content.clone(); corrupt(0) = 0x51
+    assert(MultimodalOps.zipMembersOf(MultimodalOps.MediaRecord(
+      7L, "x", corrupt)).isEmpty)
+    assert(MultimodalOps.zipMembersOf(MultimodalOps.MediaRecord(
+      7L, "x", null)).isEmpty)
+  }
+
+  test("hls census: exact-ms durations, rolling sequence, live/vod and malformed shapes") {
+    import graft.ops.MultimodalOps
+    val m3u8 =
+      """#EXTM3U
+        |#EXT-X-VERSION:3
+        |#EXT-X-TARGETDURATION:4
+        |#EXT-X-MEDIA-SEQUENCE:17
+        |#EXTINF:3.003,
+        |seg0.ts
+        |#EXTINF:2.5,first title
+        |seg1.ts
+        |#EXT-X-DISCONTINUITY
+        |#EXTINF:4,
+        |seg2.ts
+        |#EXT-X-ENDLIST
+        |""".stripMargin
+    val segs = MultimodalOps.hlsSegmentsOf(3L, m3u8)
+    assert(segs == Seq(
+      MultimodalOps.HlsSegment(3L, 0L, 17L, 3003L, "seg0.ts"),
+      MultimodalOps.HlsSegment(3L, 1L, 18L, 2500L, "seg1.ts"),
+      MultimodalOps.HlsSegment(3L, 2L, 19L, 4000L, "seg2.ts")))
+    // EXTINF with no URI (end of live playlist), bad duration: dropped
+    assert(MultimodalOps.hlsSegmentsOf(1L,
+      "#EXTM3U\n#EXTINF:2.0,\n#EXT-X-ENDLIST\n").isEmpty)
+    assert(MultimodalOps.hlsSegmentsOf(1L,
+      "#EXTM3U\n#EXTINF:abc,\nseg.ts\n").isEmpty)
+    assert(MultimodalOps.hlsSegmentsOf(1L, "not a playlist").isEmpty)
+    assert(MultimodalOps.hlsSegmentsOf(1L, null).isEmpty)
+    // four fractional digits exceed the format's ms precision: dropped
+    assert(MultimodalOps.hlsSegmentsOf(1L,
+      "#EXTM3U\n#EXTINF:2.0001,\nseg.ts\n").isEmpty)
   }
 
   test("tf-idf top terms: exact keywords on a crafted corpus") {
