@@ -4116,6 +4116,21 @@ object SparkEntry {
         |       CAST(k * (2000 + doc_id % 500) + 1500 + doc_id % 300 AS BIGINT) AS end_ms,
         |       coalesce(array_to_string(toks[k * 5 + 1 : k * 5 + 5], ' '), '') AS cue_text
         |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    // AVIF replay: every census field is id arithmetic; the byte count
+    // folds the fixed box layout (24 ftyp + 89 meta + 41 per item +
+    // 8 mdat header) around the text payload
+    "q_multimodal_avif" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         1 + doc_id % 2 AS ni
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(1 + doc_id % 1200 AS BIGINT) AS width,
+        |       CAST(1 + doc_id % 900 AS BIGINT) AS height,
+        |       CAST(ni AS BIGINT) AS n_items,
+        |       CAST(1 + doc_id % 7 AS BIGINT) AS primary_item,
+        |       CAST(121 + 41 * ni + n AS BIGINT) AS n_bytes
+        |FROM px ORDER BY doc_id""".stripMargin,
     // ZIP replay: the tar oracle's sibling — member table as id
     // arithmetic, local-header offsets as a running sum of
     // (30-byte header + 6-byte name + data)
@@ -6449,6 +6464,18 @@ object SparkEntry {
             col("startMs").as("start_ms"), col("endMs").as("end_ms"),
             col("text").as("cue_text"))
           .orderBy("doc_id", "cue_idx")
+      },
+      "q_multimodal_avif" -> { (s, dir) =>
+        // AVIF census: ftyp brand gate + meta/iprp/ipco box walk to
+        // the first ispe — dims, item count, primary item, no decode
+        val media = MultimodalOps.synthesizeAvif(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.avifMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("nItems").as("n_items"),
+            col("primaryItem").as("primary_item"),
+            col("nBytes").as("n_bytes"))
+          .orderBy("doc_id")
       },
       "q_multimodal_zip_members" -> { (s, dir) =>
         // ZIP shard census: EOCD-first central-directory walk (the

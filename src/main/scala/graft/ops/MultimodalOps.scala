@@ -5197,6 +5197,116 @@ object MultimodalOps {
       }
   }
 
+  // ---- AVIF header census ------------------------------------------
+
+  /** AVIF image census: dimensions from the first `ispe` property,
+    * the item count, and the primary item id — the HEIF metadata a
+    * pairing pipeline needs before any AV1 decode.
+    */
+  final case class AvifMeta(
+      id: Long, width: Long, height: Long, nItems: Long,
+      primaryItem: Long, nBytes: Long)
+
+  /** AVIF (HEIF/ISO 23008-12 on ISO BMFF) header census — the modern
+    * web-image population next to WebP.  Box walk in the MP4 walk's
+    * discipline: `ftyp` magic gate with the `avif` major brand, then
+    * the `meta` fullbox's children — `pitm` (primary item), `iinf`
+    * (item count), and `iprp`/`ipco`'s first `ispe` (image spatial
+    * extents — the canvas the primary item decodes to).  No AV1
+    * payload decode (the honest boundary, as for H.264/VP9/AV1
+    * video); TOTAL on arbitrary bytes.
+    */
+  private[graft] def avifMetaOf(r: MediaRecord): Option[AvifMeta] = {
+    val b = r.content
+    if (b == null || b.length < 24) return None
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    if (!(b(8) == 'a' && b(9) == 'v' && b(10) == 'i' && b(11) == 'f')) return None
+    var width = -1L; var height = -1L
+    var nItems = -1L; var primary = -1L
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
+      var off = from
+      while (off + 8 <= until) {
+        val size = u32be(b, off)
+        if (size < 8 || off + size > until) return false
+        val t = new String(b, off + 4, 4, "US-ASCII")
+        val p = off + 8
+        t match {
+          case "meta" | "iprp" | "ipco" =>
+            // meta is a fullbox (4 version/flags bytes); iprp/ipco plain
+            val inner = if (t == "meta") p + 4 else p
+            if (depth < 4 && !walk(inner, (off + size).toInt, depth + 1))
+              return false
+          case "pitm" =>
+            if (p + 6 > until) return false
+            primary = u16be(b, p + 4).toLong
+          case "iinf" =>
+            if (p + 6 > until) return false
+            nItems = u16be(b, p + 4).toLong
+          case "ispe" =>
+            if (p + 12 > until) return false
+            if (width < 0) { // first ispe = the primary image's extents
+              width = u32be(b, p + 4)
+              height = u32be(b, p + 8)
+            }
+          case _ => // ftyp, hdlr, infe, mdat, unknown: skip
+        }
+        off += size.toInt
+      }
+      off == until
+    }
+    if (!walk(0, b.length, 0)) return None
+    if (width < 0 || nItems < 0 || primary < 0) return None
+    Some(AvifMeta(r.id, width, height, nItems, primary, b.length.toLong))
+  }
+
+  def avifMeta(ds: Dataset[MediaRecord]): Dataset[AvifMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(avifMetaOf))
+  }
+
+  /** Per-row AVIF synthesis: canvas `1 + id % 1200` × `1 + id % 900`,
+    * `1 + id % 2` items (an `av01` image, plus its alpha auxiliary on
+    * odd ids — each with an `ispe`), primary item `1 + id % 7`, and
+    * the document's UTF-8 bytes as the (undecoded) `mdat` payload —
+    * the whole census including the byte count is id arithmetic.
+    */
+  def synthesizeAvif(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val w = 1 + (id % 1200)
+        val h = 1 + (id % 900)
+        val n = 1 + (id % 2).toInt
+        val primary = 1 + (id % 7).toInt
+        def be32(v: Long) = Array[Byte](
+          (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+        def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+        def box(t: String, body: Array[Byte]): Array[Byte] =
+          be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+        def fullbox(t: String, body: Array[Byte]): Array[Byte] =
+          box(t, Array[Byte](0, 0, 0, 0) ++ body)
+        val ftyp = box("ftyp", "avif".getBytes ++ be32(0L) ++ "avifmif1".getBytes)
+        val hdlr = fullbox("hdlr", be32(0L) ++ "pict".getBytes ++
+          new Array[Byte](12) ++ Array[Byte](0))
+        val pitm = fullbox("pitm", be16(primary))
+        val infes = (0 until n).map { i =>
+          // infe carries item_type from version 2 up (ISO 14496-12 §8.11.6)
+          box("infe", Array[Byte](2, 0, 0, 0) ++ be16(i + 1) ++ be16(0) ++
+            (if (i == 0) "av01" else "auxl").getBytes ++ Array[Byte](0))
+        }
+        val iinf = fullbox("iinf", be16(n) ++ infes.flatten.toArray)
+        val ispes = (0 until n).map(_ => fullbox("ispe", be32(w) ++ be32(h)))
+        val iprp = box("iprp", box("ipco", ispes.flatten.toArray))
+        val meta = fullbox("meta",
+          hdlr ++ pitm ++ iinf ++ iprp)
+        val mdat = box("mdat", payload)
+        MediaRecord(id, "image/avif", ftyp ++ meta ++ mdat)
+      }
+  }
+
   // ---- HLS media playlist census -----------------------------------
 
   /** One HLS media-playlist segment: parse-order index, the rolling

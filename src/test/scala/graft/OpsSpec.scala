@@ -1021,6 +1021,8 @@ class OpsSpec extends AnyFunSuite {
         r => MultimodalOps.srtCuesOf(r.id, new String(r.content, "UTF-8"))),
       ("zip", MultimodalOps.synthesizeZipShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.zipMembersOf(r)),
+      ("avif", MultimodalOps.synthesizeAvif(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.avifMetaOf(r)),
       ("hls", MultimodalOps.synthesizeHls(docs, "doc_id")
         .collect().map(r => r.getString(1).getBytes("UTF-8")),
         r => MultimodalOps.hlsSegmentsOf(r.id, new String(r.content, "UTF-8"))))
@@ -3609,6 +3611,30 @@ class OpsSpec extends AnyFunSuite {
       7L, "x", corrupt)).isEmpty)
     assert(MultimodalOps.zipMembersOf(MultimodalOps.MediaRecord(
       7L, "x", null)).isEmpty)
+  }
+
+  test("avif census: hand-built box tree parses; wrong brand and truncation fail loud") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((9L, "avif payload bytes"), (10L, "")).toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeAvif(docs, "doc_id", "text").collect()
+    val m9 = MultimodalOps.avifMetaOf(media.find(_.id == 9L).get).get
+    // id 9: w = 1 + 9 % 1200, h = 1 + 9 % 900, items 1 + 9 % 2 = 2,
+    // primary 1 + 9 % 7 = 3
+    assert(m9 == MultimodalOps.AvifMeta(9L, 10L, 10L, 2L, 3L,
+      media.find(_.id == 9L).get.content.length.toLong))
+    val m10 = MultimodalOps.avifMetaOf(media.find(_.id == 10L).get).get
+    assert(m10.nItems == 1L && m10.width == 11L && m10.height == 11L)
+    // wrong major brand (heic) must not pass the avif gate
+    val heic = media.find(_.id == 9L).get.content.clone()
+    heic(8) = 'h'; heic(9) = 'e'; heic(10) = 'i'; heic(11) = 'c'
+    assert(MultimodalOps.avifMetaOf(
+      MultimodalOps.MediaRecord(9L, "x", heic)).isEmpty)
+    // truncation inside the meta box fails the walk, never throws
+    assert(MultimodalOps.avifMetaOf(MultimodalOps.MediaRecord(
+      9L, "x", media.find(_.id == 9L).get.content.take(60))).isEmpty)
+    assert(MultimodalOps.avifMetaOf(
+      MultimodalOps.MediaRecord(9L, "x", null)).isEmpty)
   }
 
   test("hls census: exact-ms durations, rolling sequence, live/vod and malformed shapes") {
