@@ -4116,6 +4116,28 @@ object SparkEntry {
         |       CAST(k * (2000 + doc_id % 500) + 1500 + doc_id % 300 AS BIGINT) AS end_ms,
         |       coalesce(array_to_string(toks[k * 5 + 1 : k * 5 + 5], ' '), '') AS cue_text
         |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    // TFRecord replay: record table as id arithmetic; offsets are a
+    // running sum of (16-byte framing + payload)
+    "q_multimodal_tfrecords" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 4 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS len
+        |  FROM ks),
+        |o AS (
+        |  SELECT doc_id, k, len,
+        |         coalesce(sum(16 + len)
+        |           OVER (PARTITION BY doc_id ORDER BY k
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS rec_idx,
+        |       CAST(off AS BIGINT) AS offset,
+        |       CAST(len AS BIGINT) AS length
+        |FROM o ORDER BY doc_id, rec_idx""".stripMargin,
     // AVIF replay: every census field is id arithmetic; the byte count
     // folds the fixed box layout (24 ftyp + 89 meta + 41 per item +
     // 8 mdat header) around the text payload
@@ -6464,6 +6486,17 @@ object SparkEntry {
             col("startMs").as("start_ms"), col("endMs").as("end_ms"),
             col("text").as("cue_text"))
           .orderBy("doc_id", "cue_idx")
+      },
+      "q_multimodal_tfrecords" -> { (s, dir) =>
+        // TFRecord shard census: length-framed walk with BOTH masked
+        // CRC-32Cs verified per record — the TF training-shard seek
+        // table
+        val media = MultimodalOps.synthesizeTfRecordShard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.tfRecords(media).toDF()
+          .select(col("id").as("doc_id"), col("recIdx").as("rec_idx"),
+            col("offset"), col("length"))
+          .orderBy("doc_id", "rec_idx")
       },
       "q_multimodal_avif" -> { (s, dir) =>
         // AVIF census: ftyp brand gate + meta/iprp/ipco box walk to

@@ -5197,6 +5197,102 @@ object MultimodalOps {
       }
   }
 
+  // ---- TFRecord shard census ---------------------------------------
+
+  /** One TFRecord: parse-order index, the record's absolute byte
+    * offset (the seek table for a random-access reader), and its
+    * payload length.
+    */
+  final case class TfRecordMeta(
+      id: Long, recIdx: Long, offset: Long, length: Long)
+
+  /** TFRecord masked CRC-32C (the tensorflow framing rule):
+    * `rot_right_15(crc) + 0xa282ead8` over the Castagnoli CRC the JDK
+    * ships (`java.util.zip.CRC32C`).
+    */
+  private[graft] def maskedCrc32c(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32C
+    c.update(b, off, len)
+    val crc = c.getValue
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8L & 0xffffffffL
+  }
+
+  /** TFRecord shard census — the third shard convention next to tar
+    * and zip, and the one TensorFlow training jobs actually consume:
+    * each record is `u64le length + u32le masked-crc(length) + data +
+    * u32le masked-crc(data)`.  BOTH checksums are VERIFIED per record
+    * (the tar header-checksum discipline): a flipped byte anywhere —
+    * length field, payload, or either crc — fails the census rather
+    * than mis-counting or mis-seeking.  Strict framing: the walk must
+    * consume the shard exactly.
+    */
+  private[graft] def tfRecordsOf(
+      r: MediaRecord, maxRecord: Int = 1 << 30): Option[Seq[TfRecordMeta]] = {
+    val b = r.content
+    if (b == null || b.length < 16) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[TfRecordMeta]
+    var off = 0
+    var idx = 0L
+    while (off < b.length) {
+      if (off + 12 > b.length) return None
+      var len = 0L
+      var i = 0
+      while (i < 8) { len |= (b(off + i) & 0xffL) << (8 * i); i += 1 }
+      if (len < 0 || len > maxRecord) return None
+      def u32le(o: Int): Long = (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+        (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+      if (maskedCrc32c(b, off, 8) != u32le(off + 8)) return None
+      val dataOff = off + 12
+      if (dataOff + len + 4 > b.length.toLong) return None
+      if (maskedCrc32c(b, dataOff, len.toInt) != u32le(dataOff + len.toInt))
+        return None
+      out += TfRecordMeta(r.id, idx, off.toLong, len)
+      off = dataOff + len.toInt + 4
+      idx += 1
+    }
+    Some(out.toSeq)
+  }
+
+  def tfRecords(ds: Dataset[MediaRecord]): Dataset[TfRecordMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => tfRecordsOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row TFRecord shard synthesis: `1 + id % 4` records splitting
+    * the document's UTF-8 bytes (the tar split rule), each framed with
+    * REAL masked CRC-32Cs — offsets and lengths replay from
+    * (id, octet_length(text)) as a running sum.
+    */
+  def synthesizeTfRecordShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val ns = 1 + (id % 4).toInt
+        val out = Array.newBuilder[Byte]
+        def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        var from = 0
+        var k = 0
+        while (k < ns) {
+          val take = payload.length / ns + (if (k < payload.length % ns) 1 else 0)
+          val lenBytes = new Array[Byte](8)
+          var i = 0
+          while (i < 8) { lenBytes(i) = (take.toLong >> (8 * i)).toByte; i += 1 }
+          val data = java.util.Arrays.copyOfRange(payload, from, from + take)
+          out ++= lenBytes
+          out ++= u32a(maskedCrc32c(lenBytes, 0, 8))
+          out ++= data
+          out ++= u32a(maskedCrc32c(data, 0, data.length))
+          from += take
+          k += 1
+        }
+        MediaRecord(id, "application/x-tfrecord", out.result())
+      }
+  }
+
   // ---- AVIF header census ------------------------------------------
 
   /** AVIF image census: dimensions from the first `ispe` property,

@@ -1023,6 +1023,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.zipMembersOf(r)),
       ("avif", MultimodalOps.synthesizeAvif(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.avifMetaOf(r)),
+      ("tfrecord", MultimodalOps.synthesizeTfRecordShard(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.tfRecordsOf(r)),
       ("hls", MultimodalOps.synthesizeHls(docs, "doc_id")
         .collect().map(r => r.getString(1).getBytes("UTF-8")),
         r => MultimodalOps.hlsSegmentsOf(r.id, new String(r.content, "UTF-8"))))
@@ -3611,6 +3613,45 @@ class OpsSpec extends AnyFunSuite {
       7L, "x", corrupt)).isEmpty)
     assert(MultimodalOps.zipMembersOf(MultimodalOps.MediaRecord(
       7L, "x", null)).isEmpty)
+  }
+
+  test("tfrecord census: known CRC-32C vector, verified framing, flip fails loud") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // independent anchor: the standard CRC-32C check value
+    // crc32c("123456789") = 0xE3069283, masked by the TF rule
+    val nine = "123456789".getBytes("US-ASCII")
+    val expected = ((0xE3069283L >>> 15) | (0xE3069283L << 17)) +
+      0xa282ead8L & 0xffffffffL
+    assert(MultimodalOps.maskedCrc32c(nine, 0, 9) == expected)
+    val docs = Seq((7L, "tfrecord shard payload split across records"), (8L, ""))
+      .toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeTfRecordShard(docs, "doc_id", "text")
+      .collect()
+    val s7 = media.find(_.id == 7L).get
+    val recs = MultimodalOps.tfRecordsOf(s7).get
+    assert(recs.length == 4) // 1 + 7 % 4
+    // payload reassembles from the offsets (data starts 12 bytes in)
+    val text7 = recs.map(r => new String(
+      s7.content, r.offset.toInt + 12, r.length.toInt, "UTF-8")).mkString
+    assert(text7 == "tfrecord shard payload split across records")
+    // empty doc: zero-length records still framed and verified
+    val recs8 = MultimodalOps.tfRecordsOf(media.find(_.id == 8L).get).get
+    assert(recs8.length == 1 && recs8.head.length == 0L)
+    // one flipped payload byte: the data CRC fails the census
+    val flip = s7.content.clone()
+    flip(recs(1).offset.toInt + 12) = (flip(recs(1).offset.toInt + 12) ^ 1).toByte
+    assert(MultimodalOps.tfRecordsOf(
+      MultimodalOps.MediaRecord(7L, "x", flip)).isEmpty)
+    // a flipped length byte: the length CRC fails first
+    val flen = s7.content.clone(); flen(0) = (flen(0) ^ 1).toByte
+    assert(MultimodalOps.tfRecordsOf(
+      MultimodalOps.MediaRecord(7L, "x", flen)).isEmpty)
+    // truncation and null: None, never a throw
+    assert(MultimodalOps.tfRecordsOf(MultimodalOps.MediaRecord(
+      7L, "x", s7.content.take(s7.content.length - 2))).isEmpty)
+    assert(MultimodalOps.tfRecordsOf(
+      MultimodalOps.MediaRecord(7L, "x", null)).isEmpty)
   }
 
   test("avif census: hand-built box tree parses; wrong brand and truncation fail loud") {
