@@ -4116,6 +4116,39 @@ object SparkEntry {
         |       CAST(k * (2000 + doc_id % 500) + 1500 + doc_id % 300 AS BIGINT) AS end_ms,
         |       coalesce(array_to_string(toks[k * 5 + 1 : k * 5 + 5], ' '), '') AS cue_text
         |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    // Avro replay: block table as id arithmetic INCLUDING the zigzag
+    // varint widths (1 byte below 64, 2 below 8192, 3 below 2^20 —
+    // enough for any document in the corpus), fixed 58-byte header
+    "q_multimodal_avro_blocks" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS take
+        |  FROM ks),
+        |d AS (
+        |  SELECT doc_id, k, take,
+        |         (CASE WHEN take < 64 THEN 1 WHEN take < 8192 THEN 2 ELSE 3 END)
+        |           + take AS data_size
+        |  FROM m),
+        |o AS (
+        |  SELECT doc_id, k, data_size,
+        |         58 + coalesce(sum(1 +
+        |             (CASE WHEN data_size < 64 THEN 1
+        |                   WHEN data_size < 8192 THEN 2 ELSE 3 END)
+        |             + data_size + 16)
+        |           OVER (PARTITION BY doc_id ORDER BY k
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS block_idx,
+        |       CAST(1 AS BIGINT) AS n_records,
+        |       CAST(data_size AS BIGINT) AS data_size,
+        |       CAST(off AS BIGINT) AS offset,
+        |       'null' AS codec
+        |FROM o ORDER BY doc_id, block_idx""".stripMargin,
     // TFRecord replay: record table as id arithmetic; offsets are a
     // running sum of (16-byte framing + payload)
     "q_multimodal_tfrecords" ->
@@ -6486,6 +6519,18 @@ object SparkEntry {
             col("startMs").as("start_ms"), col("endMs").as("end_ms"),
             col("text").as("cue_text"))
           .orderBy("doc_id", "cue_idx")
+      },
+      "q_multimodal_avro_blocks" -> { (s, dir) =>
+        // Avro object-container census: metadata-map codec parse +
+        // block walk with every sync marker verified against the
+        // header's — record counts from the framing, no record decode
+        val media = MultimodalOps.synthesizeAvro(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.avroBlocks(media).toDF()
+          .select(col("id").as("doc_id"), col("blockIdx").as("block_idx"),
+            col("nRecords").as("n_records"), col("dataSize").as("data_size"),
+            col("offset"), col("codec"))
+          .orderBy("doc_id", "block_idx")
       },
       "q_multimodal_tfrecords" -> { (s, dir) =>
         // TFRecord shard census: length-framed walk with BOTH masked

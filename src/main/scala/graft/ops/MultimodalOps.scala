@@ -5197,6 +5197,170 @@ object MultimodalOps {
       }
   }
 
+  // ---- Avro object-container census --------------------------------
+
+  /** One Avro data block: index, record count, serialized byte size,
+    * the block's absolute offset, and the file's codec.
+    */
+  final case class AvroBlock(
+      id: Long, blockIdx: Long, nRecords: Long, dataSize: Long,
+      offset: Long, codec: String)
+
+  /** Decode one Avro zigzag varint long at `off`; returns
+    * (value, bytesConsumed) or null on malformed/truncated input.
+    */
+  private[graft] def avroVarLong(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L
+    var shift = 0
+    var i = off
+    while (i < b.length && shift <= 63) {
+      val x = b(i) & 0xff
+      v |= (x & 0x7fL) << shift
+      if ((x & 0x80) == 0) {
+        return ((v >>> 1) ^ -(v & 1L), i - off + 1) // zigzag decode
+      }
+      shift += 7
+      i += 1
+    }
+    null
+  }
+
+  /** Avro object-container census — the fourth lake format in the
+    * shard family (tar, zip, TFRecord, Avro): parse the header's
+    * metadata map for the codec, then walk the data blocks —
+    * `varint record-count + varint byte-size + data + 16-byte sync` —
+    * VERIFYING every block's sync marker against the header's (the
+    * format's own corruption seal, the CRC discipline's sibling).
+    * Record counts come from the framing, so the census never decodes
+    * a record.  Strict framing: the walk must end exactly at EOF.
+    */
+  private[graft] def avroBlocksOf(r: MediaRecord): Option[Seq[AvroBlock]] = {
+    val b = r.content
+    if (b == null || b.length < 4 + 1 + 16) return None
+    if (!(b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1)) return None
+    var off = 4
+    var codec = "null"
+    // metadata map: blocks of (count, count × (string key, bytes val)),
+    // a 0 count terminates; negative counts (count + size form) allowed
+    var done = false
+    while (!done) {
+      val c = avroVarLong(b, off)
+      if (c == null) return None
+      off += c._2
+      var n = c._1
+      if (n == 0L) done = true
+      else {
+        if (n < 0L) { // negative count: a byte size varint follows
+          n = -n
+          val sz = avroVarLong(b, off)
+          if (sz == null) return None
+          off += sz._2
+        }
+        if (n > 1000000L) return None
+        var e = 0L
+        while (e < n) {
+          val kl = avroVarLong(b, off)
+          if (kl == null || kl._1 < 0 || kl._1 > b.length.toLong) return None
+          off += kl._2
+          if (off + kl._1 > b.length.toLong) return None
+          val key = new String(b, off, kl._1.toInt, "UTF-8")
+          off += kl._1.toInt
+          val vl = avroVarLong(b, off)
+          if (vl == null || vl._1 < 0 || vl._1 > b.length.toLong) return None
+          off += vl._2
+          if (off + vl._1 > b.length.toLong) return None
+          if (key == "avro.codec")
+            codec = new String(b, off, vl._1.toInt, "UTF-8")
+          off += vl._1.toInt
+          e += 1
+        }
+      }
+    }
+    if (off + 16 > b.length) return None
+    val syncOff = off
+    off += 16
+    val out = scala.collection.mutable.ArrayBuffer.empty[AvroBlock]
+    var idx = 0L
+    while (off < b.length) {
+      val blockOff = off.toLong
+      val cnt = avroVarLong(b, off)
+      if (cnt == null || cnt._1 <= 0L) return None
+      off += cnt._2
+      val sz = avroVarLong(b, off)
+      if (sz == null || sz._1 < 0L || sz._1 > (b.length - off).toLong) return None
+      off += sz._2
+      off += sz._1.toInt
+      if (off + 16 > b.length) return None
+      var i = 0
+      while (i < 16) { // the sync seal: must equal the header's
+        if (b(off + i) != b(syncOff + i)) return None
+        i += 1
+      }
+      off += 16
+      out += AvroBlock(r.id, idx, cnt._1, sz._1, blockOff, codec)
+      idx += 1
+    }
+    if (off != b.length) return None
+    Some(out.toSeq)
+  }
+
+  def avroBlocks(ds: Dataset[MediaRecord]): Dataset[AvroBlock] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => avroBlocksOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row Avro container synthesis: a `"bytes"`-schema file with
+    * `1 + id % 3` blocks, each holding ONE record carrying its slice
+    * of the document's UTF-8 bytes (varint-length-prefixed, so the
+    * output is a spec-valid Avro file), null codec, sync marker
+    * derived from the id — the whole block table INCLUDING varint
+    * widths replays from (id, octet_length(text)).
+    */
+  def synthesizeAvro(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val ns = 1 + (id % 3).toInt
+        def zig(v: Long): Array[Byte] = {
+          var z = (v << 1) ^ (v >> 63)
+          val out = Array.newBuilder[Byte]
+          while ((z & ~0x7fL) != 0L) { out += ((z & 0x7f) | 0x80).toByte; z >>>= 7 }
+          out += z.toByte
+          out.result()
+        }
+        def str(s: String): Array[Byte] = {
+          val sb = s.getBytes("UTF-8"); zig(sb.length.toLong) ++ sb
+        }
+        val sync = new Array[Byte](16)
+        var i = 0
+        while (i < 16) { sync(i) = ((id * 31 + i * 7 + 13) & 0xff).toByte; i += 1 }
+        val out = Array.newBuilder[Byte]
+        out ++= Array[Byte]('O', 'b', 'j', 1)
+        out ++= zig(2L) // metadata map: one block of two entries
+        out ++= str("avro.codec"); out ++= str("null")
+        out ++= str("avro.schema"); out ++= str("\"bytes\"")
+        out ++= zig(0L) // map terminator
+        out ++= sync
+        var from = 0
+        var k = 0
+        while (k < ns) {
+          val take = payload.length / ns + (if (k < payload.length % ns) 1 else 0)
+          val record = zig(take.toLong) ++
+            java.util.Arrays.copyOfRange(payload, from, from + take)
+          out ++= zig(1L)                    // records in this block
+          out ++= zig(record.length.toLong)  // serialized size
+          out ++= record
+          out ++= sync
+          from += take
+          k += 1
+        }
+        MediaRecord(id, "avro/binary", out.result())
+      }
+  }
+
   // ---- TFRecord shard census ---------------------------------------
 
   /** One TFRecord: parse-order index, the record's absolute byte

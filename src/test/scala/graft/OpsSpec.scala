@@ -1025,6 +1025,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.avifMetaOf(r)),
       ("tfrecord", MultimodalOps.synthesizeTfRecordShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.tfRecordsOf(r)),
+      ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.avroBlocksOf(r)),
       ("hls", MultimodalOps.synthesizeHls(docs, "doc_id")
         .collect().map(r => r.getString(1).getBytes("UTF-8")),
         r => MultimodalOps.hlsSegmentsOf(r.id, new String(r.content, "UTF-8"))))
@@ -3613,6 +3615,47 @@ class OpsSpec extends AnyFunSuite {
       7L, "x", corrupt)).isEmpty)
     assert(MultimodalOps.zipMembersOf(MultimodalOps.MediaRecord(
       7L, "x", null)).isEmpty)
+  }
+
+  test("avro census: the Avro library's own reader consumes the synthesized file") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "avro container payload split across blocks"), (6L, ""))
+      .toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeAvro(docs, "doc_id", "text").collect()
+    val s5 = media.find(_.id == 5L).get
+    // independent reader: org.apache.avro's DataFileReader must decode
+    // the same records (the ZipInputStream / system-tar discipline)
+    val reader = new org.apache.avro.file.DataFileReader(
+      new org.apache.avro.file.SeekableByteArrayInput(s5.content),
+      new org.apache.avro.generic.GenericDatumReader[java.nio.ByteBuffer]())
+    val decoded = Iterator.continually(
+      if (reader.hasNext) Some(reader.next()) else None)
+      .takeWhile(_.isDefined).map { bb =>
+        val buf = bb.get
+        val arr = new Array[Byte](buf.remaining()); buf.get(arr)
+        new String(arr, "UTF-8")
+      }.toVector
+    assert(reader.getMetaString("avro.codec") == "null")
+    reader.close()
+    assert(decoded.mkString == "avro container payload split across blocks")
+    assert(decoded.length == 3) // 1 + 5 % 3 blocks x 1 record
+    // our walk agrees with the library on the block census
+    val blocks = MultimodalOps.avroBlocksOf(s5).get
+    assert(blocks.length == 3 && blocks.forall(_.nRecords == 1L))
+    assert(blocks.forall(_.codec == "null"))
+    // a corrupt sync marker fails the census (the format's seal)
+    val corrupt = s5.content.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 1).toByte
+    assert(MultimodalOps.avroBlocksOf(
+      MultimodalOps.MediaRecord(5L, "x", corrupt)).isEmpty)
+    assert(MultimodalOps.avroBlocksOf(MultimodalOps.MediaRecord(
+      5L, "x", s5.content.take(70))).isEmpty)
+    assert(MultimodalOps.avroBlocksOf(
+      MultimodalOps.MediaRecord(5L, "x", null)).isEmpty)
+    // empty doc: one zero-byte record still framed
+    assert(MultimodalOps.avroBlocksOf(media.find(_.id == 6L).get).get
+      .map(_.dataSize) == Seq(1L)) // varint(0) alone
   }
 
   test("tfrecord census: known CRC-32C vector, verified framing, flip fails loud") {
