@@ -4116,6 +4116,21 @@ object SparkEntry {
         |       CAST(k * (2000 + doc_id % 500) + 1500 + doc_id % 300 AS BIGINT) AS end_ms,
         |       coalesce(array_to_string(toks[k * 5 + 1 : k * 5 + 5], ' '), '') AS cue_text
         |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    // parquet-footer oracle: DuckDB's own parquet_metadata() over the
+    // same files — an independent second reader of the same footers
+    // (paths pinned to the driver's sf0.01 gate, the golden-fixture
+    // precedent)
+    "q_parquet_footer" -> Seq("documents", "lineitem", "orders").map { t =>
+      s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file_name,
+         |       CAST(row_group_id AS BIGINT) AS row_group_id,
+         |       CAST(row_group_num_rows AS BIGINT) AS row_group_num_rows,
+         |       path_in_schema,
+         |       CAST(num_values AS BIGINT) AS num_values,
+         |       CAST(total_compressed_size AS BIGINT) AS total_compressed_size,
+         |       CAST(total_uncompressed_size AS BIGINT) AS total_uncompressed_size,
+         |       compression
+         |FROM parquet_metadata('/root/testdata/sf0.01/$t.parquet')""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema"),
     // Avro replay: block table as id arithmetic INCLUDING the zigzag
     // varint widths (1 byte below 64, 2 below 8192, 3 below 2^20 —
     // enough for any document in the corpus), fixed 58-byte header
@@ -6519,6 +6534,14 @@ object SparkEntry {
             col("startMs").as("start_ms"), col("endMs").as("end_ms"),
             col("text").as("cue_text"))
           .orderBy("doc_id", "cue_idx")
+      },
+      "q_parquet_footer" -> { (s, dir) =>
+        // the lake introspecting its own format: footer-only census of
+        // three tables, oracled against DuckDB's parquet_metadata()
+        graft.ops.StorageOps.parquetFooters(s, Seq(
+            s"$dir/documents.parquet", s"$dir/lineitem.parquet",
+            s"$dir/orders.parquet"))
+          .orderBy("file_name", "row_group_id", "path_in_schema")
       },
       "q_multimodal_avro_blocks" -> { (s, dir) =>
         // Avro object-container census: metadata-map codec parse +

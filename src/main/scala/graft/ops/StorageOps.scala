@@ -18,6 +18,57 @@ import org.apache.spark.sql.functions._
   */
 object StorageOps {
 
+  /** Parquet footer census — the lake introspecting its OWN format:
+    * one row per column chunk per row group with the exact row,
+    * value, and byte accounting a compaction/repartition planner
+    * needs (are row groups sized right? which column dominates the
+    * bytes? is the codec what the table spec says?).  Reads ONLY the
+    * footers via Spark's bundled parquet-hadoop — never a data page —
+    * parallel over files: at 100 TB this is a metadata-sized pass
+    * regardless of data volume, the same economics as the tar/zip
+    * member walks.  Oracled against DuckDB's own `parquet_metadata()`
+    * — a genuinely independent second reader of the same footers.
+    */
+  def parquetFooters(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val files = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq
+      else Seq(p)
+    }
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.toVector.zipWithIndex.flatMap {
+              case (rg, i) =>
+                rg.getColumns.asScala.toVector.map { cc =>
+                  (hp.getName, i.toLong, rg.getRowCount,
+                    cc.getPath.toDotString, cc.getValueCount,
+                    cc.getTotalSize, cc.getTotalUncompressedSize,
+                    cc.getCodec.name)
+                }
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file_name", "row_group_id", "row_group_num_rows",
+        "path_in_schema", "num_values", "total_compressed_size",
+        "total_uncompressed_size", "compression")
+  }
+
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet
     * table.  `numBuckets` should be sized so one bucket ≈ one
     * executor-task's worth of data at the target scale (100 TB / 10k

@@ -173,4 +173,38 @@ class StorageSpec extends AnyFunSuite {
     assert(zx < (65536.0 * 0.75) && bx < zx,
       s"z-order x-range $zx should be sub-global but wider than x-sort's $bx")
   }
+
+  test("parquet footer census: Spark-written dir of parts, exact accounting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("footers").toString
+    val n = 5000L
+    spark.range(n).select(col("id"), (col("id") % 7).as("grp"),
+        concat(lit("txt"), col("id")).as("s"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val rows = graft.ops.StorageOps.parquetFooters(spark, Seq(s"$dir/t.parquet"))
+      .collect()
+    // every part file reports all 3 columns per row group
+    val byFile = rows.groupBy(_.getString(0))
+    assert(byFile.size == 3, s"expected 3 part files, saw ${byFile.keys}")
+    byFile.values.foreach { rs =>
+      assert(rs.map(_.getString(3)).toSet == Set("id", "grp", "s"))
+      // num_values equals the row-group row count for flat columns
+      rs.foreach(r => assert(r.getLong(4) == r.getLong(2)))
+      rs.foreach(r => assert(r.getLong(5) > 0L && r.getLong(6) > 0L))
+    }
+    // total rows across row groups = what was written (per column)
+    val idRows = rows.filter(_.getString(3) == "id").map(_.getLong(2)).sum
+    assert(idRows == n)
+    // the census never reads data pages: bytes accounted must equal the
+    // footer's own claims when re-read via a second footer pass
+    val again = graft.ops.StorageOps.parquetFooters(spark, Seq(s"$dir/t.parquet"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)) ->
+        (r.getLong(5), r.getLong(6))).toMap
+    rows.foreach { r =>
+      assert(again((r.getString(0), r.getLong(1), r.getString(3))) ==
+        ((r.getLong(5), r.getLong(6))))
+    }
+  }
 }
