@@ -217,4 +217,40 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     docs.unpersist()
     assert(b == 0L, s"media metadata chain wrote $b shuffle bytes")
   }
+
+  test("r14 census families are shuffle-free per-row projections") {
+    // same contract for the r14 surfaces: image headers (webp/gif/
+    // avif), the vorbis page walk, the shard family (zip/tfrecord/
+    // avro), the text manifests (srt/hls), and the zstd ratio —
+    // synthesize -> parse writes ZERO shuffle bytes
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      .select("doc_id", "text").cache()
+    docs.count()
+    val b = shuffleBytes {
+      MultimodalOps.webpMeta(MultimodalOps.synthesizeWebp(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.WebpMeta]) => ())
+      MultimodalOps.gifMeta(MultimodalOps.synthesizeGif(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.GifMeta]) => ())
+      MultimodalOps.avifMeta(MultimodalOps.synthesizeAvif(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.AvifMeta]) => ())
+      MultimodalOps.vorbisMeta(MultimodalOps.synthesizeVorbis(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.VorbisMeta]) => ())
+      MultimodalOps.zipMembers(MultimodalOps.synthesizeZipShard(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.ZipMember]) => ())
+      MultimodalOps.tfRecords(MultimodalOps.synthesizeTfRecordShard(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.TfRecordMeta]) => ())
+      MultimodalOps.avroBlocks(MultimodalOps.synthesizeAvro(docs, "doc_id", "text"))
+        .foreachPartition((_: Iterator[MultimodalOps.AvroBlock]) => ())
+      MultimodalOps.srtCues(MultimodalOps.synthesizeSrt(docs, "doc_id", "text"), "id", "srt")
+        .foreachPartition((_: Iterator[MultimodalOps.SrtCue]) => ())
+      MultimodalOps.hlsSegments(MultimodalOps.synthesizeHls(docs, "doc_id"), "id", "m3u8")
+        .foreachPartition((_: Iterator[MultimodalOps.HlsSegment]) => ())
+      graft.ops.TextOps.zstdCompressionRatio(docs, "doc_id", "text")
+        .foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    }
+    docs.unpersist()
+    assert(b == 0L, s"r14 census chain wrote $b shuffle bytes")
+  }
 }
