@@ -4084,6 +4084,35 @@ object SparkEntry {
         |       CAST(size AS BIGINT) AS size,
         |       CAST(data_offset AS BIGINT) AS data_offset
         |FROM o ORDER BY doc_id, member_idx""".stripMargin,
+    // streaming shard-ingest census: the stream processed to
+    // completion equals the batch walk, so the oracle is the SAME
+    // member-table arithmetic as q_multimodal_tar_members
+    "q_shard_census_stream" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k, 0 AS sub, 's' || CAST(k AS VARCHAR) || '.txt' AS name,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS size
+        |  FROM ks
+        |  UNION ALL
+        |  SELECT doc_id, k, 1 AS sub, 's' || CAST(k AS VARCHAR) || '.cls' AS name,
+        |         1 AS size
+        |  FROM ks),
+        |o AS (
+        |  SELECT doc_id, name, size,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY k, sub) - 1 AS member_idx,
+        |         coalesce(sum(512 + ((size + 511) // 512) * 512)
+        |           OVER (PARTITION BY doc_id ORDER BY k, sub
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 512 AS data_offset
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(member_idx AS BIGINT) AS member_idx,
+        |       name,
+        |       CAST(size AS BIGINT) AS size,
+        |       CAST(data_offset AS BIGINT) AS data_offset
+        |FROM o ORDER BY doc_id, member_idx""".stripMargin,
     // ID3v2.3 replay: tag fields are the synthesis parameterization,
     // the album is the shared first-token rule, and the tag byte count
     // folds the 10-byte frame headers + encoding bytes
@@ -7402,6 +7431,16 @@ object SparkEntry {
         StreamingOps.sessionize(StreamingOps.readEventsBatch(s, dir))
           .orderBy("user_id", "session_id")
       },
+      "q_shard_census_stream" -> { (s, dir) =>
+        // shards land as files; the binaryFile stream censuses each
+        // exactly once — drained stream == batch walk (same oracle as
+        // q_multimodal_tar_members)
+        val staged = stageShardFiles(s, dir)
+        StreamingOps.runShardCensusStream(s, staged)
+          .select(col("id").as("doc_id"), col("memberIdx").as("member_idx"),
+            col("name"), col("size"), col("dataOffset").as("data_offset"))
+          .orderBy("doc_id", "member_idx")
+      },
       "q_fit_streaming" -> { (s, dir) => // rows-only: incremental fit
         // == batch fit after one pass (StreamingWoeSpec pins equality)
         val staged = stageAsDir(dir, "lineitem")
@@ -7463,6 +7502,28 @@ object SparkEntry {
     * poison later runs and concurrent suites cannot interleave the
     * delete/create pair.
     */
+  /** Stage the documents table as a landing zone of `shard-<id>.tar`
+    * files for the streaming census (overwritten per call — the
+    * landing zone must reflect the CURRENT corpus, and at sf0.01 the
+    * write is 500 small files).
+    */
+  private[graft] def stageShardFiles(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
+      val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, "tarshards")
+      java.nio.file.Files.createDirectories(staged)
+      MultimodalOps.synthesizeTarShard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            staged.resolve(s"shard-${r.id}.tar"), r.content)
+        }
+      staged.toString
+    }
+
   private[graft] def stageAsDir(dir: String, table: String): String =
     stageLock.synchronized {
       val md = java.security.MessageDigest.getInstance("MD5")

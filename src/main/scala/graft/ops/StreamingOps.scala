@@ -222,6 +222,54 @@ object StreamingOps {
     }
   }
 
+  /** Streaming shard-ingest census — the continuous-arrival shape of
+    * the shard family: watch a directory with Spark's `binaryFile`
+    * streaming source (exactly-once per file, `maxFilesPerTrigger`
+    * backpressure — the JSONL file-watch discipline) and run each
+    * newly landed `.tar` shard through the verified ustar member walk
+    * as it arrives.  The per-task memory bound is unchanged from the
+    * batch walk: one shard byte[] in flight per task, nothing
+    * shard-sized in state — the census rows are the only output, so a
+    * 100 TB/day landing zone streams through a fixed-size cluster.
+    * The shard id comes from the landed file's name
+    * (`shard-<id>.tar`), the convention every WebDataset layout uses.
+    */
+  def shardCensusStream(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 8): DataFrame = {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // the binaryFile source's FIXED schema (file streams require it
+    // declared explicitly even when the format defines it)
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("modificationTime", TimestampType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.tar")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(regexp_extract(col("path"), "(\\d+)\\.tar$", 1)
+        .cast(LongType).as("id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        MultimodalOps.tarMembersOf(
+          MultimodalOps.MediaRecord(id, "application/x-tar", bytes))
+          .getOrElse(Nil)
+      }
+      .toDF()
+  }
+
+  /** One-shot runner: process every shard currently in `dir` to
+    * completion and return the member table (StreamingWoe's
+    * stream-equals-batch contract: the drained stream must equal the
+    * batch walk over the same shards — the driver's oracle gates it).
+    */
+  def runShardCensusStream(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(shardCensusStream(spark, dir), "shard_census", "append")
+
   /** Streaming flavor with watermark + event-time window (the idiom a
     * live source needs); memory-sink runner for tests/demo.
     */

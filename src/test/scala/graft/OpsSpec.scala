@@ -3617,6 +3617,43 @@ class OpsSpec extends AnyFunSuite {
       7L, "x", null)).isEmpty)
   }
 
+  test("streaming shard census: exactly-once per landed file across waves") {
+    import spark.implicits._
+    import graft.ops.{MultimodalOps, StreamingOps}
+    val docs = Seq((1L, "first shard text tokens"), (2L, "second wave doc"),
+      (3L, "third doc payload here")).toDF("doc_id", "text")
+    val shards = MultimodalOps.synthesizeTarShard(docs, "doc_id", "text")
+      .collect()
+    val dir = java.nio.file.Files.createTempDirectory("landing")
+    def land(id: Long): Unit = java.nio.file.Files.write(
+      dir.resolve(s"shard-$id.tar"), shards.find(_.id == id).get.content)
+    land(1L)
+    val name = s"wave_census_${System.nanoTime()}"
+    val q = StreamingOps.shardCensusStream(spark, dir.toString)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val wave1 = spark.table(name).collect()
+      assert(wave1.map(_.getLong(0)).toSet == Set(1L))
+      // wave 2 lands two more shards; the first is NOT re-censused
+      land(2L); land(3L)
+      q.processAllAvailable()
+      val all = spark.table(name).collect()
+      assert(all.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      // exactly-once: drained stream == batch walk, no duplicates
+      val batch = MultimodalOps.tarMembers(
+        spark.createDataset(shards.toSeq)).collect()
+      assert(all.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(5))).sorted.toSeq ==
+        batch.map(m => (m.id, m.memberIdx, m.name, m.size, m.dataOffset))
+          .sorted.toSeq)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("avro census: the Avro library's own reader consumes the synthesized file") {
     import spark.implicits._
     import graft.ops.MultimodalOps
