@@ -37,7 +37,8 @@ object ShardProbe extends Serializable {
     val membersPerShard = args(2).toInt
     val fmt = args(3)
     val conc = if (args.length > 4) args(4).toInt else 8
-    require(fmt == "tar" || fmt == "targz", s"fmt $fmt must be tar|targz")
+    require(Set("tar", "targz", "zip", "tfrecord").contains(fmt),
+      s"fmt $fmt must be tar|targz|zip|tfrecord")
     val spark = SparkSession.builder()
       .master(s"local[$conc]")
       .config("spark.sql.shuffle.partitions", conc)
@@ -48,7 +49,89 @@ object ShardProbe extends Serializable {
 
     val memberBytes = memberKB * 1024
     val paddedMember = 512 + (memberBytes + 511) / 512 * 512
-    val shardBytes = membersPerShard.toLong * paddedMember + 1024L
+    val shardBytes: Long = fmt match {
+      case "tar" | "targz" => membersPerShard.toLong * paddedMember + 1024L
+      case "zip" => // locals (30 + 17-char name + data) + centrals + EOCD
+        membersPerShard.toLong * (30 + 17 + memberBytes) +
+          membersPerShard.toLong * (46 + 17) + 22L
+      case _ => // tfrecord: 16-byte framing per record
+        membersPerShard.toLong * (16 + memberBytes)
+    }
+
+    def buildZipShard(id: Long): Array[Byte] = {
+      val out = new Array[Byte](shardBytes.toInt)
+      var off = 0
+      def u16(v: Int): Unit = { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte; off += 2 }
+      def u32(v: Long): Unit = {
+        out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+        out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte; off += 4
+      }
+      var lcg = id * 6364136223846793005L + 1442695040888963407L
+      val crc = new java.util.zip.CRC32
+      val offs = new Array[Long](membersPerShard)
+      val crcs = new Array[Long](membersPerShard)
+      var m = 0
+      while (m < membersPerShard) {
+        offs(m) = off.toLong
+        val data = new Array[Byte](memberBytes)
+        var i = 0
+        while (i < memberBytes) {
+          lcg = lcg * 6364136223846793005L + 1442695040888963407L
+          data(i) = (lcg >>> 56).toByte
+          i += 1
+        }
+        crc.reset(); crc.update(data); crcs(m) = crc.getValue
+        u32(0x04034b50L); u16(20); u16(0); u16(0); u16(0); u16(0)
+        u32(crcs(m)); u32(memberBytes.toLong); u32(memberBytes.toLong)
+        u16(17); u16(0)
+        f"sample$m%07d.bin".getBytes("US-ASCII").copyToArray(out, off); off += 17
+        System.arraycopy(data, 0, out, off, memberBytes); off += memberBytes
+        m += 1
+      }
+      val cdOff = off.toLong
+      m = 0
+      while (m < membersPerShard) {
+        u32(0x02014b50L); u16(20); u16(20); u16(0); u16(0); u16(0); u16(0)
+        u32(crcs(m)); u32(memberBytes.toLong); u32(memberBytes.toLong)
+        u16(17); u16(0); u16(0); u16(0); u16(0); u32(0L); u32(offs(m))
+        f"sample$m%07d.bin".getBytes("US-ASCII").copyToArray(out, off); off += 17
+        m += 1
+      }
+      val cdSize = off.toLong - cdOff
+      u32(0x06054b50L); u16(0); u16(0); u16(membersPerShard); u16(membersPerShard)
+      u32(cdSize); u32(cdOff); u16(0)
+      require(off == shardBytes, s"zip layout $off != $shardBytes")
+      out
+    }
+
+    def buildTfRecordShard(id: Long): Array[Byte] = {
+      val out = new Array[Byte](shardBytes.toInt)
+      var off = 0
+      var lcg = id * 6364136223846793005L + 1442695040888963407L
+      var m = 0
+      while (m < membersPerShard) {
+        var i = 0
+        while (i < 8) { out(off + i) = (memberBytes.toLong >> (8 * i)).toByte; i += 1 }
+        val lenCrc = MultimodalOps.maskedCrc32c(out, off, 8)
+        i = 0
+        while (i < 4) { out(off + 8 + i) = (lenCrc >> (8 * i)).toByte; i += 1 }
+        off += 12
+        i = 0
+        while (i < memberBytes) {
+          lcg = lcg * 6364136223846793005L + 1442695040888963407L
+          out(off + i) = (lcg >>> 56).toByte
+          i += 1
+        }
+        val dataCrc = MultimodalOps.maskedCrc32c(out, off, memberBytes)
+        off += memberBytes
+        i = 0
+        while (i < 4) { out(off + i) = (dataCrc >> (8 * i)).toByte; i += 1 }
+        off += 4
+        m += 1
+      }
+      require(off == shardBytes, s"tfrecord layout $off != $shardBytes")
+      out
+    }
 
     def buildShard(id: Long): Array[Byte] = {
       val out = new Array[Byte](shardBytes.toInt)
@@ -81,22 +164,29 @@ object ShardProbe extends Serializable {
     }
 
     val shards = spark.range(0, nShards, 1, nShards).as[Long].map { id =>
-      val raw = buildShard(id)
-      if (fmt == "tar") MediaRecord(id, "application/x-tar", raw)
-      else MediaRecord(id, "application/gzip", gzip(raw))
+      fmt match {
+        case "tar" => MediaRecord(id, "application/x-tar", buildShard(id))
+        case "targz" => MediaRecord(id, "application/gzip", gzip(buildShard(id)))
+        case "zip" => MediaRecord(id, "application/zip", buildZipShard(id))
+        case _ => MediaRecord(id, "application/x-tfrecord", buildTfRecordShard(id))
+      }
     }
 
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
     val t0 = System.nanoTime()
-    val members =
-      if (fmt == "tar") MultimodalOps.tarMembers(shards)
-      else MultimodalOps.tarGzMembers(shards)
-    val agg = members.toDF().agg(
-      org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)),
-      org.apache.spark.sql.functions.countDistinct(
-        org.apache.spark.sql.functions.col("id")),
-      org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.col("size"))).head()
+    // normalize every walk to (id, size) so one agg fits all formats
+    val members = fmt match {
+      case "tar" => MultimodalOps.tarMembers(shards).toDF()
+        .select(col("id"), col("size"))
+      case "targz" => MultimodalOps.tarGzMembers(shards).toDF()
+        .select(col("id"), col("size"))
+      case "zip" => MultimodalOps.zipMembers(shards).toDF()
+        .select(col("id"), col("uncompSize").as("size"))
+      case _ => MultimodalOps.tfRecords(shards).toDF()
+        .select(col("id"), col("length").as("size"))
+    }
+    val agg = members.agg(
+      count(lit(1)), countDistinct(col("id")), sum(col("size"))).head()
     val (nMembers, nShardsSeen, sumSizes) =
       (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     val wall = (System.nanoTime() - t0) / 1e9
