@@ -7514,6 +7514,10 @@ object SparkEntry {
       val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
       val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, "tarshards")
       java.nio.file.Files.createDirectories(staged)
+      // collect() is the STAGING step, not the operator: it writes the
+      // oracle-gate's landing zone (bounded by the sf0.01 documents
+      // table, 500 rows). A production landing zone is written by the
+      // upstream system; the streamed census itself never collects.
       MultimodalOps.synthesizeTarShard(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         .collect()
