@@ -4160,6 +4160,39 @@ object SparkEntry {
          |       compression
          |FROM parquet_metadata('/root/testdata/sf0.01/$t.parquet')""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema"),
+    // GGUF replay: tensor table as id arithmetic — 52-byte infos, the
+    // fixed 102-byte header+KV prefix, 32-aligned running offsets
+    "q_multimodal_gguf" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nt FROM documents),
+        |ks AS (SELECT doc_id, nt, unnest(generate_series(0, nt - 1)) AS t FROM px),
+        |m AS (
+        |  SELECT doc_id, nt, t,
+        |         (1 + (doc_id + t) % 8) * (1 + (doc_id + t) % 16) AS n_elements,
+        |         (doc_id + t) % 2 AS type_id
+        |  FROM ks),
+        |d AS (
+        |  SELECT doc_id, nt, t, n_elements, type_id,
+        |         n_elements * (4 - 2 * type_id) AS nb
+        |  FROM m),
+        |o AS (
+        |  SELECT doc_id, nt, t, n_elements, type_id, nb,
+        |         coalesce(sum((nb + 31) // 32 * 32)
+        |           OVER (PARTITION BY doc_id ORDER BY t
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rel_off,
+        |         (102 + 52 * nt + 31) // 32 * 32 AS data_start
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(t AS BIGINT) AS tensor_idx,
+        |       'blk.' || CAST(t AS VARCHAR) || '.weight' AS name,
+        |       CAST(type_id AS BIGINT) AS type_id,
+        |       CAST(2 AS BIGINT) AS n_dims,
+        |       CAST(n_elements AS BIGINT) AS n_elements,
+        |       CAST(rel_off AS BIGINT) AS rel_offset,
+        |       CAST(data_start + rel_off AS BIGINT) AS abs_offset,
+        |       CAST(nb AS BIGINT) AS n_tensor_bytes,
+        |       CAST(2 AS BIGINT) AS kv_count
+        |FROM o ORDER BY doc_id, tensor_idx""".stripMargin,
     // Avro replay: block table as id arithmetic INCLUDING the zigzag
     // varint widths (1 byte below 64, 2 below 8192, 3 below 2^20 —
     // enough for any document in the corpus), fixed 58-byte header
@@ -6571,6 +6604,21 @@ object SparkEntry {
             s"$dir/documents.parquet", s"$dir/lineitem.parquet",
             s"$dir/orders.parquet"))
           .orderBy("file_name", "row_group_id", "path_in_schema")
+      },
+      "q_multimodal_gguf" -> { (s, dir) =>
+        // GGUF checkpoint census: KV walk (alignment from the file's
+        // own metadata) + per-tensor exact byte spans, no weight reads
+        val media = MultimodalOps.synthesizeGguf(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.ggufTensors(media).toDF()
+          .select(col("id").as("doc_id"), col("tensorIdx").as("tensor_idx"),
+            col("name"), col("typeId").as("type_id"),
+            col("nDims").as("n_dims"), col("nElements").as("n_elements"),
+            col("relOffset").as("rel_offset"),
+            col("absOffset").as("abs_offset"),
+            col("nTensorBytes").as("n_tensor_bytes"),
+            col("kvCount").as("kv_count"))
+          .orderBy("doc_id", "tensor_idx")
       },
       "q_multimodal_avro_blocks" -> { (s, dir) =>
         // Avro object-container census: metadata-map codec parse +

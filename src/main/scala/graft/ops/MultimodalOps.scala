@@ -5197,6 +5197,190 @@ object MultimodalOps {
       }
   }
 
+  // ---- GGUF checkpoint census ---------------------------------------
+
+  /** One GGUF tensor: index, name, ggml type id, rank, element count,
+    * the offset RELATIVE to the tensor-data region (what the header
+    * stores), the absolute seek position, and the exact byte span.
+    */
+  final case class GgufTensor(
+      id: Long, tensorIdx: Long, name: String, typeId: Long, nDims: Long,
+      nElements: Long, relOffset: Long, absOffset: Long, nTensorBytes: Long,
+      kvCount: Long)
+
+  /** Byte width per element for the unquantized ggml types this
+    * census supports (F32, F16 — quantized block types need a
+    * block-size table and are rejected, not guessed).
+    */
+  private val GgufTypeSize: Map[Long, Long] = Map(0L -> 4L, 1L -> 2L)
+
+  /** GGUF checkpoint census — the third checkpoint-lake surface next
+    * to safetensors and .npy, and the format the llama.cpp ecosystem
+    * distributes models in: header (magic/version/counts), the
+    * metadata KV walk (strings, numerics, arrays — skipped by their
+    * own declared types, never decoded into objects), then one row
+    * per tensor info with name/type/rank/element count and the EXACT
+    * byte span — the alignment rule (offsets are multiples of
+    * `general.alignment`, default 32) comes from the file's own
+    * metadata.  No weight bytes are read.  Strict framing: every
+    * tensor span must land inside the file and the LAST span must end
+    * exactly at EOF.
+    */
+  private[graft] def ggufTensorsOf(r: MediaRecord): Option[Seq[GgufTensor]] = {
+    val b = r.content
+    if (b == null || b.length < 24) return None
+    def u32le(o: Int): Long = (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+      (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+    def u64le(o: Int): Long = u32le(o) | u32le(o + 4) << 32
+    if (!(b(0) == 'G' && b(1) == 'G' && b(2) == 'U' && b(3) == 'F')) return None
+    if (u32le(4) != 3L) return None // GGUF v3
+    val nTensors = u64le(8)
+    val nKv = u64le(16)
+    if (nTensors < 0 || nTensors > 1000000L) return None
+    if (nKv < 0 || nKv > 1000000L) return None
+    var off = 24L
+    def readString(): String = {
+      if (off + 8 > b.length.toLong) return null
+      val len = u64le(off.toInt)
+      if (len < 0 || off + 8 + len > b.length.toLong) return null
+      val s = new String(b, off.toInt + 8, len.toInt, "UTF-8")
+      off += 8 + len
+      s
+    }
+    // scalar byte widths per GGUF metadata value type id
+    val scalar = Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L,
+      5L -> 4L, 6L -> 4L, 7L -> 1L, 10L -> 8L, 11L -> 8L, 12L -> 8L)
+    var alignment = 32L // the spec default; general.alignment overrides
+    def skipValue(tpe: Long, keyForAlign: String): Boolean = tpe match {
+      case 8L => readString() != null
+      case 9L => // array: elem type + count + payload
+        if (off + 12 > b.length.toLong) return false
+        val et = u32le(off.toInt)
+        val n = u64le(off.toInt + 4)
+        off += 12
+        if (n < 0 || n > 10000000L) return false
+        if (et == 8L) {
+          var i = 0L
+          while (i < n) { if (readString() == null) return false; i += 1 }
+          true
+        } else scalar.get(et) match {
+          case Some(w) =>
+            if (off + w * n > b.length.toLong) false
+            else { off += w * n; true }
+          case None => false
+        }
+      case t => scalar.get(t) match {
+        case Some(w) =>
+          if (off + w > b.length.toLong) false
+          else {
+            if (keyForAlign == "general.alignment" && (t == 4L || t == 5L)) {
+              val a = u32le(off.toInt)
+              if (a > 0 && (a & (a - 1)) == 0) alignment = a // power of two
+            }
+            off += w
+            true
+          }
+        case None => false
+      }
+    }
+    var k = 0L
+    while (k < nKv) {
+      val key = readString()
+      if (key == null) return None
+      if (off + 4 > b.length.toLong) return None
+      val tpe = u32le(off.toInt)
+      off += 4
+      if (!skipValue(tpe, key)) return None
+      k += 1
+    }
+    val infos = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
+    var t = 0L
+    while (t < nTensors) {
+      val name = readString()
+      if (name == null) return None
+      if (off + 4 > b.length.toLong) return None
+      val nDims = u32le(off.toInt)
+      off += 4
+      if (nDims < 1 || nDims > 8) return None
+      var nElems = 1L
+      var d = 0
+      while (d < nDims) {
+        if (off + 8 > b.length.toLong) return None
+        val dim = u64le(off.toInt)
+        if (dim <= 0) return None
+        nElems *= dim
+        off += 8
+        d += 1
+      }
+      if (off + 12 > b.length.toLong) return None
+      val typeId = u32le(off.toInt)
+      val relOff = u64le(off.toInt + 4)
+      off += 12
+      val width = GgufTypeSize.getOrElse(typeId, return None)
+      if (relOff % alignment != 0) return None
+      infos += ((name, nDims, nElems, typeId, relOff))
+      t += 1
+    }
+    val dataStart = (off + alignment - 1) / alignment * alignment
+    val out = infos.zipWithIndex.map { case ((name, nDims, nElems, typeId, relOff), i) =>
+      val nBytes = nElems * GgufTypeSize(typeId)
+      if (dataStart + relOff + nBytes > b.length.toLong) return None
+      GgufTensor(r.id, i.toLong, name, typeId, nDims, nElems, relOff,
+        dataStart + relOff, nBytes, nKv)
+    }
+    // strict framing: the furthest span must end exactly at EOF
+    val end = out.map(x => x.absOffset + x.nTensorBytes).maxOption.getOrElse(dataStart)
+    if (end != b.length.toLong) return None
+    Some(out.toSeq)
+  }
+
+  def ggufTensors(ds: Dataset[MediaRecord]): Dataset[GgufTensor] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => ggufTensorsOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row GGUF v3 synthesis: two metadata KVs (architecture string
+    * + the explicit 32-byte alignment), `1 + id % 3` tensors
+    * `blk.<t>.weight` with dims `(1 + (id+t) % 8) × (1 + (id+t) % 16)`
+    * alternating F32/F16, zero weight bytes at 32-aligned offsets —
+    * every census field replays from id arithmetic.
+    */
+  def synthesizeGguf(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val nt = 1 + (id % 3).toInt
+      def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      def u64a(v: Long) = u32a(v & 0xffffffffL) ++ u32a(v >>> 32)
+      def str(s: String): Array[Byte] = {
+        val sb = s.getBytes("UTF-8"); u64a(sb.length.toLong) ++ sb
+      }
+      val out = Array.newBuilder[Byte]
+      out ++= "GGUF".getBytes("US-ASCII") ++ u32a(3L) ++
+        u64a(nt.toLong) ++ u64a(2L)
+      out ++= str("general.architecture") ++ u32a(8L) ++ str("llama")
+      out ++= str("general.alignment") ++ u32a(4L) ++ u32a(32L)
+      var rel = 0L
+      val spans = (0 until nt).map { t =>
+        val d0 = 1L + (id + t) % 8
+        val d1 = 1L + (id + t) % 16
+        val typeId = (id + t) % 2
+        val nBytes = d0 * d1 * (4L - 2L * typeId)
+        out ++= str(s"blk.$t.weight") ++ u32a(2L) ++ u64a(d0) ++ u64a(d1) ++
+          u32a(typeId) ++ u64a(rel)
+        val mine = rel
+        rel = (rel + nBytes + 31) / 32 * 32
+        (mine, nBytes)
+      }
+      val headerLen = out.knownSize.toLong
+      val dataStart = (headerLen + 31) / 32 * 32
+      out ++= new Array[Byte]((dataStart - headerLen).toInt)
+      val (lastOff, lastBytes) = spans.last
+      out ++= new Array[Byte]((lastOff + lastBytes).toInt)
+      MediaRecord(id, "application/x-gguf", out.result())
+    }
+  }
+
   // ---- Avro object-container census --------------------------------
 
   /** One Avro data block: index, record count, serialized byte size,

@@ -1027,6 +1027,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.tfRecordsOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.avroBlocksOf(r)),
+      ("gguf", MultimodalOps.synthesizeGguf(docs, "doc_id")
+        .collect().map(_.content), r => MultimodalOps.ggufTensorsOf(r)),
       ("hls", MultimodalOps.synthesizeHls(docs, "doc_id")
         .collect().map(r => r.getString(1).getBytes("UTF-8")),
         r => MultimodalOps.hlsSegmentsOf(r.id, new String(r.content, "UTF-8"))))
@@ -3615,6 +3617,40 @@ class OpsSpec extends AnyFunSuite {
       7L, "x", corrupt)).isEmpty)
     assert(MultimodalOps.zipMembersOf(MultimodalOps.MediaRecord(
       7L, "x", null)).isEmpty)
+  }
+
+  test("gguf census: alignment honored from metadata, strict spans, quantized rejected") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((7L, "x"), (8L, "y")).toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeGguf(docs, "doc_id").collect()
+    val s7 = media.find(_.id == 7L).get
+    val ts = MultimodalOps.ggufTensorsOf(s7).get
+    assert(ts.length == 2) // 1 + 7 % 3
+    // tensor 0: dims (1+7%8, 1+7%16) = (8, 8), F16 (7%2=1) -> 128 B
+    assert(ts(0).name == "blk.0.weight" && ts(0).typeId == 1L)
+    assert(ts(0).nElements == 64L && ts(0).nTensorBytes == 128L)
+    assert(ts(0).relOffset == 0L && ts(0).kvCount == 2L)
+    // tensor 1: dims (1, 9), F32 -> 36 B at the 32-aligned offset 128
+    assert(ts(1).relOffset == 128L && ts(1).nTensorBytes == 36L)
+    // offsets are absolute-seekable: abs = 32-aligned data start + rel
+    assert(ts(0).absOffset % 32L == 0L)
+    assert(ts(1).absOffset == ts(0).absOffset + 128L)
+    assert(ts(1).absOffset + 36L == s7.content.length.toLong)
+    // a quantized type id the size table doesn't know is REJECTED, not
+    // guessed (type id patch at the first tensor's type field)
+    val q = s7.content.clone()
+    val typeOff = ts(0).absOffset.toInt // recompute: find via parse instead
+    // patch: first tensor info's type field = header(24)+kv(78)+name(20)+ndims(4)+dims(16)
+    val infoType = 24 + 78 + 20 + 4 + 16
+    q(infoType) = 2 // Q4_0
+    assert(MultimodalOps.ggufTensorsOf(MultimodalOps.MediaRecord(7L, "x", q)).isEmpty)
+    // truncation, bad magic, null: None, never a throw
+    assert(MultimodalOps.ggufTensorsOf(MultimodalOps.MediaRecord(
+      7L, "x", s7.content.take(s7.content.length - 1))).isEmpty)
+    val bad = s7.content.clone(); bad(0) = 'X'
+    assert(MultimodalOps.ggufTensorsOf(MultimodalOps.MediaRecord(7L, "x", bad)).isEmpty)
+    assert(MultimodalOps.ggufTensorsOf(MultimodalOps.MediaRecord(7L, "x", null)).isEmpty)
   }
 
   test("streaming shard census: exactly-once per landed file across waves") {
