@@ -4160,6 +4160,29 @@ object SparkEntry {
          |       compression
          |FROM parquet_metadata('/root/testdata/sf0.01/$t.parquet')""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema"),
+    // Delta-log replay: the staged commit log is corpus-independent by
+    // design, so the live file set is closed-form arithmetic — adds
+    // minus later removes, plus the v10 re-add that last-action-wins
+    // must resurrect
+    "q_delta_log_state" ->
+      s"""WITH vk AS (
+        |  SELECT v, k
+        |  FROM generate_series(0, 11) t(v), generate_series(0, 2) u(k)),
+        |removed AS (
+        |  SELECT v - 3 AS rv, v % 3 AS rk FROM generate_series(3, 11) t(v)),
+        |live AS (
+        |  SELECT v, k FROM vk
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM removed r WHERE r.rv = vk.v AND r.rk = vk.k))
+        |SELECT * FROM (
+        |  SELECT 'part-' || CAST(v AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |           || '.parquet' AS path,
+        |         CAST(1000 + 137 * v + k AS BIGINT) AS size,
+        |         CAST(v AS BIGINT) AS version_added
+        |  FROM live
+        |  UNION ALL
+        |  SELECT 'part-0-0.parquet', CAST(9999 AS BIGINT), CAST(10 AS BIGINT))
+        |ORDER BY path""".stripMargin,
     // GGUF replay: tensor table as id arithmetic — 52-byte infos, the
     // fixed 102-byte header+KV prefix, 32-aligned running offsets
     "q_multimodal_gguf" ->
@@ -7479,6 +7502,14 @@ object SparkEntry {
         StreamingOps.sessionize(StreamingOps.readEventsBatch(s, dir))
           .orderBy("user_id", "session_id")
       },
+      "q_delta_log_state" -> { (s, dir) =>
+        // lakehouse table-state reconstruction: replay a Delta-style
+        // commit log (filename = version, last action per path wins)
+        // into the live file set — no table-format library
+        val staged = stageDeltaLog(dir)
+        graft.ops.StorageOps.deltaLogState(s, staged)
+          .orderBy("path")
+      },
       "q_shard_census_stream" -> { (s, dir) =>
         // shards land as files; the binaryFile stream censuses each
         // exactly once — drained stream == batch walk (same oracle as
@@ -7550,6 +7581,36 @@ object SparkEntry {
     * poison later runs and concurrent suites cannot interleave the
     * delete/create pair.
     */
+  /** Stage a deterministic Delta-style commit log: 12 versions, each
+    * a `%020d.json` of add/remove/commitInfo lines — version v adds
+    * `part-v-k.parquet` (k 0..2, size 1000 + 137v + k), v ≥ 3 removes
+    * `part-(v-3)-(v%3).parquet`, and v10 RE-ADDS the v3-removed
+    * `part-0-0.parquet` at size 9999 (the last-action-wins case).
+    * Corpus-independent by design so the oracle is pure arithmetic.
+    */
+  private[graft] def stageDeltaLog(dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
+      val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, "deltalog")
+      java.nio.file.Files.createDirectories(staged)
+      (0 until 12).foreach { v =>
+        val lines = Seq.newBuilder[String]
+        lines += s"""{"commitInfo":{"timestamp":${1700000000000L + v}}}"""
+        (0 until 3).foreach { k =>
+          lines += s"""{"add":{"path":"part-$v-$k.parquet","size":${1000 + 137 * v + k},"dataChange":true}}"""
+        }
+        if (v >= 3)
+          lines += s"""{"remove":{"path":"part-${v - 3}-${v % 3}.parquet"}}"""
+        if (v == 10)
+          lines += s"""{"add":{"path":"part-0-0.parquet","size":9999,"dataChange":true}}"""
+        java.nio.file.Files.write(staged.resolve(f"$v%020d.json"),
+          lines.result().mkString("\n").getBytes("UTF-8"))
+      }
+      staged.toString
+    }
+
   /** Stage the documents table as a landing zone of `shard-<id>.tar`
     * files for the streaming census (overwritten per call — the
     * landing zone must reflect the CURRENT corpus, and at sf0.01 the

@@ -69,6 +69,52 @@ object StorageOps {
         "total_uncompressed_size", "compression")
   }
 
+  /** Delta-style transaction-log replay — lakehouse table-state
+    * reconstruction WITHOUT the table-format library: read the
+    * commit log's JSON files (one per version, the filename IS the
+    * version — the open Delta protocol's layout), normalize each
+    * add/remove action, and resolve every path to its LATEST action
+    * ("last action wins"); the live file set is the paths whose
+    * latest action is an add.  This is the first question every
+    * audit/compaction/vacuum job asks of a table: which files are
+    * live, how big, and since when.
+    *
+    * Scale shape: the log is METADATA (a few KB per commit), so the
+    * whole replay is one window over paths — corpus-size-independent.
+    * For 10⁶-commit logs the protocol's own answer is the checkpoint
+    * snapshot (replay from the last checkpoint, not version 0); this
+    * reader takes the log directory it is given, so pointing it past
+    * a checkpoint is the caller's one-line composition.
+    */
+  def deltaLogState(
+      spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val sch = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType))))))
+    val actions = spark.read.schema(sch)
+      .option("pathGlobFilter", "*.json").json(logDir)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.size").as("size"),
+        col("add.path").isNotNull.cast(IntegerType).as("is_add"),
+        col("version"))
+      .filter(col("path").isNotNull) // commitInfo/protocol lines carry neither
+    val w = Window.partitionBy("path")
+      .orderBy(col("version").desc, col("is_add").desc)
+    actions.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_add") === 1)
+      .select(col("path"), col("size"),
+        col("version").as("version_added"))
+  }
+
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet
     * table.  `numBuckets` should be sized so one bucket ≈ one
     * executor-task's worth of data at the target scale (100 TB / 10k

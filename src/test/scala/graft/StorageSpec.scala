@@ -174,6 +174,30 @@ class StorageSpec extends AnyFunSuite {
       s"z-order x-range $zx should be sub-global but wider than x-sort's $bx")
   }
 
+  test("delta-log replay: last action wins, re-add resurrects, noise lines ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("dlog")
+    def commit(v: Int, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(f"$v%020d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    commit(0, Seq(
+      """{"commitInfo":{"timestamp":1}}""",
+      """{"protocol":{"minReaderVersion":1}}""",
+      """{"add":{"path":"a.parquet","size":10,"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","size":20,"dataChange":true}}"""))
+    commit(1, Seq("""{"remove":{"path":"a.parquet"}}""",
+      """{"add":{"path":"c.parquet","size":30,"dataChange":true}}"""))
+    commit(2, Seq( // a returns with a NEW size; b is rewritten in place
+      """{"add":{"path":"a.parquet","size":11,"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","size":21,"dataChange":true}}"""))
+    commit(3, Seq("""{"remove":{"path":"c.parquet"}}"""))
+    val got = graft.ops.StorageOps.deltaLogState(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq(
+      ("a.parquet", 11L, 2L), // resurrected by the v2 re-add
+      ("b.parquet", 21L, 2L)  // latest add wins over the v0 one
+    ))                        // c removed at v3; protocol/commitInfo ignored
+  }
+
   test("parquet footer census: Spark-written dir of parts, exact accounting") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
