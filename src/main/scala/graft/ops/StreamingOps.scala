@@ -266,9 +266,40 @@ object StreamingOps {
     * completion and return the member table (StreamingWoe's
     * stream-equals-batch contract: the drained stream must equal the
     * batch walk over the same shards — the driver's oracle gates it).
+    * The trigger cap is raised for the drain: `maxFilesPerTrigger`
+    * bounds IN-FLIGHT shard bytes per micro-batch, and a backlog
+    * drain of N small shards at the live-tailing default would pay
+    * N/8 micro-batch scheduling rounds for no memory benefit — size
+    * the cap to (executor memory budget / shard size), not to the
+    * tailing cadence.
     */
-  def runShardCensusStream(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(shardCensusStream(spark, dir), "shard_census", "append")
+  def runShardCensusStream(spark: SparkSession, dir: String): DataFrame = {
+    // Trigger.AvailableNow for the drain: it plans the listing ONCE
+    // (the default trigger relists the directory and rescans the
+    // seen-files map every micro-batch — quadratic on a backlog) and
+    // still honors maxFilesPerTrigger as the in-flight-bytes cap.
+    // The cap itself is sized for the drain: each micro-batch carries
+    // ~1.5 s of fixed machinery (incremental planning + metadata-log
+    // fsyncs), so a 50k-file backlog at cap 1024 paid 49 batches
+    // (~75 s) for ~2 s of census work; cap 16384 pays 4.  Size the
+    // cap to (executor memory budget / shard size) — for design-size
+    // 100 MB-1 GB shards that means HUNDREDS, and the per-batch
+    // machinery vanishes against the per-shard walk time.
+    val name = s"shard_census_${System.nanoTime()}"
+    val q = shardCensusStream(spark, dir, maxFilesPerTrigger = 16384)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination() // AvailableNow self-terminates when drained
+      val out = spark.table(name).cache()
+      out.count()
+      out
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
 
   /** Streaming flavor with watermark + event-time window (the idiom a
     * live source needs); memory-sink runner for tests/demo.
