@@ -4084,6 +4084,34 @@ object SparkEntry {
         |       CAST(size AS BIGINT) AS size,
         |       CAST(data_offset AS BIGINT) AS data_offset
         |FROM o ORDER BY doc_id, member_idx""".stripMargin,
+    // .tar.zst replay: the zstd layer must be INVISIBLE to the member
+    // table — same oracle arithmetic as the raw and gzip shards
+    "q_multimodal_tarzst_members" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k, 0 AS sub, 's' || CAST(k AS VARCHAR) || '.txt' AS name,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS size
+        |  FROM ks
+        |  UNION ALL
+        |  SELECT doc_id, k, 1 AS sub, 's' || CAST(k AS VARCHAR) || '.cls' AS name,
+        |         1 AS size
+        |  FROM ks),
+        |o AS (
+        |  SELECT doc_id, name, size,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY k, sub) - 1 AS member_idx,
+        |         coalesce(sum(512 + ((size + 511) // 512) * 512)
+        |           OVER (PARTITION BY doc_id ORDER BY k, sub
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 512 AS data_offset
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(member_idx AS BIGINT) AS member_idx,
+        |       name,
+        |       CAST(size AS BIGINT) AS size,
+        |       CAST(data_offset AS BIGINT) AS data_offset
+        |FROM o ORDER BY doc_id, member_idx""".stripMargin,
     // streaming shard-ingest census: the stream processed to
     // completion equals the batch walk, so the oracle is the SAME
     // member-table arithmetic as q_multimodal_tar_members
@@ -6592,6 +6620,16 @@ object SparkEntry {
         val media = MultimodalOps.synthesizeTarGzShard(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         MultimodalOps.tarGzMembers(media).toDF()
+          .select(col("id").as("doc_id"), col("memberIdx").as("member_idx"),
+            col("name"), col("size"), col("dataOffset").as("data_offset"))
+          .orderBy("doc_id", "member_idx")
+      },
+      "q_multimodal_tarzst_members" -> { (s, dir) =>
+        // the zstd-compressed shard flavor: same bomb-guarded inflate
+        // discipline, same walk, same oracle as raw/gzip
+        val media = MultimodalOps.synthesizeTarZstShard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.tarZstMembers(media).toDF()
           .select(col("id").as("doc_id"), col("memberIdx").as("member_idx"),
             col("name"), col("size"), col("dataOffset").as("data_offset"))
           .orderBy("doc_id", "member_idx")

@@ -4439,6 +4439,58 @@ object MultimodalOps {
     ds.mapPartitions(_.flatMap(r => tarGzMembersOf(r).getOrElse(Nil)))
   }
 
+  /** `.tar.zst` member census — the OTHER compressed-shard convention
+    * (modern WebDataset distributions ship zstd at least as often as
+    * gzip; zstd-jni rides with Spark).  Same contract as the gzip
+    * flavor: inflate through a streaming decompressor with the same
+    * 1 GiB-default bomb guard, run the identical verified ustar walk,
+    * and release the native context on EVERY exit path (the r14 gzip
+    * lesson).  The compression layer must be invisible to the member
+    * table — all three shard flavors share one oracle.
+    */
+  private[graft] def tarZstMembersOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[TarMember]] = {
+    val b = r.content
+    if (b == null || b.length < 4) return None
+    // zstd frame magic 0xFD2FB528 (little-endian on disk)
+    if (!((b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)) return None
+    val out = new java.io.ByteArrayOutputStream(math.min(1 << 16, maxInflated))
+    val in = try {
+      new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+        new java.io.ByteArrayInputStream(b))
+    } catch { case _: java.io.IOException => return None }
+    try {
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) {
+        if (out.size() + n > maxInflated) return None // bomb guard
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch { case _: java.io.IOException => return None
+    } finally in.close() // native zstd context: release on every exit path
+    tarMembersOf(MediaRecord(r.id, "application/x-tar", out.toByteArray))
+  }
+
+  def tarZstMembers(ds: Dataset[MediaRecord]): Dataset[TarMember] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => tarZstMembersOf(r).getOrElse(Nil)))
+  }
+
+  /** [[synthesizeTarShard]] compressed with zstd at a fixed level
+    * (deterministic for a fixed level and zstd-jni version, the
+    * q_compress_zstd contract), so the member table replays
+    * IDENTICALLY to the raw and gzip shards.
+    */
+  def synthesizeTarZstShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    synthesizeTarShard(df, idCol, textCol).map { r =>
+      MediaRecord(r.id, "application/zstd",
+        com.github.luben.zstd.Zstd.compress(r.content, 3))
+    }
+  }
+
   /** [[synthesizeTarShard]] compressed with the JDK gzip writer
     * (MTIME 0, deterministic deflate — the PNG codec's contract), so
     * the member table replays IDENTICALLY to the uncompressed shard:

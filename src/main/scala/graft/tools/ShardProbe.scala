@@ -37,8 +37,8 @@ object ShardProbe extends Serializable {
     val membersPerShard = args(2).toInt
     val fmt = args(3)
     val conc = if (args.length > 4) args(4).toInt else 8
-    require(Set("tar", "targz", "zip", "tfrecord").contains(fmt),
-      s"fmt $fmt must be tar|targz|zip|tfrecord")
+    require(Set("tar", "targz", "tarzst", "zip", "tfrecord").contains(fmt),
+      s"fmt $fmt must be tar|targz|tarzst|zip|tfrecord")
     val spark = SparkSession.builder()
       .master(s"local[$conc]")
       .config("spark.sql.shuffle.partitions", conc)
@@ -50,7 +50,7 @@ object ShardProbe extends Serializable {
     val memberBytes = memberKB * 1024
     val paddedMember = 512 + (memberBytes + 511) / 512 * 512
     val shardBytes: Long = fmt match {
-      case "tar" | "targz" => membersPerShard.toLong * paddedMember + 1024L
+      case "tar" | "targz" | "tarzst" => membersPerShard.toLong * paddedMember + 1024L
       case "zip" => // locals (30 + 17-char name + data) + centrals + EOCD
         membersPerShard.toLong * (30 + 17 + memberBytes) +
           membersPerShard.toLong * (46 + 17) + 22L
@@ -142,7 +142,7 @@ object ShardProbe extends Serializable {
         val h = tarHeader(f"sample$m%07d.bin", memberBytes.toLong)
         System.arraycopy(h, 0, out, off, 512)
         off += 512
-        if (fmt == "tar") { // LCG fill; targz keeps zeros for high ratio
+        if (fmt == "tar" || fmt == "tarzst") { // LCG fill; targz keeps zeros
           var i = 0
           while (i < memberBytes) {
             lcg = lcg * 6364136223846793005L + 1442695040888963407L
@@ -167,6 +167,8 @@ object ShardProbe extends Serializable {
       fmt match {
         case "tar" => MediaRecord(id, "application/x-tar", buildShard(id))
         case "targz" => MediaRecord(id, "application/gzip", gzip(buildShard(id)))
+        case "tarzst" => MediaRecord(id, "application/zstd",
+          com.github.luben.zstd.Zstd.compress(buildShard(id), 3))
         case "zip" => MediaRecord(id, "application/zip", buildZipShard(id))
         case _ => MediaRecord(id, "application/x-tfrecord", buildTfRecordShard(id))
       }
@@ -179,6 +181,8 @@ object ShardProbe extends Serializable {
       case "tar" => MultimodalOps.tarMembers(shards).toDF()
         .select(col("id"), col("size"))
       case "targz" => MultimodalOps.tarGzMembers(shards).toDF()
+        .select(col("id"), col("size"))
+      case "tarzst" => MultimodalOps.tarZstMembers(shards).toDF()
         .select(col("id"), col("size"))
       case "zip" => MultimodalOps.zipMembers(shards).toDF()
         .select(col("id"), col("uncompSize").as("size"))

@@ -852,6 +852,29 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.tarGzMembersOf(gz, maxInflated = 100).isEmpty)
   }
 
+  test("tar.zst: inflate + walk equals the raw shard; corrupt frame rejected") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "the quick brown fox")).toDF("doc_id", "text")
+    val raw = MultimodalOps.tarMembersOf(
+      MultimodalOps.synthesizeTarShard(docs, "doc_id", "text").collect().head).get
+    val zst = MultimodalOps.synthesizeTarZstShard(docs, "doc_id", "text").collect().head
+    // the compression layer is invisible: identical member table
+    assert(MultimodalOps.tarZstMembersOf(zst).contains(raw))
+    // a flipped frame byte -> None, never a throw
+    val bad = zst.content.clone(); bad(zst.content.length / 2) = 0x55
+    assert(MultimodalOps.tarZstMembersOf(
+      MultimodalOps.MediaRecord(5L, "application/zstd", bad)).isEmpty)
+    // gzip bytes do not pass the zstd magic gate, and vice versa
+    val gz2 = MultimodalOps.synthesizeTarGzShard(docs, "doc_id", "text").collect().head
+    assert(MultimodalOps.tarZstMembersOf(gz2).isEmpty)
+    assert(MultimodalOps.tarGzMembersOf(zst).isEmpty)
+    // the bomb guard caps inflation; null content is None
+    assert(MultimodalOps.tarZstMembersOf(zst, maxInflated = 100).isEmpty)
+    assert(MultimodalOps.tarZstMembersOf(
+      MultimodalOps.MediaRecord(5L, "x", null)).isEmpty)
+  }
+
   test("id3v2: hand-built tag parses; padding stops the walk; overrun rejected") {
     import spark.implicits._
     import graft.ops.MultimodalOps
@@ -1006,6 +1029,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.tarMembersOf(r)),
       ("targz", MultimodalOps.synthesizeTarGzShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.tarGzMembersOf(r)),
+      ("tarzst", MultimodalOps.synthesizeTarZstShard(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.tarZstMembersOf(r)),
       ("safetensors", MultimodalOps.synthesizeSafetensors(docs, "doc_id")
         .collect().map(_.content), r => MultimodalOps.safetensorsOf(r)),
       ("npy", MultimodalOps.synthesizeNpy(docs, "doc_id")
