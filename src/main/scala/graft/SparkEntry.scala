@@ -4141,9 +4141,14 @@ object SparkEntry {
         |       CAST(size AS BIGINT) AS size,
         |       CAST(data_offset AS BIGINT) AS data_offset
         |FROM o ORDER BY doc_id, member_idx""".stripMargin,
-    // ID3v2.3 replay: tag fields are the synthesis parameterization,
-    // the album is the shared first-token rule, and the tag byte count
-    // folds the 10-byte frame headers + encoding bytes
+    // ID3 replay, BOTH wire versions: even ids carry v2.3 tags (plain
+    // u32 frame sizes), odd ids v2.4 (syncsafe frame sizes) with an
+    // extra ≥128-byte TXXX pad frame — the size where the two
+    // encodings diverge, so a parser applying the wrong rule mis-hops
+    // and this oracle catches it.  Tag fields are the synthesis
+    // parameterization, the album is the shared first-token rule, and
+    // the tag byte count folds the 10-byte frame headers + encoding
+    // bytes (+ the v2.4 arm's 138 + id%64 TXXX bytes).
     "q_multimodal_id3" ->
       s"""WITH px AS (
         |  SELECT doc_id,
@@ -4154,8 +4159,10 @@ object SparkEntry {
         |       'doc ' || CAST(doc_id AS VARCHAR) AS title,
         |       'src' || CAST(doc_id % 5 AS VARCHAR) AS artist,
         |       alb AS album,
-        |       CAST(3 AS BIGINT) AS n_frames,
-        |       CAST(51 + length(CAST(doc_id AS VARCHAR)) + octet_length(encode(alb)) AS BIGINT) AS tag_bytes
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) AS n_frames,
+        |       CAST(51 + length(CAST(doc_id AS VARCHAR)) + octet_length(encode(alb))
+        |            + CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 138 + doc_id % 64 END
+        |         AS BIGINT) AS tag_bytes
         |FROM px ORDER BY doc_id""".stripMargin,
     // WebVTT replay: cue count/timings are id arithmetic, cue text is
     // the same token-window slice both engines compute from the raw
@@ -4173,21 +4180,9 @@ object SparkEntry {
         |       CAST(k * (2000 + doc_id % 500) + 1500 + doc_id % 300 AS BIGINT) AS end_ms,
         |       coalesce(array_to_string(toks[k * 5 + 1 : k * 5 + 5], ' '), '') AS cue_text
         |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
-    // parquet-footer oracle: DuckDB's own parquet_metadata() over the
-    // same files — an independent second reader of the same footers
-    // (paths pinned to the driver's sf0.01 gate, the golden-fixture
-    // precedent)
-    "q_parquet_footer" -> Seq("documents", "lineitem", "orders").map { t =>
-      s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file_name,
-         |       CAST(row_group_id AS BIGINT) AS row_group_id,
-         |       CAST(row_group_num_rows AS BIGINT) AS row_group_num_rows,
-         |       path_in_schema,
-         |       CAST(num_values AS BIGINT) AS num_values,
-         |       CAST(total_compressed_size AS BIGINT) AS total_compressed_size,
-         |       CAST(total_uncompressed_size AS BIGINT) AS total_uncompressed_size,
-         |       compression
-         |FROM parquet_metadata('/root/testdata/sf0.01/$t.parquet')""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema"),
+    // q_parquet_footer's oracle is NOT here: it must interpolate the
+    // corpus dir the run actually reads (set by Verify), and this val
+    // initializes at object load — see parquetFooterOracleSql below.
     // Delta-log replay: the staged commit log is corpus-independent by
     // design, so the live file set is closed-form arithmetic — adds
     // minus later removes, plus the v10 re-add that last-action-wins
@@ -7662,12 +7657,31 @@ object SparkEntry {
       val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, "tarshards")
       java.nio.file.Files.createDirectories(staged)
       // idempotent: the landing zone is a pure function of the (static)
-      // documents table, so if the file census already matches, skip
-      // the rewrite — bench passes then time the STREAM, not the stage
+      // documents table, so if the CONTENT fingerprint already matches,
+      // skip the rewrite — bench passes then time the STREAM, not the
+      // stage.  The fingerprint is a cheap aggregate over doc_id and
+      // byte length, not just the cardinality: a same-count corpus with
+      // different content at the same dir must NOT reuse stale shards
+      // (the gate would then census the wrong corpus).
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val nDocs = docs.count()
+      val fpRow = docs.agg(
+        count(lit(1)), sum(col("doc_id")),
+        sum(octet_length(col("text").cast("binary"))),
+        sum(col("doc_id") * octet_length(col("text").cast("binary")))).head()
+      val fingerprint = (0 until 4).map(i =>
+        if (fpRow.isNullAt(i)) "null" else fpRow.get(i).toString).mkString(":")
+      val nDocs = fpRow.getLong(0)
+      val marker = staged.resolve("_FINGERPRINT")
+      val prior =
+        if (java.nio.file.Files.exists(marker))
+          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        else ""
       val existing = staged.toFile.list((_, n) => n.endsWith(".tar")).length
-      if (existing != nDocs) {
+      if (existing != nDocs || prior != fingerprint) {
+        // stale shards from a different same-count corpus must go
+        staged.toFile.list((_, n) => n.endsWith(".tar")).foreach { n =>
+          java.nio.file.Files.deleteIfExists(staged.resolve(n)); ()
+        }
         // collect() is the STAGING step, not the operator: it writes
         // the oracle-gate's landing zone (bounded by the documents
         // table). A production landing zone is written by the upstream
@@ -7678,6 +7692,9 @@ object SparkEntry {
             java.nio.file.Files.write(
               staged.resolve(s"shard-${r.id}.tar"), r.content)
           }
+        // marker LAST: a crash mid-write leaves no fingerprint, so the
+        // next run rewrites instead of trusting a partial landing zone
+        java.nio.file.Files.write(marker, fingerprint.getBytes("UTF-8"))
       }
       staged.toString
     }
@@ -7734,5 +7751,32 @@ object SparkEntry {
     * a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    sqlQueries ++ sharedDocSql ++ duckdbOnlySql ++ fitOracleSqls
+    sqlQueries ++ sharedDocSql ++ duckdbOnlySql ++ fitOracleSqls ++
+      Map("q_parquet_footer" -> parquetFooterOracleSql)
+
+  /** Corpus dir the oracle SQL is generated against.  Verify sets this
+    * to its `sfDir` argument before dumping oracle_sql.json, so the
+    * parquet-footer oracle reads the SAME files the Spark side read —
+    * a pinned literal here would silently compare a different corpus
+    * whenever the gate runs against any dir but the default.
+    */
+  @volatile private[graft] var oracleDir: String = "/root/testdata/sf0.01"
+
+  /** parquet-footer oracle: DuckDB's own parquet_metadata() over the
+    * same files — an independent second reader of the same footers.
+    * A def (not a val entry in [[sharedDocSql]]) so it interpolates
+    * [[oracleDir]] at dump time, after Verify has set it.
+    */
+  private def parquetFooterOracleSql: String =
+    Seq("documents", "lineitem", "orders").map { t =>
+      s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file_name,
+         |       CAST(row_group_id AS BIGINT) AS row_group_id,
+         |       CAST(row_group_num_rows AS BIGINT) AS row_group_num_rows,
+         |       path_in_schema,
+         |       CAST(num_values AS BIGINT) AS num_values,
+         |       CAST(total_compressed_size AS BIGINT) AS total_compressed_size,
+         |       CAST(total_uncompressed_size AS BIGINT) AS total_uncompressed_size,
+         |       compression
+         |FROM parquet_metadata('$oracleDir/$t.parquet')""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema")
 }

@@ -9,6 +9,9 @@ object Verify {
     // driver always passes exactly two, so its surface is unchanged)
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    // the oracle SQL must read the SAME corpus dir the queries do
+    // (q_parquet_footer interpolates file paths into its SQL)
+    SparkEntry.oracleDir = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -4171,14 +4171,24 @@ object MultimodalOps {
       .toDF("id", "vtt")
   }
 
-  /** ID3v2.3 text-frame extraction — the audio-side tag census
+  /** ID3v2.3/v2.4 text-frame extraction — the audio-side tag census
     * (title/artist/album + total tag size), the MP3 sibling of the
     * EXIF surface: where a corpus's audio attribution/provenance
-    * metadata lives.  Walks the 10-byte tag header (syncsafe size)
-    * then the v2.3 frame chain (4-byte id, PLAIN u32 size, 2 flag
-    * bytes); only text frames (id `T…`, encoding byte 0 = ISO-8859-1
-    * or 3 = UTF-8) are decoded.  TOTAL on arbitrary bytes: a frame
-    * that overruns the tag ends the walk, never the job.
+    * metadata lives.  Walks the 10-byte tag header (syncsafe size),
+    * GATES on the version byte, then the frame chain (4-byte id,
+    * 2 flag bytes, and the size rule the version dictates: v2.3 =
+    * PLAIN u32, v2.4 = SYNCSAFE u28 — the one wire difference that
+    * matters, because a v2.4 frame ≥ 128 B walked with v2.3
+    * arithmetic mis-hops).  Only text frames (id `T…`, encoding
+    * byte 0 = ISO-8859-1 or 3 = UTF-8) are decoded, and only when
+    * their format flags claim no compression/encryption/unsync/DLI
+    * transformation of the payload (such frames are still COUNTED —
+    * the hop uses the stored size either way).  Versions other than
+    * 3 and 4 (v2.2's 3-byte frame ids, future majors) and tag-level
+    * unsynchronisation / extended-header / footer flags are rejected
+    * explicitly — the walk's own envelope, enforced rather than
+    * silently mis-walked.  TOTAL on arbitrary bytes: a frame that
+    * overruns the tag ends the walk, never the job.
     */
   final case class Id3Meta(
       id: Long, title: String, artist: String, album: String,
@@ -4189,6 +4199,12 @@ object MultimodalOps {
     if (b == null) return None
     val total = id3v2Size(b)
     if (total <= 10 || total > b.length) return None
+    val ver = b(3) & 0xff
+    if (ver != 3 && ver != 4) return None // v2.2 (3-byte ids) and unknown majors: reject, never mis-walk
+    // tag flags: unsync (0x80) re-codes the byte stream, extended
+    // header (0x40) shifts the first frame, v2.4 footer (0x10) adds
+    // trailing bytes outside `total` — all outside this walk's envelope
+    if ((b(5) & 0xd0) != 0) return None
     var off = 10
     var title = ""; var artist = ""; var album = ""
     var nFrames = 0L
@@ -4197,10 +4213,25 @@ object MultimodalOps {
       if (c0 == 0) return Some(Id3Meta(r.id, title, artist, album, nFrames, total.toLong)) // padding
       val fid = new String(b, off, 4, "US-ASCII")
       if (!fid.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))) return None
-      val sz = u32be(b, off + 4)
+      val sz =
+        if (ver == 3) u32be(b, off + 4)
+        else { // v2.4: syncsafe — any high bit set is a framing error
+          if (((b(off + 4) | b(off + 5) | b(off + 6) | b(off + 7)) & 0x80) != 0)
+            return None
+          ((b(off + 4) & 0x7f) << 21 | (b(off + 5) & 0x7f) << 14 |
+            (b(off + 6) & 0x7f) << 7 | (b(off + 7) & 0x7f)).toLong
+        }
       if (sz < 0 || sz > (total - off - 10).toLong) return None
+      // format flags that transform the payload (v2.3: compression
+      // 0x80 / encryption 0x40; v2.4: compression 0x08 / encryption
+      // 0x04 / unsync 0x02 / data-length-indicator 0x01) — the hop is
+      // still the stored size, but a raw text decode would be wrong
+      val f1 = b(off + 9) & 0xff
+      val decodable =
+        if (ver == 3) (f1 & 0xc0) == 0
+        else (f1 & 0x0f) == 0
       val p = off + 10
-      if (fid.startsWith("T") && sz >= 1) {
+      if (fid.startsWith("T") && sz >= 1 && decodable) {
         val enc = b(p) & 0xff
         val txt =
           if (enc == 0) new String(b, p + 1, sz.toInt - 1, "ISO-8859-1")
@@ -4224,13 +4255,18 @@ object MultimodalOps {
     ds.mapPartitions(_.flatMap(id3MetaOf))
   }
 
-  /** Per-row MP3 with a REAL ID3v2.3 tag: TIT2 = "doc <id>", TPE1 =
-    * "src<id % 5>", TALB = the document's first whitespace token (or
-    * "untitled"), all ISO-8859-1... except TALB, stored UTF-8
-    * (encoding byte 3) so the non-latin path is exercised; one CBR
-    * frame chain follows (the [[synthesizeMp3]] layout with the same
-    * bitrate/rate/mode parameterization), so both the tag fields and
-    * the audio census replay from (id, text).
+  /** Per-row MP3 with a REAL ID3 tag — v2.3 for even ids, v2.4 for
+    * odd (the version byte and the frame-size wire rule both flip):
+    * TIT2 = "doc <id>", TPE1 = "src<id % 5>", TALB = the document's
+    * first whitespace token (or "untitled"), all ISO-8859-1... except
+    * TALB, stored UTF-8 (encoding byte 3) so the non-latin path is
+    * exercised.  The v2.4 arm adds a TXXX frame whose payload is
+    * `128 + id % 64` bytes — a frame ≥ 128 B is exactly where the
+    * syncsafe (v2.4) and plain-u32 (v2.3) size encodings diverge, so
+    * a parser applying the wrong rule mis-hops and fails the oracle.
+    * One CBR frame chain follows (the [[synthesizeMp3]] layout with
+    * the same bitrate/rate/mode parameterization), so both the tag
+    * fields and the audio census replay from (id, text).
     */
   def synthesizeMp3Id3(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
@@ -4238,19 +4274,37 @@ object MultimodalOps {
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
+        val ver = if (id % 2 == 0) 3 else 4
+        def szBytes(sz: Int): Array[Byte] =
+          if (ver == 3)
+            Array[Byte]((sz >> 24).toByte, (sz >> 16).toByte,
+              (sz >> 8).toByte, sz.toByte)
+          else // syncsafe: 7 data bits per byte
+            Array[Byte](((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+              ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte)
         def frame(fid: String, enc: Int, txt: Array[Byte]): Array[Byte] = {
           val sz = 1 + txt.length
-          fid.getBytes("US-ASCII") ++
-            Array[Byte]((sz >> 24).toByte, (sz >> 16).toByte,
-              (sz >> 8).toByte, sz.toByte, 0, 0, enc.toByte) ++ txt
+          fid.getBytes("US-ASCII") ++ szBytes(sz) ++
+            Array[Byte](0, 0, enc.toByte) ++ txt
         }
+        def rawFrame(fid: String, payload: Array[Byte]): Array[Byte] =
+          fid.getBytes("US-ASCII") ++ szBytes(payload.length) ++
+            Array[Byte](0, 0) ++ payload
         val firstTok = text.split("\\s+").find(_.nonEmpty).getOrElse("untitled")
+        val pad128 =
+          if (ver == 4) {
+            // TXXX: encoding byte + "pad\0" description + value bytes;
+            // payload ≥ 128 B forces the syncsafe-vs-plain divergence
+            val value = Array.fill((123 + id % 64).toInt)('x'.toByte)
+            rawFrame("TXXX", Array[Byte](0) ++
+              "pad".getBytes("ISO-8859-1") ++ Array[Byte](0) ++ value)
+          } else Array.emptyByteArray
         val frames =
           frame("TIT2", 0, s"doc $id".getBytes("ISO-8859-1")) ++
             frame("TPE1", 0, s"src${id % 5}".getBytes("ISO-8859-1")) ++
-            frame("TALB", 3, firstTok.getBytes("UTF-8"))
+            frame("TALB", 3, firstTok.getBytes("UTF-8")) ++ pad128
         val size = frames.length // syncsafe, fits well under 2^14
-        val tag = Array[Byte]('I', 'D', '3', 3, 0, 0,
+        val tag = Array[Byte]('I', 'D', '3', ver.toByte, 0, 0,
           ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
           ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++ frames
         // one minimal CBR frame chain behind the tag (audio present)
@@ -5360,7 +5414,12 @@ object MultimodalOps {
         if (off + 8 > b.length.toLong) return None
         val dim = u64le(off.toInt)
         if (dim <= 0) return None
-        nElems *= dim
+        // crafted u64 dims can overflow Long so the later nBytes
+        // wraps small and slips past the strict-framing check while
+        // the reported counts are garbage — multiplyExact makes the
+        // overflow a rejection instead of a wrong census row
+        try nElems = Math.multiplyExact(nElems, dim)
+        catch { case _: ArithmeticException => return None }
         off += 8
         d += 1
       }
@@ -5375,8 +5434,11 @@ object MultimodalOps {
     }
     val dataStart = (off + alignment - 1) / alignment * alignment
     val out = infos.zipWithIndex.map { case ((name, nDims, nElems, typeId, relOff), i) =>
-      val nBytes = nElems * GgufTypeSize(typeId)
-      if (dataStart + relOff + nBytes > b.length.toLong) return None
+      val nBytes =
+        try Math.multiplyExact(nElems, GgufTypeSize(typeId))
+        catch { case _: ArithmeticException => return None }
+      if (nBytes > b.length.toLong || relOff > b.length.toLong ||
+        dataStart + relOff + nBytes > b.length.toLong) return None
       GgufTensor(r.id, i.toLong, name, typeId, nDims, nElems, relOff,
         dataStart + relOff, nBytes, nKv)
     }

@@ -28,9 +28,26 @@ object StorageOps {
     * regardless of data volume, the same economics as the tar/zip
     * member walks.  Oracled against DuckDB's own `parquet_metadata()`
     * — a genuinely independent second reader of the same footers.
+    *
+    * The footer READS are distributed, but the directory LISTING is
+    * driver-side (`fs.listStatus` into a local Seq) — fine to ~10⁶
+    * files (a few hundred MB of FileStatus), the wrong shape at a
+    * 10⁷-file lake where the listing itself must be distributed (one
+    * task per directory shard) or fed from the catalog's file index.
+    * `maxFiles` makes that bound explicit instead of letting the
+    * driver OOM discover it; callers at catalog scale should pass the
+    * file list from their metastore rather than a bare directory.
+    *
+    * Executors open files with the SESSION'S Hadoop configuration
+    * (broadcast via [[org.apache.spark.util.SerializableConfiguration]]),
+    * not a bare `new Configuration()` — a bare conf drops fs.* and
+    * object-store credential settings, which on S3/GCS means the
+    * driver could list the directory but every footer read would
+    * fail auth.
     */
   def parquetFooters(
-      spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      maxFiles: Int = 1000000): DataFrame = {
     import spark.implicits._
     val files = paths.flatMap { p =>
       val path = new org.apache.hadoop.fs.Path(p)
@@ -42,10 +59,17 @@ object StorageOps {
           .map(_.getPath.toString).toSeq
       else Seq(p)
     }
+    require(files.size <= maxFiles,
+      s"parquetFooters: ${files.size} files exceeds maxFiles=$maxFiles — " +
+        "the driver-side directory listing is the bottleneck at this " +
+        "scale; feed the file list from the catalog instead")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     spark.createDataset(files)
       .repartition(math.max(1, math.min(files.size, 32)))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         it.flatMap { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(

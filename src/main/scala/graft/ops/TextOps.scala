@@ -880,6 +880,14 @@ object TextOps {
       val ctx = new com.github.luben.zstd.ZstdCompressCtx()
       ctx.setLevel(level)
       var closed = false
+      // "Every exit path" includes the ones hasNext never sees: a
+      // downstream limit/take that stops pulling, or a task kill.
+      // The task-completion listener is the only hook that fires on
+      // all of them; the hasNext close below is just the eager path.
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        if (!closed) { closed = true; ctx.close() }
+      }
       new scala.collection.AbstractIterator[Row] {
         def hasNext: Boolean = {
           val h = it.hasNext

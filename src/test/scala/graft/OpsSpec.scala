@@ -916,6 +916,85 @@ class OpsSpec extends AnyFunSuite {
     assert(mp3.exists(m => m.nFrames == 1L && m.sampleRate == 44100L))
   }
 
+  test("id3v2.4: syncsafe frame sizes; version gate rejects v2.2; flags enforced") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // the fixture PAIR: identical frames, one tag per version, with a
+    // 200-byte frame — exactly where plain-u32 (0x000000C8) and
+    // syncsafe (0x00000148) size encodings diverge on the wire
+    def mkFrame(fid: String, ver: Int, payload: Array[Byte]): Array[Byte] = {
+      val sz = payload.length
+      val szb =
+        if (ver == 3) Array[Byte]((sz >> 24).toByte, (sz >> 16).toByte,
+          (sz >> 8).toByte, sz.toByte)
+        else Array[Byte](((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+          ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte)
+      fid.getBytes("US-ASCII") ++ szb ++ Array[Byte](0, 0) ++ payload
+    }
+    def mkTag(ver: Int, frames: Array[Byte], flags: Int = 0): Array[Byte] = {
+      val size = frames.length
+      Array[Byte]('I', 'D', '3', ver.toByte, 0, flags.toByte,
+        ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+        ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++ frames
+    }
+    val big = Array[Byte](0) ++ ("T" * 199).getBytes("ISO-8859-1") // TIT2, 200 B
+    val small = Array[Byte](0) ++ "Artist Z".getBytes("ISO-8859-1")
+    def framesFor(ver: Int) =
+      mkFrame("TIT2", ver, big) ++ mkFrame("TPE1", ver, small)
+    val v23 = mkTag(3, framesFor(3))
+    val v24 = mkTag(4, framesFor(4))
+    // both versions parse to the SAME census — each with its own rule
+    for ((tag, id) <- Seq((v23, 23L), (v24, 24L))) {
+      val got = MultimodalOps.id3MetaOf(MultimodalOps.MediaRecord(id, "audio/mpeg", tag))
+      assert(got.contains(MultimodalOps.Id3Meta(
+        id, "T" * 199, "Artist Z", "", 2, (10 + framesFor(3).length).toLong)), s"v$id")
+    }
+    // the divergence is REAL: v2.4 bytes walked as if they were v2.3
+    // (same frames, version byte forced to 3) mis-hop on the 200-byte
+    // frame and must NOT reproduce the true census
+    val mislabeled = mkTag(3, framesFor(4))
+    val wrong = MultimodalOps.id3MetaOf(
+      MultimodalOps.MediaRecord(25L, "audio/mpeg", mislabeled))
+    assert(!wrong.exists(m => m.artist == "Artist Z" && m.nFrames == 2))
+    // v2.2 (3-byte frame ids, version byte 2) is explicitly rejected —
+    // a future refactor must not turn the gate into a mis-walk
+    val v22 = Array[Byte]('I', 'D', '3', 2, 0, 0, 0, 0, 0, 30) ++
+      "TT2".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 11, 0) ++
+      "old title ".getBytes("ISO-8859-1") ++
+      new Array[Byte](13) // pad to the declared 30 tag bytes exactly
+    assert(MultimodalOps.id3MetaOf(
+      MultimodalOps.MediaRecord(22L, "audio/mpeg", v22)).isEmpty)
+    // tag-level unsync / extended-header / footer flags are outside
+    // the walk's envelope: reject, never mis-parse
+    for (flag <- Seq(0x80, 0x40, 0x10))
+      assert(MultimodalOps.id3MetaOf(MultimodalOps.MediaRecord(
+        26L, "audio/mpeg", mkTag(4, framesFor(4), flag))).isEmpty, s"flag $flag")
+    // a v2.4 frame size with a high bit set is a framing error
+    val badSync = v24.clone(); badSync(14) = 0x80.toByte // TIT2 size byte 0
+    assert(MultimodalOps.id3MetaOf(
+      MultimodalOps.MediaRecord(27L, "audio/mpeg", badSync)).isEmpty)
+    // v2.4 format flags that transform the payload (unsync bit 0x02)
+    // keep the frame COUNTED but undecoded
+    val flaggedFrames = {
+      val f = framesFor(4)
+      f(9) = 0x02.toByte // TIT2 format-flags byte
+      f
+    }
+    val counted = MultimodalOps.id3MetaOf(MultimodalOps.MediaRecord(
+      28L, "audio/mpeg", mkTag(4, flaggedFrames)))
+    assert(counted.exists(m => m.nFrames == 2 && m.title == "" &&
+      m.artist == "Artist Z"))
+    // synthesized v2.4 round-trip (odd id): extra TXXX pad frame, tag
+    // bytes replay the 138 + id%64 arithmetic the oracle pins
+    val m13 = MultimodalOps.id3Meta(
+        MultimodalOps.synthesizeMp3Id3(
+          Seq((13L, "naïve tokens here")).toDF("doc_id", "text"),
+          "doc_id", "text"))
+      .collect().toSeq
+    assert(m13 == Seq(MultimodalOps.Id3Meta(13L, "doc 13", "src3",
+      "naïve", 4, 51 + 2 + 6 + 138 + 13 % 64)))
+  }
+
   test("webvtt: cue parse with both timestamp forms, settings, blocks, junk") {
     import graft.ops.MultimodalOps
     val doc = Seq(
