@@ -5184,7 +5184,13 @@ object MultimodalOps {
     * EOCD, every referenced local header must carry its signature,
     * and the EOCD (+ its comment) must END the file — a truncated or
     * trailing-garbage shard fails the census rather than half-counts.
-    * TOTAL on arbitrary bytes: any violation yields None.
+    * ZIP64 is first-class: the EOCD64 locator + record supply the
+    * entry count / directory size / offset when the classic fields
+    * carry their 0xFFFF / 0xFFFFFFFF markers (archives ≥ 4 GiB or
+    * > 65,535 members — both real at shard scale), and per-entry
+    * marker sizes/offsets resolve through the 0x0001 extra field in
+    * spec order.  Markers without their ZIP64 structure are framing
+    * errors.  TOTAL on arbitrary bytes: any violation yields None.
     */
   private[graft] def zipMembersOf(r: MediaRecord): Option[Seq[ZipMember]] = {
     val b = r.content
@@ -5193,6 +5199,7 @@ object MultimodalOps {
     def u32le(off: Int): Long =
       (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
         (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+    def u64le(off: Int): Long = u32le(off) | u32le(off + 4) << 32
     // EOCD scan from the end (comment can push it up to 64 KB in)
     var eocd = -1
     var p = b.length - 22
@@ -5203,30 +5210,102 @@ object MultimodalOps {
       else p -= 1
     }
     if (eocd < 0) return None
-    val nEntries = u16le(eocd + 10)
-    if (u16le(eocd + 8) != nEntries) return None // single-disk archive
-    val cdSize = u32le(eocd + 12)
-    val cdOff = u32le(eocd + 16)
+    val nEntries16 = u16le(eocd + 10)
+    if (u16le(eocd + 8) != nEntries16) return None // single-disk archive
+    val cdSize32 = u32le(eocd + 12)
+    val cdOff32 = u32le(eocd + 16)
     val commentLen = u16le(eocd + 20)
     if (eocd + 22 + commentLen != b.length) return None // strict framing
-    if (cdOff + cdSize != eocd.toLong) return None
-    if (cdOff < 0 || cdOff + cdSize > b.length.toLong) return None
+    // ZIP64: when the archive outgrows the classic fields (≥4 GiB, or
+    // >65,535 members) they carry 0xFFFF/0xFFFFFFFF markers and the
+    // real values live in the EOCD64 record, addressed by a 20-byte
+    // locator that sits immediately before the EOCD.  Both shapes are
+    // real at shard scale, so both walk here; markers WITHOUT a
+    // locator are a framing error, not a silent zero-member census.
+    val hasLocator = eocd >= 20 &&
+      b(eocd - 20) == 0x50 && b(eocd - 19) == 0x4b &&
+      b(eocd - 18) == 0x06 && b(eocd - 17) == 0x07
+    val classicMarkers = nEntries16 == 0xffff ||
+      cdSize32 == 0xffffffffL || cdOff32 == 0xffffffffL
+    val (nEntries, cdSize, cdOff, cdEnd) =
+      if (hasLocator) {
+        val loc = eocd - 20
+        if (u32le(loc + 4) != 0L) return None // disk holding the EOCD64
+        if (u32le(loc + 16) != 1L) return None // total disks
+        val e64 = u64le(loc + 8)
+        if (e64 < 0 || e64 + 56 > loc.toLong) return None
+        val p64 = e64.toInt
+        if (!(b(p64) == 0x50 && b(p64 + 1) == 0x4b &&
+          b(p64 + 2) == 0x06 && b(p64 + 3) == 0x06)) return None
+        val recSize = u64le(p64 + 4) // size AFTER the first 12 bytes
+        if (recSize < 44 || e64 + 12 + recSize != loc.toLong) return None
+        if (u32le(p64 + 16) != 0L || u32le(p64 + 20) != 0L) return None // disk ids
+        val n64 = u64le(p64 + 24)
+        if (u64le(p64 + 32) != n64) return None // this-disk == total
+        val cs = u64le(p64 + 40)
+        val co = u64le(p64 + 48)
+        // a classic field that is NOT the marker must agree with the
+        // EOCD64's value — two readers, one truth
+        if (nEntries16 != 0xffff && nEntries16.toLong != n64) return None
+        if (cdSize32 != 0xffffffffL && cdSize32 != cs) return None
+        if (cdOff32 != 0xffffffffL && cdOff32 != co) return None
+        (n64, cs, co, e64)
+      } else {
+        if (classicMarkers) return None // zip64 markers need the locator
+        (nEntries16.toLong, cdSize32, cdOff32, eocd.toLong)
+      }
+    if (nEntries < 0 || cdSize < 0 || cdOff < 0) return None
+    if (cdSize > b.length.toLong || cdOff > b.length.toLong) return None
+    if (cdOff + cdSize != cdEnd) return None
     val out = scala.collection.mutable.ArrayBuffer.empty[ZipMember]
     var off = cdOff.toInt
     var idx = 0L
     while (idx < nEntries) {
-      if (off + 46 > eocd) return None
+      if (off + 46 > cdEnd) return None
       if (!(b(off) == 0x50 && b(off + 1) == 0x4b &&
         b(off + 2) == 0x01 && b(off + 3) == 0x02)) return None
       val method = u16le(off + 10).toLong
-      val compSize = u32le(off + 20)
-      val uncompSize = u32le(off + 24)
+      var compSize = u32le(off + 20)
+      var uncompSize = u32le(off + 24)
       val nameLen = u16le(off + 28)
       val extraLen = u16le(off + 30)
       val cmtLen = u16le(off + 32)
-      val localOff = u32le(off + 42)
-      if (off + 46 + nameLen > eocd) return None
+      var localOff = u32le(off + 42)
+      if (off + 46 + nameLen + extraLen + cmtLen > cdEnd) return None
       val name = new String(b, off + 46, nameLen, "UTF-8")
+      if (compSize == 0xffffffffL || uncompSize == 0xffffffffL ||
+        localOff == 0xffffffffL) {
+        // the real values live in the 0x0001 extra field, packed in
+        // spec order (uncomp, comp, local offset) with a slot ONLY for
+        // each field that carries the marker
+        var e = off + 46 + nameLen
+        val eEnd = e + extraLen
+        var found = false
+        while (!found && e + 4 <= eEnd) {
+          val hid = u16le(e)
+          val hsz = u16le(e + 2)
+          if (e + 4 + hsz > eEnd) return None
+          if (hid == 0x0001) {
+            var q = e + 4
+            val qEnd = e + 4 + hsz
+            if (uncompSize == 0xffffffffL) {
+              if (q + 8 > qEnd) return None
+              uncompSize = u64le(q); q += 8
+            }
+            if (compSize == 0xffffffffL) {
+              if (q + 8 > qEnd) return None
+              compSize = u64le(q); q += 8
+            }
+            if (localOff == 0xffffffffL) {
+              if (q + 8 > qEnd) return None
+              localOff = u64le(q); q += 8
+            }
+            found = true
+          } else e += 4 + hsz
+        }
+        if (!found) return None // marker with no zip64 extra: framing error
+        if (compSize < 0 || uncompSize < 0 || localOff < 0) return None
+      }
       // the referenced local header must exist and carry its signature
       if (localOff + 30 > b.length.toLong) return None
       val lo = localOff.toInt
@@ -5236,7 +5315,7 @@ object MultimodalOps {
       off += 46 + nameLen + extraLen + cmtLen
       idx += 1
     }
-    if (off != eocd) return None // walk must land exactly on the EOCD
+    if (off.toLong != cdEnd) return None // walk must land exactly on the CD end
     Some(out.toSeq)
   }
 
@@ -5286,19 +5365,48 @@ object MultimodalOps {
             u16a(nb.length) ++ u16a(0) ++ nb ++ data
           (name, data, crc.getValue, off)
         }.toSeq
+        // odd ids ship the ZIP64 shape: per-entry marker sizes/offsets
+        // resolved through the 0x0001 extra field, EOCD64 record +
+        // locator, and all-marker classic EOCD fields — the wire form
+        // of a ≥4 GiB / >65k-member shard, synthesized small (markers,
+        // not real 4 GiB payloads).  The member TABLE is identical to
+        // the classic arm's, so the oracle arithmetic never forks.
+        val zip64 = id % 2 == 1
+        def u64a(v: Long) = u32a(v & 0xffffffffL) ++ u32a(v >>> 32)
         val cdOff = out.knownSize.toLong
         locals.foreach { case (name, data, c, off) =>
           val nb = name.getBytes("US-ASCII")
-          out ++= Array[Byte](0x50, 0x4b, 0x01, 0x02) ++ u16a(20) ++ u16a(20) ++
+          val extra =
+            if (zip64) u16a(0x0001) ++ u16a(24) ++
+              u64a(data.length.toLong) ++ u64a(data.length.toLong) ++ u64a(off)
+            else Array.emptyByteArray
+          val (csz, usz, lof) =
+            if (zip64) (0xffffffffL, 0xffffffffL, 0xffffffffL)
+            else (data.length.toLong, data.length.toLong, off)
+          out ++= Array[Byte](0x50, 0x4b, 0x01, 0x02) ++ u16a(20) ++
+            u16a(if (zip64) 45 else 20) ++
             u16a(0) ++ u16a(0) ++ u16a(0) ++ u16a(0) ++ u32a(c) ++
-            u32a(data.length.toLong) ++ u32a(data.length.toLong) ++
-            u16a(nb.length) ++ u16a(0) ++ u16a(0) ++ u16a(0) ++ u16a(0) ++
-            u32a(0L) ++ u32a(off) ++ nb
+            u32a(csz) ++ u32a(usz) ++
+            u16a(nb.length) ++ u16a(extra.length) ++ u16a(0) ++ u16a(0) ++
+            u16a(0) ++ u32a(0L) ++ u32a(lof) ++ nb ++ extra
         }
         val cdSize = out.knownSize.toLong - cdOff
-        out ++= Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ u16a(0) ++ u16a(0) ++
-          u16a(locals.length) ++ u16a(locals.length) ++
-          u32a(cdSize) ++ u32a(cdOff) ++ u16a(0)
+        if (zip64) {
+          val e64Off = out.knownSize.toLong
+          out ++= Array[Byte](0x50, 0x4b, 0x06, 0x06) ++ u64a(44L) ++
+            u16a(45) ++ u16a(45) ++ u32a(0L) ++ u32a(0L) ++
+            u64a(locals.length.toLong) ++ u64a(locals.length.toLong) ++
+            u64a(cdSize) ++ u64a(cdOff)
+          out ++= Array[Byte](0x50, 0x4b, 0x06, 0x07) ++ u32a(0L) ++
+            u64a(e64Off) ++ u32a(1L)
+          out ++= Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ u16a(0) ++ u16a(0) ++
+            u16a(0xffff) ++ u16a(0xffff) ++
+            u32a(0xffffffffL) ++ u32a(0xffffffffL) ++ u16a(0)
+        } else {
+          out ++= Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ u16a(0) ++ u16a(0) ++
+            u16a(locals.length) ++ u16a(locals.length) ++
+            u32a(cdSize) ++ u32a(cdOff) ++ u16a(0)
+        }
         MediaRecord(id, "application/zip", out.result())
       }
   }

@@ -3723,6 +3723,67 @@ class OpsSpec extends AnyFunSuite {
       7L, "x", null)).isEmpty)
   }
 
+  test("zip64: EOCD64 locator/record + 0x0001 extras; markers without them reject") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "zip shard sample text payload for members"), (6L, "pair"))
+      .toDF("doc_id", "text")
+    val shards = MultimodalOps.synthesizeZipShard(docs, "doc_id", "text").collect()
+    val z64 = shards.find(_.id == 5L).get  // odd id = the ZIP64 arm
+    val cls = shards.find(_.id == 6L).get  // even id = classic
+    // the odd arm is GENUINELY zip64 on the wire: classic EOCD entry
+    // count is the 0xFFFF marker, and the locator signature precedes it
+    val b = z64.content
+    val eocd = b.length - 22
+    assert((b(eocd + 10) & 0xff) == 0xff && (b(eocd + 11) & 0xff) == 0xff)
+    assert(b(eocd - 20) == 0x50 && b(eocd - 19) == 0x4b &&
+      b(eocd - 18) == 0x06 && b(eocd - 17) == 0x07)
+    // while the even arm has none of it
+    val ce = cls.content.length - 22
+    assert((cls.content(ce + 10) & 0xff) != 0xff)
+    // independent reader: java.util.zip.ZipFile walks the CENTRAL
+    // directory (zip64-aware), unlike ZipInputStream's local-header
+    // scan — both readers, same member table
+    val tmp = java.nio.file.Files.createTempFile("graft-zip64", ".zip")
+    try {
+      java.nio.file.Files.write(tmp, b)
+      val zf = new java.util.zip.ZipFile(tmp.toFile)
+      val jdk = try {
+        import scala.jdk.CollectionConverters._
+        zf.entries().asScala.map(e => (e.getName, e.getSize)).toVector
+      } finally zf.close()
+      val walked = MultimodalOps.zipMembersOf(z64).get
+      assert(walked.map(m => (m.name, m.uncompSize)) == jdk)
+      // and the resolved (non-marker) values reassemble the payload
+      val text = walked.filter(_.name.endsWith(".txt")).map { m =>
+        new String(b, m.localOff.toInt + 30 + m.name.length,
+          m.uncompSize.toInt, "UTF-8")
+      }.mkString
+      assert(text == "zip shard sample text payload for members")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+    // classic markers WITHOUT the zip64 structures are a framing
+    // error: truncate away the EOCD64 record + locator, keep the
+    // all-marker EOCD — must reject, never census zero members
+    val markerOnly = java.util.Arrays.copyOfRange(b, 0, b.length - 22) match {
+      case body =>
+        // find where the EOCD64 record begins (the locator points at it)
+        def u64le(a: Array[Byte], off: Int): Long =
+          (0 until 8).map(i => (a(off + i) & 0xffL) << (8 * i)).sum
+        val e64 = u64le(b, eocd - 20 + 8).toInt
+        java.util.Arrays.copyOfRange(b, 0, e64) ++
+          java.util.Arrays.copyOfRange(b, eocd, b.length)
+    }
+    assert(MultimodalOps.zipMembersOf(
+      MultimodalOps.MediaRecord(9L, "x", markerOnly)).isEmpty)
+    // a corrupted EOCD64 signature rejects too
+    val badRec = b.clone()
+    def u64le2(a: Array[Byte], off: Int): Long =
+      (0 until 8).map(i => (a(off + i) & 0xffL) << (8 * i)).sum
+    badRec(u64le2(b, eocd - 20 + 8).toInt) = 0x51
+    assert(MultimodalOps.zipMembersOf(
+      MultimodalOps.MediaRecord(9L, "x", badRec)).isEmpty)
+  }
+
   test("gguf census: alignment honored from metadata, strict spans, quantized rejected") {
     import spark.implicits._
     import graft.ops.MultimodalOps
