@@ -4272,6 +4272,24 @@ object SparkEntry {
         |       CAST(off AS BIGINT) AS offset,
         |       'null' AS codec
         |FROM o ORDER BY doc_id, block_idx""".stripMargin,
+    // Iceberg manifest replay: every entry field is id arithmetic by
+    // synthesis (ns = 1 + id%3 entries; the k=0 entry of id%5==0 rows
+    // exercises the null snapshot union branch → the -1 sentinel)
+    "q_iceberg_manifest" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS entry_idx,
+        |       CAST((doc_id + k) % 3 AS BIGINT) AS status,
+        |       CAST(CASE WHEN k = 0 AND doc_id % 5 = 0 THEN -1
+        |                 ELSE 3000 + doc_id END AS BIGINT) AS snapshot_id,
+        |       'data/part-' || CAST(doc_id AS VARCHAR) || '-' ||
+        |         CAST(k AS VARCHAR) || '.parquet' AS file_path,
+        |       'PARQUET' AS file_format,
+        |       CAST(100 + (doc_id + k) % 57 AS BIGINT) AS record_count,
+        |       CAST(10000 + 137 * doc_id + k AS BIGINT) AS file_size_in_bytes
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
     // TFRecord replay: record table as id arithmetic; offsets are a
     // running sum of (16-byte framing + payload)
     "q_multimodal_tfrecords" ->
@@ -6687,6 +6705,22 @@ object SparkEntry {
             col("nRecords").as("n_records"), col("dataSize").as("data_size"),
             col("offset"), col("codec"))
           .orderBy("doc_id", "block_idx")
+      },
+      "q_iceberg_manifest" -> { (s, dir) =>
+        // Iceberg manifest census: the second open-lakehouse format
+        // next to the Delta-log replay — manifest-entry record decode
+        // (status / snapshot / path / format / rows / bytes) behind
+        // the same sync-sealed Avro container walk, schema-gated
+        val media = MultimodalOps.synthesizeIcebergManifest(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.icebergManifestEntries(media).toDF()
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            col("status"), col("snapshotId").as("snapshot_id"),
+            col("filePath").as("file_path"),
+            col("fileFormat").as("file_format"),
+            col("recordCount").as("record_count"),
+            col("fileSizeInBytes").as("file_size_in_bytes"))
+          .orderBy("doc_id", "entry_idx")
       },
       "q_multimodal_tfrecords" -> { (s, dir) =>
         // TFRecord shard census: length-framed walk with BOTH masked

@@ -5640,12 +5640,23 @@ object MultimodalOps {
     * Record counts come from the framing, so the census never decodes
     * a record.  Strict framing: the walk must end exactly at EOF.
     */
-  private[graft] def avroBlocksOf(r: MediaRecord): Option[Seq[AvroBlock]] = {
-    val b = r.content
+  /** Parsed Avro container header: codec, the writer schema JSON, the
+    * offset of the 16-byte sync marker, and the first block's offset.
+    */
+  private[graft] final case class AvroHeader(
+      codec: String, schemaJson: String, syncOff: Int, firstBlockOff: Int)
+
+  /** Walk an Avro object-container header — magic, metadata map (codec
+    * + writer schema captured), sync marker.  Shared by the block
+    * census and the Iceberg manifest decoder.  None on any framing
+    * violation.
+    */
+  private[graft] def avroHeaderOf(b: Array[Byte]): Option[AvroHeader] = {
     if (b == null || b.length < 4 + 1 + 16) return None
     if (!(b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1)) return None
     var off = 4
     var codec = "null"
+    var schema = ""
     // metadata map: blocks of (count, count × (string key, bytes val)),
     // a 0 count terminates; negative counts (count + size form) allowed
     var done = false
@@ -5677,14 +5688,23 @@ object MultimodalOps {
           if (off + vl._1 > b.length.toLong) return None
           if (key == "avro.codec")
             codec = new String(b, off, vl._1.toInt, "UTF-8")
+          else if (key == "avro.schema")
+            schema = new String(b, off, vl._1.toInt, "UTF-8")
           off += vl._1.toInt
           e += 1
         }
       }
     }
     if (off + 16 > b.length) return None
-    val syncOff = off
-    off += 16
+    Some(AvroHeader(codec, schema, off, off + 16))
+  }
+
+  private[graft] def avroBlocksOf(r: MediaRecord): Option[Seq[AvroBlock]] = {
+    val b = r.content
+    val hdr = avroHeaderOf(b).getOrElse(return None)
+    val codec = hdr.codec
+    val syncOff = hdr.syncOff
+    var off = hdr.firstBlockOff
     val out = scala.collection.mutable.ArrayBuffer.empty[AvroBlock]
     var idx = 0L
     while (off < b.length) {
@@ -5765,6 +5785,185 @@ object MultimodalOps {
         }
         MediaRecord(id, "avro/binary", out.result())
       }
+  }
+
+  // ---- Iceberg manifest census --------------------------------------
+
+  /** One Iceberg manifest entry — the lakehouse's second open format
+    * next to the Delta-log replay: status (0 = EXISTING, 1 = ADDED,
+    * 2 = DELETED), the owning snapshot (-1 when the schema's nullable
+    * union carried null — inherited snapshots), and the data file's
+    * path / format / row and byte counts.
+    */
+  final case class IcebergManifestEntry(
+      id: Long, entryIdx: Long, status: Long, snapshotId: Long,
+      filePath: String, fileFormat: String, recordCount: Long,
+      fileSizeInBytes: Long)
+
+  /** The v1 manifest-entry subset schema this decoder understands —
+    * the fields every Iceberg planner starts from (status, snapshot,
+    * path, format, row count, byte size).  Field ORDER is the Avro
+    * wire order, so this string is both the synthesizer's metadata
+    * and the decoder's gate.
+    */
+  private[graft] val IcebergManifestSchema: String =
+    """{"type":"record","name":"manifest_entry","fields":[""" +
+      """{"name":"status","type":"int","field-id":0},""" +
+      """{"name":"snapshot_id","type":["null","long"],"field-id":1},""" +
+      """{"name":"data_file","type":{"type":"record","name":"r2","fields":[""" +
+      """{"name":"file_path","type":"string","field-id":100},""" +
+      """{"name":"file_format","type":"string","field-id":101},""" +
+      """{"name":"record_count","type":"long","field-id":103},""" +
+      """{"name":"file_size_in_bytes","type":"long","field-id":104}]},""" +
+      """"field-id":2}]}"""
+
+  /** Iceberg manifest census — decode the manifest-entry RECORDS (the
+    * one step past [[avroBlocksOf]]'s container walk): per entry, the
+    * status / snapshot / data-file path / format / record count / byte
+    * size that every table-scan planner, compaction picker, and audit
+    * job reads first.  The decoder is schema-GATED: the header's
+    * writer schema must be exactly [[IcebergManifestSchema]] (the v1
+    * subset synthesized here); a manifest with a richer schema —
+    * partition structs, column stats — is out of this envelope and
+    * returns None rather than mis-decoding field offsets.  Blocks
+    * walk with the same sync-seal verification as the Avro census,
+    * and each block's records must consume its declared byte size
+    * exactly.  TOTAL on arbitrary bytes.
+    *
+    * Scale shape: manifests are METADATA (KBs per data file), so a
+    * full-lake manifest census is corpus-size-independent — the same
+    * economics as the Delta-log replay (`StorageOps.deltaLogState`).
+    */
+  private[graft] def icebergManifestEntriesOf(
+      r: MediaRecord): Option[Seq[IcebergManifestEntry]] = {
+    val b = r.content
+    val hdr = avroHeaderOf(b).getOrElse(return None)
+    if (hdr.codec != "null") return None // deflate manifests: out of envelope
+    if (hdr.schemaJson != IcebergManifestSchema) return None
+    val syncOff = hdr.syncOff
+    var off = hdr.firstBlockOff
+    val out = scala.collection.mutable.ArrayBuffer.empty[IcebergManifestEntry]
+    var idx = 0L
+    while (off < b.length) {
+      val cnt = avroVarLong(b, off)
+      if (cnt == null || cnt._1 <= 0L || cnt._1 > 10000000L) return None
+      off += cnt._2
+      val sz = avroVarLong(b, off)
+      if (sz == null || sz._1 < 0L || sz._1 > (b.length - off).toLong) return None
+      off += sz._2
+      val dataEnd = off + sz._1.toInt
+      var k = 0L
+      while (k < cnt._1) {
+        // manifest_entry, Avro wire order per the gated schema
+        val st = avroVarLong(b, off)
+        if (st == null || st._1 < 0L || st._1 > 2L) return None
+        off += st._2
+        val un = avroVarLong(b, off) // union branch: 0 = null, 1 = long
+        if (un == null || (un._1 != 0L && un._1 != 1L)) return None
+        off += un._2
+        var snap = -1L
+        if (un._1 == 1L) {
+          val sv = avroVarLong(b, off)
+          if (sv == null) return None
+          snap = sv._1
+          off += sv._2
+        }
+        val pl = avroVarLong(b, off)
+        if (pl == null || pl._1 < 0L || pl._1 > (b.length - off).toLong) return None
+        off += pl._2
+        if (off + pl._1 > dataEnd.toLong) return None
+        val path = new String(b, off, pl._1.toInt, "UTF-8")
+        off += pl._1.toInt
+        val fl = avroVarLong(b, off)
+        if (fl == null || fl._1 < 0L || fl._1 > (b.length - off).toLong) return None
+        off += fl._2
+        if (off + fl._1 > dataEnd.toLong) return None
+        val fmt = new String(b, off, fl._1.toInt, "UTF-8")
+        off += fl._1.toInt
+        val rc = avroVarLong(b, off)
+        if (rc == null || rc._1 < 0L) return None
+        off += rc._2
+        val fs = avroVarLong(b, off)
+        if (fs == null || fs._1 < 0L) return None
+        off += fs._2
+        if (off > dataEnd) return None
+        out += IcebergManifestEntry(r.id, idx, st._1, snap, path, fmt,
+          rc._1, fs._1)
+        idx += 1
+        k += 1
+      }
+      if (off != dataEnd) return None // records must fill the block exactly
+      if (off + 16 > b.length) return None
+      var i = 0
+      while (i < 16) { // the sync seal, same discipline as the block census
+        if (b(off + i) != b(syncOff + i)) return None
+        i += 1
+      }
+      off += 16
+    }
+    if (off != b.length) return None
+    Some(out.toSeq)
+  }
+
+  def icebergManifestEntries(
+      ds: Dataset[MediaRecord]): Dataset[IcebergManifestEntry] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => icebergManifestEntriesOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row Iceberg manifest synthesis: a spec-valid Avro container
+    * whose records are [[IcebergManifestSchema]] manifest entries —
+    * `1 + id % 3` entries, entry k carrying status `(id + k) % 3`,
+    * snapshot `3000 + id` (entry 0 exercises the null union branch
+    * when `id % 5 == 0`), path `data/part-<id>-<k>.parquet`, format
+    * PARQUET, `100 + (id + k) % 57` records, `10000 + 137·id + k`
+    * bytes.  One record per block so the block walk and the record
+    * decode are independently exercised; sync marker derived from the
+    * id.  Every census field replays from id arithmetic.
+    */
+  def synthesizeIcebergManifest(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      def zig(v: Long): Array[Byte] = {
+        var z = (v << 1) ^ (v >> 63)
+        val out = Array.newBuilder[Byte]
+        while ((z & ~0x7fL) != 0L) { out += ((z & 0x7f) | 0x80).toByte; z >>>= 7 }
+        out += z.toByte
+        out.result()
+      }
+      def str(s: String): Array[Byte] = {
+        val sb = s.getBytes("UTF-8"); zig(sb.length.toLong) ++ sb
+      }
+      val sync = new Array[Byte](16)
+      var i = 0
+      while (i < 16) { sync(i) = ((id * 37 + i * 11 + 5) & 0xff).toByte; i += 1 }
+      val out = Array.newBuilder[Byte]
+      out ++= Array[Byte]('O', 'b', 'j', 1)
+      out ++= zig(2L)
+      out ++= str("avro.codec"); out ++= str("null")
+      out ++= str("avro.schema"); out ++= str(IcebergManifestSchema)
+      out ++= zig(0L)
+      out ++= sync
+      val ns = 1 + (id % 3).toInt
+      var k = 0
+      while (k < ns) {
+        val rec = Array.newBuilder[Byte]
+        rec ++= zig(((id + k) % 3).toLong) // status
+        if (k == 0 && id % 5 == 0) rec ++= zig(0L) // null snapshot branch
+        else { rec ++= zig(1L); rec ++= zig(3000L + id) }
+        rec ++= str(s"data/part-$id-$k.parquet")
+        rec ++= str("PARQUET")
+        rec ++= zig(100L + (id + k) % 57)
+        rec ++= zig(10000L + 137L * id + k)
+        val r = rec.result()
+        out ++= zig(1L)
+        out ++= zig(r.length.toLong)
+        out ++= r
+        out ++= sync
+        k += 1
+      }
+      MediaRecord(id, "application/x-iceberg-manifest", out.result())
+    }
   }
 
   // ---- TFRecord shard census ---------------------------------------

@@ -1131,6 +1131,9 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.tfRecordsOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.avroBlocksOf(r)),
+      ("iceberg", MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
+        .collect().map(_.content),
+        r => MultimodalOps.icebergManifestEntriesOf(r)),
       ("gguf", MultimodalOps.synthesizeGguf(docs, "doc_id")
         .collect().map(_.content), r => MultimodalOps.ggufTensorsOf(r)),
       ("hls", MultimodalOps.synthesizeHls(docs, "doc_id")
@@ -3894,6 +3897,64 @@ class OpsSpec extends AnyFunSuite {
     // empty doc: one zero-byte record still framed
     assert(MultimodalOps.avroBlocksOf(media.find(_.id == 6L).get).get
       .map(_.dataSize) == Seq(1L)) // varint(0) alone
+  }
+
+  test("iceberg manifest: entry decode matches Avro's GenericDatumReader; gates hold") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "a"), (10L, "b"), (7L, "c")).toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeIcebergManifest(docs, "doc_id").collect()
+    for (m <- media) {
+      // independent reader: the Avro library decodes the same entries
+      // through the writer schema in the header (the DataFileReader
+      // discipline of the block census)
+      val reader = new org.apache.avro.file.DataFileReader(
+        new org.apache.avro.file.SeekableByteArrayInput(m.content),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val lib = Iterator.continually(
+        if (reader.hasNext) Some(reader.next()) else None)
+        .takeWhile(_.isDefined).map { o =>
+          val rec = o.get
+          val df = rec.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val snap = rec.get("snapshot_id")
+          (rec.get("status").asInstanceOf[Int].toLong,
+            if (snap == null) -1L else snap.asInstanceOf[Long],
+            df.get("file_path").toString, df.get("file_format").toString,
+            df.get("record_count").asInstanceOf[Long],
+            df.get("file_size_in_bytes").asInstanceOf[Long])
+        }.toVector
+      reader.close()
+      val ours = MultimodalOps.icebergManifestEntriesOf(m).get.map(e =>
+        (e.status, e.snapshotId, e.filePath, e.fileFormat, e.recordCount,
+          e.fileSizeInBytes))
+      assert(ours == lib, s"id ${m.id}")
+      assert(ours.length == 1 + (m.id % 3).toInt)
+    }
+    // id 10 (id%5==0): entry 0 took the null snapshot union branch
+    val e10 = MultimodalOps.icebergManifestEntriesOf(
+      media.find(_.id == 10L).get).get
+    assert(e10.head.snapshotId == -1L && e10(1).snapshotId == 3010L)
+    // schema gate: a container with a DIFFERENT writer schema (the
+    // plain bytes-schema shard) must be rejected, not mis-decoded
+    val plainAvro = MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
+      .collect().head
+    assert(MultimodalOps.icebergManifestEntriesOf(plainAvro).isEmpty)
+    // ...while the generic block census still reads the manifest
+    val blocks = MultimodalOps.avroBlocksOf(media.find(_.id == 7L).get).get
+    assert(blocks.length == 2 && blocks.forall(_.nRecords == 1L))
+    // corrupt sync seal / truncation / null all reject
+    val corrupt = media.head.content.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 1).toByte
+    assert(MultimodalOps.icebergManifestEntriesOf(
+      MultimodalOps.MediaRecord(5L, "x", corrupt)).isEmpty)
+    assert(MultimodalOps.icebergManifestEntriesOf(MultimodalOps.MediaRecord(
+      5L, "x", media.head.content.take(90))).isEmpty)
+    assert(MultimodalOps.icebergManifestEntriesOf(
+      MultimodalOps.MediaRecord(5L, "x", null)).isEmpty)
+    // a status outside 0..2 is a framing error (strict field domain)
+    val entries = MultimodalOps.icebergManifestEntriesOf(media.head).get
+    assert(entries.forall(e => e.status >= 0 && e.status <= 2))
   }
 
   test("tfrecord census: known CRC-32C vector, verified framing, flip fails loud") {
