@@ -301,6 +301,33 @@ object StreamingOps {
     }
   }
 
+  /** File-sink flavor of the shard-census drain — the actual
+    * landing-zone consumer shape ([[runShardCensusStream]]'s memory
+    * sink is the test/demo runner): census rows land as parquet under
+    * `outDir` with the sink's own `_spark_metadata` transaction log,
+    * and the source's seen-files state lives in `checkpointDir`.
+    * Exactly-once ACROSS RESTARTS comes from the pair: a killed run
+    * resumes from the checkpoint (files already censused are never
+    * re-read), and a batch whose write died mid-flight is invisible
+    * to readers until its metadata-log commit — so `spark.read
+    * .parquet(outDir)` (which honors `_spark_metadata`) sees each
+    * shard's members exactly once, kill or no kill.  Same
+    * `Trigger.AvailableNow` one-shot-listing economics as the memory
+    * runner; re-invoking after new files land drains just the delta.
+    */
+  def runShardCensusStreamToFiles(
+      spark: SparkSession, dir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 16384): Unit = {
+    val q = shardCensusStream(spark, dir, maxFilesPerTrigger)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() // AvailableNow self-terminates when drained
+    finally q.stop()
+  }
+
   /** Streaming flavor with watermark + event-time window (the idiom a
     * live source needs); memory-sink runner for tests/demo.
     */

@@ -3858,6 +3858,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard census file sink: exactly-once across restart on the checkpoint") {
+    import spark.implicits._
+    import graft.ops.{MultimodalOps, StreamingOps}
+    val docs = Seq((1L, "first shard text tokens"), (2L, "second wave doc"),
+      (3L, "third doc payload here"), (4L, "fourth arrives later"),
+      (5L, "fifth closes the wave")).toDF("doc_id", "text")
+    val shards = MultimodalOps.synthesizeTarShard(docs, "doc_id", "text")
+      .collect()
+    val landing = java.nio.file.Files.createTempDirectory("landing-fs")
+    val out = java.nio.file.Files.createTempDirectory("census-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("census-ckpt")
+    def land(id: Long): Unit = java.nio.file.Files.write(
+      landing.resolve(s"shard-$id.tar"), shards.find(_.id == id).get.content)
+    // run 1: three shards drain to parquet, then the query TERMINATES
+    // (AvailableNow) — the kill point every restart story starts from
+    land(1L); land(2L); land(3L)
+    StreamingOps.runShardCensusStreamToFiles(
+      spark, landing.toString, out.toString, ckpt.toString)
+    val afterRun1 = spark.read.parquet(out.toString).collect()
+    assert(afterRun1.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // run 2: two more shards land; RESUME on the same checkpoint +
+    // sink — wave-1 shards must not be re-censused (checkpointed
+    // source state), wave-2 must appear (the delta drains)
+    land(4L); land(5L)
+    StreamingOps.runShardCensusStreamToFiles(
+      spark, landing.toString, out.toString, ckpt.toString)
+    val all = spark.read.parquet(out.toString).collect()
+    val batch = MultimodalOps.tarMembers(
+      spark.createDataset(shards.toSeq)).collect()
+    // exactly-once: resumed stream total == batch walk, no dup rows
+    assert(all.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getLong(5))).sorted.toSeq ==
+      batch.map(m => (m.id, m.memberIdx, m.name, m.size, m.dataOffset))
+        .sorted.toSeq)
+    // the sink's transaction log is present — the reader-side half of
+    // the exactly-once contract (uncommitted batches stay invisible)
+    assert(java.nio.file.Files.exists(out.resolve("_spark_metadata")))
+  }
+
   test("avro census: the Avro library's own reader consumes the synthesized file") {
     import spark.implicits._
     import graft.ops.MultimodalOps
