@@ -4290,6 +4290,23 @@ object SparkEntry {
         |       CAST(100 + (doc_id + k) % 57 AS BIGINT) AS record_count,
         |       CAST(10000 + 137 * doc_id + k AS BIGINT) AS file_size_in_bytes
         |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
+    // Iceberg manifest-list replay: 1 + id%4 entries, all fields id
+    // arithmetic by synthesis
+    "q_iceberg_manifest_list" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS entry_idx,
+        |       'meta/manifest-' || CAST(doc_id AS VARCHAR) || '-' ||
+        |         CAST(k AS VARCHAR) || '.avro' AS manifest_path,
+        |       CAST(5000 + 97 * doc_id + 13 * k AS BIGINT) AS manifest_length,
+        |       CAST(doc_id % 3 AS BIGINT) AS partition_spec_id,
+        |       CAST(3000 + doc_id AS BIGINT) AS added_snapshot_id,
+        |       CAST(1 + (doc_id + k) % 9 AS BIGINT) AS added_files_count,
+        |       CAST((doc_id + 2 * k) % 7 AS BIGINT) AS existing_files_count,
+        |       CAST((doc_id + 3 * k) % 4 AS BIGINT) AS deleted_files_count
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
     // TFRecord replay: record table as id arithmetic; offsets are a
     // running sum of (16-byte framing + payload)
     "q_multimodal_tfrecords" ->
@@ -6722,6 +6739,24 @@ object SparkEntry {
             col("fileSizeInBytes").as("file_size_in_bytes"))
           .orderBy("doc_id", "entry_idx")
       },
+      "q_iceberg_manifest_list" -> { (s, dir) =>
+        // Iceberg manifest-LIST census: the snapshot's index of
+        // manifests (one level above q_iceberg_manifest) — the
+        // added/existing/deleted counts a planner prunes whole
+        // manifests with
+        val media = MultimodalOps.synthesizeIcebergManifestList(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.icebergManifestList(media).toDF()
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            col("manifestPath").as("manifest_path"),
+            col("manifestLength").as("manifest_length"),
+            col("partitionSpecId").as("partition_spec_id"),
+            col("addedSnapshotId").as("added_snapshot_id"),
+            col("addedFilesCount").as("added_files_count"),
+            col("existingFilesCount").as("existing_files_count"),
+            col("deletedFilesCount").as("deleted_files_count"))
+          .orderBy("doc_id", "entry_idx")
+      },
       "q_multimodal_tfrecords" -> { (s, dir) =>
         // TFRecord shard census: length-framed walk with BOTH masked
         // CRC-32Cs verified per record — the TF training-shard seek
@@ -7698,11 +7733,13 @@ object SparkEntry {
       // different content at the same dir must NOT reuse stale shards
       // (the gate would then census the wrong corpus).
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // decimal(38,0) sum of per-row xxhash64(doc_id, text): content-
+      // sensitive, order-free, and overflow-proof under ANSI (a plain
+      // long sum of products overflowed at the sf10 wave's 1e12 ids)
       val fpRow = docs.agg(
-        count(lit(1)), sum(col("doc_id")),
-        sum(octet_length(col("text").cast("binary"))),
-        sum(col("doc_id") * octet_length(col("text").cast("binary")))).head()
-      val fingerprint = (0 until 4).map(i =>
+        count(lit(1)),
+        sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))).head()
+      val fingerprint = (0 until 2).map(i =>
         if (fpRow.isNullAt(i)) "null" else fpRow.get(i).toString).mkString(":")
       val nDocs = fpRow.getLong(0)
       val marker = staged.resolve("_FINGERPRINT")

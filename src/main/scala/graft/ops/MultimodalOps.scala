@@ -5966,6 +5966,156 @@ object MultimodalOps {
     }
   }
 
+  /** One Iceberg manifest-LIST entry — the index of manifests a
+    * snapshot points at (the level ABOVE [[IcebergManifestEntry]]):
+    * the manifest file's path and length, its partition spec, the
+    * snapshot that added it, and the added/existing/deleted data-file
+    * counts a scan planner uses to SKIP whole manifests.
+    */
+  final case class IcebergManifestFile(
+      id: Long, entryIdx: Long, manifestPath: String, manifestLength: Long,
+      partitionSpecId: Long, addedSnapshotId: Long, addedFilesCount: Long,
+      existingFilesCount: Long, deletedFilesCount: Long)
+
+  /** The v1 manifest-file subset schema for the manifest-list census —
+    * wire order doubles as the decode order, same gate discipline as
+    * [[IcebergManifestSchema]].
+    */
+  private[graft] val IcebergManifestListSchema: String =
+    """{"type":"record","name":"manifest_file","fields":[""" +
+      """{"name":"manifest_path","type":"string","field-id":500},""" +
+      """{"name":"manifest_length","type":"long","field-id":501},""" +
+      """{"name":"partition_spec_id","type":"int","field-id":502},""" +
+      """{"name":"added_snapshot_id","type":"long","field-id":503},""" +
+      """{"name":"added_files_count","type":"int","field-id":504},""" +
+      """{"name":"existing_files_count","type":"int","field-id":505},""" +
+      """{"name":"deleted_files_count","type":"int","field-id":506}]}"""
+
+  /** Iceberg manifest-list census — the snapshot's index of manifests,
+    * one level above the manifest-entry decode: a snapshot commit
+    * points at exactly one manifest list, and its added / existing /
+    * deleted counts are what lets a planner skip whole manifests
+    * without opening them (the same pruning role parquet footers play
+    * one level further down).  Same schema-gated, sync-sealed,
+    * exact-block-consumption walk as [[icebergManifestEntriesOf]];
+    * TOTAL on arbitrary bytes.
+    */
+  private[graft] def icebergManifestListOf(
+      r: MediaRecord): Option[Seq[IcebergManifestFile]] = {
+    val b = r.content
+    val hdr = avroHeaderOf(b).getOrElse(return None)
+    if (hdr.codec != "null") return None
+    if (hdr.schemaJson != IcebergManifestListSchema) return None
+    val syncOff = hdr.syncOff
+    var off = hdr.firstBlockOff
+    val out = scala.collection.mutable.ArrayBuffer.empty[IcebergManifestFile]
+    var idx = 0L
+    while (off < b.length) {
+      val cnt = avroVarLong(b, off)
+      if (cnt == null || cnt._1 <= 0L || cnt._1 > 10000000L) return None
+      off += cnt._2
+      val sz = avroVarLong(b, off)
+      if (sz == null || sz._1 < 0L || sz._1 > (b.length - off).toLong) return None
+      off += sz._2
+      val dataEnd = off + sz._1.toInt
+      var k = 0L
+      while (k < cnt._1) {
+        val pl = avroVarLong(b, off)
+        if (pl == null || pl._1 < 0L || pl._1 > (b.length - off).toLong) return None
+        off += pl._2
+        if (off + pl._1 > dataEnd.toLong) return None
+        val path = new String(b, off, pl._1.toInt, "UTF-8")
+        off += pl._1.toInt
+        def longField(): Option[Long] = {
+          val v = avroVarLong(b, off)
+          if (v == null) None else { off += v._2; Some(v._1) }
+        }
+        val len = longField().getOrElse(return None)
+        val spec = longField().getOrElse(return None)
+        val snap = longField().getOrElse(return None)
+        val added = longField().getOrElse(return None)
+        val existing = longField().getOrElse(return None)
+        val deleted = longField().getOrElse(return None)
+        if (len < 0 || spec < 0 || added < 0 || existing < 0 || deleted < 0)
+          return None
+        if (off > dataEnd) return None
+        out += IcebergManifestFile(r.id, idx, path, len, spec, snap, added,
+          existing, deleted)
+        idx += 1
+        k += 1
+      }
+      if (off != dataEnd) return None
+      if (off + 16 > b.length) return None
+      var i = 0
+      while (i < 16) {
+        if (b(off + i) != b(syncOff + i)) return None
+        i += 1
+      }
+      off += 16
+    }
+    if (off != b.length) return None
+    Some(out.toSeq)
+  }
+
+  def icebergManifestList(
+      ds: Dataset[MediaRecord]): Dataset[IcebergManifestFile] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => icebergManifestListOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row manifest-list synthesis: `1 + id % 4` manifest-file
+    * entries, entry k pointing at `meta/manifest-<id>-<k>.avro` of
+    * length `5000 + 97·id + 13·k`, spec `id % 3`, snapshot
+    * `3000 + id`, counts (added, existing, deleted) =
+    * `(1 + (id + k) % 9, (id + 2k) % 7, (id + 3k) % 4)` — every field
+    * id arithmetic.  One record per block, sync from the id.
+    */
+  def synthesizeIcebergManifestList(
+      df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      def zig(v: Long): Array[Byte] = {
+        var z = (v << 1) ^ (v >> 63)
+        val out = Array.newBuilder[Byte]
+        while ((z & ~0x7fL) != 0L) { out += ((z & 0x7f) | 0x80).toByte; z >>>= 7 }
+        out += z.toByte
+        out.result()
+      }
+      def str(s: String): Array[Byte] = {
+        val sb = s.getBytes("UTF-8"); zig(sb.length.toLong) ++ sb
+      }
+      val sync = new Array[Byte](16)
+      var i = 0
+      while (i < 16) { sync(i) = ((id * 41 + i * 13 + 7) & 0xff).toByte; i += 1 }
+      val out = Array.newBuilder[Byte]
+      out ++= Array[Byte]('O', 'b', 'j', 1)
+      out ++= zig(2L)
+      out ++= str("avro.codec"); out ++= str("null")
+      out ++= str("avro.schema"); out ++= str(IcebergManifestListSchema)
+      out ++= zig(0L)
+      out ++= sync
+      val ns = 1 + (id % 4).toInt
+      var k = 0
+      while (k < ns) {
+        val rec = Array.newBuilder[Byte]
+        rec ++= str(s"meta/manifest-$id-$k.avro")
+        rec ++= zig(5000L + 97L * id + 13L * k)
+        rec ++= zig(id % 3)
+        rec ++= zig(3000L + id)
+        rec ++= zig(1L + (id + k) % 9)
+        rec ++= zig((id + 2L * k) % 7)
+        rec ++= zig((id + 3L * k) % 4)
+        val r = rec.result()
+        out ++= zig(1L)
+        out ++= zig(r.length.toLong)
+        out ++= r
+        out ++= sync
+        k += 1
+      }
+      MediaRecord(id, "application/x-iceberg-manifest-list", out.result())
+    }
+  }
+
   // ---- TFRecord shard census ---------------------------------------
 
   /** One TFRecord: parse-order index, the record's absolute byte

@@ -1134,6 +1134,9 @@ class OpsSpec extends AnyFunSuite {
       ("iceberg", MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
         .collect().map(_.content),
         r => MultimodalOps.icebergManifestEntriesOf(r)),
+      ("iceberg-list", MultimodalOps.synthesizeIcebergManifestList(docs, "doc_id")
+        .collect().map(_.content),
+        r => MultimodalOps.icebergManifestListOf(r)),
       ("gguf", MultimodalOps.synthesizeGguf(docs, "doc_id")
         .collect().map(_.content), r => MultimodalOps.ggufTensorsOf(r)),
       ("hls", MultimodalOps.synthesizeHls(docs, "doc_id")
@@ -3994,6 +3997,56 @@ class OpsSpec extends AnyFunSuite {
     // a status outside 0..2 is a framing error (strict field domain)
     val entries = MultimodalOps.icebergManifestEntriesOf(media.head).get
     assert(entries.forall(e => e.status >= 0 && e.status <= 2))
+  }
+
+  test("iceberg manifest list: library cross-check; schema gates keep levels apart") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((3L, "x"), (8L, "y")).toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeIcebergManifestList(docs, "doc_id")
+      .collect()
+    for (m <- media) {
+      val reader = new org.apache.avro.file.DataFileReader(
+        new org.apache.avro.file.SeekableByteArrayInput(m.content),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val lib = Iterator.continually(
+        if (reader.hasNext) Some(reader.next()) else None)
+        .takeWhile(_.isDefined).map { o =>
+          val r = o.get
+          (r.get("manifest_path").toString,
+            r.get("manifest_length").asInstanceOf[Long],
+            r.get("partition_spec_id").asInstanceOf[Int].toLong,
+            r.get("added_snapshot_id").asInstanceOf[Long],
+            r.get("added_files_count").asInstanceOf[Int].toLong,
+            r.get("existing_files_count").asInstanceOf[Int].toLong,
+            r.get("deleted_files_count").asInstanceOf[Int].toLong)
+        }.toVector
+      reader.close()
+      val ours = MultimodalOps.icebergManifestListOf(m).get.map(e =>
+        (e.manifestPath, e.manifestLength, e.partitionSpecId,
+          e.addedSnapshotId, e.addedFilesCount, e.existingFilesCount,
+          e.deletedFilesCount))
+      assert(ours == lib, s"id ${m.id}")
+      assert(ours.length == 1 + (m.id % 4).toInt)
+    }
+    // the two Iceberg levels must not cross-decode: each decoder's
+    // schema gate rejects the other's container
+    val manifests = MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
+      .collect()
+    assert(MultimodalOps.icebergManifestListOf(manifests.head).isEmpty)
+    assert(MultimodalOps.icebergManifestEntriesOf(media.head).isEmpty)
+    // ...and the generic block census reads both
+    assert(MultimodalOps.avroBlocksOf(media.head).nonEmpty)
+    // corrupt sync / truncation / null reject
+    val corrupt = media.head.content.clone()
+    corrupt(corrupt.length - 5) = (corrupt(corrupt.length - 5) ^ 1).toByte
+    assert(MultimodalOps.icebergManifestListOf(
+      MultimodalOps.MediaRecord(3L, "x", corrupt)).isEmpty)
+    assert(MultimodalOps.icebergManifestListOf(MultimodalOps.MediaRecord(
+      3L, "x", media.head.content.take(100))).isEmpty)
+    assert(MultimodalOps.icebergManifestListOf(
+      MultimodalOps.MediaRecord(3L, "x", null)).isEmpty)
   }
 
   test("tfrecord census: known CRC-32C vector, verified framing, flip fails loud") {
