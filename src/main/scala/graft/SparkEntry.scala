@@ -4206,6 +4206,28 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'part-0-0.parquet', CAST(9999 AS BIGINT), CAST(10 AS BIGINT))
         |ORDER BY path""".stripMargin,
+    // checkpoint replay: the SAME live set as q_delta_log_state, with
+    // version_added clamped to the checkpoint (9) for files that
+    // entered via the checkpoint — post-checkpoint adds stay exact
+    "q_delta_checkpoint_state" ->
+      s"""WITH vk AS (
+        |  SELECT v, k
+        |  FROM generate_series(0, 11) t(v), generate_series(0, 2) u(k)),
+        |removed AS (
+        |  SELECT v - 3 AS rv, v % 3 AS rk FROM generate_series(3, 11) t(v)),
+        |live AS (
+        |  SELECT v, k FROM vk
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM removed r WHERE r.rv = vk.v AND r.rk = vk.k))
+        |SELECT * FROM (
+        |  SELECT 'part-' || CAST(v AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |           || '.parquet' AS path,
+        |         CAST(1000 + 137 * v + k AS BIGINT) AS size,
+        |         CAST(CASE WHEN v > 9 THEN v ELSE 9 END AS BIGINT) AS version_added
+        |  FROM live
+        |  UNION ALL
+        |  SELECT 'part-0-0.parquet', CAST(9999 AS BIGINT), CAST(10 AS BIGINT))
+        |ORDER BY path""".stripMargin,
     // GGUF replay: tensor table as id arithmetic — 52-byte infos, the
     // fixed 102-byte header+KV prefix, 32-aligned running offsets
     "q_multimodal_gguf" ->
@@ -7612,6 +7634,15 @@ object SparkEntry {
         graft.ops.StorageOps.deltaLogState(s, staged)
           .orderBy("path")
       },
+      "q_delta_checkpoint_state" -> { (s, dir) =>
+        // the 10^6-commit path: state from the checkpoint parquet +
+        // only the commits AFTER it — same live set as the full
+        // replay, with version_added clamped to the checkpoint for
+        // files that entered through it (the protocol's own loss)
+        val staged = stageDeltaLogCheckpointed(s, dir)
+        graft.ops.StorageOps.deltaLogStateFromCheckpoint(s, staged)
+          .orderBy("path")
+      },
       "q_shard_census_stream" -> { (s, dir) =>
         // shards land as files; the binaryFile stream censuses each
         // exactly once — drained stream == batch walk (same oracle as
@@ -7709,6 +7740,80 @@ object SparkEntry {
           lines += s"""{"add":{"path":"part-0-0.parquet","size":9999,"dataChange":true}}"""
         java.nio.file.Files.write(staged.resolve(f"$v%020d.json"),
           lines.result().mkString("\n").getBytes("UTF-8"))
+      }
+      staged.toString
+    }
+
+  /** Stage the SAME deterministic commit log as [[stageDeltaLog]] PLUS
+    * the protocol's checkpoint machinery: a checkpoint parquet at
+    * version 9 holding the state AT v9 (live adds + remove
+    * tombstones, computed by the same replay rules in driver code)
+    * and the `_last_checkpoint` pointer.  Commits 0-11 all remain on
+    * disk — realistic retention — so the reader must prove it ignores
+    * the subsumed ones.  The v10 resurrection of `part-0-0.parquet`
+    * happens AFTER the checkpoint, exercising re-add-over-tombstone
+    * across the checkpoint boundary.
+    */
+  private[graft] def stageDeltaLogCheckpointed(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
+      val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, "deltalogcp")
+      java.nio.file.Files.createDirectories(staged)
+      (0 until 12).foreach { v =>
+        val lines = Seq.newBuilder[String]
+        lines += s"""{"commitInfo":{"timestamp":${1700000000000L + v}}}"""
+        (0 until 3).foreach { k =>
+          lines += s"""{"add":{"path":"part-$v-$k.parquet","size":${1000 + 137 * v + k},"dataChange":true}}"""
+        }
+        if (v >= 3)
+          lines += s"""{"remove":{"path":"part-${v - 3}-${v % 3}.parquet"}}"""
+        if (v == 10)
+          lines += s"""{"add":{"path":"part-0-0.parquet","size":9999,"dataChange":true}}"""
+        java.nio.file.Files.write(staged.resolve(f"$v%020d.json"),
+          lines.result().mkString("\n").getBytes("UTF-8"))
+      }
+      val cpVersion = 9
+      val cpFile = staged.resolve(f"$cpVersion%020d.checkpoint.parquet")
+      if (!java.nio.file.Files.exists(cpFile)) {
+        // the state at v9 by the same replay rules, in driver code:
+        // adds (v,k) v<=9 not yet removed; tombstones for the removed
+        val removed = (3 to cpVersion).map(v => (v - 3, v % 3)).toSet
+        val liveAdds = for {
+          v <- 0 to cpVersion; k <- 0 until 3
+          if !removed.contains((v, k))
+        } yield (s"part-$v-$k.parquet", (1000 + 137 * v + k).toLong, true)
+        import s.implicits._
+        import org.apache.spark.sql.functions.{lit => flit, struct => fstruct, col => fcol}
+        val rows =
+          liveAdds.toDF("p", "sz", "dc")
+            .select(fstruct(fcol("p").as("path"), fcol("sz").as("size"),
+              fcol("dc").as("dataChange")).as("add"),
+              flit(null).cast("struct<path:string>").as("remove"))
+            .unionByName(
+              removed.toSeq.sorted.map { case (rv, rk) => s"part-$rv-$rk.parquet" }
+                .toDF("p")
+                .select(flit(null)
+                  .cast("struct<path:string,size:bigint,dataChange:boolean>")
+                  .as("add"),
+                  fstruct(fcol("p").as("path")).as("remove")))
+        val tmpOut = staged.resolve(s"_cp_build_$cpVersion")
+        rows.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = java.nio.file.Files.list(tmpOut).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error("checkpoint build produced no parquet"))
+        java.nio.file.Files.copy(part, cpFile,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(tmpOut.toFile)
+        java.nio.file.Files.write(staged.resolve("_last_checkpoint"),
+          s"""{"version":$cpVersion,"size":${liveAdds.size + removed.size}}"""
+            .getBytes("UTF-8"))
       }
       staged.toString
     }

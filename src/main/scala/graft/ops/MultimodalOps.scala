@@ -5817,11 +5817,54 @@ object MultimodalOps {
       """{"name":"file_size_in_bytes","type":"long","field-id":104}]},""" +
       """"field-id":2}]}"""
 
+  /** Inflate one raw-DEFLATE span (RFC 1951, no zlib wrapper — Avro's
+    * `deflate` codec frames blocks this way) with a bomb guard; None
+    * on corrupt streams or guard overflow, never a throw.
+    */
+  private[graft] def inflateRawSpan(
+      b: Array[Byte], off: Int, len: Int,
+      maxInflated: Int = 1 << 30): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(math.min(len * 4, 1 << 16))
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0 && !inf.finished()) return None // truncated/needs-dict
+        out.write(buf, 0, n)
+        if (out.size() > maxInflated) return None // bomb guard
+      }
+      Some(out.toByteArray)
+    } finally inf.end()
+  }
+
+  /** Raw-DEFLATE (RFC 1951, no wrapper) one buffer — the synthesis
+    * side of [[inflateRawSpan]], framing blocks the way Avro's
+    * `deflate` codec does.
+    */
+  private[graft] def deflateRaw(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(64, b.length))
+      val buf = new Array[Byte](64 * 1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
   /** Iceberg manifest census — decode the manifest-entry RECORDS (the
     * one step past [[avroBlocksOf]]'s container walk): per entry, the
     * status / snapshot / data-file path / format / record count / byte
     * size that every table-scan planner, compaction picker, and audit
-    * job reads first.  The decoder is schema-GATED: the header's
+    * job reads first.  Both container codecs real writers use are
+    * in-envelope: `null` decodes the raw block span, `deflate` (the
+    * Iceberg writers' default) inflates it first (raw RFC 1951,
+    * bomb-guarded).  The decoder is schema-GATED: the header's
     * writer schema must be exactly [[IcebergManifestSchema]] (the v1
     * subset synthesized here); a manifest with a richer schema —
     * partition structs, column stats — is out of this envelope and
@@ -5838,7 +5881,8 @@ object MultimodalOps {
       r: MediaRecord): Option[Seq[IcebergManifestEntry]] = {
     val b = r.content
     val hdr = avroHeaderOf(b).getOrElse(return None)
-    if (hdr.codec != "null") return None // deflate manifests: out of envelope
+    // null AND deflate codecs: real Iceberg writers default to deflate
+    if (hdr.codec != "null" && hdr.codec != "deflate") return None
     if (hdr.schemaJson != IcebergManifestSchema) return None
     val syncOff = hdr.syncOff
     var off = hdr.firstBlockOff
@@ -5852,47 +5896,57 @@ object MultimodalOps {
       if (sz == null || sz._1 < 0L || sz._1 > (b.length - off).toLong) return None
       off += sz._2
       val dataEnd = off + sz._1.toInt
+      // record bytes: the raw span (null codec) or its inflation
+      // (deflate — raw RFC 1951 per the Avro spec, bomb-guarded)
+      val (d, pStart, pEnd) =
+        if (hdr.codec == "null") (b, off, dataEnd)
+        else {
+          val inf = inflateRawSpan(b, off, sz._1.toInt).getOrElse(return None)
+          (inf, 0, inf.length)
+        }
+      var p = pStart
       var k = 0L
       while (k < cnt._1) {
         // manifest_entry, Avro wire order per the gated schema
-        val st = avroVarLong(b, off)
+        val st = avroVarLong(d, p)
         if (st == null || st._1 < 0L || st._1 > 2L) return None
-        off += st._2
-        val un = avroVarLong(b, off) // union branch: 0 = null, 1 = long
+        p += st._2
+        val un = avroVarLong(d, p) // union branch: 0 = null, 1 = long
         if (un == null || (un._1 != 0L && un._1 != 1L)) return None
-        off += un._2
+        p += un._2
         var snap = -1L
         if (un._1 == 1L) {
-          val sv = avroVarLong(b, off)
+          val sv = avroVarLong(d, p)
           if (sv == null) return None
           snap = sv._1
-          off += sv._2
+          p += sv._2
         }
-        val pl = avroVarLong(b, off)
-        if (pl == null || pl._1 < 0L || pl._1 > (b.length - off).toLong) return None
-        off += pl._2
-        if (off + pl._1 > dataEnd.toLong) return None
-        val path = new String(b, off, pl._1.toInt, "UTF-8")
-        off += pl._1.toInt
-        val fl = avroVarLong(b, off)
-        if (fl == null || fl._1 < 0L || fl._1 > (b.length - off).toLong) return None
-        off += fl._2
-        if (off + fl._1 > dataEnd.toLong) return None
-        val fmt = new String(b, off, fl._1.toInt, "UTF-8")
-        off += fl._1.toInt
-        val rc = avroVarLong(b, off)
+        val pl = avroVarLong(d, p)
+        if (pl == null || pl._1 < 0L || pl._1 > (d.length - p).toLong) return None
+        p += pl._2
+        if (p + pl._1 > pEnd.toLong) return None
+        val path = new String(d, p, pl._1.toInt, "UTF-8")
+        p += pl._1.toInt
+        val fl = avroVarLong(d, p)
+        if (fl == null || fl._1 < 0L || fl._1 > (d.length - p).toLong) return None
+        p += fl._2
+        if (p + fl._1 > pEnd.toLong) return None
+        val fmt = new String(d, p, fl._1.toInt, "UTF-8")
+        p += fl._1.toInt
+        val rc = avroVarLong(d, p)
         if (rc == null || rc._1 < 0L) return None
-        off += rc._2
-        val fs = avroVarLong(b, off)
+        p += rc._2
+        val fs = avroVarLong(d, p)
         if (fs == null || fs._1 < 0L) return None
-        off += fs._2
-        if (off > dataEnd) return None
+        p += fs._2
+        if (p > pEnd) return None
         out += IcebergManifestEntry(r.id, idx, st._1, snap, path, fmt,
           rc._1, fs._1)
         idx += 1
         k += 1
       }
-      if (off != dataEnd) return None // records must fill the block exactly
+      if (p != pEnd) return None // records must fill the block exactly
+      off = dataEnd
       if (off + 16 > b.length) return None
       var i = 0
       while (i < 16) { // the sync seal, same discipline as the block census
@@ -5937,10 +5991,14 @@ object MultimodalOps {
       val sync = new Array[Byte](16)
       var i = 0
       while (i < 16) { sync(i) = ((id * 37 + i * 11 + 5) & 0xff).toByte; i += 1 }
+      // odd ids ship DEFLATE-coded blocks — real Iceberg writers'
+      // default codec; the decoded entry table is identical, so the
+      // oracle never forks (the zip64 / targz sharing discipline)
+      val deflate = id % 2 == 1
       val out = Array.newBuilder[Byte]
       out ++= Array[Byte]('O', 'b', 'j', 1)
       out ++= zig(2L)
-      out ++= str("avro.codec"); out ++= str("null")
+      out ++= str("avro.codec"); out ++= str(if (deflate) "deflate" else "null")
       out ++= str("avro.schema"); out ++= str(IcebergManifestSchema)
       out ++= zig(0L)
       out ++= sync
@@ -5955,7 +6013,8 @@ object MultimodalOps {
         rec ++= str("PARQUET")
         rec ++= zig(100L + (id + k) % 57)
         rec ++= zig(10000L + 137L * id + k)
-        val r = rec.result()
+        val r0 = rec.result()
+        val r = if (deflate) deflateRaw(r0) else r0
         out ++= zig(1L)
         out ++= zig(r.length.toLong)
         out ++= r
@@ -6004,7 +6063,7 @@ object MultimodalOps {
       r: MediaRecord): Option[Seq[IcebergManifestFile]] = {
     val b = r.content
     val hdr = avroHeaderOf(b).getOrElse(return None)
-    if (hdr.codec != "null") return None
+    if (hdr.codec != "null" && hdr.codec != "deflate") return None
     if (hdr.schemaJson != IcebergManifestListSchema) return None
     val syncOff = hdr.syncOff
     var off = hdr.firstBlockOff
@@ -6018,17 +6077,24 @@ object MultimodalOps {
       if (sz == null || sz._1 < 0L || sz._1 > (b.length - off).toLong) return None
       off += sz._2
       val dataEnd = off + sz._1.toInt
+      val (d, pStart, pEnd) =
+        if (hdr.codec == "null") (b, off, dataEnd)
+        else {
+          val inf = inflateRawSpan(b, off, sz._1.toInt).getOrElse(return None)
+          (inf, 0, inf.length)
+        }
+      var p = pStart
       var k = 0L
       while (k < cnt._1) {
-        val pl = avroVarLong(b, off)
-        if (pl == null || pl._1 < 0L || pl._1 > (b.length - off).toLong) return None
-        off += pl._2
-        if (off + pl._1 > dataEnd.toLong) return None
-        val path = new String(b, off, pl._1.toInt, "UTF-8")
-        off += pl._1.toInt
+        val pl = avroVarLong(d, p)
+        if (pl == null || pl._1 < 0L || pl._1 > (d.length - p).toLong) return None
+        p += pl._2
+        if (p + pl._1 > pEnd.toLong) return None
+        val path = new String(d, p, pl._1.toInt, "UTF-8")
+        p += pl._1.toInt
         def longField(): Option[Long] = {
-          val v = avroVarLong(b, off)
-          if (v == null) None else { off += v._2; Some(v._1) }
+          val v = avroVarLong(d, p)
+          if (v == null) None else { p += v._2; Some(v._1) }
         }
         val len = longField().getOrElse(return None)
         val spec = longField().getOrElse(return None)
@@ -6038,13 +6104,14 @@ object MultimodalOps {
         val deleted = longField().getOrElse(return None)
         if (len < 0 || spec < 0 || added < 0 || existing < 0 || deleted < 0)
           return None
-        if (off > dataEnd) return None
+        if (p > pEnd) return None
         out += IcebergManifestFile(r.id, idx, path, len, spec, snap, added,
           existing, deleted)
         idx += 1
         k += 1
       }
-      if (off != dataEnd) return None
+      if (p != pEnd) return None
+      off = dataEnd
       if (off + 16 > b.length) return None
       var i = 0
       while (i < 16) {
@@ -6087,10 +6154,11 @@ object MultimodalOps {
       val sync = new Array[Byte](16)
       var i = 0
       while (i < 16) { sync(i) = ((id * 41 + i * 13 + 7) & 0xff).toByte; i += 1 }
+      val deflate = id % 2 == 1 // same both-codecs split as the manifests
       val out = Array.newBuilder[Byte]
       out ++= Array[Byte]('O', 'b', 'j', 1)
       out ++= zig(2L)
-      out ++= str("avro.codec"); out ++= str("null")
+      out ++= str("avro.codec"); out ++= str(if (deflate) "deflate" else "null")
       out ++= str("avro.schema"); out ++= str(IcebergManifestListSchema)
       out ++= zig(0L)
       out ++= sync
@@ -6105,7 +6173,8 @@ object MultimodalOps {
         rec ++= zig(1L + (id + k) % 9)
         rec ++= zig((id + 2L * k) % 7)
         rec ++= zig((id + 3L * k) % 4)
-        val r = rec.result()
+        val r0 = rec.result()
+        val r = if (deflate) deflateRaw(r0) else r0
         out ++= zig(1L)
         out ++= zig(r.length.toLong)
         out ++= r

@@ -139,6 +139,77 @@ object StorageOps {
         col("version").as("version_added"))
   }
 
+  /** Checkpoint-aware [[deltaLogState]] — the 10⁶-commit path the
+    * protocol itself prescribes (and r14 documented as "the caller's
+    * composition"; now it IS the composition): read `_last_checkpoint`
+    * for the checkpoint version V, load the checkpoint parquet's
+    * add/remove actions as the state AT V, and replay only the JSON
+    * commits AFTER V on top — the same last-action-wins window,
+    * resurrection included.  The log scan is O(commits since last
+    * checkpoint) instead of O(all commits), which is the entire
+    * point of checkpoints.  Falls back to the full JSON replay when
+    * no `_last_checkpoint` exists.
+    *
+    * One protocol-faithful caveat: checkpoint actions do not retain
+    * their original commit versions, so `version_added` for files
+    * that entered via the checkpoint is CLAMPED to V (post-checkpoint
+    * adds stay exact).  Consumers asking "which files are live, how
+    * big" — the audit/compaction/vacuum question — are unaffected.
+    */
+  def deltaLogStateFromCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val lastCp = new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint")
+    val fs = lastCp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lastCp)) return deltaLogState(spark, logDir)
+    val cpMeta = {
+      val in = fs.open(lastCp)
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    }
+    val cpVersion = "\"version\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(cpMeta)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(
+        s"deltaLogStateFromCheckpoint: no version in $lastCp"))
+    val sch = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType))))))
+    // the checkpoint IS the state at cpVersion: its actions replay as
+    // if committed there (hence the version_added clamp)
+    val cpActions = spark.read.schema(sch)
+      .parquet(f"$logDir/$cpVersion%020d.checkpoint.parquet")
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.size").as("size"),
+        col("add.path").isNotNull.cast(IntegerType).as("is_add"),
+        lit(cpVersion).as("version"))
+      .filter(col("path").isNotNull)
+    val trailing = spark.read.schema(sch)
+      .option("pathGlobFilter", "*.json").json(logDir)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
+      .filter(col("version") > cpVersion) // pre-checkpoint commits are subsumed
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.size").as("size"),
+        col("add.path").isNotNull.cast(IntegerType).as("is_add"),
+        col("version"))
+      .filter(col("path").isNotNull)
+    val w = Window.partitionBy("path")
+      .orderBy(col("version").desc, col("is_add").desc)
+    cpActions.unionByName(trailing)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_add") === 1)
+      .select(col("path"), col("size"),
+        col("version").as("version_added"))
+  }
+
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet
     * table.  `numBuckets` should be sized so one bucket ≈ one
     * executor-task's worth of data at the target scale (100 TB / 10k

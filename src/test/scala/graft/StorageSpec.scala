@@ -198,6 +198,72 @@ class StorageSpec extends AnyFunSuite {
     ))                        // c removed at v3; protocol/commitInfo ignored
   }
 
+  test("delta checkpoint replay: live set == full replay; only trailing commits read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val dir = java.nio.file.Files.createTempDirectory("dlogcp")
+    def commit(v: Int, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(f"$v%020d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    commit(0, Seq("""{"add":{"path":"a.parquet","size":10,"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","size":20,"dataChange":true}}"""))
+    commit(1, Seq("""{"remove":{"path":"a.parquet"}}""",
+      """{"add":{"path":"c.parquet","size":30,"dataChange":true}}"""))
+    // checkpoint at v1: live = b, c; tombstone for a
+    val cp = Seq(("b.parquet", 20L), ("c.parquet", 30L))
+      .toDF("p", "sz")
+      .select(struct(col("p").as("path"), col("sz").as("size"),
+        lit(true).as("dataChange")).as("add"),
+        lit(null).cast("struct<path:string>").as("remove"))
+      .unionByName(Seq("a.parquet").toDF("p")
+        .select(lit(null)
+          .cast("struct<path:string,size:bigint,dataChange:boolean>").as("add"),
+          struct(col("p").as("path")).as("remove")))
+    val tmp = dir.resolve("_build")
+    cp.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part, dir.resolve(f"${1}%020d.checkpoint.parquet"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(tmp.toFile)
+    java.nio.file.Files.write(dir.resolve("_last_checkpoint"),
+      """{"version":1,"size":3}""".getBytes("UTF-8"))
+    // trailing commits: a resurrects at v2, c removed at v3
+    commit(2, Seq("""{"add":{"path":"a.parquet","size":11,"dataChange":true}}"""))
+    commit(3, Seq("""{"remove":{"path":"c.parquet"}}"""))
+    val got = graft.ops.StorageOps
+      .deltaLogStateFromCheckpoint(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq(
+      ("a.parquet", 11L, 2L), // resurrected over the checkpoint tombstone
+      ("b.parquet", 20L, 1L)  // from the checkpoint, version clamped to 1
+    ))
+    // equivalence law: the live (path, size) set must equal the full
+    // JSON replay's — the checkpoint may not change the answer
+    val full = graft.ops.StorageOps.deltaLogState(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.map(t => (t._1, t._2)).toSeq == full.toSeq)
+    // PROOF the subsumed commits are not read: corrupt commit 0 on
+    // disk — the checkpoint path must not notice, the full replay must
+    java.nio.file.Files.write(dir.resolve(f"${0}%020d.json"),
+      "not json at all".getBytes("UTF-8"))
+    val got2 = graft.ops.StorageOps
+      .deltaLogStateFromCheckpoint(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got2.toSeq == got.toSeq)
+    // no _last_checkpoint → transparent fallback to the full replay
+    java.nio.file.Files.delete(dir.resolve("_last_checkpoint"))
+    commit(0, Seq("""{"add":{"path":"a.parquet","size":10,"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","size":20,"dataChange":true}}"""))
+    val fb = graft.ops.StorageOps
+      .deltaLogStateFromCheckpoint(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(fb.toSeq == Seq(("a.parquet", 11L), ("b.parquet", 20L)))
+  }
+
   test("parquet footer census: Spark-written dir of parts, exact accounting") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
