@@ -4222,14 +4222,16 @@ object MultimodalOps {
             (b(off + 6) & 0x7f) << 7 | (b(off + 7) & 0x7f)).toLong
         }
       if (sz < 0 || sz > (total - off - 10).toLong) return None
-      // format flags that transform the payload (v2.3: compression
-      // 0x80 / encryption 0x40; v2.4: compression 0x08 / encryption
-      // 0x04 / unsync 0x02 / data-length-indicator 0x01) — the hop is
+      // format flags that transform or shift the payload (v2.3:
+      // compression 0x80 / encryption 0x40 / grouping 0x20; v2.4:
+      // grouping 0x40, compression 0x08 / encryption 0x04 / unsync
+      // 0x02 / data-length-indicator 0x01 — grouping prepends a group
+      // byte, so the encoding byte is no longer first) — the hop is
       // still the stored size, but a raw text decode would be wrong
       val f1 = b(off + 9) & 0xff
       val decodable =
-        if (ver == 3) (f1 & 0xc0) == 0
-        else (f1 & 0x0f) == 0
+        if (ver == 3) (f1 & 0xe0) == 0
+        else (f1 & 0x4f) == 0
       val p = off + 10
       if (fid.startsWith("T") && sz >= 1 && decodable) {
         val enc = b(p) & 0xff

@@ -984,6 +984,18 @@ class OpsSpec extends AnyFunSuite {
       28L, "audio/mpeg", mkTag(4, flaggedFrames)))
     assert(counted.exists(m => m.nFrames == 2 && m.title == "" &&
       m.artist == "Artist Z"))
+    // grouping flags SHIFT the payload (a group byte precedes the
+    // encoding byte): v2.4 bit 0x40, v2.3 bit 0x20 — both must leave
+    // the frame counted-not-decoded, never decode the group byte as
+    // the text encoding
+    for ((ver, bit) <- Seq((4, 0x40), (3, 0x20))) {
+      val fg = framesFor(ver)
+      fg(9) = bit.toByte
+      val got = MultimodalOps.id3MetaOf(MultimodalOps.MediaRecord(
+        29L, "audio/mpeg", mkTag(ver, fg)))
+      assert(got.exists(m => m.nFrames == 2 && m.title == "" &&
+        m.artist == "Artist Z"), s"v2.$ver grouping")
+    }
     // synthesized v2.4 round-trip (odd id): extra TXXX pad frame, tag
     // bytes replay the 138 + id%64 arithmetic the oracle pins
     val m13 = MultimodalOps.id3Meta(
