@@ -4206,6 +4206,32 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'part-0-0.parquet', CAST(9999 AS BIGINT), CAST(10 AS BIGINT))
         |ORDER BY path""".stripMargin,
+    // Hudi timeline replay: staged timeline is corpus-independent —
+    // live slices are argmax-instant per file group (k = id % 2 since
+    // 2t is even), minus the clustering-replaced f-0/f-1, plus the
+    // replacecommit's own writes
+    "q_hudi_timeline_state" ->
+      s"""WITH w AS (
+        |  SELECT t, k, (2 * t + k) % 12 AS id
+        |  FROM generate_series(0, 9) s(t), generate_series(0, 1) u(k)
+        |  WHERE t <> 8),
+        |last AS (SELECT id, max(t) AS t FROM w GROUP BY id),
+        |live AS (SELECT id, t FROM last WHERE id NOT IN (0, 1))
+        |SELECT * FROM (
+        |  SELECT 'pt=' || CAST(t % 2 AS VARCHAR) AS partition,
+        |         'f-' || CAST(id AS VARCHAR) AS file_id,
+        |         'pt=' || CAST(t % 2 AS VARCHAR) || '/f-' || CAST(id AS VARCHAR)
+        |           || '_' || CAST(20240100 + t AS VARCHAR) || '.parquet' AS path,
+        |         CAST(2000 + 61 * t + id % 2 AS BIGINT) AS size,
+        |         CAST(20240100 + t AS BIGINT) AS instant_added
+        |  FROM live
+        |  UNION ALL
+        |  SELECT 'pt=0', 'f-100', 'pt=0/f-100_20240108.parquet',
+        |         CAST(9000 AS BIGINT), CAST(20240108 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'pt=0', 'f-101', 'pt=0/f-101_20240108.parquet',
+        |         CAST(9001 AS BIGINT), CAST(20240108 AS BIGINT))
+        |ORDER BY partition, file_id""".stripMargin,
     // checkpoint replay: the SAME live set as q_delta_log_state, with
     // version_added clamped to the checkpoint (9) for files that
     // entered via the checkpoint — post-checkpoint adds stay exact
@@ -7634,6 +7660,14 @@ object SparkEntry {
         graft.ops.StorageOps.deltaLogState(s, staged)
           .orderBy("path")
       },
+      "q_hudi_timeline_state" -> { (s, dir) =>
+        // the third lakehouse format: Hudi timeline replay — latest
+        // file slice per (partition, file group), replacecommits
+        // killing the groups they cluster away
+        val staged = stageHudiTimeline(dir)
+        graft.ops.StorageOps.hudiTimelineState(s, staged)
+          .orderBy("partition", "file_id")
+      },
       "q_delta_checkpoint_state" -> { (s, dir) =>
         // the 10^6-commit path: state from the checkpoint parquet +
         // only the commits AFTER it — same live set as the full
@@ -7814,6 +7848,44 @@ object SparkEntry {
         java.nio.file.Files.write(staged.resolve("_last_checkpoint"),
           s"""{"version":$cpVersion,"size":${liveAdds.size + removed.size}}"""
             .getBytes("UTF-8"))
+      }
+      staged.toString
+    }
+
+  /** Stage a deterministic Hudi-style timeline: instants 20240100+t,
+    * t 0..9; commit t writes file groups `f-<(2t+k)%12>` (k 0..1) in
+    * partition `pt=<t%2>` at size `2000 + 61t + k` — fileId reuse
+    * across commits is the update path (same parity → same
+    * partition, so the newest slice supersedes).  t=8 is a
+    * REPLACECOMMIT: it replaces `f-0`/`f-1` (whose last writes were
+    * t=6 — clustering kills them) and writes `f-100`/`f-101`.
+    * Corpus-independent so the oracle is closed-form arithmetic.
+    */
+  private[graft] def stageHudiTimeline(dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
+      val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, "hooditl")
+      java.nio.file.Files.createDirectories(staged)
+      (0 until 10).foreach { t =>
+        val instant = 20240100 + t
+        if (t != 8) {
+          val stats = (0 until 2).map { k =>
+            val id = (2 * t + k) % 12
+            s"""{"fileId":"f-$id","path":"pt=${t % 2}/f-${id}_$instant.parquet","fileSizeInBytes":${2000 + 61 * t + k}}"""
+          }.mkString(",")
+          java.nio.file.Files.write(staged.resolve(s"$instant.commit"),
+            s"""{"partitionToWriteStats":{"pt=${t % 2}":[$stats]}}"""
+              .getBytes("UTF-8"))
+        } else {
+          val writes = Seq(9000, 9001).zipWithIndex.map { case (sz, i) =>
+            s"""{"fileId":"f-10${i}","path":"pt=0/f-10${i}_$instant.parquet","fileSizeInBytes":$sz}"""
+          }.mkString(",")
+          java.nio.file.Files.write(staged.resolve(s"$instant.replacecommit"),
+            s"""{"partitionToWriteStats":{"pt=0":[$writes]},"partitionToReplaceFileIds":{"pt=0":["f-0","f-1"]}}"""
+              .getBytes("UTF-8"))
+        }
       }
       staged.toString
     }

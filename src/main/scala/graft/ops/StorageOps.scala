@@ -210,6 +210,73 @@ object StorageOps {
         col("version").as("version_added"))
   }
 
+  /** Hudi-style timeline replay — the THIRD open-lakehouse format's
+    * table state, completing the trio next to the Delta-log replay
+    * and the Iceberg manifest census: read the timeline's completed
+    * `<instant>.commit` / `<instant>.replacecommit` JSON files (the
+    * filename carries the instant, the open Hudi layout), flatten
+    * each commit's per-partition write stats to (fileId → path, size)
+    * actions and each replacecommit's replaced-fileId lists to
+    * tombstones, and resolve every (partition, fileId) to its LATEST
+    * action — a file group whose newest action is a replace is dead
+    * (clustering/compaction superseded it), otherwise the newest
+    * write's file slice is the live one.  This is Hudi's core
+    * copy-on-write read question: which base file per file group.
+    *
+    * Scale shape: the timeline is METADATA (KBs per commit), one
+    * window over (partition, fileId) — corpus-size-independent, the
+    * Delta-replay economics; for long timelines the archived-timeline
+    * cutoff plays the checkpoint's role (point this reader at the
+    * active timeline dir).
+    */
+  def hudiTimelineState(
+      spark: org.apache.spark.sql.SparkSession, timelineDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val writeStat = ArrayType(StructType(Seq(
+      StructField("fileId", StringType),
+      StructField("path", StringType),
+      StructField("fileSizeInBytes", LongType))))
+    val sch = StructType(Seq(
+      StructField("partitionToWriteStats", MapType(StringType, writeStat)),
+      StructField("partitionToReplaceFileIds",
+        MapType(StringType, ArrayType(StringType)))))
+    val raw = spark.read.schema(sch)
+      .option("pathGlobFilter", "*.*commit") // .commit and .replacecommit
+      .json(timelineDir)
+      .withColumn("instant",
+        regexp_extract(input_file_name(), "(\\d+)\\.(?:replace)?commit$", 1)
+          .cast(LongType))
+    val writes = raw
+      .select(col("instant"),
+        explode(col("partitionToWriteStats")).as(Seq("partition", "stats")))
+      .select(col("instant"), col("partition"),
+        explode(col("stats")).as("s"))
+      .select(col("instant"), col("partition"),
+        col("s.fileId").as("file_id"), col("s.path").as("path"),
+        col("s.fileSizeInBytes").as("size"),
+        lit(1).as("is_write"))
+    val replaces = raw
+      .filter(col("partitionToReplaceFileIds").isNotNull)
+      .select(col("instant"),
+        explode(col("partitionToReplaceFileIds")).as(Seq("partition", "fids")))
+      .select(col("instant"), col("partition"),
+        explode(col("fids")).as("file_id"),
+        lit(null).cast(StringType).as("path"),
+        lit(null).cast(LongType).as("size"),
+        lit(0).as("is_write"))
+    // a replacecommit REPLACES old groups and WRITES new ones in the
+    // same instant; the replaced ids and written ids are disjoint, so
+    // the is_write tiebreak only guards malformed timelines
+    val w = Window.partitionBy("partition", "file_id")
+      .orderBy(col("instant").desc, col("is_write").desc)
+    writes.unionByName(replaces)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_write") === 1)
+      .select(col("partition"), col("file_id"), col("path"), col("size"),
+        col("instant").as("instant_added"))
+  }
+
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet
     * table.  `numBuckets` should be sized so one bucket ≈ one
     * executor-task's worth of data at the target scale (100 TB / 10k

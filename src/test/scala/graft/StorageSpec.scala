@@ -198,6 +198,38 @@ class StorageSpec extends AnyFunSuite {
     ))                        // c removed at v3; protocol/commitInfo ignored
   }
 
+  test("hudi timeline replay: newest slice wins, replace kills, inflight ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("hooditl")
+    def write(name: String, json: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), json.getBytes("UTF-8"))
+    // instant 1: two groups in two partitions
+    write("1.commit",
+      """{"partitionToWriteStats":{
+        |"pt=a":[{"fileId":"g1","path":"pt=a/g1_1.parquet","fileSizeInBytes":10},
+        |        {"fileId":"g2","path":"pt=a/g2_1.parquet","fileSizeInBytes":20}],
+        |"pt=b":[{"fileId":"g1","path":"pt=b/g1_1.parquet","fileSizeInBytes":30}]}}"""
+        .stripMargin.replace("\n", ""))
+    // instant 2: g1@pt=a updated (new slice supersedes)
+    write("2.commit",
+      """{"partitionToWriteStats":{"pt=a":[{"fileId":"g1","path":"pt=a/g1_2.parquet","fileSizeInBytes":11}]}}""")
+    // instant 3: clustering replaces g2@pt=a, writes g3 there
+    write("3.replacecommit",
+      """{"partitionToWriteStats":{"pt=a":[{"fileId":"g3","path":"pt=a/g3_3.parquet","fileSizeInBytes":40}]},
+        |"partitionToReplaceFileIds":{"pt=a":["g2"]}}""".stripMargin.replace("\n", ""))
+    // an INFLIGHT commit must be invisible (not yet completed)
+    write("4.commit.inflight",
+      """{"partitionToWriteStats":{"pt=a":[{"fileId":"g9","path":"x","fileSizeInBytes":1}]}}""")
+    val got = graft.ops.StorageOps.hudiTimelineState(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sorted
+    assert(got.toSeq == Seq(
+      ("pt=a", "g1", "pt=a/g1_2.parquet", 11L, 2L), // newest slice
+      ("pt=a", "g3", "pt=a/g3_3.parquet", 40L, 3L), // replacecommit's write
+      ("pt=b", "g1", "pt=b/g1_1.parquet", 30L, 1L)  // same id, other partition
+    )) // g2 clustered away; inflight g9 invisible
+  }
+
   test("delta checkpoint replay: live set == full replay; only trailing commits read") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, struct}
