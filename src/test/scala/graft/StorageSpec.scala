@@ -319,6 +319,12 @@ class StorageSpec extends AnyFunSuite {
     // total rows across row groups = what was written (per column)
     val idRows = rows.filter(_.getString(3) == "id").map(_.getLong(2)).sum
     assert(idRows == n)
+    // the driver-side listing bound is a loud require, not an OOM
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.StorageOps.parquetFooters(spark, Seq(s"$dir/t.parquet"),
+        maxFiles = 1)
+    }
+    assert(err.getMessage.contains("maxFiles"))
     // the census never reads data pages: bytes accounted must equal the
     // footer's own claims when re-read via a second footer pass
     val again = graft.ops.StorageOps.parquetFooters(spark, Seq(s"$dir/t.parquet"))
