@@ -4435,6 +4435,87 @@ object SparkEntry {
         |       CAST(1500 + (doc_id + k) % 800 AS BIGINT) AS duration_ms,
         |       'seg' || CAST(k AS VARCHAR) || '.ts' AS uri
         |FROM ks ORDER BY doc_id, seg_idx""".stripMargin,
+    // WARC replay: record table as id arithmetic (tar split rule for
+    // the payload); header bytes are the octet_length of the SAME
+    // header string the synthesizer emits, offsets a running sum of
+    // (header + block + 4)
+    "q_warc_records" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k,
+        |         CASE k % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |                    ELSE 'metadata' END AS typ,
+        |         'https://example.com/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |           CAST(k AS VARCHAR) AS uri,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS len
+        |  FROM ks),
+        |h AS (
+        |  SELECT doc_id, k, typ, uri, len,
+        |         octet_length(encode(
+        |           'WARC/1.0' || chr(13) || chr(10) ||
+        |           'WARC-Type: ' || typ || chr(13) || chr(10) ||
+        |           'WARC-Record-ID: <urn:uuid:' || lpad(CAST(doc_id AS VARCHAR), 10, '0') ||
+        |             '-' || CAST(k AS VARCHAR) || '>' || chr(13) || chr(10) ||
+        |           'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+        |           'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+        |           'Content-Type: text/plain' || chr(13) || chr(10) ||
+        |           'Content-Length: ' || CAST(len AS VARCHAR) || chr(13) || chr(10) ||
+        |           chr(13) || chr(10))) AS hb
+        |  FROM m),
+        |o AS (
+        |  SELECT doc_id, k, typ, uri, len, hb,
+        |         coalesce(sum(hb + len + 4)
+        |           OVER (PARTITION BY doc_id ORDER BY k
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM h)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS rec_idx,
+        |       typ AS warc_type,
+        |       uri AS target_uri,
+        |       CAST(off AS BIGINT) AS offset,
+        |       CAST(hb AS BIGINT) AS header_bytes,
+        |       CAST(len AS BIGINT) AS content_length
+        |FROM o ORDER BY doc_id, rec_idx""".stripMargin,
+    // CDX replay: the same record table THROUGH the gzip layer — the
+    // census must inflate, CRC-verify, and re-frame every member to
+    // report these; compressed offsets are deflate-dependent and are
+    // pinned by OpsSpec's ranged-read contract instead
+    "q_warc_cdx" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k,
+        |         CASE k % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |                    ELSE 'metadata' END AS typ,
+        |         'https://example.com/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |           CAST(k AS VARCHAR) AS uri,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS len
+        |  FROM ks),
+        |h AS (
+        |  SELECT doc_id, k, typ, uri, len,
+        |         octet_length(encode(
+        |           'WARC/1.0' || chr(13) || chr(10) ||
+        |           'WARC-Type: ' || typ || chr(13) || chr(10) ||
+        |           'WARC-Record-ID: <urn:uuid:' || lpad(CAST(doc_id AS VARCHAR), 10, '0') ||
+        |             '-' || CAST(k AS VARCHAR) || '>' || chr(13) || chr(10) ||
+        |           'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+        |           'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+        |           'Content-Type: text/plain' || chr(13) || chr(10) ||
+        |           'Content-Length: ' || CAST(len AS VARCHAR) || chr(13) || chr(10) ||
+        |           chr(13) || chr(10))) AS hb
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS rec_idx,
+        |       typ AS warc_type,
+        |       uri AS target_uri,
+        |       CAST(hb + len + 4 AS BIGINT) AS record_bytes,
+        |       CAST(len AS BIGINT) AS content_length
+        |FROM h ORDER BY doc_id, rec_idx""".stripMargin,
     // SubRip replay: same token-slice pattern as the VTT oracle, with
     // the declared sequence number and comma-millisecond timings
     "q_multimodal_srt_cues" ->
@@ -6865,6 +6946,38 @@ object SparkEntry {
             col("startMs").as("start_ms"), col("endMs").as("end_ms"),
             col("text").as("cue_text"))
           .orderBy("doc_id", "cue_idx")
+      },
+      "q_warc_records" -> { (s, dir) =>
+        // WARC shard census (ISO 28500 — the Common Crawl record
+        // format): strict version-line + header-field + Content-Length
+        // framing walk; the offset/header/length columns are the seek
+        // table a crawl consumer builds before any content fetch
+        val media = MultimodalOps.synthesizeWarc(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.warcRecords(media).toDF()
+          .select(col("id").as("doc_id"), col("recIdx").as("rec_idx"),
+            col("warcType").as("warc_type"),
+            col("targetUri").as("target_uri"),
+            col("offset"), col("headerBytes").as("header_bytes"),
+            col("contentLength").as("content_length"))
+          .orderBy("doc_id", "rec_idx")
+      },
+      "q_warc_cdx" -> { (s, dir) =>
+        // .warc.gz CDX census: per-record gzip members walked by hand
+        // (RFC 1952 header, raw-deflate inflate, CRC32 + ISIZE both
+        // verified), each member required to hold exactly one WARC
+        // record — the Common Crawl random-access index shape.  The
+        // compressed offsets aren't SQL-replayable (deflate output);
+        // OpsSpec pins the ranged-read contract on them instead.
+        val media = MultimodalOps.synthesizeWarcGz(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.warcGzRecords(media).toDF()
+          .select(col("id").as("doc_id"), col("recIdx").as("rec_idx"),
+            col("warcType").as("warc_type"),
+            col("targetUri").as("target_uri"),
+            col("recordBytes").as("record_bytes"),
+            col("contentLength").as("content_length"))
+          .orderBy("doc_id", "rec_idx")
       },
       "q_multimodal_webp" -> { (s, dir) =>
         // WebP header census: RIFF chunk walk + per-flavor (VP8/VP8L/

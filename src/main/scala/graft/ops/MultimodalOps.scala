@@ -6576,4 +6576,274 @@ object MultimodalOps {
       }
       .toDF("id", "srt")
   }
+
+  // ---- WARC census (Common Crawl's record format) ------------------
+
+  /** One WARC record's census row: type, target URI, byte geometry.
+    * `offset` is the record's byte offset inside its .warc shard,
+    * `headerBytes` the version-line+named-fields+blank-line span, and
+    * `contentLength` the declared (and framing-verified) block size —
+    * together the seek table a 100 TB crawl consumer builds once and
+    * then fetches single records with ranged reads.
+    */
+  final case class WarcRecord(
+      id: Long, recIdx: Long, warcType: String, targetUri: String,
+      offset: Long, headerBytes: Long, contentLength: Long)
+
+  /** CDX-style row for per-record-gzipped .warc.gz shards (the Common
+    * Crawl convention: each record its own gzip member, so a ranged
+    * GET of `[offset, offset+compLen)` gunzips to exactly one record).
+    * `compLen` covers the whole member — 10-byte header through the
+    * CRC32/ISIZE trailer, both VERIFIED here.
+    */
+  final case class WarcCdxRecord(
+      id: Long, recIdx: Long, warcType: String, targetUri: String,
+      offset: Long, compLen: Long, recordBytes: Long, contentLength: Long)
+
+  /** Parse ONE WARC record starting at `start`: returns (warc-type,
+    * target-uri ("" when absent), content-length, header bytes, total
+    * record bytes incl. the two terminating CRLFs) or None on any
+    * framing violation.  Strict per ISO 28500: `WARC/1.0|1.1` version
+    * line, CRLF-terminated `Name: value` fields (names
+    * case-insensitive), a mandatory parseable Content-Length, the
+    * block of exactly that many bytes, then CRLF CRLF.  The header
+    * scan is capped (64 KiB) so adversarial bytes can't force an
+    * unbounded line walk.
+    */
+  private[graft] def warcRecordAt(
+      b: Array[Byte], start: Int): Option[(String, String, Long, Int, Int)] = {
+    val maxHeader = 64 * 1024
+    if (start < 0 || start + 12 > b.length) return None
+    // version line
+    val v = new String(b, start, 10, "ISO-8859-1")
+    if (v != "WARC/1.0\r\n" && v != "WARC/1.1\r\n") return None
+    var off = start + 10
+    var warcType = ""
+    var uri = ""
+    var clen = -1L
+    var done = false
+    while (!done) {
+      // find CRLF; cap the scan
+      var eol = off
+      while (eol + 1 < b.length && !(b(eol) == '\r' && b(eol + 1) == '\n') &&
+        eol - start < maxHeader) eol += 1
+      if (eol + 1 >= b.length || eol - start >= maxHeader) return None
+      if (eol == off) done = true // blank line: header over
+      else {
+        val line = new String(b, off, eol - off, "UTF-8")
+        val colon = line.indexOf(':')
+        if (colon <= 0) return None
+        val name = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        name match {
+          case "warc-type"       => warcType = value
+          case "warc-target-uri" => uri = value
+          case "content-length" =>
+            try clen = java.lang.Long.parseLong(value)
+            catch { case _: NumberFormatException => return None }
+          case _ => ()
+        }
+      }
+      off = eol + 2
+    }
+    if (clen < 0) return None // Content-Length is mandatory
+    val headerBytes = off - start
+    val blockEnd = off.toLong + clen
+    if (blockEnd + 4 > b.length.toLong) return None
+    val be = blockEnd.toInt
+    if (!(b(be) == '\r' && b(be + 1) == '\n' &&
+      b(be + 2) == '\r' && b(be + 3) == '\n')) return None
+    Some((warcType, uri, clen, headerBytes, headerBytes + clen.toInt + 4))
+  }
+
+  /** WARC shard census — the crawl-archive format LLM corpora start
+    * from (ISO 28500; Common Crawl, Internet Archive).  Walks
+    * concatenated records with strict framing (the tar/TFRecord
+    * discipline): every record must parse and the walk must consume
+    * the shard exactly, else the whole shard fails the census rather
+    * than mis-seeking.  TOTAL on arbitrary bytes.
+    */
+  private[graft] def warcRecordsOf(r: MediaRecord): Option[Seq[WarcRecord]] = {
+    val b = r.content
+    if (b == null || b.length < 12) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var off = 0
+    var idx = 0L
+    while (off < b.length) {
+      warcRecordAt(b, off) match {
+        case Some((typ, uri, clen, hb, total)) =>
+          out += WarcRecord(r.id, idx, typ, uri, off.toLong, hb.toLong, clen)
+          off += total
+          idx += 1
+        case None => return None
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  def warcRecords(ds: Dataset[MediaRecord]): Dataset[WarcRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => warcRecordsOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-record-gzipped .warc.gz census → the CDX seek table.  Walks
+    * concatenated gzip members by hand: RFC 1952 header (magic, CM=8,
+    * FLG with FEXTRA/FNAME/FCOMMENT/FHCRC skipped and reserved bits
+    * rejected), raw-deflate inflate, then BOTH trailer words VERIFIED
+    * (CRC32 of the inflated bytes, ISIZE mod 2^32) — a flipped byte
+    * anywhere fails the member, and strict framing fails the shard.
+    * Each member must inflate to exactly one WARC record.
+    */
+  private[graft] def warcGzRecordsOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[WarcCdxRecord]] = {
+    val b = r.content
+    if (b == null || b.length < 28) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcCdxRecord]
+    var off = 0
+    var idx = 0L
+    while (off < b.length) {
+      if (off + 10 > b.length) return None
+      if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
+        (b(off + 2) & 0xff) != 8) return None
+      val flg = b(off + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None // reserved bits
+      var p = off + 10
+      if ((flg & 4) != 0) { // FEXTRA: u16le length + payload
+        if (p + 2 > b.length) return None
+        val xl = (b(p) & 0xff) | (b(p + 1) & 0xff) << 8
+        p += 2 + xl
+        if (p > b.length) return None
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC: u16le
+        p += 2
+        if (p > b.length) return None
+      }
+      val inf = new java.util.zip.Inflater(true)
+      val inflated =
+        try {
+          inf.setInput(b, p, b.length - p)
+          val buf = new java.io.ByteArrayOutputStream(1024)
+          val chunk = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n =
+              try inf.inflate(chunk)
+              catch { case _: java.util.zip.DataFormatException => return None }
+            if (n == 0 && !inf.finished()) return None // truncated stream
+            buf.write(chunk, 0, n)
+            if (buf.size() > maxInflated) return None
+          }
+          p += inf.getBytesRead.toInt
+          buf.toByteArray
+        } finally inf.end()
+      if (p + 8 > b.length) return None
+      def u32le(o: Int): Long = (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+        (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+      val crc = new java.util.zip.CRC32
+      crc.update(inflated)
+      if (crc.getValue != u32le(p)) return None
+      if ((inflated.length & 0xffffffffL) != u32le(p + 4)) return None
+      p += 8
+      warcRecordAt(inflated, 0) match {
+        case Some((typ, uri, clen, _, total)) if total == inflated.length =>
+          out += WarcCdxRecord(r.id, idx, typ, uri, off.toLong,
+            (p - off).toLong, inflated.length.toLong, clen)
+        case _ => return None
+      }
+      off = p
+      idx += 1
+    }
+    Some(out.toSeq)
+  }
+
+  def warcGzRecords(ds: Dataset[MediaRecord]): Dataset[WarcCdxRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => warcGzRecordsOf(r).getOrElse(Nil)))
+  }
+
+  /** Builds the per-document plain-WARC record bytes the two
+    * synthesizers share: `1 + id % 3` records (type cycling
+    * response/request/metadata), a fixed-width record id, a constant
+    * date, the document's UTF-8 bytes split across the records by the
+    * tar rule — every header field's byte length replays from
+    * (doc_id, octet_length(text)) in the oracle.
+    */
+  private def warcRecordChunks(id: Long, text: String): Seq[Array[Byte]] = {
+    val payload = text.getBytes("UTF-8")
+    val ns = 1 + (id % 3).toInt
+    (0 until ns).map { k =>
+      val take = payload.length / ns + (if (k < payload.length % ns) 1 else 0)
+      val from = (0 until k).map(j =>
+        payload.length / ns + (if (j < payload.length % ns) 1 else 0)).sum
+      val typ = (k % 3) match {
+        case 0 => "response"
+        case 1 => "request"
+        case _ => "metadata"
+      }
+      val sb = new StringBuilder
+      sb.append("WARC/1.0\r\n")
+      sb.append("WARC-Type: ").append(typ).append("\r\n")
+      sb.append(f"WARC-Record-ID: <urn:uuid:$id%010d-$k%d>\r\n")
+      sb.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      sb.append("WARC-Target-URI: https://example.com/")
+        .append(id).append('/').append(k).append("\r\n")
+      sb.append("Content-Type: text/plain\r\n")
+      sb.append("Content-Length: ").append(take).append("\r\n")
+      sb.append("\r\n")
+      val header = sb.result().getBytes("ISO-8859-1")
+      val rec = new Array[Byte](header.length + take + 4)
+      System.arraycopy(header, 0, rec, 0, header.length)
+      System.arraycopy(payload, from, rec, header.length, take)
+      rec(header.length + take) = '\r'
+      rec(header.length + take + 1) = '\n'
+      rec(header.length + take + 2) = '\r'
+      rec(header.length + take + 3) = '\n'
+      rec
+    }
+  }
+
+  /** Per-row plain .warc shard synthesis (records concatenated). */
+  def synthesizeWarc(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val out = Array.newBuilder[Byte]
+        warcRecordChunks(id, text).foreach(out ++= _)
+        MediaRecord(id, "application/warc", out.result())
+      }
+  }
+
+  /** Per-row .warc.gz shard synthesis: the SAME records as
+    * [[synthesizeWarc]], each compressed as its own gzip member (the
+    * Common Crawl random-access convention).
+    */
+  def synthesizeWarcGz(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val out = new java.io.ByteArrayOutputStream(1024)
+        warcRecordChunks(id, text).foreach { rec =>
+          // one member per record; close() releases the native Deflater
+          val member = new java.io.ByteArrayOutputStream(256)
+          val gz = new java.util.zip.GZIPOutputStream(member)
+          gz.write(rec)
+          gz.close()
+          member.writeTo(out)
+        }
+        MediaRecord(id, "application/warc+gz", out.toByteArray)
+      }
+  }
 }

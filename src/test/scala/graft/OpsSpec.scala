@@ -1069,6 +1069,8 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.tarGzMembersOf(nullRec).isEmpty)
     assert(MultimodalOps.safetensorsOf(nullRec).isEmpty)
     assert(MultimodalOps.npyMetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.warcRecordsOf(nullRec).isEmpty)
+    assert(MultimodalOps.warcGzRecordsOf(nullRec).isEmpty)
     val docs = Seq((1L, "some text"), (2L, null))
       .toDF("doc_id", "text")
     // null text synthesizes the empty-document shape, same as ""
@@ -1085,6 +1087,156 @@ class OpsSpec extends AnyFunSuite {
         Seq((2L, "")).toDF("doc_id", "text"), "doc_id", "text")
       .collect().head
     assert(java.util.Arrays.equals(viaNull.content, viaEmpty.content))
+  }
+
+  test("warc: strict record walk — version gate, mandatory length, exact framing") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    def rec(ver: String, headers: Seq[(String, String)], block: String,
+        tail: String = "\r\n\r\n"): Array[Byte] =
+      (s"WARC/$ver\r\n" +
+        headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+        "\r\n" + block + tail).getBytes("UTF-8")
+    val good = rec("1.0", Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://a.example/x",
+      "Content-Length" -> "5"), "hello")
+    val one = MultimodalOps.warcRecordsOf(
+      MultimodalOps.MediaRecord(3L, "application/warc", good))
+    assert(one.contains(Seq(MultimodalOps.WarcRecord(
+      3L, 0L, "response", "https://a.example/x", 0L,
+      (good.length - 5 - 4).toLong, 5L))))
+    // WARC/1.1 accepted; other versions rejected
+    assert(MultimodalOps.warcRecordsOf(MultimodalOps.MediaRecord(1L, "w",
+      rec("1.1", Seq("Content-Length" -> "0"), ""))).nonEmpty)
+    assert(MultimodalOps.warcRecordsOf(MultimodalOps.MediaRecord(1L, "w",
+      rec("0.18", Seq("Content-Length" -> "0"), ""))).isEmpty)
+    // header names are case-insensitive; absent URI reads as ""
+    val ci = MultimodalOps.warcRecordsOf(MultimodalOps.MediaRecord(1L, "w",
+      rec("1.0", Seq("warc-type" -> "request", "CONTENT-LENGTH" -> "2"), "ab")))
+    assert(ci.exists(s => s.head.warcType == "request" &&
+      s.head.targetUri == "" && s.head.contentLength == 2L))
+    // missing Content-Length, short block, wrong terminator, trailing
+    // garbage, bare-LF header line: all fail the SHARD, never throw
+    assert(MultimodalOps.warcRecordsOf(MultimodalOps.MediaRecord(1L, "w",
+      rec("1.0", Seq("WARC-Type" -> "response"), "hello"))).isEmpty)
+    assert(MultimodalOps.warcRecordsOf(MultimodalOps.MediaRecord(1L, "w",
+      rec("1.0", Seq("Content-Length" -> "9"), "hello"))).isEmpty)
+    assert(MultimodalOps.warcRecordsOf(MultimodalOps.MediaRecord(1L, "w",
+      rec("1.0", Seq("Content-Length" -> "5"), "hello", "\r\n\r"))).isEmpty)
+    assert(MultimodalOps.warcRecordsOf(MultimodalOps.MediaRecord(1L, "w",
+      good ++ "junk".getBytes("UTF-8"))).isEmpty)
+    assert(MultimodalOps.warcRecordsOf(MultimodalOps.MediaRecord(1L, "w",
+      ("WARC/1.0\nContent-Length: 0\n\n\r\n\r\n").getBytes("UTF-8"))).isEmpty)
+    // multi-record shard: offsets are exact running sums
+    val two = good ++ rec("1.0", Seq(
+      "WARC-Type" -> "metadata", "Content-Length" -> "3"), "xyz")
+    val got2 = MultimodalOps.warcRecordsOf(
+      MultimodalOps.MediaRecord(9L, "w", two)).get
+    assert(got2.length == 2 && got2(1).offset == good.length.toLong &&
+      got2(1).warcType == "metadata" && got2(1).recIdx == 1L)
+    // synthesized round-trip: ns records, tar payload split, oracle
+    // header arithmetic (id 5 → 3 records over 10 payload bytes)
+    val text5 = "0123456789"
+    val rows = MultimodalOps.warcRecords(
+        MultimodalOps.synthesizeWarc(
+          Seq((5L, text5)).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().sortBy(_.recIdx)
+    assert(rows.length == 3) // 1 + 5 % 3
+    assert(rows.map(_.contentLength).toSeq == Seq(4L, 3L, 3L))
+    assert(rows.map(_.warcType).toSeq == Seq("response", "request", "metadata"))
+    assert(rows(0).targetUri == "https://example.com/5/0")
+    // header bytes replay: the synthesizer's exact header string
+    val hb0 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:0000000005-0>\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "WARC-Target-URI: https://example.com/5/0\r\n" +
+      "Content-Type: text/plain\r\nContent-Length: 4\r\n\r\n").length.toLong
+    assert(rows(0).headerBytes == hb0 && rows(0).offset == 0L)
+    assert(rows(1).offset == hb0 + 4 + 4)
+  }
+
+  test("warc.gz: member CRCs verified; ranged reads gunzip to single records") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "0123456789"), (2L, "warc gz census text payload"),
+      (0L, "")).toDF("doc_id", "text")
+    val gz = MultimodalOps.synthesizeWarcGz(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    val plain = MultimodalOps.synthesizeWarc(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r.content).toMap
+    for ((id, r) <- gz) {
+      val cdx = MultimodalOps.warcGzRecordsOf(r).get
+      assert(cdx.length == (1 + id % 3).toInt)
+      // members tile the shard exactly
+      assert(cdx.head.offset == 0L)
+      assert(cdx.map(c => c.offset + c.compLen).max == r.content.length.toLong)
+      // the CDX contract: gunzipping [offset, offset+compLen) yields
+      // exactly one record, and concatenating them rebuilds the plain
+      // .warc shard byte for byte
+      val rebuilt = new java.io.ByteArrayOutputStream()
+      for (c <- cdx.sortBy(_.recIdx)) {
+        val slice = java.util.Arrays.copyOfRange(
+          r.content, c.offset.toInt, (c.offset + c.compLen).toInt)
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(slice))
+        val member = in.readAllBytes()
+        in.close()
+        assert(member.length.toLong == c.recordBytes)
+        rebuilt.write(member)
+      }
+      assert(java.util.Arrays.equals(rebuilt.toByteArray, plain(id)))
+      // agreement with the plain census on the content columns
+      val flat = MultimodalOps.warcRecordsOf(
+        MultimodalOps.MediaRecord(id, "w", plain(id))).get
+      assert(cdx.map(c => (c.recIdx, c.warcType, c.targetUri, c.contentLength)) ==
+        flat.map(f => (f.recIdx, f.warcType, f.targetUri, f.contentLength)))
+    }
+    // tampering anywhere in a member fails the shard: payload byte
+    // (CRC32), ISIZE trailer word, reserved FLG bit
+    val base = gz(5L).content
+    def flipAt(i: Int): Option[_] = {
+      val m = base.clone(); m(i) = (m(i) ^ 0x01).toByte
+      MultimodalOps.warcGzRecordsOf(MultimodalOps.MediaRecord(5L, "w", m))
+    }
+    assert(flipAt(base.length / 2).isEmpty) // mid-stream byte
+    assert(flipAt(base.length - 1).isEmpty) // ISIZE
+    assert(flipAt(base.length - 6).isEmpty) // CRC32
+    val badFlg = base.clone(); badFlg(3) = (badFlg(3) | 0x80).toByte
+    assert(MultimodalOps.warcGzRecordsOf(
+      MultimodalOps.MediaRecord(5L, "w", badFlg)).isEmpty)
+    // FNAME members parse: re-wrap record 0 with a filename field
+    val rec0 = {
+      val cdx = MultimodalOps.warcGzRecordsOf(gz(5L).asInstanceOf[MultimodalOps.MediaRecord]).get.head
+      val slice = java.util.Arrays.copyOfRange(
+        base, cdx.offset.toInt, (cdx.offset + cdx.compLen).toInt)
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(slice))
+      val out = in.readAllBytes(); in.close(); out
+    }
+    val named = {
+      val body = new java.io.ByteArrayOutputStream()
+      val raw = {
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(rec0); d.finish()
+        val buf = new Array[Byte](rec0.length * 2 + 64)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+      body.write(Array[Byte](0x1f, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0, 0))
+      body.write("rec0.warc".getBytes("US-ASCII")); body.write(0)
+      body.write(raw)
+      val crc = new java.util.zip.CRC32; crc.update(rec0)
+      def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      body.write(le32(crc.getValue)); body.write(le32(rec0.length.toLong))
+      body.toByteArray
+    }
+    val viaName = MultimodalOps.warcGzRecordsOf(
+      MultimodalOps.MediaRecord(5L, "w", named))
+    assert(viaName.exists(s => s.length == 1 &&
+      s.head.warcType == "response" && s.head.recordBytes == rec0.length.toLong))
   }
 
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
@@ -1141,6 +1293,10 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.avifMetaOf(r)),
       ("tfrecord", MultimodalOps.synthesizeTfRecordShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.tfRecordsOf(r)),
+      ("warc", MultimodalOps.synthesizeWarc(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.warcRecordsOf(r)),
+      ("warcgz", MultimodalOps.synthesizeWarcGz(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.warcGzRecordsOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.avroBlocksOf(r)),
       ("iceberg", MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
