@@ -6825,6 +6825,31 @@ object SparkEntry {
             s"$dir/orders.parquet"))
           .orderBy("file_name", "row_group_id", "path_in_schema")
       },
+      "q_orc_footer" -> { (s, dir) =>
+        // the lake's OTHER columnar format: from-spec ORC postscript/
+        // protobuf footer walk (through the zlib compressed-stream
+        // framing) over a staged write of three flat tables, checked
+        // against DuckDB's metadata of the SOURCE parquet — two
+        // independent readers agreeing on row counts and schema width
+        // through two different storage formats
+        val staged = stageOrcFiles(s, dir)
+        Seq("region", "nation", "supplier").map { t =>
+          graft.ops.StorageOps.orcFooters(s, Seq(s"$staged/$t"))
+            .withColumn("tbl", lit(t))
+        }.reduce(_ unionByName _)
+          .groupBy("tbl", "file_name")
+          .agg(first("compression").as("compression"),
+            first("n_types").as("n_types"),
+            first("total_rows").as("file_rows"),
+            sum("stripe_rows").as("stripe_rows"))
+          .groupBy("tbl")
+          .agg(count(lit(1)).as("n_files"),
+            first("compression").as("compression"),
+            first("n_types").as("n_types"),
+            sum("file_rows").as("total_rows"),
+            sum("stripe_rows").as("stripe_rows"))
+          .orderBy("tbl")
+      },
       "q_multimodal_gguf" -> { (s, dir) =>
         // GGUF checkpoint census: KV walk (alignment from the file's
         // own metadata) + per-tensor exact byte spans, no weight reads
@@ -8003,6 +8028,24 @@ object SparkEntry {
       staged.toString
     }
 
+  /** Stage three flat tables as zlib-coded ORC for the footer census
+    * (always rewritten — the tables are tiny at every test SF, and a
+    * fresh write is cheaper than a staleness bug).  Returns the
+    * staging root; each table lands under its own subdirectory.
+    */
+  private[graft] def stageOrcFiles(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"/tmp/graft-orc-stage-$md"
+      Seq("region", "nation", "supplier").foreach { t =>
+        s.read.parquet(s"$dir/$t.parquet").coalesce(1)
+          .write.mode("overwrite").option("compression", "zlib")
+          .orc(s"$out/$t")
+      }
+      out
+    }
+
   /** Stage the documents table as a landing zone of `shard-<id>.tar`
     * files for the streaming census (overwritten per call — the
     * landing zone must reflect the CURRENT corpus, and at sf0.01 the
@@ -8113,7 +8156,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     sqlQueries ++ sharedDocSql ++ duckdbOnlySql ++ fitOracleSqls ++
-      Map("q_parquet_footer" -> parquetFooterOracleSql)
+      Map("q_parquet_footer" -> parquetFooterOracleSql,
+        "q_orc_footer" -> orcFooterOracleSql)
 
   /** Corpus dir the oracle SQL is generated against.  Verify sets this
     * to its `sfDir` argument before dumping oracle_sql.json, so the
@@ -8140,4 +8184,21 @@ object SparkEntry {
          |       compression
          |FROM parquet_metadata('$oracleDir/$t.parquet')""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema")
+
+  /** ORC-footer oracle: the SOURCE parquet's row count and schema
+    * width from DuckDB — the ORC census (a staged re-encode of the
+    * same tables) must agree through a completely different storage
+    * format.  ORC's type list is the struct root + one entry per
+    * column, exactly `parquet_schema`'s entry count for flat tables.
+    * Interpolates [[oracleDir]] at dump time like the parquet twin.
+    */
+  private def orcFooterOracleSql: String =
+    Seq("nation", "region", "supplier").map { t =>
+      s"""SELECT '$t' AS tbl,
+         |       CAST(1 AS BIGINT) AS n_files,
+         |       'ZLIB' AS compression,
+         |       (SELECT count(*) FROM parquet_schema('$oracleDir/$t.parquet')) AS n_types,
+         |       (SELECT count(*) FROM read_parquet('$oracleDir/$t.parquet')) AS total_rows,
+         |       (SELECT count(*) FROM read_parquet('$oracleDir/$t.parquet')) AS stripe_rows""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
 }

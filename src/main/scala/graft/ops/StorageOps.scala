@@ -93,6 +93,270 @@ object StorageOps {
         "total_uncompressed_size", "compression")
   }
 
+  /** One ORC stripe's census row (file-level fields repeated, the
+    * parquetFooters shape): exact stripe geometry + row accounting
+    * from the file's own footer — the per-stripe view a compaction
+    * planner needs.
+    */
+  final case class OrcStripeRow(
+      fileName: String, compression: String, nTypes: Long,
+      totalRows: Long, contentLength: Long, nStripes: Long,
+      stripeId: Long, stripeOffset: Long, indexLength: Long,
+      dataLength: Long, stripeFooterLength: Long, stripeRows: Long)
+
+  private[graft] final case class OrcFooterMeta(
+      compression: String, nTypes: Long, totalRows: Long,
+      contentLength: Long,
+      stripes: Vector[(Long, Long, Long, Long, Long)])
+
+  /** Minimal bounds-checked protobuf walker for the ORC metadata
+    * messages (varint + length-delimited only is what they use; the
+    * fixed wire types are skipped correctly anyway).  Every read is
+    * range-guarded; malformed input surfaces as None in the callers,
+    * never an exception.
+    */
+  private final class PbReader(b: Array[Byte], var pos: Int, val end: Int) {
+    var bad = false
+    def hasMore: Boolean = !bad && pos < end
+    def varint(): Long = {
+      var v = 0L; var shift = 0; var n = 0
+      while (n < 10) {
+        if (pos >= end) { bad = true; return 0L }
+        val x = b(pos); pos += 1; n += 1
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      bad = true; 0L
+    }
+    /** (fieldNo, wireType) */
+    def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
+    /** For wire type 2: (offset, length) of the payload; advances past it. */
+    def lenDelim(): (Int, Int) = {
+      val len = varint()
+      if (bad || len < 0 || len > end - pos) { bad = true; (0, 0) }
+      else { val off = pos; pos += len.toInt; (off, len.toInt) }
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint(); ()
+      case 1 => pos += 8; if (pos > end) bad = true
+      case 2 => lenDelim(); ()
+      case 5 => pos += 4; if (pos > end) bad = true
+      case _ => bad = true
+    }
+  }
+
+  private val OrcCompressionNames = Map(
+    0L -> "NONE", 1L -> "ZLIB", 2L -> "SNAPPY", 3L -> "LZO",
+    4L -> "LZ4", 5L -> "ZSTD")
+
+  /** Parse an ORC file's metadata from its TAIL bytes (the last
+    * `tail.length` bytes of a `fileLen`-byte file): postscript →
+    * (footer length, compression kind, "ORC" magic), then the footer
+    * — through the ORC compressed-stream chunk framing (3-byte LE
+    * header = chunkLen·2 + isOriginal) with a raw-DEFLATE inflate for
+    * ZLIB — decoded as protobuf by hand: content length, stripe list
+    * (offset/index/data/footer/rows), type count, total rows.
+    * From-spec and library-free, so StorageSpec's orc-core
+    * cross-check is a genuinely independent second reader.  Strict:
+    * the magic must match at both ends, SNAPPY/LZO/LZ4/ZSTD metadata
+    * reject loudly as None (size-guessing a codec we don't decode
+    * would mis-census), and the stripe rows must sum to the footer's
+    * own total.  TOTAL on arbitrary bytes.
+    */
+  private[graft] def orcTailOf(
+      tail: Array[Byte], fileLen: Long): Option[OrcFooterMeta] = {
+    if (tail == null || tail.length < 4 || fileLen < tail.length) return None
+    val psLen = tail(tail.length - 1) & 0xff
+    if (psLen < 1 || psLen + 1 > tail.length) return None
+    val psStart = tail.length - 1 - psLen
+    // postscript: uncompressed always
+    val ps = new PbReader(tail, psStart, psStart + psLen)
+    var footerLen = -1L
+    var compression = 0L
+    var magicOk = false
+    while (ps.hasMore) {
+      val (f, w) = ps.tag()
+      if (ps.bad) return None
+      (f, w) match {
+        case (1, 0) => footerLen = ps.varint()
+        case (2, 0) => compression = ps.varint()
+        case (8000, 2) =>
+          val (o, l) = ps.lenDelim()
+          magicOk = !ps.bad && l == 3 && tail(o) == 'O' &&
+            tail(o + 1) == 'R' && tail(o + 2) == 'C'
+        case (_, wire) => ps.skip(wire)
+      }
+      if (ps.bad) return None
+    }
+    if (!magicOk || footerLen <= 0 || footerLen > psStart) return None
+    val codec = OrcCompressionNames.getOrElse(compression, return None)
+    val footerStart = psStart - footerLen.toInt
+    // footer: through the compressed-stream chunk framing when coded
+    val footer: Array[Byte] =
+      if (compression == 0L)
+        java.util.Arrays.copyOfRange(tail, footerStart, psStart)
+      else if (compression == 1L) {
+        val out = new java.io.ByteArrayOutputStream(footerLen.toInt * 2)
+        var p = footerStart
+        while (p < psStart) {
+          if (p + 3 > psStart) return None
+          val h = (tail(p) & 0xff) | (tail(p + 1) & 0xff) << 8 |
+            (tail(p + 2) & 0xff) << 16
+          val original = (h & 1) == 1
+          val chunkLen = h >>> 1
+          p += 3
+          if (chunkLen <= 0 || p + chunkLen > psStart) return None
+          if (original) out.write(tail, p, chunkLen)
+          else out.write(graft.ops.MultimodalOps.inflateRawSpan(
+            tail, p, chunkLen, 64 << 20).getOrElse(return None))
+          if (out.size() > (64 << 20)) return None // bomb guard
+          p += chunkLen
+        }
+        out.toByteArray
+      } else return None // SNAPPY/LZO/LZ4/ZSTD metadata: honest reject
+    val fr = new PbReader(footer, 0, footer.length)
+    var contentLength = -1L
+    var totalRows = -1L
+    var nTypes = 0L
+    val stripes = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+    var nStripes = 0
+    while (fr.hasMore) {
+      val (f, w) = fr.tag()
+      if (fr.bad) return None
+      (f, w) match {
+        case (2, 0) => contentLength = fr.varint()
+        case (6, 0) => totalRows = fr.varint()
+        case (3, 2) => // StripeInformation
+          val (o, l) = fr.lenDelim()
+          if (fr.bad) return None
+          val sr = new PbReader(footer, o, o + l)
+          var off = -1L; var idx = 0L; var dat = 0L; var sfl = 0L; var rows = -1L
+          while (sr.hasMore) {
+            val (sf, sw) = sr.tag()
+            if (sr.bad) return None
+            (sf, sw) match {
+              case (1, 0) => off = sr.varint()
+              case (2, 0) => idx = sr.varint()
+              case (3, 0) => dat = sr.varint()
+              case (4, 0) => sfl = sr.varint()
+              case (5, 0) => rows = sr.varint()
+              case (_, wire) => sr.skip(wire)
+            }
+            if (sr.bad) return None
+          }
+          if (off < 0 || rows < 0) return None
+          stripes += ((off, idx, dat, sfl, rows))
+          nStripes += 1
+        case (4, 2) => nTypes += 1; fr.skip(2) // Type: count, don't decode
+        case (_, wire) => fr.skip(wire)
+      }
+      if (fr.bad) return None
+    }
+    if (contentLength < 0 || totalRows < 0 || nTypes <= 0) return None
+    val sv = stripes.result()
+    // the footer's own row total must equal the stripes' sum — a
+    // mismatch means a mis-walk, fail the file rather than census it
+    if (sv.map(_._5).sum != totalRows) return None
+    if (sv.exists { case (off, idx, dat, sfl, _) =>
+      off + idx + dat + sfl > fileLen }) return None
+    Some(OrcFooterMeta(codec, nTypes, totalRows, contentLength, sv))
+  }
+
+  /** Whole-buffer flavor (test/fuzz surface): checks the leading
+    * "ORC" header magic too, then defers to [[orcTailOf]].
+    */
+  private[graft] def orcFooterOf(b: Array[Byte]): Option[OrcFooterMeta] = {
+    if (b == null || b.length < 7) return None
+    if (!(b(0) == 'O' && b(1) == 'R' && b(2) == 'C')) return None
+    orcTailOf(b, b.length.toLong)
+  }
+
+  /** ORC footer census — the lake's OTHER columnar format, censused
+    * with the same economics as [[parquetFooters]]: one row per
+    * stripe, footers only, never a data page.  The listing/broadcast
+    * discipline is parquetFooters' verbatim (driver listing bounded
+    * by `maxFiles`, session Hadoop conf broadcast to executors); the
+    * per-file read is two ranged reads of the TAIL (postscript sizing
+    * pass, then exactly the footer span when it exceeds the first
+    * guess) — at 100 TB a metadata-sized pass regardless of data
+    * volume.
+    */
+  def orcFooters(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    val files = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".orc"))
+          .map(_.getPath.toString).toSeq
+      else Seq(p)
+    }
+    require(files.size <= maxFiles,
+      s"orcFooters: ${files.size} files exceeds maxFiles=$maxFiles — " +
+        "the driver-side directory listing is the bottleneck at this " +
+        "scale; feed the file list from the catalog instead")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(conf)
+          val len = fs.getFileStatus(hp).getLen
+          def readTail(n: Long): Array[Byte] = {
+            val want = math.min(len, n).toInt
+            val buf = new Array[Byte](want)
+            val in = fs.open(hp)
+            try in.readFully(len - want, buf, 0, want) finally in.close()
+            buf
+          }
+          val first = readTail(256L * 1024)
+          val meta = orcTailOf(first, len).orElse {
+            // footer larger than the first guess: size it exactly from
+            // the postscript, then re-read
+            if (first.length < 2) None
+            else {
+              val psLen = first(first.length - 1) & 0xff
+              if (psLen < 1 || psLen + 1 > first.length) None
+              else {
+                val psStart = first.length - 1 - psLen
+                val ps = new PbReader(first, psStart, psStart + psLen)
+                var footerLen = -1L
+                while (ps.hasMore) {
+                  val (f, w) = ps.tag()
+                  if (f == 1 && w == 0) footerLen = ps.varint()
+                  else ps.skip(w)
+                }
+                if (footerLen <= 0) None
+                else orcTailOf(readTail(1L + psLen + footerLen), len)
+              }
+            }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"orcFooters: $p is not a readable ORC file (or uses a " +
+              "metadata codec this census rejects)"))
+          meta.stripes.zipWithIndex.map {
+            case ((off, idx, dat, sfl, rows), i) =>
+              OrcStripeRow(hp.getName, meta.compression, meta.nTypes,
+                meta.totalRows, meta.contentLength,
+                meta.stripes.length.toLong, i.toLong, off, idx, dat,
+                sfl, rows)
+          }
+        }
+      }
+      .toDF("file_name", "compression", "n_types", "total_rows",
+        "content_length", "n_stripes", "stripe_id", "stripe_offset",
+        "index_length", "data_length", "stripe_footer_length",
+        "stripe_rows")
+  }
+
   /** Delta-style transaction-log replay — lakehouse table-state
     * reconstruction WITHOUT the table-format library: read the
     * commit log's JSON files (one per version, the filename IS the

@@ -335,4 +335,83 @@ class StorageSpec extends AnyFunSuite {
         ((r.getLong(5), r.getLong(6))))
     }
   }
+
+  test("orc footer census: from-spec walk == orc-core reader; strict rejects; fuzz") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("orcfoot").toString
+    val n = 60000L // enough rows for multiple stripes at a small stripe size
+    spark.range(n).select(col("id"), (col("id") % 7).as("grp"),
+        concat(lit("some text payload "), col("id")).as("s"))
+      .coalesce(1)
+      .write.mode("overwrite").option("compression", "zlib")
+      .option("orc.stripe.size", (256 * 1024).toString)
+      .orc(s"$dir/t")
+    val rows = StorageOps.orcFooters(spark, Seq(s"$dir/t")).collect()
+    assert(rows.nonEmpty)
+    val files = rows.map(_.getString(0)).distinct
+    assert(files.length == 1)
+    // independent-reader cross-check: orc-core (Spark's bundled ORC
+    // library) must agree on EVERY stripe's geometry and row count —
+    // the walk is hand-rolled protobuf, so agreement is two readers
+    val localOrc = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "t"))
+      .filter(p => p.toString.endsWith(".orc")).findFirst().get().toString
+    val fsPath = new org.apache.hadoop.fs.Path(localOrc)
+    val reader = org.apache.orc.OrcFile.createReader(fsPath,
+      org.apache.orc.OrcFile.readerOptions(
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      val expStripes = reader.getStripes.asScala.toVector
+      assert(rows.length == expStripes.length,
+        s"stripe count ${rows.length} vs orc-core ${expStripes.length}")
+      assert(rows.length > 1, "fixture must span multiple stripes")
+      val sorted = rows.sortBy(_.getLong(6)) // stripe_id
+      sorted.zip(expStripes).foreach { case (r, e) =>
+        assert(r.getLong(7) == e.getOffset, "stripe_offset")
+        assert(r.getLong(8) == e.getIndexLength, "index_length")
+        assert(r.getLong(9) == e.getDataLength, "data_length")
+        assert(r.getLong(10) == e.getFooterLength, "stripe_footer_length")
+        assert(r.getLong(11) == e.getNumberOfRows, "stripe_rows")
+      }
+      assert(sorted.head.getLong(3) == reader.getNumberOfRows) // total_rows
+      assert(sorted.head.getLong(3) == n)
+      assert(sorted.head.getString(1) == reader.getCompressionKind.name)
+      // n_types: struct root + one per column
+      assert(sorted.head.getLong(2) == 4L)
+      assert(sorted.head.getLong(4) == reader.getContentLength)
+    } finally reader.close()
+    // strict rejects, never a mis-census: non-ORC bytes, truncation,
+    // and an unsupported metadata codec
+    val whole = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(localOrc))
+    assert(StorageOps.orcFooterOf(whole).nonEmpty)
+    assert(StorageOps.orcFooterOf(null).isEmpty)
+    assert(StorageOps.orcFooterOf("PAR1 not orc".getBytes).isEmpty)
+    assert(StorageOps.orcFooterOf(
+      java.util.Arrays.copyOf(whole, whole.length / 2)).isEmpty)
+    // snappy-coded metadata rejects loudly (we do not decode snappy)
+    val snapDir = java.nio.file.Files.createTempDirectory("orcsnap").toString
+    spark.range(100).coalesce(1)
+      .write.mode("overwrite").option("compression", "snappy")
+      .orc(s"$snapDir/t")
+    val err = intercept[org.apache.spark.SparkException] {
+      StorageOps.orcFooters(spark, Seq(s"$snapDir/t")).collect()
+    }
+    assert(err.getMessage.contains("orcFooters") ||
+      Option(err.getCause).exists(_.getMessage.contains("orcFooters")))
+    // seeded fuzz: byte flips / truncations parse to Some or None,
+    // never throw (the media-parser contract)
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 400) {
+      val m = whole.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      val victim =
+        if (rnd.nextInt(3) == 0) m.take(rnd.nextInt(m.length)) else m
+      try StorageOps.orcFooterOf(victim)
+      catch { case e: Throwable => fail(s"orc fuzz trial $trial threw: $e") }
+    }
+  }
 }
