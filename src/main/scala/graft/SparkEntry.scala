@@ -834,6 +834,35 @@ object SparkEntry {
       s"""SELECT doc_id, $clean AS clean
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // Common Crawl e2e replay: SAME page synthesis and regex chain as
+    // q_html_extract (the .warc.gz container round trip on the Spark
+    // side must be invisible), plus the response URI and the
+    // token-count gate
+    "q_cc_e2e" -> {
+      val synth = "'<html><head><title>Doc ' || doc_id || " +
+        "'</title><style>p { color: red }</style>" +
+        "<script>var x = 1; if (x < 2) { x = 3; }</script>" +
+        "</head><body><h1>Doc ' || doc_id || '</h1>\n<p>' || text || " +
+        "' &amp; 5 &lt; 7</p><!-- crawl footer -->\n</body></html>'"
+      val clean = graft.ops.TextOps.htmlPatterns.foldLeft(synth) {
+        case (acc, (pat, repl)) =>
+          s"regexp_replace($acc, '${pat.replace("'", "''")}', " +
+            s"'${repl.replace("'", "''")}', 'g')"
+      }
+      raw"""WITH c AS (
+           |  SELECT doc_id,
+           |         'https://example.com/' || CAST(doc_id AS VARCHAR) || '/1' AS target_uri,
+           |         $clean AS clean
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id, target_uri, clean,
+           |         CAST(len(list_filter(string_split_regex(clean, '\s+'),
+           |           x -> x <> '')) AS BIGINT) AS n_tokens
+           |  FROM c)
+           |SELECT doc_id, target_uri, clean, n_tokens,
+           |       CAST(n_tokens >= 5 AS BIGINT) AS keep
+           |FROM t ORDER BY doc_id""".stripMargin
+    },
     // linear-classifier replay: same \s+ tokens, same md5-60-bit
     // bucket (the q_hash_split pattern), same literal weight vector
     // (demoWeights is the single source), integer fold + one logistic
@@ -7003,6 +7032,35 @@ object SparkEntry {
             col("recordBytes").as("record_bytes"),
             col("contentLength").as("content_length"))
           .orderBy("doc_id", "rec_idx")
+      },
+      "q_cc_e2e" -> { (s, dir) =>
+        // the Common Crawl entry path END TO END: page HTML →
+        // .warc.gz (request + response members, response carrying the
+        // full page) → hand-walked member inflate with CRC verify →
+        // response-block UTF-8 → HTML strip → token-count quality
+        // gate.  The oracle replays synthesis + regex chain directly
+        // on the documents table — the container round trip must be
+        // byte-invisible to the text pipeline.
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p { color: red }</style>" +
+            "<script>var x = 1; if (x < 2) { x = 3; }</script>" +
+            "</head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1>\n<p>"), col("text"),
+          lit(" &amp; 5 &lt; 7</p><!-- crawl footer -->\n</body></html>"))
+        val gz = MultimodalOps.synthesizeWarcGzPages(
+          docs.withColumn("html", html), "doc_id", "html")
+        MultimodalOps.warcGzPages(gz).toDF()
+          .select(col("id").as("doc_id"),
+            col("targetUri").as("target_uri"),
+            TextOps.extractHtmlText(col("html")).as("clean"))
+          .withColumn("n_tokens",
+            size(filter(split(col("clean"), "\\s+"),
+              t => t =!= lit(""))).cast("long"))
+          .withColumn("keep", (col("n_tokens") >= 5).cast("long"))
+          .orderBy("doc_id")
       },
       "q_multimodal_webp" -> { (s, dir) =>
         // WebP header census: RIFF chunk walk + per-flavor (VP8/VP8L/

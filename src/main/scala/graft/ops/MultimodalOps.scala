@@ -6694,13 +6694,16 @@ object MultimodalOps {
     * anywhere fails the member, and strict framing fails the shard.
     * Each member must inflate to exactly one WARC record.
     */
-  private[graft] def warcGzRecordsOf(
-      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[WarcCdxRecord]] = {
-    val b = r.content
-    if (b == null || b.length < 28) return None
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcCdxRecord]
+  /** Walk concatenated gzip members: (member offset, member total
+    * bytes incl. header+trailer, inflated payload) per member, or
+    * None on any framing/CRC/ISIZE violation.  The shared engine
+    * under [[warcGzRecordsOf]] and [[warcGzPagesOf]].
+    */
+  private[graft] def gzMembersOf(
+      b: Array[Byte], maxInflated: Int = 1 << 30): Option[Seq[(Long, Long, Array[Byte])]] = {
+    if (b == null || b.length < 18) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
     var off = 0
-    var idx = 0L
     while (off < b.length) {
       if (off + 10 > b.length) return None
       if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
@@ -6753,16 +6756,66 @@ object MultimodalOps {
       if (crc.getValue != u32le(p)) return None
       if ((inflated.length & 0xffffffffL) != u32le(p + 4)) return None
       p += 8
-      warcRecordAt(inflated, 0) match {
-        case Some((typ, uri, clen, _, total)) if total == inflated.length =>
-          out += WarcCdxRecord(r.id, idx, typ, uri, off.toLong,
-            (p - off).toLong, inflated.length.toLong, clen)
-        case _ => return None
-      }
+      out += ((off.toLong, (p - off).toLong, inflated))
       off = p
-      idx += 1
     }
     Some(out.toSeq)
+  }
+
+  private[graft] def warcGzRecordsOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[WarcCdxRecord]] = {
+    if (r.content == null || r.content.length < 28) return None
+    val members = gzMembersOf(r.content, maxInflated).getOrElse(return None)
+    val out = Vector.newBuilder[WarcCdxRecord]
+    var idx = 0L
+    for ((off, compLen, inflated) <- members) {
+      warcRecordAt(inflated, 0) match {
+        case Some((typ, uri, clen, _, total)) if total == inflated.length =>
+          out += WarcCdxRecord(r.id, idx, typ, uri, off, compLen,
+            inflated.length.toLong, clen)
+          idx += 1
+        case _ => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** One crawled page: the response record's target URI + its block
+    * decoded as UTF-8 — the content row the text pipeline starts
+    * from.
+    */
+  final case class WarcPage(id: Long, recIdx: Long, targetUri: String, html: String)
+
+  /** Content extraction from per-record-gzipped WARC shards: inflate
+    * each member (CRCs verified by the shared walk), parse the
+    * record, and emit the BLOCK of every `response` record as UTF-8
+    * text keyed by its target URI — request/metadata records are
+    * framing-checked but not emitted.  The Common Crawl entry path:
+    * everything downstream (HTML strip, quality, dedup) is the
+    * existing text stack.
+    */
+  private[graft] def warcGzPagesOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[WarcPage]] = {
+    if (r.content == null || r.content.length < 18) return None
+    val members = gzMembersOf(r.content, maxInflated).getOrElse(return None)
+    val out = Vector.newBuilder[WarcPage]
+    var idx = 0L
+    for ((_, _, inflated) <- members) {
+      warcRecordAt(inflated, 0) match {
+        case Some((typ, uri, clen, hb, total)) if total == inflated.length =>
+          if (typ == "response")
+            out += WarcPage(r.id, idx, uri,
+              new String(inflated, hb, clen.toInt, "UTF-8"))
+          idx += 1
+        case _ => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  def warcGzPages(ds: Dataset[MediaRecord]): Dataset[WarcPage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => warcGzPagesOf(r).getOrElse(Nil)))
   }
 
   def warcGzRecords(ds: Dataset[MediaRecord]): Dataset[WarcCdxRecord] = {
@@ -6777,6 +6830,31 @@ object MultimodalOps {
     * tar rule — every header field's byte length replays from
     * (doc_id, octet_length(text)) in the oracle.
     */
+  /** One framed WARC record over `payload[from, from+take)`. */
+  private def warcRecordBytes(
+      id: Long, k: Int, typ: String, payload: Array[Byte],
+      from: Int, take: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(typ).append("\r\n")
+    sb.append(f"WARC-Record-ID: <urn:uuid:$id%010d-$k%d>\r\n")
+    sb.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+    sb.append("WARC-Target-URI: https://example.com/")
+      .append(id).append('/').append(k).append("\r\n")
+    sb.append("Content-Type: text/plain\r\n")
+    sb.append("Content-Length: ").append(take).append("\r\n")
+    sb.append("\r\n")
+    val header = sb.result().getBytes("ISO-8859-1")
+    val rec = new Array[Byte](header.length + take + 4)
+    System.arraycopy(header, 0, rec, 0, header.length)
+    System.arraycopy(payload, from, rec, header.length, take)
+    rec(header.length + take) = '\r'
+    rec(header.length + take + 1) = '\n'
+    rec(header.length + take + 2) = '\r'
+    rec(header.length + take + 3) = '\n'
+    rec
+  }
+
   private def warcRecordChunks(id: Long, text: String): Seq[Array[Byte]] = {
     val payload = text.getBytes("UTF-8")
     val ns = 1 + (id % 3).toInt
@@ -6789,25 +6867,7 @@ object MultimodalOps {
         case 1 => "request"
         case _ => "metadata"
       }
-      val sb = new StringBuilder
-      sb.append("WARC/1.0\r\n")
-      sb.append("WARC-Type: ").append(typ).append("\r\n")
-      sb.append(f"WARC-Record-ID: <urn:uuid:$id%010d-$k%d>\r\n")
-      sb.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
-      sb.append("WARC-Target-URI: https://example.com/")
-        .append(id).append('/').append(k).append("\r\n")
-      sb.append("Content-Type: text/plain\r\n")
-      sb.append("Content-Length: ").append(take).append("\r\n")
-      sb.append("\r\n")
-      val header = sb.result().getBytes("ISO-8859-1")
-      val rec = new Array[Byte](header.length + take + 4)
-      System.arraycopy(header, 0, rec, 0, header.length)
-      System.arraycopy(payload, from, rec, header.length, take)
-      rec(header.length + take) = '\r'
-      rec(header.length + take + 1) = '\n'
-      rec(header.length + take + 2) = '\r'
-      rec(header.length + take + 3) = '\n'
-      rec
+      warcRecordBytes(id, k, typ, payload, from, take)
     }
   }
 
@@ -6843,6 +6903,34 @@ object MultimodalOps {
           gz.close()
           member.writeTo(out)
         }
+        MediaRecord(id, "application/warc+gz", out.toByteArray)
+      }
+  }
+
+  /** Per-row crawl-shaped .warc.gz synthesis: a zero-length `request`
+    * member followed by a `response` member carrying the FULL page
+    * payload (the Common Crawl page shape — one response per page,
+    * never split), each its own gzip member.  The response is record
+    * k=1, so its target URI is `…/<id>/1`.
+    */
+  def synthesizeWarcGzPages(df: DataFrame, idCol: String, htmlCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(htmlCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, html) =>
+        val payload = html.getBytes("UTF-8")
+        val out = new java.io.ByteArrayOutputStream(1024)
+        Seq(
+          warcRecordBytes(id, 0, "request", Array.emptyByteArray, 0, 0),
+          warcRecordBytes(id, 1, "response", payload, 0, payload.length))
+          .foreach { rec =>
+            val member = new java.io.ByteArrayOutputStream(256)
+            val gz = new java.util.zip.GZIPOutputStream(member)
+            gz.write(rec)
+            gz.close()
+            member.writeTo(out)
+          }
         MediaRecord(id, "application/warc+gz", out.toByteArray)
       }
   }

@@ -1239,6 +1239,38 @@ class OpsSpec extends AnyFunSuite {
       s.head.warcType == "response" && s.head.recordBytes == rec0.length.toLong))
   }
 
+  test("warc.gz pages: response blocks round-trip UTF-8; non-responses filtered") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // multi-byte page content must survive synthesis → gzip member →
+    // inflate → block slice → UTF-8 decode byte-for-byte
+    val html = "<p>naïve résumé — 日本語 🎉</p>"
+    val docs = Seq((7L, html), (2L, ""), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "html")
+    val pages = MultimodalOps.warcGzPages(
+        MultimodalOps.synthesizeWarcGzPages(docs, "doc_id", "html"))
+      .collect().map(p => p.id -> p).toMap
+    assert(pages.size == 3) // exactly one response per doc
+    assert(pages(7L).html == html)
+    assert(pages(7L).targetUri == "https://example.com/7/1")
+    assert(pages(7L).recIdx == 1L) // request is record 0, filtered
+    assert(pages(2L).html == "" && pages(11L).html == "")
+    // the generic multi-record shard: only response records emitted
+    // (id 5 → response/request/metadata → 1 page with the first slice)
+    val gz5 = MultimodalOps.synthesizeWarcGz(
+        Seq((5L, "0123456789")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    val p5 = MultimodalOps.warcGzPagesOf(gz5).get
+    assert(p5.length == 1 && p5.head.html == "0123" && p5.head.recIdx == 0L)
+    // a tampered member fails the whole shard (shared CRC walk)
+    val base = MultimodalOps.synthesizeWarcGzPages(
+        Seq((7L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().head.content
+    val m = base.clone(); m(base.length / 2) = (m(base.length / 2) ^ 1).toByte
+    assert(MultimodalOps.warcGzPagesOf(
+      MultimodalOps.MediaRecord(7L, "w", m)).isEmpty)
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
@@ -1297,6 +1329,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.warcRecordsOf(r)),
       ("warcgz", MultimodalOps.synthesizeWarcGz(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.warcGzRecordsOf(r)),
+      ("warcgz-pages", MultimodalOps.synthesizeWarcGzPages(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.warcGzPagesOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.avroBlocksOf(r)),
       ("iceberg", MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
