@@ -4545,6 +4545,24 @@ object SparkEntry {
         |       CAST(hb + len + 4 AS BIGINT) AS record_bytes,
         |       CAST(len AS BIGINT) AS content_length
         |FROM h ORDER BY doc_id, rec_idx""".stripMargin,
+    // Arrow IPC replay: one schema message then nb record batches,
+    // row counts as id arithmetic (the byte geometry is the Arrow
+    // library's own and is pinned in OpsSpec, not here)
+    "q_arrow_ipc" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 4 AS nb FROM documents),
+        |ks AS (SELECT doc_id, nb, unnest(generate_series(0, nb - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS msg_idx,
+        |         CAST(1 AS BIGINT) AS header_type,
+        |         CAST(-1 AS BIGINT) AS n_rows
+        |  FROM px
+        |  UNION ALL
+        |  SELECT doc_id, CAST(k + 1 AS BIGINT),
+        |         CAST(3 AS BIGINT),
+        |         CAST(1 + (doc_id + k) % 5 AS BIGINT)
+        |  FROM ks)
+        |SELECT doc_id, msg_idx, header_type, n_rows
+        |FROM m ORDER BY doc_id, msg_idx""".stripMargin,
     // SubRip replay: same token-slice pattern as the VTT oracle, with
     // the declared sequence number and comma-millisecond timings
     "q_multimodal_srt_cues" ->
@@ -7061,6 +7079,22 @@ object SparkEntry {
               t => t =!= lit(""))).cast("long"))
           .withColumn("keep", (col("n_tokens") >= 5).cast("long"))
           .orderBy("doc_id")
+      },
+      "q_arrow_ipc" -> { (s, dir) =>
+        // Arrow IPC file census: hand-rolled flatbuffer walk of the
+        // encapsulated-message stream (schema + record batches, row
+        // counts from the RecordBatch table) over files written by
+        // the Arrow LIBRARY itself — independent writer, from-spec
+        // reader.  Byte geometry is library-owned, so the oracle
+        // covers the message/row table; OpsSpec pins the geometry
+        // against ArrowFileReader's own footer blocks.
+        val media = MultimodalOps.synthesizeArrowIpc(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.arrowIpcMessages(media).toDF()
+          .select(col("id").as("doc_id"), col("msgIdx").as("msg_idx"),
+            col("headerType").as("header_type"),
+            col("nRows").as("n_rows"))
+          .orderBy("doc_id", "msg_idx")
       },
       "q_multimodal_webp" -> { (s, dir) =>
         // WebP header census: RIFF chunk walk + per-flavor (VP8/VP8L/

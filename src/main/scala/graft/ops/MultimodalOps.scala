@@ -6831,7 +6831,7 @@ object MultimodalOps {
     * (doc_id, octet_length(text)) in the oracle.
     */
   /** One framed WARC record over `payload[from, from+take)`. */
-  private def warcRecordBytes(
+  private[graft] def warcRecordBytes(
       id: Long, k: Int, typ: String, payload: Array[Byte],
       from: Int, take: Int): Array[Byte] = {
     val sb = new StringBuilder
@@ -6904,6 +6904,178 @@ object MultimodalOps {
           member.writeTo(out)
         }
         MediaRecord(id, "application/warc+gz", out.toByteArray)
+      }
+  }
+
+  // ---- Arrow IPC file census ---------------------------------------
+
+  /** One encapsulated IPC message: kind (1 = Schema, 2 =
+    * DictionaryBatch, 3 = RecordBatch), its byte geometry, and the
+    * row count for record batches (-1 otherwise) — the block index a
+    * reader seeks with.
+    */
+  final case class ArrowIpcMsg(
+      id: Long, msgIdx: Long, headerType: Long, offset: Long,
+      metaLen: Long, bodyLen: Long, nRows: Long)
+
+  /** Arrow IPC FILE census — the in-memory columnar format's on-disk
+    * framing (feature tables, embedding dumps, Spark↔pandas exchange).
+    * Walks the encapsulated-message stream between the two `ARROW1`
+    * magics by hand: 0xFFFFFFFF continuation + i32 LE metadata length
+    * per message, then a from-spec FLATBUFFER decode of the Message
+    * table (soffset→vtable, u16 slot offsets; header-type union byte,
+    * bodyLength long, and the RecordBatch child table's `length`
+    * field for row counts) — no Arrow library on the read path, so
+    * the arrow-vector reader in the spec is a genuinely independent
+    * second reader.  Strict framing: leading/trailing magic, every
+    * message bounds-checked, the zero-length EOS marker mandatory,
+    * the walk must end exactly where the footer (sized by the i32
+    * before the trailing magic) begins.  TOTAL on arbitrary bytes.
+    */
+  private[graft] def arrowIpcMessagesOf(r: MediaRecord): Option[Seq[ArrowIpcMsg]] = {
+    val b = r.content
+    if (b == null || b.length < 24) return None
+    def u16(i: Int): Int = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8
+    def i32(i: Int): Int = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8 |
+      (b(i + 2) & 0xff) << 16 | (b(i + 3) & 0xff) << 24
+    def i64(i: Int): Long = (i32(i) & 0xffffffffL) | i32(i + 4).toLong << 32
+    // magics
+    val magic = "ARROW1".getBytes("US-ASCII")
+    var k = 0
+    while (k < 6) {
+      if (b(k) != magic(k) || b(b.length - 6 + k) != magic(k)) return None
+      k += 1
+    }
+    if (b(6) != 0 || b(7) != 0) return None
+    val footerLen = i32(b.length - 10)
+    if (footerLen <= 0 || footerLen > b.length - 18) return None
+    val footerStart = b.length - 10 - footerLen
+    // flatbuffer field read within [msgOff, msgOff+metaLen): returns
+    // the absolute position of field `slot` of the table at absolute
+    // pos `t`, or -1 when absent/out of bounds
+    def fieldPos(lo: Int, hi: Int, t: Int, slot: Int): Int = {
+      if (t < lo || t + 4 > hi) return -1
+      val soff = i32(t)
+      val vt = t - soff
+      if (vt < lo || vt + 4 > hi) return -1
+      val vtSize = u16(vt)
+      val entry = 4 + 2 * slot
+      if (entry + 2 > vtSize || vt + entry + 2 > hi) return -1
+      val fo = u16(vt + entry)
+      if (fo == 0) return -1
+      val p = t + fo
+      if (p < lo || p >= hi) -1 else p
+    }
+    val out = Vector.newBuilder[ArrowIpcMsg]
+    var off = 8
+    var idx = 0L
+    var sawEos = false
+    while (!sawEos) {
+      if (off + 8 > footerStart) return None
+      if (i32(off) != 0xffffffff) return None
+      val metaLen = i32(off + 4)
+      if (metaLen == 0) { sawEos = true; off += 8 }
+      else {
+        if (metaLen < 8 || off + 8 + metaLen > footerStart) return None
+        val lo = off + 8
+        val hi = off + 8 + metaLen
+        if (lo + 4 > hi) return None
+        val root = lo + i32(lo)
+        // header-type union byte (slot 1), bodyLength (slot 3)
+        val htPos = fieldPos(lo, hi, root, 1)
+        val ht = if (htPos < 0) 0L else (b(htPos) & 0xff).toLong
+        val blPos = fieldPos(lo, hi, root, 3)
+        val bodyLen = if (blPos < 0) 0L else {
+          if (blPos + 8 > hi) return None
+          i64(blPos)
+        }
+        if (bodyLen < 0 || off + 8 + metaLen + bodyLen > footerStart) return None
+        // RecordBatch child table: length field (slot 0) = row count
+        var nRows = -1L
+        if (ht == 3L) {
+          val hPos = fieldPos(lo, hi, root, 2)
+          if (hPos < 0 || hPos + 4 > hi) return None
+          val child = hPos + i32(hPos)
+          val lenPos = fieldPos(lo, hi, child, 0)
+          nRows =
+            if (lenPos < 0) 0L
+            else { if (lenPos + 8 > hi) return None; i64(lenPos) }
+          if (nRows < 0) return None
+        }
+        out += ArrowIpcMsg(r.id, idx, ht, off.toLong, metaLen.toLong,
+          bodyLen, nRows)
+        idx += 1
+        off += 8 + metaLen + bodyLen.toInt
+      }
+    }
+    // the stream must end exactly where the footer begins
+    if (off != footerStart) return None
+    Some(out.result())
+  }
+
+  def arrowIpcMessages(ds: Dataset[MediaRecord]): Dataset[ArrowIpcMsg] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => arrowIpcMessagesOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row Arrow IPC file synthesis THROUGH the Arrow library (the
+    * independent-writer discipline, inverted: library writes, the
+    * from-spec walk reads): `1 + id % 4` record batches, batch k
+    * carrying `1 + (id + k) % 5` rows of (bigint, varchar) — row
+    * counts are id arithmetic for the oracle, byte geometry is the
+    * library's own.  One allocator per partition, closed on
+    * exhaustion.
+    */
+  def synthesizeArrowIpc(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val alloc = new org.apache.arrow.memory.RootAllocator(1L << 28)
+          try {
+            val fields = java.util.Arrays.asList(
+              org.apache.arrow.vector.types.pojo.Field.nullable("v",
+                new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)),
+              org.apache.arrow.vector.types.pojo.Field.nullable("s",
+                org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE))
+            val schema = new org.apache.arrow.vector.types.pojo.Schema(fields)
+            val root = org.apache.arrow.vector.VectorSchemaRoot.create(schema, alloc)
+            try {
+              val baos = new java.io.ByteArrayOutputStream(1024)
+              val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+                root, null, java.nio.channels.Channels.newChannel(baos))
+              try {
+                writer.start()
+                val nb = 1 + (id % 4).toInt
+                val vv = root.getVector("v")
+                  .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+                val sv = root.getVector("s")
+                  .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+                val toks = text.split("\\s+").filter(_.nonEmpty)
+                var bk = 0
+                while (bk < nb) {
+                  val rows = 1 + ((id + bk) % 5).toInt
+                  root.allocateNew()
+                  var i = 0
+                  while (i < rows) {
+                    vv.setSafe(i, id * 100 + bk * 10 + i)
+                    sv.setSafe(i, (if (toks.isEmpty) "" else
+                      toks((bk + i) % toks.length)).getBytes("UTF-8"))
+                    i += 1
+                  }
+                  root.setRowCount(rows)
+                  writer.writeBatch()
+                  bk += 1
+                }
+                writer.end()
+              } finally writer.close()
+              MediaRecord(id, "application/vnd.apache.arrow.file",
+                baos.toByteArray)
+            } finally root.close()
+          } finally alloc.close()
+        }
       }
   }
 

@@ -37,8 +37,13 @@ object ShardProbe extends Serializable {
     val membersPerShard = args(2).toInt
     val fmt = args(3)
     val conc = if (args.length > 4) args(4).toInt else 8
-    require(Set("tar", "targz", "tarzst", "zip", "tfrecord").contains(fmt),
-      s"fmt $fmt must be tar|targz|tarzst|zip|tfrecord")
+    // optional 6th arg "cached": materialize the shards BEFORE the
+    // clock so the number is census-only — for formats whose
+    // synthesis cost (e.g. gzip-DEFLATING incompressible payloads)
+    // would otherwise dominate the fused pipeline and mis-attribute
+    val censusOnly = args.length > 5 && args(5) == "cached"
+    require(Set("tar", "targz", "tarzst", "zip", "tfrecord", "warcgz").contains(fmt),
+      s"fmt $fmt must be tar|targz|tarzst|zip|tfrecord|warcgz")
     val spark = SparkSession.builder()
       .master(s"local[$conc]")
       .config("spark.sql.shuffle.partitions", conc)
@@ -49,11 +54,27 @@ object ShardProbe extends Serializable {
 
     val memberBytes = memberKB * 1024
     val paddedMember = 512 + (memberBytes + 511) / 512 * 512
+
+    /** Exact raw (pre-gzip) bytes of warc shard `id`: the header is
+      * built with a zero-length dummy payload, corrected for the
+      * Content-Length digit difference, then payload added (the dummy
+      * length already includes the CRLFCRLF trailer).
+      */
+    def warcRawOf(id: Long): Long =
+      (0 until membersPerShard).map { k =>
+        MultimodalOps.warcRecordBytes(id, k, "response",
+          Array.emptyByteArray, 0, 0).length.toLong -
+          1 + memberBytes.toString.length + memberBytes
+      }.sum
     val shardBytes: Long = fmt match {
       case "tar" | "targz" | "tarzst" => membersPerShard.toLong * paddedMember + 1024L
       case "zip" => // locals (30 + 17-char name + data) + centrals + EOCD
         membersPerShard.toLong * (30 + 17 + memberBytes) +
           membersPerShard.toLong * (46 + 17) + 22L
+      case "warcgz" => warcRawOf(0L) // raw (uncompressed) record
+        // bytes of shard 0; per-shard totals vary only by URI digit
+        // counts — the exact cross-shard sum feeds totalRaw below and
+        // is REQUIRE-matched against the census's own recordBytes sum
       case _ => // tfrecord: 16-byte framing per record
         membersPerShard.toLong * (16 + memberBytes)
     }
@@ -170,31 +191,70 @@ object ShardProbe extends Serializable {
         case "tarzst" => MediaRecord(id, "application/zstd",
           com.github.luben.zstd.Zstd.compress(buildShard(id), 3))
         case "zip" => MediaRecord(id, "application/zip", buildZipShard(id))
+        case "warcgz" =>
+          // one gzip member per response record (the Common Crawl
+          // shape), LCG payloads (~incompressible — worst-case inflate)
+          val out = new java.io.ByteArrayOutputStream(1 << 20)
+          var lcg = id * 6364136223846793005L + 1442695040888963407L
+          var k = 0
+          while (k < membersPerShard) {
+            val data = new Array[Byte](memberBytes)
+            var i = 0
+            while (i < memberBytes) {
+              lcg = lcg * 6364136223846793005L + 1442695040888963407L
+              data(i) = (lcg >>> 56).toByte
+              i += 1
+            }
+            val rec = MultimodalOps.warcRecordBytes(
+              id, k, "response", data, 0, data.length)
+            val member = new java.io.ByteArrayOutputStream(rec.length / 2)
+            val gz = new java.util.zip.GZIPOutputStream(member, 1 << 16)
+            gz.write(rec); gz.close()
+            member.writeTo(out)
+            k += 1
+          }
+          MediaRecord(id, "application/warc+gz", out.toByteArray)
         case _ => MediaRecord(id, "application/x-tfrecord", buildTfRecordShard(id))
       }
     }
 
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
+    val timedShards =
+      if (censusOnly) {
+        val c = shards.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        c.count() // synthesize outside the clock
+        c
+      } else shards
     val t0 = System.nanoTime()
     // normalize every walk to (id, size) so one agg fits all formats
     val members = fmt match {
-      case "tar" => MultimodalOps.tarMembers(shards).toDF()
-        .select(col("id"), col("size"))
-      case "targz" => MultimodalOps.tarGzMembers(shards).toDF()
-        .select(col("id"), col("size"))
-      case "tarzst" => MultimodalOps.tarZstMembers(shards).toDF()
-        .select(col("id"), col("size"))
-      case "zip" => MultimodalOps.zipMembers(shards).toDF()
-        .select(col("id"), col("uncompSize").as("size"))
-      case _ => MultimodalOps.tfRecords(shards).toDF()
-        .select(col("id"), col("length").as("size"))
+      case "tar" => MultimodalOps.tarMembers(timedShards).toDF()
+        .select(col("id"), col("size"), lit(0L).as("rec_bytes"))
+      case "targz" => MultimodalOps.tarGzMembers(timedShards).toDF()
+        .select(col("id"), col("size"), lit(0L).as("rec_bytes"))
+      case "tarzst" => MultimodalOps.tarZstMembers(timedShards).toDF()
+        .select(col("id"), col("size"), lit(0L).as("rec_bytes"))
+      case "zip" => MultimodalOps.zipMembers(timedShards).toDF()
+        .select(col("id"), col("uncompSize").as("size"), lit(0L).as("rec_bytes"))
+      case "warcgz" => MultimodalOps.warcGzRecords(timedShards).toDF()
+        .select(col("id"), col("contentLength").as("size"),
+          col("recordBytes").as("rec_bytes"))
+      case _ => MultimodalOps.tfRecords(timedShards).toDF()
+        .select(col("id"), col("length").as("size"), lit(0L).as("rec_bytes"))
     }
     val agg = members.agg(
-      count(lit(1)), countDistinct(col("id")), sum(col("size"))).head()
-    val (nMembers, nShardsSeen, sumSizes) =
-      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      count(lit(1)), countDistinct(col("id")), sum(col("size")),
+      sum(col("rec_bytes"))).head()
+    val (nMembers, nShardsSeen, sumSizes, sumRecBytes) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
     val wall = (System.nanoTime() - t0) / 1e9
-    val totalRaw = nShards.toLong * shardBytes
+    val totalRaw =
+      if (fmt == "warcgz") (0L until nShards.toLong).map(warcRawOf).sum
+      else nShards.toLong * shardBytes
+    if (fmt == "warcgz")
+      require(sumRecBytes == totalRaw,
+        s"census recordBytes sum $sumRecBytes != computed raw $totalRaw")
     require(nShardsSeen == nShards.toLong,
       s"census saw $nShardsSeen shards, expected $nShards (a shard failed its walk)")
     require(nMembers == nShards.toLong * membersPerShard,
@@ -206,7 +266,8 @@ object ShardProbe extends Serializable {
       s""""shard_mb":${shardBytes / 1048576},"members_per_shard":$membersPerShard,""" +
       s""""member_kb":$memberKB,"concurrency":$conc,"n_members":$nMembers,""" +
       s""""total_raw_gb":${f"${totalRaw / 1073741824.0}%.2f"},"wall_sec":${f"$wall%.2f"},""" +
-      s""""gb_per_sec":${f"${totalRaw / 1073741824.0 / wall}%.2f"}}""")
+      s""""gb_per_sec":${f"${totalRaw / 1073741824.0 / wall}%.2f"},""" +
+      s""""census_only":$censusOnly}""")
     spark.stop()
   }
 

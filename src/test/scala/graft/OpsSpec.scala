@@ -1071,6 +1071,8 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.npyMetaOf(nullRec).isEmpty)
     assert(MultimodalOps.warcRecordsOf(nullRec).isEmpty)
     assert(MultimodalOps.warcGzRecordsOf(nullRec).isEmpty)
+    assert(MultimodalOps.warcGzPagesOf(nullRec).isEmpty)
+    assert(MultimodalOps.arrowIpcMessagesOf(nullRec).isEmpty)
     val docs = Seq((1L, "some text"), (2L, null))
       .toDF("doc_id", "text")
     // null text synthesizes the empty-document shape, same as ""
@@ -1271,6 +1273,68 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(7L, "w", m)).isEmpty)
   }
 
+  test("arrow ipc: flatbuffer walk == ArrowFileReader blocks; strict framing") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "alpha beta gamma delta"), (2L, "x"), (0L, ""))
+      .toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeArrowIpc(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- media) {
+      val msgs = MultimodalOps.arrowIpcMessagesOf(rec).get.sortBy(_.msgIdx)
+      val nb = (1 + id % 4).toInt
+      assert(msgs.length == 1 + nb)
+      assert(msgs.head.headerType == 1L && msgs.head.nRows == -1L) // schema
+      msgs.tail.zipWithIndex.foreach { case (m, k) =>
+        assert(m.headerType == 3L)
+        assert(m.nRows == 1 + (id + k) % 5)
+      }
+      // independent-reader cross-check: the library's own footer
+      // blocks must agree with the walk's byte geometry per batch
+      val alloc = new org.apache.arrow.memory.RootAllocator(1L << 28)
+      try {
+        val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
+          new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(
+            rec.content), alloc)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getRecordBlocks.asScala.toVector
+          assert(blocks.length == nb)
+          blocks.zip(msgs.tail).foreach { case (blk, m) =>
+            assert(blk.getOffset == m.offset, "block offset")
+            assert(blk.getMetadataLength == m.metaLen + 8, "metadata length")
+            assert(blk.getBodyLength == m.bodyLen, "body length")
+          }
+          // and the batches actually load with the walked row counts
+          var k = 0
+          while (reader.loadNextBatch()) {
+            assert(reader.getVectorSchemaRoot.getRowCount ==
+              1 + ((id + k) % 5).toInt)
+            k += 1
+          }
+          assert(k == nb)
+        } finally reader.close()
+      } finally alloc.close()
+    }
+    // strict framing: truncation, flipped trailing magic, flipped
+    // continuation marker, and a mid-stream metadata-length lie all
+    // fail the shard, never throw
+    val base = media(5L).content
+    assert(MultimodalOps.arrowIpcMessagesOf(
+      MultimodalOps.MediaRecord(5L, "a",
+        java.util.Arrays.copyOf(base, base.length - 3))).isEmpty)
+    val badMagic = base.clone(); badMagic(base.length - 1) = 'X'
+    assert(MultimodalOps.arrowIpcMessagesOf(
+      MultimodalOps.MediaRecord(5L, "a", badMagic)).isEmpty)
+    val badCont = base.clone(); badCont(8) = 0
+    assert(MultimodalOps.arrowIpcMessagesOf(
+      MultimodalOps.MediaRecord(5L, "a", badCont)).isEmpty)
+    val badLen = base.clone()
+    badLen(12) = (badLen(12) ^ 0x40).toByte // metadata length bit flip
+    assert(MultimodalOps.arrowIpcMessagesOf(
+      MultimodalOps.MediaRecord(5L, "a", badLen)).isEmpty)
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
@@ -1331,6 +1395,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.warcGzRecordsOf(r)),
       ("warcgz-pages", MultimodalOps.synthesizeWarcGzPages(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.warcGzPagesOf(r)),
+      ("arrow-ipc", MultimodalOps.synthesizeArrowIpc(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.arrowIpcMessagesOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.avroBlocksOf(r)),
       ("iceberg", MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
