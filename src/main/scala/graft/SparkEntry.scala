@@ -292,6 +292,26 @@ object SparkEntry {
       pmod(col("doc_id"), lit(10)).cast("string"),
       lit("&utm_campaign=x&gclid=abc#section-2"))
 
+  /** Synthesized per-host robots.txt (RFC 9309 shapes): a specific
+    * `graftbot` group (prefix disallow, longer allow override, a
+    * conditional even-id rule, crawl-delay), then a multi-agent
+    * `*`/`legacybot` group with a trailing-$ anchored rule — every
+    * field replays from doc_id arithmetic in the oracles.
+    */
+  private def robotsSynthCol: org.apache.spark.sql.Column = {
+    val m = pmod(col("doc_id"), lit(5)).cast("string")
+    val b = pmod(col("doc_id"), lit(3)).cast("string")
+    val d = (pmod(col("doc_id"), lit(4)) + 1).cast("string")
+    concat(
+      lit("# graft politeness\nUser-agent: graftbot\nDisallow: /private"),
+      m, lit("/\nAllow: /private"), m, lit("/pub\n"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("Disallow: /docs\n"))
+        .otherwise(lit("")),
+      lit("Crawl-delay: "), d,
+      lit("\n\nUser-agent: *\nUser-agent: legacybot\nDisallow: /blocked"),
+      b, lit("/\nDisallow: /tmp$\n"))
+  }
+
   /** The registrable-domain CASE both URL oracles share (the SQL twin
     * of [[graft.ops.UrlOps.registrableDomain]]).
     */
@@ -4545,6 +4565,62 @@ object SparkEntry {
         |       CAST(hb + len + 4 AS BIGINT) AS record_bytes,
         |       CAST(len AS BIGINT) AS content_length
         |FROM h ORDER BY doc_id, rec_idx""".stripMargin,
+    // robots.txt parse replay: the rule table is doc_id arithmetic —
+    // group 0 is graftbot (2-3 rules + crawl-delay), group 1 the
+    // multi-agent */legacybot pair (one row per agent per rule)
+    "q_robots_rules" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, doc_id % 5 AS m, doc_id % 3 AS b,
+        |         1 + doc_id % 4 AS d, doc_id % 2 AS e
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, 0 AS group_idx, 'graftbot' AS agent,
+        |         0 AS rule_idx, 0 AS allow,
+        |         '/private' || m || '/' AS pattern,
+        |         d * 1000 AS crawl_delay_ms
+        |  FROM px
+        |  UNION ALL
+        |  SELECT doc_id, 0, 'graftbot', 1, 1, '/private' || m || '/pub',
+        |         d * 1000
+        |  FROM px
+        |  UNION ALL
+        |  SELECT doc_id, 0, 'graftbot', 2, 0, '/docs', d * 1000
+        |  FROM px WHERE e = 0),
+        |g1 AS (
+        |  SELECT doc_id, 1 AS group_idx, a.agent, 0 AS rule_idx,
+        |         0 AS allow, '/blocked' || b || '/' AS pattern,
+        |         -1 AS crawl_delay_ms
+        |  FROM px CROSS JOIN (VALUES ('*'), ('legacybot')) AS a(agent)
+        |  UNION ALL
+        |  SELECT doc_id, 1, a.agent, 1, 0, '/tmp$$', -1
+        |  FROM px CROSS JOIN (VALUES ('*'), ('legacybot')) AS a(agent))
+        |SELECT doc_id,
+        |       CAST(group_idx AS BIGINT) AS group_idx, agent,
+        |       CAST(rule_idx AS BIGINT) AS rule_idx,
+        |       CAST(allow AS BIGINT) AS allow, pattern,
+        |       CAST(crawl_delay_ms AS BIGINT) AS crawl_delay_ms
+        |FROM (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
+        |ORDER BY doc_id, group_idx, agent, rule_idx""".stripMargin,
+    // robots eval replay: the RFC decisions in closed form — p0
+    // disallowed (prefix match), p1 allowed (longer allow wins), p2
+    // allowed (the specific graftbot group SHADOWS the * group), p3
+    // decided by the even-id conditional rule, p4 unmatched → allowed
+    "q_robots_eval" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, doc_id % 5 AS m, doc_id % 3 AS b, doc_id % 2 AS e
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, '/private' || m || '/page' AS path, 0 AS allowed FROM px
+        |  UNION ALL
+        |  SELECT doc_id, '/private' || m || '/pub/x', 1 FROM px
+        |  UNION ALL
+        |  SELECT doc_id, '/blocked' || b || '/y', 1 FROM px
+        |  UNION ALL
+        |  SELECT doc_id, '/docs/readme', CASE WHEN e = 0 THEN 0 ELSE 1 END FROM px
+        |  UNION ALL
+        |  SELECT doc_id, '/open', 1 FROM px)
+        |SELECT doc_id, path, CAST(allowed AS BIGINT) AS allowed
+        |FROM p ORDER BY doc_id, path""".stripMargin,
     // Arrow IPC replay: one schema message then nb record batches,
     // row counts as id arithmetic (the byte geometry is the Arrow
     // library's own and is pinned in OpsSpec, not here)
@@ -7095,6 +7171,41 @@ object SparkEntry {
             col("headerType").as("header_type"),
             col("nRows").as("n_rows"))
           .orderBy("doc_id", "msg_idx")
+      },
+      "q_robots_rules" -> { (s, dir) =>
+        // robots.txt parse census (RFC 9309): group/agent/rule table
+        // from a synthesized per-host politeness file — multi-agent
+        // groups, a conditional rule, crawl-delay carried per group
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        UrlOps.robotsRules(
+            docs.select(col("doc_id"), robotsSynthCol.as("robots")),
+            "doc_id", "robots")
+          .select(col("id").as("doc_id"), col("groupIdx").as("group_idx"),
+            col("agent"), col("ruleIdx").as("rule_idx"),
+            col("allow").cast("long").as("allow"), col("pattern"),
+            col("crawlDelayMs").as("crawl_delay_ms"))
+          .orderBy("doc_id", "group_idx", "agent", "rule_idx")
+      },
+      "q_robots_eval" -> { (s, dir) =>
+        // crawl-permission evaluation: five candidate paths per host
+        // decided for agent "graftbot" — longest-match precedence,
+        // allow wins ties, specific group shadows the * group, no
+        // match means allowed
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val rules = UrlOps.robotsRules(
+          docs.select(col("doc_id"), robotsSynthCol.as("robots")),
+          "doc_id", "robots")
+        val m = (col("doc_id") % 5).cast("string")
+        val b = (col("doc_id") % 3).cast("string")
+        val urls = docs.select(col("doc_id"), explode(array(
+          concat(lit("/private"), m, lit("/page")),
+          concat(lit("/private"), m, lit("/pub/x")),
+          concat(lit("/blocked"), b, lit("/y")),
+          lit("/docs/readme"), lit("/open"))).as("path"))
+        UrlOps.robotsAllowed(rules, "graftbot", urls, "doc_id", "path")
+          .select(col("id").as("doc_id"), col("path"),
+            col("allowed").cast("long").as("allowed"))
+          .orderBy("doc_id", "path")
       },
       "q_multimodal_webp" -> { (s, dir) =>
         // WebP header census: RIFF chunk walk + per-flavor (VP8/VP8L/

@@ -116,4 +116,166 @@ object UrlOps {
         .withColumn("domain_rank", row_number().over(w))
         .filter(col("domain_rank") <= cap)
   }
+
+  // ---- robots.txt (RFC 9309) ----------------------------------------
+
+  /** One parsed robots.txt rule row: the group it belongs to, one of
+    * the group's user-agent product tokens (a multi-agent group emits
+    * one row per agent), the rule's allow/disallow sense and path
+    * pattern, and the group's crawl-delay (-1 when absent; a de facto
+    * extension, censused but not used in matching).
+    */
+  final case class RobotsRule(
+      id: Long, groupIdx: Long, agent: String, ruleIdx: Long,
+      allow: Boolean, pattern: String, crawlDelayMs: Long)
+
+  /** Parse one robots.txt body (RFC 9309): `field: value` lines,
+    * `#` comments stripped, field names case-insensitive; consecutive
+    * `User-agent` lines open a group whose allow/disallow rules
+    * follow; empty-pattern rules match nothing per the RFC and are
+    * dropped; `Sitemap` and unknown fields are ignored.  Patterns
+    * keep their `*`/`$` wildcards verbatim — matching semantics live
+    * in [[robotsDecide]].  TOTAL on arbitrary text.
+    */
+  private[graft] def robotsRulesOf(id: Long, robots: String): Seq[RobotsRule] = {
+    if (robots == null) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    var groupIdx = -1L
+    var agents = Vector.empty[String]
+    var inAgentRun = false // consecutive UA lines accumulate one group
+    var pending = Vector.empty[(Boolean, String)] // the group's rules
+    var crawlDelay = -1L
+    def flush(): Unit = {
+      if (agents.nonEmpty) {
+        for (a <- agents; ((al, pat), ri) <- pending.zipWithIndex)
+          out += RobotsRule(id, groupIdx, a, ri.toLong, al, pat, crawlDelay)
+      }
+      agents = Vector.empty; pending = Vector.empty; crawlDelay = -1L
+    }
+    for (raw <- robots.split("\n", -1)) {
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgentRun) { flush(); groupIdx += 1 }
+            if (value.nonEmpty) agents :+= value.toLowerCase
+            inAgentRun = true
+          case "allow" | "disallow" =>
+            inAgentRun = false
+            if (value.nonEmpty && agents.nonEmpty)
+              pending :+= ((field == "allow", value))
+          case "crawl-delay" =>
+            inAgentRun = false
+            try {
+              val s = java.lang.Double.parseDouble(value)
+              if (s >= 0 && s < 1e6) crawlDelay = (s * 1000).toLong
+            } catch { case _: NumberFormatException => () }
+          case _ => inAgentRun = false // sitemap/unknown: ignored
+        }
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  def robotsRules(df: DataFrame, idCol: String, robotsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(robotsCol).cast("string").as("r"))
+      .as[(Long, String)]
+      .flatMap { case (id, r) => robotsRulesOf(id, r) }
+      .toDF()
+  }
+
+  /** RFC 9309 path match: literal octets, `*` matches any run, a
+    * TRAILING `$` anchors the end (a non-trailing `$` is literal).
+    * Iterative greedy `*` backtracking — linear in practice, never
+    * regex (attacker-supplied patterns must not own the engine).
+    */
+  private[graft] def robotsPathMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.last == '$'
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    // greedy-star match of pat as a PREFIX of path (or full, if anchored)
+    val parts = pat.split("\\*", -1)
+    var pos = 0
+    var k = 0
+    while (k < parts.length) {
+      val part = parts(k)
+      if (k == 0) {
+        if (!path.startsWith(part)) return false
+        pos = part.length
+      } else {
+        val at =
+          if (k == parts.length - 1 && anchored) {
+            // last part must END the path
+            if (path.length - pos >= part.length &&
+              path.endsWith(part)) path.length - part.length else -1
+          } else path.indexOf(part, pos)
+        if (at < 0) return false
+        pos = at + part.length
+      }
+      k += 1
+    }
+    if (anchored) pos == path.length else true
+  }
+
+  /** Decide one (agent, path) against parsed rules, RFC 9309 §2.2:
+    * the group is the MOST SPECIFIC user-agent match (longest agent
+    * token that is a prefix-token match; `*` only when no specific
+    * group matches); within it the longest-pattern matching rule wins,
+    * allow winning length ties; no matching rule → allowed.
+    */
+  private[graft] def robotsDecide(
+      rules: Seq[RobotsRule], agent: String, path: String): Boolean = {
+    val al = agent.toLowerCase
+    val specific = rules.filter(r => r.agent != "*" &&
+      (al == r.agent || al.startsWith(r.agent + "-") ||
+        al.startsWith(r.agent + "/")))
+    val pool =
+      if (specific.nonEmpty) {
+        val best = specific.map(_.agent.length).max
+        specific.filter(_.agent.length == best)
+      } else rules.filter(_.agent == "*")
+    val hits = pool.filter(r => robotsPathMatches(r.pattern, path))
+    if (hits.isEmpty) true
+    else {
+      val best = hits.map(_.pattern.length).max
+      hits.exists(r => r.pattern.length == best && r.allow)
+    }
+  }
+
+  /** Batch crawl-permission evaluation: every (id, path) row decided
+    * against ITS OWN document's rules for one crawler agent — the
+    * politeness gate a frontier applies before fetch.  Pure
+    * partition-local work after one equi-join on id; at 100 TB the
+    * rules side is robots metadata (KBs per host), so co-partitioning
+    * on host id makes the join map-side.
+    */
+  def robotsAllowed(
+      rules: DataFrame, agent: String,
+      urls: DataFrame, idCol: String, pathCol: String): DataFrame = {
+    val spark = rules.sparkSession
+    import spark.implicits._
+    val rulesByDoc = rules.select(col("id"), col("agent"), col("allow"),
+      col("pattern")).as[(Long, String, Boolean, String)]
+      .groupByKey(_._1)
+    val urlsByDoc = urls.select(col(idCol).cast("long").as("id"),
+        col(pathCol).cast("string").as("path"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+    urlsByDoc.cogroup(rulesByDoc) { (id, us, rs) =>
+      val rv = rs.map(t =>
+        RobotsRule(id, 0, t._2, 0, t._3, t._4, -1)).toVector
+      us.map { case (_, path) =>
+        (id, path, robotsDecide(rv, agent, path))
+      }
+    }.toDF("id", "path", "allowed")
+  }
 }

@@ -1335,6 +1335,66 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(5L, "a", badLen)).isEmpty)
   }
 
+  test("robots.txt: RFC 9309 parse, wildcard match, precedence, group selection") {
+    import graft.ops.UrlOps
+    // parser: comments, CRLF, case-insensitive fields, multi-agent
+    // groups, empty-pattern rules dropped, fractional crawl-delay
+    val robots = Seq(
+      "# comment line",
+      "USER-AGENT: GraftBot   # inline comment",
+      "Disallow: /a/",
+      "Allow:    /a/ok",
+      "Crawl-Delay: 2.5",
+      "",
+      "User-agent: *",
+      "User-agent: other",
+      "Disallow:",          // empty pattern: matches nothing, dropped
+      "Disallow: /b$",
+      "Sitemap: https://x/sitemap.xml").mkString("\r\n")
+    val rules = UrlOps.robotsRulesOf(9L, robots)
+    assert(rules == Seq(
+      UrlOps.RobotsRule(9L, 0, "graftbot", 0, false, "/a/", 2500),
+      UrlOps.RobotsRule(9L, 0, "graftbot", 1, true, "/a/ok", 2500),
+      UrlOps.RobotsRule(9L, 1, "*", 0, false, "/b$", -1),
+      UrlOps.RobotsRule(9L, 1, "other", 0, false, "/b$", -1)))
+    assert(UrlOps.robotsRulesOf(1L, null).isEmpty)
+    assert(UrlOps.robotsRulesOf(1L, "Disallow: /x\n").isEmpty) // rule before any UA
+    // wildcard matcher: prefix, mid-star, multi-star, trailing $,
+    // $ in the middle is literal
+    assert(UrlOps.robotsPathMatches("/a/", "/a/b"))
+    assert(!UrlOps.robotsPathMatches("/a/", "/ab"))
+    assert(UrlOps.robotsPathMatches("/*/x", "/q/x/y"))
+    assert(UrlOps.robotsPathMatches("/a*b*c", "/a__b__c__"))
+    assert(!UrlOps.robotsPathMatches("/a*b*c", "/a__c__b"))
+    assert(UrlOps.robotsPathMatches("/p$", "/p"))
+    assert(!UrlOps.robotsPathMatches("/p$", "/pq"))
+    assert(UrlOps.robotsPathMatches("/*.php$", "/dir/x.php"))
+    assert(!UrlOps.robotsPathMatches("/*.php$", "/dir/x.php?q=1"))
+    assert(UrlOps.robotsPathMatches("", "/anything"))
+    // precedence: longest pattern wins; allow wins length ties
+    val prec = Seq(
+      UrlOps.RobotsRule(1, 0, "bot", 0, false, "/d/", -1),
+      UrlOps.RobotsRule(1, 0, "bot", 1, true, "/d/x", -1),
+      UrlOps.RobotsRule(1, 0, "bot", 2, false, "/t/a", -1),
+      UrlOps.RobotsRule(1, 0, "bot", 3, true, "/t/a", -1))
+    assert(!UrlOps.robotsDecide(prec, "bot", "/d/y"))
+    assert(UrlOps.robotsDecide(prec, "bot", "/d/x1"))
+    assert(UrlOps.robotsDecide(prec, "bot", "/t/a")) // tie → allow
+    assert(UrlOps.robotsDecide(prec, "bot", "/elsewhere"))
+    assert(UrlOps.robotsDecide(Nil, "bot", "/d/y")) // no rules → allowed
+    // group selection: a specific group SHADOWS *, and the most
+    // specific (longest) agent token wins among specific matches
+    val groups = Seq(
+      UrlOps.RobotsRule(1, 0, "graftbot", 0, false, "/only-bot/", -1),
+      UrlOps.RobotsRule(1, 1, "graft", 0, false, "/only-graft/", -1),
+      UrlOps.RobotsRule(1, 2, "*", 0, false, "/star/", -1))
+    assert(UrlOps.robotsDecide(groups, "GraftBot", "/star/x")) // * shadowed
+    assert(!UrlOps.robotsDecide(groups, "graftbot", "/only-bot/x"))
+    assert(UrlOps.robotsDecide(groups, "graftbot", "/only-graft/x")) // longer token won
+    assert(!UrlOps.robotsDecide(groups, "graft/1.0", "/only-graft/x")) // product-token prefix
+    assert(!UrlOps.robotsDecide(groups, "unrelated", "/star/x")) // falls to *
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
