@@ -4565,6 +4565,34 @@ object SparkEntry {
         |       CAST(hb + len + 4 AS BIGINT) AS record_bytes,
         |       CAST(len AS BIGINT) AS content_length
         |FROM h ORDER BY doc_id, rec_idx""".stripMargin,
+    // SURT replay: the identical lowercase/extract/reverse/sort steps
+    // over the same synthesized URL — byte-for-byte
+    "q_surt_keys" ->
+      raw"""WITH u0 AS (
+           |  SELECT doc_id, lower($urlSynthSql) AS lu FROM documents),
+           |h AS (
+           |  SELECT doc_id, lu,
+           |         regexp_replace(regexp_replace(
+           |           regexp_extract(lu, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+           |           ':(80|443)$$', ''), '^www\.', '') AS host,
+           |         regexp_extract(lu, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+           |         regexp_extract(lu, '\?([^#]*)', 1) AS q
+           |  FROM u0),
+           |p AS (
+           |  SELECT doc_id,
+           |         regexp_replace(host, ':[0-9]+$$', '') AS hostname,
+           |         regexp_extract(host, ':([0-9]+)$$', 1) AS port,
+           |         path0,
+           |         array_to_string(list_sort(list_filter(
+           |           string_split(q, '&'), x -> x <> '')), '&') AS qq
+           |  FROM h)
+           |SELECT doc_id,
+           |       array_to_string(list_reverse(string_split(hostname, '.')), ',')
+           |         || CASE WHEN port = '' THEN '' ELSE ':' || port END
+           |         || ')'
+           |         || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+           |         || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_surt
+           |FROM p ORDER BY doc_id""".stripMargin,
     // robots.txt parse replay: the rule table is doc_id arithmetic —
     // group 0 is graftbot (2-3 rules + crawl-delay), group 1 the
     // multi-agent */legacybot pair (one row per agent per rule)
@@ -7171,6 +7199,16 @@ object SparkEntry {
             col("headerType").as("header_type"),
             col("nRows").as("n_rows"))
           .orderBy("doc_id", "msg_idx")
+      },
+      "q_surt_keys" -> { (s, dir) =>
+        // SURT urlkey (the cc-index/CDX sort key): reversed host
+        // labels, default-port drop, sorted query params — one
+        // codegen'd projection, the prefix-scan key that makes a
+        // domain's pages contiguous in a 100 TB index
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        docs.select(col("doc_id"),
+            UrlOps.surtKey(urlSynthCol).as("url_surt"))
+          .orderBy("doc_id")
       },
       "q_robots_rules" -> { (s, dir) =>
         // robots.txt parse census (RFC 9309): group/agent/rule table

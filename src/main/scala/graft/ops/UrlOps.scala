@@ -117,6 +117,37 @@ object UrlOps {
         .filter(col("domain_rank") <= cap)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the urlkey
+    * convention web-archive indexes (Common Crawl's cc-index, CDX
+    * servers) sort and prefix-scan by: lowercase, scheme dropped, the
+    * host's labels REVERSED and comma-joined (so one registrable
+    * domain's pages are contiguous under any sort), leading `www.`
+    * and default ports dropped (other ports kept), `)` then the path,
+    * then the query parameters SORTED (parameter order is
+    * presentation, not identity); fragment dropped.  Pure column
+    * expressions — codegen'd projection, no UDF, replayed
+    * byte-for-byte by the oracle.  `a.b.com/x?b=2&a=1` →
+    * `com,b,a)/x?a=1&b=2`.
+    */
+  def surtKey(u: Column): Column = {
+    val lu = lower(u)
+    val hostPort = regexp_extract(lu, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    val host0 = regexp_replace(hostPort, ":(80|443)$", "")
+    val host = regexp_replace(host0, "^www\\.", "")
+    val hostName = regexp_replace(host, ":[0-9]+$", "")
+    val port = regexp_extract(host, ":([0-9]+)$", 1)
+    val hostKey = array_join(reverse(split(hostName, "\\.")), ",")
+    val path0 = regexp_extract(lu, "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(lu, "\\?([^#]*)", 1)
+    val sortedQ = array_join(
+      array_sort(filter(split(q, "&"), p => p =!= lit(""))), "&")
+    concat(hostKey,
+      when(port === "", lit("")).otherwise(concat(lit(":"), port)),
+      lit(")"), path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
   // ---- robots.txt (RFC 9309) ----------------------------------------
 
   /** One parsed robots.txt rule row: the group it belongs to, one of

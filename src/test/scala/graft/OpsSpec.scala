@@ -1335,6 +1335,26 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(5L, "a", badLen)).isEmpty)
   }
 
+  test("surt key: host reversal, default-port drop, sorted params, edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(
+      "https://a.b.com/x?b=2&a=1",
+      "HTTP://WWW.Ex.Co.UK:80/Path/Sub?z=1&y=2#frag",
+      "https://single:8443",
+      "http://h.io/",
+      "https://www.q.org/p?&a=1&")
+      .toDF("u")
+      .select(graft.ops.UrlOps.surtKey(col("u")))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "com,b,a)/x?a=1&b=2",
+      "uk,co,ex)/path/sub?y=2&z=1",
+      "single:8443)/",   // non-default port kept, empty path → /
+      "io,h)/",
+      "org,q)/p?a=1"))   // empty params dropped, fragment gone
+  }
+
   test("robots.txt: RFC 9309 parse, wildcard match, precedence, group selection") {
     import graft.ops.UrlOps
     // parser: comments, CRLF, case-insensitive fields, multi-agent
