@@ -4565,6 +4565,45 @@ object SparkEntry {
         |       CAST(hb + len + 4 AS BIGINT) AS record_bytes,
         |       CAST(len AS BIGINT) AS content_length
         |FROM h ORDER BY doc_id, rec_idx""".stripMargin,
+    // Iceberg metadata replay: every snapshot row is id arithmetic;
+    // the last snapshot is current; format version alternates 1/2
+    "q_iceberg_metadata" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 3 AS ns FROM documents),
+        |ks AS (SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS k FROM px)
+        |SELECT doc_id,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS format_version,
+        |       't-' || CAST(doc_id AS VARCHAR) AS table_uuid,
+        |       CAST(3000 + doc_id + k AS BIGINT) AS snapshot_id,
+        |       CAST(1690000000000 + doc_id + k AS BIGINT) AS timestamp_ms,
+        |       'ml-' || CAST(doc_id AS VARCHAR) || '-' ||
+        |         CAST(k AS VARCHAR) || '.avro' AS manifest_list,
+        |       CASE WHEN k = 0 THEN 'append' ELSE 'overwrite' END AS operation,
+        |       CAST(k = ns - 1 AS BIGINT) AS is_current
+        |FROM ks ORDER BY doc_id, snapshot_id""".stripMargin,
+    // CDXJ replay: the index line's parsed fields in closed form —
+    // urlkey is the SURT of the synthesized URI, timestamp constant,
+    // url/type/clen the q_warc_cdx record table
+    "q_warc_cdxj" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k,
+        |         CASE k % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |                    ELSE 'metadata' END AS typ,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS len
+        |  FROM ks)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS rec_idx,
+        |       'com,example)/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |         CAST(k AS VARCHAR) AS urlkey,
+        |       '20260101000000' AS ts,
+        |       'https://example.com/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |         CAST(k AS VARCHAR) AS url,
+        |       typ AS type,
+        |       CAST(len AS BIGINT) AS content_length
+        |FROM m ORDER BY doc_id, rec_idx""".stripMargin,
     // SURT replay: the identical lowercase/extract/reverse/sort steps
     // over the same synthesized URL — byte-for-byte
     "q_surt_keys" ->
@@ -7199,6 +7238,45 @@ object SparkEntry {
             col("headerType").as("header_type"),
             col("nRows").as("n_rows"))
           .orderBy("doc_id", "msg_idx")
+      },
+      "q_iceberg_metadata" -> { (s, dir) =>
+        // the Iceberg chain's entry point: metadata.json parsed
+        // schema-explicitly, one row per snapshot with the current
+        // flag — above the manifest-list and manifest censuses
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.StorageOps.icebergMetadata(
+            graft.ops.StorageOps.synthesizeIcebergMetadata(docs, "doc_id"),
+            "id", "metadata_json")
+          .select(col("id").as("doc_id"), col("format_version"),
+            col("table_uuid"), col("snapshot_id"), col("timestamp_ms"),
+            col("manifest_list"), col("operation"), col("is_current"))
+          .orderBy("doc_id", "snapshot_id")
+      },
+      "q_warc_cdxj" -> { (s, dir) =>
+        // the cc-index CDXJ line format end to end: census the
+        // .warc.gz shards, BUILD each record's "urlkey timestamp
+        // {json}" index line (SURT key + to_json), then PARSE the
+        // lines back (substring splits + get_json_object) — the
+        // round trip the index writer and every index consumer share
+        val gz = MultimodalOps.synthesizeWarcGz(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        val cdx = MultimodalOps.warcGzRecords(gz).toDF()
+        val lines = cdx.select(col("id"), col("recIdx"),
+          concat(
+            UrlOps.surtKey(col("targetUri")), lit(" 20260101000000 "),
+            to_json(struct(col("targetUri").as("url"),
+              col("warcType").as("type"),
+              col("contentLength").as("clen")))).as("line"))
+        lines.select(col("id").as("doc_id"), col("recIdx").as("rec_idx"),
+            substring_index(col("line"), " ", 1).as("urlkey"),
+            element_at(split(col("line"), " ", 3), 2).as("ts"),
+            get_json_object(element_at(split(col("line"), " ", 3), 3),
+              "$.url").as("url"),
+            get_json_object(element_at(split(col("line"), " ", 3), 3),
+              "$.type").as("type"),
+            get_json_object(element_at(split(col("line"), " ", 3), 3),
+              "$.clen").cast("long").as("content_length"))
+          .orderBy("doc_id", "rec_idx")
       },
       "q_surt_keys" -> { (s, dir) =>
         // SURT urlkey (the cc-index/CDX sort key): reversed host

@@ -357,6 +357,72 @@ object StorageOps {
         "stripe_rows")
   }
 
+  /** Iceberg `metadata.json` census — the ENTRY POINT of every
+    * Iceberg read, completing the chain above the r15 manifest-list
+    * and manifest censuses: schema-EXPLICIT `from_json` parse (never
+    * an inference scan — the JSON sidecar discipline) of
+    * format-version, table uuid, current-snapshot-id, and the
+    * snapshots array (id, timestamp, manifest-list path, summary
+    * operation), exploded to one row per snapshot with an
+    * `is_current` flag.  Unknown format versions (not 1 or 2) yield
+    * NO rows for that document — reject, never mis-read.  Pure
+    * projection + explode; metadata.json is KBs per table, so a
+    * whole-catalog census is table-count-sized, not data-sized.
+    */
+  def icebergMetadata(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val snapshotType = new StructType()
+      .add("snapshot-id", LongType).add("timestamp-ms", LongType)
+      .add("manifest-list", StringType)
+      .add("summary", MapType(StringType, StringType))
+    val schema = new StructType()
+      .add("format-version", IntegerType)
+      .add("table-uuid", StringType)
+      .add("current-snapshot-id", LongType)
+      .add("last-updated-ms", LongType)
+      .add("snapshots", ArrayType(snapshotType))
+    df.select(col(idCol).cast("long").as("id"),
+        from_json(col(jsonCol), schema).as("m"))
+      .filter(col("m.format-version").isin(1, 2))
+      .select(col("id"), col("m.format-version").as("format_version"),
+        col("m.table-uuid").as("table_uuid"),
+        col("m.current-snapshot-id").as("current_snapshot_id"),
+        explode(col("m.snapshots")).as("s"))
+      .select(col("id"), col("format_version").cast("long"),
+        col("table_uuid"),
+        col("s.snapshot-id").as("snapshot_id"),
+        col("s.timestamp-ms").as("timestamp_ms"),
+        col("s.manifest-list").as("manifest_list"),
+        element_at(col("s.summary"), "operation").as("operation"),
+        (col("s.snapshot-id") === col("current_snapshot_id"))
+          .cast("long").as("is_current"))
+  }
+
+  /** Per-row deterministic metadata.json synthesis: `1 + id % 3`
+    * snapshots, the LAST one current, format version alternating 1/2
+    * by id — every field replays from id arithmetic in the oracle.
+    */
+  def synthesizeIcebergMetadata(
+      df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val ns = 1 + (id % 3).toInt
+      val snaps = (0 until ns).map { k =>
+        s"""{"snapshot-id":${3000 + id + k},""" +
+          s""""timestamp-ms":${1690000000000L + id + k},""" +
+          s""""manifest-list":"ml-$id-$k.avro",""" +
+          s""""summary":{"operation":"${if (k == 0) "append" else "overwrite"}"}}"""
+      }.mkString(",")
+      val json = s"""{"format-version":${1 + (id % 2).toInt},""" +
+        s""""table-uuid":"t-$id",""" +
+        s""""current-snapshot-id":${3000 + id + ns - 1},""" +
+        s""""last-updated-ms":${1700000000000L + id},""" +
+        s""""snapshots":[$snaps]}"""
+      (id, json)
+    }.toDF("id", "metadata_json")
+  }
+
   /** Delta-style transaction-log replay — lakehouse table-state
     * reconstruction WITHOUT the table-format library: read the
     * commit log's JSON files (one per version, the filename IS the

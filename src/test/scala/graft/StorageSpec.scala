@@ -336,6 +336,28 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("iceberg metadata.json: snapshot rows, current flag, version gate, malformed drop") {
+    import spark.implicits._
+    val good = StorageOps.icebergMetadata(
+      StorageOps.synthesizeIcebergMetadata(
+        Seq(5L).toDF("doc_id"), "doc_id"), "id", "metadata_json")
+      .collect().sortBy(_.getLong(3))
+    assert(good.length == 3) // 1 + 5 % 3
+    assert(good.map(_.getLong(3)).toSeq == Seq(3005L, 3006L, 3007L))
+    assert(good.map(_.getLong(7)).toSeq == Seq(0L, 0L, 1L)) // last is current
+    assert(good.head.getString(6) == "append" &&
+      good.last.getString(6) == "overwrite")
+    assert(good.head.getLong(1) == 2L) // format version 1 + 5 % 2
+    // unknown format version and malformed JSON both yield NO rows —
+    // reject, never mis-read
+    val bad = Seq(
+      (1L, """{"format-version":3,"current-snapshot-id":1,"snapshots":[{"snapshot-id":1}]}"""),
+      (2L, """not json at all"""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "metadata_json")
+    assert(StorageOps.icebergMetadata(bad, "id", "metadata_json").count() == 0)
+  }
+
   test("orc footer census: from-spec walk == orc-core reader; strict rejects; fuzz") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("orcfoot").toString
