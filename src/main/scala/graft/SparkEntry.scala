@@ -3604,6 +3604,45 @@ object SparkEntry {
       |""".stripMargin
 
   /** Shared-dialect oracles over documents (same text, both engines). */
+  /** q_warc_cdx's oracle — shared verbatim by the streaming flavor
+    * (q_warc_cdx_stream): the drained stream must equal the batch
+    * census row-for-row, the two-physical-paths-one-oracle pattern.
+    */
+  private val warcCdxOracleSql: String =
+
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |m AS (
+        |  SELECT doc_id, k,
+        |         CASE k % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |                    ELSE 'metadata' END AS typ,
+        |         'https://example.com/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |           CAST(k AS VARCHAR) AS uri,
+        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS len
+        |  FROM ks),
+        |h AS (
+        |  SELECT doc_id, k, typ, uri, len,
+        |         octet_length(encode(
+        |           'WARC/1.0' || chr(13) || chr(10) ||
+        |           'WARC-Type: ' || typ || chr(13) || chr(10) ||
+        |           'WARC-Record-ID: <urn:uuid:' || lpad(CAST(doc_id AS VARCHAR), 10, '0') ||
+        |             '-' || CAST(k AS VARCHAR) || '>' || chr(13) || chr(10) ||
+        |           'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+        |           'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+        |           'Content-Type: text/plain' || chr(13) || chr(10) ||
+        |           'Content-Length: ' || CAST(len AS VARCHAR) || chr(13) || chr(10) ||
+        |           chr(13) || chr(10))) AS hb
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS rec_idx,
+        |       typ AS warc_type,
+        |       uri AS target_uri,
+        |       CAST(hb + len + 4 AS BIGINT) AS record_bytes,
+        |       CAST(len AS BIGINT) AS content_length
+        |FROM h ORDER BY doc_id, rec_idx""".stripMargin
+
   val sharedDocSql: Map[String, String] = Map(
     // DuckDB replays the bucketed self-join un-bucketed — identical
     // rows, no Exchange claim (that lives in StorageSpec's plan test)
@@ -4531,40 +4570,11 @@ object SparkEntry {
     // CDX replay: the same record table THROUGH the gzip layer — the
     // census must inflate, CRC-verify, and re-frame every member to
     // report these; compressed offsets are deflate-dependent and are
-    // pinned by OpsSpec's ranged-read contract instead
-    "q_warc_cdx" ->
-      s"""WITH px AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n, 1 + doc_id % 3 AS ns
-        |  FROM documents),
-        |ks AS (SELECT doc_id, n, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
-        |m AS (
-        |  SELECT doc_id, k,
-        |         CASE k % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
-        |                    ELSE 'metadata' END AS typ,
-        |         'https://example.com/' || CAST(doc_id AS VARCHAR) || '/' ||
-        |           CAST(k AS VARCHAR) AS uri,
-        |         n // ns + CASE WHEN k < n % ns THEN 1 ELSE 0 END AS len
-        |  FROM ks),
-        |h AS (
-        |  SELECT doc_id, k, typ, uri, len,
-        |         octet_length(encode(
-        |           'WARC/1.0' || chr(13) || chr(10) ||
-        |           'WARC-Type: ' || typ || chr(13) || chr(10) ||
-        |           'WARC-Record-ID: <urn:uuid:' || lpad(CAST(doc_id AS VARCHAR), 10, '0') ||
-        |             '-' || CAST(k AS VARCHAR) || '>' || chr(13) || chr(10) ||
-        |           'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
-        |           'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
-        |           'Content-Type: text/plain' || chr(13) || chr(10) ||
-        |           'Content-Length: ' || CAST(len AS VARCHAR) || chr(13) || chr(10) ||
-        |           chr(13) || chr(10))) AS hb
-        |  FROM m)
-        |SELECT doc_id,
-        |       CAST(k AS BIGINT) AS rec_idx,
-        |       typ AS warc_type,
-        |       uri AS target_uri,
-        |       CAST(hb + len + 4 AS BIGINT) AS record_bytes,
-        |       CAST(len AS BIGINT) AS content_length
-        |FROM h ORDER BY doc_id, rec_idx""".stripMargin,
+    // pinned by OpsSpec's ranged-read contract instead.  The STREAMING
+    // flavor shares this text verbatim (stream == batch is the law).
+    "q_warc_cdx" -> warcCdxOracleSql,
+    "q_warc_cdx_stream" -> warcCdxOracleSql,
+    
     // Iceberg metadata replay: every snapshot row is id arithmetic;
     // the last snapshot is current; format version alternates 1/2
     "q_iceberg_metadata" ->
@@ -7239,6 +7249,20 @@ object SparkEntry {
             col("nRows").as("n_rows"))
           .orderBy("doc_id", "msg_idx")
       },
+      "q_warc_cdx_stream" -> { (s, dir) =>
+        // the STREAMING CDX builder: crawl segments in a landing zone,
+        // each walked exactly once as it arrives (AvailableNow drain
+        // for the gate); shares q_warc_cdx's oracle verbatim — the
+        // drained stream must equal the batch census row-for-row
+        val staged = stageWarcGzFiles(s, dir)
+        graft.ops.StreamingOps.runWarcCdxStream(s, staged)
+          .select(col("id").as("doc_id"), col("recIdx").as("rec_idx"),
+            col("warcType").as("warc_type"),
+            col("targetUri").as("target_uri"),
+            col("recordBytes").as("record_bytes"),
+            col("contentLength").as("content_length"))
+          .orderBy("doc_id", "rec_idx")
+      },
       "q_iceberg_metadata" -> { (s, dir) =>
         // the Iceberg chain's entry point: metadata.json parsed
         // schema-explicitly, one row per snapshot with the current
@@ -8417,6 +8441,47 @@ object SparkEntry {
           }
         // marker LAST: a crash mid-write leaves no fingerprint, so the
         // next run rewrites instead of trusting a partial landing zone
+        java.nio.file.Files.write(marker, fingerprint.getBytes("UTF-8"))
+      }
+      staged.toString
+    }
+
+  /** Stage the documents table as a crawl landing zone of
+    * `shard-<id>.warc.gz` segments — [[stageShardFiles]]' discipline
+    * verbatim: content-fingerprint idempotence, marker written LAST,
+    * the collect() is the oracle-gate's STAGING step (bounded by the
+    * documents table), never the operator.
+    */
+  private[graft] def stageWarcGzFiles(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
+      val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, "warcshards")
+      java.nio.file.Files.createDirectories(staged)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val fpRow = docs.agg(
+        count(lit(1)),
+        sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))).head()
+      val fingerprint = (0 until 2).map(i =>
+        if (fpRow.isNullAt(i)) "null" else fpRow.get(i).toString).mkString(":")
+      val nDocs = fpRow.getLong(0)
+      val marker = staged.resolve("_FINGERPRINT")
+      val prior =
+        if (java.nio.file.Files.exists(marker))
+          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        else ""
+      val existing = staged.toFile.list((_, n) => n.endsWith(".warc.gz")).length
+      if (existing != nDocs || prior != fingerprint) {
+        staged.toFile.list((_, n) => n.endsWith(".warc.gz")).foreach { n =>
+          java.nio.file.Files.deleteIfExists(staged.resolve(n)); ()
+        }
+        MultimodalOps.synthesizeWarcGz(docs, "doc_id", "text")
+          .collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              staged.resolve(s"shard-${r.id}.warc.gz"), r.content)
+          }
         java.nio.file.Files.write(marker, fingerprint.getBytes("UTF-8"))
       }
       staged.toString

@@ -4200,7 +4200,44 @@ object MultimodalOps {
     val total = id3v2Size(b)
     if (total <= 10 || total > b.length) return None
     val ver = b(3) & 0xff
-    if (ver != 3 && ver != 4) return None // v2.2 (3-byte ids) and unknown majors: reject, never mis-walk
+    if (ver != 2 && ver != 3 && ver != 4) return None // unknown majors: reject, never mis-walk
+    if (ver == 2) {
+      // ID3v2.2 (r15): 3-char frame ids + 3-byte BE sizes, no frame
+      // flags; text frames TT2/TP1/TAL with encoding 0 (ISO-8859-1)
+      // decoded, encoding 1 (UTF-16) counted-not-decoded.  Tag-level
+      // unsync (0x80) and whole-tag compression (0x40) re-code the
+      // stream — outside this walk's envelope, reject.
+      if ((b(5) & 0xc0) != 0) return None
+      var off = 10
+      var title = ""; var artist = ""; var album = ""
+      var nFrames = 0L
+      while (off + 6 <= total) {
+        if (b(off) == 0)
+          return Some(Id3Meta(r.id, title, artist, album, nFrames, total.toLong))
+        val fid = new String(b, off, 3, "US-ASCII")
+        if (!fid.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+          return None
+        val sz = ((b(off + 3) & 0xffL) << 16 | (b(off + 4) & 0xffL) << 8 |
+          (b(off + 5) & 0xffL))
+        if (sz > (total - off - 6).toLong) return None
+        val p = off + 6
+        if (fid.startsWith("T") && sz >= 1) {
+          val enc = b(p) & 0xff
+          val txt =
+            if (enc == 0) new String(b, p + 1, sz.toInt - 1, "ISO-8859-1")
+            else ""
+          fid match {
+            case "TT2" => title = txt
+            case "TP1" => artist = txt
+            case "TAL" => album = txt
+            case _ => ()
+          }
+        }
+        nFrames += 1
+        off = p + sz.toInt
+      }
+      return Some(Id3Meta(r.id, title, artist, album, nFrames, total.toLong))
+    }
     // tag flags: unsync (0x80) re-codes the byte stream, extended
     // header (0x40) shifts the first frame, v2.4 footer (0x10) adds
     // trailing bytes outside `total` — all outside this walk's envelope

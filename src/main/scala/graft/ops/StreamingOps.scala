@@ -731,4 +731,60 @@ object StreamingOps {
         count(lit(1)).as("n_events"),
         expr("(max(tus) - min(tus)) DIV 1000").as("duration_ms"))
   }
+
+  /** Streaming CDX builder over a crawl landing zone: `.warc.gz`
+    * segments land, each is walked ONCE (gzip members by hand, both
+    * trailer CRC words verified, one record per member enforced), and
+    * the CDX seek-table rows stream out — the index Common Crawl
+    * consumers range-GET with, built exactly-once as segments arrive.
+    * Same binaryFile file-watch discipline as [[shardCensusStream]];
+    * per-task bound = one compressed segment + one inflated record.
+    */
+  def warcCdxStream(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 8): DataFrame = {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("modificationTime", TimestampType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(regexp_extract(col("path"), "(\\d+)\\.warc\\.gz$", 1)
+        .cast(LongType).as("id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        MultimodalOps.warcGzRecordsOf(
+          MultimodalOps.MediaRecord(id, "application/warc+gz", bytes))
+          .getOrElse(Nil)
+      }
+      .toDF()
+  }
+
+  /** One-shot drain of [[warcCdxStream]] (the memory-sink test/demo
+    * runner; [[runShardCensusStreamToFiles]] shows the production
+    * file-sink shape).  Same `Trigger.AvailableNow` one-shot-listing
+    * + drain-sized trigger-cap economics as [[runShardCensusStream]].
+    */
+  def runWarcCdxStream(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"warc_cdx_${System.nanoTime()}"
+    val q = warcCdxStream(spark, dir, maxFilesPerTrigger = 16384)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val out = spark.table(name).cache()
+      out.count()
+      out
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
 }

@@ -916,7 +916,7 @@ class OpsSpec extends AnyFunSuite {
     assert(mp3.exists(m => m.nFrames == 1L && m.sampleRate == 44100L))
   }
 
-  test("id3v2.4: syncsafe frame sizes; version gate rejects v2.2; flags enforced") {
+  test("id3v2.4: syncsafe frame sizes; v2.2 own wire rule; flags enforced") {
     import spark.implicits._
     import graft.ops.MultimodalOps
     // the fixture PAIR: identical frames, one tag per version, with a
@@ -956,14 +956,45 @@ class OpsSpec extends AnyFunSuite {
     val wrong = MultimodalOps.id3MetaOf(
       MultimodalOps.MediaRecord(25L, "audio/mpeg", mislabeled))
     assert(!wrong.exists(m => m.artist == "Artist Z" && m.nFrames == 2))
-    // v2.2 (3-byte frame ids, version byte 2) is explicitly rejected —
-    // a future refactor must not turn the gate into a mis-walk
+    // v2.2 (r15): 3-char ids + 3-byte BE sizes parse on their own
+    // wire rule — TT2/TP1/TAL decode, padding stops the walk
     val v22 = Array[Byte]('I', 'D', '3', 2, 0, 0, 0, 0, 0, 30) ++
       "TT2".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 11, 0) ++
       "old title ".getBytes("ISO-8859-1") ++
       new Array[Byte](13) // pad to the declared 30 tag bytes exactly
+    val got22 = MultimodalOps.id3MetaOf(
+      MultimodalOps.MediaRecord(22L, "audio/mpeg", v22))
+    assert(got22.contains(MultimodalOps.Id3Meta(
+      22L, "old title ", "", "", 1L, 40L)))
+    // v2.2 multi-frame: TP1 and TAL land in their fields; UTF-16
+    // (encoding 1) is counted-not-decoded
+    val v22b = {
+      def fr(id: String, enc: Int, s: String): Array[Byte] = {
+        val payload = Array[Byte](enc.toByte) ++ s.getBytes("ISO-8859-1")
+        id.getBytes("ISO-8859-1") ++ Array[Byte](0,
+          (payload.length >> 8).toByte, payload.length.toByte) ++ payload
+      }
+      val body = fr("TP1", 0, "Artist W") ++ fr("TAL", 1, "xx") ++
+        fr("TT2", 0, "t2")
+      Array[Byte]('I', 'D', '3', 2, 0, 0) ++
+        Array[Byte](0, 0, (body.length >> 7).toByte,
+          (body.length & 0x7f).toByte) ++ body
+    }
+    val got22b = MultimodalOps.id3MetaOf(
+      MultimodalOps.MediaRecord(23L, "audio/mpeg", v22b))
+    assert(got22b.exists(m => m.artist == "Artist W" && m.album == "" &&
+      m.title == "t2" && m.nFrames == 3))
+    // v2.2 tag-level unsync / whole-tag compression: reject
+    for (flag <- Seq(0x80, 0x40)) {
+      val f = v22.clone(); f(5) = flag.toByte
+      assert(MultimodalOps.id3MetaOf(
+        MultimodalOps.MediaRecord(22L, "audio/mpeg", f)).isEmpty,
+        s"v2.2 flag $flag")
+    }
+    // v2.2 lowercase/invalid frame id: framing error, never a mis-walk
+    val badId = v22.clone(); badId(10) = 't'
     assert(MultimodalOps.id3MetaOf(
-      MultimodalOps.MediaRecord(22L, "audio/mpeg", v22)).isEmpty)
+      MultimodalOps.MediaRecord(22L, "audio/mpeg", badId)).isEmpty)
     // tag-level unsync / extended-header / footer flags are outside
     // the walk's envelope: reject, never mis-parse
     for (flag <- Seq(0x80, 0x40, 0x10))
@@ -4203,6 +4234,42 @@ class OpsSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(5))).sorted.toSeq ==
         batch.map(m => (m.id, m.memberIdx, m.name, m.size, m.dataOffset))
           .sorted.toSeq)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  test("streaming warc cdx: exactly-once per landed segment across waves") {
+    import spark.implicits._
+    import graft.ops.{MultimodalOps, StreamingOps}
+    val docs = Seq((1L, "first crawl segment text"), (2L, "second wave page"),
+      (5L, "third segment body here")).toDF("doc_id", "text")
+    val segs = MultimodalOps.synthesizeWarcGz(docs, "doc_id", "text")
+      .collect()
+    val dir = java.nio.file.Files.createTempDirectory("cc-landing")
+    def land(id: Long): Unit = java.nio.file.Files.write(
+      dir.resolve(s"shard-$id.warc.gz"), segs.find(_.id == id).get.content)
+    land(1L)
+    val name = s"cdx_wave_${System.nanoTime()}"
+    val q = StreamingOps.warcCdxStream(spark, dir.toString)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getLong(0)).toSet == Set(1L))
+      // wave 2: two more segments land; segment 1 is NOT re-censused
+      land(2L); land(5L)
+      q.processAllAvailable()
+      val all = spark.table(name).collect()
+      // exactly-once: drained stream == the batch walk, no duplicates
+      val batch = MultimodalOps.warcGzRecords(
+        spark.createDataset(segs.toSeq)).collect()
+      assert(all.length == batch.length)
+      assert(all.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(6), r.getLong(7))).sorted.toSeq ==
+        batch.map(c => (c.id, c.recIdx, c.warcType, c.targetUri,
+          c.recordBytes, c.contentLength)).sorted.toSeq)
     } finally {
       q.stop()
       spark.catalog.dropTempView(name)
