@@ -4575,6 +4575,38 @@ object SparkEntry {
     "q_warc_cdx" -> warcCdxOracleSql,
     "q_warc_cdx_stream" -> warcCdxOracleSql,
     
+    // crawl-faithful e2e replay: q_cc_e2e's chain gated on the
+    // synthesized status rule (404 for doc_id % 7 = 0) with the
+    // envelope's type/charset carried through
+    "q_cc_http_e2e" -> {
+      val synth = "'<html><head><title>Doc ' || doc_id || " +
+        "'</title><style>p { color: red }</style>" +
+        "<script>var x = 1; if (x < 2) { x = 3; }</script>" +
+        "</head><body><h1>Doc ' || doc_id || '</h1>\n<p>' || text || " +
+        "' &amp; 5 &lt; 7</p><!-- crawl footer -->\n</body></html>'"
+      val clean = graft.ops.TextOps.htmlPatterns.foldLeft(synth) {
+        case (acc, (pat, repl)) =>
+          s"regexp_replace($acc, '${pat.replace("'", "''")}', " +
+            s"'${repl.replace("'", "''")}', 'g')"
+      }
+      raw"""WITH c AS (
+           |  SELECT doc_id,
+           |         'https://example.com/' || CAST(doc_id AS VARCHAR) || '/1' AS target_uri,
+           |         $clean AS clean
+           |  FROM documents WHERE doc_id % 7 <> 0),
+           |t AS (
+           |  SELECT doc_id, target_uri, clean,
+           |         CAST(len(list_filter(string_split_regex(clean, '\s+'),
+           |           x -> x <> '')) AS BIGINT) AS n_tokens
+           |  FROM c)
+           |SELECT doc_id, target_uri,
+           |       CAST(200 AS BIGINT) AS status,
+           |       'text/html' AS content_type,
+           |       'utf-8' AS charset,
+           |       clean, n_tokens,
+           |       CAST(n_tokens >= 5 AS BIGINT) AS keep
+           |FROM t ORDER BY doc_id""".stripMargin
+    },
     // Iceberg metadata replay: every snapshot row is id arithmetic;
     // the last snapshot is current; format version alternates 1/2
     "q_iceberg_metadata" ->
@@ -7248,6 +7280,37 @@ object SparkEntry {
             col("headerType").as("header_type"),
             col("nRows").as("n_rows"))
           .orderBy("doc_id", "msg_idx")
+      },
+      "q_cc_http_e2e" -> { (s, dir) =>
+        // the crawl-FAITHFUL chain: page HTML → HTTP response (status
+        // line, Content-Type charset, headers) → .warc.gz → member
+        // inflate → WARC record → HTTP head parse → 200-gate → body
+        // by declared charset → HTML strip → token gate.  404 pages
+        // (id % 7 == 0) are censused then dropped by the status gate,
+        // exactly like a production fetch filter.
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p { color: red }</style>" +
+            "<script>var x = 1; if (x < 2) { x = 3; }</script>" +
+            "</head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1>\n<p>"), col("text"),
+          lit(" &amp; 5 &lt; 7</p><!-- crawl footer -->\n</body></html>"))
+        val gz = MultimodalOps.synthesizeWarcGzHttp(
+          docs.withColumn("html", html), "doc_id", "html")
+        MultimodalOps.warcGzHttpPages(gz).toDF()
+          .filter(col("status") === 200)
+          .select(col("id").as("doc_id"),
+            col("targetUri").as("target_uri"),
+            col("status"), col("contentType").as("content_type"),
+            col("charset"),
+            TextOps.extractHtmlText(col("body")).as("clean"))
+          .withColumn("n_tokens",
+            size(filter(split(col("clean"), "\\s+"),
+              t => t =!= lit(""))).cast("long"))
+          .withColumn("keep", (col("n_tokens") >= 5).cast("long"))
+          .orderBy("doc_id")
       },
       "q_warc_cdx_stream" -> { (s, dir) =>
         // the STREAMING CDX builder: crawl segments in a landing zone,

@@ -6855,6 +6855,161 @@ object MultimodalOps {
     ds.mapPartitions(_.flatMap(r => warcGzPagesOf(r).getOrElse(Nil)))
   }
 
+  /** One crawled page THROUGH its HTTP envelope: status line +
+    * headers parsed out of the WARC response block (real Common Crawl
+    * response records carry the raw HTTP response, not bare HTML),
+    * body decoded by the Content-Type charset (utf-8 / iso-8859-1 /
+    * us-ascii; anything else keeps the row with an empty body — the
+    * census survives, the content step skips).
+    */
+  final case class WarcHttpPage(
+      id: Long, recIdx: Long, targetUri: String, status: Long,
+      contentType: String, charset: String, headerBytes: Long,
+      body: String)
+
+  /** Parse an HTTP/1.x response head at `b[off, off+len)`: status
+    * code, lowercased media type, charset parameter, and the head's
+    * byte length (through the blank line).  Strict status line
+    * (`HTTP/1.<0|1> NNN …`), CRLF header lines, 64 KiB head cap;
+    * header NAMES are case-insensitive per RFC 9112.
+    */
+  private[graft] def httpResponseHeadAt(
+      b: Array[Byte], off: Int, len: Int): Option[(Int, String, String, Int)] = {
+    val end = off + len
+    if (len < 14 || end > b.length) return None
+    val v = new String(b, off, 9, "ISO-8859-1")
+    if (!(v.startsWith("HTTP/1.") && (v(7) == '0' || v(7) == '1') &&
+      v(8) == ' ')) return None
+    var p = off + 9
+    if (p + 3 > end) return None
+    var status = 0
+    var i = 0
+    while (i < 3) {
+      val c = b(p + i)
+      if (c < '0' || c > '9') return None
+      status = status * 10 + (c - '0')
+      i += 1
+    }
+    // after the 3-digit code: a space (reason follows) or CR (bare)
+    if (p + 3 < end && b(p + 3) != ' ' && b(p + 3) != '\r') return None
+    val maxHead = 64 * 1024
+    var contentType = ""
+    var charset = ""
+    // finish the status line
+    var eol = p + 3
+    while (eol + 1 < end && !(b(eol) == '\r' && b(eol + 1) == '\n') &&
+      eol - off < maxHead) eol += 1
+    if (eol + 1 >= end || eol - off >= maxHead) return None
+    p = eol + 2
+    var done = false
+    while (!done) {
+      var e2 = p
+      while (e2 + 1 < end && !(b(e2) == '\r' && b(e2 + 1) == '\n') &&
+        e2 - off < maxHead) e2 += 1
+      if (e2 + 1 >= end || e2 - off >= maxHead) return None
+      if (e2 == p) done = true
+      else {
+        val line = new String(b, p, e2 - p, "ISO-8859-1")
+        val colon = line.indexOf(':')
+        if (colon <= 0) return None
+        if (line.substring(0, colon).trim.equalsIgnoreCase("content-type")) {
+          val value = line.substring(colon + 1).trim.toLowerCase
+          val semi = value.indexOf(';')
+          contentType = (if (semi >= 0) value.substring(0, semi) else value).trim
+          val cs = value.indexOf("charset=")
+          if (cs >= 0) {
+            val rest = value.substring(cs + 8)
+            val stop = rest.indexWhere(c => c == ';' || c == ' ')
+            charset = (if (stop >= 0) rest.substring(0, stop) else rest)
+              .stripPrefix("\"").stripSuffix("\"")
+          }
+        }
+      }
+      p = e2 + 2
+    }
+    Some((status, contentType, charset, p - off))
+  }
+
+  /** WARC response records parsed THROUGH their HTTP envelope —
+    * the faithful Common Crawl content path.  Non-response records
+    * are framing-checked and skipped; a response whose block is not
+    * a parseable HTTP response fails the SHARD (strict, like every
+    * census walk here).
+    */
+  private[graft] def warcGzHttpPagesOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[WarcHttpPage]] = {
+    if (r.content == null || r.content.length < 18) return None
+    val members = gzMembersOf(r.content, maxInflated).getOrElse(return None)
+    val out = Vector.newBuilder[WarcHttpPage]
+    var idx = 0L
+    for ((_, _, inflated) <- members) {
+      warcRecordAt(inflated, 0) match {
+        case Some((typ, uri, clen, hb, total)) if total == inflated.length =>
+          if (typ == "response") {
+            httpResponseHeadAt(inflated, hb, clen.toInt) match {
+              case Some((status, ct, cs, headLen)) =>
+                val bodyOff = hb + headLen
+                val bodyLen = clen.toInt - headLen
+                val body = cs match {
+                  case "" | "utf-8" | "utf8" =>
+                    new String(inflated, bodyOff, bodyLen, "UTF-8")
+                  case "iso-8859-1" | "us-ascii" | "latin-1" =>
+                    new String(inflated, bodyOff, bodyLen, "ISO-8859-1")
+                  case _ => "" // unknown charset: censused, not decoded
+                }
+                out += WarcHttpPage(r.id, idx, uri, status.toLong, ct, cs,
+                  headLen.toLong, body)
+              case None => return None
+            }
+          }
+          idx += 1
+        case _ => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  def warcGzHttpPages(ds: Dataset[MediaRecord]): Dataset[WarcHttpPage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => warcGzHttpPagesOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row crawl-faithful .warc.gz synthesis: the response member's
+    * block is a REAL HTTP response — status line (404 for id % 7 == 0
+    * with a fixed not-found body, else 200), Content-Type with
+    * charset, Content-Length, a Server header — wrapping the page
+    * payload.  One request + one response member per page, like
+    * [[synthesizeWarcGzPages]].
+    */
+  def synthesizeWarcGzHttp(df: DataFrame, idCol: String, htmlCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(htmlCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, html) =>
+        val notFound = id % 7 == 0
+        val bodyBytes =
+          (if (notFound) "not found" else html).getBytes("UTF-8")
+        val head = (s"HTTP/1.1 ${if (notFound) "404 Not Found" else "200 OK"}\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n" +
+          s"Content-Length: ${bodyBytes.length}\r\n" +
+          "Server: graft\r\n\r\n").getBytes("ISO-8859-1")
+        val block = head ++ bodyBytes
+        val out = new java.io.ByteArrayOutputStream(1024)
+        Seq(
+          warcRecordBytes(id, 0, "request", Array.emptyByteArray, 0, 0),
+          warcRecordBytes(id, 1, "response", block, 0, block.length))
+          .foreach { rec =>
+            val member = new java.io.ByteArrayOutputStream(256)
+            val gz = new java.util.zip.GZIPOutputStream(member)
+            gz.write(rec)
+            gz.close()
+            member.writeTo(out)
+          }
+        MediaRecord(id, "application/warc+gz", out.toByteArray)
+      }
+  }
+
   def warcGzRecords(ds: Dataset[MediaRecord]): Dataset[WarcCdxRecord] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap(r => warcGzRecordsOf(r).getOrElse(Nil)))

@@ -1104,6 +1104,7 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.warcGzRecordsOf(nullRec).isEmpty)
     assert(MultimodalOps.warcGzPagesOf(nullRec).isEmpty)
     assert(MultimodalOps.arrowIpcMessagesOf(nullRec).isEmpty)
+    assert(MultimodalOps.warcGzHttpPagesOf(nullRec).isEmpty)
     val docs = Seq((1L, "some text"), (2L, null))
       .toDF("doc_id", "text")
     // null text synthesizes the empty-document shape, same as ""
@@ -1446,6 +1447,66 @@ class OpsSpec extends AnyFunSuite {
     assert(!UrlOps.robotsDecide(groups, "unrelated", "/star/x")) // falls to *
   }
 
+  test("warc http envelope: status/charset parse, 404 arm, strict head") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((3L, "<p>naïve body — 日本語</p>"), (7L, "<p>gone</p>"),
+      (1L, "")).toDF("doc_id", "html")
+    val pages = MultimodalOps.warcGzHttpPages(
+        MultimodalOps.synthesizeWarcGzHttp(docs, "doc_id", "html"))
+      .collect().map(p => p.id -> p).toMap
+    assert(pages.size == 3)
+    assert(pages(3L).status == 200L && pages(3L).contentType == "text/html" &&
+      pages(3L).charset == "utf-8")
+    assert(pages(3L).body == "<p>naïve body — 日本語</p>") // UTF-8 through
+    assert(pages(7L).status == 404L && pages(7L).body == "not found") // id % 7
+    assert(pages(1L).body == "")
+    // head parse directly: iso-8859-1 charset, quoted charset, unknown
+    // charset censused-not-decoded, LF-only head rejected
+    def head(s: String, body: Array[Byte] = Array.emptyByteArray) = {
+      val b = s.getBytes("ISO-8859-1") ++ body
+      MultimodalOps.httpResponseHeadAt(b, 0, b.length)
+    }
+    assert(head("HTTP/1.1 301 Moved\r\nLocation: /x\r\n\r\n")
+      .contains((301, "", "", 36)))
+    assert(head("HTTP/1.0 200 OK\r\nContent-Type: TEXT/Plain; charset=ISO-8859-1\r\n\r\n")
+      .exists(t => t._2 == "text/plain" && t._3 == "iso-8859-1"))
+    assert(head("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"utf-8\"\r\n\r\n")
+      .exists(_._3 == "utf-8"))
+    assert(head("HTTP/1.1 200\r\n\r\n").contains((200, "", "", 16))) // bare code, no reason
+    assert(head("HTTP/1.1 200x OK\r\n\r\n").isEmpty) // junk after the code
+    assert(head("HTTP/2 200 OK\r\n\r\n").isEmpty)
+    assert(head("HTTP/1.1 200 OK\nX: y\n\n").isEmpty) // bare LF
+    // unknown charset: the row survives with an empty body
+    val exotic = {
+      val body = "body".getBytes("UTF-8")
+      val h = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+      val block = h ++ body
+      // hand-wrap the block as one gzip member
+      val member = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(member)
+      gz.write(graftWarcRecord(2L, 1, "response", block))
+      gz.close()
+      MultimodalOps.warcGzHttpPagesOf(
+        MultimodalOps.MediaRecord(2L, "w", member.toByteArray))
+    }
+    assert(exotic.exists(s => s.length == 1 && s.head.charset == "shift_jis" &&
+      s.head.body == "" && s.head.status == 200L))
+  }
+
+  /** test helper: one framed WARC record (mirrors the synthesizer). */
+  private def graftWarcRecord(
+      id: Long, k: Int, typ: String, block: Array[Byte]): Array[Byte] = {
+    val head = (s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+      f"WARC-Record-ID: <urn:uuid:$id%010d-$k%d>\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"WARC-Target-URI: https://example.com/$id/$k\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("ISO-8859-1")
+    head ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
@@ -1508,6 +1569,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.warcGzPagesOf(r)),
       ("arrow-ipc", MultimodalOps.synthesizeArrowIpc(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.arrowIpcMessagesOf(r)),
+      ("warcgz-http", MultimodalOps.synthesizeWarcGzHttp(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.warcGzHttpPagesOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.avroBlocksOf(r)),
       ("iceberg", MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
