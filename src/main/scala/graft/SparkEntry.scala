@@ -312,6 +312,45 @@ object SparkEntry {
       b, lit("/\nDisallow: /tmp$\n"))
   }
 
+  /** Synthesized sitemap.xml: every 4th host is an INDEX file
+    * (`<sitemapindex>` of child sitemaps — the 50k-URL protocol limit
+    * shape), the rest `<urlset>` page files with optional lastmod
+    * (dropped every 3rd entry) and priority; one loc carries an
+    * `&amp;` entity so the decode path is exercised.  Every field
+    * replays from doc_id arithmetic.
+    */
+  private def sitemapSynthCol: org.apache.spark.sql.Column = {
+    val d = col("doc_id").cast("string")
+    val isIndex = pmod(col("doc_id"), lit(4)) === 0
+    val n = when(isIndex, pmod(col("doc_id"), lit(3)) + 1)
+      .otherwise(pmod(col("doc_id"), lit(5)) + 1).cast("int")
+    val items = array_join(transform(sequence(lit(0), n - 1), k => {
+      val ks = k.cast("string")
+      when(isIndex,
+        concat(lit("<sitemap><loc>https://example.com/sm/"), d,
+          lit("/"), ks, lit(".xml</loc><lastmod>2026-0"),
+          (pmod(k, lit(9)) + 1).cast("string"),
+          lit("-01</lastmod></sitemap>")))
+        .otherwise(concat(
+          lit("<url><loc>https://example.com/"), d, lit("/p"), ks,
+          when(k === 1, lit("?a=1&amp;b=2")).otherwise(lit("")),
+          lit("</loc>"),
+          when(pmod(k, lit(3)) =!= 2,
+            concat(lit("<lastmod>2026-0"),
+              (pmod(k, lit(9)) + 1).cast("string"),
+              lit("-02</lastmod>"))).otherwise(lit("")),
+          lit("<priority>0."), pmod(k, lit(10)).cast("string"),
+          lit("</priority></url>")))
+    }), "")
+    concat(lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"),
+      when(isIndex,
+        concat(lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          items, lit("</sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          items, lit("</urlset>"))))
+  }
+
   /** The registrable-domain CASE both URL oracles share (the SQL twin
     * of [[graft.ops.UrlOps.registrableDomain]]).
     */
@@ -4674,6 +4713,36 @@ object SparkEntry {
            |         || CASE WHEN path0 = '' THEN '/' ELSE path0 END
            |         || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_surt
            |FROM p ORDER BY doc_id""".stripMargin,
+    // sitemap replay: every entry is doc_id arithmetic — index hosts
+    // (doc_id % 4 = 0) emit child-sitemap rows, the rest page rows
+    // with the k=1 entity-decoded loc and the every-3rd lastmod drop
+    "q_sitemap_entries" ->
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |         doc_id % 4 = 0 AS is_index,
+        |         CASE WHEN doc_id % 4 = 0 THEN doc_id % 3 + 1
+        |              ELSE doc_id % 5 + 1 END AS n
+        |  FROM documents),
+        |ks AS (SELECT doc_id, is_index, unnest(generate_series(0, n - 1)) AS k FROM px)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS entry_idx,
+        |       CASE WHEN is_index THEN 'sitemap' ELSE 'url' END AS kind,
+        |       CASE WHEN is_index THEN
+        |         'https://example.com/sm/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |           CAST(k AS VARCHAR) || '.xml'
+        |       ELSE
+        |         'https://example.com/' || CAST(doc_id AS VARCHAR) || '/p' ||
+        |           CAST(k AS VARCHAR) ||
+        |           CASE WHEN k = 1 THEN '?a=1&b=2' ELSE '' END
+        |       END AS loc,
+        |       CASE WHEN is_index THEN
+        |         '2026-0' || CAST(k % 9 + 1 AS VARCHAR) || '-01'
+        |       WHEN k % 3 <> 2 THEN
+        |         '2026-0' || CAST(k % 9 + 1 AS VARCHAR) || '-02'
+        |       ELSE '' END AS lastmod,
+        |       CASE WHEN is_index THEN ''
+        |            ELSE '0.' || CAST(k % 10 AS VARCHAR) END AS priority
+        |FROM ks ORDER BY doc_id, entry_idx""".stripMargin,
     // robots.txt parse replay: the rule table is doc_id arithmetic —
     // group 0 is graftbot (2-3 rules + crawl-delay), group 1 the
     // multi-agent */legacybot pair (one row per agent per rule)
@@ -7374,6 +7443,18 @@ object SparkEntry {
         docs.select(col("doc_id"),
             UrlOps.surtKey(urlSynthCol).as("url_surt"))
           .orderBy("doc_id")
+      },
+      "q_sitemap_entries" -> { (s, dir) =>
+        // sitemap.xml census (robots' URL-discovery sibling): urlset
+        // page entries and sitemapindex child entries, loc entity
+        // decode, optional lastmod/priority carried as strings
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        UrlOps.sitemapEntries(
+            docs.select(col("doc_id"), sitemapSynthCol.as("xml")),
+            "doc_id", "xml")
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            col("kind"), col("loc"), col("lastmod"), col("priority"))
+          .orderBy("doc_id", "entry_idx")
       },
       "q_robots_rules" -> { (s, dir) =>
         // robots.txt parse census (RFC 9309): group/agent/rule table

@@ -148,6 +148,71 @@ object UrlOps {
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
 
+  // ---- sitemap.xml (sitemaps.org protocol) ---------------------------
+
+  /** One sitemap entry: `kind` is `url` (a page, from `<urlset>`) or
+    * `sitemap` (a child sitemap, from `<sitemapindex>` — the 50k-URL
+    * protocol limit forces big sites into index files); `lastmod` and
+    * `priority` are "" when absent (kept as STRINGS — priority is a
+    * decimal the protocol never defines float semantics for).
+    */
+  final case class SitemapEntry(
+      id: Long, entryIdx: Long, kind: String, loc: String,
+      lastmod: String, priority: String)
+
+  private val SitemapItem =
+    "(?s)<(url|sitemap)\\b[^>]*>(.*?)</\\1>".r
+  private val SitemapLoc = "(?s)<loc>\\s*(.*?)\\s*</loc>".r
+  private val SitemapLastmod = "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>".r
+  private val SitemapPriority = "(?s)<priority>\\s*(.*?)\\s*</priority>".r
+
+  /** Parse one sitemap.xml body (sitemaps.org): `<urlset>` page
+    * entries or `<sitemapindex>` child-sitemap entries, each with its
+    * `<loc>` (required — entries without one are dropped), optional
+    * `<lastmod>`/`<priority>`.  Scanning regex parse (machine-
+    * generated XML, not a general XML parser; Scala-side only — the
+    * oracle replays closed-form synthesis, so the RE2-subset rule for
+    * SQL-replayed patterns doesn't bind here and the closing-tag
+    * backreference is fine); the five standard entities are decoded
+    * in `loc` (sitemap URLs legally carry `&amp;`).  TOTAL on
+    * arbitrary text.
+    */
+  private[graft] def sitemapEntriesOf(id: Long, xml: String): Seq[SitemapEntry] = {
+    if (xml == null) return Nil
+    def unescape(s: String): String = s
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&") // last, so &amp;lt; decodes to &lt;
+    val out = scala.collection.mutable.ArrayBuffer.empty[SitemapEntry]
+    var idx = 0L
+    for (m <- SitemapItem.findAllMatchIn(xml)) {
+      val kind = m.group(1)
+      val body = m.group(2)
+      SitemapLoc.findFirstMatchIn(body).foreach { locM =>
+        val loc = unescape(locM.group(1))
+        if (loc.nonEmpty) {
+          val lastmod = SitemapLastmod.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("")
+          val priority = SitemapPriority.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("")
+          out += SitemapEntry(id, idx, kind, loc, lastmod, priority)
+          idx += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  def sitemapEntries(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(xmlCol).cast("string").as("x"))
+      .as[(Long, String)]
+      .flatMap { case (id, x) => sitemapEntriesOf(id, x) }
+      .toDF()
+  }
+
   // ---- robots.txt (RFC 9309) ----------------------------------------
 
   /** One parsed robots.txt rule row: the group it belongs to, one of

@@ -1387,6 +1387,30 @@ class OpsSpec extends AnyFunSuite {
       "org,q)/p?a=1"))   // empty params dropped, fragment gone
   }
 
+  test("sitemap.xml: urlset and index entries, entity decode, missing-loc drop") {
+    import graft.ops.UrlOps
+    val urlset = """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url><loc> https://a.com/x?p=1&amp;q=2 </loc>
+      |       <lastmod>2026-01-02</lastmod><priority>0.8</priority></url>
+      |  <url><lastmod>2026-01-03</lastmod></url>
+      |  <url><loc>https://a.com/y</loc></url>
+      |</urlset>""".stripMargin
+    val got = UrlOps.sitemapEntriesOf(4L, urlset)
+    assert(got == Seq(
+      UrlOps.SitemapEntry(4L, 0, "url", "https://a.com/x?p=1&q=2",
+        "2026-01-02", "0.8"),
+      UrlOps.SitemapEntry(4L, 1, "url", "https://a.com/y", "", "")))
+    val index = "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>" +
+      "</sitemap><sitemap><loc>https://a.com/s2.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    assert(UrlOps.sitemapEntriesOf(1L, index).map(e => (e.kind, e.loc)) ==
+      Seq(("sitemap", "https://a.com/s1.xml"), ("sitemap", "https://a.com/s2.xml")))
+    assert(UrlOps.sitemapEntriesOf(1L, null).isEmpty)
+    assert(UrlOps.sitemapEntriesOf(1L, "just prose, no xml").isEmpty)
+    assert(UrlOps.sitemapEntriesOf(1L, "<urlset><url><loc></loc></url></urlset>").isEmpty)
+  }
+
   test("robots.txt: RFC 9309 parse, wildcard match, precedence, group selection") {
     import graft.ops.UrlOps
     // parser: comments, CRLF, case-insensitive fields, multi-agent
