@@ -7126,6 +7126,17 @@ object SparkEntry {
             s"$dir/orders.parquet"))
           .orderBy("file_name", "row_group_id", "path_in_schema")
       },
+      "q_parquet_stats" -> { (s, dir) =>
+        // zone-map census: the min/max/null-count bounds a planner
+        // prunes row groups with, footer-only, oracled against
+        // DuckDB's own parquet_metadata() stats columns
+        graft.ops.StorageOps.parquetColumnStats(s, Seq(
+            s"$dir/documents.parquet", s"$dir/lineitem.parquet",
+            s"$dir/orders.parquet"),
+          Seq("doc_id", "l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber", "o_orderkey", "o_custkey"))
+          .orderBy("file_name", "row_group_id", "path_in_schema")
+      },
       "q_orc_footer" -> { (s, dir) =>
         // the lake's OTHER columnar format: from-spec ORC postscript/
         // protobuf footer walk (through the zlib compressed-stream
@@ -8685,7 +8696,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     sqlQueries ++ sharedDocSql ++ duckdbOnlySql ++ fitOracleSqls ++
       Map("q_parquet_footer" -> parquetFooterOracleSql,
-        "q_orc_footer" -> orcFooterOracleSql)
+        "q_orc_footer" -> orcFooterOracleSql,
+        "q_parquet_stats" -> parquetStatsOracleSql)
 
   /** Corpus dir the oracle SQL is generated against.  Verify sets this
     * to its `sfDir` argument before dumping oracle_sql.json, so the
@@ -8712,6 +8724,26 @@ object SparkEntry {
          |       compression
          |FROM parquet_metadata('$oracleDir/$t.parquet')""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema")
+
+  /** Zone-map oracle: DuckDB's parquet_metadata() stats columns over
+    * the same files and the same explicit integer-column list — two
+    * independent readers of the exact pruning bounds.
+    */
+  private def parquetStatsOracleSql: String = {
+    val cols = Seq("doc_id", "l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "o_orderkey", "o_custkey")
+      .map(c => s"'$c'").mkString(", ")
+    Seq("documents", "lineitem", "orders").map { t =>
+      s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file_name,
+         |       CAST(row_group_id AS BIGINT) AS row_group_id,
+         |       path_in_schema,
+         |       CAST(stats_null_count AS BIGINT) AS null_count,
+         |       CAST(stats_min_value AS BIGINT) AS min_v,
+         |       CAST(stats_max_value AS BIGINT) AS max_v
+         |FROM parquet_metadata('$oracleDir/$t.parquet')
+         |WHERE path_in_schema IN ($cols)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema")
+  }
 
   /** ORC-footer oracle: the SOURCE parquet's row count and schema
     * width from DuckDB — the ORC census (a staged re-encode of the

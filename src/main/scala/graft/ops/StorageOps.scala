@@ -93,6 +93,75 @@ object StorageOps {
         "total_uncompressed_size", "compression")
   }
 
+  /** Parquet ZONE-MAP census — the min/max/null-count statistics a
+    * planner prunes row groups with, read from the same footers as
+    * [[parquetFooters]] (never a data page) for an explicit list of
+    * integer columns: one row per (file, row group, column) with the
+    * footer's own null count and long min/max.  Oracled against
+    * DuckDB's `parquet_metadata()` stats columns — two independent
+    * readers agreeing on the exact pruning bounds.  Columns whose
+    * chunks carry no statistics are skipped (a planner treats them as
+    * unprunable, not as zero).
+    */
+  def parquetColumnStats(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      cols: Seq[String], maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    val wanted = cols.toSet
+    val files = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq
+      else Seq(p)
+    }
+    require(files.size <= maxFiles,
+      s"parquetColumnStats: ${files.size} files exceeds maxFiles=$maxFiles")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.toVector.zipWithIndex.flatMap {
+              case (rg, i) =>
+                rg.getColumns.asScala.toVector.flatMap { cc =>
+                  val name = cc.getPath.toDotString
+                  val st = cc.getStatistics
+                  st match {
+                    case ls: org.apache.parquet.column.statistics.LongStatistics
+                      if wanted.contains(name) && !ls.isEmpty &&
+                        ls.hasNonNullValue =>
+                      Some((hp.getName, i.toLong, name, ls.getNumNulls,
+                        ls.genericGetMin.longValue(),
+                        ls.genericGetMax.longValue()))
+                    case is: org.apache.parquet.column.statistics.IntStatistics
+                      if wanted.contains(name) && !is.isEmpty &&
+                        is.hasNonNullValue =>
+                      Some((hp.getName, i.toLong, name, is.getNumNulls,
+                        is.genericGetMin.longValue(),
+                        is.genericGetMax.longValue()))
+                    case _ => None
+                  }
+                }
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file_name", "row_group_id", "path_in_schema", "null_count",
+        "min_v", "max_v")
+  }
+
   /** One ORC stripe's census row (file-level fields repeated, the
     * parquetFooters shape): exact stripe geometry + row accounting
     * from the file's own footer — the per-stripe view a compaction
