@@ -4614,6 +4614,15 @@ object SparkEntry {
     "q_warc_cdx" -> warcCdxOracleSql,
     "q_warc_cdx_stream" -> warcCdxOracleSql,
     
+    // PDF replay: version constant, object count = catalog + page
+    // tree + nPages pages + nPages content streams + the free entry
+    "q_pdf_meta" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 4 AS np FROM documents)
+        |SELECT doc_id,
+        |       '1.4' AS version,
+        |       CAST(3 + 2 * np AS BIGINT) AS n_objects,
+        |       CAST(np AS BIGINT) AS n_pages
+        |FROM px ORDER BY doc_id""".stripMargin,
     // crawl-faithful e2e replay: q_cc_e2e's chain gated on the
     // synthesized status rule (404 for doc_id % 7 = 0) with the
     // envelope's type/charset carried through
@@ -7360,6 +7369,18 @@ object SparkEntry {
             col("headerType").as("header_type"),
             col("nRows").as("n_rows"))
           .orderBy("doc_id", "msg_idx")
+      },
+      "q_pdf_meta" -> { (s, dir) =>
+        // PDF structure census: header version gate, startxref window,
+        // classic xref walk with every in-use offset bounds-checked,
+        // trailer /Size == entry count, page-tree /Count — the
+        // document-corpus intake metadata; xref streams reject
+        val media = MultimodalOps.synthesizePdf(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.pdfMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("version"),
+            col("nObjects").as("n_objects"), col("nPages").as("n_pages"))
+          .orderBy("doc_id")
       },
       "q_cc_http_e2e" -> { (s, dir) =>
         // the crawl-FAITHFUL chain: page HTML → HTTP response (status

@@ -7099,6 +7099,173 @@ object MultimodalOps {
       }
   }
 
+  // ---- PDF census ----------------------------------------------------
+
+  /** One PDF's census row: header version, object count from the
+    * trailer's /Size, page count from the page-tree root's /Count,
+    * the classic-xref table offset, and total bytes — the metadata a
+    * document-corpus intake pass needs before any content extraction.
+    */
+  final case class PdfMeta(
+      id: Long, version: String, nObjects: Long, nPages: Long,
+      xrefOffset: Long, nBytes: Long)
+
+  /** PDF structure census — the document-corpus format (papers,
+    * books, reports) next to the web/media families.  From-spec walk
+    * of the CLASSIC layout (ISO 32000-1): `%PDF-1.x` header gate,
+    * `startxref` located in the spec's last-1024-byte window, the
+    * classic `xref` table at that offset verified and its subsection
+    * counts walked (every in-use entry's 10-digit offset must lie
+    * inside the file), the `trailer` dict's /Size and /Root read, and
+    * the page-tree root's /Count taken from the first `/Type /Pages`
+    * object.  Cross-reference STREAMS (PDF 1.5+ compressed xref) are
+    * REJECTED honestly — decoding them means inflating object
+    * streams, a content step, not a census; linearized files whose
+    * first xref is classic still pass.  TOTAL on arbitrary bytes.
+    */
+  private[graft] def pdfMetaOf(r: MediaRecord): Option[PdfMeta] = {
+    val b = r.content
+    if (b == null || b.length < 32) return None
+    // header: %PDF-1.x
+    val head = new String(b, 0, math.min(16, b.length), "ISO-8859-1")
+    if (!head.startsWith("%PDF-1.")) return None
+    val verCh = head(7)
+    if (verCh < '0' || verCh > '7') return None
+    val version = "1." + verCh
+    // startxref in the last-1024-byte window, then the offset line
+    val tailStart = math.max(0, b.length - 1024)
+    val tail = new String(b, tailStart, b.length - tailStart, "ISO-8859-1")
+    val sx = tail.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val after = tail.substring(sx + 9)
+    val digits = after.dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+      .takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 10) return None
+    val xrefOffset = digits.toLong
+    if (xrefOffset < 9 || xrefOffset >= b.length - 4) return None
+    // classic xref table at the offset (xref streams: an obj header
+    // here instead — reject)
+    val xo = xrefOffset.toInt
+    if (!(b(xo) == 'x' && b(xo + 1) == 'r' && b(xo + 2) == 'e' &&
+      b(xo + 3) == 'f')) return None
+    // walk subsections: lines "first count" then count 20-byte entries
+    val xrefText = new String(b, xo, b.length - xo, "ISO-8859-1")
+    val lines = xrefText.split("\r\n|\r|\n").iterator
+    if (!lines.hasNext || lines.next().trim != "xref") return None
+    var entries = 0L
+    var trailerSeen = false
+    var done = false
+    while (!done && lines.hasNext) {
+      val line = lines.next().trim
+      // the dict may share the keyword's line or follow it
+      if (line.startsWith("trailer")) { trailerSeen = true; done = true }
+      else if (line.isEmpty) () // tolerated blank
+      else {
+        val parts = line.split(" +")
+        if (parts.length != 2 || !parts.forall(_.forall(_.isDigit)))
+          return None
+        val count = parts(1).toLong
+        if (count < 0 || count > 1000000) return None
+        var i = 0L
+        while (i < count) {
+          if (!lines.hasNext) return None
+          val e = lines.next()
+          // entry: 10-digit offset, 5-digit gen, f|n
+          if (e.length < 18) return None
+          val off10 = e.substring(0, 10)
+          val kind = e.charAt(17)
+          if (!off10.forall(_.isDigit) || (kind != 'n' && kind != 'f'))
+            return None
+          if (kind == 'n' && off10.toLong >= b.length) return None
+          entries += 1
+          i += 1
+        }
+      }
+    }
+    if (!trailerSeen) return None
+    // trailer dict: /Size and /Root required
+    val trailerText = xrefText.substring(xrefText.indexOf("trailer"))
+    def dictLong(key: String, s: String): Option[Long] = {
+      val at = s.indexOf(key)
+      if (at < 0) return None
+      val rest = s.substring(at + key.length).dropWhile(_ == ' ')
+      val d = rest.takeWhile(_.isDigit)
+      if (d.isEmpty || d.length > 12) None else Some(d.toLong)
+    }
+    val size = dictLong("/Size", trailerText).getOrElse(return None)
+    if (dictLong("/Root", trailerText).isEmpty) return None
+    if (size != entries) return None // subsection counts must account /Size
+    // page count: the page-tree root is the first /Type /Pages object
+    val body = new String(b, 0, math.min(b.length, 1 << 20), "ISO-8859-1")
+    val pagesAt = body.indexOf("/Type /Pages")
+    if (pagesAt < 0) return None
+    val nPages = dictLong("/Count",
+      body.substring(pagesAt, math.min(body.length, pagesAt + 256)))
+      .getOrElse(return None)
+    if (nPages < 0) return None
+    Some(PdfMeta(r.id, version, size, nPages, xrefOffset, b.length.toLong))
+  }
+
+  def pdfMeta(ds: Dataset[MediaRecord]): Dataset[PdfMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(pdfMetaOf))
+  }
+
+  /** Per-row minimal-but-VALID classic PDF synthesis: a catalog, a
+    * page tree with `1 + id % 4` pages, one content stream per page
+    * carrying the document's text split by the tar rule, a correct
+    * xref table (real 10-digit offsets) and trailer.  Page/object
+    * counts replay from id arithmetic; byte offsets are real and
+    * self-consistent (the census verifies them against the file).
+    */
+  def synthesizePdf(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val nPages = 1 + (id % 4).toInt
+        val payload = text.getBytes("UTF-8")
+        val out = new java.io.ByteArrayOutputStream(1024)
+        def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+        val offsets = Array.newBuilder[Long]
+        w("%PDF-1.4\n")
+        // obj 1: catalog
+        offsets += out.size().toLong
+        w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        // obj 2: page tree
+        offsets += out.size().toLong
+        val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+        w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n")
+        // objs 3..2+n: pages; objs 3+n..2+2n: content streams
+        (0 until nPages).foreach { k =>
+          offsets += out.size().toLong
+          w(s"${3 + k} 0 obj << /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [0 0 612 792] /Contents ${3 + nPages + k} 0 R " +
+            ">> endobj\n")
+        }
+        (0 until nPages).foreach { k =>
+          val take = payload.length / nPages +
+            (if (k < payload.length % nPages) 1 else 0)
+          val from = (0 until k).map(j => payload.length / nPages +
+            (if (j < payload.length % nPages) 1 else 0)).sum
+          offsets += out.size().toLong
+          w(s"${3 + nPages + k} 0 obj << /Length $take >> stream\n")
+          out.write(payload, from, take)
+          w("\nendstream endobj\n")
+        }
+        val xrefAt = out.size().toLong
+        val objOffsets = offsets.result()
+        val size = 1 + objOffsets.length // entry 0 + real objects
+        w(s"xref\n0 $size\n")
+        w("0000000000 65535 f \n")
+        objOffsets.foreach(o => w(f"$o%010d 00000 n \n"))
+        w(s"trailer << /Size $size /Root 1 0 R >>\n")
+        w(s"startxref\n$xrefAt\n%%EOF\n")
+        MediaRecord(id, "application/pdf", out.toByteArray)
+      }
+  }
+
   // ---- Arrow IPC file census ---------------------------------------
 
   /** One encapsulated IPC message: kind (1 = Schema, 2 =

@@ -1105,6 +1105,7 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.warcGzPagesOf(nullRec).isEmpty)
     assert(MultimodalOps.arrowIpcMessagesOf(nullRec).isEmpty)
     assert(MultimodalOps.warcGzHttpPagesOf(nullRec).isEmpty)
+    assert(MultimodalOps.pdfMetaOf(nullRec).isEmpty)
     val docs = Seq((1L, "some text"), (2L, null))
       .toDF("doc_id", "text")
     // null text synthesizes the empty-document shape, same as ""
@@ -1531,6 +1532,45 @@ class OpsSpec extends AnyFunSuite {
     head ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1")
   }
 
+  test("pdf: classic xref census round-trip; xref-stream and bound violations reject") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "page text for a pdf " * 6), (0L, ""), (3L, "x"))
+      .toDF("doc_id", "text")
+    val pdfs = MultimodalOps.synthesizePdf(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- pdfs) {
+      val m = MultimodalOps.pdfMetaOf(rec).get
+      val np = 1 + (id % 4)
+      assert(m.version == "1.4" && m.nPages == np &&
+        m.nObjects == 3 + 2 * np && m.nBytes == rec.content.length.toLong)
+      // the census's xref offset must actually point at the table
+      assert(new String(rec.content, m.xrefOffset.toInt, 4, "ISO-8859-1") == "xref")
+    }
+    val base = pdfs(5L).content
+    // xref streams (an obj header at the startxref offset) reject
+    val asStream = base.clone()
+    val xo = MultimodalOps.pdfMetaOf(pdfs(5L)).get.xrefOffset.toInt
+    "5 0 ".getBytes("ISO-8859-1").copyToArray(asStream, xo)
+    assert(MultimodalOps.pdfMetaOf(
+      MultimodalOps.MediaRecord(5L, "p", asStream)).isEmpty)
+    // an in-use entry offset past EOF rejects (a lying xref would
+    // otherwise mis-seek every reader downstream)
+    val lying = base.clone()
+    val xrefText = new String(base, "ISO-8859-1")
+    val entryAt = xrefText.indexOf("\n", xrefText.indexOf("xref\n0 ")) // subsection line
+    val firstEntry = xrefText.indexOf("65535 f \n") + 9
+    "9999999999".getBytes("ISO-8859-1").copyToArray(lying, firstEntry)
+    assert(MultimodalOps.pdfMetaOf(
+      MultimodalOps.MediaRecord(5L, "p", lying)).isEmpty)
+    assert(entryAt > 0)
+    // truncation and a non-PDF header reject
+    assert(MultimodalOps.pdfMetaOf(MultimodalOps.MediaRecord(
+      5L, "p", java.util.Arrays.copyOf(base, base.length / 2))).isEmpty)
+    assert(MultimodalOps.pdfMetaOf(MultimodalOps.MediaRecord(
+      5L, "p", "%PDX-1.4 nope".getBytes("ISO-8859-1"))).isEmpty)
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
@@ -1595,6 +1635,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.arrowIpcMessagesOf(r)),
       ("warcgz-http", MultimodalOps.synthesizeWarcGzHttp(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.warcGzHttpPagesOf(r)),
+      ("pdf", MultimodalOps.synthesizePdf(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.avroBlocksOf(r)),
       ("iceberg", MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
