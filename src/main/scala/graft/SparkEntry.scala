@@ -3643,6 +3643,50 @@ object SparkEntry {
       |""".stripMargin
 
   /** Shared-dialect oracles over documents (same text, both engines). */
+  /** q_jsonl_shard's oracle — shared verbatim by the .jsonl.zst
+    * flavor (compression must be invisible to the record table).
+    * Lines are pure ASCII by synthesis, so offsets replay as
+    * octet_length running sums; the (doc_id + k) % 7 malformed arm
+    * drops the closing brace, so its parse columns quarantine.
+    */
+  private val jsonlShardOracleSql: String =
+    s"""WITH px AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS tn, 1 + doc_id % 4 AS ns
+      |  FROM documents),
+      |ks AS (SELECT doc_id, tn, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+      |m AS (
+      |  SELECT doc_id, k,
+      |         tn // ns + CASE WHEN k < tn % ns THEN 1 ELSE 0 END AS take,
+      |         (doc_id + k) % 7 = 0 AS bad
+      |  FROM ks),
+      |l AS (
+      |  SELECT doc_id, k, take, bad,
+      |         '{"id":"' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR) ||
+      |           '","seq":' || CAST(k AS VARCHAR) || ',"n":' ||
+      |           CAST(take AS VARCHAR) || '}' AS fl
+      |  FROM m),
+      |l2 AS (
+      |  SELECT doc_id, k, take, bad,
+      |         CASE WHEN bad THEN substr(fl, 1, length(fl) - 1)
+      |              ELSE fl END AS line
+      |  FROM l),
+      |o AS (
+      |  SELECT doc_id, k, take, bad,
+      |         octet_length(encode(line)) AS lb,
+      |         coalesce(sum(octet_length(encode(line)) + 1)
+      |           OVER (PARTITION BY doc_id ORDER BY k
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM l2)
+      |SELECT doc_id,
+      |       CAST(k AS BIGINT) AS rec_idx,
+      |       CAST(off AS BIGINT) AS offset,
+      |       CAST(lb AS BIGINT) AS n_bytes,
+      |       CASE WHEN bad THEN ''
+      |            ELSE CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR) END AS rec_id,
+      |       CAST(CASE WHEN bad THEN -1 ELSE take END AS BIGINT) AS n,
+      |       CAST(NOT bad AS BIGINT) AS valid
+      |FROM o ORDER BY doc_id, rec_idx""".stripMargin
+
   /** q_warc_cdx's oracle — shared verbatim by the streaming flavor
     * (q_warc_cdx_stream): the drained stream must equal the batch
     * census row-for-row, the two-physical-paths-one-oracle pattern.
@@ -4613,6 +4657,10 @@ object SparkEntry {
     // flavor shares this text verbatim (stream == batch is the law).
     "q_warc_cdx" -> warcCdxOracleSql,
     "q_warc_cdx_stream" -> warcCdxOracleSql,
+    // JSONL seek-table replay (ASCII lines → octet_length running
+    // sums); the zst flavor shares the text verbatim
+    "q_jsonl_shard" -> jsonlShardOracleSql,
+    "q_jsonl_zst_shard" -> jsonlShardOracleSql,
     
     // PDF replay: version constant, object count = catalog + page
     // tree + nPages pages + nPages content streams + the free entry
@@ -7369,6 +7417,42 @@ object SparkEntry {
             col("headerType").as("header_type"),
             col("nRows").as("n_rows"))
           .orderBy("doc_id", "msg_idx")
+      },
+      "q_jsonl_shard" -> { (s, dir) =>
+        // JSONL shard census (the Dolma/HF one-doc-per-line staple):
+        // structural seek table — offset/length per line, strict
+        // ends-with-newline framing — with the parse step on top
+        // (get_json_object; malformed lines keep their seek row,
+        // quarantined by the valid flag)
+        val media = MultimodalOps.synthesizeJsonlShard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.jsonlRecords(media).toDF()
+          .select(col("id").as("doc_id"), col("recIdx").as("rec_idx"),
+            col("offset"), col("nBytes").as("n_bytes"),
+            coalesce(get_json_object(col("line"), "$.id"), lit(""))
+              .as("rec_id"),
+            coalesce(get_json_object(col("line"), "$.n").cast("long"),
+              lit(-1L)).as("n"),
+            get_json_object(col("line"), "$.id").isNotNull
+              .cast("long").as("valid"))
+          .orderBy("doc_id", "rec_idx")
+      },
+      "q_jsonl_zst_shard" -> { (s, dir) =>
+        // the .jsonl.zst flavor (Dolma's wire format): bomb-guarded
+        // zstd inflate then the same walk — shares q_jsonl_shard's
+        // oracle verbatim, the compression-invisibility law
+        val media = MultimodalOps.synthesizeJsonlZstShard(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.jsonlZstRecords(media).toDF()
+          .select(col("id").as("doc_id"), col("recIdx").as("rec_idx"),
+            col("offset"), col("nBytes").as("n_bytes"),
+            coalesce(get_json_object(col("line"), "$.id"), lit(""))
+              .as("rec_id"),
+            coalesce(get_json_object(col("line"), "$.n").cast("long"),
+              lit(-1L)).as("n"),
+            get_json_object(col("line"), "$.id").isNotNull
+              .cast("long").as("valid"))
+          .orderBy("doc_id", "rec_idx")
       },
       "q_pdf_meta" -> { (s, dir) =>
         // PDF structure census: header version gate, startxref window,

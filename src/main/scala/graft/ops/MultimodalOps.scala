@@ -4541,9 +4541,12 @@ object MultimodalOps {
     * lesson).  The compression layer must be invisible to the member
     * table — all three shard flavors share one oracle.
     */
-  private[graft] def tarZstMembersOf(
-      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[TarMember]] = {
-    val b = r.content
+  /** Bomb-guarded whole-buffer zstd inflate (magic gate + streaming
+    * copy; the native context is released on every exit path) —
+    * shared by the `.tar.zst` and `.jsonl.zst` walks.
+    */
+  private[graft] def zstdInflate(
+      b: Array[Byte], maxInflated: Int = 1 << 30): Option[Array[Byte]] = {
     if (b == null || b.length < 4) return None
     // zstd frame magic 0xFD2FB528 (little-endian on disk)
     if (!((b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
@@ -4561,9 +4564,15 @@ object MultimodalOps {
         out.write(buf, 0, n)
         n = in.read(buf)
       }
-    } catch { case _: java.io.IOException => return None
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None
     } finally in.close() // native zstd context: release on every exit path
-    tarMembersOf(MediaRecord(r.id, "application/x-tar", out.toByteArray))
+  }
+
+  private[graft] def tarZstMembersOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[TarMember]] = {
+    zstdInflate(r.content, maxInflated).flatMap(raw =>
+      tarMembersOf(MediaRecord(r.id, "application/x-tar", raw)))
   }
 
   def tarZstMembers(ds: Dataset[MediaRecord]): Dataset[TarMember] = {
@@ -7097,6 +7106,106 @@ object MultimodalOps {
         }
         MediaRecord(id, "application/warc+gz", out.toByteArray)
       }
+  }
+
+  // ---- JSONL shard census ---------------------------------------------
+
+  /** One JSONL record's seek-table row: byte offset and length of its
+    * line inside the shard, plus the raw line for the caller's parse
+    * step — the per-record random-access index the newline-delimited
+    * dataset convention (Dolma, HF datasets) implies but never ships.
+    */
+  final case class JsonlRecord(
+      id: Long, recIdx: Long, offset: Long, nBytes: Long, line: String)
+
+  /** JSONL shard census — the LLM-dataset staple (one JSON document
+    * per line).  Structural walk only: record boundaries are newline
+    * bytes, strict framing requires the shard to END with one (a
+    * truncated tail line means a truncated shard — fail, never emit a
+    * half record).  Line VALIDITY is the caller's parse step
+    * (`get_json_object` / `from_json`), not the census's: a malformed
+    * line still owns its bytes in the seek table, exactly like the
+    * engine's JSONL source quarantine discipline.  TOTAL on arbitrary
+    * bytes.
+    */
+  private[graft] def jsonlRecordsOf(r: MediaRecord): Option[Seq[JsonlRecord]] = {
+    val b = r.content
+    if (b == null || b.length == 0) return None
+    if (b(b.length - 1) != '\n') return None // strict: no truncated tail
+    val out = Vector.newBuilder[JsonlRecord]
+    var start = 0
+    var idx = 0L
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '\n') {
+        out += JsonlRecord(r.id, idx, start.toLong, (i - start).toLong,
+          new String(b, start, i - start, "UTF-8"))
+        idx += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  def jsonlRecords(ds: Dataset[MediaRecord]): Dataset[JsonlRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => jsonlRecordsOf(r).getOrElse(Nil)))
+  }
+
+  /** `.jsonl.zst` flavor (Dolma's actual wire format): bomb-guarded
+    * zstd inflate, then the same walk — the compression layer must be
+    * invisible to the record table (the .tar.gz/.tar.zst law).
+    */
+  private[graft] def jsonlZstRecordsOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[JsonlRecord]] = {
+    zstdInflate(r.content, maxInflated).flatMap(raw =>
+      jsonlRecordsOf(MediaRecord(r.id, "application/jsonl", raw)))
+  }
+
+  def jsonlZstRecords(ds: Dataset[MediaRecord]): Dataset[JsonlRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => jsonlZstRecordsOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row JSONL shard synthesis: `1 + id % 4` records of
+    * `{"id":"<doc>-<k>","seq":k,"n":<take>}` (take = the tar split of
+    * the text's byte length — ASCII lines, so every offset replays as
+    * octet_length arithmetic); every (id + k) % 7 == 0 line loses its
+    * closing brace — the malformed-line arm the caller's parse step
+    * must quarantine without losing the seek-table row.
+    */
+  def synthesizeJsonlShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tn = text.getBytes("UTF-8").length
+        val ns = 1 + (id % 4).toInt
+        val sb = new StringBuilder
+        var k = 0
+        while (k < ns) {
+          val take = tn / ns + (if (k < tn % ns) 1 else 0)
+          val full = s"""{"id":"$id-$k","seq":$k,"n":$take}"""
+          sb.append(
+            if ((id + k) % 7 == 0) full.substring(0, full.length - 1)
+            else full)
+          sb.append('\n')
+          k += 1
+        }
+        MediaRecord(id, "application/jsonl",
+          sb.result().getBytes("ISO-8859-1"))
+      }
+  }
+
+  /** [[synthesizeJsonlShard]] zstd-compressed at a fixed level. */
+  def synthesizeJsonlZstShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    synthesizeJsonlShard(df, idCol, textCol).map { r =>
+      MediaRecord(r.id, "application/zstd",
+        com.github.luben.zstd.Zstd.compress(r.content, 3))
+    }
   }
 
   // ---- PDF census ----------------------------------------------------

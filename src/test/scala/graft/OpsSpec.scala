@@ -1106,6 +1106,8 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.arrowIpcMessagesOf(nullRec).isEmpty)
     assert(MultimodalOps.warcGzHttpPagesOf(nullRec).isEmpty)
     assert(MultimodalOps.pdfMetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.jsonlRecordsOf(nullRec).isEmpty)
+    assert(MultimodalOps.jsonlZstRecordsOf(nullRec).isEmpty)
     val docs = Seq((1L, "some text"), (2L, null))
       .toDF("doc_id", "text")
     // null text synthesizes the empty-document shape, same as ""
@@ -1571,6 +1573,43 @@ class OpsSpec extends AnyFunSuite {
       5L, "p", "%PDX-1.4 nope".getBytes("ISO-8859-1"))).isEmpty)
   }
 
+  test("jsonl shard: seek table exact; truncated tail fails; zst invisible") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((6L, "abcdefghij"), (0L, "")).toDF("doc_id", "text")
+    val raw = MultimodalOps.synthesizeJsonlShard(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    // id 6 → 3 lines; (6+1)%7==0 → line 1 malformed (brace dropped)
+    val recs = MultimodalOps.jsonlRecordsOf(raw(6L)).get
+    assert(recs.length == 3)
+    assert(recs(0).line == """{"id":"6-0","seq":0,"n":4}""")
+    assert(recs(1).line == """{"id":"6-1","seq":1,"n":3""") // malformed kept
+    // offsets tile the shard exactly (each line + its newline)
+    assert(recs(0).offset == 0L)
+    recs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.offset == a.offset + a.nBytes + 1)
+    }
+    assert(recs.last.offset + recs.last.nBytes + 1 ==
+      raw(6L).content.length.toLong)
+    // slicing the shard at a seek row yields exactly that line
+    val r1 = new String(raw(6L).content, recs(1).offset.toInt,
+      recs(1).nBytes.toInt, "UTF-8")
+    assert(r1 == recs(1).line)
+    // strict framing: a shard not ending in a newline fails whole
+    val chopped = java.util.Arrays.copyOf(
+      raw(6L).content, raw(6L).content.length - 1)
+    assert(MultimodalOps.jsonlRecordsOf(
+      MultimodalOps.MediaRecord(6L, "j", chopped)).isEmpty)
+    // the zstd layer is invisible to the record table
+    val zst = MultimodalOps.synthesizeJsonlZstShard(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    assert(MultimodalOps.jsonlZstRecordsOf(zst(6L)).get == recs)
+    // a truncated zst frame fails the shard (totality: Option, no throw)
+    val m = java.util.Arrays.copyOf(zst(6L).content, zst(6L).content.length / 2)
+    assert(MultimodalOps.jsonlZstRecordsOf(
+      MultimodalOps.MediaRecord(6L, "j", m)).isEmpty)
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
@@ -1637,6 +1676,10 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.warcGzHttpPagesOf(r)),
       ("pdf", MultimodalOps.synthesizePdf(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
+      ("jsonl", MultimodalOps.synthesizeJsonlShard(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.jsonlRecordsOf(r)),
+      ("jsonl-zst", MultimodalOps.synthesizeJsonlZstShard(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.jsonlZstRecordsOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.avroBlocksOf(r)),
       ("iceberg", MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
