@@ -4662,6 +4662,16 @@ object SparkEntry {
     "q_jsonl_shard" -> jsonlShardOracleSql,
     "q_jsonl_zst_shard" -> jsonlShardOracleSql,
     
+    // EPUB replay: container path constant by synthesis, counts are
+    // id arithmetic (3 fixed members + one chapter per spine item)
+    "q_epub_meta" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 3 AS n FROM documents)
+        |SELECT doc_id,
+        |       'OEBPS/content.opf' AS opf_path,
+        |       CAST(3 + n AS BIGINT) AS n_members,
+        |       CAST(n AS BIGINT) AS n_manifest,
+        |       CAST(n AS BIGINT) AS n_spine
+        |FROM px ORDER BY doc_id""".stripMargin,
     // PDF replay: version constant, object count = catalog + page
     // tree + nPages pages + nPages content streams + the free entry
     "q_pdf_meta" ->
@@ -7417,6 +7427,19 @@ object SparkEntry {
             col("headerType").as("header_type"),
             col("nRows").as("n_rows"))
           .orderBy("doc_id", "msg_idx")
+      },
+      "q_epub_meta" -> { (s, dir) =>
+        // EPUB census (OCF): the ZIP walk + the container rules a
+        // reader depends on — mimetype-first-and-stored, container.xml
+        // → OPF path, manifest/spine counts
+        val media = MultimodalOps.synthesizeEpub(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.epubMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("opfPath").as("opf_path"),
+            col("nMembers").as("n_members"),
+            col("nManifest").as("n_manifest"),
+            col("nSpine").as("n_spine"))
+          .orderBy("doc_id")
       },
       "q_jsonl_shard" -> { (s, dir) =>
         // JSONL shard census (the Dolma/HF one-doc-per-line staple):

@@ -7108,6 +7108,134 @@ object MultimodalOps {
       }
   }
 
+  // ---- EPUB census ------------------------------------------------------
+
+  /** One EPUB's census row: the OPF package path from container.xml,
+    * member/manifest/spine counts — the e-book intake metadata (the
+    * PDF census's packaged-document sibling).
+    */
+  final case class EpubMeta(
+      id: Long, opfPath: String, nMembers: Long, nManifest: Long,
+      nSpine: Long, nBytes: Long)
+
+  /** EPUB census — a constrained ZIP (OCF, ISO/IEC 23736): rides
+    * [[zipMembersOf]]'s EOCD-first walk, then enforces the OCF rules
+    * a reader depends on — the FIRST member must be `mimetype`,
+    * STORED, with exactly `application/epub+zip` as content (read at
+    * the local header's own name/extra lengths); `META-INF/
+    * container.xml` must exist and name the OPF via `full-path`; the
+    * OPF (also STORED here) yields manifest/spine counts by tag scan.
+    * Compressed members would need the deflate step a census doesn't
+    * take — non-STORE mimetype/container/OPF reject honestly.  TOTAL
+    * on arbitrary bytes.
+    */
+  private[graft] def epubMetaOf(r: MediaRecord): Option[EpubMeta] = {
+    val b = r.content
+    val members = zipMembersOf(r).getOrElse(return None)
+    if (members.isEmpty) return None
+    def storedPayload(m: ZipMember): Option[String] = {
+      if (m.method != 0L) return None
+      val lo = m.localOff.toInt
+      if (lo < 0 || lo + 30 > b.length) return None
+      def u16(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+      val dataOff = lo + 30 + u16(lo + 26) + u16(lo + 28)
+      if (dataOff + m.compSize > b.length.toLong) return None
+      Some(new String(b, dataOff, m.compSize.toInt, "UTF-8"))
+    }
+    val first = members.head
+    if (first.name != "mimetype") return None
+    if (!storedPayload(first).contains("application/epub+zip")) return None
+    val container = members.find(_.name == "META-INF/container.xml")
+      .getOrElse(return None)
+    val cxml = storedPayload(container).getOrElse(return None)
+    val fp = "full-path=\"([^\"]+)\"".r.findFirstMatchIn(cxml)
+      .map(_.group(1)).getOrElse(return None)
+    val opf = members.find(_.name == fp).getOrElse(return None)
+    val oxml = storedPayload(opf).getOrElse(return None)
+    val nManifest = "<item ".r.findAllMatchIn(oxml).length.toLong
+    val nSpine = "<itemref".r.findAllMatchIn(oxml).length.toLong
+    Some(EpubMeta(r.id, fp, members.length.toLong, nManifest, nSpine,
+      b.length.toLong))
+  }
+
+  def epubMeta(ds: Dataset[MediaRecord]): Dataset[EpubMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(epubMetaOf))
+  }
+
+  /** Per-row EPUB synthesis: a spec-shaped OCF container — `mimetype`
+    * first and STORED, container.xml naming `OEBPS/content.opf`, an
+    * OPF with `1 + id % 3` chapters, one XHTML member per chapter
+    * carrying the tar-rule text split; classic ZIP with real CRCs
+    * (the JDK's ZipInputStream reads it back — the zip family's
+    * independent-reader discipline applies transitively).
+    */
+  def synthesizeEpub(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val n = 1 + (id % 3).toInt
+        val chapters = (0 until n).map { k =>
+          val take = payload.length / n + (if (k < payload.length % n) 1 else 0)
+          val from = (0 until k).map(j => payload.length / n +
+            (if (j < payload.length % n) 1 else 0)).sum
+          s"OEBPS/ch$k.xhtml" ->
+            ("<html><body><p>" +
+              new String(payload, from, take, "UTF-8") +
+              "</p></body></html>").getBytes("UTF-8")
+        }
+        val opf = ("<?xml version=\"1.0\"?><package version=\"3.0\">" +
+          "<manifest>" +
+          (0 until n).map(k =>
+            s"""<item id="c$k" href="ch$k.xhtml" media-type="application/xhtml+xml"/>""")
+            .mkString +
+          "</manifest><spine>" +
+          (0 until n).map(k => s"""<itemref idref="c$k"/>""").mkString +
+          "</spine></package>").getBytes("UTF-8")
+        val container = ("<?xml version=\"1.0\"?><container version=\"1.0\">" +
+          "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
+          "media-type=\"application/oebps-package+xml\"/></rootfiles>" +
+          "</container>").getBytes("UTF-8")
+        val members: Seq[(String, Array[Byte])] =
+          Seq("mimetype" -> "application/epub+zip".getBytes("US-ASCII"),
+            "META-INF/container.xml" -> container,
+            "OEBPS/content.opf" -> opf) ++ chapters
+        // classic STORE zip with real CRCs
+        def u16a(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        val crc = new java.util.zip.CRC32
+        val out = Array.newBuilder[Byte]
+        val locals = members.map { case (name, data) =>
+          crc.reset(); crc.update(data)
+          val nb = name.getBytes("US-ASCII")
+          val off = out.knownSize.toLong
+          out ++= Array[Byte](0x50, 0x4b, 0x03, 0x04) ++ u16a(20) ++
+            u16a(0) ++ u16a(0) ++ u16a(0) ++ u16a(0) ++ u32a(crc.getValue) ++
+            u32a(data.length.toLong) ++ u32a(data.length.toLong) ++
+            u16a(nb.length) ++ u16a(0) ++ nb ++ data
+          (name, data, crc.getValue, off)
+        }
+        val cdOff = out.knownSize.toLong
+        locals.foreach { case (name, data, c, off) =>
+          val nb = name.getBytes("US-ASCII")
+          out ++= Array[Byte](0x50, 0x4b, 0x01, 0x02) ++ u16a(20) ++ u16a(20) ++
+            u16a(0) ++ u16a(0) ++ u16a(0) ++ u16a(0) ++ u32a(c) ++
+            u32a(data.length.toLong) ++ u32a(data.length.toLong) ++
+            u16a(nb.length) ++ u16a(0) ++ u16a(0) ++ u16a(0) ++
+            u16a(0) ++ u32a(0L) ++ u32a(off) ++ nb
+        }
+        val cdSize = out.knownSize.toLong - cdOff
+        out ++= Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ u16a(0) ++ u16a(0) ++
+          u16a(locals.length) ++ u16a(locals.length) ++
+          u32a(cdSize) ++ u32a(cdOff) ++ u16a(0)
+        MediaRecord(id, "application/epub+zip", out.result())
+      }
+  }
+
   // ---- JSONL shard census ---------------------------------------------
 
   /** One JSONL record's seek-table row: byte offset and length of its

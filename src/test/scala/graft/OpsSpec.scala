@@ -1108,6 +1108,7 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.pdfMetaOf(nullRec).isEmpty)
     assert(MultimodalOps.jsonlRecordsOf(nullRec).isEmpty)
     assert(MultimodalOps.jsonlZstRecordsOf(nullRec).isEmpty)
+    assert(MultimodalOps.epubMetaOf(nullRec).isEmpty)
     val docs = Seq((1L, "some text"), (2L, null))
       .toDF("doc_id", "text")
     // null text synthesizes the empty-document shape, same as ""
@@ -1610,6 +1611,47 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(6L, "j", m)).isEmpty)
   }
 
+  test("epub: OCF rules enforced — mimetype first/stored/exact, JDK cross-read") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "chapter text for an epub " * 4), (0L, ""))
+      .toDF("doc_id", "text")
+    val epubs = MultimodalOps.synthesizeEpub(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- epubs) {
+      val m = MultimodalOps.epubMetaOf(rec).get
+      val n = 1 + (id % 3)
+      assert(m.opfPath == "OEBPS/content.opf" && m.nMembers == 3 + n &&
+        m.nManifest == n && m.nSpine == n)
+      // independent reader: the JDK's ZipInputStream sees the same
+      // members with the OCF-required order, and the mimetype content
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(rec.content))
+      val first = zin.getNextEntry
+      assert(first.getName == "mimetype" &&
+        first.getMethod == java.util.zip.ZipEntry.STORED)
+      assert(new String(zin.readAllBytes(), "US-ASCII") ==
+        "application/epub+zip")
+      var count = 1L
+      while (zin.getNextEntry != null) count += 1
+      zin.close()
+      assert(count == m.nMembers)
+    }
+    // OCF violations reject: wrong first member content, a zip with
+    // no container.xml (the plain shard), truncation
+    val bad = epubs(5L).content.clone()
+    // flip one content byte of the stored mimetype payload
+    val at = new String(bad, "ISO-8859-1").indexOf("application/epub+zip")
+    bad(at) = 'x'
+    assert(MultimodalOps.epubMetaOf(
+      MultimodalOps.MediaRecord(5L, "e", bad)).isEmpty)
+    val plainZip = MultimodalOps.synthesizeZipShard(docs, "doc_id", "text")
+      .collect().head
+    assert(MultimodalOps.epubMetaOf(plainZip).isEmpty)
+    assert(MultimodalOps.epubMetaOf(MultimodalOps.MediaRecord(5L, "e",
+      java.util.Arrays.copyOf(epubs(5L).content, 40))).isEmpty)
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
@@ -1678,6 +1720,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
       ("jsonl", MultimodalOps.synthesizeJsonlShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.jsonlRecordsOf(r)),
+      ("epub", MultimodalOps.synthesizeEpub(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.epubMetaOf(r)),
       ("jsonl-zst", MultimodalOps.synthesizeJsonlZstShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.jsonlZstRecordsOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
