@@ -351,6 +351,46 @@ object SparkEntry {
           items, lit("</urlset>"))))
   }
 
+  /** Synthesized syndication feed: every 3rd host publishes Atom
+    * (`<entry>` + link@href + `<updated>`), the rest RSS 2.0
+    * (`<item>` + element link + `<pubDate>`); `1 + id % 4` entries,
+    * the k=1 title carrying an `&amp;` entity, every (id+k)%6==0
+    * entry missing its link (dropped — nothing to crawl).  All
+    * closed-form for the oracle.
+    */
+  private def feedSynthCol: org.apache.spark.sql.Column = {
+    val d = col("doc_id").cast("string")
+    val isAtom = pmod(col("doc_id"), lit(3)) === 0
+    val n = (pmod(col("doc_id"), lit(4)) + 1).cast("int")
+    val items = array_join(transform(sequence(lit(0), n - 1), k => {
+      val ks = k.cast("string")
+      val title = concat(lit("Post "), d, lit("-"), ks,
+        when(k === 1, lit(" &amp; more")).otherwise(lit("")))
+      val noLink = pmod(col("doc_id") + k, lit(6)) === 0
+      when(isAtom,
+        concat(lit("<entry><title>"), title, lit("</title>"),
+          when(noLink, lit("")).otherwise(
+            concat(lit("<link href=\"https://example.com/"), d,
+              lit("/post"), ks, lit("\"/>"))),
+          lit("<updated>2026-01-0"),
+          (pmod(k, lit(9)) + 1).cast("string"),
+          lit("T00:00:00Z</updated></entry>")))
+        .otherwise(
+          concat(lit("<item><title>"), title, lit("</title>"),
+            when(noLink, lit("")).otherwise(
+              concat(lit("<link>https://example.com/"), d,
+                lit("/post"), ks, lit("</link>"))),
+            lit("<pubDate>0"), (pmod(k, lit(9)) + 1).cast("string"),
+            lit(" Jan 2026 00:00:00 GMT</pubDate></item>")))
+    }), "")
+    when(isAtom,
+      concat(lit("<?xml version=\"1.0\"?><feed xmlns=\"http://www.w3.org/2005/Atom\">"),
+        items, lit("</feed>")))
+      .otherwise(concat(
+        lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>"),
+        items, lit("</channel></rss>")))
+  }
+
   /** The registrable-domain CASE both URL oracles share (the SQL twin
     * of [[graft.ops.UrlOps.registrableDomain]]).
     */
@@ -4780,6 +4820,31 @@ object SparkEntry {
            |         || CASE WHEN path0 = '' THEN '/' ELSE path0 END
            |         || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_surt
            |FROM p ORDER BY doc_id""".stripMargin,
+    // feed replay: kept (link-bearing) entries re-indexed by a window
+    // — the (doc_id+k)%6 link-less arm must vanish without a gap
+    "q_feed_entries" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, doc_id % 3 = 0 AS atom, doc_id % 4 + 1 AS n
+        |  FROM documents),
+        |ks AS (SELECT doc_id, atom, unnest(generate_series(0, n - 1)) AS k FROM px),
+        |kept AS (SELECT doc_id, atom, k FROM ks WHERE (doc_id + k) % 6 <> 0),
+        |e AS (
+        |  SELECT doc_id, atom, k,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS entry_idx
+        |  FROM kept)
+        |SELECT doc_id,
+        |       CAST(entry_idx AS BIGINT) AS entry_idx,
+        |       CASE WHEN atom THEN 'atom' ELSE 'rss' END AS kind,
+        |       'Post ' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR) ||
+        |         CASE WHEN k = 1 THEN ' & more' ELSE '' END AS title,
+        |       'https://example.com/' || CAST(doc_id AS VARCHAR) || '/post' ||
+        |         CAST(k AS VARCHAR) AS link,
+        |       CASE WHEN atom THEN
+        |         '2026-01-0' || CAST(k % 9 + 1 AS VARCHAR) || 'T00:00:00Z'
+        |       ELSE
+        |         '0' || CAST(k % 9 + 1 AS VARCHAR) || ' Jan 2026 00:00:00 GMT'
+        |       END AS ts
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
     // sitemap replay: every entry is doc_id arithmetic — index hosts
     // (doc_id % 4 = 0) emit child-sitemap rows, the rest page rows
     // with the k=1 entity-decoded loc and the every-3rd lastmod drop
@@ -7582,6 +7647,19 @@ object SparkEntry {
         docs.select(col("doc_id"),
             UrlOps.surtKey(urlSynthCol).as("url_surt"))
           .orderBy("doc_id")
+      },
+      "q_feed_entries" -> { (s, dir) =>
+        // RSS/Atom feed census (the frontier's freshness signal next
+        // to sitemaps): items/entries with title, link (RSS element
+        // text vs Atom href attribute), raw timestamp; link-less
+        // entries dropped
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        UrlOps.feedEntries(
+            docs.select(col("doc_id"), feedSynthCol.as("xml")),
+            "doc_id", "xml")
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            col("kind"), col("title"), col("link"), col("ts"))
+          .orderBy("doc_id", "entry_idx")
       },
       "q_sitemap_entries" -> { (s, dir) =>
         // sitemap.xml census (robots' URL-discovery sibling): urlset

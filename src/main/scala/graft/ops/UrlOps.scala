@@ -213,6 +213,66 @@ object UrlOps {
       .toDF()
   }
 
+  // ---- RSS/Atom feed census -------------------------------------------
+
+  /** One feed entry: `kind` is `rss` (`<item>` in an RSS 2.0 channel)
+    * or `atom` (`<entry>` in an Atom feed); `ts` is the raw declared
+    * timestamp string (pubDate / updated — formats differ by kind, a
+    * census carries them verbatim), "" when absent.
+    */
+  final case class FeedEntry(
+      id: Long, entryIdx: Long, kind: String, title: String, link: String,
+      ts: String)
+
+  private val FeedItem = "(?s)<(item|entry)\\b[^>]*>(.*?)</\\1>".r
+  private val FeedTitle = "(?s)<title[^>]*>\\s*(.*?)\\s*</title>".r
+  private val FeedLinkRss = "(?s)<link>\\s*(.*?)\\s*</link>".r
+  private val FeedLinkAtom = "<link\\b[^>]*href=\"([^\"]*)\"".r
+  private val FeedTs = "(?s)<(pubDate|updated)>\\s*(.*?)\\s*</\\1>".r
+
+  /** Parse one syndication feed (RSS 2.0 `<item>`s or Atom
+    * `<entry>`s — the crawl-frontier's freshness signal next to
+    * sitemaps): title + link (Atom's is the `href` attribute, RSS's
+    * the element text) + the raw pubDate/updated string.  Entries
+    * without a link are dropped (nothing to crawl); the five standard
+    * entities decode in title and link.  Same scanning-parse
+    * discipline as the sitemap census.  TOTAL on arbitrary text.
+    */
+  private[graft] def feedEntriesOf(id: Long, xml: String): Seq[FeedEntry] = {
+    if (xml == null) return Nil
+    def unescape(s: String): String = s
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
+    val out = scala.collection.mutable.ArrayBuffer.empty[FeedEntry]
+    var idx = 0L
+    for (m <- FeedItem.findAllMatchIn(xml)) {
+      val kind = if (m.group(1) == "item") "rss" else "atom"
+      val body = m.group(2)
+      val link =
+        if (kind == "rss") FeedLinkRss.findFirstMatchIn(body).map(_.group(1))
+        else FeedLinkAtom.findFirstMatchIn(body).map(_.group(1))
+      link.map(unescape).filter(_.nonEmpty).foreach { l =>
+        val title = FeedTitle.findFirstMatchIn(body)
+          .map(t => unescape(t.group(1))).getOrElse("")
+        val ts = FeedTs.findFirstMatchIn(body).map(_.group(2)).getOrElse("")
+        out += FeedEntry(id, idx, kind, title, l, ts)
+        idx += 1
+      }
+    }
+    out.toSeq
+  }
+
+  def feedEntries(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(xmlCol).cast("string").as("x"))
+      .as[(Long, String)]
+      .flatMap { case (id, x) => feedEntriesOf(id, x) }
+      .toDF()
+  }
+
   // ---- robots.txt (RFC 9309) ----------------------------------------
 
   /** One parsed robots.txt rule row: the group it belongs to, one of

@@ -1415,6 +1415,28 @@ class OpsSpec extends AnyFunSuite {
     assert(UrlOps.sitemapEntriesOf(1L, "<urlset><url><loc></loc></url></urlset>").isEmpty)
   }
 
+  test("feed census: rss items and atom entries, link forms, linkless drop") {
+    import graft.ops.UrlOps
+    val rss = "<rss version=\"2.0\"><channel>" +
+      "<item><title>A &amp; B</title><link> https://a.com/1 </link>" +
+      "<pubDate>01 Jan 2026 00:00:00 GMT</pubDate></item>" +
+      "<item><title>no link, dropped</title></item>" +
+      "<item><link>https://a.com/2</link></item>" +
+      "</channel></rss>"
+    assert(UrlOps.feedEntriesOf(7L, rss) == Seq(
+      UrlOps.FeedEntry(7L, 0, "rss", "A & B", "https://a.com/1",
+        "01 Jan 2026 00:00:00 GMT"),
+      UrlOps.FeedEntry(7L, 1, "rss", "", "https://a.com/2", "")))
+    val atom = "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+      "<entry><title>T1</title><link rel=\"alternate\" href=\"https://b.io/x\"/>" +
+      "<updated>2026-01-02T00:00:00Z</updated></entry></feed>"
+    assert(UrlOps.feedEntriesOf(1L, atom) == Seq(
+      UrlOps.FeedEntry(1L, 0, "atom", "T1", "https://b.io/x",
+        "2026-01-02T00:00:00Z")))
+    assert(UrlOps.feedEntriesOf(1L, null).isEmpty)
+    assert(UrlOps.feedEntriesOf(1L, "plain prose").isEmpty)
+  }
+
   test("robots.txt: RFC 9309 parse, wildcard match, precedence, group selection") {
     import graft.ops.UrlOps
     // parser: comments, CRLF, case-insensitive fields, multi-agent
