@@ -4702,6 +4702,14 @@ object SparkEntry {
     "q_jsonl_shard" -> jsonlShardOracleSql,
     "q_jsonl_zst_shard" -> jsonlShardOracleSql,
     
+    // sniff replay: the synthesized arm IS the expected magic
+    "q_media_sniff" ->
+      s"""SELECT doc_id,
+        |       CASE doc_id % 8
+        |         WHEN 0 THEN 'pdf' WHEN 1 THEN 'tar' WHEN 2 THEN 'gzip'
+        |         WHEN 3 THEN 'zstd' WHEN 4 THEN 'warc' WHEN 5 THEN 'mp3-id3'
+        |         WHEN 6 THEN 'zip' ELSE 'arrow-ipc' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // EPUB replay: container path constant by synthesis, counts are
     // id arithmetic (3 fixed members + one chapter per spine item)
     "q_epub_meta" ->
@@ -7492,6 +7500,29 @@ object SparkEntry {
             col("headerType").as("header_type"),
             col("nRows").as("n_rows"))
           .orderBy("doc_id", "msg_idx")
+      },
+      "q_media_sniff" -> { (s, dir) =>
+        // intake classification: a MIXED corpus (eight formats by
+        // id % 8) classified by magic bytes BEFORE any per-format
+        // census — the dispatch stage a lake with dishonest
+        // extensions needs
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        def arm(m: Int)(f: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.Dataset[MultimodalOps.MediaRecord]) =
+          f(docs.filter(pmod(col("doc_id"), lit(8)) === m))
+        val mixed = Seq(
+          arm(0)(d => MultimodalOps.synthesizePdf(d, "doc_id", "text")),
+          arm(1)(d => MultimodalOps.synthesizeTarShard(d, "doc_id", "text")),
+          arm(2)(d => MultimodalOps.synthesizeWarcGz(d, "doc_id", "text")),
+          arm(3)(d => MultimodalOps.synthesizeJsonlZstShard(d, "doc_id", "text")),
+          arm(4)(d => MultimodalOps.synthesizeWarc(d, "doc_id", "text")),
+          arm(5)(d => MultimodalOps.synthesizeMp3Id3(d, "doc_id", "text")),
+          arm(6)(d => MultimodalOps.synthesizeZipShard(d, "doc_id", "text")),
+          arm(7)(d => MultimodalOps.synthesizeArrowIpc(d, "doc_id", "text")))
+          .reduce(_ union _)
+        MultimodalOps.sniff(mixed)
+          .select(col("id").as("doc_id"), col("kind"))
+          .orderBy("doc_id")
       },
       "q_epub_meta" -> { (s, dir) =>
         // EPUB census (OCF): the ZIP walk + the container rules a

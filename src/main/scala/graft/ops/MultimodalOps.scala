@@ -7108,6 +7108,63 @@ object MultimodalOps {
       }
   }
 
+  // ---- content sniffing ---------------------------------------------------
+
+  /** Magic-byte format detection — the intake stage before any
+    * per-format census: a production lake never promises its
+    * extensions are honest, so classify-by-magic, THEN dispatch to
+    * the format's walk.  Ordered checks over the headers the engine's
+    * own parsers gate on; containers report their CONTAINER (a .epub
+    * is "zip" here — the OCF census is the dispatch target), and
+    * formats without any magic (TFRecord, JSONL) are honestly
+    * "unknown".  TOTAL on arbitrary bytes.
+    */
+  private[graft] def sniffKind(b: Array[Byte]): String = {
+    if (b == null || b.length == 0) return "empty"
+    def at(off: Int, s: String): Boolean = {
+      val m = s.getBytes("ISO-8859-1")
+      off >= 0 && off + m.length <= b.length && {
+        var i = 0
+        while (i < m.length && b(off + i) == m(i)) i += 1
+        i == m.length
+      }
+    }
+    if (at(0, "%PDF-")) "pdf"
+    else if (at(0, "PK") && b.length >= 4 && b(2) == 3 && b(3) == 4) "zip"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) "zstd"
+    else if (at(0, "WARC/1.")) "warc"
+    else if (at(0, "ARROW1") && b.length >= 8 && b(6) == 0 && b(7) == 0) "arrow-ipc"
+    else if (at(0, "PAR1")) "parquet"
+    else if (at(0, "ORC")) "orc"
+    else if ((b(0) & 0xff) == 0x89 && at(1, "PNG")) "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) "jpeg"
+    else if (at(0, "GIF8")) "gif"
+    else if (at(0, "RIFF") && at(8, "WEBP")) "webp"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
+    else if (at(0, "BM")) "bmp"
+    else if (at(0, "fLaC")) "flac"
+    else if (at(0, "ID3")) "mp3-id3"
+    else if (at(0, "OggS")) "ogg"
+    else if (at(0, "GGUF")) "gguf"
+    else if (at(0, "Obj") && b.length >= 4 && b(3) == 1) "avro"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) "webm"
+    else if (at(4, "ftyp")) "isobmff"
+    else if (at(257, "ustar")) "tar"
+    else if ((b(0) & 0xff) == 0x93 && at(1, "NUMPY")) "npy"
+    else "unknown"
+  }
+
+  def sniff(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map(r => (r.id, sniffKind(r.content))))
+      .toDF("id", "kind")
+  }
+
   // ---- EPUB census ------------------------------------------------------
 
   /** One EPUB's census row: the OPF package path from container.xml,

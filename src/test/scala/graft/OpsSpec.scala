@@ -1674,6 +1674,47 @@ class OpsSpec extends AnyFunSuite {
       java.util.Arrays.copyOf(epubs(5L).content, 40))).isEmpty)
   }
 
+  test("sniff: every magic the engine parses classifies; no-magic formats honest") {
+    import graft.ops.MultimodalOps
+    def k(bytes: Array[Byte]): String = MultimodalOps.sniffKind(bytes)
+    def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    assert(k(ascii("%PDF-1.4\n...")) == "pdf")
+    assert(k(ascii("PK") ++ Array[Byte](3, 4) ++ ascii("rest")) == "zip")
+    assert(k(Array(0x1f.toByte, 0x8b.toByte, 8, 0)) == "gzip")
+    assert(k(Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte)) == "zstd")
+    assert(k(ascii("WARC/1.0\r\n")) == "warc")
+    assert(k(ascii("ARROW1") ++ Array[Byte](0, 0) ++ ascii("rest")) == "arrow-ipc")
+    assert(k(ascii("PAR1....")) == "parquet")
+    assert(k(ascii("ORC....")) == "orc")
+    assert(k(Array(0x89.toByte) ++ ascii("PNG\r\n")) == "png")
+    assert(k(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) == "jpeg")
+    assert(k(ascii("GIF89a..")) == "gif")
+    assert(k(ascii("RIFF1234WEBPVP8 ")) == "webp")
+    assert(k(ascii("RIFF1234WAVEfmt ")) == "wav")
+    assert(k(ascii("BM......")) == "bmp")
+    assert(k(ascii("fLaC....")) == "flac")
+    assert(k(ascii("ID3") ++ Array[Byte](3, 0) ++ ascii("....")) == "mp3-id3")
+    assert(k(ascii("OggS....")) == "ogg")
+    assert(k(ascii("GGUF....")) == "gguf")
+    assert(k(ascii("Obj") ++ Array[Byte](1) ++ ascii("meta")) == "avro")
+    assert(k(Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte)) == "webm")
+    assert(k(Array[Byte](0, 0, 0, 32) ++ ascii("ftypisom")) == "isobmff")
+    assert(k(new Array[Byte](257) ++ ascii("ustar")) == "tar")
+    assert(k(Array(0x93.toByte) ++ ascii("NUMPY")) == "npy")
+    // no-magic formats and junk are honestly unknown; empty is empty
+    assert(k(ascii("{\"id\":1}\n")) == "unknown") // jsonl has no magic
+    assert(k(ascii("just prose")) == "unknown")
+    assert(k(Array.emptyByteArray) == "empty")
+    assert(k(null) == "empty")
+    // real synthesized bytes classify as their container
+    import spark.implicits._
+    val one = Seq((8L, "text")).toDF("doc_id", "text")
+    assert(MultimodalOps.synthesizeEpub(one, "doc_id", "text")
+      .collect().forall(r => k(r.content) == "zip")) // container, not epub
+    assert(MultimodalOps.synthesizeOpus(one, "doc_id", "text")
+      .collect().forall(r => k(r.content) == "ogg"))
+  }
+
   test("media parsers never throw on mutated/truncated bytes (fuzz, seeded)") {
     // the 100 TB contract: a malformed payload must yield None, never
     // an exception that kills the pass.  Seeded fuzz: take each
