@@ -42,8 +42,9 @@ object ShardProbe extends Serializable {
     // synthesis cost (e.g. gzip-DEFLATING incompressible payloads)
     // would otherwise dominate the fused pipeline and mis-attribute
     val censusOnly = args.length > 5 && args(5) == "cached"
-    require(Set("tar", "targz", "tarzst", "zip", "tfrecord", "warcgz").contains(fmt),
-      s"fmt $fmt must be tar|targz|tarzst|zip|tfrecord|warcgz")
+    require(Set("tar", "targz", "tarzst", "zip", "tfrecord", "warcgz",
+      "jsonlzst").contains(fmt),
+      s"fmt $fmt must be tar|targz|tarzst|zip|tfrecord|warcgz|jsonlzst")
     val spark = SparkSession.builder()
       .master(s"local[$conc]")
       .config("spark.sql.shuffle.partitions", conc)
@@ -54,6 +55,10 @@ object ShardProbe extends Serializable {
 
     val memberBytes = memberKB * 1024
     val paddedMember = 512 + (memberBytes + 511) / 512 * 512
+
+    /** byte length of probe JSONL line (id, k): envelope + hex body */
+    def jsonlLineLen(id: Long, k: Int): Int =
+      s"""{"id":"$id-$k","body":"""".length + memberBytes + 2
 
     /** Exact raw (pre-gzip) bytes of warc shard `id`: the header is
       * built with a zero-length dummy payload, corrected for the
@@ -71,6 +76,11 @@ object ShardProbe extends Serializable {
       case "zip" => // locals (30 + 17-char name + data) + centrals + EOCD
         membersPerShard.toLong * (30 + 17 + memberBytes) +
           membersPerShard.toLong * (46 + 17) + 22L
+      case "jsonlzst" => // raw JSONL bytes: per line, a fixed JSON
+        // envelope around a memberKB hex body (ASCII, so raw size is
+        // closed-form); REQUIRE-matched via the census's nBytes sum
+        (0 until membersPerShard).map(k =>
+          jsonlLineLen(0L, k).toLong + 1L).sum
       case "warcgz" => warcRawOf(0L) // raw (uncompressed) record
         // bytes of shard 0; per-shard totals vary only by URI digit
         // counts — the exact cross-shard sum feeds totalRaw below and
@@ -191,6 +201,29 @@ object ShardProbe extends Serializable {
         case "tarzst" => MediaRecord(id, "application/zstd",
           com.github.luben.zstd.Zstd.compress(buildShard(id), 3))
         case "zip" => MediaRecord(id, "application/zip", buildZipShard(id))
+        case "jsonlzst" =>
+          // one JSON doc per line, hex-of-LCG bodies (compressible
+          // ~2:1, the realistic text-shard ratio), whole shard one
+          // zstd frame (the Dolma layout)
+          val sb = new java.lang.StringBuilder(shardBytes.toInt + 64)
+          var lcg = id * 6364136223846793005L + 1442695040888963407L
+          var k = 0
+          val hex = "0123456789abcdef".toCharArray
+          while (k < membersPerShard) {
+            sb.append("{\"id\":\"").append(id).append('-').append(k)
+              .append("\",\"body\":\"")
+            var i = 0
+            while (i < memberBytes) {
+              lcg = lcg * 6364136223846793005L + 1442695040888963407L
+              sb.append(hex(((lcg >>> 60) & 0xf).toInt))
+              i += 1
+            }
+            sb.append("\"}\n")
+            k += 1
+          }
+          MediaRecord(id, "application/zstd",
+            com.github.luben.zstd.Zstd.compress(
+              sb.toString.getBytes("ISO-8859-1"), 3))
         case "warcgz" =>
           // one gzip member per response record (the Common Crawl
           // shape), LCG payloads (~incompressible — worst-case inflate)
@@ -240,6 +273,9 @@ object ShardProbe extends Serializable {
       case "warcgz" => MultimodalOps.warcGzRecords(timedShards).toDF()
         .select(col("id"), col("contentLength").as("size"),
           col("recordBytes").as("rec_bytes"))
+      case "jsonlzst" => MultimodalOps.jsonlZstRecords(timedShards).toDF()
+        .select(col("id"), lit(memberBytes.toLong).as("size"),
+          (col("nBytes") + 1L).as("rec_bytes"))
       case _ => MultimodalOps.tfRecords(timedShards).toDF()
         .select(col("id"), col("length").as("size"), lit(0L).as("rec_bytes"))
     }
@@ -251,8 +287,12 @@ object ShardProbe extends Serializable {
     val wall = (System.nanoTime() - t0) / 1e9
     val totalRaw =
       if (fmt == "warcgz") (0L until nShards.toLong).map(warcRawOf).sum
+      else if (fmt == "jsonlzst")
+        (0L until nShards.toLong).map(id =>
+          (0 until membersPerShard).map(k =>
+            jsonlLineLen(id, k).toLong + 1L).sum).sum
       else nShards.toLong * shardBytes
-    if (fmt == "warcgz")
+    if (fmt == "warcgz" || fmt == "jsonlzst")
       require(sumRecBytes == totalRaw,
         s"census recordBytes sum $sumRecBytes != computed raw $totalRaw")
     require(nShardsSeen == nShards.toLong,
