@@ -7137,24 +7137,27 @@ object MultimodalOps {
     else if (at(0, "WARC/1.")) "warc"
     else if (at(0, "ARROW1") && b.length >= 8 && b(6) == 0 && b(7) == 0) "arrow-ipc"
     else if (at(0, "PAR1")) "parquet"
-    else if (at(0, "ORC")) "orc"
     else if ((b(0) & 0xff) == 0x89 && at(1, "PNG")) "png"
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff) "jpeg"
     else if (at(0, "GIF8")) "gif"
     else if (at(0, "RIFF") && at(8, "WEBP")) "webp"
     else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
-    else if (at(0, "BM")) "bmp"
     else if (at(0, "fLaC")) "flac"
-    else if (at(0, "ID3")) "mp3-id3"
     else if (at(0, "OggS")) "ogg"
     else if (at(0, "GGUF")) "gguf"
-    else if (at(0, "Obj") && b.length >= 4 && b(3) == 1) "avro"
     else if (b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
       (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) "webm"
     else if (at(4, "ftyp")) "isobmff"
-    else if (at(257, "ustar")) "tar"
     else if ((b(0) & 0xff) == 0x93 && at(1, "NUMPY")) "npy"
+    // tar's magic sits at offset 257 — deep, so check it BEFORE the
+    // weak 2-3-byte prefixes below: a tar whose first member NAME
+    // starts with "BM"/"ORC"/"ID3"/"Obj" must not misclassify
+    else if (at(257, "ustar")) "tar"
+    else if (at(0, "ORC")) "orc"
+    else if (at(0, "BM")) "bmp"
+    else if (at(0, "ID3")) "mp3-id3"
+    else if (at(0, "Obj") && b.length >= 4 && b(3) == 1) "avro"
     else "unknown"
   }
 

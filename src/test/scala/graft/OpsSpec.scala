@@ -1701,6 +1701,19 @@ class OpsSpec extends AnyFunSuite {
     assert(k(Array[Byte](0, 0, 0, 32) ++ ascii("ftypisom")) == "isobmff")
     assert(k(new Array[Byte](257) ++ ascii("ustar")) == "tar")
     assert(k(Array(0x93.toByte) ++ ascii("NUMPY")) == "npy")
+    // precedence: tar's DEEP offset-257 magic beats the weak 2-3-byte
+    // prefixes — a tar whose first member is named "BMfoo" or
+    // "ID3.mp3" is still a tar
+    import spark.implicits._
+    for (trap <- Seq("BMfoo.bin", "ID3.mp3", "ORCfile", "ObjX")) {
+      val tarTrap = MultimodalOps.synthesizeTarShard(
+        Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().head.content.clone()
+      java.util.Arrays.fill(tarTrap, 0, 100, 0.toByte)
+      trap.getBytes("US-ASCII").copyToArray(tarTrap, 0)
+      // (checksum now stale, but the sniffer only reads magic)
+      assert(k(tarTrap) == "tar", trap)
+    }
     // no-magic formats and junk are honestly unknown; empty is empty
     assert(k(ascii("{\"id\":1}\n")) == "unknown") // jsonl has no magic
     assert(k(ascii("just prose")) == "unknown")
