@@ -3727,6 +3727,26 @@ object SparkEntry {
       |       CAST(NOT bad AS BIGINT) AS valid
       |FROM o ORDER BY doc_id, rec_idx""".stripMargin
 
+  /** The EXIF field oracle — shared verbatim by q_multimodal_tiff:
+    * a standalone .tif file is exactly the TIFF block APP1 carries,
+    * so the JPEG-wrapped and bare flavors must census identically
+    * (the two-physical-paths-one-oracle pattern).
+    */
+  private val exifFieldsOracleSql: String =
+      s"""SELECT doc_id,
+        |       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |       'C' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT) AS has_gps,
+        |       CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 90 END AS BIGINT) AS lat_deg,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 60 END AS BIGINT) AS lat_min,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id * 7 % 60 END AS BIGINT) AS lat_sec,
+        |       CASE WHEN doc_id % 4 = 0 THEN '' WHEN (doc_id // 2) % 2 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 180 END AS BIGINT) AS lon_deg,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id * 3 % 60 END AS BIGINT) AS lon_min,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id * 11 % 60 END AS BIGINT) AS lon_sec
+        |FROM documents ORDER BY doc_id""".stripMargin
+
   /** q_warc_cdx's oracle — shared verbatim by the streaming flavor
     * (q_warc_cdx_stream): the drained stream must equal the batch
     * census row-for-row, the two-physical-paths-one-oracle pattern.
@@ -5048,20 +5068,8 @@ object SparkEntry {
     // EXIF replay: every field is the synthesis parameterization
     // (fixed little-endian TIFF layout, so the whole block is id
     // arithmetic); GPS-less rows (id % 4 = 0) carry empty refs/zeros
-    "q_multimodal_exif" ->
-      s"""SELECT doc_id,
-        |       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
-        |       'C' || CAST(doc_id % 5 AS VARCHAR) AS make,
-        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT) AS has_gps,
-        |       CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
-        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 90 END AS BIGINT) AS lat_deg,
-        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 60 END AS BIGINT) AS lat_min,
-        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id * 7 % 60 END AS BIGINT) AS lat_sec,
-        |       CASE WHEN doc_id % 4 = 0 THEN '' WHEN (doc_id // 2) % 2 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
-        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 180 END AS BIGINT) AS lon_deg,
-        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id * 3 % 60 END AS BIGINT) AS lon_min,
-        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id * 11 % 60 END AS BIGINT) AS lon_sec
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_exif" -> exifFieldsOracleSql,
+    "q_multimodal_tiff" -> exifFieldsOracleSql,
     // EXIF-strip governance replay: the APP1 segment is the only thing
     // removed, so the byte deltas are the fixed TIFF-layout sizes
     "q_multimodal_exif_strip" ->
@@ -7784,6 +7792,21 @@ object SparkEntry {
         val media = MultimodalOps.synthesizeExifJpeg(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         MultimodalOps.exifMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("orientation"), col("make"),
+            col("hasGps").as("has_gps"),
+            col("latRef").as("lat_ref"), col("latDeg").as("lat_deg"),
+            col("latMin").as("lat_min"), col("latSec").as("lat_sec"),
+            col("lonRef").as("lon_ref"), col("lonDeg").as("lon_deg"),
+            col("lonMin").as("lon_min"), col("lonSec").as("lon_sec"))
+          .orderBy("doc_id")
+      },
+      "q_multimodal_tiff" -> { (s, dir) =>
+        // standalone .tif census: the same IFD walk at offset 0 —
+        // shares q_multimodal_exif's oracle verbatim (bare vs
+        // JPEG-wrapped TIFF must census identically)
+        val media = MultimodalOps.synthesizeTiff(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.tiffMeta(media).toDF()
           .select(col("id").as("doc_id"), col("orientation"), col("make"),
             col("hasGps").as("has_gps"),
             col("latRef").as("lat_ref"), col("latDeg").as("lat_deg"),

@@ -4002,6 +4002,46 @@ object MultimodalOps {
     * Fixed offsets, so the whole layout replays from
     * (id, octet_length(text)).
     */
+  /** The deterministic LE TIFF block both EXIF flavors share:
+    * orientation + make entries, a GPS IFD with deg/min/sec rationals
+    * for 3 of 4 ids — every field replays from id arithmetic.
+    */
+  private[graft] def exifTiffBytes(id: Long): Array[Byte] = {
+    def u16a(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+    def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def entry(tag: Int, tpe: Int, cnt: Long, value: Array[Byte]): Array[Byte] =
+      u16a(tag) ++ u16a(tpe) ++ u32a(cnt) ++ value.padTo(4, 0.toByte)
+    val hasGps = id % 4 != 0
+    val make = ("C" + (id % 5)).getBytes("US-ASCII") :+ 0.toByte // 3 incl NUL
+    val ifd0Count = if (hasGps) 3 else 2
+    val ifd0Len = 2 + ifd0Count * 12 + 4
+    val gpsIfdOff = 8L + ifd0Len
+    val ifd0 =
+      u16a(ifd0Count) ++
+        entry(0x010f, 2, make.length.toLong, make) ++
+        entry(0x0112, 3, 1L, u16a((1 + id % 8).toInt) ++ Array[Byte](0, 0)) ++
+        (if (hasGps) entry(0x8825, 4, 1L, u32a(gpsIfdOff)) else Array.empty[Byte]) ++
+        u32a(0L)
+    if (!hasGps) "II".getBytes("US-ASCII") ++ u16a(42) ++ u32a(8L) ++ ifd0
+    else {
+      val latOff = gpsIfdOff + 2 + 4 * 12 + 4
+      val lonOff = latOff + 24
+      val gps =
+        u16a(4) ++
+          entry(0x0001, 2, 2L, (if (id % 2 == 0) "N" else "S").getBytes("US-ASCII") :+ 0.toByte) ++
+          entry(0x0002, 5, 3L, u32a(latOff)) ++
+          entry(0x0003, 2, 2L, (if ((id / 2) % 2 == 0) "E" else "W").getBytes("US-ASCII") :+ 0.toByte) ++
+          entry(0x0004, 5, 3L, u32a(lonOff)) ++
+          u32a(0L)
+      val latData = u32a(id % 90) ++ u32a(1L) ++ u32a(id % 60) ++ u32a(1L) ++
+        u32a(id * 7 % 60) ++ u32a(1L)
+      val lonData = u32a(id % 180) ++ u32a(1L) ++ u32a(id * 3 % 60) ++ u32a(1L) ++
+        u32a(id * 11 % 60) ++ u32a(1L)
+      "II".getBytes("US-ASCII") ++ u16a(42) ++ u32a(8L) ++ ifd0 ++ gps ++ latData ++ lonData
+    }
+  }
+
   def synthesizeExifJpeg(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("id"),
@@ -4009,40 +4049,7 @@ object MultimodalOps {
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
-        def u16a(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
-        def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
-          (v >> 16).toByte, (v >> 24).toByte)
-        def entry(tag: Int, tpe: Int, cnt: Long, value: Array[Byte]): Array[Byte] =
-          u16a(tag) ++ u16a(tpe) ++ u32a(cnt) ++ value.padTo(4, 0.toByte)
-        val hasGps = id % 4 != 0
-        val make = ("C" + (id % 5)).getBytes("US-ASCII") :+ 0.toByte // 3 incl NUL
-        val ifd0Count = if (hasGps) 3 else 2
-        val ifd0Len = 2 + ifd0Count * 12 + 4
-        val gpsIfdOff = 8L + ifd0Len
-        val ifd0 =
-          u16a(ifd0Count) ++
-            entry(0x010f, 2, make.length.toLong, make) ++
-            entry(0x0112, 3, 1L, u16a((1 + id % 8).toInt) ++ Array[Byte](0, 0)) ++
-            (if (hasGps) entry(0x8825, 4, 1L, u32a(gpsIfdOff)) else Array.empty[Byte]) ++
-            u32a(0L)
-        val tiff =
-          if (!hasGps) "II".getBytes("US-ASCII") ++ u16a(42) ++ u32a(8L) ++ ifd0
-          else {
-            val latOff = gpsIfdOff + 2 + 4 * 12 + 4
-            val lonOff = latOff + 24
-            val gps =
-              u16a(4) ++
-                entry(0x0001, 2, 2L, (if (id % 2 == 0) "N" else "S").getBytes("US-ASCII") :+ 0.toByte) ++
-                entry(0x0002, 5, 3L, u32a(latOff)) ++
-                entry(0x0003, 2, 2L, (if ((id / 2) % 2 == 0) "E" else "W").getBytes("US-ASCII") :+ 0.toByte) ++
-                entry(0x0004, 5, 3L, u32a(lonOff)) ++
-                u32a(0L)
-            val latData = u32a(id % 90) ++ u32a(1L) ++ u32a(id % 60) ++ u32a(1L) ++
-              u32a(id * 7 % 60) ++ u32a(1L)
-            val lonData = u32a(id % 180) ++ u32a(1L) ++ u32a(id * 3 % 60) ++ u32a(1L) ++
-              u32a(id * 11 % 60) ++ u32a(1L)
-            "II".getBytes("US-ASCII") ++ u16a(42) ++ u32a(8L) ++ ifd0 ++ gps ++ latData ++ lonData
-          }
+        val tiff = exifTiffBytes(id)
         def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
         val app1Payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
         val out = Array.newBuilder[Byte]
@@ -4060,6 +4067,28 @@ object MultimodalOps {
         out += 0xff.toByte; out += 0xd9.toByte
         MediaRecord(id, "image/jpeg", out.result())
       }
+  }
+
+  /** Standalone .tif census — a TIFF FILE is exactly the TIFF block
+    * EXIF carries in APP1, so the same IFD walk applies at offset 0;
+    * the two flavors share one oracle (JPEG-wrapped vs bare must
+    * census identically).
+    */
+  private[graft] def tiffMetaOf(r: MediaRecord): Option[ExifMeta] = {
+    if (r.content == null) return None
+    parseTiff(r.id, r.content, 0, r.content.length)
+  }
+
+  def tiffMeta(ds: Dataset[MediaRecord]): Dataset[ExifMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(tiffMetaOf))
+  }
+
+  /** Per-row standalone TIFF synthesis: [[exifTiffBytes]] verbatim. */
+  def synthesizeTiff(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map(id => MediaRecord(id, "image/tiff", exifTiffBytes(id)))
   }
 
   /** WebVTT cue extraction — the video↔text ALIGNMENT surface a
@@ -7154,6 +7183,8 @@ object MultimodalOps {
     // weak 2-3-byte prefixes below: a tar whose first member NAME
     // starts with "BM"/"ORC"/"ID3"/"Obj" must not misclassify
     else if (at(257, "ustar")) "tar"
+    else if (at(0, "II") && b.length >= 4 && b(2) == 42 && b(3) == 0) "tiff"
+    else if (at(0, "MM") && b.length >= 4 && b(2) == 0 && b(3) == 42) "tiff"
     else if (at(0, "ORC")) "orc"
     else if (at(0, "BM")) "bmp"
     else if (at(0, "ID3")) "mp3-id3"

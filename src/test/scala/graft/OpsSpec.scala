@@ -1109,6 +1109,7 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.jsonlRecordsOf(nullRec).isEmpty)
     assert(MultimodalOps.jsonlZstRecordsOf(nullRec).isEmpty)
     assert(MultimodalOps.epubMetaOf(nullRec).isEmpty)
+    assert(MultimodalOps.tiffMetaOf(nullRec).isEmpty)
     val docs = Seq((1L, "some text"), (2L, null))
       .toDF("doc_id", "text")
     // null text synthesizes the empty-document shape, same as ""
@@ -1714,6 +1715,15 @@ class OpsSpec extends AnyFunSuite {
       // (checksum now stale, but the sniffer only reads magic)
       assert(k(tarTrap) == "tar", trap)
     }
+    assert(k(ascii("II") ++ Array[Byte](42, 0, 8, 0, 0, 0)) == "tiff")
+    assert(k(ascii("MM") ++ Array[Byte](0, 42, 0, 0, 0, 8)) == "tiff")
+    // standalone TIFF == the TIFF block EXIF wraps: same census
+    val tiffDoc = Seq((9L, "x")).toDF("doc_id", "text")
+    val bareTiff = MultimodalOps.tiffMeta(
+      MultimodalOps.synthesizeTiff(tiffDoc, "doc_id")).collect().toSeq
+    val wrapped = MultimodalOps.exifMeta(
+      MultimodalOps.synthesizeExifJpeg(tiffDoc, "doc_id", "text")).collect().toSeq
+    assert(bareTiff == wrapped && bareTiff.nonEmpty)
     // no-magic formats and junk are honestly unknown; empty is empty
     assert(k(ascii("{\"id\":1}\n")) == "unknown") // jsonl has no magic
     assert(k(ascii("just prose")) == "unknown")
@@ -1798,6 +1808,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.jsonlRecordsOf(r)),
       ("epub", MultimodalOps.synthesizeEpub(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.epubMetaOf(r)),
+      ("tiff", MultimodalOps.synthesizeTiff(docs, "doc_id")
+        .collect().map(_.content), r => MultimodalOps.tiffMetaOf(r)),
       ("jsonl-zst", MultimodalOps.synthesizeJsonlZstShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.jsonlZstRecordsOf(r)),
       ("avro", MultimodalOps.synthesizeAvro(docs, "doc_id", "text")
