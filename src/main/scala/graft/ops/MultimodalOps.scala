@@ -7476,7 +7476,11 @@ object MultimodalOps {
     val xo = xrefOffset.toInt
     if (!(b(xo) == 'x' && b(xo + 1) == 'r' && b(xo + 2) == 'e' &&
       b(xo + 3) == 'f')) return None
-    // walk subsections: lines "first count" then count 20-byte entries
+    // walk subsections: lines "first count" then count 20-byte entries.
+    // The span is capped: a lying startxref near offset 0 of a huge
+    // file must not force a file-sized string (xref+trailer is ~20 B
+    // per object — 32 MiB admits ~1.6M objects)
+    if (b.length - xo > (32 << 20)) return None
     val xrefText = new String(b, xo, b.length - xo, "ISO-8859-1")
     val lines = xrefText.split("\r\n|\r|\n").iterator
     if (!lines.hasNext || lines.next().trim != "xref") return None
