@@ -4821,18 +4821,41 @@ object SparkEntry {
         |       CAST(len AS BIGINT) AS content_length
         |FROM m ORDER BY doc_id, rec_idx""".stripMargin,
     // SURT replay: the identical lowercase/extract/reverse/sort steps
-    // over the same synthesized URL — byte-for-byte
+    // over the same synthesized URL — byte-for-byte, with the
+    // default-port strip gated on the extracted scheme; the alt arm
+    // derives the scheme×port keep/strip matrix independently from
+    // doc_id arithmetic
     "q_surt_keys" ->
       raw"""WITH u0 AS (
            |  SELECT doc_id, lower($urlSynthSql) AS lu FROM documents),
-           |h AS (
+           |h0 AS (
            |  SELECT doc_id, lu,
-           |         regexp_replace(regexp_replace(
-           |           regexp_extract(lu, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
-           |           ':(80|443)$$', ''), '^www\.', '') AS host,
+           |         regexp_extract(lu, '^([a-z][a-z0-9+.-]*)://', 1) AS sch,
+           |         regexp_extract(lu, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS hostport,
            |         regexp_extract(lu, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
            |         regexp_extract(lu, '\?([^#]*)', 1) AS q
            |  FROM u0),
+           |h AS (
+           |  SELECT doc_id, lu,
+           |         regexp_replace(
+           |           CASE WHEN sch = 'https' THEN regexp_replace(hostport, ':443$$', '')
+           |                WHEN sch = 'http'  THEN regexp_replace(hostport, ':80$$', '')
+           |                ELSE hostport END, '^www\.', '') AS host,
+           |         path0, q
+           |  FROM h0),
+           |alt AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS asch,
+           |         CASE doc_id % 3 WHEN 0 THEN '80' WHEN 1 THEN '443'
+           |              ELSE '8080' END AS aprt
+           |  FROM documents),
+           |alt2 AS (
+           |  SELECT doc_id,
+           |         'com,example,host' || CAST(doc_id AS VARCHAR) ||
+           |           CASE WHEN (asch = 'http' AND aprt = '80')
+           |                  OR (asch = 'https' AND aprt = '443') THEN ''
+           |                ELSE ':' || aprt END || ')/path' AS url_surt_alt
+           |  FROM alt),
            |p AS (
            |  SELECT doc_id,
            |         regexp_replace(host, ':[0-9]+$$', '') AS hostname,
@@ -4841,13 +4864,15 @@ object SparkEntry {
            |         array_to_string(list_sort(list_filter(
            |           string_split(q, '&'), x -> x <> '')), '&') AS qq
            |  FROM h)
-           |SELECT doc_id,
+           |SELECT p.doc_id,
            |       array_to_string(list_reverse(string_split(hostname, '.')), ',')
            |         || CASE WHEN port = '' THEN '' ELSE ':' || port END
            |         || ')'
            |         || CASE WHEN path0 = '' THEN '/' ELSE path0 END
-           |         || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_surt
-           |FROM p ORDER BY doc_id""".stripMargin,
+           |         || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS url_surt,
+           |       alt2.url_surt_alt
+           |FROM p JOIN alt2 ON p.doc_id = alt2.doc_id
+           |ORDER BY p.doc_id""".stripMargin,
     // feed replay: kept (link-bearing) entries re-indexed by a window
     // — the (doc_id+k)%6 link-less arm must vanish without a gap
     "q_feed_entries" ->
@@ -7679,12 +7704,24 @@ object SparkEntry {
       },
       "q_surt_keys" -> { (s, dir) =>
         // SURT urlkey (the cc-index/CDX sort key): reversed host
-        // labels, default-port drop, sorted query params — one
-        // codegen'd projection, the prefix-scan key that makes a
-        // domain's pages contiguous in a 100 TB index
+        // labels, SCHEME-AWARE default-port drop (:443 only for
+        // https, :80 only for http — https://h:80 keeps its port),
+        // sorted query params — one codegen'd projection, the
+        // prefix-scan key that makes a domain's pages contiguous in
+        // a 100 TB index.  The alt arm cycles scheme×port so every
+        // keep/strip case is pinned by the oracle.
         val docs = s.read.parquet(s"$dir/documents.parquet")
+        val altUrl = concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("http://"))
+            .otherwise(lit("https://")),
+          lit("Host"), col("doc_id").cast("string"), lit(".example.com:"),
+          element_at(
+            array(lit("80"), lit("443"), lit("8080")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+          lit("/Path"))
         docs.select(col("doc_id"),
-            UrlOps.surtKey(urlSynthCol).as("url_surt"))
+            UrlOps.surtKey(urlSynthCol).as("url_surt"),
+            UrlOps.surtKey(altUrl).as("url_surt_alt"))
           .orderBy("doc_id")
       },
       "q_feed_entries" -> { (s, dir) =>

@@ -7723,49 +7723,53 @@ object MultimodalOps {
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        // ONE allocator + schema + root per partition (native allocator
+        // setup/teardown is not per-record money); the task completion
+        // listener closes them even when a downstream limit stops the
+        // iterator before exhaustion
+        val alloc = new org.apache.arrow.memory.RootAllocator(1L << 28)
+        val fields = java.util.Arrays.asList(
+          org.apache.arrow.vector.types.pojo.Field.nullable("v",
+            new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)),
+          org.apache.arrow.vector.types.pojo.Field.nullable("s",
+            org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE))
+        val schema = new org.apache.arrow.vector.types.pojo.Schema(fields)
+        val root = org.apache.arrow.vector.VectorSchemaRoot.create(schema, alloc)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            root.close(); alloc.close()
+          })
+        val vv = root.getVector("v")
+          .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        val sv = root.getVector("s")
+          .asInstanceOf[org.apache.arrow.vector.VarCharVector]
         it.map { case (id, text) =>
-          val alloc = new org.apache.arrow.memory.RootAllocator(1L << 28)
+          val baos = new java.io.ByteArrayOutputStream(1024)
+          val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+            root, null, java.nio.channels.Channels.newChannel(baos))
           try {
-            val fields = java.util.Arrays.asList(
-              org.apache.arrow.vector.types.pojo.Field.nullable("v",
-                new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, true)),
-              org.apache.arrow.vector.types.pojo.Field.nullable("s",
-                org.apache.arrow.vector.types.pojo.ArrowType.Utf8.INSTANCE))
-            val schema = new org.apache.arrow.vector.types.pojo.Schema(fields)
-            val root = org.apache.arrow.vector.VectorSchemaRoot.create(schema, alloc)
-            try {
-              val baos = new java.io.ByteArrayOutputStream(1024)
-              val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
-                root, null, java.nio.channels.Channels.newChannel(baos))
-              try {
-                writer.start()
-                val nb = 1 + (id % 4).toInt
-                val vv = root.getVector("v")
-                  .asInstanceOf[org.apache.arrow.vector.BigIntVector]
-                val sv = root.getVector("s")
-                  .asInstanceOf[org.apache.arrow.vector.VarCharVector]
-                val toks = text.split("\\s+").filter(_.nonEmpty)
-                var bk = 0
-                while (bk < nb) {
-                  val rows = 1 + ((id + bk) % 5).toInt
-                  root.allocateNew()
-                  var i = 0
-                  while (i < rows) {
-                    vv.setSafe(i, id * 100 + bk * 10 + i)
-                    sv.setSafe(i, (if (toks.isEmpty) "" else
-                      toks((bk + i) % toks.length)).getBytes("UTF-8"))
-                    i += 1
-                  }
-                  root.setRowCount(rows)
-                  writer.writeBatch()
-                  bk += 1
-                }
-                writer.end()
-              } finally writer.close()
-              MediaRecord(id, "application/vnd.apache.arrow.file",
-                baos.toByteArray)
-            } finally root.close()
-          } finally alloc.close()
+            writer.start()
+            val nb = 1 + (id % 4).toInt
+            val toks = text.split("\\s+").filter(_.nonEmpty)
+            var bk = 0
+            while (bk < nb) {
+              val rows = 1 + ((id + bk) % 5).toInt
+              root.allocateNew()
+              var i = 0
+              while (i < rows) {
+                vv.setSafe(i, id * 100 + bk * 10 + i)
+                sv.setSafe(i, (if (toks.isEmpty) "" else
+                  toks((bk + i) % toks.length)).getBytes("UTF-8"))
+                i += 1
+              }
+              root.setRowCount(rows)
+              writer.writeBatch()
+              bk += 1
+            }
+            writer.end()
+          } finally writer.close()
+          MediaRecord(id, "application/vnd.apache.arrow.file",
+            baos.toByteArray)
         }
       }
   }

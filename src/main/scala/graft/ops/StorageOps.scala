@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object StorageOps {
 
+  /** Hard cap on any single ORC tail read (postscript + footer).  A
+    * real ORC footer is KBs-to-MBs; a corrupt postscript can declare
+    * any varint, and the cap turns that into a clean reject instead
+    * of a multi-GiB allocation (or, past 2 GiB, an Int overflow).
+    */
+  private val MaxOrcFooterRead: Long = 256L * 1024 * 1024
+
   /** Parquet footer census — the lake introspecting its OWN format:
     * one row per column chunk per row group with the exact row,
     * value, and byte accounting a compaction/repartition planner
@@ -381,6 +388,14 @@ object StorageOps {
           val fs = hp.getFileSystem(conf)
           val len = fs.getFileStatus(hp).getLen
           def readTail(n: Long): Array[Byte] = {
+            // clamp BEFORE .toInt: on a >2 GiB file whose corrupt
+            // postscript reports a bogus huge footerLen, min(len, n)
+            // can exceed Int.MaxValue and a bare .toInt would go
+            // negative -> NegativeArraySizeException instead of the
+            // intended clean reject below
+            require(n > 0 && n <= MaxOrcFooterRead,
+              s"orcFooters: $p declares a footer read of $n bytes " +
+                s"(cap $MaxOrcFooterRead) — corrupt postscript")
             val want = math.min(len, n).toInt
             val buf = new Array[Byte](want)
             val in = fs.open(hp)

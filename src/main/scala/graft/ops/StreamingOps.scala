@@ -253,6 +253,10 @@ object StreamingOps {
       .load(dir)
       .select(regexp_extract(col("path"), "(\\d+)\\.tar$", 1)
         .cast(LongType).as("id"), col("content"))
+      // a glob-matching file WITHOUT a numeric name (backup.tar landing
+      // in the zone) extracts '' -> null id; dropping it here keeps the
+      // typed flatMap total instead of NPE-killing the whole query
+      .filter(col("id").isNotNull)
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         MultimodalOps.tarMembersOf(
@@ -757,6 +761,10 @@ object StreamingOps {
       .load(dir)
       .select(regexp_extract(col("path"), "(\\d+)\\.warc\\.gz$", 1)
         .cast(LongType).as("id"), col("content"))
+      // same non-numeric-name guard as the tar flavor: '' -> null id
+      // rows are dropped, not NPE'd, so one stray backup.warc.gz
+      // can't kill the streaming query
+      .filter(col("id").isNotNull)
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         MultimodalOps.warcGzRecordsOf(

@@ -131,8 +131,13 @@ object UrlOps {
     */
   def surtKey(u: Column): Column = {
     val lu = lower(u)
+    val scheme = regexp_extract(lu, "^([a-z][a-z0-9+.-]*)://", 1)
     val hostPort = regexp_extract(lu, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
-    val host0 = regexp_replace(hostPort, ":(80|443)$", "")
+    // Default-port strip is SCHEME-AWARE (:443 only for https, :80 only
+    // for http) — https://h:80/ keeps its port; it is not the default.
+    val host0 = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
     val host = regexp_replace(host0, "^www\\.", "")
     val hostName = regexp_replace(host, ":[0-9]+$", "")
     val port = regexp_extract(host, ":([0-9]+)$", 1)

@@ -205,7 +205,11 @@ object ShardProbe extends Serializable {
           // one JSON doc per line, hex-of-LCG bodies (compressible
           // ~2:1, the realistic text-shard ratio), whole shard one
           // zstd frame (the Dolma layout)
-          val sb = new java.lang.StringBuilder(shardBytes.toInt + 64)
+          // capacity is only a hint — clamp it so a >2 GiB configured
+          // shard size can't go negative through .toInt and throw
+          // NegativeArraySizeException before the probe runs
+          val sb = new java.lang.StringBuilder(
+            math.min(shardBytes, (Int.MaxValue - 64).toLong).toInt + 64)
           var lcg = id * 6364136223846793005L + 1442695040888963407L
           var k = 0
           val hex = "0123456789abcdef".toCharArray

@@ -1380,7 +1380,10 @@ class OpsSpec extends AnyFunSuite {
       "HTTP://WWW.Ex.Co.UK:80/Path/Sub?z=1&y=2#frag",
       "https://single:8443",
       "http://h.io/",
-      "https://www.q.org/p?&a=1&")
+      "https://www.q.org/p?&a=1&",
+      "https://h.io:80/",
+      "http://h.io:443/",
+      "https://h.io:443/")
       .toDF("u")
       .select(graft.ops.UrlOps.surtKey(col("u")))
       .as[String].collect().toSeq
@@ -1389,7 +1392,10 @@ class OpsSpec extends AnyFunSuite {
       "uk,co,ex)/path/sub?y=2&z=1",
       "single:8443)/",   // non-default port kept, empty path → /
       "io,h)/",
-      "org,q)/p?a=1"))   // empty params dropped, fragment gone
+      "org,q)/p?a=1",    // empty params dropped, fragment gone
+      "io,h:80)/",       // :80 is NOT https's default — kept
+      "io,h:443)/",      // :443 is NOT http's default — kept
+      "io,h)/"))         // :443 IS https's default — stripped
   }
 
   test("sitemap.xml: urlset and index entries, entity decode, missing-loc drop") {
