@@ -4747,7 +4747,32 @@ object SparkEntry {
         |SELECT doc_id,
         |       '1.4' AS version,
         |       CAST(3 + 2 * np AS BIGINT) AS n_objects,
-        |       CAST(np AS BIGINT) AS n_pages
+        |       CAST(np AS BIGINT) AS n_pages,
+        |       CAST(1 AS BIGINT) AS n_sections,
+        |       'classic' AS layout
+        |FROM px ORDER BY doc_id""".stripMargin,
+    // xref-stream replay: even ids add the object stream (+1 object);
+    // the xref stream object itself is always one more
+    "q_pdf_meta_xrs" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 4 AS np FROM documents)
+        |SELECT doc_id,
+        |       '1.5' AS version,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 4 END
+        |            + 2 * np AS BIGINT) AS n_objects,
+        |       CAST(np AS BIGINT) AS n_pages,
+        |       CAST(1 AS BIGINT) AS n_sections,
+        |       'xref-stream' AS layout
+        |FROM px ORDER BY doc_id""".stripMargin,
+    // incremental replay: the appended revision adds one info object
+    // (/Size + 1) and a second xref section chained via /Prev
+    "q_pdf_meta_incr" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 4 AS np FROM documents)
+        |SELECT doc_id,
+        |       '1.4' AS version,
+        |       CAST(4 + 2 * np AS BIGINT) AS n_objects,
+        |       CAST(np AS BIGINT) AS n_pages,
+        |       CAST(2 AS BIGINT) AS n_sections,
+        |       'classic' AS layout
         |FROM px ORDER BY doc_id""".stripMargin,
     // crawl-faithful e2e replay: q_cc_e2e's chain gated on the
     // synthesized status rule (404 for doc_id % 7 = 0) with the
@@ -7609,13 +7634,41 @@ object SparkEntry {
       "q_pdf_meta" -> { (s, dir) =>
         // PDF structure census: header version gate, startxref window,
         // classic xref walk with every in-use offset bounds-checked,
-        // trailer /Size == entry count, page-tree /Count — the
-        // document-corpus intake metadata; xref streams reject
+        // chain coverage == /Size, page-tree /Count resolved through
+        // the xref — the document-corpus intake metadata
         val media = MultimodalOps.synthesizePdf(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         MultimodalOps.pdfMeta(media).toDF()
           .select(col("id").as("doc_id"), col("version"),
-            col("nObjects").as("n_objects"), col("nPages").as("n_pages"))
+            col("nObjects").as("n_objects"), col("nPages").as("n_pages"),
+            col("nSections").as("n_sections"), col("layout"))
+          .orderBy("doc_id")
+      },
+      "q_pdf_meta_xrs" -> { (s, dir) =>
+        // PDF >= 1.5 cross-reference STREAMS — the modern-producer
+        // default layout: /W field widths, /Index subsections,
+        // FlateDecode with PNG predictors, type-2 entries resolved
+        // through /Type/ObjStm object streams; the catalog uses the
+        // no-whitespace /Type/Catalog form the tokenizer must accept
+        val media = MultimodalOps.synthesizePdfXrs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.pdfMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("version"),
+            col("nObjects").as("n_objects"), col("nPages").as("n_pages"),
+            col("nSections").as("n_sections"), col("layout"))
+          .orderBy("doc_id")
+      },
+      "q_pdf_meta_incr" -> { (s, dir) =>
+        // incrementally-updated classic PDF (an editor re-save): the
+        // census follows the trailer /Prev chain, counts coverage
+        // across BOTH sections against the newest /Size, and resolves
+        // the REPLACED catalog (newest entry wins)
+        val media = MultimodalOps.synthesizePdfIncremental(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.pdfMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("version"),
+            col("nObjects").as("n_objects"), col("nPages").as("n_pages"),
+            col("nSections").as("n_sections"), col("layout"))
           .orderBy("doc_id")
       },
       "q_cc_http_e2e" -> { (s, dir) =>

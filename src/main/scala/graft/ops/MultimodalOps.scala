@@ -7430,26 +7430,443 @@ object MultimodalOps {
   // ---- PDF census ----------------------------------------------------
 
   /** One PDF's census row: header version, object count from the
-    * trailer's /Size, page count from the page-tree root's /Count,
-    * the classic-xref table offset, and total bytes — the metadata a
-    * document-corpus intake pass needs before any content extraction.
+    * trailer's /Size, page count from the page-tree root's /Count
+    * (resolved THROUGH the cross-reference entries, never a literal
+    * scan), the startxref target, section count across the /Prev
+    * chain, the layout kind (`classic`, `xref-stream`, or `hybrid`),
+    * and total bytes — the metadata a document-corpus intake pass
+    * needs before any content extraction.
     */
   final case class PdfMeta(
       id: Long, version: String, nObjects: Long, nPages: Long,
-      xrefOffset: Long, nBytes: Long)
+      xrefOffset: Long, nSections: Long, layout: String, nBytes: Long)
+
+  // PDF lexical helpers (ISO 32000-1 §7.2): a name token ends at
+  // whitespace or a delimiter — `/Type/Pages` and `/Type /Pages` are
+  // the same two names, `/TypeX` is a different one.
+  private def isPdfWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' ||
+      c == '\u0000'
+  private def isPdfDelim(c: Char): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+      c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Index of name `key` ("/Type") in `s` at-or-after `from`, only
+    * where the token actually ENDS there (next char is whitespace, a
+    * delimiter, or end-of-string).
+    */
+  private def pdfNameAt(s: String, key: String, from: Int = 0): Int = {
+    var i = s.indexOf(key, from)
+    while (i >= 0) {
+      val end = i + key.length
+      if (end >= s.length || isPdfWs(s(end)) || isPdfDelim(s(end)))
+        return i
+      i = s.indexOf(key, i + 1)
+    }
+    -1
+  }
+
+  /** The balanced `<< ... >>` dictionary starting at the first `<<`
+    * at-or-after `from`: respects nested dicts, literal strings (with
+    * backslash escapes), hex strings, and comments.  Returns the dict
+    * text and the index just past its `>>`.  Bounded by `limit`.
+    */
+  private def pdfDictAt(
+      s: String, from: Int, limit: Int = 1 << 16): Option[(String, Int)] = {
+    val start = s.indexOf("<<", from)
+    if (start < 0 || start - from > limit) return None
+    var i = start
+    var depth = 0
+    val end = math.min(s.length, start + limit)
+    while (i < end) {
+      val c = s(i)
+      if (c == '<' && i + 1 < end && s(i + 1) == '<') { depth += 1; i += 2 }
+      else if (c == '>' && i + 1 < end && s(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return Some((s.substring(start, i), i))
+      } else if (c == '(') { // literal string, \-escapes, nested parens
+        var d = 1; i += 1
+        while (i < end && d > 0) {
+          if (s(i) == '\\') i += 2
+          else {
+            if (s(i) == '(') d += 1 else if (s(i) == ')') d -= 1
+            i += 1
+          }
+        }
+      } else if (c == '<') { // hex string
+        i += 1
+        while (i < end && s(i) != '>') i += 1
+        i += 1
+      } else if (c == '%') { // comment to EOL
+        while (i < end && s(i) != '\r' && s(i) != '\n') i += 1
+      } else i += 1
+    }
+    None
+  }
+
+  /** `/Key 123` → 123 (token-boundary-checked key). */
+  private def pdfDictLong(dict: String, key: String): Option[Long] = {
+    val at = pdfNameAt(dict, key)
+    if (at < 0) return None
+    val rest = dict.substring(at + key.length).dropWhile(isPdfWs)
+    val d = rest.takeWhile(_.isDigit)
+    if (d.isEmpty || d.length > 12) None else Some(d.toLong)
+  }
+
+  /** `/Key 12 0 R` indirect reference → object number 12. */
+  private def pdfDictRef(dict: String, key: String): Option[Long] = {
+    val at = pdfNameAt(dict, key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < dict.length && isPdfWs(dict(i))) i += 1
+    val n0 = i
+    while (i < dict.length && dict(i).isDigit) i += 1
+    if (i == n0 || i - n0 > 12) return None
+    val num = dict.substring(n0, i).toLong
+    while (i < dict.length && isPdfWs(dict(i))) i += 1
+    val g0 = i
+    while (i < dict.length && dict(i).isDigit) i += 1
+    if (i == g0 || i - g0 > 7) return None
+    while (i < dict.length && isPdfWs(dict(i))) i += 1
+    if (i >= dict.length || dict(i) != 'R') return None
+    Some(num)
+  }
+
+  /** `/Key /Name` → "Name" (both tokens boundary-checked). */
+  private def pdfDictName(dict: String, key: String): Option[String] = {
+    val at = pdfNameAt(dict, key)
+    if (at < 0) return None
+    val rest = dict.substring(at + key.length).dropWhile(isPdfWs)
+    if (rest.isEmpty || rest(0) != '/') return None
+    val nm = rest.drop(1)
+      .takeWhile(c => !isPdfWs(c) && !isPdfDelim(c))
+    if (nm.isEmpty) None else Some(nm)
+  }
+
+  /** `/Key [1 2 3]` → Vector(1, 2, 3); rejects non-integer items. */
+  private def pdfDictIntArray(
+      dict: String, key: String): Option[Vector[Long]] = {
+    val at = pdfNameAt(dict, key)
+    if (at < 0) return None
+    val ob = dict.indexOf('[', at + key.length)
+    if (ob < 0) return None
+    if (!dict.substring(at + key.length, ob).forall(isPdfWs)) return None
+    val cb = dict.indexOf(']', ob)
+    if (cb < 0) return None
+    val toks =
+      dict.substring(ob + 1, cb).split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty ||
+      !toks.forall(t => t.length <= 12 && t.forall(_.isDigit))) None
+    else Some(toks.map(_.toLong).toVector)
+  }
+
+  // one cross-reference entry, keyed by object number
+  private sealed trait PdfXrefEntry
+  private final case class PdfInUse(off: Long) extends PdfXrefEntry
+  private final case class PdfInObjStm(stm: Long, idx: Long)
+    extends PdfXrefEntry
+  private case object PdfFreeObj extends PdfXrefEntry
+
+  /** zlib-wrapped inflate (RFC 1950 — PDF's FlateDecode), bounded. */
+  private[graft] def inflateZlibSpan(
+      b: Array[Byte], off: Int, len: Int,
+      maxInflated: Int = 1 << 26): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(false)
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(64, len * 4), 1 << 16))
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0 && !inf.finished()) return None
+        out.write(buf, 0, n)
+        if (out.size() > maxInflated) return None // bomb guard
+      }
+      Some(out.toByteArray)
+    } finally inf.end()
+  }
+
+  /** zlib-wrapped deflate — the synthesis side of
+    * [[inflateZlibSpan]] (PDF's FlateDecode framing).
+    */
+  private[graft] def zlibDeflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(64, b.length))
+      val buf = new Array[Byte](64 * 1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Undo the /Predictor transform on decoded stream data: 1 = none,
+    * 2 = TIFF horizontal, 10-15 = PNG per-row filters (each row is a
+    * filter byte then `columns` bytes; bpp = 1 for the xref-stream
+    * default Colors=1/BitsPerComponent=8).  Returns None on a length
+    * that doesn't divide into rows or an unknown filter byte.
+    */
+  private def pdfUnpredict(
+      data: Array[Byte], predictor: Int, columns: Int): Option[Array[Byte]] = {
+    if (predictor <= 1) return Some(data)
+    if (columns <= 0 || columns > (1 << 20)) return None
+    if (predictor == 2) { // TIFF: horizontal difference per row
+      if (data.length % columns != 0) return None
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        var i = 1
+        while (i < columns) {
+          out(r + i) = (out(r + i) + out(r + i - 1)).toByte
+          i += 1
+        }
+        r += columns
+      }
+      return Some(out)
+    }
+    if (predictor < 10 || predictor > 15) return None
+    val rowLen = columns + 1 // PNG: filter byte leads each row
+    if (data.length % rowLen != 0) return None
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * columns)
+    val prior = new Array[Byte](columns) // zero row above the first
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * rowLen) & 0xff
+      val src = r * rowLen + 1
+      val dst = r * columns
+      var i = 0
+      while (i < columns) {
+        val raw = data(src + i) & 0xff
+        val left = if (i > 0) out(dst + i - 1) & 0xff else 0
+        val up = prior(i) & 0xff
+        val upLeft = if (i > 0) prior(i - 1) & 0xff else 0
+        val rec = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else upLeft)
+          case _ => return None
+        }
+        out(dst + i) = rec.toByte
+        i += 1
+      }
+      System.arraycopy(out, dst, prior, 0, columns)
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** Parse `N G obj << dict >>` at absolute offset `off`; returns
+    * (objNum, dictText, absolute index just past the dict).  The
+    * window is ISO-8859-1 so string indices ARE byte offsets.
+    */
+  private def pdfObjHeaderAt(
+      b: Array[Byte], off: Long,
+      window: Int = 1 << 16): Option[(Long, String, Int)] = {
+    if (off < 0 || off >= b.length - 6) return None
+    val o = off.toInt
+    val w = math.min(b.length - o, window)
+    val s = new String(b, o, w, "ISO-8859-1")
+    var i = 0
+    val n0 = i
+    while (i < s.length && s(i).isDigit) i += 1
+    if (i == n0 || i - n0 > 12) return None
+    val num = s.substring(n0, i).toLong
+    if (i >= s.length || !isPdfWs(s(i))) return None
+    while (i < s.length && isPdfWs(s(i))) i += 1
+    val g0 = i
+    while (i < s.length && s(i).isDigit) i += 1
+    if (i == g0 || i - g0 > 7) return None
+    while (i < s.length && isPdfWs(s(i))) i += 1
+    if (!s.startsWith("obj", i)) return None
+    val (dict, dEnd) = pdfDictAt(s, i + 3, w).getOrElse(return None)
+    Some((num, dict, o + dEnd))
+  }
+
+  /** Raw stream bytes for an object whose dict ends at absolute
+    * `dictEnd`: expects ws* `stream` EOL, then `length` bytes in
+    * range.  Returns the absolute data offset.
+    */
+  private def pdfStreamDataAt(
+      b: Array[Byte], dictEnd: Int, length: Long): Option[Int] = {
+    if (length < 0 || length > (64L << 20)) return None // census bound
+    var i = dictEnd
+    while (i < b.length && isPdfWs((b(i) & 0xff).toChar)) i += 1
+    if (i + 6 > b.length) return None
+    if (!(b(i) == 's' && b(i + 1) == 't' && b(i + 2) == 'r' &&
+      b(i + 3) == 'e' && b(i + 4) == 'a' && b(i + 5) == 'm')) return None
+    i += 6
+    // spec: the keyword is followed by CRLF or LF (not bare CR)
+    if (i < b.length && b(i) == '\r') i += 1
+    if (i >= b.length || b(i) != '\n') return None
+    i += 1
+    if (i.toLong + length > b.length) return None
+    Some(i)
+  }
+
+  /** Decode one object's stream payload honoring /Filter (none or
+    * FlateDecode) and /DecodeParms /Predictor + /Columns.
+    */
+  private def pdfDecodedStream(
+      b: Array[Byte], dict: String, dictEnd: Int): Option[Array[Byte]] = {
+    val length = pdfDictLong(dict, "/Length").getOrElse(return None)
+    val dataOff = pdfStreamDataAt(b, dictEnd, length).getOrElse(return None)
+    val filter = pdfDictName(dict, "/Filter")
+    val raw = filter match {
+      case None =>
+        java.util.Arrays.copyOfRange(b, dataOff, dataOff + length.toInt)
+      case Some("FlateDecode") =>
+        inflateZlibSpan(b, dataOff, length.toInt).getOrElse(return None)
+      case Some(_) => return None // out of the census envelope
+    }
+    val predictor =
+      pdfDictLong(dict, "/Predictor").map(_.toInt).getOrElse(1)
+    val columns = pdfDictLong(dict, "/Columns").map(_.toInt).getOrElse(1)
+    pdfUnpredict(raw, predictor, columns)
+  }
+
+  /** One classic `xref` section at `xo`: entries (object number →
+    * offset/free) and the trailer dict text.  The span is capped: a
+    * lying offset near 0 of a huge file must not force a file-sized
+    * string (xref+trailer is ~20 B per object — 32 MiB admits ~1.6M
+    * objects).
+    */
+  private def pdfClassicSectionAt(
+      b: Array[Byte], xo: Int): Option[(Vector[(Long, PdfXrefEntry)], String)] = {
+    val span = math.min(b.length - xo, 32 << 20)
+    if (span < 4) return None
+    val text = new String(b, xo, span, "ISO-8859-1")
+    if (!text.startsWith("xref")) return None
+    val entries = Vector.newBuilder[(Long, PdfXrefEntry)]
+    var nEntries = 0L
+    val lines = text.split("\r\n|\r|\n").iterator
+    lines.next() // the "xref" keyword line
+    var trailerAt = -1
+    while (trailerAt < 0 && lines.hasNext) {
+      val line = lines.next().trim
+      if (line.startsWith("trailer")) trailerAt = 0
+      else if (line.isEmpty) () // tolerated blank
+      else {
+        val parts = line.split(" +")
+        if (parts.length != 2 ||
+          !parts.forall(p => p.length <= 12 && p.forall(_.isDigit)))
+          return None
+        val first = parts(0).toLong
+        val count = parts(1).toLong
+        if (count < 0 || count > 1000000) return None
+        nEntries += count
+        if (nEntries > 2000000) return None
+        var i = 0L
+        while (i < count) {
+          if (!lines.hasNext) return None
+          val e = lines.next()
+          // entry: 10-digit offset, 5-digit gen, f|n
+          if (e.length < 18) return None
+          val off10 = e.substring(0, 10)
+          val kind = e.charAt(17)
+          if (!off10.forall(_.isDigit) || (kind != 'n' && kind != 'f'))
+            return None
+          if (kind == 'n') {
+            if (off10.toLong >= b.length) return None
+            entries += ((first + i, PdfInUse(off10.toLong)))
+          } else entries += ((first + i, PdfFreeObj))
+          i += 1
+        }
+      }
+    }
+    if (trailerAt < 0) return None
+    val tAt = text.indexOf("trailer")
+    if (tAt < 0) return None
+    val (trailer, _) = pdfDictAt(text, tAt + 7).getOrElse(return None)
+    Some((entries.result(), trailer))
+  }
+
+  /** One cross-reference STREAM section (PDF 1.5+, ISO 32000-1
+    * §7.5.8) at `xo`: `N G obj` + a /Type/XRef stream whose decoded
+    * rows are W-width big-endian fields over the /Index subsections;
+    * type 0 = free, 1 = in-use at offset, 2 = in an object stream.
+    * Returns (entries, the stream dict — which doubles as the
+    * trailer).
+    */
+  private def pdfXrefStreamSectionAt(
+      b: Array[Byte], xo: Int): Option[(Vector[(Long, PdfXrefEntry)], String)] = {
+    val (_, dict, dictEnd) = pdfObjHeaderAt(b, xo.toLong).getOrElse(return None)
+    if (!pdfDictName(dict, "/Type").contains("XRef")) return None
+    val size = pdfDictLong(dict, "/Size").getOrElse(return None)
+    if (size <= 0 || size > 2000000) return None
+    val w = pdfDictIntArray(dict, "/W").getOrElse(return None)
+    if (w.length != 3 || w.exists(x => x < 0 || x > 8) || w.sum == 0)
+      return None
+    val index = pdfDictIntArray(dict, "/Index")
+      .getOrElse(Vector(0L, size))
+    if (index.length % 2 != 0) return None
+    val totalRows = index.grouped(2).map(_(1)).sum
+    if (totalRows < 0 || totalRows > 2000000) return None
+    val rowLen = w.sum.toInt
+    val data = pdfDecodedStream(b, dict, dictEnd).getOrElse(return None)
+    if (data.length.toLong != totalRows * rowLen) return None
+    val entries = Vector.newBuilder[(Long, PdfXrefEntry)]
+    var row = 0
+    for (pair <- index.grouped(2)) {
+      val first = pair(0)
+      val count = pair(1)
+      if (first < 0 || count < 0) return None
+      var i = 0L
+      while (i < count) {
+        val base = row * rowLen
+        def field(skip: Int, width: Int): Long = {
+          var v = 0L
+          var j = 0
+          while (j < width) { v = (v << 8) | (data(base + skip + j) & 0xffL); j += 1 }
+          v
+        }
+        // w1 == 0 → type defaults to 1 (the spec's stated default)
+        val t = if (w(0) == 0) 1L else field(0, w(0).toInt)
+        val f2 = field(w(0).toInt, w(1).toInt)
+        val f3 = field(w(0).toInt + w(1).toInt, w(2).toInt)
+        t match {
+          case 0 => entries += ((first + i, PdfFreeObj))
+          case 1 =>
+            if (f2 >= b.length) return None
+            entries += ((first + i, PdfInUse(f2)))
+          case 2 => entries += ((first + i, PdfInObjStm(f2, f3)))
+          case _ => return None
+        }
+        row += 1
+        i += 1
+      }
+    }
+    Some((entries.result(), dict))
+  }
 
   /** PDF structure census — the document-corpus format (papers,
     * books, reports) next to the web/media families.  From-spec walk
-    * of the CLASSIC layout (ISO 32000-1): `%PDF-1.x` header gate,
-    * `startxref` located in the spec's last-1024-byte window, the
-    * classic `xref` table at that offset verified and its subsection
-    * counts walked (every in-use entry's 10-digit offset must lie
-    * inside the file), the `trailer` dict's /Size and /Root read, and
-    * the page-tree root's /Count taken from the first `/Type /Pages`
-    * object.  Cross-reference STREAMS (PDF 1.5+ compressed xref) are
-    * REJECTED honestly — decoding them means inflating object
-    * streams, a content step, not a census; linearized files whose
-    * first xref is classic still pass.  TOTAL on arbitrary bytes.
+    * of ISO 32000-1: `%PDF-1.x` header gate, `startxref` located in
+    * the spec's last-1024-byte window, then the FULL cross-reference
+    * chain: classic `xref` tables AND cross-reference streams (PDF
+    * 1.5+ — /W field widths, /Index subsections, FlateDecode with
+    * PNG/TIFF predictors, type-0/1/2 entries), following trailer
+    * `/Prev` links across incremental updates and hybrid-reference
+    * `/XRefStm` pointers, newest-entry-wins.  The distinct objects
+    * covered by the chain must account for the newest trailer's
+    * /Size, every in-use offset must lie inside the file, and the
+    * page count is resolved THROUGH the xref: catalog → /Pages →
+    * page-tree root's /Count, names tokenized per spec
+    * (`/Type/Pages` without whitespace included), objects inside
+    * object streams (/Type/ObjStm) extracted via their embedded
+    * offset table.  TOTAL on arbitrary bytes.
     */
   private[graft] def pdfMetaOf(r: MediaRecord): Option[PdfMeta] = {
     val b = r.content
@@ -7471,71 +7888,113 @@ object MultimodalOps {
     if (digits.isEmpty || digits.length > 10) return None
     val xrefOffset = digits.toLong
     if (xrefOffset < 9 || xrefOffset >= b.length - 4) return None
-    // classic xref table at the offset (xref streams: an obj header
-    // here instead — reject)
-    val xo = xrefOffset.toInt
-    if (!(b(xo) == 'x' && b(xo + 1) == 'r' && b(xo + 2) == 'e' &&
-      b(xo + 3) == 'f')) return None
-    // walk subsections: lines "first count" then count 20-byte entries.
-    // The span is capped: a lying startxref near offset 0 of a huge
-    // file must not force a file-sized string (xref+trailer is ~20 B
-    // per object — 32 MiB admits ~1.6M objects)
-    if (b.length - xo > (32 << 20)) return None
-    val xrefText = new String(b, xo, b.length - xo, "ISO-8859-1")
-    val lines = xrefText.split("\r\n|\r|\n").iterator
-    if (!lines.hasNext || lines.next().trim != "xref") return None
-    var entries = 0L
-    var trailerSeen = false
-    var done = false
-    while (!done && lines.hasNext) {
-      val line = lines.next().trim
-      // the dict may share the keyword's line or follow it
-      if (line.startsWith("trailer")) { trailerSeen = true; done = true }
-      else if (line.isEmpty) () // tolerated blank
-      else {
-        val parts = line.split(" +")
-        if (parts.length != 2 || !parts.forall(_.forall(_.isDigit)))
-          return None
-        val count = parts(1).toLong
-        if (count < 0 || count > 1000000) return None
-        var i = 0L
-        while (i < count) {
-          if (!lines.hasNext) return None
-          val e = lines.next()
-          // entry: 10-digit offset, 5-digit gen, f|n
-          if (e.length < 18) return None
-          val off10 = e.substring(0, 10)
-          val kind = e.charAt(17)
-          if (!off10.forall(_.isDigit) || (kind != 'n' && kind != 'f'))
-            return None
-          if (kind == 'n' && off10.toLong >= b.length) return None
-          entries += 1
-          i += 1
+    // walk the chain newest→oldest; first-seen wins per object number
+    val entries = scala.collection.mutable.HashMap.empty[Long, PdfXrefEntry]
+    val visited = scala.collection.mutable.HashSet.empty[Long]
+    var size = -1L
+    var rootRef = -1L
+    var nSections = 0L
+    var sawClassic = false
+    var sawStream = false
+    var sawHybrid = false
+    var pending = List(xrefOffset)
+    while (pending.nonEmpty) {
+      val off = pending.head
+      pending = pending.tail
+      if (!visited.add(off)) return None // cycle: corrupt chain
+      if (visited.size > 64) return None // runaway chain
+      if (off < 0 || off >= b.length - 4) return None
+      nSections += 1
+      val classic = b(off.toInt) == 'x' && b(off.toInt + 1) == 'r' &&
+        b(off.toInt + 2) == 'e' && b(off.toInt + 3) == 'f'
+      val (secEntries, trailer) =
+        if (classic) {
+          sawClassic = true
+          pdfClassicSectionAt(b, off.toInt).getOrElse(return None)
+        } else {
+          sawStream = true
+          pdfXrefStreamSectionAt(b, off.toInt).getOrElse(return None)
+        }
+      // hybrid-reference: the classic trailer's /XRefStm entries take
+      // precedence over this section's (its in-objstm objects are
+      // marked free here for pre-1.5 readers) — apply them FIRST
+      if (classic) pdfDictLong(trailer, "/XRefStm").foreach { so =>
+        sawHybrid = true
+        if (so < 0 || so >= b.length - 4) return None
+        if (!visited.add(so)) return None
+        nSections += 1
+        val (stmEntries, _) =
+          pdfXrefStreamSectionAt(b, so.toInt).getOrElse(return None)
+        stmEntries.foreach { case (n, e) =>
+          if (!entries.contains(n)) entries(n) = e
         }
       }
+      secEntries.foreach { case (n, e) =>
+        if (!entries.contains(n)) entries(n) = e
+      }
+      if (size < 0)
+        size = pdfDictLong(trailer, "/Size").getOrElse(return None)
+      if (rootRef < 0)
+        rootRef = pdfDictRef(trailer, "/Root").getOrElse(-1L)
+      pdfDictLong(trailer, "/Prev").foreach { p => pending = p :: pending }
     }
-    if (!trailerSeen) return None
-    // trailer dict: /Size and /Root required
-    val trailerText = xrefText.substring(xrefText.indexOf("trailer"))
-    def dictLong(key: String, s: String): Option[Long] = {
-      val at = s.indexOf(key)
-      if (at < 0) return None
-      val rest = s.substring(at + key.length).dropWhile(_ == ' ')
-      val d = rest.takeWhile(_.isDigit)
-      if (d.isEmpty || d.length > 12) None else Some(d.toLong)
+    if (rootRef < 0) return None
+    // the chain's distinct objects must account for the newest /Size
+    if (size != entries.size) return None
+    // resolve an object's dict through the xref (object streams
+    // included); depth-capped — catalog → pages is 2 hops
+    def objDict(num: Long, depth: Int): Option[String] = {
+      if (depth > 4) return None
+      entries.get(num) match {
+        case Some(PdfInUse(off)) =>
+          val (n, dict, _) = pdfObjHeaderAt(b, off).getOrElse(return None)
+          if (n != num) None else Some(dict)
+        case Some(PdfInObjStm(stm, idx)) =>
+          entries.get(stm) match {
+            case Some(PdfInUse(soff)) =>
+              val (sn, sdict, sEnd) =
+                pdfObjHeaderAt(b, soff).getOrElse(return None)
+              if (sn != stm) return None
+              if (!pdfDictName(sdict, "/Type").contains("ObjStm")) return None
+              val nObjs = pdfDictLong(sdict, "/N").getOrElse(return None)
+              val firstOff = pdfDictLong(sdict, "/First").getOrElse(return None)
+              if (idx < 0 || idx >= nObjs || nObjs > 100000) return None
+              val data = pdfDecodedStream(b, sdict, sEnd).getOrElse(return None)
+              if (firstOff > data.length) return None
+              val header = new String(data, 0, firstOff.toInt, "ISO-8859-1")
+              val toks = header.split("\\s+").filter(_.nonEmpty)
+              if (toks.length < 2 * nObjs) return None
+              if (!toks.take(2 * nObjs.toInt)
+                .forall(t => t.length <= 12 && t.forall(_.isDigit)))
+                return None
+              val objNum = toks(2 * idx.toInt).toLong
+              if (objNum != num) return None
+              val rel = firstOff + toks(2 * idx.toInt + 1).toLong
+              val to = if (idx.toInt == nObjs - 1) data.length.toLong
+                       else firstOff + toks(2 * idx.toInt + 3).toLong
+              if (rel < firstOff || to > data.length || rel >= to) return None
+              val text =
+                new String(data, rel.toInt, (to - rel).toInt, "ISO-8859-1")
+              pdfDictAt(text, 0).map(_._1)
+            case _ => None
+          }
+        case _ => None
+      }
     }
-    val size = dictLong("/Size", trailerText).getOrElse(return None)
-    if (dictLong("/Root", trailerText).isEmpty) return None
-    if (size != entries) return None // subsection counts must account /Size
-    // page count: the page-tree root is the first /Type /Pages object
-    val body = new String(b, 0, math.min(b.length, 1 << 20), "ISO-8859-1")
-    val pagesAt = body.indexOf("/Type /Pages")
-    if (pagesAt < 0) return None
-    val nPages = dictLong("/Count",
-      body.substring(pagesAt, math.min(body.length, pagesAt + 256)))
-      .getOrElse(return None)
+    val catalog = objDict(rootRef, 0).getOrElse(return None)
+    // /Type/Catalog gate (tokenized: no-whitespace form included)
+    if (!pdfDictName(catalog, "/Type").contains("Catalog")) return None
+    val pagesRef = pdfDictRef(catalog, "/Pages").getOrElse(return None)
+    val pages = objDict(pagesRef, 1).getOrElse(return None)
+    if (!pdfDictName(pages, "/Type").contains("Pages")) return None
+    val nPages = pdfDictLong(pages, "/Count").getOrElse(return None)
     if (nPages < 0) return None
-    Some(PdfMeta(r.id, version, size, nPages, xrefOffset, b.length.toLong))
+    val layout =
+      if (sawHybrid || (sawClassic && sawStream)) "hybrid"
+      else if (sawStream) "xref-stream"
+      else "classic"
+    Some(PdfMeta(r.id, version, size, nPages, xrefOffset, nSections,
+      layout, b.length.toLong))
   }
 
   def pdfMeta(ds: Dataset[MediaRecord]): Dataset[PdfMeta] = {
@@ -7550,49 +8009,220 @@ object MultimodalOps {
     * counts replay from id arithmetic; byte offsets are real and
     * self-consistent (the census verifies them against the file).
     */
+  /** The classic-layout builder shared by [[synthesizePdf]] (whole
+    * file) and [[synthesizePdfIncremental]] (original revision to
+    * append an update to).  Returns the bytes and the xref offset.
+    */
+  private def classicPdfBytes(id: Long, text: String): (Array[Byte], Long) = {
+    val nPages = 1 + (id % 4).toInt
+    val payload = text.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = Array.newBuilder[Long]
+    w("%PDF-1.4\n")
+    // obj 1: catalog
+    offsets += out.size().toLong
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    // obj 2: page tree
+    offsets += out.size().toLong
+    val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n")
+    // objs 3..2+n: pages; objs 3+n..2+2n: content streams
+    (0 until nPages).foreach { k =>
+      offsets += out.size().toLong
+      w(s"${3 + k} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${3 + nPages + k} 0 R " +
+        ">> endobj\n")
+    }
+    (0 until nPages).foreach { k =>
+      val take = payload.length / nPages +
+        (if (k < payload.length % nPages) 1 else 0)
+      val from = (0 until k).map(j => payload.length / nPages +
+        (if (j < payload.length % nPages) 1 else 0)).sum
+      offsets += out.size().toLong
+      w(s"${3 + nPages + k} 0 obj << /Length $take >> stream\n")
+      out.write(payload, from, take)
+      w("\nendstream endobj\n")
+    }
+    val xrefAt = out.size().toLong
+    val objOffsets = offsets.result()
+    val size = 1 + objOffsets.length // entry 0 + real objects
+    w(s"xref\n0 $size\n")
+    w("0000000000 65535 f \n")
+    objOffsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer << /Size $size /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    (out.toByteArray, xrefAt)
+  }
+
   def synthesizePdf(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
+        MediaRecord(id, "application/pdf", classicPdfBytes(id, text)._1)
+      }
+  }
+
+  /** Per-row PDF 1.5 synthesis with a CROSS-REFERENCE STREAM (the
+    * modern-producer default layout): same document tree as
+    * [[synthesizePdf]], but the xref is a /Type/XRef stream with
+    * W [1 4 2] fields.  Arms cycle by id to cover the envelope:
+    * even ids pack the catalog + page tree + page dicts into an
+    * object stream (/Type/ObjStm, type-2 xref entries); id % 3
+    * selects the xref stream's encoding (0 = FlateDecode + PNG Up
+    * predictor /Columns 7, 1 = plain FlateDecode, 2 = unfiltered);
+    * id % 5 == 0 writes an explicit two-subsection /Index.  The
+    * catalog uses the NO-WHITESPACE `/Type/Catalog` name form — the
+    * tokenizer, not a literal-with-space scan, must resolve it.
+    */
+  def synthesizePdfXrs(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
         val nPages = 1 + (id % 4).toInt
+        val useObjStm = id % 2 == 0
         val payload = text.getBytes("UTF-8")
         val out = new java.io.ByteArrayOutputStream(1024)
         def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-        val offsets = Array.newBuilder[Long]
-        w("%PDF-1.4\n")
-        // obj 1: catalog
-        offsets += out.size().toLong
-        w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-        // obj 2: page tree
-        offsets += out.size().toLong
+        // object numbers: 1 catalog, 2 pages, 3..2+n page dicts,
+        // 3+n..2+2n content streams, then [S objstm], X xref stream
+        val sNum = 3 + 2 * nPages
+        val xNum = if (useObjStm) sNum + 1 else sNum
+        val size = xNum + 1
+        val entryByNum =
+          scala.collection.mutable.HashMap.empty[Int, (Int, Long, Long)]
+        w("%PDF-1.5\n")
         val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
-        w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n")
-        // objs 3..2+n: pages; objs 3+n..2+2n: content streams
-        (0 until nPages).foreach { k =>
-          offsets += out.size().toLong
-          w(s"${3 + k} 0 obj << /Type /Page /Parent 2 0 R " +
-            s"/MediaBox [0 0 612 792] /Contents ${3 + nPages + k} 0 R " +
-            ">> endobj\n")
+        val catalogStr = "<< /Type/Catalog /Pages 2 0 R >>"
+        val pagesStr = s"<< /Type /Pages /Kids [$kids] /Count $nPages >>"
+        val pageStrs = (0 until nPages).map { k =>
+          s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+            s"/Contents ${3 + nPages + k} 0 R >>"
+        }
+        if (useObjStm) {
+          // catalog + pages + page dicts live inside the object stream
+          val members = Seq((1, catalogStr), (2, pagesStr)) ++
+            pageStrs.zipWithIndex.map { case (s, k) => (3 + k, s) }
+          members.zipWithIndex.foreach { case ((num, _), idx) =>
+            entryByNum(num) = (2, sNum.toLong, idx.toLong)
+          }
+          val body = new StringBuilder
+          val rel = members.map { case (_, s) =>
+            val r = body.length; body.append(s).append('\n'); r
+          }
+          val header = members.zip(rel)
+            .map { case ((num, _), r) => s"$num $r" }.mkString(" ") + "\n"
+          val dataRaw = (header + body).getBytes("ISO-8859-1")
+          val flate = id % 4 == 0
+          val data = if (flate) zlibDeflate(dataRaw) else dataRaw
+          entryByNum(sNum) = (1, out.size().toLong, 0L)
+          w(s"$sNum 0 obj << /Type /ObjStm /N ${members.length} " +
+            s"/First ${header.length} /Length ${data.length}" +
+            (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+          out.write(data)
+          w("\nendstream endobj\n")
+        } else {
+          entryByNum(1) = (1, out.size().toLong, 0L)
+          w(s"1 0 obj $catalogStr endobj\n")
+          entryByNum(2) = (1, out.size().toLong, 0L)
+          w(s"2 0 obj $pagesStr endobj\n")
+          pageStrs.zipWithIndex.foreach { case (s, k) =>
+            entryByNum(3 + k) = (1, out.size().toLong, 0L)
+            w(s"${3 + k} 0 obj $s endobj\n")
+          }
         }
         (0 until nPages).foreach { k =>
           val take = payload.length / nPages +
             (if (k < payload.length % nPages) 1 else 0)
           val from = (0 until k).map(j => payload.length / nPages +
             (if (j < payload.length % nPages) 1 else 0)).sum
-          offsets += out.size().toLong
+          entryByNum(3 + nPages + k) = (1, out.size().toLong, 0L)
           w(s"${3 + nPages + k} 0 obj << /Length $take >> stream\n")
           out.write(payload, from, take)
           w("\nendstream endobj\n")
         }
+        // the xref stream object (self-entry included, per spec)
         val xrefAt = out.size().toLong
-        val objOffsets = offsets.result()
-        val size = 1 + objOffsets.length // entry 0 + real objects
-        w(s"xref\n0 $size\n")
-        w("0000000000 65535 f \n")
-        objOffsets.foreach(o => w(f"$o%010d 00000 n \n"))
-        w(s"trailer << /Size $size /Root 1 0 R >>\n")
+        entryByNum(xNum) = (1, xrefAt, 0L)
+        entryByNum(0) = (0, 0L, 65535L) // free-list head
+        val rows = new java.io.ByteArrayOutputStream(size * 7)
+        def putField(v: Long, width: Int): Unit = {
+          var j = width - 1
+          while (j >= 0) { rows.write(((v >> (8 * j)) & 0xff).toInt); j -= 1 }
+        }
+        (0 until size).foreach { n =>
+          val (t, f2, f3) = entryByNum(n)
+          putField(t.toLong, 1); putField(f2, 4); putField(f3, 2)
+        }
+        val plain = rows.toByteArray
+        val (streamData, filterStr) = (id % 3) match {
+          case 0 => // PNG Up predictor over 7-byte rows, then flate
+            val cols = 7
+            val pred = new java.io.ByteArrayOutputStream(plain.length + size)
+            var r = 0
+            while (r < size) {
+              pred.write(2) // PNG filter type Up
+              var i = 0
+              while (i < cols) {
+                val up = if (r == 0) 0 else plain((r - 1) * cols + i) & 0xff
+                pred.write(((plain(r * cols + i) & 0xff) - up) & 0xff)
+                i += 1
+              }
+              r += 1
+            }
+            (zlibDeflate(pred.toByteArray),
+              " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>")
+          case 1 => (zlibDeflate(plain), " /Filter /FlateDecode")
+          case _ => (plain, "")
+        }
+        val indexStr =
+          if (id % 5 == 0) {
+            val m = size / 2 // two contiguous subsections, same coverage
+            s" /Index [0 $m $m ${size - m}]"
+          } else ""
+        w(s"$xNum 0 obj << /Type /XRef /Size $size /W [1 4 2]$indexStr" +
+          s"$filterStr /Root 1 0 R /Length ${streamData.length} >>\nstream\n")
+        out.write(streamData)
+        w("\nendstream endobj\n")
+        w(s"startxref\n$xrefAt\n%%EOF\n")
+        MediaRecord(id, "application/pdf", out.toByteArray)
+      }
+  }
+
+  /** Per-row INCREMENTALLY-UPDATED classic PDF: the [[synthesizePdf]]
+    * original plus one appended revision — a replaced catalog (written
+    * in the no-whitespace `/Type/Catalog` form) and one new info
+    * object, with a second xref section whose trailer chains back via
+    * /Prev.  The census must follow the chain: the newest /Size counts
+    * the new object, and the replaced catalog (newest-wins) is the one
+    * the page-count resolution reads.
+    */
+  def synthesizePdfIncremental(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (orig, prevXrefAt) = classicPdfBytes(id, text)
+        val nPages = 1 + (id % 4).toInt
+        val oldSize = 3 + 2 * nPages // entry 0 + objects of the original
+        val out = new java.io.ByteArrayOutputStream(orig.length + 512)
+        out.write(orig)
+        def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+        val catAt = out.size().toLong
+        w("1 0 obj << /Type/Catalog /Pages 2 0 R /PageLayout /OneColumn >> endobj\n")
+        val infoAt = out.size().toLong
+        w(s"$oldSize 0 obj << /Rev 2 /Doc $id >> endobj\n")
+        val xrefAt = out.size().toLong
+        w(s"xref\n1 1\n")
+        w(f"$catAt%010d 00001 n \n")
+        w(s"$oldSize 1\n")
+        w(f"$infoAt%010d 00000 n \n")
+        w(s"trailer << /Size ${oldSize + 1} /Root 1 0 R /Prev $prevXrefAt >>\n")
         w(s"startxref\n$xrefAt\n%%EOF\n")
         MediaRecord(id, "application/pdf", out.toByteArray)
       }

@@ -1575,12 +1575,14 @@ class OpsSpec extends AnyFunSuite {
       val m = MultimodalOps.pdfMetaOf(rec).get
       val np = 1 + (id % 4)
       assert(m.version == "1.4" && m.nPages == np &&
-        m.nObjects == 3 + 2 * np && m.nBytes == rec.content.length.toLong)
+        m.nObjects == 3 + 2 * np && m.nBytes == rec.content.length.toLong &&
+        m.layout == "classic" && m.nSections == 1)
       // the census's xref offset must actually point at the table
       assert(new String(rec.content, m.xrefOffset.toInt, 4, "ISO-8859-1") == "xref")
     }
     val base = pdfs(5L).content
-    // xref streams (an obj header at the startxref offset) reject
+    // garbage at the startxref offset (neither a classic table nor a
+    // parseable xref-stream object) rejects
     val asStream = base.clone()
     val xo = MultimodalOps.pdfMetaOf(pdfs(5L)).get.xrefOffset.toInt
     "5 0 ".getBytes("ISO-8859-1").copyToArray(asStream, xo)
@@ -1601,6 +1603,122 @@ class OpsSpec extends AnyFunSuite {
       5L, "p", java.util.Arrays.copyOf(base, base.length / 2))).isEmpty)
     assert(MultimodalOps.pdfMetaOf(MultimodalOps.MediaRecord(
       5L, "p", "%PDX-1.4 nope".getBytes("ISO-8859-1"))).isEmpty)
+  }
+
+  test("pdf: xref-stream census — W fields, predictors, object streams, /Index") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // ids chosen to cover every synthesizer arm: objstm on/off,
+    // FlateDecode+PNG-Up / plain flate / unfiltered, explicit /Index
+    val docs = (0L to 5L).map(id => (id, s"xrs page text $id " * 8))
+      .toDF("doc_id", "text")
+    val pdfs = MultimodalOps.synthesizePdfXrs(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- pdfs) {
+      val m = MultimodalOps.pdfMetaOf(rec).getOrElse(
+        fail(s"id=$id: xref-stream pdf rejected"))
+      val np = 1 + (id % 4)
+      val expectObjs = (if (id % 2 == 0) 5 else 4) + 2 * np
+      assert(m.version == "1.5" && m.nPages == np &&
+        m.nObjects == expectObjs && m.layout == "xref-stream" &&
+        m.nSections == 1, s"id=$id: $m")
+    }
+    // a corrupted xref-stream payload (bit flip inside the flate
+    // data) must reject, never mis-decode offsets
+    val v = pdfs(1L).content.clone()
+    val sxAt = new String(v, "ISO-8859-1").lastIndexOf("startxref")
+    val xOff = new String(v, "ISO-8859-1").substring(sxAt + 9).trim
+      .takeWhile(_.isDigit).toInt
+    val streamAt = new String(v, "ISO-8859-1").indexOf("stream", xOff)
+    v(streamAt + 10) = (v(streamAt + 10) ^ 0x55).toByte
+    assert(MultimodalOps.pdfMetaOf(
+      MultimodalOps.MediaRecord(1L, "p", v)).isEmpty)
+  }
+
+  test("pdf: incremental update follows /Prev; newest catalog wins; no-space names") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = (0L to 4L).map(id => (id, s"incr text $id " * 6))
+      .toDF("doc_id", "text")
+    val pdfs = MultimodalOps.synthesizePdfIncremental(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- pdfs) {
+      val m = MultimodalOps.pdfMetaOf(rec).getOrElse(
+        fail(s"id=$id: incremental pdf rejected"))
+      val np = 1 + (id % 4)
+      // /Size grows by the appended info object; the update's
+      // /Type/Catalog (no whitespace) must resolve through the chain
+      assert(m.version == "1.4" && m.nPages == np &&
+        m.nObjects == 4 + 2 * np && m.layout == "classic" &&
+        m.nSections == 2, s"id=$id: $m")
+    }
+    // breaking the /Prev offset must reject (chain can't be silently
+    // truncated — coverage would no longer account /Size)
+    val v = pdfs(2L).content.clone()
+    val s = new String(v, "ISO-8859-1")
+    val prevAt = s.lastIndexOf("/Prev ")
+    v(prevAt + 6) = '9'
+    assert(MultimodalOps.pdfMetaOf(
+      MultimodalOps.MediaRecord(2L, "p", v)).isEmpty)
+  }
+
+  test("pdf: hybrid-reference file — classic table + /XRefStm entries") {
+    import graft.ops.MultimodalOps
+    // hand-built hybrid: catalog(1) + pages(2) live in an object
+    // stream(5); the classic table marks them FREE (pre-1.5 readers
+    // skip them) and the trailer's /XRefStm supplies the type-2
+    // entries — the census must prefer the stream's entries
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    val catalogStr = "<< /Type/Catalog /Pages 2 0 R >>"
+    val pagesStr = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val body = catalogStr + "\n" + pagesStr + "\n"
+    val header = s"1 0 2 ${catalogStr.length + 1}\n"
+    val stmData = (header + body).getBytes("ISO-8859-1")
+    val off5 = out.size()
+    w(s"5 0 obj << /Type /ObjStm /N 2 /First ${header.length} " +
+      s"/Length ${stmData.length} >>\nstream\n")
+    out.write(stmData)
+    w("\nendstream endobj\n")
+    val off3 = out.size()
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    val off4 = out.size()
+    w("4 0 obj << /Length 2 >> stream\nhi\nendstream endobj\n")
+    // the xref STREAM: entries for all 7 objects (0..6)
+    val off6 = out.size()
+    val rows = new java.io.ByteArrayOutputStream()
+    def row(t: Int, f2: Long, f3: Long): Unit = {
+      rows.write(t)
+      var j = 3; while (j >= 0) { rows.write(((f2 >> (8 * j)) & 0xff).toInt); j -= 1 }
+      j = 1; while (j >= 0) { rows.write(((f3 >> (8 * j)) & 0xff).toInt); j -= 1 }
+    }
+    row(0, 0, 65535) // 0: free head
+    row(2, 5, 0)     // 1: catalog, in objstm 5 idx 0
+    row(2, 5, 1)     // 2: pages, in objstm 5 idx 1
+    row(1, off3, 0); row(1, off4, 0); row(1, off5, 0); row(1, off6, 0)
+    val rdata = rows.toByteArray
+    w(s"6 0 obj << /Type /XRef /Size 7 /W [1 4 2] /Root 1 0 R " +
+      s"/Length ${rdata.length} >>\nstream\n")
+    out.write(rdata)
+    w("\nendstream endobj\n")
+    // the CLASSIC table: 1 and 2 marked free, stream objects in-use
+    val xrefAt = out.size()
+    w("xref\n0 7\n")
+    w("0000000000 65535 f \n")
+    w("0000000000 00000 f \n") // 1: free here, real entry in XRefStm
+    w("0000000000 00000 f \n") // 2: free here, real entry in XRefStm
+    w(f"$off3%010d 00000 n \n")
+    w(f"$off4%010d 00000 n \n")
+    w(f"$off5%010d 00000 n \n")
+    w(f"$off6%010d 00000 n \n")
+    w(s"trailer << /Size 7 /Root 1 0 R /XRefStm $off6 >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    val m = MultimodalOps.pdfMetaOf(
+      MultimodalOps.MediaRecord(9L, "application/pdf", out.toByteArray))
+      .getOrElse(fail("hybrid pdf rejected"))
+    assert(m.nObjects == 7 && m.nPages == 1 && m.layout == "hybrid" &&
+      m.nSections == 2 && m.xrefOffset == xrefAt.toLong)
   }
 
   test("jsonl shard: seek table exact; truncated tail fails; zst invisible") {
@@ -1809,6 +1927,10 @@ class OpsSpec extends AnyFunSuite {
       ("warcgz-http", MultimodalOps.synthesizeWarcGzHttp(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.warcGzHttpPagesOf(r)),
       ("pdf", MultimodalOps.synthesizePdf(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
+      ("pdf-xrs", MultimodalOps.synthesizePdfXrs(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
+      ("pdf-incr", MultimodalOps.synthesizePdfIncremental(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
       ("jsonl", MultimodalOps.synthesizeJsonlShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.jsonlRecordsOf(r)),
