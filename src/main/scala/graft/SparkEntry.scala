@@ -4569,6 +4569,23 @@ object SparkEntry {
         |       CAST(100 + (doc_id + k) % 57 AS BIGINT) AS record_count,
         |       CAST(10000 + 137 * doc_id + k AS BIGINT) AS file_size_in_bytes
         |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
+    // v2 replay: same id arithmetic as v1 plus the content kind
+    // ((doc_id + k) % 3 — data / position-delete / equality-delete)
+    "q_iceberg_manifest_v2" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS entry_idx,
+        |       CAST((doc_id + k) % 3 AS BIGINT) AS status,
+        |       CAST(CASE WHEN k = 0 AND doc_id % 5 = 0 THEN -1
+        |                 ELSE 3000 + doc_id END AS BIGINT) AS snapshot_id,
+        |       CAST((doc_id + k) % 3 AS BIGINT) AS content,
+        |       'data/part-' || CAST(doc_id AS VARCHAR) || '-' ||
+        |         CAST(k AS VARCHAR) || '.parquet' AS file_path,
+        |       CAST(100 + (doc_id + k) % 57 AS BIGINT) AS record_count,
+        |       CAST(10000 + 137 * doc_id + k AS BIGINT) AS file_size_in_bytes
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
     // Iceberg manifest-list replay: 1 + id%4 entries, all fields id
     // arithmetic by synthesis
     "q_iceberg_manifest_list" ->
@@ -7391,7 +7408,7 @@ object SparkEntry {
         // Iceberg manifest census: the second open-lakehouse format
         // next to the Delta-log replay — manifest-entry record decode
         // (status / snapshot / path / format / rows / bytes) behind
-        // the same sync-sealed Avro container walk, schema-gated
+        // the same sync-sealed Avro container walk, schema-DRIVEN
         val media = MultimodalOps.synthesizeIcebergManifest(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         MultimodalOps.icebergManifestEntries(media).toDF()
@@ -7399,6 +7416,23 @@ object SparkEntry {
             col("status"), col("snapshotId").as("snapshot_id"),
             col("filePath").as("file_path"),
             col("fileFormat").as("file_format"),
+            col("recordCount").as("record_count"),
+            col("fileSizeInBytes").as("file_size_in_bytes"))
+          .orderBy("doc_id", "entry_idx")
+      },
+      "q_iceberg_manifest_v2" -> { (s, dir) =>
+        // v2 PRODUCTION-shaped manifests written by the Avro library
+        // (partition structs, column stats, sequence numbers, delete
+        // files): the schema-driven walk extracts its fields and
+        // skips the rest by the embedded writer schema — the gate
+        // that used to return None on any non-v1 schema is gone
+        val media = MultimodalOps.synthesizeIcebergManifestV2(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.icebergManifestEntries(media).toDF()
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            col("status"), col("snapshotId").as("snapshot_id"),
+            col("content"),
+            col("filePath").as("file_path"),
             col("recordCount").as("record_count"),
             col("fileSizeInBytes").as("file_size_in_bytes"))
           .orderBy("doc_id", "entry_idx")

@@ -5875,13 +5875,249 @@ object MultimodalOps {
   final case class IcebergManifestEntry(
       id: Long, entryIdx: Long, status: Long, snapshotId: Long,
       filePath: String, fileFormat: String, recordCount: Long,
-      fileSizeInBytes: Long)
+      fileSizeInBytes: Long, content: Long)
 
-  /** The v1 manifest-entry subset schema this decoder understands —
+  // ---- minimal Avro schema model (schema-DRIVEN record decode) -----
+  // Enough of the Avro type system to SKIP any field the census does
+  // not extract — that is what makes the manifest decoder accept
+  // production schemas (partition structs, column stats, v2 delete
+  // entries) instead of gating on one exact schema string.
+  private[graft] sealed trait AvType
+  private[graft] case object AvNull extends AvType
+  private[graft] case object AvBool extends AvType
+  private[graft] case object AvInt extends AvType
+  private[graft] case object AvLong extends AvType
+  private[graft] case object AvFloat extends AvType
+  private[graft] case object AvDouble extends AvType
+  private[graft] case object AvBytes extends AvType
+  private[graft] case object AvString extends AvType
+  private[graft] case object AvEnum extends AvType
+  private[graft] final case class AvFixed(size: Int) extends AvType
+  private[graft] final case class AvArray(items: AvType) extends AvType
+  private[graft] final case class AvMap(values: AvType) extends AvType
+  private[graft] final case class AvUnion(branches: Vector[AvType])
+    extends AvType
+  private[graft] final case class AvRecord(
+      name: String, fields: Vector[(String, AvType)]) extends AvType
+
+  /** Parse an Avro schema JSON (a container header's writer schema)
+    * into the model above: primitives, named-type back-references
+    * (record/fixed/enum), unions, arrays, maps, and `{"type": prim,
+    * "logicalType": ...}` wrappers (wire format is the underlying
+    * type's, so logical types are ignored).  None on malformed or
+    * unsupported input — never a throw.
+    */
+  private[graft] def parseAvroSchema(json: String): Option[AvType] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      try mapper.readTree(json)
+      catch { case _: Exception => return None }
+    if (root == null) return None
+    val named = scala.collection.mutable.HashMap.empty[String, AvType]
+    def register(node: JsonNode, ns: String, t: AvType): Unit = {
+      val nm = Option(node.get("name")).map(_.asText).getOrElse("")
+      if (nm.nonEmpty) {
+        val ons = Option(node.get("namespace")).map(_.asText).getOrElse(ns)
+        named(nm) = t
+        if (ons.nonEmpty && !nm.contains(".")) named(ons + "." + nm) = t
+      }
+    }
+    def parse(node: JsonNode, ns: String, depth: Int): Option[AvType] = {
+      if (node == null || depth > 32) return None
+      if (node.isTextual) {
+        node.asText match {
+          case "null" => Some(AvNull)
+          case "boolean" => Some(AvBool)
+          case "int" => Some(AvInt)
+          case "long" => Some(AvLong)
+          case "float" => Some(AvFloat)
+          case "double" => Some(AvDouble)
+          case "bytes" => Some(AvBytes)
+          case "string" => Some(AvString)
+          case ref =>
+            named.get(ref).orElse(
+              if (ns.nonEmpty && !ref.contains("."))
+                named.get(ns + "." + ref)
+              else None)
+        }
+      } else if (node.isArray) {
+        val bs = Vector.newBuilder[AvType]
+        val it = node.elements()
+        var n = 0
+        while (it.hasNext) {
+          bs += parse(it.next(), ns, depth + 1).getOrElse(return None)
+          n += 1
+          if (n > 64) return None
+        }
+        val v = bs.result()
+        if (v.isEmpty) None else Some(AvUnion(v))
+      } else if (node.isObject) {
+        val tNode = node.get("type")
+        if (tNode == null) return None
+        if (!tNode.isTextual) return parse(tNode, ns, depth + 1)
+        tNode.asText match {
+          case "record" | "error" =>
+            val rns =
+              Option(node.get("namespace")).map(_.asText).getOrElse(ns)
+            val fieldsNode = node.get("fields")
+            if (fieldsNode == null || !fieldsNode.isArray) return None
+            val fs = Vector.newBuilder[(String, AvType)]
+            val it = fieldsNode.elements()
+            var n = 0
+            while (it.hasNext) {
+              val f = it.next()
+              val fname =
+                Option(f.get("name")).map(_.asText).getOrElse(return None)
+              val ft = parse(f.get("type"), rns, depth + 1)
+                .getOrElse(return None)
+              fs += ((fname, ft))
+              n += 1
+              if (n > 1000) return None
+            }
+            val nm = Option(node.get("name")).map(_.asText).getOrElse("")
+            val rec = AvRecord(nm, fs.result())
+            register(node, ns, rec)
+            Some(rec)
+          case "fixed" =>
+            val sz = Option(node.get("size")).map(_.asInt(-1)).getOrElse(-1)
+            if (sz < 0 || sz > (1 << 24)) return None
+            val fx = AvFixed(sz)
+            register(node, ns, fx)
+            Some(fx)
+          case "enum" =>
+            register(node, ns, AvEnum)
+            Some(AvEnum)
+          case "array" => parse(node.get("items"), ns, depth + 1).map(AvArray)
+          case "map" => parse(node.get("values"), ns, depth + 1).map(AvMap)
+          case prim => // {"type":"long","logicalType":"..."} wrappers
+            parse(mapper.getNodeFactory.textNode(prim), ns, depth + 1)
+        }
+      } else None
+    }
+    parse(root, "", 0)
+  }
+
+  /** Skip the array/map block framing shared by both collection
+    * types: positive count = that many items (decoded via `item`);
+    * negative count = spec's size-prefixed block, skipped wholesale.
+    */
+  private def avSkipBlocks(
+      d: Array[Byte], p0: Int, end: Int,
+      item: Int => Option[Int]): Option[Int] = {
+    var p = p0
+    var blocks = 0
+    while (blocks < 1000000) {
+      val c = avroVarLong(d, p)
+      if (c == null) return None
+      p += c._2
+      var n = c._1
+      if (n == 0) return Some(p)
+      blocks += 1
+      if (n < 0) { // size-prefixed block: skip without item decode
+        n = -n
+        val sz = avroVarLong(d, p)
+        if (sz == null || sz._1 < 0 || sz._1 > (end - (p + sz._2)).toLong)
+          return None
+        p += sz._2 + sz._1.toInt
+      } else {
+        if (n > 10000000) return None
+        var i = 0L
+        while (i < n) {
+          p = item(p).getOrElse(return None)
+          i += 1
+        }
+      }
+    }
+    None
+  }
+
+  /** Skip ONE value of type `t` at `p0` — the workhorse that lets the
+    * manifest decoder walk fields it does not extract.  Bounded by
+    * `end`; None on any overrun or malformed framing.
+    */
+  private[graft] def avSkipValue(
+      t: AvType, d: Array[Byte], p0: Int, end: Int,
+      depth: Int = 0): Option[Int] = {
+    if (depth > 32 || p0 > end) return None
+    t match {
+      case AvNull => Some(p0)
+      case AvBool => if (p0 + 1 <= end) Some(p0 + 1) else None
+      case AvInt | AvLong | AvEnum =>
+        val v = avroVarLong(d, p0)
+        if (v == null || p0 + v._2 > end) None else Some(p0 + v._2)
+      case AvFloat => if (p0 + 4 <= end) Some(p0 + 4) else None
+      case AvDouble => if (p0 + 8 <= end) Some(p0 + 8) else None
+      case AvBytes | AvString =>
+        val v = avroVarLong(d, p0)
+        if (v == null || v._1 < 0 ||
+          v._1 > (end - (p0 + v._2)).toLong) None
+        else Some(p0 + v._2 + v._1.toInt)
+      case AvFixed(n) => if (p0 + n <= end) Some(p0 + n) else None
+      case AvUnion(bs) =>
+        val v = avroVarLong(d, p0)
+        if (v == null || v._1 < 0 || v._1 >= bs.length) None
+        else avSkipValue(bs(v._1.toInt), d, p0 + v._2, end, depth + 1)
+      case AvRecord(_, fs) =>
+        var p = p0
+        for ((_, ft) <- fs)
+          p = avSkipValue(ft, d, p, end, depth + 1).getOrElse(return None)
+        Some(p)
+      case AvArray(items) =>
+        avSkipBlocks(d, p0, end,
+          pp => avSkipValue(items, d, pp, end, depth + 1))
+      case AvMap(values) =>
+        avSkipBlocks(d, p0, end, pp =>
+          avSkipValue(AvString, d, pp, end, depth + 1)
+            .flatMap(p2 => avSkipValue(values, d, p2, end, depth + 1)))
+    }
+  }
+
+  /** Read an int/long-shaped field, unwrapping a null union branch:
+    * (Some(value) | None-for-null, new position).
+    */
+  private def avReadLongish(
+      t: AvType, d: Array[Byte], p0: Int,
+      end: Int): Option[(Option[Long], Int)] = t match {
+    case AvInt | AvLong =>
+      val v = avroVarLong(d, p0)
+      if (v == null || p0 + v._2 > end) None
+      else Some((Some(v._1), p0 + v._2))
+    case AvUnion(bs) =>
+      val br = avroVarLong(d, p0)
+      if (br == null || br._1 < 0 || br._1 >= bs.length) None
+      else bs(br._1.toInt) match {
+        case AvNull => Some((None, p0 + br._2))
+        case b => avReadLongish(b, d, p0 + br._2, end)
+      }
+    case _ => None
+  }
+
+  /** Read a string-shaped field, unwrapping a null union branch. */
+  private def avReadStringish(
+      t: AvType, d: Array[Byte], p0: Int,
+      end: Int): Option[(Option[String], Int)] = t match {
+    case AvString | AvBytes =>
+      val v = avroVarLong(d, p0)
+      if (v == null || v._1 < 0 ||
+        v._1 > (end - (p0 + v._2)).toLong) None
+      else Some((Some(new String(d, p0 + v._2, v._1.toInt, "UTF-8")),
+        p0 + v._2 + v._1.toInt))
+    case AvUnion(bs) =>
+      val br = avroVarLong(d, p0)
+      if (br == null || br._1 < 0 || br._1 >= bs.length) None
+      else bs(br._1.toInt) match {
+        case AvNull => Some((None, p0 + br._2))
+        case b => avReadStringish(b, d, p0 + br._2, end)
+      }
+    case _ => None
+  }
+
+  /** The v1 manifest-entry subset schema the v1 synthesizer writes —
     * the fields every Iceberg planner starts from (status, snapshot,
-    * path, format, row count, byte size).  Field ORDER is the Avro
-    * wire order, so this string is both the synthesizer's metadata
-    * and the decoder's gate.
+    * path, format, row count, byte size).  The DECODER no longer
+    * gates on this string: it parses whatever writer schema the
+    * header carries and walks by it ([[parseAvroSchema]]).
     */
   private[graft] val IcebergManifestSchema: String =
     """{"type":"record","name":"manifest_entry","fields":[""" +
@@ -5941,11 +6177,17 @@ object MultimodalOps {
     * job reads first.  Both container codecs real writers use are
     * in-envelope: `null` decodes the raw block span, `deflate` (the
     * Iceberg writers' default) inflates it first (raw RFC 1951,
-    * bomb-guarded).  The decoder is schema-GATED: the header's
-    * writer schema must be exactly [[IcebergManifestSchema]] (the v1
-    * subset synthesized here); a manifest with a richer schema —
-    * partition structs, column stats — is out of this envelope and
-    * returns None rather than mis-decoding field offsets.  Blocks
+    * bomb-guarded).  The decoder is schema-DRIVEN: the header's
+    * writer schema is parsed ([[parseAvroSchema]]) and every field
+    * the census does not extract — partition structs, column-stats
+    * collections, split offsets, v2 sequence numbers, whatever a
+    * production writer added — is SKIPPED by its own wire type, so
+    * v1 and v2 manifests both decode without a fixed-schema gate.
+    * The extracted fields are located by NAME (`status`,
+    * `snapshot_id`, `data_file.{content, file_path, file_format,
+    * record_count, file_size_in_bytes}` — the spec's stable names,
+    * with v2's `content` defaulting to 0 = data when absent); a
+    * schema missing the required ones rejects.  Blocks
     * walk with the same sync-seal verification as the Avro census,
     * and each block's records must consume its declared byte size
     * exactly.  TOTAL on arbitrary bytes.
@@ -5960,7 +6202,74 @@ object MultimodalOps {
     val hdr = avroHeaderOf(b).getOrElse(return None)
     // null AND deflate codecs: real Iceberg writers default to deflate
     if (hdr.codec != "null" && hdr.codec != "deflate") return None
-    if (hdr.schemaJson != IcebergManifestSchema) return None
+    val entrySchema = parseAvroSchema(hdr.schemaJson) match {
+      case Some(rec: AvRecord) => rec
+      case _ => return None
+    }
+    val dataFileSchema = entrySchema.fields.find(_._1 == "data_file")
+      .map(_._2) match {
+      case Some(rec: AvRecord) => rec
+      case _ => return None
+    }
+    // required extraction targets must exist by name — a wrong schema
+    // rejects up front, before any record decode
+    val dfNames = dataFileSchema.fields.map(_._1).toSet
+    if (!entrySchema.fields.exists(_._1 == "status") ||
+      !dfNames.contains("file_path") || !dfNames.contains("file_format") ||
+      !dfNames.contains("record_count") ||
+      !dfNames.contains("file_size_in_bytes")) return None
+    // one manifest_entry, schema-driven: extract by name, skip the rest
+    def decodeEntry(d: Array[Byte], p0: Int, end: Int): Option[(IcebergManifestEntry, Int)] = {
+      var p = p0
+      var status = -1L
+      var snap = -1L
+      var content = 0L // v1 manifests carry data files only
+      var path: String = null
+      var fmt: String = null
+      var rc = -1L
+      var fsz = -1L
+      for ((fname, ft) <- entrySchema.fields) fname match {
+        case "status" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          status = v._1.getOrElse(return None)
+          p = v._2
+        case "snapshot_id" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          snap = v._1.getOrElse(-1L)
+          p = v._2
+        case "data_file" =>
+          for ((dfn, dft) <- dataFileSchema.fields) dfn match {
+            case "content" =>
+              val v = avReadLongish(dft, d, p, end).getOrElse(return None)
+              content = v._1.getOrElse(0L)
+              p = v._2
+            case "file_path" =>
+              val v = avReadStringish(dft, d, p, end).getOrElse(return None)
+              path = v._1.getOrElse(return None)
+              p = v._2
+            case "file_format" =>
+              val v = avReadStringish(dft, d, p, end).getOrElse(return None)
+              fmt = v._1.getOrElse(return None)
+              p = v._2
+            case "record_count" =>
+              val v = avReadLongish(dft, d, p, end).getOrElse(return None)
+              rc = v._1.getOrElse(return None)
+              p = v._2
+            case "file_size_in_bytes" =>
+              val v = avReadLongish(dft, d, p, end).getOrElse(return None)
+              fsz = v._1.getOrElse(return None)
+              p = v._2
+            case _ =>
+              p = avSkipValue(dft, d, p, end).getOrElse(return None)
+          }
+        case _ =>
+          p = avSkipValue(ft, d, p, end).getOrElse(return None)
+      }
+      if (status < 0L || status > 2L || content < 0L || content > 2L ||
+        path == null || fmt == null || rc < 0L || fsz < 0L) return None
+      Some((IcebergManifestEntry(r.id, -1L, status, snap, path, fmt,
+        rc, fsz, content), p))
+    }
     val syncOff = hdr.syncOff
     var off = hdr.firstBlockOff
     val out = scala.collection.mutable.ArrayBuffer.empty[IcebergManifestEntry]
@@ -5984,41 +6293,9 @@ object MultimodalOps {
       var p = pStart
       var k = 0L
       while (k < cnt._1) {
-        // manifest_entry, Avro wire order per the gated schema
-        val st = avroVarLong(d, p)
-        if (st == null || st._1 < 0L || st._1 > 2L) return None
-        p += st._2
-        val un = avroVarLong(d, p) // union branch: 0 = null, 1 = long
-        if (un == null || (un._1 != 0L && un._1 != 1L)) return None
-        p += un._2
-        var snap = -1L
-        if (un._1 == 1L) {
-          val sv = avroVarLong(d, p)
-          if (sv == null) return None
-          snap = sv._1
-          p += sv._2
-        }
-        val pl = avroVarLong(d, p)
-        if (pl == null || pl._1 < 0L || pl._1 > (d.length - p).toLong) return None
-        p += pl._2
-        if (p + pl._1 > pEnd.toLong) return None
-        val path = new String(d, p, pl._1.toInt, "UTF-8")
-        p += pl._1.toInt
-        val fl = avroVarLong(d, p)
-        if (fl == null || fl._1 < 0L || fl._1 > (d.length - p).toLong) return None
-        p += fl._2
-        if (p + fl._1 > pEnd.toLong) return None
-        val fmt = new String(d, p, fl._1.toInt, "UTF-8")
-        p += fl._1.toInt
-        val rc = avroVarLong(d, p)
-        if (rc == null || rc._1 < 0L) return None
-        p += rc._2
-        val fs = avroVarLong(d, p)
-        if (fs == null || fs._1 < 0L) return None
-        p += fs._2
-        if (p > pEnd) return None
-        out += IcebergManifestEntry(r.id, idx, st._1, snap, path, fmt,
-          rc._1, fs._1)
+        val (e, p2) = decodeEntry(d, p, pEnd).getOrElse(return None)
+        out += e.copy(entryIdx = idx)
+        p = p2
         idx += 1
         k += 1
       }
@@ -6099,6 +6376,130 @@ object MultimodalOps {
         k += 1
       }
       MediaRecord(id, "application/x-iceberg-manifest", out.result())
+    }
+  }
+
+  /** A v2-production-shaped manifest-entry schema: sequence-number
+    * fields, `content` (data vs delete files), a partition STRUCT,
+    * column-stats arrays of key/value records, bounds as bytes,
+    * split offsets — the shape real Iceberg v2 writers emit, used by
+    * [[synthesizeIcebergManifestV2]] through the Avro LIBRARY (the
+    * independent-writer discipline: library writes, the schema-driven
+    * from-spec walk reads).
+    */
+  private[graft] val IcebergManifestV2Schema: String =
+    """{"type":"record","name":"manifest_entry","fields":[""" +
+      """{"name":"status","type":"int","field-id":0},""" +
+      """{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},""" +
+      """{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},""" +
+      """{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},""" +
+      """{"name":"data_file","type":{"type":"record","name":"r2","fields":[""" +
+      """{"name":"content","type":"int","field-id":134},""" +
+      """{"name":"file_path","type":"string","field-id":100},""" +
+      """{"name":"file_format","type":"string","field-id":101},""" +
+      """{"name":"partition","type":{"type":"record","name":"r102","fields":[""" +
+      """{"name":"p_bucket","type":["null","int"],"default":null,"field-id":1000},""" +
+      """{"name":"p_days","type":["null","int"],"default":null,"field-id":1001}]},"field-id":102},""" +
+      """{"name":"record_count","type":"long","field-id":103},""" +
+      """{"name":"file_size_in_bytes","type":"long","field-id":104},""" +
+      """{"name":"column_sizes","type":["null",{"type":"array","items":{"type":"record","name":"k117_v118","fields":[""" +
+      """{"name":"key","type":"int","field-id":117},{"name":"value","type":"long","field-id":118}]}}],"default":null,"field-id":108},""" +
+      """{"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[""" +
+      """{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}],"default":null,"field-id":109},""" +
+      """{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[""" +
+      """{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},""" +
+      """{"name":"split_offsets","type":["null",{"type":"array","items":"long"}],"default":null,"field-id":132},""" +
+      """{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}""" +
+      """]},"field-id":2}]}"""
+
+  /** Per-row Iceberg v2 manifest synthesis THROUGH the Avro library:
+    * `1 + id % 3` entries carrying the full production shape
+    * ([[IcebergManifestV2Schema]]) — partition struct, column-stats
+    * arrays, bounds bytes, split offsets, sequence numbers — of
+    * which the census extracts status / snapshot / content / path /
+    * format / rows / bytes and must SKIP the rest by schema.
+    * Entry k: status `(id + k) % 3`, null snapshot on the k=0
+    * `id % 5 == 0` arm, content `(id + k) % 3` (delete-file kinds
+    * included), the v1 path/format/count/size arithmetic.  Odd ids
+    * deflate-coded (the real writers' default).
+    */
+  def synthesizeIcebergManifestV2(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      // Schema parse + writer once per partition, not per row
+      val schema = new org.apache.avro.Schema.Parser()
+        .parse(IcebergManifestV2Schema)
+      val dfSchema = schema.getField("data_file").schema()
+      val partSchema = dfSchema.getField("partition").schema()
+      def arrItem(field: String) =
+        dfSchema.getField(field).schema().getTypes.get(1).getElementType
+      val csSchema = arrItem("column_sizes")
+      val vcSchema = arrItem("value_counts")
+      val lbSchema = arrItem("lower_bounds")
+      it.map { id =>
+        val writer = new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema)
+        val dfw = new org.apache.avro.file.DataFileWriter(writer)
+        if (id % 2 == 1)
+          dfw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        val bos = new java.io.ByteArrayOutputStream(1024)
+        dfw.create(schema, bos)
+        val ns = 1 + (id % 3).toInt
+        var k = 0
+        while (k < ns) {
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("status", ((id + k) % 3).toInt)
+          rec.put("snapshot_id",
+            if (k == 0 && id % 5 == 0) null
+            else java.lang.Long.valueOf(3000L + id))
+          rec.put("sequence_number", java.lang.Long.valueOf(7L + id % 9))
+          rec.put("file_sequence_number", java.lang.Long.valueOf(7L + id % 9))
+          val dataFile =
+            new org.apache.avro.generic.GenericData.Record(dfSchema)
+          dataFile.put("content", ((id + k) % 3).toInt)
+          dataFile.put("file_path", s"data/part-$id-$k.parquet")
+          dataFile.put("file_format", "PARQUET")
+          val part =
+            new org.apache.avro.generic.GenericData.Record(partSchema)
+          part.put("p_bucket", Integer.valueOf((id % 16).toInt))
+          part.put("p_days", Integer.valueOf((id % 365).toInt))
+          dataFile.put("partition", part)
+          dataFile.put("record_count",
+            java.lang.Long.valueOf(100L + (id + k) % 57))
+          dataFile.put("file_size_in_bytes",
+            java.lang.Long.valueOf(10000L + 137L * id + k))
+          def kvList(itemSchema: org.apache.avro.Schema,
+              mk: Int => AnyRef): java.util.List[AnyRef] = {
+            val l = new java.util.ArrayList[AnyRef](3)
+            var c = 1
+            while (c <= 3) {
+              val kv = new org.apache.avro.generic.GenericData.Record(itemSchema)
+              kv.put("key", Integer.valueOf(c))
+              kv.put("value", mk(c))
+              l.add(kv)
+              c += 1
+            }
+            l
+          }
+          dataFile.put("column_sizes",
+            kvList(csSchema, c => java.lang.Long.valueOf(1000L * c + id)))
+          dataFile.put("value_counts",
+            kvList(vcSchema, c => java.lang.Long.valueOf(100L + c)))
+          dataFile.put("lower_bounds",
+            kvList(lbSchema, c => java.nio.ByteBuffer.wrap(
+              Array[Byte](c.toByte, (id & 0x7f).toByte))))
+          val so = new java.util.ArrayList[java.lang.Long](2)
+          so.add(java.lang.Long.valueOf(4L))
+          so.add(java.lang.Long.valueOf(4L + 512L * (k + 1)))
+          dataFile.put("split_offsets", so)
+          dataFile.put("sort_order_id", Integer.valueOf(0))
+          rec.put("data_file", dataFile)
+          dfw.append(rec)
+          k += 1
+        }
+        dfw.close()
+        MediaRecord(id, "application/x-iceberg-manifest", bos.toByteArray)
+      }
     }
   }
 

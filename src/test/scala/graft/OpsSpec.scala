@@ -1945,6 +1945,9 @@ class OpsSpec extends AnyFunSuite {
       ("iceberg", MultimodalOps.synthesizeIcebergManifest(docs, "doc_id")
         .collect().map(_.content),
         r => MultimodalOps.icebergManifestEntriesOf(r)),
+      ("iceberg-v2", MultimodalOps.synthesizeIcebergManifestV2(docs, "doc_id")
+        .collect().map(_.content),
+        r => MultimodalOps.icebergManifestEntriesOf(r)),
       ("iceberg-list", MultimodalOps.synthesizeIcebergManifestList(docs, "doc_id")
         .collect().map(_.content),
         r => MultimodalOps.icebergManifestListOf(r)),
@@ -4844,6 +4847,56 @@ class OpsSpec extends AnyFunSuite {
     // a status outside 0..2 is a framing error (strict field domain)
     val entries = MultimodalOps.icebergManifestEntriesOf(media.head).get
     assert(entries.forall(e => e.status >= 0 && e.status <= 2))
+    // v1 entries default content = 0 (data files)
+    assert(entries.forall(_.content == 0L))
+  }
+
+  test("iceberg manifest v2: schema-driven decode skips partition/stats; Avro cross-check") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "a"), (10L, "b"), (7L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    // production-shaped v2 manifests WRITTEN BY THE AVRO LIBRARY:
+    // sequence numbers, content, partition struct, column-stats
+    // arrays, bounds bytes, split offsets — the census must extract
+    // its fields and SKIP the rest by the embedded writer schema
+    val media = MultimodalOps.synthesizeIcebergManifestV2(docs, "doc_id")
+      .collect()
+    for (m <- media) {
+      val reader = new org.apache.avro.file.DataFileReader(
+        new org.apache.avro.file.SeekableByteArrayInput(m.content),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val lib = Iterator.continually(
+        if (reader.hasNext) Some(reader.next()) else None)
+        .takeWhile(_.isDefined).map { o =>
+          val rec = o.get
+          val df = rec.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val snap = rec.get("snapshot_id")
+          (rec.get("status").asInstanceOf[Int].toLong,
+            if (snap == null) -1L else snap.asInstanceOf[Long],
+            df.get("content").asInstanceOf[Int].toLong,
+            df.get("file_path").toString, df.get("file_format").toString,
+            df.get("record_count").asInstanceOf[Long],
+            df.get("file_size_in_bytes").asInstanceOf[Long])
+        }.toVector
+      reader.close()
+      val ours = MultimodalOps.icebergManifestEntriesOf(m)
+        .getOrElse(fail(s"v2 manifest ${m.id} rejected")).map(e =>
+          (e.status, e.snapshotId, e.content, e.filePath, e.fileFormat,
+            e.recordCount, e.fileSizeInBytes))
+      assert(ours == lib, s"id ${m.id}")
+      assert(ours.length == 1 + (m.id % 3).toInt)
+    }
+    // delete-file kinds surface: content cycles (id + k) % 3
+    val e5 = MultimodalOps.icebergManifestEntriesOf(
+      media.find(_.id == 5L).get).get
+    assert(e5.map(_.content) == Seq(2L, 0L, 1L))
+    // truncation / corrupt seal reject for v2 exactly as v1
+    val v = media.head.content
+    assert(MultimodalOps.icebergManifestEntriesOf(
+      MultimodalOps.MediaRecord(1L, "x", v.take(v.length - 3))).isEmpty)
   }
 
   test("iceberg manifest list: library cross-check; schema gates keep levels apart") {
