@@ -4742,10 +4742,11 @@ object SparkEntry {
     // sniff replay: the synthesized arm IS the expected magic
     "q_media_sniff" ->
       s"""SELECT doc_id,
-        |       CASE doc_id % 8
+        |       CASE doc_id % 9
         |         WHEN 0 THEN 'pdf' WHEN 1 THEN 'tar' WHEN 2 THEN 'gzip'
         |         WHEN 3 THEN 'zstd' WHEN 4 THEN 'warc' WHEN 5 THEN 'mp3-id3'
-        |         WHEN 6 THEN 'zip' ELSE 'arrow-ipc' END AS kind
+        |         WHEN 6 THEN 'zip' WHEN 7 THEN 'arrow-ipc'
+        |         ELSE 'zip:epub' END AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,
     // EPUB replay: container path constant by synthesis, counts are
     // id arithmetic (3 fixed members + one chapter per spine item)
@@ -7594,14 +7595,15 @@ object SparkEntry {
           .orderBy("doc_id", "msg_idx")
       },
       "q_media_sniff" -> { (s, dir) =>
-        // intake classification: a MIXED corpus (eight formats by
-        // id % 8) classified by magic bytes BEFORE any per-format
+        // intake classification: a MIXED corpus (nine formats by
+        // id % 9) classified by magic bytes BEFORE any per-format
         // census — the dispatch stage a lake with dishonest
-        // extensions needs
+        // extensions needs; the EPUB arm pins the ZIP second-stage
+        // refine (zip:epub routes to the OCF census, plain zips stay)
         val docs = s.read.parquet(s"$dir/documents.parquet")
         def arm(m: Int)(f: org.apache.spark.sql.DataFrame =>
             org.apache.spark.sql.Dataset[MultimodalOps.MediaRecord]) =
-          f(docs.filter(pmod(col("doc_id"), lit(8)) === m))
+          f(docs.filter(pmod(col("doc_id"), lit(9)) === m))
         val mixed = Seq(
           arm(0)(d => MultimodalOps.synthesizePdf(d, "doc_id", "text")),
           arm(1)(d => MultimodalOps.synthesizeTarShard(d, "doc_id", "text")),
@@ -7610,7 +7612,8 @@ object SparkEntry {
           arm(4)(d => MultimodalOps.synthesizeWarc(d, "doc_id", "text")),
           arm(5)(d => MultimodalOps.synthesizeMp3Id3(d, "doc_id", "text")),
           arm(6)(d => MultimodalOps.synthesizeZipShard(d, "doc_id", "text")),
-          arm(7)(d => MultimodalOps.synthesizeArrowIpc(d, "doc_id", "text")))
+          arm(7)(d => MultimodalOps.synthesizeArrowIpc(d, "doc_id", "text")),
+          arm(8)(d => MultimodalOps.synthesizeEpub(d, "doc_id", "text")))
           .reduce(_ union _)
         MultimodalOps.sniff(mixed)
           .select(col("id").as("doc_id"), col("kind"))
@@ -7927,9 +7930,14 @@ object SparkEntry {
       "q_multimodal_tiff" -> { (s, dir) =>
         // standalone .tif census: the same IFD walk at offset 0 —
         // shares q_multimodal_exif's oracle verbatim (bare vs
-        // JPEG-wrapped TIFF must census identically)
+        // JPEG-wrapped TIFF must census identically).  Odd ids take
+        // the BigTIFF flavor (version 43, 8-byte offsets/counts) —
+        // three physical paths, ONE oracle
+        val docs = s.read.parquet(s"$dir/documents.parquet")
         val media = MultimodalOps.synthesizeTiff(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id")
+          .union(MultimodalOps.synthesizeBigTiff(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id"))
         MultimodalOps.tiffMeta(media).toDF()
           .select(col("id").as("doc_id"), col("orientation"), col("make"),
             col("hasGps").as("has_gps"),

@@ -3867,18 +3867,39 @@ object MultimodalOps {
     val le = b(t0) == 'I' && b(t0 + 1) == 'I'
     val be = b(t0) == 'M' && b(t0 + 1) == 'M'
     if (!le && !be) return None
-    // every offset below is attacker-controlled (a u32 read off the
-    // wire) — range-check before EVERY dereference: a malformed block
-    // must yield None, never an exception that kills a 100 TB pass
+    // every offset below is attacker-controlled (a u32/u64 read off
+    // the wire) — range-check before EVERY dereference: a malformed
+    // block must yield None, never an exception killing a 100 TB pass
     @inline def ok(o: Int, len: Int): Boolean =
       o >= t0 && len >= 0 && o + len <= until && o + len >= o
     def rd16(o: Int): Int = if (le) u16(b, o) else u16be(b, o)
     def rd32(o: Int): Long = if (le) u32(b, o) else u32be(b, o)
-    if (rd16(t0 + 2) != 42) return None
-    val ifd0off = rd32(t0 + 4)
-    if (ifd0off > until.toLong - t0) return None
+    def rd64(o: Int): Long =
+      if (le) (rd32(o) & 0xffffffffL) | ((rd32(o + 4) & 0xffffffffL) << 32)
+      else ((rd32(o) & 0xffffffffL) << 32) | (rd32(o + 4) & 0xffffffffL)
+    // version 42 = classic TIFF; 43 = BigTIFF (8-byte offsets/counts,
+    // 20-byte IFD entries, u64 entry counts) — same walk, wider reads
+    val version = rd16(t0 + 2)
+    val big = version == 43
+    if (version != 42 && !big) return None
+    val ifd0off =
+      if (big) {
+        if (t0 + 16 > until) return None
+        // BigTIFF header: offset size MUST be 8, then a reserved 0
+        if (rd16(t0 + 4) != 8 || rd16(t0 + 6) != 0) return None
+        rd64(t0 + 8)
+      } else rd32(t0 + 4)
+    if (ifd0off < 0 || ifd0off > until.toLong - t0) return None
     val ifd0 = t0 + ifd0off.toInt
-    if (!ok(ifd0, 2)) return None
+    val countLen = if (big) 8 else 2 // IFD entry-count field width
+    val entryLen = if (big) 20 else 12
+    val inlineAt = if (big) 12 else 8 // value/offset field within entry
+    if (!ok(ifd0, countLen)) return None
+    def ifdCount(o: Int): Long =
+      if (big) rd64(o) else rd16(o).toLong
+    def entryCnt(e: Int): Long = if (big) rd64(e + 4) else rd32(e + 4)
+    def entryPtr(e: Int): Long =
+      if (big) rd64(e + inlineAt) else rd32(e + inlineAt)
     def asciiAt(o: Int, max: Int): String = {
       if (!ok(o, 0)) return ""
       var e = o
@@ -3888,36 +3909,37 @@ object MultimodalOps {
     var orientation = 0L
     var make = ""
     var gpsOff = -1
-    val n0 = rd16(ifd0)
+    val n0 = ifdCount(ifd0)
+    if (n0 < 0 || n0 > 65535) return None
     var i = 0
     while (i < n0) {
-      val e = ifd0 + 2 + i * 12
-      if (e + 12 > until) return None
+      val e = ifd0 + countLen + i * entryLen
+      if (e + entryLen > until) return None
       val tag = rd16(e)
       tag match {
-        case 0x0112 => orientation = rd16(e + 8).toLong
+        case 0x0112 => orientation = rd16(e + inlineAt).toLong
         case 0x010f =>
-          val cnt = rd32(e + 4)
+          val cnt = entryCnt(e)
           if (cnt >= 0 && cnt <= until.toLong - t0) {
             make =
-              if (cnt <= 4) asciiAt(e + 8, cnt.toInt)
+              if (cnt <= (if (big) 8 else 4)) asciiAt(e + inlineAt, cnt.toInt)
               else {
-                val off32 = rd32(e + 8)
-                if (off32 <= until.toLong - t0)
-                  asciiAt(t0 + off32.toInt, cnt.toInt)
+                val off = entryPtr(e)
+                if (off >= 0 && off <= until.toLong - t0)
+                  asciiAt(t0 + off.toInt, cnt.toInt)
                 else ""
               }
           }
         case 0x8825 =>
-          val off32 = rd32(e + 8)
-          if (off32 <= until.toLong - t0) gpsOff = t0 + off32.toInt
+          val off = entryPtr(e)
+          if (off >= 0 && off <= until.toLong - t0) gpsOff = t0 + off.toInt
         case _ =>
       }
       i += 1
     }
     if (gpsOff < 0)
       return Some(ExifMeta(id, orientation, make, 0L, "", 0, 0, 0, "", 0, 0, 0))
-    if (!ok(gpsOff, 2)) return None
+    if (!ok(gpsOff, countLen)) return None
     var latRef = ""; var lonRef = ""
     var lat = Array(0L, 0L, 0L); var lon = Array(0L, 0L, 0L)
     def rationals3(o: Int): Array[Long] =
@@ -3927,19 +3949,20 @@ object MultimodalOps {
         val den = rd32(o + j * 8 + 4)
         if (den == 0) 0L else num / den
       }
-    val ng = rd16(gpsOff)
+    val ng = ifdCount(gpsOff)
+    if (ng < 0 || ng > 65535) return None
     var j = 0
     while (j < ng) {
-      val e = gpsOff + 2 + j * 12
-      if (e + 12 > until) return None
+      val e = gpsOff + countLen + j * entryLen
+      if (e + entryLen > until) return None
       def dataAt(e: Int): Int = {
-        val off32 = rd32(e + 8)
-        if (off32 <= until.toLong - t0) t0 + off32.toInt else -1
+        val off = entryPtr(e)
+        if (off >= 0 && off <= until.toLong - t0) t0 + off.toInt else -1
       }
       rd16(e) match {
-        case 0x0001 => latRef = asciiAt(e + 8, 2)
+        case 0x0001 => latRef = asciiAt(e + inlineAt, 2)
         case 0x0002 => lat = rationals3(dataAt(e))
-        case 0x0003 => lonRef = asciiAt(e + 8, 2)
+        case 0x0003 => lonRef = asciiAt(e + inlineAt, 2)
         case 0x0004 => lon = rationals3(dataAt(e))
         case _ =>
       }
@@ -4089,6 +4112,62 @@ object MultimodalOps {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("id")).as[Long]
       .map(id => MediaRecord(id, "image/tiff", exifTiffBytes(id)))
+  }
+
+  /** BigTIFF (version 43) twin of [[exifTiffBytes]]: 16-byte header
+    * (offset size 8 + reserved 0 + u64 IFD offset), u64 entry
+    * counts, 20-byte entries with 8-byte value/offset fields, the
+    * GPS IFD pointer as LONG8 — the SAME census fields, so the
+    * BigTIFF flavor shares the classic oracle verbatim
+    * (two-physical-paths-one-oracle).
+    */
+  private[graft] def exifBigTiffBytes(id: Long): Array[Byte] = {
+    def u16a(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+    def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def u64a(v: Long) = u32a(v & 0xffffffffL) ++ u32a(v >>> 32)
+    def entry(tag: Int, tpe: Int, cnt: Long, value: Array[Byte]): Array[Byte] =
+      u16a(tag) ++ u16a(tpe) ++ u64a(cnt) ++ value.padTo(8, 0.toByte)
+    val hasGps = id % 4 != 0
+    val make = ("C" + (id % 5)).getBytes("US-ASCII") :+ 0.toByte
+    val ifd0Count = if (hasGps) 3 else 2
+    val ifd0Len = 8 + ifd0Count * 20 + 8
+    val gpsIfdOff = 16L + ifd0Len
+    val ifd0 =
+      u64a(ifd0Count.toLong) ++
+        entry(0x010f, 2, make.length.toLong, make) ++
+        entry(0x0112, 3, 1L, u16a((1 + id % 8).toInt)) ++
+        (if (hasGps) entry(0x8825, 16, 1L, u64a(gpsIfdOff))
+         else Array.empty[Byte]) ++
+        u64a(0L)
+    val header = "II".getBytes("US-ASCII") ++ u16a(43) ++ u16a(8) ++
+      u16a(0) ++ u64a(16L)
+    if (!hasGps) header ++ ifd0
+    else {
+      val latOff = gpsIfdOff + 8 + 4 * 20 + 8
+      val lonOff = latOff + 24
+      val gps =
+        u64a(4L) ++
+          entry(0x0001, 2, 2L,
+            (if (id % 2 == 0) "N" else "S").getBytes("US-ASCII") :+ 0.toByte) ++
+          entry(0x0002, 5, 3L, u64a(latOff)) ++
+          entry(0x0003, 2, 2L,
+            (if ((id / 2) % 2 == 0) "E" else "W").getBytes("US-ASCII") :+ 0.toByte) ++
+          entry(0x0004, 5, 3L, u64a(lonOff)) ++
+          u64a(0L)
+      val latData = u32a(id % 90) ++ u32a(1L) ++ u32a(id % 60) ++ u32a(1L) ++
+        u32a(id * 7 % 60) ++ u32a(1L)
+      val lonData = u32a(id % 180) ++ u32a(1L) ++ u32a(id * 3 % 60) ++ u32a(1L) ++
+        u32a(id * 11 % 60) ++ u32a(1L)
+      header ++ ifd0 ++ gps ++ latData ++ lonData
+    }
+  }
+
+  /** Per-row standalone BigTIFF synthesis: [[exifBigTiffBytes]]. */
+  def synthesizeBigTiff(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map(id => MediaRecord(id, "image/tiff", exifBigTiffBytes(id)))
   }
 
   /** WebVTT cue extraction — the video↔text ALIGNMENT surface a
@@ -7544,11 +7623,41 @@ object MultimodalOps {
     * per-format census: a production lake never promises its
     * extensions are honest, so classify-by-magic, THEN dispatch to
     * the format's walk.  Ordered checks over the headers the engine's
-    * own parsers gate on; containers report their CONTAINER (a .epub
-    * is "zip" here — the OCF census is the dispatch target), and
-    * formats without any magic (TFRecord, JSONL) are honestly
-    * "unknown".  TOTAL on arbitrary bytes.
+    * own parsers gate on; ZIP containers get a second-stage refine
+    * ([[sniffZipRefine]]: `zip:epub` / `zip:ooxml` / `zip:jar` from
+    * the first local-file header), and formats without any magic
+    * (TFRecord, JSONL) are honestly "unknown".  TOTAL on arbitrary
+    * bytes.
     */
+  /** Second-stage refinement for ZIP containers: peek the FIRST
+    * local-file header's name — EPUB's OCF rule puts a STORED
+    * `mimetype` entry first (content `application/epub+zip`), OOXML
+    * packages lead with `[Content_Types].xml`, and JARs with
+    * `META-INF/` — so the intake dispatch can route packaged
+    * documents to their own censuses (`zip:epub` → [[epubMetaOf]])
+    * instead of the generic zip walk.  Anything else stays "zip".
+    */
+  private def sniffZipRefine(b: Array[Byte]): String = {
+    if (b.length < 30) return "zip"
+    val method = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    val nameLen = (b(26) & 0xff) | ((b(27) & 0xff) << 8)
+    val extraLen = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
+    if (nameLen == 0 || nameLen > 512 || 30 + nameLen > b.length)
+      return "zip"
+    val name = new String(b, 30, nameLen, "ISO-8859-1")
+    val dataOff = 30 + nameLen + extraLen
+    val epubMime = "application/epub+zip".getBytes("ISO-8859-1")
+    if (name == "mimetype" && method == 0 &&
+      dataOff + epubMime.length <= b.length && {
+        var i = 0
+        while (i < epubMime.length && b(dataOff + i) == epubMime(i)) i += 1
+        i == epubMime.length
+      }) "zip:epub"
+    else if (name == "[Content_Types].xml") "zip:ooxml"
+    else if (name.startsWith("META-INF/")) "zip:jar"
+    else "zip"
+  }
+
   private[graft] def sniffKind(b: Array[Byte]): String = {
     if (b == null || b.length == 0) return "empty"
     def at(off: Int, s: String): Boolean = {
@@ -7560,7 +7669,8 @@ object MultimodalOps {
       }
     }
     if (at(0, "%PDF-")) "pdf"
-    else if (at(0, "PK") && b.length >= 4 && b(2) == 3 && b(3) == 4) "zip"
+    else if (at(0, "PK") && b.length >= 4 && b(2) == 3 && b(3) == 4)
+      sniffZipRefine(b)
     else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
     else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
       (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) "zstd"
@@ -7586,6 +7696,9 @@ object MultimodalOps {
     else if (at(257, "ustar")) "tar"
     else if (at(0, "II") && b.length >= 4 && b(2) == 42 && b(3) == 0) "tiff"
     else if (at(0, "MM") && b.length >= 4 && b(2) == 0 && b(3) == 42) "tiff"
+    // BigTIFF (version 43) dispatches to the same TIFF census
+    else if (at(0, "II") && b.length >= 4 && b(2) == 43 && b(3) == 0) "tiff"
+    else if (at(0, "MM") && b.length >= 4 && b(2) == 0 && b(3) == 43) "tiff"
     else if (at(0, "ORC")) "orc"
     else if (at(0, "BM")) "bmp"
     else if (at(0, "ID3")) "mp3-id3"

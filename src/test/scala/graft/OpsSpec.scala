@@ -1848,16 +1848,47 @@ class OpsSpec extends AnyFunSuite {
     val wrapped = MultimodalOps.exifMeta(
       MultimodalOps.synthesizeExifJpeg(tiffDoc, "doc_id", "text")).collect().toSeq
     assert(bareTiff == wrapped && bareTiff.nonEmpty)
+    // BigTIFF (version 43): wider reads, identical census fields
+    val bigTiff = MultimodalOps.tiffMeta(
+      MultimodalOps.synthesizeBigTiff(tiffDoc, "doc_id")).collect().toSeq
+    assert(bigTiff == bareTiff)
+    assert(k(ascii("II") ++ Array[Byte](43, 0, 8, 0, 0, 0)) == "tiff")
+    assert(k(ascii("MM") ++ Array[Byte](0, 43, 0, 8, 0, 0)) == "tiff")
+    // a BigTIFF whose offset-size field is not 8 rejects in census
+    val badBig = MultimodalOps.synthesizeBigTiff(tiffDoc, "doc_id")
+      .collect().head.content.clone()
+    badBig(4) = 4
+    assert(MultimodalOps.tiffMetaOf(
+      MultimodalOps.MediaRecord(9L, "t", badBig)).isEmpty)
     // no-magic formats and junk are honestly unknown; empty is empty
     assert(k(ascii("{\"id\":1}\n")) == "unknown") // jsonl has no magic
     assert(k(ascii("just prose")) == "unknown")
     assert(k(Array.emptyByteArray) == "empty")
     assert(k(null) == "empty")
-    // real synthesized bytes classify as their container
+    // ZIP second-stage refine: EPUBs route to their census, OOXML
+    // and JAR shapes get their flavor, plain zips stay "zip"
     import spark.implicits._
     val one = Seq((8L, "text")).toDF("doc_id", "text")
     assert(MultimodalOps.synthesizeEpub(one, "doc_id", "text")
-      .collect().forall(r => k(r.content) == "zip")) // container, not epub
+      .collect().forall(r => k(r.content) == "zip:epub"))
+    assert(MultimodalOps.synthesizeZipShard(one, "doc_id", "text")
+      .collect().forall(r => k(r.content) == "zip"))
+    def zipWithFirst(name: String, data: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      val e = new java.util.zip.ZipEntry(name)
+      z.setMethod(java.util.zip.ZipOutputStream.STORED)
+      val db = data.getBytes("ISO-8859-1")
+      e.setSize(db.length.toLong)
+      val crc = new java.util.zip.CRC32(); crc.update(db)
+      e.setCrc(crc.getValue)
+      z.putNextEntry(e); z.write(db); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    assert(k(zipWithFirst("[Content_Types].xml", "<Types/>")) == "zip:ooxml")
+    assert(k(zipWithFirst("META-INF/MANIFEST.MF", "Main")) == "zip:jar")
+    // a STORED mimetype entry with the WRONG content is not an epub
+    assert(k(zipWithFirst("mimetype", "application/x-not-epub")) == "zip")
     assert(MultimodalOps.synthesizeOpus(one, "doc_id", "text")
       .collect().forall(r => k(r.content) == "ogg"))
   }
@@ -1937,6 +1968,8 @@ class OpsSpec extends AnyFunSuite {
       ("epub", MultimodalOps.synthesizeEpub(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.epubMetaOf(r)),
       ("tiff", MultimodalOps.synthesizeTiff(docs, "doc_id")
+        .collect().map(_.content), r => MultimodalOps.tiffMetaOf(r)),
+      ("bigtiff", MultimodalOps.synthesizeBigTiff(docs, "doc_id")
         .collect().map(_.content), r => MultimodalOps.tiffMetaOf(r)),
       ("jsonl-zst", MultimodalOps.synthesizeJsonlZstShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.jsonlZstRecordsOf(r)),
