@@ -7342,6 +7342,18 @@ object SparkEntry {
             s"$dir/orders.parquet"))
           .orderBy("file_name", "row_group_id", "path_in_schema")
       },
+      "q_parquet_footer_dist" -> { (s, dir) =>
+        // the DISTRIBUTED-listing flavor: executor tasks walk their
+        // directory shards with the streaming recursive iterator —
+        // the 10^7-file lake shape — and must produce byte-identical
+        // footer rows to the driver-listing flavor (same DuckDB
+        // parquet_metadata() oracle); the partitioned-tree listing
+        // path is pinned by StorageSpec's equality test
+        graft.ops.StorageOps.parquetFootersDistributed(s, Seq(
+            s"$dir/documents.parquet", s"$dir/lineitem.parquet",
+            s"$dir/orders.parquet"))
+          .orderBy("file_name", "row_group_id", "path_in_schema")
+      },
       "q_parquet_stats" -> { (s, dir) =>
         // zone-map census: the min/max/null-count bounds a planner
         // prunes row groups with, footer-only, oracled against
@@ -9088,6 +9100,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     sqlQueries ++ sharedDocSql ++ duckdbOnlySql ++ fitOracleSqls ++
       Map("q_parquet_footer" -> parquetFooterOracleSql,
+        // the distributed-listing flavor must agree with the SAME
+        // independent reader — two physical paths, one oracle
+        "q_parquet_footer_dist" -> parquetFooterOracleSql,
         "q_orc_footer" -> orcFooterOracleSql,
         "q_parquet_stats" -> parquetStatsOracleSql)
 

@@ -73,9 +73,22 @@ object StorageOps {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
-    spark.createDataset(files)
-      .repartition(math.max(1, math.min(files.size, 32)))
-      .mapPartitions { it =>
+    footerRowsOf(
+      spark.createDataset(files)
+        .repartition(math.max(1, math.min(files.size, 32))),
+      confBc)
+  }
+
+  /** The footer-read stage shared by [[parquetFooters]] and
+    * [[parquetFootersDistributed]]: one parquet-hadoop footer open
+    * per file path, one output row per column chunk per row group.
+    */
+  private def footerRowsOf(
+      files: org.apache.spark.sql.Dataset[String],
+      confBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.SerializableConfiguration]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
         val conf = confBc.value.value
         it.flatMap { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -98,6 +111,86 @@ object StorageOps {
       .toDF("file_name", "row_group_id", "row_group_num_rows",
         "path_in_schema", "num_values", "total_compressed_size",
         "total_uncompressed_size", "compression")
+  }
+
+  /** DISTRIBUTED-listing flavor of [[parquetFooters]] — the 10⁷-file
+    * lake shape the driver-listing flavor's `maxFiles` bound points
+    * at.  The driver lists ONE shallow level (each root's immediate
+    * children — partition directories, O(children) FileStatus, never
+    * O(files)); each child becomes a shard, and EXECUTOR tasks walk
+    * their shard's subtree with the filesystem's streaming
+    * `listFiles(recursive)` iterator, emitting footer rows as they
+    * go.  Nothing file-count-sized ever materializes on the driver,
+    * and the listing parallelism scales with the partition-dir count
+    * — the standard layout of a large table.  A second `repartition`
+    * between listing and footer reads re-spreads a skewed shard (one
+    * partition dir holding most files) across the cluster.
+    *
+    * `maxFilesPerShard` bounds a runaway subtree per task (a loud
+    * reject, like the driver flavor's `maxFiles`); at catalog scale
+    * with a file index, prefer feeding [[parquetFooters]] the exact
+    * list instead of re-listing storage at all.
+    */
+  def parquetFootersDistributed(
+      spark: org.apache.spark.sql.SparkSession, roots: Seq[String],
+      shardParallelism: Int = 256,
+      maxFilesPerShard: Int = 10000000): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    // ONE shallow listing level on the driver: shard seeds
+    val seeds = roots.flatMap { r =>
+      val path = new org.apache.hadoop.fs.Path(r)
+      val fs = path.getFileSystem(conf)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).map(_.getPath.toString).toSeq
+      else Seq(r)
+    }
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val files = spark.createDataset(seeds)
+      .repartition(math.max(1, math.min(seeds.size, shardParallelism)))
+      .mapPartitions { it =>
+        val c = confBc.value.value
+        it.flatMap { s =>
+          val p = new org.apache.hadoop.fs.Path(s)
+          val fs = p.getFileSystem(c)
+          val st = fs.getFileStatus(p)
+          if (!st.isDirectory) {
+            if (s.endsWith(".parquet")) Iterator.single(s)
+            else Iterator.empty
+          } else {
+            // streaming recursive walk of THIS shard — the remote
+            // iterator never buffers the subtree
+            val rit = fs.listFiles(p, true)
+            var n = 0
+            new Iterator[String] {
+              private var nextFile: String = null
+              private def advance(): Unit = {
+                nextFile = null
+                while (nextFile == null && rit.hasNext) {
+                  val f = rit.next()
+                  if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+                    n += 1
+                    if (n > maxFilesPerShard) throw new IllegalStateException(
+                      s"parquetFootersDistributed: shard $s exceeds " +
+                        s"maxFilesPerShard=$maxFilesPerShard")
+                    nextFile = f.getPath.toString
+                  }
+                }
+              }
+              advance()
+              override def hasNext: Boolean = nextFile != null
+              override def next(): String = {
+                val r = nextFile; advance(); r
+              }
+            }
+          }
+        }
+      }
+    // re-spread before the footer reads: shard sizes are skewed in
+    // real layouts, footer opens should not be
+    footerRowsOf(files.repartition(32), confBc)
   }
 
   /** Parquet ZONE-MAP census — the min/max/null-count statistics a

@@ -436,4 +436,41 @@ class StorageSpec extends AnyFunSuite {
       catch { case e: Throwable => fail(s"orc fuzz trial $trial threw: $e") }
     }
   }
+
+  test("parquetFootersDistributed == driver-listing flavor on a partitioned tree") {
+    import graft.ops.StorageOps
+    // a partitioned table: the layout whose per-partition dirs become
+    // the distributed flavor's shards
+    val dir = java.nio.file.Files.createTempDirectory("pqdist").toString
+    spark.range(0, 4000).selectExpr("id", "id % 7 AS part", "id * 3 AS v")
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("part").parquet(s"$dir/t")
+    // driver flavor needs the leaf files (its listing is one level);
+    // hand it every partition dir
+    val leafDirs = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part="))
+      .map(_.toString).toSeq
+    assert(leafDirs.size == 7)
+    val viaDriver = StorageOps.parquetFooters(spark, leafDirs)
+      .collect().map(_.toString).sorted.toSeq
+    // distributed flavor gets the TABLE ROOT: the driver lists only
+    // the 7 partition dirs; tasks walk each subtree recursively.
+    // Compare as sorted multisets — file BASENAMES repeat across
+    // partition dirs, so no column order is total here
+    val viaDist = StorageOps.parquetFootersDistributed(spark, Seq(s"$dir/t"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDist == viaDriver && viaDist.nonEmpty)
+    // a file root (no directory level) also works
+    val oneFile = new java.io.File(leafDirs.head).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toString
+    assert(StorageOps.parquetFootersDistributed(spark, Seq(oneFile))
+      .count() == StorageOps.parquetFooters(spark, Seq(oneFile)).count())
+    // the per-shard bound rejects loudly, like the driver flavor's
+    val err = intercept[org.apache.spark.SparkException] {
+      StorageOps.parquetFootersDistributed(spark, Seq(s"$dir/t"),
+        maxFilesPerShard = 1).collect()
+    }
+    assert(err.getMessage.contains("maxFilesPerShard") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxFilesPerShard")))
+  }
 }
