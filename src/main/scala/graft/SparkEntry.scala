@@ -7390,6 +7390,22 @@ object SparkEntry {
             sum("stripe_rows").as("stripe_rows"))
           .orderBy("tbl")
       },
+      "q_orc_stats" -> { (s, dir) =>
+        // ORC stripe-level zone maps (the ORC sibling of
+        // q_parquet_stats): per-stripe integer min/max/value-count/
+        // has-null from the Metadata section of the staged
+        // single-stripe writes, oracled against DuckDB aggregates of
+        // the SOURCE parquet — two readers, two formats, one answer
+        val staged = stageOrcFiles(s, dir)
+        Seq("region", "nation", "supplier").map { t =>
+          graft.ops.StorageOps.orcStripeStats(s, Seq(s"$staged/$t"))
+            .withColumn("tbl", lit(t))
+        }.reduce(_ unionByName _)
+          .select(col("tbl"), col("stripe_id"), col("column_id"),
+            col("n_values"), col("has_null").cast("long").as("has_null"),
+            col("min_v"), col("max_v"))
+          .orderBy("tbl", "stripe_id", "column_id")
+      },
       "q_multimodal_gguf" -> { (s, dir) =>
         // GGUF checkpoint census: KV walk (alignment from the file's
         // own metadata) + per-tensor exact byte spans, no weight reads
@@ -9104,6 +9120,7 @@ object SparkEntry {
         // independent reader — two physical paths, one oracle
         "q_parquet_footer_dist" -> parquetFooterOracleSql,
         "q_orc_footer" -> orcFooterOracleSql,
+        "q_orc_stats" -> orcStatsOracleSql,
         "q_parquet_stats" -> parquetStatsOracleSql)
 
   /** Corpus dir the oracle SQL is generated against.  Verify sets this
@@ -9159,6 +9176,33 @@ object SparkEntry {
     * column, exactly `parquet_schema`'s entry count for flat tables.
     * Interpolates [[oracleDir]] at dump time like the parquet twin.
     */
+  /** ORC stripe-stats oracle: the staged write is coalesce(1) and far
+    * below the stripe-size threshold, so each table is ONE file with
+    * ONE stripe — its stripe statistics equal whole-table aggregates,
+    * which DuckDB computes over the SOURCE parquet.  ORC column ids
+    * are the flat schema's 1-based field positions (0 = root struct);
+    * only integer-typed columns carry IntegerStatistics.
+    */
+  private def orcStatsOracleSql: String = {
+    val intCols = Seq(
+      ("nation", Seq(("n_nationkey", 1), ("n_regionkey", 3))),
+      ("region", Seq(("r_regionkey", 1))),
+      ("supplier", Seq(("s_suppkey", 1), ("s_nationkey", 3))))
+    intCols.flatMap { case (t, cols) =>
+      cols.map { case (c, cid) =>
+        s"""SELECT '$t' AS tbl,
+           |       CAST(0 AS BIGINT) AS stripe_id,
+           |       CAST($cid AS BIGINT) AS column_id,
+           |       count($c) AS n_values,
+           |       CAST(count(*) <> count($c) AS BIGINT) AS has_null,
+           |       CAST(min($c) AS BIGINT) AS min_v,
+           |       CAST(max($c) AS BIGINT) AS max_v
+           |FROM read_parquet('$oracleDir/$t.parquet')""".stripMargin
+      }
+    }.mkString("", "\nUNION ALL\n",
+      "\nORDER BY tbl, stripe_id, column_id")
+  }
+
   private def orcFooterOracleSql: String =
     Seq("nation", "region", "supplier").map { t =>
       s"""SELECT '$t' AS tbl,

@@ -319,6 +319,40 @@ object StorageOps {
     0L -> "NONE", 1L -> "ZLIB", 2L -> "SNAPPY", 3L -> "LZO",
     4L -> "LZ4", 5L -> "ZSTD")
 
+  /** Decode one ORC metadata SECTION spanning [start, end) of `tail`
+    * through the compressed-stream chunk framing (3-byte LE header =
+    * chunkLen·2 + isOriginal): NONE copies, ZLIB inflates per chunk
+    * (raw DEFLATE, bomb-guarded), other codecs reject — shared by the
+    * footer and stripe-statistics walks.
+    */
+  private def orcSectionBytes(
+      tail: Array[Byte], start: Int, end: Int,
+      compression: Long): Option[Array[Byte]] = {
+    if (start < 0 || end > tail.length || start > end) return None
+    if (compression == 0L)
+      Some(java.util.Arrays.copyOfRange(tail, start, end))
+    else if (compression == 1L) {
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64, (end - start) * 2))
+      var p = start
+      while (p < end) {
+        if (p + 3 > end) return None
+        val h = (tail(p) & 0xff) | (tail(p + 1) & 0xff) << 8 |
+          (tail(p + 2) & 0xff) << 16
+        val original = (h & 1) == 1
+        val chunkLen = h >>> 1
+        p += 3
+        if (chunkLen <= 0 || p + chunkLen > end) return None
+        if (original) out.write(tail, p, chunkLen)
+        else out.write(graft.ops.MultimodalOps.inflateRawSpan(
+          tail, p, chunkLen, 64 << 20).getOrElse(return None))
+        if (out.size() > (64 << 20)) return None // bomb guard
+        p += chunkLen
+      }
+      Some(out.toByteArray)
+    } else None // SNAPPY/LZO/LZ4/ZSTD metadata: honest reject
+  }
+
   /** Parse an ORC file's metadata from its TAIL bytes (the last
     * `tail.length` bytes of a `fileLen`-byte file): postscript →
     * (footer length, compression kind, "ORC" magic), then the footer
@@ -363,27 +397,8 @@ object StorageOps {
     val footerStart = psStart - footerLen.toInt
     // footer: through the compressed-stream chunk framing when coded
     val footer: Array[Byte] =
-      if (compression == 0L)
-        java.util.Arrays.copyOfRange(tail, footerStart, psStart)
-      else if (compression == 1L) {
-        val out = new java.io.ByteArrayOutputStream(footerLen.toInt * 2)
-        var p = footerStart
-        while (p < psStart) {
-          if (p + 3 > psStart) return None
-          val h = (tail(p) & 0xff) | (tail(p + 1) & 0xff) << 8 |
-            (tail(p + 2) & 0xff) << 16
-          val original = (h & 1) == 1
-          val chunkLen = h >>> 1
-          p += 3
-          if (chunkLen <= 0 || p + chunkLen > psStart) return None
-          if (original) out.write(tail, p, chunkLen)
-          else out.write(graft.ops.MultimodalOps.inflateRawSpan(
-            tail, p, chunkLen, 64 << 20).getOrElse(return None))
-          if (out.size() > (64 << 20)) return None // bomb guard
-          p += chunkLen
-        }
-        out.toByteArray
-      } else return None // SNAPPY/LZO/LZ4/ZSTD metadata: honest reject
+      orcSectionBytes(tail, footerStart, psStart, compression)
+        .getOrElse(return None)
     val fr = new PbReader(footer, 0, footer.length)
     var contentLength = -1L
     var totalRows = -1L
@@ -532,6 +547,201 @@ object StorageOps {
         "content_length", "n_stripes", "stripe_id", "stripe_offset",
         "index_length", "data_length", "stripe_footer_length",
         "stripe_rows")
+  }
+
+  /** Parse an ORC file's STRIPE STATISTICS from its tail bytes: the
+    * postscript's metadataLength locates the Metadata section (it
+    * sits immediately before the footer), decoded through the same
+    * chunk framing; `Metadata { repeated StripeStatistics }`, one
+    * `ColumnStatistics` per column per stripe (column 0 is the root
+    * struct).  Rows are emitted only for columns carrying
+    * IntegerStatistics with a min or max (sint64 zigzag) — a column
+    * without bounds is unprunable, not zero.  Returns (stripeId,
+    * columnId, numberOfValues, hasNull, min, max); None on anything
+    * malformed.  TOTAL on arbitrary bytes.
+    */
+  private[graft] def orcStripeStatsOf(
+      tail: Array[Byte],
+      fileLen: Long): Option[Vector[(Long, Long, Long, Boolean, Long, Long)]] = {
+    if (tail == null || tail.length < 4 || fileLen < tail.length) return None
+    val psLen = tail(tail.length - 1) & 0xff
+    if (psLen < 1 || psLen + 1 > tail.length) return None
+    val psStart = tail.length - 1 - psLen
+    val ps = new PbReader(tail, psStart, psStart + psLen)
+    var footerLen = -1L
+    var metadataLen = -1L
+    var compression = 0L
+    var magicOk = false
+    while (ps.hasMore) {
+      val (f, w) = ps.tag()
+      if (ps.bad) return None
+      (f, w) match {
+        case (1, 0) => footerLen = ps.varint()
+        case (2, 0) => compression = ps.varint()
+        case (5, 0) => metadataLen = ps.varint()
+        case (8000, 2) =>
+          val (o, l) = ps.lenDelim()
+          magicOk = !ps.bad && l == 3 && tail(o) == 'O' &&
+            tail(o + 1) == 'R' && tail(o + 2) == 'C'
+        case (_, wire) => ps.skip(wire)
+      }
+      if (ps.bad) return None
+    }
+    if (!magicOk || footerLen <= 0 || metadataLen < 0 ||
+      footerLen + metadataLen > psStart) return None
+    if (!OrcCompressionNames.contains(compression)) return None
+    val metaStart = psStart - footerLen.toInt - metadataLen.toInt
+    val meta = orcSectionBytes(tail, metaStart,
+      metaStart + metadataLen.toInt, compression).getOrElse(return None)
+    val out = Vector.newBuilder[(Long, Long, Long, Boolean, Long, Long)]
+    @inline def unzig(z: Long): Long = (z >>> 1) ^ -(z & 1)
+    val mr = new PbReader(meta, 0, meta.length)
+    var stripeId = 0L
+    while (mr.hasMore) {
+      val (f, w) = mr.tag()
+      if (mr.bad) return None
+      if (f == 1 && w == 2) { // StripeStatistics
+        val (o, l) = mr.lenDelim()
+        if (mr.bad) return None
+        val sr = new PbReader(meta, o, o + l)
+        var colId = 0L
+        while (sr.hasMore) {
+          val (sf, sw) = sr.tag()
+          if (sr.bad) return None
+          if (sf == 1 && sw == 2) { // ColumnStatistics
+            val (co, cl) = sr.lenDelim()
+            if (sr.bad) return None
+            val cr = new PbReader(meta, co, co + cl)
+            var nValues = -1L
+            var hasNull = false
+            var hasInt = false
+            var minV = 0L
+            var maxV = 0L
+            while (cr.hasMore) {
+              val (cf, cw) = cr.tag()
+              if (cr.bad) return None
+              (cf, cw) match {
+                case (1, 0) => nValues = cr.varint()
+                case (2, 2) => // IntegerStatistics
+                  val (io, il) = cr.lenDelim()
+                  if (cr.bad) return None
+                  val ir = new PbReader(meta, io, io + il)
+                  while (ir.hasMore) {
+                    val (inf, iw) = ir.tag()
+                    if (ir.bad) return None
+                    (inf, iw) match {
+                      case (1, 0) => minV = unzig(ir.varint()); hasInt = true
+                      case (2, 0) => maxV = unzig(ir.varint()); hasInt = true
+                      case (_, wire) => ir.skip(wire)
+                    }
+                    if (ir.bad) return None
+                  }
+                case (10, 0) => hasNull = cr.varint() != 0L
+                case (_, wire) => cr.skip(wire)
+              }
+              if (cr.bad) return None
+            }
+            if (hasInt && nValues >= 0)
+              out += ((stripeId, colId, nValues, hasNull, minV, maxV))
+            colId += 1
+          } else {
+            sr.skip(sw)
+            if (sr.bad) return None
+          }
+        }
+        stripeId += 1
+      } else {
+        mr.skip(w)
+        if (mr.bad) return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** ORC stripe-level ZONE-MAP census — the ORC sibling of
+    * [[parquetColumnStats]]: per (file, stripe, column) integer
+    * min/max/value-count/has-null from the file's own Metadata
+    * section, the bounds a planner prunes stripes with.  Same
+    * listing/broadcast/tail-read economics as [[orcFooters]]; the
+    * fallback tail read is sized from the postscript to cover
+    * metadata + footer exactly.  Cross-checked against orc-core's
+    * own `getStripeStatistics` in StorageSpec (independent reader)
+    * and against DuckDB aggregates through the staged single-stripe
+    * write in the oracle row.
+    */
+  def orcStripeStats(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    val files = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".orc"))
+          .map(_.getPath.toString).toSeq
+      else Seq(p)
+    }
+    require(files.size <= maxFiles,
+      s"orcStripeStats: ${files.size} files exceeds maxFiles=$maxFiles")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(conf)
+          val len = fs.getFileStatus(hp).getLen
+          def readTail(n: Long): Array[Byte] = {
+            require(n > 0 && n <= MaxOrcFooterRead,
+              s"orcStripeStats: $p declares a tail read of $n bytes " +
+                s"(cap $MaxOrcFooterRead) — corrupt postscript")
+            val want = math.min(len, n).toInt
+            val buf = new Array[Byte](want)
+            val in = fs.open(hp)
+            try in.readFully(len - want, buf, 0, want) finally in.close()
+            buf
+          }
+          val first = readTail(256L * 1024)
+          val stats = orcStripeStatsOf(first, len).orElse {
+            // tail larger than the first guess: size it exactly from
+            // the postscript (footer + metadata), then re-read
+            if (first.length < 2) None
+            else {
+              val psLen = first(first.length - 1) & 0xff
+              if (psLen < 1 || psLen + 1 > first.length) None
+              else {
+                val psStart = first.length - 1 - psLen
+                val ps = new PbReader(first, psStart, psStart + psLen)
+                var footerLen = -1L
+                var metadataLen = -1L
+                while (ps.hasMore) {
+                  val (f, w) = ps.tag()
+                  (f, w) match {
+                    case (1, 0) => footerLen = ps.varint()
+                    case (5, 0) => metadataLen = ps.varint()
+                    case (_, wire) => ps.skip(wire)
+                  }
+                }
+                if (footerLen <= 0 || metadataLen < 0) None
+                else orcStripeStatsOf(
+                  readTail(1L + psLen + footerLen + metadataLen), len)
+              }
+            }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"orcStripeStats: $p is not a readable ORC file (or uses " +
+              "a metadata codec this census rejects)"))
+          stats.map { case (sid, cid, nv, hn, mn, mx) =>
+            (hp.getName, sid, cid, nv, hn, mn, mx)
+          }
+        }
+      }
+      .toDF("file_name", "stripe_id", "column_id", "n_values",
+        "has_null", "min_v", "max_v")
   }
 
   /** Iceberg `metadata.json` census — the ENTRY POINT of every

@@ -473,4 +473,83 @@ class StorageSpec extends AnyFunSuite {
     assert(err.getMessage.contains("maxFilesPerShard") ||
       Option(err.getCause).exists(_.getMessage.contains("maxFilesPerShard")))
   }
+
+  test("orcStripeStats: multi-stripe zone maps match orc-core's getStripeStatistics") {
+    import graft.ops.StorageOps
+    val dir = java.nio.file.Files.createTempDirectory("orcstats").toString
+    // write THROUGH orc-core with an explicit tiny stripe size —
+    // multiple stripes guaranteed, and the fixture bytes come from an
+    // independent writer, not our own code (Spark's DataFrameWriter
+    // does not forward the stripe-size knob)
+    val orcFile = new java.io.File(s"$dir/t/fixture.orc")
+    orcFile.getParentFile.mkdirs()
+    val schema = org.apache.orc.TypeDescription.fromString(
+      "struct<id:bigint,small:int,v:bigint>")
+    val writer = org.apache.orc.OrcFile.createWriter(
+      new org.apache.hadoop.fs.Path(orcFile.toString),
+      org.apache.orc.OrcFile.writerOptions(
+          spark.sparkContext.hadoopConfiguration)
+        .setSchema(schema)
+        .stripeSize(65536L)
+        .compress(org.apache.orc.CompressionKind.ZLIB))
+    val batch = schema.createRowBatch()
+    val idV = batch.cols(0).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    val smV = batch.cols(1).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    val vV = batch.cols(2).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    vV.noNulls = false
+    var i = 0L
+    while (i < 200000L) {
+      val r = batch.size
+      idV.vector(r) = i
+      smV.vector(r) = i % 97
+      if (i % 11 == 0) { vV.isNull(r) = true; vV.vector(r) = 0L }
+      else { vV.isNull(r) = false; vV.vector(r) = i * 3 }
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { writer.addRowBatch(batch); batch.reset() }
+      i += 1
+    }
+    if (batch.size > 0) writer.addRowBatch(batch)
+    writer.close()
+    val got = StorageOps.orcStripeStats(spark, Seq(s"$dir/t"))
+      .orderBy("stripe_id", "column_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6))).toSeq
+    // independent reader: orc-core's own stripe statistics
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(orcFile.toString),
+      org.apache.orc.OrcFile.readerOptions(
+        spark.sparkContext.hadoopConfiguration))
+    import scala.jdk.CollectionConverters._
+    val lib = reader.getStripeStatistics.asScala.zipWithIndex.flatMap {
+      case (ss, sid) =>
+        ss.getColumnStatistics.zipWithIndex.collect {
+          case (cs: org.apache.orc.IntegerColumnStatistics, cid) =>
+            (sid.toLong, cid.toLong, cs.getNumberOfValues,
+              cs.hasNull, cs.getMinimum, cs.getMaximum)
+        }
+    }.toSeq
+    reader.close()
+    assert(got.nonEmpty && got == lib)
+    // multiple stripes actually happened, and the nullable column's
+    // has_null flag surfaced
+    assert(got.map(_._1).distinct.size > 1)
+    assert(got.exists(_._4))
+    // fuzz: byte flips / truncations never throw (media contract)
+    val whole = java.nio.file.Files.readAllBytes(orcFile.toPath)
+    val rnd = new scala.util.Random(1616)
+    for (trial <- 0 until 300) {
+      val m = whole.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      val victim =
+        if (rnd.nextInt(3) == 0) m.take(rnd.nextInt(m.length)) else m
+      try StorageOps.orcStripeStatsOf(victim, victim.length.toLong)
+      catch { case e: Throwable => fail(s"orc stats fuzz $trial threw: $e") }
+    }
+  }
 }
