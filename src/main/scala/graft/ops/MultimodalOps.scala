@@ -7688,7 +7688,19 @@ object MultimodalOps {
     else if (at(0, "GGUF")) "gguf"
     else if (b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
       (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) "webm"
-    else if (at(4, "ftyp")) "isobmff"
+    // ISO BMFF: refine by the ftyp MAJOR BRAND (bytes 8-11) so the
+    // dispatch routes stills (avif/heic) and movies (mp4/mov) to
+    // their own censuses; unknown brands stay the bare container
+    else if (at(4, "ftyp")) {
+      if (at(8, "avif") || at(8, "avis")) "isobmff:avif"
+      else if (at(8, "heic") || at(8, "heix") || at(8, "hevc") ||
+        at(8, "mif1")) "isobmff:heic"
+      else if (at(8, "isom") || at(8, "iso2") || at(8, "mp41") ||
+        at(8, "mp42") || at(8, "dash") || at(8, "avc1")) "isobmff:mp4"
+      else if (at(8, "M4A ")) "isobmff:m4a"
+      else if (at(8, "qt  ")) "isobmff:mov"
+      else "isobmff"
+    }
     else if ((b(0) & 0xff) == 0x93 && at(1, "NUMPY")) "npy"
     // tar's magic sits at offset 257 — deep, so check it BEFORE the
     // weak 2-3-byte prefixes below: a tar whose first member NAME

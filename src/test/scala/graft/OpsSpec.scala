@@ -1823,7 +1823,20 @@ class OpsSpec extends AnyFunSuite {
     assert(k(ascii("GGUF....")) == "gguf")
     assert(k(ascii("Obj") ++ Array[Byte](1) ++ ascii("meta")) == "avro")
     assert(k(Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte)) == "webm")
-    assert(k(Array[Byte](0, 0, 0, 32) ++ ascii("ftypisom")) == "isobmff")
+    // ISO BMFF brand refine: stills vs movies vs unknown brands
+    assert(k(Array[Byte](0, 0, 0, 32) ++ ascii("ftypisom")) == "isobmff:mp4")
+    assert(k(Array[Byte](0, 0, 0, 32) ++ ascii("ftypavif")) == "isobmff:avif")
+    assert(k(Array[Byte](0, 0, 0, 32) ++ ascii("ftypheic")) == "isobmff:heic")
+    assert(k(Array[Byte](0, 0, 0, 32) ++ ascii("ftypM4A ")) == "isobmff:m4a")
+    assert(k(Array[Byte](0, 0, 0, 32) ++ ascii("ftypqt  ")) == "isobmff:mov")
+    assert(k(Array[Byte](0, 0, 0, 32) ++ ascii("ftypXXXX")) == "isobmff")
+    import graft.ops.MultimodalOps.{synthesizeAvif, synthesizeMp4}
+    import spark.implicits._
+    val bmffDoc = Seq((7L, "x")).toDF("doc_id", "text")
+    assert(synthesizeAvif(bmffDoc, "doc_id", "text")
+      .collect().forall(r => k(r.content) == "isobmff:avif"))
+    assert(synthesizeMp4(bmffDoc, "doc_id", "text", 320, 200, 1500L)
+      .collect().forall(r => k(r.content) == "isobmff:mp4"))
     assert(k(new Array[Byte](257) ++ ascii("ustar")) == "tar")
     assert(k(Array(0x93.toByte) ++ ascii("NUMPY")) == "npy")
     // precedence: tar's DEEP offset-257 magic beats the weak 2-3-byte
