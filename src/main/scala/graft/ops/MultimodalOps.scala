@@ -8745,7 +8745,9 @@ object MultimodalOps {
         w(s"$oldSize 0 obj << /Rev 2 /Doc $id >> endobj\n")
         val xrefAt = out.size().toLong
         w(s"xref\n1 1\n")
-        w(f"$catAt%010d 00001 n \n")
+        // generation stays 0: replacement via incremental update does
+        // not bump gen (that happens only after a free-list reuse)
+        w(f"$catAt%010d 00000 n \n")
         w(s"$oldSize 1\n")
         w(f"$infoAt%010d 00000 n \n")
         w(s"trailer << /Size ${oldSize + 1} /Root 1 0 R /Prev $prevXrefAt >>\n")
