@@ -4769,6 +4769,21 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS n_sections,
         |       'classic' AS layout
         |FROM px ORDER BY doc_id""".stripMargin,
+    // PDF text replay: page k shows the k-th 6-token window — the
+    // same token-slice convention as the VTT/SRT cue oracles; the
+    // literal/TJ/hex show forms and the flate layer must be
+    // byte-invisible
+    "q_pdf_text" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+           |         1 + doc_id % 4 AS np
+           |  FROM documents),
+           |p AS (SELECT doc_id, toks, unnest(generate_series(0, np - 1)) AS k FROM t)
+           |SELECT doc_id,
+           |       CAST(k AS BIGINT) AS page_idx,
+           |       coalesce(array_to_string(toks[k * 6 + 1 : k * 6 + 6], ' '), '') AS page_text
+           |FROM p ORDER BY doc_id, page_idx""".stripMargin,
     // xref-stream replay: even ids add the object stream (+1 object);
     // the xref stream object itself is always one more
     "q_pdf_meta_xrs" ->
@@ -7708,6 +7723,19 @@ object SparkEntry {
             col("nObjects").as("n_objects"), col("nPages").as("n_pages"),
             col("nSections").as("n_sections"), col("layout"))
           .orderBy("doc_id")
+      },
+      "q_pdf_text" -> { (s, dir) =>
+        // the PDF CONTENT step (the document-corpus sibling of the
+        // WARC content path): page tree resolved through the xref
+        // chain, content streams decoded (FlateDecode on odd ids),
+        // shown text extracted from Tj / TJ / hex-string operators —
+        // one row per page, text replaying the 6-token-window rule
+        val media = MultimodalOps.synthesizePdfText(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.pdfPageTexts(media).toDF()
+          .select(col("id").as("doc_id"), col("pageIdx").as("page_idx"),
+            col("text").as("page_text"))
+          .orderBy("doc_id", "page_idx")
       },
       "q_pdf_meta_xrs" -> { (s, dir) =>
         // PDF >= 1.5 cross-reference STREAMS — the modern-producer

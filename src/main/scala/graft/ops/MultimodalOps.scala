@@ -8087,11 +8087,11 @@ object MultimodalOps {
   }
 
   // one cross-reference entry, keyed by object number
-  private sealed trait PdfXrefEntry
-  private final case class PdfInUse(off: Long) extends PdfXrefEntry
-  private final case class PdfInObjStm(stm: Long, idx: Long)
+  private[graft] sealed trait PdfXrefEntry
+  private[graft] final case class PdfInUse(off: Long) extends PdfXrefEntry
+  private[graft] final case class PdfInObjStm(stm: Long, idx: Long)
     extends PdfXrefEntry
-  private case object PdfFreeObj extends PdfXrefEntry
+  private[graft] case object PdfFreeObj extends PdfXrefEntry
 
   /** zlib-wrapped inflate (RFC 1950 — PDF's FlateDecode), bounded. */
   private[graft] def inflateZlibSpan(
@@ -8394,8 +8394,20 @@ object MultimodalOps {
     * object streams (/Type/ObjStm) extracted via their embedded
     * offset table.  TOTAL on arbitrary bytes.
     */
-  private[graft] def pdfMetaOf(r: MediaRecord): Option[PdfMeta] = {
-    val b = r.content
+  /** The resolved cross-reference CHAIN of a PDF: entry map
+    * (newest-wins), newest /Size and /Root, section count, layout
+    * kind, startxref target, header version.
+    */
+  private[graft] final case class PdfChain(
+      entries: Map[Long, PdfXrefEntry], size: Long, rootRef: Long,
+      nSections: Long, layout: String, xrefOffset: Long, version: String)
+
+  /** Walk the full cross-reference chain (classic tables, xref
+    * streams, /Prev links, hybrid /XRefStm) — the shared first step
+    * of the structure census and the text extraction.  See
+    * [[pdfMetaOf]] for the envelope description.
+    */
+  private[graft] def pdfChainOf(b: Array[Byte]): Option[PdfChain] = {
     if (b == null || b.length < 32) return None
     // header: %PDF-1.x
     val head = new String(b, 0, math.min(16, b.length), "ISO-8859-1")
@@ -8467,65 +8479,314 @@ object MultimodalOps {
     if (rootRef < 0) return None
     // the chain's distinct objects must account for the newest /Size
     if (size != entries.size) return None
-    // resolve an object's dict through the xref (object streams
-    // included); depth-capped — catalog → pages is 2 hops
-    def objDict(num: Long, depth: Int): Option[String] = {
-      if (depth > 4) return None
-      entries.get(num) match {
-        case Some(PdfInUse(off)) =>
-          val (n, dict, _) = pdfObjHeaderAt(b, off).getOrElse(return None)
-          if (n != num) None else Some(dict)
-        case Some(PdfInObjStm(stm, idx)) =>
-          entries.get(stm) match {
-            case Some(PdfInUse(soff)) =>
-              val (sn, sdict, sEnd) =
-                pdfObjHeaderAt(b, soff).getOrElse(return None)
-              if (sn != stm) return None
-              if (!pdfDictName(sdict, "/Type").contains("ObjStm")) return None
-              val nObjs = pdfDictLong(sdict, "/N").getOrElse(return None)
-              val firstOff = pdfDictLong(sdict, "/First").getOrElse(return None)
-              if (idx < 0 || idx >= nObjs || nObjs > 100000) return None
-              val data = pdfDecodedStream(b, sdict, sEnd).getOrElse(return None)
-              if (firstOff > data.length) return None
-              val header = new String(data, 0, firstOff.toInt, "ISO-8859-1")
-              val toks = header.split("\\s+").filter(_.nonEmpty)
-              if (toks.length < 2 * nObjs) return None
-              if (!toks.take(2 * nObjs.toInt)
-                .forall(t => t.length <= 12 && t.forall(_.isDigit)))
-                return None
-              val objNum = toks(2 * idx.toInt).toLong
-              if (objNum != num) return None
-              val rel = firstOff + toks(2 * idx.toInt + 1).toLong
-              val to = if (idx.toInt == nObjs - 1) data.length.toLong
-                       else firstOff + toks(2 * idx.toInt + 3).toLong
-              if (rel < firstOff || to > data.length || rel >= to) return None
-              val text =
-                new String(data, rel.toInt, (to - rel).toInt, "ISO-8859-1")
-              pdfDictAt(text, 0).map(_._1)
-            case _ => None
-          }
-        case _ => None
-      }
-    }
-    val catalog = objDict(rootRef, 0).getOrElse(return None)
-    // /Type/Catalog gate (tokenized: no-whitespace form included)
-    if (!pdfDictName(catalog, "/Type").contains("Catalog")) return None
-    val pagesRef = pdfDictRef(catalog, "/Pages").getOrElse(return None)
-    val pages = objDict(pagesRef, 1).getOrElse(return None)
-    if (!pdfDictName(pages, "/Type").contains("Pages")) return None
-    val nPages = pdfDictLong(pages, "/Count").getOrElse(return None)
-    if (nPages < 0) return None
     val layout =
       if (sawHybrid || (sawClassic && sawStream)) "hybrid"
       else if (sawStream) "xref-stream"
       else "classic"
-    Some(PdfMeta(r.id, version, size, nPages, xrefOffset, nSections,
-      layout, b.length.toLong))
+    Some(PdfChain(entries.toMap, size, rootRef, nSections, layout,
+      xrefOffset, version))
+  }
+
+  /** Resolve an object's DICT through the xref (object streams
+    * included — the /Type/ObjStm offset-table extraction); depth-
+    * capped.
+    */
+  private[graft] def pdfObjDict(
+      b: Array[Byte], entries: Map[Long, PdfXrefEntry], num: Long,
+      depth: Int = 0): Option[String] = {
+    if (depth > 4) return None
+    entries.get(num) match {
+      case Some(PdfInUse(off)) =>
+        val (n, dict, _) = pdfObjHeaderAt(b, off).getOrElse(return None)
+        if (n != num) None else Some(dict)
+      case Some(PdfInObjStm(stm, idx)) =>
+        entries.get(stm) match {
+          case Some(PdfInUse(soff)) =>
+            val (sn, sdict, sEnd) =
+              pdfObjHeaderAt(b, soff).getOrElse(return None)
+            if (sn != stm) return None
+            if (!pdfDictName(sdict, "/Type").contains("ObjStm")) return None
+            val nObjs = pdfDictLong(sdict, "/N").getOrElse(return None)
+            val firstOff = pdfDictLong(sdict, "/First").getOrElse(return None)
+            if (idx < 0 || idx >= nObjs || nObjs > 100000) return None
+            val data = pdfDecodedStream(b, sdict, sEnd).getOrElse(return None)
+            if (firstOff > data.length) return None
+            val header = new String(data, 0, firstOff.toInt, "ISO-8859-1")
+            val toks = header.split("\\s+").filter(_.nonEmpty)
+            if (toks.length < 2 * nObjs) return None
+            if (!toks.take(2 * nObjs.toInt)
+              .forall(t => t.length <= 12 && t.forall(_.isDigit)))
+              return None
+            val objNum = toks(2 * idx.toInt).toLong
+            if (objNum != num) return None
+            val rel = firstOff + toks(2 * idx.toInt + 1).toLong
+            val to = if (idx.toInt == nObjs - 1) data.length.toLong
+                     else firstOff + toks(2 * idx.toInt + 3).toLong
+            if (rel < firstOff || to > data.length || rel >= to) return None
+            val text =
+              new String(data, rel.toInt, (to - rel).toInt, "ISO-8859-1")
+            pdfDictAt(text, 0).map(_._1)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Resolve an object's decoded STREAM payload through the xref
+    * (type-1 entries only — streams cannot live inside object
+    * streams, per spec).
+    */
+  private def pdfObjStream(
+      b: Array[Byte], entries: Map[Long, PdfXrefEntry],
+      num: Long): Option[Array[Byte]] = {
+    entries.get(num) match {
+      case Some(PdfInUse(off)) =>
+        val (n, dict, dEnd) = pdfObjHeaderAt(b, off).getOrElse(return None)
+        if (n != num) None else pdfDecodedStream(b, dict, dEnd)
+      case _ => None
+    }
+  }
+
+  private[graft] def pdfMetaOf(r: MediaRecord): Option[PdfMeta] = {
+    val b = r.content
+    val chain = pdfChainOf(b).getOrElse(return None)
+    val catalog = pdfObjDict(b, chain.entries, chain.rootRef)
+      .getOrElse(return None)
+    // /Type/Catalog gate (tokenized: no-whitespace form included)
+    if (!pdfDictName(catalog, "/Type").contains("Catalog")) return None
+    val pagesRef = pdfDictRef(catalog, "/Pages").getOrElse(return None)
+    val pages = pdfObjDict(b, chain.entries, pagesRef, 1)
+      .getOrElse(return None)
+    if (!pdfDictName(pages, "/Type").contains("Pages")) return None
+    val nPages = pdfDictLong(pages, "/Count").getOrElse(return None)
+    if (nPages < 0) return None
+    Some(PdfMeta(r.id, chain.version, chain.size, nPages,
+      chain.xrefOffset, chain.nSections, chain.layout, b.length.toLong))
   }
 
   def pdfMeta(ds: Dataset[MediaRecord]): Dataset[PdfMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap(pdfMetaOf))
+  }
+
+  /** One extracted PDF page: its index in reading order and the text
+    * shown by the page's content stream(s).
+    */
+  final case class PdfPageText(id: Long, pageIdx: Long, text: String)
+
+  /** Extract the SHOWN text from one decoded content stream: literal
+    * strings (backslash escapes incl. octal, balanced nested parens,
+    * line continuations) and hex strings consumed by the text-showing
+    * operators Tj, ', ", and TJ (array form — its string pieces
+    * concatenate in order, kerning numbers ignored).  Strings bound
+    * to any OTHER operator are dropped.  This is the simple-font
+    * byte-string envelope: bytes pass through verbatim (our corpus
+    * writes UTF-8), CID/composite-font code-to-unicode mapping is out
+    * of scope — a census-grade extractor, not a renderer.  TOTAL on
+    * arbitrary bytes; output capped at 16 MiB per stream.
+    */
+  private[graft] def pdfContentTextOf(data: Array[Byte]): Option[String] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(data.length, 4096))
+    val pendingStrings = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var inArray = false
+    var i = 0
+    val n = data.length
+    def hexVal(c: Int): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    while (i < n) {
+      val c = data(i) & 0xff
+      if (c == '(') { // literal string
+        val sb = new java.io.ByteArrayOutputStream(64)
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val ch = data(i) & 0xff
+          if (ch == '\\') {
+            if (i + 1 >= n) return None
+            val e = data(i + 1) & 0xff
+            e match {
+              case 'n' => sb.write('\n'); i += 2
+              case 'r' => sb.write('\r'); i += 2
+              case 't' => sb.write('\t'); i += 2
+              case 'b' => sb.write('\b'); i += 2
+              case 'f' => sb.write('\f'); i += 2
+              case '(' => sb.write('('); i += 2
+              case ')' => sb.write(')'); i += 2
+              case '\\' => sb.write('\\'); i += 2
+              case '\r' => // line continuation (CR or CRLF)
+                i += 2; if (i < n && data(i) == '\n') i += 1
+              case '\n' => i += 2
+              case d if d >= '0' && d <= '7' => // octal, 1-3 digits
+                var v = 0; var k = 0; i += 1
+                while (k < 3 && i < n && data(i) >= '0' && data(i) <= '7') {
+                  v = v * 8 + (data(i) - '0'); i += 1; k += 1
+                }
+                sb.write(v & 0xff)
+              case _ => sb.write(e); i += 2 // spec: stray \ is dropped
+            }
+          } else {
+            if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            if (depth > 0) sb.write(ch)
+            i += 1
+          }
+        }
+        if (depth != 0) return None // unterminated string
+        pendingStrings += sb.toByteArray
+      } else if (c == '<' && i + 1 < n && (data(i + 1) & 0xff) != '<') {
+        // hex string: whitespace allowed, odd final digit pads with 0
+        val sb = new java.io.ByteArrayOutputStream(32)
+        i += 1
+        var hi = -1
+        var closed = false
+        while (i < n && !closed) {
+          val ch = data(i) & 0xff
+          if (ch == '>') { closed = true; i += 1 }
+          else if (isPdfWs(ch.toChar)) i += 1
+          else {
+            val v = hexVal(ch)
+            if (v < 0) return None
+            if (hi < 0) hi = v
+            else { sb.write((hi << 4) | v); hi = -1 }
+            i += 1
+          }
+        }
+        if (!closed) return None
+        if (hi >= 0) sb.write(hi << 4)
+        pendingStrings += sb.toByteArray
+      } else if (c == '<') { // dict (inline images' DL etc.): skip <<
+        i += 2
+      } else if (c == '[') {
+        inArray = true; pendingStrings.clear(); i += 1
+      } else if (c == ']') {
+        inArray = false; i += 1 // strings stay pending for TJ
+      } else if (c == '%') { // comment to EOL
+        while (i < n && data(i) != '\r' && data(i) != '\n') i += 1
+      } else if (isPdfWs(c.toChar) || isPdfDelim(c.toChar)) {
+        i += 1
+      } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        c == '\'' || c == '"') {
+        // an operator token
+        val start = i
+        if (c == '\'' || c == '"') i += 1
+        else {
+          while (i < n && {
+            val x = data(i) & 0xff
+            !isPdfWs(x.toChar) && !isPdfDelim(x.toChar)
+          }) i += 1
+        }
+        val op = new String(data, start, i - start, "ISO-8859-1")
+        op match {
+          case "Tj" | "'" | "\"" =>
+            if (pendingStrings.nonEmpty) out.write(pendingStrings.last)
+            pendingStrings.clear()
+          case "TJ" =>
+            pendingStrings.foreach(out.write)
+            pendingStrings.clear()
+          case _ =>
+            if (!inArray) pendingStrings.clear()
+        }
+        if (out.size() > (16 << 20)) return None // runaway guard
+      } else {
+        // numbers, signs, other non-delimiter bytes: consume one
+        // token (the loop always advances — data(i) is non-ws,
+        // non-delimiter here by construction)
+        while (i < n && {
+          val x = data(i) & 0xff
+          !isPdfWs(x.toChar) && !isPdfDelim(x.toChar)
+        }) i += 1
+      }
+    }
+    Some(new String(out.toByteArray, "UTF-8"))
+  }
+
+  /** PDF TEXT extraction — the content step above [[pdfMetaOf]]'s
+    * structure census (the document-corpus sibling of the WARC
+    * content path): resolve the page TREE through the validated xref
+    * chain (nested /Pages nodes depth-first, /Type/Page leaves), pull
+    * each page's /Contents (single ref or array — streams concatenate
+    * in order), decode (FlateDecode in-envelope), and extract the
+    * shown text ([[pdfContentTextOf]]).  One row per page in reading
+    * order.  Rejects (None) on any structural failure — same
+    * fail-safe discipline as the census.
+    */
+  private[graft] def pdfPageTextsOf(r: MediaRecord): Option[Seq[PdfPageText]] = {
+    val b = r.content
+    val chain = pdfChainOf(b).getOrElse(return None)
+    val catalog = pdfObjDict(b, chain.entries, chain.rootRef)
+      .getOrElse(return None)
+    if (!pdfDictName(catalog, "/Type").contains("Catalog")) return None
+    val pagesRef = pdfDictRef(catalog, "/Pages").getOrElse(return None)
+    // collect leaf pages depth-first through nested page-tree nodes
+    val pageRefs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def walk(ref: Long, depth: Int): Boolean = {
+      if (depth > 16 || pageRefs.length > 100000) return false
+      val dict = pdfObjDict(b, chain.entries, ref).getOrElse(return false)
+      pdfDictName(dict, "/Type") match {
+        case Some("Pages") =>
+          val at = pdfNameAt(dict, "/Kids")
+          if (at < 0) return false
+          val ob = dict.indexOf('[', at + 5)
+          if (ob < 0) return false
+          val cb = dict.indexOf(']', ob)
+          if (cb < 0) return false
+          // kids: "N G R" triples
+          val toks = dict.substring(ob + 1, cb).split("\\s+")
+            .filter(_.nonEmpty)
+          if (toks.length % 3 != 0) return false
+          toks.grouped(3).forall { t =>
+            t(2) == "R" && t(0).forall(_.isDigit) && t(0).length <= 12 &&
+              walk(t(0).toLong, depth + 1)
+          }
+        case Some("Page") =>
+          pageRefs += ref
+          true
+        case _ => false
+      }
+    }
+    if (!walk(pagesRef, 0)) return None
+    val out = Vector.newBuilder[PdfPageText]
+    var idx = 0L
+    for (pref <- pageRefs) {
+      val pd = pdfObjDict(b, chain.entries, pref).getOrElse(return None)
+      // /Contents: single "N G R" ref or an array of refs
+      val contentRefs: Seq[Long] = pdfDictRef(pd, "/Contents") match {
+        case Some(one) => Seq(one)
+        case None =>
+          val at = pdfNameAt(pd, "/Contents")
+          if (at < 0) Seq.empty // a page with no contents shows nothing
+          else {
+            val ob = pd.indexOf('[', at + 9)
+            if (ob < 0) return None
+            val cb = pd.indexOf(']', ob)
+            if (cb < 0) return None
+            val toks = pd.substring(ob + 1, cb).split("\\s+")
+              .filter(_.nonEmpty)
+            if (toks.length % 3 != 0) return None
+            toks.grouped(3).map { t =>
+              if (t(2) != "R" || !t(0).forall(_.isDigit) ||
+                t(0).length > 12) return None
+              t(0).toLong
+            }.toSeq
+          }
+      }
+      val text = new StringBuilder
+      for (cref <- contentRefs) {
+        val data = pdfObjStream(b, chain.entries, cref).getOrElse(return None)
+        text ++= pdfContentTextOf(data).getOrElse(return None)
+      }
+      out += PdfPageText(r.id, idx, text.toString)
+      idx += 1
+    }
+    Some(out.result())
+  }
+
+  def pdfPageTexts(ds: Dataset[MediaRecord]): Dataset[PdfPageText] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => pdfPageTextsOf(r).getOrElse(Nil)))
   }
 
   /** Per-row minimal-but-VALID classic PDF synthesis: a catalog, a
@@ -8588,6 +8849,99 @@ object MultimodalOps {
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaRecord(id, "application/pdf", classicPdfBytes(id, text)._1)
+      }
+  }
+
+  /** Per-row PDF synthesis with REAL TEXT OPERATORS — the fixture
+    * for [[pdfPageTextsOf]]: page k of `1 + id % 4` shows the k-th
+    * 6-token window of the document (the VTT/SRT token-window
+    * convention, so the oracle replays it in SQL).  The show form
+    * cycles by k % 3 — escaped literal + Tj, a two-piece TJ array
+    * (concatenation must restore the exact bytes), hex string + Tj —
+    * and odd ids FlateDecode their content streams.  A shared Type1
+    * font object makes the layout production-shaped (/Resources on
+    * every page).
+    */
+  def synthesizePdfText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val nPages = 1 + (id % 4).toInt
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val flate = id % 2 == 1
+        def pageText(k: Int): String =
+          toks.slice(k * 6, k * 6 + 6).mkString(" ")
+        def escLit(s: Array[Byte]): Array[Byte] = {
+          val o = new java.io.ByteArrayOutputStream(s.length + 8)
+          s.foreach { b =>
+            if (b == '\\' || b == '(' || b == ')') o.write('\\')
+            o.write(b.toInt)
+          }
+          o.toByteArray
+        }
+        def contentOps(k: Int): Array[Byte] = {
+          val pt = pageText(k).getBytes("UTF-8")
+          val o = new java.io.ByteArrayOutputStream(pt.length + 64)
+          def w(s: String): Unit = o.write(s.getBytes("ISO-8859-1"))
+          w("BT /F1 12 Tf 72 720 Td ")
+          (k % 3) match {
+            case 0 =>
+              w("("); o.write(escLit(pt)); w(") Tj")
+            case 1 => // two-piece TJ: bytes must concatenate back
+              val mid = pt.length / 2
+              w("[ (")
+              o.write(escLit(java.util.Arrays.copyOfRange(pt, 0, mid)))
+              w(") -250 (")
+              o.write(escLit(java.util.Arrays.copyOfRange(pt, mid, pt.length)))
+              w(") ] TJ")
+            case _ =>
+              w("<")
+              pt.foreach(b => w(f"${b & 0xff}%02X"))
+              w("> Tj")
+          }
+          w(" ET\n")
+          o.toByteArray
+        }
+        val out = new java.io.ByteArrayOutputStream(1024)
+        def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+        val offsets = Array.newBuilder[Long]
+        w("%PDF-1.4\n")
+        offsets += out.size().toLong
+        w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        offsets += out.size().toLong
+        val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+        w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n")
+        val fontNum = 3 + 2 * nPages
+        (0 until nPages).foreach { k =>
+          offsets += out.size().toLong
+          w(s"${3 + k} 0 obj << /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 $fontNum 0 R >> >> " +
+            s"/Contents ${3 + nPages + k} 0 R >> endobj\n")
+        }
+        (0 until nPages).foreach { k =>
+          val raw = contentOps(k)
+          val data = if (flate) zlibDeflate(raw) else raw
+          offsets += out.size().toLong
+          w(s"${3 + nPages + k} 0 obj << /Length ${data.length}" +
+            (if (flate) " /Filter /FlateDecode" else "") + " >> stream\n")
+          out.write(data)
+          w("\nendstream endobj\n")
+        }
+        offsets += out.size().toLong
+        w(s"$fontNum 0 obj << /Type /Font /Subtype /Type1 " +
+          "/BaseFont /Helvetica >> endobj\n")
+        val xrefAt = out.size().toLong
+        val objOffsets = offsets.result()
+        val size = 1 + objOffsets.length
+        w(s"xref\n0 $size\n")
+        w("0000000000 65535 f \n")
+        objOffsets.foreach(o => w(f"$o%010d 00000 n \n"))
+        w(s"trailer << /Size $size /Root 1 0 R >>\n")
+        w(s"startxref\n$xrefAt\n%%EOF\n")
+        MediaRecord(id, "application/pdf", out.toByteArray)
       }
   }
 

@@ -1662,6 +1662,44 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(2L, "p", v)).isEmpty)
   }
 
+  test("pdf text: Tj/TJ/hex show forms round-trip; escapes, unicode, flate invisible") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // text with every byte the literal form must escape, plus
+    // multi-byte UTF-8 — and enough tokens for all four pages
+    val tricky = ("al(pha be\\ta gam)ma δέλτα ε)(ψ ζζ " * 4).trim
+    val docs = (0L to 5L).map(id => (id, tricky)).toDF("doc_id", "text")
+    val pdfs = MultimodalOps.synthesizePdfText(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    val toks = tricky.split("\\s+").filter(_.nonEmpty)
+    for ((id, rec) <- pdfs) {
+      val np = 1 + (id % 4).toInt
+      val got = MultimodalOps.pdfPageTextsOf(rec)
+        .getOrElse(fail(s"id=$id rejected"))
+      assert(got.length == np, s"id=$id")
+      got.zipWithIndex.foreach { case (p, k) =>
+        val expect = toks.slice(k * 6, k * 6 + 6).mkString(" ")
+        assert(p.text == expect, s"id=$id page $k: '${p.text}'")
+        assert(p.pageIdx == k.toLong)
+      }
+      // the same fixture censuses structurally too (font object adds 1)
+      val m = MultimodalOps.pdfMetaOf(rec).get
+      assert(m.nObjects == 4 + 2 * np && m.nPages == np)
+    }
+    // raw scanner edges: nested parens, octal, continuation, array drop
+    def scan(s: String) = MultimodalOps.pdfContentTextOf(
+      s.getBytes("ISO-8859-1")).get
+    assert(scan("BT (a(b)c) Tj ET") == "a(b)c") // balanced nesting
+    assert(scan("(\\101\\102) Tj") == "AB")     // octal escapes
+    assert(scan("(li\\\nne) Tj") == "line")     // line continuation
+    assert(scan("(x) Td (y) Tj") == "y")        // Td consumed x
+    assert(scan("[ (a) -20 (b) ] TJ") == "ab")  // TJ concatenation
+    assert(scan("<4142> Tj <43 4> Tj") == "ABC@") // hex ws + odd pad
+    assert(scan("(keep ' quote) Tj") == "keep ' quote")
+    // unterminated string rejects
+    assert(MultimodalOps.pdfContentTextOf("(open Tj".getBytes).isEmpty)
+  }
+
   test("pdf: hybrid-reference file — classic table + /XRefStm entries") {
     import graft.ops.MultimodalOps
     // hand-built hybrid: catalog(1) + pages(2) live in an object
@@ -1976,6 +2014,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
       ("pdf-incr", MultimodalOps.synthesizePdfIncremental(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
+      ("pdf-text", MultimodalOps.synthesizePdfText(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.pdfPageTextsOf(r)),
       ("jsonl", MultimodalOps.synthesizeJsonlShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.jsonlRecordsOf(r)),
       ("epub", MultimodalOps.synthesizeEpub(docs, "doc_id", "text")
