@@ -4769,6 +4769,23 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS n_sections,
         |       'classic' AS layout
         |FROM px ORDER BY doc_id""".stripMargin,
+    // WET replay: the conversion record is record 1 (after warcinfo)
+    // and carries the document text verbatim — the gzip/WARC framing
+    // must be byte-invisible
+    "q_cc_wet" ->
+      s"""SELECT doc_id,
+        |       CAST(1 AS BIGINT) AS rec_idx,
+        |       'https://example.com/' || CAST(doc_id AS VARCHAR) || '/1' AS uri,
+        |       text AS page_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // WAT replay: link count and first link are id arithmetic by
+    // synthesis; the JSON envelope round-trips through the framing
+    "q_cc_wat" ->
+      s"""SELECT doc_id,
+        |       'https://example.com/' || CAST(doc_id AS VARCHAR) || '/1' AS uri,
+        |       CAST(1 + doc_id % 4 AS BIGINT) AS n_links,
+        |       'https://example.com/' || CAST(doc_id AS VARCHAR) || '/out0' AS first_link
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // PDF text replay: page k shows the k-th 6-token window — the
     // same token-slice convention as the VTT/SRT cue oracles; the
     // literal/TJ/hex show forms and the flate layer must be
@@ -7722,6 +7739,37 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("version"),
             col("nObjects").as("n_objects"), col("nPages").as("n_pages"),
             col("nSections").as("n_sections"), col("layout"))
+          .orderBy("doc_id")
+      },
+      "q_cc_wet" -> { (s, dir) =>
+        // the WET sidecar — Common Crawl's extracted-text files, the
+        // entry format most LLM text pipelines actually consume:
+        // warcinfo lead + one conversion record per page through the
+        // CRC-verified member walk; non-conversion records are
+        // framing-checked but not emitted
+        val media = MultimodalOps.synthesizeWetGz(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.wetGzRecords(media).toDF()
+          .select(col("id").as("doc_id"), col("recIdx").as("rec_idx"),
+            col("targetUri").as("uri"), col("text").as("page_text"))
+          .orderBy("doc_id")
+      },
+      "q_cc_wat" -> { (s, dir) =>
+        // the WAT sidecar — metadata records whose blocks are JSON
+        // envelopes (the crawl's link graph); extraction stays
+        // structural, the JSON parsed here with explicit
+        // get_json_object paths (the JSON-sidecar discipline)
+        val media = MultimodalOps.synthesizeWatGz(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        val links = "$['Envelope']['Payload-Metadata']" +
+          "['HTTP-Response-Metadata']['HTML-Metadata']['Links']"
+        MultimodalOps.watGzRecords(media).toDF()
+          .select(col("id").as("doc_id"),
+            col("targetUri").as("uri"),
+            json_array_length(get_json_object(col("json"), links))
+              .cast("long").as("n_links"),
+            get_json_object(col("json"), links + "[0]['url']")
+              .as("first_link"))
           .orderBy("doc_id")
       },
       "q_pdf_text" -> { (s, dir) =>

@@ -7373,6 +7373,140 @@ object MultimodalOps {
     ds.mapPartitions(_.flatMap(r => warcGzPagesOf(r).getOrElse(Nil)))
   }
 
+  /** One WET `conversion` record — Common Crawl's EXTRACTED-TEXT
+    * sidecar row (the .wet.gz files most LLM text pipelines actually
+    * start from, one conversion record per page).
+    */
+  final case class WetRecord(
+      id: Long, recIdx: Long, targetUri: String, text: String)
+
+  /** WET extraction: a .wet.gz is a per-record-gzipped WARC whose
+    * lead record is `warcinfo` and whose content rows are
+    * `conversion` records carrying the page's extracted plain text.
+    * Rides the same CRC-verified member walk as [[warcGzPagesOf]];
+    * warcinfo/metadata records are framing-checked but not emitted.
+    */
+  private[graft] def wetGzRecordsOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[WetRecord]] = {
+    if (r.content == null || r.content.length < 18) return None
+    val members = gzMembersOf(r.content, maxInflated).getOrElse(return None)
+    val out = Vector.newBuilder[WetRecord]
+    var idx = 0L
+    for ((_, _, inflated) <- members) {
+      warcRecordAt(inflated, 0) match {
+        case Some((typ, uri, clen, hb, total)) if total == inflated.length =>
+          if (typ == "conversion")
+            out += WetRecord(r.id, idx, uri,
+              new String(inflated, hb, clen.toInt, "UTF-8"))
+          idx += 1
+        case _ => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  def wetGzRecords(ds: Dataset[MediaRecord]): Dataset[WetRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => wetGzRecordsOf(r).getOrElse(Nil)))
+  }
+
+  /** One WAT `metadata` record — Common Crawl's METADATA sidecar row:
+    * the target URI and the record's JSON envelope, left as a string
+    * for schema-explicit downstream extraction (`get_json_object`,
+    * the JSON-sidecar discipline).
+    */
+  final case class WatRecord(
+      id: Long, recIdx: Long, targetUri: String, json: String)
+
+  /** WAT extraction: `metadata` records whose blocks are JSON
+    * envelopes (link graphs, header metadata).  Same member walk;
+    * the JSON is NOT parsed here — extraction stays structural, the
+    * query layer parses with an explicit schema.
+    */
+  private[graft] def watGzRecordsOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[WatRecord]] = {
+    if (r.content == null || r.content.length < 18) return None
+    val members = gzMembersOf(r.content, maxInflated).getOrElse(return None)
+    val out = Vector.newBuilder[WatRecord]
+    var idx = 0L
+    for ((_, _, inflated) <- members) {
+      warcRecordAt(inflated, 0) match {
+        case Some((typ, uri, clen, hb, total)) if total == inflated.length =>
+          if (typ == "metadata")
+            out += WatRecord(r.id, idx, uri,
+              new String(inflated, hb, clen.toInt, "UTF-8"))
+          idx += 1
+        case _ => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  def watGzRecords(ds: Dataset[MediaRecord]): Dataset[WatRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => watGzRecordsOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row .wet.gz synthesis (the Common Crawl WET shape): a
+    * `warcinfo` lead member, then ONE `conversion` record carrying
+    * the document's full text — each record its own gzip member.
+    */
+  def synthesizeWetGz(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val info = "software: graft-wet\r\n".getBytes("UTF-8")
+        val payload = text.getBytes("UTF-8")
+        val out = new java.io.ByteArrayOutputStream(1024)
+        Seq(
+          warcRecordBytes(id, 0, "warcinfo", info, 0, info.length),
+          warcRecordBytes(id, 1, "conversion", payload, 0, payload.length))
+          .foreach { rec =>
+            val member = new java.io.ByteArrayOutputStream(256)
+            val gz = new java.util.zip.GZIPOutputStream(member)
+            gz.write(rec)
+            gz.close()
+            member.writeTo(out)
+          }
+        MediaRecord(id, "application/warc+gz", out.toByteArray)
+      }
+  }
+
+  /** Per-row .wat.gz synthesis: a `warcinfo` lead member, then one
+    * `metadata` record whose block is the WAT JSON envelope —
+    * `1 + id % 4` outbound links replaying from id arithmetic.
+    */
+  def synthesizeWatGz(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map { id =>
+        val links = (0 until (1 + (id % 4)).toInt).map { k =>
+          s"""{"path":"A@/href","url":"https://example.com/$id/out$k"}"""
+        }.mkString(",")
+        val json =
+          s"""{"Envelope":{"WARC-Header-Metadata":""" +
+            s"""{"WARC-Target-URI":"https://example.com/$id/1"},""" +
+            s""""Payload-Metadata":{"HTTP-Response-Metadata":""" +
+            s"""{"HTML-Metadata":{"Links":[$links]}}}}}"""
+        val info = "software: graft-wat\r\n".getBytes("UTF-8")
+        val payload = json.getBytes("UTF-8")
+        val out = new java.io.ByteArrayOutputStream(1024)
+        Seq(
+          warcRecordBytes(id, 0, "warcinfo", info, 0, info.length),
+          warcRecordBytes(id, 1, "metadata", payload, 0, payload.length))
+          .foreach { rec =>
+            val member = new java.io.ByteArrayOutputStream(256)
+            val gz = new java.util.zip.GZIPOutputStream(member)
+            gz.write(rec)
+            gz.close()
+            member.writeTo(out)
+          }
+        MediaRecord(id, "application/warc+gz", out.toByteArray)
+      }
+  }
+
   /** One crawled page THROUGH its HTTP envelope: status line +
     * headers parsed out of the WARC response block (real Common Crawl
     * response records carry the raw HTTP response, not bare HTML),

@@ -1662,6 +1662,41 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(2L, "p", v)).isEmpty)
   }
 
+  test("wet/wat sidecars: conversion text + metadata JSON round-trip; tamper fails") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "extracted page text δ"), (12L, ""), (3L, "one"))
+      .toDF("doc_id", "text")
+    val wets = MultimodalOps.synthesizeWetGz(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- wets) {
+      val got = MultimodalOps.wetGzRecordsOf(rec).get
+      // exactly one conversion record (warcinfo filtered), text verbatim
+      assert(got.length == 1 && got.head.recIdx == 1L &&
+        got.head.targetUri == s"https://example.com/$id/1")
+    }
+    assert(MultimodalOps.wetGzRecordsOf(wets(5L)).get.head.text ==
+      "extracted page text δ")
+    // a flipped byte inside a member fails the CRC walk -> None
+    val bad = wets(5L).content.clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x20).toByte
+    assert(MultimodalOps.wetGzRecordsOf(
+      MultimodalOps.MediaRecord(5L, "w", bad)).isEmpty)
+    val wats = MultimodalOps.synthesizeWatGz(docs, "doc_id")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- wats) {
+      val got = MultimodalOps.watGzRecordsOf(rec).get
+      assert(got.length == 1 && got.head.recIdx == 1L)
+      // the JSON envelope carries 1 + id % 4 links, parseable as JSON
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(got.head.json)
+      val linksN = root.path("Envelope").path("Payload-Metadata")
+        .path("HTTP-Response-Metadata").path("HTML-Metadata")
+        .path("Links").size()
+      assert(linksN == 1 + (id % 4).toInt, s"id=$id")
+    }
+  }
+
   test("pdf text: Tj/TJ/hex show forms round-trip; escapes, unicode, flate invisible") {
     import spark.implicits._
     import graft.ops.MultimodalOps
@@ -2016,6 +2051,10 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
       ("pdf-text", MultimodalOps.synthesizePdfText(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.pdfPageTextsOf(r)),
+      ("wet", MultimodalOps.synthesizeWetGz(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.wetGzRecordsOf(r)),
+      ("wat", MultimodalOps.synthesizeWatGz(docs, "doc_id")
+        .collect().map(_.content), r => MultimodalOps.watGzRecordsOf(r)),
       ("jsonl", MultimodalOps.synthesizeJsonlShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.jsonlRecordsOf(r)),
       ("epub", MultimodalOps.synthesizeEpub(docs, "doc_id", "text")
