@@ -7422,6 +7422,25 @@ object SparkEntry {
             sum("stripe_rows").as("stripe_rows"))
           .orderBy("tbl")
       },
+      "q_parquet_page_stats" -> { (s, dir) =>
+        // PAGE-level zone maps (ColumnIndex/OffsetIndex — what page
+        // predicate pushdown actually prunes with), aggregated back
+        // to their chunks: min of page mins / max of page maxs / sum
+        // of page null counts MUST equal the chunk's own statistics,
+        // so this is a THIRD physical path onto the q_parquet_stats
+        // DuckDB parquet_metadata() oracle
+        val staged = stageParquetIdxFiles(s, dir)
+        graft.ops.StorageOps.parquetPageIndex(s, Seq(
+            s"$staged/documents", s"$staged/lineitem",
+            s"$staged/orders"),
+          Seq("doc_id", "l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber", "o_orderkey", "o_custkey"))
+          .groupBy("file_name", "row_group_id", "path_in_schema")
+          .agg(sum("null_count").as("null_count"),
+            min("min_v").as("min_v"), max("max_v").as("max_v"))
+          .filter(col("min_v").isNotNull)
+          .orderBy("file_name", "row_group_id", "path_in_schema")
+      },
       "q_orc_stats" -> { (s, dir) =>
         // ORC stripe-level zone maps (the ORC sibling of
         // q_parquet_stats): per-stripe integer min/max/value-count/
@@ -9027,6 +9046,24 @@ object SparkEntry {
     * fresh write is cheaper than a staleness bug).  Returns the
     * staging root; each table lands under its own subdirectory.
     */
+  /** Stage a parquet-mr re-write of three tables: parquet-mr writes
+    * ColumnIndex/OffsetIndex structures by default (the testdata
+    * corpus, written by another engine, carries none), so the
+    * page-zone-map census needs its own staged files — which DuckDB
+    * then reads independently for the oracle.
+    */
+  private[graft] def stageParquetIdxFiles(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"/tmp/graft-pqidx-stage-$md"
+      Seq("documents", "lineitem", "orders").foreach { t =>
+        s.read.parquet(s"$dir/$t.parquet").coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/$t")
+      }
+      out
+    }
+
   private[graft] def stageOrcFiles(s: SparkSession, dir: String): String =
     stageLock.synchronized {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -9197,7 +9234,11 @@ object SparkEntry {
         "q_parquet_footer_dist" -> parquetFooterOracleSql,
         "q_orc_footer" -> orcFooterOracleSql,
         "q_orc_stats" -> orcStatsOracleSql,
-        "q_parquet_stats" -> parquetStatsOracleSql)
+        "q_parquet_stats" -> parquetStatsOracleSql,
+        // page-index rows aggregated to chunks replay DuckDB's chunk
+        // statistics of the SAME staged files — two readers, two
+        // metadata structures, one answer
+        "q_parquet_page_stats" -> parquetPageStatsOracleSql)
 
   /** Corpus dir the oracle SQL is generated against.  Verify sets this
     * to its `sfDir` argument before dumping oracle_sql.json, so the
@@ -9241,6 +9282,32 @@ object SparkEntry {
          |       CAST(stats_min_value AS BIGINT) AS min_v,
          |       CAST(stats_max_value AS BIGINT) AS max_v
          |FROM parquet_metadata('$oracleDir/$t.parquet')
+         |WHERE path_in_schema IN ($cols)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema")
+  }
+
+  /** Page-stats oracle: DuckDB's parquet_metadata() chunk statistics
+    * over the STAGED parquet-mr files (the ones actually carrying
+    * page indexes) — the page-index rows aggregated to chunks must
+    * reproduce them exactly.  The staged dir is a pure function of
+    * [[oracleDir]], recomputed here at dump time.
+    */
+  private def parquetPageStatsOracleSql: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(oracleDir.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    val staged = s"/tmp/graft-pqidx-stage-$md"
+    val cols = Seq("doc_id", "l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "o_orderkey", "o_custkey")
+      .map(c => s"'$c'").mkString(", ")
+    Seq("documents", "lineitem", "orders").map { t =>
+      s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file_name,
+         |       CAST(row_group_id AS BIGINT) AS row_group_id,
+         |       path_in_schema,
+         |       CAST(stats_null_count AS BIGINT) AS null_count,
+         |       CAST(stats_min_value AS BIGINT) AS min_v,
+         |       CAST(stats_max_value AS BIGINT) AS max_v
+         |FROM parquet_metadata('$staged/$t/*.parquet')
          |WHERE path_in_schema IN ($cols)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema")
   }

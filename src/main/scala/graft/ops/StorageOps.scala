@@ -262,6 +262,105 @@ object StorageOps {
         "min_v", "max_v")
   }
 
+  /** Parquet PAGE-level zone maps — the finer-grained sibling of
+    * [[parquetColumnStats]]: one row per data page per column chunk
+    * from the ColumnIndex/OffsetIndex structures (parquet-mr ≥ 1.11
+    * writes them by default), with each page's null count, integer
+    * min/max (null pages carry no bounds — emitted with nulls, as a
+    * planner treats them), first row index, offset, and compressed
+    * size.  This is what page-level predicate pushdown actually
+    * prunes with; row-group stats are the coarse fallback.  Still a
+    * footer+index-only pass — no data page is ever decoded — so the
+    * economics stay metadata-sized at any corpus scale.
+    *
+    * Oracle shape: pages AGGREGATE to their chunk (min of page mins,
+    * max of page maxs, sum of page null counts == the chunk's own
+    * statistics), so q_parquet_page_stats replays the SAME DuckDB
+    * parquet_metadata() oracle as the chunk-level census — a third
+    * physical path onto that oracle.
+    */
+  def parquetPageIndex(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      cols: Seq[String], maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    val wanted = cols.toSet
+    val files = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq
+      else Seq(p)
+    }
+    require(files.size <= maxFiles,
+      s"parquetPageIndex: ${files.size} files exceeds maxFiles=$maxFiles")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            def longAt(bb: java.nio.ByteBuffer, width: Int): Long = {
+              // PLAIN little-endian per the column-index spec
+              val b = bb.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              if (width == 4) b.getInt(b.position()).toLong
+              else b.getLong(b.position())
+            }
+            reader.getFooter.getBlocks.asScala.toVector.zipWithIndex.flatMap {
+              case (rg, i) =>
+                rg.getColumns.asScala.toVector.flatMap { cc =>
+                  val name = cc.getPath.toDotString
+                  val ptype = cc.getPrimitiveType.getPrimitiveTypeName
+                  val width = ptype match {
+                    case org.apache.parquet.schema.PrimitiveType
+                        .PrimitiveTypeName.INT32 => 4
+                    case org.apache.parquet.schema.PrimitiveType
+                        .PrimitiveTypeName.INT64 => 8
+                    case _ => 0
+                  }
+                  if (!wanted.contains(name) || width == 0) Vector.empty
+                  else {
+                    val ci = reader.readColumnIndex(cc)
+                    val oi = reader.readOffsetIndex(cc)
+                    if (ci == null || oi == null) Vector.empty
+                    else {
+                      val nulls = ci.getNullCounts.asScala
+                      val mins = ci.getMinValues.asScala
+                      val maxs = ci.getMaxValues.asScala
+                      val nullPages = ci.getNullPages.asScala
+                      (0 until oi.getPageCount).toVector.map { pg =>
+                        val isNullPage = nullPages(pg)
+                        (hp.getName, i.toLong, name, pg.toLong,
+                          oi.getFirstRowIndex(pg),
+                          oi.getOffset(pg),
+                          oi.getCompressedPageSize(pg).toLong,
+                          nulls(pg).longValue(),
+                          if (isNullPage) None
+                          else Some(longAt(mins(pg), width)),
+                          if (isNullPage) None
+                          else Some(longAt(maxs(pg), width)))
+                      }
+                    }
+                  }
+                }
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file_name", "row_group_id", "path_in_schema", "page_idx",
+        "first_row_index", "page_offset", "compressed_size",
+        "null_count", "min_v", "max_v")
+  }
+
   /** One ORC stripe's census row (file-level fields repeated, the
     * parquetFooters shape): exact stripe geometry + row accounting
     * from the file's own footer — the per-stripe view a compaction

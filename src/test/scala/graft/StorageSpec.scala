@@ -552,4 +552,54 @@ class StorageSpec extends AnyFunSuite {
       catch { case e: Throwable => fail(s"orc stats fuzz $trial threw: $e") }
     }
   }
+
+  test("parquetPageIndex: multi-page zone maps; pages aggregate to chunk stats; nulls") {
+    import graft.ops.StorageOps
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pqpages").toString
+    // small pages force MULTI-page chunks; a null stripe exercises
+    // page null counts
+    spark.range(0, 100000)
+      .selectExpr("id", "CASE WHEN id % 9 = 0 THEN NULL ELSE id * 7 END AS v")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.page.size", "2048")
+      .option("parquet.page.row.count.limit", "1000")
+      .parquet(s"$dir/t")
+    val pages = StorageOps.parquetPageIndex(
+      spark, Seq(s"$dir/t"), Seq("id", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)),
+        if (r.isNullAt(9)) None else Some(r.getLong(9))))
+    // multiple pages per chunk actually happened
+    val byChunk = pages.groupBy(t => (t._1, t._2, t._3))
+    assert(byChunk.values.exists(_.size > 5), s"pages: ${pages.length}")
+    // page agg == the chunk's own statistics (parquet-hadoop footer)
+    val chunks = StorageOps.parquetColumnStats(
+      spark, Seq(s"$dir/t"), Seq("id", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for ((key, ps) <- byChunk) {
+      val (cn, cmin, cmax) = chunks(key)
+      assert(ps.map(_._8).sum == cn, s"$key nulls")
+      assert(ps.flatMap(_._9).min == cmin, s"$key min")
+      assert(ps.flatMap(_._10).max == cmax, s"$key max")
+      // first_row_index strictly increasing from 0, page_idx dense
+      val sorted = ps.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (0L until sorted.length.toLong).toSeq)
+      assert(sorted.head._5 == 0L)
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.toSeq)
+      assert(sorted.map(_._5).distinct.length == sorted.length)
+      // every v-column page saw some nulls arithmetic: total nulls
+      // replay the id % 9 rule at the chunk level
+      if (key._3 == "v") assert(cn == (0L until 100000L).count(_ % 9 == 0))
+    }
+    // files without page indexes (the pyarrow-written corpus) yield
+    // zero rows, not an error
+    assert(StorageOps.parquetPageIndex(spark,
+      Seq("/root/testdata/sf0.001/region.parquet"), Seq("r_regionkey"))
+      .count() == 0L)
+  }
 }
