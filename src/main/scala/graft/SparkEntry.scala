@@ -7422,6 +7422,25 @@ object SparkEntry {
             sum("stripe_rows").as("stripe_rows"))
           .orderBy("tbl")
       },
+      "q_parquet_bloom" -> { (s, dir) =>
+        // bloom-filter probe census over a staged bloom-enabled
+        // write: the planner contract is NO FALSE NEGATIVES, so
+        // probing the chunk's own distinct keys must hit every one —
+        // n_hits == n_probed == count(distinct), closed form; the
+        // false-positive side is probabilistic and bounded in
+        // StorageSpec instead
+        import s.implicits._
+        val staged = stageParquetBloomFiles(s, dir)
+        val present = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey").cast("long")).distinct()
+          .orderBy(col("o_custkey")).as[Long].collect().toSeq
+        graft.ops.StorageOps.parquetBloomProbe(
+            s, Seq(s"$staged/orders"), "o_custkey", present)
+          .select(col("row_group_id"), col("path_in_schema"),
+            col("has_bloom").cast("long").as("has_bloom"),
+            col("n_probed"), col("n_hits"))
+          .orderBy("row_group_id")
+      },
       "q_parquet_page_stats" -> { (s, dir) =>
         // PAGE-level zone maps (ColumnIndex/OffsetIndex — what page
         // predicate pushdown actually prunes with), aggregated back
@@ -9064,6 +9083,26 @@ object SparkEntry {
       out
     }
 
+  /** Stage the orders table with a BLOOM FILTER on o_custkey (the
+    * bloom-probe census fixture; blooms are opt-in per column in
+    * parquet-mr).
+    */
+  private[graft] def stageParquetBloomFiles(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"/tmp/graft-pqbloom-stage-$md"
+      // dictionary must be OFF for the column to actually get a
+      // bloom: parquet-mr skips blooms on fully-dictionary-encoded
+      // chunks (the dictionary is already an exact membership filter)
+      s.read.parquet(s"$dir/orders.parquet").coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(s"$out/orders")
+      out
+    }
+
   private[graft] def stageOrcFiles(s: SparkSession, dir: String): String =
     stageLock.synchronized {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -9238,7 +9277,8 @@ object SparkEntry {
         // page-index rows aggregated to chunks replay DuckDB's chunk
         // statistics of the SAME staged files — two readers, two
         // metadata structures, one answer
-        "q_parquet_page_stats" -> parquetPageStatsOracleSql)
+        "q_parquet_page_stats" -> parquetPageStatsOracleSql,
+        "q_parquet_bloom" -> parquetBloomOracleSql)
 
   /** Corpus dir the oracle SQL is generated against.  Verify sets this
     * to its `sfDir` argument before dumping oracle_sql.json, so the
@@ -9285,6 +9325,20 @@ object SparkEntry {
          |WHERE path_in_schema IN ($cols)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY file_name, row_group_id, path_in_schema")
   }
+
+  /** Bloom oracle: the staged write is ONE coalesced file (one row
+    * group at these sizes); probing the chunk's own distinct keys
+    * must hit every one — the no-false-negative contract in closed
+    * form.
+    */
+  private def parquetBloomOracleSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS row_group_id,
+       |       'o_custkey' AS path_in_schema,
+       |       CAST(1 AS BIGINT) AS has_bloom,
+       |       (SELECT count(DISTINCT o_custkey)
+       |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_probed,
+       |       (SELECT count(DISTINCT o_custkey)
+       |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_hits""".stripMargin
 
   /** Page-stats oracle: DuckDB's parquet_metadata() chunk statistics
     * over the STAGED parquet-mr files (the ones actually carrying

@@ -361,6 +361,85 @@ object StorageOps {
         "null_count", "min_v", "max_v")
   }
 
+  /** Parquet BLOOM-FILTER probe census — the point-lookup skipping
+    * surface next to the zone maps: for each row group of each file,
+    * read the column's bloom filter (written when
+    * `parquet.bloom.filter.enabled#col=true`) and probe the given
+    * long values against it.  Emits per (file, row group): whether a
+    * filter exists, how many values were probed, and how many hit.
+    * The contract a planner relies on is NO FALSE NEGATIVES — every
+    * value actually present in the chunk MUST hit — which is exactly
+    * what the oracle can pin in closed form (probing the chunk's own
+    * values ⇒ hits == probes); false-positive rate on absent values
+    * is probabilistic and only bounded in tests.  `values` is
+    * broadcast with the task closure — keep it bounded (thousands,
+    * not millions); this is a dictionary-of-keys probe, not a join.
+    */
+  def parquetBloomProbe(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      column: String, values: Seq[Long],
+      maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    require(values.size <= 100000,
+      s"parquetBloomProbe: ${values.size} probe values — use a join " +
+        "for large key sets, the closure-shipped probe is for bounded " +
+        "dictionaries")
+    val files = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq
+      else Seq(p)
+    }
+    require(files.size <= maxFiles,
+      s"parquetBloomProbe: ${files.size} files exceeds maxFiles=$maxFiles")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val valuesBc = spark.sparkContext.broadcast(values.toArray)
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        val probes = valuesBc.value
+        it.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.toVector.zipWithIndex.map {
+              case (rg, i) =>
+                val cc = rg.getColumns.asScala
+                  .find(_.getPath.toDotString == column)
+                val bloom = cc.flatMap { c =>
+                  Option(reader.getBloomFilterDataReader(rg))
+                    .flatMap(r => Option(r.readBloomFilter(c)))
+                }
+                bloom match {
+                  case Some(bf) =>
+                    var hits = 0L
+                    var j = 0
+                    while (j < probes.length) {
+                      if (bf.findHash(bf.hash(probes(j)))) hits += 1
+                      j += 1
+                    }
+                    (hp.getName, i.toLong, column, true,
+                      probes.length.toLong, hits)
+                  case None =>
+                    (hp.getName, i.toLong, column, false, 0L, 0L)
+                }
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file_name", "row_group_id", "path_in_schema", "has_bloom",
+        "n_probed", "n_hits")
+  }
+
   /** One ORC stripe's census row (file-level fields repeated, the
     * parquetFooters shape): exact stripe geometry + row accounting
     * from the file's own footer — the per-stripe view a compaction

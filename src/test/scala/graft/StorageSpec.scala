@@ -602,4 +602,39 @@ class StorageSpec extends AnyFunSuite {
       Seq("/root/testdata/sf0.001/region.parquet"), Seq("r_regionkey"))
       .count() == 0L)
   }
+
+  test("parquetBloomProbe: no false negatives; FP rate bounded; dict columns bloom-less") {
+    import graft.ops.StorageOps
+    val dir = java.nio.file.Files.createTempDirectory("pqbloom").toString
+    // high-NDV long column, dictionary off so the bloom is written
+    spark.range(0, 50000).selectExpr("id * 13 AS k", "id AS v")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(s"$dir/t")
+    // every PRESENT key must hit (sampled: the planner contract)
+    val present = (0L until 50000L by 97L).map(_ * 13L)
+    val hit = StorageOps.parquetBloomProbe(
+      spark, Seq(s"$dir/t"), "k", present).collect()
+    assert(hit.forall(r => r.getBoolean(3) &&
+      r.getLong(5) == r.getLong(4)), hit.mkString(","))
+    // ABSENT keys: false positives allowed but bounded (default fpp
+    // is 1% — allow generous 10% slack for a sampled probe set)
+    val absent = (0L until 50000L by 97L).map(_ * 13L + 7L)
+    val miss = StorageOps.parquetBloomProbe(
+      spark, Seq(s"$dir/t"), "k", absent).collect()
+    assert(miss.forall(r => r.getLong(5) <= r.getLong(4) / 10),
+      miss.mkString(","))
+    // a column without a bloom (v — not enabled) reports has_bloom
+    // false and probes nothing
+    val none = StorageOps.parquetBloomProbe(
+      spark, Seq(s"$dir/t"), "v", present).collect()
+    assert(none.forall(r => !r.getBoolean(3) && r.getLong(4) == 0L))
+    // bounded probe set is enforced loudly
+    intercept[IllegalArgumentException] {
+      StorageOps.parquetBloomProbe(spark, Seq(s"$dir/t"), "k",
+        (0L until 100001L).toSeq)
+    }
+  }
 }
