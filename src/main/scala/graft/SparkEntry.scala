@@ -4769,6 +4769,12 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS n_sections,
         |       'classic' AS layout
         |FROM px ORDER BY doc_id""".stripMargin,
+    // MOR replay: deletes target doc_id % 7 == 0 rows by physical
+    // position, so survivors are the complement — position plumbing
+    // must be invisible
+    "q_iceberg_mor" ->
+      s"""SELECT doc_id FROM documents
+        |WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
     // WET replay: the conversion record is record 1 (after warcinfo)
     // and carries the document text verbatim — the gzip/WARC framing
     // must be byte-invisible
@@ -7421,6 +7427,22 @@ object SparkEntry {
             sum("file_rows").as("total_rows"),
             sum("stripe_rows").as("stripe_rows"))
           .orderBy("tbl")
+      },
+      "q_iceberg_mor" -> { (s, dir) =>
+        // the v2 MERGE-ON-READ apply step: data rows keyed by the
+        // scan's own _metadata.file_path/row_index, position-delete
+        // tuples (every doc_id % 7 == 0 row) broadcast anti-joined —
+        // survivors are the rows a v2 table scan would return
+        val data = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"))
+        val deletes = data
+          .filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("file_path"), col("pos"))
+        graft.ops.StorageOps.applyPositionDeletes(data, deletes)
+          .select(col("doc_id"))
+          .orderBy("doc_id")
       },
       "q_parquet_bloom" -> { (s, dir) =>
         // bloom-filter probe census over a staged bloom-enabled

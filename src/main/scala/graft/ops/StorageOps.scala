@@ -361,6 +361,26 @@ object StorageOps {
         "null_count", "min_v", "max_v")
   }
 
+  /** Apply Iceberg v2 POSITION DELETES — the merge-on-read step a v2
+    * table scan performs: data rows keyed by their physical position
+    * (`_metadata.file_path` + `_metadata.row_index`, which Spark's
+    * parquet scan emits natively) anti-joined against the delete
+    * tuples (file_path, pos).  Delete files are metadata-sized
+    * relative to data (KBs per data file), so the delete side is
+    * BROADCAST — the corpus never shuffles to drop rows, exactly the
+    * shape a 100 TB MOR scan needs.  Pairs with the r16 manifest
+    * decode surfacing `content = 1` (position-delete) entries: the
+    * planner routes those files here.
+    */
+  def applyPositionDeletes(
+      data: DataFrame, deletes: DataFrame,
+      fileCol: String = "file_path", posCol: String = "pos"): DataFrame = {
+    data.join(
+      org.apache.spark.sql.functions.broadcast(
+        deletes.select(fileCol, posCol)),
+      Seq(fileCol, posCol), "left_anti")
+  }
+
   /** Parquet BLOOM-FILTER probe census — the point-lookup skipping
     * surface next to the zone maps: for each row group of each file,
     * read the column's bloom filter (written when
