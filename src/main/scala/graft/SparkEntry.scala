@@ -4769,6 +4769,26 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS n_sections,
         |       'classic' AS layout
         |FROM px ORDER BY doc_id""".stripMargin,
+    // DV replay: the three synthesis arms as id arithmetic — base
+    // positions, the 601-wide run, the two high-key (bitmap 2) rows
+    "q_delta_dv" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, CAST(k * 3 + doc_id % 3 AS BIGINT) AS pos
+        |  FROM documents, unnest(generate_series(0, doc_id % 17)) t(k)),
+        |run AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM documents, unnest(generate_series(5000, 5600)) t(p)
+        |  WHERE doc_id % 5 = 0),
+        |high AS (
+        |  SELECT doc_id, CAST(4294967296 + 7 AS BIGINT) AS pos
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(4294967296 + 11 AS BIGINT) AS pos
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |SELECT doc_id, pos
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM run
+        |      UNION ALL SELECT * FROM high)
+        |ORDER BY doc_id, pos""".stripMargin,
     // MOR replay: deletes target doc_id % 7 == 0 rows by physical
     // position, so survivors are the complement — position plumbing
     // must be invisible
@@ -7427,6 +7447,19 @@ object SparkEntry {
             sum("file_rows").as("total_rows"),
             sum("stripe_rows").as("stripe_rows"))
           .orderBy("tbl")
+      },
+      "q_delta_dv" -> { (s, dir) =>
+        // Delta DELETION VECTORS: per-row tombstones as Roaring
+        // bitmaps — the from-spec portable-RoaringBitmapArray walk
+        // (both cookies, array/bitset/run containers, multi-bitmap
+        // high keys) behind the file form's CRC-verified framing and
+        // the inline form's Z85 decode; the library wrote the inner
+        // bitmaps, our walk reads them, DuckDB replays the positions
+        val dv = graft.ops.StorageOps.synthesizeDeltaDv(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        graft.ops.StorageOps.deltaDvPositions(dv)
+          .select(col("id").as("doc_id"), col("pos"))
+          .orderBy("doc_id", "pos")
       },
       "q_iceberg_mor" -> { (s, dir) =>
         // the v2 MERGE-ON-READ apply step: data rows keyed by the

@@ -361,6 +361,343 @@ object StorageOps {
         "null_count", "min_v", "max_v")
   }
 
+  // ---- Delta deletion vectors (protocol: Deletion Vector Format) ----
+
+  /** Z85 (ZeroMQ base85) decode — the encoding Delta uses for INLINE
+    * deletion vectors in add actions.  Input length must be a
+    * multiple of 5; each 5-char group is a big-endian base-85 u32.
+    */
+  private val Z85Chars =
+    "0123456789abcdefghijklmnopqrstuvwxyz" +
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Rev: Array[Int] = {
+    val t = Array.fill(128)(-1)
+    Z85Chars.zipWithIndex.foreach { case (c, i) => t(c.toInt) = i }
+    t
+  }
+
+  private[graft] def z85Decode(s: String): Option[Array[Byte]] = {
+    if (s == null || s.length % 5 != 0) return None
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s(i + j).toInt
+        if (c >= 128 || Z85Rev(c) < 0) return None
+        v = v * 85 + Z85Rev(c)
+        j += 1
+      }
+      if (v > 0xffffffffL) return None
+      out(o) = (v >>> 24).toByte
+      out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte
+      out(o + 3) = v.toByte
+      i += 5
+      o += 4
+    }
+    Some(out)
+  }
+
+  /** Z85 encode (synthesis side); input length must be a multiple
+    * of 4 — callers pad the bitmap bytes with zeros, which the
+    * decoder tolerates as trailing slack.
+    */
+  private[graft] def z85Encode(b: Array[Byte]): String = {
+    require(b.length % 4 == 0, "z85Encode: length must be 4-aligned")
+    val sb = new java.lang.StringBuilder(b.length / 4 * 5)
+    var i = 0
+    while (i < b.length) {
+      var v = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      val g = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { g(j) = Z85Chars((v % 85).toInt); v /= 85; j -= 1 }
+      sb.append(g)
+      i += 4
+    }
+    sb.toString
+  }
+
+  @inline private def dvU16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  @inline private def dvU32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  @inline private def dvU32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** One standard 32-bit Roaring bitmap at `off0` (the public
+    * RoaringFormatSpec): both cookies (12347 with run containers +
+    * per-container run flags; 12346 with a separate count), the
+    * descriptive key/cardinality headers, the offset header when the
+    * spec says it's present, and all three container forms — array
+    * (u16 values), bitset (8 KiB), run (u16 start/length pairs).
+    * Returns (values as unsigned ints in a Long, next offset).
+    */
+  private def roaring32At(
+      b: Array[Byte], off0: Int,
+      budget: Int): Option[(Vector[Long], Int)] = {
+    var off = off0
+    if (off + 4 > b.length) return None
+    val cookie = dvU32(b, off)
+    var n = 0
+    var hasRun = false
+    var runFlags: Array[Byte] = null
+    if ((cookie & 0xffffL) == 12347L) {
+      n = ((cookie >>> 16) + 1).toInt
+      hasRun = true
+      off += 4
+      val fb = (n + 7) / 8
+      if (off + fb > b.length) return None
+      runFlags = java.util.Arrays.copyOfRange(b, off, off + fb)
+      off += fb
+    } else if (cookie == 12346L) {
+      if (off + 8 > b.length) return None
+      n = dvU32(b, off + 4).toInt
+      off += 8
+    } else return None
+    if (n < 0 || n > 65536) return None
+    val keys = new Array[Int](n)
+    val cards = new Array[Int](n)
+    if (off + 4L * n > b.length) return None
+    var i = 0
+    while (i < n) {
+      keys(i) = dvU16(b, off)
+      cards(i) = dvU16(b, off + 2) + 1
+      off += 4
+      i += 1
+    }
+    // offset header: present for the no-run cookie, and with runs
+    // only when n >= 4 (the spec's NO_OFFSET_THRESHOLD)
+    if (!hasRun || n >= 4) {
+      if (off + 4L * n > b.length) return None
+      off += 4 * n
+    }
+    val out = Vector.newBuilder[Long]
+    var emitted = 0
+    i = 0
+    while (i < n) {
+      val keyBase = keys(i).toLong << 16
+      val isRun = hasRun && ((runFlags(i / 8) & (1 << (i % 8))) != 0)
+      if (isRun) {
+        if (off + 2 > b.length) return None
+        val nRuns = dvU16(b, off)
+        off += 2
+        var r = 0
+        while (r < nRuns) {
+          if (off + 4 > b.length) return None
+          val start = dvU16(b, off)
+          val len = dvU16(b, off + 2)
+          off += 4
+          emitted += len + 1
+          if (emitted > budget) return None // bomb guard
+          var v = start
+          while (v <= start + len) { out += keyBase | v; v += 1 }
+          r += 1
+        }
+      } else if (cards(i) <= 4096) {
+        if (off + 2L * cards(i) > b.length) return None
+        emitted += cards(i)
+        if (emitted > budget) return None
+        var c = 0
+        while (c < cards(i)) {
+          out += keyBase | dvU16(b, off)
+          off += 2
+          c += 1
+        }
+      } else {
+        if (off + 8192 > b.length) return None
+        emitted += cards(i)
+        if (emitted > budget) return None
+        var w = 0
+        while (w < 1024) {
+          var word = 0L
+          var k = 0
+          while (k < 8) { word |= (b(off + w * 8 + k) & 0xffL) << (8 * k); k += 1 }
+          while (word != 0L) {
+            val t = word & -word
+            out += keyBase | (w * 64 + java.lang.Long.numberOfTrailingZeros(word))
+            word ^= t
+          }
+          w += 1
+        }
+        off += 8192
+      }
+      i += 1
+    }
+    Some((out.result(), off))
+  }
+
+  /** Decode a serialized RoaringBitmapArray in Delta's PORTABLE
+    * format (the deletion-vector bitmap): 4-byte LE magic
+    * 1681511377, 8-byte LE bitmap count, then per bitmap a 4-byte LE
+    * high-32 key (ascending) + a standard 32-bit Roaring bitmap.
+    * Positions are (key << 32) | value.  Up to 3 trailing ZERO bytes
+    * are tolerated — the Z85 inline form pads to 4-byte groups.
+    * TOTAL on arbitrary bytes; `maxPositions` bounds the expansion.
+    */
+  private[graft] def deltaDvBitmapOf(
+      b: Array[Byte], maxPositions: Int = 1 << 24): Option[Vector[Long]] = {
+    if (b == null || b.length < 12) return None
+    if (dvU32(b, 0) != 1681511377L) return None
+    val nHi = dvU32(b, 8)
+    val n = dvU32(b, 4)
+    if (nHi != 0L || n < 0 || n > (1 << 20)) return None
+    var off = 12
+    var lastKey = -1L
+    val out = Vector.newBuilder[Long]
+    var emitted = 0
+    var i = 0L
+    while (i < n) {
+      if (off + 4 > b.length) return None
+      val key = dvU32(b, off)
+      off += 4
+      if (key <= lastKey) return None // keys strictly ascending
+      lastKey = key
+      val (vals, next) =
+        roaring32At(b, off, maxPositions - emitted).getOrElse(return None)
+      emitted += vals.length
+      vals.foreach(v => out += (key << 32) | v)
+      off = next
+      i += 1
+    }
+    // trailing slack: only the inline form's zero padding
+    if (b.length - off > 3) return None
+    while (off < b.length) {
+      if (b(off) != 0) return None
+      off += 1
+    }
+    Some(out.result())
+  }
+
+  /** Decode a deletion vector out of its FILE form (storageType
+    * `u`/`p`): version byte 1, then at `offset` a 4-byte BIG-endian
+    * data size (must equal the descriptor's sizeInBytes), the bitmap
+    * bytes, and a 4-byte big-endian CRC-32 of those bytes — verified,
+    * so a corrupt DV fails loudly instead of resurrecting deleted
+    * rows.
+    */
+  private[graft] def deltaDvFilePositions(
+      file: Array[Byte], offset: Int,
+      sizeInBytes: Int): Option[Vector[Long]] = {
+    if (file == null || file.length < 1 || file(0) != 1) return None
+    if (offset < 1 || sizeInBytes < 0 ||
+      offset.toLong + 4 + sizeInBytes + 4 > file.length) return None
+    val size = dvU32be(file, offset)
+    if (size != sizeInBytes.toLong) return None
+    val dataOff = offset + 4
+    val crc = new java.util.zip.CRC32()
+    crc.update(file, dataOff, sizeInBytes)
+    if ((crc.getValue & 0xffffffffL) !=
+      dvU32be(file, dataOff + sizeInBytes)) return None
+    deltaDvBitmapOf(
+      java.util.Arrays.copyOfRange(file, dataOff, dataOff + sizeInBytes))
+  }
+
+  /** Decode an INLINE deletion vector (storageType `i`): Z85 text →
+    * bitmap bytes (4-byte padded) → positions.
+    */
+  private[graft] def deltaDvInlinePositions(
+      inline: String): Option[Vector[Long]] =
+    z85Decode(inline).flatMap(deltaDvBitmapOf(_))
+
+  /** Deletion-vector census over DESCRIPTOR rows (the shape a Delta
+    * add action carries): `storage_type` `u`/`p` rows decode
+    * `file_bytes` at (`offset`, `size_bytes`); `i` rows decode the
+    * Z85 `inline_dv`.  One output row per deleted position; a row
+    * whose DV fails its CRC/framing yields NO rows (fail-safe — the
+    * scan layer must then treat the file as unreadable, never as
+    * fully live).  The positions then drive the same broadcast
+    * anti-join as [[applyPositionDeletes]].
+    */
+  def deltaDvPositions(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("storage_type"),
+        col("file_bytes"), col("inline_dv"),
+        col("offset").cast("int"), col("size_bytes").cast("int"))
+      .as[(Long, String, Array[Byte], String, Int, Int)]
+      .flatMap { case (id, st, fb, inl, off, sz) =>
+        val pos = st match {
+          case "u" | "p" => deltaDvFilePositions(fb, off, sz)
+          case "i" => deltaDvInlinePositions(inl)
+          case _ => None
+        }
+        pos.getOrElse(Vector.empty).map(p => (id, p))
+      }
+      .toDF("id", "pos")
+  }
+
+  /** Synthesize deletion-vector DESCRIPTOR rows through the Roaring
+    * LIBRARY (independent-writer discipline: the library serializes
+    * the inner 32-bit bitmaps, the from-spec walk reads them): per
+    * id the position set replays from id arithmetic — a base arm
+    * `k*3 + id%3` for k ≤ id%17 (array container); a run arm
+    * 5000..5600 on id%5==0 (runOptimize turns 601 consecutive values
+    * into a run container); a high-key arm (1<<32)+{7,11} on
+    * id%4==0 (a second bitmap in the array).  Even ids ship the FILE
+    * form (version byte + BE size + bitmap + BE CRC32 at offset 1),
+    * odd ids the INLINE Z85 form (zero-padded to 4-byte groups).
+    */
+  def synthesizeDeltaDv(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map { id =>
+        val positions = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (0 to (id % 17).toInt).foreach(k => positions += k * 3L + id % 3)
+        if (id % 5 == 0) (5000 to 5600).foreach(p => positions += p.toLong)
+        if (id % 4 == 0) {
+          positions += (1L << 32) + 7
+          positions += (1L << 32) + 11
+        }
+        val byKey = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+        val bos = new java.io.ByteArrayOutputStream(256)
+        def wLE32(v: Long): Unit = {
+          bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+          bos.write(((v >> 16) & 0xff).toInt)
+          bos.write(((v >> 24) & 0xff).toInt)
+        }
+        wLE32(1681511377L) // portable RoaringBitmapArray magic
+        wLE32(byKey.length.toLong); wLE32(0L) // 8-byte LE count
+        val dos = new java.io.DataOutputStream(bos)
+        byKey.foreach { case (key, ps) =>
+          wLE32(key.toLong)
+          val rb = org.roaringbitmap.RoaringBitmap.bitmapOf(
+            ps.map(p => (p & 0xffffffffL).toInt).toSeq: _*)
+          rb.runOptimize()
+          rb.serialize(dos) // the LIBRARY writes the spec wire format
+          dos.flush()
+        }
+        val bitmap = bos.toByteArray
+        if (id % 2 == 0) {
+          val out = new java.io.ByteArrayOutputStream(bitmap.length + 16)
+          out.write(1) // DV file version
+          def wBE32(v: Long): Unit = {
+            out.write(((v >> 24) & 0xff).toInt)
+            out.write(((v >> 16) & 0xff).toInt)
+            out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+          }
+          wBE32(bitmap.length.toLong)
+          out.write(bitmap)
+          val crc = new java.util.zip.CRC32()
+          crc.update(bitmap)
+          wBE32(crc.getValue)
+          (id, "u", out.toByteArray, null: String, 1, bitmap.length)
+        } else {
+          val pad = (4 - bitmap.length % 4) % 4
+          val padded = bitmap ++ new Array[Byte](pad)
+          (id, "i", null: Array[Byte], z85Encode(padded), -1, -1)
+        }
+      }
+      .toDF("id", "storage_type", "file_bytes", "inline_dv", "offset",
+        "size_bytes")
+  }
+
   /** Apply Iceberg v2 POSITION DELETES — the merge-on-read step a v2
     * table scan performs: data rows keyed by their physical position
     * (`_metadata.file_path` + `_metadata.row_index`, which Spark's

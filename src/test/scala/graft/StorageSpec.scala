@@ -637,4 +637,76 @@ class StorageSpec extends AnyFunSuite {
         (0L until 100001L).toSeq)
     }
   }
+
+  test("delta deletion vectors: roaring decode matches library; z85 vector; CRC tamper") {
+    import graft.ops.StorageOps
+    import spark.implicits._
+    // Z85 spec test vector (ZeroMQ RFC 32): 0x86 4F D2 6F B5 59 F7 5B
+    val helloBytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+      .map(_.toByte)
+    assert(StorageOps.z85Encode(helloBytes) == "HelloWorld")
+    assert(StorageOps.z85Decode("HelloWorld").get.toSeq == helloBytes.toSeq)
+    assert(StorageOps.z85Decode("bad!").isEmpty)      // not 5-aligned
+    assert(StorageOps.z85Decode("#####").isEmpty)     // > 2^32 - 1
+    // every synthesis arm decodes to exactly the library's contents
+    val docs = Seq(0L, 1L, 4L, 5L, 7L, 15L, 16L, 20L).toDF("doc_id")
+    val dv = StorageOps.synthesizeDeltaDv(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2),
+        r.getString(3), r.getInt(4), r.getInt(5))).toSeq
+    for ((id, st, fb, inl, off, sz) <- dv) {
+      val got = (st match {
+        case "u" => StorageOps.deltaDvFilePositions(fb, off, sz)
+        case "i" => StorageOps.deltaDvInlinePositions(inl)
+      }).getOrElse(fail(s"id=$id ($st) rejected"))
+      val expect = {
+        val ps = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (0 to (id % 17).toInt).foreach(k => ps += k * 3L + id % 3)
+        if (id % 5 == 0) (5000 to 5600).foreach(p => ps += p.toLong)
+        if (id % 4 == 0) { ps += (1L << 32) + 7; ps += (1L << 32) + 11 }
+        ps.distinct.sorted.toVector
+      }
+      assert(got.sorted == expect, s"id=$id ($st)")
+    }
+    // dense bitset container: > 4096 values in one 64k chunk
+    val rb = org.roaringbitmap.RoaringBitmap.bitmapOf(
+      (0 until 10000).map(_ * 2): _*)
+    val bos = new java.io.ByteArrayOutputStream()
+    def wLE32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    wLE32(1681511377L); wLE32(1L); wLE32(0L); wLE32(0L)
+    val dos = new java.io.DataOutputStream(bos)
+    rb.serialize(dos); dos.flush()
+    val decoded = StorageOps.deltaDvBitmapOf(bos.toByteArray).get
+    assert(decoded == (0 until 10000).map(_ * 2L).toVector)
+    // CRC tamper: a flipped bitmap byte must fail the file form
+    val (fid, _, fileBytes, _, foff, fsz) = dv.find(_._2 == "u").get
+    val bad = fileBytes.clone()
+    bad(foff + 4 + fsz / 2) = (bad(foff + 4 + fsz / 2) ^ 1).toByte
+    assert(StorageOps.deltaDvFilePositions(bad, foff, fsz).isEmpty)
+    // wrong declared size / bad version byte / truncation all reject
+    assert(StorageOps.deltaDvFilePositions(fileBytes, foff, fsz - 1).isEmpty)
+    val badVer = fileBytes.clone(); badVer(0) = 2
+    assert(StorageOps.deltaDvFilePositions(badVer, foff, fsz).isEmpty)
+    assert(StorageOps.deltaDvFilePositions(
+      java.util.Arrays.copyOf(fileBytes, fileBytes.length - 2),
+      foff, fsz).isEmpty)
+    // seeded fuzz: bitmap decode total on mutated bytes
+    val rnd = new scala.util.Random(1717)
+    val seed = java.util.Arrays.copyOfRange(
+      fileBytes, foff + 4, foff + 4 + fsz)
+    for (trial <- 0 until 300) {
+      val m = seed.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      val victim =
+        if (rnd.nextInt(3) == 0) m.take(rnd.nextInt(m.length)) else m
+      try StorageOps.deltaDvBitmapOf(victim)
+      catch { case e: Throwable => fail(s"dv fuzz $trial threw: $e") }
+    }
+  }
 }
