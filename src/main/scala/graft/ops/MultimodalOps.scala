@@ -4496,12 +4496,24 @@ object MultimodalOps {
     if (seen) Some(v) else None
   }
 
+  /** POSIX ustar member walk with VERIFIED header checksums and the
+    * three long-name mechanisms real archives use: the ustar `prefix`
+    * field (paths 100–255 chars split as prefix/name), GNU `L`
+    * longname entries (the data block IS the next member's name; `K`
+    * longlink entries consumed likewise), and PAX `x` extended
+    * headers (`len key=value\n` records, `path` overriding the next
+    * member's name; `g` globals consumed but not applied).  Meta
+    * entries produce NO member rows — a WebDataset shard written by
+    * GNU tar with >100-char sample names censuses its REAL members,
+    * not `././@LongLink` markers with truncated names.
+    */
   private[graft] def tarMembersOf(r: MediaRecord): Option[Seq[TarMember]] = {
     val b = r.content
     if (b == null || b.length < 1024 || b.length % 512 != 0) return None
     val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
     var off = 0
     var idx = 0L
+    var pendingName: String = null // set by GNU 'L' / PAX path records
     while (off + 512 <= b.length) {
       if (b(off) == 0) {
         // end-of-archive: two zero blocks, then nothing but zeros
@@ -4524,13 +4536,59 @@ object MultimodalOps {
       if (sum != stored) return None
       var e = off
       while (e < off + 100 && b(e) != 0) e += 1
-      val name = new String(b, off, e - off, "US-ASCII")
+      var name = new String(b, off, e - off, "US-ASCII")
+      // POSIX prefix field (345, 155): long paths split as
+      // prefix "/" name — GNU tar and bsdtar both emit it
+      var pe = off + 345
+      while (pe < off + 345 + 155 && pe < off + 500 && b(pe) != 0) pe += 1
+      if (pe > off + 345)
+        name = new String(b, off + 345, pe - (off + 345), "US-ASCII") +
+          "/" + name
       val size = tarOctal(b, off + 124, 12).getOrElse(return None)
       if (size < 0 || size > (b.length - off - 512).toLong) return None
       val tf = (b(off + 156) & 0xff).toChar
-      out += TarMember(r.id, idx, name, size,
-        if (tf == 0) "0" else tf.toString, (off + 512).toLong)
-      idx += 1
+      val dataOff = off + 512
+      val dataEnd = dataOff + size.toInt
+      tf match {
+        case 'L' =>
+          // GNU longname: the data IS the NEXT member's full name
+          // (NUL-terminated); this entry itself is not a member
+          if (size <= 0 || size > 65536) return None
+          var ne = dataOff
+          while (ne < dataEnd && b(ne) != 0) ne += 1
+          pendingName = new String(b, dataOff, ne - dataOff, "UTF-8")
+        case 'K' =>
+          // GNU longlink: next member's link target — consumed, no row
+          if (size > 65536) return None
+        case 'x' | 'g' =>
+          // PAX extended header: "len key=value\n" records; `path`
+          // from a per-file ('x') header overrides the next name
+          if (size > (1 << 20)) return None
+          val txt = new String(b, dataOff, size.toInt, "UTF-8")
+          var p = 0
+          while (p < txt.length) {
+            val sp = txt.indexOf(' ', p)
+            if (sp < 0) return None
+            val lenStr = txt.substring(p, sp)
+            if (lenStr.isEmpty || !lenStr.forall(_.isDigit) ||
+              lenStr.length > 7) return None
+            val recLen = lenStr.toInt
+            if (recLen <= 0 || p + recLen > txt.length ||
+              txt(p + recLen - 1) != '\n') return None
+            val kv = txt.substring(sp + 1, p + recLen - 1)
+            val eq = kv.indexOf('=')
+            if (eq < 0) return None
+            if (tf == 'x' && kv.substring(0, eq) == "path")
+              pendingName = kv.substring(eq + 1)
+            p += recLen
+          }
+        case _ =>
+          val finalName = if (pendingName != null) pendingName else name
+          pendingName = null
+          out += TarMember(r.id, idx, finalName, size,
+            if (tf == 0) "0" else tf.toString, dataOff.toLong)
+          idx += 1
+      }
       off += 512 + ((size + 511) / 512).toInt * 512
     }
     None // ran off the end without the end-of-archive marker
@@ -8543,12 +8601,14 @@ object MultimodalOps {
     */
   private[graft] def pdfChainOf(b: Array[Byte]): Option[PdfChain] = {
     if (b == null || b.length < 32) return None
-    // header: %PDF-1.x
+    // header: %PDF-1.x (ISO 32000-1) or %PDF-2.0 (ISO 32000-2)
     val head = new String(b, 0, math.min(16, b.length), "ISO-8859-1")
-    if (!head.startsWith("%PDF-1.")) return None
-    val verCh = head(7)
-    if (verCh < '0' || verCh > '7') return None
-    val version = "1." + verCh
+    if (!head.startsWith("%PDF-")) return None
+    val version =
+      if (head.startsWith("%PDF-1.") && head(7) >= '0' && head(7) <= '7')
+        "1." + head(7)
+      else if (head.startsWith("%PDF-2.0")) "2.0"
+      else return None
     // startxref in the last-1024-byte window, then the offset line
     val tailStart = math.max(0, b.length - 1024)
     val tail = new String(b, tailStart, b.length - tailStart, "ISO-8859-1")

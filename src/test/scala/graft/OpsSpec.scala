@@ -836,6 +836,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tar long names: GNU L entries, PAX path records, ustar prefix — vs system tar") {
+    import graft.ops.MultimodalOps
+    // archives written by the SYSTEM tar binary in all three formats,
+    // with a >100-char member name — the census must list the REAL
+    // members with FULL names, never a ././@LongLink marker
+    val tarBin = Seq("/bin/tar", "/usr/bin/tar")
+      .find(new java.io.File(_).exists)
+    assume(tarBin.isDefined)
+    val bin = tarBin.get
+    val work = java.nio.file.Files.createTempDirectory("tarlong")
+    val longDir = "deeply/nested/directory/structure/holding/webdataset/" +
+      "samples/with/very/long/paths/shard-000017"
+    val longName = s"$longDir/sample-000000042-of-training-corpus.txt"
+    assert(longName.length > 100)
+    val full = work.resolve(longName)
+    java.nio.file.Files.createDirectories(full.getParent)
+    java.nio.file.Files.write(full, "payload".getBytes("UTF-8"))
+    java.nio.file.Files.write(work.resolve("short.txt"),
+      "x".getBytes("UTF-8"))
+    for (fmt <- Seq("gnu", "pax", "ustar")) {
+      val tarPath = work.resolve(s"$fmt.tar").toString
+      val p = new ProcessBuilder(bin, s"--format=$fmt", "-cf", tarPath,
+        "-C", work.toString, longName, "short.txt").start()
+      assert(p.waitFor() == 0, s"system tar ($fmt) failed")
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(tarPath))
+      val members = MultimodalOps.tarMembersOf(
+        MultimodalOps.MediaRecord(1L, "application/x-tar", bytes))
+        .getOrElse(fail(s"$fmt-format archive rejected"))
+      // only the two REAL files — meta entries produce no rows
+      assert(members.map(_.name) == Seq(longName, "short.txt"), fmt)
+      assert(members.map(_.size) == Seq(7L, 1L), fmt)
+      // the reported data offset really holds the payload
+      val m0 = members.head
+      assert(new String(bytes, m0.dataOffset.toInt, 7, "UTF-8") ==
+        "payload", fmt)
+    }
+  }
+
   test("tar.gz: inflate + walk equals the raw shard; corrupt gzip rejected") {
     import spark.implicits._
     import graft.ops.MultimodalOps
@@ -1603,6 +1642,19 @@ class OpsSpec extends AnyFunSuite {
       5L, "p", java.util.Arrays.copyOf(base, base.length / 2))).isEmpty)
     assert(MultimodalOps.pdfMetaOf(MultimodalOps.MediaRecord(
       5L, "p", "%PDX-1.4 nope".getBytes("ISO-8859-1"))).isEmpty)
+    // PDF 2.0 (ISO 32000-2) headers are in-envelope; 1.8/2.1 are not
+    val v20 = base.clone()
+    "%PDF-2.0".getBytes("ISO-8859-1").copyToArray(v20, 0)
+    assert(MultimodalOps.pdfMetaOf(
+      MultimodalOps.MediaRecord(5L, "p", v20)).get.version == "2.0")
+    val v18 = base.clone()
+    "%PDF-1.8".getBytes("ISO-8859-1").copyToArray(v18, 0)
+    assert(MultimodalOps.pdfMetaOf(
+      MultimodalOps.MediaRecord(5L, "p", v18)).isEmpty)
+    val v21 = base.clone()
+    "%PDF-2.1".getBytes("ISO-8859-1").copyToArray(v21, 0)
+    assert(MultimodalOps.pdfMetaOf(
+      MultimodalOps.MediaRecord(5L, "p", v21)).isEmpty)
   }
 
   test("pdf: xref-stream census — W fields, predictors, object streams, /Index") {
