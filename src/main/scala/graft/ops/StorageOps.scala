@@ -25,6 +25,32 @@ object StorageOps {
     */
   private val MaxOrcFooterRead: Long = 256L * 1024 * 1024
 
+  /** Driver-side file listing shared by the metadata censuses: each
+    * path is either a file or a directory whose immediate `suffix`
+    * files are taken; `maxFiles` makes the driver-listing bound
+    * explicit and loud (see [[parquetFootersDistributed]] for the
+    * beyond-the-bound shape).
+    */
+  private def listFilesBounded(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      suffix: String, maxFiles: Int, opName: String): Seq[String] = {
+    val files = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(suffix))
+          .map(_.getPath.toString).toSeq
+      else Seq(p)
+    }
+    require(files.size <= maxFiles,
+      s"$opName: ${files.size} files exceeds maxFiles=$maxFiles — " +
+        "the driver-side directory listing is the bottleneck at this " +
+        "scale; feed the file list from the catalog instead")
+    files
+  }
+
   /** Parquet footer census — the lake introspecting its OWN format:
     * one row per column chunk per row group with the exact row,
     * value, and byte accounting a compaction/repartition planner
@@ -56,20 +82,7 @@ object StorageOps {
       spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       maxFiles: Int = 1000000): DataFrame = {
     import spark.implicits._
-    val files = paths.flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(path)
-      if (st.isDirectory)
-        fs.listStatus(path).filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).toSeq
-      else Seq(p)
-    }
-    require(files.size <= maxFiles,
-      s"parquetFooters: ${files.size} files exceeds maxFiles=$maxFiles — " +
-        "the driver-side directory listing is the bottleneck at this " +
-        "scale; feed the file list from the catalog instead")
+    val files = listFilesBounded(spark, paths, ".parquet", maxFiles, "parquetFooters")
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -208,18 +221,7 @@ object StorageOps {
       cols: Seq[String], maxFiles: Int = 1000000): DataFrame = {
     import spark.implicits._
     val wanted = cols.toSet
-    val files = paths.flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(path)
-      if (st.isDirectory)
-        fs.listStatus(path).filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).toSeq
-      else Seq(p)
-    }
-    require(files.size <= maxFiles,
-      s"parquetColumnStats: ${files.size} files exceeds maxFiles=$maxFiles")
+    val files = listFilesBounded(spark, paths, ".parquet", maxFiles, "parquetColumnStats")
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -284,18 +286,7 @@ object StorageOps {
       cols: Seq[String], maxFiles: Int = 1000000): DataFrame = {
     import spark.implicits._
     val wanted = cols.toSet
-    val files = paths.flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(path)
-      if (st.isDirectory)
-        fs.listStatus(path).filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).toSeq
-      else Seq(p)
-    }
-    require(files.size <= maxFiles,
-      s"parquetPageIndex: ${files.size} files exceeds maxFiles=$maxFiles")
+    val files = listFilesBounded(spark, paths, ".parquet", maxFiles, "parquetPageIndex")
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -741,18 +732,7 @@ object StorageOps {
       s"parquetBloomProbe: ${values.size} probe values — use a join " +
         "for large key sets, the closure-shipped probe is for bounded " +
         "dictionaries")
-    val files = paths.flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(path)
-      if (st.isDirectory)
-        fs.listStatus(path).filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).toSeq
-      else Seq(p)
-    }
-    require(files.size <= maxFiles,
-      s"parquetBloomProbe: ${files.size} files exceeds maxFiles=$maxFiles")
+    val files = listFilesBounded(spark, paths, ".parquet", maxFiles, "parquetBloomProbe")
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -1005,20 +985,7 @@ object StorageOps {
       spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       maxFiles: Int = 1000000): DataFrame = {
     import spark.implicits._
-    val files = paths.flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(path)
-      if (st.isDirectory)
-        fs.listStatus(path).filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".orc"))
-          .map(_.getPath.toString).toSeq
-      else Seq(p)
-    }
-    require(files.size <= maxFiles,
-      s"orcFooters: ${files.size} files exceeds maxFiles=$maxFiles — " +
-        "the driver-side directory listing is the bottleneck at this " +
-        "scale; feed the file list from the catalog instead")
+    val files = listFilesBounded(spark, paths, ".orc", maxFiles, "orcFooters")
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -1208,18 +1175,7 @@ object StorageOps {
       spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       maxFiles: Int = 1000000): DataFrame = {
     import spark.implicits._
-    val files = paths.flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(path)
-      if (st.isDirectory)
-        fs.listStatus(path).filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".orc"))
-          .map(_.getPath.toString).toSeq
-      else Seq(p)
-    }
-    require(files.size <= maxFiles,
-      s"orcStripeStats: ${files.size} files exceeds maxFiles=$maxFiles")
+    val files = listFilesBounded(spark, paths, ".orc", maxFiles, "orcStripeStats")
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
