@@ -5030,6 +5030,21 @@ object SparkEntry {
         |            ELSE '0.' || CAST(k % 10 AS VARCHAR) END AS priority
         |FROM ks ORDER BY doc_id, entry_idx""".stripMargin,
     // robots.txt parse replay: the rule table is doc_id arithmetic —
+    // sitemap-directive replay: one per doc plus the lowercase arm
+    // on every third
+    "q_robots_sitemaps" ->
+      s"""WITH one AS (
+        |  SELECT doc_id, 0 AS k,
+        |         'https://example.com/' || CAST(doc_id AS VARCHAR) ||
+        |           '/sitemap.xml' AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         'https://example.com/' || CAST(doc_id AS VARCHAR) ||
+        |           '/sitemap-news.xml'
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, CAST(k AS BIGINT) AS sitemap_idx, url
+        |FROM one ORDER BY doc_id, sitemap_idx""".stripMargin,
     // group 0 is graftbot (2-3 rules + crawl-delay), group 1 the
     // multi-agent */legacybot pair (one row per agent per rule)
     "q_robots_rules" ->
@@ -8035,6 +8050,25 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
             col("kind"), col("loc"), col("lastmod"), col("priority"))
           .orderBy("doc_id", "entry_idx")
+      },
+      "q_robots_sitemaps" -> { (s, dir) =>
+        // sitemap AUTODISCOVERY: the group-independent Sitemap:
+        // directives a frontier follows out of robots.txt — the
+        // lowercase arm pins field-name case-insensitivity
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val robots = concat(robotsSynthCol,
+          lit("Sitemap: https://example.com/"),
+          col("doc_id").cast("string"), lit("/sitemap.xml\n"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("sitemap: https://example.com/"),
+              col("doc_id").cast("string"), lit("/sitemap-news.xml\n")))
+            .otherwise(lit("")))
+        UrlOps.robotsSitemaps(
+            docs.select(col("doc_id"), robots.as("robots")),
+            "doc_id", "robots")
+          .select(col("id").as("doc_id"),
+            col("sitemap_idx"), col("url"))
+          .orderBy("doc_id", "sitemap_idx")
       },
       "q_robots_rules" -> { (s, dir) =>
         // robots.txt parse census (RFC 9309): group/agent/rule table

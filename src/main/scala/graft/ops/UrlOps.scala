@@ -345,6 +345,46 @@ object UrlOps {
     out.toSeq
   }
 
+  /** `Sitemap:` directives from robots.txt — the standard frontier-
+    * discovery mechanism (sitemaps.org autodiscovery): group-
+    * INDEPENDENT per RFC 9309, so they surface regardless of which
+    * user-agent group they sit in.  Field name case-insensitive,
+    * value verbatim (the spec requires an absolute URL; validation
+    * is the consumer's `normalizeUrl` step).  One row per directive
+    * in file order.
+    */
+  private[graft] def robotsSitemapsOf(
+      id: Long, robots: String): Seq[(Long, Long, String)] = {
+    if (robots == null) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    var idx = 0L
+    for (raw <- robots.split("\n", -1)) {
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val value = line.substring(colon + 1).trim
+        if (value.nonEmpty) {
+          out += ((id, idx, value))
+          idx += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  def robotsSitemaps(df: DataFrame, idCol: String, robotsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(robotsCol))
+      .as[(Long, String)]
+      .flatMap { case (id, r) => robotsSitemapsOf(id, r) }
+      .toDF("id", "sitemap_idx", "url")
+  }
+
   def robotsRules(df: DataFrame, idCol: String, robotsCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
