@@ -5030,6 +5030,21 @@ object SparkEntry {
         |            ELSE '0.' || CAST(k % 10 AS VARCHAR) END AS priority
         |FROM ks ORDER BY doc_id, entry_idx""".stripMargin,
     // robots.txt parse replay: the rule table is doc_id arithmetic —
+    // seekable-zstd replay: frame k's decompressed geometry is the
+    // byte-split rule (the codec's compressed sizes never appear)
+    "q_zstd_seek" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         1 + doc_id % 4 AS nf
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, nf,
+        |              unnest(generate_series(0, nf - 1)) AS k FROM px)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS frame_idx,
+        |       CAST(k * (n // nf) + least(k, n % nf) AS BIGINT) AS d_offset,
+        |       CAST(n // nf + CASE WHEN k < n % nf THEN 1 ELSE 0 END
+        |            AS BIGINT) AS d_size
+        |FROM ks ORDER BY doc_id, frame_idx""".stripMargin,
     // sitemap-directive replay: one per doc plus the lowercase arm
     // on every third
     "q_robots_sitemaps" ->
@@ -8050,6 +8065,20 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
             col("kind"), col("loc"), col("lastmod"), col("priority"))
           .orderBy("doc_id", "entry_idx")
+      },
+      "q_zstd_seek" -> { (s, dir) =>
+        // zstd SEEKABLE shards (the random-access .zst convention):
+        // the seek-table walk with strict frame tiling, per-frame
+        // zstd magic, and XXH64 verification on the checksum arm —
+        // decompressed geometry replays from byte-split arithmetic;
+        // compressed sizes are the codec's own, pinned by the tiling
+        // check and OpsSpec's ranged-read contract instead
+        val media = MultimodalOps.synthesizeSeekableZstd(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.zstdSeekTable(media).toDF()
+          .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+            col("dOffset").as("d_offset"), col("dSize").as("d_size"))
+          .orderBy("doc_id", "frame_idx")
       },
       "q_robots_sitemaps" -> { (s, dir) =>
         // sitemap AUTODISCOVERY: the group-independent Sitemap:

@@ -5927,8 +5927,11 @@ object MultimodalOps {
       if (cnt == null || cnt._1 <= 0L) return None
       off += cnt._2
       val sz = avroVarLong(b, off)
-      if (sz == null || sz._1 < 0L || sz._1 > (b.length - off).toLong) return None
+      if (sz == null || sz._1 < 0L) return None
       off += sz._2
+      // bound AFTER advancing past the varint — checking against the
+      // pre-advance offset lets off + size overrun by the varint width
+      if (sz._1 > (b.length - off).toLong) return None
       off += sz._1.toInt
       if (off + 16 > b.length) return None
       var i = 0
@@ -6416,8 +6419,11 @@ object MultimodalOps {
       if (cnt == null || cnt._1 <= 0L || cnt._1 > 10000000L) return None
       off += cnt._2
       val sz = avroVarLong(b, off)
-      if (sz == null || sz._1 < 0L || sz._1 > (b.length - off).toLong) return None
+      if (sz == null || sz._1 < 0L) return None
       off += sz._2
+      // bound AFTER advancing past the varint — checking against the
+      // pre-advance offset lets off + size overrun by the varint width
+      if (sz._1 > (b.length - off).toLong) return None
       val dataEnd = off + sz._1.toInt
       // record bytes: the raw span (null codec) or its inflation
       // (deflate — raw RFC 1951 per the Avro spec, bomb-guarded)
@@ -6689,8 +6695,11 @@ object MultimodalOps {
       if (cnt == null || cnt._1 <= 0L || cnt._1 > 10000000L) return None
       off += cnt._2
       val sz = avroVarLong(b, off)
-      if (sz == null || sz._1 < 0L || sz._1 > (b.length - off).toLong) return None
+      if (sz == null || sz._1 < 0L) return None
       off += sz._2
+      // bound AFTER advancing past the varint — checking against the
+      // pre-advance offset lets off + size overrun by the varint width
+      if (sz._1 > (b.length - off).toLong) return None
       val dataEnd = off + sz._1.toInt
       val (d, pStart, pEnd) =
         if (hdr.codec == "null") (b, off, dataEnd)
@@ -8143,6 +8152,137 @@ object MultimodalOps {
       MediaRecord(r.id, "application/zstd",
         com.github.luben.zstd.Zstd.compress(r.content, 3))
     }
+  }
+
+  // ---- zstd SEEKABLE format (contrib/seekable_format spec) ----------
+
+  /** One seekable-zstd frame's seek-table row: the (compressed,
+    * decompressed) offset/size geometry a ranged reader needs to
+    * fetch exactly one frame.
+    */
+  final case class ZstdSeekFrame(
+      id: Long, frameIdx: Long, cOffset: Long, cSize: Long,
+      dOffset: Long, dSize: Long)
+
+  /** Parse a zstd SEEKABLE file's seek table (the random-access
+    * convention for .zst shards — zstd's contrib/seekable_format):
+    * the file is N independent zstd frames followed by ONE skippable
+    * frame (magic 0x184D2A5E) holding per-frame (compressed size,
+    * decompressed size[, XXH64-low32 checksum]) entries and a 9-byte
+    * footer (LE frame count, descriptor byte, seekable magic
+    * 0x8F92EAB1).  STRICT: the skippable frame's declared size must
+    * equal the table, compressed sizes must tile the data region
+    * exactly, and every frame's first 4 bytes must be the zstd frame
+    * magic; when the checksum flag is set, each frame is INFLATED
+    * and its XXH64 low-32 verified — a corrupt frame fails its
+    * census instead of mis-seeking every later read.  TOTAL on
+    * arbitrary bytes.
+    */
+  private[graft] def zstdSeekTableOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[ZstdSeekFrame]] = {
+    val b = r.content
+    if (b == null || b.length < 17) return None
+    val n = b.length
+    @inline def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (u32(n - 4) != 0x8f92eab1L) return None // seekable magic
+    val descriptor = b(n - 5) & 0xff
+    if ((descriptor & 0x7c) != 0) return None // reserved bits must be 0
+    val hasChecksum = (descriptor & 0x80) != 0
+    val nFrames = u32(n - 9)
+    if (nFrames < 0 || nFrames > 10000000L) return None
+    val entrySize = 8 + (if (hasChecksum) 4 else 0)
+    val tableSize = nFrames * entrySize + 9
+    val skipStart = n - 8 - tableSize
+    if (skipStart < 0) return None
+    if (u32(skipStart.toInt) != 0x184d2a5eL) return None // skippable magic
+    if (u32(skipStart.toInt + 4) != tableSize) return None
+    val out = Vector.newBuilder[ZstdSeekFrame]
+    var cOff = 0L
+    var dOff = 0L
+    var e = skipStart + 8
+    var i = 0L
+    while (i < nFrames) {
+      val cSize = u32(e.toInt)
+      val dSize = u32(e.toInt + 4)
+      if (cSize < 4 || cOff + cSize > skipStart) return None
+      // the frame at this offset must BE a zstd frame
+      if (u32(cOff.toInt) != 0xfd2fb528L) return None
+      if (hasChecksum) {
+        // XXH64 low 32 bits of the DECOMPRESSED frame, per spec
+        val frame = java.util.Arrays.copyOfRange(
+          b, cOff.toInt, (cOff + cSize).toInt)
+        val plain = zstdInflate(frame, maxInflated).getOrElse(return None)
+        if (plain.length.toLong != dSize) return None
+        val h = net.jpountz.xxhash.XXHashFactory.fastestInstance()
+          .hash64().hash(plain, 0, plain.length, 0L)
+        if ((h & 0xffffffffL) != u32(e.toInt + 8)) return None
+      }
+      out += ZstdSeekFrame(r.id, i, cOff, cSize, dOff, dSize)
+      cOff += cSize
+      dOff += dSize
+      e += entrySize
+      i += 1
+    }
+    if (cOff != skipStart) return None // frames must tile exactly
+    Some(out.result())
+  }
+
+  def zstdSeekTable(ds: Dataset[MediaRecord]): Dataset[ZstdSeekFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => zstdSeekTableOf(r).getOrElse(Nil)))
+  }
+
+  /** Per-row seekable-zstd synthesis: the document's text split into
+    * `1 + id % 4` chunks, each an INDEPENDENT zstd frame, plus the
+    * spec's seek-table skippable frame — odd ids carry per-frame
+    * XXH64 checksums.  Chunk byte sizes replay from octet_length
+    * arithmetic; compressed sizes are the codec's own (pinned by the
+    * census's strict tiling, not by the oracle).
+    */
+  def synthesizeSeekableZstd(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val nf = 1 + (id % 4).toInt
+        val withChecksum = id % 2 == 1
+        val out = new java.io.ByteArrayOutputStream(payload.length + 256)
+        val entries = new java.io.ByteArrayOutputStream(nf * 12)
+        def wLE32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+          o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+          o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+        }
+        var from = 0
+        var k = 0
+        while (k < nf) {
+          val take = payload.length / nf +
+            (if (k < payload.length % nf) 1 else 0)
+          val chunk = java.util.Arrays.copyOfRange(payload, from, from + take)
+          val frame = com.github.luben.zstd.Zstd.compress(chunk, 3)
+          out.write(frame)
+          wLE32(entries, frame.length.toLong)
+          wLE32(entries, take.toLong)
+          if (withChecksum) {
+            val h = net.jpountz.xxhash.XXHashFactory.fastestInstance()
+              .hash64().hash(chunk, 0, chunk.length, 0L)
+            wLE32(entries, h & 0xffffffffL)
+          }
+          from += take
+          k += 1
+        }
+        val table = entries.toByteArray
+        wLE32(out, 0x184d2a5eL) // skippable frame magic
+        wLE32(out, table.length.toLong + 9)
+        out.write(table)
+        wLE32(out, nf.toLong)
+        out.write(if (withChecksum) 0x80 else 0x00)
+        wLE32(out, 0x8f92eab1L)
+        MediaRecord(id, "application/zstd-seekable", out.toByteArray)
+      }
   }
 
   // ---- PDF census ----------------------------------------------------

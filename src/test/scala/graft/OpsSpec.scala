@@ -1714,6 +1714,50 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(2L, "p", v)).isEmpty)
   }
 
+  test("zstd seekable: ranged-read contract; checksum tamper; tiling strict") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((3L, "seekable shard text payload " * 9), (5L, "abc"),
+      (0L, "")).toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeSeekableZstd(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- media) {
+      val frames = MultimodalOps.zstdSeekTableOf(rec)
+        .getOrElse(fail(s"id=$id rejected"))
+      assert(frames.length == 1 + (id % 4).toInt)
+      // THE contract: decompressing exactly [cOffset, cOffset+cSize)
+      // yields exactly [dOffset, dOffset+dSize) of the original text
+      val payload = (if (id == 3L) "seekable shard text payload " * 9
+                     else if (id == 5L) "abc" else "").getBytes("UTF-8")
+      for (f <- frames) {
+        val span = java.util.Arrays.copyOfRange(
+          rec.content, f.cOffset.toInt, (f.cOffset + f.cSize).toInt)
+        val plain = com.github.luben.zstd.Zstd.decompress(
+          span, f.dSize.toInt)
+        assert(plain.toSeq == payload.slice(
+          f.dOffset.toInt, (f.dOffset + f.dSize).toInt).toSeq,
+          s"id=$id frame ${f.frameIdx}")
+      }
+    }
+    // id 3 is the checksum arm: flip a byte inside frame 0's payload
+    // region — the XXH64 verify must fail the census
+    val v = media(3L).content.clone()
+    v(8) = (v(8) ^ 0x11).toByte
+    assert(MultimodalOps.zstdSeekTableOf(
+      MultimodalOps.MediaRecord(3L, "z", v)).isEmpty)
+    // a lying compressed size breaks the tiling -> reject
+    val frames3 = MultimodalOps.zstdSeekTableOf(media(3L)).get
+    val t = media(3L).content.clone()
+    val tableStart = t.length - 9 -
+      frames3.length * 12 // checksum arm: 12-byte entries
+    t(tableStart) = (t(tableStart) + 1).toByte // first frame's cSize
+    assert(MultimodalOps.zstdSeekTableOf(
+      MultimodalOps.MediaRecord(3L, "z", t)).isEmpty)
+    // truncation / wrong magic reject
+    assert(MultimodalOps.zstdSeekTableOf(MultimodalOps.MediaRecord(
+      3L, "z", media(3L).content.take(10))).isEmpty)
+  }
+
   test("wet/wat sidecars: conversion text + metadata JSON round-trip; tamper fails") {
     import spark.implicits._
     import graft.ops.MultimodalOps
@@ -2107,6 +2151,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.wetGzRecordsOf(r)),
       ("wat", MultimodalOps.synthesizeWatGz(docs, "doc_id")
         .collect().map(_.content), r => MultimodalOps.watGzRecordsOf(r)),
+      ("zstd-seek", MultimodalOps.synthesizeSeekableZstd(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.zstdSeekTableOf(r)),
       ("jsonl", MultimodalOps.synthesizeJsonlShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.jsonlRecordsOf(r)),
       ("epub", MultimodalOps.synthesizeEpub(docs, "doc_id", "text")
