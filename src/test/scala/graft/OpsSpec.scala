@@ -2213,7 +2213,7 @@ class OpsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(1313)
     (corpora ++ preR13).foreach { case (name, bases, parse) =>
       bases.foreach { base =>
-        for (trial <- 0 until 400) {
+        for (trial <- 0 until 1000) {
           val mutated = base.clone()
           // 1-4 random byte flips
           (0 to rnd.nextInt(4)).foreach { _ =>
