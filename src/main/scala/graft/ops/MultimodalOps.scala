@@ -7878,6 +7878,9 @@ object MultimodalOps {
     else if (at(0, "WARC/1.")) "warc"
     else if (at(0, "ARROW1") && b.length >= 8 && b(6) == 0 && b(7) == 0) "arrow-ipc"
     else if (at(0, "PAR1")) "parquet"
+    // encrypted-footer parquet uses PARE at both ends — route it AWAY
+    // from the plaintext footer census (which would throw, not None)
+    else if (at(0, "PARE")) "parquet-encrypted"
     else if ((b(0) & 0xff) == 0x89 && at(1, "PNG")) "png"
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff) "jpeg"

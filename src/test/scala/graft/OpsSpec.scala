@@ -1979,6 +1979,7 @@ class OpsSpec extends AnyFunSuite {
     assert(k(ascii("WARC/1.0\r\n")) == "warc")
     assert(k(ascii("ARROW1") ++ Array[Byte](0, 0) ++ ascii("rest")) == "arrow-ipc")
     assert(k(ascii("PAR1....")) == "parquet")
+    assert(k(ascii("PARE....")) == "parquet-encrypted")
     assert(k(ascii("ORC....")) == "orc")
     assert(k(Array(0x89.toByte) ++ ascii("PNG\r\n")) == "png")
     assert(k(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) == "jpeg")
@@ -5120,6 +5121,71 @@ class OpsSpec extends AnyFunSuite {
     val v = media.head.content
     assert(MultimodalOps.icebergManifestEntriesOf(
       MultimodalOps.MediaRecord(1L, "x", v.take(v.length - 3))).isEmpty)
+  }
+
+  test("avro schema-driven skip: map/enum/fixed/named-ref fields walk correctly") {
+    import graft.ops.MultimodalOps
+    // a writer schema exercising every AvType the manifest decoder
+    // may need to SKIP: map, enum, fixed, double, boolean, and a
+    // NAMED back-reference to a fixed type — library writes, the
+    // schema-driven entry decode must hop all of it by wire shape
+    val schemaJson =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"exotic","type":{"type":"map","values":"long"}},
+        |{"name":"kind","type":{"type":"enum","name":"K","symbols":["A","B","C"]}},
+        |{"name":"sig","type":{"type":"fixed","name":"Sig","size":6}},
+        |{"name":"sig2","type":"Sig"},
+        |{"name":"ratio","type":"double"},
+        |{"name":"flag","type":"boolean"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"props","type":{"type":"map","values":"string"}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val writer = new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](schema)
+    val dfw = new org.apache.avro.file.DataFileWriter(writer)
+    val bos = new java.io.ByteArrayOutputStream()
+    dfw.create(schema, bos)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("status", 1)
+    rec.put("snapshot_id", java.lang.Long.valueOf(42L))
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    m.put("a", 7L); m.put("bb", 9L)
+    rec.put("exotic", m)
+    rec.put("kind", new org.apache.avro.generic.GenericData.EnumSymbol(
+      schema.getField("kind").schema(), "B"))
+    val sigBytes = new org.apache.avro.generic.GenericData.Fixed(
+      schema.getField("sig").schema(), Array[Byte](1, 2, 3, 4, 5, 6))
+    rec.put("sig", sigBytes)
+    rec.put("sig2", sigBytes)
+    rec.put("ratio", java.lang.Double.valueOf(2.5))
+    rec.put("flag", java.lang.Boolean.TRUE)
+    val df2 = new org.apache.avro.generic.GenericData.Record(
+      schema.getField("data_file").schema())
+    df2.put("file_path", "data/x.parquet")
+    df2.put("file_format", "PARQUET")
+    val props = new java.util.HashMap[String, String]()
+    props.put("k", "v")
+    df2.put("props", props)
+    df2.put("record_count", java.lang.Long.valueOf(100L))
+    df2.put("file_size_in_bytes", java.lang.Long.valueOf(2048L))
+    rec.put("data_file", df2)
+    dfw.append(rec); dfw.close()
+    val got = MultimodalOps.icebergManifestEntriesOf(
+      MultimodalOps.MediaRecord(9L, "a", bos.toByteArray))
+      .getOrElse(fail("exotic-schema manifest rejected"))
+    assert(got.length == 1)
+    val e = got.head
+    assert(e.status == 1L && e.snapshotId == 42L &&
+      e.filePath == "data/x.parquet" && e.fileFormat == "PARQUET" &&
+      e.recordCount == 100L && e.fileSizeInBytes == 2048L &&
+      e.content == 0L)
   }
 
   test("iceberg manifest list: library cross-check; schema gates keep levels apart") {
