@@ -5030,6 +5030,24 @@ object SparkEntry {
         |            ELSE '0.' || CAST(k % 10 AS VARCHAR) END AS priority
         |FROM ks ORDER BY doc_id, entry_idx""".stripMargin,
     // robots.txt parse replay: the rule table is doc_id arithmetic —
+    // BGZF replay: block k's inflated size is the byte-split rule,
+    // plus the zero-size EOF marker block
+    "q_bgzf_blocks" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         1 + doc_id % 3 AS nb
+        |  FROM documents),
+        |ks AS (SELECT doc_id, n, nb,
+        |              unnest(generate_series(0, nb - 1)) AS k FROM px),
+        |blocks AS (
+        |  SELECT doc_id, k,
+        |         n // nb + CASE WHEN k < n % nb THEN 1 ELSE 0 END AS isize
+        |  FROM ks
+        |  UNION ALL
+        |  SELECT doc_id, nb, 0 FROM px)
+        |SELECT doc_id, CAST(k AS BIGINT) AS block_idx,
+        |       CAST(isize AS BIGINT) AS isize
+        |FROM blocks ORDER BY doc_id, block_idx""".stripMargin,
     // seekable-zstd replay: frame k's decompressed geometry is the
     // byte-split rule (the codec's compressed sizes never appear)
     "q_zstd_seek" ->
@@ -8065,6 +8083,18 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
             col("kind"), col("loc"), col("lastmod"), col("priority"))
           .orderBy("doc_id", "entry_idx")
+      },
+      "q_bgzf_blocks" -> { (s, dir) =>
+        // BGZF blocked gzip (the gzip-family random-access sibling of
+        // q_zstd_seek): BC-subfield BSIZE verified against each
+        // member's actual compressed length, EOF marker required —
+        // inflated sizes replay from the byte-split rule
+        val media = MultimodalOps.synthesizeBgzf(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.bgzfBlocks(media).toDF()
+          .select(col("id").as("doc_id"), col("blockIdx").as("block_idx"),
+            col("isize"))
+          .orderBy("doc_id", "block_idx")
       },
       "q_zstd_seek" -> { (s, dir) =>
         // zstd SEEKABLE shards (the random-access .zst convention):

@@ -8157,6 +8157,123 @@ object MultimodalOps {
     }
   }
 
+  // ---- BGZF blocked gzip (the SAM-spec random-access convention) ----
+
+  /** One BGZF block's census row: the declared total block size
+    * (BSIZE+1 from the BC extra subfield) and the inflated size — the
+    * seek geometry for ranged single-block reads.
+    */
+  final case class BgzfBlock(
+      id: Long, blockIdx: Long, offset: Long, bsize: Long, isize: Long)
+
+  /** BGZF census — blocked gzip with per-member BC extra subfields
+    * declaring each block's compressed size (the random-access gzip
+    * convention; bgzip output, also seen on large text corpora).
+    * Rides the CRC-verified member walk, then REQUIRES per member:
+    * FEXTRA present, a `BC` subfield with SLEN=2, and BSIZE+1 equal
+    * to the member's ACTUAL compressed length (a lying BSIZE would
+    * mis-seek every later block — reject).  The final block must be
+    * the spec's empty EOF marker (isize 0).  TOTAL on arbitrary
+    * bytes.
+    */
+  private[graft] def bgzfBlocksOf(
+      r: MediaRecord, maxInflated: Int = 1 << 30): Option[Seq[BgzfBlock]] = {
+    val b = r.content
+    if (b == null || b.length < 28) return None
+    val members = gzMembersOf(b, maxInflated).getOrElse(return None)
+    if (members.isEmpty) return None
+    val out = Vector.newBuilder[BgzfBlock]
+    var idx = 0L
+    for ((off, compLen, inflated) <- members) {
+      // header: FEXTRA must be set; find the BC subfield
+      val o = off.toInt
+      val flg = b(o + 3) & 0xff
+      if ((flg & 4) == 0) return None
+      val xlen = (b(o + 10) & 0xff) | ((b(o + 11) & 0xff) << 8)
+      var p = o + 12
+      val xEnd = p + xlen
+      if (xEnd > b.length) return None
+      var bsize = -1L
+      while (p + 4 <= xEnd) {
+        val si1 = b(p) & 0xff
+        val si2 = b(p + 1) & 0xff
+        val slen = (b(p + 2) & 0xff) | ((b(p + 3) & 0xff) << 8)
+        if (p + 4 + slen > xEnd) return None
+        if (si1 == 'B' && si2 == 'C') {
+          if (slen != 2) return None
+          bsize = ((b(p + 4) & 0xffL) | ((b(p + 5) & 0xffL) << 8)) + 1
+        }
+        p += 4 + slen
+      }
+      if (bsize < 0) return None // not a BGZF member
+      if (bsize != compLen) return None // lying BSIZE would mis-seek
+      out += BgzfBlock(r.id, idx, off, bsize, inflated.length.toLong)
+      idx += 1
+    }
+    // the spec's trailer: an empty EOF block ends the file
+    if (members.last._3.length != 0) return None
+    Some(out.result())
+  }
+
+  def bgzfBlocks(ds: Dataset[MediaRecord]): Dataset[BgzfBlock] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => bgzfBlocksOf(r).getOrElse(Nil)))
+  }
+
+  /** Build ONE BGZF block: fixed gzip header with the BC extra
+    * subfield (BSIZE = total - 1), raw-deflate payload, CRC32 +
+    * ISIZE trailer.
+    */
+  private def bgzfBlockBytes(chunk: Array[Byte]): Array[Byte] = {
+    val deflated = deflateRaw(chunk)
+    val total = 18 + deflated.length + 8
+    require(total <= 65536, "BGZF blocks cap at 64 KiB")
+    val out = new java.io.ByteArrayOutputStream(total)
+    out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 4, 0, 0, 0, 0, 0,
+      0xff.toByte)) // header, FEXTRA, XFL=0, OS=unknown
+    out.write(6); out.write(0) // XLEN = 6
+    out.write('B'); out.write('C'); out.write(2); out.write(0)
+    val bs = total - 1
+    out.write(bs & 0xff); out.write((bs >> 8) & 0xff)
+    out.write(deflated)
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk)
+    def wLE32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    wLE32(crc.getValue)
+    wLE32(chunk.length.toLong)
+    out.toByteArray
+  }
+
+  /** Per-row BGZF synthesis: the document's text split into
+    * `1 + id % 3` blocks plus the spec's empty EOF marker block.
+    */
+  def synthesizeBgzf(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val nb = 1 + (id % 3).toInt
+        val out = new java.io.ByteArrayOutputStream(payload.length + 128)
+        var from = 0
+        var k = 0
+        while (k < nb) {
+          val take = payload.length / nb +
+            (if (k < payload.length % nb) 1 else 0)
+          out.write(bgzfBlockBytes(
+            java.util.Arrays.copyOfRange(payload, from, from + take)))
+          from += take
+          k += 1
+        }
+        out.write(bgzfBlockBytes(Array.emptyByteArray)) // EOF marker
+        MediaRecord(id, "application/bgzf", out.toByteArray)
+      }
+  }
+
   // ---- zstd SEEKABLE format (contrib/seekable_format spec) ----------
 
   /** One seekable-zstd frame's seek-table row: the (compressed,

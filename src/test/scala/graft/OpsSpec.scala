@@ -1714,6 +1714,55 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(2L, "p", v)).isEmpty)
   }
 
+  test("bgzf: ranged single-block reads; lying BSIZE rejects; EOF marker required") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((4L, "blocked gzip corpus text " * 8), (0L, ""))
+      .toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeBgzf(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- media) {
+      val blocks = MultimodalOps.bgzfBlocksOf(rec)
+        .getOrElse(fail(s"id=$id rejected"))
+      val nb = 1 + (id % 3).toInt
+      assert(blocks.length == nb + 1) // data blocks + EOF marker
+      assert(blocks.last.isize == 0L)
+      // THE point of BGZF: [offset, offset+bsize) is one complete
+      // gzip member — a ranged read + gunzip yields exactly one block
+      val payload = (if (id == 4L) "blocked gzip corpus text " * 8
+                     else "").getBytes("UTF-8")
+      var dOff = 0
+      for (blk <- blocks.dropRight(1)) {
+        val span = java.util.Arrays.copyOfRange(
+          rec.content, blk.offset.toInt, (blk.offset + blk.bsize).toInt)
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(span))
+        val plain = gz.readAllBytes()
+        assert(plain.toSeq ==
+          payload.slice(dOff, dOff + blk.isize.toInt).toSeq, s"id=$id")
+        dOff += blk.isize.toInt
+      }
+      // blocks tile the file exactly
+      assert(blocks.map(_.bsize).sum == rec.content.length.toLong)
+    }
+    // a lying BSIZE (would mis-seek every later block) rejects
+    val v = media(4L).content.clone()
+    v(16) = (v(16) ^ 1).toByte // BSIZE low byte of block 0
+    assert(MultimodalOps.bgzfBlocksOf(
+      MultimodalOps.MediaRecord(4L, "b", v)).isEmpty)
+    // dropping the EOF marker rejects (truncated-file detection)
+    val noEof = media(4L).content
+    val lastStart = MultimodalOps.bgzfBlocksOf(media(4L)).get.last.offset
+    assert(MultimodalOps.bgzfBlocksOf(MultimodalOps.MediaRecord(
+      4L, "b", java.util.Arrays.copyOf(noEof, lastStart.toInt))).isEmpty)
+    // a PLAIN gzip member (no BC subfield) is not BGZF
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write("plain".getBytes); g.close()
+    assert(MultimodalOps.bgzfBlocksOf(MultimodalOps.MediaRecord(
+      4L, "b", bos.toByteArray ++ noEof.drop(lastStart.toInt))).isEmpty)
+  }
+
   test("zstd seekable: ranged-read contract; checksum tamper; tiling strict") {
     import spark.implicits._
     import graft.ops.MultimodalOps
@@ -2154,6 +2203,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.watGzRecordsOf(r)),
       ("zstd-seek", MultimodalOps.synthesizeSeekableZstd(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.zstdSeekTableOf(r)),
+      ("bgzf", MultimodalOps.synthesizeBgzf(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.bgzfBlocksOf(r)),
       ("jsonl", MultimodalOps.synthesizeJsonlShard(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.jsonlRecordsOf(r)),
       ("epub", MultimodalOps.synthesizeEpub(docs, "doc_id", "text")
