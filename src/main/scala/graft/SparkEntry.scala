@@ -4827,6 +4827,20 @@ object SparkEntry {
            |       CAST(k AS BIGINT) AS page_idx,
            |       coalesce(array_to_string(toks[k * 6 + 1 : k * 6 + 6], ' '), '') AS page_text
            |FROM p ORDER BY doc_id, page_idx""".stripMargin,
+    // CID text replay: identical window rule — the Type0 remapped
+    // codes, ToUnicode CMap, and resources inheritance must be
+    // text-invisible end to end
+    "q_pdf_text_cid" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+           |         1 + doc_id % 4 AS np
+           |  FROM documents),
+           |p AS (SELECT doc_id, toks, unnest(generate_series(0, np - 1)) AS k FROM t)
+           |SELECT doc_id,
+           |       CAST(k AS BIGINT) AS page_idx,
+           |       coalesce(array_to_string(toks[k * 6 + 1 : k * 6 + 6], ' '), '') AS page_text
+           |FROM p ORDER BY doc_id, page_idx""".stripMargin,
     // xref-stream replay: even ids add the object stream (+1 object);
     // the xref stream object itself is always one more
     "q_pdf_meta_xrs" ->
@@ -7920,6 +7934,21 @@ object SparkEntry {
         // shown text extracted from Tj / TJ / hex-string operators —
         // one row per page, text replaying the 6-token-window rule
         val media = MultimodalOps.synthesizePdfText(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.pdfPageTexts(media).toDF()
+          .select(col("id").as("doc_id"), col("pageIdx").as("page_idx"),
+            col("text").as("page_text"))
+          .orderBy("doc_id", "page_idx")
+      },
+      "q_pdf_text_cid" -> { (s, dir) =>
+        // the COMPOSITE-font (Type0/CID) text layout — what modern
+        // Unicode-producing tools emit by default: odd pages show
+        // 2-byte REMAPPED codes that only the font's ToUnicode CMap
+        // (bfchar + both bfrange forms) can restore, even pages stay
+        // simple-font — so Tf font tracking, CMap decode, and
+        // /Resources inheritance from the Pages node must all work
+        // for the text to replay
+        val media = MultimodalOps.synthesizePdfCid(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         MultimodalOps.pdfPageTexts(media).toDF()
           .select(col("id").as("doc_id"), col("pageIdx").as("page_idx"),

@@ -9028,21 +9028,312 @@ object MultimodalOps {
     */
   final case class PdfPageText(id: Long, pageIdx: Long, text: String)
 
+  /** A composite (Type0) font's code→text mapping extracted from its
+    * ToUnicode CMap: `codeBytes` is the code width in bytes (1 or 2 —
+    * the Identity-H world), `map` sends each code to the UTF-16
+    * string its bfchar/bfrange entry declares.
+    */
+  final case class PdfCodeMap(codeBytes: Int, map: Map[Int, String])
+
+  /** Parse a decoded ToUnicode CMap stream (the PostScript-dialect
+    * subset every producer emits): `begincodespacerange` pairs fix
+    * the code width (all ranges must agree; 1 or 2 bytes supported —
+    * absent ranges infer the width from the first mapping),
+    * `beginbfchar` pairs map one code to a UTF-16BE string, and
+    * `beginbfrange` triples map a code span either by INCREMENT
+    * (`<lo> <hi> <dstStart>` — the last UTF-16 unit advances with the
+    * code, the rule every reader implements) or by ARRAY
+    * (`<lo> <hi> [ <d0> <d1> … ]`, one destination per code).  TOTAL
+    * on arbitrary bytes: None on malformed hex, width mismatches,
+    * inverted or oversized ranges, or > 65536 total mappings.
+    */
+  private[graft] def pdfCMapOf(data: Array[Byte]): Option[PdfCodeMap] = {
+    if (data == null || data.length > (8 << 20)) return None
+    val s = new String(data, "ISO-8859-1")
+    val n = s.length
+    var i = 0
+    // tokens: hex strings (Array[Byte]), '[' / ']', keywords; numbers
+    // and names are skipped — only structure-bearing tokens survive
+    sealed trait Tok
+    case class Hex(b: Array[Byte]) extends Tok
+    case object ArrOpen extends Tok
+    case object ArrClose extends Tok
+    case class Kw(w: String) extends Tok
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    while (i < n) {
+      val c = s(i)
+      if (isPdfWs(c)) i += 1
+      else if (c == '%') { while (i < n && s(i) != '\r' && s(i) != '\n') i += 1 }
+      else if (c == '<') {
+        val o = new java.io.ByteArrayOutputStream(8)
+        i += 1
+        var hi = -1
+        var closed = false
+        while (i < n && !closed) {
+          val ch = s(i)
+          if (ch == '>') { closed = true; i += 1 }
+          else if (isPdfWs(ch)) i += 1
+          else {
+            val v =
+              if (ch >= '0' && ch <= '9') ch - '0'
+              else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+              else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+              else return None
+            if (hi < 0) hi = v else { o.write((hi << 4) | v); hi = -1 }
+            i += 1
+          }
+        }
+        if (!closed || hi >= 0) return None // odd digits in a CMap: reject
+        toks += Hex(o.toByteArray)
+        if (toks.length > 300000) return None
+      } else if (c == '[') { toks += ArrOpen; i += 1 }
+      else if (c == ']') { toks += ArrClose; i += 1 }
+      else if (c == '/') { // name: skip
+        i += 1
+        while (i < n && !isPdfWs(s(i)) && !isPdfDelim(s(i))) i += 1
+      } else if (isPdfDelim(c)) i += 1
+      else {
+        val start = i
+        while (i < n && !isPdfWs(s(i)) && !isPdfDelim(s(i))) i += 1
+        val w = s.substring(start, i)
+        if (w.nonEmpty && (w(0).isLetter)) toks += Kw(w)
+        if (toks.length > 300000) return None
+      }
+    }
+    var codeBytes = -1
+    val map = scala.collection.mutable.HashMap.empty[Int, String]
+    def codeOf(b: Array[Byte]): Option[Int] = {
+      if (codeBytes < 0) {
+        if (b.length != 1 && b.length != 2) return None
+        codeBytes = b.length
+      }
+      if (b.length != codeBytes) return None
+      var v = 0
+      b.foreach(x => v = (v << 8) | (x & 0xff))
+      Some(v)
+    }
+    def utf16Of(b: Array[Byte]): Option[String] = {
+      if (b.length % 2 != 0 || b.length > 512) return None
+      val sb = new StringBuilder(b.length / 2)
+      var j = 0
+      while (j < b.length) {
+        sb += (((b(j) & 0xff) << 8) | (b(j + 1) & 0xff)).toChar
+        j += 2
+      }
+      Some(sb.toString)
+    }
+    var t = 0
+    while (t < toks.length) {
+      toks(t) match {
+        case Kw("begincodespacerange") =>
+          t += 1
+          while (t < toks.length && toks(t) != Kw("endcodespacerange")) {
+            (toks(t), if (t + 1 < toks.length) toks(t + 1) else Kw("")) match {
+              case (Hex(lo), Hex(hi)) =>
+                if (lo.length != hi.length) return None
+                if (codeBytes < 0) {
+                  if (lo.length != 1 && lo.length != 2) return None
+                  codeBytes = lo.length
+                } else if (lo.length != codeBytes) return None
+                t += 2
+              case _ => return None
+            }
+          }
+          if (t >= toks.length) return None
+          t += 1
+        case Kw("beginbfchar") =>
+          t += 1
+          while (t < toks.length && toks(t) != Kw("endbfchar")) {
+            (toks(t), if (t + 1 < toks.length) toks(t + 1) else Kw("")) match {
+              case (Hex(src), Hex(dst)) =>
+                val c = codeOf(src).getOrElse(return None)
+                map(c) = utf16Of(dst).getOrElse(return None)
+                if (map.size > 65536) return None
+                t += 2
+              case _ => return None
+            }
+          }
+          if (t >= toks.length) return None
+          t += 1
+        case Kw("beginbfrange") =>
+          t += 1
+          while (t < toks.length && toks(t) != Kw("endbfrange")) {
+            if (t + 2 >= toks.length) return None
+            (toks(t), toks(t + 1)) match {
+              case (Hex(lob), Hex(hib)) =>
+                val lo = codeOf(lob).getOrElse(return None)
+                val hi = codeOf(hib).getOrElse(return None)
+                if (hi < lo || hi - lo >= 65536) return None
+                toks(t + 2) match {
+                  case Hex(dst) => // increment form
+                    val base = utf16Of(dst).getOrElse(return None)
+                    if (base.isEmpty) return None
+                    var c = lo
+                    while (c <= hi) {
+                      val lastUnit = (base.last + (c - lo)).toChar
+                      map(c) = base.init + lastUnit
+                      c += 1
+                    }
+                    if (map.size > 65536) return None
+                    t += 3
+                  case ArrOpen => // array form: one dst per code
+                    t += 3
+                    var c = lo
+                    while (t < toks.length && toks(t) != ArrClose) {
+                      toks(t) match {
+                        case Hex(dst) =>
+                          if (c > hi) return None
+                          map(c) = utf16Of(dst).getOrElse(return None)
+                          c += 1
+                          t += 1
+                        case _ => return None
+                      }
+                    }
+                    if (t >= toks.length || c != hi + 1) return None
+                    if (map.size > 65536) return None
+                    t += 1
+                  case _ => return None
+                }
+              case _ => return None
+            }
+          }
+          if (t >= toks.length) return None
+          t += 1
+        case _ => t += 1
+      }
+    }
+    if (codeBytes < 0) return None // no ranges and no mappings: useless
+    Some(PdfCodeMap(codeBytes, map.toMap))
+  }
+
+  /** Resolve a dict VALUE that is itself a dictionary: inline
+    * `<< … >>` after the key, or an indirect reference through the
+    * xref.
+    */
+  private def pdfDictValueDict(
+      b: Array[Byte], entries: Map[Long, PdfXrefEntry],
+      dict: String, key: String): Option[String] = {
+    val at = pdfNameAt(dict, key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < dict.length && isPdfWs(dict(i))) i += 1
+    if (i + 1 < dict.length && dict(i) == '<' && dict(i + 1) == '<')
+      pdfDictAt(dict, i).map(_._1)
+    else pdfDictRef(dict, key).flatMap(r => pdfObjDict(b, entries, r))
+  }
+
+  /** Resolve a page (or Pages) node's font RESOURCES to code maps:
+    * /Resources (inline or indirect) → /Font (inline or indirect) →
+    * one entry per `/Name … ` pair (each font a ref or an inline
+    * dict).  Simple fonts stay out of the map (byte passthrough); a
+    * /Subtype/Type0 font contributes its parsed ToUnicode CMap.  A
+    * Type0 font whose text is UNRECOVERABLE — no /ToUnicode, or one
+    * that fails to parse — poisons the result (Left) so the caller
+    * rejects the whole document: drop, never garble, the same
+    * fail-safe direction as the delete-census.  Right(None) = node
+    * has no /Resources (inheritable); Right(Some(map)) = node-level
+    * resources (which REPLACE inherited ones, per spec).
+    */
+  private def pdfPageFontsOf(
+      b: Array[Byte], entries: Map[Long, PdfXrefEntry],
+      dict: String): Either[Unit, Option[Map[String, PdfCodeMap]]] = {
+    if (pdfNameAt(dict, "/Resources") < 0) return Right(None)
+    val res = pdfDictValueDict(b, entries, dict, "/Resources")
+      .getOrElse(return Left(()))
+    if (pdfNameAt(res, "/Font") < 0) return Right(Some(Map.empty))
+    val fd = pdfDictValueDict(b, entries, res, "/Font")
+      .getOrElse(return Left(()))
+    if (fd.length < 4) return Left(())
+    val inner = fd.substring(2, fd.length - 2)
+    val out = Map.newBuilder[String, PdfCodeMap]
+    def addFont(name: String, fdict: String): Boolean =
+      if (!pdfDictName(fdict, "/Subtype").contains("Type0")) true
+      else pdfDictRef(fdict, "/ToUnicode") match {
+        case Some(r) =>
+          pdfObjStream(b, entries, r).flatMap(pdfCMapOf) match {
+            case Some(cm) => out += name -> cm; true
+            case None => false
+          }
+        case None => false // Type0 without ToUnicode: unrecoverable
+      }
+    var i = 0
+    var nFonts = 0
+    while (i < inner.length) {
+      if (inner(i) == '/') {
+        val s0 = i + 1
+        i += 1
+        while (i < inner.length && !isPdfWs(inner(i)) &&
+          !isPdfDelim(inner(i))) i += 1
+        val name = inner.substring(s0, i)
+        if (name.isEmpty) return Left(())
+        while (i < inner.length && isPdfWs(inner(i))) i += 1
+        nFonts += 1
+        if (nFonts > 256) return Left(())
+        if (i + 1 < inner.length && inner(i) == '<' && inner(i + 1) == '<') {
+          // inline font dict
+          val (fdict, end) = pdfDictAt(inner, i).getOrElse(return Left(()))
+          if (!addFont(name, fdict)) return Left(())
+          i = end
+        } else {
+          // "N G R" indirect reference
+          val n0 = i
+          while (i < inner.length && inner(i).isDigit) i += 1
+          if (i == n0 || i - n0 > 12) return Left(())
+          val num = inner.substring(n0, i).toLong
+          while (i < inner.length && isPdfWs(inner(i))) i += 1
+          val g0 = i
+          while (i < inner.length && inner(i).isDigit) i += 1
+          if (i == g0 || i - g0 > 7) return Left(())
+          while (i < inner.length && isPdfWs(inner(i))) i += 1
+          if (i >= inner.length || inner(i) != 'R') return Left(())
+          i += 1
+          val fdict = pdfObjDict(b, entries, num).getOrElse(return Left(()))
+          if (!addFont(name, fdict)) return Left(())
+        }
+      } else i += 1
+    }
+    Right(Some(out.result()))
+  }
+
   /** Extract the SHOWN text from one decoded content stream: literal
     * strings (backslash escapes incl. octal, balanced nested parens,
     * line continuations) and hex strings consumed by the text-showing
     * operators Tj, ', ", and TJ (array form — its string pieces
     * concatenate in order, kerning numbers ignored).  Strings bound
-    * to any OTHER operator are dropped.  This is the simple-font
-    * byte-string envelope: bytes pass through verbatim (our corpus
-    * writes UTF-8), CID/composite-font code-to-unicode mapping is out
-    * of scope — a census-grade extractor, not a renderer.  TOTAL on
-    * arbitrary bytes; output capped at 16 MiB per stream.
+    * to any OTHER operator are dropped.  Font state is tracked
+    * through `/Name size Tf`: when the selected resource name is in
+    * `fonts` (a Type0 font with a parsed ToUnicode CMap), show-string
+    * bytes decode as fixed-width codes through the map — each TJ
+    * piece independently, unmapped codes and trailing partial codes
+    * as U+FFFD; otherwise bytes pass through verbatim (the
+    * simple-font envelope; our corpus writes UTF-8).  A census-grade
+    * extractor, not a renderer.  TOTAL on arbitrary bytes; output
+    * capped at 16 MiB per stream.
     */
-  private[graft] def pdfContentTextOf(data: Array[Byte]): Option[String] = {
+  private[graft] def pdfContentTextOf(
+      data: Array[Byte],
+      fonts: Map[String, PdfCodeMap] = Map.empty): Option[String] = {
     val out = new java.io.ByteArrayOutputStream(math.min(data.length, 4096))
     val pendingStrings = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var inArray = false
+    var lastName: String = null // most recent /Name operand (for Tf)
+    var curMap: PdfCodeMap = null // null = simple-font passthrough
+    def emit(bytes: Array[Byte]): Unit =
+      if (curMap == null) out.write(bytes)
+      else {
+        val w = curMap.codeBytes
+        val sb = new StringBuilder(bytes.length / w + 1)
+        var j = 0
+        while (j + w <= bytes.length) {
+          var code = 0
+          var t = 0
+          while (t < w) { code = (code << 8) | (bytes(j + t) & 0xff); t += 1 }
+          sb ++= curMap.map.getOrElse(code, "\uFFFD")
+          j += w
+        }
+        if (j < bytes.length) sb += '\uFFFD' // trailing partial code
+        out.write(sb.toString.getBytes("UTF-8"))
+      }
     var i = 0
     val n = data.length
     def hexVal(c: Int): Int =
@@ -9119,6 +9410,14 @@ object MultimodalOps {
         inArray = false; i += 1 // strings stay pending for TJ
       } else if (c == '%') { // comment to EOL
         while (i < n && data(i) != '\r' && data(i) != '\n') i += 1
+      } else if (c == '/') { // a name OPERAND: remember it for Tf
+        val start = i + 1
+        i += 1
+        while (i < n && {
+          val x = data(i) & 0xff
+          !isPdfWs(x.toChar) && !isPdfDelim(x.toChar)
+        }) i += 1
+        lastName = new String(data, start, i - start, "ISO-8859-1")
       } else if (isPdfWs(c.toChar) || isPdfDelim(c.toChar)) {
         i += 1
       } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
@@ -9135,10 +9434,14 @@ object MultimodalOps {
         val op = new String(data, start, i - start, "ISO-8859-1")
         op match {
           case "Tj" | "'" | "\"" =>
-            if (pendingStrings.nonEmpty) out.write(pendingStrings.last)
+            if (pendingStrings.nonEmpty) emit(pendingStrings.last)
             pendingStrings.clear()
           case "TJ" =>
-            pendingStrings.foreach(out.write)
+            pendingStrings.foreach(emit)
+            pendingStrings.clear()
+          case "Tf" => // select the font the last /Name operand named
+            curMap = if (lastName == null) null
+                     else fonts.getOrElse(lastName, null)
             pendingStrings.clear()
           case _ =>
             if (!inArray) pendingStrings.clear()
@@ -9163,9 +9466,13 @@ object MultimodalOps {
     * chain (nested /Pages nodes depth-first, /Type/Page leaves), pull
     * each page's /Contents (single ref or array — streams concatenate
     * in order), decode (FlateDecode in-envelope), and extract the
-    * shown text ([[pdfContentTextOf]]).  One row per page in reading
-    * order.  Rejects (None) on any structural failure — same
-    * fail-safe discipline as the census.
+    * shown text ([[pdfContentTextOf]]) with the page's font resources
+    * in scope — Type0/CID fonts (the modern Unicode-producer default)
+    * decode through their ToUnicode CMaps ([[pdfCMapOf]]); simple
+    * fonts pass bytes through.  One row per page in reading order.
+    * Rejects (None) on any structural failure, including a Type0 font
+    * whose text is unrecoverable — same fail-safe discipline as the
+    * census: drop, never garble.
     */
   private[graft] def pdfPageTextsOf(r: MediaRecord): Option[Seq[PdfPageText]] = {
     val b = r.content
@@ -9174,11 +9481,19 @@ object MultimodalOps {
       .getOrElse(return None)
     if (!pdfDictName(catalog, "/Type").contains("Catalog")) return None
     val pagesRef = pdfDictRef(catalog, "/Pages").getOrElse(return None)
-    // collect leaf pages depth-first through nested page-tree nodes
-    val pageRefs = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def walk(ref: Long, depth: Int): Boolean = {
+    // collect leaf pages depth-first through nested page-tree nodes,
+    // carrying the nearest ancestor's /Resources fonts (inheritable;
+    // a node-level /Resources REPLACES, per spec)
+    val pageRefs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, PdfCodeMap])]
+    def walk(ref: Long, depth: Int,
+        inh: Option[Map[String, PdfCodeMap]]): Boolean = {
       if (depth > 16 || pageRefs.length > 100000) return false
       val dict = pdfObjDict(b, chain.entries, ref).getOrElse(return false)
+      val here = pdfPageFontsOf(b, chain.entries, dict) match {
+        case Left(()) => return false // unrecoverable Type0: drop doc
+        case Right(h) => h.orElse(inh)
+      }
       pdfDictName(dict, "/Type") match {
         case Some("Pages") =>
           val at = pdfNameAt(dict, "/Kids")
@@ -9193,18 +9508,18 @@ object MultimodalOps {
           if (toks.length % 3 != 0) return false
           toks.grouped(3).forall { t =>
             t(2) == "R" && t(0).forall(_.isDigit) && t(0).length <= 12 &&
-              walk(t(0).toLong, depth + 1)
+              walk(t(0).toLong, depth + 1, here)
           }
         case Some("Page") =>
-          pageRefs += ref
+          pageRefs += ((ref, here.getOrElse(Map.empty)))
           true
         case _ => false
       }
     }
-    if (!walk(pagesRef, 0)) return None
+    if (!walk(pagesRef, 0, None)) return None
     val out = Vector.newBuilder[PdfPageText]
     var idx = 0L
-    for (pref <- pageRefs) {
+    for ((pref, fonts) <- pageRefs) {
       val pd = pdfObjDict(b, chain.entries, pref).getOrElse(return None)
       // /Contents: single "N G R" ref or an array of refs
       val contentRefs: Seq[Long] = pdfDictRef(pd, "/Contents") match {
@@ -9230,7 +9545,7 @@ object MultimodalOps {
       val text = new StringBuilder
       for (cref <- contentRefs) {
         val data = pdfObjStream(b, chain.entries, cref).getOrElse(return None)
-        text ++= pdfContentTextOf(data).getOrElse(return None)
+        text ++= pdfContentTextOf(data, fonts).getOrElse(return None)
       }
       out += PdfPageText(r.id, idx, text.toString)
       idx += 1
@@ -9387,6 +9702,164 @@ object MultimodalOps {
         offsets += out.size().toLong
         w(s"$fontNum 0 obj << /Type /Font /Subtype /Type1 " +
           "/BaseFont /Helvetica >> endobj\n")
+        val xrefAt = out.size().toLong
+        val objOffsets = offsets.result()
+        val size = 1 + objOffsets.length
+        w(s"xref\n0 $size\n")
+        w("0000000000 65535 f \n")
+        objOffsets.foreach(o => w(f"$o%010d 00000 n \n"))
+        w(s"trailer << /Size $size /Root 1 0 R >>\n")
+        w(s"startxref\n$xrefAt\n%%EOF\n")
+        MediaRecord(id, "application/pdf", out.toByteArray)
+      }
+  }
+
+  /** Per-row PDF synthesis with a COMPOSITE (Type0/CID) font — the
+    * fixture for ToUnicode decode, the modern-producer text layout
+    * [[synthesizePdfText]]'s simple-font arm can't represent.  Pages
+    * alternate fonts: even pages show the k-th 6-token window through
+    * the simple Type1 font F1 (byte passthrough), odd pages through
+    * the Type0 font F2 whose 2-byte codes are REMAPPED — code
+    * `0x1100 + j` over the document's distinct UTF-16 units in sorted
+    * order — so raw passthrough would garble and only the ToUnicode
+    * CMap restores the text.  The CMap exercises all three mapping
+    * forms: increment bfrange for sorted runs of ≥ 3 consecutive
+    * units, array bfrange for 2-unit runs, bfchar for singletons.
+    * /Resources placement alternates: even ids put them on the PAGES
+    * node (the inheritable form), odd ids on every page.  Content
+    * streams FlateDecode on odd ids; the CMap stream on id % 3 == 0.
+    * CID show forms cycle per page: hex-string Tj, two-piece hex TJ
+    * split at a code boundary.
+    */
+  def synthesizePdfCid(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val nPages = 1 + (id % 4).toInt
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val flate = id % 2 == 1
+        val flateCMap = id % 3 == 0
+        val resourcesOnPages = id % 2 == 0
+        val units: Array[Char] = text.toCharArray.distinct.sorted
+        def codeOf(c: Char): Int = {
+          val j = java.util.Arrays.binarySearch(units, c)
+          0x1100 + j
+        }
+        def pageText(k: Int): String =
+          toks.slice(k * 6, k * 6 + 6).mkString(" ")
+        def escLit(s: Array[Byte]): Array[Byte] = {
+          val o = new java.io.ByteArrayOutputStream(s.length + 8)
+          s.foreach { b =>
+            if (b == '\\' || b == '(' || b == ')') o.write('\\')
+            o.write(b.toInt)
+          }
+          o.toByteArray
+        }
+        def hexCodes(s: String): String =
+          s.map(c => f"${codeOf(c)}%04X").mkString
+        def contentOps(k: Int): Array[Byte] = {
+          val pt = pageText(k)
+          val o = new java.io.ByteArrayOutputStream(pt.length * 4 + 64)
+          def w(s: String): Unit = o.write(s.getBytes("ISO-8859-1"))
+          if (k % 2 == 0) { // simple-font page: byte passthrough
+            w("BT /F1 12 Tf 72 720 Td (")
+            o.write(escLit(pt.getBytes("UTF-8")))
+            w(") Tj ET\n")
+          } else { // CID page: 2-byte remapped codes
+            w("BT /F2 12 Tf 72 720 Td ")
+            if (k % 4 == 1) w(s"<${hexCodes(pt)}> Tj")
+            else { // two-piece TJ split at a code (char) boundary
+              var mid = pt.length / 2
+              if (mid > 0 && mid < pt.length &&
+                Character.isHighSurrogate(pt(mid - 1))) mid += 1
+              w(s"[ <${hexCodes(pt.substring(0, mid))}> -250 " +
+                s"<${hexCodes(pt.substring(mid))}> ] TJ")
+            }
+            w(" ET\n")
+          }
+          o.toByteArray
+        }
+        // ToUnicode CMap: runs over the sorted distinct units
+        val bfchars = Vector.newBuilder[String]
+        val bfranges = Vector.newBuilder[String]
+        var u0 = 0
+        while (u0 < units.length) {
+          var u1 = u0
+          while (u1 + 1 < units.length && units(u1 + 1) == units(u1) + 1)
+            u1 += 1
+          val len = u1 - u0 + 1
+          if (len >= 3)
+            bfranges += f"<${0x1100 + u0}%04X> <${0x1100 + u1}%04X> " +
+              f"<${units(u0).toInt}%04X>"
+          else if (len == 2)
+            bfranges += f"<${0x1100 + u0}%04X> <${0x1100 + u1}%04X> " +
+              f"[ <${units(u0).toInt}%04X> <${units(u1).toInt}%04X> ]"
+          else
+            bfchars += f"<${0x1100 + u0}%04X> <${units(u0).toInt}%04X>"
+          u0 = u1 + 1
+        }
+        val bc = bfchars.result()
+        val br = bfranges.result()
+        val cmap = new StringBuilder(256)
+        cmap ++= "/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+        cmap ++= "begincmap\n/CMapName /Graft-UCS def\n/CMapType 2 def\n"
+        cmap ++= "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        if (br.nonEmpty)
+          cmap ++= s"${br.length} beginbfrange\n${br.mkString("\n")}\nendbfrange\n"
+        if (bc.nonEmpty)
+          cmap ++= s"${bc.length} beginbfchar\n${bc.mkString("\n")}\nendbfchar\n"
+        cmap ++= "endcmap\nend\nend\n"
+        val cmapRaw = cmap.toString.getBytes("ISO-8859-1")
+        val cmapData = if (flateCMap) zlibDeflate(cmapRaw) else cmapRaw
+        val out = new java.io.ByteArrayOutputStream(1024)
+        def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+        val offsets = Array.newBuilder[Long]
+        val f1 = 3 + 2 * nPages
+        val f2 = f1 + 1
+        val desc = f1 + 2
+        val toUni = f1 + 3
+        val resDict = s"/Resources << /Font << /F1 $f1 0 R /F2 $f2 0 R >> >> "
+        w("%PDF-1.4\n")
+        offsets += out.size().toLong
+        w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        offsets += out.size().toLong
+        val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+        w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages " +
+          (if (resourcesOnPages) resDict else "") + ">> endobj\n")
+        (0 until nPages).foreach { k =>
+          offsets += out.size().toLong
+          w(s"${3 + k} 0 obj << /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [0 0 612 792] " +
+            (if (resourcesOnPages) "" else resDict) +
+            s"/Contents ${3 + nPages + k} 0 R >> endobj\n")
+        }
+        (0 until nPages).foreach { k =>
+          val raw = contentOps(k)
+          val data = if (flate) zlibDeflate(raw) else raw
+          offsets += out.size().toLong
+          w(s"${3 + nPages + k} 0 obj << /Length ${data.length}" +
+            (if (flate) " /Filter /FlateDecode" else "") + " >> stream\n")
+          out.write(data)
+          w("\nendstream endobj\n")
+        }
+        offsets += out.size().toLong
+        w(s"$f1 0 obj << /Type /Font /Subtype /Type1 " +
+          "/BaseFont /Helvetica >> endobj\n")
+        offsets += out.size().toLong
+        w(s"$f2 0 obj << /Type /Font /Subtype /Type0 " +
+          "/BaseFont /Graft-CID /Encoding /Identity-H " +
+          s"/DescendantFonts [$desc 0 R] /ToUnicode $toUni 0 R >> endobj\n")
+        offsets += out.size().toLong
+        w(s"$desc 0 obj << /Type /Font /Subtype /CIDFontType2 " +
+          "/BaseFont /Graft-CID /CIDSystemInfo << /Registry (Adobe) " +
+          "/Ordering (Identity) /Supplement 0 >> >> endobj\n")
+        offsets += out.size().toLong
+        w(s"$toUni 0 obj << /Length ${cmapData.length}" +
+          (if (flateCMap) " /Filter /FlateDecode" else "") + " >> stream\n")
+        out.write(cmapData)
+        w("\nendstream endobj\n")
         val xrefAt = out.size().toLong
         val objOffsets = offsets.result()
         val size = 1 + objOffsets.length

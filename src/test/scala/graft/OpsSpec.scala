@@ -1880,6 +1880,61 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.pdfContentTextOf("(open Tj".getBytes).isEmpty)
   }
 
+  test("pdf CID text: ToUnicode decode, Tf tracking, resources inheritance") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val tricky = ("al(pha be\\ta gam)ma δέλτα ε)(ψ ζζ " * 4).trim
+    val docs = (0L to 6L).map(id => (id, tricky)).toDF("doc_id", "text")
+    val pdfs = MultimodalOps.synthesizePdfCid(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    val toks = tricky.split("\\s+").filter(_.nonEmpty)
+    for ((id, rec) <- pdfs) {
+      val np = 1 + (id % 4).toInt
+      val got = MultimodalOps.pdfPageTextsOf(rec)
+        .getOrElse(fail(s"id=$id rejected"))
+      assert(got.length == np, s"id=$id")
+      got.zipWithIndex.foreach { case (p, k) =>
+        val expect = toks.slice(k * 6, k * 6 + 6).mkString(" ")
+        assert(p.text == expect, s"id=$id page $k: '${p.text}'")
+      }
+    }
+    // CMap unit edges
+    def cm(s: String) = MultimodalOps.pdfCMapOf(s.getBytes("ISO-8859-1"))
+    val base = "1 begincodespacerange <0000> <FFFF> endcodespacerange "
+    val m1 = cm(base +
+      "2 beginbfchar <1100> <0041> <1101> <00580059> endbfchar").get
+    assert(m1.codeBytes == 2 && m1.map(0x1100) == "A" && m1.map(0x1101) == "XY")
+    val m2 = cm(base + "1 beginbfrange <1100> <1102> <0061> endbfrange").get
+    assert(m2.map(0x1100) == "a" && m2.map(0x1102) == "c") // increment form
+    val m3 = cm(base +
+      "1 beginbfrange <1100> <1101> [ <005A> <0040> ] endbfrange").get
+    assert(m3.map(0x1100) == "Z" && m3.map(0x1101) == "@") // array form
+    assert(cm(base + "1 beginbfrange <1102> <1100> <0061> endbfrange").isEmpty)
+    assert(cm(base + "1 beginbfchar <110> <0041> endbfchar").isEmpty) // odd hex
+    assert(cm(base + "1 beginbfrange <1100> <1101> [ <005A> ] endbfrange").isEmpty)
+    assert(cm("no ranges no mappings").isEmpty)
+    val m4 = cm("1 begincodespacerange <00> <FF> endcodespacerange " +
+      "1 beginbfchar <41> <0042> endbfchar").get
+    assert(m4.codeBytes == 1 && m4.map(0x41) == "B") // one-byte codes
+    // content-level: Tf switches between CID and simple mid-stream
+    val fonts = Map("C" ->
+      MultimodalOps.PdfCodeMap(2, Map(0x1100 -> "hi", 0x1101 -> "!")))
+    def scan(s: String) = MultimodalOps.pdfContentTextOf(
+      s.getBytes("ISO-8859-1"), fonts).get
+    assert(scan("BT /C 10 Tf <11001101> Tj ET") == "hi!")
+    assert(scan("BT /C 10 Tf <1100> Tj /F9 10 Tf (raw) Tj ET") == "hiraw")
+    assert(scan("/C 1 Tf <11FF> Tj") == "�")      // unmapped code
+    assert(scan("/C 1 Tf <110011> Tj") == "hi�")  // trailing partial
+    assert(scan("/C 1 Tf [ <1100> -2 <1101> ] TJ") == "hi!") // per-piece
+    // a Type0 font whose ToUnicode is GONE makes the document's text
+    // unrecoverable: the walk must reject (drop, never garble) —
+    // equal-length key swap keeps every xref offset valid
+    val broken = new String(pdfs(1L).content, "ISO-8859-1")
+      .replace("/ToUnicode ", "/ToUnicodX ")
+    assert(MultimodalOps.pdfPageTextsOf(MultimodalOps.MediaRecord(
+      1L, "application/pdf", broken.getBytes("ISO-8859-1"))).isEmpty)
+  }
+
   test("pdf: hybrid-reference file — classic table + /XRefStm entries") {
     import graft.ops.MultimodalOps
     // hand-built hybrid: catalog(1) + pages(2) live in an object
@@ -2196,6 +2251,8 @@ class OpsSpec extends AnyFunSuite {
       ("pdf-incr", MultimodalOps.synthesizePdfIncremental(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
       ("pdf-text", MultimodalOps.synthesizePdfText(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.pdfPageTextsOf(r)),
+      ("pdf-text-cid", MultimodalOps.synthesizePdfCid(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.pdfPageTextsOf(r)),
       ("wet", MultimodalOps.synthesizeWetGz(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.wetGzRecordsOf(r)),
