@@ -7588,9 +7588,29 @@ object SparkEntry {
           graft.ops.StorageOps.orcStripeStats(s, Seq(s"$staged/$t"))
             .withColumn("tbl", lit(t))
         }.reduce(_ unionByName _)
+          .filter(col("kind") === "int")
           .select(col("tbl"), col("stripe_id"), col("column_id"),
             col("n_values"), col("has_null").cast("long").as("has_null"),
-            col("min_v"), col("max_v"))
+            col("int_min").as("min_v"), col("int_max").as("max_v"))
+          .orderBy("tbl", "stripe_id", "column_id")
+      },
+      "q_orc_stats_typed" -> { (s, dir) =>
+        // the NON-integer stripe statistics real pruning needs:
+        // string min/max (exact writer fields only) and double
+        // min/max from the same Metadata walk, oracled against
+        // DuckDB aggregates of the source parquet — a planner that
+        // can only prune integer columns skips most real predicates
+        val staged = stageOrcFiles(s, dir)
+        Seq("region", "nation", "supplier").map { t =>
+          graft.ops.StorageOps.orcStripeStats(s, Seq(s"$staged/$t"))
+            .withColumn("tbl", lit(t))
+        }.reduce(_ unionByName _)
+          .filter(col("kind").isin("string", "double"))
+          .select(col("tbl"), col("stripe_id"), col("column_id"),
+            col("kind"), col("n_values"),
+            col("has_null").cast("long").as("has_null"),
+            col("str_min"), col("str_max"),
+            col("dbl_min"), col("dbl_max"))
           .orderBy("tbl", "stripe_id", "column_id")
       },
       "q_multimodal_gguf" -> { (s, dir) =>
@@ -9450,6 +9470,7 @@ object SparkEntry {
         "q_parquet_footer_dist" -> parquetFooterOracleSql,
         "q_orc_footer" -> orcFooterOracleSql,
         "q_orc_stats" -> orcStatsOracleSql,
+        "q_orc_stats_typed" -> orcStatsTypedOracleSql,
         "q_parquet_stats" -> parquetStatsOracleSql,
         // page-index rows aggregated to chunks replay DuckDB's chunk
         // statistics of the SAME staged files — two readers, two
@@ -9557,6 +9578,34 @@ object SparkEntry {
     * are the flat schema's 1-based field positions (0 = root struct);
     * only integer-typed columns carry IntegerStatistics.
     */
+  private def orcStatsTypedOracleSql: String = {
+    val cols = Seq(
+      ("nation", "n_name", 2, "string"),
+      ("region", "r_name", 2, "string"),
+      ("supplier", "s_name", 2, "string"),
+      ("supplier", "s_acctbal", 4, "double"))
+    cols.map { case (t, c, cid, kind) =>
+      val bounds =
+        if (kind == "string")
+          s"""min($c) AS str_min, max($c) AS str_max,
+             |       CAST(NULL AS DOUBLE) AS dbl_min,
+             |       CAST(NULL AS DOUBLE) AS dbl_max""".stripMargin
+        else
+          s"""CAST(NULL AS VARCHAR) AS str_min,
+             |       CAST(NULL AS VARCHAR) AS str_max,
+             |       min($c) AS dbl_min, max($c) AS dbl_max""".stripMargin
+      s"""SELECT '$t' AS tbl,
+         |       CAST(0 AS BIGINT) AS stripe_id,
+         |       CAST($cid AS BIGINT) AS column_id,
+         |       '$kind' AS kind,
+         |       count($c) AS n_values,
+         |       CAST(count(*) <> count($c) AS BIGINT) AS has_null,
+         |       $bounds
+         |FROM read_parquet('$oracleDir/$t.parquet')""".stripMargin
+    }.mkString("", "\nUNION ALL\n",
+      "\nORDER BY tbl, stripe_id, column_id")
+  }
+
   private def orcStatsOracleSql: String = {
     val intCols = Seq(
       ("nation", Seq(("n_nationkey", 1), ("n_regionkey", 3))),

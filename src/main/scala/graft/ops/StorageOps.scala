@@ -788,6 +788,18 @@ object StorageOps {
       stripeId: Long, stripeOffset: Long, indexLength: Long,
       dataLength: Long, stripeFooterLength: Long, stripeRows: Long)
 
+  /** One (stripe, column) zone-map row from the ORC Metadata section:
+    * `kind` names the statistics message that carried bounds ("int",
+    * "double", "string", "date" — dates as epoch-days in the int
+    * columns); unset bounds stay None (ORC stats fields are all
+    * optional).
+    */
+  final case class OrcStripeColStats(
+      stripeId: Long, columnId: Long, nValues: Long, hasNull: Boolean,
+      kind: String, intMin: Option[Long], intMax: Option[Long],
+      dblMin: Option[Double], dblMax: Option[Double],
+      strMin: Option[String], strMax: Option[String])
+
   private[graft] final case class OrcFooterMeta(
       compression: String, nTypes: Long, totalRows: Long,
       contentLength: Long,
@@ -820,6 +832,15 @@ object StorageOps {
       val len = varint()
       if (bad || len < 0 || len > end - pos) { bad = true; (0, 0) }
       else { val off = pos; pos += len.toInt; (off, len.toInt) }
+    }
+    /** Wire type 1: 8 bytes little-endian. */
+    def fixed64(): Long = {
+      if (pos + 8 > end) { bad = true; return 0L }
+      var v = 0L
+      var k = 7
+      while (k >= 0) { v = (v << 8) | (b(pos + k) & 0xffL); k -= 1 }
+      pos += 8
+      v
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(); ()
@@ -1056,15 +1077,19 @@ object StorageOps {
     * sits immediately before the footer), decoded through the same
     * chunk framing; `Metadata { repeated StripeStatistics }`, one
     * `ColumnStatistics` per column per stripe (column 0 is the root
-    * struct).  Rows are emitted only for columns carrying
-    * IntegerStatistics with a min or max (sint64 zigzag) — a column
-    * without bounds is unprunable, not zero.  Returns (stripeId,
-    * columnId, numberOfValues, hasNull, min, max); None on anything
+    * struct).  Rows are emitted for columns carrying Integer
+    * (sint64 zigzag), Double (fixed64), String (length-delimited
+    * UTF-8), or Date (sint32 zigzag epoch-days, surfaced through the
+    * int columns) statistics with a min or max — a column without
+    * bounds is unprunable, not zero.  String bounds follow the
+    * writer's `minimum`/`maximum` fields only; a long value the
+    * writer demoted to `lowerBound`/`upperBound` (truncated, ORC-2)
+    * yields no row rather than an inexact one.  None on anything
     * malformed.  TOTAL on arbitrary bytes.
     */
   private[graft] def orcStripeStatsOf(
       tail: Array[Byte],
-      fileLen: Long): Option[Vector[(Long, Long, Long, Boolean, Long, Long)]] = {
+      fileLen: Long): Option[Vector[OrcStripeColStats]] = {
     if (tail == null || tail.length < 4 || fileLen < tail.length) return None
     val psLen = tail(tail.length - 1) & 0xff
     if (psLen < 1 || psLen + 1 > tail.length) return None
@@ -1095,7 +1120,7 @@ object StorageOps {
     val metaStart = psStart - footerLen.toInt - metadataLen.toInt
     val meta = orcSectionBytes(tail, metaStart,
       metaStart + metadataLen.toInt, compression).getOrElse(return None)
-    val out = Vector.newBuilder[(Long, Long, Long, Boolean, Long, Long)]
+    val out = Vector.newBuilder[OrcStripeColStats]
     @inline def unzig(z: Long): Long = (z >>> 1) ^ -(z & 1)
     val mr = new PbReader(meta, 0, meta.length)
     var stripeId = 0L
@@ -1116,15 +1141,19 @@ object StorageOps {
             val cr = new PbReader(meta, co, co + cl)
             var nValues = -1L
             var hasNull = false
-            var hasInt = false
-            var minV = 0L
-            var maxV = 0L
+            var kind: String = null
+            var intMin: Option[Long] = None
+            var intMax: Option[Long] = None
+            var dblMin: Option[Double] = None
+            var dblMax: Option[Double] = None
+            var strMin: Option[String] = None
+            var strMax: Option[String] = None
             while (cr.hasMore) {
               val (cf, cw) = cr.tag()
               if (cr.bad) return None
               (cf, cw) match {
                 case (1, 0) => nValues = cr.varint()
-                case (2, 2) => // IntegerStatistics
+                case (2, 2) => // IntegerStatistics (sint64 zigzag)
                   val (io, il) = cr.lenDelim()
                   if (cr.bad) return None
                   val ir = new PbReader(meta, io, io + il)
@@ -1132,8 +1161,68 @@ object StorageOps {
                     val (inf, iw) = ir.tag()
                     if (ir.bad) return None
                     (inf, iw) match {
-                      case (1, 0) => minV = unzig(ir.varint()); hasInt = true
-                      case (2, 0) => maxV = unzig(ir.varint()); hasInt = true
+                      case (1, 0) =>
+                        intMin = Some(unzig(ir.varint())); kind = "int"
+                      case (2, 0) =>
+                        intMax = Some(unzig(ir.varint())); kind = "int"
+                      case (_, wire) => ir.skip(wire)
+                    }
+                    if (ir.bad) return None
+                  }
+                case (3, 2) => // DoubleStatistics (fixed64 IEEE-754)
+                  val (io, il) = cr.lenDelim()
+                  if (cr.bad) return None
+                  val ir = new PbReader(meta, io, io + il)
+                  while (ir.hasMore) {
+                    val (inf, iw) = ir.tag()
+                    if (ir.bad) return None
+                    (inf, iw) match {
+                      case (1, 1) =>
+                        dblMin = Some(
+                          java.lang.Double.longBitsToDouble(ir.fixed64()))
+                        kind = "double"
+                      case (2, 1) =>
+                        dblMax = Some(
+                          java.lang.Double.longBitsToDouble(ir.fixed64()))
+                        kind = "double"
+                      case (_, wire) => ir.skip(wire)
+                    }
+                    if (ir.bad) return None
+                  }
+                case (4, 2) => // StringStatistics (exact min/max only)
+                  val (io, il) = cr.lenDelim()
+                  if (cr.bad) return None
+                  val ir = new PbReader(meta, io, io + il)
+                  while (ir.hasMore) {
+                    val (inf, iw) = ir.tag()
+                    if (ir.bad) return None
+                    (inf, iw) match {
+                      case (1, 2) =>
+                        val (so, sl) = ir.lenDelim()
+                        if (ir.bad) return None
+                        strMin = Some(new String(meta, so, sl, "UTF-8"))
+                        kind = "string"
+                      case (2, 2) =>
+                        val (so, sl) = ir.lenDelim()
+                        if (ir.bad) return None
+                        strMax = Some(new String(meta, so, sl, "UTF-8"))
+                        kind = "string"
+                      case (_, wire) => ir.skip(wire)
+                    }
+                    if (ir.bad) return None
+                  }
+                case (7, 2) => // DateStatistics (sint32 zigzag epoch-days)
+                  val (io, il) = cr.lenDelim()
+                  if (cr.bad) return None
+                  val ir = new PbReader(meta, io, io + il)
+                  while (ir.hasMore) {
+                    val (inf, iw) = ir.tag()
+                    if (ir.bad) return None
+                    (inf, iw) match {
+                      case (1, 0) =>
+                        intMin = Some(unzig(ir.varint())); kind = "date"
+                      case (2, 0) =>
+                        intMax = Some(unzig(ir.varint())); kind = "date"
                       case (_, wire) => ir.skip(wire)
                     }
                     if (ir.bad) return None
@@ -1143,8 +1232,9 @@ object StorageOps {
               }
               if (cr.bad) return None
             }
-            if (hasInt && nValues >= 0)
-              out += ((stripeId, colId, nValues, hasNull, minV, maxV))
+            if (kind != null && nValues >= 0)
+              out += OrcStripeColStats(stripeId, colId, nValues, hasNull,
+                kind, intMin, intMax, dblMin, dblMax, strMin, strMax)
             colId += 1
           } else {
             sr.skip(sw)
@@ -1161,9 +1251,10 @@ object StorageOps {
   }
 
   /** ORC stripe-level ZONE-MAP census — the ORC sibling of
-    * [[parquetColumnStats]]: per (file, stripe, column) integer
-    * min/max/value-count/has-null from the file's own Metadata
-    * section, the bounds a planner prunes stripes with.  Same
+    * [[parquetColumnStats]]: per (file, stripe, column) TYPED
+    * min/max/value-count/has-null (integer, double, string, and
+    * date statistics) from the file's own Metadata section, the
+    * bounds a planner prunes stripes with.  Same
     * listing/broadcast/tail-read economics as [[orcFooters]]; the
     * fallback tail read is sized from the postscript to cover
     * metadata + footer exactly.  Cross-checked against orc-core's
@@ -1226,13 +1317,16 @@ object StorageOps {
           }.getOrElse(throw new IllegalArgumentException(
             s"orcStripeStats: $p is not a readable ORC file (or uses " +
               "a metadata codec this census rejects)"))
-          stats.map { case (sid, cid, nv, hn, mn, mx) =>
-            (hp.getName, sid, cid, nv, hn, mn, mx)
+          stats.map { s =>
+            (hp.getName, s.stripeId, s.columnId, s.nValues, s.hasNull,
+              s.kind, s.intMin, s.intMax, s.dblMin, s.dblMax,
+              s.strMin, s.strMax)
           }
         }
       }
       .toDF("file_name", "stripe_id", "column_id", "n_values",
-        "has_null", "min_v", "max_v")
+        "has_null", "kind", "int_min", "int_max", "dbl_min", "dbl_max",
+        "str_min", "str_max")
   }
 
   /** Iceberg `metadata.json` census — the ENTRY POINT of every

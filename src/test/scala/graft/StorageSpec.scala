@@ -484,7 +484,7 @@ class StorageSpec extends AnyFunSuite {
     val orcFile = new java.io.File(s"$dir/t/fixture.orc")
     orcFile.getParentFile.mkdirs()
     val schema = org.apache.orc.TypeDescription.fromString(
-      "struct<id:bigint,small:int,v:bigint>")
+      "struct<id:bigint,small:int,v:bigint,s:string,d:double,dt:date>")
     val writer = org.apache.orc.OrcFile.createWriter(
       new org.apache.hadoop.fs.Path(orcFile.toString),
       org.apache.orc.OrcFile.writerOptions(
@@ -499,6 +499,12 @@ class StorageSpec extends AnyFunSuite {
       org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
     val vV = batch.cols(2).asInstanceOf[
       org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    val sV = batch.cols(3).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.BytesColumnVector]
+    val dV = batch.cols(4).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.DoubleColumnVector]
+    val dtV = batch.cols(5).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
     vV.noNulls = false
     var i = 0L
     while (i < 200000L) {
@@ -507,36 +513,73 @@ class StorageSpec extends AnyFunSuite {
       smV.vector(r) = i % 97
       if (i % 11 == 0) { vV.isNull(r) = true; vV.vector(r) = 0L }
       else { vV.isNull(r) = false; vV.vector(r) = i * 3 }
+      sV.setVal(r, f"s${i % 89}%04d".getBytes("UTF-8"))
+      dV.vector(r) = math.sin(i.toDouble) * 1000.0
+      dtV.vector(r) = i % 365 - 30 // negative epoch-days in-envelope
       batch.size += 1
       if (batch.size == batch.getMaxSize) { writer.addRowBatch(batch); batch.reset() }
       i += 1
     }
     if (batch.size > 0) writer.addRowBatch(batch)
     writer.close()
-    val got = StorageOps.orcStripeStats(spark, Seq(s"$dir/t"))
+    val rows = StorageOps.orcStripeStats(spark, Seq(s"$dir/t"))
       .orderBy("stripe_id", "column_id").collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getBoolean(4), r.getLong(5), r.getLong(6))).toSeq
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val got = rows.filter(_.getString(5) == "int")
+      .map(r => (key(r), r.getLong(6), r.getLong(7))).toSeq
+    val gotDate = rows.filter(_.getString(5) == "date")
+      .map(r => (key(r), r.getLong(6), r.getLong(7))).toSeq
+    val gotStr = rows.filter(_.getString(5) == "string")
+      .map(r => (key(r), r.getString(10), r.getString(11))).toSeq
+    val gotDbl = rows.filter(_.getString(5) == "double")
+      .map(r => (key(r), r.getDouble(8), r.getDouble(9))).toSeq
     // independent reader: orc-core's own stripe statistics
     val reader = org.apache.orc.OrcFile.createReader(
       new org.apache.hadoop.fs.Path(orcFile.toString),
       org.apache.orc.OrcFile.readerOptions(
         spark.sparkContext.hadoopConfiguration))
     import scala.jdk.CollectionConverters._
-    val lib = reader.getStripeStatistics.asScala.zipWithIndex.flatMap {
-      case (ss, sid) =>
-        ss.getColumnStatistics.zipWithIndex.collect {
-          case (cs: org.apache.orc.IntegerColumnStatistics, cid) =>
-            (sid.toLong, cid.toLong, cs.getNumberOfValues,
-              cs.hasNull, cs.getMinimum, cs.getMaximum)
-        }
+    val stripeStats = reader.getStripeStatistics.asScala.zipWithIndex.map {
+      case (ss, sid) => (sid.toLong, ss.getColumnStatistics.zipWithIndex)
     }.toSeq
+    def libKey(sid: Long, cid: Int,
+        cs: org.apache.orc.ColumnStatistics) =
+      (sid, cid.toLong, cs.getNumberOfValues, cs.hasNull)
+    val lib = stripeStats.flatMap { case (sid, cols) =>
+      cols.collect {
+        case (cs: org.apache.orc.IntegerColumnStatistics, cid) =>
+          (libKey(sid, cid, cs), cs.getMinimum, cs.getMaximum)
+      }
+    }
+    val libDate = stripeStats.flatMap { case (sid, cols) =>
+      cols.collect {
+        case (cs: org.apache.orc.DateColumnStatistics, cid) =>
+          (libKey(sid, cid, cs),
+            cs.getMinimumDayOfEpoch, cs.getMaximumDayOfEpoch)
+      }
+    }
+    val libStr = stripeStats.flatMap { case (sid, cols) =>
+      cols.collect {
+        case (cs: org.apache.orc.StringColumnStatistics, cid) =>
+          (libKey(sid, cid, cs), cs.getMinimum, cs.getMaximum)
+      }
+    }
+    val libDbl = stripeStats.flatMap { case (sid, cols) =>
+      cols.collect {
+        case (cs: org.apache.orc.DoubleColumnStatistics, cid) =>
+          (libKey(sid, cid, cs), cs.getMinimum, cs.getMaximum)
+      }
+    }
     reader.close()
     assert(got.nonEmpty && got == lib)
+    assert(gotDate.nonEmpty && gotDate == libDate)
+    assert(gotStr.nonEmpty && gotStr == libStr)
+    assert(gotDbl.nonEmpty && gotDbl == libDbl)
     // multiple stripes actually happened, and the nullable column's
     // has_null flag surfaced
-    assert(got.map(_._1).distinct.size > 1)
-    assert(got.exists(_._4))
+    assert(got.map(_._1._1).distinct.size > 1)
+    assert(got.exists(_._1._4))
     // fuzz: byte flips / truncations never throw (media contract)
     val whole = java.nio.file.Files.readAllBytes(orcFile.toPath)
     val rnd = new scala.util.Random(1616)
