@@ -4789,6 +4789,42 @@ object SparkEntry {
         |FROM (SELECT * FROM base UNION ALL SELECT * FROM run
         |      UNION ALL SELECT * FROM high)
         |ORDER BY doc_id, pos""".stripMargin,
+    // Puffin replay: blob roster is id arithmetic by synthesis —
+    // blob 0 on even ids is the DV, odd-k theta blobs declare zstd;
+    // span_ok proves every blob sits inside the file geometry
+    "q_puffin_meta" ->
+      s"""WITH n AS (SELECT doc_id, doc_id % 3 AS top FROM documents),
+        |b AS (SELECT doc_id, unnest(generate_series(0, top)) AS k FROM n)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS blob_idx,
+        |       CASE WHEN k = 0 AND doc_id % 2 = 0 THEN 'deletion-vector-v1'
+        |            ELSE 'apache-datasketches-theta-v1' END AS blob_type,
+        |       CAST(100 + doc_id AS BIGINT) AS snapshot_id,
+        |       CAST(doc_id % 10 AS BIGINT) AS sequence_number,
+        |       CASE WHEN k % 2 = 1 THEN 'zstd' END AS codec,
+        |       CASE WHEN k = 0 AND doc_id % 2 = 0
+        |            THEN 'data/part-' || CAST(doc_id AS VARCHAR) || '.parquet'
+        |       END AS ref_file,
+        |       CASE WHEN k = 0 AND doc_id % 2 = 0
+        |            THEN CAST(doc_id % 11 + 1 +
+        |                 CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |       END AS cardinality,
+        |       true AS span_ok
+        |FROM b ORDER BY doc_id, blob_idx""".stripMargin,
+    // Puffin DV replay: the two synthesis arms as id arithmetic —
+    // base positions on even ids, the high-key (second bitmap) row
+    // on ids % 4 == 0
+    "q_puffin_dv" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, CAST(k * 5 + doc_id % 5 AS BIGINT) AS pos
+        |  FROM documents, unnest(generate_series(0, doc_id % 11)) t(k)
+        |  WHERE doc_id % 2 = 0),
+        |high AS (
+        |  SELECT doc_id, CAST(4294967296 + 3 AS BIGINT) AS pos
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |SELECT doc_id, pos
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM high)
+        |ORDER BY doc_id, pos""".stripMargin,
     // MOR replay: deletes target doc_id % 7 == 0 rows by physical
     // position, so survivors are the complement — position plumbing
     // must be invisible
@@ -7520,6 +7556,71 @@ object SparkEntry {
         val dv = graft.ops.StorageOps.synthesizeDeltaDv(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         graft.ops.StorageOps.deltaDvPositions(dv)
+          .select(col("id").as("doc_id"), col("pos"))
+          .orderBy("doc_id", "pos")
+      },
+      "q_puffin_meta" -> { (s, dir) =>
+        // Iceberg PUFFIN container census — the statistics/DV file:
+        // framing walk returns the footer JSON as a string; the
+        // query layer parses with an EXPLICIT schema (the
+        // JSON-sidecar discipline) and validates every blob span
+        // against the file geometry in SQL
+        import org.apache.spark.sql.types._
+        val blobT = new StructType()
+          .add("type", StringType).add("fields", ArrayType(IntegerType))
+          .add("snapshot-id", LongType).add("sequence-number", LongType)
+          .add("offset", LongType).add("length", LongType)
+          .add("compression-codec", StringType)
+          .add("properties", MapType(StringType, StringType))
+        val schema = new StructType()
+          .add("blobs", ArrayType(blobT))
+          .add("properties", MapType(StringType, StringType))
+        val media = graft.ops.StorageOps.synthesizePuffin(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        graft.ops.StorageOps.puffinFooters(media, "id", "content")
+          .select(col("id").as("doc_id"), col("file_size"),
+            col("footer_size"),
+            from_json(col("footer_json"), schema).as("f"))
+          .select(col("doc_id"), col("file_size"), col("footer_size"),
+            posexplode(col("f.blobs")).as(Seq("blob_idx", "b")))
+          .select(col("doc_id"), col("blob_idx").cast("long").as("blob_idx"),
+            col("b.type").as("blob_type"),
+            col("b").getField("snapshot-id").as("snapshot_id"),
+            col("b").getField("sequence-number").as("sequence_number"),
+            col("b").getField("compression-codec").as("codec"),
+            col("b.properties")("referenced-data-file").as("ref_file"),
+            col("b.properties")("cardinality").cast("long")
+              .as("cardinality"),
+            (col("b.offset") >= 4 && col("b.offset") + col("b.length") <=
+              col("file_size") - col("footer_size") - 16).as("span_ok"))
+          .orderBy("doc_id", "blob_idx")
+      },
+      "q_puffin_dv" -> { (s, dir) =>
+        // Iceberg v3 DELETION VECTORS out of Puffin: DV blobs located
+        // through the footer JSON, framed BE-length + D1D33964 magic
+        // + CRC-verified portable RoaringBitmapArray (the wire format
+        // v3 deliberately shares with Delta DVs — one decoder, two
+        // lakes), cardinality cross-checked against the blob
+        // metadata; DuckDB replays the positions from id arithmetic
+        import org.apache.spark.sql.types._
+        val blobT = new StructType()
+          .add("type", StringType)
+          .add("offset", LongType).add("length", LongType)
+          .add("properties", MapType(StringType, StringType))
+        val schema = new StructType().add("blobs", ArrayType(blobT))
+        val media = graft.ops.StorageOps.synthesizePuffin(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        val dvBlobs = graft.ops.StorageOps
+          .puffinFooters(media, "id", "content")
+          .select(col("id"), from_json(col("footer_json"), schema).as("f"))
+          .select(col("id"), explode(col("f.blobs")).as("b"))
+          .filter(col("b.type") === "deletion-vector-v1")
+          .select(col("id"), col("b.offset").as("offset"),
+            col("b.length").as("length"),
+            col("b.properties")("cardinality").cast("long")
+              .as("cardinality"))
+          .join(media, "id")
+        graft.ops.StorageOps.puffinDvPositions(dvBlobs)
           .select(col("id").as("doc_id"), col("pos"))
           .orderBy("doc_id", "pos")
       },

@@ -689,6 +689,201 @@ object StorageOps {
         "size_bytes")
   }
 
+  // ---- Iceberg Puffin (statistics / deletion-vector container) ----
+
+  @inline private def puffinMagicAt(b: Array[Byte], o: Int): Boolean =
+    o >= 0 && o + 4 <= b.length &&
+      b(o) == 'P' && b(o + 1) == 'F' && b(o + 2) == 'A' && b(o + 3) == '1'
+
+  /** Puffin FILE census — the container Iceberg stores table
+    * statistics (theta sketches) and, from v3, deletion vectors in.
+    * Wire framing per the public Puffin spec: head magic `PFA1`,
+    * blob payloads, then the footer — magic, FooterPayload (JSON),
+    * 4-byte LE payload size, 4-byte flags, magic.  This walk
+    * validates the framing and returns the footer JSON as a STRING
+    * (the JSON-sidecar discipline: the query layer parses it with an
+    * explicit schema, never an inference scan).  A footer with the
+    * compressed flag set (bit 0: LZ4-frame payload) is out of
+    * envelope and rejects — fail-safe, never a mis-read.  TOTAL on
+    * arbitrary bytes.
+    */
+  def puffinFooterOf(
+      b: Array[Byte]): Option[(Long, Long, Long, String)] = {
+    if (b == null || b.length < 20) return None
+    if (!puffinMagicAt(b, 0)) return None
+    if (!puffinMagicAt(b, b.length - 4)) return None
+    val szOff = b.length - 12
+    val size = dvU32(b, szOff)
+    val flags = dvU32(b, b.length - 8)
+    if (size < 0 || size > szOff - 8) return None
+    val payloadStart = szOff - size.toInt
+    if (!puffinMagicAt(b, payloadStart - 4)) return None
+    if ((flags & 1L) != 0L) return None // compressed footer: reject
+    val json = new String(b, payloadStart, size.toInt, "UTF-8")
+    Some((b.length.toLong, size, flags, json))
+  }
+
+  /** DataFrame form: one row per VALID Puffin file — (id, file_size,
+    * footer_size, flags, footer_json).  Invalid files yield no row.
+    */
+  def puffinFooters(
+      df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        puffinFooterOf(b).map { case (fs, sz, fl, js) =>
+          (id, fs, sz, fl, js)
+        }
+      }
+      .toDF("id", "file_size", "footer_size", "flags", "footer_json")
+  }
+
+  /** Decode one `deletion-vector-v1` blob span (Iceberg v3): 4-byte
+    * BE combined length, magic `D1 D3 39 64`, the portable
+    * RoaringBitmapArray vector (same wire format as Delta's DVs — by
+    * design, the two specs share it), and a 4-byte BE CRC-32 over
+    * magic + vector, VERIFIED.  The decoded cardinality must equal
+    * the blob metadata's declared `cardinality` — a mismatched or
+    * corrupt DV yields None (drop the file, never resurrect deleted
+    * rows).
+    */
+  private[graft] def puffinDvBlobOf(
+      b: Array[Byte], offset: Long, length: Long,
+      cardinality: Long): Option[Vector[Long]] = {
+    if (b == null || offset < 4 || length < 12 ||
+      offset + length > b.length) return None
+    val o = offset.toInt
+    val combined = dvU32be(b, o)
+    if (combined + 8 != length) return None
+    if ((b(o + 4) & 0xff) != 0xd1 || (b(o + 5) & 0xff) != 0xd3 ||
+      (b(o + 6) & 0xff) != 0x39 || (b(o + 7) & 0xff) != 0x64) return None
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, o + 4, combined.toInt)
+    if ((crc.getValue & 0xffffffffL) !=
+      dvU32be(b, o + 4 + combined.toInt)) return None
+    val vec = java.util.Arrays.copyOfRange(b, o + 8, o + 4 + combined.toInt)
+    deltaDvBitmapOf(vec).filter(_.length.toLong == cardinality)
+  }
+
+  /** Positions census over DV-blob descriptor rows (the shape the
+    * query layer produces by exploding [[puffinFooters]]'s JSON):
+    * (id, content, offset, length, cardinality) → one row per
+    * deleted position.  Feeds the same broadcast anti-join as
+    * [[applyPositionDeletes]].
+    */
+  def puffinDvPositions(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("content"),
+        col("offset").cast("long"), col("length").cast("long"),
+        col("cardinality").cast("long"))
+      .as[(Long, Array[Byte], Long, Long, Long)]
+      .flatMap { case (id, b, off, len, card) =>
+        puffinDvBlobOf(b, off, len, card)
+          .getOrElse(Vector.empty).map(p => (id, p))
+      }
+      .toDF("id", "pos")
+  }
+
+  /** Per-row Puffin synthesis: `1 + id % 3` blobs.  Blob 0 on even
+    * ids is a `deletion-vector-v1` blob whose positions replay from
+    * id arithmetic — `k*5 + id%5` for k ≤ id%11, plus a high-key row
+    * `2^32 + 3` on id%4==0 — with the inner 32-bit bitmaps written
+    * by the Roaring LIBRARY (independent-writer discipline) under
+    * the portable-array header, framed per the v3 DV spec (BE length,
+    * D1D33964 magic, BE CRC-32).  All other blobs are
+    * `apache-datasketches-theta-v1` stand-ins with deterministic
+    * payload bytes (the census reads metadata, never sketch
+    * internals); odd theta blobs declare `compression-codec: zstd`
+    * to exercise the optional key.  Footer JSON carries the blobs
+    * array + file properties; flags 0; real offsets.
+    */
+  def synthesizePuffin(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .map { id =>
+        val nBlobs = 1 + (id % 3).toInt
+        val out = new java.io.ByteArrayOutputStream(512)
+        def wLE32(v: Long): Unit = {
+          out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+          out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 24) & 0xff).toInt)
+        }
+        def wBE32(v: Long): Unit = {
+          out.write(((v >> 24) & 0xff).toInt)
+          out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+        }
+        out.write("PFA1".getBytes("ISO-8859-1"))
+        val blobJsons = Vector.newBuilder[String]
+        (0 until nBlobs).foreach { k =>
+          val off = out.size().toLong
+          if (k == 0 && id % 2 == 0) { // deletion-vector-v1
+            val positions = scala.collection.mutable.ArrayBuffer.empty[Long]
+            (0 to (id % 11).toInt).foreach(j => positions += j * 5L + id % 5)
+            if (id % 4 == 0) positions += (1L << 32) + 3
+            val byKey =
+              positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+            val vb = new java.io.ByteArrayOutputStream(128)
+            def vLE32(v: Long): Unit = {
+              vb.write((v & 0xff).toInt); vb.write(((v >> 8) & 0xff).toInt)
+              vb.write(((v >> 16) & 0xff).toInt)
+              vb.write(((v >> 24) & 0xff).toInt)
+            }
+            vLE32(1681511377L) // portable RoaringBitmapArray magic
+            vLE32(byKey.length.toLong); vLE32(0L)
+            val dos = new java.io.DataOutputStream(vb)
+            byKey.foreach { case (key, ps) =>
+              vLE32(key.toLong)
+              val rb = org.roaringbitmap.RoaringBitmap.bitmapOf(
+                ps.map(p => (p & 0xffffffffL).toInt).toSeq: _*)
+              rb.runOptimize()
+              rb.serialize(dos)
+              dos.flush()
+            }
+            val vector = vb.toByteArray
+            val magicVec =
+              Array[Byte](0xd1.toByte, 0xd3.toByte, 0x39, 0x64) ++ vector
+            wBE32(magicVec.length.toLong)
+            out.write(magicVec)
+            val crc = new java.util.zip.CRC32()
+            crc.update(magicVec)
+            wBE32(crc.getValue)
+            val len = 4L + magicVec.length + 4
+            blobJsons += s"""{"type":"deletion-vector-v1","fields":[],""" +
+              s""""snapshot-id":${100 + id},"sequence-number":${id % 10},""" +
+              s""""offset":$off,"length":$len,"properties":{""" +
+              s""""referenced-data-file":"data/part-$id.parquet",""" +
+              s""""cardinality":"${positions.length}"}}"""
+          } else { // theta-sketch stand-in
+            val payload =
+              s"theta-$id-$k-${"x" * (8 + (id % 7).toInt)}"
+                .getBytes("ISO-8859-1")
+            out.write(payload)
+            val codec =
+              if (k % 2 == 1) s""","compression-codec":"zstd"""" else ""
+            blobJsons += s"""{"type":"apache-datasketches-theta-v1",""" +
+              s""""fields":[${k + 1}],"snapshot-id":${100 + id},""" +
+              s""""sequence-number":${id % 10},"offset":$off,""" +
+              s""""length":${payload.length}$codec}"""
+          }
+        }
+        val json = s"""{"blobs":[${blobJsons.result().mkString(",")}],""" +
+          s""""properties":{"created-by":"graft-synth"}}"""
+        val payload = json.getBytes("UTF-8")
+        out.write("PFA1".getBytes("ISO-8859-1"))
+        out.write(payload)
+        wLE32(payload.length.toLong)
+        wLE32(0L) // flags: uncompressed footer
+        out.write("PFA1".getBytes("ISO-8859-1"))
+        (id, out.toByteArray)
+      }
+      .toDF("id", "content")
+  }
+
   /** Apply Iceberg v2 POSITION DELETES — the merge-on-read step a v2
     * table scan performs: data rows keyed by their physical position
     * (`_metadata.file_path` + `_metadata.row_index`, which Spark's

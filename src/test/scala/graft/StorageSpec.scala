@@ -752,4 +752,69 @@ class StorageSpec extends AnyFunSuite {
       catch { case e: Throwable => fail(s"dv fuzz $trial threw: $e") }
     }
   }
+
+  test("puffin: framing walk, DV blob decode, tamper/compressed rejects, fuzz") {
+    import graft.ops.StorageOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L to 12L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val media = StorageOps.synthesizePuffin(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // footer walk: every synthesized file is valid; JSON blob count
+    // replays id arithmetic
+    for ((id, b) <- media) {
+      val (fs, sz, fl, js) = StorageOps.puffinFooterOf(b)
+        .getOrElse(fail(s"id=$id rejected"))
+      assert(fs == b.length.toLong && fl == 0L && sz == js.getBytes("UTF-8").length.toLong)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val blobs = om.readTree(js).path("blobs")
+      assert(blobs.size() == 1 + (id % 3).toInt, s"id=$id")
+      // DV blob decode on even ids: positions replay id arithmetic
+      if (id % 2 == 0) {
+        val b0 = blobs.get(0)
+        assert(b0.path("type").asText() == "deletion-vector-v1")
+        val off = b0.path("offset").asLong()
+        val len = b0.path("length").asLong()
+        val card = b0.path("properties").path("cardinality").asText().toLong
+        val got = StorageOps.puffinDvBlobOf(b, off, len, card)
+          .getOrElse(fail(s"id=$id dv rejected"))
+        val expect = ((0 to (id % 11).toInt).map(j => j * 5L + id % 5) ++
+          (if (id % 4 == 0) Seq((1L << 32) + 3) else Nil)).sorted
+        assert(got.sorted == expect, s"id=$id")
+        // CRC tamper: flip one bitmap byte -> reject, never resurrect
+        val bad = b.clone()
+        bad(off.toInt + 9) = (bad(off.toInt + 9) ^ 1).toByte
+        assert(StorageOps.puffinDvBlobOf(bad, off, len, card).isEmpty)
+        // declared-cardinality mismatch rejects
+        assert(StorageOps.puffinDvBlobOf(b, off, len, card + 1).isEmpty)
+      }
+    }
+    // compressed-footer flag rejects (out of envelope, fail-safe)
+    val whole = media(0L)
+    val comp = whole.clone()
+    comp(whole.length - 8) = 1 // flags bit 0
+    assert(StorageOps.puffinFooterOf(comp).isEmpty)
+    // head/tail magic tamper rejects
+    val noHead = whole.clone(); noHead(0) = 'X'
+    assert(StorageOps.puffinFooterOf(noHead).isEmpty)
+    val noTail = whole.clone(); noTail(whole.length - 1) = 'X'
+    assert(StorageOps.puffinFooterOf(noTail).isEmpty)
+    // fuzz: byte flips / truncations never throw
+    val rnd = new scala.util.Random(1818)
+    for (trial <- 0 until 500) {
+      val m = whole.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      val victim =
+        if (rnd.nextInt(3) == 0) m.take(rnd.nextInt(m.length)) else m
+      try {
+        StorageOps.puffinFooterOf(victim)
+        StorageOps.puffinDvBlobOf(victim, 4, victim.length - 24L, 3L)
+      } catch {
+        case e: Throwable => fail(s"puffin fuzz $trial threw: $e")
+      }
+    }
+  }
 }
