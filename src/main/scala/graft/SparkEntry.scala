@@ -4485,6 +4485,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'part-0-0.parquet', CAST(9999 AS BIGINT), CAST(10 AS BIGINT))
         |ORDER BY path""".stripMargin,
+    // multi-part checkpoint: same table, same state — the layout
+    // split must be invisible, so the oracle is IDENTICAL
+    "q_delta_checkpoint_multipart" ->
+      s"""WITH vk AS (
+        |  SELECT v, k
+        |  FROM generate_series(0, 11) t(v), generate_series(0, 2) u(k)),
+        |removed AS (
+        |  SELECT v - 3 AS rv, v % 3 AS rk FROM generate_series(3, 11) t(v)),
+        |live AS (
+        |  SELECT v, k FROM vk
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM removed r WHERE r.rv = vk.v AND r.rk = vk.k))
+        |SELECT * FROM (
+        |  SELECT 'part-' || CAST(v AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |           || '.parquet' AS path,
+        |         CAST(1000 + 137 * v + k AS BIGINT) AS size,
+        |         CAST(CASE WHEN v > 9 THEN v ELSE 9 END AS BIGINT) AS version_added
+        |  FROM live
+        |  UNION ALL
+        |  SELECT 'part-0-0.parquet', CAST(9999 AS BIGINT), CAST(10 AS BIGINT))
+        |ORDER BY path""".stripMargin,
     // GGUF replay: tensor table as id arithmetic — 52-byte infos, the
     // fixed 102-byte header+KV prefix, 32-aligned running offsets
     "q_multimodal_gguf" ->
@@ -9145,6 +9166,15 @@ object SparkEntry {
         graft.ops.StorageOps.deltaLogStateFromCheckpoint(s, staged)
           .orderBy("path")
       },
+      "q_delta_checkpoint_multipart" -> { (s, dir) =>
+        // the protocol's large-table checkpoint LAYOUT: the same
+        // state split across V.checkpoint.i-of-N.parquet parts named
+        // by `parts` in _last_checkpoint — same live set, same
+        // oracle as the single-file flavor (two layouts, one answer)
+        val staged = stageDeltaLogCheckpointedMultipart(s, dir)
+        graft.ops.StorageOps.deltaLogStateFromCheckpoint(s, staged)
+          .orderBy("path")
+      },
       "q_shard_census_stream" -> { (s, dir) =>
         // shards land as files; the binaryFile stream censuses each
         // exactly once — drained stream == batch walk (same oracle as
@@ -9257,11 +9287,26 @@ object SparkEntry {
     * across the checkpoint boundary.
     */
   private[graft] def stageDeltaLogCheckpointed(s: SparkSession, dir: String): String =
+    stageDeltaLogCheckpointedImpl(s, dir, parts = 1)
+
+  /** Same table, multi-part checkpoint LAYOUT: the protocol's
+    * large-table form (`parts` in `_last_checkpoint`, actions split
+    * across `V.checkpoint.i-of-N.parquet`).  Adds land in part 1,
+    * tombstones in part 2 — the split is arbitrary by design; the
+    * reader must not care.
+    */
+  private[graft] def stageDeltaLogCheckpointedMultipart(
+      s: SparkSession, dir: String): String =
+    stageDeltaLogCheckpointedImpl(s, dir, parts = 2)
+
+  private def stageDeltaLogCheckpointedImpl(
+      s: SparkSession, dir: String, parts: Int): String =
     stageLock.synchronized {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
-      val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, "deltalogcp")
+      val sub = if (parts == 1) "deltalogcp" else s"deltalogcp$parts"
+      val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, sub)
       java.nio.file.Files.createDirectories(staged)
       (0 until 12).foreach { v =>
         val lines = Seq.newBuilder[String]
@@ -9277,8 +9322,12 @@ object SparkEntry {
           lines.result().mkString("\n").getBytes("UTF-8"))
       }
       val cpVersion = 9
-      val cpFile = staged.resolve(f"$cpVersion%020d.checkpoint.parquet")
-      if (!java.nio.file.Files.exists(cpFile)) {
+      val cpFiles: Seq[java.nio.file.Path] =
+        if (parts == 1)
+          Seq(staged.resolve(f"$cpVersion%020d.checkpoint.parquet"))
+        else (1 to parts).map(i => staged.resolve(
+          f"$cpVersion%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+      if (!cpFiles.forall(java.nio.file.Files.exists(_))) {
         // the state at v9 by the same replay rules, in driver code:
         // adds (v,k) v<=9 not yet removed; tombstones for the removed
         val removed = (3 to cpVersion).map(v => (v - 3, v % 3)).toSet
@@ -9288,33 +9337,42 @@ object SparkEntry {
         } yield (s"part-$v-$k.parquet", (1000 + 137 * v + k).toLong, true)
         import s.implicits._
         import org.apache.spark.sql.functions.{lit => flit, struct => fstruct, col => fcol}
-        val rows =
+        val addsDf =
           liveAdds.toDF("p", "sz", "dc")
             .select(fstruct(fcol("p").as("path"), fcol("sz").as("size"),
               fcol("dc").as("dataChange")).as("add"),
               flit(null).cast("struct<path:string>").as("remove"))
-            .unionByName(
-              removed.toSeq.sorted.map { case (rv, rk) => s"part-$rv-$rk.parquet" }
-                .toDF("p")
-                .select(flit(null)
-                  .cast("struct<path:string,size:bigint,dataChange:boolean>")
-                  .as("add"),
-                  fstruct(fcol("p").as("path")).as("remove")))
-        val tmpOut = staged.resolve(s"_cp_build_$cpVersion")
-        rows.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = java.nio.file.Files.list(tmpOut).toArray
-          .map(_.asInstanceOf[java.nio.file.Path])
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error("checkpoint build produced no parquet"))
-        java.nio.file.Files.copy(part, cpFile,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val removesDf =
+          removed.toSeq.sorted.map { case (rv, rk) => s"part-$rv-$rk.parquet" }
+            .toDF("p")
+            .select(flit(null)
+              .cast("struct<path:string,size:bigint,dataChange:boolean>")
+              .as("add"),
+              fstruct(fcol("p").as("path")).as("remove"))
+        // single-part: one file with everything; multi-part: adds in
+        // part 1, tombstones in part 2 (the split is arbitrary by
+        // design — the reader must not care)
+        val chunks =
+          if (parts == 1) Seq(addsDf.unionByName(removesDf))
+          else Seq(addsDf, removesDf)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete(); ()
         }
-        rm(tmpOut.toFile)
+        chunks.zip(cpFiles).foreach { case (chunk, cpFile) =>
+          val tmpOut = staged.resolve(s"_cp_build_$cpVersion")
+          chunk.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+          val part = java.nio.file.Files.list(tmpOut).toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error("checkpoint build produced no parquet"))
+          java.nio.file.Files.copy(part, cpFile,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rm(tmpOut.toFile)
+        }
+        val partsField = if (parts == 1) "" else s""","parts":$parts"""
         java.nio.file.Files.write(staged.resolve("_last_checkpoint"),
-          s"""{"version":$cpVersion,"size":${liveAdds.size + removed.size}}"""
+          s"""{"version":$cpVersion,"size":${liveAdds.size + removed.size}$partsField}"""
             .getBytes("UTF-8"))
       }
       staged.toString

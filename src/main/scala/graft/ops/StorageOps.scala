@@ -703,9 +703,10 @@ object StorageOps {
     * validates the framing and returns the footer JSON as a STRING
     * (the JSON-sidecar discipline: the query layer parses it with an
     * explicit schema, never an inference scan).  A footer with the
-    * compressed flag set (bit 0: LZ4-frame payload) is out of
-    * envelope and rejects — fail-safe, never a mis-read.  TOTAL on
-    * arbitrary bytes.
+    * compressed flag set (bit 0) carries an LZ4-FRAME payload —
+    * decoded through lz4-java (the codec Spark itself ships), with a
+    * 64 MiB bomb guard; a flagged payload that is not a valid frame
+    * rejects.  TOTAL on arbitrary bytes.
     */
   def puffinFooterOf(
       b: Array[Byte]): Option[(Long, Long, Long, String)] = {
@@ -718,8 +719,29 @@ object StorageOps {
     if (size < 0 || size > szOff - 8) return None
     val payloadStart = szOff - size.toInt
     if (!puffinMagicAt(b, payloadStart - 4)) return None
-    if ((flags & 1L) != 0L) return None // compressed footer: reject
-    val json = new String(b, payloadStart, size.toInt, "UTF-8")
+    val json =
+      if ((flags & 1L) == 0L) new String(b, payloadStart, size.toInt, "UTF-8")
+      else { // LZ4-frame-compressed footer payload
+        val decoded =
+          try {
+            val in = new net.jpountz.lz4.LZ4FrameInputStream(
+              new java.io.ByteArrayInputStream(b, payloadStart, size.toInt))
+            try {
+              val out = new java.io.ByteArrayOutputStream(
+                math.min(size.toInt * 4 + 64, 1 << 20))
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              var ok = true
+              while (n >= 0 && ok) {
+                out.write(buf, 0, n)
+                if (out.size() > (64 << 20)) ok = false // bomb guard
+                else n = in.read(buf)
+              }
+              if (ok) Some(out.toByteArray) else None
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        new String(decoded.getOrElse(return None), "UTF-8")
+      }
     Some((b.length.toLong, size, flags, json))
   }
 
@@ -798,7 +820,9 @@ object StorageOps {
     * payload bytes (the census reads metadata, never sketch
     * internals); odd theta blobs declare `compression-codec: zstd`
     * to exercise the optional key.  Footer JSON carries the blobs
-    * array + file properties; flags 0; real offsets.
+    * array + file properties; real offsets.  On id % 5 == 2 the
+    * footer payload is LZ4-FRAME compressed (flag bit 0 set),
+    * written by lz4-java — the library writes, the walk reads.
     */
   def synthesizePuffin(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -873,11 +897,19 @@ object StorageOps {
         }
         val json = s"""{"blobs":[${blobJsons.result().mkString(",")}],""" +
           s""""properties":{"created-by":"graft-synth"}}"""
-        val payload = json.getBytes("UTF-8")
+        val raw = json.getBytes("UTF-8")
+        val (payload, flags) =
+          if (id % 5 == 2) {
+            val bo = new java.io.ByteArrayOutputStream(raw.length + 64)
+            val fo = new net.jpountz.lz4.LZ4FrameOutputStream(bo)
+            fo.write(raw)
+            fo.close()
+            (bo.toByteArray, 1L)
+          } else (raw, 0L)
         out.write("PFA1".getBytes("ISO-8859-1"))
         out.write(payload)
         wLE32(payload.length.toLong)
-        wLE32(0L) // flags: uncompressed footer
+        wLE32(flags)
         out.write("PFA1".getBytes("ISO-8859-1"))
         (id, out.toByteArray)
       }
@@ -1670,6 +1702,20 @@ object StorageOps {
       .map(_.group(1).toLong)
       .getOrElse(sys.error(
         s"deltaLogStateFromCheckpoint: no version in $lastCp"))
+    // multi-part checkpoints (the protocol's large-table form):
+    // `parts` in _last_checkpoint names N files
+    // `V.checkpoint.i-of-N.parquet`, read together — the split is a
+    // layout choice, not a semantic one
+    val cpPaths = "\"parts\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(cpMeta).map(_.group(1).toInt) match {
+      case Some(n) =>
+        require(n >= 1 && n <= 1000000,
+          s"deltaLogStateFromCheckpoint: absurd parts=$n in $lastCp")
+        (1 to n).map(i =>
+          f"$logDir/$cpVersion%020d.checkpoint.$i%010d.$n%010d.parquet")
+      case None =>
+        Seq(f"$logDir/$cpVersion%020d.checkpoint.parquet")
+    }
     val sch = StructType(Seq(
       StructField("add", StructType(Seq(
         StructField("path", StringType),
@@ -1680,7 +1726,7 @@ object StorageOps {
     // the checkpoint IS the state at cpVersion: its actions replay as
     // if committed there (hence the version_added clamp)
     val cpActions = spark.read.schema(sch)
-      .parquet(f"$logDir/$cpVersion%020d.checkpoint.parquet")
+      .parquet(cpPaths: _*)
       .select(
         coalesce(col("add.path"), col("remove.path")).as("path"),
         col("add.size").as("size"),

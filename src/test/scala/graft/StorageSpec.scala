@@ -765,7 +765,11 @@ class StorageSpec extends AnyFunSuite {
     for ((id, b) <- media) {
       val (fs, sz, fl, js) = StorageOps.puffinFooterOf(b)
         .getOrElse(fail(s"id=$id rejected"))
-      assert(fs == b.length.toLong && fl == 0L && sz == js.getBytes("UTF-8").length.toLong)
+      assert(fs == b.length.toLong)
+      if (id % 5 == 2) // LZ4-frame-compressed footer: flag set, the
+        assert(fl == 1L) // JSON below must round-trip regardless
+      else
+        assert(fl == 0L && sz == js.getBytes("UTF-8").length.toLong)
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val blobs = om.readTree(js).path("blobs")
       assert(blobs.size() == 1 + (id % 3).toInt, s"id=$id")
@@ -789,7 +793,8 @@ class StorageSpec extends AnyFunSuite {
         assert(StorageOps.puffinDvBlobOf(b, off, len, card + 1).isEmpty)
       }
     }
-    // compressed-footer flag rejects (out of envelope, fail-safe)
+    // a compressed FLAG over an uncompressed payload is not a valid
+    // LZ4 frame: rejects, never a mis-read
     val whole = media(0L)
     val comp = whole.clone()
     comp(whole.length - 8) = 1 // flags bit 0
