@@ -7670,9 +7670,12 @@ object SparkEntry {
         // StorageSpec instead
         import s.implicits._
         val staged = stageParquetBloomFiles(s, dir)
+        // probe dictionary BOUNDED (the 50k smallest keys): the
+        // closure-shipped probe is for dictionaries, not joins — at
+        // sf1+ the full distinct set outgrows the probe's loud cap
         val present = s.read.parquet(s"$dir/orders.parquet")
           .select(col("o_custkey").cast("long")).distinct()
-          .orderBy(col("o_custkey")).as[Long].collect().toSeq
+          .orderBy(col("o_custkey")).limit(50000).as[Long].collect().toSeq
         graft.ops.StorageOps.parquetBloomProbe(
             s, Seq(s"$staged/orders"), "o_custkey", present)
           .select(col("row_group_id"), col("path_in_schema"),
@@ -9692,9 +9695,9 @@ object SparkEntry {
     s"""SELECT CAST(0 AS BIGINT) AS row_group_id,
        |       'o_custkey' AS path_in_schema,
        |       CAST(1 AS BIGINT) AS has_bloom,
-       |       (SELECT count(DISTINCT o_custkey)
+       |       (SELECT least(count(DISTINCT o_custkey), 50000)
        |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_probed,
-       |       (SELECT count(DISTINCT o_custkey)
+       |       (SELECT least(count(DISTINCT o_custkey), 50000)
        |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_hits""".stripMargin
 
   /** Page-stats oracle: DuckDB's parquet_metadata() chunk statistics

@@ -9064,7 +9064,21 @@ object MultimodalOps {
       val c = s(i)
       if (isPdfWs(c)) i += 1
       else if (c == '%') { while (i < n && s(i) != '\r' && s(i) != '\n') i += 1 }
-      else if (c == '<') {
+      else if (c == '<' && i + 1 < n && s(i + 1) == '<') {
+        i += 2 // dict open (e.g. /CIDSystemInfo << … >>): not a hex string
+      } else if (c == '(') { // literal string (e.g. (Adobe)): skip whole
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val ch = s(i)
+          if (ch == '\\') i += 2
+          else {
+            if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+            i += 1
+          }
+        }
+        if (depth != 0) return None
+      } else if (c == '<') {
         val o = new java.io.ByteArrayOutputStream(8)
         i += 1
         var hi = -1
@@ -9804,7 +9818,12 @@ object MultimodalOps {
         val br = bfranges.result()
         val cmap = new StringBuilder(256)
         cmap ++= "/CIDInit /ProcSet findresource begin\n12 dict begin\n"
-        cmap ++= "begincmap\n/CMapName /Graft-UCS def\n/CMapType 2 def\n"
+        cmap ++= "begincmap\n"
+        // the production preamble every tool emits — the dict and the
+        // literal strings must be token-invisible to the parser
+        cmap ++= "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) " +
+          "/Supplement 0 >> def\n"
+        cmap ++= "/CMapName /Graft-UCS def\n/CMapType 2 def\n"
         cmap ++= "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
         if (br.nonEmpty)
           cmap ++= s"${br.length} beginbfrange\n${br.mkString("\n")}\nendbfrange\n"

@@ -1916,6 +1916,13 @@ class OpsSpec extends AnyFunSuite {
     val m4 = cm("1 begincodespacerange <00> <FF> endcodespacerange " +
       "1 beginbfchar <41> <0042> endbfchar").get
     assert(m4.codeBytes == 1 && m4.map(0x41) == "B") // one-byte codes
+    // the production preamble: CIDSystemInfo DICT and literal strings
+    // must be token-invisible (<< is not a hex string)
+    val m5 = cm("/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) " +
+      "/Supplement 0 >> def " + base +
+      "1 beginbfchar <1100> <0041> endbfchar").get
+    assert(m5.map(0x1100) == "A")
+    assert(cm(base + "(open literal beginbfchar").isEmpty) // unterminated
     // content-level: Tf switches between CID and simple mid-stream
     val fonts = Map("C" ->
       MultimodalOps.PdfCodeMap(2, Map(0x1100 -> "hi", 0x1101 -> "!")))
