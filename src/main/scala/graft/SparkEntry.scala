@@ -7629,8 +7629,11 @@ object SparkEntry {
           .add("offset", LongType).add("length", LongType)
           .add("properties", MapType(StringType, StringType))
         val schema = new StructType().add("blobs", ArrayType(blobT))
-        val media = graft.ops.StorageOps.synthesizePuffin(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        // persist the fixture: it is read TWICE (footer walk + the
+        // content join below) — a real lake file is also staged once
+        val media = graft.ops.DedupOps.registerPersist(
+          graft.ops.StorageOps.synthesizePuffin(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id"))
         val dvBlobs = graft.ops.StorageOps
           .puffinFooters(media, "id", "content")
           .select(col("id"), from_json(col("footer_json"), schema).as("f"))

@@ -6579,14 +6579,21 @@ object MultimodalOps {
       val csSchema = arrItem("column_sizes")
       val vcSchema = arrItem("value_counts")
       val lbSchema = arrItem("lower_bounds")
+      val writer = new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema)
       it.map { id =>
-        val writer = new org.apache.avro.generic.GenericDatumWriter[
-          org.apache.avro.generic.GenericRecord](schema)
         val dfw = new org.apache.avro.file.DataFileWriter(writer)
         if (id % 2 == 1)
           dfw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
         val bos = new java.io.ByteArrayOutputStream(1024)
-        dfw.create(schema, bos)
+        // deterministic per-id sync marker: the no-arg create() mints
+        // one via UUID.randomUUID -> a GLOBALLY LOCKED SecureRandom,
+        // which convoys all 32 task threads at corpus scale (measured
+        // ~27x superlinear at the x100 scratch SF) — and a seeded
+        // fixture should be byte-reproducible anyway
+        val sync = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-manifest-v2-$id".getBytes("UTF-8"))
+        dfw.create(schema, bos, sync)
         val ns = 1 + (id % 3).toInt
         var k = 0
         while (k < ns) {
