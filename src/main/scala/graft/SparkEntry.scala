@@ -7741,6 +7741,25 @@ object SparkEntry {
             col("dbl_min"), col("dbl_max"))
           .orderBy("tbl", "stripe_id", "column_id")
       },
+      "q_orc_row_index" -> { (s, dir) =>
+        // ORC ROW-INDEX zone maps (the per-10k-row sibling of
+        // q_parquet_page_stats): stripe footers name the streams,
+        // ROW_INDEX streams decode to per-row-group ColumnStatistics
+        // through the same from-spec walk; the fixture is staged in
+        // o_orderkey order so DuckDB replays row-group membership as
+        // row_number() arithmetic — typed bounds for an int, a
+        // double, and a string column
+        val staged = stageOrcRowIndexFiles(s, dir)
+        graft.ops.StorageOps.orcRowIndexStats(s, Seq(s"$staged/orders"))
+          .filter(col("column_id").isin(1, 4, 6))
+          .select(col("stripe_id"), col("column_id"),
+            col("row_group_id"), col("kind"), col("n_values"),
+            col("has_null").cast("long").as("has_null"),
+            col("int_min"), col("int_max"),
+            col("dbl_min"), col("dbl_max"),
+            col("str_min"), col("str_max"))
+          .orderBy("stripe_id", "column_id", "row_group_id")
+      },
       "q_multimodal_gguf" -> { (s, dir) =>
         // GGUF checkpoint census: KV walk (alignment from the file's
         // own metadata) + per-tensor exact byte spans, no weight reads
@@ -9292,6 +9311,24 @@ object SparkEntry {
     * happens AFTER the checkpoint, exercising re-add-over-tombstone
     * across the checkpoint boundary.
     */
+  /** Stage `orders` as ONE deterministic-order ORC file for the
+    * row-index census: sorted by o_orderkey in a single partition, so
+    * row N is the same row for the ORC writer and for the oracle's
+    * row_number() replay — row-group membership is then pure
+    * arithmetic on the sort key.
+    */
+  private[graft] def stageOrcRowIndexFiles(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"/tmp/graft-orcridx-stage-$md"
+      s.read.parquet(s"$dir/orders.parquet")
+        .repartition(1).sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").option("compression", "zlib")
+        .orc(s"$out/orders")
+      out
+    }
+
   private[graft] def stageDeltaLogCheckpointed(s: SparkSession, dir: String): String =
     stageDeltaLogCheckpointedImpl(s, dir, parts = 1)
 
@@ -9636,6 +9673,7 @@ object SparkEntry {
         "q_orc_footer" -> orcFooterOracleSql,
         "q_orc_stats" -> orcStatsOracleSql,
         "q_orc_stats_typed" -> orcStatsTypedOracleSql,
+        "q_orc_row_index" -> orcRowIndexOracleSql,
         "q_parquet_stats" -> parquetStatsOracleSql,
         // page-index rows aggregated to chunks replay DuckDB's chunk
         // statistics of the SAME staged files — two readers, two
@@ -9743,6 +9781,53 @@ object SparkEntry {
     * are the flat schema's 1-based field positions (0 = root struct);
     * only integer-typed columns carry IntegerStatistics.
     */
+  /** Row-index oracle: the staged file is single-partition sorted by
+    * o_orderkey, so the writer's every-10k-rows row groups replay as
+    * row_number() arithmetic over the same sort; one branch per
+    * surfaced column (int / double / string), typed NULLs for the
+    * bounds a branch doesn't carry.
+    */
+  private def orcRowIndexOracleSql: String =
+    s"""WITH r AS (
+       |  SELECT o_orderkey, o_totalprice, o_orderpriority,
+       |         CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 10000
+       |              AS BIGINT) AS rg
+       |  FROM read_parquet('$oracleDir/orders.parquet')),
+       |g AS (
+       |  SELECT rg, count(*) AS n,
+       |         min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+       |         min(o_totalprice) AS p_min, max(o_totalprice) AS p_max,
+       |         min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max
+       |  FROM r GROUP BY rg)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS stripe_id,
+       |         CAST(1 AS BIGINT) AS column_id,
+       |         rg AS row_group_id, 'int' AS kind,
+       |         CAST(n AS BIGINT) AS n_values,
+       |         CAST(0 AS BIGINT) AS has_null,
+       |         CAST(k_min AS BIGINT) AS int_min,
+       |         CAST(k_max AS BIGINT) AS int_max,
+       |         CAST(NULL AS DOUBLE) AS dbl_min,
+       |         CAST(NULL AS DOUBLE) AS dbl_max,
+       |         CAST(NULL AS VARCHAR) AS str_min,
+       |         CAST(NULL AS VARCHAR) AS str_max
+       |  FROM g
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), CAST(4 AS BIGINT), rg, 'double',
+       |         CAST(n AS BIGINT), CAST(0 AS BIGINT),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |         p_min, p_max,
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       |  FROM g
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), CAST(6 AS BIGINT), rg, 'string',
+       |         CAST(n AS BIGINT), CAST(0 AS BIGINT),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       |         s_min, s_max
+       |  FROM g)
+       |ORDER BY stripe_id, column_id, row_group_id""".stripMargin
+
   private def orcStatsTypedOracleSql: String = {
     val cols = Seq(
       ("nation", "n_name", 2, "string"),

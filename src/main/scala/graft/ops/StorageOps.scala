@@ -1030,7 +1030,121 @@ object StorageOps {
   private[graft] final case class OrcFooterMeta(
       compression: String, nTypes: Long, totalRows: Long,
       contentLength: Long,
-      stripes: Vector[(Long, Long, Long, Long, Long)])
+      stripes: Vector[(Long, Long, Long, Long, Long)],
+      rowIndexStride: Long = 0L)
+
+  /** Bounds-less ColumnStatistics value (before stripe/column ids are
+    * attached): kind is null when the message carried no prunable
+    * bounds.  Shared by the stripe-statistics and row-index walks —
+    * the SAME protobuf message appears in both places, per spec.
+    */
+  private final case class OrcColStatsVal(
+      nValues: Long, hasNull: Boolean, kind: String,
+      intMin: Option[Long], intMax: Option[Long],
+      dblMin: Option[Double], dblMax: Option[Double],
+      strMin: Option[String], strMax: Option[String])
+
+  /** Parse one ORC ColumnStatistics message at [o, o+l) of `buf`:
+    * Integer (sint64 zigzag), Double (fixed64), String (exact
+    * minimum/maximum only), Date (sint32 zigzag epoch-days through
+    * the int fields).  None on malformed bytes.
+    */
+  private def orcColumnStatsAt(
+      buf: Array[Byte], o: Int, l: Int): Option[OrcColStatsVal] = {
+    @inline def unzig(z: Long): Long = (z >>> 1) ^ -(z & 1)
+    val cr = new PbReader(buf, o, o + l)
+    var nValues = -1L
+    var hasNull = false
+    var kind: String = null
+    var intMin: Option[Long] = None
+    var intMax: Option[Long] = None
+    var dblMin: Option[Double] = None
+    var dblMax: Option[Double] = None
+    var strMin: Option[String] = None
+    var strMax: Option[String] = None
+    while (cr.hasMore) {
+      val (cf, cw) = cr.tag()
+      if (cr.bad) return None
+      (cf, cw) match {
+        case (1, 0) => nValues = cr.varint()
+        case (2, 2) => // IntegerStatistics (sint64 zigzag)
+          val (io, il) = cr.lenDelim()
+          if (cr.bad) return None
+          val ir = new PbReader(buf, io, io + il)
+          while (ir.hasMore) {
+            val (inf, iw) = ir.tag()
+            if (ir.bad) return None
+            (inf, iw) match {
+              case (1, 0) => intMin = Some(unzig(ir.varint())); kind = "int"
+              case (2, 0) => intMax = Some(unzig(ir.varint())); kind = "int"
+              case (_, wire) => ir.skip(wire)
+            }
+            if (ir.bad) return None
+          }
+        case (3, 2) => // DoubleStatistics (fixed64 IEEE-754)
+          val (io, il) = cr.lenDelim()
+          if (cr.bad) return None
+          val ir = new PbReader(buf, io, io + il)
+          while (ir.hasMore) {
+            val (inf, iw) = ir.tag()
+            if (ir.bad) return None
+            (inf, iw) match {
+              case (1, 1) =>
+                dblMin = Some(
+                  java.lang.Double.longBitsToDouble(ir.fixed64()))
+                kind = "double"
+              case (2, 1) =>
+                dblMax = Some(
+                  java.lang.Double.longBitsToDouble(ir.fixed64()))
+                kind = "double"
+              case (_, wire) => ir.skip(wire)
+            }
+            if (ir.bad) return None
+          }
+        case (4, 2) => // StringStatistics (exact min/max only)
+          val (io, il) = cr.lenDelim()
+          if (cr.bad) return None
+          val ir = new PbReader(buf, io, io + il)
+          while (ir.hasMore) {
+            val (inf, iw) = ir.tag()
+            if (ir.bad) return None
+            (inf, iw) match {
+              case (1, 2) =>
+                val (so, sl) = ir.lenDelim()
+                if (ir.bad) return None
+                strMin = Some(new String(buf, so, sl, "UTF-8"))
+                kind = "string"
+              case (2, 2) =>
+                val (so, sl) = ir.lenDelim()
+                if (ir.bad) return None
+                strMax = Some(new String(buf, so, sl, "UTF-8"))
+                kind = "string"
+              case (_, wire) => ir.skip(wire)
+            }
+            if (ir.bad) return None
+          }
+        case (7, 2) => // DateStatistics (sint32 zigzag epoch-days)
+          val (io, il) = cr.lenDelim()
+          if (cr.bad) return None
+          val ir = new PbReader(buf, io, io + il)
+          while (ir.hasMore) {
+            val (inf, iw) = ir.tag()
+            if (ir.bad) return None
+            (inf, iw) match {
+              case (1, 0) => intMin = Some(unzig(ir.varint())); kind = "date"
+              case (2, 0) => intMax = Some(unzig(ir.varint())); kind = "date"
+              case (_, wire) => ir.skip(wire)
+            }
+            if (ir.bad) return None
+          }
+        case (10, 0) => hasNull = cr.varint() != 0L
+        case (_, wire) => cr.skip(wire)
+      }
+      if (cr.bad) return None
+    }
+    Some(OrcColStatsVal(nValues, hasNull, kind, intMin, intMax,
+      dblMin, dblMax, strMin, strMax))
+  }
 
   /** Minimal bounds-checked protobuf walker for the ORC metadata
     * messages (varint + length-delimited only is what they use; the
@@ -1165,6 +1279,7 @@ object StorageOps {
     val fr = new PbReader(footer, 0, footer.length)
     var contentLength = -1L
     var totalRows = -1L
+    var rowIndexStride = 0L
     var nTypes = 0L
     val stripes = Vector.newBuilder[(Long, Long, Long, Long, Long)]
     var nStripes = 0
@@ -1174,6 +1289,7 @@ object StorageOps {
       (f, w) match {
         case (2, 0) => contentLength = fr.varint()
         case (6, 0) => totalRows = fr.varint()
+        case (8, 0) => rowIndexStride = fr.varint()
         case (3, 2) => // StripeInformation
           val (o, l) = fr.lenDelim()
           if (fr.bad) return None
@@ -1207,7 +1323,8 @@ object StorageOps {
     if (sv.map(_._5).sum != totalRows) return None
     if (sv.exists { case (off, idx, dat, sfl, _) =>
       off + idx + dat + sfl > fileLen }) return None
-    Some(OrcFooterMeta(codec, nTypes, totalRows, contentLength, sv))
+    Some(OrcFooterMeta(codec, nTypes, totalRows, contentLength, sv,
+      rowIndexStride))
   }
 
   /** Whole-buffer flavor (test/fuzz surface): checks the leading
@@ -1348,7 +1465,6 @@ object StorageOps {
     val meta = orcSectionBytes(tail, metaStart,
       metaStart + metadataLen.toInt, compression).getOrElse(return None)
     val out = Vector.newBuilder[OrcStripeColStats]
-    @inline def unzig(z: Long): Long = (z >>> 1) ^ -(z & 1)
     val mr = new PbReader(meta, 0, meta.length)
     var stripeId = 0L
     while (mr.hasMore) {
@@ -1365,103 +1481,11 @@ object StorageOps {
           if (sf == 1 && sw == 2) { // ColumnStatistics
             val (co, cl) = sr.lenDelim()
             if (sr.bad) return None
-            val cr = new PbReader(meta, co, co + cl)
-            var nValues = -1L
-            var hasNull = false
-            var kind: String = null
-            var intMin: Option[Long] = None
-            var intMax: Option[Long] = None
-            var dblMin: Option[Double] = None
-            var dblMax: Option[Double] = None
-            var strMin: Option[String] = None
-            var strMax: Option[String] = None
-            while (cr.hasMore) {
-              val (cf, cw) = cr.tag()
-              if (cr.bad) return None
-              (cf, cw) match {
-                case (1, 0) => nValues = cr.varint()
-                case (2, 2) => // IntegerStatistics (sint64 zigzag)
-                  val (io, il) = cr.lenDelim()
-                  if (cr.bad) return None
-                  val ir = new PbReader(meta, io, io + il)
-                  while (ir.hasMore) {
-                    val (inf, iw) = ir.tag()
-                    if (ir.bad) return None
-                    (inf, iw) match {
-                      case (1, 0) =>
-                        intMin = Some(unzig(ir.varint())); kind = "int"
-                      case (2, 0) =>
-                        intMax = Some(unzig(ir.varint())); kind = "int"
-                      case (_, wire) => ir.skip(wire)
-                    }
-                    if (ir.bad) return None
-                  }
-                case (3, 2) => // DoubleStatistics (fixed64 IEEE-754)
-                  val (io, il) = cr.lenDelim()
-                  if (cr.bad) return None
-                  val ir = new PbReader(meta, io, io + il)
-                  while (ir.hasMore) {
-                    val (inf, iw) = ir.tag()
-                    if (ir.bad) return None
-                    (inf, iw) match {
-                      case (1, 1) =>
-                        dblMin = Some(
-                          java.lang.Double.longBitsToDouble(ir.fixed64()))
-                        kind = "double"
-                      case (2, 1) =>
-                        dblMax = Some(
-                          java.lang.Double.longBitsToDouble(ir.fixed64()))
-                        kind = "double"
-                      case (_, wire) => ir.skip(wire)
-                    }
-                    if (ir.bad) return None
-                  }
-                case (4, 2) => // StringStatistics (exact min/max only)
-                  val (io, il) = cr.lenDelim()
-                  if (cr.bad) return None
-                  val ir = new PbReader(meta, io, io + il)
-                  while (ir.hasMore) {
-                    val (inf, iw) = ir.tag()
-                    if (ir.bad) return None
-                    (inf, iw) match {
-                      case (1, 2) =>
-                        val (so, sl) = ir.lenDelim()
-                        if (ir.bad) return None
-                        strMin = Some(new String(meta, so, sl, "UTF-8"))
-                        kind = "string"
-                      case (2, 2) =>
-                        val (so, sl) = ir.lenDelim()
-                        if (ir.bad) return None
-                        strMax = Some(new String(meta, so, sl, "UTF-8"))
-                        kind = "string"
-                      case (_, wire) => ir.skip(wire)
-                    }
-                    if (ir.bad) return None
-                  }
-                case (7, 2) => // DateStatistics (sint32 zigzag epoch-days)
-                  val (io, il) = cr.lenDelim()
-                  if (cr.bad) return None
-                  val ir = new PbReader(meta, io, io + il)
-                  while (ir.hasMore) {
-                    val (inf, iw) = ir.tag()
-                    if (ir.bad) return None
-                    (inf, iw) match {
-                      case (1, 0) =>
-                        intMin = Some(unzig(ir.varint())); kind = "date"
-                      case (2, 0) =>
-                        intMax = Some(unzig(ir.varint())); kind = "date"
-                      case (_, wire) => ir.skip(wire)
-                    }
-                    if (ir.bad) return None
-                  }
-                case (10, 0) => hasNull = cr.varint() != 0L
-                case (_, wire) => cr.skip(wire)
-              }
-              if (cr.bad) return None
-            }
-            if (kind != null && nValues >= 0)
-              out += OrcStripeColStats(stripeId, colId, nValues, hasNull,
-                kind, intMin, intMax, dblMin, dblMax, strMin, strMax)
+            val cs = orcColumnStatsAt(meta, co, cl).getOrElse(return None)
+            if (cs.kind != null && cs.nValues >= 0)
+              out += OrcStripeColStats(stripeId, colId, cs.nValues,
+                cs.hasNull, cs.kind, cs.intMin, cs.intMax, cs.dblMin,
+                cs.dblMax, cs.strMin, cs.strMax)
             colId += 1
           } else {
             sr.skip(sw)
@@ -1554,6 +1578,197 @@ object StorageOps {
       .toDF("file_name", "stripe_id", "column_id", "n_values",
         "has_null", "kind", "int_min", "int_max", "dbl_min", "dbl_max",
         "str_min", "str_max")
+  }
+
+  /** ORC ROW-INDEX zone maps — the per-row-group (default 10k rows)
+    * pruning surface BELOW [[orcStripeStats]], completing the ORC
+    * symmetry with the parquet family (footer↔footer, stripe
+    * stats↔row-group stats, row index↔page index): each stripe's
+    * FOOTER names its streams (kind, column, length) in physical
+    * order; ROW_INDEX (kind 6) streams live in the stripe's index
+    * region and decode — through the same compressed-chunk framing —
+    * to `RowIndex { repeated RowIndexEntry }`, one entry per row
+    * group carrying the SAME ColumnStatistics message the stripe
+    * statistics use ([[orcColumnStatsAt]] is shared).  Strictness:
+    * index streams must lie inside the declared index region, and
+    * every ROW_INDEX stream's entry count must equal
+    * ceil(stripeRows / rowIndexStride) — a census that silently
+    * dropped part of its pruning index would read as "nothing to
+    * prune".  Files with indexes disabled (stride 0) yield no rows.
+    *
+    * Scale shape: per (file, stripe) this reads the stripe footer +
+    * index region ONLY — KBs against the stripe's MBs of data — so a
+    * whole-lake census is stripe-count-sized, never data-sized.
+    */
+  def orcRowIndexStats(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    val files =
+      listFilesBounded(spark, paths, ".orc", maxFiles, "orcRowIndexStats")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .flatMap { p =>
+        val conf = confBc.value.value
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val len = fs.getFileStatus(hp).getLen
+        def readTail(n: Long): Array[Byte] = {
+          require(n > 0 && n <= MaxOrcFooterRead,
+            s"orcRowIndexStats: $p declares a tail read of $n bytes " +
+              s"(cap $MaxOrcFooterRead) — corrupt postscript")
+          val want = math.min(len, n).toInt
+          val buf = new Array[Byte](want)
+          val in = fs.open(hp)
+          try in.readFully(len - want, buf, 0, want) finally in.close()
+          buf
+        }
+        val first = readTail(256L * 1024)
+        val meta = orcTailOf(first, len).orElse {
+          if (first.length < 2) None
+          else {
+            val psLen = first(first.length - 1) & 0xff
+            if (psLen < 1 || psLen + 1 > first.length) None
+            else {
+              val psStart = first.length - 1 - psLen
+              val ps = new PbReader(first, psStart, psStart + psLen)
+              var footerLen = -1L
+              while (ps.hasMore) {
+                val (f, w) = ps.tag()
+                if (f == 1 && w == 0) footerLen = ps.varint()
+                else ps.skip(w)
+              }
+              if (footerLen <= 0) None
+              else orcTailOf(readTail(1L + psLen + footerLen), len)
+            }
+          }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"orcRowIndexStats: $p is not a readable ORC file (or uses " +
+            "a metadata codec this census rejects)"))
+        if (meta.rowIndexStride <= 0) Iterator.empty // indexes disabled
+        else {
+          val codec = OrcCompressionNames.collectFirst {
+            case (code, name) if name == meta.compression => code
+          }.getOrElse(throw new IllegalStateException(
+            s"orcRowIndexStats: unmapped codec ${meta.compression}"))
+          val out = Vector.newBuilder[(String, Long, Long, Long, Long,
+            Boolean, String, Option[Long], Option[Long], Option[Double],
+            Option[Double], Option[String], Option[String])]
+          val in = fs.open(hp)
+          try {
+            meta.stripes.zipWithIndex.foreach {
+              case ((off, idxLen, datLen, sfl, rows), sid) =>
+                require(idxLen <= (64L << 20) && sfl <= (64L << 20),
+                  s"orcRowIndexStats: $p stripe $sid declares " +
+                    s"index/footer of $idxLen/$sfl bytes (cap 64 MiB)")
+                val sfBuf = new Array[Byte](sfl.toInt)
+                in.readFully(off + idxLen + datLen, sfBuf, 0, sfl.toInt)
+                val sf = orcSectionBytes(sfBuf, 0, sfl.toInt, codec)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"orcRowIndexStats: $p stripe $sid footer undecodable"))
+                // StripeFooter: repeated Stream { kind=1, column=2,
+                // length=3 } in PHYSICAL order (index region first)
+                val streams = Vector.newBuilder[(Long, Long, Long)]
+                val fr = new PbReader(sf, 0, sf.length)
+                var ok = true
+                while (fr.hasMore && ok) {
+                  val (f, w) = fr.tag()
+                  if (fr.bad) ok = false
+                  else if (f == 1 && w == 2) {
+                    val (o, l) = fr.lenDelim()
+                    if (fr.bad) ok = false
+                    else {
+                      val sr = new PbReader(sf, o, o + l)
+                      var kind = -1L; var column = -1L; var slen = -1L
+                      while (sr.hasMore && ok) {
+                        val (kf, kw) = sr.tag()
+                        if (sr.bad) ok = false
+                        else (kf, kw) match {
+                          case (1, 0) => kind = sr.varint()
+                          case (2, 0) => column = sr.varint()
+                          case (3, 0) => slen = sr.varint()
+                          case (_, wire) => sr.skip(wire); if (sr.bad) ok = false
+                        }
+                      }
+                      if (kind < 0 || column < 0 || slen < 0) ok = false
+                      else streams += ((kind, column, slen))
+                    }
+                  } else { fr.skip(w); if (fr.bad) ok = false }
+                }
+                if (!ok) throw new IllegalArgumentException(
+                  s"orcRowIndexStats: $p stripe $sid footer malformed")
+                val idxBuf = new Array[Byte](idxLen.toInt)
+                in.readFully(off, idxBuf, 0, idxLen.toInt)
+                val expectEntries =
+                  (rows + meta.rowIndexStride - 1) / meta.rowIndexStride
+                var running = 0L
+                streams.result().foreach { case (kind, column, slen) =>
+                  if (kind == 6L) { // ROW_INDEX
+                    require(running + slen <= idxLen,
+                      s"orcRowIndexStats: $p stripe $sid column $column " +
+                        "ROW_INDEX stream escapes the index region")
+                    val ri = orcSectionBytes(idxBuf, running.toInt,
+                      (running + slen).toInt, codec)
+                      .getOrElse(throw new IllegalArgumentException(
+                        s"orcRowIndexStats: $p stripe $sid column " +
+                          s"$column ROW_INDEX undecodable"))
+                    val rr = new PbReader(ri, 0, ri.length)
+                    var rg = 0L
+                    while (rr.hasMore) {
+                      val (f, w) = rr.tag()
+                      if (rr.bad || f != 1 || w != 2)
+                        throw new IllegalArgumentException(
+                          s"orcRowIndexStats: $p stripe $sid column " +
+                            s"$column RowIndex malformed")
+                      val (eo, el) = rr.lenDelim()
+                      if (rr.bad) throw new IllegalArgumentException(
+                        s"orcRowIndexStats: $p stripe $sid column " +
+                          s"$column RowIndexEntry malformed")
+                      // RowIndexEntry: positions=1 (skipped),
+                      // statistics=2 (the shared message)
+                      val er = new PbReader(ri, eo, eo + el)
+                      var stats: Option[OrcColStatsVal] = None
+                      var eok = true
+                      while (er.hasMore && eok) {
+                        val (ef, ew) = er.tag()
+                        if (er.bad) eok = false
+                        else if (ef == 2 && ew == 2) {
+                          val (so, sl) = er.lenDelim()
+                          if (er.bad) eok = false
+                          else stats = orcColumnStatsAt(ri, so, sl)
+                        } else { er.skip(ew); if (er.bad) eok = false }
+                      }
+                      if (!eok) throw new IllegalArgumentException(
+                        s"orcRowIndexStats: $p stripe $sid column " +
+                          s"$column entry $rg malformed")
+                      stats.foreach { cs =>
+                        if (cs.kind != null && cs.nValues >= 0)
+                          out += ((hp.getName, sid.toLong, column, rg,
+                            cs.nValues, cs.hasNull, cs.kind, cs.intMin,
+                            cs.intMax, cs.dblMin, cs.dblMax, cs.strMin,
+                            cs.strMax))
+                      }
+                      rg += 1
+                    }
+                    require(rg == expectEntries,
+                      s"orcRowIndexStats: $p stripe $sid column $column " +
+                        s"has $rg row-index entries, expected " +
+                        s"$expectEntries (rows=$rows, stride=" +
+                        s"${meta.rowIndexStride})")
+                  }
+                  running += slen
+                }
+            }
+          } finally in.close()
+          out.result().iterator
+        }
+      }
+      .toDF("file_name", "stripe_id", "column_id", "row_group_id",
+        "n_values", "has_null", "kind", "int_min", "int_max",
+        "dbl_min", "dbl_max", "str_min", "str_max")
   }
 
   /** Iceberg `metadata.json` census — the ENTRY POINT of every

@@ -753,6 +753,100 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("orcRowIndexStats: per-row-group bounds match the written data per stripe") {
+    import graft.ops.StorageOps
+    val dir = java.nio.file.Files.createTempDirectory("orcridx").toString
+    val orcFile = new java.io.File(s"$dir/t/fixture.orc")
+    orcFile.getParentFile.mkdirs()
+    val schema = org.apache.orc.TypeDescription.fromString(
+      "struct<id:bigint,v:bigint,s:string,d:double>")
+    val writer = org.apache.orc.OrcFile.createWriter(
+      new org.apache.hadoop.fs.Path(orcFile.toString),
+      org.apache.orc.OrcFile.writerOptions(
+          spark.sparkContext.hadoopConfiguration)
+        .setSchema(schema)
+        .stripeSize(65536L) // tiny: force multiple stripes
+        .compress(org.apache.orc.CompressionKind.ZLIB))
+    val batch = schema.createRowBatch()
+    val idV = batch.cols(0).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    val vV = batch.cols(1).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    val sV = batch.cols(2).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.BytesColumnVector]
+    val dV = batch.cols(3).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.DoubleColumnVector]
+    vV.noNulls = false
+    val total = 60000L
+    var i = 0L
+    while (i < total) {
+      val r = batch.size
+      idV.vector(r) = i
+      // batch.reset() flips noNulls back to true — re-clear per null
+      // or only the first 1024-row batch records its nulls
+      if (i % 11 == 0) {
+        vV.noNulls = false; vV.isNull(r) = true; vV.vector(r) = 0L
+      } else { vV.isNull(r) = false; vV.vector(r) = i * 3 }
+      sV.setVal(r, f"s$i%07d".getBytes("UTF-8")) // monotonic in i
+      dV.vector(r) = i * 0.5
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { writer.addRowBatch(batch); batch.reset() }
+      i += 1
+    }
+    if (batch.size > 0) writer.addRowBatch(batch)
+    writer.close()
+    // stripe geometry from the independent reader
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(orcFile.toString),
+      org.apache.orc.OrcFile.readerOptions(
+        spark.sparkContext.hadoopConfiguration))
+    import scala.jdk.CollectionConverters._
+    val stripeRows = reader.getStripes.asScala.map(_.getNumberOfRows).toVector
+    reader.close()
+    assert(stripeRows.length > 1, "fixture must span multiple stripes")
+    val rows = StorageOps.orcRowIndexStats(spark, Seq(s"$dir/t"))
+      .orderBy("stripe_id", "column_id", "row_group_id").collect()
+    assert(rows.nonEmpty)
+    // every (stripe, column, row-group) bound replays from arithmetic
+    // over the written data — including per-GROUP null accounting
+    val stripeStart = stripeRows.scanLeft(0L)(_ + _)
+    var checked = 0
+    rows.foreach { r =>
+      val (sid, cid, rg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val lo = stripeStart(sid.toInt) + rg * 10000
+      val hi = math.min(lo + 10000, stripeStart(sid.toInt) + stripeRows(sid.toInt)) - 1
+      val span = hi - lo + 1
+      val kind = r.getString(6)
+      cid match {
+        case 1L => // id: dense long
+          assert(kind == "int" && r.getLong(4) == span && !r.getBoolean(5))
+          assert(r.getLong(7) == lo && r.getLong(8) == hi, s"s$sid c1 g$rg")
+          checked += 1
+        case 2L => // v: null on multiples of 11 (lo=0 includes row 0;
+          // (-1)/11 truncates to 0 in Scala, so special-case it)
+          val nulls = hi / 11 - (if (lo == 0) -1L else (lo - 1) / 11)
+          assert(kind == "int" && r.getLong(4) == span - nulls &&
+            r.getBoolean(5), s"s$sid c2 g$rg")
+          val firstLive = if (lo % 11 == 0) lo + 1 else lo
+          val lastLive = if (hi % 11 == 0) hi - 1 else hi
+          assert(r.getLong(7) == firstLive * 3 && r.getLong(8) == lastLive * 3)
+          checked += 1
+        case 3L => // s: monotonic zero-padded string
+          assert(kind == "string" && r.getString(11) == f"s$lo%07d" &&
+            r.getString(12) == f"s$hi%07d", s"s$sid c3 g$rg")
+          checked += 1
+        case 4L => // d: i * 0.5
+          assert(kind == "double" && r.getDouble(9) == lo * 0.5 &&
+            r.getDouble(10) == hi * 0.5, s"s$sid c4 g$rg")
+          checked += 1
+        case _ => // root struct (0): no prunable bounds expected here
+      }
+    }
+    val expectGroups = stripeRows.map(n => (n + 9999) / 10000).sum
+    assert(checked == 4 * expectGroups,
+      s"checked $checked, expected ${4 * expectGroups}")
+  }
+
   test("puffin: framing walk, DV blob decode, tamper/compressed rejects, fuzz") {
     import graft.ops.StorageOps
     import org.apache.spark.sql.functions._
