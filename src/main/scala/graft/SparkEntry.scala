@@ -7760,6 +7760,23 @@ object SparkEntry {
             col("str_min"), col("str_max"))
           .orderBy("stripe_id", "column_id", "row_group_id")
       },
+      "q_orc_bloom" -> { (s, dir) =>
+        // ORC BLOOM probe (the ORC sibling of q_parquet_bloom): one
+        // BloomFilterUtf8 per ROW GROUP; probing the global distinct
+        // o_orderpriority values — each present in every 10k-row
+        // group of the sorted staging — makes no-false-negatives a
+        // closed form: per-group hits == per-group count(DISTINCT)
+        import s.implicits._
+        val staged = stageOrcRowIndexFiles(s, dir)
+        val probes = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderpriority")).distinct()
+          .orderBy("o_orderpriority").as[String].collect().toSeq
+        graft.ops.StorageOps.orcBloomProbe(
+            s, Seq(s"$staged/orders"), 6L, probes)
+          .select(col("stripe_id"), col("column_id"),
+            col("row_group_id"), col("n_hits"))
+          .orderBy("row_group_id")
+      },
       "q_multimodal_gguf" -> { (s, dir) =>
         // GGUF checkpoint census: KV walk (alignment from the file's
         // own metadata) + per-tensor exact byte spans, no weight reads
@@ -9325,6 +9342,7 @@ object SparkEntry {
       s.read.parquet(s"$dir/orders.parquet")
         .repartition(1).sortWithinPartitions("o_orderkey")
         .write.mode("overwrite").option("compression", "zlib")
+        .option("orc.bloom.filter.columns", "o_orderpriority")
         .orc(s"$out/orders")
       out
     }
@@ -9674,6 +9692,17 @@ object SparkEntry {
         "q_orc_stats" -> orcStatsOracleSql,
         "q_orc_stats_typed" -> orcStatsTypedOracleSql,
         "q_orc_row_index" -> orcRowIndexOracleSql,
+        "q_orc_bloom" ->
+          s"""WITH r AS (
+             |  SELECT o_orderpriority,
+             |         CAST((row_number() OVER (ORDER BY o_orderkey) - 1)
+             |              // 10000 AS BIGINT) AS rg
+             |  FROM read_parquet('$oracleDir/orders.parquet'))
+             |SELECT CAST(0 AS BIGINT) AS stripe_id,
+             |       CAST(6 AS BIGINT) AS column_id,
+             |       rg AS row_group_id,
+             |       count(DISTINCT o_orderpriority) AS n_hits
+             |FROM r GROUP BY rg ORDER BY row_group_id""".stripMargin,
         "q_parquet_stats" -> parquetStatsOracleSql,
         // page-index rows aggregated to chunks replay DuckDB's chunk
         // statistics of the SAME staged files — two readers, two

@@ -1771,6 +1771,239 @@ object StorageOps {
         "dbl_min", "dbl_max", "str_min", "str_max")
   }
 
+  /** Test one value against an ORC BloomFilterUtf8 bitset (the
+    * little-endian long array of the `utf8bitset` field): the spec's
+    * probe rule — split the 64-bit hash into two 32-bit halves,
+    * combined_i = h1 + i·h2 (INT arithmetic, negatives bit-flipped),
+    * bit combined_i mod numBits for i in 1..k.  No false negatives by
+    * construction; false positives are the design trade.
+    */
+  private[graft] def orcBloomTest(
+      bitset: Array[Long], numHashFunctions: Int, hash64: Long): Boolean = {
+    val numBits = bitset.length * 64
+    if (numBits == 0 || numHashFunctions <= 0) return false
+    val h1 = hash64.toInt
+    val h2 = (hash64 >>> 32).toInt
+    var i = 1
+    while (i <= numHashFunctions) {
+      var combined = h1 + i * h2
+      if (combined < 0) combined = ~combined
+      val pos = combined % numBits
+      if ((bitset(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** ORC BLOOM-FILTER probe census — the ORC sibling of
+    * [[parquetBloomProbe]], completing the bloom symmetry the same
+    * way [[orcRowIndexStats]] completes the zone-map one: each
+    * stripe's BLOOM_FILTER_UTF8 (kind 8) stream for `column` decodes
+    * to `BloomFilterIndex { repeated BloomFilter }` — ONE filter per
+    * row group — and every probe string is tested through the spec's
+    * split-hash rule with orc-core's own Murmur3 64-bit hash (the
+    * hash is the library's contract; the framing walk stays
+    * from-spec).  Planner contract: NO FALSE NEGATIVES — a probe
+    * present in the row group always hits; emit (row group, filter
+    * geometry, hit count).  `probes` ships with the closure: a
+    * bounded dictionary, not a join (loud cap, as in the parquet
+    * flavor).
+    */
+  def orcBloomProbe(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      column: Long, probes: Seq[String],
+      maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    require(probes.size <= 100000,
+      s"orcBloomProbe: ${probes.size} probe values — use a join for " +
+        "large key sets, the closure-shipped probe is for bounded " +
+        "dictionaries")
+    val files =
+      listFilesBounded(spark, paths, ".orc", maxFiles, "orcBloomProbe")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val probesBc = spark.sparkContext.broadcast(
+      probes.map(_.getBytes("UTF-8")).toArray)
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .flatMap { p =>
+        val conf = confBc.value.value
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val len = fs.getFileStatus(hp).getLen
+        def readTail(n: Long): Array[Byte] = {
+          require(n > 0 && n <= MaxOrcFooterRead,
+            s"orcBloomProbe: $p declares a tail read of $n bytes " +
+              s"(cap $MaxOrcFooterRead) — corrupt postscript")
+          val want = math.min(len, n).toInt
+          val buf = new Array[Byte](want)
+          val in = fs.open(hp)
+          try in.readFully(len - want, buf, 0, want) finally in.close()
+          buf
+        }
+        val first = readTail(256L * 1024)
+        val meta = orcTailOf(first, len).orElse {
+          if (first.length < 2) None
+          else {
+            val psLen = first(first.length - 1) & 0xff
+            if (psLen < 1 || psLen + 1 > first.length) None
+            else {
+              val psStart = first.length - 1 - psLen
+              val ps = new PbReader(first, psStart, psStart + psLen)
+              var footerLen = -1L
+              while (ps.hasMore) {
+                val (f, w) = ps.tag()
+                if (f == 1 && w == 0) footerLen = ps.varint()
+                else ps.skip(w)
+              }
+              if (footerLen <= 0) None
+              else orcTailOf(readTail(1L + psLen + footerLen), len)
+            }
+          }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"orcBloomProbe: $p is not a readable ORC file (or uses a " +
+            "metadata codec this census rejects)"))
+        val codec = OrcCompressionNames.collectFirst {
+          case (code, name) if name == meta.compression => code
+        }.getOrElse(throw new IllegalStateException(
+          s"orcBloomProbe: unmapped codec ${meta.compression}"))
+        val probeHashes = probesBc.value
+          .map(org.apache.orc.util.Murmur3.hash64)
+        val out = Vector.newBuilder[
+          (String, Long, Long, Long, Long, Long, Long)]
+        val in = fs.open(hp)
+        try {
+          meta.stripes.zipWithIndex.foreach {
+            case ((off, idxLen, datLen, sfl, rows), sid) =>
+              require(idxLen <= (64L << 20) && sfl <= (64L << 20),
+                s"orcBloomProbe: $p stripe $sid declares index/footer " +
+                  s"of $idxLen/$sfl bytes (cap 64 MiB)")
+              val sfBuf = new Array[Byte](sfl.toInt)
+              in.readFully(off + idxLen + datLen, sfBuf, 0, sfl.toInt)
+              val sf = orcSectionBytes(sfBuf, 0, sfl.toInt, codec)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"orcBloomProbe: $p stripe $sid footer undecodable"))
+              val fr = new PbReader(sf, 0, sf.length)
+              var running = 0L
+              var idxBuf: Array[Byte] = null
+              while (fr.hasMore) {
+                val (f, w) = fr.tag()
+                if (fr.bad) throw new IllegalArgumentException(
+                  s"orcBloomProbe: $p stripe $sid footer malformed")
+                if (f == 1 && w == 2) {
+                  val (o, l) = fr.lenDelim()
+                  if (fr.bad) throw new IllegalArgumentException(
+                    s"orcBloomProbe: $p stripe $sid stream malformed")
+                  val sr = new PbReader(sf, o, o + l)
+                  var kind = -1L; var scol = -1L; var slen = -1L
+                  while (sr.hasMore) {
+                    val (kf, kw) = sr.tag()
+                    if (sr.bad) throw new IllegalArgumentException(
+                      s"orcBloomProbe: $p stripe $sid stream malformed")
+                    (kf, kw) match {
+                      case (1, 0) => kind = sr.varint()
+                      case (2, 0) => scol = sr.varint()
+                      case (3, 0) => slen = sr.varint()
+                      case (_, wire) => sr.skip(wire)
+                    }
+                  }
+                  if (kind < 0 || scol < 0 || slen < 0)
+                    throw new IllegalArgumentException(
+                      s"orcBloomProbe: $p stripe $sid stream malformed")
+                  if (kind == 8L && scol == column) { // BLOOM_FILTER_UTF8
+                    require(running + slen <= idxLen,
+                      s"orcBloomProbe: $p stripe $sid column $column " +
+                        "bloom stream escapes the index region")
+                    if (idxBuf == null) {
+                      idxBuf = new Array[Byte](idxLen.toInt)
+                      in.readFully(off, idxBuf, 0, idxLen.toInt)
+                    }
+                    val bi = orcSectionBytes(idxBuf, running.toInt,
+                      (running + slen).toInt, codec)
+                      .getOrElse(throw new IllegalArgumentException(
+                        s"orcBloomProbe: $p stripe $sid column $column " +
+                          "bloom stream undecodable"))
+                    // BloomFilterIndex { repeated BloomFilter = 1 };
+                    // BloomFilter { numHashFunctions=1,
+                    //   utf8bitset=3 (LE longs) }
+                    val br = new PbReader(bi, 0, bi.length)
+                    var rg = 0L
+                    while (br.hasMore) {
+                      val (bf, bw) = br.tag()
+                      if (br.bad || bf != 1 || bw != 2)
+                        throw new IllegalArgumentException(
+                          s"orcBloomProbe: $p stripe $sid column " +
+                            s"$column BloomFilterIndex malformed")
+                      val (bo, bl) = br.lenDelim()
+                      if (br.bad) throw new IllegalArgumentException(
+                        s"orcBloomProbe: $p stripe $sid column $column " +
+                          "BloomFilter malformed")
+                      val er = new PbReader(bi, bo, bo + bl)
+                      var k = 0L
+                      var bits: Array[Long] = Array.emptyLongArray
+                      while (er.hasMore) {
+                        val (ef, ew) = er.tag()
+                        if (er.bad) throw new IllegalArgumentException(
+                          s"orcBloomProbe: $p stripe $sid column " +
+                            s"$column BloomFilter malformed")
+                        (ef, ew) match {
+                          case (1, 0) => k = er.varint()
+                          case (3, 2) =>
+                            val (uo, ul) = er.lenDelim()
+                            if (er.bad || ul % 8 != 0)
+                              throw new IllegalArgumentException(
+                                s"orcBloomProbe: $p stripe $sid column " +
+                                  s"$column utf8bitset not long-aligned")
+                            bits = new Array[Long](ul / 8)
+                            var bj = 0
+                            while (bj < bits.length) {
+                              var v = 0L
+                              var t = 7
+                              while (t >= 0) {
+                                v = (v << 8) | (bi(uo + bj * 8 + t) & 0xffL)
+                                t -= 1
+                              }
+                              bits(bj) = v
+                              bj += 1
+                            }
+                          case (_, wire) => er.skip(wire)
+                        }
+                      }
+                      var hits = 0L
+                      var pi = 0
+                      while (pi < probeHashes.length) {
+                        if (orcBloomTest(bits, k.toInt, probeHashes(pi)))
+                          hits += 1
+                        pi += 1
+                      }
+                      out += ((hp.getName, sid.toLong, column, rg,
+                        k, bits.length.toLong * 64, hits))
+                      rg += 1
+                    }
+                    val expect =
+                      if (meta.rowIndexStride > 0)
+                        (rows + meta.rowIndexStride - 1) / meta.rowIndexStride
+                      else 0L
+                    require(meta.rowIndexStride > 0 && rg == expect,
+                      s"orcBloomProbe: $p stripe $sid column $column " +
+                        s"has $rg bloom filters, expected $expect")
+                  }
+                  running += slen
+                } else {
+                  fr.skip(w)
+                  if (fr.bad) throw new IllegalArgumentException(
+                    s"orcBloomProbe: $p stripe $sid footer malformed")
+                }
+              }
+          }
+        } finally in.close()
+        out.result().iterator
+      }
+      .toDF("file_name", "stripe_id", "column_id", "row_group_id",
+        "n_hash_functions", "n_bits", "n_hits")
+  }
+
   /** Iceberg `metadata.json` census — the ENTRY POINT of every
     * Iceberg read, completing the chain above the r15 manifest-list
     * and manifest censuses: schema-EXPLICIT `from_json` parse (never

@@ -847,6 +847,58 @@ class StorageSpec extends AnyFunSuite {
       s"checked $checked, expected ${4 * expectGroups}")
   }
 
+  test("orcBloomProbe: no false negatives per row group; FP rate bounded") {
+    import graft.ops.StorageOps
+    val dir = java.nio.file.Files.createTempDirectory("orcbloom").toString
+    val orcFile = new java.io.File(s"$dir/t/fixture.orc")
+    orcFile.getParentFile.mkdirs()
+    val schema = org.apache.orc.TypeDescription.fromString(
+      "struct<id:bigint,s:string>")
+    val writer = org.apache.orc.OrcFile.createWriter(
+      new org.apache.hadoop.fs.Path(orcFile.toString),
+      org.apache.orc.OrcFile.writerOptions(
+          spark.sparkContext.hadoopConfiguration)
+        .setSchema(schema)
+        .bloomFilterColumns("s")
+        .compress(org.apache.orc.CompressionKind.ZLIB))
+    val batch = schema.createRowBatch()
+    val idV = batch.cols(0).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    val sV = batch.cols(1).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.BytesColumnVector]
+    var i = 0L
+    while (i < 30000L) {
+      val r = batch.size
+      idV.vector(r) = i
+      sV.setVal(r, f"s$i%07d".getBytes("UTF-8"))
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { writer.addRowBatch(batch); batch.reset() }
+      i += 1
+    }
+    if (batch.size > 0) writer.addRowBatch(batch)
+    writer.close()
+    // 10 strings present ONLY in row group 0, plus 10 absent strings
+    val present = (0 until 10).map(j => f"s$j%07d")
+    val absent = (0 until 10).map(j => s"zz-absent-$j")
+    val rows = StorageOps.orcBloomProbe(
+        spark, Seq(s"$dir/t"), 2L, present ++ absent)
+      .orderBy("stripe_id", "row_group_id").collect()
+    assert(rows.nonEmpty)
+    // geometry sane, one filter per row group (single stripe: 3 groups)
+    assert(rows.forall(r => r.getLong(4) > 0 && r.getLong(5) % 64 == 0))
+    val byGroup = rows.map(r =>
+      ((r.getLong(1), r.getLong(3)), r.getLong(6))).toMap
+    // NO FALSE NEGATIVES: group 0 must hit all 10 present probes
+    assert(byGroup((0L, 0L)) >= 10, s"group 0 hits ${byGroup((0L, 0L))}")
+    // FP bound: groups 1+ contain NONE of the probes — any hit is a
+    // false positive; at fpp=0.05, 20 probes should FP well under 5
+    byGroup.filterKeys(_ != (0L, 0L)).foreach { case (g, hits) =>
+      assert(hits <= 5, s"group $g: $hits false positives of 20 probes")
+    }
+    // and group 0's own overshoot is only FPs on the 10 absent probes
+    assert(byGroup((0L, 0L)) <= 15)
+  }
+
   test("puffin: framing walk, DV blob decode, tamper/compressed rejects, fuzz") {
     import graft.ops.StorageOps
     import org.apache.spark.sql.functions._
