@@ -7748,10 +7748,10 @@ object SparkEntry {
         // through the same from-spec walk; the fixture is staged in
         // o_orderkey order so DuckDB replays row-group membership as
         // row_number() arithmetic — typed bounds for an int, a
-        // double, and a string column
+        // double, a timestamp (UTC epoch-millis), and a string column
         val staged = stageOrcRowIndexFiles(s, dir)
         graft.ops.StorageOps.orcRowIndexStats(s, Seq(s"$staged/orders"))
-          .filter(col("column_id").isin(1, 4, 6))
+          .filter(col("column_id").isin(1, 4, 5, 6))
           .select(col("stripe_id"), col("column_id"),
             col("row_group_id"), col("kind"), col("n_values"),
             col("has_null").cast("long").as("has_null"),
@@ -9340,6 +9340,11 @@ object SparkEntry {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-orcridx-stage-$md"
       s.read.parquet(s"$dir/orders.parquet")
+        // NTZ timestamps land in ORC as int64 micros; the INSTANT
+        // cast makes column 5 a true ORC timestamp so the census
+        // exercises TimestampStatistics (session TZ is UTC, so the
+        // UTC-epoch-millis bounds equal DuckDB's epoch_ms replay)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
         .repartition(1).sortWithinPartitions("o_orderkey")
         .write.mode("overwrite").option("compression", "zlib")
         .option("orc.bloom.filter.columns", "o_orderpriority")
@@ -9818,7 +9823,7 @@ object SparkEntry {
     */
   private def orcRowIndexOracleSql: String =
     s"""WITH r AS (
-       |  SELECT o_orderkey, o_totalprice, o_orderpriority,
+       |  SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderdate,
        |         CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 10000
        |              AS BIGINT) AS rg
        |  FROM read_parquet('$oracleDir/orders.parquet')),
@@ -9826,7 +9831,9 @@ object SparkEntry {
        |  SELECT rg, count(*) AS n,
        |         min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
        |         min(o_totalprice) AS p_min, max(o_totalprice) AS p_max,
-       |         min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max
+       |         min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max,
+       |         epoch_ms(min(o_orderdate)) AS t_min,
+       |         epoch_ms(max(o_orderdate)) AS t_max
        |  FROM r GROUP BY rg)
        |SELECT * FROM (
        |  SELECT CAST(0 AS BIGINT) AS stripe_id,
@@ -9846,6 +9853,13 @@ object SparkEntry {
        |         CAST(n AS BIGINT), CAST(0 AS BIGINT),
        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        |         p_min, p_max,
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       |  FROM g
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), CAST(5 AS BIGINT), rg, 'timestamp',
+       |         CAST(n AS BIGINT), CAST(0 AS BIGINT),
+       |         CAST(t_min AS BIGINT), CAST(t_max AS BIGINT),
+       |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
        |  FROM g
        |  UNION ALL

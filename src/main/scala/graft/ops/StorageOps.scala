@@ -1017,9 +1017,9 @@ object StorageOps {
 
   /** One (stripe, column) zone-map row from the ORC Metadata section:
     * `kind` names the statistics message that carried bounds ("int",
-    * "double", "string", "date" — dates as epoch-days in the int
-    * columns); unset bounds stay None (ORC stats fields are all
-    * optional).
+    * "double", "string", "date", "timestamp" — dates as epoch-days
+    * and timestamps as UTC epoch-millis in the int columns); unset
+    * bounds stay None (ORC stats fields are all optional).
     */
   final case class OrcStripeColStats(
       stripeId: Long, columnId: Long, nValues: Long, hasNull: Boolean,
@@ -1047,7 +1047,8 @@ object StorageOps {
   /** Parse one ORC ColumnStatistics message at [o, o+l) of `buf`:
     * Integer (sint64 zigzag), Double (fixed64), String (exact
     * minimum/maximum only), Date (sint32 zigzag epoch-days through
-    * the int fields).  None on malformed bytes.
+    * the int fields), Timestamp (UTC epoch-millis through the int
+    * fields).  None on malformed bytes.
     */
   private def orcColumnStatsAt(
       buf: Array[Byte], o: Int, l: Int): Option[OrcColStatsVal] = {
@@ -1133,6 +1134,24 @@ object StorageOps {
             (inf, iw) match {
               case (1, 0) => intMin = Some(unzig(ir.varint())); kind = "date"
               case (2, 0) => intMax = Some(unzig(ir.varint())); kind = "date"
+              case (_, wire) => ir.skip(wire)
+            }
+            if (ir.bad) return None
+          }
+        case (9, 2) => // TimestampStatistics: UTC epoch-millis only
+          // (fields 3/4 — the well-defined pair every modern writer
+          // emits; the writer-timezone fields 1/2 are skipped)
+          val (io, il) = cr.lenDelim()
+          if (cr.bad) return None
+          val ir = new PbReader(buf, io, io + il)
+          while (ir.hasMore) {
+            val (inf, iw) = ir.tag()
+            if (ir.bad) return None
+            (inf, iw) match {
+              case (3, 0) =>
+                intMin = Some(unzig(ir.varint())); kind = "timestamp"
+              case (4, 0) =>
+                intMax = Some(unzig(ir.varint())); kind = "timestamp"
               case (_, wire) => ir.skip(wire)
             }
             if (ir.bad) return None

@@ -484,7 +484,8 @@ class StorageSpec extends AnyFunSuite {
     val orcFile = new java.io.File(s"$dir/t/fixture.orc")
     orcFile.getParentFile.mkdirs()
     val schema = org.apache.orc.TypeDescription.fromString(
-      "struct<id:bigint,small:int,v:bigint,s:string,d:double,dt:date>")
+      "struct<id:bigint,small:int,v:bigint,s:string,d:double,dt:date," +
+        "ts:timestamp>")
     val writer = org.apache.orc.OrcFile.createWriter(
       new org.apache.hadoop.fs.Path(orcFile.toString),
       org.apache.orc.OrcFile.writerOptions(
@@ -505,6 +506,8 @@ class StorageSpec extends AnyFunSuite {
       org.apache.hadoop.hive.ql.exec.vector.DoubleColumnVector]
     val dtV = batch.cols(5).asInstanceOf[
       org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    val tsV = batch.cols(6).asInstanceOf[
+      org.apache.hadoop.hive.ql.exec.vector.TimestampColumnVector]
     vV.noNulls = false
     var i = 0L
     while (i < 200000L) {
@@ -516,6 +519,7 @@ class StorageSpec extends AnyFunSuite {
       sV.setVal(r, f"s${i % 89}%04d".getBytes("UTF-8"))
       dV.vector(r) = math.sin(i.toDouble) * 1000.0
       dtV.vector(r) = i % 365 - 30 // negative epoch-days in-envelope
+      tsV.time(r) = 1600000000000L + i * 250; tsV.nanos(r) = 0
       batch.size += 1
       if (batch.size == batch.getMaxSize) { writer.addRowBatch(batch); batch.reset() }
       i += 1
@@ -529,6 +533,8 @@ class StorageSpec extends AnyFunSuite {
     val got = rows.filter(_.getString(5) == "int")
       .map(r => (key(r), r.getLong(6), r.getLong(7))).toSeq
     val gotDate = rows.filter(_.getString(5) == "date")
+      .map(r => (key(r), r.getLong(6), r.getLong(7))).toSeq
+    val gotTs = rows.filter(_.getString(5) == "timestamp")
       .map(r => (key(r), r.getLong(6), r.getLong(7))).toSeq
     val gotStr = rows.filter(_.getString(5) == "string")
       .map(r => (key(r), r.getString(10), r.getString(11))).toSeq
@@ -571,8 +577,16 @@ class StorageSpec extends AnyFunSuite {
           (libKey(sid, cid, cs), cs.getMinimum, cs.getMaximum)
       }
     }
+    val libTs = stripeStats.flatMap { case (sid, cols) =>
+      cols.collect {
+        case (cs: org.apache.orc.TimestampColumnStatistics, cid) =>
+          (libKey(sid, cid, cs),
+            cs.getMinimumUTC.getTime, cs.getMaximumUTC.getTime)
+      }
+    }
     reader.close()
     assert(got.nonEmpty && got == lib)
+    assert(gotTs.nonEmpty && gotTs == libTs)
     assert(gotDate.nonEmpty && gotDate == libDate)
     assert(gotStr.nonEmpty && gotStr == libStr)
     assert(gotDbl.nonEmpty && gotDbl == libDbl)
