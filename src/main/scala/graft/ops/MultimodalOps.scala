@@ -9227,6 +9227,32 @@ object MultimodalOps {
     Some(PdfCodeMap(codeBytes, map.toMap))
   }
 
+  /** Decode a PDF name token's `#xx` escapes (ISO 32000-1 §7.3.5):
+    * `F#31` → "F1".  A `#` not followed by two hex digits passes
+    * through verbatim (lenient, like every reader).  Applied to font
+    * RESOURCE names on both the declaration and the Tf-operand side,
+    * so `/F#31` and `/F1` resolve to the same key.
+    */
+  private def pdfDecodeName(s: String): String = {
+    if (s.indexOf('#') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    def hexV(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '#' && i + 2 < s.length &&
+        hexV(s(i + 1)) >= 0 && hexV(s(i + 2)) >= 0) {
+        sb += ((hexV(s(i + 1)) << 4) | hexV(s(i + 2))).toChar
+        i += 3
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   /** Resolve a dict VALUE that is itself a dictionary: inline
     * `<< … >>` after the key, or an indirect reference through the
     * xref.
@@ -9285,7 +9311,7 @@ object MultimodalOps {
         i += 1
         while (i < inner.length && !isPdfWs(inner(i)) &&
           !isPdfDelim(inner(i))) i += 1
-        val name = inner.substring(s0, i)
+        val name = pdfDecodeName(inner.substring(s0, i))
         if (name.isEmpty) return Left(())
         while (i < inner.length && isPdfWs(inner(i))) i += 1
         nFonts += 1
@@ -9438,7 +9464,8 @@ object MultimodalOps {
           val x = data(i) & 0xff
           !isPdfWs(x.toChar) && !isPdfDelim(x.toChar)
         }) i += 1
-        lastName = new String(data, start, i - start, "ISO-8859-1")
+        lastName = pdfDecodeName(
+          new String(data, start, i - start, "ISO-8859-1"))
       } else if (isPdfWs(c.toChar) || isPdfDelim(c.toChar)) {
         i += 1
       } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||

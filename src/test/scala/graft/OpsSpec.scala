@@ -1933,6 +1933,8 @@ class OpsSpec extends AnyFunSuite {
     assert(scan("/C 1 Tf <11FF> Tj") == "�")      // unmapped code
     assert(scan("/C 1 Tf <110011> Tj") == "hi�")  // trailing partial
     assert(scan("/C 1 Tf [ <1100> -2 <1101> ] TJ") == "hi!") // per-piece
+    // #xx name escapes resolve to the same key on the Tf side
+    assert(scan("/#43 1 Tf <1100> Tj") == "hi") // /#43 == /C
     // a Type0 font whose ToUnicode is GONE makes the document's text
     // unrecoverable: the walk must reject (drop, never garble) —
     // equal-length key swap keeps every xref offset valid
