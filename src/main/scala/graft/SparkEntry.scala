@@ -4506,6 +4506,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'part-0-0.parquet', CAST(9999 AS BIGINT), CAST(10 AS BIGINT))
         |ORDER BY path""".stripMargin,
+        // v2 checkpoint: same table, same state — the third layout,
+    // the same IDENTICAL oracle
+    "q_delta_checkpoint_v2" ->
+      s"""WITH vk AS (
+        |  SELECT v, k
+        |  FROM generate_series(0, 11) t(v), generate_series(0, 2) u(k)),
+        |removed AS (
+        |  SELECT v - 3 AS rv, v % 3 AS rk FROM generate_series(3, 11) t(v)),
+        |live AS (
+        |  SELECT v, k FROM vk
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM removed r WHERE r.rv = vk.v AND r.rk = vk.k))
+        |SELECT * FROM (
+        |  SELECT 'part-' || CAST(v AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |           || '.parquet' AS path,
+        |         CAST(1000 + 137 * v + k AS BIGINT) AS size,
+        |         CAST(CASE WHEN v > 9 THEN v ELSE 9 END AS BIGINT) AS version_added
+        |  FROM live
+        |  UNION ALL
+        |  SELECT 'part-0-0.parquet', CAST(9999 AS BIGINT), CAST(10 AS BIGINT))
+        |ORDER BY path""".stripMargin,
     // GGUF replay: tensor table as id arithmetic — 52-byte infos, the
     // fixed 102-byte header+KV prefix, 32-aligned running offsets
     "q_multimodal_gguf" ->
@@ -9217,6 +9238,15 @@ object SparkEntry {
         graft.ops.StorageOps.deltaLogStateFromCheckpoint(s, staged)
           .orderBy("path")
       },
+      "q_delta_checkpoint_v2" -> { (s, dir) =>
+        // the v2 (UUID-named) checkpoint LAYOUT: tombstones + sidecar
+        // actions in the top file, adds in _sidecars/ files — the
+        // THIRD physical layout onto the same oracle (single-file,
+        // multi-part, v2: one answer)
+        val staged = stageDeltaLogCheckpointedV2(s, dir)
+        graft.ops.StorageOps.deltaLogStateFromCheckpoint(s, staged)
+          .orderBy("path")
+      },
       "q_shard_census_stream" -> { (s, dir) =>
         // shards land as files; the binaryFile stream censuses each
         // exactly once — drained stream == batch walk (same oracle as
@@ -9365,13 +9395,26 @@ object SparkEntry {
       s: SparkSession, dir: String): String =
     stageDeltaLogCheckpointedImpl(s, dir, parts = 2)
 
+  /** Same table, v2 (UUID-named) checkpoint LAYOUT: the top file
+    * carries the tombstones plus `sidecar` actions naming two
+    * `_sidecars/` files that split the adds — the third physical
+    * layout onto the same oracle.  parts == 0 is the v2 marker.
+    */
+  private[graft] def stageDeltaLogCheckpointedV2(
+      s: SparkSession, dir: String): String =
+    stageDeltaLogCheckpointedImpl(s, dir, parts = 0)
+
   private def stageDeltaLogCheckpointedImpl(
       s: SparkSession, dir: String, parts: Int): String =
     stageLock.synchronized {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
-      val sub = if (parts == 1) "deltalogcp" else s"deltalogcp$parts"
+      val sub = parts match {
+        case 1 => "deltalogcp"
+        case 0 => "deltalogcpv2"
+        case n => s"deltalogcp$n"
+      }
       val staged = java.nio.file.Paths.get("/tmp/graft-stream", key, sub)
       java.nio.file.Files.createDirectories(staged)
       (0 until 12).foreach { v =>
@@ -9388,10 +9431,16 @@ object SparkEntry {
           lines.result().mkString("\n").getBytes("UTF-8"))
       }
       val cpVersion = 9
+      val sidecarNames = Seq("sc-00001.parquet", "sc-00002.parquet")
       val cpFiles: Seq[java.nio.file.Path] =
         if (parts == 1)
           Seq(staged.resolve(f"$cpVersion%020d.checkpoint.parquet"))
-        else (1 to parts).map(i => staged.resolve(
+        else if (parts == 0) { // v2: UUID top + sidecars
+          java.nio.file.Files.createDirectories(staged.resolve("_sidecars"))
+          staged.resolve(f"$cpVersion%020d.checkpoint." +
+            "0f16aa71-0000-4000-8000-000000000016.parquet") +:
+            sidecarNames.map(n => staged.resolve("_sidecars").resolve(n))
+        } else (1 to parts).map(i => staged.resolve(
           f"$cpVersion%020d.checkpoint.$i%010d.$parts%010d.parquet"))
       if (!cpFiles.forall(java.nio.file.Files.exists(_))) {
         // the state at v9 by the same replay rules, in driver code:
@@ -9416,10 +9465,31 @@ object SparkEntry {
               .as("add"),
               fstruct(fcol("p").as("path")).as("remove"))
         // single-part: one file with everything; multi-part: adds in
-        // part 1, tombstones in part 2 (the split is arbitrary by
-        // design — the reader must not care)
+        // part 1, tombstones in part 2; v2: tombstones + sidecar
+        // actions in the UUID top file, adds split across the two
+        // sidecars (the split is arbitrary by design — the reader
+        // must not care)
         val chunks =
           if (parts == 1) Seq(addsDf.unionByName(removesDf))
+          else if (parts == 0) {
+            val scType = "struct<path:string>"
+            val addType = "struct<path:string,size:bigint,dataChange:boolean>"
+            val sidecarRows = sidecarNames.toDF("p")
+              .select(flit(null).cast(addType).as("add"),
+                flit(null).cast(scType).as("remove"),
+                fstruct(fcol("p").as("path")).as("sidecar"))
+            val top = removesDf
+              .select(fcol("add"), fcol("remove"),
+                flit(null).cast(scType).as("sidecar"))
+              .unionByName(sidecarRows)
+            val (evens, odds) = liveAdds.zipWithIndex.partition(_._2 % 2 == 0)
+            def addsChunk(xs: Seq[((String, Long, Boolean), Int)]) =
+              xs.map(_._1).toDF("p", "sz", "dc")
+                .select(fstruct(fcol("p").as("path"), fcol("sz").as("size"),
+                  fcol("dc").as("dataChange")).as("add"),
+                  flit(null).cast(scType).as("remove"))
+            Seq(top, addsChunk(evens), addsChunk(odds))
+          }
           else Seq(addsDf, removesDf)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -9436,7 +9506,7 @@ object SparkEntry {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           rm(tmpOut.toFile)
         }
-        val partsField = if (parts == 1) "" else s""","parts":$parts"""
+        val partsField = if (parts >= 2) s""","parts":$parts""" else ""
         java.nio.file.Files.write(staged.resolve("_last_checkpoint"),
           s"""{"version":$cpVersion,"size":${liveAdds.size + removed.size}$partsField}"""
             .getBytes("UTF-8"))

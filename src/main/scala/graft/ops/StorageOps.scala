@@ -2144,7 +2144,11 @@ object StorageOps {
     * resurrection included.  The log scan is O(commits since last
     * checkpoint) instead of O(all commits), which is the entire
     * point of checkpoints.  Falls back to the full JSON replay when
-    * no `_last_checkpoint` exists.
+    * no `_last_checkpoint` exists.  All three checkpoint LAYOUTS
+    * resolve: the classic single file, multi-part (`parts` in
+    * `_last_checkpoint` → `V.checkpoint.i-of-N.parquet`), and v2
+    * UUID-named checkpoints whose `sidecar` actions point at
+    * `_sidecars/` files carrying the add/remove set.
     *
     * One protocol-faithful caveat: checkpoint actions do not retain
     * their original commit versions, so `version_added` for files
@@ -2173,6 +2177,15 @@ object StorageOps {
     // `parts` in _last_checkpoint names N files
     // `V.checkpoint.i-of-N.parquet`, read together — the split is a
     // layout choice, not a semantic one
+    val sch = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType))))))
     val cpPaths = "\"parts\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(cpMeta).map(_.group(1).toInt) match {
       case Some(n) =>
@@ -2181,15 +2194,41 @@ object StorageOps {
         (1 to n).map(i =>
           f"$logDir/$cpVersion%020d.checkpoint.$i%010d.$n%010d.parquet")
       case None =>
-        Seq(f"$logDir/$cpVersion%020d.checkpoint.parquet")
+        val classic =
+          new org.apache.hadoop.fs.Path(
+            logDir, f"$cpVersion%020d.checkpoint.parquet")
+        if (fs.exists(classic)) Seq(classic.toString)
+        else {
+          // v2 UUID-named checkpoint (checkpointPolicy v2): any ONE
+          // V.checkpoint.<uuid>.parquet is complete on its own —
+          // pick the lexicographically last for determinism.  Its
+          // `sidecar` actions name files under _sidecars/ that carry
+          // the add/remove set (read below via the same schema; the
+          // sidecar column is absent there and reads as null).
+          val prefix = f"$cpVersion%020d.checkpoint."
+          val cands = fs.listStatus(
+              new org.apache.hadoop.fs.Path(logDir))
+            .map(_.getPath)
+            .filter { q =>
+              val n = q.getName
+              n.startsWith(prefix) && n.endsWith(".parquet")
+            }
+            .sortBy(_.getName)
+          require(cands.nonEmpty,
+            s"deltaLogStateFromCheckpoint: _last_checkpoint names " +
+              s"version $cpVersion but no checkpoint file matches " +
+              s"$prefix*.parquet in $logDir")
+          val top = cands.last.toString
+          val sidecars = spark.read.schema(sch).parquet(top)
+            .select(col("sidecar.path"))
+            .filter(col("path").isNotNull)
+            .collect().map(_.getString(0))
+          require(sidecars.length <= 1000000,
+            s"deltaLogStateFromCheckpoint: absurd sidecar count " +
+              s"${sidecars.length} in $top")
+          top +: sidecars.map(sp => s"$logDir/_sidecars/$sp").toSeq
+        }
     }
-    val sch = StructType(Seq(
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("size", LongType),
-        StructField("dataChange", BooleanType)))),
-      StructField("remove", StructType(Seq(
-        StructField("path", StringType))))))
     // the checkpoint IS the state at cpVersion: its actions replay as
     // if committed there (hence the version_added clamp)
     val cpActions = spark.read.schema(sch)
