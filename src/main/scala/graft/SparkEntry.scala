@@ -7781,6 +7781,17 @@ object SparkEntry {
             col("str_min"), col("str_max"))
           .orderBy("stripe_id", "column_id", "row_group_id")
       },
+      "q_parquet_encodings" -> { (s, dir) =>
+        // chunk ENCODING census — the physical-layout surface a
+        // compaction planner reads (codec mix, PLAIN-stuck chunks,
+        // dictionary coverage): both readers walk the SAME staged
+        // parquet-mr files; the encoding set is sorted on both sides
+        // so the thrift list order is normalized away
+        val staged = stageParquetIdxFiles(s, dir)
+        graft.ops.StorageOps.parquetChunkEncodings(s, Seq(
+            s"$staged/documents", s"$staged/lineitem", s"$staged/orders"))
+          .orderBy("file_name", "row_group_id", "path_in_schema")
+      },
       "q_orc_bloom" -> { (s, dir) =>
         // ORC BLOOM probe (the ORC sibling of q_parquet_bloom): one
         // BloomFilterUtf8 per ROW GROUP; probing the global distinct
@@ -9783,6 +9794,7 @@ object SparkEntry {
         // statistics of the SAME staged files — two readers, two
         // metadata structures, one answer
         "q_parquet_page_stats" -> parquetPageStatsOracleSql,
+        "q_parquet_encodings" -> parquetEncodingsOracleSql,
         "q_parquet_bloom" -> parquetBloomOracleSql)
 
   /** Corpus dir the oracle SQL is generated against.  Verify sets this
@@ -9851,6 +9863,30 @@ object SparkEntry {
     * reproduce them exactly.  The staged dir is a pure function of
     * [[oracleDir]], recomputed here at dump time.
     */
+  /** Encoding-census oracle: DuckDB's parquet_metadata over the SAME
+    * staged parquet-mr files — encodings split, sorted, and rejoined
+    * so both readers agree regardless of thrift list order.
+    */
+  private def parquetEncodingsOracleSql: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(oracleDir.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    val staged = s"/tmp/graft-pqidx-stage-$md"
+    Seq("documents", "lineitem", "orders").map { t =>
+      s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file_name,
+         |       CAST(row_group_id AS BIGINT) AS row_group_id,
+         |       path_in_schema,
+         |       compression AS codec,
+         |       array_to_string(list_sort(string_split(encodings, ', ')), ',')
+         |         AS encodings,
+         |       CAST(num_values AS BIGINT) AS num_values,
+         |       CAST(total_compressed_size AS BIGINT) AS total_compressed,
+         |       CAST(total_uncompressed_size AS BIGINT) AS total_uncompressed
+         |FROM parquet_metadata('$staged/$t/*.parquet')""".stripMargin
+    }.mkString("", "\nUNION ALL\n",
+      "\nORDER BY file_name, row_group_id, path_in_schema")
+  }
+
   private def parquetPageStatsOracleSql: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(oracleDir.getBytes("UTF-8")).map("%02x".format(_))

@@ -264,6 +264,53 @@ object StorageOps {
         "min_v", "max_v")
   }
 
+  /** Parquet chunk ENCODING census — the physical-layout surface a
+    * compaction/rewrite planner reads: per (file, row group, column)
+    * the codec, the encoding set (SORTED, so two readers agree
+    * regardless of thrift list order), value count, and
+    * compressed/uncompressed byte totals.  A chunk stuck on PLAIN
+    * where its siblings dictionary-encode, or a codec mix across a
+    * table, is exactly what this surfaces at lake scale — still a
+    * footer-only pass.
+    */
+  def parquetChunkEncodings(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    val files = listFilesBounded(
+      spark, paths, ".parquet", maxFiles, "parquetChunkEncodings")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.toVector.zipWithIndex.flatMap {
+              case (rg, i) =>
+                rg.getColumns.asScala.toVector.map { cc =>
+                  (hp.getName, i.toLong, cc.getPath.toDotString,
+                    cc.getCodec.name(),
+                    cc.getEncodings.asScala.map(_.name()).toSeq
+                      .sorted.mkString(","),
+                    cc.getValueCount, cc.getTotalSize,
+                    cc.getTotalUncompressedSize)
+                }
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file_name", "row_group_id", "path_in_schema", "codec",
+        "encodings", "num_values", "total_compressed",
+        "total_uncompressed")
+  }
+
   /** Parquet PAGE-level zone maps — the finer-grained sibling of
     * [[parquetColumnStats]]: one row per data page per column chunk
     * from the ColumnIndex/OffsetIndex structures (parquet-mr ≥ 1.11
