@@ -9380,16 +9380,20 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-orcridx-stage-$md"
-      s.read.parquet(s"$dir/orders.parquet")
-        // NTZ timestamps land in ORC as int64 micros; the INSTANT
-        // cast makes column 5 a true ORC timestamp so the census
-        // exercises TimestampStatistics (session TZ is UTC, so the
-        // UTC-epoch-millis bounds equal DuckDB's epoch_ms replay)
-        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
-        .repartition(1).sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite").option("compression", "zlib")
-        .option("orc.bloom.filter.columns", "o_orderpriority")
-        .orc(s"$out/orders")
+      val fp = stageFingerprint(s, dir, Seq("orders"), "orcridx-v2")
+      if (!stageUpToDate(out, fp)) {
+        s.read.parquet(s"$dir/orders.parquet")
+          // NTZ timestamps land in ORC as int64 micros; the INSTANT
+          // cast makes column 5 a true ORC timestamp so the census
+          // exercises TimestampStatistics (session TZ is UTC, so the
+          // UTC-epoch-millis bounds equal DuckDB's epoch_ms replay)
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+          .repartition(1).sortWithinPartitions("o_orderkey")
+          .write.mode("overwrite").option("compression", "zlib")
+          .option("orc.bloom.filter.columns", "o_orderpriority")
+          .orc(s"$out/orders")
+        writeStageMarker(out, fp)
+      }
       out
     }
 
@@ -9574,14 +9578,54 @@ object SparkEntry {
     * page-zone-map census needs its own staged files — which DuckDB
     * then reads independently for the oracle.
     */
+  /** Idempotence gate for the re-encode stagings (the stageShardFiles
+    * discipline): the staged tree is a pure function of (source
+    * tables, recipe), so if the CONTENT fingerprint + recipe tag
+    * already match the marker, skip the rewrite — bench passes then
+    * time the CENSUS, not the staging.  Content-sensitive (decimal
+    * sum of per-row xxhash64 over all columns), never count-only; the
+    * recipe tag busts the cache when the staging code changes.
+    */
+  private def stageFingerprint(
+      s: SparkSession, dir: String, tables: Seq[String],
+      recipe: String): String =
+    tables.map { t =>
+      val df = s.read.parquet(s"$dir/$t.parquet")
+      val row = df.agg(
+        count(lit(1)),
+        sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).head()
+      val v = (0 until 2).map(i =>
+        if (row.isNullAt(i)) "null" else row.get(i).toString).mkString(":")
+      s"$t=$v"
+    }.mkString(";") + "|" + recipe
+
+  private def stageUpToDate(out: String, fingerprint: String): Boolean = {
+    val marker = java.nio.file.Paths.get(out, "_FINGERPRINT")
+    java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        "UTF-8") == fingerprint
+  }
+
+  private def writeStageMarker(out: String, fingerprint: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "_FINGERPRINT"),
+      fingerprint.getBytes("UTF-8"))
+    ()
+  }
+
   private[graft] def stageParquetIdxFiles(s: SparkSession, dir: String): String =
     stageLock.synchronized {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-pqidx-stage-$md"
-      Seq("documents", "lineitem", "orders").foreach { t =>
-        s.read.parquet(s"$dir/$t.parquet").coalesce(1)
-          .write.mode("overwrite").parquet(s"$out/$t")
+      val tables = Seq("documents", "lineitem", "orders")
+      val fp = stageFingerprint(s, dir, tables, "pqidx-v1")
+      if (!stageUpToDate(out, fp)) {
+        tables.foreach { t =>
+          s.read.parquet(s"$dir/$t.parquet").coalesce(1)
+            .write.mode("overwrite").parquet(s"$out/$t")
+        }
+        writeStageMarker(out, fp)
       }
       out
     }
@@ -9595,14 +9639,18 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-pqbloom-stage-$md"
-      // dictionary must be OFF for the column to actually get a
-      // bloom: parquet-mr skips blooms on fully-dictionary-encoded
-      // chunks (the dictionary is already an exact membership filter)
-      s.read.parquet(s"$dir/orders.parquet").coalesce(1)
-        .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#o_custkey", "true")
-        .option("parquet.enable.dictionary", "false")
-        .parquet(s"$out/orders")
+      val fp = stageFingerprint(s, dir, Seq("orders"), "pqbloom-v1")
+      if (!stageUpToDate(out, fp)) {
+        // dictionary must be OFF for the column to actually get a
+        // bloom: parquet-mr skips blooms on fully-dictionary-encoded
+        // chunks (the dictionary is already an exact membership filter)
+        s.read.parquet(s"$dir/orders.parquet").coalesce(1)
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#o_custkey", "true")
+          .option("parquet.enable.dictionary", "false")
+          .parquet(s"$out/orders")
+        writeStageMarker(out, fp)
+      }
       out
     }
 
@@ -9611,10 +9659,15 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-orc-stage-$md"
-      Seq("region", "nation", "supplier").foreach { t =>
-        s.read.parquet(s"$dir/$t.parquet").coalesce(1)
-          .write.mode("overwrite").option("compression", "zlib")
-          .orc(s"$out/$t")
+      val tables = Seq("region", "nation", "supplier")
+      val fp = stageFingerprint(s, dir, tables, "orc-v1")
+      if (!stageUpToDate(out, fp)) {
+        tables.foreach { t =>
+          s.read.parquet(s"$dir/$t.parquet").coalesce(1)
+            .write.mode("overwrite").option("compression", "zlib")
+            .orc(s"$out/$t")
+        }
+        writeStageMarker(out, fp)
       }
       out
     }
