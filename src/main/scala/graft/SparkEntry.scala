@@ -7552,6 +7552,28 @@ object SparkEntry {
             s"$dir/orders.parquet"))
           .orderBy("file_name", "row_group_id", "path_in_schema")
       },
+      "q_orc_footer_dist" -> { (s, dir) =>
+        // the DISTRIBUTED-listing flavor of the ORC footer census —
+        // completing the flavor symmetry with q_parquet_footer_dist:
+        // same staged files, same oracle, executor-walked listing
+        val staged = stageOrcFiles(s, dir)
+        Seq("region", "nation", "supplier").map { t =>
+          graft.ops.StorageOps.orcFootersDistributed(s, Seq(s"$staged/$t"))
+            .withColumn("tbl", lit(t))
+        }.reduce(_ unionByName _)
+          .groupBy("tbl", "file_name")
+          .agg(first("compression").as("compression"),
+            first("n_types").as("n_types"),
+            first("total_rows").as("file_rows"),
+            sum("stripe_rows").as("stripe_rows"))
+          .groupBy("tbl")
+          .agg(count(lit(1)).as("n_files"),
+            first("compression").as("compression"),
+            first("n_types").as("n_types"),
+            sum("file_rows").as("total_rows"),
+            sum("stripe_rows").as("stripe_rows"))
+          .orderBy("tbl")
+      },
       "q_parquet_stats" -> { (s, dir) =>
         // zone-map census: the min/max/null-count bounds a planner
         // prunes row groups with, footer-only, oracled against
@@ -9828,6 +9850,7 @@ object SparkEntry {
         // independent reader — two physical paths, one oracle
         "q_parquet_footer_dist" -> parquetFooterOracleSql,
         "q_orc_footer" -> orcFooterOracleSql,
+        "q_orc_footer_dist" -> orcFooterOracleSql,
         "q_orc_stats" -> orcStatsOracleSql,
         "q_orc_stats_typed" -> orcStatsTypedOracleSql,
         "q_orc_row_index" -> orcRowIndexOracleSql,

@@ -144,10 +144,18 @@ object StorageOps {
     * with a file index, prefer feeding [[parquetFooters]] the exact
     * list instead of re-listing storage at all.
     */
-  def parquetFootersDistributed(
+  /** Distributed listing shared by the `*FootersDistributed` census
+    * flavors: ONE shallow level on the driver (shard seeds =
+    * immediate children of each root), then executor tasks walk
+    * their shards with the streaming recursive iterator — the
+    * 10⁷-file lake shape that lifts [[listFilesBounded]]'s
+    * driver-listing bound.  `maxFilesPerShard` is the loud per-task
+    * guard.
+    */
+  private def listFilesDistributed(
       spark: org.apache.spark.sql.SparkSession, roots: Seq[String],
-      shardParallelism: Int = 256,
-      maxFilesPerShard: Int = 10000000): DataFrame = {
+      suffix: String, shardParallelism: Int, maxFilesPerShard: Int,
+      opName: String): org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     // ONE shallow listing level on the driver: shard seeds
@@ -161,7 +169,7 @@ object StorageOps {
     }
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(conf))
-    val files = spark.createDataset(seeds)
+    spark.createDataset(seeds)
       .repartition(math.max(1, math.min(seeds.size, shardParallelism)))
       .mapPartitions { it =>
         val c = confBc.value.value
@@ -170,7 +178,7 @@ object StorageOps {
           val fs = p.getFileSystem(c)
           val st = fs.getFileStatus(p)
           if (!st.isDirectory) {
-            if (s.endsWith(".parquet")) Iterator.single(s)
+            if (s.endsWith(suffix)) Iterator.single(s)
             else Iterator.empty
           } else {
             // streaming recursive walk of THIS shard — the remote
@@ -183,10 +191,10 @@ object StorageOps {
                 nextFile = null
                 while (nextFile == null && rit.hasNext) {
                   val f = rit.next()
-                  if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+                  if (f.isFile && f.getPath.getName.endsWith(suffix)) {
                     n += 1
                     if (n > maxFilesPerShard) throw new IllegalStateException(
-                      s"parquetFootersDistributed: shard $s exceeds " +
+                      s"$opName: shard $s exceeds " +
                         s"maxFilesPerShard=$maxFilesPerShard")
                     nextFile = f.getPath.toString
                   }
@@ -201,6 +209,17 @@ object StorageOps {
           }
         }
       }
+  }
+
+  def parquetFootersDistributed(
+      spark: org.apache.spark.sql.SparkSession, roots: Seq[String],
+      shardParallelism: Int = 256,
+      maxFilesPerShard: Int = 10000000): DataFrame = {
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val files = listFilesDistributed(spark, roots, ".parquet",
+      shardParallelism, maxFilesPerShard, "parquetFootersDistributed")
     // re-spread before the footer reads: shard sizes are skewed in
     // real layouts, footer opens should not be
     footerRowsOf(files.repartition(32), confBc)
@@ -1420,8 +1439,35 @@ object StorageOps {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
-    spark.createDataset(files)
-      .repartition(math.max(1, math.min(files.size, 32)))
+    orcFooterRows(spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32))), confBc)
+  }
+
+  /** Distributed-listing flavor of [[orcFooters]] — the same
+    * 10⁷-file-lake shape as [[parquetFootersDistributed]]: one
+    * shallow driver listing seeds the shards, executor tasks walk
+    * subtrees, and the footer rows must be byte-identical to the
+    * driver-listing flavor (pinned by StorageSpec and the shared
+    * q_orc_footer oracle).
+    */
+  def orcFootersDistributed(
+      spark: org.apache.spark.sql.SparkSession, roots: Seq[String],
+      shardParallelism: Int = 256,
+      maxFilesPerShard: Int = 10000000): DataFrame = {
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val files = listFilesDistributed(spark, roots, ".orc",
+      shardParallelism, maxFilesPerShard, "orcFootersDistributed")
+    orcFooterRows(files.repartition(32), confBc)
+  }
+
+  private def orcFooterRows(
+      files: org.apache.spark.sql.Dataset[String],
+      confBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.SerializableConfiguration]): DataFrame = {
+    import files.sparkSession.implicits._
+    files
       .mapPartitions { it =>
         val conf = confBc.value.value
         it.flatMap { p =>

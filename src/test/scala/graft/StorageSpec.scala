@@ -861,6 +861,33 @@ class StorageSpec extends AnyFunSuite {
       s"checked $checked, expected ${4 * expectGroups}")
   }
 
+  test("orcFootersDistributed == orcFooters over a partitioned tree; loud bound") {
+    import graft.ops.StorageOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orcdist").toString
+    // partitioned tree: pt=0/pt=1 subdirs, several files each
+    (0L to 999L).map(i => (i, s"v$i", (i % 2).toInt))
+      .toDF("id", "s", "pt")
+      .repartition(3)
+      .write.partitionBy("pt").mode("overwrite")
+      .option("compression", "zlib").orc(s"$dir/t")
+    // pt=0 and pt=1 reuse the same part-file basenames (one job
+    // UUID), so sort by the WHOLE row for a total order
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.toString)
+    val driver = canon(StorageOps.orcFooters(spark, Seq(
+      s"$dir/t/pt=0", s"$dir/t/pt=1")))
+    val dist = canon(StorageOps.orcFootersDistributed(spark, Seq(s"$dir/t")))
+    assert(driver.nonEmpty && driver == dist)
+    // the loud per-shard bound fires instead of walking unbounded
+    val e = intercept[org.apache.spark.SparkException] {
+      StorageOps.orcFootersDistributed(spark, Seq(s"$dir/t"),
+        maxFilesPerShard = 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("orcBloomProbe: no false negatives per row group; FP rate bounded") {
     import graft.ops.StorageOps
     val dir = java.nio.file.Files.createTempDirectory("orcbloom").toString
