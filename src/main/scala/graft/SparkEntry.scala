@@ -7686,8 +7686,11 @@ object SparkEntry {
             col("b.length").as("length"),
             col("b.properties")("cardinality").cast("long")
               .as("cardinality"))
-          .join(media, "id")
-        graft.ops.StorageOps.puffinDvPositions(dvBlobs)
+        // broadcast the DESCRIPTORS (KBs per file), stream the
+        // content side — at lake scale the content is the big side
+        // and must never build a hash relation
+        graft.ops.StorageOps.puffinDvPositions(
+            media.join(broadcast(dvBlobs), "id"))
           .select(col("id").as("doc_id"), col("pos"))
           .orderBy("doc_id", "pos")
       },
