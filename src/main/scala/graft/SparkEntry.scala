@@ -4890,6 +4890,18 @@ object SparkEntry {
         |       CAST(1 + doc_id % 4 AS BIGINT) AS n_links,
         |       'https://example.com/' || CAST(doc_id AS VARCHAR) || '/out0' AS first_link
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // revisit replay: even ids carry one revisit whose digest is the
+    // deterministic md5(id:text) — the join must resolve it to the
+    // k=0 response's URI; DuckDB recomputes the digest itself
+    "q_warc_revisit" ->
+      s"""SELECT doc_id,
+        |       'https://example.com/' || CAST(doc_id AS VARCHAR) || '/re0'
+        |         AS revisit_uri,
+        |       'https://example.com/' || CAST(doc_id AS VARCHAR) || '/0'
+        |         AS original_uri,
+        |       'md5:' || md5(CAST(doc_id AS VARCHAR) || ':' || text)
+        |         AS digest
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
     // PDF text replay: page k shows the k-th 6-token window — the
     // same token-slice convention as the VTT/SRT cue oracles; the
     // literal/TJ/hex show forms and the flate layer must be
@@ -8166,6 +8178,27 @@ object SparkEntry {
               .cast("long").as("n_links"),
             get_json_object(col("json"), links + "[0]['url']")
               .as("first_link"))
+          .orderBy("doc_id")
+      },
+      "q_warc_revisit" -> { (s, dir) =>
+        // the crawl's OWN dedup signal: revisit records resolve to
+        // their originals by WARC-Payload-Digest equality — a pure
+        // equi-join over the census (shuffle on digest: at crawl
+        // scale revisits are half the archive, never broadcastable)
+        val media = MultimodalOps.synthesizeWarcRevisit(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        val recs = graft.ops.DedupOps.registerPersist(
+          MultimodalOps.warcRecords(media).toDF())
+        val revisits = recs.filter(col("warcType") === "revisit")
+          .select(col("id").as("doc_id"),
+            col("targetUri").as("revisit_uri"),
+            col("payloadDigest").as("digest"))
+        val originals = recs.filter(col("warcType") === "response")
+          .select(col("payloadDigest").as("digest"),
+            col("targetUri").as("original_uri"))
+        revisits.join(originals, "digest")
+          .select(col("doc_id"), col("revisit_uri"),
+            col("original_uri"), col("digest"))
           .orderBy("doc_id")
       },
       "q_pdf_text" -> { (s, dir) =>

@@ -7217,7 +7217,8 @@ object MultimodalOps {
     */
   final case class WarcRecord(
       id: Long, recIdx: Long, warcType: String, targetUri: String,
-      offset: Long, headerBytes: Long, contentLength: Long)
+      offset: Long, headerBytes: Long, contentLength: Long,
+      payloadDigest: String)
 
   /** CDX-style row for per-record-gzipped .warc.gz shards (the Common
     * Crawl convention: each record its own gzip member, so a ranged
@@ -7240,7 +7241,8 @@ object MultimodalOps {
     * unbounded line walk.
     */
   private[graft] def warcRecordAt(
-      b: Array[Byte], start: Int): Option[(String, String, Long, Int, Int)] = {
+      b: Array[Byte],
+      start: Int): Option[(String, String, Long, Int, Int, String)] = {
     val maxHeader = 64 * 1024
     if (start < 0 || start + 12 > b.length) return None
     // version line
@@ -7249,6 +7251,7 @@ object MultimodalOps {
     var off = start + 10
     var warcType = ""
     var uri = ""
+    var digest = ""
     var clen = -1L
     var done = false
     while (!done) {
@@ -7265,8 +7268,9 @@ object MultimodalOps {
         val name = line.substring(0, colon).trim.toLowerCase
         val value = line.substring(colon + 1).trim
         name match {
-          case "warc-type"       => warcType = value
-          case "warc-target-uri" => uri = value
+          case "warc-type"           => warcType = value
+          case "warc-target-uri"     => uri = value
+          case "warc-payload-digest" => digest = value
           case "content-length" =>
             try clen = java.lang.Long.parseLong(value)
             catch { case _: NumberFormatException => return None }
@@ -7282,7 +7286,8 @@ object MultimodalOps {
     val be = blockEnd.toInt
     if (!(b(be) == '\r' && b(be + 1) == '\n' &&
       b(be + 2) == '\r' && b(be + 3) == '\n')) return None
-    Some((warcType, uri, clen, headerBytes, headerBytes + clen.toInt + 4))
+    Some((warcType, uri, clen, headerBytes,
+      headerBytes + clen.toInt + 4, digest))
   }
 
   /** WARC shard census — the crawl-archive format LLM corpora start
@@ -7300,8 +7305,9 @@ object MultimodalOps {
     var idx = 0L
     while (off < b.length) {
       warcRecordAt(b, off) match {
-        case Some((typ, uri, clen, hb, total)) =>
-          out += WarcRecord(r.id, idx, typ, uri, off.toLong, hb.toLong, clen)
+        case Some((typ, uri, clen, hb, total, dg)) =>
+          out += WarcRecord(r.id, idx, typ, uri, off.toLong, hb.toLong,
+            clen, dg)
           off += total
           idx += 1
         case None => return None
@@ -7399,7 +7405,7 @@ object MultimodalOps {
     var idx = 0L
     for ((off, compLen, inflated) <- members) {
       warcRecordAt(inflated, 0) match {
-        case Some((typ, uri, clen, _, total)) if total == inflated.length =>
+        case Some((typ, uri, clen, _, total, _)) if total == inflated.length =>
           out += WarcCdxRecord(r.id, idx, typ, uri, off, compLen,
             inflated.length.toLong, clen)
           idx += 1
@@ -7431,7 +7437,7 @@ object MultimodalOps {
     var idx = 0L
     for ((_, _, inflated) <- members) {
       warcRecordAt(inflated, 0) match {
-        case Some((typ, uri, clen, hb, total)) if total == inflated.length =>
+        case Some((typ, uri, clen, hb, total, _)) if total == inflated.length =>
           if (typ == "response")
             out += WarcPage(r.id, idx, uri,
               new String(inflated, hb, clen.toInt, "UTF-8"))
@@ -7468,7 +7474,7 @@ object MultimodalOps {
     var idx = 0L
     for ((_, _, inflated) <- members) {
       warcRecordAt(inflated, 0) match {
-        case Some((typ, uri, clen, hb, total)) if total == inflated.length =>
+        case Some((typ, uri, clen, hb, total, _)) if total == inflated.length =>
           if (typ == "conversion")
             out += WetRecord(r.id, idx, uri,
               new String(inflated, hb, clen.toInt, "UTF-8"))
@@ -7505,7 +7511,7 @@ object MultimodalOps {
     var idx = 0L
     for ((_, _, inflated) <- members) {
       warcRecordAt(inflated, 0) match {
-        case Some((typ, uri, clen, hb, total)) if total == inflated.length =>
+        case Some((typ, uri, clen, hb, total, _)) if total == inflated.length =>
           if (typ == "metadata")
             out += WatRecord(r.id, idx, uri,
               new String(inflated, hb, clen.toInt, "UTF-8"))
@@ -7670,7 +7676,7 @@ object MultimodalOps {
     var idx = 0L
     for ((_, _, inflated) <- members) {
       warcRecordAt(inflated, 0) match {
-        case Some((typ, uri, clen, hb, total)) if total == inflated.length =>
+        case Some((typ, uri, clen, hb, total, _)) if total == inflated.length =>
           if (typ == "response") {
             httpResponseHeadAt(inflated, hb, clen.toInt) match {
               case Some((status, ct, cs, headLen)) =>
@@ -7751,14 +7757,20 @@ object MultimodalOps {
   /** One framed WARC record over `payload[from, from+take)`. */
   private[graft] def warcRecordBytes(
       id: Long, k: Int, typ: String, payload: Array[Byte],
-      from: Int, take: Int): Array[Byte] = {
+      from: Int, take: Int, digest: String = null,
+      uriOverride: String = null): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(typ).append("\r\n")
+    if (digest != null)
+      sb.append("WARC-Payload-Digest: ").append(digest).append("\r\n")
     sb.append(f"WARC-Record-ID: <urn:uuid:$id%010d-$k%d>\r\n")
     sb.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
-    sb.append("WARC-Target-URI: https://example.com/")
-      .append(id).append('/').append(k).append("\r\n")
+    if (uriOverride != null)
+      sb.append("WARC-Target-URI: ").append(uriOverride).append("\r\n")
+    else
+      sb.append("WARC-Target-URI: https://example.com/")
+        .append(id).append('/').append(k).append("\r\n")
     sb.append("Content-Type: text/plain\r\n")
     sb.append("Content-Length: ").append(take).append("\r\n")
     sb.append("\r\n")
@@ -7798,6 +7810,51 @@ object MultimodalOps {
       .map { case (id, text) =>
         val out = Array.newBuilder[Byte]
         warcRecordChunks(id, text).foreach(out ++= _)
+        MediaRecord(id, "application/warc", out.result())
+      }
+  }
+
+  /** Per-row .warc shard with the crawl's own DEDUP signal: the
+    * response record (k = 0) carries a WARC-Payload-Digest
+    * (`md5:<md5hex(id + ":" + text)>` — deterministic and unique per
+    * document, so the oracle replays it in SQL), and even ids append
+    * one `revisit` record (the convention crawlers emit instead of
+    * re-storing an unchanged page: zero-length block, the SAME
+    * digest, its own target URI).  The revisit→original resolution
+    * is then a pure digest equi-join over the census — the step a
+    * 100 TB crawl consumer runs before extraction so revisited pages
+    * aren't processed twice.
+    */
+  def synthesizeWarcRevisit(
+      df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val digest = "md5:" + java.security.MessageDigest
+          .getInstance("MD5").digest(s"$id:$text".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val payload = text.getBytes("UTF-8")
+        val ns = 1 + (id % 3).toInt
+        val out = Array.newBuilder[Byte]
+        (0 until ns).foreach { k =>
+          val take =
+            payload.length / ns + (if (k < payload.length % ns) 1 else 0)
+          val from = (0 until k).map(j =>
+            payload.length / ns + (if (j < payload.length % ns) 1 else 0)).sum
+          val typ = (k % 3) match {
+            case 0 => "response"
+            case 1 => "request"
+            case _ => "metadata"
+          }
+          out ++= warcRecordBytes(id, k, typ, payload, from, take,
+            digest = if (typ == "response") digest else null)
+        }
+        if (id % 2 == 0)
+          out ++= warcRecordBytes(id, ns, "revisit", payload, 0, 0,
+            digest = digest,
+            uriOverride = s"https://example.com/$id/re0")
         MediaRecord(id, "application/warc", out.result())
       }
   }

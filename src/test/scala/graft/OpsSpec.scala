@@ -1183,7 +1183,7 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(3L, "application/warc", good))
     assert(one.contains(Seq(MultimodalOps.WarcRecord(
       3L, 0L, "response", "https://a.example/x", 0L,
-      (good.length - 5 - 4).toLong, 5L))))
+      (good.length - 5 - 4).toLong, 5L, ""))))
     // WARC/1.1 accepted; other versions rejected
     assert(MultimodalOps.warcRecordsOf(MultimodalOps.MediaRecord(1L, "w",
       rec("1.1", Seq("Content-Length" -> "0"), ""))).nonEmpty)
@@ -1232,6 +1232,36 @@ class OpsSpec extends AnyFunSuite {
       "Content-Type: text/plain\r\nContent-Length: 4\r\n\r\n").length.toLong
     assert(rows(0).headerBytes == hb0 && rows(0).offset == 0L)
     assert(rows(1).offset == hb0 + 4 + 4)
+  }
+
+  test("warc revisit: digest capture; revisit resolves to its original") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = (0L to 5L).map(id => (id, s"text for $id")).toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeWarcRevisit(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    for ((id, rec) <- media) {
+      val rows = MultimodalOps.warcRecordsOf(rec)
+        .getOrElse(fail(s"id=$id rejected"))
+      val ns = 1 + (id % 3).toInt
+      val expectDigest = "md5:" + java.security.MessageDigest
+        .getInstance("MD5").digest(s"$id:text for $id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(rows.count(_.warcType == "revisit") ==
+        (if (id % 2 == 0) 1 else 0), s"id=$id")
+      // the response carries the digest; non-responses carry none
+      assert(rows.find(_.warcType == "response")
+        .exists(_.payloadDigest == expectDigest), s"id=$id")
+      assert(rows.filter(r => r.warcType == "request" ||
+        r.warcType == "metadata").forall(_.payloadDigest == ""))
+      if (id % 2 == 0) {
+        val rv = rows.find(_.warcType == "revisit").get
+        assert(rv.payloadDigest == expectDigest &&
+          rv.contentLength == 0L &&
+          rv.targetUri == s"https://example.com/$id/re0" &&
+          rv.recIdx == ns.toLong, s"id=$id")
+      }
+    }
   }
 
   test("warc.gz: member CRCs verified; ranged reads gunzip to single records") {
@@ -2263,6 +2293,8 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.content), r => MultimodalOps.pdfPageTextsOf(r)),
       ("pdf-text-cid", MultimodalOps.synthesizePdfCid(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.pdfPageTextsOf(r)),
+      ("warc-revisit", MultimodalOps.synthesizeWarcRevisit(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.warcRecordsOf(r)),
       ("wet", MultimodalOps.synthesizeWetGz(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.wetGzRecordsOf(r)),
       ("wat", MultimodalOps.synthesizeWatGz(docs, "doc_id")
