@@ -4811,6 +4811,17 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS n_sections,
         |       'classic' AS layout
         |FROM px ORDER BY doc_id""".stripMargin,
+    // encrypted-arm replay: even ids add the /Encrypt dict object
+    // (+1 in /Size) and census as encrypted=1, pages still resolved
+    "q_pdf_meta_enc" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 4 AS np FROM documents)
+        |SELECT doc_id,
+        |       '1.4' AS version,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END
+        |            + 2 * np AS BIGINT) AS n_objects,
+        |       CAST(np AS BIGINT) AS n_pages,
+        |       CAST(doc_id % 2 = 0 AS BIGINT) AS encrypted
+        |FROM px ORDER BY doc_id""".stripMargin,
     // DV replay: the three synthesis arms as id arithmetic — base
     // positions, the 601-wide run, the two high-key (bitmap 2) rows
     "q_delta_dv" ->
@@ -4873,6 +4884,27 @@ object SparkEntry {
     "q_iceberg_mor" ->
       s"""SELECT doc_id FROM documents
         |WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
+    // mixed-kind MOR replay: position deletes drop doc_id % 7 = 0;
+    // an equality delete hits only data rows whose sequence
+    // (1 + doc_id % 4) is STRICTLY below the delete's — the
+    // later-sequence survivors are the spec's reinsert case
+    "q_iceberg_mor_eq" ->
+      s"""SELECT doc_id FROM documents
+        |WHERE doc_id % 7 <> 0
+        |  AND NOT (lang = 'de' AND 1 + doc_id % 4 < 3)
+        |  AND NOT (lang = 'fr' AND 1 + doc_id % 4 < 5)
+        |ORDER BY doc_id""".stripMargin,
+    // v2 equality-delete manifest replay: entry k is a delete file
+    // when (doc_id + k) % 3 = 2; its equality_ids list and sequence
+    // number are id arithmetic by synthesis
+    "q_iceberg_manifest_eq" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 3 AS ns FROM documents),
+        |ks AS (SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS k FROM px)
+        |SELECT doc_id, CAST(k AS BIGINT) AS entry_idx,
+        |       CAST(7 + doc_id % 9 AS BIGINT) AS sequence_number,
+        |       CAST(doc_id % 3 + 1 AS VARCHAR) || ',5' AS equality_ids
+        |FROM ks WHERE (doc_id + k) % 3 = 2
+        |ORDER BY doc_id, entry_idx""".stripMargin,
     // WET replay: the conversion record is record 1 (after warcinfo)
     // and carries the document text verbatim — the gzip/WARC framing
     // must be byte-invisible
@@ -7722,6 +7754,33 @@ object SparkEntry {
           .select(col("doc_id"))
           .orderBy("doc_id")
       },
+      "q_iceberg_mor_eq" -> { (s, dir) =>
+        // v2 merge-on-read with BOTH delete kinds: position deletes
+        // (doc_id % 7 == 0 rows by physical (file, pos)) and
+        // EQUALITY deletes decoded from a real parquet
+        // equality-delete file — its rows ARE the tuples over the
+        // equality_ids columns: (lang='de', seq 3), (lang='fr',
+        // seq 5) — applied sequence-aware: a data row (seq
+        // 1 + doc_id % 4) drops only when its sequence is STRICTLY
+        // below the delete's, so later-sequence de/fr rows SURVIVE
+        // the earlier delete (the reinsert-after-delete case a
+        // CDC-fed table depends on)
+        val data = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"),
+            col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"))
+          .withColumn("data_seq", lit(1) + pmod(col("doc_id"), lit(4)))
+        val posDeletes = data
+          .filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select("file_path", "pos")
+        val eqDeletes =
+          s.read.parquet(s"${stageIcebergEqDeleteFile(s)}/eqdel")
+        val afterPos =
+          graft.ops.StorageOps.applyPositionDeletes(data, posDeletes)
+        graft.ops.StorageOps.applyEqualityDeletes(
+            afterPos, eqDeletes, Seq("lang"))
+          .select(col("doc_id")).orderBy("doc_id")
+      },
       "q_parquet_bloom" -> { (s, dir) =>
         // bloom-filter probe census over a staged bloom-enabled
         // write: the planner contract is NO FALSE NEGATIVES, so
@@ -7904,6 +7963,23 @@ object SparkEntry {
             col("filePath").as("file_path"),
             col("recordCount").as("record_count"),
             col("fileSizeInBytes").as("file_size_in_bytes"))
+          .orderBy("doc_id", "entry_idx")
+      },
+      "q_iceberg_manifest_eq" -> { (s, dir) =>
+        // the equality-delete half of the v2 manifest decode: delete
+        // entries (content = 2) surface the spec's equality_ids
+        // column list (field-id 135) and the entry's data sequence
+        // number — exactly what the MOR planner needs to route each
+        // delete file into applyEqualityDeletes with the right
+        // sequence cutoff; data and position-delete entries carry
+        // the null union branch and must decode as empty
+        val media = MultimodalOps.synthesizeIcebergManifestV2(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.icebergManifestEntries(media).toDF()
+          .filter(col("content") === 2)
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            col("sequenceNumber").as("sequence_number"),
+            col("equalityIds").as("equality_ids"))
           .orderBy("doc_id", "entry_idx")
       },
       "q_iceberg_manifest_list" -> { (s, dir) =>
@@ -8147,6 +8223,21 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("version"),
             col("nObjects").as("n_objects"), col("nPages").as("n_pages"),
             col("nSections").as("n_sections"), col("layout"))
+          .orderBy("doc_id")
+      },
+      "q_pdf_meta_enc" -> { (s, dir) =>
+        // encrypted-PDF detection: even ids carry a standard-
+        // security-handler /Encrypt trailer (+1 object in /Size) —
+        // the census surfaces encrypted=true with the page count
+        // still resolved (dicts are never encrypted, only
+        // strings/streams), making the extraction drop ATTRIBUTABLE
+        // instead of indistinguishable from bit rot
+        val media = MultimodalOps.synthesizePdfEncrypted(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        MultimodalOps.pdfMeta(media).toDF()
+          .select(col("id").as("doc_id"), col("version"),
+            col("nObjects").as("n_objects"), col("nPages").as("n_pages"),
+            col("encrypted").cast("long").as("encrypted"))
           .orderBy("doc_id")
       },
       "q_cc_wet" -> { (s, dir) =>
@@ -9417,6 +9508,57 @@ object SparkEntry {
       staged.toString
     }
 
+  /** Stage a COLUMN-MAPPED Delta log: protocol v3 with the
+    * columnMapping reader feature, a metaData action whose schema
+    * carries `delta.columnMapping.physicalName` per field
+    * (mode=name), and add actions whose `stats` JSON is keyed by the
+    * PHYSICAL names — the shape every Databricks-written table has
+    * after a column rename.  v4 removes f-1 so the census proves it
+    * reads the LIVE set only.
+    */
+  private[graft] def stageDeltaLogMapped(dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
+      val staged =
+        java.nio.file.Paths.get("/tmp/graft-stream", key, "deltalogmap")
+      java.nio.file.Files.createDirectories(staged)
+      def esc(s: String): String =
+        s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val schemaJson =
+        """{"type":"struct","fields":[""" +
+          """{"name":"doc_id","type":"long","nullable":true,"metadata":""" +
+          """{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-9f8a"}},""" +
+          """{"name":"lang","type":"string","nullable":true,"metadata":""" +
+          """{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-3c7d"}}]}"""
+      val v0 = Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+        s"""{"metaData":{"id":"m-1","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(schemaJson)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1700000000000}}""")
+      java.nio.file.Files.write(staged.resolve(f"${0}%020d.json"),
+        v0.mkString("\n").getBytes("UTF-8"))
+      (1 to 5).foreach { v =>
+        val stats =
+          s"""{"numRecords":${100 + v},""" +
+            s""""minValues":{"col-9f8a":${v * 10},"col-3c7d":"a$v"},""" +
+            s""""maxValues":{"col-9f8a":${v * 10 + 9},"col-3c7d":"z$v"},""" +
+            s""""nullCount":{"col-9f8a":0,"col-3c7d":$v}}"""
+        val lines = Seq.newBuilder[String]
+        lines += s"""{"commitInfo":{"timestamp":${1700000001000L + v}}}"""
+        lines += s"""{"add":{"path":"f-$v.parquet","size":${5000 + v},""" +
+          s""""dataChange":true,"stats":"${esc(stats)}"}}"""
+        if (v == 4)
+          lines += """{"remove":{"path":"f-1.parquet"}}"""
+        java.nio.file.Files.write(staged.resolve(f"$v%020d.json"),
+          lines.result().mkString("\n").getBytes("UTF-8"))
+      }
+      staged.toString
+    }
+
   /** Stage the SAME deterministic commit log as [[stageDeltaLog]] PLUS
     * the protocol's checkpoint machinery: a checkpoint parquet at
     * version 9 holding the state AT v9 (live adds + remove
@@ -9449,7 +9591,51 @@ object SparkEntry {
           .repartition(1).sortWithinPartitions("o_orderkey")
           .write.mode("overwrite").option("compression", "zlib")
           .option("orc.bloom.filter.columns", "o_orderpriority")
+          // The q_orc_row_index / q_orc_bloom DuckDB oracles number
+          // row groups GLOBALLY (row_number()/stride) and pin
+          // stripe_id=0 — valid ONLY while the staged file holds one
+          // stripe.  Pin the assumption: a 2 GiB stripe target keeps
+          // the writer from rolling, and the footer check below fails
+          // the stage LOUDLY (not as silent oracle divergence) if a
+          // future bigger fixture rolls anyway.
+          .option("orc.stripe.size", (2L * 1024 * 1024 * 1024).toString)
           .orc(s"$out/orders")
+        val ordersPath = new org.apache.hadoop.fs.Path(s"$out/orders")
+        val ofs = ordersPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        ofs.listStatus(ordersPath)
+          .filter(_.getPath.getName.endsWith(".orc")).foreach { st =>
+            val len = st.getLen
+            val tl = math.min(len, 16384L).toInt
+            val buf = new Array[Byte](tl)
+            val in = ofs.open(st.getPath)
+            try in.readFully(len - tl, buf, 0, tl) finally in.close()
+            val meta = graft.ops.StorageOps.orcTailOf(buf, len).getOrElse(
+              sys.error(s"stageOrcRowIndexFiles: unreadable ORC tail at ${st.getPath}"))
+            require(meta.stripes.length == 1,
+              s"stageOrcRowIndexFiles: ${st.getPath} rolled " +
+                s"${meta.stripes.length} stripes; the q_orc_row_index/" +
+                "q_orc_bloom oracles assume exactly one — re-derive " +
+                "per-stripe row-group numbering in the oracle before " +
+                "raising the fixture size")
+          }
+        writeStageMarker(out, fp)
+      }
+      out
+    }
+
+  /** Stage the q_iceberg_mor_eq equality-delete FILE once: a real
+    * parquet file whose rows ARE the delete tuples over the
+    * equality_ids columns plus the delete's sequence number — the
+    * decode step is the parquet read itself, per spec.
+    */
+  private[graft] def stageIcebergEqDeleteFile(s: SparkSession): String =
+    stageLock.synchronized {
+      val out = "/tmp/graft-iceberg-eqdel-stage"
+      val fp = "iceberg-eqdel-v1"
+      if (!stageUpToDate(out, fp)) {
+        import s.implicits._
+        Seq(("de", 3L), ("fr", 5L)).toDF("lang", "delete_seq")
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/eqdel")
         writeStageMarker(out, fp)
       }
       out

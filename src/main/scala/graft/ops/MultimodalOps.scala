@@ -6015,7 +6015,8 @@ object MultimodalOps {
   final case class IcebergManifestEntry(
       id: Long, entryIdx: Long, status: Long, snapshotId: Long,
       filePath: String, fileFormat: String, recordCount: Long,
-      fileSizeInBytes: Long, content: Long)
+      fileSizeInBytes: Long, content: Long,
+      sequenceNumber: Long = -1L, equalityIds: String = "")
 
   // ---- minimal Avro schema model (schema-DRIVEN record decode) -----
   // Enough of the Avro type system to SKIP any field the census does
@@ -6233,6 +6234,57 @@ object MultimodalOps {
     case _ => None
   }
 
+  /** Read an array-of-int/long field (Iceberg's `equality_ids`
+    * shape), unwrapping a null union branch: (Some(values) |
+    * None-for-null, new position).  Walks the spec's block framing
+    * including size-prefixed negative-count blocks — the values are
+    * wanted either way.
+    */
+  private def avReadLongArrayish(
+      t: AvType, d: Array[Byte], p0: Int,
+      end: Int): Option[(Option[Vector[Long]], Int)] = t match {
+    case AvArray(it) if it == AvInt || it == AvLong =>
+      val out = Vector.newBuilder[Long]
+      var p = p0
+      var blocks = 0
+      var done = false
+      while (!done && blocks < 1000000) {
+        val c = avroVarLong(d, p)
+        if (c == null || p + c._2 > end) return None
+        p += c._2
+        var n = c._1
+        if (n == 0) done = true
+        else {
+          blocks += 1
+          if (n < 0) {
+            n = -n
+            val sz = avroVarLong(d, p)
+            if (sz == null || sz._1 < 0 ||
+              sz._1 > (end - (p + sz._2)).toLong) return None
+            p += sz._2
+          }
+          if (n > 1000000) return None // equality_ids is a column list
+          var i = 0L
+          while (i < n) {
+            val v = avroVarLong(d, p)
+            if (v == null || p + v._2 > end) return None
+            out += v._1
+            p += v._2
+            i += 1
+          }
+        }
+      }
+      if (!done) None else Some((Some(out.result()), p))
+    case AvUnion(bs) =>
+      val br = avroVarLong(d, p0)
+      if (br == null || br._1 < 0 || br._1 >= bs.length) None
+      else bs(br._1.toInt) match {
+        case AvNull => Some((None, p0 + br._2))
+        case b => avReadLongArrayish(b, d, p0 + br._2, end)
+      }
+    case _ => None
+  }
+
   /** Read a string-shaped field, unwrapping a null union branch. */
   private def avReadStringish(
       t: AvType, d: Array[Byte], p0: Int,
@@ -6368,6 +6420,8 @@ object MultimodalOps {
       var fmt: String = null
       var rc = -1L
       var fsz = -1L
+      var seqNum = -1L // v2 data sequence number; -1 = inherited/absent
+      var eqIds = "" // v2 equality_ids, comma-joined; "" = none
       for ((fname, ft) <- entrySchema.fields) fname match {
         case "status" =>
           val v = avReadLongish(ft, d, p, end).getOrElse(return None)
@@ -6376,6 +6430,10 @@ object MultimodalOps {
         case "snapshot_id" =>
           val v = avReadLongish(ft, d, p, end).getOrElse(return None)
           snap = v._1.getOrElse(-1L)
+          p = v._2
+        case "sequence_number" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          seqNum = v._1.getOrElse(-1L)
           p = v._2
         case "data_file" =>
           for ((dfn, dft) <- dataFileSchema.fields) dfn match {
@@ -6399,6 +6457,10 @@ object MultimodalOps {
               val v = avReadLongish(dft, d, p, end).getOrElse(return None)
               fsz = v._1.getOrElse(return None)
               p = v._2
+            case "equality_ids" =>
+              val v = avReadLongArrayish(dft, d, p, end).getOrElse(return None)
+              eqIds = v._1.map(_.mkString(",")).getOrElse("")
+              p = v._2
             case _ =>
               p = avSkipValue(dft, d, p, end).getOrElse(return None)
           }
@@ -6408,7 +6470,7 @@ object MultimodalOps {
       if (status < 0L || status > 2L || content < 0L || content > 2L ||
         path == null || fmt == null || rc < 0L || fsz < 0L) return None
       Some((IcebergManifestEntry(r.id, -1L, status, snap, path, fmt,
-        rc, fsz, content), p))
+        rc, fsz, content, seqNum, eqIds), p))
     }
     val syncOff = hdr.syncOff
     var off = hdr.firstBlockOff
@@ -6552,6 +6614,7 @@ object MultimodalOps {
       """{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[""" +
       """{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},""" +
       """{"name":"split_offsets","type":["null",{"type":"array","items":"long"}],"default":null,"field-id":132},""" +
+      """{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},""" +
       """{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}""" +
       """]},"field-id":2}]}"""
 
@@ -6642,6 +6705,15 @@ object MultimodalOps {
           so.add(java.lang.Long.valueOf(4L))
           so.add(java.lang.Long.valueOf(4L + 512L * (k + 1)))
           dataFile.put("split_offsets", so)
+          // equality-delete entries (content = 2) carry the spec's
+          // equality_ids column list; data and position-delete
+          // entries exercise the null union branch
+          if ((id + k) % 3 == 2) {
+            val eq = new java.util.ArrayList[Integer](2)
+            eq.add(Integer.valueOf((id % 3).toInt + 1))
+            eq.add(Integer.valueOf(5))
+            dataFile.put("equality_ids", eq)
+          }
           dataFile.put("sort_order_id", Integer.valueOf(0))
           rec.put("data_file", dataFile)
           dfw.append(rec)
@@ -7600,13 +7672,17 @@ object MultimodalOps {
       body: String)
 
   /** Parse an HTTP/1.x response head at `b[off, off+len)`: status
-    * code, lowercased media type, charset parameter, and the head's
-    * byte length (through the blank line).  Strict status line
-    * (`HTTP/1.<0|1> NNN …`), CRLF header lines, 64 KiB head cap;
-    * header NAMES are case-insensitive per RFC 9112.
+    * code, lowercased media type, charset parameter, the head's
+    * byte length (through the blank line), and whether the body is
+    * `Transfer-Encoding: chunked` (RFC 9112 — the final coding; a
+    * large slice of archived responses, especially older Common
+    * Crawl waves, frame bodies this way instead of Content-Length).
+    * Strict status line (`HTTP/1.<0|1> NNN …`), CRLF header lines,
+    * 64 KiB head cap; header NAMES are case-insensitive per RFC 9112.
     */
   private[graft] def httpResponseHeadAt(
-      b: Array[Byte], off: Int, len: Int): Option[(Int, String, String, Int)] = {
+      b: Array[Byte], off: Int,
+      len: Int): Option[(Int, String, String, Int, Boolean)] = {
     val end = off + len
     if (len < 14 || end > b.length) return None
     val v = new String(b, off, 9, "ISO-8859-1")
@@ -7627,6 +7703,7 @@ object MultimodalOps {
     val maxHead = 64 * 1024
     var contentType = ""
     var charset = ""
+    var chunked = false
     // finish the status line
     var eol = p + 3
     while (eol + 1 < end && !(b(eol) == '\r' && b(eol + 1) == '\n') &&
@@ -7644,7 +7721,8 @@ object MultimodalOps {
         val line = new String(b, p, e2 - p, "ISO-8859-1")
         val colon = line.indexOf(':')
         if (colon <= 0) return None
-        if (line.substring(0, colon).trim.equalsIgnoreCase("content-type")) {
+        val hname = line.substring(0, colon).trim
+        if (hname.equalsIgnoreCase("content-type")) {
           val value = line.substring(colon + 1).trim.toLowerCase
           val semi = value.indexOf(';')
           contentType = (if (semi >= 0) value.substring(0, semi) else value).trim
@@ -7655,11 +7733,73 @@ object MultimodalOps {
             charset = (if (stop >= 0) rest.substring(0, stop) else rest)
               .stripPrefix("\"").stripSuffix("\"")
           }
+        } else if (hname.equalsIgnoreCase("transfer-encoding")) {
+          // chunked must be the FINAL coding per RFC 9112 §6.1
+          val codings = line.substring(colon + 1).toLowerCase
+            .split(',').map(_.trim).filter(_.nonEmpty)
+          chunked = codings.nonEmpty && codings.last == "chunked"
         }
       }
       p = e2 + 2
     }
-    Some((status, contentType, charset, p - off))
+    Some((status, contentType, charset, p - off, chunked))
+  }
+
+  /** De-chunk an RFC 9112 §7.1 chunked body occupying EXACTLY
+    * `b[off, off+len)`: hex chunk-size line (optional `;ext`
+    * chunk extensions dropped), CRLF, that many data bytes, CRLF,
+    * repeated to the `0` last-chunk, then optional trailer header
+    * lines and the final CRLF.  The body must consume the span
+    * exactly (the WARC block's own Content-Length frames it) — the
+    * strict-framing discipline of every census walk here.  Bomb
+    * guard on the de-chunked size; None on any violation, never a
+    * throw.
+    */
+  private[graft] def httpDechunkAt(
+      b: Array[Byte], off: Int, len: Int,
+      maxDechunked: Int = 1 << 30): Option[Array[Byte]] = {
+    val end = off + len
+    if (b == null || off < 0 || len < 0 || end > b.length) return None
+    val out = new java.io.ByteArrayOutputStream(math.min(len, 1 << 16))
+    var p = off
+    var last = false
+    while (!last) {
+      var eol = p
+      while (eol + 1 < end && !(b(eol) == '\r' && b(eol + 1) == '\n') &&
+        eol - p < 1024) eol += 1
+      if (eol + 1 >= end || eol - p >= 1024) return None
+      val line = new String(b, p, eol - p, "ISO-8859-1")
+      val semi = line.indexOf(';')
+      val hexs = (if (semi >= 0) line.substring(0, semi) else line).trim
+      if (hexs.isEmpty || hexs.length > 8 ||
+        !hexs.forall(c => Character.digit(c, 16) >= 0)) return None
+      val sz = java.lang.Long.parseLong(hexs, 16)
+      p = eol + 2
+      if (sz == 0L) {
+        last = true
+        // trailer section: zero or more `Name: value` lines, final CRLF
+        var done = false
+        while (!done) {
+          var e2 = p
+          while (e2 + 1 < end && !(b(e2) == '\r' && b(e2 + 1) == '\n') &&
+            e2 - p < 8192) e2 += 1
+          if (e2 + 1 >= end || e2 - p >= 8192) return None
+          if (e2 == p) done = true
+          else if (new String(b, p, e2 - p, "ISO-8859-1").indexOf(':') <= 0)
+            return None
+          p = e2 + 2
+        }
+      } else {
+        if (sz > (end - p).toLong - 2L) return None
+        if (out.size().toLong + sz > maxDechunked) return None
+        out.write(b, p, sz.toInt)
+        p += sz.toInt
+        if (!(b(p) == '\r' && b(p + 1) == '\n')) return None
+        p += 2
+      }
+    }
+    if (p != end) return None // must consume the block exactly
+    Some(out.toByteArray)
   }
 
   /** WARC response records parsed THROUGH their HTTP envelope —
@@ -7679,14 +7819,24 @@ object MultimodalOps {
         case Some((typ, uri, clen, hb, total, _)) if total == inflated.length =>
           if (typ == "response") {
             httpResponseHeadAt(inflated, hb, clen.toInt) match {
-              case Some((status, ct, cs, headLen)) =>
+              case Some((status, ct, cs, headLen, chunked)) =>
                 val bodyOff = hb + headLen
                 val bodyLen = clen.toInt - headLen
+                // chunked bodies de-frame first (RFC 9112 §7.1) —
+                // the content chain must be byte-identical to a
+                // Content-Length twin; a malformed chunk framing
+                // fails the SHARD like any census violation
+                val (bb, bo, bl) =
+                  if (chunked) {
+                    val d = httpDechunkAt(inflated, bodyOff, bodyLen)
+                      .getOrElse(return None)
+                    (d, 0, d.length)
+                  } else (inflated, bodyOff, bodyLen)
                 val body = cs match {
                   case "" | "utf-8" | "utf8" =>
-                    new String(inflated, bodyOff, bodyLen, "UTF-8")
+                    new String(bb, bo, bl, "UTF-8")
                   case "iso-8859-1" | "us-ascii" | "latin-1" =>
-                    new String(inflated, bodyOff, bodyLen, "ISO-8859-1")
+                    new String(bb, bo, bl, "ISO-8859-1")
                   case _ => "" // unknown charset: censused, not decoded
                 }
                 out += WarcHttpPage(r.id, idx, uri, status.toLong, ct, cs,
@@ -7722,11 +7872,35 @@ object MultimodalOps {
         val notFound = id % 7 == 0
         val bodyBytes =
           (if (notFound) "not found" else html).getBytes("UTF-8")
+        // every third page frames its body CHUNKED (no
+        // Content-Length, Transfer-Encoding: chunked, 11-byte
+        // chunks, a chunk extension on the first, a trailer
+        // header) — the content chain must be byte-identical to
+        // the Content-Length twins
+        val chunkedArm = id % 3 == 1
         val head = (s"HTTP/1.1 ${if (notFound) "404 Not Found" else "200 OK"}\r\n" +
           "Content-Type: text/html; charset=utf-8\r\n" +
-          s"Content-Length: ${bodyBytes.length}\r\n" +
+          (if (chunkedArm) "Transfer-Encoding: chunked\r\n"
+           else s"Content-Length: ${bodyBytes.length}\r\n") +
           "Server: graft\r\n\r\n").getBytes("ISO-8859-1")
-        val block = head ++ bodyBytes
+        val bodyWire =
+          if (chunkedArm) {
+            val o = new java.io.ByteArrayOutputStream(bodyBytes.length + 64)
+            var i = 0
+            var first = true
+            while (i < bodyBytes.length) {
+              val take = math.min(11, bodyBytes.length - i)
+              val ext = if (first) ";x=1" else ""
+              o.write(s"${take.toHexString}$ext\r\n".getBytes("ISO-8859-1"))
+              o.write(bodyBytes, i, take)
+              o.write('\r'); o.write('\n')
+              i += take
+              first = false
+            }
+            o.write("0\r\nX-Trace: graft\r\n\r\n".getBytes("ISO-8859-1"))
+            o.toByteArray
+          } else bodyBytes
+        val block = head ++ bodyWire
         val out = new java.io.ByteArrayOutputStream(1024)
         Seq(
           warcRecordBytes(id, 0, "request", Array.emptyByteArray, 0, 0),
@@ -8481,7 +8655,8 @@ object MultimodalOps {
     */
   final case class PdfMeta(
       id: Long, version: String, nObjects: Long, nPages: Long,
-      xrefOffset: Long, nSections: Long, layout: String, nBytes: Long)
+      xrefOffset: Long, nSections: Long, layout: String, nBytes: Long,
+      encrypted: Boolean = false)
 
   // PDF lexical helpers (ISO 32000-1 §7.2): a name token ends at
   // whitespace or a delimiter — `/Type/Pages` and `/Type /Pages` are
@@ -8916,7 +9091,8 @@ object MultimodalOps {
     */
   private[graft] final case class PdfChain(
       entries: Map[Long, PdfXrefEntry], size: Long, rootRef: Long,
-      nSections: Long, layout: String, xrefOffset: Long, version: String)
+      nSections: Long, layout: String, xrefOffset: Long, version: String,
+      encrypted: Boolean = false)
 
   /** Walk the full cross-reference chain (classic tables, xref
     * streams, /Prev links, hybrid /XRefStm) — the shared first step
@@ -8953,6 +9129,8 @@ object MultimodalOps {
     var sawClassic = false
     var sawStream = false
     var sawHybrid = false
+    var encrypted = false
+    var encChecked = false
     var pending = List(xrefOffset)
     while (pending.nonEmpty) {
       val off = pending.head
@@ -8992,6 +9170,14 @@ object MultimodalOps {
         size = pdfDictLong(trailer, "/Size").getOrElse(return None)
       if (rootRef < 0)
         rootRef = pdfDictRef(trailer, "/Root").getOrElse(-1L)
+      if (!encChecked) {
+        // the NEWEST trailer rules: a standard-security-handler PDF
+        // carries /Encrypt there — detect it so the census can say
+        // "encrypted" instead of dropping the doc as if corrupt when
+        // its FlateDecode later fails on RC4/AES stream bytes
+        encChecked = true
+        encrypted = pdfNameAt(trailer, "/Encrypt") >= 0
+      }
       pdfDictLong(trailer, "/Prev").foreach { p => pending = p :: pending }
     }
     if (rootRef < 0) return None
@@ -9002,7 +9188,7 @@ object MultimodalOps {
       else if (sawStream) "xref-stream"
       else "classic"
     Some(PdfChain(entries.toMap, size, rootRef, nSections, layout,
-      xrefOffset, version))
+      xrefOffset, version, encrypted))
   }
 
   /** Resolve an object's DICT through the xref (object streams
@@ -9079,7 +9265,8 @@ object MultimodalOps {
     val nPages = pdfDictLong(pages, "/Count").getOrElse(return None)
     if (nPages < 0) return None
     Some(PdfMeta(r.id, chain.version, chain.size, nPages,
-      chain.xrefOffset, chain.nSections, chain.layout, b.length.toLong))
+      chain.xrefOffset, chain.nSections, chain.layout, b.length.toLong,
+      chain.encrypted))
   }
 
   def pdfMeta(ds: Dataset[MediaRecord]): Dataset[PdfMeta] = {
@@ -9164,8 +9351,15 @@ object MultimodalOps {
         if (!closed || hi >= 0) return None // odd digits in a CMap: reject
         toks += Hex(o.toByteArray)
         if (toks.length > 300000) return None
-      } else if (c == '[') { toks += ArrOpen; i += 1 }
-      else if (c == ']') { toks += ArrClose; i += 1 }
+      } else if (c == '[') {
+        toks += ArrOpen; i += 1
+        // cap EVERY push: an adversarial CMap of 8 MiB of '[' would
+        // otherwise accumulate ~8M tokens before any rejection
+        if (toks.length > 300000) return None
+      } else if (c == ']') {
+        toks += ArrClose; i += 1
+        if (toks.length > 300000) return None
+      }
       else if (c == '/') { // name: skip
         i += 1
         while (i < n && !isPdfWs(s(i)) && !isPdfDelim(s(i))) i += 1
@@ -9582,6 +9776,10 @@ object MultimodalOps {
   private[graft] def pdfPageTextsOf(r: MediaRecord): Option[Seq[PdfPageText]] = {
     val b = r.content
     val chain = pdfChainOf(b).getOrElse(return None)
+    // encrypted content streams are RC4/AES bytes — extraction can't
+    // proceed, but the drop is ATTRIBUTABLE: the meta census surfaces
+    // encrypted=true for the same doc (vs. dropped-as-corrupt)
+    if (chain.encrypted) return None
     val catalog = pdfObjDict(b, chain.entries, chain.rootRef)
       .getOrElse(return None)
     if (!pdfDictName(catalog, "/Type").contains("Catalog")) return None
@@ -9674,7 +9872,8 @@ object MultimodalOps {
     * file) and [[synthesizePdfIncremental]] (original revision to
     * append an update to).  Returns the bytes and the xref offset.
     */
-  private def classicPdfBytes(id: Long, text: String): (Array[Byte], Long) = {
+  private def classicPdfBytes(id: Long, text: String,
+      encrypted: Boolean = false): (Array[Byte], Long) = {
     val nPages = 1 + (id % 4).toInt
     val payload = text.getBytes("UTF-8")
     val out = new java.io.ByteArrayOutputStream(1024)
@@ -9705,13 +9904,31 @@ object MultimodalOps {
       out.write(payload, from, take)
       w("\nendstream endobj\n")
     }
+    // standard-security-handler arm: an /Encrypt dict object (V1/R2
+    // RC4 shape — deterministic O/U strings) referenced from the
+    // trailer; the census must surface encrypted=true, NOT drop the
+    // doc as corrupt
+    if (encrypted) {
+      val encNum = 3 + 2 * nPages
+      val oHex = (0 until 32).map(i =>
+        f"${(id * 31 + i * 7) & 0xff}%02X").mkString
+      val uHex = (0 until 32).map(i =>
+        f"${(id * 17 + i * 13) & 0xff}%02X").mkString
+      offsets += out.size().toLong
+      w(s"$encNum 0 obj << /Filter /Standard /V 1 /R 2 " +
+        s"/O <$oHex> /U <$uHex> /P -44 >> endobj\n")
+    }
     val xrefAt = out.size().toLong
     val objOffsets = offsets.result()
     val size = 1 + objOffsets.length // entry 0 + real objects
     w(s"xref\n0 $size\n")
     w("0000000000 65535 f \n")
     objOffsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer << /Size $size /Root 1 0 R >>\n")
+    val encRef =
+      if (encrypted) s" /Encrypt ${3 + 2 * nPages} 0 R" +
+        f" /ID [<${id}%016x> <${id}%016x>]"
+      else ""
+    w(s"trailer << /Size $size /Root 1 0 R$encRef >>\n")
     w(s"startxref\n$xrefAt\n%%EOF\n")
     (out.toByteArray, xrefAt)
   }
@@ -9723,6 +9940,23 @@ object MultimodalOps {
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaRecord(id, "application/pdf", classicPdfBytes(id, text)._1)
+      }
+  }
+
+  /** Mixed encrypted/plain PDF corpus — even ids carry a
+    * standard-security-handler /Encrypt trailer (the large
+    * real-corpus slice whose content streams are RC4/AES bytes): the
+    * census must surface `encrypted=true` for them instead of
+    * dropping them indistinguishably from bit rot.
+    */
+  def synthesizePdfEncrypted(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, "application/pdf",
+          classicPdfBytes(id, text, encrypted = id % 2 == 0)._1)
       }
   }
 

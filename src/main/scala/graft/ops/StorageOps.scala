@@ -840,8 +840,8 @@ object StorageOps {
   private[graft] def puffinDvBlobOf(
       b: Array[Byte], offset: Long, length: Long,
       cardinality: Long): Option[Vector[Long]] = {
-    if (b == null || offset < 4 || length < 12 ||
-      offset + length > b.length) return None
+    if (b == null || offset < 4 || length < 12 || length > b.length ||
+      offset > b.length - length) return None
     val o = offset.toInt
     val combined = dvU32be(b, o)
     if (combined + 8 != length) return None
@@ -1000,6 +1000,38 @@ object StorageOps {
       org.apache.spark.sql.functions.broadcast(
         deletes.select(fileCol, posCol)),
       Seq(fileCol, posCol), "left_anti")
+  }
+
+  /** Apply Iceberg v2 EQUALITY DELETES — the merge-on-read step the
+    * CDC/streaming-upsert writers (Flink et al.) demand: a data row
+    * is dropped when ANY equality-delete tuple matches it on ALL the
+    * `equality_ids` columns AND the delete's sequence number is
+    * STRICTLY greater than the data row's (spec: equality deletes
+    * apply only to data files with a LOWER data sequence number —
+    * a later-sequence data row survives an earlier delete, which is
+    * what makes upsert-then-reinsert round-trips correct).  Matching
+    * is NULL-SAFE (`<=>`): the spec's equality semantics treat null
+    * as equal to null, unlike SQL `=` which would silently never
+    * delete null-keyed rows.
+    *
+    * Scale shape: like position deletes, equality-delete files are
+    * metadata-sized relative to data, so the delete side is
+    * BROADCAST — the equi-keys keep the join a BroadcastHashJoin
+    * with the sequence inequality as its post-join residual; the
+    * corpus never shuffles to drop rows.
+    */
+  def applyEqualityDeletes(
+      data: DataFrame, deletes: DataFrame, eqCols: Seq[String],
+      dataSeqCol: String = "data_seq",
+      deleteSeqCol: String = "delete_seq"): DataFrame = {
+    require(eqCols.nonEmpty, "applyEqualityDeletes: empty equality_ids")
+    val d = deletes.select(
+      eqCols.map(c => col(c).as(s"__eq_$c")) :+
+        col(deleteSeqCol).cast("long").as("__eq_seq"): _*)
+    val cond = eqCols.map(c => data(c) <=> d(s"__eq_$c"))
+      .reduce(_ && _) &&
+      data(dataSeqCol).cast("long") < d("__eq_seq")
+    data.join(org.apache.spark.sql.functions.broadcast(d), cond, "left_anti")
   }
 
   /** Parquet BLOOM-FILTER probe census — the point-lookup skipping
@@ -2082,6 +2114,17 @@ object StorageOps {
                           case (_, wire) => er.skip(wire)
                         }
                       }
+                      // A BloomFilter entry with no utf8Bitset (e.g. a
+                      // legacy writer emitting only fixed64 `bitset`
+                      // field 2) would test false for EVERY probe —
+                      // silent false negatives against the
+                      // NO-FALSE-NEGATIVES planner contract.  Reject
+                      // loudly instead of mis-pruning.
+                      if (bits.isEmpty)
+                        throw new IllegalArgumentException(
+                          s"orcBloomProbe: $p stripe $sid column " +
+                            s"$column row group $rg has no utf8bitset " +
+                            "(legacy/unsupported bloom encoding)")
                       var hits = 0L
                       var pi = 0
                       while (pi < probeHashes.length) {
@@ -2203,6 +2246,7 @@ object StorageOps {
       spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.expressions.Window
+    checkDeltaProtocol(spark, logDir)
     val sch = StructType(Seq(
       StructField("add", StructType(Seq(
         StructField("path", StringType),
@@ -2226,6 +2270,154 @@ object StorageOps {
       .filter(col("rn") === 1 && col("is_add") === 1)
       .select(col("path"), col("size"),
         col("version").as("version_added"))
+  }
+
+  /** Reader features this engine's Delta replay actually implements —
+    * the protocol-gate allowlist.  deletionVectors ([[deltaDvPositions]]),
+    * columnMapping ([[deltaFileStats]]), v2Checkpoint
+    * ([[deltaLogStateFromCheckpoint]]); timestampNtz is a pure type
+    * annotation with no read-path semantics.
+    */
+  private[graft] val SupportedDeltaReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
+
+  /** Protocol GATE for the Delta replay: a table whose newest
+    * `protocol` action demands a reader version or reader feature
+    * beyond the implemented set must REJECT LOUDLY, not mis-census —
+    * silently replaying a log whose semantics we don't implement
+    * (e.g. a future row-tracking feature) would report wrong state
+    * with full confidence.  Absent protocol actions imply reader
+    * version 1 (legacy tables).  Metadata-sized read, one tiny job.
+    */
+  private[graft] def checkDeltaProtocol(
+      spark: org.apache.spark.sql.SparkSession, logDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)))))))
+    val rows = spark.read.schema(sch)
+      .option("pathGlobFilter", "*.json").json(logDir)
+      .filter(col("protocol.minReaderVersion").isNotNull)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
+      .orderBy(col("version").desc)
+      .select(col("protocol.minReaderVersion"),
+        col("protocol.readerFeatures"))
+      .limit(1).collect()
+    rows.headOption.foreach { r =>
+      val mrv = r.getInt(0)
+      require(mrv <= 3,
+        s"delta protocol gate: minReaderVersion $mrv > 3 is beyond " +
+          s"this reader ($logDir) — refusing to mis-census")
+      if (mrv == 3) {
+        val feats: Seq[String] =
+          if (r.isNullAt(1)) Seq.empty
+          else r.getSeq[String](1)
+        val unsupported = feats.filterNot(SupportedDeltaReaderFeatures)
+        require(unsupported.isEmpty,
+          s"delta protocol gate: unsupported readerFeatures " +
+            s"${unsupported.mkString(", ")} ($logDir) — refusing to " +
+            "mis-census")
+      }
+    }
+  }
+
+  /** Per-live-file COLUMN STATISTICS from the Delta log's add-action
+    * `stats` JSON — the zone-map surface a Delta data-skipping
+    * planner prunes with, with COLUMN-MAPPING awareness: when the
+    * newest metaData action sets `delta.columnMapping.mode` to
+    * `name` or `id`, the stats objects are keyed by PHYSICAL column
+    * names (`col-<uuid>`), and this census translates them back to
+    * logical names via each schema field's
+    * `delta.columnMapping.physicalName` metadata.  Unmapped modes
+    * pass keys through unchanged.  Emits one row per (live file,
+    * column) with min/max (as the log's own JSON strings), null
+    * count, and the file's record count.
+    *
+    * Scale shape: the log is METADATA; the only non-metadata-sized
+    * work is the same last-action-wins window as [[deltaLogState]].
+    * The schema/mode lookup is a driver-side read of the newest
+    * metaData action (KBs), broadcast into the key translation.
+    */
+  def deltaFileStats(
+      spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    checkDeltaProtocol(spark, logDir)
+    val sch = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("configuration", MapType(StringType, StringType)))))))
+    val raw = spark.read.schema(sch)
+      .option("pathGlobFilter", "*.json").json(logDir)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
+    // newest metaData action: mode + physical→logical map (driver-side
+    // — table metadata is KBs, never data-sized)
+    val metaRow = raw.filter(col("metaData.schemaString").isNotNull)
+      .orderBy(col("version").desc)
+      .select(col("metaData.schemaString"), col("metaData.configuration"))
+      .limit(1).collect().headOption
+    val mapping: Map[String, String] = metaRow match {
+      case Some(r) =>
+        val conf: Map[String, String] =
+          if (r.isNullAt(1)) Map.empty
+          else r.getMap[String, String](1).toMap
+        val mode = conf.getOrElse("delta.columnMapping.mode", "none")
+        if (mode != "name" && mode != "id") Map.empty
+        else {
+          val parsed = org.apache.spark.sql.types.DataType
+            .fromJson(r.getString(0))
+          parsed match {
+            case st: StructType =>
+              st.fields.flatMap { f =>
+                if (f.metadata.contains("delta.columnMapping.physicalName"))
+                  Some(f.metadata
+                    .getString("delta.columnMapping.physicalName") -> f.name)
+                else None
+              }.toMap
+            case _ => Map.empty
+          }
+        }
+      case None => Map.empty
+    }
+    val actions = raw
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.stats").as("stats"),
+        col("add.path").isNotNull.cast(IntegerType).as("is_add"),
+        col("version"))
+      .filter(col("path").isNotNull)
+    val w = Window.partitionBy("path")
+      .orderBy(col("version").desc, col("is_add").desc)
+    val live = actions.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_add") === 1 &&
+        col("stats").isNotNull)
+    val statsSchema = StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", MapType(StringType, StringType)),
+      StructField("maxValues", MapType(StringType, StringType)),
+      StructField("nullCount", MapType(StringType, LongType))))
+    val translate: Column => Column =
+      if (mapping.isEmpty) identity
+      else pcol => coalesce(element_at(typedLit(mapping), pcol), pcol)
+    live.withColumn("st", from_json(col("stats"), statsSchema))
+      .select(col("path"), col("st.numRecords").as("num_records"),
+        explode(col("st.minValues")).as(Seq("pcol", "min_v")),
+        col("st.maxValues").as("maxm"), col("st.nullCount").as("nullm"))
+      .select(col("path"),
+        translate(col("pcol")).as("column"),
+        col("min_v"),
+        element_at(col("maxm"), col("pcol")).as("max_v"),
+        element_at(col("nullm"), col("pcol")).as("null_count"),
+        col("num_records"))
   }
 
   /** Checkpoint-aware [[deltaLogState]] — the 10⁶-commit path the
@@ -2256,6 +2448,7 @@ object StorageOps {
     val lastCp = new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint")
     val fs = lastCp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(lastCp)) return deltaLogState(spark, logDir)
+    checkDeltaProtocol(spark, logDir)
     val cpMeta = {
       val in = fs.open(lastCp)
       try new String(in.readAllBytes(), "UTF-8")
@@ -2279,6 +2472,10 @@ object StorageOps {
         StructField("path", StringType)))),
       StructField("sidecar", StructType(Seq(
         StructField("path", StringType))))))
+    // For a JSON v2 top file the file actions it carries (if any)
+    // can't join the parquet multi-path read below — they ride along
+    // here as a separately-parsed DataFrame instead.
+    var jsonTopActions: Option[DataFrame] = None
     val cpPaths = "\"parts\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(cpMeta).map(_.group(1).toInt) match {
       case Some(n) =>
@@ -2298,34 +2495,59 @@ object StorageOps {
           // `sidecar` actions name files under _sidecars/ that carry
           // the add/remove set (read below via the same schema; the
           // sidecar column is absent there and reads as null).
+          // The protocol allows BOTH parquet and json v2 top files
+          // (`v2CheckpointFormat` parquet|json); sidecars are always
+          // parquet.  Prefer parquet when both exist at the version.
           val prefix = f"$cpVersion%020d.checkpoint."
           val cands = fs.listStatus(
               new org.apache.hadoop.fs.Path(logDir))
             .map(_.getPath)
             .filter { q =>
               val n = q.getName
-              n.startsWith(prefix) && n.endsWith(".parquet")
+              n.startsWith(prefix) &&
+                (n.endsWith(".parquet") || n.endsWith(".json"))
             }
             .sortBy(_.getName)
           require(cands.nonEmpty,
             s"deltaLogStateFromCheckpoint: _last_checkpoint names " +
               s"version $cpVersion but no checkpoint file matches " +
-              s"$prefix*.parquet in $logDir")
-          val top = cands.last.toString
-          val sidecars = spark.read.schema(sch).parquet(top)
+              s"$prefix*.{parquet,json} in $logDir")
+          val top = cands.filter(_.getName.endsWith(".parquet"))
+            .lastOption.getOrElse(cands.last).toString
+          val topDf =
+            if (top.endsWith(".json")) spark.read.schema(sch).json(top)
+            else spark.read.schema(sch).parquet(top)
+          val sidecars = topDf
             .select(col("sidecar.path"))
             .filter(col("path").isNotNull)
             .collect().map(_.getString(0))
           require(sidecars.length <= 1000000,
             s"deltaLogStateFromCheckpoint: absurd sidecar count " +
               s"${sidecars.length} in $top")
-          top +: sidecars.map(sp => s"$logDir/_sidecars/$sp").toSeq
+          val sidecarPaths =
+            sidecars.map(sp => s"$logDir/_sidecars/$sp").toSeq
+          if (top.endsWith(".json")) {
+            jsonTopActions = Some(topDf)
+            sidecarPaths
+          } else top +: sidecarPaths
         }
     }
     // the checkpoint IS the state at cpVersion: its actions replay as
     // if committed there (hence the version_added clamp)
-    val cpActions = spark.read.schema(sch)
-      .parquet(cpPaths: _*)
+    val cpRaw = {
+      val parquetPart =
+        if (cpPaths.nonEmpty)
+          Some(spark.read.schema(sch).parquet(cpPaths: _*))
+        else None
+      (parquetPart, jsonTopActions) match {
+        case (Some(p), Some(j)) => p.unionByName(j)
+        case (Some(p), None)    => p
+        case (None, Some(j))    => j
+        case (None, None) => sys.error(
+          s"deltaLogStateFromCheckpoint: empty checkpoint at $cpVersion")
+      }
+    }
+    val cpActions = cpRaw
       .select(
         coalesce(col("add.path"), col("remove.path")).as("path"),
         col("add.size").as("size"),

@@ -1594,15 +1594,22 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.httpResponseHeadAt(b, 0, b.length)
     }
     assert(head("HTTP/1.1 301 Moved\r\nLocation: /x\r\n\r\n")
-      .contains((301, "", "", 36)))
+      .contains((301, "", "", 36, false)))
     assert(head("HTTP/1.0 200 OK\r\nContent-Type: TEXT/Plain; charset=ISO-8859-1\r\n\r\n")
       .exists(t => t._2 == "text/plain" && t._3 == "iso-8859-1"))
     assert(head("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"utf-8\"\r\n\r\n")
       .exists(_._3 == "utf-8"))
-    assert(head("HTTP/1.1 200\r\n\r\n").contains((200, "", "", 16))) // bare code, no reason
+    assert(head("HTTP/1.1 200\r\n\r\n").contains((200, "", "", 16, false))) // bare code, no reason
     assert(head("HTTP/1.1 200x OK\r\n\r\n").isEmpty) // junk after the code
     assert(head("HTTP/2 200 OK\r\n\r\n").isEmpty)
     assert(head("HTTP/1.1 200 OK\nX: y\n\n").isEmpty) // bare LF
+    // transfer-encoding: chunked detected only as the FINAL coding
+    assert(head("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n")
+      .exists(_._5))
+    assert(head("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n")
+      .exists(_._5))
+    assert(head("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked, gzip\r\n\r\n")
+      .exists(t => !t._5))
     // unknown charset: the row survives with an empty body
     val exotic = {
       val body = "body".getBytes("UTF-8")
@@ -1619,6 +1626,40 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(exotic.exists(s => s.length == 1 && s.head.charset == "shift_jis" &&
       s.head.body == "" && s.head.status == 200L))
+  }
+
+  test("warc http chunked: de-chunk byte-identical to content-length twin; strict rejects") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // synthesizer arm: id % 3 == 1 frames chunked — the decoded body
+    // must be identical to the content-length twin of the same text
+    val docs = Seq(
+      (1L, "chunked body — naïve 日本語 " * 9),
+      (2L, "chunked body — naïve 日本語 " * 9),
+      (4L, ""), (7L, "x")).toDF("doc_id", "html")
+    val pages = MultimodalOps.warcGzHttpPages(
+        MultimodalOps.synthesizeWarcGzHttp(docs, "doc_id", "html"))
+      .collect().map(p => p.id -> p).toMap
+    assert(pages(1L).body == pages(2L).body) // chunked == plain twin
+    assert(pages(1L).body.startsWith("chunked body"))
+    assert(pages(4L).body == "") // last-chunk-only empty body
+    assert(pages(7L).status == 404L && pages(7L).body == "not found") // 404 + chunked
+    // direct dechunk: extensions dropped, trailer headers consumed
+    def de(s: String) = {
+      val b = s.getBytes("ISO-8859-1")
+      MultimodalOps.httpDechunkAt(b, 0, b.length).map(new String(_, "UTF-8"))
+    }
+    assert(de("5;a=b\r\nhello\r\n3\r\n wo\r\n0\r\nX-T: v\r\n\r\n")
+      .contains("hello wo"))
+    assert(de("0\r\n\r\n").contains(""))
+    // rejects: bad hex, missing data CRLF, size overrun, trailing
+    // junk, truncated trailer, colon-less trailer line
+    assert(de("zz\r\nhi\r\n0\r\n\r\n").isEmpty)
+    assert(de("5\r\nhelloXX0\r\n\r\n").isEmpty)
+    assert(de("ff\r\nhi\r\n0\r\n\r\n").isEmpty)
+    assert(de("2\r\nhi\r\n0\r\n\r\nEXTRA").isEmpty)
+    assert(de("2\r\nhi\r\n0\r\n").isEmpty)
+    assert(de("2\r\nhi\r\n0\r\nnotaheader\r\n\r\n").isEmpty)
   }
 
   /** test helper: one framed WARC record (mirrors the synthesizer). */
@@ -1685,6 +1726,30 @@ class OpsSpec extends AnyFunSuite {
     "%PDF-2.1".getBytes("ISO-8859-1").copyToArray(v21, 0)
     assert(MultimodalOps.pdfMetaOf(
       MultimodalOps.MediaRecord(5L, "p", v21)).isEmpty)
+  }
+
+  test("pdf /Encrypt: censused as encrypted, not dropped; extraction attributably None") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((2L, "secret body text here " * 4), (3L, "plain " * 8))
+      .toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizePdfEncrypted(docs, "doc_id", "text")
+      .collect().map(r => r.id -> r).toMap
+    // even id: /Encrypt trailer — censused, encrypted=true, pages
+    // still resolved (dicts are never encrypted), +1 object in /Size
+    val enc = MultimodalOps.pdfMetaOf(media(2L)).get
+    assert(enc.encrypted && enc.nPages == 3 && enc.nObjects == 4 + 2 * 3)
+    // odd id: plain — encrypted=false, classic shape unchanged
+    val plain = MultimodalOps.pdfMetaOf(media(3L)).get
+    assert(!plain.encrypted && plain.nObjects == 3 + 2 * 4)
+    // text extraction: None for the encrypted doc (the reason is
+    // attributable via the meta census), pages for the plain one
+    assert(MultimodalOps.pdfPageTextsOf(media(2L)).isEmpty)
+    assert(MultimodalOps.pdfPageTextsOf(media(3L)).nonEmpty ||
+      // classicPdfBytes streams are raw payload splits, not text
+      // operators — extraction may legitimately yield empty pages,
+      // but must NOT reject the unencrypted doc at the chain step
+      MultimodalOps.pdfChainOf(media(3L).content).exists(!_.encrypted))
   }
 
   test("pdf: xref-stream census — W fields, predictors, object streams, /Index") {
@@ -2284,6 +2349,8 @@ class OpsSpec extends AnyFunSuite {
       ("warcgz-http", MultimodalOps.synthesizeWarcGzHttp(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.warcGzHttpPagesOf(r)),
       ("pdf", MultimodalOps.synthesizePdf(docs, "doc_id", "text")
+        .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
+      ("pdf-enc", MultimodalOps.synthesizePdfEncrypted(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),
       ("pdf-xrs", MultimodalOps.synthesizePdfXrs(docs, "doc_id", "text")
         .collect().map(_.content), r => MultimodalOps.pdfMetaOf(r)),

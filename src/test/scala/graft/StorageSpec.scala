@@ -1008,5 +1008,95 @@ class StorageSpec extends AnyFunSuite {
         case e: Throwable => fail(s"puffin fuzz $trial threw: $e")
       }
     }
+    // adversarial footer descriptors: offset/length pairs whose sum
+    // overflows Long must reject via the guard, not index out of
+    // range (the footer JSON is untrusted input)
+    assert(StorageOps.puffinDvBlobOf(
+      whole, Long.MaxValue - 5L, 12L, 3L).isEmpty)
+    assert(StorageOps.puffinDvBlobOf(
+      whole, 4L, Long.MaxValue, 3L).isEmpty)
+    assert(StorageOps.puffinDvBlobOf(
+      whole, Long.MaxValue, Long.MaxValue, 3L).isEmpty)
+    assert(StorageOps.puffinDvBlobOf(
+      whole, whole.length.toLong, 12L, 3L).isEmpty)
+  }
+
+  test("applyEqualityDeletes: sequence cutoff, null-safe match, broadcast plan") {
+    val s = spark
+    import s.implicits._
+    // data rows across sequences; one null-keyed row on each side of
+    // the cutoff
+    val data = Seq(
+      (1L, "de", 1L), (2L, "de", 3L), (3L, "de", 5L),
+      (4L, "fr", 2L), (5L, "en", 1L),
+      (6L, null.asInstanceOf[String], 1L),
+      (7L, null.asInstanceOf[String], 9L)
+    ).toDF("id", "k", "data_seq")
+    val dels = Seq(
+      ("de", 4L), // hits seq 1 and 3, NOT 5
+      (null.asInstanceOf[String], 5L) // null-safe: hits id 6, not 7
+    ).toDF("k", "delete_seq")
+    val out = StorageOps.applyEqualityDeletes(data, dels, Seq("k"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 5L, 7L))
+    // the spec's reinsert case: the LATER-sequence 'de' row (seq 5)
+    // survives the EARLIER equality delete (seq 4)
+    assert(out.filter(col("id") === 3L).count() == 1)
+    // equal sequence also survives (strictly-lower rule)
+    val eq = Seq((10L, "de", 4L)).toDF("id", "k", "data_seq")
+    assert(StorageOps.applyEqualityDeletes(eq, dels, Seq("k")).count() == 1)
+    // plan shape: the delete side is broadcast — never a shuffle of
+    // the data side to drop rows
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast anti-join, got:\n$plan")
+    // multi-column equality tuples
+    val d2 = Seq((1L, "a", 1L, 1L), (2L, "a", 2L, 1L), (3L, "b", 1L, 1L))
+      .toDF("id", "k1", "k2", "data_seq")
+    val del2 = Seq(("a", 1L, 9L)).toDF("k1", "k2", "delete_seq")
+    assert(StorageOps.applyEqualityDeletes(d2, del2, Seq("k1", "k2"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("iceberg manifest v2: equality_ids + sequence_number decode; Avro cross-check") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "a"), (8L, "b"), (7L, "c"), (12L, "d"))
+      .toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeIcebergManifestV2(docs, "doc_id")
+      .collect()
+    for (m <- media) {
+      val entries = MultimodalOps.icebergManifestEntriesOf(m)
+        .getOrElse(fail(s"v2 manifest ${m.id} rejected"))
+      entries.zipWithIndex.foreach { case (e, k) =>
+        // every entry carries its data sequence number
+        assert(e.sequenceNumber == 7L + m.id % 9, s"id ${m.id} k $k")
+        if ((m.id + k) % 3 == 2) // equality-delete entries only
+          assert(e.equalityIds == s"${m.id % 3 + 1},5", s"id ${m.id} k $k")
+        else
+          assert(e.equalityIds == "", s"id ${m.id} k $k")
+      }
+      // cross-check against the Avro library's own read
+      val reader = new org.apache.avro.file.DataFileReader(
+        new org.apache.avro.file.SeekableByteArrayInput(m.content),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val lib = Iterator.continually(
+        if (reader.hasNext) Some(reader.next()) else None)
+        .takeWhile(_.isDefined).map { o =>
+          val df = o.get.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          Option(df.get("equality_ids")) match {
+            case Some(l: java.util.List[_]) =>
+              import scala.jdk.CollectionConverters._
+              l.asScala.map(_.toString).mkString(",")
+            case _ => ""
+          }
+        }.toVector
+      reader.close()
+      assert(entries.map(_.equalityIds).toVector == lib, s"id ${m.id}")
+    }
   }
 }
