@@ -4527,6 +4527,23 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'part-0-0.parquet', CAST(9999 AS BIGINT), CAST(10 AS BIGINT))
         |ORDER BY path""".stripMargin,
+    // column-mapping replay: live files f-2..f-5 (v4 removed f-1),
+    // stats arithmetic by version, physical col-* keys translated to
+    // the logical doc_id/lang names
+    "q_delta_column_mapping" ->
+      s"""WITH live AS (SELECT unnest(generate_series(2, 5)) AS v),
+        |c AS (SELECT * FROM (VALUES ('doc_id'), ('lang')) t(col_name))
+        |SELECT 'f-' || CAST(v AS VARCHAR) || '.parquet' AS path,
+        |       col_name,
+        |       CASE col_name WHEN 'doc_id' THEN CAST(v * 10 AS VARCHAR)
+        |            ELSE 'a' || CAST(v AS VARCHAR) END AS min_v,
+        |       CASE col_name WHEN 'doc_id' THEN CAST(v * 10 + 9 AS VARCHAR)
+        |            ELSE 'z' || CAST(v AS VARCHAR) END AS max_v,
+        |       CAST(CASE col_name WHEN 'doc_id' THEN 0 ELSE v END
+        |            AS BIGINT) AS null_count,
+        |       CAST(100 + v AS BIGINT) AS num_records
+        |FROM live, c
+        |ORDER BY path, col_name""".stripMargin,
     // GGUF replay: tensor table as id arithmetic — 52-byte infos, the
     // fixed 102-byte header+KV prefix, 32-aligned running offsets
     "q_multimodal_gguf" ->
@@ -7810,8 +7827,12 @@ object SparkEntry {
         // of page null counts MUST equal the chunk's own statistics,
         // so this is a THIRD physical path onto the q_parquet_stats
         // DuckDB parquet_metadata() oracle
+        // row-group-SHARDED flavor: the staged coalesce(1) files are
+        // exactly the one-giant-file shape where the per-file walk
+        // degrades to one task — this one fans out per (file, row
+        // group) with identical output
         val staged = stageParquetIdxFiles(s, dir)
-        graft.ops.StorageOps.parquetPageIndex(s, Seq(
+        graft.ops.StorageOps.parquetPageIndexSharded(s, Seq(
             s"$staged/documents", s"$staged/lineitem",
             s"$staged/orders"),
           Seq("doc_id", "l_orderkey", "l_partkey", "l_suppkey",
@@ -7953,9 +7974,13 @@ object SparkEntry {
         // (partition structs, column stats, sequence numbers, delete
         // files): the schema-driven walk extracts its fields and
         // skips the rest by the embedded writer schema — the gate
-        // that used to return None on any non-v1 schema is gone
-        val media = MultimodalOps.synthesizeIcebergManifestV2(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        // that used to return None on any non-v1 schema is gone; the
+        // fixture is STAGED once per source fingerprint so the pass
+        // times the decode, not the container synthesis
+        val staged = stageIcebergManifestV2(s, dir)
+        import s.implicits._
+        val media = s.read.parquet(s"$staged/media")
+          .as[graft.ops.MultimodalOps.MediaRecord]
         MultimodalOps.icebergManifestEntries(media).toDF()
           .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
             col("status"), col("snapshotId").as("snapshot_id"),
@@ -7973,8 +7998,10 @@ object SparkEntry {
         // delete file into applyEqualityDeletes with the right
         // sequence cutoff; data and position-delete entries carry
         // the null union branch and must decode as empty
-        val media = MultimodalOps.synthesizeIcebergManifestV2(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        val staged = stageIcebergManifestV2(s, dir)
+        import s.implicits._
+        val media = s.read.parquet(s"$staged/media")
+          .as[graft.ops.MultimodalOps.MediaRecord]
         MultimodalOps.icebergManifestEntries(media).toDF()
           .filter(col("content") === 2)
           .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
@@ -9407,6 +9434,19 @@ object SparkEntry {
         graft.ops.StorageOps.deltaLogStateFromCheckpoint(s, staged)
           .orderBy("path")
       },
+      "q_delta_column_mapping" -> { (s, dir) =>
+        // COLUMN-MAPPED per-file stats census: the staged log's
+        // metaData sets delta.columnMapping.mode=name, so add-action
+        // stats are keyed by physical col-<id> names — the census
+        // must translate them to logical names via the schema's
+        // physicalName metadata, over the LIVE file set only (v4
+        // removes f-1); protocol v3 + columnMapping feature passes
+        // the reader gate
+        val staged = stageDeltaLogMapped(dir)
+        graft.ops.StorageOps.deltaFileStats(s, staged)
+          .withColumnRenamed("column", "col_name")
+          .orderBy("path", "col_name")
+      },
       "q_shard_census_stream" -> { (s, dir) =>
         // shards land as files; the binaryFile stream censuses each
         // exactly once — drained stream == batch walk (same oracle as
@@ -9618,6 +9658,29 @@ object SparkEntry {
                 "per-stripe row-group numbering in the oracle before " +
                 "raising the fixture size")
           }
+        writeStageMarker(out, fp)
+      }
+      out
+    }
+
+  /** Stage the synthesized v2 Iceberg manifests to parquet ONCE per
+    * source fingerprint (the stageShardFiles discipline, extended to
+    * the board's most staging-bound row — 14× at ×10 data, all
+    * synthesis): census passes then time the DECODE, not the Avro
+    * container synthesis.  Shared by q_iceberg_manifest_v2 and
+    * q_iceberg_manifest_eq.  Recipe key bumps when the synthesizer
+    * changes (icebergv2-v2 carries equality_ids).
+    */
+  private[graft] def stageIcebergManifestV2(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"/tmp/graft-icebergv2-stage-$md"
+      val fp = stageFingerprint(s, dir, Seq("documents"), "icebergv2-v2")
+      if (!stageUpToDate(out, fp)) {
+        MultimodalOps.synthesizeIcebergManifestV2(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+          .write.mode("overwrite").parquet(s"$out/media")
         writeStageMarker(out, fp)
       }
       out

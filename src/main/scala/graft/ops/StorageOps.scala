@@ -418,6 +418,98 @@ object StorageOps {
         "null_count", "min_v", "max_v")
   }
 
+  /** Row-group-SHARDED [[parquetPageIndex]] — same rows, finer task
+    * grain: the per-file flavor gives a one-giant-file lake exactly
+    * ONE task (the skew shape the sf10 fixture accidentally models);
+    * this one enumerates row groups in a footer-only first pass,
+    * then fans out one work unit per (file, row group), so a single
+    * 100-row-group file engages up to 100 tasks.  Each task re-opens
+    * its file and reads ONLY its row group's ColumnIndex/OffsetIndex
+    * pages — the footer open is metadata-sized, so the re-open cost
+    * is per-row-group KBs, not data.  Output is IDENTICAL to
+    * [[parquetPageIndex]] by construction (same per-block walk).
+    */
+  def parquetPageIndexSharded(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      cols: Seq[String], maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    val wanted = cols.toSet
+    val files = listFilesBounded(spark, paths, ".parquet", maxFiles,
+      "parquetPageIndexSharded")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    // pass 1: footer-only row-group enumeration
+    val shards = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .flatMap { p =>
+        val conf = confBc.value.value
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf))
+        try (0 until reader.getFooter.getBlocks.size()).map(i => (p, i))
+        finally reader.close()
+      }
+    // pass 2: one work unit per (file, row group)
+    shards
+      .repartition(32, col("_1"), col("_2"))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { case (p, rgIdx) =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            def longAt(bb: java.nio.ByteBuffer, width: Int): Long = {
+              val b = bb.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              if (width == 4) b.getInt(b.position()).toLong
+              else b.getLong(b.position())
+            }
+            val rg = reader.getFooter.getBlocks.get(rgIdx)
+            rg.getColumns.asScala.toVector.flatMap { cc =>
+              val name = cc.getPath.toDotString
+              val ptype = cc.getPrimitiveType.getPrimitiveTypeName
+              val width = ptype match {
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT32 => 4
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64 => 8
+                case _ => 0
+              }
+              if (!wanted.contains(name) || width == 0) Vector.empty
+              else {
+                val ci = reader.readColumnIndex(cc)
+                val oi = reader.readOffsetIndex(cc)
+                if (ci == null || oi == null) Vector.empty
+                else {
+                  val nulls = ci.getNullCounts.asScala
+                  val mins = ci.getMinValues.asScala
+                  val maxs = ci.getMaxValues.asScala
+                  val nullPages = ci.getNullPages.asScala
+                  (0 until oi.getPageCount).toVector.map { pg =>
+                    val isNullPage = nullPages(pg)
+                    (hp.getName, rgIdx.toLong, name, pg.toLong,
+                      oi.getFirstRowIndex(pg),
+                      oi.getOffset(pg),
+                      oi.getCompressedPageSize(pg).toLong,
+                      nulls(pg).longValue(),
+                      if (isNullPage) None
+                      else Some(longAt(mins(pg), width)),
+                      if (isNullPage) None
+                      else Some(longAt(maxs(pg), width)))
+                  }
+                }
+              }
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file_name", "row_group_id", "path_in_schema", "page_idx",
+        "first_row_index", "page_offset", "compressed_size",
+        "null_count", "min_v", "max_v")
+  }
+
   // ---- Delta deletion vectors (protocol: Deletion Vector Format) ----
 
   /** Z85 (ZeroMQ base85) decode — the encoding Delta uses for INLINE

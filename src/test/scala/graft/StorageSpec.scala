@@ -1021,6 +1021,105 @@ class StorageSpec extends AnyFunSuite {
       whole, whole.length.toLong, 12L, 3L).isEmpty)
   }
 
+  test("parquetPageIndexSharded == parquetPageIndex on a multi-row-group file") {
+    // one file, several row groups: the skew shape where the
+    // per-file walk is a single task — the sharded flavor must fan
+    // out per row group and return IDENTICAL rows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqidx-shard").toString
+    val docs = spark.read.parquet(s"$sf001/lineitem.parquet")
+    docs.coalesce(1).sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(s"$dir/li")
+    val cols = Seq("l_orderkey", "l_partkey")
+    val perFile = StorageOps.parquetPageIndex(spark, Seq(s"$dir/li"), cols)
+    val sharded =
+      StorageOps.parquetPageIndexSharded(spark, Seq(s"$dir/li"), cols)
+    val key = Seq("file_name", "row_group_id", "path_in_schema", "page_idx")
+    val a = perFile.orderBy(key.map(col): _*).collect().toSeq
+    val b = sharded.orderBy(key.map(col): _*).collect().toSeq
+    assert(a == b)
+    // the fixture actually has >1 row group, else the test is vacuous
+    assert(perFile.select("row_group_id").distinct().count() > 1)
+  }
+
+  test("delta protocol gate: unknown reader features reject loudly; supported pass") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-delta-gate").toString
+    def write(v: Int, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"$v%020d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    write(0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","rowTracking"]}}""",
+      """{"add":{"path":"a.parquet","size":10,"dataChange":true}}"""))
+    // rowTracking is beyond the implemented set: the replay must
+    // REFUSE, not silently report state it can't interpret
+    val e = intercept[IllegalArgumentException] {
+      StorageOps.deltaLogState(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("rowTracking"))
+    // a later commit narrowing to supported features wins (newest
+    // protocol action rules)
+    write(1, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","columnMapping"]}}"""))
+    assert(StorageOps.deltaLogState(spark, dir).count() == 1)
+    // minReaderVersion beyond 3 rejects regardless of features
+    write(2, Seq("""{"protocol":{"minReaderVersion":4}}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      StorageOps.deltaLogState(spark, dir).collect()
+    }
+    assert(e2.getMessage.contains("minReaderVersion 4"))
+  }
+
+  test("deltaFileStats: column-mapping translation, live-set only, no-mapping passthrough") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-delta-cmap").toString
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val schemaJson =
+      """{"type":"struct","fields":[""" +
+        """{"name":"id","type":"long","nullable":true,"metadata":""" +
+        """{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-x1"}}]}"""
+    def write(v: Int, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"$v%020d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    write(0, Seq(
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(schemaJson)}","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""))
+    val stats =
+      """{"numRecords":7,"minValues":{"col-x1":3},""" +
+        """"maxValues":{"col-x1":9},"nullCount":{"col-x1":1}}"""
+    write(1, Seq(
+      s"""{"add":{"path":"a.parquet","size":10,"dataChange":true,""" +
+        s""""stats":"${esc(stats)}"}}"""))
+    write(2, Seq(
+      s"""{"add":{"path":"b.parquet","size":10,"dataChange":true,""" +
+        s""""stats":"${esc(stats)}"}}""",
+      """{"remove":{"path":"a.parquet"}}"""))
+    val rows = StorageOps.deltaFileStats(spark, dir).collect()
+    // live set only (a.parquet removed), physical col-x1 → logical id
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "b.parquet" && r.getString(1) == "id" &&
+      r.getString(2) == "3" && r.getString(3) == "9" &&
+      r.getLong(4) == 1L && r.getLong(5) == 7L)
+    // mode absent → keys pass through unchanged
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-delta-nomap").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, f"${0}%020d.json"),
+      (s"""{"add":{"path":"c.parquet","size":10,"dataChange":true,""" +
+        s""""stats":"${esc(stats)}"}}""").getBytes("UTF-8"))
+    val rows2 = StorageOps.deltaFileStats(spark, dir2).collect()
+    assert(rows2.length == 1 && rows2.head.getString(1) == "col-x1")
+  }
+
   test("applyEqualityDeletes: sequence cutoff, null-safe match, broadcast plan") {
     val s = spark
     import s.implicits._
