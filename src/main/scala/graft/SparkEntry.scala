@@ -5035,6 +5035,31 @@ object SparkEntry {
            |       CAST(n_tokens >= 5 AS BIGINT) AS keep
            |FROM t ORDER BY doc_id""".stripMargin
     },
+    // table-state replay: only the CURRENT snapshot (k = ns-1)
+    // contributes; per manifest j, entry e is live when status
+    // (doc_id+k+j+e) % 3 != 2 — all fields id arithmetic
+    "q_iceberg_table_state" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 3 AS ns FROM documents),
+        |base AS (SELECT doc_id, ns - 1 AS k FROM px),
+        |js AS (
+        |  SELECT doc_id, k,
+        |         unnest(generate_series(0, (doc_id + k) % 2)) AS j
+        |  FROM base),
+        |es AS (
+        |  SELECT doc_id, k, j,
+        |         unnest(generate_series(0, (doc_id + j) % 3)) AS e
+        |  FROM js)
+        |SELECT doc_id,
+        |       'mf-' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |         || '-' || CAST(j AS VARCHAR) || '.avro' AS manifest_path,
+        |       'data/d-' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |         || '-' || CAST(j AS VARCHAR) || '-' || CAST(e AS VARCHAR)
+        |         || '.parquet' AS file_path,
+        |       CAST(100 + (doc_id + e) % 57 AS BIGINT) AS record_count,
+        |       CAST(1000 + 53 * doc_id + 17 * k + 5 * j + e AS BIGINT)
+        |         AS file_size_in_bytes
+        |FROM es WHERE (doc_id + k + j + e) % 3 <> 2
+        |ORDER BY doc_id, manifest_path, file_path""".stripMargin,
     // Iceberg metadata replay: every snapshot row is id arithmetic;
     // the last snapshot is current; format version alternates 1/2
     "q_iceberg_metadata" ->
@@ -8418,6 +8443,24 @@ object SparkEntry {
             col("recordBytes").as("record_bytes"),
             col("contentLength").as("content_length"))
           .orderBy("doc_id", "rec_idx")
+      },
+      "q_iceberg_table_state" -> { (s, dir) =>
+        // the FULL Iceberg read chain in one call — the
+        // deltaLogState sibling: metadata.json → current snapshot →
+        // its manifest list → its manifests → live files (status !=
+        // DELETED).  Non-current snapshots' lists/manifests are in
+        // the fixture as DECOYS: the composition must follow the
+        // pointer chain, not union everything it can decode.  The
+        // two upper levels broadcast; only the manifest side streams
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.StorageOps.icebergTableState(
+            graft.ops.StorageOps.synthesizeIcebergMetadata(docs, "doc_id"),
+            MultimodalOps.synthesizeIcebergTableLists(docs, "doc_id"),
+            MultimodalOps.synthesizeIcebergTableManifests(docs, "doc_id"))
+          .select(col("id").as("doc_id"), col("manifest_path"),
+            col("file_path"), col("record_count"),
+            col("file_size_in_bytes"))
+          .orderBy("doc_id", "manifest_path", "file_path")
       },
       "q_iceberg_metadata" -> { (s, dir) =>
         // the Iceberg chain's entry point: metadata.json parsed

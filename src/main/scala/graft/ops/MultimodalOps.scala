@@ -6888,6 +6888,108 @@ object MultimodalOps {
     }
   }
 
+  // ---- coherent Iceberg TABLE fixture (three linked levels) --------
+
+  private def avZig(v: Long): Array[Byte] = {
+    var z = (v << 1) ^ (v >> 63)
+    val out = Array.newBuilder[Byte]
+    while ((z & ~0x7fL) != 0L) { out += ((z & 0x7f) | 0x80).toByte; z >>>= 7 }
+    out += z.toByte
+    out.result()
+  }
+  private def avStr(s: String): Array[Byte] = {
+    val sb = s.getBytes("UTF-8"); avZig(sb.length.toLong) ++ sb
+  }
+  private def avContainer(
+      id: Long, schemaJson: String, records: Seq[Array[Byte]],
+      saltBase: Long): Array[Byte] = {
+    val sync = new Array[Byte](16)
+    var i = 0
+    while (i < 16) { sync(i) = ((saltBase + i * 13 + 7) & 0xff).toByte; i += 1 }
+    val out = Array.newBuilder[Byte]
+    out ++= Array[Byte]('O', 'b', 'j', 1)
+    out ++= avZig(2L)
+    out ++= avStr("avro.codec"); out ++= avStr("null")
+    out ++= avStr("avro.schema"); out ++= avStr(schemaJson)
+    out ++= avZig(0L)
+    out ++= sync
+    records.foreach { r =>
+      out ++= avZig(1L)
+      out ++= avZig(r.length.toLong)
+      out ++= r
+      out ++= sync
+    }
+    out.result()
+  }
+
+  /** The manifest-LIST level of the coherent table fixture: per id,
+    * ONE container per snapshot (paths `ml-<id>-<k>.avro` — exactly
+    * the names [[graft.ops.StorageOps.synthesizeIcebergMetadata]]
+    * points at), each naming `1 + (id + k) % 2` manifests
+    * `mf-<id>-<k>-<j>.avro`.  Non-current snapshots' lists are
+    * DECOYS: the table-state composition must follow the current
+    * pointer, not union everything it can decode.
+    */
+  def synthesizeIcebergTableLists(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
+      val ns = 1 + (id % 3).toInt
+      (0 until ns).map { k =>
+        val nm = 1 + ((id + k) % 2).toInt
+        val recs = (0 until nm).map { j =>
+          val rec = Array.newBuilder[Byte]
+          rec ++= avStr(s"mf-$id-$k-$j.avro")
+          rec ++= avZig(4000L + 31L * id + 7L * k + j)
+          rec ++= avZig(id % 3)
+          rec ++= avZig(3000L + id + k)
+          rec ++= avZig(1L + (id + j) % 3) // added == entry count below
+          rec ++= avZig(0L)
+          rec ++= avZig(0L)
+          rec.result()
+        }
+        (id, s"ml-$id-$k.avro",
+          avContainer(id, IcebergManifestListSchema, recs,
+            id * 41 + k * 211))
+      }
+    }.toDF("id", "path", "content")
+  }
+
+  /** The MANIFEST level of the coherent table fixture: one container
+    * per (snapshot k, manifest j) at path `mf-<id>-<k>-<j>.avro`
+    * with `1 + (id + j) % 3` entries — entry e: status
+    * `(id + k + j + e) % 3` (2 = DELETED must be dropped by the
+    * composition), data file `data/d-<id>-<k>-<j>-<e>.parquet`,
+    * `100 + (id + e) % 57` records, `1000 + 53·id + 17·k + 5·j + e`
+    * bytes.
+    */
+  def synthesizeIcebergTableManifests(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
+      val ns = 1 + (id % 3).toInt
+      for {
+        k <- 0 until ns
+        j <- 0 until (1 + ((id + k) % 2).toInt)
+      } yield {
+        val ne = 1 + ((id + j) % 3).toInt
+        val recs = (0 until ne).map { e =>
+          val rec = Array.newBuilder[Byte]
+          rec ++= avZig((id + k + j + e) % 3) // status
+          rec ++= avZig(1L); rec ++= avZig(3000L + id + k) // snapshot union
+          rec ++= avStr(s"data/d-$id-$k-$j-$e.parquet")
+          rec ++= avStr("PARQUET")
+          rec ++= avZig(100L + (id + e) % 57)
+          rec ++= avZig(1000L + 53L * id + 17L * k + 5L * j + e)
+          rec.result()
+        }
+        (id, s"mf-$id-$k-$j.avro",
+          avContainer(id, IcebergManifestSchema, recs,
+            id * 67 + k * 131 + j * 17))
+      }
+    }.toDF("id", "path", "content")
+  }
+
   // ---- TFRecord shard census ---------------------------------------
 
   /** One TFRecord: parse-order index, the record's absolute byte
@@ -7673,16 +7775,19 @@ object MultimodalOps {
 
   /** Parse an HTTP/1.x response head at `b[off, off+len)`: status
     * code, lowercased media type, charset parameter, the head's
-    * byte length (through the blank line), and whether the body is
+    * byte length (through the blank line), whether the body is
     * `Transfer-Encoding: chunked` (RFC 9112 — the final coding; a
     * large slice of archived responses, especially older Common
-    * Crawl waves, frame bodies this way instead of Content-Length).
-    * Strict status line (`HTTP/1.<0|1> NNN …`), CRLF header lines,
-    * 64 KiB head cap; header NAMES are case-insensitive per RFC 9112.
+    * Crawl waves, frame bodies this way instead of Content-Length),
+    * and whether it is `Content-Encoding: gzip` (the archived-web
+    * compression norm — transfer-coding is removed FIRST, then the
+    * content-coding).  Strict status line (`HTTP/1.<0|1> NNN …`),
+    * CRLF header lines, 64 KiB head cap; header NAMES are
+    * case-insensitive per RFC 9112.
     */
   private[graft] def httpResponseHeadAt(
       b: Array[Byte], off: Int,
-      len: Int): Option[(Int, String, String, Int, Boolean)] = {
+      len: Int): Option[(Int, String, String, Int, Boolean, Boolean)] = {
     val end = off + len
     if (len < 14 || end > b.length) return None
     val v = new String(b, off, 9, "ISO-8859-1")
@@ -7704,6 +7809,7 @@ object MultimodalOps {
     var contentType = ""
     var charset = ""
     var chunked = false
+    var gzipBody = false
     // finish the status line
     var eol = p + 3
     while (eol + 1 < end && !(b(eol) == '\r' && b(eol + 1) == '\n') &&
@@ -7738,11 +7844,17 @@ object MultimodalOps {
           val codings = line.substring(colon + 1).toLowerCase
             .split(',').map(_.trim).filter(_.nonEmpty)
           chunked = codings.nonEmpty && codings.last == "chunked"
+        } else if (hname.equalsIgnoreCase("content-encoding")) {
+          // single gzip content-coding (the archived-web norm);
+          // stacked/unknown codings leave the body undecoded —
+          // censused, not garbled
+          val v = line.substring(colon + 1).trim.toLowerCase
+          gzipBody = v == "gzip" || v == "x-gzip"
         }
       }
       p = e2 + 2
     }
-    Some((status, contentType, charset, p - off, chunked))
+    Some((status, contentType, charset, p - off, chunked, gzipBody))
   }
 
   /** De-chunk an RFC 9112 §7.1 chunked body occupying EXACTLY
@@ -7819,19 +7931,32 @@ object MultimodalOps {
         case Some((typ, uri, clen, hb, total, _)) if total == inflated.length =>
           if (typ == "response") {
             httpResponseHeadAt(inflated, hb, clen.toInt) match {
-              case Some((status, ct, cs, headLen, chunked)) =>
+              case Some((status, ct, cs, headLen, chunked, gzipBody)) =>
                 val bodyOff = hb + headLen
                 val bodyLen = clen.toInt - headLen
-                // chunked bodies de-frame first (RFC 9112 §7.1) —
-                // the content chain must be byte-identical to a
-                // Content-Length twin; a malformed chunk framing
-                // fails the SHARD like any census violation
-                val (bb, bo, bl) =
+                // transfer-coding FIRST (RFC 9112 §7.1 de-chunk),
+                // then the content-coding (gunzip) — the content
+                // chain must be byte-identical to a plain twin; a
+                // malformed framing at either layer fails the SHARD
+                // like any census violation
+                val (cb, co, cl) =
                   if (chunked) {
                     val d = httpDechunkAt(inflated, bodyOff, bodyLen)
                       .getOrElse(return None)
                     (d, 0, d.length)
                   } else (inflated, bodyOff, bodyLen)
+                val (bb, bo, bl) =
+                  if (gzipBody && cl > 0) {
+                    // exactly ONE gzip member spanning the body —
+                    // CRC32 + ISIZE verified by the shared walk
+                    val span = java.util.Arrays
+                      .copyOfRange(cb, co, co + cl)
+                    gzMembersOf(span, maxInflated) match {
+                      case Some(Seq((_, _, payload))) =>
+                        (payload, 0, payload.length)
+                      case _ => return None
+                    }
+                  } else (cb, co, cl)
                 val body = cs match {
                   case "" | "utf-8" | "utf8" =>
                     new String(bb, bo, bl, "UTF-8")
@@ -7875,31 +8000,43 @@ object MultimodalOps {
         // every third page frames its body CHUNKED (no
         // Content-Length, Transfer-Encoding: chunked, 11-byte
         // chunks, a chunk extension on the first, a trailer
-        // header) — the content chain must be byte-identical to
-        // the Content-Length twins
+        // header); every fifth-mod-2 page gzips it
+        // (Content-Encoding: gzip — content-coding applied FIRST,
+        // then the transfer-coding, per RFC 9110 §8.4) — the
+        // content chain must be byte-identical to the plain twins
+        // through every combination
         val chunkedArm = id % 3 == 1
+        val gzipArm = id % 5 == 2 && bodyBytes.nonEmpty
+        val encoded =
+          if (gzipArm) {
+            val o = new java.io.ByteArrayOutputStream(bodyBytes.length)
+            val gz = new java.util.zip.GZIPOutputStream(o)
+            gz.write(bodyBytes); gz.close()
+            o.toByteArray
+          } else bodyBytes
         val head = (s"HTTP/1.1 ${if (notFound) "404 Not Found" else "200 OK"}\r\n" +
           "Content-Type: text/html; charset=utf-8\r\n" +
+          (if (gzipArm) "Content-Encoding: gzip\r\n" else "") +
           (if (chunkedArm) "Transfer-Encoding: chunked\r\n"
-           else s"Content-Length: ${bodyBytes.length}\r\n") +
+           else s"Content-Length: ${encoded.length}\r\n") +
           "Server: graft\r\n\r\n").getBytes("ISO-8859-1")
         val bodyWire =
           if (chunkedArm) {
-            val o = new java.io.ByteArrayOutputStream(bodyBytes.length + 64)
+            val o = new java.io.ByteArrayOutputStream(encoded.length + 64)
             var i = 0
             var first = true
-            while (i < bodyBytes.length) {
-              val take = math.min(11, bodyBytes.length - i)
+            while (i < encoded.length) {
+              val take = math.min(11, encoded.length - i)
               val ext = if (first) ";x=1" else ""
               o.write(s"${take.toHexString}$ext\r\n".getBytes("ISO-8859-1"))
-              o.write(bodyBytes, i, take)
+              o.write(encoded, i, take)
               o.write('\r'); o.write('\n')
               i += take
               first = false
             }
             o.write("0\r\nX-Trace: graft\r\n\r\n".getBytes("ISO-8859-1"))
             o.toByteArray
-          } else bodyBytes
+          } else encoded
         val block = head ++ bodyWire
         val out = new java.io.ByteArrayOutputStream(1024)
         Seq(

@@ -2317,6 +2317,68 @@ object StorageOps {
     }.toDF("id", "metadata_json")
   }
 
+  /** Iceberg TABLE-STATE composition — the full read chain in ONE
+    * call, the [[deltaLogState]] sibling for the second lakehouse
+    * format: metadata.json → CURRENT snapshot → its manifest LIST →
+    * its manifests → live data-file entries (status != 2 DELETED).
+    * Emits one row per live file: (id, manifest_path, file_path,
+    * file_format, record_count, file_size_in_bytes).  Non-current
+    * snapshots' lists and manifests are present in the inputs and
+    * must be IGNORED — the composition follows the pointer chain,
+    * it does not union everything it can decode.
+    *
+    * Scale shape: metadata.json and the manifest-list level are
+    * per-table KBs — both resolve into BROADCAST rosters; the
+    * manifest side (the only level proportional to file count)
+    * streams through the decode and a broadcast semi-join.  The
+    * corpus itself is never touched: this is the planner's
+    * metadata-only question "which files would a scan read".
+    */
+  def icebergTableState(
+      metadata: DataFrame, manifestLists: DataFrame,
+      manifests: DataFrame): DataFrame = {
+    val spark = metadata.sparkSession
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // level 1: the current snapshot's manifest-list path per table
+    val current = icebergMetadata(metadata, "id", "metadata_json")
+      .filter(col("is_current") === 1)
+      .select(col("id").as("t_id"), col("manifest_list").as("ml_path"))
+    // level 2: decode ONLY the pointed-at lists (broadcast roster)
+    val wantedLists = manifestLists
+      .join(org.apache.spark.sql.functions.broadcast(current),
+        col("id") === col("t_id") && col("path") === col("ml_path"))
+      .select(col("id"), col("content"))
+    val wantedManifests = wantedLists
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        MultimodalOps.icebergManifestListOf(
+            MultimodalOps.MediaRecord(id, "", c))
+          .getOrElse(Seq.empty).map(m => (id, m.manifestPath))
+      })
+      .toDF("m_id", "m_path")
+    // level 3: the manifest side streams; the wanted roster (KBs per
+    // table) broadcasts into the semi-join
+    val entries = manifests
+      .join(org.apache.spark.sql.functions.broadcast(wantedManifests),
+        col("id") === col("m_id") && col("path") === col("m_path"),
+        "left_semi")
+      .select(col("id"), col("path"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, path, c) =>
+        MultimodalOps.icebergManifestEntriesOf(
+            MultimodalOps.MediaRecord(id, "", c))
+          .getOrElse(Seq.empty)
+          .map(e => (id, path, e.status, e.filePath, e.fileFormat,
+            e.recordCount, e.fileSizeInBytes))
+      })
+      .toDF("id", "manifest_path", "status", "file_path", "file_format",
+        "record_count", "file_size_in_bytes")
+    entries
+      .filter(col("status") =!= 2) // DELETED entries are not live
+      .drop("status")
+  }
+
   /** Delta-style transaction-log replay — lakehouse table-state
     * reconstruction WITHOUT the table-format library: read the
     * commit log's JSON files (one per version, the filename IS the

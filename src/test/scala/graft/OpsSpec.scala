@@ -1594,12 +1594,13 @@ class OpsSpec extends AnyFunSuite {
       MultimodalOps.httpResponseHeadAt(b, 0, b.length)
     }
     assert(head("HTTP/1.1 301 Moved\r\nLocation: /x\r\n\r\n")
-      .contains((301, "", "", 36, false)))
+      .contains((301, "", "", 36, false, false)))
     assert(head("HTTP/1.0 200 OK\r\nContent-Type: TEXT/Plain; charset=ISO-8859-1\r\n\r\n")
       .exists(t => t._2 == "text/plain" && t._3 == "iso-8859-1"))
     assert(head("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"utf-8\"\r\n\r\n")
       .exists(_._3 == "utf-8"))
-    assert(head("HTTP/1.1 200\r\n\r\n").contains((200, "", "", 16, false))) // bare code, no reason
+    assert(head("HTTP/1.1 200\r\n\r\n")
+      .contains((200, "", "", 16, false, false))) // bare code, no reason
     assert(head("HTTP/1.1 200x OK\r\n\r\n").isEmpty) // junk after the code
     assert(head("HTTP/2 200 OK\r\n\r\n").isEmpty)
     assert(head("HTTP/1.1 200 OK\nX: y\n\n").isEmpty) // bare LF
@@ -1610,6 +1611,13 @@ class OpsSpec extends AnyFunSuite {
       .exists(_._5))
     assert(head("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked, gzip\r\n\r\n")
       .exists(t => !t._5))
+    // content-encoding: single gzip coding only; others undecoded
+    assert(head("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .exists(_._6))
+    assert(head("HTTP/1.1 200 OK\r\nContent-Encoding: x-gzip\r\n\r\n")
+      .exists(_._6))
+    assert(head("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n")
+      .exists(t => !t._6))
     // unknown charset: the row survives with an empty body
     val exotic = {
       val body = "body".getBytes("UTF-8")
@@ -1660,6 +1668,33 @@ class OpsSpec extends AnyFunSuite {
     assert(de("2\r\nhi\r\n0\r\n\r\nEXTRA").isEmpty)
     assert(de("2\r\nhi\r\n0\r\n").isEmpty)
     assert(de("2\r\nhi\r\n0\r\nnotaheader\r\n\r\n").isEmpty)
+  }
+
+  test("warc http content-encoding gzip: plain/gzip/chunked+gzip twins identical; corrupt fails shard") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val txt = "gzip body — compressible compressible naïve 日本語 " * 8
+    // id 3: plain; id 12: gzip + Content-Length; id 22: gzip INSIDE
+    // chunked (content-coding first, then transfer-coding)
+    val docs = Seq((3L, txt), (12L, txt), (22L, txt))
+      .toDF("doc_id", "html")
+    val pages = MultimodalOps.warcGzHttpPages(
+        MultimodalOps.synthesizeWarcGzHttp(docs, "doc_id", "html"))
+      .collect().map(p => p.id -> p).toMap
+    assert(pages(3L).body == txt)
+    assert(pages(12L).body == txt) // gunzipped back to the twin
+    assert(pages(22L).body == txt) // de-chunk then gunzip
+    // corrupt gzip content: the shard fails, never a garbled body
+    val badBody = "not gzip at all".getBytes("UTF-8")
+    val h = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "Content-Encoding: gzip\r\n" +
+      s"Content-Length: ${badBody.length}\r\n\r\n").getBytes("ISO-8859-1")
+    val member = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(member)
+    gz.write(graftWarcRecord(9L, 1, "response", h ++ badBody))
+    gz.close()
+    assert(MultimodalOps.warcGzHttpPagesOf(
+      MultimodalOps.MediaRecord(9L, "w", member.toByteArray)).isEmpty)
   }
 
   /** test helper: one framed WARC record (mirrors the synthesizer). */
