@@ -4911,6 +4911,20 @@ object SparkEntry {
         |  AND NOT (lang = 'de' AND 1 + doc_id % 4 < 3)
         |  AND NOT (lang = 'fr' AND 1 + doc_id % 4 < 5)
         |ORDER BY doc_id""".stripMargin,
+    // manifest column-stats replay: every entry carries c = 1..3
+    // stats — sizes 1000c+id, counts 100+c, lower bound bytes
+    // [c, id & 0x7f] hex — all id arithmetic by synthesis
+    "q_iceberg_manifest_stats" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 3 AS ns FROM documents),
+        |ks AS (SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS k FROM px),
+        |cs AS (SELECT doc_id, k, unnest(generate_series(1, 3)) AS c FROM ks)
+        |SELECT doc_id, CAST(k AS BIGINT) AS entry_idx,
+        |       CAST(c AS BIGINT) AS col_id,
+        |       CAST(1000 * c + doc_id AS BIGINT) AS column_size,
+        |       CAST(100 + c AS BIGINT) AS value_count,
+        |       lower(lpad(to_hex(c), 2, '0') ||
+        |         lpad(to_hex(doc_id & 127), 2, '0')) AS lower_bound_hex
+        |FROM cs ORDER BY doc_id, entry_idx, col_id""".stripMargin,
     // v2 equality-delete manifest replay: entry k is a delete file
     // when (doc_id + k) % 3 = 2; its equality_ids list and sequence
     // number are id arithmetic by synthesis
@@ -8014,6 +8028,31 @@ object SparkEntry {
             col("recordCount").as("record_count"),
             col("fileSizeInBytes").as("file_size_in_bytes"))
           .orderBy("doc_id", "entry_idx")
+      },
+      "q_iceberg_manifest_stats" -> { (s, dir) =>
+        // the manifest COLUMN-STATS pruning surface — what an
+        // Iceberg planner skips whole data files with, the
+        // manifest-level sibling of the parquet/ORC zone maps:
+        // column_sizes/value_counts/lower_bounds kv-arrays decoded
+        // per entry, keyed by field id (map_from_entries at the
+        // query layer); bound bytes surface as hex, type
+        // interpretation belongs to the planner that holds the
+        // table schema
+        val staged = stageIcebergManifestV2(s, dir)
+        import s.implicits._
+        val media = s.read.parquet(s"$staged/media")
+          .as[graft.ops.MultimodalOps.MediaRecord]
+        MultimodalOps.icebergManifestEntries(media).toDF()
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            explode(col("columnSizes")).as("cs"),
+            map_from_entries(col("valueCounts")).as("vcm"),
+            map_from_entries(col("lowerBounds")).as("lbm"))
+          .select(col("doc_id"), col("entry_idx"),
+            col("cs.k").as("col_id"),
+            col("cs.v").as("column_size"),
+            element_at(col("vcm"), col("cs.k")).as("value_count"),
+            element_at(col("lbm"), col("cs.k")).as("lower_bound_hex"))
+          .orderBy("doc_id", "entry_idx", "col_id")
       },
       "q_iceberg_manifest_eq" -> { (s, dir) =>
         // the equality-delete half of the v2 manifest decode: delete

@@ -6012,11 +6012,26 @@ object MultimodalOps {
     * union carried null — inherited snapshots), and the data file's
     * path / format / row and byte counts.
     */
+  /** One (field-id → long) stats entry from a manifest's kv-array
+    * collections (column_sizes, value_counts, …).  Key first so
+    * `map_from_entries` applies directly at the query layer.
+    */
+  final case class IcebergKvLong(k: Long, v: Long)
+
+  /** One (field-id → bytes) bound from lower_bounds/upper_bounds,
+    * hex-encoded — bound bytes are type-tagged by the table schema,
+    * which the census does not interpret (the planner layer does).
+    */
+  final case class IcebergKvBytes(k: Long, hex: String)
+
   final case class IcebergManifestEntry(
       id: Long, entryIdx: Long, status: Long, snapshotId: Long,
       filePath: String, fileFormat: String, recordCount: Long,
       fileSizeInBytes: Long, content: Long,
-      sequenceNumber: Long = -1L, equalityIds: String = "")
+      sequenceNumber: Long = -1L, equalityIds: String = "",
+      columnSizes: Seq[IcebergKvLong] = Nil,
+      valueCounts: Seq[IcebergKvLong] = Nil,
+      lowerBounds: Seq[IcebergKvBytes] = Nil)
 
   // ---- minimal Avro schema model (schema-DRIVEN record decode) -----
   // Enough of the Avro type system to SKIP any field the census does
@@ -6285,6 +6300,99 @@ object MultimodalOps {
     case _ => None
   }
 
+  /** Read a kv-array field (Iceberg's column_sizes/value_counts/
+    * bounds shape: nullable array of record{key:int, value:long|bytes}),
+    * unwrapping the null union branch.  The item record is walked
+    * schema-driven — extra fields skip by wire type.  `bytesValue`
+    * selects the bounds flavor (value captured as raw bytes).
+    */
+  private def avReadKvArrayish(
+      t: AvType, d: Array[Byte], p0: Int, end: Int,
+      bytesValue: Boolean): Option[(Option[Vector[(Long, Long, Array[Byte])]], Int)] = t match {
+    case AvArray(rec: AvRecord) =>
+      val out = Vector.newBuilder[(Long, Long, Array[Byte])]
+      var p = p0
+      var blocks = 0
+      var done = false
+      while (!done && blocks < 1000000) {
+        val c = avroVarLong(d, p)
+        if (c == null || p + c._2 > end) return None
+        p += c._2
+        var n = c._1
+        if (n == 0) done = true
+        else {
+          blocks += 1
+          if (n < 0) {
+            n = -n
+            val sz = avroVarLong(d, p)
+            if (sz == null || sz._1 < 0 ||
+              sz._1 > (end - (p + sz._2)).toLong) return None
+            p += sz._2
+          }
+          if (n > 1000000) return None // per-column stats, not data
+          var i = 0L
+          while (i < n) {
+            var key = Long.MinValue
+            var lv = 0L
+            var bv: Array[Byte] = Array.emptyByteArray
+            for ((fn, ft) <- rec.fields) fn match {
+              case "key" =>
+                val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+                key = v._1.getOrElse(return None)
+                p = v._2
+              case "value" if !bytesValue =>
+                val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+                lv = v._1.getOrElse(return None)
+                p = v._2
+              case "value" =>
+                // bytes value, possibly union-wrapped; anything else
+                // is not a bounds collection — reject, never misparse
+                def readBytes(bt: AvType, q0: Int): Option[(Array[Byte], Int)] =
+                  bt match {
+                    case AvBytes | AvString | AvFixed(_) =>
+                      bt match {
+                        case AvFixed(fn2) =>
+                          if (q0 + fn2 > end) None
+                          else Some((java.util.Arrays.copyOfRange(
+                            d, q0, q0 + fn2), q0 + fn2))
+                        case _ =>
+                          val l = avroVarLong(d, q0)
+                          if (l == null || l._1 < 0 ||
+                            l._1 > (end - (q0 + l._2)).toLong) None
+                          else Some((java.util.Arrays.copyOfRange(
+                            d, q0 + l._2, q0 + l._2 + l._1.toInt),
+                            q0 + l._2 + l._1.toInt))
+                      }
+                    case AvUnion(ubs) =>
+                      val ub = avroVarLong(d, q0)
+                      if (ub == null || ub._1 < 0 || ub._1 >= ubs.length)
+                        None
+                      else readBytes(ubs(ub._1.toInt), q0 + ub._2)
+                    case _ => None
+                  }
+                val r = readBytes(ft, p).getOrElse(return None)
+                bv = r._1
+                p = r._2
+              case _ =>
+                p = avSkipValue(ft, d, p, end).getOrElse(return None)
+            }
+            if (key == Long.MinValue) return None
+            out += ((key, lv, bv))
+            i += 1
+          }
+        }
+      }
+      if (!done) None else Some((Some(out.result()), p))
+    case AvUnion(bs) =>
+      val br = avroVarLong(d, p0)
+      if (br == null || br._1 < 0 || br._1 >= bs.length) None
+      else bs(br._1.toInt) match {
+        case AvNull => Some((None, p0 + br._2))
+        case b => avReadKvArrayish(b, d, p0 + br._2, end, bytesValue)
+      }
+    case _ => None
+  }
+
   /** Read a string-shaped field, unwrapping a null union branch. */
   private def avReadStringish(
       t: AvType, d: Array[Byte], p0: Int,
@@ -6422,6 +6530,9 @@ object MultimodalOps {
       var fsz = -1L
       var seqNum = -1L // v2 data sequence number; -1 = inherited/absent
       var eqIds = "" // v2 equality_ids, comma-joined; "" = none
+      var colSizes: Vector[IcebergKvLong] = Vector.empty
+      var valCounts: Vector[IcebergKvLong] = Vector.empty
+      var lowBounds: Vector[IcebergKvBytes] = Vector.empty
       for ((fname, ft) <- entrySchema.fields) fname match {
         case "status" =>
           val v = avReadLongish(ft, d, p, end).getOrElse(return None)
@@ -6461,6 +6572,25 @@ object MultimodalOps {
               val v = avReadLongArrayish(dft, d, p, end).getOrElse(return None)
               eqIds = v._1.map(_.mkString(",")).getOrElse("")
               p = v._2
+            case "column_sizes" =>
+              val v = avReadKvArrayish(dft, d, p, end, bytesValue = false)
+                .getOrElse(return None)
+              colSizes = v._1.getOrElse(Vector.empty)
+                .map(t => IcebergKvLong(t._1, t._2))
+              p = v._2
+            case "value_counts" =>
+              val v = avReadKvArrayish(dft, d, p, end, bytesValue = false)
+                .getOrElse(return None)
+              valCounts = v._1.getOrElse(Vector.empty)
+                .map(t => IcebergKvLong(t._1, t._2))
+              p = v._2
+            case "lower_bounds" =>
+              val v = avReadKvArrayish(dft, d, p, end, bytesValue = true)
+                .getOrElse(return None)
+              lowBounds = v._1.getOrElse(Vector.empty)
+                .map(t => IcebergKvBytes(t._1,
+                  t._3.map("%02x".format(_)).mkString))
+              p = v._2
             case _ =>
               p = avSkipValue(dft, d, p, end).getOrElse(return None)
           }
@@ -6470,7 +6600,8 @@ object MultimodalOps {
       if (status < 0L || status > 2L || content < 0L || content > 2L ||
         path == null || fmt == null || rc < 0L || fsz < 0L) return None
       Some((IcebergManifestEntry(r.id, -1L, status, snap, path, fmt,
-        rc, fsz, content, seqNum, eqIds), p))
+        rc, fsz, content, seqNum, eqIds, colSizes, valCounts,
+        lowBounds), p))
     }
     val syncOff = hdr.syncOff
     var off = hdr.firstBlockOff

@@ -1176,6 +1176,17 @@ class StorageSpec extends AnyFunSuite {
           assert(e.equalityIds == s"${m.id % 3 + 1},5", s"id ${m.id} k $k")
         else
           assert(e.equalityIds == "", s"id ${m.id} k $k")
+        // column-stats kv arrays: the pruning surface, by synthesis
+        // arithmetic (c = 1..3)
+        assert(e.columnSizes ==
+          (1 to 3).map(c => graft.ops.MultimodalOps
+            .IcebergKvLong(c.toLong, 1000L * c + m.id)), s"id ${m.id}")
+        assert(e.valueCounts ==
+          (1 to 3).map(c => graft.ops.MultimodalOps
+            .IcebergKvLong(c.toLong, 100L + c)), s"id ${m.id}")
+        assert(e.lowerBounds ==
+          (1 to 3).map(c => graft.ops.MultimodalOps.IcebergKvBytes(
+            c.toLong, f"$c%02x${m.id & 0x7f}%02x")), s"id ${m.id}")
       }
       // cross-check against the Avro library's own read
       val reader = new org.apache.avro.file.DataFileReader(
