@@ -4922,9 +4922,22 @@ object SparkEntry {
         |       CAST(c AS BIGINT) AS col_id,
         |       CAST(1000 * c + doc_id AS BIGINT) AS column_size,
         |       CAST(100 + c AS BIGINT) AS value_count,
+        |       CAST((doc_id + c) % 5 AS BIGINT) AS null_value_count,
         |       lower(lpad(to_hex(c), 2, '0') ||
-        |         lpad(to_hex(doc_id & 127), 2, '0')) AS lower_bound_hex
+        |         lpad(to_hex(doc_id & 127), 2, '0')) AS lower_bound_hex,
+        |       lower(lpad(to_hex(c + 1), 2, '0') ||
+        |         lpad(to_hex((doc_id * 3) & 127), 2, '0')) AS upper_bound_hex
         |FROM cs ORDER BY doc_id, entry_idx, col_id""".stripMargin,
+    // partition replay: the synth writes {p_bucket: id % 16,
+    // p_days: id % 365} on every entry — exact JSON string
+    "q_iceberg_manifest_partition" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 3 AS ns FROM documents),
+        |ks AS (SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS k FROM px)
+        |SELECT doc_id, CAST(k AS BIGINT) AS entry_idx,
+        |       '{"p_bucket":' || CAST(doc_id % 16 AS VARCHAR) ||
+        |         ',"p_days":' || CAST(doc_id % 365 AS VARCHAR) || '}'
+        |         AS partition_json
+        |FROM ks ORDER BY doc_id, entry_idx""".stripMargin,
     // v2 equality-delete manifest replay: entry k is a delete file
     // when (doc_id + k) % 3 = 2; its equality_ids list and sequence
     // number are id arithmetic by synthesis
@@ -8046,13 +8059,31 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
             explode(col("columnSizes")).as("cs"),
             map_from_entries(col("valueCounts")).as("vcm"),
-            map_from_entries(col("lowerBounds")).as("lbm"))
+            map_from_entries(col("nullValueCounts")).as("nvm"),
+            map_from_entries(col("lowerBounds")).as("lbm"),
+            map_from_entries(col("upperBounds")).as("ubm"))
           .select(col("doc_id"), col("entry_idx"),
             col("cs.k").as("col_id"),
             col("cs.v").as("column_size"),
             element_at(col("vcm"), col("cs.k")).as("value_count"),
-            element_at(col("lbm"), col("cs.k")).as("lower_bound_hex"))
+            element_at(col("nvm"), col("cs.k")).as("null_value_count"),
+            element_at(col("lbm"), col("cs.k")).as("lower_bound_hex"),
+            element_at(col("ubm"), col("cs.k")).as("upper_bound_hex"))
           .orderBy("doc_id", "entry_idx", "col_id")
+      },
+      "q_iceberg_manifest_partition" -> { (s, dir) =>
+        // the FIRST-level Iceberg prune: the per-entry partition
+        // struct, decoded generically (specs differ per table) and
+        // surfaced as a JSON object string — exact-string oracled,
+        // key order included
+        val staged = stageIcebergManifestV2(s, dir)
+        import s.implicits._
+        val media = s.read.parquet(s"$staged/media")
+          .as[graft.ops.MultimodalOps.MediaRecord]
+        MultimodalOps.icebergManifestEntries(media).toDF()
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            col("partitionJson").as("partition_json"))
+          .orderBy("doc_id", "entry_idx")
       },
       "q_iceberg_manifest_eq" -> { (s, dir) =>
         // the equality-delete half of the v2 manifest decode: delete
@@ -9758,7 +9789,7 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-icebergv2-stage-$md"
-      val fp = stageFingerprint(s, dir, Seq("documents"), "icebergv2-v2")
+      val fp = stageFingerprint(s, dir, Seq("documents"), "icebergv2-v3")
       if (!stageUpToDate(out, fp)) {
         MultimodalOps.synthesizeIcebergManifestV2(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id")

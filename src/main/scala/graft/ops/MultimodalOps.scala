@@ -6031,7 +6031,10 @@ object MultimodalOps {
       sequenceNumber: Long = -1L, equalityIds: String = "",
       columnSizes: Seq[IcebergKvLong] = Nil,
       valueCounts: Seq[IcebergKvLong] = Nil,
-      lowerBounds: Seq[IcebergKvBytes] = Nil)
+      lowerBounds: Seq[IcebergKvBytes] = Nil,
+      nullValueCounts: Seq[IcebergKvLong] = Nil,
+      upperBounds: Seq[IcebergKvBytes] = Nil,
+      partitionJson: String = "")
 
   // ---- minimal Avro schema model (schema-DRIVEN record decode) -----
   // Enough of the Avro type system to SKIP any field the census does
@@ -6393,6 +6396,82 @@ object MultimodalOps {
     case _ => None
   }
 
+  /** Render ONE Avro value as JSON text (primitives, null-unions,
+    * nested records to a small depth) — the generic partition
+    * -struct decode: partition specs differ per table, so the census
+    * surfaces the struct as a JSON object string and leaves typed
+    * interpretation to the planner holding the spec.  Unrenderable
+    * shapes (maps, deep nesting) yield None — reject, never garble.
+    */
+  private def avJsonValue(
+      t: AvType, d: Array[Byte], p0: Int, end: Int,
+      depth: Int = 0): Option[(String, Int)] = {
+    if (depth > 8 || p0 > end) return None
+    t match {
+      case AvNull => Some(("null", p0))
+      case AvBool =>
+        if (p0 + 1 > end) None
+        else Some((if (d(p0) != 0) "true" else "false", p0 + 1))
+      case AvInt | AvLong =>
+        val v = avroVarLong(d, p0)
+        if (v == null || p0 + v._2 > end) None
+        else Some((v._1.toString, p0 + v._2))
+      case AvFloat =>
+        if (p0 + 4 > end) None
+        else {
+          var bits = 0
+          var i = 3
+          while (i >= 0) { bits = (bits << 8) | (d(p0 + i) & 0xff); i -= 1 }
+          Some((java.lang.Float.intBitsToFloat(bits).toString, p0 + 4))
+        }
+      case AvDouble =>
+        if (p0 + 8 > end) None
+        else {
+          var bits = 0L
+          var i = 7
+          while (i >= 0) { bits = (bits << 8) | (d(p0 + i) & 0xffL); i -= 1 }
+          Some((java.lang.Double.longBitsToDouble(bits).toString, p0 + 8))
+        }
+      case AvString =>
+        val v = avroVarLong(d, p0)
+        if (v == null || v._1 < 0 || v._1 > (end - (p0 + v._2)).toLong) None
+        else {
+          val s = new String(d, p0 + v._2, v._1.toInt, "UTF-8")
+          val esc = s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
+          Some(("\"" + esc + "\"", p0 + v._2 + v._1.toInt))
+        }
+      case AvBytes =>
+        val v = avroVarLong(d, p0)
+        if (v == null || v._1 < 0 || v._1 > (end - (p0 + v._2)).toLong) None
+        else Some(("\"" + (0 until v._1.toInt).map(i =>
+          f"${d(p0 + v._2 + i) & 0xff}%02x").mkString + "\"",
+          p0 + v._2 + v._1.toInt))
+      case AvFixed(n) =>
+        if (p0 + n > end) None
+        else Some(("\"" + (0 until n).map(i =>
+          f"${d(p0 + i) & 0xff}%02x").mkString + "\"", p0 + n))
+      case AvUnion(bs) =>
+        val br = avroVarLong(d, p0)
+        if (br == null || br._1 < 0 || br._1 >= bs.length) None
+        else avJsonValue(bs(br._1.toInt), d, p0 + br._2, end, depth + 1)
+      case AvRecord(_, fs) =>
+        var p = p0
+        val parts = Seq.newBuilder[String]
+        for ((fn, ft) <- fs) {
+          val v = avJsonValue(ft, d, p, end, depth + 1).getOrElse(return None)
+          parts += "\"" + fn + "\":" + v._1
+          p = v._2
+        }
+        Some(("{" + parts.result().mkString(",") + "}", p))
+      case _ => None // maps/enums: not a partition-struct shape
+    }
+  }
+
   /** Read a string-shaped field, unwrapping a null union branch. */
   private def avReadStringish(
       t: AvType, d: Array[Byte], p0: Int,
@@ -6533,6 +6612,9 @@ object MultimodalOps {
       var colSizes: Vector[IcebergKvLong] = Vector.empty
       var valCounts: Vector[IcebergKvLong] = Vector.empty
       var lowBounds: Vector[IcebergKvBytes] = Vector.empty
+      var nullCounts: Vector[IcebergKvLong] = Vector.empty
+      var upBounds: Vector[IcebergKvBytes] = Vector.empty
+      var partJson = ""
       for ((fname, ft) <- entrySchema.fields) fname match {
         case "status" =>
           val v = avReadLongish(ft, d, p, end).getOrElse(return None)
@@ -6591,6 +6673,25 @@ object MultimodalOps {
                 .map(t => IcebergKvBytes(t._1,
                   t._3.map("%02x".format(_)).mkString))
               p = v._2
+            case "null_value_counts" =>
+              val v = avReadKvArrayish(dft, d, p, end, bytesValue = false)
+                .getOrElse(return None)
+              nullCounts = v._1.getOrElse(Vector.empty)
+                .map(t => IcebergKvLong(t._1, t._2))
+              p = v._2
+            case "upper_bounds" =>
+              val v = avReadKvArrayish(dft, d, p, end, bytesValue = true)
+                .getOrElse(return None)
+              upBounds = v._1.getOrElse(Vector.empty)
+                .map(t => IcebergKvBytes(t._1,
+                  t._3.map("%02x".format(_)).mkString))
+              p = v._2
+            case "partition" =>
+              // the FIRST-level Iceberg prune: the partition struct,
+              // rendered generically as JSON (specs differ per table)
+              val v = avJsonValue(dft, d, p, end).getOrElse(return None)
+              partJson = v._1
+              p = v._2
             case _ =>
               p = avSkipValue(dft, d, p, end).getOrElse(return None)
           }
@@ -6601,7 +6702,7 @@ object MultimodalOps {
         path == null || fmt == null || rc < 0L || fsz < 0L) return None
       Some((IcebergManifestEntry(r.id, -1L, status, snap, path, fmt,
         rc, fsz, content, seqNum, eqIds, colSizes, valCounts,
-        lowBounds), p))
+        lowBounds, nullCounts, upBounds, partJson), p))
     }
     val syncOff = hdr.syncOff
     var off = hdr.firstBlockOff
@@ -6742,8 +6843,12 @@ object MultimodalOps {
       """{"name":"key","type":"int","field-id":117},{"name":"value","type":"long","field-id":118}]}}],"default":null,"field-id":108},""" +
       """{"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[""" +
       """{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}],"default":null,"field-id":109},""" +
+      """{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[""" +
+      """{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},""" +
       """{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[""" +
       """{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},""" +
+      """{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[""" +
+      """{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},""" +
       """{"name":"split_offsets","type":["null",{"type":"array","items":"long"}],"default":null,"field-id":132},""" +
       """{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},""" +
       """{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}""" +
@@ -6772,7 +6877,9 @@ object MultimodalOps {
         dfSchema.getField(field).schema().getTypes.get(1).getElementType
       val csSchema = arrItem("column_sizes")
       val vcSchema = arrItem("value_counts")
+      val nvSchema = arrItem("null_value_counts")
       val lbSchema = arrItem("lower_bounds")
+      val ubSchema = arrItem("upper_bounds")
       val writer = new org.apache.avro.generic.GenericDatumWriter[
         org.apache.avro.generic.GenericRecord](schema)
       it.map { id =>
@@ -6829,9 +6936,14 @@ object MultimodalOps {
             kvList(csSchema, c => java.lang.Long.valueOf(1000L * c + id)))
           dataFile.put("value_counts",
             kvList(vcSchema, c => java.lang.Long.valueOf(100L + c)))
+          dataFile.put("null_value_counts",
+            kvList(nvSchema, c => java.lang.Long.valueOf((id + c) % 5)))
           dataFile.put("lower_bounds",
             kvList(lbSchema, c => java.nio.ByteBuffer.wrap(
               Array[Byte](c.toByte, (id & 0x7f).toByte))))
+          dataFile.put("upper_bounds",
+            kvList(ubSchema, c => java.nio.ByteBuffer.wrap(
+              Array[Byte]((c + 1).toByte, ((id * 3) & 0x7f).toByte))))
           val so = new java.util.ArrayList[java.lang.Long](2)
           so.add(java.lang.Long.valueOf(4L))
           so.add(java.lang.Long.valueOf(4L + 512L * (k + 1)))
