@@ -4662,6 +4662,24 @@ object SparkEntry {
         |       CAST((doc_id + 2 * k) % 7 AS BIGINT) AS existing_files_count,
         |       CAST((doc_id + 3 * k) % 4 AS BIGINT) AS deleted_files_count
         |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
+    // v2 list replay: content kind, sequence range, and the renamed
+    // count generation — all id arithmetic by synthesis
+    "q_iceberg_manifest_list_v2" ->
+      s"""WITH e AS (
+        |  SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS entry_idx,
+        |       'meta/m2-' || CAST(doc_id AS VARCHAR) || '-' ||
+        |         CAST(k AS VARCHAR) || '.avro' AS manifest_path,
+        |       CAST(6000 + 89 * doc_id + 11 * k AS BIGINT) AS manifest_length,
+        |       CAST((doc_id + k) % 2 AS BIGINT) AS content,
+        |       CAST(10 + (doc_id + k) % 9 AS BIGINT) AS sequence_number,
+        |       CAST(1 + (doc_id + k) % 5 AS BIGINT) AS min_sequence_number,
+        |       CAST((doc_id + k) % 7 AS BIGINT) AS added_files_count,
+        |       CAST((doc_id + 2 * k) % 5 AS BIGINT) AS existing_files_count,
+        |       CAST((doc_id + 3 * k) % 3 AS BIGINT) AS deleted_files_count
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
     // TFRecord replay: record table as id arithmetic; offsets are a
     // running sum of (16-byte framing + payload)
     "q_multimodal_tfrecords" ->
@@ -8117,6 +8135,27 @@ object SparkEntry {
             col("manifestLength").as("manifest_length"),
             col("partitionSpecId").as("partition_spec_id"),
             col("addedSnapshotId").as("added_snapshot_id"),
+            col("addedFilesCount").as("added_files_count"),
+            col("existingFilesCount").as("existing_files_count"),
+            col("deletedFilesCount").as("deleted_files_count"))
+          .orderBy("doc_id", "entry_idx")
+      },
+      "q_iceberg_manifest_list_v2" -> { (s, dir) =>
+        // v2 PRODUCTION-shaped manifest lists written by the Avro
+        // library: content kind (data vs DELETES — how a planner
+        // prunes whole delete manifests by sequence range), sequence
+        // numbers, the renamed *_data_files_count generation, row
+        // counts, partition summaries skipped by schema — the
+        // exact-schema gate on the list level is gone
+        val media = MultimodalOps.synthesizeIcebergManifestListV2(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        MultimodalOps.icebergManifestList(media).toDF()
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            col("manifestPath").as("manifest_path"),
+            col("manifestLength").as("manifest_length"),
+            col("content"),
+            col("sequenceNumber").as("sequence_number"),
+            col("minSequenceNumber").as("min_sequence_number"),
             col("addedFilesCount").as("added_files_count"),
             col("existingFilesCount").as("existing_files_count"),
             col("deletedFilesCount").as("deleted_files_count"))

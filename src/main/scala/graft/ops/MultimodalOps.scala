@@ -6977,7 +6977,9 @@ object MultimodalOps {
   final case class IcebergManifestFile(
       id: Long, entryIdx: Long, manifestPath: String, manifestLength: Long,
       partitionSpecId: Long, addedSnapshotId: Long, addedFilesCount: Long,
-      existingFilesCount: Long, deletedFilesCount: Long)
+      existingFilesCount: Long, deletedFilesCount: Long,
+      content: Long = 0L, sequenceNumber: Long = -1L,
+      minSequenceNumber: Long = -1L)
 
   /** The v1 manifest-file subset schema for the manifest-list census —
     * wire order doubles as the decode order, same gate discipline as
@@ -6993,6 +6995,98 @@ object MultimodalOps {
       """{"name":"existing_files_count","type":"int","field-id":505},""" +
       """{"name":"deleted_files_count","type":"int","field-id":506}]}"""
 
+  /** The v2 manifest-file schema for the independent-writer fixture:
+    * content kind, sequence numbers, v2-generation count names
+    * (`*_data_files_count`), row counts, and a partition-summaries
+    * array — the census extracts its fields and SKIPS the rest by
+    * the embedded schema.
+    */
+  private[graft] val IcebergManifestListV2Schema: String =
+    """{"type":"record","name":"manifest_file","fields":[""" +
+      """{"name":"manifest_path","type":"string","field-id":500},""" +
+      """{"name":"manifest_length","type":"long","field-id":501},""" +
+      """{"name":"partition_spec_id","type":"int","field-id":502},""" +
+      """{"name":"content","type":"int","field-id":517},""" +
+      """{"name":"sequence_number","type":"long","field-id":515},""" +
+      """{"name":"min_sequence_number","type":"long","field-id":516},""" +
+      """{"name":"added_snapshot_id","type":"long","field-id":503},""" +
+      """{"name":"added_data_files_count","type":"int","field-id":504},""" +
+      """{"name":"existing_data_files_count","type":"int","field-id":505},""" +
+      """{"name":"deleted_data_files_count","type":"int","field-id":506},""" +
+      """{"name":"added_rows_count","type":"long","field-id":512},""" +
+      """{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[""" +
+      """{"name":"contains_null","type":"boolean","field-id":509},""" +
+      """{"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},""" +
+      """{"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},""" +
+      """{"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}]}}],"default":null,"field-id":508}""" +
+      """]}"""
+
+  /** Per-row v2 manifest-LIST synthesis THROUGH the Avro library:
+    * `1 + id % 4` manifest-file entries carrying the v2 production
+    * shape — content kind `(id + k) % 2`, sequence numbers, the
+    * renamed `*_data_files_count` fields, row counts, and a
+    * partition-summaries array the census must SKIP by schema.
+    * Odd ids deflate-coded.
+    */
+  def synthesizeIcebergManifestListV2(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser()
+        .parse(IcebergManifestListV2Schema)
+      val partItem = schema.getField("partitions").schema()
+        .getTypes.get(1).getElementType
+      val writer = new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema)
+      it.map { id =>
+        val dfw = new org.apache.avro.file.DataFileWriter(writer)
+        if (id % 2 == 1)
+          dfw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        val bos = new java.io.ByteArrayOutputStream(1024)
+        // deterministic sync marker (the r16 SecureRandom-convoy fix)
+        val sync = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-mlist-v2-$id".getBytes("UTF-8"))
+        dfw.create(schema, bos, sync)
+        val ns = 1 + (id % 4).toInt
+        var k = 0
+        while (k < ns) {
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("manifest_path", s"meta/m2-$id-$k.avro")
+          rec.put("manifest_length",
+            java.lang.Long.valueOf(6000L + 89L * id + 11L * k))
+          rec.put("partition_spec_id", Integer.valueOf((id % 3).toInt))
+          rec.put("content", Integer.valueOf(((id + k) % 2).toInt))
+          rec.put("sequence_number",
+            java.lang.Long.valueOf(10L + (id + k) % 9))
+          rec.put("min_sequence_number",
+            java.lang.Long.valueOf(1L + (id + k) % 5))
+          rec.put("added_snapshot_id", java.lang.Long.valueOf(3000L + id))
+          rec.put("added_data_files_count",
+            Integer.valueOf(((id + k) % 7).toInt))
+          rec.put("existing_data_files_count",
+            Integer.valueOf(((id + 2 * k) % 5).toInt))
+          rec.put("deleted_data_files_count",
+            Integer.valueOf(((id + 3 * k) % 3).toInt))
+          rec.put("added_rows_count",
+            java.lang.Long.valueOf(1000L + id + k))
+          val summaries = new java.util.ArrayList[AnyRef](1)
+          val sm = new org.apache.avro.generic.GenericData.Record(partItem)
+          sm.put("contains_null", java.lang.Boolean.valueOf(k % 2 == 0))
+          sm.put("contains_nan", java.lang.Boolean.valueOf(false))
+          sm.put("lower_bound", java.nio.ByteBuffer.wrap(
+            Array[Byte]((id & 0x7f).toByte)))
+          sm.put("upper_bound", java.nio.ByteBuffer.wrap(
+            Array[Byte](((id + k) & 0x7f).toByte)))
+          summaries.add(sm)
+          rec.put("partitions", summaries)
+          dfw.append(rec)
+          k += 1
+        }
+        dfw.close()
+        MediaRecord(id, "application/x-iceberg-manifest-list", bos.toByteArray)
+      }
+    }
+  }
+
   /** Iceberg manifest-list census — the snapshot's index of manifests,
     * one level above the manifest-entry decode: a snapshot commit
     * points at exactly one manifest list, and its added / existing /
@@ -7007,7 +7101,81 @@ object MultimodalOps {
     val b = r.content
     val hdr = avroHeaderOf(b).getOrElse(return None)
     if (hdr.codec != "null" && hdr.codec != "deflate") return None
-    if (hdr.schemaJson != IcebergManifestListSchema) return None
+    // schema-DRIVEN (the r16 manifest discipline, now on the list
+    // level too): parse the embedded writer schema and walk by it —
+    // v1 lists, v2 lists (content / sequence numbers / partition
+    // summaries / row counts), and whatever a production writer
+    // appends all decode; the exact-string gate is gone.  Counts
+    // accept BOTH naming generations (v1 added_files_count, v2
+    // added_data_files_count).
+    val listSchema = parseAvroSchema(hdr.schemaJson) match {
+      case Some(rec: AvRecord) => rec
+      case _ => return None
+    }
+    val names = listSchema.fields.map(_._1).toSet
+    if (!names.contains("manifest_path") ||
+      !names.contains("manifest_length")) return None
+    def decodeFile(d: Array[Byte], p0: Int, end: Int): Option[(IcebergManifestFile, Int)] = {
+      var p = p0
+      var path: String = null
+      var len = -1L
+      var spec = -1L
+      var snap = -1L
+      var added = -1L
+      var existing = -1L
+      var deleted = -1L
+      var content = 0L
+      var seqNum = -1L
+      var minSeq = -1L
+      for ((fname, ft) <- listSchema.fields) fname match {
+        case "manifest_path" =>
+          val v = avReadStringish(ft, d, p, end).getOrElse(return None)
+          path = v._1.getOrElse(return None)
+          p = v._2
+        case "manifest_length" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          len = v._1.getOrElse(return None)
+          p = v._2
+        case "partition_spec_id" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          spec = v._1.getOrElse(-1L)
+          p = v._2
+        case "added_snapshot_id" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          snap = v._1.getOrElse(-1L)
+          p = v._2
+        case "content" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          content = v._1.getOrElse(0L)
+          p = v._2
+        case "sequence_number" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          seqNum = v._1.getOrElse(-1L)
+          p = v._2
+        case "min_sequence_number" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          minSeq = v._1.getOrElse(-1L)
+          p = v._2
+        case "added_files_count" | "added_data_files_count" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          added = v._1.getOrElse(-1L)
+          p = v._2
+        case "existing_files_count" | "existing_data_files_count" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          existing = v._1.getOrElse(-1L)
+          p = v._2
+        case "deleted_files_count" | "deleted_data_files_count" =>
+          val v = avReadLongish(ft, d, p, end).getOrElse(return None)
+          deleted = v._1.getOrElse(-1L)
+          p = v._2
+        case _ =>
+          p = avSkipValue(ft, d, p, end).getOrElse(return None)
+      }
+      if (path == null || len < 0 || content < 0 || content > 1)
+        return None
+      Some((IcebergManifestFile(r.id, -1L, path, len, spec, snap, added,
+        existing, deleted, content, seqNum, minSeq), p))
+    }
     val syncOff = hdr.syncOff
     var off = hdr.firstBlockOff
     val out = scala.collection.mutable.ArrayBuffer.empty[IcebergManifestFile]
@@ -7032,27 +7200,9 @@ object MultimodalOps {
       var p = pStart
       var k = 0L
       while (k < cnt._1) {
-        val pl = avroVarLong(d, p)
-        if (pl == null || pl._1 < 0L || pl._1 > (d.length - p).toLong) return None
-        p += pl._2
-        if (p + pl._1 > pEnd.toLong) return None
-        val path = new String(d, p, pl._1.toInt, "UTF-8")
-        p += pl._1.toInt
-        def longField(): Option[Long] = {
-          val v = avroVarLong(d, p)
-          if (v == null) None else { p += v._2; Some(v._1) }
-        }
-        val len = longField().getOrElse(return None)
-        val spec = longField().getOrElse(return None)
-        val snap = longField().getOrElse(return None)
-        val added = longField().getOrElse(return None)
-        val existing = longField().getOrElse(return None)
-        val deleted = longField().getOrElse(return None)
-        if (len < 0 || spec < 0 || added < 0 || existing < 0 || deleted < 0)
-          return None
-        if (p > pEnd) return None
-        out += IcebergManifestFile(r.id, idx, path, len, spec, snap, added,
-          existing, deleted)
+        val (f, p2) = decodeFile(d, p, pEnd).getOrElse(return None)
+        out += f.copy(entryIdx = idx)
+        p = p2
         idx += 1
         k += 1
       }

@@ -2423,6 +2423,9 @@ class OpsSpec extends AnyFunSuite {
       ("iceberg-v2", MultimodalOps.synthesizeIcebergManifestV2(docs, "doc_id")
         .collect().map(_.content),
         r => MultimodalOps.icebergManifestEntriesOf(r)),
+      ("iceberg-list-v2", MultimodalOps.synthesizeIcebergManifestListV2(docs, "doc_id")
+        .collect().map(_.content),
+        r => MultimodalOps.icebergManifestListOf(r)),
       ("iceberg-list", MultimodalOps.synthesizeIcebergManifestList(docs, "doc_id")
         .collect().map(_.content),
         r => MultimodalOps.icebergManifestListOf(r)),
@@ -5487,6 +5490,46 @@ class OpsSpec extends AnyFunSuite {
       3L, "x", media.head.content.take(100))).isEmpty)
     assert(MultimodalOps.icebergManifestListOf(
       MultimodalOps.MediaRecord(3L, "x", null)).isEmpty)
+  }
+
+  test("iceberg manifest list v2: schema-driven decode, both count generations, library cross-check") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val docs = Seq((3L, "x"), (8L, "y"), (5L, "z")).toDF("doc_id", "text")
+    val media = MultimodalOps.synthesizeIcebergManifestListV2(docs, "doc_id")
+      .collect()
+    for (m <- media) {
+      val entries = MultimodalOps.icebergManifestListOf(m)
+        .getOrElse(fail(s"v2 list ${m.id} rejected"))
+      assert(entries.length == 1 + (m.id % 4).toInt)
+      entries.zipWithIndex.foreach { case (e, k) =>
+        assert(e.manifestPath == s"meta/m2-${m.id}-$k.avro")
+        assert(e.content == (m.id + k) % 2) // delete-manifest pruning kind
+        assert(e.sequenceNumber == 10L + (m.id + k) % 9)
+        assert(e.minSequenceNumber == 1L + (m.id + k) % 5)
+        // the RENAMED v2 count fields land in the same columns
+        assert(e.addedFilesCount == (m.id + k) % 7)
+        assert(e.existingFilesCount == (m.id + 2 * k) % 5)
+        assert(e.deletedFilesCount == (m.id + 3 * k) % 3)
+      }
+      // library cross-check on the paths (partition summaries and
+      // row counts ride along and must be skipped cleanly)
+      val reader = new org.apache.avro.file.DataFileReader(
+        new org.apache.avro.file.SeekableByteArrayInput(m.content),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val libPaths = Iterator.continually(
+        if (reader.hasNext) Some(reader.next()) else None)
+        .takeWhile(_.isDefined)
+        .map(_.get.get("manifest_path").toString).toVector
+      reader.close()
+      assert(entries.map(_.manifestPath).toVector == libPaths)
+    }
+    // v1 lists still decode through the schema-driven walk (the
+    // exact-string gate is gone, not replaced by a v2-only one)
+    val v1 = MultimodalOps.synthesizeIcebergManifestList(docs, "doc_id")
+      .collect().head
+    assert(MultimodalOps.icebergManifestListOf(v1).nonEmpty)
   }
 
   test("tfrecord census: known CRC-32C vector, verified framing, flip fails loud") {
