@@ -4544,6 +4544,14 @@ object SparkEntry {
         |       CAST(100 + v AS BIGINT) AS num_records
         |FROM live, c
         |ORDER BY path, col_name""".stripMargin,
+    // partition-values replay: live files f-2..f-5, one partition
+    // column (lang, translated from its physical key), value p(v%2)
+    "q_delta_partition_values" ->
+      s"""WITH live AS (SELECT unnest(generate_series(2, 5)) AS v)
+        |SELECT 'f-' || CAST(v AS VARCHAR) || '.parquet' AS path,
+        |       'lang' AS col_name,
+        |       'p' || CAST(v % 2 AS VARCHAR) AS value
+        |FROM live ORDER BY path, col_name""".stripMargin,
     // GGUF replay: tensor table as id arithmetic — 52-byte infos, the
     // fixed 102-byte header+KV prefix, 32-aligned running offsets
     "q_multimodal_gguf" ->
@@ -9599,6 +9607,17 @@ object SparkEntry {
           .withColumnRenamed("column", "col_name")
           .orderBy("path", "col_name")
       },
+      "q_delta_partition_values" -> { (s, dir) =>
+        // the FIRST-level Delta prune: per-live-file partition
+        // values from the add actions, with the physical
+        // partitionValues keys (mode=name) translated back to the
+        // logical column name — the same mapped log as
+        // q_delta_column_mapping
+        val staged = stageDeltaLogMapped(dir)
+        graft.ops.StorageOps.deltaPartitionValues(s, staged)
+          .withColumnRenamed("column", "col_name")
+          .orderBy("path", "col_name")
+      },
       "q_shard_census_stream" -> { (s, dir) =>
         // shards land as files; the binaryFile stream censuses each
         // exactly once — drained stream == batch walk (same oracle as
@@ -9742,7 +9761,9 @@ object SparkEntry {
         val lines = Seq.newBuilder[String]
         lines += s"""{"commitInfo":{"timestamp":${1700000001000L + v}}}"""
         lines += s"""{"add":{"path":"f-$v.parquet","size":${5000 + v},""" +
-          s""""dataChange":true,"stats":"${esc(stats)}"}}"""
+          s""""dataChange":true,""" +
+          s""""partitionValues":{"col-3c7d":"p${v % 2}"},""" +
+          s""""stats":"${esc(stats)}"}}"""
         if (v == 4)
           lines += """{"remove":{"path":"f-1.parquet"}}"""
         java.nio.file.Files.write(staged.resolve(f"$v%020d.json"),

@@ -2477,6 +2477,88 @@ object StorageOps {
     }
   }
 
+  /** Newest metaData action's physical→logical column map (empty when
+    * `delta.columnMapping.mode` is absent/none) — driver-side: table
+    * metadata is KBs, never data-sized.  `raw` must carry a
+    * `metaData` struct with schemaString + configuration and a
+    * `version` column.
+    */
+  private def deltaMappingOf(raw: DataFrame): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    val metaRow = raw.filter(col("metaData.schemaString").isNotNull)
+      .orderBy(col("version").desc)
+      .select(col("metaData.schemaString"), col("metaData.configuration"))
+      .limit(1).collect().headOption
+    metaRow match {
+      case Some(r) =>
+        val conf: Map[String, String] =
+          if (r.isNullAt(1)) Map.empty
+          else r.getMap[String, String](1).toMap
+        val mode = conf.getOrElse("delta.columnMapping.mode", "none")
+        if (mode != "name" && mode != "id") Map.empty
+        else {
+          org.apache.spark.sql.types.DataType.fromJson(r.getString(0)) match {
+            case st: StructType =>
+              st.fields.flatMap { f =>
+                if (f.metadata.contains("delta.columnMapping.physicalName"))
+                  Some(f.metadata
+                    .getString("delta.columnMapping.physicalName") -> f.name)
+                else None
+              }.toMap
+            case _ => Map.empty
+          }
+        }
+      case None => Map.empty
+    }
+  }
+
+  /** Per-live-file PARTITION VALUES from the Delta log's add actions
+    * — the FIRST-level Delta prune (partition filters eliminate
+    * whole directories before any stats are consulted), with the
+    * same column-mapping awareness as [[deltaFileStats]]: under
+    * mode=name/id the partitionValues keys are PHYSICAL names and
+    * translate back to logical ones.  One row per (live file,
+    * partition column); same last-action-wins window, same
+    * protocol gate.
+    */
+  def deltaPartitionValues(
+      spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    checkDeltaProtocol(spark, logDir)
+    val sch = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("configuration", MapType(StringType, StringType)))))))
+    val raw = spark.read.schema(sch)
+      .option("pathGlobFilter", "*.json").json(logDir)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
+    val mapping = deltaMappingOf(raw)
+    val actions = raw
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.partitionValues").as("pv"),
+        col("add.path").isNotNull.cast(IntegerType).as("is_add"),
+        col("version"))
+      .filter(col("path").isNotNull)
+    val w = Window.partitionBy("path")
+      .orderBy(col("version").desc, col("is_add").desc)
+    val translate: Column => Column =
+      if (mapping.isEmpty) identity
+      else pcol => coalesce(element_at(typedLit(mapping), pcol), pcol)
+    actions.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_add") === 1 && col("pv").isNotNull)
+      .select(col("path"), explode(col("pv")).as(Seq("pcol", "value")))
+      .select(col("path"), translate(col("pcol")).as("column"),
+        col("value"))
+  }
+
   /** Per-live-file COLUMN STATISTICS from the Delta log's add-action
     * `stats` JSON — the zone-map surface a Delta data-skipping
     * planner prunes with, with COLUMN-MAPPING awareness: when the
@@ -2513,35 +2595,7 @@ object StorageOps {
       .option("pathGlobFilter", "*.json").json(logDir)
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
-    // newest metaData action: mode + physical→logical map (driver-side
-    // — table metadata is KBs, never data-sized)
-    val metaRow = raw.filter(col("metaData.schemaString").isNotNull)
-      .orderBy(col("version").desc)
-      .select(col("metaData.schemaString"), col("metaData.configuration"))
-      .limit(1).collect().headOption
-    val mapping: Map[String, String] = metaRow match {
-      case Some(r) =>
-        val conf: Map[String, String] =
-          if (r.isNullAt(1)) Map.empty
-          else r.getMap[String, String](1).toMap
-        val mode = conf.getOrElse("delta.columnMapping.mode", "none")
-        if (mode != "name" && mode != "id") Map.empty
-        else {
-          val parsed = org.apache.spark.sql.types.DataType
-            .fromJson(r.getString(0))
-          parsed match {
-            case st: StructType =>
-              st.fields.flatMap { f =>
-                if (f.metadata.contains("delta.columnMapping.physicalName"))
-                  Some(f.metadata
-                    .getString("delta.columnMapping.physicalName") -> f.name)
-                else None
-              }.toMap
-            case _ => Map.empty
-          }
-        }
-      case None => Map.empty
-    }
+    val mapping = deltaMappingOf(raw)
     val actions = raw
       .select(
         coalesce(col("add.path"), col("remove.path")).as("path"),
