@@ -5113,6 +5113,30 @@ object SparkEntry {
         |         AS file_size_in_bytes
         |FROM es WHERE (doc_id + k + j + e) % 3 <> 2
         |ORDER BY doc_id, manifest_path, file_path""".stripMargin,
+    // time-travel replay: the EARLIEST snapshot is k = 0 — same
+    // chain arithmetic as q_iceberg_table_state with the pointer
+    // moved
+    "q_iceberg_time_travel" ->
+      s"""WITH base AS (SELECT doc_id, 0 AS k FROM documents),
+        |js AS (
+        |  SELECT doc_id, k,
+        |         unnest(generate_series(0, (doc_id + k) % 2)) AS j
+        |  FROM base),
+        |es AS (
+        |  SELECT doc_id, k, j,
+        |         unnest(generate_series(0, (doc_id + j) % 3)) AS e
+        |  FROM js)
+        |SELECT doc_id,
+        |       'mf-' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |         || '-' || CAST(j AS VARCHAR) || '.avro' AS manifest_path,
+        |       'data/d-' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |         || '-' || CAST(j AS VARCHAR) || '-' || CAST(e AS VARCHAR)
+        |         || '.parquet' AS file_path,
+        |       CAST(100 + (doc_id + e) % 57 AS BIGINT) AS record_count,
+        |       CAST(1000 + 53 * doc_id + 17 * k + 5 * j + e AS BIGINT)
+        |         AS file_size_in_bytes
+        |FROM es WHERE (doc_id + k + j + e) % 3 <> 2
+        |ORDER BY doc_id, manifest_path, file_path""".stripMargin,
     // Iceberg metadata replay: every snapshot row is id arithmetic;
     // the last snapshot is current; format version alternates 1/2
     "q_iceberg_metadata" ->
@@ -7898,6 +7922,26 @@ object SparkEntry {
             col("n_probed"), col("n_hits"))
           .orderBy("row_group_id")
       },
+      "q_parquet_dict_probe" -> { (s, dir) =>
+        // dictionary-FILTER probe: the third chunk-skipping surface
+        // and the only EXACT one — a fully-dictionary-encoded
+        // chunk's dictionary page is its exact value set, so the
+        // five real priorities all hit and the two planted absent
+        // probes all miss (no false positives, which blooms cannot
+        // promise)
+        import s.implicits._
+        val staged = stageParquetIdxFiles(s, dir)
+        val present = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderpriority")).distinct()
+          .orderBy("o_orderpriority").as[String].collect().toSeq
+        graft.ops.StorageOps.parquetDictionaryProbe(
+            s, Seq(s"$staged/orders"), "o_orderpriority",
+            present ++ Seq("0-ABSENT", "9-NOPE"))
+          .select(col("row_group_id"), col("path_in_schema"),
+            col("dict_encoded").cast("long").as("dict_encoded"),
+            col("dict_size"), col("n_probed"), col("n_hits"))
+          .orderBy("row_group_id")
+      },
       "q_parquet_page_stats" -> { (s, dir) =>
         // PAGE-level zone maps (ColumnIndex/OffsetIndex — what page
         // predicate pushdown actually prunes with), aggregated back
@@ -8574,6 +8618,27 @@ object SparkEntry {
             graft.ops.StorageOps.synthesizeIcebergMetadata(docs, "doc_id"),
             MultimodalOps.synthesizeIcebergTableLists(docs, "doc_id"),
             MultimodalOps.synthesizeIcebergTableManifests(docs, "doc_id"))
+          .select(col("id").as("doc_id"), col("manifest_path"),
+            col("file_path"), col("record_count"),
+            col("file_size_in_bytes"))
+          .orderBy("doc_id", "manifest_path", "file_path")
+      },
+      "q_iceberg_time_travel" -> { (s, dir) =>
+        // TIME TRAVEL through the same composition: replay each
+        // table at its EARLIEST retained snapshot (per-table picks
+        // broadcast) — the chain is identical, only the entry
+        // pointer moves, and the current snapshot's manifests become
+        // the decoys this time
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val meta = graft.ops.StorageOps.synthesizeIcebergMetadata(docs, "doc_id")
+        val picks = graft.ops.StorageOps
+          .icebergMetadata(meta, "id", "metadata_json")
+          .groupBy(col("id")).agg(min(col("snapshot_id")).as("snapshot_id"))
+        graft.ops.StorageOps.icebergTableState(
+            meta,
+            MultimodalOps.synthesizeIcebergTableLists(docs, "doc_id"),
+            MultimodalOps.synthesizeIcebergTableManifests(docs, "doc_id"),
+            Some(picks))
           .select(col("id").as("doc_id"), col("manifest_path"),
             col("file_path"), col("record_count"),
             col("file_size_in_bytes"))
@@ -10329,7 +10394,8 @@ object SparkEntry {
         // metadata structures, one answer
         "q_parquet_page_stats" -> parquetPageStatsOracleSql,
         "q_parquet_encodings" -> parquetEncodingsOracleSql,
-        "q_parquet_bloom" -> parquetBloomOracleSql)
+        "q_parquet_bloom" -> parquetBloomOracleSql,
+        "q_parquet_dict_probe" -> parquetDictOracleSql)
 
   /** Corpus dir the oracle SQL is generated against.  Verify sets this
     * to its `sfDir` argument before dumping oracle_sql.json, so the
@@ -10389,6 +10455,23 @@ object SparkEntry {
        |       (SELECT least(count(DISTINCT o_custkey), 50000)
        |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_probed,
        |       (SELECT least(count(DISTINCT o_custkey), 50000)
+       |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_hits""".stripMargin
+
+  /** Dictionary-probe oracle: the staged single-row-group write's
+    * dictionary IS the column's exact distinct set, so present
+    * probes all hit, the two planted absent probes all miss, and
+    * dict_size == count(DISTINCT) — exactness in closed form (the
+    * property blooms can't give).
+    */
+  private def parquetDictOracleSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS row_group_id,
+       |       'o_orderpriority' AS path_in_schema,
+       |       CAST(1 AS BIGINT) AS dict_encoded,
+       |       (SELECT count(DISTINCT o_orderpriority)
+       |        FROM read_parquet('$oracleDir/orders.parquet')) AS dict_size,
+       |       (SELECT count(DISTINCT o_orderpriority) + 2
+       |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_probed,
+       |       (SELECT count(DISTINCT o_orderpriority)
        |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_hits""".stripMargin
 
   /** Page-stats oracle: DuckDB's parquet_metadata() chunk statistics

@@ -418,6 +418,99 @@ object StorageOps {
         "null_count", "min_v", "max_v")
   }
 
+  /** Parquet DICTIONARY-filter probe — the THIRD chunk-skipping
+    * surface next to the zone maps and bloom filters, and the only
+    * EXACT one: when every data page of a chunk is
+    * dictionary-encoded, the dictionary page is the chunk's exact
+    * value set, so an equality predicate whose value is absent
+    * skips the chunk with NO false positives and NO false negatives
+    * (blooms only guarantee the latter).  Emits per (file, row
+    * group): whether the chunk is fully dictionary-encoded
+    * (EncodingStats — absent stats read as not-dict, fail-safe),
+    * the dictionary size, and probe hit counts over a bounded
+    * string dictionary.  Same closure-shipped-probe economics as
+    * [[parquetBloomProbe]].
+    */
+  def parquetDictionaryProbe(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      column: String, values: Seq[String],
+      maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    require(values.size <= 100000,
+      s"parquetDictionaryProbe: ${values.size} probe values — use a " +
+        "join for large key sets")
+    val files = listFilesBounded(spark, paths, ".parquet", maxFiles,
+      "parquetDictionaryProbe")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val valuesBc = spark.sparkContext.broadcast(values.toArray)
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        val probes = valuesBc.value
+        it.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            val descriptor = reader.getFooter.getFileMetaData.getSchema
+              .getColumns.asScala
+              .find(_.getPath.mkString(".") == column)
+            reader.getFooter.getBlocks.asScala.toVector.zipWithIndex.map {
+              case (rg, i) =>
+                val cc = rg.getColumns.asScala
+                  .find(_.getPath.toDotString == column)
+                // fully-dictionary gate: EncodingStats is the
+                // writer's own page accounting; absent stats (old
+                // writers) read as NOT fully dict — fail-safe, the
+                // planner falls back to stats/blooms
+                val fullyDict = cc.exists(c =>
+                  Option(c.getEncodingStats)
+                    .exists(!_.hasNonDictionaryEncodedPages))
+                if (!fullyDict || descriptor.isEmpty)
+                  (hp.getName, i.toLong, column, false, 0L,
+                    probes.length.toLong, 0L)
+                else {
+                  // the concrete reader class is package-private;
+                  // go through the public DictionaryPageReadStore face
+                  val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+                    reader.getDictionaryReader(rg)
+                  val page = store.readDictionaryPage(descriptor.get)
+                  if (page == null)
+                    (hp.getName, i.toLong, column, false, 0L,
+                      probes.length.toLong, 0L)
+                  else {
+                    val dict = page.getEncoding
+                      .initDictionary(descriptor.get, page)
+                    val set = new java.util.HashSet[String](
+                      dict.getMaxId + 1)
+                    var di = 0
+                    while (di <= dict.getMaxId) {
+                      set.add(dict.decodeToBinary(di).toStringUsingUTF8)
+                      di += 1
+                    }
+                    var hits = 0L
+                    var pi = 0
+                    while (pi < probes.length) {
+                      if (set.contains(probes(pi))) hits += 1
+                      pi += 1
+                    }
+                    (hp.getName, i.toLong, column, true,
+                      (dict.getMaxId + 1).toLong,
+                      probes.length.toLong, hits)
+                  }
+                }
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file_name", "row_group_id", "path_in_schema", "dict_encoded",
+        "dict_size", "n_probed", "n_hits")
+  }
+
   /** Row-group-SHARDED [[parquetPageIndex]] — same rows, finer task
     * grain: the per-file flavor gives a one-giant-file lake exactly
     * ONE task (the skew shape the sf10 fixture accidentally models);
@@ -2336,13 +2429,24 @@ object StorageOps {
     */
   def icebergTableState(
       metadata: DataFrame, manifestLists: DataFrame,
-      manifests: DataFrame): DataFrame = {
+      manifests: DataFrame, snapshotPicks: Option[DataFrame] = None): DataFrame = {
     val spark = metadata.sparkSession
     import spark.implicits._
     import graft.ops.MultimodalOps
-    // level 1: the current snapshot's manifest-list path per table
-    val current = icebergMetadata(metadata, "id", "metadata_json")
-      .filter(col("is_current") === 1)
+    // level 1: the chosen snapshot's manifest-list path per table —
+    // the CURRENT one by default, or an explicit per-table pick
+    // (TIME TRAVEL: `snapshotPicks` is (id, snapshot_id) rows; any
+    // retained snapshot replays through the identical chain, only
+    // the entry pointer moves — picks are per-table metadata, so
+    // they broadcast)
+    val snaps = icebergMetadata(metadata, "id", "metadata_json")
+    val current = snapshotPicks
+      .map(p => snaps.join(
+        org.apache.spark.sql.functions.broadcast(
+          p.select(col("id").as("p_id"),
+            col("snapshot_id").as("p_sid"))),
+        col("id") === col("p_id") && col("snapshot_id") === col("p_sid")))
+      .getOrElse(snaps.filter(col("is_current") === 1))
       .select(col("id").as("t_id"), col("manifest_list").as("ml_path"))
     // level 2: decode ONLY the pointed-at lists (broadcast roster)
     val wantedLists = manifestLists

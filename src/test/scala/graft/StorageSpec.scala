@@ -1044,6 +1044,39 @@ class StorageSpec extends AnyFunSuite {
     assert(perFile.select("row_group_id").distinct().count() > 1)
   }
 
+  test("parquetDictionaryProbe: exact membership per row group; non-dict chunks fail-safe") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqdict").toString
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    li.coalesce(1).sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(s"$dir/li")
+    val flags = li.select("l_returnflag").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val probes = flags ++ Seq("ZZ-ABSENT", "Q9")
+    val rows = StorageOps.parquetDictionaryProbe(
+      spark, Seq(s"$dir/li"), "l_returnflag", probes).collect()
+    assert(rows.length > 1) // multi-row-group fixture, else vacuous
+    rows.foreach { r =>
+      assert(r.getBoolean(3), "chunk must be fully dictionary-encoded")
+      // EXACTNESS both ways: every present flag hits (tiny row groups
+      // still contain all flags at this fixture), absent probes miss
+      assert(r.getLong(6) == flags.length.toLong, r.toString)
+      assert(r.getLong(5) == probes.length.toLong)
+      // the dictionary is the chunk's exact distinct set
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= flags.length.toLong)
+    }
+    // dictionary disabled at write → fail-safe: dict_encoded false,
+    // zero hits claimed (the planner falls back to stats/blooms)
+    li.coalesce(1).write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(s"$dir/li_nodict")
+    val nd = StorageOps.parquetDictionaryProbe(
+      spark, Seq(s"$dir/li_nodict"), "l_returnflag", probes).collect()
+    assert(nd.nonEmpty && nd.forall(r => !r.getBoolean(3) && r.getLong(6) == 0L))
+  }
+
   test("delta protocol gate: unknown reader features reject loudly; supported pass") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-delta-gate").toString
