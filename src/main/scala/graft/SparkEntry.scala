@@ -4544,6 +4544,17 @@ object SparkEntry {
         |       CAST(100 + v AS BIGINT) AS num_records
         |FROM live, c
         |ORDER BY path, col_name""".stripMargin,
+    // vacuum replay: tombstones are the removed (v-3, v%3) pairs
+    // minus the v10-resurrected part-0-0
+    "q_delta_vacuum" ->
+      s"""WITH removed AS (
+        |  SELECT v - 3 AS rv, v % 3 AS rk, v FROM generate_series(3, 11) t(v))
+        |SELECT 'part-' || CAST(rv AS VARCHAR) || '-' || CAST(rk AS VARCHAR)
+        |         || '.parquet' AS path,
+        |       CAST(v AS BIGINT) AS version_removed
+        |FROM removed
+        |WHERE NOT (rv = 0 AND rk = 0)
+        |ORDER BY path""".stripMargin,
     // partition-values replay: live files f-2..f-5, one partition
     // column (lang, translated from its physical key), value p(v%2)
     "q_delta_partition_values" ->
@@ -9659,6 +9670,15 @@ object SparkEntry {
         graft.ops.StorageOps.deltaLogStateFromCheckpoint(s, staged)
           .orderBy("path")
       },
+      "q_delta_vacuum" -> { (s, dir) =>
+        // the tombstone set — what vacuum deletes after retention:
+        // paths whose latest action is a remove, with the removing
+        // version; the v10 resurrection of part-0-0 must keep it
+        // OUT of the candidates (re-add beats its older tombstone)
+        val staged = stageDeltaLog(dir)
+        graft.ops.StorageOps.deltaTombstones(s, staged)
+          .orderBy("path")
+      },
       "q_delta_column_mapping" -> { (s, dir) =>
         // COLUMN-MAPPED per-file stats census: the staged log's
         // metaData sets delta.columnMapping.mode=name, so add-action
@@ -9914,7 +9934,7 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-icebergv2-stage-$md"
-      val fp = stageFingerprint(s, dir, Seq("documents"), "icebergv2-v3")
+      val fp = stageFingerprint(s, dir, Seq("documents"), "icebergv2-v4")
       if (!stageUpToDate(out, fp)) {
         MultimodalOps.synthesizeIcebergManifestV2(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id")

@@ -6549,6 +6549,44 @@ object MultimodalOps {
     } finally d.end()
   }
 
+  /** Decode one Avro block span per the container codec: `null`
+    * (raw), `deflate` (raw RFC 1951, bomb-guarded), `snappy` (raw
+    * snappy block + the Avro spec's trailing 4-byte BE CRC32 of the
+    * UNCOMPRESSED bytes, VERIFIED — a flipped bit anywhere fails the
+    * block).  Returns (buffer, start, end); None on unknown codecs
+    * or corrupt payloads, never a throw.
+    */
+  private[graft] def avroDecodeSpan(
+      codec: String, b: Array[Byte], off: Int,
+      len: Int): Option[(Array[Byte], Int, Int)] = codec match {
+    case "null" => Some((b, off, off + len))
+    case "deflate" =>
+      inflateRawSpan(b, off, len).map(inf => (inf, 0, inf.length))
+    case "snappy" =>
+      if (len < 4) None
+      else {
+        val compLen = len - 4
+        val unc =
+          try {
+            if (!org.xerial.snappy.Snappy.isValidCompressedBuffer(
+                b, off, compLen)) return None
+            if (org.xerial.snappy.Snappy.uncompressedLength(
+                b, off, compLen) > (1 << 30)) return None // bomb guard
+            val src = java.util.Arrays.copyOfRange(b, off, off + compLen)
+            org.xerial.snappy.Snappy.uncompress(src)
+          } catch { case _: java.io.IOException => return None }
+        val crc = new java.util.zip.CRC32()
+        crc.update(unc)
+        val want = ((b(off + compLen) & 0xffL) << 24) |
+          ((b(off + compLen + 1) & 0xffL) << 16) |
+          ((b(off + compLen + 2) & 0xffL) << 8) |
+          (b(off + compLen + 3) & 0xffL)
+        if ((crc.getValue & 0xffffffffL) != want) None
+        else Some((unc, 0, unc.length))
+      }
+    case _ => None
+  }
+
   /** Iceberg manifest census — decode the manifest-entry RECORDS (the
     * one step past [[avroBlocksOf]]'s container walk): per entry, the
     * status / snapshot / data-file path / format / record count / byte
@@ -6579,8 +6617,9 @@ object MultimodalOps {
       r: MediaRecord): Option[Seq[IcebergManifestEntry]] = {
     val b = r.content
     val hdr = avroHeaderOf(b).getOrElse(return None)
-    // null AND deflate codecs: real Iceberg writers default to deflate
-    if (hdr.codec != "null" && hdr.codec != "deflate") return None
+    // null, deflate AND snappy: the codecs real Iceberg writers emit
+    if (hdr.codec != "null" && hdr.codec != "deflate" &&
+      hdr.codec != "snappy") return None
     val entrySchema = parseAvroSchema(hdr.schemaJson) match {
       case Some(rec: AvRecord) => rec
       case _ => return None
@@ -6719,14 +6758,11 @@ object MultimodalOps {
       // pre-advance offset lets off + size overrun by the varint width
       if (sz._1 > (b.length - off).toLong) return None
       val dataEnd = off + sz._1.toInt
-      // record bytes: the raw span (null codec) or its inflation
-      // (deflate — raw RFC 1951 per the Avro spec, bomb-guarded)
+      // record bytes through the codec layer (raw / inflate /
+      // snappy+CRC — avroDecodeSpan)
       val (d, pStart, pEnd) =
-        if (hdr.codec == "null") (b, off, dataEnd)
-        else {
-          val inf = inflateRawSpan(b, off, sz._1.toInt).getOrElse(return None)
-          (inf, 0, inf.length)
-        }
+        avroDecodeSpan(hdr.codec, b, off, sz._1.toInt)
+          .getOrElse(return None)
       var p = pStart
       var k = 0L
       while (k < cnt._1) {
@@ -6884,8 +6920,11 @@ object MultimodalOps {
         org.apache.avro.generic.GenericRecord](schema)
       it.map { id =>
         val dfw = new org.apache.avro.file.DataFileWriter(writer)
-        if (id % 2 == 1)
+        // all three production codecs cycle: null / deflate / snappy
+        if (id % 3 == 1)
           dfw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        else if (id % 3 == 2)
+          dfw.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
         val bos = new java.io.ByteArrayOutputStream(1024)
         // deterministic per-id sync marker: the no-arg create() mints
         // one via UUID.randomUUID -> a GLOBALLY LOCKED SecureRandom,
@@ -7039,8 +7078,11 @@ object MultimodalOps {
         org.apache.avro.generic.GenericRecord](schema)
       it.map { id =>
         val dfw = new org.apache.avro.file.DataFileWriter(writer)
-        if (id % 2 == 1)
+        // all three production codecs cycle: null / deflate / snappy
+        if (id % 3 == 1)
           dfw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        else if (id % 3 == 2)
+          dfw.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
         val bos = new java.io.ByteArrayOutputStream(1024)
         // deterministic sync marker (the r16 SecureRandom-convoy fix)
         val sync = java.security.MessageDigest.getInstance("MD5")
@@ -7100,7 +7142,8 @@ object MultimodalOps {
       r: MediaRecord): Option[Seq[IcebergManifestFile]] = {
     val b = r.content
     val hdr = avroHeaderOf(b).getOrElse(return None)
-    if (hdr.codec != "null" && hdr.codec != "deflate") return None
+    if (hdr.codec != "null" && hdr.codec != "deflate" &&
+      hdr.codec != "snappy") return None
     // schema-DRIVEN (the r16 manifest discipline, now on the list
     // level too): parse the embedded writer schema and walk by it —
     // v1 lists, v2 lists (content / sequence numbers / partition
@@ -7192,11 +7235,8 @@ object MultimodalOps {
       if (sz._1 > (b.length - off).toLong) return None
       val dataEnd = off + sz._1.toInt
       val (d, pStart, pEnd) =
-        if (hdr.codec == "null") (b, off, dataEnd)
-        else {
-          val inf = inflateRawSpan(b, off, sz._1.toInt).getOrElse(return None)
-          (inf, 0, inf.length)
-        }
+        avroDecodeSpan(hdr.codec, b, off, sz._1.toInt)
+          .getOrElse(return None)
       var p = pStart
       var k = 0L
       while (k < cnt._1) {

@@ -2732,6 +2732,40 @@ object StorageOps {
         col("num_records"))
   }
 
+  /** Tombstone / VACUUM census — the other half of [[deltaLogState]]:
+    * the paths whose LATEST action is a remove, with the removing
+    * version — the candidate set a vacuum pass deletes once
+    * retention expires (a re-added path is NOT a tombstone: the
+    * resurrection rule applies symmetrically).  Same
+    * last-action-wins window, same protocol gate, same
+    * metadata-only economics.
+    */
+  def deltaTombstones(
+      spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    checkDeltaProtocol(spark, logDir)
+    val sch = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType))))))
+    val actions = spark.read.schema(sch)
+      .option("pathGlobFilter", "*.json").json(logDir)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.path").isNotNull.cast(IntegerType).as("is_add"),
+        col("version"))
+      .filter(col("path").isNotNull)
+    val w = Window.partitionBy("path")
+      .orderBy(col("version").desc, col("is_add").desc)
+    actions.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_add") === 0)
+      .select(col("path"), col("version").as("version_removed"))
+  }
+
   /** Checkpoint-aware [[deltaLogState]] — the 10⁶-commit path the
     * protocol itself prescribes (and r14 documented as "the caller's
     * composition"; now it IS the composition): read `_last_checkpoint`

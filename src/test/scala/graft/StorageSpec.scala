@@ -1241,5 +1241,15 @@ class StorageSpec extends AnyFunSuite {
       reader.close()
       assert(entries.map(_.equalityIds).toVector == lib, s"id ${m.id}")
     }
+    // codec coverage is by id arithmetic: 12 → null, 7 → deflate,
+    // 5/8 → snappy — the snappy pair above just cross-checked the
+    // library; now the tamper seal: a flipped bit in a snappy-coded
+    // container rejects (trailing CRC32 of the uncompressed bytes)
+    val sn = media.find(_.id == 8L).get
+    assert(sn.id % 3 == 2)
+    val body = sn.content.clone()
+    body(body.length - 40) = (body(body.length - 40) ^ 0x10).toByte
+    assert(graft.ops.MultimodalOps.icebergManifestEntriesOf(
+      graft.ops.MultimodalOps.MediaRecord(8L, "x", body)).isEmpty)
   }
 }
