@@ -7933,6 +7933,25 @@ object SparkEntry {
             col("n_probed"), col("n_hits"))
           .orderBy("row_group_id")
       },
+      "q_orc_dict_probe" -> { (s, dir) =>
+        // ORC string-dictionary probe: DICTIONARY_V2 per-stripe
+        // dictionaries decoded through the from-spec RLEv2 LENGTH
+        // walk — exact membership, so the five real priorities hit
+        // and the two planted absent probes miss (the parquet
+        // dictionary probe's ORC sibling)
+        import s.implicits._
+        val staged = stageOrcRowIndexFiles(s, dir)
+        val present = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderpriority")).distinct()
+          .orderBy("o_orderpriority").as[String].collect().toSeq
+        graft.ops.StorageOps.orcDictionaryProbe(
+            s, Seq(s"$staged/orders"), 6L,
+            present ++ Seq("0-ABSENT", "9-NOPE"))
+          .select(col("stripe_id"), col("column_id"),
+            col("has_dict").cast("long").as("has_dict"),
+            col("dict_size"), col("n_probed"), col("n_hits"))
+          .orderBy("stripe_id")
+      },
       "q_parquet_dict_probe" -> { (s, dir) =>
         // dictionary-FILTER probe: the third chunk-skipping surface
         // and the only EXACT one — a fully-dictionary-encoded
@@ -10415,7 +10434,8 @@ object SparkEntry {
         "q_parquet_page_stats" -> parquetPageStatsOracleSql,
         "q_parquet_encodings" -> parquetEncodingsOracleSql,
         "q_parquet_bloom" -> parquetBloomOracleSql,
-        "q_parquet_dict_probe" -> parquetDictOracleSql)
+        "q_parquet_dict_probe" -> parquetDictOracleSql,
+        "q_orc_dict_probe" -> orcDictOracleSql)
 
   /** Corpus dir the oracle SQL is generated against.  Verify sets this
     * to its `sfDir` argument before dumping oracle_sql.json, so the
@@ -10475,6 +10495,22 @@ object SparkEntry {
        |       (SELECT least(count(DISTINCT o_custkey), 50000)
        |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_probed,
        |       (SELECT least(count(DISTINCT o_custkey), 50000)
+       |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_hits""".stripMargin
+
+  /** ORC dictionary-probe oracle: the staged single-stripe write's
+    * DICTIONARY_V2 dictionary is the column's exact distinct set —
+    * same exactness contract as the parquet flavor, third format
+    * path onto the same DuckDB aggregate.
+    */
+  private def orcDictOracleSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS stripe_id,
+       |       CAST(6 AS BIGINT) AS column_id,
+       |       CAST(1 AS BIGINT) AS has_dict,
+       |       (SELECT count(DISTINCT o_orderpriority)
+       |        FROM read_parquet('$oracleDir/orders.parquet')) AS dict_size,
+       |       (SELECT count(DISTINCT o_orderpriority) + 2
+       |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_probed,
+       |       (SELECT count(DISTINCT o_orderpriority)
        |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_hits""".stripMargin
 
   /** Dictionary-probe oracle: the staged single-row-group write's

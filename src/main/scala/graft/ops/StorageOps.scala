@@ -2138,6 +2138,176 @@ object StorageOps {
     * bounded dictionary, not a join (loud cap, as in the parquet
     * flavor).
     */
+  /** The ORC v1 5-bit encoded bit-width table (codes 0-23 → 1-24,
+    * then 26/28/30/32/40/48/56/64) — shared by the Direct, Delta and
+    * Patched-Base RLEv2 forms.
+    */
+  private val OrcFbsTable: Array[Int] = Array(
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48, 56, 64)
+
+  private def orcClosestFixedBits(n: Int): Int = {
+    var i = 0
+    while (i < OrcFbsTable.length && OrcFbsTable(i) < n) i += 1
+    if (i >= OrcFbsTable.length) 64 else OrcFbsTable(i)
+  }
+
+  /** Decode an ORC RLEv2 UNSIGNED integer stream — all four spec
+    * sub-encodings: Short Repeat, Direct, Patched Base, Delta
+    * (ORC v1 spec §"Run Length Encoding version 2").  Values are
+    * big-endian bit-packed; widths come from the 5-bit encoded
+    * table; the Patched-Base form restores outlier high bits via
+    * the (gap, patch) list with the 255-gap skip rule; Delta applies
+    * the delta-base SIGN to the packed unsigned deltas.  Strict:
+    * the stream must decode to EXACTLY `expect` values and consume
+    * its bytes run-by-run; None on any violation, never a throw —
+    * the TOTAL-on-arbitrary-bytes discipline.
+    */
+  private[graft] def orcRleV2Unsigned(
+      b: Array[Byte], expect: Int): Option[Vector[Long]] = {
+    if (b == null || expect < 0 || expect > (1 << 26)) return None
+    val out = Vector.newBuilder[Long]
+    var total = 0
+    var p = 0
+    def readBE(widthBytes: Int): Option[Long] = {
+      if (p + widthBytes > b.length) return None
+      var v = 0L
+      var i = 0
+      while (i < widthBytes) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+      p += widthBytes
+      Some(v)
+    }
+    def readVuLong(): Option[Long] = {
+      var v = 0L
+      var shift = 0
+      while (true) {
+        if (p >= b.length || shift > 63) return None
+        val c = b(p) & 0xff
+        p += 1
+        v |= (c & 0x7fL) << shift
+        shift += 7
+        if ((c & 0x80) == 0) return Some(v)
+      }
+      None
+    }
+    def readBits(count: Int, width: Int): Option[Array[Long]] = {
+      if (count < 0 || width < 1 || width > 64) return None
+      val bytes = ((count.toLong * width + 7) / 8).toInt
+      if (p + bytes > b.length) return None
+      val vals = new Array[Long](count)
+      var bitPos = 0L
+      var i = 0
+      while (i < count) {
+        var v = 0L
+        var got = 0
+        while (got < width) {
+          val byteIdx = p + (bitPos >> 3).toInt
+          val bitOff = (bitPos & 7).toInt
+          val take = math.min(8 - bitOff, width - got)
+          val bits = (b(byteIdx) >> (8 - bitOff - take)) &
+            ((1 << take) - 1)
+          v = (v << take) | (bits & 0xffL)
+          got += take
+          bitPos += take
+        }
+        vals(i) = v
+        i += 1
+      }
+      p += bytes
+      Some(vals)
+    }
+    while (p < b.length) {
+      if (total > expect) return None
+      val h = b(p) & 0xff
+      p += 1
+      (h >> 6) match {
+        case 0 => // SHORT REPEAT: W-1 bytes value, L-3 repeats
+          val widthBytes = ((h >> 3) & 7) + 1
+          val rep = (h & 7) + 3
+          val v = readBE(widthBytes).getOrElse(return None)
+          var i = 0
+          while (i < rep) { out += v; i += 1 }
+          total += rep
+        case 1 => // DIRECT: 5-bit width code, 9-bit length-1
+          val width = OrcFbsTable((h >> 1) & 0x1f)
+          if (p >= b.length) return None
+          val len = (((h & 1) << 8) | (b(p) & 0xff)) + 1
+          p += 1
+          val vals = readBits(len, width).getOrElse(return None)
+          vals.foreach(out += _)
+          total += len
+        case 2 => // PATCHED BASE
+          val width = OrcFbsTable((h >> 1) & 0x1f)
+          if (p + 3 > b.length) return None
+          val len = (((h & 1) << 8) | (b(p) & 0xff)) + 1
+          p += 1
+          val b3 = b(p) & 0xff
+          p += 1
+          val baseBytes = ((b3 >> 5) & 7) + 1
+          val pw = OrcFbsTable(b3 & 0x1f)
+          val b4 = b(p) & 0xff
+          p += 1
+          val pgw = ((b4 >> 5) & 7) + 1
+          val pll = b4 & 0x1f
+          var base = readBE(baseBytes).getOrElse(return None)
+          val signMask = 1L << (baseBytes * 8 - 1)
+          if ((base & signMask) != 0) base = -(base & (signMask - 1))
+          val data = readBits(len, width).getOrElse(return None)
+          if (pll > 0) {
+            val cfb = orcClosestFixedBits(pgw + pw)
+            val patches = readBits(pll, cfb).getOrElse(return None)
+            val patchMask = if (pw >= 64) -1L else (1L << pw) - 1
+            var idx = 0L
+            var i = 0
+            while (i < pll) {
+              val gap = patches(i) >>> pw
+              val patch = patches(i) & patchMask
+              idx += gap
+              if (patch != 0) {
+                if (idx >= len) return None
+                data(idx.toInt) |= patch << width
+              } // (255, 0) entries only advance the gap
+              i += 1
+            }
+          }
+          data.foreach(v => out += base + v)
+          total += len
+        case _ => // DELTA: base varint, signed delta base, packed deltas
+          val wcode = (h >> 1) & 0x1f
+          val width = if (wcode == 0) 0 else OrcFbsTable(wcode)
+          if (p >= b.length) return None
+          val nVals = (((h & 1) << 8) | (b(p) & 0xff)) + 1 // header: L-1
+          p += 1
+          val base = readVuLong().getOrElse(return None)
+          val zz = readVuLong().getOrElse(return None)
+          val deltaBase = (zz >>> 1) ^ -(zz & 1L) // signed varint
+          out += base
+          var cur = base
+          var produced = 1
+          if (nVals >= 2) {
+            cur += deltaBase
+            out += cur
+            produced = 2
+          }
+          if (produced < nVals) {
+            if (width == 0) { // fixed-delta run
+              while (produced < nVals) {
+                cur += deltaBase; out += cur; produced += 1
+              }
+            } else {
+              val deltas = readBits(nVals - produced, width)
+                .getOrElse(return None)
+              val sign = if (deltaBase < 0) -1L else 1L
+              deltas.foreach { d => cur += sign * d; out += cur }
+              produced = nVals
+            }
+          }
+          total += nVals
+      }
+    }
+    if (total != expect) None else Some(out.result())
+  }
+
   def orcBloomProbe(
       spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       column: Long, probes: Seq[String],
@@ -2342,6 +2512,198 @@ object StorageOps {
       }
       .toDF("file_name", "stripe_id", "column_id", "row_group_id",
         "n_hash_functions", "n_bits", "n_hits")
+  }
+
+  /** ORC string-DICTIONARY probe — the exact-membership skipping
+    * surface for ORC, the sibling of [[parquetDictionaryProbe]]: a
+    * DICTIONARY_V2-encoded column's per-stripe dictionary is its
+    * exact distinct set, so equality probes have NO false positives
+    * and NO false negatives.  Per stripe: the stripe footer names
+    * the column encodings and stream geometry; the LENGTH stream
+    * (kind 2) decodes through the from-spec RLEv2 walk
+    * ([[orcRleV2Unsigned]] — all four sub-encodings), the
+    * DICTIONARY_DATA stream (kind 3) splits by those lengths.
+    * DIRECT-encoded columns emit a fail-safe has_dict=false row
+    * (the planner falls back to stats/blooms); legacy RLEv1
+    * DICTIONARY encoding rejects LOUDLY rather than mis-decoding.
+    */
+  def orcDictionaryProbe(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      column: Long, probes: Seq[String],
+      maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    require(probes.size <= 100000,
+      s"orcDictionaryProbe: ${probes.size} probe values — use a join " +
+        "for large key sets")
+    val files =
+      listFilesBounded(spark, paths, ".orc", maxFiles, "orcDictionaryProbe")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val probesBc = spark.sparkContext.broadcast(probes.toArray)
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .flatMap { p =>
+        val conf = confBc.value.value
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val len = fs.getFileStatus(hp).getLen
+        def readTail(n: Long): Array[Byte] = {
+          require(n > 0 && n <= MaxOrcFooterRead,
+            s"orcDictionaryProbe: $p declares a tail read of $n bytes")
+          val want = math.min(len, n).toInt
+          val buf = new Array[Byte](want)
+          val in = fs.open(hp)
+          try in.readFully(len - want, buf, 0, want) finally in.close()
+          buf
+        }
+        val meta = orcTailOf(readTail(256L * 1024), len)
+          .getOrElse(throw new IllegalArgumentException(
+            s"orcDictionaryProbe: $p is not a readable ORC file"))
+        val codec = OrcCompressionNames.collectFirst {
+          case (code, name) if name == meta.compression => code
+        }.getOrElse(throw new IllegalStateException(
+          s"orcDictionaryProbe: unmapped codec ${meta.compression}"))
+        val probeStrs = probesBc.value
+        val out = Vector.newBuilder[
+          (String, Long, Long, Boolean, Long, Long, Long)]
+        val in = fs.open(hp)
+        try {
+          meta.stripes.zipWithIndex.foreach {
+            case ((off, idxLen, datLen, sfl, _), sid) =>
+              require(sfl <= (64L << 20) && datLen <= (4L << 30),
+                s"orcDictionaryProbe: $p stripe $sid absurd geometry")
+              val sfBuf = new Array[Byte](sfl.toInt)
+              in.readFully(off + idxLen + datLen, sfBuf, 0, sfl.toInt)
+              val sf = orcSectionBytes(sfBuf, 0, sfl.toInt, codec)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"orcDictionaryProbe: $p stripe $sid footer undecodable"))
+              // pass 1: streams in declared order (kind, col, len) +
+              // column encodings (kind, dictionarySize) in column order
+              val streams = Vector.newBuilder[(Long, Long, Long)]
+              val encodings = Vector.newBuilder[(Long, Long)]
+              val fr = new PbReader(sf, 0, sf.length)
+              while (fr.hasMore) {
+                val (f, w) = fr.tag()
+                if (fr.bad) throw new IllegalArgumentException(
+                  s"orcDictionaryProbe: $p stripe $sid footer malformed")
+                (f, w) match {
+                  case (1, 2) =>
+                    val (o, l) = fr.lenDelim()
+                    if (fr.bad) throw new IllegalArgumentException(
+                      s"orcDictionaryProbe: $p stripe $sid stream malformed")
+                    val sr = new PbReader(sf, o, o + l)
+                    var kind = -1L; var scol = -1L; var slen = -1L
+                    while (sr.hasMore) {
+                      val (kf, kw) = sr.tag()
+                      if (sr.bad) throw new IllegalArgumentException(
+                        s"orcDictionaryProbe: $p stripe $sid stream malformed")
+                      (kf, kw) match {
+                        case (1, 0) => kind = sr.varint()
+                        case (2, 0) => scol = sr.varint()
+                        case (3, 0) => slen = sr.varint()
+                        case (_, wire) => sr.skip(wire)
+                      }
+                    }
+                    if (kind < 0 || scol < 0 || slen < 0)
+                      throw new IllegalArgumentException(
+                        s"orcDictionaryProbe: $p stripe $sid stream malformed")
+                    streams += ((kind, scol, slen))
+                  case (2, 2) =>
+                    val (o, l) = fr.lenDelim()
+                    if (fr.bad) throw new IllegalArgumentException(
+                      s"orcDictionaryProbe: $p stripe $sid encoding malformed")
+                    val er = new PbReader(sf, o, o + l)
+                    var ekind = 0L; var dsz = 0L
+                    while (er.hasMore) {
+                      val (ef, ew) = er.tag()
+                      if (er.bad) throw new IllegalArgumentException(
+                        s"orcDictionaryProbe: $p stripe $sid encoding malformed")
+                      (ef, ew) match {
+                        case (1, 0) => ekind = er.varint()
+                        case (2, 0) => dsz = er.varint()
+                        case (_, wire) => er.skip(wire)
+                      }
+                    }
+                    encodings += ((ekind, dsz))
+                  case (_, wire) =>
+                    fr.skip(wire)
+                    if (fr.bad) throw new IllegalArgumentException(
+                      s"orcDictionaryProbe: $p stripe $sid footer malformed")
+                }
+              }
+              val encs = encodings.result()
+              require(column >= 0 && column < encs.length,
+                s"orcDictionaryProbe: column $column out of range " +
+                  s"(${encs.length} encodings) in $p stripe $sid")
+              val (ekind, dictSize) = encs(column.toInt)
+              // ColumnEncoding kinds: 0 DIRECT, 1 DICTIONARY (RLEv1),
+              // 2 DIRECT_V2, 3 DICTIONARY_V2
+              if (ekind == 0L || ekind == 2L) {
+                out += ((hp.getName, sid.toLong, column, false, 0L,
+                  probeStrs.length.toLong, 0L))
+              } else if (ekind == 1L) {
+                throw new IllegalArgumentException(
+                  s"orcDictionaryProbe: $p stripe $sid column $column " +
+                    "uses legacy RLEv1 DICTIONARY encoding — rejecting " +
+                    "loudly rather than mis-decoding")
+              } else {
+                require(ekind == 3L,
+                  s"orcDictionaryProbe: unknown encoding $ekind")
+                require(dictSize <= 10000000L,
+                  s"orcDictionaryProbe: absurd dictionary size $dictSize")
+                // locate the LENGTH + DICTIONARY_DATA stream spans by
+                // the running offset over ALL streams (index region
+                // first, then data — one contiguous accounting)
+                var running = 0L
+                var lenSpan: (Long, Long) = null
+                var datSpan: (Long, Long) = null
+                streams.result().foreach { case (kind, scol, slen) =>
+                  if (scol == column && kind == 2L) lenSpan = (running, slen)
+                  if (scol == column && kind == 3L) datSpan = (running, slen)
+                  running += slen
+                }
+                require(lenSpan != null && datSpan != null,
+                  s"orcDictionaryProbe: $p stripe $sid column $column " +
+                    "is DICTIONARY_V2 but lacks LENGTH/DICTIONARY_DATA " +
+                    "streams")
+                def sectionOf(span: (Long, Long)): Array[Byte] = {
+                  require(span._1 + span._2 <= idxLen + datLen,
+                    s"orcDictionaryProbe: $p stripe $sid stream escapes " +
+                      "the stripe")
+                  val buf = new Array[Byte](span._2.toInt)
+                  in.readFully(off + span._1, buf, 0, span._2.toInt)
+                  orcSectionBytes(buf, 0, span._2.toInt, codec)
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"orcDictionaryProbe: $p stripe $sid column " +
+                        s"$column stream undecodable"))
+                }
+                val lengths = orcRleV2Unsigned(
+                  sectionOf(lenSpan), dictSize.toInt)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"orcDictionaryProbe: $p stripe $sid column $column " +
+                      "LENGTH stream fails the RLEv2 walk"))
+                val data = sectionOf(datSpan)
+                val set = new java.util.HashSet[String](lengths.length)
+                var o2 = 0
+                lengths.foreach { l =>
+                  require(l >= 0 && o2 + l <= data.length,
+                    s"orcDictionaryProbe: $p stripe $sid column $column " +
+                      "dictionary lengths overrun the data stream")
+                  set.add(new String(data, o2, l.toInt, "UTF-8"))
+                  o2 += l.toInt
+                }
+                var hits = 0L
+                probeStrs.foreach(s => if (set.contains(s)) hits += 1)
+                out += ((hp.getName, sid.toLong, column, true,
+                  dictSize, probeStrs.length.toLong, hits))
+              }
+          }
+        } finally in.close()
+        out.result().iterator
+      }
+      .toDF("file_name", "stripe_id", "column_id", "has_dict",
+        "dict_size", "n_probed", "n_hits")
   }
 
   /** Iceberg `metadata.json` census — the ENTRY POINT of every

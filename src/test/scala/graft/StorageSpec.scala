@@ -1044,6 +1044,98 @@ class StorageSpec extends AnyFunSuite {
     assert(perFile.select("row_group_id").distinct().count() > 1)
   }
 
+  test("orcRleV2Unsigned: all four sub-encodings vs orc-core's own writer; strict rejects") {
+    // independent-writer discipline: orc-core ENCODES, the from-spec
+    // walk decodes — shapes chosen to force each sub-encoding
+    def enc(values: Seq[Long], aligned: Boolean): Array[Byte] = {
+      val received = new java.io.ByteArrayOutputStream
+      val recv = new org.apache.orc.PhysicalWriter.OutputReceiver {
+        def output(buffer: java.nio.ByteBuffer): Unit = {
+          val arr = new Array[Byte](buffer.remaining())
+          buffer.get(arr)
+          received.write(arr)
+        }
+        def suppress(): Unit = ()
+      }
+      val os = new org.apache.orc.impl.OutStream("t",
+        new org.apache.orc.impl.writer.StreamOptions(128 * 1024), recv)
+      val w = new org.apache.orc.impl.RunLengthIntegerWriterV2(
+        os, false, aligned)
+      values.foreach(w.write)
+      w.flush()
+      received.toByteArray
+    }
+    val shapes: Seq[(String, Seq[Long])] = Seq(
+      ("short-repeat", Seq.fill(7)(10000L)),
+      ("direct", Seq(23713L, 43806L, 28713L, 34642L)),
+      ("delta-monotonic", Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L)),
+      ("delta-fixed", (0L until 100L).map(_ * 9L)),
+      ("delta-descending", Seq(100L, 90L, 82L, 75L, 60L, 55L)),
+      ("patched-base", Seq(2030L, 2000L, 2020L, 1000000L) ++
+        (0 until 16).map(i => 2040L + 10L * i)),
+      ("long-direct", (0 until 600).map(i =>
+        ((i * 2654435761L) >>> 40) & 0xffffL)),
+      ("two-runs", Seq.fill(12)(5L) ++ Seq(9L, 1L, 7L, 3L, 8L, 2L)),
+      ("zeros", Seq.fill(300)(0L)),
+      ("big-values", Seq(1L << 60, (1L << 60) + 1, (1L << 60) + 2,
+        (1L << 60) + 3)))
+    for ((name, vals) <- shapes; aligned <- Seq(true, false)) {
+      val bytes = enc(vals, aligned)
+      val got = StorageOps.orcRleV2Unsigned(bytes, vals.length)
+        .getOrElse(fail(s"$name aligned=$aligned rejected"))
+      assert(got == vals.toVector, s"$name aligned=$aligned")
+      // strictness: truncated stream / wrong expected count reject
+      assert(StorageOps.orcRleV2Unsigned(
+        bytes.take(bytes.length - 1), vals.length).isEmpty ||
+        bytes.length == 0, s"$name truncation")
+      assert(StorageOps.orcRleV2Unsigned(bytes, vals.length + 1).isEmpty)
+    }
+    // randomized sweep across mixed shapes, both packings
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 0 until 200) {
+      val n = 1 + rnd.nextInt(900)
+      val vals = (0 until n).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(3).toLong
+          case 1 => rnd.nextInt(1 << 16).toLong
+          case 2 => if (rnd.nextInt(10) == 0) rnd.nextLong() >>> 1
+                    else rnd.nextInt(512).toLong
+          case _ => 1000000L + rnd.nextInt(100)
+        }
+      }
+      val bytes = enc(vals, trial % 2 == 0)
+      val got = StorageOps.orcRleV2Unsigned(bytes, n)
+      assert(got.contains(vals.toVector), s"trial $trial n=$n")
+    }
+  }
+
+  test("orcDictionaryProbe: exact membership vs orc-core write; direct fail-safe") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-orcdict").toString
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    docs.coalesce(1).write.mode("overwrite").option("compression", "zlib")
+      .orc(s"$dir/docs")
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val probes = langs ++ Seq("zz-absent", "q9")
+    // column ids in the flattened type tree: 0 root, 1 doc_id,
+    // 2 text, 3 lang — lang (5 distinct / 1k rows) dictionary-encodes
+    val rows = StorageOps.orcDictionaryProbe(
+      spark, Seq(s"$dir/docs"), 3L, probes).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), "lang must be DICTIONARY_V2")
+      assert(r.getLong(4) <= langs.length.toLong && r.getLong(4) >= 1L)
+      assert(r.getLong(6) == r.getLong(4),
+        "per-stripe probes must hit exactly the stripe's distinct set")
+    }
+    // high-cardinality text goes DIRECT_V2 → fail-safe row
+    val nd = StorageOps.orcDictionaryProbe(
+      spark, Seq(s"$dir/docs"), 2L, probes).collect()
+    assert(nd.nonEmpty && nd.forall(r => !r.getBoolean(3) && r.getLong(6) == 0L))
+  }
+
   test("parquetDictionaryProbe: exact membership per row group; non-dict chunks fail-safe") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-pqdict").toString
