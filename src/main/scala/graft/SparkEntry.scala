@@ -4544,6 +4544,17 @@ object SparkEntry {
         |       CAST(100 + v AS BIGINT) AS num_records
         |FROM live, c
         |ORDER BY path, col_name""".stripMargin,
+    // properties replay: the staged fixture's six keys verbatim
+    "q_hudi_properties" ->
+      s"""SELECT * FROM (VALUES
+        |  ('hoodie.datasource.write.partitionpath.field', 'pt'),
+        |  ('hoodie.table.keygenerator.class',
+        |   'org.apache.hudi.keygen.SimpleKeyGenerator'),
+        |  ('hoodie.table.name', 'graft_events'),
+        |  ('hoodie.table.type', 'COPY_ON_WRITE'),
+        |  ('hoodie.table.version', '6'),
+        |  ('hoodie.timeline.layout.version', '1')) t(key, value)
+        |ORDER BY key""".stripMargin,
     // vacuum replay: tombstones are the removed (v-3, v%3) pairs
     // minus the v10-resurrected part-0-0
     "q_delta_vacuum" ->
@@ -9689,6 +9700,17 @@ object SparkEntry {
         graft.ops.StorageOps.deltaLogStateFromCheckpoint(s, staged)
           .orderBy("path")
       },
+      "q_hudi_properties" -> { (s, dir) =>
+        // the Hudi ENTRY POINT: .hoodie/hoodie.properties — table
+        // identity, type (which read path applies), version,
+        // partition fields — parsed with the JDK Properties loader
+        // (the format IS java.util.Properties); completes the
+        // three-format entry-point trio next to icebergMetadata and
+        // the Delta protocol/checkpoint reads
+        val root = stageHudiTableRoot(dir)
+        graft.ops.StorageOps.hudiTableProperties(s, root)
+          .orderBy("key")
+      },
       "q_delta_vacuum" -> { (s, dir) =>
         // the tombstone set — what vacuum deletes after retention:
         // paths whose latest action is a remove, with the removing
@@ -10122,6 +10144,32 @@ object SparkEntry {
     * t=6 — clustering kills them) and writes `f-100`/`f-101`.
     * Corpus-independent so the oracle is closed-form arithmetic.
     */
+  /** Stage a Hudi TABLE ROOT: `.hoodie/hoodie.properties` (written
+    * through java.util.Properties, continuations/escapes included —
+    * independent writer) for the entry-point census.
+    */
+  private[graft] def stageHudiTableRoot(dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md
+      val root = java.nio.file.Paths.get("/tmp/graft-stream", key, "hudiroot")
+      java.nio.file.Files.createDirectories(root.resolve(".hoodie"))
+      val props = new java.util.Properties()
+      props.setProperty("hoodie.table.name", "graft_events")
+      props.setProperty("hoodie.table.type", "COPY_ON_WRITE")
+      props.setProperty("hoodie.table.version", "6")
+      props.setProperty("hoodie.timeline.layout.version", "1")
+      props.setProperty("hoodie.datasource.write.partitionpath.field", "pt")
+      props.setProperty("hoodie.table.keygenerator.class",
+        "org.apache.hudi.keygen.SimpleKeyGenerator")
+      val out = java.nio.file.Files.newOutputStream(
+        root.resolve(".hoodie/hoodie.properties"))
+      try props.store(out, "graft fixture")
+      finally out.close()
+      root.toString
+    }
+
   private[graft] def stageHudiTimeline(dir: String): String =
     stageLock.synchronized {
       val md = java.security.MessageDigest.getInstance("MD5")

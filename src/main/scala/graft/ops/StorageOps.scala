@@ -3301,6 +3301,38 @@ object StorageOps {
     * cutoff plays the checkpoint's role (point this reader at the
     * active timeline dir).
     */
+  /** Hudi `hoodie.properties` census — the ENTRY POINT of every Hudi
+    * read, completing the trio next to [[icebergMetadata]] and the
+    * Delta `_last_checkpoint`/protocol reads: the table's identity,
+    * type (COPY_ON_WRITE / MERGE_ON_READ — which read path applies),
+    * table version, and partition-path fields, parsed with the JDK
+    * Properties loader (the format IS java.util.Properties — using
+    * the platform parser is the spec-faithful move, continuations
+    * and escapes included).  One (key, value) row per property;
+    * metadata-sized (the file is under a KB).
+    */
+  def hudiTableProperties(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(
+      tableDir, ".hoodie/hoodie.properties")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path),
+      s"hudiTableProperties: $path missing — not a Hudi table root")
+    val bytes = {
+      val in = fs.open(path)
+      try in.readAllBytes() finally in.close()
+    }
+    require(bytes.length <= (1 << 20),
+      s"hudiTableProperties: ${bytes.length} bytes — not a properties file")
+    val props = new java.util.Properties()
+    props.load(new java.io.ByteArrayInputStream(bytes))
+    import scala.jdk.CollectionConverters._
+    val rows = props.stringPropertyNames().asScala.toSeq.sorted
+      .map(k => (k, props.getProperty(k)))
+    spark.createDataset(rows).toDF("key", "value")
+  }
+
   def hudiTimelineState(
       spark: org.apache.spark.sql.SparkSession, timelineDir: String): DataFrame = {
     import org.apache.spark.sql.types._
