@@ -1044,6 +1044,33 @@ class StorageSpec extends AnyFunSuite {
     assert(perFile.select("row_group_id").distinct().count() > 1)
   }
 
+  test("hudiTableProperties: JDK-parser fidelity (escapes, continuations); missing root rejects") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hudi-props")
+    java.nio.file.Files.createDirectories(root.resolve(".hoodie"))
+    // hand-written file exercising the format's corners: comment
+    // lines, backslash continuation, \u escape, ':' separator
+    val text =
+      "# comment line\n" +
+      "hoodie.table.name=my\\\n    table\n" +
+      "hoodie.table.type:MERGE_ON_READ\n" +
+      "weird.key=sp\\u00e4ter value\n"
+    java.nio.file.Files.write(
+      root.resolve(".hoodie/hoodie.properties"),
+      text.getBytes("ISO-8859-1"))
+    val rows = StorageOps.hudiTableProperties(spark, root.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("hoodie.table.name") == "mytable") // continuation joins
+    assert(rows("hoodie.table.type") == "MERGE_ON_READ") // ':' form
+    assert(rows("weird.key") == "später value") // \u escape
+    // a dir without .hoodie/hoodie.properties is not a table root
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-hudi-empty").toString
+    intercept[IllegalArgumentException] {
+      StorageOps.hudiTableProperties(spark, bare)
+    }
+  }
+
   test("orcRleV2Unsigned: all four sub-encodings vs orc-core's own writer; strict rejects") {
     // independent-writer discipline: orc-core ENCODES, the from-spec
     // walk decodes — shapes chosen to force each sub-encoding
