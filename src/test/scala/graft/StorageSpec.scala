@@ -1044,6 +1044,17 @@ class StorageSpec extends AnyFunSuite {
     assert(perFile.select("row_group_id").distinct().count() > 1)
   }
 
+  test("orcRleV2Unsigned is TOTAL on arbitrary bytes (2000-trial fuzz)") {
+    val rnd = new scala.util.Random(20260816)
+    for (trial <- 0 until 2000) {
+      val n = rnd.nextInt(200)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      try StorageOps.orcRleV2Unsigned(b, rnd.nextInt(64))
+      catch { case e: Throwable => fail(s"trial $trial threw: $e") }
+    }
+  }
+
   test("hudiTableProperties: JDK-parser fidelity (escapes, continuations); missing root rejects") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-hudi-props")
