@@ -2152,6 +2152,58 @@ object StorageOps {
     if (i >= OrcFbsTable.length) 64 else OrcFbsTable(i)
   }
 
+  /** Decode an ORC RLEv1 UNSIGNED integer stream — the LEGACY
+    * encoding old-writer files carry (and the DICTIONARY column
+    * encoding implies): control 0-127 = a run of control+3 values
+    * stepping by the following SIGNED delta byte from a varint
+    * base; control 128-255 = 256-control literal varints.  Strict
+    * exact-count/exact-consumption; TOTAL on arbitrary bytes.
+    */
+  private[graft] def orcRleV1Unsigned(
+      b: Array[Byte], expect: Int): Option[Vector[Long]] = {
+    if (b == null || expect < 0 || expect > (1 << 26)) return None
+    val out = Vector.newBuilder[Long]
+    var total = 0
+    var p = 0
+    def readVuLong(): Option[Long] = {
+      var v = 0L
+      var shift = 0
+      while (true) {
+        if (p >= b.length || shift > 63) return None
+        val c = b(p) & 0xff
+        p += 1
+        v |= (c & 0x7fL) << shift
+        shift += 7
+        if ((c & 0x80) == 0) return Some(v)
+      }
+      None
+    }
+    while (p < b.length) {
+      if (total > expect) return None
+      val control = b(p) & 0xff
+      p += 1
+      if (control < 128) { // run: control+3 values, signed delta byte
+        val n = control + 3
+        if (p >= b.length) return None
+        val delta = b(p).toLong // SIGNED byte
+        p += 1
+        var v = readVuLong().getOrElse(return None)
+        var i = 0
+        while (i < n) { out += v; v += delta; i += 1 }
+        total += n
+      } else { // literals: 256-control varints
+        val n = 256 - control
+        var i = 0
+        while (i < n) {
+          out += readVuLong().getOrElse(return None)
+          i += 1
+        }
+        total += n
+      }
+    }
+    if (total != expect) None else Some(out.result())
+  }
+
   /** Decode an ORC RLEv2 UNSIGNED integer stream — all four spec
     * sub-encodings: Short Repeat, Direct, Patched Base, Delta
     * (ORC v1 spec §"Run Length Encoding version 2").  Values are
@@ -2642,13 +2694,10 @@ object StorageOps {
               if (ekind == 0L || ekind == 2L) {
                 out += ((hp.getName, sid.toLong, column, false, 0L,
                   probeStrs.length.toLong, 0L))
-              } else if (ekind == 1L) {
-                throw new IllegalArgumentException(
-                  s"orcDictionaryProbe: $p stripe $sid column $column " +
-                    "uses legacy RLEv1 DICTIONARY encoding — rejecting " +
-                    "loudly rather than mis-decoding")
               } else {
-                require(ekind == 3L,
+                // 1 = legacy DICTIONARY (RLEv1 lengths), 3 =
+                // DICTIONARY_V2 (RLEv2) — both decode
+                require(ekind == 1L || ekind == 3L,
                   s"orcDictionaryProbe: unknown encoding $ekind")
                 require(dictSize <= 10000000L,
                   s"orcDictionaryProbe: absurd dictionary size $dictSize")
@@ -2678,11 +2727,13 @@ object StorageOps {
                       s"orcDictionaryProbe: $p stripe $sid column " +
                         s"$column stream undecodable"))
                 }
-                val lengths = orcRleV2Unsigned(
-                  sectionOf(lenSpan), dictSize.toInt)
+                val lenBytes = sectionOf(lenSpan)
+                val lengths = (if (ekind == 3L)
+                    orcRleV2Unsigned(lenBytes, dictSize.toInt)
+                  else orcRleV1Unsigned(lenBytes, dictSize.toInt))
                   .getOrElse(throw new IllegalArgumentException(
                     s"orcDictionaryProbe: $p stripe $sid column $column " +
-                      "LENGTH stream fails the RLEv2 walk"))
+                      s"LENGTH stream fails the RLEv${if (ekind == 3L) 2 else 1} walk"))
                 val data = sectionOf(datSpan)
                 val set = new java.util.HashSet[String](lengths.length)
                 var o2 = 0

@@ -1044,6 +1044,53 @@ class StorageSpec extends AnyFunSuite {
     assert(perFile.select("row_group_id").distinct().count() > 1)
   }
 
+  test("orcRleV1Unsigned: runs/literals vs orc-core's legacy writer; fuzz TOTAL") {
+    def enc(values: Seq[Long]): Array[Byte] = {
+      val received = new java.io.ByteArrayOutputStream
+      val recv = new org.apache.orc.PhysicalWriter.OutputReceiver {
+        def output(buffer: java.nio.ByteBuffer): Unit = {
+          val arr = new Array[Byte](buffer.remaining())
+          buffer.get(arr)
+          received.write(arr)
+        }
+        def suppress(): Unit = ()
+      }
+      val os = new org.apache.orc.impl.OutStream("t",
+        new org.apache.orc.impl.writer.StreamOptions(128 * 1024), recv)
+      val w = new org.apache.orc.impl.RunLengthIntegerWriter(os, false)
+      values.foreach(w.write)
+      w.flush()
+      received.toByteArray
+    }
+    val shapes: Seq[Seq[Long]] = Seq(
+      Seq.fill(9)(42L), // repeat run, delta 0
+      (0L until 50L).map(_ * 3L), // positive-delta run
+      (50L to 0L by -1L).map(_ + 1000L), // negative-delta run
+      Seq(9L, 1L, 7L, 3L, 8L, 2L, 200L, 65536L), // literals incl. multi-byte
+      Seq.fill(200)(7L) ++ Seq(1L, 2L, 9L) ++ Seq.fill(130)(3L))
+    for (vals <- shapes) {
+      val bytes = enc(vals)
+      assert(StorageOps.orcRleV1Unsigned(bytes, vals.length)
+        .contains(vals.toVector), vals.take(5).toString)
+      assert(StorageOps.orcRleV1Unsigned(bytes, vals.length + 1).isEmpty)
+    }
+    val rnd = new scala.util.Random(171819)
+    for (trial <- 0 until 200) { // randomized writer cross-check
+      val n = 1 + rnd.nextInt(400)
+      val vals = (0 until n).map(_ =>
+        if (rnd.nextInt(3) == 0) rnd.nextInt(5).toLong
+        else rnd.nextInt(1 << 20).toLong)
+      assert(StorageOps.orcRleV1Unsigned(enc(vals), n)
+        .contains(vals.toVector), s"trial $trial")
+    }
+    for (trial <- 0 until 2000) { // TOTAL on arbitrary bytes
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      try StorageOps.orcRleV1Unsigned(b, rnd.nextInt(64))
+      catch { case e: Throwable => fail(s"fuzz $trial threw: $e") }
+    }
+  }
+
   test("orcRleV2Unsigned is TOTAL on arbitrary bytes (2000-trial fuzz)") {
     val rnd = new scala.util.Random(20260816)
     for (trial <- 0 until 2000) {
