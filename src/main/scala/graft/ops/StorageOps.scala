@@ -2927,6 +2927,11 @@ object StorageOps {
         StructField("path", StringType))))))
     val actions = spark.read.schema(sch)
       .option("pathGlobFilter", "*.json").json(logDir)
+      // COMMIT files only — a basename that is not purely digits
+      // (a V.checkpoint.<uuid>.json v2 top file, a CRC sidecar)
+      // must NOT replay as a commit: the trailing-digit extract
+      // would otherwise mint a bogus high version from a uuid tail
+      .filter(input_file_name().rlike("/[0-9]+\\.json$"))
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
       .select(
@@ -2969,6 +2974,11 @@ object StorageOps {
         StructField("readerFeatures", ArrayType(StringType)))))))
     val rows = spark.read.schema(sch)
       .option("pathGlobFilter", "*.json").json(logDir)
+      // COMMIT files only — a basename that is not purely digits
+      // (a V.checkpoint.<uuid>.json v2 top file, a CRC sidecar)
+      // must NOT replay as a commit: the trailing-digit extract
+      // would otherwise mint a bogus high version from a uuid tail
+      .filter(input_file_name().rlike("/[0-9]+\\.json$"))
       .filter(col("protocol.minReaderVersion").isNotNull)
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
@@ -3054,6 +3064,11 @@ object StorageOps {
         StructField("configuration", MapType(StringType, StringType)))))))
     val raw = spark.read.schema(sch)
       .option("pathGlobFilter", "*.json").json(logDir)
+      // COMMIT files only — a basename that is not purely digits
+      // (a V.checkpoint.<uuid>.json v2 top file, a CRC sidecar)
+      // must NOT replay as a commit: the trailing-digit extract
+      // would otherwise mint a bogus high version from a uuid tail
+      .filter(input_file_name().rlike("/[0-9]+\\.json$"))
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
     val mapping = deltaMappingOf(raw)
@@ -3110,6 +3125,11 @@ object StorageOps {
         StructField("configuration", MapType(StringType, StringType)))))))
     val raw = spark.read.schema(sch)
       .option("pathGlobFilter", "*.json").json(logDir)
+      // COMMIT files only — a basename that is not purely digits
+      // (a V.checkpoint.<uuid>.json v2 top file, a CRC sidecar)
+      // must NOT replay as a commit: the trailing-digit extract
+      // would otherwise mint a bogus high version from a uuid tail
+      .filter(input_file_name().rlike("/[0-9]+\\.json$"))
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
     val mapping = deltaMappingOf(raw)
@@ -3165,6 +3185,11 @@ object StorageOps {
         StructField("path", StringType))))))
     val actions = spark.read.schema(sch)
       .option("pathGlobFilter", "*.json").json(logDir)
+      // COMMIT files only — a basename that is not purely digits
+      // (a V.checkpoint.<uuid>.json v2 top file, a CRC sidecar)
+      // must NOT replay as a commit: the trailing-digit extract
+      // would otherwise mint a bogus high version from a uuid tail
+      .filter(input_file_name().rlike("/[0-9]+\\.json$"))
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
       .select(
@@ -3315,6 +3340,11 @@ object StorageOps {
       .filter(col("path").isNotNull)
     val trailing = spark.read.schema(sch)
       .option("pathGlobFilter", "*.json").json(logDir)
+      // COMMIT files only — a basename that is not purely digits
+      // (a V.checkpoint.<uuid>.json v2 top file, a CRC sidecar)
+      // must NOT replay as a commit: the trailing-digit extract
+      // would otherwise mint a bogus high version from a uuid tail
+      .filter(input_file_name().rlike("/[0-9]+\\.json$"))
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
       .filter(col("version") > cpVersion) // pre-checkpoint commits are subsumed

@@ -1254,6 +1254,53 @@ class StorageSpec extends AnyFunSuite {
     assert(nd.nonEmpty && nd.forall(r => !r.getBoolean(3) && r.getLong(6) == 0L))
   }
 
+  test("delta v2 checkpoint JSON top file: sidecars + tombstones replay like parquet") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-delta-v2json")
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    write(f"${0}%020d.json", Seq(
+      """{"add":{"path":"a.parquet","size":1,"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","size":2,"dataChange":true}}"""))
+    write(f"${1}%020d.json", Seq("""{"remove":{"path":"a.parquet"}}"""))
+    write(f"${2}%020d.json", Seq(
+      """{"add":{"path":"c.parquet","size":3,"dataChange":true}}"""))
+    write(f"${3}%020d.json", Seq(
+      """{"add":{"path":"d.parquet","size":4,"dataChange":true}}""",
+      """{"remove":{"path":"b.parquet"}}"""))
+    write("_last_checkpoint", Seq("""{"version":2,"size":4}"""))
+    // sidecar parquet carrying the adds live at v2
+    java.nio.file.Files.createDirectories(dir.resolve("_sidecars"))
+    val s = spark
+    import s.implicits._
+    val adds = Seq(("b.parquet", 2L), ("c.parquet", 3L)).toDF("p", "sz")
+      .select(struct(col("p").as("path"), col("sz").as("size"),
+        lit(true).as("dataChange")).as("add"))
+    val tmp = dir.resolve("scbuild")
+    adds.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part,
+      dir.resolve("_sidecars").resolve("sc1.parquet"))
+    // the JSON v2 TOP file: tombstone + sidecar pointer — the
+    // protocol's other v2CheckpointFormat; its uuid tail must NOT
+    // parse as a commit version in the trailing scan
+    write(f"${2}%020d.checkpoint." +
+      "0f16aa71-0000-4000-8000-000000000099.json", Seq(
+      """{"remove":{"path":"a.parquet"}}""",
+      """{"sidecar":{"path":"sc1.parquet"}}"""))
+    val cp = StorageOps.deltaLogStateFromCheckpoint(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cp == Set(("c.parquet", 3L, 2L), ("d.parquet", 4L, 3L)))
+    // and the checkpoint-free replay agrees (the json top file is
+    // invisible to the commit scan — the pure-digits filter)
+    val full = StorageOps.deltaLogState(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == cp)
+  }
+
   test("delta protocol gate: unknown reader features reject loudly; supported pass") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-delta-gate").toString
