@@ -7944,6 +7944,18 @@ object SparkEntry {
             col("n_probed"), col("n_hits"))
           .orderBy("row_group_id")
       },
+      "q_orc_encodings" -> { (s, dir) =>
+        // ORC per-(stripe, column) encoding census — the compaction
+        // planner's physical-layout surface, parquet-encodings'
+        // sibling: struct/double DIRECT, ints/timestamps DIRECT_V2,
+        // low-cardinality strings DICTIONARY_V2 with their exact
+        // dictionary sizes (writer-deterministic at the 0.8 ratio)
+        val staged = stageOrcRowIndexFiles(s, dir)
+        graft.ops.StorageOps.orcColumnEncodings(s, Seq(s"$staged/orders"))
+          .select(col("stripe_id"), col("column_id"),
+            col("encoding_kind"), col("dictionary_size"))
+          .orderBy("stripe_id", "column_id")
+      },
       "q_orc_dict_probe" -> { (s, dir) =>
         // ORC string-dictionary probe: DICTIONARY_V2 per-stripe
         // dictionaries decoded through the from-spec RLEv2 LENGTH
@@ -10483,7 +10495,8 @@ object SparkEntry {
         "q_parquet_encodings" -> parquetEncodingsOracleSql,
         "q_parquet_bloom" -> parquetBloomOracleSql,
         "q_parquet_dict_probe" -> parquetDictOracleSql,
-        "q_orc_dict_probe" -> orcDictOracleSql)
+        "q_orc_dict_probe" -> orcDictOracleSql,
+        "q_orc_encodings" -> orcEncodingsOracleSql)
 
   /** Corpus dir the oracle SQL is generated against.  Verify sets this
     * to its `sfDir` argument before dumping oracle_sql.json, so the
@@ -10544,6 +10557,26 @@ object SparkEntry {
        |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_probed,
        |       (SELECT least(count(DISTINCT o_custkey), 50000)
        |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_hits""".stripMargin
+
+  /** ORC encodings oracle: the staged single-stripe roster in closed
+    * form — struct/double DIRECT (0), longs/timestamp DIRECT_V2 (2),
+    * the two low-cardinality strings DICTIONARY_V2 (3) with
+    * dictionary sizes equal to their DuckDB distinct counts (the
+    * writer's 0.8-ratio rule is deterministic at every test SF).
+    */
+  private def orcEncodingsOracleSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS stripe_id,
+       |       CAST(c AS BIGINT) AS column_id,
+       |       CAST(k AS BIGINT) AS encoding_kind,
+       |       CAST(CASE c
+       |         WHEN 3 THEN (SELECT count(DISTINCT o_orderstatus)
+       |                      FROM read_parquet('$oracleDir/orders.parquet'))
+       |         WHEN 6 THEN (SELECT count(DISTINCT o_orderpriority)
+       |                      FROM read_parquet('$oracleDir/orders.parquet'))
+       |         ELSE 0 END AS BIGINT) AS dictionary_size
+       |FROM (VALUES (0, 0), (1, 2), (2, 2), (3, 3), (4, 0), (5, 2),
+       |      (6, 3)) t(c, k)
+       |ORDER BY column_id""".stripMargin
 
   /** ORC dictionary-probe oracle: the staged single-stripe write's
     * DICTIONARY_V2 dictionary is the column's exact distinct set —

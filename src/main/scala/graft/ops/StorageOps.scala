@@ -2566,6 +2566,96 @@ object StorageOps {
         "n_hash_functions", "n_bits", "n_hits")
   }
 
+  /** ORC per-(stripe, column) ENCODING census — the compaction
+    * planner's physical-layout surface for ORC, the sibling of
+    * [[parquetChunkEncodings]]: each stripe footer's ColumnEncoding
+    * roster (kind: 0 DIRECT, 1 DICTIONARY, 2 DIRECT_V2, 3
+    * DICTIONARY_V2; dictionary size when dictionary-coded) — the
+    * first question a rewriter asks before deciding what a merge
+    * would re-encode.  Footer-only: KBs per stripe.
+    */
+  def orcColumnEncodings(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      maxFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
+    val files =
+      listFilesBounded(spark, paths, ".orc", maxFiles, "orcColumnEncodings")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .flatMap { p =>
+        val conf = confBc.value.value
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val len = fs.getFileStatus(hp).getLen
+        def readTail(n: Long): Array[Byte] = {
+          require(n > 0 && n <= MaxOrcFooterRead,
+            s"orcColumnEncodings: $p declares a tail read of $n bytes")
+          val want = math.min(len, n).toInt
+          val buf = new Array[Byte](want)
+          val in = fs.open(hp)
+          try in.readFully(len - want, buf, 0, want) finally in.close()
+          buf
+        }
+        val meta = orcTailOf(readTail(256L * 1024), len)
+          .getOrElse(throw new IllegalArgumentException(
+            s"orcColumnEncodings: $p is not a readable ORC file"))
+        val codec = OrcCompressionNames.collectFirst {
+          case (code, name) if name == meta.compression => code
+        }.getOrElse(throw new IllegalStateException(
+          s"orcColumnEncodings: unmapped codec ${meta.compression}"))
+        val out = Vector.newBuilder[(String, Long, Long, Long, Long)]
+        val in = fs.open(hp)
+        try {
+          meta.stripes.zipWithIndex.foreach {
+            case ((off, idxLen, datLen, sfl, _), sid) =>
+              require(sfl <= (64L << 20),
+                s"orcColumnEncodings: $p stripe $sid absurd footer")
+              val sfBuf = new Array[Byte](sfl.toInt)
+              in.readFully(off + idxLen + datLen, sfBuf, 0, sfl.toInt)
+              val sf = orcSectionBytes(sfBuf, 0, sfl.toInt, codec)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"orcColumnEncodings: $p stripe $sid footer undecodable"))
+              val fr = new PbReader(sf, 0, sf.length)
+              var colId = 0L
+              while (fr.hasMore) {
+                val (f, w) = fr.tag()
+                if (fr.bad) throw new IllegalArgumentException(
+                  s"orcColumnEncodings: $p stripe $sid footer malformed")
+                if (f == 2 && w == 2) { // ColumnEncoding, column order
+                  val (o, l) = fr.lenDelim()
+                  if (fr.bad) throw new IllegalArgumentException(
+                    s"orcColumnEncodings: $p stripe $sid encoding malformed")
+                  val er = new PbReader(sf, o, o + l)
+                  var ekind = 0L; var dsz = 0L
+                  while (er.hasMore) {
+                    val (ef, ew) = er.tag()
+                    if (er.bad) throw new IllegalArgumentException(
+                      s"orcColumnEncodings: $p stripe $sid encoding malformed")
+                    (ef, ew) match {
+                      case (1, 0) => ekind = er.varint()
+                      case (2, 0) => dsz = er.varint()
+                      case (_, wire) => er.skip(wire)
+                    }
+                  }
+                  out += ((hp.getName, sid.toLong, colId, ekind, dsz))
+                  colId += 1
+                } else {
+                  fr.skip(w)
+                  if (fr.bad) throw new IllegalArgumentException(
+                    s"orcColumnEncodings: $p stripe $sid footer malformed")
+                }
+              }
+          }
+        } finally in.close()
+        out.result().iterator
+      }
+      .toDF("file_name", "stripe_id", "column_id", "encoding_kind",
+        "dictionary_size")
+  }
+
   /** ORC string-DICTIONARY probe — the exact-membership skipping
     * surface for ORC, the sibling of [[parquetDictionaryProbe]]: a
     * DICTIONARY_V2-encoded column's per-stripe dictionary is its
