@@ -4986,6 +4986,19 @@ object SparkEntry {
         |         ',"p_days":' || CAST(doc_id % 365 AS VARCHAR) || '}'
         |         AS partition_json
         |FROM ks ORDER BY doc_id, entry_idx""".stripMargin,
+    // v3 DV-routing replay: entry k is a position delete when
+    // (doc_id + k) % 3 = 1; its referenced file and blob span are
+    // id arithmetic by synthesis
+    "q_iceberg_manifest_dv" ->
+      s"""WITH px AS (SELECT doc_id, 1 + doc_id % 3 AS ns FROM documents),
+        |ks AS (SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS k FROM px)
+        |SELECT doc_id, CAST(k AS BIGINT) AS entry_idx,
+        |       'data/part-' || CAST(doc_id AS VARCHAR) || '-' ||
+        |         CAST(k AS VARCHAR) || '.parquet' AS referenced_data_file,
+        |       CAST(4 + doc_id % 100 AS BIGINT) AS content_offset,
+        |       CAST(20 + doc_id % 50 AS BIGINT) AS content_size_in_bytes
+        |FROM ks WHERE (doc_id + k) % 3 = 1
+        |ORDER BY doc_id, entry_idx""".stripMargin,
     // v2 equality-delete manifest replay: entry k is a delete file
     // when (doc_id + k) % 3 = 2; its equality_ids list and sequence
     // number are id arithmetic by synthesis
@@ -8208,6 +8221,25 @@ object SparkEntry {
             col("partitionJson").as("partition_json"))
           .orderBy("doc_id", "entry_idx")
       },
+      "q_iceberg_manifest_dv" -> { (s, dir) =>
+        // v3 DELETION-VECTOR routing: position-delete entries
+        // (content = 1) carry referenced_data_file + the blob's
+        // (offset, size) inside its Puffin file — exactly the
+        // descriptor a v3 scan hands to the puffin DV decoder
+        // (q_puffin_dv); data and equality entries decode the null
+        // union branches
+        val staged = stageIcebergManifestV2(s, dir)
+        import s.implicits._
+        val media = s.read.parquet(s"$staged/media")
+          .as[graft.ops.MultimodalOps.MediaRecord]
+        MultimodalOps.icebergManifestEntries(media).toDF()
+          .filter(col("content") === 1)
+          .select(col("id").as("doc_id"), col("entryIdx").as("entry_idx"),
+            col("referencedDataFile").as("referenced_data_file"),
+            col("contentOffset").as("content_offset"),
+            col("contentSizeInBytes").as("content_size_in_bytes"))
+          .orderBy("doc_id", "entry_idx")
+      },
       "q_iceberg_manifest_eq" -> { (s, dir) =>
         // the equality-delete half of the v2 manifest decode: delete
         // entries (content = 2) surface the spec's equality_ids
@@ -9987,7 +10019,7 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-icebergv2-stage-$md"
-      val fp = stageFingerprint(s, dir, Seq("documents"), "icebergv2-v4")
+      val fp = stageFingerprint(s, dir, Seq("documents"), "icebergv2-v5")
       if (!stageUpToDate(out, fp)) {
         MultimodalOps.synthesizeIcebergManifestV2(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id")

@@ -6034,7 +6034,10 @@ object MultimodalOps {
       lowerBounds: Seq[IcebergKvBytes] = Nil,
       nullValueCounts: Seq[IcebergKvLong] = Nil,
       upperBounds: Seq[IcebergKvBytes] = Nil,
-      partitionJson: String = "")
+      partitionJson: String = "",
+      referencedDataFile: String = "",
+      contentOffset: Long = -1L,
+      contentSizeInBytes: Long = -1L)
 
   // ---- minimal Avro schema model (schema-DRIVEN record decode) -----
   // Enough of the Avro type system to SKIP any field the census does
@@ -6654,6 +6657,9 @@ object MultimodalOps {
       var nullCounts: Vector[IcebergKvLong] = Vector.empty
       var upBounds: Vector[IcebergKvBytes] = Vector.empty
       var partJson = ""
+      var refDataFile = "" // v3 DV routing: which data file the
+      var cOffset = -1L    // deletion vector applies to, and where
+      var cSize = -1L      // its blob lives inside the Puffin file
       for ((fname, ft) <- entrySchema.fields) fname match {
         case "status" =>
           val v = avReadLongish(ft, d, p, end).getOrElse(return None)
@@ -6731,6 +6737,18 @@ object MultimodalOps {
               val v = avJsonValue(dft, d, p, end).getOrElse(return None)
               partJson = v._1
               p = v._2
+            case "referenced_data_file" =>
+              val v = avReadStringish(dft, d, p, end).getOrElse(return None)
+              refDataFile = v._1.getOrElse("")
+              p = v._2
+            case "content_offset" =>
+              val v = avReadLongish(dft, d, p, end).getOrElse(return None)
+              cOffset = v._1.getOrElse(-1L)
+              p = v._2
+            case "content_size_in_bytes" =>
+              val v = avReadLongish(dft, d, p, end).getOrElse(return None)
+              cSize = v._1.getOrElse(-1L)
+              p = v._2
             case _ =>
               p = avSkipValue(dft, d, p, end).getOrElse(return None)
           }
@@ -6741,7 +6759,8 @@ object MultimodalOps {
         path == null || fmt == null || rc < 0L || fsz < 0L) return None
       Some((IcebergManifestEntry(r.id, -1L, status, snap, path, fmt,
         rc, fsz, content, seqNum, eqIds, colSizes, valCounts,
-        lowBounds, nullCounts, upBounds, partJson), p))
+        lowBounds, nullCounts, upBounds, partJson, refDataFile,
+        cOffset, cSize), p))
     }
     val syncOff = hdr.syncOff
     var off = hdr.firstBlockOff
@@ -6887,7 +6906,10 @@ object MultimodalOps {
       """{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},""" +
       """{"name":"split_offsets","type":["null",{"type":"array","items":"long"}],"default":null,"field-id":132},""" +
       """{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},""" +
-      """{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}""" +
+      """{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},""" +
+      """{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},""" +
+      """{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},""" +
+      """{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}""" +
       """]},"field-id":2}]}"""
 
   /** Per-row Iceberg v2 manifest synthesis THROUGH the Avro library:
@@ -6997,6 +7019,18 @@ object MultimodalOps {
             dataFile.put("equality_ids", eq)
           }
           dataFile.put("sort_order_id", Integer.valueOf(0))
+          // v3 DELETION-VECTOR routing on position-delete entries
+          // (content = 1): which data file the DV covers, and the
+          // blob's span inside its Puffin file — what a v3 scan
+          // hands to the puffin DV decoder
+          if ((id + k) % 3 == 1) {
+            dataFile.put("referenced_data_file",
+              s"data/part-$id-$k.parquet")
+            dataFile.put("content_offset",
+              java.lang.Long.valueOf(4L + id % 100))
+            dataFile.put("content_size_in_bytes",
+              java.lang.Long.valueOf(20L + id % 50))
+          }
           rec.put("data_file", dataFile)
           dfw.append(rec)
           k += 1
