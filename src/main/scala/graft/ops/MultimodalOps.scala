@@ -6406,7 +6406,7 @@ object MultimodalOps {
     * interpretation to the planner holding the spec.  Unrenderable
     * shapes (maps, deep nesting) yield None — reject, never garble.
     */
-  private def avJsonValue(
+  private[graft] def avJsonValue(
       t: AvType, d: Array[Byte], p0: Int, end: Int,
       depth: Int = 0): Option[(String, Int)] = {
     if (depth > 8 || p0 > end) return None
@@ -6440,13 +6440,7 @@ object MultimodalOps {
         if (v == null || v._1 < 0 || v._1 > (end - (p0 + v._2)).toLong) None
         else {
           val s = new String(d, p0 + v._2, v._1.toInt, "UTF-8")
-          val esc = s.flatMap {
-            case '"' => "\\\""
-            case '\\' => "\\\\"
-            case c if c < ' ' => f"\\u${c.toInt}%04x"
-            case c => c.toString
-          }
-          Some(("\"" + esc + "\"", p0 + v._2 + v._1.toInt))
+          Some(("\"" + avJsonEscape(s) + "\"", p0 + v._2 + v._1.toInt))
         }
       case AvBytes =>
         val v = avroVarLong(d, p0)
@@ -6467,12 +6461,26 @@ object MultimodalOps {
         val parts = Seq.newBuilder[String]
         for ((fn, ft) <- fs) {
           val v = avJsonValue(ft, d, p, end, depth + 1).getOrElse(return None)
-          parts += "\"" + fn + "\":" + v._1
+          // field names come from the untrusted embedded writer
+          // schema — escape them like string VALUES, or a quote /
+          // control char in a name garbles the promised-valid JSON
+          parts += "\"" + avJsonEscape(fn) + "\":" + v._1
           p = v._2
         }
         Some(("{" + parts.result().mkString(",") + "}", p))
       case _ => None // maps/enums: not a partition-struct shape
     }
+  }
+
+  /** JSON string-body escaping shared by [[avJsonValue]]'s string
+    * values and record field names — both originate in the untrusted
+    * embedded writer schema / data, so both must escape identically.
+    */
+  private def avJsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   /** Read a string-shaped field, unwrapping a null union branch. */

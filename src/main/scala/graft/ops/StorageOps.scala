@@ -470,7 +470,16 @@ object StorageOps {
                 val fullyDict = cc.exists(c =>
                   Option(c.getEncodingStats)
                     .exists(!_.hasNonDictionaryEncodedPages))
-                if (!fullyDict || descriptor.isEmpty)
+                // string-membership probe: only BINARY columns decode
+                // through decodeToBinary — a fully-dict INT32/INT64
+                // column would throw from the executor task instead
+                // of emitting the documented fail-safe row, so gate
+                // on the primitive type like the fullyDict gate
+                val isBinary = descriptor.exists(
+                  _.getPrimitiveType.getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.BINARY)
+                if (!fullyDict || descriptor.isEmpty || !isBinary)
                   (hp.getName, i.toLong, column, false, 0L,
                     probes.length.toLong, 0L)
                 else {
@@ -2666,8 +2675,10 @@ object StorageOps {
     * ([[orcRleV2Unsigned]] — all four sub-encodings), the
     * DICTIONARY_DATA stream (kind 3) splits by those lengths.
     * DIRECT-encoded columns emit a fail-safe has_dict=false row
-    * (the planner falls back to stats/blooms); legacy RLEv1
-    * DICTIONARY encoding rejects LOUDLY rather than mis-decoding.
+    * (the planner falls back to stats/blooms); legacy DICTIONARY
+    * (kind 1) columns decode through the RLEv1 walk
+    * ([[orcRleV1Unsigned]]) — same dictionary, older run-length
+    * coding (COVERAGE.md fifth wave).
     */
   def orcDictionaryProbe(
       spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
@@ -3054,9 +3065,45 @@ object StorageOps {
     * (e.g. a future row-tracking feature) would report wrong state
     * with full confidence.  Absent protocol actions imply reader
     * version 1 (legacy tables).  Metadata-sized read, one tiny job.
+    *
+    * Scans JSON COMMITS only; the checkpoint path
+    * ([[deltaLogStateFromCheckpoint]]) must additionally feed the
+    * checkpoint's own protocol row through [[enforceDeltaProtocol]],
+    * because on a real table whose pre-checkpoint commits were
+    * cleaned by log retention the protocol lives ONLY in the
+    * checkpoint.
     */
   private[graft] def checkDeltaProtocol(
-      spark: org.apache.spark.sql.SparkSession, logDir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, logDir: String): Unit =
+    newestJsonProtocol(spark, logDir).foreach { case (_, mrv, feats) =>
+      enforceDeltaProtocol(mrv, feats, logDir)
+    }
+
+  /** The allowlist check itself, shared by the JSON-commit and the
+    * checkpoint protocol sources.  (minReaderVersion, readerFeatures)
+    * beyond the implemented set → loud reject.
+    */
+  private[graft] def enforceDeltaProtocol(
+      mrv: Int, feats: Seq[String], where: String): Unit = {
+    require(mrv <= 3,
+      s"delta protocol gate: minReaderVersion $mrv > 3 is beyond " +
+        s"this reader ($where) — refusing to mis-census")
+    if (mrv == 3) {
+      val unsupported = feats.filterNot(SupportedDeltaReaderFeatures)
+      require(unsupported.isEmpty,
+        s"delta protocol gate: unsupported readerFeatures " +
+          s"${unsupported.mkString(", ")} ($where) — refusing to " +
+          "mis-census")
+    }
+  }
+
+  /** Newest `protocol` action among the log's JSON commits, with its
+    * commit version — None when no JSON commit carries one (legacy
+    * table, or all protocol-bearing commits cleaned by retention).
+    */
+  private[graft] def newestJsonProtocol(
+      spark: org.apache.spark.sql.SparkSession,
+      logDir: String): Option[(Long, Int, Seq[String])] = {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(
       StructField("protocol", StructType(Seq(
@@ -3073,24 +3120,13 @@ object StorageOps {
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast(LongType))
       .orderBy(col("version").desc)
-      .select(col("protocol.minReaderVersion"),
+      .select(col("version"), col("protocol.minReaderVersion"),
         col("protocol.readerFeatures"))
       .limit(1).collect()
-    rows.headOption.foreach { r =>
-      val mrv = r.getInt(0)
-      require(mrv <= 3,
-        s"delta protocol gate: minReaderVersion $mrv > 3 is beyond " +
-          s"this reader ($logDir) — refusing to mis-census")
-      if (mrv == 3) {
-        val feats: Seq[String] =
-          if (r.isNullAt(1)) Seq.empty
-          else r.getSeq[String](1)
-        val unsupported = feats.filterNot(SupportedDeltaReaderFeatures)
-        require(unsupported.isEmpty,
-          s"delta protocol gate: unsupported readerFeatures " +
-            s"${unsupported.mkString(", ")} ($logDir) — refusing to " +
-            "mis-census")
-      }
+    rows.headOption.map { r =>
+      val feats: Seq[String] =
+        if (r.isNullAt(2)) Seq.empty else r.getSeq[String](2)
+      (r.getLong(0), r.getInt(1), feats)
     }
   }
 
@@ -3322,7 +3358,10 @@ object StorageOps {
     val lastCp = new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint")
     val fs = lastCp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(lastCp)) return deltaLogState(spark, logDir)
-    checkDeltaProtocol(spark, logDir)
+    // protocol gate fires below, AFTER the checkpoint read: on a
+    // retention-cleaned log the protocol action survives only inside
+    // the checkpoint, so gating on JSON commits alone would silently
+    // pass an unsupported table
     val cpMeta = {
       val in = fs.open(lastCp)
       try new String(in.readAllBytes(), "UTF-8")
@@ -3345,7 +3384,10 @@ object StorageOps {
       StructField("remove", StructType(Seq(
         StructField("path", StringType)))),
       StructField("sidecar", StructType(Seq(
-        StructField("path", StringType))))))
+        StructField("path", StringType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)))))))
     // For a JSON v2 top file the file actions it carries (if any)
     // can't join the parquet multi-path read below — they ride along
     // here as a separately-parsed DataFrame instead.
@@ -3421,6 +3463,27 @@ object StorageOps {
           s"deltaLogStateFromCheckpoint: empty checkpoint at $cpVersion")
       }
     }
+    // protocol gate, checkpoint-aware: the newest protocol between
+    // (a) the checkpoint's own protocol row (committed at cpVersion —
+    // checkpoint actions don't retain their original versions) and
+    // (b) any JSON commit's protocol action decides.  Retention-
+    // cleaned logs hit case (a) alone; a post-checkpoint protocol
+    // upgrade hits (b) with a strictly larger version and wins.
+    val cpProto = cpRaw
+      .filter(col("protocol.minReaderVersion").isNotNull)
+      .select(col("protocol.minReaderVersion"),
+        col("protocol.readerFeatures"))
+      .limit(1).collect().headOption
+      .map { r =>
+        val feats: Seq[String] =
+          if (r.isNullAt(1)) Seq.empty else r.getSeq[String](1)
+        (cpVersion, r.getInt(0), feats)
+      }
+    (cpProto.toSeq ++ newestJsonProtocol(spark, logDir).toSeq)
+      .sortBy(-_._1).headOption
+      .foreach { case (_, mrv, feats) =>
+        enforceDeltaProtocol(mrv, feats, logDir)
+      }
     val cpActions = cpRaw
       .select(
         coalesce(col("add.path"), col("remove.path")).as("path"),

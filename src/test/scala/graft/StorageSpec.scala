@@ -1476,4 +1476,70 @@ class StorageSpec extends AnyFunSuite {
     assert(graft.ops.MultimodalOps.icebergManifestEntriesOf(
       graft.ops.MultimodalOps.MediaRecord(8L, "x", body)).isEmpty)
   }
+
+  test("delta protocol gate: checkpoint-only protocol (retention-cleaned log) still gates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, struct, array}
+    // the r17 advice scenario: log retention cleaned every
+    // pre-checkpoint JSON commit, so the protocol action survives
+    // ONLY inside the checkpoint parquet — a JSON-only gate would
+    // silently pass and mis-census an unsupported table
+    val dir = java.nio.file.Files.createTempDirectory("dlogcpproto")
+    val cp = Seq(("b.parquet", 20L)).toDF("p", "sz")
+      .select(
+        struct(col("p").as("path"), col("sz").as("size"),
+          lit(true).as("dataChange")).as("add"),
+        lit(null).cast("struct<path:string>").as("remove"),
+        lit(null)
+          .cast("struct<minReaderVersion:int,readerFeatures:array<string>>")
+          .as("protocol"))
+      .unionByName(Seq(1).toDF("x")
+        .select(
+          lit(null)
+            .cast("struct<path:string,size:bigint,dataChange:boolean>")
+            .as("add"),
+          lit(null).cast("struct<path:string>").as("remove"),
+          struct(lit(3).as("minReaderVersion"),
+            array(lit("deletionVectors"), lit("rowTracking"))
+              .as("readerFeatures")).as("protocol")))
+    val tmp = dir.resolve("_build")
+    cp.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part, dir.resolve(f"${1}%020d.checkpoint.parquet"))
+    java.nio.file.Files.write(dir.resolve("_last_checkpoint"),
+      """{"version":1,"size":3}""".getBytes("UTF-8"))
+    // zero JSON commits on disk: the gate must STILL see rowTracking
+    val e = intercept[IllegalArgumentException] {
+      StorageOps.deltaLogStateFromCheckpoint(spark, dir.toString).collect()
+    }
+    assert(e.getMessage.contains("rowTracking"))
+    // a POST-checkpoint JSON protocol narrowing to supported features
+    // is strictly newer and wins — the replay proceeds
+    java.nio.file.Files.write(dir.resolve(f"${2}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"]}}""").getBytes("UTF-8"))
+    val got = StorageOps.deltaLogStateFromCheckpoint(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("b.parquet", 20L)))
+  }
+
+  test("avJsonValue: untrusted record field names escape like string values") {
+    import graft.ops.MultimodalOps
+    import graft.ops.MultimodalOps._
+    // field NAMES come from the embedded writer schema — untrusted
+    // bytes.  A quote / control char in a name must escape, or the
+    // promised-valid partition_json garbles
+    val name = "a\"b" + "\u0001"
+    val rec = AvRecord("r", Vector((name, AvLong)))
+    val d = Array[Byte](0x0e) // avro zigzag varint for 7
+    val got = MultimodalOps.avJsonValue(rec, d, 0, d.length)
+    assert(got.contains(("{\"a\\\"b\\u0001\":7}", 1)))
+    // and the emitted text IS valid JSON: Jackson round-trips the
+    // literal field name back out
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(got.get._1)
+    assert(node.has(name) && node.get(name).asLong == 7L)
+  }
 }
