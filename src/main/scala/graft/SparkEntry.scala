@@ -4959,6 +4959,20 @@ object SparkEntry {
         |  AND NOT (lang = 'de' AND 1 + doc_id % 4 < 3)
         |  AND NOT (lang = 'fr' AND 1 + doc_id % 4 < 5)
         |ORDER BY doc_id""".stripMargin,
+    // v3 MOR-DV end-to-end replay: even ids carry a DV whose
+    // positions are k*5 + id%5 for k <= id%11 (the high key 2^32+3
+    // on id%4==0 is outside the 60-row data files and drops
+    // nothing); survivors are each file's 60 positions minus the DV
+    "q_iceberg_mor_dv" ->
+      s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+        |r AS (SELECT doc_id, CAST(p AS BIGINT) AS pos
+        |      FROM d, unnest(generate_series(0, 59)) t(p)),
+        |dv AS (SELECT doc_id, CAST(k * 5 + doc_id % 5 AS BIGINT) AS pos
+        |       FROM d, unnest(generate_series(0, doc_id % 11)) t(k))
+        |SELECT r.doc_id, r.pos FROM r
+        |WHERE NOT EXISTS (SELECT 1 FROM dv
+        |                  WHERE dv.doc_id = r.doc_id AND dv.pos = r.pos)
+        |ORDER BY doc_id, pos""".stripMargin,
     // manifest column-stats replay: every entry carries c = 1..3
     // stats — sizes 1000c+id, counts 100+c, lower bound bytes
     // [c, id & 0x7f] hex — all id arithmetic by synthesis
@@ -7934,6 +7948,48 @@ object SparkEntry {
         graft.ops.StorageOps.applyEqualityDeletes(
             afterPos, eqDeletes, Seq("lang"))
           .select(col("doc_id")).orderBy("doc_id")
+      },
+      "q_iceberg_mor_dv" -> { (s, dir) =>
+        // the v3 MERGE-ON-READ-with-DELETION-VECTORS scan path END
+        // TO END — the splice of q_iceberg_manifest_dv (routing) and
+        // q_puffin_dv (blob decode): manifest position-delete entries
+        // (content = 1) name the Puffin file in file_path, the data
+        // file in referenced_data_file, the blob span in
+        // content_offset/content_size_in_bytes, and the DV
+        // cardinality in record_count; the routed span decodes
+        // through the framed-roaring walk WITHOUT reading the Puffin
+        // footer (exactly why v3 put the span in the manifest), and
+        // the positions broadcast-anti-join the data rows
+        import s.implicits._
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val media = graft.ops.DedupOps.registerPersist(
+          graft.ops.StorageOps.synthesizePuffin(docs, "doc_id"))
+        val routes = MultimodalOps.icebergManifestEntries(
+            MultimodalOps.synthesizeIcebergV3DvManifest(docs, "doc_id"))
+          .toDF()
+          .filter(col("content") === 1)
+          .select(
+            regexp_extract(col("filePath"), "dv-(\\d+)\\.puffin$", 1)
+              .cast("long").as("id"),
+            col("referencedDataFile").as("file_path"),
+            col("contentOffset").as("offset"),
+            col("contentSizeInBytes").as("length"),
+            col("recordCount").as("cardinality"))
+        // descriptors are manifest-sized (KBs) — broadcast them onto
+        // the content side, never the reverse
+        val deletes = graft.ops.StorageOps.puffinDvPositions(
+            media.join(broadcast(routes), "id"))
+          .join(broadcast(routes.select(col("id"), col("file_path"))), "id")
+          .select(col("file_path"), col("pos"))
+        val data = docs
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), lit(59L))).as("pos"))
+          .withColumn("file_path",
+            concat(lit("data/part-"), col("doc_id"), lit(".parquet")))
+        graft.ops.StorageOps.applyPositionDeletes(data, deletes)
+          .select(col("doc_id"), col("pos"))
+          .orderBy("doc_id", "pos")
       },
       "q_parquet_bloom" -> { (s, dir) =>
         // bloom-filter probe census over a staged bloom-enabled

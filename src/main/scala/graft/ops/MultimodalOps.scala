@@ -7049,6 +7049,75 @@ object MultimodalOps {
     }
   }
 
+  /** v3 MOR-DV manifest fixture THROUGH the Avro library: for each
+    * EVEN id (the ids [[graft.ops.StorageOps.synthesizePuffin]] gives
+    * a deletion-vector blob), one position-delete entry (content = 1)
+    * shaped exactly as the v3 spec routes DVs — `file_path` names the
+    * PUFFIN file (`puffin/dv-<id>.puffin`), `referenced_data_file`
+    * the data file the DV covers, `content_offset` /
+    * `content_size_in_bytes` the blob's span inside the Puffin file,
+    * and `record_count` the DV's cardinality.  The span is computed
+    * by building the SAME framed blob bytes the Puffin synthesizer
+    * writes ([[graft.ops.StorageOps.dvFramedBlob]] over
+    * [[graft.ops.StorageOps.dvPositionsFor]]), so manifest routing
+    * and blob content are coherent by construction — the splice
+    * query (q_iceberg_mor_dv) exercises the full v3 scan path:
+    * manifest → routed blob decode → position anti-join.
+    */
+  def synthesizeIcebergV3DvManifest(
+      df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .filter(_ % 2 == 0)
+      .mapPartitions { it =>
+        val schema = new org.apache.avro.Schema.Parser()
+          .parse(IcebergManifestV2Schema)
+        val dfSchema = schema.getField("data_file").schema()
+        val partSchema = dfSchema.getField("partition").schema()
+        val writer = new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema)
+        it.map { id =>
+          val dfw = new org.apache.avro.file.DataFileWriter(writer)
+          if (id % 3 == 1)
+            dfw.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          val bos = new java.io.ByteArrayOutputStream(512)
+          val sync = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"graft-manifest-v3dv-$id".getBytes("UTF-8"))
+          dfw.create(schema, bos, sync)
+          val positions = graft.ops.StorageOps.dvPositionsFor(id)
+          val framed = graft.ops.StorageOps.dvFramedBlob(positions)
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("status", 1) // ADDED
+          rec.put("snapshot_id", java.lang.Long.valueOf(100L + id))
+          rec.put("sequence_number", java.lang.Long.valueOf(id % 10))
+          rec.put("file_sequence_number", java.lang.Long.valueOf(id % 10))
+          val dataFile =
+            new org.apache.avro.generic.GenericData.Record(dfSchema)
+          dataFile.put("content", 1) // POSITION_DELETES: the DV kind
+          dataFile.put("file_path", s"puffin/dv-$id.puffin")
+          dataFile.put("file_format", "PUFFIN")
+          dataFile.put("partition",
+            new org.apache.avro.generic.GenericData.Record(partSchema))
+          // spec: for DV entries record_count IS the cardinality
+          dataFile.put("record_count",
+            java.lang.Long.valueOf(positions.length.toLong))
+          dataFile.put("file_size_in_bytes",
+            java.lang.Long.valueOf(framed.length + 24L))
+          dataFile.put("sort_order_id", Integer.valueOf(0))
+          dataFile.put("referenced_data_file", s"data/part-$id.parquet")
+          // blob 0 starts right after the 4-byte "PFA1" head — the
+          // synthesizer writes the DV first, at offset 4, always
+          dataFile.put("content_offset", java.lang.Long.valueOf(4L))
+          dataFile.put("content_size_in_bytes",
+            java.lang.Long.valueOf(framed.length.toLong))
+          rec.put("data_file", dataFile)
+          dfw.append(rec)
+          dfw.close()
+          MediaRecord(id, "application/x-iceberg-manifest", bos.toByteArray)
+        }
+      }
+  }
+
   /** One Iceberg manifest-LIST entry — the index of manifests a
     * snapshot points at (the level ABOVE [[IcebergManifestEntry]]):
     * the manifest file's path and length, its partition spec, the

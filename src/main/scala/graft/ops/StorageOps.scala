@@ -1084,6 +1084,63 @@ object StorageOps {
     * footer payload is LZ4-FRAME compressed (flag bit 0 set),
     * written by lz4-java — the library writes, the walk reads.
     */
+  /** The synthetic DV position set for id: `k*5 + id%5` for
+    * k ≤ id%11, plus the high-key row `2^32 + 3` on id%4==0 —
+    * id arithmetic so DuckDB oracles can replay it, shared between
+    * [[synthesizePuffin]]'s blob content and the v3 manifest
+    * synthesizer's routed (offset, size, cardinality) so the
+    * end-to-end MOR-DV fixture is coherent by construction.
+    */
+  private[graft] def dvPositionsFor(id: Long): Vector[Long] = {
+    val b = Vector.newBuilder[Long]
+    (0 to (id % 11).toInt).foreach(j => b += j * 5L + id % 5)
+    if (id % 4 == 0) b += (1L << 32) + 3
+    b.result()
+  }
+
+  /** Frame a position set as one `deletion-vector-v1` blob span per
+    * the Iceberg v3 spec: 4-byte BE combined length, `D1 D3 39 64`
+    * magic, the portable RoaringBitmapArray (inner 32-bit bitmaps
+    * written by the Roaring LIBRARY — independent-writer discipline),
+    * 4-byte BE CRC-32 over magic + vector.  The exact bytes
+    * [[puffinDvBlobOf]] decodes.
+    */
+  private[graft] def dvFramedBlob(positions: Seq[Long]): Array[Byte] = {
+    val byKey = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+    val vb = new java.io.ByteArrayOutputStream(128)
+    def vLE32(v: Long): Unit = {
+      vb.write((v & 0xff).toInt); vb.write(((v >> 8) & 0xff).toInt)
+      vb.write(((v >> 16) & 0xff).toInt)
+      vb.write(((v >> 24) & 0xff).toInt)
+    }
+    vLE32(1681511377L) // portable RoaringBitmapArray magic
+    vLE32(byKey.length.toLong); vLE32(0L)
+    val dos = new java.io.DataOutputStream(vb)
+    byKey.foreach { case (key, ps) =>
+      vLE32(key.toLong)
+      val rb = org.roaringbitmap.RoaringBitmap.bitmapOf(
+        ps.map(p => (p & 0xffffffffL).toInt).toSeq: _*)
+      rb.runOptimize()
+      rb.serialize(dos)
+      dos.flush()
+    }
+    val vector = vb.toByteArray
+    val magicVec =
+      Array[Byte](0xd1.toByte, 0xd3.toByte, 0x39, 0x64) ++ vector
+    val out = new java.io.ByteArrayOutputStream(magicVec.length + 8)
+    def wBE32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    wBE32(magicVec.length.toLong)
+    out.write(magicVec)
+    val crc = new java.util.zip.CRC32()
+    crc.update(magicVec)
+    wBE32(crc.getValue)
+    out.toByteArray
+  }
+
   def synthesizePuffin(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1106,40 +1163,12 @@ object StorageOps {
         (0 until nBlobs).foreach { k =>
           val off = out.size().toLong
           if (k == 0 && id % 2 == 0) { // deletion-vector-v1
-            val positions = scala.collection.mutable.ArrayBuffer.empty[Long]
-            (0 to (id % 11).toInt).foreach(j => positions += j * 5L + id % 5)
-            if (id % 4 == 0) positions += (1L << 32) + 3
-            val byKey =
-              positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
-            val vb = new java.io.ByteArrayOutputStream(128)
-            def vLE32(v: Long): Unit = {
-              vb.write((v & 0xff).toInt); vb.write(((v >> 8) & 0xff).toInt)
-              vb.write(((v >> 16) & 0xff).toInt)
-              vb.write(((v >> 24) & 0xff).toInt)
-            }
-            vLE32(1681511377L) // portable RoaringBitmapArray magic
-            vLE32(byKey.length.toLong); vLE32(0L)
-            val dos = new java.io.DataOutputStream(vb)
-            byKey.foreach { case (key, ps) =>
-              vLE32(key.toLong)
-              val rb = org.roaringbitmap.RoaringBitmap.bitmapOf(
-                ps.map(p => (p & 0xffffffffL).toInt).toSeq: _*)
-              rb.runOptimize()
-              rb.serialize(dos)
-              dos.flush()
-            }
-            val vector = vb.toByteArray
-            val magicVec =
-              Array[Byte](0xd1.toByte, 0xd3.toByte, 0x39, 0x64) ++ vector
-            wBE32(magicVec.length.toLong)
-            out.write(magicVec)
-            val crc = new java.util.zip.CRC32()
-            crc.update(magicVec)
-            wBE32(crc.getValue)
-            val len = 4L + magicVec.length + 4
+            val positions = dvPositionsFor(id)
+            val framed = dvFramedBlob(positions)
+            out.write(framed)
             blobJsons += s"""{"type":"deletion-vector-v1","fields":[],""" +
               s""""snapshot-id":${100 + id},"sequence-number":${id % 10},""" +
-              s""""offset":$off,"length":$len,"properties":{""" +
+              s""""offset":$off,"length":${framed.length},"properties":{""" +
               s""""referenced-data-file":"data/part-$id.parquet",""" +
               s""""cardinality":"${positions.length}"}}"""
           } else { // theta-sketch stand-in

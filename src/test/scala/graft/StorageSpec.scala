@@ -1525,6 +1525,35 @@ class StorageSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("b.parquet", 20L)))
   }
 
+  test("iceberg v3 MOR-DV splice: manifest-routed span decodes the blob without the footer") {
+    import spark.implicits._
+    import graft.ops.{MultimodalOps, StorageOps}
+    val ids = spark.range(0, 21).toDF("doc_id")
+    val media = StorageOps.synthesizePuffin(ids, "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    val entries = MultimodalOps.icebergManifestEntries(
+      MultimodalOps.synthesizeIcebergV3DvManifest(ids, "doc_id")).collect()
+    // one entry per EVEN id, content = 1, puffin-path file_path
+    assert(entries.length == 11 && entries.forall(e =>
+      e.content == 1L && e.id % 2 == 0 &&
+        e.filePath == s"puffin/dv-${e.id}.puffin" &&
+        e.referencedDataFile == s"data/part-${e.id}.parquet"))
+    entries.foreach { e =>
+      val expect = StorageOps.dvPositionsFor(e.id)
+      // record_count IS the DV cardinality (v3 spec)
+      assert(e.recordCount == expect.length.toLong)
+      // the routed (offset, size) decodes the blob DIRECTLY — no
+      // footer read — and yields exactly the synthesized positions
+      val got = StorageOps.puffinDvBlobOf(
+        media(e.id), e.contentOffset, e.contentSizeInBytes, e.recordCount)
+      assert(got.contains(expect.sorted), s"id ${e.id}")
+      // tampered cardinality must refuse (never resurrect deletes)
+      assert(StorageOps.puffinDvBlobOf(
+        media(e.id), e.contentOffset, e.contentSizeInBytes,
+        e.recordCount + 1).isEmpty)
+    }
+  }
+
   test("avJsonValue: untrusted record field names escape like string values") {
     import graft.ops.MultimodalOps
     import graft.ops.MultimodalOps._
