@@ -8168,7 +8168,7 @@ object SparkEntry {
             s, Seq(s"$staged/orders"), 6L, probes)
           .select(col("stripe_id"), col("column_id"),
             col("row_group_id"), col("n_hits"))
-          .orderBy("row_group_id")
+          .orderBy("stripe_id", "row_group_id")
       },
       "q_multimodal_gguf" -> { (s, dir) =>
         // GGUF checkpoint census: KV walk (alignment from the file's
@@ -10014,12 +10014,25 @@ object SparkEntry {
     * row_number() replay — row-group membership is then pure
     * arithmetic on the sort key.
     */
+  /** The staged ORC fixture's DETERMINISTIC stripe geometry.  The
+    * writer rolls a stripe on the first 1024-row batch that reaches
+    * `orc.stripe.row.count`, so a count that is itself a batch
+    * multiple rolls EXACTLY there — 5120-row stripes, 2000-row row
+    * groups (2000/2000/1120 per full stripe) — and the DuckDB
+    * oracles replay (stripe_id, row_group_id) as pure row_number()
+    * arithmetic.  The staging footer check below pins the geometry
+    * LOUDLY: if a future ORC writer rolls differently the stage
+    * fails, never the oracle silently.
+    */
+  private[graft] val OrcStageStripeRows = 5120L
+  private[graft] val OrcStageRowGroupRows = 2000L
+
   private[graft] def stageOrcRowIndexFiles(s: SparkSession, dir: String): String =
     stageLock.synchronized {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-orcridx-stage-$md"
-      val fp = stageFingerprint(s, dir, Seq("orders"), "orcridx-v2")
+      val fp = stageFingerprint(s, dir, Seq("orders"), "orcridx-v3")
       if (!stageUpToDate(out, fp)) {
         s.read.parquet(s"$dir/orders.parquet")
           // NTZ timestamps land in ORC as int64 micros; the INSTANT
@@ -10030,14 +10043,12 @@ object SparkEntry {
           .repartition(1).sortWithinPartitions("o_orderkey")
           .write.mode("overwrite").option("compression", "zlib")
           .option("orc.bloom.filter.columns", "o_orderpriority")
-          // The q_orc_row_index / q_orc_bloom DuckDB oracles number
-          // row groups GLOBALLY (row_number()/stride) and pin
-          // stripe_id=0 — valid ONLY while the staged file holds one
-          // stripe.  Pin the assumption: a 2 GiB stripe target keeps
-          // the writer from rolling, and the footer check below fails
-          // the stage LOUDLY (not as silent oracle divergence) if a
-          // future bigger fixture rolls anyway.
-          .option("orc.stripe.size", (2L * 1024 * 1024 * 1024).toString)
+          // GENUINELY multi-stripe (r17 verdict ask #3 retired the
+          // old 2 GiB single-stripe pin): deterministic 5120-row
+          // stripes, 2000-row row groups — per-stripe numbering in
+          // every oracle
+          .option("orc.stripe.row.count", OrcStageStripeRows.toString)
+          .option("orc.row.index.stride", OrcStageRowGroupRows.toString)
           .orc(s"$out/orders")
         val ordersPath = new org.apache.hadoop.fs.Path(s"$out/orders")
         val ofs = ordersPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -10050,12 +10061,20 @@ object SparkEntry {
             try in.readFully(len - tl, buf, 0, tl) finally in.close()
             val meta = graft.ops.StorageOps.orcTailOf(buf, len).getOrElse(
               sys.error(s"stageOrcRowIndexFiles: unreadable ORC tail at ${st.getPath}"))
-            require(meta.stripes.length == 1,
-              s"stageOrcRowIndexFiles: ${st.getPath} rolled " +
-                s"${meta.stripes.length} stripes; the q_orc_row_index/" +
-                "q_orc_bloom oracles assume exactly one — re-derive " +
-                "per-stripe row-group numbering in the oracle before " +
-                "raising the fixture size")
+            val n = meta.totalRows
+            val expect = (0L until (n + OrcStageStripeRows - 1) /
+                OrcStageStripeRows).map { i =>
+              math.min(OrcStageStripeRows, n - i * OrcStageStripeRows)
+            }.toVector
+            require(meta.rowIndexStride == OrcStageRowGroupRows &&
+              meta.stripes.map(_._5) == expect,
+              s"stageOrcRowIndexFiles: ${st.getPath} geometry " +
+                s"(stride ${meta.rowIndexStride}, stripes " +
+                s"${meta.stripes.map(_._5).mkString(",")}) does not " +
+                s"match the pinned $OrcStageStripeRows-row roll / " +
+                s"$OrcStageRowGroupRows-row stride the oracles replay " +
+                "— the ORC writer's batch-boundary behavior changed; " +
+                "re-derive the oracle arithmetic before proceeding")
           }
         writeStageMarker(out, fp)
       }
@@ -10568,13 +10587,17 @@ object SparkEntry {
           s"""WITH r AS (
              |  SELECT o_orderpriority,
              |         CAST((row_number() OVER (ORDER BY o_orderkey) - 1)
-             |              // 10000 AS BIGINT) AS rg
+             |              // $OrcStageStripeRows AS BIGINT) AS sid,
+             |         CAST(((row_number() OVER (ORDER BY o_orderkey) - 1)
+             |              % $OrcStageStripeRows) // $OrcStageRowGroupRows
+             |              AS BIGINT) AS rg
              |  FROM read_parquet('$oracleDir/orders.parquet'))
-             |SELECT CAST(0 AS BIGINT) AS stripe_id,
+             |SELECT sid AS stripe_id,
              |       CAST(6 AS BIGINT) AS column_id,
              |       rg AS row_group_id,
              |       count(DISTINCT o_orderpriority) AS n_hits
-             |FROM r GROUP BY rg ORDER BY row_group_id""".stripMargin,
+             |FROM r GROUP BY sid, rg
+             |ORDER BY stripe_id, row_group_id""".stripMargin,
         "q_parquet_stats" -> parquetStatsOracleSql,
         // page-index rows aggregated to chunks replay DuckDB's chunk
         // statistics of the SAME staged files — two readers, two
@@ -10653,34 +10676,45 @@ object SparkEntry {
     * writer's 0.8-ratio rule is deterministic at every test SF).
     */
   private def orcEncodingsOracleSql: String =
-    s"""SELECT CAST(0 AS BIGINT) AS stripe_id,
+    s"""WITH r AS (
+       |  SELECT o_orderstatus, o_orderpriority,
+       |         CAST((row_number() OVER (ORDER BY o_orderkey) - 1)
+       |              // $OrcStageStripeRows AS BIGINT) AS sid
+       |  FROM read_parquet('$oracleDir/orders.parquet')),
+       |d AS (
+       |  SELECT sid, count(DISTINCT o_orderstatus) AS d3,
+       |         count(DISTINCT o_orderpriority) AS d6
+       |  FROM r GROUP BY sid)
+       |SELECT sid AS stripe_id,
        |       CAST(c AS BIGINT) AS column_id,
        |       CAST(k AS BIGINT) AS encoding_kind,
-       |       CAST(CASE c
-       |         WHEN 3 THEN (SELECT count(DISTINCT o_orderstatus)
-       |                      FROM read_parquet('$oracleDir/orders.parquet'))
-       |         WHEN 6 THEN (SELECT count(DISTINCT o_orderpriority)
-       |                      FROM read_parquet('$oracleDir/orders.parquet'))
+       |       CAST(CASE c WHEN 3 THEN d3 WHEN 6 THEN d6
        |         ELSE 0 END AS BIGINT) AS dictionary_size
-       |FROM (VALUES (0, 0), (1, 2), (2, 2), (3, 3), (4, 0), (5, 2),
+       |FROM d, (VALUES (0, 0), (1, 2), (2, 2), (3, 3), (4, 0), (5, 2),
        |      (6, 3)) t(c, k)
-       |ORDER BY column_id""".stripMargin
+       |ORDER BY stripe_id, column_id""".stripMargin
 
-  /** ORC dictionary-probe oracle: the staged single-stripe write's
-    * DICTIONARY_V2 dictionary is the column's exact distinct set —
-    * same exactness contract as the parquet flavor, third format
-    * path onto the same DuckDB aggregate.
+  /** ORC dictionary-probe oracle: each stripe's DICTIONARY_V2
+    * dictionary is THAT STRIPE's exact distinct set — so the probes
+    * (global distinct + 2 planted absents) hit exactly the stripe's
+    * own distinct count, replayed per stripe from the deterministic
+    * roll arithmetic.  Same exactness contract as the parquet flavor,
+    * third format path onto the same DuckDB aggregate.
     */
   private def orcDictOracleSql: String =
-    s"""SELECT CAST(0 AS BIGINT) AS stripe_id,
+    s"""WITH r AS (
+       |  SELECT o_orderpriority,
+       |         CAST((row_number() OVER (ORDER BY o_orderkey) - 1)
+       |              // $OrcStageStripeRows AS BIGINT) AS sid
+       |  FROM read_parquet('$oracleDir/orders.parquet'))
+       |SELECT sid AS stripe_id,
        |       CAST(6 AS BIGINT) AS column_id,
        |       CAST(1 AS BIGINT) AS has_dict,
-       |       (SELECT count(DISTINCT o_orderpriority)
-       |        FROM read_parquet('$oracleDir/orders.parquet')) AS dict_size,
+       |       count(DISTINCT o_orderpriority) AS dict_size,
        |       (SELECT count(DISTINCT o_orderpriority) + 2
        |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_probed,
-       |       (SELECT count(DISTINCT o_orderpriority)
-       |        FROM read_parquet('$oracleDir/orders.parquet')) AS n_hits""".stripMargin
+       |       count(DISTINCT o_orderpriority) AS n_hits
+       |FROM r GROUP BY sid ORDER BY stripe_id""".stripMargin
 
   /** Dictionary-probe oracle: the staged single-row-group write's
     * dictionary IS the column's exact distinct set, so present
@@ -10772,19 +10806,22 @@ object SparkEntry {
   private def orcRowIndexOracleSql: String =
     s"""WITH r AS (
        |  SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderdate,
-       |         CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 10000
+       |         CAST((row_number() OVER (ORDER BY o_orderkey) - 1)
+       |              // $OrcStageStripeRows AS BIGINT) AS sid,
+       |         CAST(((row_number() OVER (ORDER BY o_orderkey) - 1)
+       |              % $OrcStageStripeRows) // $OrcStageRowGroupRows
        |              AS BIGINT) AS rg
        |  FROM read_parquet('$oracleDir/orders.parquet')),
        |g AS (
-       |  SELECT rg, count(*) AS n,
+       |  SELECT sid, rg, count(*) AS n,
        |         min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
        |         min(o_totalprice) AS p_min, max(o_totalprice) AS p_max,
        |         min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max,
        |         epoch_ms(min(o_orderdate)) AS t_min,
        |         epoch_ms(max(o_orderdate)) AS t_max
-       |  FROM r GROUP BY rg)
+       |  FROM r GROUP BY sid, rg)
        |SELECT * FROM (
-       |  SELECT CAST(0 AS BIGINT) AS stripe_id,
+       |  SELECT sid AS stripe_id,
        |         CAST(1 AS BIGINT) AS column_id,
        |         rg AS row_group_id, 'int' AS kind,
        |         CAST(n AS BIGINT) AS n_values,
@@ -10797,21 +10834,21 @@ object SparkEntry {
        |         CAST(NULL AS VARCHAR) AS str_max
        |  FROM g
        |  UNION ALL
-       |  SELECT CAST(0 AS BIGINT), CAST(4 AS BIGINT), rg, 'double',
+       |  SELECT sid, CAST(4 AS BIGINT), rg, 'double',
        |         CAST(n AS BIGINT), CAST(0 AS BIGINT),
        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        |         p_min, p_max,
        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
        |  FROM g
        |  UNION ALL
-       |  SELECT CAST(0 AS BIGINT), CAST(5 AS BIGINT), rg, 'timestamp',
+       |  SELECT sid, CAST(5 AS BIGINT), rg, 'timestamp',
        |         CAST(n AS BIGINT), CAST(0 AS BIGINT),
        |         CAST(t_min AS BIGINT), CAST(t_max AS BIGINT),
        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
        |  FROM g
        |  UNION ALL
-       |  SELECT CAST(0 AS BIGINT), CAST(6 AS BIGINT), rg, 'string',
+       |  SELECT sid, CAST(6 AS BIGINT), rg, 'string',
        |         CAST(n AS BIGINT), CAST(0 AS BIGINT),
        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
