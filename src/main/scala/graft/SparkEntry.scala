@@ -4441,6 +4441,35 @@ object SparkEntry {
     // live slices are argmax-instant per file group (k = id % 2 since
     // 2t is even), minus the clustering-replaced f-0/f-1, plus the
     // replacecommit's own writes
+    "q_hudi_cow_snapshot" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
+        |       'pt=' || CAST(CASE WHEN o_orderkey % 4 < 2 THEN 0 ELSE 1 END
+        |                     AS VARCHAR) AS _hoodie_partition_path,
+        |       o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice + 1.5
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       o_orderpriority
+        |FROM orders""".stripMargin,
+    "q_hudi_log_blocks" ->
+      s"""SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'avro', CAST(1 AS BIGINT),
+        |   '20240102000000', CAST(2 AS BIGINT),
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderkey % 12 = 0)),
+        |  (CAST(1 AS BIGINT), ':delete', CAST(1 AS BIGINT),
+        |   '20240103000000', CAST(2 AS BIGINT),
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderkey % 20 = 0)))
+        |  t(block_seq, block_type, format_version, instant, header_n,
+        |    record_count)""".stripMargin,
+    "q_hudi_mor_read" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
+        |       o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice * 2
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 4 = 0 AND o_orderkey % 20 <> 0""".stripMargin,
     "q_hudi_timeline_state" ->
       s"""WITH w AS (
         |  SELECT t, k, (2 * t + k) % 12 AS id
@@ -9773,6 +9802,38 @@ object SparkEntry {
         graft.ops.StorageOps.hudiTimelineState(s, staged)
           .orderBy("partition", "file_id")
       },
+      "q_hudi_cow_snapshot" -> { (s, dir) =>
+        // the Hudi TABLE-level read: properties gate (COPY_ON_WRITE)
+        // → timeline replay to live slices → scan exactly those base
+        // files; commit 2's rewrite of file group f-1 must shadow
+        // commit 1's file — the third lakehouse format at the same
+        // state-composition depth as Delta and Iceberg
+        val root = stageHudiCowTable(s, dir)
+        graft.ops.StorageOps.hudiCowSnapshot(s, root)
+          .orderBy("o_orderkey")
+      },
+      "q_hudi_log_blocks" -> { (s, dir) =>
+        // MOR delta-side census: one row per HoodieLogFormat block —
+        // type, instant, record count — decoded by the from-spec
+        // byte walk (magic, BE sizes, ordinal header maps, sized
+        // avro-binary records); what compaction planning reads
+        val slice = stageHudiMorSlice(s, dir)
+        graft.ops.StorageOps.hudiLogBlocks(s, Seq(s"$slice/logs"))
+          .select(col("block_seq"), col("block_type"),
+            col("format_version"), col("instant"), col("header_n"),
+            col("record_count"))
+          .orderBy("block_seq")
+      },
+      "q_hudi_mor_read" -> { (s, dir) =>
+        // the MERGE_ON_READ snapshot: base file ⟕ broadcast(latest
+        // log action per key) — c2's avro block doubles %12 keys'
+        // price, c3's delete block drops %20 keys, %60 keys pin
+        // update-then-delete ordering; the base scan never shuffles
+        val slice = stageHudiMorSlice(s, dir)
+        graft.ops.StorageOps.hudiMorRead(
+            s, Seq(s"$slice/base"), Seq(s"$slice/logs"))
+          .orderBy("o_orderkey")
+      },
       "q_delta_checkpoint_state" -> { (s, dir) =>
         // the 10^6-commit path: state from the checkpoint parquet +
         // only the commits AFTER it — same live set as the full
@@ -10316,6 +10377,211 @@ object SparkEntry {
         }
       }
       staged.toString
+    }
+
+  /** Move-a-part-file single parquet write shared by the lakehouse
+    * table stagings: the fixtures need FILES at protocol-mandated
+    * names, Spark writes directories — write coalesced to a scratch
+    * dir, move the one part file into place, drop the scratch.
+    */
+  private def stageSingleParquet(
+      df: DataFrame, dest: java.nio.file.Path): Unit = {
+    val tmp = dest.getParent.resolve(s"_build_${dest.getFileName}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"stageSingleParquet: no parquet part in $tmp"))
+    java.nio.file.Files.move(part, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(tmp.toFile)
+  }
+
+  /** Stage a REAL two-commit Hudi COPY_ON_WRITE table from orders:
+    * commit c1 writes four base files (file groups f-0..f-3 keyed by
+    * o_orderkey % 4; partitions pt=0 for groups 0-1, pt=1 for 2-3);
+    * commit c2 REWRITES file group f-1's slice — the COW upsert
+    * shape: the whole group re-written with o_totalprice + 1.5 — so
+    * the snapshot must read f-1's c2 file and the other groups' c1
+    * files.  Base files carry the meta columns the real writer
+    * materializes (_hoodie_record_key, _hoodie_partition_path).
+    * Pure o_orderkey arithmetic → closed-form DuckDB oracle.
+    */
+  private[graft] def stageHudiCowTable(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"/tmp/graft-hudicow-stage-$md"
+      val fp = stageFingerprint(s, dir, Seq("orders"), "hudicow-v1")
+      if (!stageUpToDate(out, fp)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(out))
+        val root = java.nio.file.Paths.get(out)
+        java.nio.file.Files.createDirectories(root.resolve(".hoodie"))
+        val props = new java.util.Properties()
+        props.setProperty("hoodie.table.name", "graft_orders_cow")
+        props.setProperty("hoodie.table.type", "COPY_ON_WRITE")
+        props.setProperty("hoodie.table.version", "6")
+        props.setProperty("hoodie.datasource.write.partitionpath.field", "pt")
+        val os = java.nio.file.Files.newOutputStream(
+          root.resolve(".hoodie/hoodie.properties"))
+        try props.store(os, "graft fixture") finally os.close()
+        val c1 = "20240101000000"
+        val c2 = "20240102000000"
+        val orders = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+        def withMeta(df: DataFrame, pt: Int): DataFrame = df
+          .withColumn("_hoodie_record_key", col("o_orderkey").cast("string"))
+          .withColumn("_hoodie_partition_path", lit(s"pt=$pt"))
+          .select(col("_hoodie_record_key"), col("_hoodie_partition_path"),
+            col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        val slices = (0 until 4).map { g =>
+          val pt = if (g < 2) 0 else 1
+          val rel = s"pt=$pt/f-${g}_$c1.parquet"
+          val dest = root.resolve(rel)
+          java.nio.file.Files.createDirectories(dest.getParent)
+          stageSingleParquet(
+            withMeta(orders.filter(col("o_orderkey") % 4 === g), pt), dest)
+          (s"pt=$pt", s"f-$g", rel, java.nio.file.Files.size(dest))
+        }
+        val rel2 = s"pt=0/f-1_$c2.parquet"
+        val dest2 = root.resolve(rel2)
+        stageSingleParquet(
+          withMeta(orders.filter(col("o_orderkey") % 4 === 1)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.5), 0),
+          dest2)
+        def ws(fid: String, rel: String, sz: Long) =
+          s"""{"fileId":"$fid","path":"$rel","fileSizeInBytes":$sz}"""
+        val byPt = slices.groupBy(_._1).toSeq.sortBy(_._1).map {
+          case (pt, xs) =>
+            s""""$pt":[${xs.map(x => ws(x._2, x._3, x._4)).mkString(",")}]"""
+        }.mkString(",")
+        java.nio.file.Files.write(root.resolve(s".hoodie/$c1.commit"),
+          s"""{"partitionToWriteStats":{$byPt}}""".getBytes("UTF-8"))
+        java.nio.file.Files.write(root.resolve(s".hoodie/$c2.commit"),
+          s"""{"partitionToWriteStats":{"pt=0":[${
+            ws("f-1", rel2, java.nio.file.Files.size(dest2))}]}}"""
+            .getBytes("UTF-8"))
+        writeStageMarker(out, fp)
+      }
+      out
+    }
+
+  /** Stage a Hudi MERGE_ON_READ file slice: base file f-0 (rows with
+    * o_orderkey % 4 == 0, instant c1) plus a dot-prefixed log file
+    * carrying two blocks — an AVRO_DATA_BLOCK at c2 updating rows
+    * with o_orderkey % 12 == 0 (o_totalprice doubled) and a
+    * DELETE_BLOCK at c3 deleting keys with o_orderkey % 20 == 0.
+    * Keys divisible by 60 are updated THEN deleted, pinning the
+    * latest-action-wins merge order.  The log bytes come from an
+    * independent from-layout writer here (big-endian sizes, ordinal
+    * header maps, sized avro-binary records) so the reader decodes a
+    * foreign artifact, not its own serializer's output.
+    */
+  private[graft] def stageHudiMorSlice(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"/tmp/graft-hudimor-stage-$md"
+      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimor-v1")
+      if (!stageUpToDate(out, fp)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(out))
+        val root = java.nio.file.Paths.get(out)
+        java.nio.file.Files.createDirectories(root.resolve("base"))
+        java.nio.file.Files.createDirectories(root.resolve("logs"))
+        val c1 = "20240101000000"
+        val c2 = "20240102000000"
+        val c3 = "20240103000000"
+        val orders = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+        stageSingleParquet(
+          orders.filter(col("o_orderkey") % 4 === 0)
+            .withColumn("_hoodie_record_key",
+              col("o_orderkey").cast("string"))
+            .select(col("_hoodie_record_key"), col("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"),
+              col("o_orderpriority")),
+          root.resolve(s"base/f-0_$c1.parquet"))
+        // avro-binary encoders (zigzag varint, len+utf8, LE double)
+        def zz(v: Long): Array[Byte] = {
+          var u = (v << 1) ^ (v >> 63)
+          val bb = Array.newBuilder[Byte]
+          var done = false
+          while (!done) {
+            val x = (u & 0x7f).toInt
+            u = u >>> 7
+            bb += (if (u != 0) x | 0x80 else x).toByte
+            done = u == 0
+          }
+          bb.result()
+        }
+        def avStr(x: String): Array[Byte] = {
+          val by = x.getBytes("UTF-8"); zz(by.length.toLong) ++ by
+        }
+        def avDbl(d: Double): Array[Byte] = {
+          val bits = java.lang.Double.doubleToLongBits(d)
+          Array.tabulate(8)(i => ((bits >>> (8 * i)) & 0xff).toByte)
+        }
+        def be32(v: Int): Array[Byte] = Array(
+          (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+        def be64(v: Long): Array[Byte] =
+          be32((v >>> 32).toInt) ++ be32(v.toInt)
+        val updSchema =
+          """{"type":"record","name":"r","fields":[""" +
+            """{"name":"_hoodie_record_key","type":"string"},""" +
+            """{"name":"o_orderkey","type":"long"},""" +
+            """{"name":"o_custkey","type":"long"},""" +
+            """{"name":"o_totalprice","type":"double"},""" +
+            """{"name":"o_orderpriority","type":"string"}]}"""
+        val delSchema =
+          """{"type":"record","name":"d","fields":[""" +
+            """{"name":"recordKey","type":"string"}]}"""
+        val updRecs = orders.filter(col("o_orderkey") % 12 === 0)
+          .orderBy("o_orderkey").collect().map { r =>
+            val k = r.getLong(0)
+            avStr(k.toString) ++ zz(k) ++ zz(r.getLong(1)) ++
+              avDbl(r.getDouble(2) * 2) ++ avStr(r.getString(3))
+          }.toSeq
+        val delRecs = orders.filter(col("o_orderkey") % 20 === 0)
+          .orderBy("o_orderkey").collect()
+          .map(r => avStr(r.getLong(0).toString)).toSeq
+        def avroContent(recs: Seq[Array[Byte]]): Array[Byte] =
+          be32(3) ++ be32(recs.length) ++
+            recs.flatMap(r => be32(r.length) ++ r)
+        def logBlock(typeOrd: Int, headers: Seq[(Int, String)],
+            content: Array[Byte]): Array[Byte] = {
+          val hdrB = be32(headers.length) ++ headers.flatMap {
+            case (o, v) =>
+              val vb = v.getBytes("UTF-8")
+              be32(o) ++ be32(vb.length) ++ vb
+          }
+          val body = be32(1) ++ be32(typeOrd) ++ hdrB ++
+            be64(content.length.toLong) ++ content ++ be32(0)
+          val bsize = body.length + 8L
+          "#HUDI#".getBytes("UTF-8") ++ be64(bsize) ++ body ++
+            be64(14L + bsize)
+        }
+        val log =
+          logBlock(3, Seq(0 -> c2, 2 -> updSchema), avroContent(updRecs)) ++
+            logBlock(1, Seq(0 -> c3, 2 -> delSchema), avroContent(delRecs))
+        java.nio.file.Files.write(root.resolve(s"logs/.f-0_$c1.log.1"), log)
+        writeStageMarker(out, fp)
+      }
+      out
     }
 
   /** Stage three flat tables as zlib-coded ORC for the footer census

@@ -2612,6 +2612,46 @@ object StorageOps {
     * first question a rewriter asks before deciding what a merge
     * would re-encode.  Footer-only: KBs per stripe.
     */
+  /** The pure per-stripe-footer piece of [[orcColumnEncodings]]: walk
+    * DECOMPRESSED StripeFooter bytes and return each column's
+    * (encoding kind, dictionary size) in column order — field 2 of
+    * the StripeFooter message, one ColumnEncoding per column.  None
+    * on any malformed protobuf shape; TOTAL on arbitrary bytes
+    * (fuzz-pinned in StorageSpec) so a corrupt stripe footer is a
+    * clean reject in the census, never an executor-side index error.
+    */
+  private[graft] def orcStripeFooterEncodings(
+      sf: Array[Byte]): Option[Vector[(Long, Long)]] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    val fr = new PbReader(sf, 0, sf.length)
+    while (fr.hasMore) {
+      val (f, w) = fr.tag()
+      if (fr.bad) return None
+      if (f == 2 && w == 2) { // ColumnEncoding, column order
+        val (o, l) = fr.lenDelim()
+        if (fr.bad) return None
+        val er = new PbReader(sf, o, o + l)
+        var ekind = 0L
+        var dsz = 0L
+        while (er.hasMore) {
+          val (ef, ew) = er.tag()
+          if (er.bad) return None
+          (ef, ew) match {
+            case (1, 0) => ekind = er.varint()
+            case (2, 0) => dsz = er.varint()
+            case (_, wire) => er.skip(wire)
+          }
+          if (er.bad) return None
+        }
+        out += ((ekind, dsz))
+      } else {
+        fr.skip(w)
+        if (fr.bad) return None
+      }
+    }
+    Some(out.result())
+  }
+
   def orcColumnEncodings(
       spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       maxFiles: Int = 1000000): DataFrame = {
@@ -2656,36 +2696,12 @@ object StorageOps {
               val sf = orcSectionBytes(sfBuf, 0, sfl.toInt, codec)
                 .getOrElse(throw new IllegalArgumentException(
                   s"orcColumnEncodings: $p stripe $sid footer undecodable"))
-              val fr = new PbReader(sf, 0, sf.length)
-              var colId = 0L
-              while (fr.hasMore) {
-                val (f, w) = fr.tag()
-                if (fr.bad) throw new IllegalArgumentException(
-                  s"orcColumnEncodings: $p stripe $sid footer malformed")
-                if (f == 2 && w == 2) { // ColumnEncoding, column order
-                  val (o, l) = fr.lenDelim()
-                  if (fr.bad) throw new IllegalArgumentException(
-                    s"orcColumnEncodings: $p stripe $sid encoding malformed")
-                  val er = new PbReader(sf, o, o + l)
-                  var ekind = 0L; var dsz = 0L
-                  while (er.hasMore) {
-                    val (ef, ew) = er.tag()
-                    if (er.bad) throw new IllegalArgumentException(
-                      s"orcColumnEncodings: $p stripe $sid encoding malformed")
-                    (ef, ew) match {
-                      case (1, 0) => ekind = er.varint()
-                      case (2, 0) => dsz = er.varint()
-                      case (_, wire) => er.skip(wire)
-                    }
-                  }
-                  out += ((hp.getName, sid.toLong, colId, ekind, dsz))
-                  colId += 1
-                } else {
-                  fr.skip(w)
-                  if (fr.bad) throw new IllegalArgumentException(
-                    s"orcColumnEncodings: $p stripe $sid footer malformed")
+              orcStripeFooterEncodings(sf)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"orcColumnEncodings: $p stripe $sid footer malformed"))
+                .zipWithIndex.foreach { case ((ekind, dsz), colId) =>
+                  out += ((hp.getName, sid.toLong, colId.toLong, ekind, dsz))
                 }
-              }
           }
         } finally in.close()
         out.result().iterator
@@ -3607,13 +3623,51 @@ object StorageOps {
     val sch = StructType(Seq(
       StructField("partitionToWriteStats", MapType(StringType, writeStat)),
       StructField("partitionToReplaceFileIds",
-        MapType(StringType, ArrayType(StringType)))))
-    val raw = spark.read.schema(sch)
-      .option("pathGlobFilter", "*.*commit") // .commit and .replacecommit
-      .json(timelineDir)
+        MapType(StringType, ArrayType(StringType))),
+      // PERMISSIVE-mode corrupt capture: a timeline file that fails to
+      // parse must fail the REPLAY, not silently vanish from state —
+      // a dropped commit is exactly the wrong-answer mode a lakehouse
+      // reader can least afford
+      StructField("_corrupt_record", StringType)))
+    // the timeline usually lives at `.hoodie/` — a DOT-PREFIXED dir
+    // Spark's FileIndex treats as hidden and silently skips — so list
+    // the completed-commit files explicitly (driver-side, O(timeline)
+    // — metadata, KBs per commit) and hand Spark the file paths
+    val tlPath = new org.apache.hadoop.fs.Path(timelineDir)
+    val tlFs = tlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(tlFs.exists(tlPath),
+      s"hudiTimelineState: timeline dir $timelineDir missing")
+    val commitFiles = tlFs.listStatus(tlPath).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && (n.endsWith(".commit") || n.endsWith(".replacecommit"))
+      }
+      .map(_.getPath.toString).sorted
+    require(commitFiles.nonEmpty,
+      s"hudiTimelineState: no completed .commit/.replacecommit files " +
+        s"under $timelineDir — nothing to replay")
+    val raw0 = spark.read.schema(sch)
+      // one JSON document per timeline file (real commit files are
+      // pretty-printed multi-line JSON; JSON-lines mode would shred
+      // them into per-line corrupt records)
+      .option("multiLine", "true")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(commitFiles: _*)
       .withColumn("instant",
         regexp_extract(input_file_name(), "(\\d+)\\.(?:replace)?commit$", 1)
           .cast(LongType))
+      // materialized before the corrupt-count: Spark (correctly)
+      // refuses corrupt-record-only pruned scans over raw JSON, and
+      // the timeline is metadata-sized so caching it is free
+      .cache()
+    val bad = raw0
+      .filter(col("_corrupt_record").isNotNull || col("instant").isNull)
+      .count()
+    require(bad == 0L,
+      s"hudiTimelineState: $bad malformed timeline file(s) under " +
+        s"$timelineDir — refusing to compose table state from a " +
+        "corrupt timeline (a silently dropped commit reads as data loss)")
+    val raw = raw0.drop("_corrupt_record")
     val writes = raw
       .select(col("instant"),
         explode(col("partitionToWriteStats")).as(Seq("partition", "stats")))
@@ -3642,6 +3696,311 @@ object StorageOps {
       .filter(col("rn") === 1 && col("is_write") === 1)
       .select(col("partition"), col("file_id"), col("path"), col("size"),
         col("instant").as("instant_added"))
+  }
+
+  /** Hudi COPY_ON_WRITE snapshot read — the table-level composition
+    * the per-piece censuses build toward, symmetric with
+    * [[deltaLogState]]-then-scan and the Iceberg manifest-then-scan
+    * path: gate on `hoodie.properties` declaring COPY_ON_WRITE (a
+    * MERGE_ON_READ table served by this path would silently miss its
+    * log-file deltas — the gate turns that into a loud reject),
+    * replay the `.hoodie/` timeline to the live file slice per
+    * (partition, file group), and scan exactly those base files.
+    *
+    * Scale shape: the timeline replay is metadata (KBs per commit,
+    * one window over file-group keys); the live-path list is
+    * O(live files) on the driver — the same driver-side file list
+    * every FileIndex holds — and the data read is a plain parquet
+    * scan of those paths, so predicate pushdown / column pruning /
+    * whole-stage codegen all apply untouched.
+    */
+  def hudiCowSnapshot(
+      spark: org.apache.spark.sql.SparkSession, tableRoot: String): DataFrame = {
+    import spark.implicits._
+    val props = hudiTableProperties(spark, tableRoot)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val tt = props.getOrElse("hoodie.table.type", "")
+    require(tt == "COPY_ON_WRITE",
+      s"hudiCowSnapshot: $tableRoot declares hoodie.table.type=$tt — " +
+        "only COPY_ON_WRITE tables are served by the base-file-only " +
+        "path (MERGE_ON_READ needs the log-merge read, hudiMorRead)")
+    val live = hudiTimelineState(spark, s"$tableRoot/.hoodie")
+      .select(col("path")).as[String].collect()
+    require(live.nonEmpty,
+      s"hudiCowSnapshot: $tableRoot has no live file slices — empty " +
+        "or fully-replaced timeline")
+    spark.read.parquet(live.map(p => s"$tableRoot/$p").toIndexedSeq: _*)
+  }
+
+  /** `HoodieLogBlockType` ordinals as they appear on the wire —
+    * command / delete / corrupt / avro-data / hfile-data /
+    * parquet-data / cdc-data.
+    */
+  private[graft] val HudiLogBlockTypes: Vector[String] = Vector(
+    ":command", ":delete", ":corrupt", "avro", "hfile", "parquet", "cdc")
+
+  private[graft] val HudiLogMagic: Array[Byte] = "#HUDI#".getBytes("UTF-8")
+
+  /** One decoded Hudi log block: stream position, type, wire format
+    * version, the header's INSTANT_TIME / SCHEMA entries, sizes, and
+    * (for the avro-records shapes) the decoded record count.
+    */
+  final case class HudiLogBlock(
+      file: String, block_seq: Long, block_type: String,
+      format_version: Long, instant: String, header_n: Long,
+      content_length: Long, record_count: Long, total_length: Long,
+      schema_json: String)
+
+  final case class HudiLogRecord(
+      file: String, block_seq: Long, block_type: String,
+      instant: String, record_json: String)
+
+  @inline private def hudiBeI32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+
+  @inline private def hudiBeI64(b: Array[Byte], p: Int): Long =
+    (hudiBeI32(b, p).toLong << 32) |
+      (hudiBeI32(b, p + 4).toLong & 0xffffffffL)
+
+  /** From-spec walk of a Hudi log file's block stream (the
+    * HoodieLogFormat MERGE_ON_READ delta side).  Each block is:
+    * `#HUDI#` magic, i64 block size (everything after this field
+    * through the trailing total-length, inclusive), i32 format
+    * version, i32 block-type ordinal ([[HudiLogBlockTypes]]), a
+    * header map of (i32 HeaderMetadataType ordinal, i32 len, utf8)
+    * entries — INSTANT_TIME is ordinal 0, SCHEMA is 2 — then i64
+    * content length + content, a footer map of the same shape, and
+    * a trailing i64 total block length (magic included; the
+    * reverse-traversal hook).  An avro data block's content is i32
+    * content-format version, i32 record count, then count × (i32
+    * size, avro-binary record), decoded against the header SCHEMA
+    * through the from-spec avro walk.  This reader pins the SAME
+    * sized-avro-records content shape for delete blocks (upstream
+    * delete serialization varies by writer version — kryo lists
+    * early, avro record lists later — so the reader standardizes on
+    * the avro shape and says so here rather than guessing per file).
+    * Returns None on ANY structural violation — bounds, ordinal
+    * range, map overrun, record under/over-consuming its span, or a
+    * total-length disagreeing with the block size: reject, never
+    * garble.  TOTAL on arbitrary bytes (fuzz-pinned in StorageSpec).
+    */
+  private[graft] def hudiLogBlocksOf(
+      file: String,
+      b: Array[Byte]): Option[Vector[(HudiLogBlock, Vector[String])]] = {
+    val out = Vector.newBuilder[(HudiLogBlock, Vector[String])]
+    var off = 0
+    var seq = 0L
+    while (off < b.length) {
+      if (off + 14 > b.length) return None
+      var i = 0
+      while (i < 6) {
+        if (b(off + i) != HudiLogMagic(i)) return None
+        i += 1
+      }
+      val bsize = hudiBeI64(b, off + 6)
+      if (bsize < 28L || bsize > (b.length - off - 14).toLong) return None
+      val blockEnd = off + 14 + bsize.toInt
+      var p = off + 14
+      val version = hudiBeI32(b, p); p += 4
+      val typeOrd = hudiBeI32(b, p); p += 4
+      if (version < 0 || typeOrd < 0 || typeOrd >= HudiLogBlockTypes.length)
+        return None
+      def readMap(p0: Int): Option[(Vector[(Int, String)], Int)] = {
+        if (p0 + 4 > blockEnd - 8) return None
+        val n = hudiBeI32(b, p0)
+        if (n < 0 || n > 64) return None
+        var q = p0 + 4
+        val m = Vector.newBuilder[(Int, String)]
+        var j = 0
+        while (j < n) {
+          if (q + 8 > blockEnd - 8) return None
+          val ord = hudiBeI32(b, q)
+          val len = hudiBeI32(b, q + 4)
+          q += 8
+          if (ord < 0 || len < 0 || len > blockEnd - 8 - q) return None
+          m += ord -> new String(b, q, len, "UTF-8")
+          q += len
+          j += 1
+        }
+        Some((m.result(), q))
+      }
+      val hdr = readMap(p).getOrElse(return None)
+      p = hdr._2
+      if (p + 8 > blockEnd - 8) return None
+      val contentLen = hudiBeI64(b, p); p += 8
+      if (contentLen < 0 || contentLen > (blockEnd - 8 - p).toLong)
+        return None
+      val cStart = p
+      val cEnd = p + contentLen.toInt
+      val ftr = readMap(cEnd).getOrElse(return None)
+      if (ftr._2 != blockEnd - 8) return None
+      if (hudiBeI64(b, blockEnd - 8) != 14L + bsize) return None
+      val headers = hdr._1.toMap
+      val btype = HudiLogBlockTypes(typeOrd)
+      val records: Vector[String] =
+        if (btype == "avro" || btype == ":delete") {
+          if (contentLen < 8L) return None
+          val cnt = hudiBeI32(b, cStart + 4)
+          if (cnt < 0 || cnt > 10000000) return None
+          val at = MultimodalOps.parseAvroSchema(headers.getOrElse(2, ""))
+            .getOrElse(return None)
+          var q = cStart + 8
+          val rb = Vector.newBuilder[String]
+          var j = 0
+          while (j < cnt) {
+            if (q + 4 > cEnd) return None
+            val sz = hudiBeI32(b, q)
+            q += 4
+            if (sz < 0 || sz > cEnd - q) return None
+            val v = MultimodalOps.avJsonValue(at, b, q, q + sz)
+              .getOrElse(return None)
+            if (v._2 != q + sz) return None
+            rb += v._1
+            q += sz
+            j += 1
+          }
+          if (q != cEnd) return None
+          rb.result()
+        } else Vector.empty
+      out += ((HudiLogBlock(file, seq, btype, version.toLong,
+        headers.getOrElse(0, ""), hdr._1.length.toLong, contentLen,
+        records.length.toLong, 14L + bsize,
+        headers.getOrElse(2, "")), records))
+      seq += 1
+      off = blockEnd
+    }
+    Some(out.result())
+  }
+
+  /** List a file slice's log files explicitly: Hudi log files are
+    * DOT-PREFIXED (`.<fileId>_<baseInstant>.log.<version>`), which
+    * Spark's FileIndex classifies as hidden and silently drops — so
+    * the log readers list with the FileSystem API (driver-side,
+    * O(slice files)) and ship paths to executors, one task per file.
+    */
+  private def hudiListLogFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        fs.listStatus(path).toSeq
+          .filter(s => s.isFile && s.getPath.getName.contains(".log."))
+          .map(_.getPath.toString)
+      else Seq(p)
+    }.sorted
+
+  private def hudiDecodedLogs(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): org.apache.spark.sql.Dataset[
+      (HudiLogBlock, Vector[String])] = {
+    import spark.implicits._
+    val files = hudiListLogFiles(spark, paths)
+    require(files.nonEmpty,
+      s"hudiDecodedLogs: no `.log.` files under ${paths.mkString(",")}")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { f =>
+          val hp = new org.apache.hadoop.fs.Path(f)
+          val in = hp.getFileSystem(conf).open(hp)
+          val bytes = try in.readAllBytes() finally in.close()
+          hudiLogBlocksOf(hp.getName, bytes).getOrElse(
+            sys.error(s"hudiDecodedLogs: malformed Hudi log block " +
+              s"stream in $f — refusing to merge a partially-readable " +
+              "delta (a skipped block reads as silent data loss)"))
+        }
+      }
+  }
+
+  /** Block-level census of Hudi log files — one row per log block:
+    * position, type, format version, instant, header entry count,
+    * content length, decoded record count.  The MOR maintenance
+    * surface (compaction planning reads exactly this: how much delta
+    * has accumulated per file slice, at which instants).
+    */
+  def hudiLogBlocks(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    hudiDecodedLogs(spark, paths).map(_._1).toDF()
+  }
+
+  /** Record-level view of Hudi log files — one row per avro-records
+    * block record, the block's instant alongside, the record itself
+    * as JSON (decoded against the block header's embedded SCHEMA —
+    * schemas can differ per block, so the typed interpretation
+    * belongs to the caller holding the table schema).
+    */
+  def hudiLogRecords(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    hudiDecodedLogs(spark, paths).flatMap { case (blk, recs) =>
+      recs.map(r => HudiLogRecord(
+        blk.file, blk.block_seq, blk.block_type, blk.instant, r))
+    }.toDF()
+  }
+
+  /** Hudi MERGE_ON_READ snapshot of one-or-more file slices: base
+    * parquet files merged with their log-file deltas — updates
+    * override base rows by record key, deletes drop them, the latest
+    * log action per key winning (instant, then delete-over-update on
+    * a tie, then block order).
+    *
+    * Scale shape — the part worth getting right at 100 TB: the BASE
+    * side never shuffles.  Hudi routes inserts to NEW file groups
+    * (log files carry updates/deletes for their own group's keys),
+    * so the merged read is: aggregate the log side to its latest
+    * action per key — a shuffle of the SMALL side only, the
+    * accumulated delta, orders of magnitude below the base — then
+    * broadcast it into a single left join + filter over the base
+    * scan.  Column pruning and predicate pushdown on base columns
+    * survive (the join is on the key column only); update columns
+    * resolve via `coalesce(log, base)` inside the same projection.
+    */
+  def hudiMorRead(
+      spark: org.apache.spark.sql.SparkSession,
+      basePaths: Seq[String], logPaths: Seq[String],
+      keyCol: String = "_hoodie_record_key"): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.parquet(basePaths: _*)
+    require(base.columns.contains(keyCol),
+      s"hudiMorRead: base files carry no `$keyCol` column — not a " +
+        "Hudi base-file schema")
+    val recs = hudiLogRecords(spark, logPaths)
+    val updates = recs.filter(col("block_type") === "avro")
+      .withColumn("payload", from_json(col("record_json"), base.schema))
+      .select(col("payload").getField(keyCol).as("k"),
+        col("instant"), col("block_seq"),
+        lit(0).as("is_delete"), col("payload"))
+    val delSchema = StructType(Seq(StructField("recordKey", StringType)))
+    val deletes = recs.filter(col("block_type") === ":delete")
+      .withColumn("d", from_json(col("record_json"), delSchema))
+      .select(col("d").getField("recordKey").as("k"),
+        col("instant"), col("block_seq"),
+        lit(1).as("is_delete"),
+        lit(null).cast(base.schema).as("payload"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("instant").desc, col("is_delete").desc,
+        col("block_seq").desc)
+    val logLatest = updates.unionByName(deletes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("is_delete"), col("payload"))
+    val merged = base.join(
+      broadcast(logLatest), base(keyCol) === logLatest("k"), "left")
+    merged
+      .filter(col("is_delete").isNull || col("is_delete") === 0)
+      .select(base.columns.toIndexedSeq.map { c =>
+        if (c == keyCol) base(c).as(c)
+        else coalesce(col("payload").getField(c), base(c)).as(c)
+      }: _*)
   }
 
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet

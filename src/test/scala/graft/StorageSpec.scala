@@ -1571,4 +1571,140 @@ class StorageSpec extends AnyFunSuite {
     val node = om.readTree(got.get._1)
     assert(node.has(name) && node.get(name).asLong == 7L)
   }
+
+  test("hudiTimelineState: a corrupt timeline file REJECTS the replay") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hudi-corrupt")
+    java.nio.file.Files.write(dir.resolve("20240101.commit"),
+      """{"partitionToWriteStats":{"pt=0":[{"fileId":"f-0","path":"pt=0/f-0_20240101.parquet","fileSizeInBytes":100}]}}"""
+        .getBytes("UTF-8"))
+    // a healthy timeline replays
+    val ok = StorageOps.hudiTimelineState(spark, dir.toString).collect()
+    assert(ok.length == 1 && ok.head.getString(1) == "f-0")
+    // one unparseable commit file must fail the WHOLE replay — a
+    // silently dropped commit is indistinguishable from data loss
+    java.nio.file.Files.write(dir.resolve("20240102.commit"),
+      "{not json at all".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      StorageOps.hudiTimelineState(spark, dir.toString)
+    }
+    // an empty timeline dir is a loud reject, not an empty answer
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-hudi-empty-tl")
+    intercept[IllegalArgumentException] {
+      StorageOps.hudiTimelineState(spark, empty.toString)
+    }
+  }
+
+  test("hudiLogBlocksOf: decode fidelity, strict rejects, fuzz TOTAL") {
+    import graft.ops.MultimodalOps
+    // independent writer (the SparkEntry fixture writer's twin, local
+    // to the test so the decode target is hand-derivable)
+    def be32(v: Int) = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32((v >>> 32).toInt) ++ be32(v.toInt)
+    def zz(v: Long): Array[Byte] = {
+      var u = (v << 1) ^ (v >> 63)
+      val bb = Array.newBuilder[Byte]
+      var done = false
+      while (!done) {
+        val x = (u & 0x7f).toInt; u = u >>> 7
+        bb += (if (u != 0) x | 0x80 else x).toByte
+        done = u == 0
+      }
+      bb.result()
+    }
+    def avStr(x: String) = { val b = x.getBytes("UTF-8"); zz(b.length.toLong) ++ b }
+    def block(ord: Int, hdrs: Seq[(Int, String)], content: Array[Byte]) = {
+      val hb = be32(hdrs.length) ++ hdrs.flatMap { case (o, v) =>
+        val vb = v.getBytes("UTF-8"); be32(o) ++ be32(vb.length) ++ vb }
+      val body = be32(1) ++ be32(ord) ++ hb ++
+        be64(content.length.toLong) ++ content ++ be32(0)
+      "#HUDI#".getBytes("UTF-8") ++ be64(body.length + 8L) ++ body ++
+        be64(14L + body.length + 8L)
+    }
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"k","type":"string"},{"name":"v","type":"long"}]}"""
+    val recs = Seq(avStr("a") ++ zz(7L), avStr("b") ++ zz(-3L))
+    val content = be32(3) ++ be32(2) ++ recs.flatMap(r => be32(r.length) ++ r)
+    val cmd = block(0, Seq(0 -> "t1", 1 -> "t0"), Array.emptyByteArray)
+    val data = block(3, Seq(0 -> "t2", 2 -> schema), content)
+    val log = cmd ++ data
+    val got = StorageOps.hudiLogBlocksOf("f", log).get
+    assert(got.map(_._1.block_type) == Vector(":command", "avro"))
+    assert(got(1)._1.instant == "t2" && got(1)._1.record_count == 2L)
+    assert(got(1)._2 == Vector("""{"k":"a","v":7}""", """{"k":"b","v":-3}"""))
+    assert(got(0)._1.header_n == 2L && got(0)._2.isEmpty)
+    // strict rejects: truncation anywhere, wrong magic, bad ordinal,
+    // total-length disagreement — all None, never a throw
+    assert(StorageOps.hudiLogBlocksOf("f", log.dropRight(1)).isEmpty)
+    assert(StorageOps.hudiLogBlocksOf("f", log.drop(1)).isEmpty)
+    // block-type ordinal = BE i32 at +18 (magic 6, size 8, version 4)
+    val badOrd = log.clone(); badOrd(cmd.length + 21) = 99.toByte
+    assert(StorageOps.hudiLogBlocksOf("f", badOrd).isEmpty)
+    // a record under-consuming its declared span rejects (size+1 pads)
+    val padded = be32(3) ++ be32(1) ++ be32(recs.head.length + 1) ++
+      recs.head ++ Array(0.toByte)
+    assert(StorageOps.hudiLogBlocksOf("f",
+      block(3, Seq(0 -> "t", 2 -> schema), padded)).isEmpty)
+    // fuzz: seeded flips of real bytes + arbitrary buffers, TOTAL
+    val rnd = new scala.util.Random(20260817)
+    for (trial <- 0 until 2000) {
+      val b =
+        if (trial % 2 == 0) {
+          val m = log.clone()
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            val i = rnd.nextInt(m.length)
+            m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          if (rnd.nextInt(3) == 0) m.take(rnd.nextInt(m.length)) else m
+        } else {
+          val n = rnd.nextInt(300)
+          val m = new Array[Byte](n); rnd.nextBytes(m); m
+        }
+      try StorageOps.hudiLogBlocksOf("f", b)
+      catch { case e: Throwable => fail(s"hudi log fuzz $trial threw: $e") }
+    }
+  }
+
+  test("icebergManifestEntriesOf is TOTAL on arbitrary bytes (v3-routing arm incl.)") {
+    import graft.ops.MultimodalOps
+    val seeds = MultimodalOps.synthesizeIcebergManifestV2(
+      spark.range(6).toDF("id"), "id").collect()
+    // the seeds themselves decode (sanity: the fuzz mutates REAL
+    // manifests, v3 routing fields included, not junk-only buffers)
+    assert(seeds.forall(r =>
+      MultimodalOps.icebergManifestEntriesOf(r).nonEmpty))
+    val rnd = new scala.util.Random(20260818)
+    for (trial <- 0 until 3000) {
+      val b =
+        if (trial % 2 == 0) {
+          val m = seeds(rnd.nextInt(seeds.length)).content.clone()
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            val i = rnd.nextInt(m.length)
+            m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          if (rnd.nextInt(3) == 0) m.take(rnd.nextInt(m.length)) else m
+        } else {
+          val n = rnd.nextInt(400)
+          val m = new Array[Byte](n); rnd.nextBytes(m); m
+        }
+      try MultimodalOps.icebergManifestEntriesOf(
+        MultimodalOps.MediaRecord(trial.toLong, "avro/binary", b))
+      catch {
+        case e: Throwable => fail(s"manifest fuzz $trial threw: $e")
+      }
+    }
+  }
+
+  test("orcStripeFooterEncodings is TOTAL on arbitrary bytes (10k-trial fuzz)") {
+    val rnd = new scala.util.Random(20260819)
+    for (trial <- 0 until 10000) {
+      val n = rnd.nextInt(200)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      try StorageOps.orcStripeFooterEncodings(b)
+      catch { case e: Throwable => fail(s"trial $trial threw: $e") }
+    }
+  }
 }
