@@ -62,35 +62,136 @@ object GraphOps {
     else pageRankDistributed(e, iters, dampNum, dampDen, scale)
   }
 
-  /** Driver fast path: same update rule on arrays. */
+  /** Primitive-specialized driver kernel for LONG node ids — the
+    * common case (graphs keyed by 64-bit hashes or row ids), and the
+    * one where the generic `Any`-keyed LinkedHashMap intern hurt: it
+    * boxed every endpoint on both the hash and the store side, ~4 M
+    * transient Longs at the 1 M-edge collectThreshold before the
+    * first iteration ran.  Intern is linear probing over primitive
+    * arrays (insertion-order ids, so the order array doubles as the
+    * id→node decode), then the IDENTICAL integer update rule as the
+    * generic and distributed paths — bit-equal output (GraphSpec);
+    * BenchSpec micro-pins this kernel under a second at exactly the
+    * threshold.  Returns (nodes in first-seen order, final ranks).
+    */
+  private[graft] def pageRankLongKernel(
+      srcs: Array[Long], dsts: Array[Long], iters: Int,
+      dampNum: Long, dampDen: Long, scale: Long): (Array[Long], Array[Long]) = {
+    val m = srcs.length
+    require(m == dsts.length, "pageRankLongKernel: ragged edge arrays")
+    require(m < (1 << 28),
+      s"pageRankLongKernel: $m edges is beyond the driver fast path")
+    // ≤ 2m distinct endpoints; cap ≥ next pow2 of 3.4m keeps the
+    // linear-probe load factor under ~0.6 even in the all-distinct
+    // worst case
+    var cap = 16
+    while (cap < m * 3 + m / 2 + 2) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val ids = new Array[Int](cap)
+    java.util.Arrays.fill(ids, -1)
+    var order = new Array[Long](math.max(16, m))
+    var n = 0
+    def idOf(k: Long): Int = {
+      var h = (java.lang.Long.hashCode(k) * 0x9e3779b9) & mask
+      var res = -1
+      while (res == -1) {
+        val id = ids(h)
+        if (id == -1) {
+          ids(h) = n
+          keys(h) = k
+          if (n == order.length)
+            order = java.util.Arrays.copyOf(order, order.length * 2)
+          order(n) = k
+          n += 1
+          res = n - 1
+        } else if (keys(h) == k) res = id
+        else h = (h + 1) & mask
+      }
+      res
+    }
+    val se = new Array[Int](m)
+    val de = new Array[Int](m)
+    var i = 0
+    while (i < m) { se(i) = idOf(srcs(i)); de(i) = idOf(dsts(i)); i += 1 }
+    require(n > 0, "pageRankFixedPoint: empty graph")
+    val outdeg = new Array[Long](n)
+    i = 0
+    while (i < m) { outdeg(se(i)) += 1; i += 1 }
+    val nn = n.toLong
+    val teleport = scale / nn * (dampDen - dampNum) / dampDen
+    var ranks = Array.fill(n)(scale / nn)
+    var it = 0
+    while (it < iters) {
+      var dangling = 0L
+      i = 0
+      while (i < n) { if (outdeg(i) == 0) dangling += ranks(i); i += 1 }
+      val inflow = new Array[Long](n)
+      i = 0
+      while (i < m) {
+        inflow(de(i)) += ranks(se(i)) / outdeg(se(i)); i += 1
+      }
+      val dshare = dangling / nn
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        next(i) = teleport + (inflow(i) + dshare) * dampNum / dampDen
+        i += 1
+      }
+      ranks = next
+      it += 1
+    }
+    (java.util.Arrays.copyOf(order, n), ranks)
+  }
+
+  /** Driver fast path: same update rule on arrays.  LONG node ids
+    * take [[pageRankLongKernel]] (primitive arrays, no boxing); other
+    * node types keep the generic Any-keyed intern — they're the rare
+    * case and their equality/hash semantics vary by type.
+    */
   private def pageRankDriver(
       e: DataFrame, iters: Int, dampNum: Long, dampDen: Long,
       scale: Long): DataFrame = {
-    val rows = e.collect()
-    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
-    def idOf(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
-    val es = rows.map(r => (idOf(r.get(0)), idOf(r.get(1))))
-    val n = idx.size.toLong
-    require(n > 0, "pageRankFixedPoint: empty graph")
-    val outdeg = new Array[Long](idx.size)
-    es.foreach { case (s, _) => outdeg(s) += 1 }
-    val teleport = scale / n * (dampDen - dampNum) / dampDen
-    var ranks = Array.fill(idx.size)(scale / n)
-    for (_ <- 1 to iters) {
-      var dangling = 0L
-      var i = 0
-      while (i < ranks.length) {
-        if (outdeg(i) == 0) dangling += ranks(i); i += 1
-      }
-      val inflow = new Array[Long](idx.size)
-      es.foreach { case (s, d) => inflow(d) += ranks(s) / outdeg(s) }
-      val dshare = dangling / n
-      ranks = Array.tabulate(idx.size)(u =>
-        teleport + (inflow(u) + dshare) * dampNum / dampDen)
-    }
     val spark = e.sparkSession
     val nodeType = e.schema.head.dataType
-    val out = idx.toSeq.map { case (v, i) =>
+    val rows = e.collect()
+    val (nodeSeq: Seq[Any], ranks: Array[Long]) = nodeType match {
+      case org.apache.spark.sql.types.LongType =>
+        val srcs = new Array[Long](rows.length)
+        val dsts = new Array[Long](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          srcs(i) = rows(i).getLong(0); dsts(i) = rows(i).getLong(1)
+          i += 1
+        }
+        val (nodes, rk) =
+          pageRankLongKernel(srcs, dsts, iters, dampNum, dampDen, scale)
+        (nodes.toSeq, rk)
+      case _ =>
+        val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+        def idOf(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+        val es = rows.map(r => (idOf(r.get(0)), idOf(r.get(1))))
+        val n = idx.size.toLong
+        require(n > 0, "pageRankFixedPoint: empty graph")
+        val outdeg = new Array[Long](idx.size)
+        es.foreach { case (s, _) => outdeg(s) += 1 }
+        val teleport = scale / n * (dampDen - dampNum) / dampDen
+        var ranks = Array.fill(idx.size)(scale / n)
+        for (_ <- 1 to iters) {
+          var dangling = 0L
+          var i = 0
+          while (i < ranks.length) {
+            if (outdeg(i) == 0) dangling += ranks(i); i += 1
+          }
+          val inflow = new Array[Long](idx.size)
+          es.foreach { case (s, d) => inflow(d) += ranks(s) / outdeg(s) }
+          val dshare = dangling / n
+          ranks = Array.tabulate(idx.size)(u =>
+            teleport + (inflow(u) + dshare) * dampNum / dampDen)
+        }
+        (idx.keys.toSeq, ranks)
+    }
+    val out = nodeSeq.zipWithIndex.map { case (v, i) =>
       org.apache.spark.sql.Row(v, ranks(i), ranks(i).toDouble / scale)
     }
     spark.createDataFrame(

@@ -25,4 +25,33 @@ class BenchSpec extends AnyFunSuite {
     // empty pass list (a query filtered from every run) never flags
     assert(!Bench.contended(Nil, 32))
   }
+
+  test("pageRankLongKernel: 1 M edges (the collectThreshold) in <1 s") {
+    // the driver fast path's worst legal input: exactly the 1 M-edge
+    // adaptive threshold, ~180 k distinct nodes, heavy key reuse —
+    // the shape the boxing Any-intern choked on.  Warm once (JIT),
+    // then pin the measured pass under a second.
+    val m = 1000000
+    val srcs = new Array[Long](m)
+    val dsts = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      // deterministic splitmix-ish stream, keys in a ~180 k id space
+      val x = i.toLong * 0x9e3779b97f4a7c15L
+      srcs(i) = (x >>> 17) % 180000
+      dsts(i) = (x >>> 31) % 180000
+      i += 1
+    }
+    graft.ops.GraphOps.pageRankLongKernel(
+      srcs, dsts, 10, 85, 100, 1000000000000L) // JIT warm-up pass
+    val t0 = System.nanoTime()
+    val (nodes, ranks) = graft.ops.GraphOps.pageRankLongKernel(
+      srcs, dsts, 10, 85, 100, 1000000000000L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(nodes.length == ranks.length && nodes.length > 100000)
+    // total rank mass stays ≈ scale (each floor division leaks <1
+    // unit per node/edge per iteration — bounded well under 1e9 here)
+    assert(math.abs(ranks.sum - 1000000000000L) < 1000000000L)
+    assert(sec < 1.0, f"kernel took $sec%.2f s at the 1 M-edge threshold")
+  }
 }
