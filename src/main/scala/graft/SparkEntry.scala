@@ -5969,7 +5969,53 @@ object SparkEntry {
         totalBudget = 50000L, seqLen = 256L, salt = "sel7")
       out.unpersist()
       secs
+    },
+    // the two streaming drains are the board's most expensive rows and
+    // are mostly microbatch MACHINERY, which smears the headline total
+    // under host weather — the stage split (staging / drain / result
+    // materialization) makes a future regression attributable to the
+    // stage that actually grew
+    "q_shard_census_stream" -> { (s, dir) =>
+      streamDrainStages(s, stageShardFiles(s, dir),
+        d => graft.ops.StreamingOps.shardCensusStream(
+          s, d, maxFilesPerTrigger = 16384))
+    },
+    "q_warc_cdx_stream" -> { (s, dir) =>
+      streamDrainStages(s, stageWarcGzFiles(s, dir),
+        d => graft.ops.StreamingOps.warcCdxStream(
+          s, d, maxFilesPerTrigger = 16384))
     })
+
+  /** One instrumented AvailableNow drain for the stagedRuns entries:
+    * times the fixture staging (fingerprint-skipped on warm runs),
+    * the stream's start→self-termination window (the microbatch
+    * machinery the verdict asked to isolate), and the memory-sink
+    * result materialization, separately.
+    */
+  private def streamDrainStages(
+      s: SparkSession, stagedDir: => String,
+      stream: String => DataFrame): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    val staged = stagedDir
+    val t1 = System.nanoTime()
+    val name = s"stage_probe_${System.nanoTime()}"
+    val q = stream(staged)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination() // AvailableNow self-terminates when drained
+      val t2 = System.nanoTime()
+      s.table(name).count()
+      val t3 = System.nanoTime()
+      Seq("staging" -> (t1 - t0) / 1e9,
+        "stream_drain" -> (t2 - t1) / 1e9,
+        "materialize" -> (t3 - t2) / 1e9)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+    }
+  }
 
   /** A named A/B comparison for `tools.BenchAB`: two flavors of the
     * same operation (two flag sets / two code paths) timed ROUND-ROBIN
