@@ -10161,13 +10161,12 @@ object SparkEntry {
         val ofs = ordersPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         ofs.listStatus(ordersPath)
           .filter(_.getPath.getName.endsWith(".orc")).foreach { st =>
-            val len = st.getLen
-            val tl = math.min(len, 16384L).toInt
-            val buf = new Array[Byte](tl)
-            val in = ofs.open(st.getPath)
-            try in.readFully(len - tl, buf, 0, tl) finally in.close()
-            val meta = graft.ops.StorageOps.orcTailOf(buf, len).getOrElse(
-              sys.error(s"stageOrcRowIndexFiles: unreadable ORC tail at ${st.getPath}"))
+            // two-step tail read: a couple hundred stripes of footer
+            // entries already overflow a fixed 16 KiB read (hit at
+            // the ×10 probe SF — the check, not the file, was broken)
+            val meta = graft.ops.StorageOps
+              .orcTailOfFile(ofs, st.getPath, st.getLen).getOrElse(
+                sys.error(s"stageOrcRowIndexFiles: unreadable ORC tail at ${st.getPath}"))
             val n = meta.totalRows
             val expect = (0L until (n + OrcStageStripeRows - 1) /
                 OrcStageStripeRows).map { i =>

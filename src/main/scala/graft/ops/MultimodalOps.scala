@@ -6476,11 +6476,25 @@ object MultimodalOps {
     * values and record field names — both originate in the untrusted
     * embedded writer schema / data, so both must escape identically.
     */
-  private def avJsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
+  private def avJsonEscape(s: String): String = {
+    // fast path: almost every real string needs no escaping, and the
+    // per-char flatMap allocation showed up in the Hudi log-record
+    // decode (millions of strings per log file) — scan first, build
+    // only when something actually needs escaping
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\\' || c < ' ') clean = false
+      i += 1
+    }
+    if (clean) s
+    else s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
   }
 
   /** Read a string-shaped field, unwrapping a null union branch. */

@@ -1584,6 +1584,50 @@ object StorageOps {
     * would mis-census), and the stripe rows must sum to the footer's
     * own total.  TOTAL on arbitrary bytes.
     */
+  /** Read an ORC file's tail metadata with the two-step big-footer
+    * fallback [[parquetFooters]]' ORC censuses use inline: try a
+    * 16 KiB read first (covers small files in one IO), and when the
+    * footer is larger — a few hundred stripes of stripe entries
+    * already overflow 16 KiB — re-read exactly `1 + psLen +
+    * footerLen` bytes as the postscript declares.  None when neither
+    * read yields a parseable tail.
+    */
+  private[graft] def orcTailOfFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, len: Long): Option[OrcFooterMeta] = {
+    def readTail(n: Long): Array[Byte] = {
+      require(n > 0 && n <= MaxOrcFooterRead,
+        s"orcTailOfFile: $path declares a tail read of $n bytes")
+      val want = math.min(len, n).toInt
+      val buf = new Array[Byte](want)
+      val in = fs.open(path)
+      try in.readFully(len - want, buf, 0, want) finally in.close()
+      buf
+    }
+    val first = readTail(16384L)
+    orcTailOf(first, len).orElse {
+      if (first.length < 2) None
+      else {
+        val psLen = first(first.length - 1) & 0xff
+        if (psLen < 1 || psLen + 1 > first.length) None
+        else {
+          val psStart = first.length - 1 - psLen
+          val ps = new PbReader(first, psStart, psStart + psLen)
+          var footerLen = -1L
+          while (ps.hasMore) {
+            val (f, w) = ps.tag()
+            if (ps.bad) return None
+            if (f == 1 && w == 0) footerLen = ps.varint()
+            else ps.skip(w)
+            if (ps.bad) return None
+          }
+          if (footerLen <= 0) None
+          else orcTailOf(readTail(1L + psLen + footerLen), len)
+        }
+      }
+    }
+  }
+
   private[graft] def orcTailOf(
       tail: Array[Byte], fileLen: Long): Option[OrcFooterMeta] = {
     if (tail == null || tail.length < 4 || fileLen < tail.length) return None
@@ -3973,7 +4017,17 @@ object StorageOps {
     require(base.columns.contains(keyCol),
       s"hudiMorRead: base files carry no `$keyCol` column — not a " +
         "Hudi base-file schema")
-    val recs = hudiLogRecords(spark, logPaths)
+    // persisted: the update and delete branches below both read this
+    // lineage, and without the pin each branch re-reads and re-decodes
+    // every log file (measured 4× the single-decode time at the ×10
+    // probe SF — the byte walk, not the merge, was the wall time).
+    // Then SPREAD: the decode emits one partition per log file, and
+    // without the rebalance the per-record from_json below runs
+    // serially on however few files the slice has (the ×10 fixture's
+    // single file put 2 M JSON parses on one core — 17 s of the 20 s
+    // wall); the shuffle moves only the slim record strings
+    val recs = DedupOps.registerPersist(hudiLogRecords(spark, logPaths))
+      .repartition(spark.sparkContext.defaultParallelism)
     val updates = recs.filter(col("block_type") === "avro")
       .withColumn("payload", from_json(col("record_json"), base.schema))
       .select(col("payload").getField(keyCol).as("k"),
@@ -3993,8 +4047,15 @@ object StorageOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("k"), col("is_delete"), col("payload"))
+    // NO forced broadcast: the delta's size is data-dependent — for
+    // the common thin-delta slice AQE's runtime stats turn this into
+    // a broadcast join anyway (the base-never-shuffles shape), while
+    // a compaction-overdue FAT delta (the ×10 fixture: delta = ⅓ of
+    // base) would make a forced broadcast a driver/executor OOM at
+    // scale; letting AQE pick degrades that case to a shuffle join
+    // instead of an OOM
     val merged = base.join(
-      broadcast(logLatest), base(keyCol) === logLatest("k"), "left")
+      logLatest, base(keyCol) === logLatest("k"), "left")
     merged
       .filter(col("is_delete").isNull || col("is_delete") === 0)
       .select(base.columns.toIndexedSeq.map { c =>
