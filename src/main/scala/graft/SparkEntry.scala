@@ -4453,15 +4453,22 @@ object SparkEntry {
     "q_hudi_log_blocks" ->
       s"""SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 'avro', CAST(1 AS BIGINT),
-        |   '20240102000000', CAST(2 AS BIGINT),
+        |   '20240102000000', '', CAST(2 AS BIGINT),
         |   (SELECT CAST(count(*) AS BIGINT) FROM orders
-        |    WHERE o_orderkey % 12 = 0)),
+        |    WHERE o_orderkey % 12 = 0), CAST(0 AS BIGINT)),
         |  (CAST(1 AS BIGINT), ':delete', CAST(1 AS BIGINT),
-        |   '20240103000000', CAST(2 AS BIGINT),
+        |   '20240103000000', '', CAST(2 AS BIGINT),
         |   (SELECT CAST(count(*) AS BIGINT) FROM orders
-        |    WHERE o_orderkey % 20 = 0)))
-        |  t(block_seq, block_type, format_version, instant, header_n,
-        |    record_count)""".stripMargin,
+        |    WHERE o_orderkey % 20 = 0), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'avro', CAST(1 AS BIGINT),
+        |   '20240104000000', '', CAST(2 AS BIGINT),
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderkey % 8 = 0), CAST(1 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), ':command', CAST(1 AS BIGINT),
+        |   '20240105000000', '20240104000000', CAST(3 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |  t(block_seq, block_type, format_version, instant,
+        |    target_instant, header_n, record_count, rolled_back)""".stripMargin,
     "q_hudi_mor_read" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
         |       o_orderkey, o_custkey,
@@ -9860,14 +9867,19 @@ object SparkEntry {
       },
       "q_hudi_log_blocks" -> { (s, dir) =>
         // MOR delta-side census: one row per HoodieLogFormat block —
-        // type, instant, record count — decoded by the from-spec
-        // byte walk (magic, BE sizes, ordinal header maps, sized
-        // avro-binary records); what compaction planning reads
+        // type, instant, record count, rollback fencing — decoded by
+        // the from-spec byte walk (magic, BE sizes, ordinal header
+        // maps, sized avro-binary records); what compaction planning
+        // reads.  Block 2 is the c4 poison write, block 3 the
+        // :command rollback that fences it — rolled_back pins the
+        // marking
         val slice = stageHudiMorSlice(s, dir)
         graft.ops.StorageOps.hudiLogBlocks(s, Seq(s"$slice/logs"))
           .select(col("block_seq"), col("block_type"),
-            col("format_version"), col("instant"), col("header_n"),
-            col("record_count"))
+            col("format_version"), col("instant"),
+            col("target_instant"), col("header_n"),
+            col("record_count"),
+            col("rolled_back").cast("long").as("rolled_back"))
           .orderBy("block_seq")
       },
       "q_hudi_mor_read" -> { (s, dir) =>
@@ -10537,7 +10549,7 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-hudimor-stage-$md"
-      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimor-v1")
+      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimor-v2")
       if (!stageUpToDate(out, fp)) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -10620,9 +10632,25 @@ object SparkEntry {
           "#HUDI#".getBytes("UTF-8") ++ be64(bsize) ++ body ++
             be64(14L + bsize)
         }
+        // blocks 3+4: a POISON update at c4 (would corrupt every %8
+        // key's price if merged) followed by a :command rollback
+        // targeting c4 — the failed-write fence; the merged read must
+        // come out exactly as if neither block existed
+        val c4 = "20240104000000"
+        val c5 = "20240105000000"
+        val poisonRecs = orders.filter(col("o_orderkey") % 8 === 0)
+          .orderBy("o_orderkey").collect().map { r =>
+            val k = r.getLong(0)
+            avStr(k.toString) ++ zz(k) ++ zz(r.getLong(1)) ++
+              avDbl(r.getDouble(2) + 1000.0) ++ avStr(r.getString(3))
+          }.toSeq
         val log =
           logBlock(3, Seq(0 -> c2, 2 -> updSchema), avroContent(updRecs)) ++
-            logBlock(1, Seq(0 -> c3, 2 -> delSchema), avroContent(delRecs))
+            logBlock(1, Seq(0 -> c3, 2 -> delSchema), avroContent(delRecs)) ++
+            logBlock(3, Seq(0 -> c4, 2 -> updSchema),
+              avroContent(poisonRecs)) ++
+            logBlock(0, Seq(0 -> c5, 1 -> c4, 3 -> "0"),
+              Array.emptyByteArray)
         java.nio.file.Files.write(root.resolve(s"logs/.f-0_$c1.log.1"), log)
         writeStageMarker(out, fp)
       }

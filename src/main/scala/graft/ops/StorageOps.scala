@@ -3791,9 +3791,9 @@ object StorageOps {
     */
   final case class HudiLogBlock(
       file: String, block_seq: Long, block_type: String,
-      format_version: Long, instant: String, header_n: Long,
-      content_length: Long, record_count: Long, total_length: Long,
-      schema_json: String)
+      format_version: Long, instant: String, target_instant: String,
+      header_n: Long, content_length: Long, record_count: Long,
+      total_length: Long, schema_json: String, rolled_back: Boolean)
 
   final case class HudiLogRecord(
       file: String, block_seq: Long, block_type: String,
@@ -3824,6 +3824,21 @@ object StorageOps {
     * delete serialization varies by writer version — kryo lists
     * early, avro record lists later — so the reader standardizes on
     * the avro shape and says so here rather than guessing per file).
+    *
+    * ROLLBACK semantics, the part a naive walk gets wrong: a
+    * `:command` block carrying TARGET_INSTANT_TIME (header ordinal 1)
+    * invalidates every EARLIER block in the same file whose instant
+    * equals the target — that is how a failed write's blocks are
+    * fenced off without rewriting the log.  The walk is therefore
+    * two-phase: structure first (every block's framing must parse —
+    * a torn tail is a reject for the whole file), rollback marking,
+    * then record decode ONLY for live data/delete blocks (a
+    * rolled-back block's declared record count is surfaced from its
+    * content header, but its payload is never interpreted — it is
+    * exactly the bytes the rollback says not to trust).  Production
+    * Hudi additionally tolerates a torn FINAL block by magic-scan
+    * (CORRUPT_BLOCK); this reader keeps framing strict and says so.
+    *
     * Returns None on ANY structural violation — bounds, ordinal
     * range, map overrun, record under/over-consuming its span, or a
     * total-length disagreeing with the block size: reject, never
@@ -3832,7 +3847,12 @@ object StorageOps {
   private[graft] def hudiLogBlocksOf(
       file: String,
       b: Array[Byte]): Option[Vector[(HudiLogBlock, Vector[String])]] = {
-    val out = Vector.newBuilder[(HudiLogBlock, Vector[String])]
+    // phase 1: structural walk — framing, headers, content spans
+    final case class RawBlock(
+        seq: Long, btype: String, version: Long, instant: String,
+        target: String, schemaJson: String, headerN: Long,
+        cStart: Int, cEnd: Int, totalLen: Long)
+    val raw = Vector.newBuilder[RawBlock]
     var off = 0
     var seq = 0L
     while (off < b.length) {
@@ -3881,38 +3901,58 @@ object StorageOps {
       if (ftr._2 != blockEnd - 8) return None
       if (hudiBeI64(b, blockEnd - 8) != 14L + bsize) return None
       val headers = hdr._1.toMap
-      val btype = HudiLogBlockTypes(typeOrd)
-      val records: Vector[String] =
-        if (btype == "avro" || btype == ":delete") {
-          if (contentLen < 8L) return None
-          val cnt = hudiBeI32(b, cStart + 4)
-          if (cnt < 0 || cnt > 10000000) return None
-          val at = MultimodalOps.parseAvroSchema(headers.getOrElse(2, ""))
-            .getOrElse(return None)
-          var q = cStart + 8
-          val rb = Vector.newBuilder[String]
-          var j = 0
-          while (j < cnt) {
-            if (q + 4 > cEnd) return None
-            val sz = hudiBeI32(b, q)
-            q += 4
-            if (sz < 0 || sz > cEnd - q) return None
-            val v = MultimodalOps.avJsonValue(at, b, q, q + sz)
-              .getOrElse(return None)
-            if (v._2 != q + sz) return None
-            rb += v._1
-            q += sz
-            j += 1
-          }
-          if (q != cEnd) return None
-          rb.result()
-        } else Vector.empty
-      out += ((HudiLogBlock(file, seq, btype, version.toLong,
-        headers.getOrElse(0, ""), hdr._1.length.toLong, contentLen,
-        records.length.toLong, 14L + bsize,
-        headers.getOrElse(2, "")), records))
+      raw += RawBlock(seq, HudiLogBlockTypes(typeOrd), version.toLong,
+        headers.getOrElse(0, ""), headers.getOrElse(1, ""),
+        headers.getOrElse(2, ""), hdr._1.length.toLong,
+        cStart, cEnd, 14L + bsize)
       seq += 1
       off = blockEnd
+    }
+    val blocks = raw.result()
+    // phase 2: rollback marking — a later :command block's target
+    // instant kills every earlier block at that instant
+    def dead(blk: RawBlock): Boolean = blocks.exists(c =>
+      c.btype == ":command" && c.seq > blk.seq &&
+        c.target.nonEmpty && c.target == blk.instant)
+    // phase 3: record decode for LIVE data/delete blocks only
+    val out = Vector.newBuilder[(HudiLogBlock, Vector[String])]
+    for (blk <- blocks) {
+      val isRecords = blk.btype == "avro" || blk.btype == ":delete"
+      val contentLen = (blk.cEnd - blk.cStart).toLong
+      val rolledBack = dead(blk)
+      var declared = 0L
+      val records: Vector[String] =
+        if (isRecords) {
+          if (contentLen < 8L) return None
+          val cnt = hudiBeI32(b, blk.cStart + 4)
+          if (cnt < 0 || cnt > 10000000) return None
+          declared = cnt.toLong
+          if (rolledBack) Vector.empty
+          else {
+            val at = MultimodalOps.parseAvroSchema(blk.schemaJson)
+              .getOrElse(return None)
+            var q = blk.cStart + 8
+            val rb = Vector.newBuilder[String]
+            var j = 0
+            while (j < cnt) {
+              if (q + 4 > blk.cEnd) return None
+              val sz = hudiBeI32(b, q)
+              q += 4
+              if (sz < 0 || sz > blk.cEnd - q) return None
+              val v = MultimodalOps.avJsonValue(at, b, q, q + sz)
+                .getOrElse(return None)
+              if (v._2 != q + sz) return None
+              rb += v._1
+              q += sz
+              j += 1
+            }
+            if (q != blk.cEnd) return None
+            rb.result()
+          }
+        } else Vector.empty
+      out += ((HudiLogBlock(file, blk.seq, blk.btype, blk.version,
+        blk.instant, blk.target, blk.headerN, contentLen, declared,
+        blk.totalLen, blk.schemaJson, rolledBack), records))
     }
     Some(out.result())
   }

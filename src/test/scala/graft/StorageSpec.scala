@@ -1635,6 +1635,19 @@ class StorageSpec extends AnyFunSuite {
     assert(got(1)._1.instant == "t2" && got(1)._1.record_count == 2L)
     assert(got(1)._2 == Vector("""{"k":"a","v":7}""", """{"k":"b","v":-3}"""))
     assert(got(0)._1.header_n == 2L && got(0)._2.isEmpty)
+    // rollback fencing: a later :command block targeting t2 kills the
+    // data block's records (census keeps the declared count, records
+    // view goes empty) — and an untargeted block survives
+    val cmd2 = block(0, Seq(0 -> "t9", 1 -> "t2", 3 -> "0"),
+      Array.emptyByteArray)
+    val rolled = StorageOps.hudiLogBlocksOf("f", log ++ cmd2).get
+    assert(rolled(1)._1.rolled_back && rolled(1)._2.isEmpty &&
+      rolled(1)._1.record_count == 2L)
+    assert(!rolled(0)._1.rolled_back && rolled(2)._1.target_instant == "t2")
+    // a command BEFORE the block it would target fences nothing
+    // (rollback only reaches backward)
+    val early = StorageOps.hudiLogBlocksOf("f", cmd2 ++ log).get
+    assert(!early(2)._1.rolled_back && early(2)._2.length == 2)
     // strict rejects: truncation anywhere, wrong magic, bad ordinal,
     // total-length disagreement — all None, never a throw
     assert(StorageOps.hudiLogBlocksOf("f", log.dropRight(1)).isEmpty)
