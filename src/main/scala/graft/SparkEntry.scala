@@ -4469,6 +4469,15 @@ object SparkEntry {
         |   CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
         |  t(block_seq, block_type, format_version, instant,
         |    target_instant, header_n, record_count, rolled_back)""".stripMargin,
+    "q_hudi_mor_snapshot" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
+        |       o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice * 2
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 2 = 1
+        |   OR (o_orderkey % 2 = 0 AND o_orderkey % 20 <> 0)""".stripMargin,
     "q_hudi_mor_read" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
         |       o_orderkey, o_custkey,
@@ -9882,6 +9891,15 @@ object SparkEntry {
             col("rolled_back").cast("long").as("rolled_back"))
           .orderBy("block_seq")
       },
+      "q_hudi_mor_snapshot" -> { (s, dir) =>
+        // the FULL MOR table read: properties gate (MERGE_ON_READ) ->
+        // deltacommit timeline -> file slices -> one merged read over
+        // all slices; f-0 merges its four-block log (updates, deletes,
+        // rolled-back poison), f-1 passes through base-only
+        val root = stageHudiMorTable(s, dir)
+        graft.ops.StorageOps.hudiMorSnapshot(s, root)
+          .orderBy("o_orderkey")
+      },
       "q_hudi_mor_read" -> { (s, dir) =>
         // the MERGE_ON_READ snapshot: base file ⟕ broadcast(latest
         // log action per key) — c2's avro block doubles %12 keys'
@@ -10533,23 +10551,109 @@ object SparkEntry {
       out
     }
 
-  /** Stage a Hudi MERGE_ON_READ file slice: base file f-0 (rows with
-    * o_orderkey % 4 == 0, instant c1) plus a dot-prefixed log file
-    * carrying two blocks — an AVRO_DATA_BLOCK at c2 updating rows
-    * with o_orderkey % 12 == 0 (o_totalprice doubled) and a
-    * DELETE_BLOCK at c3 deleting keys with o_orderkey % 20 == 0.
-    * Keys divisible by 60 are updated THEN deleted, pinning the
-    * latest-action-wins merge order.  The log bytes come from an
-    * independent from-layout writer here (big-endian sizes, ordinal
-    * header maps, sized avro-binary records) so the reader decodes a
-    * foreign artifact, not its own serializer's output.
+  // ---- shared HoodieLogFormat byte writers (independent from-layout
+  // writer: big-endian sizes, ordinal header maps, sized avro-binary
+  // records — the reader decodes a foreign artifact, not its own
+  // serializer's output) ----
+  private def havZz(v: Long): Array[Byte] = {
+    var u = (v << 1) ^ (v >> 63)
+    val bb = Array.newBuilder[Byte]
+    var done = false
+    while (!done) {
+      val x = (u & 0x7f).toInt
+      u = u >>> 7
+      bb += (if (u != 0) x | 0x80 else x).toByte
+      done = u == 0
+    }
+    bb.result()
+  }
+  private def havStr(x: String): Array[Byte] = {
+    val by = x.getBytes("UTF-8"); havZz(by.length.toLong) ++ by
+  }
+  private def havDbl(d: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    Array.tabulate(8)(i => ((bits >>> (8 * i)) & 0xff).toByte)
+  }
+  private def hbe32(v: Int): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def hbe64(v: Long): Array[Byte] =
+    hbe32((v >>> 32).toInt) ++ hbe32(v.toInt)
+  private def havroContent(recs: Seq[Array[Byte]]): Array[Byte] =
+    hbe32(3) ++ hbe32(recs.length) ++
+      recs.flatMap(r => hbe32(r.length) ++ r)
+  private def hlogBlock(typeOrd: Int, headers: Seq[(Int, String)],
+      content: Array[Byte]): Array[Byte] = {
+    val hdrB = hbe32(headers.length) ++ headers.flatMap { case (o, v) =>
+      val vb = v.getBytes("UTF-8")
+      hbe32(o) ++ hbe32(vb.length) ++ vb
+    }
+    val body = hbe32(1) ++ hbe32(typeOrd) ++ hdrB ++
+      hbe64(content.length.toLong) ++ content ++ hbe32(0)
+    val bsize = body.length + 8L
+    "#HUDI#".getBytes("UTF-8") ++ hbe64(bsize) ++ body ++
+      hbe64(14L + bsize)
+  }
+  private val HudiUpdSchema: String =
+    """{"type":"record","name":"r","fields":[""" +
+      """{"name":"_hoodie_record_key","type":"string"},""" +
+      """{"name":"o_orderkey","type":"long"},""" +
+      """{"name":"o_custkey","type":"long"},""" +
+      """{"name":"o_totalprice","type":"double"},""" +
+      """{"name":"o_orderpriority","type":"string"}]}"""
+  private val HudiDelSchema: String =
+    """{"type":"record","name":"d","fields":[""" +
+      """{"name":"recordKey","type":"string"}]}"""
+
+  /** The four-block MOR delta log shared by the slice and table
+    * fixtures (every touched key is even, so the log applies to any
+    * base holding the even keys): c2 AVRO_DATA_BLOCK doubling %12
+    * keys' price, c3 DELETE_BLOCK dropping %20 keys, c4 POISON
+    * update (+1000 on %8 keys — would corrupt the merge), c5
+    * :command rollback fencing c4.  %60 keys pin update-then-delete
+    * ordering; the c4/c5 pair pins rollback fencing.
+    */
+  private def hudiMorLogBytes(orders: DataFrame): Array[Byte] = {
+    val c2 = "20240102000000"
+    val c3 = "20240103000000"
+    val c4 = "20240104000000"
+    val c5 = "20240105000000"
+    val updRecs = orders.filter(col("o_orderkey") % 12 === 0)
+      .orderBy("o_orderkey").collect().map { r =>
+        val k = r.getLong(0)
+        havStr(k.toString) ++ havZz(k) ++ havZz(r.getLong(1)) ++
+          havDbl(r.getDouble(2) * 2) ++ havStr(r.getString(3))
+      }.toSeq
+    val delRecs = orders.filter(col("o_orderkey") % 20 === 0)
+      .orderBy("o_orderkey").collect()
+      .map(r => havStr(r.getLong(0).toString)).toSeq
+    val poisonRecs = orders.filter(col("o_orderkey") % 8 === 0)
+      .orderBy("o_orderkey").collect().map { r =>
+        val k = r.getLong(0)
+        havStr(k.toString) ++ havZz(k) ++ havZz(r.getLong(1)) ++
+          havDbl(r.getDouble(2) + 1000.0) ++ havStr(r.getString(3))
+      }.toSeq
+    hlogBlock(3, Seq(0 -> c2, 2 -> HudiUpdSchema), havroContent(updRecs)) ++
+      hlogBlock(1, Seq(0 -> c3, 2 -> HudiDelSchema), havroContent(delRecs)) ++
+      hlogBlock(3, Seq(0 -> c4, 2 -> HudiUpdSchema),
+        havroContent(poisonRecs)) ++
+      hlogBlock(0, Seq(0 -> c5, 1 -> c4, 3 -> "0"), Array.emptyByteArray)
+  }
+
+  private def hudiMetaKeyed(df: DataFrame): DataFrame = df
+    .withColumn("_hoodie_record_key", col("o_orderkey").cast("string"))
+    .select(col("_hoodie_record_key"), col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+
+  /** Stage a single Hudi MOR file slice: base file f-0 (o_orderkey %
+    * 4 == 0 rows, instant c1) plus its dot-prefixed four-block delta
+    * log ([[hudiMorLogBytes]]).
     */
   private[graft] def stageHudiMorSlice(s: SparkSession, dir: String): String =
     stageLock.synchronized {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-hudimor-stage-$md"
-      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimor-v2")
+      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimor-v3")
       if (!stageUpToDate(out, fp)) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -10560,98 +10664,75 @@ object SparkEntry {
         java.nio.file.Files.createDirectories(root.resolve("base"))
         java.nio.file.Files.createDirectories(root.resolve("logs"))
         val c1 = "20240101000000"
-        val c2 = "20240102000000"
-        val c3 = "20240103000000"
         val orders = s.read.parquet(s"$dir/orders.parquet")
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_totalprice"), col("o_orderpriority"))
         stageSingleParquet(
-          orders.filter(col("o_orderkey") % 4 === 0)
-            .withColumn("_hoodie_record_key",
-              col("o_orderkey").cast("string"))
-            .select(col("_hoodie_record_key"), col("o_orderkey"),
-              col("o_custkey"), col("o_totalprice"),
-              col("o_orderpriority")),
+          hudiMetaKeyed(orders.filter(col("o_orderkey") % 4 === 0)),
           root.resolve(s"base/f-0_$c1.parquet"))
-        // avro-binary encoders (zigzag varint, len+utf8, LE double)
-        def zz(v: Long): Array[Byte] = {
-          var u = (v << 1) ^ (v >> 63)
-          val bb = Array.newBuilder[Byte]
-          var done = false
-          while (!done) {
-            val x = (u & 0x7f).toInt
-            u = u >>> 7
-            bb += (if (u != 0) x | 0x80 else x).toByte
-            done = u == 0
-          }
-          bb.result()
+        java.nio.file.Files.write(root.resolve(s"logs/.f-0_$c1.log.1"),
+          hudiMorLogBytes(orders))
+        writeStageMarker(out, fp)
+      }
+      out
+    }
+
+  /** Stage a FULL Hudi MERGE_ON_READ table root: hoodie.properties
+    * (MERGE_ON_READ), c1.deltacommit writing two base files (f-0 =
+    * even keys, f-1 = odd keys, one partition), c2.deltacommit
+    * writing f-0's delta log ([[hudiMorLogBytes]] — every touched
+    * key is even, so f-1 reads base-only).  The snapshot must merge
+    * f-0 with its log and pass f-1 through untouched.
+    */
+  private[graft] def stageHudiMorTable(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"/tmp/graft-hudimortbl-stage-$md"
+      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimortbl-v1")
+      if (!stageUpToDate(out, fp)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
         }
-        def avStr(x: String): Array[Byte] = {
-          val by = x.getBytes("UTF-8"); zz(by.length.toLong) ++ by
+        rm(new java.io.File(out))
+        val root = java.nio.file.Paths.get(out)
+        java.nio.file.Files.createDirectories(root.resolve(".hoodie"))
+        java.nio.file.Files.createDirectories(root.resolve("pt=0"))
+        val props = new java.util.Properties()
+        props.setProperty("hoodie.table.name", "graft_orders_mor")
+        props.setProperty("hoodie.table.type", "MERGE_ON_READ")
+        props.setProperty("hoodie.table.version", "6")
+        props.setProperty("hoodie.datasource.write.partitionpath.field", "pt")
+        val os = java.nio.file.Files.newOutputStream(
+          root.resolve(".hoodie/hoodie.properties"))
+        try props.store(os, "graft fixture") finally os.close()
+        val c1 = "20240101000000"
+        val c2 = "20240102000000"
+        val orders = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+        val rels = (0 until 2).map { g =>
+          val rel = s"pt=0/f-${g}_$c1.parquet"
+          val dest = root.resolve(rel)
+          stageSingleParquet(
+            hudiMetaKeyed(orders.filter(col("o_orderkey") % 2 === g)), dest)
+          (s"f-$g", rel, java.nio.file.Files.size(dest))
         }
-        def avDbl(d: Double): Array[Byte] = {
-          val bits = java.lang.Double.doubleToLongBits(d)
-          Array.tabulate(8)(i => ((bits >>> (8 * i)) & 0xff).toByte)
-        }
-        def be32(v: Int): Array[Byte] = Array(
-          (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
-        def be64(v: Long): Array[Byte] =
-          be32((v >>> 32).toInt) ++ be32(v.toInt)
-        val updSchema =
-          """{"type":"record","name":"r","fields":[""" +
-            """{"name":"_hoodie_record_key","type":"string"},""" +
-            """{"name":"o_orderkey","type":"long"},""" +
-            """{"name":"o_custkey","type":"long"},""" +
-            """{"name":"o_totalprice","type":"double"},""" +
-            """{"name":"o_orderpriority","type":"string"}]}"""
-        val delSchema =
-          """{"type":"record","name":"d","fields":[""" +
-            """{"name":"recordKey","type":"string"}]}"""
-        val updRecs = orders.filter(col("o_orderkey") % 12 === 0)
-          .orderBy("o_orderkey").collect().map { r =>
-            val k = r.getLong(0)
-            avStr(k.toString) ++ zz(k) ++ zz(r.getLong(1)) ++
-              avDbl(r.getDouble(2) * 2) ++ avStr(r.getString(3))
-          }.toSeq
-        val delRecs = orders.filter(col("o_orderkey") % 20 === 0)
-          .orderBy("o_orderkey").collect()
-          .map(r => avStr(r.getLong(0).toString)).toSeq
-        def avroContent(recs: Seq[Array[Byte]]): Array[Byte] =
-          be32(3) ++ be32(recs.length) ++
-            recs.flatMap(r => be32(r.length) ++ r)
-        def logBlock(typeOrd: Int, headers: Seq[(Int, String)],
-            content: Array[Byte]): Array[Byte] = {
-          val hdrB = be32(headers.length) ++ headers.flatMap {
-            case (o, v) =>
-              val vb = v.getBytes("UTF-8")
-              be32(o) ++ be32(vb.length) ++ vb
-          }
-          val body = be32(1) ++ be32(typeOrd) ++ hdrB ++
-            be64(content.length.toLong) ++ content ++ be32(0)
-          val bsize = body.length + 8L
-          "#HUDI#".getBytes("UTF-8") ++ be64(bsize) ++ body ++
-            be64(14L + bsize)
-        }
-        // blocks 3+4: a POISON update at c4 (would corrupt every %8
-        // key's price if merged) followed by a :command rollback
-        // targeting c4 — the failed-write fence; the merged read must
-        // come out exactly as if neither block existed
-        val c4 = "20240104000000"
-        val c5 = "20240105000000"
-        val poisonRecs = orders.filter(col("o_orderkey") % 8 === 0)
-          .orderBy("o_orderkey").collect().map { r =>
-            val k = r.getLong(0)
-            avStr(k.toString) ++ zz(k) ++ zz(r.getLong(1)) ++
-              avDbl(r.getDouble(2) + 1000.0) ++ avStr(r.getString(3))
-          }.toSeq
-        val log =
-          logBlock(3, Seq(0 -> c2, 2 -> updSchema), avroContent(updRecs)) ++
-            logBlock(1, Seq(0 -> c3, 2 -> delSchema), avroContent(delRecs)) ++
-            logBlock(3, Seq(0 -> c4, 2 -> updSchema),
-              avroContent(poisonRecs)) ++
-            logBlock(0, Seq(0 -> c5, 1 -> c4, 3 -> "0"),
-              Array.emptyByteArray)
-        java.nio.file.Files.write(root.resolve(s"logs/.f-0_$c1.log.1"), log)
+        val logRel = s"pt=0/.f-0_$c1.log.1"
+        java.nio.file.Files.write(root.resolve(logRel),
+          hudiMorLogBytes(orders))
+        def ws(fid: String, rel: String, sz: Long) =
+          s"""{"fileId":"$fid","path":"$rel","fileSizeInBytes":$sz}"""
+        java.nio.file.Files.write(root.resolve(s".hoodie/$c1.deltacommit"),
+          s"""{"partitionToWriteStats":{"pt=0":[${
+            rels.map(x => ws(x._1, x._2, x._3)).mkString(",")}]}}"""
+            .getBytes("UTF-8"))
+        java.nio.file.Files.write(root.resolve(s".hoodie/$c2.deltacommit"),
+          s"""{"partitionToWriteStats":{"pt=0":[${
+            ws("f-0", logRel,
+              java.nio.file.Files.size(root.resolve(logRel)))}]}}"""
+            .getBytes("UTF-8"))
         writeStageMarker(out, fp)
       }
       out

@@ -3658,8 +3658,31 @@ object StorageOps {
 
   def hudiTimelineState(
       spark: org.apache.spark.sql.SparkSession, timelineDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     import org.apache.spark.sql.expressions.Window
+    val (writes, replaces) = hudiTimelineActions(spark, timelineDir)
+    // a replacecommit REPLACES old groups and WRITES new ones in the
+    // same instant; the replaced ids and written ids are disjoint, so
+    // the is_write tiebreak only guards malformed timelines
+    val w = Window.partitionBy("partition", "file_id")
+      .orderBy(col("instant").desc, col("is_write").desc)
+    writes.unionByName(replaces)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_write") === 1)
+      .select(col("partition"), col("file_id"), col("path"), col("size"),
+        col("instant").as("instant_added"))
+  }
+
+  /** The shared timeline decode under [[hudiTimelineState]] and
+    * [[hudiFileSlices]]: list the completed commit files (explicitly
+    * — the `.hoodie` dir is dot-prefixed and hidden to Spark's
+    * FileIndex), parse them as one JSON doc per file with a corrupt-
+    * record gate (a silently dropped commit reads as data loss), and
+    * flatten to (write, replace) action frames.
+    */
+  private def hudiTimelineActions(
+      spark: org.apache.spark.sql.SparkSession,
+      timelineDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
     val writeStat = ArrayType(StructType(Seq(
       StructField("fileId", StringType),
       StructField("path", StringType),
@@ -3684,7 +3707,8 @@ object StorageOps {
     val commitFiles = tlFs.listStatus(tlPath).toSeq
       .filter { s =>
         val n = s.getPath.getName
-        s.isFile && (n.endsWith(".commit") || n.endsWith(".replacecommit"))
+        s.isFile && (n.endsWith(".commit") || n.endsWith(".replacecommit") ||
+          n.endsWith(".deltacommit")) // MOR timelines write deltacommits
       }
       .map(_.getPath.toString).sorted
     require(commitFiles.nonEmpty,
@@ -3698,7 +3722,8 @@ object StorageOps {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(commitFiles: _*)
       .withColumn("instant",
-        regexp_extract(input_file_name(), "(\\d+)\\.(?:replace)?commit$", 1)
+        regexp_extract(input_file_name(),
+          "(\\d+)\\.(?:replace|delta)?commit$", 1)
           .cast(LongType))
       // materialized before the corrupt-count: Spark (correctly)
       // refuses corrupt-record-only pruned scans over raw JSON, and
@@ -3730,16 +3755,84 @@ object StorageOps {
         lit(null).cast(StringType).as("path"),
         lit(null).cast(LongType).as("size"),
         lit(0).as("is_write"))
-    // a replacecommit REPLACES old groups and WRITES new ones in the
-    // same instant; the replaced ids and written ids are disjoint, so
-    // the is_write tiebreak only guards malformed timelines
-    val w = Window.partitionBy("partition", "file_id")
+    (writes, replaces)
+  }
+
+  /** MOR file-slice composition — the MERGE_ON_READ read-planning
+    * question [[hudiTimelineState]]'s latest-slice answer cannot
+    * express: a file group's readable state is its latest BASE file
+    * (a `.parquet` write — compaction moves this forward) plus EVERY
+    * `.log.` write at-or-after that base's instant.  One row per
+    * (partition, file group, kind ∈ base|log, path); groups whose
+    * latest action is a replace are dead and excluded, exactly as in
+    * the COW resolver.  Metadata economics throughout: the timeline
+    * is KBs per commit, two windows over file-group keys.
+    */
+  def hudiFileSlices(
+      spark: org.apache.spark.sql.SparkSession, timelineDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (writes, replaces) = hudiTimelineActions(spark, timelineDir)
+    val kinded = writes.withColumn("kind",
+      when(col("path").contains(".log."), lit("log")).otherwise(lit("base")))
+    // dead groups: latest action (write or replace) is a replace
+    val wAll = Window.partitionBy("partition", "file_id")
       .orderBy(col("instant").desc, col("is_write").desc)
-    writes.unionByName(replaces)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("is_write") === 1)
-      .select(col("partition"), col("file_id"), col("path"), col("size"),
-        col("instant").as("instant_added"))
+    val dead = kinded.select(col("instant"), col("partition"),
+        col("file_id"), col("is_write"))
+      .unionByName(replaces.select(col("instant"), col("partition"),
+        col("file_id"), col("is_write")))
+      .withColumn("rn", row_number().over(wAll))
+      .filter(col("rn") === 1 && col("is_write") === 0)
+      .select(col("partition"), col("file_id"))
+    // latest base per live group
+    val wBase = Window.partitionBy("partition", "file_id")
+      .orderBy(col("instant").desc)
+    val base = kinded.filter(col("kind") === "base")
+      .withColumn("rn", row_number().over(wBase))
+      .filter(col("rn") === 1)
+      .select(col("partition"), col("file_id"), col("kind"), col("path"),
+        col("size"), col("instant"))
+    // logs at-or-after their group's current base
+    val logs = kinded.filter(col("kind") === "log")
+      .join(base.select(col("partition"), col("file_id"),
+        col("instant").as("base_instant")), Seq("partition", "file_id"))
+      .filter(col("instant") >= col("base_instant"))
+      .select(col("partition"), col("file_id"), col("kind"), col("path"),
+        col("size"), col("instant"))
+    base.unionByName(logs)
+      .join(dead, Seq("partition", "file_id"), "left_anti")
+      .select(col("partition"), col("file_id"), col("kind"), col("path"),
+        col("size"), col("instant"))
+  }
+
+  /** Hudi MERGE_ON_READ snapshot at TABLE level — the full read
+    * chain, symmetric with [[hudiCowSnapshot]]: `hoodie.properties`
+    * gate (MERGE_ON_READ), timeline replay to file slices
+    * ([[hudiFileSlices]] — deltacommits carry the log-file writes),
+    * then ONE [[hudiMorRead]] over all slices' base + log files
+    * (record keys are unique across file groups, so the per-key
+    * merge never crosses groups).  The slice lists are driver-side
+    * metadata, same as every FileIndex; the data path inherits
+    * hudiMorRead's shape — base never shuffles, log side spreads,
+    * AQE picks the join.
+    */
+  def hudiMorSnapshot(
+      spark: org.apache.spark.sql.SparkSession, tableRoot: String): DataFrame = {
+    import spark.implicits._
+    val props = hudiTableProperties(spark, tableRoot)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val tt = props.getOrElse("hoodie.table.type", "")
+    require(tt == "MERGE_ON_READ",
+      s"hudiMorSnapshot: $tableRoot declares hoodie.table.type=$tt — " +
+        "COPY_ON_WRITE tables take the base-file-only hudiCowSnapshot")
+    val slices = hudiFileSlices(spark, s"$tableRoot/.hoodie")
+      .select(col("kind"), col("path")).as[(String, String)].collect()
+    val basePaths = slices.collect { case ("base", p) => s"$tableRoot/$p" }
+    val logPaths = slices.collect { case ("log", p) => s"$tableRoot/$p" }
+    require(basePaths.nonEmpty,
+      s"hudiMorSnapshot: $tableRoot has no live base files")
+    if (logPaths.isEmpty) spark.read.parquet(basePaths.toIndexedSeq: _*)
+    else hudiMorRead(spark, basePaths.toIndexedSeq, logPaths.toIndexedSeq)
   }
 
   /** Hudi COPY_ON_WRITE snapshot read — the table-level composition

@@ -1710,6 +1710,38 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("hudiFileSlices: compaction resets the log window; replaced groups die") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hudi-slices")
+    def commit(name: String, body: String): Unit = {
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes("UTF-8")); ()
+    }
+    def ws(fid: String, path: String) =
+      s"""{"fileId":"$fid","path":"$path","fileSizeInBytes":10}"""
+    // c1: f-0 base + first log; c2: second log; c3: COMPACTION writes
+    // a fresh base (the .commit) — the two earlier logs are absorbed
+    // into it and must leave the slice; c4: a post-compaction log
+    commit("1.deltacommit", s"""{"partitionToWriteStats":{"p":[${
+      ws("f-0", "p/f-0_1.parquet")},${ws("f-0", "p/.f-0_1.log.1")}]}}""")
+    commit("2.deltacommit", s"""{"partitionToWriteStats":{"p":[${
+      ws("f-0", "p/.f-0_1.log.2")}]}}""")
+    commit("3.commit", s"""{"partitionToWriteStats":{"p":[${
+      ws("f-0", "p/f-0_3.parquet")}]}}""")
+    commit("4.deltacommit", s"""{"partitionToWriteStats":{"p":[${
+      ws("f-0", "p/.f-0_3.log.1")},${ws("f-9", "p/f-9_4.parquet")}]}}""")
+    // c5: clustering replaces f-9 — it must vanish entirely
+    commit("5.replacecommit", s"""{"partitionToWriteStats":{"p":[${
+      ws("f-7", "p/f-7_5.parquet")}]},"partitionToReplaceFileIds":{"p":["f-9"]}}""")
+    val got = StorageOps.hudiFileSlices(spark, dir.toString)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      ("f-0", "base", "p/f-0_3.parquet"), // compacted base, not c1's
+      ("f-0", "log", "p/.f-0_3.log.1"),   // only the post-c3 log
+      ("f-7", "base", "p/f-7_5.parquet")), // f-9 replaced away
+      s"got $got")
+  }
+
   test("orcStripeFooterEncodings is TOTAL on arbitrary bytes (10k-trial fuzz)") {
     val rnd = new scala.util.Random(20260819)
     for (trial <- 0 until 10000) {
