@@ -4469,6 +4469,15 @@ object SparkEntry {
         |   CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
         |  t(block_seq, block_type, format_version, instant,
         |    target_instant, header_n, record_count, rolled_back)""".stripMargin,
+    "q_hudi_file_slices" ->
+      s"""SELECT * FROM (VALUES
+        |  ('pt=0', 'f-0', 'base', 'pt=0/f-0_20240101000000.parquet',
+        |   CAST(20240101000000 AS BIGINT)),
+        |  ('pt=0', 'f-0', 'log', 'pt=0/.f-0_20240101000000.log.1',
+        |   CAST(20240102000000 AS BIGINT)),
+        |  ('pt=0', 'f-1', 'base', 'pt=0/f-1_20240101000000.parquet',
+        |   CAST(20240101000000 AS BIGINT)))
+        |  t(partition, file_id, kind, path, instant)""".stripMargin,
     "q_hudi_mor_snapshot" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
         |       o_orderkey, o_custkey,
@@ -9890,6 +9899,15 @@ object SparkEntry {
             col("record_count"),
             col("rolled_back").cast("long").as("rolled_back"))
           .orderBy("block_seq")
+      },
+      "q_hudi_file_slices" -> { (s, dir) =>
+        // the MOR read-planning surface itself: latest base per file
+        // group + logs at-or-after it, from the deltacommit timeline
+        val root = stageHudiMorTable(s, dir)
+        graft.ops.StorageOps.hudiFileSlices(s, s"$root/.hoodie")
+          .select(col("partition"), col("file_id"), col("kind"),
+            col("path"), col("instant"))
+          .orderBy("file_id", "kind")
       },
       "q_hudi_mor_snapshot" -> { (s, dir) =>
         // the FULL MOR table read: properties gate (MERGE_ON_READ) ->
