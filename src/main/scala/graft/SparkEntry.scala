@@ -4466,7 +4466,11 @@ object SparkEntry {
         |    WHERE o_orderkey % 8 = 0), CAST(1 AS BIGINT)),
         |  (CAST(3 AS BIGINT), ':command', CAST(1 AS BIGINT),
         |   '20240105000000', '20240104000000', CAST(3 AS BIGINT),
-        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'parquet', CAST(1 AS BIGINT),
+        |   '20240106000000', '', CAST(1 AS BIGINT),
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderkey % 16 = 0), CAST(0 AS BIGINT)))
         |  t(block_seq, block_type, format_version, instant,
         |    target_instant, header_n, record_count, rolled_back)""".stripMargin,
     "q_hudi_file_slices" ->
@@ -4481,20 +4485,24 @@ object SparkEntry {
     "q_hudi_mor_snapshot" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
         |       o_orderkey, o_custkey,
-        |       CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice * 2
+        |       CASE WHEN o_orderkey % 16 = 0 THEN o_totalprice * 3
+        |            WHEN o_orderkey % 12 = 0 THEN o_totalprice * 2
         |            ELSE o_totalprice END AS o_totalprice,
         |       o_orderpriority
         |FROM orders
         |WHERE o_orderkey % 2 = 1
-        |   OR (o_orderkey % 2 = 0 AND o_orderkey % 20 <> 0)""".stripMargin,
+        |   OR (o_orderkey % 2 = 0
+        |       AND (o_orderkey % 20 <> 0 OR o_orderkey % 16 = 0))""".stripMargin,
     "q_hudi_mor_read" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
         |       o_orderkey, o_custkey,
-        |       CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice * 2
+        |       CASE WHEN o_orderkey % 16 = 0 THEN o_totalprice * 3
+        |            WHEN o_orderkey % 12 = 0 THEN o_totalprice * 2
         |            ELSE o_totalprice END AS o_totalprice,
         |       o_orderpriority
         |FROM orders
-        |WHERE o_orderkey % 4 = 0 AND o_orderkey % 20 <> 0""".stripMargin,
+        |WHERE o_orderkey % 4 = 0
+        |  AND (o_orderkey % 20 <> 0 OR o_orderkey % 16 = 0)""".stripMargin,
     "q_hudi_timeline_state" ->
       s"""WITH w AS (
         |  SELECT t, k, (2 * t + k) % 12 AS id
@@ -9912,7 +9920,7 @@ object SparkEntry {
       "q_hudi_mor_snapshot" -> { (s, dir) =>
         // the FULL MOR table read: properties gate (MERGE_ON_READ) ->
         // deltacommit timeline -> file slices -> one merged read over
-        // all slices; f-0 merges its four-block log (updates, deletes,
+        // all slices; f-0 merges its five-block log (updates, deletes,
         // rolled-back poison), f-1 passes through base-only
         val root = stageHudiMorTable(s, dir)
         graft.ops.StorageOps.hudiMorSnapshot(s, root)
@@ -10622,13 +10630,16 @@ object SparkEntry {
     """{"type":"record","name":"d","fields":[""" +
       """{"name":"recordKey","type":"string"}]}"""
 
-  /** The four-block MOR delta log shared by the slice and table
+  /** The five-block MOR delta log shared by the slice and table
     * fixtures (every touched key is even, so the log applies to any
     * base holding the even keys): c2 AVRO_DATA_BLOCK doubling %12
     * keys' price, c3 DELETE_BLOCK dropping %20 keys, c4 POISON
     * update (+1000 on %8 keys — would corrupt the merge), c5
-    * :command rollback fencing c4.  %60 keys pin update-then-delete
-    * ordering; the c4/c5 pair pins rollback fencing.
+    * :command rollback fencing c4, c6 PARQUET_DATA_BLOCK tripling
+    * %16 keys' price.  %60 keys pin update-then-delete ordering, the
+    * c4/c5 pair pins rollback fencing, %48 keys pin parquet-over-avro
+    * instant ordering, and %80 keys pin delete-then-upsert
+    * RESURRECTION across wire formats.
     */
   private def hudiMorLogBytes(orders: DataFrame): Array[Byte] = {
     val c2 = "20240102000000"
@@ -10650,11 +10661,26 @@ object SparkEntry {
         havStr(k.toString) ++ havZz(k) ++ havZz(r.getLong(1)) ++
           havDbl(r.getDouble(2) + 1000.0) ++ havStr(r.getString(3))
       }.toSeq
+    // block 5: PARQUET_DATA_BLOCK at c6 — the modern wide-table wire
+    // format; %16 keys' price tripled, overriding c2's %12 doubling on
+    // %48 keys and RESURRECTING %80 keys past c3's delete (latest
+    // action wins, across wire formats)
+    val c6 = "20240106000000"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hudi-pqblk")
+    val pqFile = tmp.resolve("blk.parquet")
+    stageSingleParquet(
+      hudiMetaKeyed(orders.filter(col("o_orderkey") % 16 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)),
+      pqFile)
+    val pqBytes = java.nio.file.Files.readAllBytes(pqFile)
+    java.nio.file.Files.delete(pqFile)
+    java.nio.file.Files.delete(tmp)
     hlogBlock(3, Seq(0 -> c2, 2 -> HudiUpdSchema), havroContent(updRecs)) ++
       hlogBlock(1, Seq(0 -> c3, 2 -> HudiDelSchema), havroContent(delRecs)) ++
       hlogBlock(3, Seq(0 -> c4, 2 -> HudiUpdSchema),
         havroContent(poisonRecs)) ++
-      hlogBlock(0, Seq(0 -> c5, 1 -> c4, 3 -> "0"), Array.emptyByteArray)
+      hlogBlock(0, Seq(0 -> c5, 1 -> c4, 3 -> "0"), Array.emptyByteArray) ++
+      hlogBlock(5, Seq(0 -> c6), pqBytes)
   }
 
   private def hudiMetaKeyed(df: DataFrame): DataFrame = df
@@ -10663,7 +10689,7 @@ object SparkEntry {
       col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
 
   /** Stage a single Hudi MOR file slice: base file f-0 (o_orderkey %
-    * 4 == 0 rows, instant c1) plus its dot-prefixed four-block delta
+    * 4 == 0 rows, instant c1) plus its dot-prefixed five-block delta
     * log ([[hudiMorLogBytes]]).
     */
   private[graft] def stageHudiMorSlice(s: SparkSession, dir: String): String =
@@ -10671,7 +10697,7 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-hudimor-stage-$md"
-      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimor-v3")
+      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimor-v4")
       if (!stageUpToDate(out, fp)) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -10707,7 +10733,7 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-hudimortbl-stage-$md"
-      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimortbl-v1")
+      val fp = stageFingerprint(s, dir, Seq("orders"), "hudimortbl-v2")
       if (!stageUpToDate(out, fp)) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)

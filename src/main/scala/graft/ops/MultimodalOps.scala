@@ -6476,7 +6476,7 @@ object MultimodalOps {
     * values and record field names — both originate in the untrusted
     * embedded writer schema / data, so both must escape identically.
     */
-  private def avJsonEscape(s: String): String = {
+  private[graft] def avJsonEscape(s: String): String = {
     // fast path: almost every real string needs no escaping, and the
     // per-char flatMap allocation showed up in the Hudi log-record
     // decode (millions of strings per log file) — scan first, build

@@ -4015,7 +4015,20 @@ object StorageOps {
       val rolledBack = dead(blk)
       var declared = 0L
       val records: Vector[String] =
-        if (isRecords) {
+        if (blk.btype == "parquet") {
+          // PARQUET_DATA_BLOCK: the content is a complete embedded
+          // parquet file — the modern wide-table wire format; same
+          // record_json contract as the avro arm, two formats one
+          // merge.  Rolled-back: bytes stay uninterpreted.
+          if (rolledBack) Vector.empty
+          else {
+            val (n, rows) = hudiParquetBlockRows(
+              java.util.Arrays.copyOfRange(b, blk.cStart, blk.cEnd))
+              .getOrElse(return None)
+            declared = n
+            rows
+          }
+        } else if (isRecords) {
           if (contentLen < 8L) return None
           val cnt = hudiBeI32(b, blk.cStart + 4)
           if (cnt < 0 || cnt > 10000000) return None
@@ -4049,6 +4062,124 @@ object StorageOps {
     }
     Some(out.result())
   }
+
+  /** In-memory [[org.apache.parquet.io.InputFile]] over a byte array
+    * — the PARQUET_DATA_BLOCK content of a Hudi log is a COMPLETE
+    * parquet file embedded in the block, and parquet-hadoop only
+    * reads through this interface.
+    */
+  private final class BytesInputFile(b: Array[Byte])
+      extends org.apache.parquet.io.InputFile {
+    override def getLength: Long = b.length.toLong
+    override def newStream(): org.apache.parquet.io.SeekableInputStream =
+      new org.apache.parquet.io.SeekableInputStream {
+        private val buf = java.nio.ByteBuffer.wrap(b)
+        override def getPos: Long = buf.position().toLong
+        override def seek(p: Long): Unit = buf.position(p.toInt)
+        override def read(): Int =
+          if (!buf.hasRemaining) -1 else buf.get() & 0xff
+        override def read(dst: Array[Byte], off: Int, len: Int): Int = {
+          if (!buf.hasRemaining) return -1
+          val n = math.min(len, buf.remaining())
+          buf.get(dst, off, n); n
+        }
+        override def read(dst: java.nio.ByteBuffer): Int = {
+          if (!buf.hasRemaining) return -1
+          val n = math.min(dst.remaining(), buf.remaining())
+          val slice = buf.slice(); slice.limit(n)
+          dst.put(slice); buf.position(buf.position() + n); n
+        }
+        override def readFully(dst: Array[Byte]): Unit =
+          readFully(dst, 0, dst.length)
+        override def readFully(dst: Array[Byte], off: Int, len: Int): Unit = {
+          if (buf.remaining() < len) throw new java.io.EOFException()
+          buf.get(dst, off, len); ()
+        }
+        override def readFully(dst: java.nio.ByteBuffer): Unit = {
+          if (buf.remaining() < dst.remaining())
+            throw new java.io.EOFException()
+          while (dst.hasRemaining) dst.put(buf.get())
+        }
+        override def close(): Unit = ()
+      }
+  }
+
+  /** Decode a PARQUET_DATA_BLOCK's content — one embedded parquet
+    * file — to (row count, rows as JSON text matching the avro
+    * blocks' record_json contract, field names from the parquet
+    * schema).  Flat primitive schemas only (the Hudi data-block
+    * shape); nested fields, INT96, or any parquet-hadoop decode
+    * failure → None — reject, never garble.  TOTAL on arbitrary
+    * bytes via the catch-all (parquet-hadoop throws freely on
+    * corrupt input; the walk must not).
+    */
+  private[graft] def hudiParquetBlockRows(
+      content: Array[Byte]): Option[(Long, Vector[String])] =
+    try {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        new BytesInputFile(content))
+      try {
+        val schema = rdr.getFooter.getFileMetaData.getSchema
+        import scala.jdk.CollectionConverters._
+        val fields = schema.getFields.asScala.toVector
+        if (fields.exists(!_.isPrimitive)) return None
+        // decimal-annotated primitives carry a scale the raw value
+        // walk below would silently drop (an INT64-backed DECIMAL
+        // would read as the unscaled long) — reject, never garble
+        if (fields.exists(f => f.getLogicalTypeAnnotation != null &&
+          f.getLogicalTypeAnnotation.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation
+              .DecimalLogicalTypeAnnotation])) return None
+        val out = Vector.newBuilder[String]
+        var total = 0L
+        var pages = rdr.readNextRowGroup()
+        while (pages != null) {
+          val recReader = new org.apache.parquet.io.ColumnIOFactory()
+            .getColumnIO(schema)
+            .getRecordReader(pages,
+              new org.apache.parquet.example.data.simple.convert
+                .GroupRecordConverter(schema))
+          var i = 0L
+          while (i < pages.getRowCount) {
+            val g = recReader.read()
+            val parts = Vector.newBuilder[String]
+            var f = 0
+            while (f < fields.length) {
+              val ft = fields(f).asPrimitiveType()
+              val v =
+                if (g.getFieldRepetitionCount(f) == 0) "null"
+                else ft.getPrimitiveTypeName match {
+                  case INT64 => g.getLong(f, 0).toString
+                  case INT32 => g.getInteger(f, 0).toString
+                  case DOUBLE => g.getDouble(f, 0).toString
+                  case FLOAT => g.getFloat(f, 0).toString
+                  case BOOLEAN => g.getBoolean(f, 0).toString
+                  case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                    if (ft.getLogicalTypeAnnotation != null &&
+                      ft.getLogicalTypeAnnotation.isInstanceOf[
+                        org.apache.parquet.schema.LogicalTypeAnnotation
+                          .StringLogicalTypeAnnotation])
+                      "\"" + MultimodalOps.avJsonEscape(
+                        g.getString(f, 0)) + "\""
+                    else
+                      "\"" + g.getBinary(f, 0).getBytes
+                        .map("%02x".format(_)).mkString + "\""
+                  case _ => return None // INT96 etc.
+                }
+              parts += "\"" + MultimodalOps.avJsonEscape(
+                fields(f).getName) + "\":" + v
+              f += 1
+            }
+            out += "{" + parts.result().mkString(",") + "}"
+            i += 1
+          }
+          total += pages.getRowCount
+          pages = rdr.readNextRowGroup()
+        }
+        Some((total, out.result()))
+      } finally rdr.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** List a file slice's log files explicitly: Hudi log files are
     * DOT-PREFIXED (`.<fileId>_<baseInstant>.log.<version>`), which
@@ -4161,7 +4292,9 @@ object StorageOps {
     // wall); the shuffle moves only the slim record strings
     val recs = DedupOps.registerPersist(hudiLogRecords(spark, logPaths))
       .repartition(spark.sparkContext.defaultParallelism)
-    val updates = recs.filter(col("block_type") === "avro")
+    // avro AND parquet data blocks: two wire formats, one record_json
+    // contract, one merge
+    val updates = recs.filter(col("block_type").isin("avro", "parquet"))
       .withColumn("payload", from_json(col("record_json"), base.schema))
       .select(col("payload").getField(keyCol).as("k"),
         col("instant"), col("block_seq"),

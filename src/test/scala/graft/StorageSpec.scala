@@ -1710,6 +1710,53 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("hudiParquetBlockRows: embedded-file decode round-trip, corrupt reject, fuzz TOTAL") {
+    import graft.ops.StorageOps
+    // a real parquet file (spark-written) as the block content
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqblk").toString
+    spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s",
+        "CAST(id AS DOUBLE) * 0.5 AS d",
+        "CASE WHEN id = 3 THEN NULL ELSE id * 2 END AS n")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val (n, rows) = StorageOps.hudiParquetBlockRows(bytes).get
+    assert(n == 5L && rows.length == 5)
+    // field names from the schema, nulls as JSON null, shortest
+    // round-trip doubles — the record_json contract
+    assert(rows.head == """{"id":0,"s":"0","d":0.0,"n":0}""")
+    assert(rows(3).contains(""""n":null"""))
+    // a decimal column's scale cannot survive the raw walk — reject
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-pqdec").toString
+    spark.range(3).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS dec")
+      .coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val decPart = new java.io.File(tmp2).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(StorageOps.hudiParquetBlockRows(
+      java.nio.file.Files.readAllBytes(decPart.toPath)).isEmpty)
+    // corrupt content (footer magic flipped) rejects, never throws
+    val bad = bytes.clone(); bad(bad.length - 1) = 'X'.toByte
+    assert(StorageOps.hudiParquetBlockRows(bad).isEmpty)
+    // fuzz: flips/truncations + junk buffers, TOTAL
+    val rnd = new scala.util.Random(20260820)
+    for (trial <- 0 until 300) {
+      val b =
+        if (trial % 2 == 0) {
+          val m = bytes.clone()
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            val i = rnd.nextInt(m.length)
+            m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          if (rnd.nextInt(3) == 0) m.take(rnd.nextInt(m.length)) else m
+        } else {
+          val m = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(m); m
+        }
+      try StorageOps.hudiParquetBlockRows(b)
+      catch { case e: Throwable => fail(s"pq block fuzz $trial threw: $e") }
+    }
+  }
+
   test("hudiFileSlices: compaction resets the log window; replaced groups die") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-hudi-slices")
