@@ -4441,8 +4441,22 @@ object SparkEntry {
     // live slices are argmax-instant per file group (k = id % 2 since
     // 2t is even), minus the clustering-replaced f-0/f-1, plus the
     // replacecommit's own writes
-    "q_hudi_cow_snapshot" ->
+    "q_hudi_incremental" ->
+      s"""SELECT '20240102000000' AS _hoodie_commit_time,
+        |       CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
+        |       'pt=0' AS _hoodie_partition_path,
+        |       o_orderkey, o_custkey,
+        |       o_totalprice + 1.5 AS o_totalprice,
+        |       o_orderpriority
+        |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin,
+    "q_hudi_read_optimized" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
+        |       o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders""".stripMargin,
+    "q_hudi_cow_snapshot" ->
+      s"""SELECT CASE WHEN o_orderkey % 4 = 1 THEN '20240102000000'
+        |            ELSE '20240101000000' END AS _hoodie_commit_time,
+        |       CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
         |       'pt=' || CAST(CASE WHEN o_orderkey % 4 < 2 THEN 0 ELSE 1 END
         |                     AS VARCHAR) AS _hoodie_partition_path,
         |       o_orderkey, o_custkey,
@@ -9881,6 +9895,23 @@ object SparkEntry {
         graft.ops.StorageOps.hudiTimelineState(s, staged)
           .orderBy("partition", "file_id")
       },
+      "q_hudi_incremental" -> { (s, dir) =>
+        // Hudi's signature read path: rows committed after c1 — file
+        // pruning from the timeline (only the c2-rewritten slice is
+        // scanned), then the _hoodie_commit_time row filter drops the
+        // carried-forward rows a partial rewrite would copy
+        val root = stageHudiCowTable(s, dir)
+        graft.ops.StorageOps.hudiIncremental(s, root, "20240101000000")
+          .orderBy("o_orderkey")
+      },
+      "q_hudi_read_optimized" -> { (s, dir) =>
+        // the MOR base-only path: log deltas deliberately skipped —
+        // the snapshot's updates/deletes/resurrections must all be
+        // ABSENT (staleness bounded by compaction is the contract)
+        val root = stageHudiMorTable(s, dir)
+        graft.ops.StorageOps.hudiReadOptimized(s, root)
+          .orderBy("o_orderkey")
+      },
       "q_hudi_cow_snapshot" -> { (s, dir) =>
         // the Hudi TABLE-level read: properties gate (COPY_ON_WRITE)
         // → timeline replay to live slices → scan exactly those base
@@ -10517,7 +10548,7 @@ object SparkEntry {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val out = s"/tmp/graft-hudicow-stage-$md"
-      val fp = stageFingerprint(s, dir, Seq("orders"), "hudicow-v1")
+      val fp = stageFingerprint(s, dir, Seq("orders"), "hudicow-v2")
       if (!stageUpToDate(out, fp)) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -10539,26 +10570,31 @@ object SparkEntry {
         val orders = s.read.parquet(s"$dir/orders.parquet")
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_totalprice"), col("o_orderpriority"))
-        def withMeta(df: DataFrame, pt: Int): DataFrame = df
+        def withMeta(df: DataFrame, pt: Int, ct: String): DataFrame = df
+          .withColumn("_hoodie_commit_time", lit(ct))
           .withColumn("_hoodie_record_key", col("o_orderkey").cast("string"))
           .withColumn("_hoodie_partition_path", lit(s"pt=$pt"))
-          .select(col("_hoodie_record_key"), col("_hoodie_partition_path"),
-            col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-            col("o_orderpriority"))
+          .select(col("_hoodie_commit_time"), col("_hoodie_record_key"),
+            col("_hoodie_partition_path"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
         val slices = (0 until 4).map { g =>
           val pt = if (g < 2) 0 else 1
           val rel = s"pt=$pt/f-${g}_$c1.parquet"
           val dest = root.resolve(rel)
           java.nio.file.Files.createDirectories(dest.getParent)
           stageSingleParquet(
-            withMeta(orders.filter(col("o_orderkey") % 4 === g), pt), dest)
+            withMeta(orders.filter(col("o_orderkey") % 4 === g), pt, c1),
+            dest)
           (s"pt=$pt", s"f-$g", rel, java.nio.file.Files.size(dest))
         }
+        // the c2 COW rewrite updates EVERY group-1 row, so every row
+        // of the new slice carries commit time c2 (unchanged rows in
+        // a real partial upsert would retain their original time)
         val rel2 = s"pt=0/f-1_$c2.parquet"
         val dest2 = root.resolve(rel2)
         stageSingleParquet(
           withMeta(orders.filter(col("o_orderkey") % 4 === 1)
-            .withColumn("o_totalprice", col("o_totalprice") + 1.5), 0),
+            .withColumn("o_totalprice", col("o_totalprice") + 1.5), 0, c2),
           dest2)
         def ws(fid: String, rel: String, sz: Long) =
           s"""{"fileId":"$fid","path":"$rel","fileSizeInBytes":$sz}"""

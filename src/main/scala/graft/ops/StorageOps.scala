@@ -3869,6 +3869,67 @@ object StorageOps {
     spark.read.parquet(live.map(p => s"$tableRoot/$p").toIndexedSeq: _*)
   }
 
+  /** Hudi INCREMENTAL read (COPY_ON_WRITE) — the third Hudi read
+    * path next to snapshot and read-optimized, and the one the
+    * format is named for: rows committed AFTER `beginInstant`.
+    * Two-level pruning, both essential at scale: (1) FILE level —
+    * only slices whose latest write instant is past the begin point
+    * are scanned at all (the timeline answers this from metadata, so
+    * an incremental poll of a 100 TB table reads only the churned
+    * file groups); (2) ROW level — a COW rewrite copies UNCHANGED
+    * rows forward into the new slice, so the scan filters on the
+    * `_hoodie_commit_time` meta column the writer stamps per row
+    * (instants are fixed-width digit strings, so the string compare
+    * is the numeric compare and pushes down to parquet).
+    */
+  def hudiIncremental(
+      spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+      beginInstant: String): DataFrame = {
+    import spark.implicits._
+    val props = hudiTableProperties(spark, tableRoot)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val tt = props.getOrElse("hoodie.table.type", "")
+    require(tt == "COPY_ON_WRITE",
+      s"hudiIncremental: $tableRoot declares hoodie.table.type=$tt — " +
+        "the MERGE_ON_READ incremental path must also replay log " +
+        "deltas and is not served here")
+    val changed = hudiTimelineState(spark, s"$tableRoot/.hoodie")
+      .filter(col("instant_added") > beginInstant.toLong)
+      .select(col("path")).as[String].collect()
+    if (changed.isEmpty)
+      // legitimate empty delta: same schema as the snapshot, no rows
+      hudiCowSnapshot(spark, tableRoot).limit(0)
+    else
+      spark.read.parquet(changed.map(p => s"$tableRoot/$p").toIndexedSeq: _*)
+        .filter(col("_hoodie_commit_time") > beginInstant)
+  }
+
+  /** Hudi READ-OPTIMIZED read (MERGE_ON_READ) — the second MOR read
+    * path: base files only, log deltas deliberately skipped.  The
+    * trade every MOR user makes daily: columnar-scan speed and no
+    * merge cost, at the price of staleness bounded by compaction
+    * frequency.  Properties-gated to MOR (on COW the snapshot IS
+    * read-optimized, so asking for this path there is a category
+    * error worth rejecting loudly).
+    */
+  def hudiReadOptimized(
+      spark: org.apache.spark.sql.SparkSession, tableRoot: String): DataFrame = {
+    import spark.implicits._
+    val props = hudiTableProperties(spark, tableRoot)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val tt = props.getOrElse("hoodie.table.type", "")
+    require(tt == "MERGE_ON_READ",
+      s"hudiReadOptimized: $tableRoot declares hoodie.table.type=$tt — " +
+        "read-optimized is the MOR base-only path (a COW snapshot is " +
+        "already base-only)")
+    val bases = hudiFileSlices(spark, s"$tableRoot/.hoodie")
+      .filter(col("kind") === "base")
+      .select(col("path")).as[String].collect()
+    require(bases.nonEmpty,
+      s"hudiReadOptimized: $tableRoot has no live base files")
+    spark.read.parquet(bases.map(p => s"$tableRoot/$p").toIndexedSeq: _*)
+  }
+
   /** `HoodieLogBlockType` ordinals as they appear on the wire —
     * command / delete / corrupt / avro-data / hfile-data /
     * parquet-data / cdc-data.

@@ -1757,6 +1757,29 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("hudi read paths: type gates reject the wrong table; empty incremental delta keeps schema") {
+    val cow = SparkEntry.stageHudiCowTable(spark, sf001)
+    val mor = SparkEntry.stageHudiMorTable(spark, sf001)
+    // category errors reject loudly
+    intercept[IllegalArgumentException] {
+      StorageOps.hudiIncremental(spark, mor, "0")
+    }
+    intercept[IllegalArgumentException] {
+      StorageOps.hudiReadOptimized(spark, cow)
+    }
+    intercept[IllegalArgumentException] {
+      StorageOps.hudiMorSnapshot(spark, cow)
+    }
+    intercept[IllegalArgumentException] {
+      StorageOps.hudiCowSnapshot(spark, mor)
+    }
+    // a begin instant past every commit is a LEGITIMATE empty delta —
+    // zero rows, snapshot schema intact (not a throw, not a null)
+    val empty = StorageOps.hudiIncremental(spark, cow, "20240102000000")
+    assert(empty.count() == 0L &&
+      empty.columns.contains("_hoodie_commit_time"))
+  }
+
   test("hudiFileSlices: compaction resets the log window; replaced groups die") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-hudi-slices")
