@@ -4441,6 +4441,13 @@ object SparkEntry {
     // live slices are argmax-instant per file group (k = id % 2 since
     // 2t is even), minus the clustering-replaced f-0/f-1, plus the
     // replacecommit's own writes
+    "q_hudi_archived_timeline" ->
+      s"""SELECT CAST(20231201000000 + t AS VARCHAR) AS commit_time,
+        |       CASE t % 3 WHEN 0 THEN 'commit'
+        |            WHEN 1 THEN 'deltacommit'
+        |            ELSE 'clean' END AS action_type
+        |FROM generate_series(0, 29) s(t)
+        |ORDER BY commit_time""".stripMargin,
     "q_hudi_incremental" ->
       s"""SELECT '20240102000000' AS _hoodie_commit_time,
         |       CAST(o_orderkey AS VARCHAR) AS _hoodie_record_key,
@@ -9895,6 +9902,14 @@ object SparkEntry {
         graft.ops.StorageOps.hudiTimelineState(s, staged)
           .orderBy("partition", "file_id")
       },
+      "q_hudi_archived_timeline" -> { (s, dir) =>
+        // the long-history half of the timeline: archived instants as
+        // HoodieLogFormat avro records — same wire walk as the MOR
+        // delta logs, typed projection on top
+        val arch = stageHudiArchive(dir)
+        graft.ops.StorageOps.hudiArchivedTimeline(s, arch)
+          .orderBy("commit_time")
+      },
       "q_hudi_incremental" -> { (s, dir) =>
         // Hudi's signature read path: rows committed after c1 — file
         // pruning from the timeline (only the c2-rewritten slice is
@@ -10755,6 +10770,37 @@ object SparkEntry {
         writeStageMarker(out, fp)
       }
       out
+    }
+
+  /** Stage an archived-timeline dir: three HoodieLogFormat segments
+    * (`commits_.archive.N`), each an AVRO_DATA_BLOCK of ten archived
+    * instants — commitTime 20231201000000+t, actionType cycling
+    * commit/deltacommit/clean — written by the shared independent
+    * log writer.  Corpus-independent: the oracle is closed-form
+    * generate_series arithmetic.
+    */
+  private[graft] def stageHudiArchive(dir: String): String =
+    stageLock.synchronized {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = java.nio.file.Paths.get(s"/tmp/graft-hudiarch-stage-$md")
+      java.nio.file.Files.createDirectories(out)
+      val schema =
+        """{"type":"record","name":"a","fields":[""" +
+          """{"name":"commitTime","type":"string"},""" +
+          """{"name":"actionType","type":"string"}]}"""
+      val actions = Vector("commit", "deltacommit", "clean")
+      (0 until 3).foreach { seg =>
+        val recs = (0 until 10).map { k =>
+          val t = seg * 10 + k
+          havStr((20231201000000L + t).toString) ++ havStr(actions(t % 3))
+        }
+        java.nio.file.Files.write(
+          out.resolve(s"commits_.archive.${seg + 1}"),
+          hlogBlock(3, Seq(0 -> s"arch$seg", 2 -> schema),
+            havroContent(recs)))
+      }
+      out.toString
     }
 
   /** Stage a FULL Hudi MERGE_ON_READ table root: hoodie.properties

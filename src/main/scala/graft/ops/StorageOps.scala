@@ -4257,10 +4257,42 @@ object StorageOps {
       val st = fs.getFileStatus(path)
       if (st.isDirectory)
         fs.listStatus(path).toSeq
-          .filter(s => s.isFile && s.getPath.getName.contains(".log."))
+          .filter { s =>
+            val n = s.getPath.getName
+            // slice delta logs AND archived-timeline segments — both
+            // are HoodieLogFormat streams, differently named
+            s.isFile && (n.contains(".log.") || n.contains(".archive"))
+          }
           .map(_.getPath.toString)
       else Seq(p)
     }.sorted
+
+  /** Hudi ARCHIVED timeline census — the long-history half the
+    * active `.hoodie/` replay points at: past the retention bound,
+    * instants move into `.hoodie/archived/` as HoodieLogFormat
+    * segments whose avro records describe the archived actions — the
+    * SAME wire format as the MOR delta logs, so this is
+    * [[hudiLogRecords]] plus a typed projection.  One row per
+    * archived instant: (commit_time, action_type).  Metadata
+    * economics: archive segments are KBs per thousand instants.
+    */
+  def hudiArchivedTimeline(
+      spark: org.apache.spark.sql.SparkSession, archiveDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("commitTime", StringType),
+      StructField("actionType", StringType)))
+    val recs = hudiLogRecords(spark, Seq(archiveDir))
+      .withColumn("a", from_json(col("record_json"), sch))
+    val bad = recs.filter(
+      col("a").isNull || col("a").getField("commitTime").isNull ||
+        col("a").getField("actionType").isNull).count()
+    require(bad == 0L,
+      s"hudiArchivedTimeline: $bad undecodable archived-instant " +
+        s"record(s) under $archiveDir — refusing a partial history")
+    recs.select(col("a").getField("commitTime").as("commit_time"),
+      col("a").getField("actionType").as("action_type"))
+  }
 
   private def hudiDecodedLogs(
       spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): org.apache.spark.sql.Dataset[
