@@ -3998,10 +3998,18 @@ object StorageOps {
     * total-length disagreeing with the block size: reject, never
     * garble.  TOTAL on arbitrary bytes (fuzz-pinned in StorageSpec).
     */
-  private[graft] def hudiLogBlocksOf(
-      file: String,
-      b: Array[Byte]): Option[Vector[(HudiLogBlock, Vector[String])]] = {
-    // phase 1: structural walk — framing, headers, content spans
+  private[graft] final case class HudiRawBlock(
+      seq: Long, btype: String, version: Long, instant: String,
+      target: String, schemaJson: String, headerN: Long,
+      cStart: Int, cEnd: Int, totalLen: Long, rolledBack: Boolean)
+
+  /** Phases 1+2 of the log walk, shared by [[hudiLogBlocksOf]] (the
+    * census/validation flavor) and [[hudiLogRecordChunks]] (the
+    * parallel-decode flavor) so rollback semantics cannot diverge:
+    * structural framing walk, then `:command` rollback marking.
+    */
+  private[graft] def hudiLogStructure(
+      b: Array[Byte]): Option[Vector[HudiRawBlock]] = {
     final case class RawBlock(
         seq: Long, btype: String, version: Long, instant: String,
         target: String, schemaJson: String, headerN: Long,
@@ -4068,12 +4076,21 @@ object StorageOps {
     def dead(blk: RawBlock): Boolean = blocks.exists(c =>
       c.btype == ":command" && c.seq > blk.seq &&
         c.target.nonEmpty && c.target == blk.instant)
+    Some(blocks.map(blk => HudiRawBlock(blk.seq, blk.btype, blk.version,
+      blk.instant, blk.target, blk.schemaJson, blk.headerN, blk.cStart,
+      blk.cEnd, blk.totalLen, dead(blk))))
+  }
+
+  private[graft] def hudiLogBlocksOf(
+      file: String,
+      b: Array[Byte]): Option[Vector[(HudiLogBlock, Vector[String])]] = {
+    val blocks = hudiLogStructure(b).getOrElse(return None)
     // phase 3: record decode for LIVE data/delete blocks only
     val out = Vector.newBuilder[(HudiLogBlock, Vector[String])]
     for (blk <- blocks) {
       val isRecords = blk.btype == "avro" || blk.btype == ":delete"
       val contentLen = (blk.cEnd - blk.cStart).toLong
-      val rolledBack = dead(blk)
+      val rolledBack = blk.rolledBack
       var declared = 0L
       val records: Vector[String] =
         if (blk.btype == "parquet") {
@@ -4332,19 +4349,149 @@ object StorageOps {
     hudiDecodedLogs(spark, paths).map(_._1).toDF()
   }
 
-  /** Record-level view of Hudi log files — one row per avro-records
+  /** A decodable span of one log block's records: `[from, until)`
+    * bytes of `path` holding `n` sized avro records (or, for a
+    * parquet block, the whole embedded file).  The unit of WITHIN-
+    * FILE decode parallelism.
+    */
+  private[graft] final case class HudiRecordChunk(
+      path: String, block_seq: Long, block_type: String, instant: String,
+      schema_json: String, from: Long, until: Long, n: Int)
+
+  /** Chunk a log file's LIVE record blocks into ~`targetRecs`-record
+    * spans.  The scan is framing-only — per record one i32 size read
+    * and a bounds check, no value decode — so it is cheap even on a
+    * 100 MB log, and it preserves the full walk's reject contract
+    * (any record escaping its block's span rejects the file).
+    * Parquet blocks are one indivisible chunk (the embedded file
+    * decodes as a unit).  Shares [[hudiLogStructure]], so rollback
+    * fencing is identical to the census walk.
+    */
+  private[graft] def hudiLogRecordChunks(
+      path: String, b: Array[Byte],
+      targetRecs: Int): Option[Vector[HudiRecordChunk]] = {
+    if (targetRecs <= 0) return None
+    val blocks = hudiLogStructure(b).getOrElse(return None)
+    val out = Vector.newBuilder[HudiRecordChunk]
+    for (blk <- blocks if !blk.rolledBack) {
+      if (blk.btype == "parquet") {
+        out += HudiRecordChunk(path, blk.seq, blk.btype, blk.instant,
+          blk.schemaJson, blk.cStart.toLong, blk.cEnd.toLong, -1)
+      } else if (blk.btype == "avro" || blk.btype == ":delete") {
+        if (blk.cEnd - blk.cStart < 8) return None
+        val cnt = hudiBeI32(b, blk.cStart + 4)
+        if (cnt < 0 || cnt > 10000000) return None
+        var q = blk.cStart + 8
+        var chunkStart = q
+        var inChunk = 0
+        var j = 0
+        while (j < cnt) {
+          if (q + 4 > blk.cEnd) return None
+          val sz = hudiBeI32(b, q)
+          if (sz < 0 || sz > blk.cEnd - q - 4) return None
+          q += 4 + sz
+          inChunk += 1
+          if (inChunk == targetRecs || j == cnt - 1) {
+            out += HudiRecordChunk(path, blk.seq, blk.btype, blk.instant,
+              blk.schemaJson, chunkStart.toLong, q.toLong, inChunk)
+            chunkStart = q
+            inChunk = 0
+          }
+          j += 1
+        }
+        if (q != blk.cEnd) return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Decode one chunk's records to JSON (the executor-side half of
+    * the parallel record reader).  Throws on malformed content — by
+    * the time a chunk exists the framing already validated, so a
+    * failure here is file corruption between the two reads and must
+    * be LOUD.
+    */
+  private[graft] def hudiDecodeChunk(
+      c: HudiRecordChunk, bytes: Array[Byte]): Vector[String] =
+    if (c.block_type == "parquet")
+      hudiParquetBlockRows(bytes).getOrElse(
+        sys.error(s"hudiDecodeChunk: embedded parquet block in " +
+          s"${c.path} block ${c.block_seq} undecodable"))._2
+    else {
+      val at = MultimodalOps.parseAvroSchema(c.schema_json).getOrElse(
+        sys.error(s"hudiDecodeChunk: bad block schema in ${c.path}"))
+      val rb = Vector.newBuilder[String]
+      var q = 0
+      var j = 0
+      while (j < c.n) {
+        if (q + 4 > bytes.length)
+          sys.error(s"hudiDecodeChunk: truncated chunk in ${c.path}")
+        val sz = hudiBeI32(bytes, q)
+        q += 4
+        val v = MultimodalOps.avJsonValue(at, bytes, q, q + sz).getOrElse(
+          sys.error(s"hudiDecodeChunk: undecodable record in ${c.path} " +
+            s"block ${c.block_seq}"))
+        if (v._2 != q + sz)
+          sys.error(s"hudiDecodeChunk: record span mismatch in ${c.path}")
+        rb += v._1
+        q += sz
+        j += 1
+      }
+      rb.result()
+    }
+
+  /** Record-level view of Hudi log files — one row per data/delete
     * block record, the block's instant alongside, the record itself
     * as JSON (decoded against the block header's embedded SCHEMA —
     * schemas can differ per block, so the typed interpretation
     * belongs to the caller holding the table schema).
+    *
+    * PARALLEL WITHIN A FILE — the part that matters when one slice's
+    * log has grown compaction-overdue: a framing-only chunk scan
+    * (one i32 per record, no value decode) splits each file's record
+    * blocks into ~64k-record spans, the chunk list (metadata, no
+    * bytes) re-spreads across the cluster, and each task ranged-reads
+    * and decodes ONLY its span.  A single 100 MB log therefore
+    * decodes at full parallelism instead of serializing one task —
+    * and downstream shuffles get many map tasks instead of one.
     */
   def hudiLogRecords(
       spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    hudiDecodedLogs(spark, paths).flatMap { case (blk, recs) =>
-      recs.map(r => HudiLogRecord(
-        blk.file, blk.block_seq, blk.block_type, blk.instant, r))
-    }.toDF()
+    val files = hudiListLogFiles(spark, paths)
+    require(files.nonEmpty,
+      s"hudiLogRecords: no log files under ${paths.mkString(",")}")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val chunks = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { f =>
+          val hp = new org.apache.hadoop.fs.Path(f)
+          val in = hp.getFileSystem(conf).open(hp)
+          val bytes = try in.readAllBytes() finally in.close()
+          hudiLogRecordChunks(f, bytes, 65536).getOrElse(
+            sys.error(s"hudiLogRecords: malformed Hudi log block " +
+              s"stream in $f — refusing to merge a partially-readable " +
+              "delta (a skipped block reads as silent data loss)"))
+        }
+      }
+    chunks
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { c =>
+          val hp = new org.apache.hadoop.fs.Path(c.path)
+          val in = hp.getFileSystem(conf).open(hp)
+          val span = new Array[Byte]((c.until - c.from).toInt)
+          try in.readFully(c.from, span, 0, span.length)
+          finally in.close()
+          hudiDecodeChunk(c, span).map(r => HudiLogRecord(
+            hp.getName, c.block_seq, c.block_type, c.instant, r))
+        }
+      }.toDF()
   }
 
   /** Hudi MERGE_ON_READ snapshot of one-or-more file slices: base
@@ -4383,8 +4530,14 @@ object StorageOps {
     // serially on however few files the slice has (the ×10 fixture's
     // single file put 2 M JSON parses on one core — 17 s of the 20 s
     // wall); the shuffle moves only the slim record strings
+    // persisted AND eagerly materialized: the update and delete
+    // branches sit in ONE job, and two subtrees racing to populate
+    // the same cold cache can both run the decode — the count pins
+    // the byte walk to exactly once.  Parallelism comes from the
+    // reader itself (chunk spans — see hudiLogRecords), so no extra
+    // repartition here.
     val recs = DedupOps.registerPersist(hudiLogRecords(spark, logPaths))
-      .repartition(spark.sparkContext.defaultParallelism)
+    recs.count()
     // avro AND parquet data blocks: two wire formats, one record_json
     // contract, one merge
     val updates = recs.filter(col("block_type").isin("avro", "parquet"))

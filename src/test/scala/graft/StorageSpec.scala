@@ -1757,6 +1757,49 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("hudiLogRecordChunks: chunked decode == monolithic walk; fuzz TOTAL") {
+    import graft.ops.StorageOps
+    // the staged five-block slice log (avro + delete + rolled-back
+    // poison + command + parquet) through BOTH readers
+    val slice = SparkEntry.stageHudiMorSlice(spark, sf001)
+    val logFile = new java.io.File(s"$slice/logs").listFiles()
+      .find(_.getName.contains(".log.")).get
+    val bytes = java.nio.file.Files.readAllBytes(logFile.toPath)
+    val mono = StorageOps.hudiLogBlocksOf("f", bytes).get
+      .flatMap { case (blk, recs) => recs.map((blk.block_seq, _)) }
+    // tiny chunk target forces MANY chunks — the split boundaries
+    // must be invisible in the reassembled record stream
+    val chunks = StorageOps.hudiLogRecordChunks(
+      logFile.toString, bytes, 7).get
+    assert(chunks.count(_.block_type == "parquet") == 1)
+    assert(chunks.count(_.block_type == "avro") > 2) // split happened
+    val reassembled = chunks.flatMap { c =>
+      val span = java.util.Arrays.copyOfRange(
+        bytes, c.from.toInt, c.until.toInt)
+      StorageOps.hudiDecodeChunk(c, span).map((c.block_seq, _))
+    }
+    assert(reassembled == mono)
+    // rolled-back blocks yield NO chunks (the fence reaches here too)
+    assert(!chunks.exists(_.instant == "20240104000000"))
+    // fuzz: the chunk scan is TOTAL on arbitrary bytes
+    val rnd = new scala.util.Random(20260821)
+    for (trial <- 0 until 1000) {
+      val b =
+        if (trial % 2 == 0) {
+          val m = bytes.clone()
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            val i = rnd.nextInt(m.length)
+            m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          if (rnd.nextInt(3) == 0) m.take(rnd.nextInt(m.length)) else m
+        } else {
+          val m = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(m); m
+        }
+      try StorageOps.hudiLogRecordChunks("f", b, 7)
+      catch { case e: Throwable => fail(s"chunk fuzz $trial threw: $e") }
+    }
+  }
+
   test("hudi read paths: type gates reject the wrong table; empty incremental delta keeps schema") {
     val cow = SparkEntry.stageHudiCowTable(spark, sf001)
     val mor = SparkEntry.stageHudiMorTable(spark, sf001)
