@@ -6053,21 +6053,26 @@ object SparkEntry {
     val staged = stagedDir
     val t1 = System.nanoTime()
     val name = s"stage_probe_${System.nanoTime()}"
-    val q = stream(staged)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try {
-      q.awaitTermination() // AvailableNow self-terminates when drained
-      val t2 = System.nanoTime()
-      s.table(name).count()
-      val t3 = System.nanoTime()
-      Seq("staging" -> (t1 - t0) / 1e9,
-        "stream_drain" -> (t2 - t1) / 1e9,
-        "materialize" -> (t3 - t2) / 1e9)
-    } finally {
-      q.stop()
-      s.catalog.dropTempView(name)
+    // same driver-side batch-listing discipline as the query runners
+    // (StreamingOps.withDriverSideBatchListing): the probe must time
+    // the path the query actually takes
+    graft.ops.StreamingOps.withDriverSideBatchListing(s, 16384) {
+      val q = stream(staged)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination() // AvailableNow self-terminates when drained
+        val t2 = System.nanoTime()
+        s.table(name).count()
+        val t3 = System.nanoTime()
+        Seq("staging" -> (t1 - t0) / 1e9,
+          "stream_drain" -> (t2 - t1) / 1e9,
+          "materialize" -> (t3 - t2) / 1e9)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
     }
   }
 

@@ -21,6 +21,42 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Run `body` (a start→drain of one file-source stream) with the
+    * session's parallel-listing threshold raised to `filesPerBatch`,
+    * restoring the prior value after.
+    *
+    * Why (r18 optimization, guide §2.4 "remove shuffles/jobs
+    * outright"): `FileStreamSource.getBatch` re-resolves its batch's
+    * file list through `DataSource.resolveRelation`, which re-stats
+    * every file path — paths the source's OWN listing already
+    * enumerated.  With the default
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` of 32,
+    * any batch over 32 files launches a Spark job with ONE TASK PER
+    * FILE just to re-stat known files: measured 8.2–8.7 s of a 9.0 s
+    * drain for a 5000-file landing zone (per-batch progress
+    * `durationMs.getBatch`), vs 0.25 s when the driver stats them
+    * directly.  The threshold is tied to `maxFilesPerTrigger` — the
+    * same knob that bounds in-flight bytes — so a production drain
+    * that raises its batch size keeps driver-side listing in step;
+    * on a store where per-file stats are high-latency (S3) a user
+    * lowers maxFilesPerTrigger and the threshold follows.  The conf
+    * is session-local and restored in `finally`; the streaming query
+    * clones the session at `start()`, so the raised value must be in
+    * place before `start()` — which wrapping the whole runner
+    * guarantees.
+    */
+  private[graft] def withDriverSideBatchListing[T](
+      spark: SparkSession, filesPerBatch: Int)(body: => T): T = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, math.max(32, filesPerBatch))
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Canonical post-normalization schema: `ts` is ns-since-epoch. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -290,18 +326,20 @@ object StreamingOps {
     // 100 MB-1 GB shards that means HUNDREDS, and the per-batch
     // machinery vanishes against the per-shard walk time.
     val name = s"shard_census_${System.nanoTime()}"
-    val q = shardCensusStream(spark, dir, maxFilesPerTrigger = 16384)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try {
-      q.awaitTermination() // AvailableNow self-terminates when drained
-      val out = spark.table(name).cache()
-      out.count()
-      out
-    } finally {
-      q.stop()
-      spark.catalog.dropTempView(name)
+    withDriverSideBatchListing(spark, 16384) {
+      val q = shardCensusStream(spark, dir, maxFilesPerTrigger = 16384)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination() // AvailableNow self-terminates when drained
+        val out = spark.table(name).cache()
+        out.count()
+        out
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
     }
   }
 
@@ -321,16 +359,17 @@ object StreamingOps {
     */
   def runShardCensusStreamToFiles(
       spark: SparkSession, dir: String, outDir: String,
-      checkpointDir: String, maxFilesPerTrigger: Int = 16384): Unit = {
-    val q = shardCensusStream(spark, dir, maxFilesPerTrigger)
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() // AvailableNow self-terminates when drained
-    finally q.stop()
-  }
+      checkpointDir: String, maxFilesPerTrigger: Int = 16384): Unit =
+    withDriverSideBatchListing(spark, maxFilesPerTrigger) {
+      val q = shardCensusStream(spark, dir, maxFilesPerTrigger)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() // AvailableNow self-terminates when drained
+      finally q.stop()
+    }
 
   /** Streaming flavor with watermark + event-time window (the idiom a
     * live source needs); memory-sink runner for tests/demo.
@@ -781,18 +820,20 @@ object StreamingOps {
     */
   def runWarcCdxStream(spark: SparkSession, dir: String): DataFrame = {
     val name = s"warc_cdx_${System.nanoTime()}"
-    val q = warcCdxStream(spark, dir, maxFilesPerTrigger = 16384)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try {
-      q.awaitTermination()
-      val out = spark.table(name).cache()
-      out.count()
-      out
-    } finally {
-      q.stop()
-      spark.catalog.dropTempView(name)
+    withDriverSideBatchListing(spark, 16384) {
+      val q = warcCdxStream(spark, dir, maxFilesPerTrigger = 16384)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val out = spark.table(name).cache()
+        out.count()
+        out
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
     }
   }
 }

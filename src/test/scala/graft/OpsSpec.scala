@@ -5153,6 +5153,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("drain runner: driver-side batch listing conf is scoped and restored") {
+    import spark.implicits._
+    import graft.ops.{MultimodalOps, StreamingOps}
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val docs = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val shards = MultimodalOps.synthesizeTarShard(docs, "doc_id", "text")
+      .collect()
+    val dir = java.nio.file.Files.createTempDirectory("landing-conf")
+    shards.foreach(s => java.nio.file.Files.write(
+      dir.resolve(s"shard-${s.id}.tar"), s.content))
+    // a caller-set prior value must survive the runner (restore, not unset)
+    spark.conf.set(key, 77)
+    val out = StreamingOps.runShardCensusStream(spark, dir.toString)
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.conf.get(key) == "77")
+    // and with NO prior value, the runner leaves the conf unset (default)
+    spark.conf.unset(key)
+    StreamingOps.runShardCensusStream(spark, dir.toString)
+    assert(spark.conf.getOption(key).forall(_ == "32"))
+  }
+
   test("streaming warc cdx: exactly-once per landed segment across waves") {
     import spark.implicits._
     import graft.ops.{MultimodalOps, StreamingOps}
