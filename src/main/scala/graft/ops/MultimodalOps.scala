@@ -40,6 +40,28 @@ object MultimodalOps {
   // executor.
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Spread a fixture-synthesis input across the cluster's cores
+    * before the per-row binary build (r18 optimization).  The
+    * synthesize* inputs are small parquet tables that arrive as ONE
+    * scan split (a 0.6 MB file is one 128 MB split), so the expensive
+    * per-row encoder map ran single-threaded regardless of core count
+    * — measured 1.6 s for 5000 Puffin rows on local[32], i.e. a
+    * 32-core machine doing 1-core work (guide §2.5 "input skew ...
+    * repartition immediately after the read").  Round-robin
+    * repartition with an EXPLICIT count (defaultParallelism) is used
+    * deliberately: AQE's partition coalescing would merge a tiny
+    * keyed shuffle right back to one partition (advisory size 64 MB),
+    * and an explicit-N repartition is exempt from coalescing.  The
+    * count rides `defaultParallelism` (total cores, any master), not
+    * a constant.  Fixture synthesis is the oracle-gate's staging
+    * step, bounded by the documents table — the decode operators
+    * downstream inherit this partitioning, which is exactly the
+    * fan-out they want.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame =
+    df.repartition(math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism))
+
   /** An opaque media row: the content bytes plus caller metadata. */
   final case class MediaRecord(id: Long, kind: String, content: Array[Byte])
 
@@ -820,7 +842,7 @@ object MultimodalOps {
     import df.sparkSession.implicits._
     // coalesce: a NULL text row must yield an all-padding (still valid)
     // image, not a NULL content that would poison the concat (ADVICE r05)
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         lit("image/bmp").as("kind"),
         concat(lit(bmpHeader(width, height)),
           substring(
@@ -861,7 +883,7 @@ object MultimodalOps {
       df: DataFrame, idCol: String, textCol: String,
       width: Int, height: Int): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         lit("image/png").as("kind"),
         concat(lit(pngHeader(width, height)),
           coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])))
@@ -918,7 +940,7 @@ object MultimodalOps {
       df: DataFrame, idCol: String, textCol: String,
       width: Int, height: Int, durationMs: Long): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         lit("video/mp4").as("kind"),
         concat(lit(mp4Header(width, height, durationMs)),
           coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])))
@@ -1032,7 +1054,7 @@ object MultimodalOps {
       df: DataFrame, idCol: String, textCol: String,
       width: Int, height: Int): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
       .as[(Long, Array[Byte])].map { case (id, text) =>
         val n = 1 + (id % 3).toInt
@@ -1475,7 +1497,7 @@ object MultimodalOps {
     */
   def synthesizeAvc1Mp4(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
       .as[(Long, Array[Byte])].map { case (id, text) =>
         val (profile, level) = avc1ProfileLevel(id)
@@ -1787,7 +1809,7 @@ object MultimodalOps {
       df: DataFrame, idCol: String, textCol: String,
       width: Int, height: Int): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
       .as[(Long, Array[Byte])].map { case (id, text) =>
         val nf = 1 + (id % 3).toInt
@@ -1833,7 +1855,7 @@ object MultimodalOps {
       df: DataFrame, idCol: String,
       channels: Int, samples: Int, sampleRate: Int, keyMod: Int): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       val k = id % keyMod
       val dataLen = channels * samples * 2
       def u16a(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
@@ -2077,7 +2099,7 @@ object MultimodalOps {
       df: DataFrame, idCol: String,
       w: Int, h: Int, keyMod: Int): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       val k = id % keyMod
       val px = new Array[Byte](3 * w * h)
       var i = 0
@@ -2252,7 +2274,7 @@ object MultimodalOps {
       df: DataFrame, idCol: String,
       w: Int, h: Int, keyMod: Int, quality: Float = 0.9f): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long]
       .map(id => jpegRecordOf(id, w, h, keyMod, quality))
   }
 
@@ -2394,7 +2416,7 @@ object MultimodalOps {
       df: DataFrame, idCol: String, w: Int, h: Int, keyMod: Int,
       nFrames: Int, quality: Float = 0.9f): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long]
       .map(id => mjpegRecordOf(id, w, h, keyMod, nFrames, quality))
   }
 
@@ -2732,7 +2754,7 @@ object MultimodalOps {
     */
   def synthesizeVp9Webm(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
       .as[(Long, Array[Byte])].map { case (id, text) =>
         val profile = (id % 4).toInt
@@ -3145,7 +3167,7 @@ object MultimodalOps {
     */
   def synthesizeAv1Webm(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol).cast("binary"), lit(Array.empty[Byte])).as("t"))
       .as[(Long, Array[Byte])].map { case (id, text) =>
         val profile = (id % 3).toInt
@@ -3340,7 +3362,7 @@ object MultimodalOps {
     */
   def synthesizeMp3(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -3433,7 +3455,7 @@ object MultimodalOps {
     */
   def synthesizeFlac(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -3537,7 +3559,7 @@ object MultimodalOps {
     */
   def synthesizeAac(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -3645,7 +3667,7 @@ object MultimodalOps {
     */
   def synthesizeMp3Vbr(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -3775,7 +3797,7 @@ object MultimodalOps {
     */
   def synthesizeOpus(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -4067,7 +4089,7 @@ object MultimodalOps {
 
   def synthesizeExifJpeg(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -4110,7 +4132,7 @@ object MultimodalOps {
   /** Per-row standalone TIFF synthesis: [[exifTiffBytes]] verbatim. */
   def synthesizeTiff(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long]
       .map(id => MediaRecord(id, "image/tiff", exifTiffBytes(id)))
   }
 
@@ -4166,7 +4188,7 @@ object MultimodalOps {
   /** Per-row standalone BigTIFF synthesis: [[exifBigTiffBytes]]. */
   def synthesizeBigTiff(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long]
       .map(id => MediaRecord(id, "image/tiff", exifBigTiffBytes(id)))
   }
 
@@ -4254,7 +4276,7 @@ object MultimodalOps {
     */
   def synthesizeVtt(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -4417,7 +4439,7 @@ object MultimodalOps {
     */
   def synthesizeMp3Id3(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -4608,7 +4630,7 @@ object MultimodalOps {
     */
   def synthesizeTarShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -4841,7 +4863,7 @@ object MultimodalOps {
     */
   def synthesizeSafetensors(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       val nt = 1 + (id % 4).toInt
       val cols = 3 + (id % 5).toInt
       val sb = new StringBuilder("{\"__metadata__\":{\"format\":\"pt\"},")
@@ -4951,7 +4973,7 @@ object MultimodalOps {
     */
   def synthesizeNpy(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       val Q = 0x27.toChar
       val descrs = Array("<f4", "<f2", "<i8")
       val descr = descrs((id % 3).toInt)
@@ -5068,7 +5090,7 @@ object MultimodalOps {
     */
   def synthesizeWebp(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -5186,7 +5208,7 @@ object MultimodalOps {
     */
   def synthesizeGif(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -5317,7 +5339,7 @@ object MultimodalOps {
     */
   def synthesizeVorbis(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -5548,7 +5570,7 @@ object MultimodalOps {
     */
   def synthesizeZipShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -5783,7 +5805,7 @@ object MultimodalOps {
     */
   def synthesizeGguf(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       val nt = 1 + (id % 3).toInt
       def u32a(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
         (v >> 16).toByte, (v >> 24).toByte)
@@ -5961,7 +5983,7 @@ object MultimodalOps {
     */
   def synthesizeAvro(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -6845,7 +6867,7 @@ object MultimodalOps {
     */
   def synthesizeIcebergManifest(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       def zig(v: Long): Array[Byte] = {
         var z = (v << 1) ^ (v >> 63)
         val out = Array.newBuilder[Byte]
@@ -6947,7 +6969,7 @@ object MultimodalOps {
     */
   def synthesizeIcebergManifestV2(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
       // Schema parse + writer once per partition, not per row
       val schema = new org.apache.avro.Schema.Parser()
         .parse(IcebergManifestV2Schema)
@@ -7081,7 +7103,7 @@ object MultimodalOps {
   def synthesizeIcebergV3DvManifest(
       df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long]
       .filter(_ % 2 == 0)
       .mapPartitions { it =>
         val schema = new org.apache.avro.Schema.Parser()
@@ -7194,7 +7216,7 @@ object MultimodalOps {
     */
   def synthesizeIcebergManifestListV2(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
       val schema = new org.apache.avro.Schema.Parser()
         .parse(IcebergManifestListV2Schema)
       val partItem = schema.getField("partitions").schema()
@@ -7401,7 +7423,7 @@ object MultimodalOps {
   def synthesizeIcebergManifestList(
       df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       def zig(v: Long): Array[Byte] = {
         var z = (v << 1) ^ (v >> 63)
         val out = Array.newBuilder[Byte]
@@ -7491,7 +7513,7 @@ object MultimodalOps {
   def synthesizeIcebergTableLists(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
       val ns = 1 + (id % 3).toInt
       (0 until ns).map { k =>
         val nm = 1 + ((id + k) % 2).toInt
@@ -7524,7 +7546,7 @@ object MultimodalOps {
   def synthesizeIcebergTableManifests(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].flatMap { id =>
       val ns = 1 + (id % 3).toInt
       for {
         k <- 0 until ns
@@ -7616,7 +7638,7 @@ object MultimodalOps {
     */
   def synthesizeTfRecordShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -7719,7 +7741,7 @@ object MultimodalOps {
     */
   def synthesizeAvif(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -7832,7 +7854,7 @@ object MultimodalOps {
     */
   def synthesizeHls(df: DataFrame, idCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       val nSegs = 1 + (id % 6).toInt
       val sb = new StringBuilder("#EXTM3U\n#EXT-X-VERSION:3\n")
       sb.append("#EXT-X-TARGETDURATION:").append(3 + id % 9).append('\n')
@@ -7915,7 +7937,7 @@ object MultimodalOps {
     */
   def synthesizeSrt(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -8265,7 +8287,7 @@ object MultimodalOps {
     */
   def synthesizeWetGz(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -8292,7 +8314,7 @@ object MultimodalOps {
     */
   def synthesizeWatGz(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long]
       .map { id =>
         val links = (0 until (1 + (id % 4)).toInt).map { k =>
           s"""{"path":"A@/href","url":"https://example.com/$id/out$k"}"""
@@ -8548,7 +8570,7 @@ object MultimodalOps {
     */
   def synthesizeWarcGzHttp(df: DataFrame, idCol: String, htmlCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(htmlCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, html) =>
@@ -8673,7 +8695,7 @@ object MultimodalOps {
   /** Per-row plain .warc shard synthesis (records concatenated). */
   def synthesizeWarc(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -8697,7 +8719,7 @@ object MultimodalOps {
   def synthesizeWarcRevisit(
       df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -8734,7 +8756,7 @@ object MultimodalOps {
     */
   def synthesizeWarcGz(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -8926,7 +8948,7 @@ object MultimodalOps {
     */
   def synthesizeEpub(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -9059,7 +9081,7 @@ object MultimodalOps {
     */
   def synthesizeJsonlShard(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -9185,7 +9207,7 @@ object MultimodalOps {
     */
   def synthesizeBgzf(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -9296,7 +9318,7 @@ object MultimodalOps {
     */
   def synthesizeSeekableZstd(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -10630,7 +10652,7 @@ object MultimodalOps {
 
   def synthesizePdf(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -10646,7 +10668,7 @@ object MultimodalOps {
     */
   def synthesizePdfEncrypted(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -10667,7 +10689,7 @@ object MultimodalOps {
     */
   def synthesizePdfText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -10767,7 +10789,7 @@ object MultimodalOps {
     */
   def synthesizePdfCid(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -10925,7 +10947,7 @@ object MultimodalOps {
     */
   def synthesizePdfXrs(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -11049,7 +11071,7 @@ object MultimodalOps {
     */
   def synthesizePdfIncremental(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -11197,7 +11219,7 @@ object MultimodalOps {
     */
   def synthesizeArrowIpc(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("t"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -11260,7 +11282,7 @@ object MultimodalOps {
     */
   def synthesizeWarcGzPages(df: DataFrame, idCol: String, htmlCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"),
+    spread(df).select(col(idCol).cast("long").as("id"),
         coalesce(col(htmlCol), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, html) =>

@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object StorageOps {
 
+  /** Fixture-synthesis fan-out — see [[MultimodalOps.spread]]. */
+  private def spread(df: DataFrame): DataFrame = MultimodalOps.spread(df)
+
   /** Hard cap on any single ORC tail read (postscript + footer).  A
     * real ORC footer is KBs-to-MBs; a corrupt postscript can declare
     * any varint, and the cap turns that into a clean reject instead
@@ -897,7 +900,7 @@ object StorageOps {
   def synthesizeDeltaDv(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long]
       .map { id =>
         val positions = scala.collection.mutable.ArrayBuffer.empty[Long]
         (0 to (id % 17).toInt).foreach(k => positions += k * 3L + id % 3)
@@ -1144,7 +1147,7 @@ object StorageOps {
   def synthesizePuffin(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long]
       .map { id =>
         val nBlobs = 1 + (id % 3).toInt
         val out = new java.io.ByteArrayOutputStream(512)
@@ -2996,7 +2999,7 @@ object StorageOps {
       df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+    spread(df).select(col(idCol).cast("long").as("id")).as[Long].map { id =>
       val ns = 1 + (id % 3).toInt
       val snaps = (0 until ns).map { k =>
         s"""{"snapshot-id":${3000 + id + k},""" +

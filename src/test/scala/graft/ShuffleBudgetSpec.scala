@@ -192,28 +192,47 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assert(mh == 0L, s"fused minhash signature wrote $mh shuffle bytes")
   }
 
+  /** Shuffle-write bytes of `parse` over a MATERIALIZED media frame.
+    * Since the r18 `MultimodalOps.spread` fan-out, synthesis itself
+    * carries one exchange of the small pre-synthesis input rows
+    * (id + text — never the built media bytes); the 100 TB pin is on
+    * the PARSE side: once media exists, the metadata walk must be a
+    * per-row projection with ZERO shuffle — real pipelines read media
+    * from storage (binaryFile), so an exchange in the parse chain is
+    * the one that would re-shuffle raw bytes at scale.
+    */
+  private def parseShuffleBytes[M, R](
+      media: org.apache.spark.sql.Dataset[M])(
+      parse: org.apache.spark.sql.Dataset[M] => org.apache.spark.sql.Dataset[R]): Long = {
+    val m = media.cache()
+    m.count()
+    val b = shuffleBytes {
+      parse(m).foreachPartition((_: Iterator[R]) => ())
+    }
+    m.unpersist()
+    b
+  }
+
   test("media metadata parsers are shuffle-free per-row projections") {
     // the r13 audio/EXIF census family (mp3/vbr/flac/aac/opus/exif) is
-    // claimed scan-bound: synthesize -> parse must write ZERO shuffle
-    // bytes — a regression that sneaks an exchange into the mapPartitions
+    // claimed scan-bound: the parse must write ZERO shuffle bytes —
+    // a regression that sneaks an exchange into the mapPartitions
     // chain would silently re-shuffle raw media at 100 TB
-    import spark.implicits._
     import graft.ops.MultimodalOps
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
       .select("doc_id", "text").cache()
     docs.count()
-    val b = shuffleBytes {
-      MultimodalOps.mp3Meta(MultimodalOps.synthesizeMp3(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.Mp3Meta]) => ())
-      MultimodalOps.flacMeta(MultimodalOps.synthesizeFlac(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.FlacMeta]) => ())
-      MultimodalOps.aacMeta(MultimodalOps.synthesizeAac(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.AacMeta]) => ())
-      MultimodalOps.opusMeta(MultimodalOps.synthesizeOpus(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.OpusMeta]) => ())
-      MultimodalOps.exifMeta(MultimodalOps.synthesizeExifJpeg(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.ExifMeta]) => ())
-    }
+    val b =
+      parseShuffleBytes(MultimodalOps.synthesizeMp3(docs, "doc_id", "text"))(
+        MultimodalOps.mp3Meta) +
+      parseShuffleBytes(MultimodalOps.synthesizeFlac(docs, "doc_id", "text"))(
+        MultimodalOps.flacMeta) +
+      parseShuffleBytes(MultimodalOps.synthesizeAac(docs, "doc_id", "text"))(
+        MultimodalOps.aacMeta) +
+      parseShuffleBytes(MultimodalOps.synthesizeOpus(docs, "doc_id", "text"))(
+        MultimodalOps.opusMeta) +
+      parseShuffleBytes(MultimodalOps.synthesizeExifJpeg(docs, "doc_id", "text"))(
+        MultimodalOps.exifMeta)
     docs.unpersist()
     assert(b == 0L, s"media metadata chain wrote $b shuffle bytes")
   }
@@ -223,33 +242,33 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // avif), the vorbis page walk, the shard family (zip/tfrecord/
     // avro), the text manifests (srt/hls), and the zstd ratio —
     // synthesize -> parse writes ZERO shuffle bytes
-    import spark.implicits._
     import graft.ops.MultimodalOps
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
       .select("doc_id", "text").cache()
     docs.count()
-    val b = shuffleBytes {
-      MultimodalOps.webpMeta(MultimodalOps.synthesizeWebp(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.WebpMeta]) => ())
-      MultimodalOps.gifMeta(MultimodalOps.synthesizeGif(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.GifMeta]) => ())
-      MultimodalOps.avifMeta(MultimodalOps.synthesizeAvif(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.AvifMeta]) => ())
-      MultimodalOps.vorbisMeta(MultimodalOps.synthesizeVorbis(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.VorbisMeta]) => ())
-      MultimodalOps.zipMembers(MultimodalOps.synthesizeZipShard(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.ZipMember]) => ())
-      MultimodalOps.tfRecords(MultimodalOps.synthesizeTfRecordShard(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.TfRecordMeta]) => ())
-      MultimodalOps.avroBlocks(MultimodalOps.synthesizeAvro(docs, "doc_id", "text"))
-        .foreachPartition((_: Iterator[MultimodalOps.AvroBlock]) => ())
-      MultimodalOps.srtCues(MultimodalOps.synthesizeSrt(docs, "doc_id", "text"), "id", "srt")
-        .foreachPartition((_: Iterator[MultimodalOps.SrtCue]) => ())
-      MultimodalOps.hlsSegments(MultimodalOps.synthesizeHls(docs, "doc_id"), "id", "m3u8")
-        .foreachPartition((_: Iterator[MultimodalOps.HlsSegment]) => ())
-      graft.ops.TextOps.zstdCompressionRatio(docs, "doc_id", "text")
-        .foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-    }
+    val b =
+      parseShuffleBytes(MultimodalOps.synthesizeWebp(docs, "doc_id", "text"))(
+        MultimodalOps.webpMeta) +
+      parseShuffleBytes(MultimodalOps.synthesizeGif(docs, "doc_id", "text"))(
+        MultimodalOps.gifMeta) +
+      parseShuffleBytes(MultimodalOps.synthesizeAvif(docs, "doc_id", "text"))(
+        MultimodalOps.avifMeta) +
+      parseShuffleBytes(MultimodalOps.synthesizeVorbis(docs, "doc_id", "text"))(
+        MultimodalOps.vorbisMeta) +
+      parseShuffleBytes(MultimodalOps.synthesizeZipShard(docs, "doc_id", "text"))(
+        MultimodalOps.zipMembers) +
+      parseShuffleBytes(MultimodalOps.synthesizeTfRecordShard(docs, "doc_id", "text"))(
+        MultimodalOps.tfRecords) +
+      parseShuffleBytes(MultimodalOps.synthesizeAvro(docs, "doc_id", "text"))(
+        MultimodalOps.avroBlocks) +
+      parseShuffleBytes(MultimodalOps.synthesizeSrt(docs, "doc_id", "text"))(
+        MultimodalOps.srtCues(_, "id", "srt")) +
+      parseShuffleBytes(MultimodalOps.synthesizeHls(docs, "doc_id"))(
+        MultimodalOps.hlsSegments(_, "id", "m3u8")) +
+      shuffleBytes {
+        graft.ops.TextOps.zstdCompressionRatio(docs, "doc_id", "text")
+          .foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      }
     docs.unpersist()
     assert(b == 0L, s"r14 census chain wrote $b shuffle bytes")
   }
