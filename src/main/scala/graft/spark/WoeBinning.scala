@@ -83,9 +83,10 @@ object WoeBinning {
       def where(r: Row) =
         s"(variable '$variable', value ${if (r.isNullAt(1)) "null" else r.getDouble(1)})"
       // single driver pass: domain/null guards, NaN split, tuple build
-      // and a sortedness check all fused — the collect is presorted when
-      // sufficientStats' Spark-side orderBy ran, so the O(n log n)
-      // driver sort only fires for ad-hoc callers with unsorted rows
+      // and a sortedness check all fused — a presorted input (ad-hoc
+      // callers that ordered upstream) skips the O(n log n) driver sort;
+      // the engine's own collects arrive unsorted by design (r18: the
+      // range-sort exchange cost more than this in-memory sort)
       val groupsB = Vector.newBuilder[(Double, Long, Long)]
       groupsB.sizeHint(vr.length)
       var nanCount = 0L; var nanTsum = 0L
@@ -114,7 +115,22 @@ object WoeBinning {
         i += 1
       }
       val built = groupsB.result()
-      val groups = if (presorted) built else built.sortBy(_._1)
+      // fallback sort tuned for the near-unique case (r18): 583k
+      // boxed-tuple `sortBy` cost ~0.5 s at sf0.1; Arrays.sort with a
+      // direct primitive-field comparator over the one materialized
+      // array cuts the constant (values are unique per variable after
+      // the groupBy, so the order — hence the fit — is identical)
+      val groups =
+        if (presorted) built
+        else {
+          val arr = built.toArray
+          java.util.Arrays.sort(arr,
+            new java.util.Comparator[(Double, Long, Long)] {
+              def compare(a: (Double, Long, Long), b: (Double, Long, Long)): Int =
+                java.lang.Double.compare(a._1, b._1)
+            })
+          arr.toVector
+        }
       variable -> Kernels.VarStats(variable, groups, nanCount, nanTsum,
         nanCount + valCnt, nanTsum + valTsum)
     }
@@ -126,11 +142,15 @@ object WoeBinning {
       inputCols: Seq[String],
       maxDistinct: Option[Int] = None): Map[String, Kernels.VarStats] = {
     val base = maxDistinct.map(m => preBin(df, inputCols, m)).getOrElse(df)
-    // Spark-side sort: the kernels need per-variable value-sorted groups
-    // anyway, and a distributed range-partitioned sort beats re-sorting
-    // the collected O(distinct) rows on one driver thread
-    statsFromRows(
-      statsAggregation(base, targetCol, inputCols).orderBy("variable", "value").collect())
+    // collect UNSORTED and sort on the driver (r18, reversing the r-early
+    // Spark-side orderBy): measured at sf0.1's 583k-distinct column, the
+    // range-sort exchange added 0.55-0.9 s to the agg+collect while the
+    // driver fallback sort in statsFromRows costs ~0.3 s — the cluster
+    // sort pays a full extra shuffle of the O(distinct) rows (sampling +
+    // range exchange) to save a cheaper in-memory sort.  statsFromRows
+    // produces identical per-variable groups either way (values are
+    // unique within a variable), so the fit is bit-identical.
+    statsFromRows(statsAggregation(base, targetCol, inputCols).collect())
   }
 
   /** One variable's bins from its collected stats — the per-variable
@@ -262,11 +282,12 @@ object WoeBinning {
         sum(when(isnan(col("traw")) ||
             (col("traw") =!= 0.0 && col("traw") =!= 1.0), 1L)
           .otherwise(0L)).as("tbad"))
-      .orderBy("grp", "variable", "value")
-      .collect()
+      .collect() // unsorted: statsFromRows' driver sort (see
+      // sufficientStats) — the keyed range-sort exchange costs more
+      // than sorting the O(distinct) rows in memory
     grouped.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (g, rows) =>
       // strip the segment key → the exact row shape statsFromRows
-      // consumes; rows stay (variable, value)-sorted within a segment
+      // consumes; statsFromRows sorts each variable's values itself
       val stats = statsFromRows(rows.map(r => Row.fromSeq(r.toSeq.drop(1))))
       val n = stats.valuesIterator.map(_.totalRows).maxOption.getOrElse(0L)
       val nThr = opts.nThreshold.getOrElse(math.ceil(n.toDouble / 20.0))
@@ -331,13 +352,15 @@ object WoeBinning {
       .where(col("value").isNotNull && !isnan(col("value")))
       .groupBy("variable", "value")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("variable", "value")
-      .collect()
+      .collect() // unsorted collect + driver sort (see sufficientStats)
     val byVar = grouped.groupBy(_.getString(0))
     cols.map { c =>
       c -> byVar.get(c).fold(Double.NaN) { rows =>
+        // exactMedian walks groups in ascending-value order; values are
+        // unique per variable after the groupBy so this sort is total
         Kernels.exactMedian(
-          rows.iterator.map(r => (r.getDouble(1), r.getLong(2), 0L)).toVector)
+          rows.iterator.map(r => (r.getDouble(1), r.getLong(2), 0L))
+            .toVector.sortBy(_._1))
       }
     }.toMap
   }
