@@ -39,6 +39,10 @@ object FitProbe {
           .collect()
       }
       time("statsFromRows (driver sort)")(WoeBinning.statsFromRows(rowsU))
+      time("stats agg+collect (spread scan)") {
+        WoeBinning.statsAggregation(
+          df.repartition(32), "target", Seq("extendedprice")).collect()
+      }
       println(s"[fit] collected rows: ${rows.length}")
       val stats = time("statsFromRows")(WoeBinning.statsFromRows(rows))
       val s = stats("extendedprice")

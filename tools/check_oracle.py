@@ -56,7 +56,8 @@ for name, sql in sorted(oracle.items()):
             break
     if bad:
         c, i, g, e = bad
-        exact = "EXACT-MISMATCH-ONLY" if abs(g - e) <= 1e-9 * max(1.0, abs(g), abs(e)) else ""
+        numeric = isinstance(g, (int, float)) and isinstance(e, (int, float))
+        exact = "EXACT-MISMATCH-ONLY" if numeric and abs(g - e) <= 1e-9 * max(1.0, abs(g), abs(e)) else ""
         print(f"FAIL {name}: col {c} row {i}: spark={g!r} duckdb={e!r} {exact}")
         fails += 1
     else:
