@@ -58,9 +58,25 @@ object MultimodalOps {
     * downstream inherit this partitioning, which is exactly the
     * fan-out they want.
     */
-  private[graft] def spread(df: DataFrame): DataFrame =
-    df.repartition(math.max(1,
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    // idempotence: a caller that already round-robin-repartitioned the
+    // input (directly or under narrow Filter/Project wrappers) has done
+    // the fan-out — re-exchanging per synthesize call would pay one
+    // tiny shuffle PER ARM in mixed-corpus queries (q_media_sniff's
+    // nine filtered arms measured +0.3-0.75 s from nine exchanges).
+    // Only explicit round-robin Repartition matches; keyed/range
+    // repartitions serve other purposes and still get the fan-out.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def alreadySpread(p: LogicalPlan): Boolean = p match {
+      case r: Repartition => r.shuffle
+      case f: Filter => alreadySpread(f.child)
+      case pr: Project => alreadySpread(pr.child)
+      case _ => false
+    }
+    if (alreadySpread(df.queryExecution.analyzed)) df
+    else df.repartition(math.max(1,
       df.sparkSession.sparkContext.defaultParallelism))
+  }
 
   /** An opaque media row: the content bytes plus caller metadata. */
   final case class MediaRecord(id: Long, kind: String, content: Array[Byte])

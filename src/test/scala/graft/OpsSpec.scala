@@ -5174,6 +5174,31 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.conf.getOption(key).forall(_ == "32"))
   }
 
+  test("synthesis spread is idempotent under an explicit round-robin fan-out") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    def nRoundRobin(df: org.apache.spark.sql.Dataset[_]): Int =
+      df.queryExecution.analyzed.collect { case r: Repartition => r }.size
+    // un-spread input: synthesize adds its own fan-out
+    assert(nRoundRobin(MultimodalOps.synthesizeMp3(docs, "doc_id", "text")) == 1)
+    // caller already fanned out (the q_media_sniff shape: Filter over
+    // an explicit repartition): synthesize must NOT add a second one
+    val pre = docs.repartition(4).filter(col("doc_id") % 2 === 1)
+    assert(nRoundRobin(MultimodalOps.synthesizeMp3(pre, "doc_id", "text")) == 1)
+    // a RANGE repartition serves ordering, not fan-out — spread still applies
+    val ranged = docs.repartitionByRange(2, col("doc_id"))
+    assert(nRoundRobin(MultimodalOps.synthesizeMp3(ranged, "doc_id", "text")) == 1)
+    // and the content is unchanged either way
+    val a = MultimodalOps.synthesizeMp3(docs, "doc_id", "text")
+      .collect().map(r => (r.id, r.content.toSeq)).sortBy(_._1)
+    val b = MultimodalOps.synthesizeMp3(docs.repartition(4), "doc_id", "text")
+      .collect().map(r => (r.id, r.content.toSeq)).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("streaming warc cdx: exactly-once per landed segment across waves") {
     import spark.implicits._
     import graft.ops.{MultimodalOps, StreamingOps}
