@@ -73,7 +73,8 @@ object MultimodalOps {
       case pr: Project => alreadySpread(pr.child)
       case _ => false
     }
-    if (alreadySpread(df.queryExecution.analyzed)) df
+    if (!sys.props.contains("graft.spread.force") &&
+      alreadySpread(df.queryExecution.analyzed)) df
     else df.repartition(math.max(1,
       df.sparkSession.sparkContext.defaultParallelism))
   }
