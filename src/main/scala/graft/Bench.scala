@@ -158,8 +158,30 @@ object Bench {
         }
       }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    // per-query contention flags, promoted from the durable file into
+    // the one-line JSON (VERDICT r18 ask #2): a PERF comparison can
+    // separate host smear from real regression without replaying the
+    // board — r18 burned 13 false "regressed" rows on exactly this
+    // slowest-first and capped like the queries slice, so a fully
+    // contended host (291 flagged names ≈ 5 KB) cannot push the line
+    // past the driver's capture window; the durable file still carries
+    // every flag
+    val contendedAll = results
+      .collect { case (k, ts) if contended(ts.map(_._3), cpus.toInt) =>
+        k -> median(ts.map(_._1)) }
+      .sortBy(-_._2).map(_._1)
+    val contendedShown = {
+      val b = scala.collection.mutable.ListBuffer.empty[String]
+      var len = 2
+      contendedAll.foreach { k =>
+        if (len + k.length + 3 <= 400) { b += "\"" + k + "\""; len += k.length + 3 }
+      }
+      b.toList
+    }
+    val contendedJson = contendedShown.mkString("[", ",", "]")
+    val contendedOmitted = contendedAll.length - contendedShown.length
     def wrap(qs: String, omitted: Int) =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","total_min":$totalMin%.4f,"queries":$qs,"queries_omitted":$omitted,"stages":$stagesJson,"full":"$outPath","failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","total_min":$totalMin%.4f,"queries":$qs,"queries_omitted":$omitted,"contended":$contendedJson,"contended_omitted":$contendedOmitted,"stages":$stagesJson,"full":"$outPath","failed":$failedJson,"sf":"$sfDir"}"""
     val bySlowest = results
       .map { case (k, ts) => k -> median(ts.map(_._1)) }
       .sortBy(-_._2)

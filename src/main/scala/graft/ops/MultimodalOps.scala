@@ -66,6 +66,10 @@ object MultimodalOps {
     // nine filtered arms measured +0.3-0.75 s from nine exchanges).
     // Only explicit round-robin Repartition matches; keyed/range
     // repartitions serve other purposes and still get the fan-out.
+    // Session conf `graft.spread.force=true` (per-session, visible in
+    // the UI Environment tab, restorable in tests) disables the
+    // idempotence skip — a diagnostic escape hatch for comparing the
+    // one-exchange-per-arm shape; only an explicit `true` forces it.
     import org.apache.spark.sql.catalyst.plans.logical._
     def alreadySpread(p: LogicalPlan): Boolean = p match {
       case r: Repartition => r.shuffle
@@ -73,8 +77,9 @@ object MultimodalOps {
       case pr: Project => alreadySpread(pr.child)
       case _ => false
     }
-    if (!sys.props.contains("graft.spread.force") &&
-      alreadySpread(df.queryExecution.analyzed)) df
+    val force = df.sparkSession.conf.getOption("graft.spread.force")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    if (!force && alreadySpread(df.queryExecution.analyzed)) df
     else df.repartition(math.max(1,
       df.sparkSession.sparkContext.defaultParallelism))
   }

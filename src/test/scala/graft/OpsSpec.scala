@@ -5199,6 +5199,37 @@ class OpsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("synthesis spread: graft.spread.force=true (session conf) disables the idempotence skip") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    def nRoundRobin(df: org.apache.spark.sql.Dataset[_]): Int =
+      df.queryExecution.analyzed.collect { case r: Repartition => r }.size
+    val pre = docs.repartition(4)
+    val prior = spark.conf.getOption("graft.spread.force")
+    try {
+      spark.conf.set("graft.spread.force", "true")
+      // forced: spread adds its exchange even over a pre-fanned input
+      assert(nRoundRobin(MultimodalOps.synthesizeMp3(pre, "doc_id", "text")) == 2)
+      // content identical under the forced path
+      val forced = MultimodalOps.synthesizeMp3(pre, "doc_id", "text")
+        .collect().map(r => (r.id, r.content.toSeq)).sortBy(_._1)
+      spark.conf.set("graft.spread.force", "false")
+      // only an explicit true forces: "false" restores the skip
+      assert(nRoundRobin(MultimodalOps.synthesizeMp3(pre, "doc_id", "text")) == 1)
+      val skipped = MultimodalOps.synthesizeMp3(pre, "doc_id", "text")
+        .collect().map(r => (r.id, r.content.toSeq)).sortBy(_._1)
+      assert(forced.toSeq == skipped.toSeq)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.spread.force", v)
+        case None => spark.conf.unset("graft.spread.force")
+      }
+    }
+  }
+
   test("streaming warc cdx: exactly-once per landed segment across waves") {
     import spark.implicits._
     import graft.ops.{MultimodalOps, StreamingOps}
