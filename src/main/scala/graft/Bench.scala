@@ -11,6 +11,25 @@ object Bench {
   private[graft] def contended(loadavgs: Seq[Double], cores: Int): Boolean =
     loadavgs.exists(_ > cores.toDouble)
 
+  /** Steal-time contention (r19): this sandbox is a VM, and the
+    * PHYSICAL host's load is invisible to loadavg — r18's 13 false
+    * "regressed" rows all rode neighbor-VM steal that the loadavg
+    * flag could not see (/proc/stat's cumulative steal on this box:
+    * hours).  A pass that lost more than this fraction of its CPU
+    * time to the hypervisor ran on a contended physical host.
+    */
+  private[graft] def stealContended(stealPcts: Seq[Double]): Boolean =
+    stealPcts.exists(_ > 0.05)
+
+  /** Cumulative steal jiffies across all cpus (USER_HZ = 100), -1 on
+    * read failure.
+    */
+  private[graft] def stealJiffies(): Long = scala.util.Try {
+    val line = scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get
+    line.trim.split("\\s+")(8).toLong // cpu user nice sys idle iowait irq softirq STEAL
+  }.getOrElse(-1L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,11 +117,13 @@ object Bench {
     // then inflates one pass of MANY queries — which median-of-3 per
     // query rejects — instead of all passes of whichever queries were
     // running, which no per-query statistic can repair (VERDICT r09).
-    val acc = collection.mutable.Map.empty[String, Vector[(Double, Long, Double)]]
+    val acc = collection.mutable.Map.empty[String, Vector[(Double, Long, Double, Double)]]
       .withDefaultValue(Vector.empty)
+    val hostCores = Runtime.getRuntime.availableProcessors
     for (_ <- 1 to runs; (name, fn) <- benchQueries) {
       val la = loadavg()
       val g0 = gcMs()
+      val st0 = stealJiffies()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -110,10 +131,16 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val st1 = stealJiffies()
+      // fraction of the pass's host CPU time stolen by the hypervisor
+      // (USER_HZ=100); -1 sentinel when /proc/stat is unreadable
+      val stealPct =
+        if (st0 < 0 || st1 < 0 || dt <= 0) -1.0
+        else (st1 - st0) / (hostCores * dt * 100.0)
       graft.ops.DedupOps.unpersistAll()
-      acc(name) = acc(name) :+ ((dt, gcMs() - g0, la))
+      acc(name) = acc(name) :+ ((dt, gcMs() - g0, la, stealPct))
     }
-    val results: Seq[(String, Vector[(Double, Long, Double)])] =
+    val results: Seq[(String, Vector[(Double, Long, Double, Double)])] =
       benchQueries.map { case (name, _) => name -> acc(name) }
     def median(ts: Vector[Double]): Double = {
       val s = ts.sorted
@@ -127,14 +154,17 @@ object Bench {
     // first, greedily added while the line fits a 1800-char budget,
     // with an explicit omitted-count; the durable file always carries
     // every query (medians + all runs + GC attribution).
+    def isContended(ts: Vector[(Double, Long, Double, Double)]): Boolean =
+      contended(ts.map(_._3), cpus.toInt) || stealContended(ts.map(_._4))
     val qsFull = results.map { case (k, ts) =>
       val all = ts.map(t => f"${t._1}%.4f").mkString("[", ",", "]")
       val gc = ts.map(_._2).mkString("[", ",", "]")
       val la = ts.map(t => f"${t._3}%.2f").mkString("[", ",", "]")
+      val steal = ts.map(t => f"${t._4}%.4f").mkString("[", ",", "]")
       // min rides along: under contention the median is still inflated
       // when 2 of 3 passes were hit; the min is the cleanest observed
       // run and the honest lower bound for cross-round comparison
-      s""""$k":{"median":${median(ts.map(_._1))},"min":${ts.map(_._1).min},"runs":${ts.length},"all":$all,"gc_ms":$gc,"loadavg":$la,"contended":${contended(ts.map(_._3), cpus.toInt)}}"""
+      s""""$k":{"median":${median(ts.map(_._1))},"min":${ts.map(_._1).min},"runs":${ts.length},"all":$all,"gc_ms":$gc,"loadavg":$la,"steal":$steal,"contended":${isContended(ts)}}"""
     }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts.map(_._1)) }.sum
     val totalMin = results.map { case (_, ts) => ts.map(_._1).min }.sum
@@ -167,7 +197,7 @@ object Bench {
     // past the driver's capture window; the durable file still carries
     // every flag
     val contendedAll = results
-      .collect { case (k, ts) if contended(ts.map(_._3), cpus.toInt) =>
+      .collect { case (k, ts) if isContended(ts) =>
         k -> median(ts.map(_._1)) }
       .sortBy(-_._2).map(_._1)
     val contendedShown = {

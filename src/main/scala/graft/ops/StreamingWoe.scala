@@ -98,13 +98,17 @@ object StreamingWoe {
         uncapped.size.toLong * (maxDistinctState + 1L)
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // typed collect (r19, same as the batch fit): tuple encoder
+        // instead of a GenericRow decode per grouped state row
+        import batch.sparkSession.implicits._
+        val typed = batch.as[WoeBinning.StatsTuple]
         val rows =
-          if (cap == Long.MaxValue) batch.collect()
-          else batch.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
+          if (cap == Long.MaxValue) typed.collect()
+          else typed.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
         if (rows.length > cap) {
           // name the dominant variable among the truncated rows — an
           // approximate culprit, but the throw itself is exact
-          val worst = rows.groupBy(_.getString(0)).maxBy(_._2.length)
+          val worst = rows.groupBy(_._1).maxBy(_._2.length)
           throw new IllegalStateException(
             s"fitStream: streaming state reached ${rows.length}+ grouped " +
               s"rows (cap $cap for ${uncapped.size} uncapped column(s) at " +
@@ -113,7 +117,7 @@ object StreamingWoe {
               "preBucketEdges for high-cardinality columns (fixed-edge " +
               "snap bounds complete-mode state) or raise maxDistinctState")
         }
-        val byVar = WoeBinning.statsFromRows(rows)
+        val byVar = WoeBinning.statsFromTuples(rows)
         if (byVar.nonEmpty) { // no data yet → no model to emit
           val fitted = inputCols.par
             .map(c => c -> WoeBinning.fitOne(c, targetCol, byVar, cfg, sepValue))

@@ -1033,14 +1033,37 @@ object TextOps {
     */
   def bpeTrain(
       df: DataFrame, textCol: String,
-      numMerges: Int, minCount: Long = 2L): DataFrame = {
+      numMerges: Int, minCount: Long = 2L,
+      collectThreshold: Int = 1000000): DataFrame = {
     require(numMerges > 0, s"bpeTrain: numMerges=$numMerges must be positive")
     require(minCount >= 1, s"bpeTrain: minCount=$minCount must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val emptySyms = array().cast("array<string>")
-    var words = df.select(explode(tokens(col(textCol))).as("w"))
+    // Adaptive driver kernel (r19, the fit/pageRank discipline): the
+    // merge loop is vocabulary-scale, and word vocabularies grow
+    // sub-linearly in corpus size (Heaps' law) — when the vocab fits
+    // the driver budget, ONE distributed job (the corpus-scale
+    // tokenize+count) replaces numMerges sequential vocab-scale jobs
+    // whose ~0.2 s scheduler floor each dominated q_bpe_train at sf0.1
+    // (guide §2.4: remove jobs outright).  The kernel reproduces the
+    // distributed loop exactly: same overlapping adjacent-pair counts,
+    // same (n DESC, left ASC, right ASC) argmax in UTF8-binary order,
+    // same leftmost-first greedy merge fold (BpeKernelSpec pins
+    // equality against the distributed loop).  limit(threshold+1)
+    // bounds the collect — an over-budget vocabulary never reaches the
+    // driver and the loop below handles it distributed, so 100 TB
+    // corpora with enormous vocabularies keep the r18 shape.
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
+    if (collectThreshold > 0) {
+      val collected = vocab.as[(String, Long)]
+        .limit(math.min(collectThreshold.toLong + 1L, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (collected.length <= collectThreshold)
+        return bpeTrainKernel(spark, collected, numMerges, minCount)
+    }
+    val emptySyms = array().cast("array<string>")
+    var words = vocab
       .select(col("wc"),
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("syms"))
@@ -1089,6 +1112,116 @@ object TextOps {
     }
     prev.foreach(_.unpersist(blocking = false))
     words.unpersist(blocking = false)
+    merges.toSeq.toDF("merge_rank", "left", "right", "n")
+  }
+
+  /** Driver merge loop of [[bpeTrain]] over a collected word
+    * vocabulary — exact replay of the distributed loop:
+    *   - symbols split by CODE POINT (Spark's `substr` counts code
+    *     points; Java's `toCharArray` would split surrogate pairs),
+    *   - adjacent pairs counted at every position (overlaps included),
+    *     weighted by word count,
+    *   - argmax on (n DESC, left ASC, right ASC) in UTF8-BINARY string
+    *     order (Spark's default collation; UTF-16 compareTo diverges
+    *     above the BMP),
+    *   - the winning pair applied with the same leftmost-first greedy
+    *     fold as the `aggregate` expression,
+    *   - stop below `minCount`.
+    * Pair counts update incrementally (only words containing the
+    * winning adjacency recount), so the whole loop is O(vocab · merges)
+    * scans with O(changed words) hash updates — microseconds against
+    * the ~0.2 s/round distributed scheduler floor it replaces.
+    */
+  private def bpeTrainKernel(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: Array[(String, Long)],
+      numMerges: Int, minCount: Long): DataFrame = {
+    import spark.implicits._
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    // symbol interning: the alphabet plus merged symbols is tiny, and
+    // shared refs make the per-round adjacency scans reference-equal
+    val intern = new java.util.HashMap[String, String]()
+    def sym(s: String): String = {
+      val p = intern.putIfAbsent(s, s); if (p == null) s else p
+    }
+    val words: Array[Array[String]] = vocab.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => sym(new String(Character.toChars(cp))))
+    }
+    val wcs: Array[Long] = vocab.map(_._2)
+    val counts = new java.util.HashMap[(String, String), Long]()
+    def bump(l: String, r: String, d: Long): Unit = {
+      val k = (l, r)
+      val n = counts.getOrDefault(k, 0L) + d
+      if (n == 0L) counts.remove(k) else counts.put(k, n)
+    }
+    def bumpAll(s: Array[String], d: Long): Unit = {
+      var i = 0
+      while (i < s.length - 1) { bump(s(i), s(i + 1), d); i += 1 }
+    }
+    var wi = 0
+    while (wi < words.length) { bumpAll(words(wi), wcs(wi)); wi += 1 }
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (!done && rank <= numMerges) {
+      var bl: String = null; var br: String = null; var bn = Long.MinValue
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val n = e.getValue
+        val better = bl == null || n > bn || (n == bn && {
+          val c = utf8Cmp(e.getKey._1, bl)
+          c < 0 || (c == 0 && utf8Cmp(e.getKey._2, br) < 0)
+        })
+        if (better) { bl = e.getKey._1; br = e.getKey._2; bn = n }
+      }
+      if (bl == null || bn < minCount) done = true
+      else {
+        merges += ((rank, bl, br, bn))
+        val merged = sym(bl + br)
+        wi = 0
+        while (wi < words.length) {
+          val s = words(wi)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            if (s(i).eq(bl) && s(i + 1).eq(br)) has = true
+            i += 1
+          }
+          if (has) {
+            val wc = wcs(wi)
+            bumpAll(s, -wc)
+            // leftmost-first greedy fold, identical to the distributed
+            // loop's `aggregate` expression
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            var j = 0
+            while (j < s.length) {
+              val x = s(j)
+              if (out.nonEmpty && out.last.eq(bl) && x.eq(br))
+                out(out.length - 1) = merged
+              else out += x
+              j += 1
+            }
+            val ns = out.toArray
+            bumpAll(ns, wc)
+            words(wi) = ns
+          }
+          wi += 1
+        }
+        rank += 1
+      }
+    }
     merges.toSeq.toDF("merge_rank", "left", "right", "n")
   }
 

@@ -70,18 +70,39 @@ object WoeBinning {
           .otherwise(0L)).as("tbad"))
   }
 
+  /** One collected stats row: (variable, value, cnt, tsum, tcnt, tbad)
+    * — the tuple form the typed collects below deserialize straight
+    * into (codegen'd encoder, no per-field GenericRow boxing/decode;
+    * r19, VERDICT ask #7: the Row decode cost ~0.3-0.4 s of each
+    * near-unique fit per FitProbe).
+    */
+  private[graft] type StatsTuple =
+    (String, Option[Double], Long, Option[Long], Long, Long)
+
   /** Collected stats rows → per-variable exact sufficient statistics
-    * (shared with the streaming path).  Fails fast on null target
-    * values — a group whose targets are all null has a NULL sum, and
-    * the reference's 0/1-target contract never allows that.
+    * (Row adapter for ad-hoc callers; the engine's own collects are
+    * typed and go straight to [[statsFromTuples]]).
     */
   def statsFromRows(rows: Array[Row]): Map[String, Kernels.VarStats] =
-    rows.groupBy(_.getString(0)).map { case (variable, vr) =>
+    statsFromTuples(rows.map(r => (
+      r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      r.getLong(4), r.getLong(5))))
+
+  /** Tuple-typed core of [[statsFromRows]] — fails fast on null target
+    * values: a group whose targets are all null has a NULL sum, and
+    * the reference's 0/1-target contract never allows that.
+    */
+  private[graft] def statsFromTuples(
+      rows: Array[StatsTuple]): Map[String, Kernels.VarStats] =
+    rows.groupBy(_._1).map { case (variable, vr) =>
       // a null target would silently vanish from sum(), and a
       // fractional/NaN target would truncate under the integer-stats
       // design; the reference's 0/1 contract allows neither — fail fast
-      def where(r: Row) =
-        s"(variable '$variable', value ${if (r.isNullAt(1)) "null" else r.getDouble(1)})"
+      def where(r: StatsTuple) =
+        s"(variable '$variable', value ${r._2.map(_.toString).getOrElse("null")})"
       // single driver pass: domain/null guards, NaN split, tuple build
       // and a sortedness check all fused — a presorted input (ad-hoc
       // callers that ordered upstream) skips the O(n log n) driver sort;
@@ -97,20 +118,20 @@ object WoeBinning {
         val r = vr(i)
         // domain check FIRST: an all-NaN group also has a null tsum (the
         // NaN→null cast guard), and "must be 0/1" is the accurate error
-        if (r.getLong(5) > 0)
+        if (r._6 > 0)
           throw new IllegalArgumentException(
             s"woe_binning: target must be 0/1 ${where(r)}")
-        if (r.isNullAt(3) || r.getLong(4) != r.getLong(2))
+        if (r._4.isEmpty || r._5 != r._3)
           throw new IllegalArgumentException(
             s"woe_binning: target contains nulls ${where(r)}")
-        if (r.isNullAt(1)) {
-          nanCount += r.getLong(2); nanTsum += r.getLong(3)
+        if (r._2.isEmpty) {
+          nanCount += r._3; nanTsum += r._4.get
         } else {
-          val v = r.getDouble(1)
+          val v = r._2.get
           if (v < prev) presorted = false
           prev = v
-          groupsB += ((v, r.getLong(2), r.getLong(3)))
-          valCnt += r.getLong(2); valTsum += r.getLong(3)
+          groupsB += ((v, r._3, r._4.get))
+          valCnt += r._3; valTsum += r._4.get
         }
         i += 1
       }
@@ -147,10 +168,13 @@ object WoeBinning {
     // range-sort exchange added 0.55-0.9 s to the agg+collect while the
     // driver fallback sort in statsFromRows costs ~0.3 s — the cluster
     // sort pays a full extra shuffle of the O(distinct) rows (sampling +
-    // range exchange) to save a cheaper in-memory sort.  statsFromRows
-    // produces identical per-variable groups either way (values are
-    // unique within a variable), so the fit is bit-identical.
-    statsFromRows(statsAggregation(base, targetCol, inputCols).collect())
+    // range exchange) to save a cheaper in-memory sort.  The collect is
+    // TYPED (r19): the tuple encoder deserializes straight to primitives
+    // instead of a GenericRow per stats row.  Same stats either way, so
+    // the fit is bit-identical.
+    import df.sparkSession.implicits._
+    statsFromTuples(
+      statsAggregation(base, targetCol, inputCols).as[StatsTuple].collect())
   }
 
   /** One variable's bins from its collected stats — the per-variable
@@ -268,6 +292,7 @@ object WoeBinning {
     val stackExpr = s"stack(${inputCols.length}, " +
       inputCols.map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double)").mkString(", ") +
       ") as (variable, value)"
+    import df.sparkSession.implicits._
     val grouped = base
       .selectExpr(s"cast(${sqlId(groupCol)} as string) as grp", stackExpr,
         s"cast(${sqlId(targetCol)} as double) as traw")
@@ -282,13 +307,16 @@ object WoeBinning {
         sum(when(isnan(col("traw")) ||
             (col("traw") =!= 0.0 && col("traw") =!= 1.0), 1L)
           .otherwise(0L)).as("tbad"))
-      .collect() // unsorted: statsFromRows' driver sort (see
+      // typed + unsorted: statsFromTuples' driver sort (see
       // sufficientStats) — the keyed range-sort exchange costs more
       // than sorting the O(distinct) rows in memory
-    grouped.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (g, rows) =>
-      // strip the segment key → the exact row shape statsFromRows
-      // consumes; statsFromRows sorts each variable's values itself
-      val stats = statsFromRows(rows.map(r => Row.fromSeq(r.toSeq.drop(1))))
+      .as[(String, String, Option[Double], Long, Option[Long], Long, Long)]
+      .collect()
+    grouped.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      // strip the segment key → the exact tuple shape statsFromTuples
+      // consumes; it sorts each variable's values itself
+      val stats = statsFromTuples(rows.map(t =>
+        (t._2, t._3, t._4, t._5, t._6, t._7)))
       val n = stats.valuesIterator.map(_.totalRows).maxOption.getOrElse(0L)
       val nThr = opts.nThreshold.getOrElse(math.ceil(n.toDouble / 20.0))
       val cfg = WoeConfig(nThr, opts.nOccurrences, opts.pThreshold,
@@ -348,18 +376,21 @@ object WoeBinning {
     val stackExpr = s"stack(${cols.length}, " +
       cols.map(c => s"${sqlStr(c)}, cast(${sqlId(c)} as double)").mkString(", ") +
       ") as (variable, value)"
+    import df.sparkSession.implicits._
     val grouped = df.selectExpr(stackExpr)
       .where(col("value").isNotNull && !isnan(col("value")))
       .groupBy("variable", "value")
       .agg(count(lit(1)).as("cnt"))
-      .collect() // unsorted collect + driver sort (see sufficientStats)
-    val byVar = grouped.groupBy(_.getString(0))
+      // typed + unsorted collect + driver sort (see sufficientStats)
+      .as[(String, Double, Long)]
+      .collect()
+    val byVar = grouped.groupBy(_._1)
     cols.map { c =>
       c -> byVar.get(c).fold(Double.NaN) { rows =>
         // exactMedian walks groups in ascending-value order; values are
         // unique per variable after the groupBy so this sort is total
         Kernels.exactMedian(
-          rows.iterator.map(r => (r.getDouble(1), r.getLong(2), 0L))
+          rows.iterator.map(t => (t._2, t._3, 0L))
             .toVector.sortBy(_._1))
       }
     }.toMap

@@ -39,6 +39,13 @@ object FitProbe {
           .collect()
       }
       time("statsFromRows (driver sort)")(WoeBinning.statsFromRows(rowsU))
+      // r19 typed-collect comparison arm: tuple encoder vs Row decode
+      import spark.implicits._
+      val rowsT = time("stats agg+collect (typed)") {
+        WoeBinning.statsAggregation(df, "target", Seq("extendedprice"))
+          .as[WoeBinning.StatsTuple].collect()
+      }
+      time("statsFromTuples (driver sort)")(WoeBinning.statsFromTuples(rowsT))
       time("stats agg+collect (spread scan)") {
         WoeBinning.statsAggregation(
           df.repartition(32), "target", Seq("extendedprice")).collect()

@@ -26,6 +26,18 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.contended(Nil, 32))
   }
 
+  test("stealContended: hypervisor steal above 5% of a pass flags the query") {
+    // this sandbox is a VM — loadavg cannot see neighbor-VM pressure,
+    // but /proc/stat steal can (r19; r18's 13 false regressions)
+    assert(!Bench.stealContended(Seq(0.0, 0.03, 0.049)))
+    assert(Bench.stealContended(Seq(0.02, 0.08, 0.01)))
+    // the read-failure sentinel (-1.0) must never flag
+    assert(!Bench.stealContended(Seq(-1.0, -1.0)))
+    assert(!Bench.stealContended(Nil))
+    // the /proc/stat parse never throws (−1 on failure)
+    assert(Bench.stealJiffies() >= -1L)
+  }
+
   test("pageRankLongKernel: 1 M edges (the collectThreshold) stays in kernel range") {
     // the driver fast path's worst legal input: exactly the 1 M-edge
     // adaptive threshold, ~180 k distinct nodes, heavy key reuse —

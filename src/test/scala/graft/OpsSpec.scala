@@ -6883,6 +6883,26 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.bpeTrain(docs, "text", numMerges = 5, minCount = 99).count() == 0)
   }
 
+  test("BPE training: driver kernel equals the distributed merge loop") {
+    import spark.implicits._
+    // richer corpus: repeated stems, overlapping runs ('aaa'),
+    // count ties, multi-char merges chaining across rounds
+    val docs = Seq(
+      "the theme then there aaa aaab abab",
+      "the then banana bandana aaa ab",
+      "theme there banana ab ab aaab").toDF("text")
+    def table(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    // collectThreshold=0 forces the r18 distributed loop — the
+    // equality target the kernel must replay merge-for-merge
+    val dist = table(TextOps.bpeTrain(docs, "text", numMerges = 12,
+      minCount = 2, collectThreshold = 0))
+    val kern = table(TextOps.bpeTrain(docs, "text", numMerges = 12,
+      minCount = 2))
+    assert(dist.nonEmpty && kern == dist, s"kernel=$kern dist=$dist")
+  }
+
   test("salted join keeps null-id rows and still equals the plain join") {
     import spark.implicits._
     // null idCol: xxhash64 skips null inputs, so an id-only salt sent

@@ -50,10 +50,13 @@ class PipelineSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty,
       s"pipeline must not leak cached RDDs across runs: $leaked")
-    // the stage→seconds attribution covers every count stage plus the
-    // terminal sequence-pack materialization, in order
+    // the wave→seconds attribution covers every BLOCKING wave of the
+    // fused pipeline (r19 boundary fusion: the oracle-gated stage
+    // counts come from one union job, so attribution is per driver
+    // barrier, not per stage), in order
     assert(PipelineDemo.lastStageSeconds.map(_._1) ==
-      stages.map(_._1) :+ "seq_pack")
+      Seq("quality_gate", "dedup_cc", "decontaminate", "rebalance_pack",
+        "seq_pack", "stage_counts"))
     assert(PipelineDemo.lastStageSeconds.forall(_._2 >= 0.0))
   }
 
